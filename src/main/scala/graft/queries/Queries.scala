@@ -1,11 +1,13 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Testdata-mapped query catalog: one entry per operator family from
-  * SURVEY.md §2, expressed over the driver's TPC-H-ish tables at
-  * `/root/testdata/sf*` plus `documents`/`embeddings`.
+  * SURVEY.md §2 (and the training-data extensions), expressed over the
+  * driver's TPC-H-ish tables at `/root/testdata/sf*` plus
+  * `documents`/`embeddings`.
   *
   * Conventions (driver oracle-compat):
   *   - every double-typed aggregate is `round(_, N)` in BOTH Spark and the
@@ -13,19 +15,36 @@ import org.apache.spark.sql.functions._
   *     hash compare;
   *   - every computed column is aliased identically on both sides (the
   *     driver sorts columns by name before hashing);
-  *   - row sets are deterministic (no bare `dropDuplicates`/`limit` without
-  *     a total order).
+  *   - row sets are deterministic (no bare `dropDuplicates`/`limit`
+  *     without a total order).
+  *
+  * Scale notes are inline per query; the common principles: aggregations
+  * are partial+final hash aggs (map-side combine shrinks the shuffle to
+  * #groups), dimension joins are broadcast (no shuffle of the fact
+  * table), scans project/filter at the parquet reader (check
+  * PushedFilters/ReadSchema in explain), and window functions partition
+  * on high-cardinality keys so all 32 (or 1000×) cores fill.
   */
 object Queries {
 
-  def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
+  def tbl(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // The driver's events.parquet carries TIMESTAMP(NANOS), which Spark's
+    // parquet reader rejects unless nanos are surfaced as long. Nanos-as-
+    // long preserves ordering/equality — all we use `ts` for.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
-  /** Q1: pricing summary — SURVEY §2.6 A1 (hash aggregation with partial
-    * map-side combine; cf. reference drug_transformer.py:196-213).
-    * Group keys are low-cardinality strings so the shuffle is tiny; the
-    * heavy lifting happens map-side in HashAggregateExec partials. */
-  def q01PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+  private def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+
+  // =================================================================
+  // §2.6 A1 — hash aggregation with map-side combine
+  // =================================================================
+
+  /** Pricing summary (cf. reference per-drug rollup
+    * drug_transformer.py:196-213). Low-cardinality string keys → the
+    * shuffle moves #groups rows per partition, not data. */
+  def q01PricingSummary(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
@@ -35,7 +54,277 @@ object Queries {
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         round(avg(col("l_discount")), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
+
+  // =================================================================
+  // §2.4 F2-F4 + §2.6 A4/A6 — fused range-violation gate
+  // =================================================================
+
+  /** The reference runs each range check as its own full-frame pass
+    * (data_quality.py:168-202); fusing them into ONE aggregation means
+    * one scan and one reduce at any scale. */
+  def q02RangeViolations(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "lineitem").agg(
+      count(lit(1)).as("n_rows"),
+      cnt(col("l_quantity") > 45).as("n_qty_gt_45"),
+      cnt(col("l_discount") > lit(0.08)).as("n_disc_gt_008"),
+      cnt(col("l_tax") > lit(0.06)).as("n_tax_gt_006"),
+      cnt(col("l_extendedprice") < 0).as("n_neg_price"))
+
+  /** F7/A6 null-profile: null count + percentage per column, one pass. */
+  def q03NullProfile(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "events").agg(
+      count(lit(1)).as("n_rows"),
+      cnt(col("value").isNull).as("null_value"),
+      cnt(col("props").isNull).as("null_props"),
+      round(avg(col("value").isNull.cast("int")) * 100, 4).as("null_value_pct"))
+
+  // =================================================================
+  // §2.5 D1-D4 — deduplication
+  // =================================================================
+
+  /** D1: deterministic keep='first' dedup (pandas semantics) — window
+    * row_number over the business order instead of Spark's arbitrary-row
+    * `dropDuplicates` (SURVEY §7.5 #2). One shuffle on the dedup key. */
+  def q04DedupKeepFirst(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    tbl(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value"), 2).as("value"))
   }
+
+  /** D4: duplicate detection with pandas keep=False semantics — count
+    * EVERY member of a duplicated group (data_quality.py:211-225). */
+  def q05DupDetect(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > 1)
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("dup_members"),
+        count(lit(1)).as("dup_groups"))
+
+  /** D3: distinct projection (drug_transformer.py:234). */
+  def q06DistinctProjection(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "customer")
+      .select(col("c_mktsegment"), col("c_nationkey"))
+      .distinct()
+
+  // =================================================================
+  // §2.8 O1-O3 — sort / top-k
+  // =================================================================
+
+  /** O2: top-10 with a total order (tie-break on the key) so the result
+    * set is deterministic. Spark plans TakeOrderedAndProject — a per-
+    * partition top-k then a single-reducer merge of 10-row heaps, NOT a
+    * global sort. */
+  def q07TopK(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("total_price"),
+        col("o_orderstatus"))
+
+  // =================================================================
+  // §2.7 J1/J2 — joins
+  // =================================================================
+
+  /** J1-shaped bidirectional containment theta join (the enrichment
+    * centerpiece, drug_transformer.py:248-282) mapped onto
+    * nation×region. Catalyst plans BroadcastNestedLoopJoin with the
+    * 5-row region side broadcast — the same shape Enrichment.enrich
+    * uses, where the broadcast side is small by construction. */
+  def q08ContainmentJoin(spark: SparkSession, dir: String): DataFrame = {
+    val nation = tbl(spark, dir, "nation")
+    val region = tbl(spark, dir, "region")
+    nation.join(broadcast(region),
+        col("n_name").contains(substring(col("r_name"), 1, 1)) ||
+          col("r_name").contains(substring(col("n_name"), 1, 1)),
+        "inner")
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("match_count"),
+        min(col("n_name")).as("first_nation"))
+  }
+
+  /** Star-schema revenue rollup: fact table joined to three broadcast
+    * dimensions — zero fact-table shuffles before the final aggregation.
+    * At 100 TB the lineitem scan is the only big IO; AQE handles any
+    * post-agg skew. */
+  def q09StarRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+    val orders = tbl(spark, dir, "orders")
+    val cust = tbl(spark, dir, "customer")
+    val nation = tbl(spark, dir, "nation")
+    li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+  }
+
+  /** Left-semi + left-anti (EXISTS / NOT EXISTS) — the dedup guard
+    * pattern inside J1. Broadcast the distinct key set. */
+  def q18SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val cust = tbl(spark, dir, "customer")
+    val orders = tbl(spark, dir, "orders").select(col("o_custkey"))
+    val withOrders = cust.join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+    val withoutOrders = cust.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+    withOrders.agg(count(lit(1)).as("n_with_orders"))
+      .crossJoin(withoutOrders.agg(count(lit(1)).as("n_without_orders")))
+  }
+
+  // =================================================================
+  // §2.9 — window functions
+  // =================================================================
+
+  /** Per-user top-3 events by time with a running value sum — the
+    * row_number pattern that also backs deterministic dedup (D1). */
+  def q10WindowTopN(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    tbl(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running_value",
+        round(sum(col("value")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+      .where(col("rn") <= 3)
+      .select(col("user_id"), col("rn"), col("event_id"), col("running_value"))
+  }
+
+  // =================================================================
+  // §2.3 P8/P9/P18 — date ops
+  // =================================================================
+
+  /** Ship latency: datediff + year extraction over an equi-join. */
+  def q11ShipLatency(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+    val orders = tbl(spark, dir, "orders")
+    li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).as("order_year"))
+      .agg(
+        round(avg(datediff(col("l_shipdate"), col("o_orderdate"))), 4).as("avg_ship_days"),
+        count(lit(1)).as("n"))
+  }
+
+  // =================================================================
+  // §2.3 P16/P17 — pd.cut binning
+  // =================================================================
+
+  /** Right-closed binning (pd.cut semantics) over account balances;
+    * out-of-range (incl. the left edge) → "Out of Range". */
+  def q12AcctbalBinning(spark: SparkSession, dir: String): DataFrame = {
+    val band = graft.etl.EtlFunctions.cut(col("c_acctbal"),
+      Seq(0, 1000, 5000, Double.PositiveInfinity), Seq("Low", "Mid", "High"))
+    tbl(spark, dir, "customer")
+      .groupBy(coalesce(band, lit("Out of Range")).as("acctbal_band"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(avg(col("c_acctbal")), 2).as("avg_bal"))
+  }
+
+  // =================================================================
+  // §2.3 P15/P19 — ordered when-chain scoring
+  // =================================================================
+
+  /** Severity-style weighted scoring via an ordered CASE chain
+    * (cf. _parse_phase / _calculate_severity). Pure codegen'd column
+    * arithmetic — no UDF. */
+  def q13EventSeverity(spark: SparkSession, dir: String): DataFrame = {
+    val weight = when(col("event_type") === "error", 10L)
+      .when(col("event_type") === "purchase", 5L)
+      .when(col("event_type") === "signup", 3L)
+      .when(col("event_type") === "click", 2L)
+      .otherwise(0L)
+    tbl(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(sum(weight).as("severity_score"), count(lit(1)).as("n_events"))
+  }
+
+  // =================================================================
+  // §2.3 P11-P13/P22 — string cleaning / normalization
+  // =================================================================
+
+  /** Normalize-for-matching over documents (P22) + upper/trim (P11). */
+  def q14TextNormalize(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents").select(
+      col("doc_id"),
+      length(graft.etl.EtlFunctions.normalizeForMatching(col("text"))).as("norm_len"),
+      upper(substring(trim(col("text")), 1, 20)).as("head_upper"),
+      col("n_chars"))
+
+  // =================================================================
+  // §2.3 P2-P7 — array / higher-order ops (on embeddings)
+  // =================================================================
+
+  /** Array ops with sequential double accumulation, so DuckDB's
+    * list_reduce reproduces the float math exactly. */
+  def q15EmbeddingStats(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "embeddings").select(
+      col("vec_id"),
+      size(col("embedding")).as("dim"),
+      round(element_at(col("embedding"), 1).cast("double"), 4).as("first_val"),
+      expr("round(aggregate(embedding, cast(0.0 as double), (a, x) -> a + cast(x as double)), 3)")
+        .as("vec_sum"),
+      expr("round(aggregate(embedding, cast(0.0 as double), (a, x) -> a + cast(x as double) * cast(x as double)), 3)")
+        .as("vec_norm_sq"),
+      col("label"))
+
+  // =================================================================
+  // §2.4/§2.6 — fused quality gate (A4-A6, F5, F6)
+  // =================================================================
+
+  /** The 6-check quality gate shape over orders, one scan. The future-
+    * date probe uses a fixed literal (not now()) for determinism. */
+  def q16OrdersQuality(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "orders").agg(
+      count(lit(1)).as("n_orders"),
+      cnt(col("o_totalprice") < 0).as("n_neg_total"),
+      cnt(col("o_orderdate") > lit("2001-01-01").cast("timestamp")).as("n_after_2001"),
+      cnt(col("o_orderstatus") === "P").as("n_status_p"),
+      cnt(col("o_orderstatus") === "O").as("n_status_o"),
+      cnt(col("o_orderstatus") === "F").as("n_status_f"),
+      countDistinct(col("o_custkey")).as("n_customers"))
+
+  /** A5/F1: per-source counts with a minimum-count filter. */
+  def q17TypeCounts(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 3).as("avg_value"))
+      .where(col("n") >= 5)
+
+  /** Distinct-aggregation (shuffle-heavy; Spark expands to two-phase
+    * distinct agg). */
+  def q19DistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+
+  // =================================================================
+  // registry
+  // =================================================================
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_range_violations" -> (q02RangeViolations _),
+    "q03_null_profile" -> (q03NullProfile _),
+    "q04_dedup_keepfirst" -> (q04DedupKeepFirst _),
+    "q05_dup_detect" -> (q05DupDetect _),
+    "q06_distinct_projection" -> (q06DistinctProjection _),
+    "q07_topk" -> (q07TopK _),
+    "q08_containment_join" -> (q08ContainmentJoin _),
+    "q09_star_revenue" -> (q09StarRevenue _),
+    "q10_window_topn" -> (q10WindowTopN _),
+    "q11_ship_latency" -> (q11ShipLatency _),
+    "q12_acctbal_binning" -> (q12AcctbalBinning _),
+    "q13_event_severity" -> (q13EventSeverity _),
+    "q14_text_normalize" -> (q14TextNormalize _),
+    "q15_embedding_stats" -> (q15EmbeddingStats _),
+    "q16_orders_quality" -> (q16OrdersQuality _),
+    "q17_type_counts" -> (q17TypeCounts _),
+    "q18_semi_anti" -> (q18SemiAnti _),
+    "q19_distinct_agg" -> (q19DistinctAgg _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -46,10 +335,113 @@ object Queries {
         | round(avg(l_quantity), 4) AS avg_qty,
         | round(avg(l_discount), 4) AS avg_disc,
         | count(*) AS count_order
-        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
-  )
-
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q01_pricing_summary" -> (q01PricingSummary _)
-  )
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_range_violations" ->
+      """SELECT count(*) AS n_rows,
+        | sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS n_qty_gt_45,
+        | sum(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END) AS n_disc_gt_008,
+        | sum(CASE WHEN l_tax > 0.06 THEN 1 ELSE 0 END) AS n_tax_gt_006,
+        | sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS n_neg_price
+        |FROM lineitem""".stripMargin,
+    "q03_null_profile" ->
+      """SELECT count(*) AS n_rows,
+        | sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_value,
+        | sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS null_props,
+        | round(avg(CASE WHEN value IS NULL THEN 1 ELSE 0 END) * 100, 4) AS null_value_pct
+        |FROM events""".stripMargin,
+    "q04_dedup_keepfirst" ->
+      """SELECT event_id, user_id, event_type, round(value, 2) AS value FROM (
+        |  SELECT event_id, user_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        |  FROM events) t WHERE rn = 1""".stripMargin,
+    "q05_dup_detect" ->
+      """SELECT coalesce(sum(cnt), 0) AS dup_members, count(*) AS dup_groups FROM (
+        |  SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1) t""".stripMargin,
+    "q06_distinct_projection" ->
+      "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    "q07_topk" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS total_price, o_orderstatus
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q08_containment_join" ->
+      """SELECT r_name, count(*) AS match_count, min(n_name) AS first_nation
+        |FROM nation JOIN region
+        |  ON contains(n_name, substring(r_name, 1, 1)) OR contains(r_name, substring(n_name, 1, 1))
+        |GROUP BY r_name""".stripMargin,
+    "q09_star_revenue" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(*) AS n_lineitems
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q10_window_topn" ->
+      """SELECT user_id, rn, event_id, running_value FROM (
+        |  SELECT user_id, event_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |         round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+        |  FROM events) t WHERE rn <= 3""".stripMargin,
+    "q11_ship_latency" ->
+      """SELECT year(o_orderdate) AS order_year,
+        | round(avg(date_diff('day', o_orderdate, l_shipdate)), 4) AS avg_ship_days,
+        | count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY year(o_orderdate)""".stripMargin,
+    "q12_acctbal_binning" ->
+      """SELECT coalesce(CASE
+        |   WHEN c_acctbal > 5000 THEN 'High'
+        |   WHEN c_acctbal > 1000 AND c_acctbal <= 5000 THEN 'Mid'
+        |   WHEN c_acctbal > 0 AND c_acctbal <= 1000 THEN 'Low'
+        |   ELSE NULL END, 'Out of Range') AS acctbal_band,
+        | count(*) AS n_customers,
+        | round(avg(c_acctbal), 2) AS avg_bal
+        |FROM customer GROUP BY 1""".stripMargin,
+    "q13_event_severity" ->
+      """SELECT user_id,
+        | sum(CASE WHEN event_type = 'error' THEN 10
+        |          WHEN event_type = 'purchase' THEN 5
+        |          WHEN event_type = 'signup' THEN 3
+        |          WHEN event_type = 'click' THEN 2
+        |          ELSE 0 END) AS severity_score,
+        | count(*) AS n_events
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q14_text_normalize" ->
+      """SELECT doc_id,
+        | length(replace(lower(trim(text)), ' ', '')) AS norm_len,
+        | upper(substring(trim(text), 1, 20)) AS head_upper,
+        | n_chars
+        |FROM documents""".stripMargin,
+    "q15_embedding_stats" ->
+      """SELECT vec_id, len(embedding) AS dim,
+        | round(embedding[1]::DOUBLE, 4) AS first_val,
+        | round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(embedding, x -> x::DOUBLE)), (a, b) -> a + b), 3) AS vec_sum,
+        | round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)), (a, b) -> a + b), 3) AS vec_norm_sq,
+        | label
+        |FROM embeddings""".stripMargin,
+    "q16_orders_quality" ->
+      """SELECT count(*) AS n_orders,
+        | sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS n_neg_total,
+        | sum(CASE WHEN o_orderdate > TIMESTAMP '2001-01-01' THEN 1 ELSE 0 END) AS n_after_2001,
+        | sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_status_p,
+        | sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_status_o,
+        | sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_status_f,
+        | count(DISTINCT o_custkey) AS n_customers
+        |FROM orders""".stripMargin,
+    "q17_type_counts" ->
+      """SELECT event_type, count(*) AS n, round(avg(value), 3) AS avg_value
+        |FROM events GROUP BY event_type HAVING count(*) >= 5""".stripMargin,
+    "q18_semi_anti" ->
+      """SELECT
+        | (SELECT count(*) FROM customer WHERE EXISTS
+        |   (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_with_orders,
+        | (SELECT count(*) FROM customer WHERE NOT EXISTS
+        |   (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_without_orders""".stripMargin,
+    "q19_distinct_agg" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
 }
