@@ -1,0 +1,117 @@
+package graft.ann
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an `Array[Float]` embedding
+  * column.
+  *
+  * Two paths:
+  *   - brute force: exact top-k via cross join + per-query window — the
+  *     correctness baseline, O(|Q|·|C|·d). Fine when |Q| is small (query
+  *     batches) because the corpus side streams through executors.
+  *   - LSH-bucketed: deterministic random-hyperplane signs compress each
+  *     vector to a b-bit bucket id; candidate generation becomes an
+  *     equi-join on bucket (hash shuffle, no cross product). The scale
+  *     path for corpus×corpus near-dup at 100 TB.
+  *
+  * Dot products accumulate left-to-right in double precision so external
+  * engines (and the DuckDB oracle) can reproduce them bit-exactly.
+  */
+object Ann {
+
+  /** Sequential-accumulation dot product of two float arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2NormSq(a: Column): Column = dot(a, a)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(l2NormSq(a)) * sqrt(l2NormSq(b)))
+
+  /** Exact cosine-similarity near-duplicate pairs above `threshold`
+    * (embeddings assumed L2-normalized → dot = cosine), all pairs. Use
+    * only block-bounded or at small |corpus|; the LSH path below is the
+    * scale variant. */
+  def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val parts = emb.sparkSession.sessionState.conf.numShufflePartitions
+    // A small parquet file arrives as ONE partition; without an explicit
+    // repartition the nested-loop join would run the whole O(n²) scan on
+    // a single core. Repartition the streamed side, broadcast the other.
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+      .repartition(parts)
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.crossJoin(broadcast(b)).where(col("id_a") < col("id_b"))
+      .withColumn("cos", round(dot(col("v_a"), col("v_b")), 3))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Exact brute-force top-k neighbors for each query vector. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val parts = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    // Stream the (repartitioned) corpus, broadcast the small query batch:
+    // every core scores a corpus slice against all queries.
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .repartition(parts)
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(dot(col("q_vec"), col("c_vec")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Deterministic pseudo-random ±1 hyperplane weights (no RNG state —
+    * reproducible across engines and resumes). */
+  private[ann] def planeWeights(numPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until numPlanes).map { j =>
+      (0 until dim).map { i =>
+        // splitmix-style bit mix of (i, j)
+        var z = i.toLong * 0x9E3779B97F4A7C15L + j.toLong * 0xBF58476D1CE4E5B9L
+        z ^= z >>> 31; z *= 0x94D049BB133111EBL; z ^= z >>> 27
+        if ((z & 1L) == 0L) 1.0 else -1.0
+      }
+    }
+
+  /** b-bit random-hyperplane bucket id for each vector; `planeOffset`
+    * selects a disjoint plane set per hash table. */
+  def lshBucket(vec: Column, numPlanes: Int, dim: Int, planeOffset: Int = 0): Column = {
+    val planes = planeWeights(planeOffset + numPlanes, dim).drop(planeOffset)
+    val bits = planes.map { w =>
+      val wLit = array(w.map(lit): _*)
+      when(dot(vec, wLit) >= 0, 1L).otherwise(0L)
+    }
+    bits.foldLeft(lit(0L))((acc, bit) => acc * 2 + bit)
+  }
+
+  /** Multi-table (OR-amplified) LSH near-dup pairs: `tables` independent
+    * hash tables of `planesPerTable` bits; a pair becomes a candidate if
+    * it collides in ANY table, then is verified with the exact dot
+    * product (precision is exact; only recall is approximate — measured
+    * against brute force in AnnSpec). Candidate generation is a
+    * (table, bucket) equi-join: hash shuffle, never a cross product. */
+  def lshNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planesPerTable: Int = 4, tables: Int = 16,
+      dim: Int = 64): DataFrame = {
+    val buckets = array((0 until tables).map(t =>
+      lshBucket(col(vecCol), planesPerTable, dim, t * planesPerTable)): _*)
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      posexplode(buckets).as(Seq("table", "bucket")))
+    val a = base.select(col("table"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = base.select(col("table"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("table", "bucket")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("v_a"), col("v_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", round(dot(col("v_a"), col("v_b")), 3))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+}

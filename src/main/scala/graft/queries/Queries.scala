@@ -302,6 +302,89 @@ object Queries {
         count(lit(1)).as("n_rows"))
 
   // =================================================================
+  // Training-data pipeline operators (SURVEY extensions):
+  // dedup family, similarity search, text analysis
+  // =================================================================
+
+  /** Exact dedup stats per source (hash-groupBy; at scale the text key
+    * would be pre-hashed — xxhash64 — to shrink shuffle width). */
+  def q20ExactDedup(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_distinct_texts"))
+
+  /** Exact word-set Jaccard near-dup pairs, blocked by source (quadratic
+    * term bounded per block; equi-join on the block key, no cross
+    * product). */
+  def q21JaccardNearDup(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.jaccardPairs(tbl(spark, dir, "documents"),
+      "doc_id", "text", "source", shingleSize = 1, threshold = 0.8)
+
+  /** MinHash(64)+LSH(16×4) near-dup pairs verified at J ≥ 0.7 over
+    * 3-word shingles — the scale path for corpus-wide dedup: signatures
+    * are per-row expressions, candidates come from a band-bucket
+    * equi-join. 3-gram shingles (not word sets) keep the candidate set
+    * proportional to true near-dups: with a small shared vocabulary,
+    * word-set signatures would collide corpus-wide and the band join
+    * would degenerate toward all-pairs. No SQL oracle (xxhash64);
+    * DedupSpec verifies recall vs exact Jaccard. */
+  def q22MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.minhashNearDupPairs(tbl(spark, dir, "documents"),
+      "doc_id", "text", threshold = 0.7,
+      graft.dedup.Dedup.MinHashConfig(numHashes = 64, shingleSize = 3, bands = 16))
+
+  /** SimHash(48-bit) near-dup pairs at hamming ≤ 3 via 4-band bucketing
+    * (exact recall by pigeonhole), blocked by source — this synthetic
+    * corpus shares one small vocabulary, which clusters SimHash values
+    * and would degenerate unblocked banding toward all-pairs. No SQL
+    * oracle (xxhash64). */
+  def q23SimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.simhashNearDupPairs(tbl(spark, dir, "documents"),
+      "doc_id", "text", maxDist = 3, blockCol = Some("source"))
+
+  /** Embedding-cosine near-dup pairs (exact all-pairs baseline; the LSH
+    * bucket variant is q29/AnnSpec). */
+  def q24EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    graft.ann.Ann.nearDupPairs(tbl(spark, dir, "embeddings"),
+      "vec_id", "embedding", threshold = 0.4)
+
+  /** Brute-force cosine top-10 for the first 5 query vectors. */
+  def q25AnnTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    graft.ann.Ann.bruteForceTopK(emb.where(col("vec_id") < 5), emb,
+      "vec_id", "embedding", k = 10)
+  }
+
+  /** Text-analysis feature set: token counts, stopword/punct ratios,
+    * quality score — one shuffle-free scan. */
+  def q26TextStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextFunctions._
+    tbl(spark, dir, "documents").select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      size(distinctTokens(col("text"))).as("n_distinct_tokens"),
+      round(stopwordRatio(col("text")), 4).as("stopword_ratio"),
+      round(punctRatio(col("text")), 4).as("punct_ratio"),
+      round(avgTokenLen(col("text")), 4).as("avg_token_len"),
+      round(qualityScore(col("text")), 4).as("quality"))
+  }
+
+  /** Language-ID heuristic vs the labeled lang column. */
+  def q27LangId(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .groupBy(col("lang"),
+        graft.text.TextFunctions.langId(col("text")).as("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+
+  /** 40-bit rolling-hash document fingerprints (overflow-free modular
+    * arithmetic — reproducible in any BIGINT engine). */
+  def q28Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents").select(
+      col("doc_id"),
+      graft.text.TextFunctions.fingerprint(col("text")).as("fp40"))
+
+  // =================================================================
   // registry
   // =================================================================
 
@@ -324,7 +407,16 @@ object Queries {
     "q16_orders_quality" -> (q16OrdersQuality _),
     "q17_type_counts" -> (q17TypeCounts _),
     "q18_semi_anti" -> (q18SemiAnti _),
-    "q19_distinct_agg" -> (q19DistinctAgg _))
+    "q19_distinct_agg" -> (q19DistinctAgg _),
+    "q20_exact_dedup" -> (q20ExactDedup _),
+    "q21_jaccard_neardup" -> (q21JaccardNearDup _),
+    "q22_minhash_lsh" -> (q22MinhashLsh _),
+    "q23_simhash_pairs" -> (q23SimhashPairs _),
+    "q24_embedding_neardup" -> (q24EmbeddingNearDup _),
+    "q25_ann_topk" -> (q25AnnTopK _),
+    "q26_text_stats" -> (q26TextStats _),
+    "q27_langid" -> (q27LangId _),
+    "q28_fingerprint" -> (q28Fingerprint _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -443,5 +535,91 @@ object Queries {
         | count(DISTINCT l_partkey) AS n_parts,
         | count(DISTINCT l_suppkey) AS n_supps,
         | count(*) AS n_rows
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // q22/q23 intentionally omitted: MinHash/SimHash signatures use
+    // Spark's xxhash64, which DuckDB cannot reproduce → rows-only check;
+    // DedupSpec verifies them against the exact-Jaccard oracle query.
+    "q20_exact_dedup" ->
+      """SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_distinct_texts
+        |FROM documents GROUP BY source""".stripMargin,
+    "q21_jaccard_neardup" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         list_distinct(list_filter(string_split(lower(trim(text)), ' '), x -> x != '')) AS ws
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       round(len(list_intersect(a.ws, b.ws))::DOUBLE /
+        |             (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 4) AS jaccard
+        |FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.ws, b.ws))::DOUBLE /
+        |      (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.8""".stripMargin,
+    "q24_embedding_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | round(list_reduce(list_prepend(0.0::DOUBLE,
+        |   list_transform(list_zip(a.embedding, b.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE)),
+        |   (p, q) -> p + q), 3) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_reduce(list_prepend(0.0::DOUBLE,
+        |   list_transform(list_zip(a.embedding, b.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE)),
+        |   (p, q) -> p + q), 3) >= 0.4""".stripMargin,
+    "q25_ann_topk" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_reduce(list_prepend(0.0::DOUBLE,
+        |      list_transform(list_zip(q.embedding, c.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE)),
+        |      (p, v) -> p + v), 6) AS cos
+        |  FROM q CROSS JOIN embeddings c WHERE q.vec_id != c.vec_id)
+        |SELECT query_id, rank, neighbor_id, cos FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM scored) t WHERE rank <= 10""".stripMargin,
+    "q26_text_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         list_filter(string_split(lower(trim(text)), ' '), x -> x != '') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        | len(toks) AS n_tokens,
+        | len(list_distinct(toks)) AS n_distinct_tokens,
+        | round(CASE WHEN len(toks) > 0 THEN len(list_filter(toks,
+        |   x -> list_contains(['the','a','an','and','of','to','in','is','it','for','on','with'], x)))::DOUBLE
+        |   / len(toks) ELSE 0.0 END, 4) AS stopword_ratio,
+        | round(CASE WHEN length(text) > 0 THEN
+        |   (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE / length(text)
+        |   ELSE 0.0 END, 4) AS punct_ratio,
+        | round(CASE WHEN len(toks) > 0 THEN
+        |   list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+        |   ELSE 0.0 END, 4) AS avg_token_len,
+        | round(least(len(toks)::DOUBLE / 50.0, 1.0) * 0.4
+        |     + (CASE WHEN len(toks) > 0 THEN len(list_distinct(toks))::DOUBLE / len(toks) ELSE 0.0 END) * 0.3
+        |     + least((CASE WHEN len(toks) > 0 THEN
+        |         list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) ELSE 0.0 END) / 8.0,
+        |         1.0) * 0.3, 4) AS quality
+        |FROM t""".stripMargin,
+    "q27_langid" ->
+      """WITH t AS (SELECT lang,
+        |  list_filter(string_split(lower(trim(text)), ' '), x -> x != '') AS toks FROM documents),
+        |s AS (SELECT lang,
+        |  len(list_filter(toks, x -> list_contains(['the','a','and','of','to','is','in','it'], x))) AS s_en,
+        |  len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], x))) AS s_de,
+        |  len(list_filter(toks, x -> list_contains(['el','los','las','una','es','y','que','por'], x))) AS s_es,
+        |  len(list_filter(toks, x -> list_contains(['le','la','les','et','des','une','est','dans'], x))) AS s_fr,
+        |  len(list_filter(toks, x -> list_contains(['的','了','是','我','在','不','有','人'], x))) AS s_zh
+        | FROM t)
+        |SELECT lang,
+        | CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'und'
+        |      WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+        |      WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+        |      WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+        |      WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+        |      ELSE 'zh' END AS predicted_lang,
+        | count(*) AS n
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    "q28_fingerprint" ->
+      """SELECT doc_id,
+        | list_reduce(list_prepend(0::BIGINT,
+        |   list_transform(string_split(replace(lower(trim(text)), ' ', ''), ''), ch -> ascii(ch)::BIGINT)),
+        |   (a, c) -> (a * 31 + c) % 1099511627776) AS fp40
+        |FROM documents""".stripMargin)
 }

@@ -1,0 +1,116 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, shingling, quality scoring, language-ID, fingerprinting.
+  *
+  * Everything is built from higher-order Catalyst expressions (transform/
+  * filter/aggregate) — per-row, shuffle-free, codegen-compatible — so a
+  * 100 TB corpus pays exactly one scan and no exchange for the whole
+  * feature set.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of the trimmed, lowercased text; empty tokens from
+    * repeated spaces are dropped (split-on-single-space + filter is
+    * deliberately regex-free so external oracles can reproduce it). */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), " "), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def distinctTokens(text: Column): Column = array_distinct(tokens(text))
+
+  /** k-word shingles ("n-gram" units for dedup fingerprints). Fewer than
+    * k tokens → single shingle of the whole text.
+    *
+    * PERF: pass a *materialized* tokens column (from a separate select
+    * stage) — this expression references `ts` once per shingle position,
+    * so handing it the raw tokenization expression inlines an O(tokens)
+    * split into every position: O(n²) per row (observed as a 100× slowdown
+    * in the dedup pipeline before staging). */
+  def wordShinglesFrom(ts: Column, k: Int): Column =
+    when(size(ts) >= k,
+      transform(sequence(lit(1), size(ts) - lit(k - 1)),
+        i => concat_ws(" ", slice(ts, i, lit(k)))))
+      .otherwise(array(concat_ws(" ", ts)))
+
+  /** Convenience form for small inputs / tests; see the PERF note above. */
+  def wordShingles(text: Column, k: Int): Column =
+    wordShinglesFrom(tokens(text), k)
+
+  /** A small English stopword list (quality scoring + language markers). */
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "for", "on", "with")
+
+  def stopwordRatio(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) > 0,
+      size(filter(ts, t => t.isin(EnglishStopwords: _*))).cast("double") / size(ts))
+      .otherwise(0.0)
+  }
+
+  /** Fraction of characters that are sentence punctuation. */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      (length(text) - length(regexp_replace(text, "[.,;:!?]", "")))
+        .cast("double") / length(text))
+      .otherwise(0.0)
+
+  def avgTokenLen(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) > 0,
+      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(ts))
+      .otherwise(0.0)
+  }
+
+  /** Deterministic document quality score in [0,1]: rewards reasonable
+    * length, lexical diversity, and word shape — the
+    * length/stopword/punctuation heuristics of C4/Gopher-style filters
+    * collapsed into one arithmetic expression. */
+  def qualityScore(text: Column): Column = {
+    val ts = tokens(text)
+    val n = size(ts)
+    val diversity = when(n > 0, size(array_distinct(ts)).cast("double") / n).otherwise(0.0)
+    val lengthTerm = least(n.cast("double") / 50.0, lit(1.0))
+    val shapeTerm = least(avgTokenLen(text) / 8.0, lit(1.0))
+    lengthTerm * 0.4 + diversity * 0.3 + shapeTerm * 0.3
+  }
+
+  /** Marker lexicons for the n-gram/stopword language-ID heuristic.
+    * Order is the deterministic tie-break (first max wins). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "is", "in", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "es" -> Seq("el", "los", "las", "una", "es", "y", "que", "por"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "une", "est", "dans"),
+    "zh" -> Seq("的", "了", "是", "我", "在", "不", "有", "人"))
+
+  def langScore(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(markers: _*)))
+
+  /** Argmax over marker-hit counts with deterministic tie-break; no hits
+    * at all → "und" (undetermined). */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (lang, markers) => lang -> langScore(text, markers) }
+    val top = greatest(scores.map(_._2): _*)
+    scores.foldLeft(when(top === 0, "und")) { case (acc, (lang, s)) =>
+      acc.when(s === top, lang)
+    }.otherwise("und")
+  }
+
+  /** 40-bit rolling polynomial fingerprint of the space-stripped text.
+    * The modulus keeps `acc*31 + c` far from Long overflow, so the exact
+    * arithmetic is reproducible in any BIGINT engine (overflow-free). */
+  val FingerprintMod: Long = 1L << 40
+
+  def fingerprint(text: Column): Column = {
+    val normalized = regexp_replace(lower(trim(text)), " ", "")
+    aggregate(
+      transform(split(normalized, ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, c) => (acc * 31L + c) % FingerprintMod)
+  }
+}

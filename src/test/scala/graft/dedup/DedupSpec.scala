@@ -1,0 +1,64 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "b0", "the quick brown fox jumps over the lazy dog"),
+    (1L, "b0", "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+    (2L, "b0", "completely different words entirely unrelated text here"),
+    (3L, "b1", "the quick brown fox jumps over the lazy dog"), // exact dup of 0 (other block)
+    (4L, "b1", "spark catalyst optimizer rewrites logical plans fast")
+  ).toDF("doc_id", "source", "text")
+
+  test("exact dedup: canonical min id per text group") {
+    val out = Dedup.exactDedup(docs, "doc_id", "text")
+    val dup = out.where($"n_copies" > 1).head()
+    assert(dup.getAs[Long]("canonical_id") == 0L)
+    assert(dup.getAs[Long]("n_copies") == 2L)
+    assert(out.count() == 4)
+  }
+
+  test("jaccard pairs: word-set similarity within block") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", "source", 1, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // docs 0/1: 8 distinct words each, 7 shared (dog vs cat): J = 7/9
+    assert(pairs.map(p => (p._1, p._2)) == Seq((0L, 1L)))
+    assert(math.abs(pairs.head._3 - 0.7778) < 1e-9) // round(7/9, 4)
+  }
+
+  test("minhash LSH finds the exact-jaccard pairs (recall on J>=0.8)") {
+    val exact = Dedup.jaccardPairs(docs.withColumn("source", lit("all")),
+      "doc_id", "text", "source", 1, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashNearDupPairs(docs, "doc_id", "text", 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty) // 0-1 (J=0.8) and 0-3 (J=1.0)
+    assert(exact.subsetOf(lsh), s"LSH missed ${exact -- lsh}")
+  }
+
+  test("minhash similarity estimate tracks exact jaccard on real near-dups") {
+    val cfg = Dedup.MinHashConfig(numHashes = 64, shingleSize = 1, bands = 16)
+    val sigs = docs.select($"doc_id", Dedup.minhashSignature($"text", cfg).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def est(a: Long, b: Long): Double =
+      sigs(a).zip(sigs(b)).count { case (x, y) => x == y }.toDouble / cfg.numHashes
+    assert(est(0L, 3L) == 1.0) // identical texts -> identical signatures
+    assert(est(0L, 1L) > 0.5) // J=0.8 near-dup
+    assert(est(0L, 2L) < 0.4) // unrelated
+  }
+
+  test("simhash: identical word sets collide, near-dups are close, unrelated far") {
+    val sh = docs.select($"doc_id", Dedup.simhash($"text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(3L))
+    def hd(a: Long, b: Long): Int = java.lang.Long.bitCount(sh(a) ^ sh(b))
+    assert(hd(0L, 1L) < hd(0L, 2L), s"hd(0,1)=${hd(0L, 1L)} hd(0,2)=${hd(0L, 2L)}")
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDist = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L)))
+  }
+}
