@@ -16,6 +16,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Light warmup: JIT/codegen paths and parquet footer reads, so the
+    // first measured query isn't charged for JVM+session startup. No
+    // query results are cached — data reads stay cold.
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings"))
+      try queries.Queries.tbl(spark, sfDir, t).schema
+      catch { case _: Throwable => () }
     // Optional comma-separated subset filter for local iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -59,6 +59,35 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Inverted-index formulation of exact Jaccard — the 100 TB path for
+    * sparse corpora: explode shingles into postings, count co-occurrences
+    * per pair (only pairs sharing ≥1 shingle ever materialize), then join
+    * set sizes. Beats the block-quadratic form whenever most pairs share
+    * nothing; on corpora with ultra-common shingles the hot posting's d²
+    * contribution dominates — cap or drop high-df shingles there (at the
+    * cost of exactness), or keep the blocked form. */
+  def jaccardPairsInverted(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, threshold: Double): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val toks = df.select(col(idCol).as("id"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .repartition(parts)
+    val shingled = toks.select(col("id"),
+      array_distinct(TextFunctions.wordShinglesFrom(col("toks"), shingleSize)).as("shingles"))
+    val sizes = shingled.select(col("id"), size(col("shingles")).as("n"))
+    val postings = shingled.select(col("id"), explode(col("shingles")).as("s"))
+    val co = postings.as("x").join(postings.as("y"), Seq("s"))
+      .where(col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).cast("double").as("inter"))
+    co.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   // ---- MinHash + LSH ------------------------------------------------
 
   final case class MinHashConfig(numHashes: Int = 64, shingleSize: Int = 3,

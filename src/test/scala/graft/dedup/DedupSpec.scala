@@ -30,6 +30,17 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(pairs.head._3 - 0.7778) < 1e-9) // round(7/9, 4)
   }
 
+  test("inverted-index jaccard matches the blocked formulation exactly") {
+    import org.apache.spark.sql.functions.lit
+    val blocked = Dedup.jaccardPairs(docs.withColumn("source", lit("all")),
+      "doc_id", "text", "source", 1, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inverted = Dedup.jaccardPairsInverted(docs, "doc_id", "text", 1, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(blocked == inverted)
+    assert(blocked.nonEmpty)
+  }
+
   test("minhash LSH finds the exact-jaccard pairs (recall on J>=0.8)") {
     val exact = Dedup.jaccardPairs(docs.withColumn("source", lit("all")),
       "doc_id", "text", "source", 1, 0.8)
