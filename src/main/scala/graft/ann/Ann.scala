@@ -21,8 +21,17 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Sequential-accumulation dot product of two float arrays. */
+  /** Sequential-accumulation dot product of two float arrays — a custom
+    * codegen'd Catalyst expression (see FloatVectorDot); bit-identical to
+    * the interpreted higher-order form but fused into whole-stage
+    * codegen. */
   def dot(a: Column, b: Column): Column =
+    graft.functions.FloatVectorDot.vecDot(a, b)
+
+  /** The higher-order-function formulation, kept as the reference
+    * implementation for the parity spec (and for engines without the
+    * custom expression). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
@@ -86,7 +95,7 @@ object Ann {
   def lshBucket(vec: Column, numPlanes: Int, dim: Int, planeOffset: Int = 0): Column = {
     val planes = planeWeights(planeOffset + numPlanes, dim).drop(planeOffset)
     val bits = planes.map { w =>
-      val wLit = array(w.map(lit): _*)
+      val wLit = array(w.map(x => lit(x.toFloat)): _*) // ±1: exact as float
       when(dot(vec, wLit) >= 0, 1L).otherwise(0L)
     }
     bits.foldLeft(lit(0L))((acc, bit) => acc * 2 + bit)

@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming surface.
+  *
+  * The reference has no streaming engine — its "streaming-ness" is daily
+  * incremental batch (Airflow `@daily` + date-partitioned storage,
+  * SURVEY §2.10). `runDailyAvailableNow` subsumes that exactly:
+  * `Trigger.AvailableNow` drains whatever landed since the last
+  * checkpoint and stops — the daily batch as a special case of a stream.
+  * The windowed/sessionized operators are the engine-side extensions a
+  * training-data pipeline needs for event feeds.
+  *
+  * Scale notes: watermarks bound state (late events beyond the watermark
+  * are dropped, state for closed windows is evicted); sessionization
+  * state is per-user and times out via the same watermark, so state-store
+  * size tracks active users, not history. Shuffle partitioning of the
+  * stateful operators follows `spark.sql.shuffle.partitions` — size it to
+  * the cluster, and the state store (RocksDB in production) spills per
+  * partition.
+  */
+object Streaming {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
+
+  /** Internal session accumulator (public: the state-store encoder's
+    * generated code must access its fields from another package). */
+  final case class SessionState(start: Long, last: Long, n: Long, acc: Double)
+
+  /** Tumbling/sliding windowed aggregation with late-data handling. */
+  def windowedCounts(events: DataFrame, windowDur: String, slideDur: String,
+      watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur, slideDur), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("event_type"), col("n"),
+        col("total_value"))
+
+  /** Gap-based sessionization via flatMapGroupsWithState: a session closes
+    * after `gapSeconds` of inactivity (event-time, enforced by the
+    * watermark timeout). Emits closed sessions (Append mode). */
+  def sessionize(events: Dataset[Event], gapSeconds: Long): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", s"$gapSeconds seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(UserSession(userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.last), s.n, s.acc))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[UserSession]
+            var cur = state.getOption
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapSeconds * 1000 =>
+                  cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1,
+                    s.acc + e.value))
+                case Some(s) =>
+                  closed ::= UserSession(userId, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.last), s.n, s.acc)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapSeconds * 1000)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Streaming dedup: first event per key wins, state bounded by the
+    * watermark (the streaming analog of the batch keep-first window —
+    * SURVEY D1). */
+  def dedupStream(events: DataFrame, watermarkDelay: String, keys: String*): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicates(keys :+ "ts")
+
+  /** The reference's daily incremental batch as a stream:
+    * `Trigger.AvailableNow` over the raw zone — drains all unprocessed
+    * files (tracked by the checkpoint), applies `transform`, appends
+    * parquet, stops. Re-running tomorrow picks up only new files: exactly
+    * the Airflow daily semantics, minus the scheduler. */
+  def runDailyAvailableNow(spark: SparkSession, rawGlob: String,
+      schema: org.apache.spark.sql.types.StructType,
+      transform: DataFrame => DataFrame,
+      outPath: String, checkpoint: String): Unit = {
+    val stream = spark.readStream.schema(schema).json(rawGlob)
+    val q = transform(stream).writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

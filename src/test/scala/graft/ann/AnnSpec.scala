@@ -23,6 +23,20 @@ class AnnSpec extends SparkSpec {
     assert(math.abs(d - 0.9) < 1e-6)
   }
 
+  test("codegen'd FloatVectorDot is bit-identical to the HOF dot on real embeddings") {
+    val real = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "embeddings")
+    val a = real.select($"vec_id".as("ia"), $"embedding".as("va"))
+    val b = real.select($"vec_id".as("ib"), $"embedding".as("vb"))
+    val pairs = a.crossJoin(b).where($"ia" < $"ib")
+      .select(Ann.dot($"va", $"vb").as("fast"), Ann.dotHof($"va", $"vb").as("ref"))
+    assert(pairs.where($"fast" =!= $"ref" ||
+      ($"fast".isNull =!= $"ref".isNull)).isEmpty)
+    // null semantics: length mismatch and null element -> null
+    val bad = Seq((Array(1.0f, 2.0f), Array(1.0f))).toDF("x", "y")
+      .select(Ann.dot($"x", $"y").as("d"))
+    assert(bad.head().isNullAt(0))
+  }
+
   test("brute-force top-k ranks the nearest vector first") {
     val top = Ann.bruteForceTopK(emb.where($"vec_id" === 0), emb, "vec_id", "embedding", 2)
       .orderBy($"rank").collect()

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  import Streaming._
+
+  private def ts(minute: Int, second: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$second%02d")
+
+  test("windowed aggregation with watermark over a memory stream") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = windowedCounts(input.toDF(), "5 minutes", "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(1), 2, "click", 2.0),
+        Event(3, ts(6), 1, "view", 3.0),
+        Event(4, ts(40), 1, "click", 4.0)) // advances watermark, closes earlier windows
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .select("window_start", "event_type", "n", "total_value").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows.contains((ts(0), "click", 2L, 3.0)))
+      assert(rows.contains((ts(5), "view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("sessionization: gap closes a session, emits aggregate") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = sessionize(input.toDS(), gapSeconds = 60)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 30s apart (one session), then a 10-min gap event
+      input.addData(
+        Event(1, ts(0, 0), 1, "click", 1.0),
+        Event(2, ts(0, 30), 1, "view", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(3, ts(10), 1, "click", 5.0))
+      q.processAllAvailable()
+      // push watermark far ahead so the open session times out too
+      input.addData(Event(4, ts(50), 2, "click", 0.5))
+      q.processAllAvailable()
+      val sessions = spark.table("sess_out").as[UserSession].collect()
+        .filter(_.user_id == 1).sortBy(_.session_start.getTime)
+      assert(sessions.length >= 1)
+      val first = sessions.head
+      assert(first.session_start == ts(0, 0))
+      assert(first.session_end == ts(0, 30))
+      assert(first.n_events == 2)
+      assert(first.total_value == 3.0)
+    } finally q.stop()
+  }
+
+  test("AvailableNow daily batch: drains once, checkpoint makes re-runs incremental") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val raw = s"$dir/raw"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(raw))
+    def land(name: String, rows: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(raw, name),
+        rows.mkString("\n").getBytes)
+    land("day1.json", (1 to 5).map(i =>
+      s"""{"event_id": $i, "ts": "2024-01-01T00:0$i:00Z", "user_id": $i, "event_type": "click", "value": 1.5}"""))
+
+    val schema = org.apache.spark.sql.Encoders.product[Event].schema
+    def run(): Unit = Streaming.runDailyAvailableNow(spark, raw, schema,
+      df => df.withColumn("doubled", org.apache.spark.sql.functions.col("value") * 2),
+      s"$dir/out", s"$dir/ckpt")
+
+    run()
+    assert(spark.read.parquet(s"$dir/out").count() == 5)
+    // second run with one new file: only the new rows are appended
+    land("day2.json", Seq(
+      """{"event_id": 6, "ts": "2024-01-02T00:00:00Z", "user_id": 6, "event_type": "view", "value": 2.0}"""))
+    run()
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() == 6)
+    assert(out.where(org.apache.spark.sql.functions.col("doubled") === 4.0).count() == 1)
+  }
+}
