@@ -384,6 +384,44 @@ object Queries {
       col("doc_id"),
       graft.text.TextFunctions.fingerprint(col("text")).as("fp40"))
 
+  /** Batch gap-sessionization (the batch analog of the streaming
+    * flatMapGroupsWithState sessionizer): lag → new-session flag →
+    * running session id → per-session rollup. Two window passes over one
+    * shuffle on user_id. `ts` is nanos-as-long (see tbl); 30-min gap. */
+  def q29Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val gapNs = 30L * 60 * 1000000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    tbl(spark, dir, "events")
+      .withColumn("new_sess",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          col("ts") - lag(col("ts"), 1).over(w) > gapNs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+  }
+
+  /** LSH-bucketed embedding near-dup (the 100 TB path; q24 is the exact
+    * baseline). 8 tables × 8 bits: 256-way buckets bound the candidate
+    * join (16×4 would degenerate to all-pairs at this corpus size).
+    * Hyperplane LSH recall falls with the threshold — ~20% at cos 0.4
+    * (θ≈66°), ≳95% at real near-dup levels (cos ≥ 0.9) — so this is a
+    * rows-only gate entry; AnnSpec measures recall explicitly. */
+  def q30LshEmbedding(spark: SparkSession, dir: String): DataFrame =
+    graft.ann.Ann.lshNearDupPairs(tbl(spark, dir, "embeddings"),
+      "vec_id", "embedding", threshold = 0.4, planesPerTable = 8, tables = 8)
+
+  /** Multimodal plumbing through the gate: binary payload column +
+    * metadata → batched (stubbed) decode → fixed-dim features.
+    * Stub decode is deterministic but not SQL-expressible → rows-only. */
+  def q31MultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.fakeMediaFromDocuments(
+      spark, tbl(spark, dir, "documents"))
+    graft.multimodal.Multimodal.extractFeatures(media, dim = 8).toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        round(element_at(col("feature"), 1).cast("double"), 4).as("f0"))
+  }
+
   // =================================================================
   // registry
   // =================================================================
@@ -416,7 +454,10 @@ object Queries {
     "q25_ann_topk" -> (q25AnnTopK _),
     "q26_text_stats" -> (q26TextStats _),
     "q27_langid" -> (q27LangId _),
-    "q28_fingerprint" -> (q28Fingerprint _))
+    "q28_fingerprint" -> (q28Fingerprint _),
+    "q29_sessionize" -> (q29Sessionize _),
+    "q30_lsh_embedding" -> (q30LshEmbedding _),
+    "q31_multimodal_features" -> (q31MultimodalFeatures _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -621,5 +662,24 @@ object Queries {
         | list_reduce(list_prepend(0::BIGINT,
         |   list_transform(string_split(replace(lower(trim(text)), ' ', ''), ''), ch -> ascii(ch)::BIGINT)),
         |   (a, c) -> (a * 31 + c) % 1099511627776) AS fp40
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    // q30/q31 rows-only: LSH recall is approximate; stub decode hash is
+    // not SQL-expressible. Both verified in AnnSpec/MultimodalSpec.
+    "q29_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tns, value FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, tns, value,
+        |    CASE WHEN lag(tns) OVER (PARTITION BY user_id ORDER BY tns, event_id) IS NULL
+        |           OR tns - lag(tns) OVER (PARTITION BY user_id ORDER BY tns, event_id) > 1800000000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, value,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tns, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM f)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM g GROUP BY user_id, session_id""".stripMargin)
 }
