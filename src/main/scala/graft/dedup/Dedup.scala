@@ -230,7 +230,9 @@ object Dedup {
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         hamming(col("x.sh"), col("y.sh")).as("hamming_dist"))
-      .distinct()
+      // filter BEFORE dedup: candidates that fail the hamming bound never
+      // enter the distinct's shuffle (bands make most candidates fail).
       .where(col("hamming_dist") <= maxDist)
+      .distinct()
   }
 }

@@ -10,7 +10,9 @@ object CtTransform {
   val ActiveStatuses: Seq[String] =
     Seq("RECRUITING", "ACTIVE_NOT_RECRUITING", "ENROLLING_BY_INVITATION")
 
-  def apply(df: DataFrame): DataFrame = {
+  def apply(df: DataFrame): DataFrame = apply(df, graft.pipeline.PipelineConfig.default)
+
+  def apply(df: DataFrame, cfg: graft.pipeline.PipelineConfig): DataFrame = {
     if (df.isEmpty) return df
     val cols = df.columns.toSet
 
@@ -27,11 +29,12 @@ object CtTransform {
 
     if (cols("enrollment_count"))
       out = out.withColumn("study_size_category",
-        EtlFunctions.studySizeCategory(col("enrollment_count")))
+        EtlFunctions.cut(col("enrollment_count"),
+          cfg.binning.studySizeBins, cfg.binning.studySizeLabels))
 
     if (cols("overall_status")) {
       out = out
-        .withColumn("is_active", col("overall_status").isin(ActiveStatuses: _*))
+        .withColumn("is_active", col("overall_status").isin(cfg.activeStatuses: _*))
         .withColumn("is_completed", col("overall_status") === "COMPLETED")
     }
 

@@ -15,7 +15,9 @@ object FdaTransform {
 
   val RequiredFields: Seq[String] = Seq("safetyreportid", "drug_name", "receivedate")
 
-  def apply(df: DataFrame): DataFrame = {
+  def apply(df: DataFrame): DataFrame = apply(df, graft.pipeline.PipelineConfig.default)
+
+  def apply(df: DataFrame, cfg: graft.pipeline.PipelineConfig): DataFrame = {
     if (df.isEmpty) return df
     val cols = df.columns.toSet
 
@@ -27,14 +29,16 @@ object FdaTransform {
       out = out.withColumn("drug_name_clean", upper(trim(col("drug_name"))))
 
     // Severity: each weight contributes only when its column exists.
+    val w = cfg.severity
     val sev =
-      (if (cols("serious")) coalesce(col("serious"), lit(0)) * 2 else lit(0)) +
-        (if (cols("seriousnessdeath")) coalesce(col("seriousnessdeath"), lit(0)) * 10 else lit(0)) +
-        (if (cols("seriousnesshospitalization")) coalesce(col("seriousnesshospitalization"), lit(0)) * 5 else lit(0))
+      (if (cols("serious")) coalesce(col("serious"), lit(0)) * w.serious else lit(0)) +
+        (if (cols("seriousnessdeath")) coalesce(col("seriousnessdeath"), lit(0)) * w.death else lit(0)) +
+        (if (cols("seriousnesshospitalization")) coalesce(col("seriousnesshospitalization"), lit(0)) * w.hospitalization else lit(0))
     out = out.withColumn("severity_score", sev.cast("long"))
 
     if (cols("patient_age"))
-      out = out.withColumn("age_group", EtlFunctions.ageGroup(col("patient_age")))
+      out = out.withColumn("age_group",
+        EtlFunctions.cut(col("patient_age"), cfg.binning.ageBins, cfg.binning.ageLabels))
 
     for (f <- Seq("drug_indication", "reaction") if cols(f))
       out = out.withColumn(f, trim(coalesce(col(f), lit(""))))

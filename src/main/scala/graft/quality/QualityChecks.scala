@@ -24,13 +24,16 @@ case class QualityReport(
   */
 object QualityChecks {
 
-  val RequiredFda: Seq[String] = Seq("safetyreportid", "receivedate", "drug_name")
-  val RequiredCt: Seq[String] = Seq("nct_id", "brief_title", "overall_status")
-  val NullPctThreshold = 10.0
-  val MinRecords = 10
-  val MinPerSource = 5
+  def validate(df: DataFrame, date: String): QualityReport =
+    validate(df, date, graft.pipeline.PipelineConfig.default)
 
-  def validate(df: DataFrame, date: String): QualityReport = {
+  def validate(df: DataFrame, date: String,
+      cfg: graft.pipeline.PipelineConfig): QualityReport = {
+    val RequiredFda = cfg.requiredFdaColumns
+    val RequiredCt = cfg.requiredCtColumns
+    val NullPctThreshold = cfg.quality.maxNullPct
+    val MinRecords = cfg.quality.minRecords
+    val MinPerSource = cfg.quality.minPerSource
     if (df.isEmpty)
       return QualityReport(date, passed = false, 6, 1, Seq("No data to validate"), 0L)
 

@@ -367,7 +367,8 @@ object Queries {
       round(stopwordRatio(col("text")), 4).as("stopword_ratio"),
       round(punctRatio(col("text")), 4).as("punct_ratio"),
       round(avgTokenLen(col("text")), 4).as("avg_token_len"),
-      round(qualityScore(col("text")), 4).as("quality"))
+      round(qualityScore(col("text")), 4).as("quality"),
+      subwordCount(col("text")).as("n_subword_tokens"))
   }
 
   /** Language-ID heuristic vs the labeled lang column. */
@@ -636,7 +637,9 @@ object Queries {
         |     + (CASE WHEN len(toks) > 0 THEN len(list_distinct(toks))::DOUBLE / len(toks) ELSE 0.0 END) * 0.3
         |     + least((CASE WHEN len(toks) > 0 THEN
         |         list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) ELSE 0.0 END) / 8.0,
-        |         1.0) * 0.3, 4) AS quality
+        |         1.0) * 0.3, 4) AS quality,
+        | len(regexp_extract_all(lower(text),
+        |   '''(?:s|d|m|t|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS n_subword_tokens
         |FROM t""".stripMargin,
     "q27_langid" ->
       """WITH t AS (SELECT lang,

@@ -79,6 +79,17 @@ object TextFunctions {
     lengthTerm * 0.4 + diversity * 0.3 + shapeTerm * 0.3
   }
 
+  /** GPT-2-style pretokenizer approximation: contractions, space-prefixed
+    * letter runs, digit runs, punctuation runs. Counts the units a BPE
+    * tokenizer would start from — a fast corpus-costing proxy when the
+    * real tokenizer isn't on the cluster. Pattern stays within the
+    * RE2-compatible subset so external engines reproduce the counts. */
+  val BpeishPattern: String =
+    "'(?:s|d|m|t|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(BpeishPattern), lit(0)))
+
   /** Marker lexicons for the n-gram/stopword language-ID heuristic.
     * Order is the deterministic tie-break (first max wins). */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(

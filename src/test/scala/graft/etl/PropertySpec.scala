@@ -1,0 +1,89 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Property-style invariants the reference never tested (SURVEY §5):
+  * seeded random inputs, whole-vector evaluation in one Spark job per
+  * property. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(42)
+
+  test("binning totality: every double maps to a configured label or null, right-closed") {
+    val values = Seq.fill(2000)(rnd.nextDouble() * 250 - 25) ++
+      Seq(0.0, 18.0, 18.0000001, 100.0, 100.0000001, -0.0, Double.MinPositiveValue)
+    val df = values.toDF("v").select($"v", EtlFunctions.ageGroup($"v").as("g"))
+    val got = df.as[(Double, Option[String])].collect()
+    val labels = EtlFunctions.AgeLabels.toSet
+    assert(got.forall { case (_, g) => g.forall(labels.contains) })
+    // right-closed edges: (0,18] Pediatric etc.
+    for ((v, g) <- got) {
+      val expected =
+        if (v > 0 && v <= 18) Some("Pediatric")
+        else if (v > 18 && v <= 30) Some("Young Adult")
+        else if (v > 30 && v <= 50) Some("Adult")
+        else if (v > 50 && v <= 65) Some("Senior")
+        else if (v > 65 && v <= 100) Some("Elderly")
+        else None
+      assert(g == expected, s"v=$v")
+    }
+  }
+
+  test("phase parser totality: arbitrary strings map into {0, 0.5, 1, 2, 3, 4}") {
+    val alphabet = "PHASE IV123E abcxyz-_/|"
+    val values = Seq.fill(1000)(
+      (0 until rnd.nextInt(20)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString) ++
+      Seq("", "PHASE IIII", "PHASEI", "EARLY", "phase iv")
+    val got = values.toDF("p")
+      .select(EtlFunctions.phaseNumeric($"p").as("n")).as[Double].collect()
+    assert(got.forall(Set(0.0, 0.5, 1.0, 2.0, 3.0, 4.0).contains))
+  }
+
+  test("keep-first dedup is idempotent and never increases distinct keys") {
+    val rows = Seq.fill(500)((rnd.nextInt(50).toString, rnd.nextInt(1000)))
+    val df = rows.toDF("k", "v")
+    val once = FdaTransform.keepFirst(df, "k")
+    val twice = FdaTransform.keepFirst(once, "k")
+    assert(once.count() == df.select("k").distinct().count())
+    assert(twice.collect().toSet == once.collect().toSet)
+  }
+
+  test("normalizeForMatching is idempotent") {
+    val values = Seq.fill(500)(
+      (0 until rnd.nextInt(30)).map(_ => " AZaz09 ?!"(rnd.nextInt(10))).mkString)
+    val df = values.toDF("s").select(
+      EtlFunctions.normalizeForMatching($"s").as("n1"),
+      EtlFunctions.normalizeForMatching(
+        EtlFunctions.normalizeForMatching($"s")).as("n2"))
+    assert(df.where($"n1" =!= $"n2").isEmpty)
+  }
+
+  test("enrichment zero-fill invariant: trial stats are never null or negative") {
+    val conditions = Seq("HEADACHE", "CANCER", "FLU", "DIABETES")
+    val fda = (1 to 50).map(i => (s"DRUG${rnd.nextInt(10)}",
+      conditions(rnd.nextInt(4)).toLowerCase + (if (rnd.nextBoolean()) "" else "xyz"),
+      s"R$i", rnd.nextInt(20).toDouble, rnd.nextInt(2).toLong, rnd.nextInt(2).toLong))
+      .toDF("drug_name_clean", "drug_indication", "safetyreportid",
+        "severity_score", "seriousnessdeath", "seriousnesshospitalization")
+    val ct = (1 to 20).map(i => (conditions(rnd.nextInt(4)), s"NCT$i",
+      rnd.nextInt(1000).toDouble, rnd.nextBoolean()))
+      .toDF("conditions_clean", "nct_id", "enrollment_count", "is_completed")
+    val out = Enrichment.enrich(fda, ct)
+    assert(out.where($"trial_count".isNull || $"trial_count" < 0 ||
+      $"total_enrollment".isNull || $"total_enrollment" < 0 ||
+      $"completed_trials".isNull || $"completed_trials" < 0).isEmpty)
+    // every drug from the FDA side survives the left-outer join
+    assert(out.count() == fda.select("drug_name_clean").distinct().count())
+  }
+
+  test("configurable severity weights flow through the transform") {
+    val cfg = graft.pipeline.PipelineConfig(
+      severity = graft.pipeline.SeverityWeights(1, 1, 1))
+    val df = Seq(("1", 1L, 0L, 1L)).toDF("safetyreportid", "serious",
+      "seriousnessdeath", "seriousnesshospitalization")
+    assert(FdaTransform(df, cfg).head().getAs[Long]("severity_score") == 2L)
+    assert(FdaTransform(df).head().getAs[Long]("severity_score") == 7L)
+  }
+}
