@@ -101,6 +101,9 @@ object Dedup {
   /** Deterministic (a,b) params for the universal hash family
     * h_i(x) = (a_i * x + b_i) mod 2^40, generated by a fixed xorshift.
     * 31-bit positive a,b × 31-bit positive x stays < 2^62: no overflow. */
+  /** Shared with MinHashSketchAgg so sketches stay comparable. */
+  def hashParamsPublic(n: Int): Seq[(Long, Long)] = hashParams(n)
+
   private[dedup] def hashParams(n: Int): Seq[(Long, Long)] = {
     var state = 88172645463325252L
     def next(): Long = {

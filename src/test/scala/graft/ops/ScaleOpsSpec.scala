@@ -1,0 +1,67 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables join without exchanges (shuffle paid at write time)") {
+    val li = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "lineitem")
+    val orders = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "orders")
+    // the in-memory catalog forgets tables across JVMs but their warehouse
+    // locations persist — clear both
+    for (t <- Seq("b_lineitem", "b_orders")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      graft.io.Lake.delete(spark, s"/tmp/graft-warehouse/$t")
+    }
+    ScaleOps.writeBucketed(li.select($"l_orderkey", $"l_quantity"), "b_lineitem", "l_orderkey", 8)
+    ScaleOps.writeBucketed(orders.select($"o_orderkey", $"o_totalprice"), "b_orders", "o_orderkey", 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"), $"l_orderkey" === $"o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(500))
+      assert(!plan.contains("Exchange"), "bucketed join must not shuffle:\n" + plan.take(800))
+      // and it still computes the right thing
+      assert(joined.count() ==
+        li.join(orders, $"l_orderkey" === $"o_orderkey").count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("salted join equals the plain join on skewed data") {
+    // 90% of fact rows share one key — the classic hot-key skew
+    val big = (1 to 2000).map(i => (if (i % 10 == 0) i % 7 else 1L, s"p$i"))
+      .toDF("k", "payload")
+    val small = Seq((1L, "one"), (2L, "two"), (3L, "three"), (0L, "zero"))
+      .toDF("k", "label")
+    val plain = big.join(small, Seq("k")).select("k", "payload", "label")
+    val salted = ScaleOps.saltedEquiJoin(big, small, "k", saltFactor = 8)
+      .select("k", "payload", "label")
+    assert(salted.collect().toSet == plain.collect().toSet)
+    assert(salted.count() == plain.count())
+  }
+
+  test("MinHash sketch aggregator: union property and cross-group similarity") {
+    import graft.functions.MinHashSketchAgg
+    val docs = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "documents")
+    val hashed = docs.select($"source",
+      transform(array_distinct(graft.text.TextFunctions.tokens($"text")),
+        t => pmod(xxhash64(t), lit(1L << 31))).as("th"))
+    val sketches = hashed.groupBy($"source")
+      .agg(MinHashSketchAgg.minhashSketch($"th").as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(sketches.values.forall(_.length == 64))
+    // same tiny shared vocabulary -> sources should look near-identical
+    val sims = for (Seq(a, b) <- sketches.keys.toSeq.sorted.combinations(2).take(10).toSeq)
+      yield MinHashSketchAgg.estimate(sketches(a), sketches(b))
+    assert(sims.forall(_ > 0.5), sims.mkString(","))
+    // union property: sketch(all docs) == elementwise min of per-source sketches
+    val all = hashed.agg(MinHashSketchAgg.minhashSketch($"th").as("sig"))
+      .head().getSeq[Long](0)
+    val elementwiseMin = sketches.values.reduce((x, y) => x.zip(y).map(p => math.min(p._1, p._2)))
+    assert(all == elementwiseMin)
+  }
+}
