@@ -319,7 +319,8 @@ object Queries {
     * product). */
   def q21JaccardNearDup(spark: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.jaccardPairs(tbl(spark, dir, "documents"),
-      "doc_id", "text", "source", shingleSize = 1, threshold = 0.8)
+      "doc_id", "text", "source", shingleSize = 1, threshold = 0.8,
+      hashShingles = true)
 
   /** MinHash(64)+LSH(16×4) near-dup pairs verified at J ≥ 0.7 over
     * 3-word shingles — the scale path for corpus-wide dedup: signatures
@@ -423,6 +424,18 @@ object Queries {
         round(element_at(col("feature"), 1).cast("double"), 4).as("f0"))
   }
 
+  /** ROLLUP grouping sets (engine-added; the reference has none).
+    * Subtotal rows surface as 'ALL' — unambiguous because the grouping
+    * columns are non-null in this data. */
+  def q32Rollup(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"))
+
   // =================================================================
   // registry
   // =================================================================
@@ -458,7 +471,8 @@ object Queries {
     "q28_fingerprint" -> (q28Fingerprint _),
     "q29_sessionize" -> (q29Sessionize _),
     "q30_lsh_embedding" -> (q30LshEmbedding _),
-    "q31_multimodal_features" -> (q31MultimodalFeatures _))
+    "q31_multimodal_features" -> (q31MultimodalFeatures _),
+    "q32_rollup" -> (q32Rollup _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -684,5 +698,10 @@ object Queries {
         |  FROM f)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  round(sum(value), 2) AS total_value
-        |FROM g GROUP BY user_id, session_id""".stripMargin)
+        |FROM g GROUP BY user_id, session_id""".stripMargin,
+    "q32_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        | coalesce(l_linestatus, 'ALL') AS linestatus,
+        | count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)
 }

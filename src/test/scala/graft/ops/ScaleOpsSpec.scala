@@ -44,6 +44,24 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted.count() == plain.count())
   }
 
+  test("as-of join: latest right row at or before each left time, left-outer") {
+    val trades = Seq(
+      (1L, 100L, "t1"), (1L, 205L, "t2"), (2L, 150L, "t3"), (3L, 50L, "t4"))
+      .toDF("sym", "t_time", "trade")
+    val quotes = Seq(
+      (1L, 90L, 9.9), (1L, 100L, 10.0), (1L, 200L, 10.5),
+      (2L, 149L, 20.0), (2L, 151L, 21.0))
+      .toDF("q_sym", "q_time", "px")
+    val out = ScaleOps.asofJoinBackward(trades, quotes, "sym", "q_sym", "t_time", "q_time")
+      .select("trade", "q_time", "px").collect()
+      .map(r => r.getString(0) -> Option(r.get(2)).map(_ => (r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(out("t1").contains((100L, 10.0))) // exact-time match wins
+    assert(out("t2").contains((200L, 10.5))) // latest earlier quote
+    assert(out("t3").contains((149L, 20.0))) // 151 is later -> excluded
+    assert(out("t4").isEmpty) // no quotes for sym 3 -> null right side
+  }
+
   test("MinHash sketch aggregator: union property and cross-group similarity") {
     import graft.functions.MinHashSketchAgg
     val docs = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "documents")
