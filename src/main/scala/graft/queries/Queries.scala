@@ -436,6 +436,36 @@ object Queries {
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
         col("n"), col("sum_qty"))
 
+  /** Tumbling-window aggregation, batch analog of the streaming
+    * windowedCounts — hour buckets via pure integer division on the
+    * nanos timestamps (exact in any engine, no timestamp-rounding
+    * parity risk). */
+  def q33HourBuckets(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "events")
+      .groupBy(expr("ts div 3600000000000").as("hour_bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  /** Exact interpolated percentiles per group (Catalyst `percentile`,
+    * ≡ SQL percentile_cont). */
+  def q34Percentiles(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 4).as("p25_qty"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+        round(expr("percentile(l_quantity, 0.75)"), 4).as("p75_qty"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
+
+  /** Semi-structured extraction: JSON path over the events.props string
+    * column (P1-analog for JSON-in-string payloads). */
+  def q35JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        round(avg(col("k")), 4).as("avg_k"),
+        cnt(col("k").isNull).as("null_k"))
+
   // =================================================================
   // registry
   // =================================================================
@@ -472,7 +502,10 @@ object Queries {
     "q29_sessionize" -> (q29Sessionize _),
     "q30_lsh_embedding" -> (q30LshEmbedding _),
     "q31_multimodal_features" -> (q31MultimodalFeatures _),
-    "q32_rollup" -> (q32Rollup _))
+    "q32_rollup" -> (q32Rollup _),
+    "q33_hour_buckets" -> (q33HourBuckets _),
+    "q34_percentiles" -> (q34Percentiles _),
+    "q35_json_extract" -> (q35JsonExtract _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -703,5 +736,22 @@ object Queries {
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         | coalesce(l_linestatus, 'ALL') AS linestatus,
         | count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
-        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q33_hour_buckets" ->
+      """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+        | count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q34_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_quantity, 0.25), 4) AS p25_qty,
+        | round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+        | round(quantile_cont(l_quantity, 0.75), 4) AS p75_qty,
+        | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q35_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        | sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+        | round(avg(json_extract(props, '$.k')::BIGINT), 4) AS avg_k,
+        | sum(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS null_k
+        |FROM events GROUP BY event_type""".stripMargin)
 }
