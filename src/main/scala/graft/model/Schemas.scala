@@ -9,6 +9,42 @@ import org.apache.spark.sql.types._
   * `spark.read.schema(...).json` gets nested-schema pruning and never
   * pays inference.
   */
+/** Typed row for the flat FDA adverse-event shape (SURVEY §1 engine
+  * decision: optional `Dataset[T]` views over the DataFrame layer). */
+final case class FdaEvent(
+    safetyreportid: String,
+    receivedate: java.sql.Timestamp,
+    serious: Option[Long],
+    seriousnessdeath: Option[Long],
+    seriousnesshospitalization: Option[Long],
+    drug_name: String,
+    drug_indication: Option[String],
+    reaction: Option[String],
+    patient_age: Option[Double],
+    patient_sex: Option[String])
+
+/** Typed row for the minimal flat clinical-trial shape. */
+final case class ClinicalTrial(
+    nct_id: String,
+    brief_title: Option[String],
+    overall_status: Option[String],
+    phase: Option[String],
+    enrollment_count: Option[Double],
+    conditions: Option[String],
+    start_date: Option[java.sql.Timestamp],
+    completion_date: Option[java.sql.Timestamp])
+
+/** Typed row for the enriched output (drug_transformer.py:205-228). */
+final case class EnrichedDrug(
+    drug_name: String,
+    adverse_event_count: Long,
+    avg_severity_score: Double,
+    death_count: Long,
+    hospitalization_count: Long,
+    trial_count: Long,
+    total_enrollment: Double,
+    completed_trials: Long)
+
 object Schemas {
 
   // ---- FDA Drugs@FDA raw payload -----------------------------------

@@ -358,17 +358,46 @@ object Queries {
   }
 
   /** Text-analysis feature set: token counts, stopword/punct ratios,
-    * quality score — one shuffle-free scan. */
+    * quality score — one shuffle-free scan.
+    *
+    * The gate exposes the quality score as an INTEGER millis score
+    * (0..1000) computed with floor over small rationals: the double
+    * formula's 0.4/0.3 weights produce terminating decimals that can
+    * land exactly on a .xxxx5 rounding boundary, where Spark and the
+    * oracle engine legitimately disagree in the last ulp (observed at
+    * sf0.001). floor(p/q) with q ≤ 2n is ≥ 1/(2n) from any integer it
+    * doesn't equal — no knife edge exists. */
   def q26TextStats(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.TextFunctions._
+    val ts = tokens(col("text"))
+    val n = size(ts)
+    val d = size(array_distinct(ts))
+    val sumLen = aggregate(ts, lit(0L), (acc, t) => acc + length(t))
+    val qualityMilli =
+      when(n > 0,
+        least(n.cast("long") * 8, lit(400L)) +
+          floor(d * lit(300.0) / n).cast("long") +
+          least(floor(sumLen * lit(75.0) / (n * 2)).cast("long"), lit(300L)))
+        .otherwise(0L)
+    // Ratios as floor-scaled integers (basis points / centi-chars): a
+    // rational p/q with q ≤ n sits ≥ 1/q from any integer it doesn't
+    // equal, so floor never splits across engines the way round(double)
+    // can on near-half values.
+    val stopHits = size(filter(ts, t => t.isin(EnglishStopwords: _*)))
+    val punctChars = length(col("text")) -
+      length(regexp_replace(col("text"), "[.,;:!?]", ""))
     tbl(spark, dir, "documents").select(
       col("doc_id"),
       tokenCount(col("text")).as("n_tokens"),
       size(distinctTokens(col("text"))).as("n_distinct_tokens"),
-      round(stopwordRatio(col("text")), 4).as("stopword_ratio"),
-      round(punctRatio(col("text")), 4).as("punct_ratio"),
-      round(avgTokenLen(col("text")), 4).as("avg_token_len"),
-      round(qualityScore(col("text")), 4).as("quality"),
+      when(n > 0, floor(stopHits * lit(10000.0) / n)).otherwise(0L)
+        .cast("long").as("stopword_bp"),
+      when(length(col("text")) > 0,
+        floor(punctChars * lit(10000.0) / length(col("text")))).otherwise(0L)
+        .cast("long").as("punct_bp"),
+      when(n > 0, floor(sumLen * lit(100.0) / n)).otherwise(0L)
+        .cast("long").as("avg_token_len_centi"),
+      qualityMilli.as("quality_milli"),
       subwordCount(col("text")).as("n_subword_tokens"))
   }
 
@@ -671,20 +700,21 @@ object Queries {
         |SELECT doc_id,
         | len(toks) AS n_tokens,
         | len(list_distinct(toks)) AS n_distinct_tokens,
-        | round(CASE WHEN len(toks) > 0 THEN len(list_filter(toks,
-        |   x -> list_contains(['the','a','an','and','of','to','in','is','it','for','on','with'], x)))::DOUBLE
-        |   / len(toks) ELSE 0.0 END, 4) AS stopword_ratio,
-        | round(CASE WHEN length(text) > 0 THEN
-        |   (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE / length(text)
-        |   ELSE 0.0 END, 4) AS punct_ratio,
-        | round(CASE WHEN len(toks) > 0 THEN
-        |   list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
-        |   ELSE 0.0 END, 4) AS avg_token_len,
-        | round(least(len(toks)::DOUBLE / 50.0, 1.0) * 0.4
-        |     + (CASE WHEN len(toks) > 0 THEN len(list_distinct(toks))::DOUBLE / len(toks) ELSE 0.0 END) * 0.3
-        |     + least((CASE WHEN len(toks) > 0 THEN
-        |         list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) ELSE 0.0 END) / 8.0,
-        |         1.0) * 0.3, 4) AS quality,
+        | CASE WHEN len(toks) > 0 THEN floor(len(list_filter(toks,
+        |   x -> list_contains(['the','a','an','and','of','to','in','is','it','for','on','with'], x)))
+        |   * 10000.0 / len(toks))::BIGINT ELSE 0 END AS stopword_bp,
+        | CASE WHEN length(text) > 0 THEN
+        |   floor((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+        |     * 10000.0 / length(text))::BIGINT ELSE 0 END AS punct_bp,
+        | CASE WHEN len(toks) > 0 THEN
+        |   floor(list_sum(list_transform(toks, x -> length(x))) * 100.0 / len(toks))::BIGINT
+        |   ELSE 0 END AS avg_token_len_centi,
+        | CASE WHEN len(toks) > 0 THEN
+        |   least(len(toks)::BIGINT * 8, 400)
+        |   + floor(len(list_distinct(toks)) * 300.0 / len(toks))::BIGINT
+        |   + least(floor(list_sum(list_transform(toks, x -> length(x))) * 75.0
+        |       / (len(toks) * 2))::BIGINT, 300)
+        |   ELSE 0 END AS quality_milli,
         | len(regexp_extract_all(lower(text),
         |   '''(?:s|d|m|t|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS n_subword_tokens
         |FROM t""".stripMargin,
