@@ -495,6 +495,19 @@ object Queries {
         round(avg(col("k")), 4).as("avg_k"),
         cnt(col("k").isNull).as("null_k"))
 
+  /** Approximate distinct counting (HyperLogLog++) beside the exact
+    * count — the sketch path for 100 TB cardinality estimation (constant
+    * memory per group vs the exact two-phase expansion). Sketch values
+    * aren't oracle-reproducible → rows-only; QueriesSpec bounds the
+    * relative error against the exact column. */
+  def q36ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"))
+
   // =================================================================
   // registry
   // =================================================================
@@ -534,7 +547,8 @@ object Queries {
     "q32_rollup" -> (q32Rollup _),
     "q33_hour_buckets" -> (q33HourBuckets _),
     "q34_percentiles" -> (q34Percentiles _),
-    "q35_json_extract" -> (q35JsonExtract _))
+    "q35_json_extract" -> (q35JsonExtract _),
+    "q36_approx_distinct" -> (q36ApproxDistinct _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
