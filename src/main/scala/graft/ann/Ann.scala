@@ -106,19 +106,41 @@ object Ann {
     * it collides in ANY table, then is verified with the exact dot
     * product (precision is exact; only recall is approximate — measured
     * against brute force in AnnSpec). Candidate generation is a
-    * (table, bucket) equi-join: hash shuffle, never a cross product. */
+    * (table, bucket) equi-join: hash shuffle, never a cross product.
+    *
+    * SHUFFLE DISCIPLINE: candidates are generated and deduplicated on
+    * bare (id_a, id_b) pairs — the d-float payload vectors never ride the
+    * bucket join or the distinct exchange; they are re-joined only for
+    * the final exact verification of the (much smaller) candidate set.
+    * Same pattern as Dedup.minhashNearDupPairs. */
   def lshNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, planesPerTable: Int = 4, tables: Int = 16,
       dim: Int = 64): DataFrame = {
+    val parts = emb.sparkSession.sessionState.conf.numShufflePartitions
+    // Fail fast if the configured dim doesn't match the data: a silent
+    // mismatch nulls every hyperplane dot and collapses all rows into
+    // bucket 0, degenerating the join to all-pairs. The filter on
+    // assert_true(..).isNull forces evaluation (it can't be pruned) and
+    // passes every surviving row through.
+    val checked = emb
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .filter(assert_true(size(col("v")) === dim,
+        lit(s"lshNearDupPairs: embedding length != dim=$dim")).isNull)
+      // A single parquet file scans as ONE partition; spread the
+      // signature computation (tables × planes dot products per row)
+      // across cores before it runs.
+      .repartition(parts, col("id"))
     val buckets = array((0 until tables).map(t =>
-      lshBucket(col(vecCol), planesPerTable, dim, t * planesPerTable)): _*)
-    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-      posexplode(buckets).as(Seq("table", "bucket")))
-    val a = base.select(col("table"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = base.select(col("table"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("table", "bucket")).where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("v_a"), col("v_b"))
-      .dropDuplicates("id_a", "id_b")
+      lshBucket(col("v"), planesPerTable, dim, t * planesPerTable)): _*)
+    val sigs = checked.select(col("id"), posexplode(buckets).as(Seq("table", "bucket")))
+    val a = sigs.select(col("table"), col("bucket"), col("id").as("id_a"))
+    val b = sigs.select(col("table"), col("bucket"), col("id").as("id_b"))
+    val cand = a.join(b, Seq("table", "bucket")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cand
+      .join(checked.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(checked.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
       .withColumn("cos", round(dot(col("v_a"), col("v_b")), 3))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))

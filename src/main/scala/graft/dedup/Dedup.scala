@@ -163,8 +163,13 @@ object Dedup {
       array_distinct(TextFunctions.wordShinglesFrom(col("toks"), cfg.shingleSize)).as("shingles"))
     val hashed = shingled.select(col("id"), col("shingles"),
       shingleHashes(col("shingles")).as("shs"))
+    // Consumed twice (band explode + verification re-join): materialize
+    // so the shingle→hash→signature stage computes and codegen-compiles
+    // once, not per branch. One row per doc: signature (numHashes longs)
+    // + shingle set; MEMORY_AND_DISK spills at scale.
     val sigs = hashed.select(col("id"), col("shingles"),
       signatureFrom(col("shs"), cfg).as("sig"))
+      .localCheckpoint()
     val banded = sigs.select(col("id"),
       posexplode(bandHashesFrom(col("sig"), cfg)).as(Seq("band", "bhash")))
 
@@ -232,19 +237,55 @@ object Dedup {
       transform(array_distinct(col("toks")),
         t => pmod(xxhash64(t), lit(1L << SimHashBits))).as("th"))
     val base = hashed.select(col("id"), col("blk"), simhashFromHashes(col("th")).as("sh"))
-    val banded = base.select(col("id"), col("blk"), col("sh"),
+    // Collapse identical (blk, signature) groups to one cluster row BEFORE
+    // the band join: on a shared-vocabulary corpus many documents hash to
+    // the same SimHash, so pairing raw rows makes the hot band buckets
+    // quadratic in *documents*; pairing clusters is quadratic only in
+    // *distinct signatures*, and the member expansion afterwards is
+    // proportional to the true output size.
+    // clusters is consumed by FOUR downstream branches (band explode ×2
+    // via the self-join, the two member re-joins, and the intra-pair
+    // expansion). Materialize it once: it is tiny (one row per distinct
+    // signature — orders of magnitude smaller than the corpus), and
+    // without the checkpoint every branch re-runs the 48-bit majority
+    // vote AND re-compiles its large generated code per plan fragment
+    // (measured as the dominant cost at sf0.1: compile-bound, not
+    // data-bound). Deterministic input ⇒ safe to recompute on loss.
+    val clusters = base.groupBy(col("blk"), col("sh"))
+      .agg(sort_array(collect_list(col("id"))).as("members"))
+      .localCheckpoint()
+    val banded = clusters.select(col("blk"), col("sh"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("sh"), i * bandBits).bitwiseAND(lit(mask))): _*))
         .as(Seq("band", "bval")))
-    banded.as("x").join(banded.as("y"),
+    val sigPairs = banded.as("x").join(banded.as("y"),
         col("x.blk") === col("y.blk") &&
           col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+          col("x.sh") < col("y.sh"))
+      .select(col("x.blk").as("blk"), col("x.sh").as("sh_a"), col("y.sh").as("sh_b"),
         hamming(col("x.sh"), col("y.sh")).as("hamming_dist"))
       // filter BEFORE dedup: candidates that fail the hamming bound never
       // enter the distinct's shuffle (bands make most candidates fail).
       .where(col("hamming_dist") <= maxDist)
       .distinct()
+    // Cross-cluster pairs: every member of A × every member of B.
+    val inter = sigPairs
+      .join(clusters.select(col("blk"), col("sh").as("sh_a"), col("members").as("m_a")),
+        Seq("blk", "sh_a"))
+      .join(clusters.select(col("blk"), col("sh").as("sh_b"), col("members").as("m_b")),
+        Seq("blk", "sh_b"))
+      .select(explode(col("m_a")).as("id_x"), col("m_b"), col("hamming_dist"))
+      .select(col("id_x"), explode(col("m_b")).as("id_y"), col("hamming_dist"))
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"), col("hamming_dist"))
+    // Within-cluster pairs: identical signatures, hamming 0. members is
+    // sorted, so pairing each element with its successors keeps id_a<id_b.
+    val intra = clusters.where(size(col("members")) > 1)
+      .select(col("members"), posexplode(col("members")).as(Seq("i", "id_a")))
+      .select(col("id_a"),
+        explode(slice(col("members"), col("i") + lit(2), size(col("members")))).as("id_b"))
+      .withColumn("hamming_dist", lit(0))
+    inter.select(col("id_a"), col("id_b"), col("hamming_dist"))
+      .unionByName(intra.select(col("id_a"), col("id_b"), col("hamming_dist")))
   }
 }

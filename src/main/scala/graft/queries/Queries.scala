@@ -402,11 +402,23 @@ object Queries {
   }
 
   /** Language-ID heuristic vs the labeled lang column. */
-  def q27LangId(spark: SparkSession, dir: String): DataFrame =
-    tbl(spark, dir, "documents")
+  def q27LangId(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextFunctions._
+    // Staged: materialize tokens once, then the five marker-hit scores,
+    // so the argmax when-chain compares cheap int attributes instead of
+    // re-running split/lower/trim ~11× per row (a measured 5× win).
+    val toks = tbl(spark, dir, "documents")
+      .select(col("lang"), tokens(col("text")).as("toks"))
+    val scored = toks.select(col("lang") +: LangMarkers.map { case (lang, m) =>
+      langScoreFrom(col("toks"), m).as(s"s_$lang")
+    }: _*)
+    scored
       .groupBy(col("lang"),
-        graft.text.TextFunctions.langId(col("text")).as("predicted_lang"))
+        langIdFromScores(LangMarkers.map { case (lang, _) =>
+          lang -> col(s"s_$lang")
+        }).as("predicted_lang"))
       .agg(count(lit(1)).as("n"))
+  }
 
   /** 40-bit rolling-hash document fingerprints (overflow-free modular
     * arithmetic — reproducible in any BIGINT engine). */
@@ -562,15 +574,15 @@ object Queries {
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q02_range_violations" ->
       """SELECT count(*) AS n_rows,
-        | sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS n_qty_gt_45,
-        | sum(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END) AS n_disc_gt_008,
-        | sum(CASE WHEN l_tax > 0.06 THEN 1 ELSE 0 END) AS n_tax_gt_006,
-        | sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS n_neg_price
+        | sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END)::BIGINT AS n_qty_gt_45,
+        | sum(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END)::BIGINT AS n_disc_gt_008,
+        | sum(CASE WHEN l_tax > 0.06 THEN 1 ELSE 0 END)::BIGINT AS n_tax_gt_006,
+        | sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END)::BIGINT AS n_neg_price
         |FROM lineitem""".stripMargin,
     "q03_null_profile" ->
       """SELECT count(*) AS n_rows,
-        | sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_value,
-        | sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS null_props,
+        | sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_value,
+        | sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_props,
         | round(avg(CASE WHEN value IS NULL THEN 1 ELSE 0 END) * 100, 4) AS null_value_pct
         |FROM events""".stripMargin,
     "q04_dedup_keepfirst" ->
@@ -579,7 +591,7 @@ object Queries {
         |         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
         |  FROM events) t WHERE rn = 1""".stripMargin,
     "q05_dup_detect" ->
-      """SELECT coalesce(sum(cnt), 0) AS dup_members, count(*) AS dup_groups FROM (
+      """SELECT coalesce(sum(cnt), 0)::BIGINT AS dup_members, count(*) AS dup_groups FROM (
         |  SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1) t""".stripMargin,
     "q06_distinct_projection" ->
       "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
@@ -628,7 +640,7 @@ object Queries {
         |          WHEN event_type = 'purchase' THEN 5
         |          WHEN event_type = 'signup' THEN 3
         |          WHEN event_type = 'click' THEN 2
-        |          ELSE 0 END) AS severity_score,
+        |          ELSE 0 END)::BIGINT AS severity_score,
         | count(*) AS n_events
         |FROM events GROUP BY user_id""".stripMargin,
     "q14_text_normalize" ->
@@ -646,11 +658,11 @@ object Queries {
         |FROM embeddings""".stripMargin,
     "q16_orders_quality" ->
       """SELECT count(*) AS n_orders,
-        | sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS n_neg_total,
-        | sum(CASE WHEN o_orderdate > TIMESTAMP '2001-01-01' THEN 1 ELSE 0 END) AS n_after_2001,
-        | sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_status_p,
-        | sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_status_o,
-        | sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_status_f,
+        | sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)::BIGINT AS n_neg_total,
+        | sum(CASE WHEN o_orderdate > TIMESTAMP '2001-01-01' THEN 1 ELSE 0 END)::BIGINT AS n_after_2001,
+        | sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS n_status_p,
+        | sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS n_status_o,
+        | sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_status_f,
         | count(DISTINCT o_custkey) AS n_customers
         |FROM orders""".stripMargin,
     "q17_type_counts" ->
@@ -771,7 +783,7 @@ object Queries {
         |g AS (
         |  SELECT user_id, value,
         |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tns, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
         |  FROM f)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  round(sum(value), 2) AS total_value
@@ -794,8 +806,8 @@ object Queries {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q35_json_extract" ->
       """SELECT event_type, count(*) AS n,
-        | sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+        | sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
         | round(avg(json_extract(props, '$.k')::BIGINT), 4) AS avg_k,
-        | sum(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS null_k
+        | sum(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_k
         |FROM events GROUP BY event_type""".stripMargin)
 }

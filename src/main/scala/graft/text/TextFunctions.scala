@@ -35,7 +35,11 @@ object TextFunctions {
     when(size(ts) >= k,
       transform(sequence(lit(1), size(ts) - lit(k - 1)),
         i => concat_ws(" ", slice(ts, i, lit(k)))))
-      .otherwise(array(concat_ws(" ", ts)))
+      // No tokens at all → NO shingles (not a single empty shingle):
+      // two blank documents must not pair with Jaccard 1.0 — the SQL
+      // oracle's empty shingle set yields NULL and never emits the pair.
+      .when(size(ts) > 0, array(concat_ws(" ", ts)))
+      .otherwise(array().cast("array<string>"))
 
   /** Convenience form for small inputs / tests; see the PERF note above. */
   def wordShingles(text: Column, k: Int): Column =
@@ -99,18 +103,35 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "les", "et", "des", "une", "est", "dans"),
     "zh" -> Seq("的", "了", "是", "我", "在", "不", "有", "人"))
 
-  def langScore(text: Column, markers: Seq[String]): Column =
-    size(filter(tokens(text), t => t.isin(markers: _*)))
+  /** Marker-hit count from a *materialized* tokens column — one filter
+    * pass. See the wordShinglesFrom PERF note: handing this the raw
+    * tokenization expression re-runs split/lower/trim per reference. */
+  def langScoreFrom(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers: _*)))
 
-  /** Argmax over marker-hit counts with deterministic tie-break; no hits
-    * at all → "und" (undetermined). */
-  def langId(text: Column): Column = {
-    val scores = LangMarkers.map { case (lang, markers) => lang -> langScore(text, markers) }
+  def langScore(text: Column, markers: Seq[String]): Column =
+    langScoreFrom(tokens(text), markers)
+
+  /** Argmax over *materialized* per-language score columns with
+    * deterministic tie-break; no hits at all → "und". The when-chain
+    * references each score ~3× (greatest + branch), so the scores MUST be
+    * cheap attributes, not filter expressions — stage them through a
+    * select first (q27 does; the convenience langId below re-derives
+    * everything per row and is for tests/small inputs only). */
+  def langIdFromScores(scores: Seq[(String, Column)]): Column = {
     val top = greatest(scores.map(_._2): _*)
     scores.foldLeft(when(top === 0, "und")) { case (acc, (lang, s)) =>
       acc.when(s === top, lang)
     }.otherwise("und")
   }
+
+  /** Convenience single-expression form (re-evaluates tokenization ~11×
+    * per row — tests/small inputs only; the staged path is
+    * tokens → langScoreFrom columns → langIdFromScores). */
+  def langId(text: Column): Column =
+    langIdFromScores(LangMarkers.map { case (lang, markers) =>
+      lang -> langScoreFrom(tokens(text), markers)
+    })
 
   /** 40-bit rolling polynomial fingerprint of the space-stripped text.
     * The modulus keeps `acc*31 + c` far from Long overflow, so the exact

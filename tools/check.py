@@ -91,6 +91,24 @@ def main():
         if bad:
             print(f"  {name}: VALUE-MISMATCH row={bad[0]} col={bad[1]} spark={bad[2]!r} duckdb={bad[3]!r}")
             n_fail += 1
+            continue
+        # The driver's hash gate is dtype-exact: DuckDB HUGEINT sums land in
+        # pandas as float64 while Spark emits int64 -- value-equal but
+        # hash-fail. Flag any int-vs-float dtype split as a failure so local
+        # runs predict the driver verdict.
+        dt_bad = []
+        for c in got.columns:
+            g, e = str(got[c].dtype), str(exp[c].dtype)
+            if g != e:
+                g_int, e_int = g.startswith("int") or g.startswith("uint"), e.startswith("int") or e.startswith("uint")
+                g_f, e_f = g.startswith("float"), e.startswith("float")
+                if (g_int and e_f) or (g_f and e_int):
+                    dt_bad.append((c, g, e))
+                else:
+                    print(f"  {name}: dtype-note col={c} spark={g} duckdb={e}")
+        if dt_bad:
+            print(f"  {name}: DTYPE-MISMATCH (driver hash would fail) {dt_bad}")
+            n_fail += 1
         else:
             print(f"  {name}: PASS ({len(got)} rows)")
             n_pass += 1
