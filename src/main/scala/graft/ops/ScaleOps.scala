@@ -35,6 +35,14 @@ object ScaleOps {
   def saltedEquiJoin(big: DataFrame, small: DataFrame, key: String,
       saltFactor: Int, joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0)
+    // Replicating the small side breaks right/full-outer semantics: an
+    // unmatched small-side row would surface saltFactor times. Restrict
+    // to the join types where replicated-but-unmatched rows vanish.
+    val supported = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti")
+    require(supported.contains(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedEquiJoin supports $supported, not '$joinType' " +
+        "(small-side replication would duplicate unmatched outer rows)")
     val nonKey = big.columns.filter(_ != key).map(col)
     val salted = big.withColumn("__salt",
       pmod(xxhash64(struct(nonKey.toIndexedSeq: _*)), lit(saltFactor.toLong)))
@@ -48,27 +56,41 @@ object ScaleOps {
     * time-series "latest known value" join Spark lacks natively).
     * Left-outer semantics: unmatched left rows keep null right columns.
     *
-    * Plan shape: equi-join on the key (sort-merge/broadcast as Catalyst
-    * chooses) + range post-filter, then a per-left-row window keeps the
-    * latest match. Column names must be disjoint between the two sides.
-    * Ties on `rightTime` are broken arbitrarily — pre-dedup the right
-    * side per (key, time) if tie determinism matters.
-    * Scale: shuffle on the key only; the window partitions on the unique
-    * left-row id, so no skew even when one key dominates. */
+    * Plan shape — union-sort + last-value window (the merge-join form):
+    * tag both sides, union them, and run ONE running `last(right-struct,
+    * ignoreNulls)` window per key ordered by (time, side) with right rows
+    * sorting before left rows at equal timestamps (≤ is inclusive). Every
+    * left row then carries the latest right row at or before it.
+    *
+    * Scale: the intermediate is |left| + |right| rows — never the
+    * |left|×|right| blowup of the naive equi-join + range filter, which
+    * materializes every (trade, earlier-quote) pair before pruning and
+    * detonates on a hot key. A hot key here still sorts within one
+    * partition (O(n log n), linear state); if a single key exceeds a
+    * partition, pre-bucket by coarse time range and stitch.
+    * Column names must be disjoint between the two sides. Ties on equal
+    * `rightTime` within a key are broken arbitrarily — pre-dedup the
+    * right side per (key, time) if tie determinism matters. */
   def asofJoinBackward(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String): DataFrame = {
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty, s"column names must be disjoint, overlap: $overlap")
-    val l = left.withColumn("__lid", monotonically_increasing_id())
-    val matched = l.join(right,
-      col(leftKey) === col(rightKey) && col(rightTime) <= col(leftTime), "inner")
-    val w = Window.partitionBy(col("__lid"))
-      .orderBy(col(rightTime).desc)
-    val best = matched
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .select(col("__lid") +: right.columns.map(col).toIndexedSeq: _*)
-    l.join(best, Seq("__lid"), "left_outer").drop("__lid")
+    val lTagged = left.select(
+      col(leftKey).as("__k"), col(leftTime).as("__t"), lit(1).as("__side"),
+      struct(left.columns.map(col).toIndexedSeq: _*).as("__l"),
+      lit(null).cast(right.schema).as("__r"))
+    val rTagged = right.select(
+      col(rightKey).as("__k"), col(rightTime).as("__t"), lit(0).as("__side"),
+      lit(null).cast(left.schema).as("__l"),
+      struct(right.columns.map(col).toIndexedSeq: _*).as("__r"))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lTagged.unionByName(rTagged)
+      .withColumn("__last_r", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(left.columns.map(c => col("__l").getField(c).as(c)) ++
+        right.columns.map(c => col("__last_r").getField(c).as(c)): _*)
   }
 }

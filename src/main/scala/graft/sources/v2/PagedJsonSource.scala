@@ -39,11 +39,24 @@ import scala.jdk.CollectionConverters._
   * Catalyst (`from_json` + graft.etl.Flatten), which keeps nested-schema
   * pruning, codegen, and the single source of truth for field semantics.
   */
+/** One fetchable page: its ordinal plus an optional opaque fetch token
+  * (CT.gov-style APIs address pages by server-issued token, not index). */
+final case class PageSpec(pageIndex: Int, token: Option[String] = None)
+
 trait PageTransport extends Serializable {
   /** Fetch one page; None when past the last page. */
   def fetchPage(pageIndex: Int, dateRange: Option[(String, String)]): Option[String]
   /** Total page count for planning (fixture/manifest-driven). */
   def pageCount(dateRange: Option[(String, String)]): Int
+  /** Planning-time page manifest. Index-addressable APIs (skip/limit)
+    * derive it from pageCount; token APIs override it to walk the token
+    * chain sequentially on the driver, so executors can then fetch their
+    * page directly (and in parallel) by token. */
+  def discoverPages(dateRange: Option[(String, String)]): Seq[PageSpec] =
+    (0 until pageCount(dateRange)).map(i => PageSpec(i))
+  /** Executor-side fetch of a discovered page. */
+  def fetchSpec(spec: PageSpec, dateRange: Option[(String, String)]): Option[String] =
+    fetchPage(spec.pageIndex, dateRange)
 }
 
 /** Serves `page-<i>.json` files from a directory — the test/offline
@@ -62,10 +75,10 @@ final case class FixtureTransport(dir: String) extends PageTransport {
   * `backoffMs * attempt` (fda_extractor.py:102-123). */
 final case class RetryingTransport(inner: PageTransport, attempts: Int = 3,
     backoffMs: Long = 0L) extends PageTransport {
-  override def fetchPage(pageIndex: Int, dateRange: Option[(String, String)]): Option[String] = {
+  private def withRetry[A](body: => A): A = {
     var lastErr: Throwable = null
     for (attempt <- 1 to attempts) {
-      try return inner.fetchPage(pageIndex, dateRange)
+      try return body
       catch {
         case e: Throwable =>
           lastErr = e
@@ -74,8 +87,14 @@ final case class RetryingTransport(inner: PageTransport, attempts: Int = 3,
     }
     throw lastErr
   }
+  override def fetchPage(pageIndex: Int, dateRange: Option[(String, String)]): Option[String] =
+    withRetry(inner.fetchPage(pageIndex, dateRange))
+  override def fetchSpec(spec: PageSpec, dateRange: Option[(String, String)]): Option[String] =
+    withRetry(inner.fetchSpec(spec, dateRange))
   override def pageCount(dateRange: Option[(String, String)]): Int =
-    inner.pageCount(dateRange)
+    withRetry(inner.pageCount(dateRange))
+  override def discoverPages(dateRange: Option[(String, String)]): Seq[PageSpec] =
+    withRetry(inner.discoverPages(dateRange))
 }
 
 abstract class PagedJsonTableProvider extends TableProvider {
@@ -143,26 +162,50 @@ final class PagedJsonScanBuilder(recordArrayField: String, filterColumn: String,
     options, dateRange)
 }
 
-final case class PageInputPartition(pageIndex: Int,
+final case class PageInputPartition(spec: PageSpec,
     dateRange: Option[(String, String)]) extends InputPartition
+
+/** Builds the configured transport from reader options — the same
+  * construction path on the driver (planning) and executors (fetch).
+  *   transport=fixture (default): page-<i>.json files under `path`
+  *   transport=fda-http:   skip/limit pagination against `baseurl`
+  *   transport=ctgov-http: token pagination against `baseurl`
+  * All are wrapped in the reference retry envelope (retries/backoffms). */
+object Transports {
+  def fromOptions(options: Map[String, String]): PageTransport = {
+    def opt(k: String): String = options.getOrElse(k,
+      throw new IllegalArgumentException(s"option '$k' is required"))
+    val base = options.getOrElse("transport", "fixture") match {
+      case "fixture" => FixtureTransport(opt("path"))
+      case "fda-http" => FdaHttpTransport(
+        baseUrl = opt("baseurl"),
+        pageSize = options.getOrElse("pagesize", "99").toInt,
+        sleepMs = options.getOrElse("sleepms", "500").toLong,
+        timeoutMs = options.getOrElse("timeoutms", "30000").toInt,
+        apiKey = options.get("apikey"))
+      case "ctgov-http" => CtGovHttpTransport(
+        baseUrl = opt("baseurl"),
+        pageSize = options.getOrElse("pagesize", "100").toInt,
+        sleepMs = options.getOrElse("sleepms", "500").toLong,
+        timeoutMs = options.getOrElse("timeoutms", "30000").toInt,
+        discoveryFields = options.get("discoveryfields"))
+      case other => throw new IllegalArgumentException(s"unknown transport '$other'")
+    }
+    RetryingTransport(base,
+      attempts = options.getOrElse("retries", "3").toInt,
+      backoffMs = options.getOrElse("backoffms", "0").toLong)
+  }
+}
 
 final class PagedJsonScan(recordArrayField: String, options: Map[String, String],
     dateRange: Option[(String, String)]) extends Scan with Batch {
 
-  private def transport: PageTransport =
-    RetryingTransport(
-      FixtureTransport(options.getOrElse("path",
-        throw new IllegalArgumentException("option 'path' (fixture dir) is required"))),
-      attempts = options.getOrElse("retries", "3").toInt,
-      backoffMs = options.getOrElse("backoffms", "0").toLong)
-
   override def readSchema(): StructType = PagedJsonTable.schema
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val n = transport.pageCount(dateRange)
-    (0 until n).map(i => PageInputPartition(i, dateRange): InputPartition).toArray
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    Transports.fromOptions(options).discoverPages(dateRange)
+      .map(s => PageInputPartition(s, dateRange): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PageReaderFactory(recordArrayField, options)
@@ -184,11 +227,8 @@ final class PageReader(recordArrayField: String, options: Map[String, String],
   import org.apache.spark.unsafe.types.UTF8String
 
   private val records: Iterator[String] = {
-    val transport = RetryingTransport(
-      FixtureTransport(options("path")),
-      attempts = options.getOrElse("retries", "3").toInt,
-      backoffMs = options.getOrElse("backoffms", "0").toLong)
-    transport.fetchPage(partition.pageIndex, partition.dateRange) match {
+    val transport = Transports.fromOptions(options)
+    transport.fetchSpec(partition.spec, partition.dateRange) match {
       case None => Iterator.empty
       case Some(payload) =>
         // Minimal JSON record-array splitter via json4s (bundled with

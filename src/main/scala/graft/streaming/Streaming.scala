@@ -88,12 +88,17 @@ object Streaming {
       }
   }
 
-  /** Streaming dedup: first event per key wins, state bounded by the
-    * watermark (the streaming analog of the batch keep-first window —
-    * SURVEY D1). */
+  /** Streaming dedup: first event per key wins — the streaming analog of
+    * the batch keep-first window (SURVEY D1). Uses
+    * dropDuplicatesWithinWatermark so dedup is on the KEYS alone (a later
+    * event for the same key is dropped even when its timestamp differs)
+    * while state for a key is still evicted once the watermark passes it:
+    * "first wins" is guaranteed among events that arrive within the
+    * watermark delay of each other, which is exactly the horizon the
+    * stream can promise without unbounded state. */
   def dedupStream(events: DataFrame, watermarkDelay: String, keys: String*): DataFrame =
     events.withWatermark("ts", watermarkDelay)
-      .dropDuplicates(keys :+ "ts")
+      .dropDuplicatesWithinWatermark(keys)
 
   /** The reference's daily incremental batch as a stream:
     * `Trigger.AvailableNow` over the raw zone — drains all unprocessed

@@ -62,6 +62,38 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out("t4").isEmpty) // no quotes for sym 3 -> null right side
   }
 
+  test("salted join rejects outer join types that replication would corrupt") {
+    val big = Seq((1L, "a")).toDF("k", "payload")
+    val small = Seq((1L, "one")).toDF("k", "label")
+    intercept[IllegalArgumentException] {
+      ScaleOps.saltedEquiJoin(big, small, "k", saltFactor = 4, joinType = "right_outer")
+    }
+    intercept[IllegalArgumentException] {
+      ScaleOps.saltedEquiJoin(big, small, "k", saltFactor = 4, joinType = "full_outer")
+    }
+    // semi/anti still work and match the plain forms
+    val semi = ScaleOps.saltedEquiJoin(big, small, "k", 4, "left_semi")
+    assert(semi.collect().map(_.getString(1)).toSeq == Seq("a"))
+  }
+
+  test("as-of join survives a hot key: linear union-sort plan, no pairwise join") {
+    // one key holds 2000 left x 2000 right rows: the naive equi-join +
+    // range filter materializes 4M pairs before pruning; the union-sort
+    // form touches 4000 rows.
+    val trades = (1 to 2000).map(i => (7L, i * 10L, s"t$i")).toDF("sym", "t_time", "trade")
+    val quotes = (1 to 2000).map(i => (7L, i * 10L - 5L, i * 1.0)).toDF("q_sym", "q_time", "px")
+    val out = ScaleOps.asofJoinBackward(trades, quotes, "sym", "q_sym", "t_time", "q_time")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "as-of must not materialize pairwise joins:\n" + plan.take(800))
+    assert(plan.contains("Window"), plan.take(500))
+    val rows = out.collect()
+    assert(rows.length == 2000)
+    // trade i at time 10i sees quote i at 10i-5 as the latest at-or-before
+    val byTrade = rows.map(r => r.getString(2) -> r.getDouble(5)).toMap
+    assert(byTrade("t1") == 1.0)
+    assert(byTrade("t2000") == 2000.0)
+  }
+
   test("MinHash sketch aggregator: union property and cross-group similarity") {
     import graft.functions.MinHashSketchAgg
     val docs = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "documents")

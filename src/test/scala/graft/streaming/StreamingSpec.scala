@@ -61,6 +61,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedup stream: first event per key wins even at different timestamps") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = dedupStream(input.toDF(), "10 minutes", "user_id", "event_type")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(1), 1, "click", 2.0), // same (user, type), later ts -> dropped
+        Event(3, ts(2), 1, "view", 3.0),
+        Event(4, ts(3), 2, "click", 4.0))
+      q.processAllAvailable()
+      val out = spark.table("dedup_out").as[Event].collect()
+      assert(out.length == 3)
+      assert(out.map(_.event_id).toSet == Set(1L, 3L, 4L))
+    } finally q.stop()
+  }
+
   test("AvailableNow daily batch: drains once, checkpoint makes re-runs incremental") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val raw = s"$dir/raw"
