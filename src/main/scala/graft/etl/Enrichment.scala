@@ -22,29 +22,45 @@ import org.apache.spark.sql.functions._
   */
 object Enrichment {
 
-  /** A1: per-drug adverse-event summary (drug_transformer.py:196-213). */
-  def fdaSummary(fda: DataFrame): DataFrame =
+  /** A1: per-drug adverse-event summary (drug_transformer.py:196-213).
+    * Column-defensive like the transforms: the reference's own extractor
+    * emits application-shaped records without the event columns, so each
+    * aggregate contributes only when its input exists (count falls back
+    * to row count, sums to 0, avg severity to 0.0). */
+  def fdaSummary(fda: DataFrame): DataFrame = {
+    val cols = fda.columns.toSet
+    def sumIf(c: String) = if (cols(c)) coalesce(sum(col(c)), lit(0L)) else lit(0L)
     fda.groupBy(col("drug_name_clean").as("drug_name"))
       .agg(
-        count(col("safetyreportid")).as("adverse_event_count"),
-        avg(col("severity_score")).as("avg_severity_score"),
-        sum(col("seriousnessdeath")).as("death_count"),
-        sum(col("seriousnesshospitalization")).as("hospitalization_count"))
+        (if (cols("safetyreportid")) count(col("safetyreportid"))
+         else count(lit(1))).as("adverse_event_count"),
+        (if (cols("severity_score")) avg(col("severity_score"))
+         else lit(0.0)).as("avg_severity_score"),
+        sumIf("seriousnessdeath").as("death_count"),
+        sumIf("seriousnesshospitalization").as("hospitalization_count"))
+  }
 
   /** A2: per-condition trial summary (drug_transformer.py:215-228).
     * Booleans sum as ints in pandas → explicit cast to long. */
-  def ctSummary(ct: DataFrame): DataFrame =
+  def ctSummary(ct: DataFrame): DataFrame = {
+    val cols = ct.columns.toSet
     ct.groupBy(col("conditions_clean").as("condition"))
       .agg(
         count(col("nct_id")).as("trial_count"),
-        sum(col("enrollment_count")).as("total_enrollment"),
-        sum(col("is_completed").cast("long")).as("completed_trials"))
+        (if (cols("enrollment_count")) coalesce(sum(col("enrollment_count")), lit(0.0))
+         else lit(0.0)).as("total_enrollment"),
+        (if (cols("is_completed")) coalesce(sum(col("is_completed").cast("long")), lit(0L))
+         else lit(0L)).as("completed_trials"))
+  }
 
   /** J1 + A3 + J2 branch logic. Inputs are the *transformed* FDA / CT
     * frames; either may be empty. */
   def enrich(fda: DataFrame, ct: DataFrame): DataFrame = {
-    val fdaEmpty = fda.isEmpty
-    val ctEmpty = ct.isEmpty
+    // A frame without the per-drug key can't be summarized — treat it as
+    // absent (the reference would KeyError here; the J2 fallback is the
+    // intended behavior).
+    val fdaEmpty = fda.isEmpty || !fda.columns.contains("drug_name_clean")
+    val ctEmpty = ct.isEmpty || !ct.columns.contains("conditions_clean")
 
     if (fdaEmpty && ctEmpty) fda // empty passthrough, reference returns empty
     else if (ctEmpty) fdaSummary(fda)

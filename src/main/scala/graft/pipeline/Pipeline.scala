@@ -30,15 +30,24 @@ case class RunResult(
   */
 object Pipeline {
 
-  def run(spark: SparkSession, lakeRoot: String, date: String): RunResult = {
-    // Extraction stage equivalent: raw JSON already landed by connectors.
-    val fdaRaw = Lake.readJson(spark, Lake.rawPath(lakeRoot, "fda", date),
-      Some(graft.model.Schemas.fdaEvent))
-    val ctRaw = Lake.readJson(spark, Lake.rawPath(lakeRoot, "clinical_trials", date),
-      Some(graft.model.Schemas.ctFlat))
+  def run(spark: SparkSession, lakeRoot: String, date: String): RunResult =
+    run(spark, lakeRoot, date, PipelineConfig.default)
 
-    val fdaT = FdaTransform(fdaRaw)
-    val ctT = CtTransform(ctRaw)
+  def run(spark: SparkSession, lakeRoot: String, date: String,
+      cfg: PipelineConfig, inferRawSchema: Boolean = false): RunResult = {
+    // Extraction stage equivalent: raw JSON already landed (by the
+    // connectors via runFromApis, or externally). The fixed schemas serve
+    // pre-landed event-shaped data; connector-landed data reads back with
+    // its own (inferred) shape — FdaTransform/CtTransform probe columns
+    // defensively either way, like the reference's `if col in df.columns`.
+    val (fdaSchema, ctSchema) =
+      if (inferRawSchema) (None, None)
+      else (Some(graft.model.Schemas.fdaEvent), Some(graft.model.Schemas.ctFlat))
+    val fdaRaw = Lake.readJson(spark, Lake.rawPath(lakeRoot, "fda", date), fdaSchema)
+    val ctRaw = Lake.readJson(spark, Lake.rawPath(lakeRoot, "clinical_trials", date), ctSchema)
+
+    val fdaT = FdaTransform(fdaRaw, cfg)
+    val ctT = CtTransform(ctRaw, cfg)
     val enriched = Enrichment.enrich(fdaT, ctT)
 
     val outPath = Lake.processedPath(lakeRoot, date, "enriched_data.parquet")
@@ -52,9 +61,65 @@ object Pipeline {
     // Quality gate re-reads the processed zone, like the reference's
     // separate quality_checks task (medical_etl_dag.py:216-219).
     val reloaded: DataFrame = Lake.readParquet(spark, outPath)
-    val report = QualityChecks.validate(reloaded, date)
+    val report = QualityChecks.validate(reloaded, date, cfg)
 
     RunResult(date, fdaRaw.count(), ctRaw.count(), reloaded.count(), report, outPath)
+  }
+
+  /** The full DAG topology in one call (medical_etl_dag.py:231:
+    * extract ∥ extract → validate → transform → quality gate → notify):
+    * connectors pull the paginated APIs and land raw JSON in the lake's
+    * raw zone, a zero-record extraction fails the run like the DAG's
+    * validate_extraction task (:104-116), then the landed data flows
+    * through the standard transform/enrich/gate path, and the result is
+    * evaluated against the configured SLAs into a notification payload
+    * (:136-158).
+    *
+    * `fdaOptions` / `ctOptions` are DSv2 reader option maps — fixture
+    * dirs in tests, `transport=fda-http` / `ctgov-http` + baseurl in a
+    * deployment. */
+  def runFromApis(spark: SparkSession, lakeRoot: String, date: String,
+      fdaOptions: Map[String, String], ctOptions: Map[String, String],
+      cfg: PipelineConfig = PipelineConfig.default): (RunResult, Notification) = {
+    val t0 = System.nanoTime()
+
+    // extract + land raw (the DAG's two extraction tasks, :60-96).
+    // Adapter: the reference's FDA extractor emits application records
+    // keyed by brand_name while its transformer probes for drug_name —
+    // the extractor output would never reach the enrichment join. Expose
+    // brand_name as drug_name at the landing boundary (the intended
+    // semantics; SURVEY §3.1).
+    val fdaExtract = {
+      val df = graft.sources.v2.ApiSources.loadFda(spark, fdaOptions)
+      if (!df.columns.contains("drug_name") && df.columns.contains("brand_name"))
+        df.withColumn("drug_name", org.apache.spark.sql.functions.col("brand_name"))
+      else df
+    }
+    Lake.writeJson(fdaExtract, Lake.rawPath(lakeRoot, "fda", date))
+    Lake.writeJson(graft.sources.v2.ApiSources.loadCt(spark, ctOptions),
+      Lake.rawPath(lakeRoot, "clinical_trials", date))
+
+    // validate_extraction (:104-116): zero records from either source
+    // fails the run before any transform work starts.
+    val fdaLanded = Lake.readJson(spark, Lake.rawPath(lakeRoot, "fda", date), None).count()
+    val ctLanded = Lake.readJson(spark, Lake.rawPath(lakeRoot, "clinical_trials", date), None).count()
+    if (fdaLanded == 0) throw new IllegalStateException("No FDA records extracted!")
+    if (ctLanded == 0) throw new IllegalStateException("No Clinical Trials records extracted!")
+
+    val result = run(spark, lakeRoot, date, cfg, inferRawSchema = true)
+
+    // error rate: fraction of processed records flagged incomplete
+    // (is_complete=false), the pipeline's error_rate metric.
+    val processed = Lake.readParquet(spark, result.processedPath)
+    val errorRate =
+      if (processed.columns.contains("is_complete") && result.enrichedCount > 0)
+        processed.where(org.apache.spark.sql.functions.col("is_complete") === false)
+          .count().toDouble / result.enrichedCount
+      else 0.0
+
+    val minutes = (System.nanoTime() - t0) / 6e10
+    val sla = Notify.evaluateSla(result, minutes, errorRate, cfg)
+    (result, Notify.completion(result, sla))
   }
 }
 

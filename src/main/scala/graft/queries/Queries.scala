@@ -520,6 +520,30 @@ object Queries {
         countDistinct(col("l_partkey")).as("exact_parts"),
         approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"))
 
+  /** Group-level MinHash sketches (custom Aggregator with exact map-side
+    * combine) + pairwise source-vocabulary similarity: one 64-long sketch
+    * per source regardless of corpus size, then signature-agreement
+    * fraction estimates each source pair's token-set Jaccard — the
+    * "which crawl sources overlap" question at 100 TB without holding any
+    * token set. xxhash64 isn't oracle-reproducible → rows-only;
+    * ScaleOpsSpec bounds the estimate against exact Jaccard. */
+  def q37SourceSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val hashed = tbl(spark, dir, "documents")
+      .repartition(parts)
+      .select(col("source"),
+        transform(array_distinct(graft.text.TextFunctions.tokens(col("text"))),
+          t => pmod(xxhash64(t), lit(1L << 31))).as("th"))
+    val sketches = hashed.groupBy(col("source"))
+      .agg(graft.functions.MinHashSketchAgg.minhashSketch(col("th")).as("sig"))
+    val a = sketches.select(col("source").as("src_a"), col("sig").as("sig_a"))
+    val b = sketches.select(col("source").as("src_b"), col("sig").as("sig_b"))
+    a.crossJoin(broadcast(b)).where(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          b => b)).cast("double") / size(col("sig_a")), 4).as("est_jaccard"))
+  }
+
   // =================================================================
   // registry
   // =================================================================
@@ -560,7 +584,8 @@ object Queries {
     "q33_hour_buckets" -> (q33HourBuckets _),
     "q34_percentiles" -> (q34Percentiles _),
     "q35_json_extract" -> (q35JsonExtract _),
-    "q36_approx_distinct" -> (q36ApproxDistinct _))
+    "q36_approx_distinct" -> (q36ApproxDistinct _),
+    "q37_source_similarity" -> (q37SourceSimilarity _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->

@@ -267,22 +267,31 @@ final class CtGovSource extends PagedJsonTableProvider {
   override def filterColumn: String = "last_update_post_date"
 }
 
-/** High-level loaders: connector → Catalyst parse → flatten. */
+/** High-level loaders: connector → Catalyst parse → flatten. The options
+  * overloads take the full DSv2 reader option map (transport selection,
+  * base URL, retry envelope — see [[Transports.fromOptions]]); the
+  * string overloads keep the fixture-directory shorthand. */
 object ApiSources {
   import org.apache.spark.sql.{DataFrame, SparkSession}
   import org.apache.spark.sql.functions._
 
-  def loadFda(spark: SparkSession, fixtureDir: String): DataFrame = {
+  def loadFda(spark: SparkSession, fixtureDir: String): DataFrame =
+    loadFda(spark, Map("path" -> fixtureDir))
+
+  def loadFda(spark: SparkSession, options: Map[String, String]): DataFrame = {
     val raw = spark.read.format(classOf[FdaSource].getName)
-      .option("path", fixtureDir).load()
+      .options(options).load()
     graft.etl.Flatten.fdaRecords(
       raw.select(from_json(col("record_json"),
         graft.model.Schemas.fdaRecord).as("r")).select("r.*"))
   }
 
-  def loadCt(spark: SparkSession, fixtureDir: String): DataFrame = {
+  def loadCt(spark: SparkSession, fixtureDir: String): DataFrame =
+    loadCt(spark, Map("path" -> fixtureDir))
+
+  def loadCt(spark: SparkSession, options: Map[String, String]): DataFrame = {
     val raw = spark.read.format(classOf[CtGovSource].getName)
-      .option("path", fixtureDir).load()
+      .options(options).load()
     graft.etl.Flatten.ctStudies(
       raw.select(from_json(col("record_json"),
         graft.model.Schemas.ctStudy).as("s")).select("s.protocolSection"))

@@ -113,5 +113,21 @@ class ScaleOpsSpec extends SparkSpec {
       .head().getSeq[Long](0)
     val elementwiseMin = sketches.values.reduce((x, y) => x.zip(y).map(p => math.min(p._1, p._2)))
     assert(all == elementwiseMin)
+
+    // estimate-vs-exact bound: sketch agreement must track the true
+    // token-set Jaccard within MinHash error (64 hashes -> sigma ~0.06;
+    // 0.2 is a >3-sigma bound)
+    val tokenSets = docs
+      .select($"source", graft.text.TextFunctions.tokens($"text").as("t"))
+      .select($"source", explode($"t").as("tok")).distinct()
+      .collect().groupBy(_.getString(0))
+      .map { case (s, rows) => s -> rows.map(_.getString(1)).toSet }
+    val srcs = tokenSets.keys.toSeq.sorted.take(3)
+    for (Seq(x, y) <- srcs.combinations(2)) {
+      val exact = tokenSets(x).intersect(tokenSets(y)).size.toDouble /
+        tokenSets(x).union(tokenSets(y)).size
+      val est = MinHashSketchAgg.estimate(sketches(x), sketches(y))
+      assert(math.abs(est - exact) <= 0.2, s"$x vs $y: est=$est exact=$exact")
+    }
   }
 }

@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import graft.SparkSpec
+
+class PipelineConfigSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The reference yaml's tunable sections, verbatim values
+    * (pipeline_config.yaml:11-84, 128-132). */
+  private val referenceYaml =
+    """extraction:
+      |  fda_limit: 1000
+      |  clinical_trials_limit: 100
+      |  retry_attempts: 3
+      |  retry_delay_seconds: 5
+      |  timeout_seconds: 30
+      |transformation:
+      |  severity_weights:
+      |    serious: 2
+      |    death: 10
+      |    hospitalization: 5
+      |  age_groups:
+      |    - [0, 18, "Pediatric"]
+      |    - [18, 30, "Young Adult"]
+      |    - [30, 50, "Adult"]
+      |    - [50, 65, "Senior"]
+      |    - [65, 100, "Elderly"]
+      |  study_size_categories:
+      |    - [0, 50, "Small"]
+      |    - [50, 200, "Medium"]
+      |    - [200, 1000, "Large"]
+      |    - [1000, 999999, "Very Large"]
+      |quality:
+      |  max_missing_percentage: 10
+      |  min_total_records: 10
+      |  min_records_per_source: 5
+      |  required_fields:
+      |    fda: [safetyreportid, receivedate, drug_name]
+      |    clinical_trials: [nct_id, brief_title, overall_status]
+      |storage:
+      |  raw_prefix: "raw"
+      |  processed_prefix: "processed"
+      |  logs_prefix: "logs"
+      |  raw_format: "json"
+      |  processed_format: "parquet"
+      |  summary_format: "csv"
+      |  compression: "snappy"
+      |  partition_by: [year, month, day]
+      |monitoring:
+      |  alerts:
+      |    max_processing_time_minutes: 60
+      |    min_record_count: 10
+      |    max_error_rate: 0.05
+      |    min_quality_score: 0.95
+      |""".stripMargin
+
+  test("reference yaml loads to exactly the compiled defaults") {
+    assert(PipelineConfigLoader.fromYaml(referenceYaml) == PipelineConfig.default)
+  }
+
+  test("999999 study-size sentinel reads as an unbounded final bin") {
+    val cfg = PipelineConfigLoader.fromYaml(referenceYaml)
+    assert(cfg.binning.studySizeBins.last.isPosInfinity)
+  }
+
+  test("partial yaml keeps defaults for everything absent") {
+    val cfg = PipelineConfigLoader.fromYaml(
+      "transformation:\n  severity_weights:\n    death: 25\n")
+    assert(cfg.severity.death == 25)
+    assert(cfg.severity.serious == 2)
+    assert(cfg.quality == PipelineConfig.default.quality)
+    assert(cfg.storage == PipelineConfig.default.storage)
+  }
+
+  test("fromFile round-trips through disk") {
+    val f = java.nio.file.Files.createTempFile("graft-config", ".yaml")
+    java.nio.file.Files.write(f, referenceYaml.getBytes("UTF-8"))
+    assert(PipelineConfigLoader.fromFile(f.toString) == PipelineConfig.default)
+  }
+
+  test("a re-tuned weight flows through FdaTransform's severity score") {
+    val cfg = PipelineConfigLoader.fromYaml(
+      "transformation:\n  severity_weights:\n    serious: 7\n    death: 100\n    hospitalization: 1\n")
+    val df = Seq(("r1", "DrugA", "20240101", 1, 1, 0))
+      .toDF("safetyreportid", "drug_name", "receivedate",
+        "serious", "seriousnessdeath", "seriousnesshospitalization")
+    val out = graft.etl.FdaTransform(df, cfg)
+    assert(out.head().getAs[Long]("severity_score") == 107L)
+    // same row under the defaults: 2 + 10 = 12
+    assert(graft.etl.FdaTransform(df).head().getAs[Long]("severity_score") == 12L)
+  }
+}

@@ -59,4 +59,93 @@ class PipelineSpec extends SparkSpec {
     assert(!res.quality.passed)
     assert(res.quality.failures == Seq("No data to validate"))
   }
+
+  private def writeFdaPages(dir: String): Unit = {
+    Files.createDirectories(java.nio.file.Paths.get(dir))
+    def page(i: Int, records: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(dir, s"page-$i.json"),
+        records.mkString("""{"results": [""", ",", "]}").getBytes)
+    def rec(i: Int) =
+      s"""{"application_number": "NDA$i", "sponsor_name": "S$i",
+         | "products": [{"brand_name": "drug$i ", "dosage_form": "TABLET"}],
+         | "submissions": [{"submission_status_date": "20240110", "submission_type": "ORIG"}]}"""
+        .stripMargin.replace("\n", "")
+    page(0, (1 to 6).map(rec))
+    page(1, (7 to 12).map(rec))
+  }
+
+  private def writeCtPages(dir: String): Unit = {
+    Files.createDirectories(java.nio.file.Paths.get(dir))
+    def study(i: Int) =
+      s"""{"protocolSection": {
+         |  "identificationModule": {"nctId": "NCT$i", "briefTitle": "T$i"},
+         |  "statusModule": {"overallStatus": "COMPLETED"},
+         |  "conditionsModule": {"conditions": ["HEADACHE"]},
+         |  "designModule": {"phases": ["PHASE 2"], "enrollmentInfo": {"count": ${i * 100}}}
+         |}}""".stripMargin.replace("\n", "")
+    Files.write(java.nio.file.Paths.get(dir, "page-0.json"),
+      s"""{"studies": [${(1 to 5).map(study).mkString(",")}], "nextPageToken": null}""".getBytes)
+  }
+
+  test("DAG-topology run: connectors land raw, counts validate, SLA notification forms") {
+    val root = Files.createTempDirectory("graft-api-lake").toString
+    val fdaDir = Files.createTempDirectory("graft-fda-pages").toString
+    val ctDir = Files.createTempDirectory("graft-ct-pages").toString
+    writeFdaPages(fdaDir)
+    writeCtPages(ctDir)
+
+    val (res, note) = Pipeline.runFromApis(spark, root, "2024-01-10",
+      Map("path" -> fdaDir), Map("path" -> ctDir))
+
+    // raw zone landed by the run itself (the DAG's extraction tasks)
+    assert(Lake.exists(spark, Lake.rawPath(root, "fda", "2024-01-10")))
+    assert(Lake.exists(spark, Lake.rawPath(root, "clinical_trials", "2024-01-10")))
+    assert(res.fdaCount == 12)
+    assert(res.ctCount == 5)
+    // application-shaped FDA data has no drug_indication -> per-drug
+    // summary branch; 12 distinct brands
+    assert(res.enrichedCount == 12)
+    assert(res.quality.passed, res.quality.failures.mkString("; "))
+
+    // notification payload carries the DAG's fields + SLA verdict
+    assert(note.sla.passed, note.sla.breaches.mkString("; "))
+    assert(note.subject.contains("Completed Successfully"))
+    assert(note.message.contains("FDA Records: 12"))
+    assert(note.message.contains("Clinical Trials: 5"))
+    assert(note.message.contains(res.processedPath))
+    assert(note.sla.qualityScore == 1.0)
+
+    // landed FDA records expose brand_name as drug_name (the adapter)
+    val landed = Lake.readJson(spark, Lake.rawPath(root, "fda", "2024-01-10"), None)
+    assert(landed.columns.contains("drug_name"))
+    val enriched = Lake.readParquet(spark, res.processedPath)
+    assert(enriched.where(enriched("drug_name") === "DRUG3").count() == 1)
+  }
+
+  test("zero-record extraction fails the run like validate_extraction") {
+    val root = Files.createTempDirectory("graft-api-empty").toString
+    val emptyDir = Files.createTempDirectory("graft-no-pages").toString
+    val ctDir = Files.createTempDirectory("graft-ct-pages2").toString
+    writeCtPages(ctDir)
+    val e = intercept[IllegalStateException] {
+      Pipeline.runFromApis(spark, root, "2024-01-11",
+        Map("path" -> emptyDir), Map("path" -> ctDir))
+    }
+    assert(e.getMessage.contains("No FDA records extracted"))
+  }
+
+  test("SLA breaches surface in the notification when thresholds tighten") {
+    val root = Files.createTempDirectory("graft-api-sla").toString
+    val fdaDir = Files.createTempDirectory("graft-fda-pages3").toString
+    val ctDir = Files.createTempDirectory("graft-ct-pages3").toString
+    writeFdaPages(fdaDir)
+    writeCtPages(ctDir)
+    val strict = PipelineConfig.default.copy(
+      alerts = AlertThresholds(minRecordCount = 1000))
+    val (_, note) = Pipeline.runFromApis(spark, root, "2024-01-12",
+      Map("path" -> fdaDir), Map("path" -> ctDir), strict)
+    assert(!note.sla.passed)
+    assert(note.subject.contains("Completed With Alerts"))
+    assert(note.sla.breaches.exists(_.contains("record count")))
+  }
 }
