@@ -122,9 +122,12 @@ object Dedup {
     Seq.fill(n)((next(), next()))
   }
 
-  /** 31-bit positive shingle hashes from a materialized shingles column. */
+  /** 31-bit positive shingle hashes from a materialized shingles column.
+    * Polynomial char-fold instead of xxhash64 so the full LSH pipeline —
+    * signatures, band buckets, verified pairs — is reproducible by the
+    * DuckDB oracle (see TextFunctions.polyHash). */
   private def shingleHashes(shingles: Column): Column =
-    transform(shingles, s => pmod(xxhash64(s), lit(1L << 31)))
+    transform(shingles, s => TextFunctions.polyHash(s, 1L << 31))
 
   /** Signature from a *materialized* shingle-hash column: `numHashes`
     * independent array_min expressions, each one pass over the long
@@ -144,10 +147,15 @@ object Dedup {
     }: _*)
   }
 
-  /** LSH band hashes from a materialized signature column. */
+  /** LSH band hashes from a materialized signature column: polynomial
+    * fold of each band's signature slice (40-bit values × 1000003 stays
+    * < 2^61 — overflow-free, BIGINT-reproducible). Collisions only add
+    * candidates, which exact verification then rejects on both engines
+    * identically. */
   private def bandHashesFrom(sig: Column, cfg: MinHashConfig): Column =
     array((0 until cfg.bands).map(i =>
-      xxhash64(slice(sig, i * cfg.rowsPerBand + 1, cfg.rowsPerBand))): _*)
+      aggregate(slice(sig, i * cfg.rowsPerBand + 1, cfg.rowsPerBand), lit(0L),
+        (acc, v) => (acc * 1000003L + v) % HashMod)): _*)
 
   /** Full MinHash-LSH near-dup pipeline: staged signatures → band-bucket
     * equi-join candidates → exact-Jaccard verification at `threshold`.
@@ -207,10 +215,43 @@ object Dedup {
     aggregate(majorityBits, lit(0L), (acc, v) => acc + v)
   }
 
+  /** Avalanche finalizer over the 48-bit space for the polynomial token
+    * hash, murmur-style: xor-shift / multiply rounds. Two problems with
+    * the raw poly fold that this fixes: (1) a short token's fold never
+    * reaches the top bits (bounded by 31^len), leaving high SimHash bit
+    * positions degenerate; (2) the fold is affine in the last characters,
+    * so prefix-sharing tokens get correlated bit patterns and majority
+    * votes lose independence. Multiplication is done on split 24-bit
+    * halves — ((a·hi) mod 2^24)·2^24 + a·lo ≡ a·h (mod 2^48) with every
+    * intermediate < 2^49 — so the whole mix is BIGINT-reproducible in
+    * the DuckDB oracle (constants in [[Mix48Rounds]] drive both sides). */
+  val Mix48Muls: Seq[Long] = Seq(10368889L, 8776651L) // odd 24-bit
+  val Mix48Shift: Int = 21
+
+  private def splitMul48(h: Column, a: Long): Column = {
+    val m24 = 1L << 24
+    (((lit(a) * shiftrightunsigned(h, 24)) % m24) * m24 +
+      lit(a) * h.bitwiseAND(lit(m24 - 1))) % (1L << SimHashBits)
+  }
+
+  private def xorShift48(h: Column): Column =
+    h.bitwiseXOR(shiftrightunsigned(h, Mix48Shift))
+
+  /** 48-bit positive token hashes — polynomial char-fold + avalanche so
+    * the SimHash gate query is DuckDB-oracle-reproducible. Each round is
+    * staged through its own nested transform: a lambda variable is a
+    * cheap leaf, so the multi-referenced intermediate values (xor + shift
+    * + hi/lo splits) never re-evaluate the char fold. */
+  private[dedup] def tokenHashes48(dts: Column): Column = {
+    val poly = transform(dts, t => TextFunctions.polyHash(t, 1L << SimHashBits))
+    Mix48Muls.foldLeft(transform(poly, h => xorShift48(h))) { (arr, a) =>
+      transform(transform(arr, h => splitMul48(h, a)), h => xorShift48(h))
+    }
+  }
+
   /** Single-expression form for tests/small inputs. */
   def simhash(text: Column): Column =
-    simhashFromHashes(transform(TextFunctions.distinctTokens(text),
-      t => pmod(xxhash64(t), lit(1L << SimHashBits))))
+    simhashFromHashes(tokenHashes48(TextFunctions.distinctTokens(text)))
 
   /** Hamming distance between two SimHash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -234,8 +275,7 @@ object Dedup {
         TextFunctions.tokens(col(textCol)).as("toks"))
       .repartition(parts)
     val hashed = toks.select(col("id"), col("blk"),
-      transform(array_distinct(col("toks")),
-        t => pmod(xxhash64(t), lit(1L << SimHashBits))).as("th"))
+      tokenHashes48(array_distinct(col("toks"))).as("th"))
     val base = hashed.select(col("id"), col("blk"), simhashFromHashes(col("th")).as("sh"))
     // Collapse identical (blk, signature) groups to one cluster row BEFORE
     // the band join: on a shared-vocabulary corpus many documents hash to

@@ -328,8 +328,9 @@ object Queries {
     * equi-join. 3-gram shingles (not word sets) keep the candidate set
     * proportional to true near-dups: with a small shared vocabulary,
     * word-set signatures would collide corpus-wide and the band join
-    * would degenerate toward all-pairs. No SQL oracle (xxhash64);
-    * DedupSpec verifies recall vs exact Jaccard. */
+    * would degenerate toward all-pairs. Polynomial signature hashes make
+    * the whole pipeline DuckDB-reproducible → full oracle (q22Oracle);
+    * DedupSpec additionally verifies recall vs exact Jaccard. */
   def q22MinhashLsh(spark: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.minhashNearDupPairs(tbl(spark, dir, "documents"),
       "doc_id", "text", threshold = 0.7,
@@ -338,8 +339,9 @@ object Queries {
   /** SimHash(48-bit) near-dup pairs at hamming ≤ 3 via 4-band bucketing
     * (exact recall by pigeonhole), blocked by source — this synthetic
     * corpus shares one small vocabulary, which clusters SimHash values
-    * and would degenerate unblocked banding toward all-pairs. No SQL
-    * oracle (xxhash64). */
+    * and would degenerate unblocked banding toward all-pairs. Polynomial
+    * token hashes make the signatures DuckDB-reproducible → full oracle
+    * (q23Oracle). */
   def q23SimhashPairs(spark: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.simhashNearDupPairs(tbl(spark, dir, "documents"),
       "doc_id", "text", maxDist = 3, blockCol = Some("source"))
@@ -525,15 +527,17 @@ object Queries {
     * per source regardless of corpus size, then signature-agreement
     * fraction estimates each source pair's token-set Jaccard — the
     * "which crawl sources overlap" question at 100 TB without holding any
-    * token set. xxhash64 isn't oracle-reproducible → rows-only;
-    * ScaleOpsSpec bounds the estimate against exact Jaccard. */
+    * token set. Token hashes are the BIGINT-reproducible polynomial fold,
+    * so the sketch itself is DuckDB-oracle-checked (64 generated min()
+    * aggregates); ScaleOpsSpec additionally bounds the estimate against
+    * exact Jaccard. */
   def q37SourceSimilarity(spark: SparkSession, dir: String): DataFrame = {
     val parts = spark.sessionState.conf.numShufflePartitions
     val hashed = tbl(spark, dir, "documents")
       .repartition(parts)
       .select(col("source"),
         transform(array_distinct(graft.text.TextFunctions.tokens(col("text"))),
-          t => pmod(xxhash64(t), lit(1L << 31))).as("th"))
+          t => graft.text.TextFunctions.polyHash(t, 1L << 31)).as("th"))
     val sketches = hashed.groupBy(col("source"))
       .agg(graft.functions.MinHashSketchAgg.minhashSketch(col("th")).as("sig"))
     val a = sketches.select(col("source").as("src_a"), col("sig").as("sig_a"))
@@ -542,6 +546,114 @@ object Queries {
       .select(col("src_a"), col("src_b"),
         round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           b => b)).cast("double") / size(col("sig_a")), 4).as("est_jaccard"))
+  }
+
+  // =================================================================
+  // generated oracle fragments (reproducible-hash pipelines)
+  // =================================================================
+
+  /** DuckDB fragment: 31-ary polynomial char-fold of expr `s` mod `m` —
+    * the exact arithmetic of TextFunctions.polyHash, so signatures built
+    * from it agree bit-for-bit across engines. */
+  private def duckPolyHash(s: String, m: Long): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($s, ''), " +
+      s"ch -> ascii(ch)::BIGINT)), (acc, c) -> (acc * 31 + c) % $m)"
+
+  private val Mod40 = 1L << 40
+
+  /** DuckDB replica of Dedup's 48-bit avalanche finalizer (same constants,
+    * same split-multiply arithmetic), applied elementwise to a list expr. */
+  private def duckMix48(inner: String): String = {
+    val sh = graft.dedup.Dedup.Mix48Shift
+    def xs(e: String) = s"list_transform($e, x -> xor(x, x >> $sh))"
+    def mul(e: String, a: Long) =
+      s"list_transform($e, x -> ((($a * (x >> 24)) % 16777216) * 16777216 + $a * (x & 16777215)) % ${1L << 48})"
+    graft.dedup.Dedup.Mix48Muls.foldLeft(xs(inner))((e, a) => xs(mul(e, a)))
+  }
+
+  /** q22 oracle: the full MinHash(64)+LSH(16×4) pipeline in SQL — same
+    * hash params as the Spark side (one generator), so signatures, band
+    * buckets, the candidate set, and the verified pairs all agree
+    * exactly. Band-hash collisions only add candidates, which the exact
+    * Jaccard verification rejects identically on both engines. */
+  private lazy val q22Oracle: String = {
+    val sigItems = graft.dedup.Dedup.hashParamsPublic(64).map { case (a, b) =>
+      s"list_min(list_transform(shs, h -> ($a * h + $b) % $Mod40))"
+    }.mkString(",\n    ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), t -> t != '') AS ts
+       |  FROM documents),
+       |shingled AS (
+       |  SELECT doc_id, list_distinct(
+       |    CASE WHEN len(ts) >= 3 THEN list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' '))
+       |         WHEN len(ts) > 0 THEN [array_to_string(ts, ' ')]
+       |         ELSE []::VARCHAR[] END) AS shingles
+       |  FROM toks),
+       |hashed AS (
+       |  SELECT doc_id, shingles, list_transform(shingles, s -> ${duckPolyHash("s", 1L << 31)}) AS shs
+       |  FROM shingled),
+       |sigs AS (
+       |  SELECT doc_id, shingles, [$sigItems] AS sig FROM hashed),
+       |banded AS (
+       |  SELECT doc_id, b.band AS band,
+       |    list_reduce(list_prepend(0::BIGINT, sig[b.band * 4 + 1 : b.band * 4 + 4]),
+       |      (acc, v) -> (acc * 1000003 + v) % $Mod40) AS bhash
+       |  FROM sigs, (SELECT unnest(range(0, 16)) AS band) b),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM banded x JOIN banded y ON x.band = y.band AND x.bhash = y.bhash AND x.doc_id < y.doc_id),
+       |j AS (
+       |  SELECT c.id_a, c.id_b,
+       |    len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+       |      (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jac
+       |  FROM cand c JOIN sigs a ON a.doc_id = c.id_a JOIN sigs b ON b.doc_id = c.id_b)
+       |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM j WHERE jac >= 0.7""".stripMargin
+  }
+
+  /** q23 oracle: SimHash(48) + hamming ≤ 3 within source blocks. The
+    * Spark side's 4-band bucketing is pigeonhole-exact for maxDist ≤ 3
+    * (some band always matches), so the oracle needs no LSH replication —
+    * a plain blocked self-join on the reproducible signatures is the same
+    * output set. */
+  private lazy val q23Oracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source AS blk,
+       |    list_distinct(list_filter(string_split(lower(trim(text)), ' '), x -> x != '')) AS dts
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, blk,
+       |    ${duckMix48(s"""list_transform(dts, tok -> ${duckPolyHash("tok", 1L << 48)})""")} AS th
+       |  FROM t),
+       |s AS (
+       |  SELECT doc_id, blk,
+       |    list_sum(list_transform(range(0, 48), b ->
+       |      CASE WHEN len(list_filter(th, x -> x % (1::BIGINT << (b + 1)) >= (1::BIGINT << b))) * 2 > len(th)
+       |           THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS sh
+       |  FROM h)
+       |SELECT x.doc_id AS id_a, y.doc_id AS id_b, bit_count(xor(x.sh, y.sh))::BIGINT AS hamming_dist
+       |FROM s x JOIN s y ON x.blk = y.blk AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.sh, y.sh)) <= 3""".stripMargin
+
+  /** q37 oracle: the group-level MinHash sketch as 64 generated min()
+    * aggregates over reproducible token hashes, then pairwise signature
+    * agreement — verifying the UDAF's sketches value-for-value. */
+  private lazy val q37Oracle: String = {
+    val minCols = graft.dedup.Dedup.hashParamsPublic(64).zipWithIndex.map {
+      case ((a, b), i) => s"min(($a * th + $b) % $Mod40) AS s$i"
+    }.mkString(",\n    ")
+    val agree = (0 until 64).map(i =>
+      s"CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT source, unnest(list_distinct(list_filter(string_split(lower(trim(text)), ' '), x -> x != ''))) AS tok
+       |  FROM documents),
+       |h AS (
+       |  SELECT source, ${duckPolyHash("tok", 1L << 31)} AS th FROM tok),
+       |sk AS (
+       |  SELECT source, $minCols
+       |  FROM h GROUP BY source)
+       |SELECT a.source AS src_a, b.source AS src_b,
+       |  round(($agree)::DOUBLE / 64, 4) AS est_jaccard
+       |FROM sk a JOIN sk b ON a.source < b.source""".stripMargin
   }
 
   // =================================================================
@@ -705,9 +817,9 @@ object Queries {
         | count(DISTINCT l_suppkey) AS n_supps,
         | count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
-    // q22/q23 intentionally omitted: MinHash/SimHash signatures use
-    // Spark's xxhash64, which DuckDB cannot reproduce → rows-only check;
-    // DedupSpec verifies them against the exact-Jaccard oracle query.
+    "q22_minhash_lsh" -> q22Oracle,
+    "q23_simhash_pairs" -> q23Oracle,
+    "q37_source_similarity" -> q37Oracle,
     "q20_exact_dedup" ->
       """SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_distinct_texts
         |FROM documents GROUP BY source""".stripMargin,

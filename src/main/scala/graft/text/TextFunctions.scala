@@ -138,11 +138,26 @@ object TextFunctions {
     * arithmetic is reproducible in any BIGINT engine (overflow-free). */
   val FingerprintMod: Long = 1L << 40
 
-  def fingerprint(text: Column): Column = {
-    val normalized = regexp_replace(lower(trim(text)), " ", "")
+  /** Rolling 31-ary polynomial hash of a string column modulo `mod` —
+    * the [[fingerprint]] arithmetic over an arbitrary string input.
+    * Overflow-free for mod ≤ 2^48 (acc·31 + c < 2^53) and therefore
+    * bit-reproducible in any BIGINT engine: this is what lets the
+    * MinHash/SimHash/sketch gate queries carry full DuckDB oracles
+    * (xxhash64 has no cross-engine equivalent). DuckDB form:
+    * list_reduce(list_prepend(0, list_transform(string_split(s, ''),
+    * ascii)), (acc, c) -> (acc * 31 + c) % mod). Costs one arithmetic op
+    * per character instead of xxhash64's native block loop — measured
+    * immaterial next to the candidate joins it feeds; a deployment that
+    * doesn't need cross-engine verification can swap xxhash64 back in
+    * (only bucket assignment changes, not semantics). */
+  def polyHash(s: Column, mod: Long): Column = {
+    require(mod <= (1L << 48), s"polyHash mod $mod risks Long overflow")
     aggregate(
-      transform(split(normalized, ""), ch => ascii(ch).cast("long")),
+      transform(split(s, ""), ch => ascii(ch).cast("long")),
       lit(0L),
-      (acc, c) => (acc * 31L + c) % FingerprintMod)
+      (acc, c) => (acc * 31L + c) % mod)
   }
+
+  def fingerprint(text: Column): Column =
+    polyHash(regexp_replace(lower(trim(text)), " ", ""), FingerprintMod)
 }
