@@ -79,8 +79,9 @@ object Ann {
   }
 
   /** Deterministic pseudo-random ±1 hyperplane weights (no RNG state —
-    * reproducible across engines and resumes). */
-  private[ann] def planeWeights(numPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    * reproducible across engines and resumes; private[graft] so the q30
+    * DuckDB oracle is generated from the same constants). */
+  private[graft] def planeWeights(numPlanes: Int, dim: Int): Seq[Seq[Double]] =
     (0 until numPlanes).map { j =>
       (0 until dim).map { i =>
         // splitmix-style bit mix of (i, j)

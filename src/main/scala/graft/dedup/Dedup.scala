@@ -228,6 +228,17 @@ object Dedup {
   val Mix48Muls: Seq[Long] = Seq(10368889L, 8776651L) // odd 24-bit
   val Mix48Shift: Int = 21
 
+  /** JVM twin of the column-level avalanche below — same constants, same
+    * arithmetic — for non-Catalyst callers that still need oracle parity
+    * (Multimodal's deterministic stub decoder). */
+  def mix48Jvm(h0: Long): Long = {
+    val m48 = 1L << 48
+    def xs(h: Long): Long = h ^ (h >>> Mix48Shift)
+    def mul(h: Long, a: Long): Long =
+      (((a * (h >>> 24)) % (1L << 24)) * (1L << 24) + a * (h & 0xFFFFFFL)) % m48
+    Mix48Muls.foldLeft(xs(h0))((h, a) => xs(mul(h, a)))
+  }
+
   private def splitMul48(h: Column, a: Long): Column = {
     val m24 = 1L << 24
     (((lit(a) * shiftrightunsigned(h, 24)) % m24) * m24 +

@@ -49,18 +49,26 @@ object Multimodal {
     StructField("n_frames", IntegerType, nullable = false)))
 
   /** STUB — stands in for a real image/audio decoder (not available in
-    * this container). Deterministic: features derive from a rolling hash
-    * of the payload, so tests and resumed jobs reproduce bit-identical
-    * output. Replace with an ImageIO/ffmpeg call at integration time. */
+    * this container). Deterministic: features derive from a 48-bit
+    * modular rolling hash of the payload bytes + the shared avalanche
+    * finalizer (Dedup.mix48Jvm), so tests and resumed jobs reproduce
+    * bit-identical output AND the q31 gate query gets a full DuckDB
+    * oracle — every intermediate stays overflow-free BIGINT, and each
+    * feature value k/2^16 − 1/2 is exactly representable in both float
+    * and double, so the comparison needs no rounding at all. Replace
+    * with an ImageIO/ffmpeg call at integration time. */
+  val StubSeed: Long = 25214903917L
+  private val Mod48 = 1L << 48
+
   def decodeFeaturesStub(payload: Array[Byte], dim: Int): Array[Float] = {
-    var h = 1125899906842597L
-    val out = new Array[Float](dim)
+    var h = StubSeed
     var i = 0
-    while (i < payload.length) { h = h * 31 + (payload(i) & 0xff); i += 1 }
+    while (i < payload.length) { h = (h * 31 + (payload(i) & 0xff)) % Mod48; i += 1 }
+    val out = new Array[Float](dim)
     var j = 0
     while (j < dim) {
-      h ^= h << 13; h ^= h >>> 7; h ^= h << 17
-      out(j) = ((h & 0xffff) / 65535.0f) - 0.5f
+      h = graft.dedup.Dedup.mix48Jvm(h)
+      out(j) = ((h & 0xffffL) / 65536.0f) - 0.5f
       j += 1
     }
     out

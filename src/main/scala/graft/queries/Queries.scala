@@ -450,21 +450,26 @@ object Queries {
     * baseline). 8 tables × 8 bits: 256-way buckets bound the candidate
     * join (16×4 would degenerate to all-pairs at this corpus size).
     * Hyperplane LSH recall falls with the threshold — ~20% at cos 0.4
-    * (θ≈66°), ≳95% at real near-dup levels (cos ≥ 0.9) — so this is a
-    * rows-only gate entry; AnnSpec measures recall explicitly. */
+    * (θ≈66°), ≳95% at real near-dup levels (cos ≥ 0.9); AnnSpec measures
+    * recall explicitly. The pipeline itself is deterministic (fixed ±1
+    * planes, bit-exact sequential dots), so the oracle reproduces the
+    * exact candidate set and verified pairs (q30Oracle). */
   def q30LshEmbedding(spark: SparkSession, dir: String): DataFrame =
     graft.ann.Ann.lshNearDupPairs(tbl(spark, dir, "embeddings"),
       "vec_id", "embedding", threshold = 0.4, planesPerTable = 8, tables = 8)
 
   /** Multimodal plumbing through the gate: binary payload column +
-    * metadata → batched (stubbed) decode → fixed-dim features.
-    * Stub decode is deterministic but not SQL-expressible → rows-only. */
+    * metadata → batched (stubbed) decode → fixed-dim features. The stub
+    * decoder runs on 48-bit overflow-free arithmetic and emits
+    * k/2^16 − 1/2 features (exact in float AND double), so the whole
+    * path — byte fold, avalanche, feature value — is DuckDB-checked with
+    * no rounding (q31Oracle). */
   def q31MultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
     val media = graft.multimodal.Multimodal.fakeMediaFromDocuments(
       spark, tbl(spark, dir, "documents"))
     graft.multimodal.Multimodal.extractFeatures(media, dim = 8).toDF()
       .select(col("media_id"), col("kind"), col("n_bytes"),
-        round(element_at(col("feature"), 1).cast("double"), 4).as("f0"))
+        element_at(col("feature"), 1).cast("double").as("f0"))
   }
 
   /** ROLLUP grouping sets (engine-added; the reference has none).
@@ -633,6 +638,80 @@ object Queries {
        |SELECT x.doc_id AS id_a, y.doc_id AS id_b, bit_count(xor(x.sh, y.sh))::BIGINT AS hamming_dist
        |FROM s x JOIN s y ON x.blk = y.blk AND x.doc_id < y.doc_id
        |WHERE bit_count(xor(x.sh, y.sh)) <= 3""".stripMargin
+
+  /** q30 oracle: the multi-table hyperplane-LSH pipeline in SQL. The ±1
+    * plane weights are emitted as literals from the same deterministic
+    * generator as the Spark side; dot products are sequential double
+    * accumulation on both engines (bit-exact — the q24/q25 pattern), so
+    * the sign bits, bucket ids, candidate set, and verified pairs agree
+    * exactly. Candidate test is "any of the 8 tables' buckets match". */
+  private lazy val q30Oracle: String = {
+    val planes = graft.ann.Ann.planeWeights(64, 64) // 8 tables × 8 planes
+    def planeLit(w: Seq[Double]): String =
+      w.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    def dotExpr(v: String, w: Seq[Double]): String =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip($v, ${planeLit(w)}), " +
+        "x -> x[1]::DOUBLE * x[2]::DOUBLE)), (p, q) -> p + q)"
+    val buckets = (0 until 8).map { t =>
+      val bits = (0 until 8).map { j =>
+        s"(CASE WHEN ${dotExpr("embedding", planes(t * 8 + j))} >= 0 THEN ${1 << (7 - j)} ELSE 0 END)"
+      }.mkString("\n      + ")
+      s"($bits) AS bk$t"
+    }.mkString(",\n    ")
+    val anyMatch = (0 until 8).map(t => s"a.bk$t = b.bk$t").mkString(" OR ")
+    val pairDot = "list_reduce(list_prepend(0.0::DOUBLE, " +
+      "list_transform(list_zip(a.embedding, b.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE)), (p, q) -> p + q)"
+    s"""WITH bk AS (
+       |  SELECT vec_id, embedding,
+       |    $buckets
+       |  FROM embeddings)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($pairDot, 3) AS cos
+       |FROM bk a JOIN bk b ON a.vec_id < b.vec_id AND ($anyMatch)
+       |WHERE round($pairDot, 3) >= 0.4""".stripMargin
+  }
+
+  /** q31 oracle: the stub media decoder in SQL — UTF-8 payload bytes
+    * recovered from the blob's hex dump, the 48-bit modular byte fold,
+    * one avalanche application (staged through lateral column aliases),
+    * and the exact k/2^16 − 1/2 first feature. No rounding anywhere:
+    * every value is exactly representable on both engines. */
+  private lazy val q31Oracle: String = {
+    val sh = graft.dedup.Dedup.Mix48Shift
+    val mixCols = {
+      var cur = "h0"; var i = 0
+      val sb = new StringBuilder
+      def xs(): Unit = {
+        i += 1; sb.append(s",\n    xor($cur, $cur >> $sh) AS h$i"); cur = s"h$i"
+      }
+      def mul(a: Long): Unit = {
+        i += 1
+        sb.append(s",\n    ((($a * ($cur >> 24)) % 16777216) * 16777216 + " +
+          s"$a * ($cur & 16777215)) % ${1L << 48} AS h$i")
+        cur = s"h$i"
+      }
+      xs(); graft.dedup.Dedup.Mix48Muls.foreach { a => mul(a); xs() }
+      (sb.toString, cur)
+    }
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id,
+       |    ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+       |    encode(text) AS payload
+       |  FROM documents),
+       |b AS (
+       |  SELECT media_id, kind, octet_length(payload)::BIGINT AS n_bytes,
+       |    list_transform(range(1, octet_length(payload) + 1), i ->
+       |      strpos('123456789abcdef', substr(lower(hex(payload)), 2*i-1, 1)) * 16 +
+       |      strpos('123456789abcdef', substr(lower(hex(payload)), 2*i, 1))) AS bytes
+       |  FROM m),
+       |f AS (
+       |  SELECT media_id, kind, n_bytes,
+       |    list_reduce(list_prepend(${graft.multimodal.Multimodal.StubSeed}::BIGINT, bytes),
+       |      (acc, c) -> (acc * 31 + c) % ${1L << 48}) AS h0${mixCols._1}
+       |  FROM b)
+       |SELECT media_id, kind, n_bytes,
+       |  ((${mixCols._2} & 65535) / 65536.0 - 0.5) AS f0
+       |FROM f""".stripMargin
+  }
 
   /** q37 oracle: the group-level MinHash sketch as 64 generated min()
     * aggregates over reproducible token hashes, then pairwise signature
@@ -819,6 +898,8 @@ object Queries {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q22_minhash_lsh" -> q22Oracle,
     "q23_simhash_pairs" -> q23Oracle,
+    "q30_lsh_embedding" -> q30Oracle,
+    "q31_multimodal_features" -> q31Oracle,
     "q37_source_similarity" -> q37Oracle,
     "q20_exact_dedup" ->
       """SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_distinct_texts
@@ -906,8 +987,8 @@ object Queries {
         |   list_transform(string_split(replace(lower(trim(text)), ' ', ''), ''), ch -> ascii(ch)::BIGINT)),
         |   (a, c) -> (a * 31 + c) % 1099511627776) AS fp40
         |FROM documents""".stripMargin,
-    // q30/q31 rows-only: LSH recall is approximate; stub decode hash is
-    // not SQL-expressible. Both verified in AnnSpec/MultimodalSpec.
+    // q30 rows-only: hyperplane-LSH recall is approximate (AnnSpec
+    // measures it); q36 rows-only: HLL internals are engine-specific.
     "q29_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_ns(ts) AS tns, value FROM events),
