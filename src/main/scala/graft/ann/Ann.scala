@@ -102,6 +102,58 @@ object Ann {
     bits.foldLeft(lit(0L))((acc, bit) => acc * 2 + bit)
   }
 
+  // ---- IVF (inverted-file) ANN --------------------------------------
+
+  /** Nearest-centroid cell assignment — the IVF index build. Centroids
+    * (`cid`, `cvec`) are broadcast (there are ~√n of them; they fit);
+    * each corpus vector scores all centroids and keeps the argmax dot
+    * with a deterministic tie-break (smallest cid). The argmax is a
+    * map-side partial `max(struct(dot, -cid))`: the centroid-factor row
+    * blowup collapses to one row per vector inside each scan partition,
+    * so the only exchange carries |corpus| rows — at 100 TB you'd
+    * additionally persist the result bucketed by `cell` so repeated
+    * query batches pay zero index shuffles. */
+  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    val parts = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val scored = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .repartition(parts)
+      .crossJoin(broadcast(centroids.select(col("cid"), col("cvec"))))
+      .select(col("id"), col("v"), col("cid"), dot(col("v"), col("cvec")).as("d"))
+    scored.groupBy(col("id"))
+      .agg(max(struct(col("d"), (-col("cid")).as("ncid"))).as("m"),
+        first(col("v")).as("v"))
+      .select(col("id"), col("v"), (-col("m.ncid")).as("cell"))
+  }
+
+  /** IVF-flat top-k: each query probes its `nProbe` nearest cells and
+    * scores only those cells' vectors. Candidate generation is a
+    * broadcast equi-join of the (small) probe list against the cell
+    * index — the corpus never cross-joins the query batch, and cells
+    * outside the probe set are never read (with the index bucketed by
+    * cell, partition pruning skips them entirely). Recall vs brute force
+    * depends on nProbe/|cells|; AnnSpec measures it. */
+  def ivfProbeTopK(queries: DataFrame, cells: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val probeScored = q.crossJoin(broadcast(centroids.select(col("cid"), col("cvec"))))
+      .select(col("query_id"), col("q_vec"), col("cid"),
+        dot(col("q_vec"), col("cvec")).as("d"))
+    val pw = Window.partitionBy(col("query_id")).orderBy(col("d").desc, col("cid").asc)
+    val probes = probeScored.withColumn("prn", row_number().over(pw))
+      .where(col("prn") <= nProbe)
+      .select(col("query_id"), col("q_vec"), col("cid").as("cell"))
+    val cand = cells.join(broadcast(probes), Seq("cell"))
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(dot(col("q_vec"), col("v")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   /** Multi-table (OR-amplified) LSH near-dup pairs: `tables` independent
     * hash tables of `planesPerTable` bits; a pair becomes a candidate if
     * it collides in ANY table, then is verified with the exact dot

@@ -553,9 +553,63 @@ object Queries {
           b => b)).cast("double") / size(col("sig_a")), 4).as("est_jaccard"))
   }
 
+  /** IVF-flat ANN top-10 (the q25 brute-force workload on the scale
+    * path): centroids are every 16th corpus vector (deterministic,
+    * data-adaptive, and — unlike trained k-means — oracle-reproducible),
+    * cells come from nearest-centroid assignment, and each query probes
+    * its 4 nearest cells. Scoring touches ~nProbe/|cells| of the corpus
+    * instead of all of it; AnnSpec measures recall vs brute force. */
+  def q38IvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val centroids = emb.where(pmod(col("vec_id"), lit(16)) === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val cells = graft.ann.Ann.ivfAssign(emb, "vec_id", "embedding", centroids)
+    graft.ann.Ann.ivfProbeTopK(emb.where(col("vec_id") < 5), cells, centroids,
+      "vec_id", "embedding", k = 10, nProbe = 4)
+  }
+
   // =================================================================
   // generated oracle fragments (reproducible-hash pipelines)
   // =================================================================
+
+  /** DuckDB fragment: sequential-accumulation double dot product of two
+    * float-list expressions — bit-identical to FloatVectorDot. */
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip($a, $b), " +
+      "x -> x[1]::DOUBLE * x[2]::DOUBLE)), (p, q) -> p + q)"
+
+  /** q38 oracle: the whole IVF pipeline — centroid sampling, argmax cell
+    * assignment (same deterministic tie-break), probe list, candidate
+    * join, top-k — in plain SQL over the same table. */
+  private lazy val q38Oracle: String =
+    s"""WITH cent AS (
+       |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 16 = 0),
+       |asg0 AS (
+       |  SELECT e.vec_id, e.embedding, c.cid, ${duckDot("e.embedding", "c.cvec")} AS d
+       |  FROM embeddings e CROSS JOIN cent c),
+       |asg AS (
+       |  SELECT vec_id, embedding, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+       |  FROM asg0),
+       |cells AS (SELECT vec_id, embedding, cid AS cell FROM asg WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+       |p0 AS (
+       |  SELECT q.query_id, q.q_vec, c.cid, ${duckDot("q.q_vec", "c.cvec")} AS d
+       |  FROM q CROSS JOIN cent c),
+       |pr AS (
+       |  SELECT query_id, q_vec, cell FROM (
+       |    SELECT query_id, q_vec, cid AS cell,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY d DESC, cid) AS prn
+       |    FROM p0) t WHERE prn <= 4),
+       |cand AS (
+       |  SELECT pr.query_id, cells.vec_id AS neighbor_id,
+       |    round(${duckDot("pr.q_vec", "cells.embedding")}, 6) AS cos
+       |  FROM pr JOIN cells ON pr.cell = cells.cell
+       |  WHERE cells.vec_id != pr.query_id)
+       |SELECT query_id, rank, neighbor_id, cos FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM cand) t WHERE rank <= 10""".stripMargin
 
   /** DuckDB fragment: 31-ary polynomial char-fold of expr `s` mod `m` —
     * the exact arithmetic of TextFunctions.polyHash, so signatures built
@@ -776,7 +830,8 @@ object Queries {
     "q34_percentiles" -> (q34Percentiles _),
     "q35_json_extract" -> (q35JsonExtract _),
     "q36_approx_distinct" -> (q36ApproxDistinct _),
-    "q37_source_similarity" -> (q37SourceSimilarity _))
+    "q37_source_similarity" -> (q37SourceSimilarity _),
+    "q38_ivf_topk" -> (q38IvfTopK _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -900,6 +955,7 @@ object Queries {
     "q23_simhash_pairs" -> q23Oracle,
     "q30_lsh_embedding" -> q30Oracle,
     "q31_multimodal_features" -> q31Oracle,
+    "q38_ivf_topk" -> q38Oracle,
     "q37_source_similarity" -> q37Oracle,
     "q20_exact_dedup" ->
       """SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_distinct_texts
