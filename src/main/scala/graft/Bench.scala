@@ -24,19 +24,30 @@ object Bench {
         "orders", "lineitem", "events", "documents", "embeddings"))
       try queries.Queries.tbl(spark, sfDir, t).schema
       catch { case _: Throwable => () }
-    // Optional comma-separated subset filter for local iteration.
+    // Optional comma-separated subset filter for local iteration, and an
+    // optional repeat count (times the LAST run — separates one-time
+    // codegen-compile cost from steady-state data cost). The driver sets
+    // neither: default behavior is one timed run per query.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
-          false
-        }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      var elapsed = 0.0
+      var ok = true
+      var r = 0
+      while (r < repeat && ok) {
+        val t0 = System.nanoTime()
+        ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            false
+          }
+        elapsed = (System.nanoTime() - t0) / 1e9
+        r += 1
+      }
+      (name, elapsed, ok)
     }
     // A crashed query must not masquerade as a fast timing: report its
     // elapsed as negative and list it under "failed".

@@ -97,6 +97,91 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Cross-source n-gram contamination — the train/eval-overlap audit:
+    * for every source pair, the number of distinct k-word shingles both
+    * contain and the exact shingle-set Jaccard. Inverted-index shape:
+    * distinct (source, shingle-hash) postings equi-join on the hash, so
+    * only shingles that actually co-occur ever pair — never a source ×
+    * source × vocabulary product. Shingles travel as 31-bit polynomial
+    * hashes (8 bytes instead of strings through the exchange, and
+    * oracle-reproducible); at 100 TB cap ultra-common shingles by
+    * document frequency before the self-join (a stopword 3-gram appearing
+    * in every source contributes nothing to the audit but dominates the
+    * join). This is the exact counterpart of the MinHash sketch estimate
+    * (MinHashSketchAgg / q37): run the sketch corpus-wide, this audit on
+    * the flagged pairs. */
+  /** Combine a k-window of 31-bit token hashes into one 40-bit shingle
+    * fingerprint: fold with (acc·A + h) mod 2^40, A = 1000003 (every
+    * intermediate < 2^61 — BIGINT-reproducible). Shingle IDENTITY is what
+    * the audit needs, not the shingle string: deriving it arithmetically
+    * from a materialized token-hash array skips building every k-word
+    * string and re-folding its characters (measured ~2× on the whole
+    * query). Fewer than k tokens → one whole-doc fingerprint; none →
+    * empty (mirrors wordShinglesFrom). */
+  private def shingleFpsFromTokenHashes(th: Column, k: Int): Column = {
+    def fold(win: Column): Column =
+      aggregate(win, lit(0L), (acc, h) => (acc * 1000003L + h) % HashMod)
+    when(size(th) >= k,
+      transform(sequence(lit(1), size(th) - lit(k - 1)),
+        i => fold(slice(th, i, lit(k)))))
+      .when(size(th) > 0, array(fold(th)))
+      .otherwise(array().cast("array<long>"))
+  }
+
+  def sourceShingleOverlap(df: DataFrame, textCol: String, srcCol: String,
+      shingleSize: Int): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val toks = df.select(col(srcCol).as("source"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .repartition(parts)
+    val tokHashed = toks.select(col("source"),
+      transform(col("toks"), t => TextFunctions.polyHash(t, 1L << 31)).as("th"))
+    val hashed = tokHashed.select(col("source"),
+      array_distinct(shingleFpsFromTokenHashes(col("th"), shingleSize)).as("hs"))
+    val postings = hashed.select(col("source"), explode(col("hs")).as("h"))
+
+    // Source-bitmask aggregation: with ≤ 64 sources (an audit runs over
+    // NAMED sources — crawls, dumps, benchmark sets), each shingle hash
+    // reduces to one long: bit_or of the owning sources' bits. bit_or is
+    // idempotent, so duplicate (source, shingle) postings need no
+    // distinct; the partial aggregate is a codegen'd long OR, so the one
+    // exchange carries |distinct shingles| longs. Everything after —
+    // count per distinct mask, then resolving masks against the ≤
+    // n·(n−1)/2 broadcast pair list — is tiny. (More than 64 sources:
+    // run per 64-source block, or widen to an array of mask words.)
+    val spark = df.sparkSession
+    val srcs = df.select(col(srcCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    require(srcs.length <= 64,
+      s"sourceShingleOverlap bitmask path supports ≤ 64 sources, got ${srcs.length}")
+    val bitCol = srcs.zipWithIndex.foldLeft(lit(0L)) { case (acc, (s, i)) =>
+      when(col("source") === s, lit(1L << i)).otherwise(acc)
+    }
+    val maskCnt = postings.groupBy(col("h")).agg(bit_or(bitCol).as("m"))
+      .groupBy(col("m")).agg(count(lit(1)).as("cnt"))
+
+    import spark.implicits._
+    val pairsDf = (for {
+      i <- srcs.indices; j <- (i + 1) until srcs.length
+    } yield (srcs(i), srcs(j), 1L << i, 1L << j)).toDF("src_a", "src_b", "ba", "bb")
+    val srcDf = srcs.zipWithIndex.toSeq
+      .map { case (s, i) => (s, 1L << i) }.toDF("src", "b")
+
+    val co = maskCnt.crossJoin(broadcast(pairsDf))
+      .where((col("m").bitwiseAND(col("ba")) =!= 0) &&
+        (col("m").bitwiseAND(col("bb")) =!= 0))
+      .groupBy(col("src_a"), col("src_b")).agg(sum(col("cnt")).as("n_shared"))
+    val sizes = maskCnt.crossJoin(broadcast(srcDf))
+      .where(col("m").bitwiseAND(col("b")) =!= 0)
+      .groupBy(col("src")).agg(sum(col("cnt")).as("n"))
+
+    co.join(sizes.select(col("src").as("src_a"), col("n").as("na")), "src_a")
+      .join(sizes.select(col("src").as("src_b"), col("n").as("nb")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("na") + col("nb") - col("n_shared")), 4).as("jaccard"))
+  }
+
   // ---- MinHash + LSH ------------------------------------------------
 
   final case class MinHashConfig(numHashes: Int = 64, shingleSize: Int = 3,

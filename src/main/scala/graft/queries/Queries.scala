@@ -568,9 +568,62 @@ object Queries {
       "vec_id", "embedding", k = 10, nProbe = 4)
   }
 
+  /** Cross-source 3-gram contamination audit: exact shared-shingle
+    * counts and Jaccard per source pair (the precise counterpart of
+    * q37's sketch estimate — sketch corpus-wide, audit flagged pairs). */
+  def q39Contamination(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.sourceShingleOverlap(tbl(spark, dir, "documents"),
+      "text", "source", shingleSize = 3)
+
+  /** Within-document repetition stats (Gopher-style repeated-bigram
+    * filter): duplicate-2-gram fraction in floor-scaled basis points. */
+  def q40Repetition(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextFunctions._
+    val staged = tbl(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), wordShinglesFrom(col("toks"), 2).as("sh"))
+    staged.select(col("doc_id"),
+      size(col("sh")).as("n_2grams"),
+      size(array_distinct(col("sh"))).as("n_distinct_2grams"),
+      repetitionBpFrom(col("sh")).as("rep_bp"))
+  }
+
+  /** PII detect + redact. This corpus carries no PII, so the query
+    * deterministically injects a synthetic email/phone/IP per document
+    * first — the detector and redactor then run on real expressions over
+    * real data, and the redacted text is fingerprinted so the oracle
+    * verifies the rewrite, not just the counts. */
+  def q41PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.{Redact, TextFunctions}
+    val injected = tbl(spark, dir, "documents").select(col("doc_id"),
+      concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.org or 555-0199-2233 from 10.0.81.7")).as("t"))
+    injected.select(col("doc_id"),
+      Redact.emailCount(col("t")).as("n_emails"),
+      Redact.phoneCount(col("t")).as("n_phones"),
+      Redact.ipv4Count(col("t")).as("n_ips"),
+      TextFunctions.fingerprint(Redact.redact(col("t"))).as("redacted_fp"))
+  }
+
+  /** Deterministic hash sampling at 25%: membership is a pure function
+    * of the key, reproducible across engines/retries/cluster sizes —
+    * the training-subset selection that never drifts between runs. */
+  def q42DeterministicSample(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.ScaleOps.deterministicSampleBp(
+      tbl(spark, dir, "documents").select(col("doc_id"), col("source")),
+      "doc_id", rateBp = 2500)
+
   // =================================================================
   // generated oracle fragments (reproducible-hash pipelines)
   // =================================================================
+
+  /** DuckDB fragment: k-word shingles of a token-list expr `ts` —
+    * TextFunctions.wordShinglesFrom's semantics (fewer than k tokens →
+    * one whole-text shingle; no tokens → empty list). */
+  private def duckShingles(ts: String, k: Int): String =
+    s"""CASE WHEN len($ts) >= $k THEN list_transform(range(1, len($ts) - ${k - 2}), i -> array_to_string($ts[i:i+${k - 1}], ' '))
+       |         WHEN len($ts) > 0 THEN [array_to_string($ts, ' ')]
+       |         ELSE []::VARCHAR[] END""".stripMargin
 
   /** DuckDB fragment: sequential-accumulation double dot product of two
     * float-list expressions — bit-identical to FloatVectorDot. */
@@ -643,10 +696,7 @@ object Queries {
        |  SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), t -> t != '') AS ts
        |  FROM documents),
        |shingled AS (
-       |  SELECT doc_id, list_distinct(
-       |    CASE WHEN len(ts) >= 3 THEN list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' '))
-       |         WHEN len(ts) > 0 THEN [array_to_string(ts, ' ')]
-       |         ELSE []::VARCHAR[] END) AS shingles
+       |  SELECT doc_id, list_distinct(${duckShingles("ts", 3)}) AS shingles
        |  FROM toks),
        |hashed AS (
        |  SELECT doc_id, shingles, list_transform(shingles, s -> ${duckPolyHash("s", 1L << 31)}) AS shs
@@ -767,6 +817,81 @@ object Queries {
        |FROM f""".stripMargin
   }
 
+  /** q39 oracle: the contamination audit — token hashes, arithmetic
+    * 3-gram fingerprints, distinct (source, fp) postings, co-occurrence
+    * counts, exact Jaccard. */
+  private lazy val q39Oracle: String = {
+    def fold(win: String) =
+      s"list_reduce(list_prepend(0::BIGINT, $win), (acc, h) -> (acc * 1000003 + h) % $Mod40)"
+    s"""WITH toks AS (
+       |  SELECT source, list_filter(string_split(lower(trim(text)), ' '), t -> t != '') AS ts
+       |  FROM documents),
+       |th AS (
+       |  SELECT source, list_transform(ts, tok -> ${duckPolyHash("tok", 1L << 31)}) AS th
+       |  FROM toks),
+       |sh AS (
+       |  SELECT source, unnest(list_distinct(
+       |    CASE WHEN len(th) >= 3 THEN list_transform(range(1, len(th) - 1), i -> ${fold("th[i:i+2]")})
+       |         WHEN len(th) > 0 THEN [${fold("th")}]
+       |         ELSE []::BIGINT[] END)) AS h
+       |  FROM th),
+       |p AS (
+       |  SELECT DISTINCT source, h FROM sh),
+       |sizes AS (SELECT source, count(*) AS n FROM p GROUP BY source),
+       |co AS (
+       |  SELECT x.source AS src_a, y.source AS src_b, count(*) AS n_shared
+       |  FROM p x JOIN p y ON x.h = y.h AND x.source < y.source
+       |  GROUP BY 1, 2)
+       |SELECT co.src_a, co.src_b, co.n_shared::BIGINT AS n_shared,
+       |  round(co.n_shared::DOUBLE / (a.n + b.n - co.n_shared), 4) AS jaccard
+       |FROM co JOIN sizes a ON a.source = co.src_a JOIN sizes b ON b.source = co.src_b""".stripMargin
+  }
+
+  /** q40 oracle: repeated-bigram stats with the same shingle semantics
+    * and floor-scaled basis points. */
+  private lazy val q40Oracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), t -> t != '') AS ts
+       |  FROM documents),
+       |sh AS (SELECT doc_id, ${duckShingles("ts", 2)} AS s FROM toks)
+       |SELECT doc_id, len(s) AS n_2grams, len(list_distinct(s)) AS n_distinct_2grams,
+       |  CASE WHEN len(s) > 0
+       |       THEN floor((len(s) - len(list_distinct(s))) * 10000.0 / len(s))::BIGINT
+       |       ELSE 0 END AS rep_bp
+       |FROM sh""".stripMargin
+
+  /** q41 oracle: same deterministic PII injection, same RE2-compatible
+    * patterns, and the polynomial fingerprint of the redacted text. */
+  private lazy val q41Oracle: String = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\\b"
+    val ipv4 = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    s"""WITH inj AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.org or 555-0199-2233 from 10.0.81.7' AS t
+       |  FROM documents),
+       |red AS (
+       |  SELECT doc_id, t,
+       |    regexp_replace(regexp_replace(regexp_replace(t,
+       |      '$email', '[PII]', 'g'),
+       |      '$phone', '[PII]', 'g'),
+       |      '$ipv4', '[PII]', 'g') AS rt
+       |  FROM inj)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(t, '$email')) AS n_emails,
+       |  len(regexp_extract_all(t, '$phone')) AS n_phones,
+       |  len(regexp_extract_all(t, '$ipv4')) AS n_ips,
+       |  ${duckPolyHash("replace(lower(trim(rt)), ' ', '')", 1L << 40)} AS redacted_fp
+       |FROM red""".stripMargin
+  }
+
+  /** q42 oracle: the same affine-spread polynomial key hash drives
+    * membership (see ScaleOps.sampleBucket). */
+  private lazy val q42Oracle: String =
+    s"""SELECT doc_id, source FROM documents
+       |WHERE ((10368889 * ${duckPolyHash("CAST(doc_id AS VARCHAR)", 1L << 31)} + 8342140)
+       |  % ${1L << 31}) % 10000 < 2500""".stripMargin
+
   /** q37 oracle: the group-level MinHash sketch as 64 generated min()
     * aggregates over reproducible token hashes, then pairwise signature
     * agreement — verifying the UDAF's sketches value-for-value. */
@@ -831,7 +956,11 @@ object Queries {
     "q35_json_extract" -> (q35JsonExtract _),
     "q36_approx_distinct" -> (q36ApproxDistinct _),
     "q37_source_similarity" -> (q37SourceSimilarity _),
-    "q38_ivf_topk" -> (q38IvfTopK _))
+    "q38_ivf_topk" -> (q38IvfTopK _),
+    "q39_contamination" -> (q39Contamination _),
+    "q40_repetition" -> (q40Repetition _),
+    "q41_pii_redact" -> (q41PiiRedact _),
+    "q42_deterministic_sample" -> (q42DeterministicSample _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -956,6 +1085,10 @@ object Queries {
     "q30_lsh_embedding" -> q30Oracle,
     "q31_multimodal_features" -> q31Oracle,
     "q38_ivf_topk" -> q38Oracle,
+    "q39_contamination" -> q39Oracle,
+    "q40_repetition" -> q40Oracle,
+    "q41_pii_redact" -> q41Oracle,
+    "q42_deterministic_sample" -> q42Oracle,
     "q37_source_similarity" -> q37Oracle,
     "q20_exact_dedup" ->
       """SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_distinct_texts

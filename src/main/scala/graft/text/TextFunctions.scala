@@ -45,6 +45,16 @@ object TextFunctions {
   def wordShingles(text: Column, k: Int): Column =
     wordShinglesFrom(tokens(text), k)
 
+  /** Duplicate-k-gram fraction (Gopher-style repetition filter) in
+    * floor-scaled basis points, from a *materialized* shingles column —
+    * 10000·(1 − distinct/total). floor over small rationals avoids the
+    * cross-engine round-half knife edge (see q26). */
+  def repetitionBpFrom(shingles: Column): Column =
+    when(size(shingles) > 0,
+      floor((size(shingles) - size(array_distinct(shingles))) * lit(10000.0) /
+        size(shingles)).cast("long"))
+      .otherwise(0L)
+
   /** A small English stopword list (quality scoring + language markers). */
   val EnglishStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "for", "on", "with")
@@ -145,12 +155,18 @@ object TextFunctions {
     * MinHash/SimHash/sketch gate queries carry full DuckDB oracles
     * (xxhash64 has no cross-engine equivalent). DuckDB form:
     * list_reduce(list_prepend(0, list_transform(string_split(s, ''),
-    * ascii)), (acc, c) -> (acc * 31 + c) % mod). Costs one arithmetic op
-    * per character instead of xxhash64's native block loop — measured
-    * immaterial next to the candidate joins it feeds; a deployment that
-    * doesn't need cross-engine verification can swap xxhash64 back in
-    * (only bucket assignment changes, not semantics). */
-  def polyHash(s: Column, mod: Long): Column = {
+    * ascii)), (acc, c) -> (acc * 31 + c) % mod). Runs as the codegen'd
+    * [[graft.functions.PolyHash]] expression — one fused code-point loop;
+    * the interpreted HOF form below is kept as the parity reference.
+    * A deployment that doesn't need cross-engine verification can swap
+    * xxhash64 back in (only bucket assignment changes, not semantics). */
+  def polyHash(s: Column, mod: Long): Column =
+    graft.functions.PolyHash.polyHash(s, mod)
+
+  /** The higher-order-function reference formulation (interpreted;
+    * allocates one single-char string per input char). PolyHashSpec
+    * asserts bit parity with the fused expression. */
+  def polyHashHof(s: Column, mod: Long): Column = {
     require(mod <= (1L << 48), s"polyHash mod $mod risks Long overflow")
     aggregate(
       transform(split(s, ""), ch => ascii(ch).cast("long")),

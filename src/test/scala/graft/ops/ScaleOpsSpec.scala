@@ -130,4 +130,30 @@ class ScaleOpsSpec extends SparkSpec {
       assert(math.abs(est - exact) <= 0.2, s"$x vs $y: est=$est exact=$exact")
     }
   }
+
+  test("deterministic sampling: on-rate, repeatable, nested, stratified") {
+    val docs = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.01", "documents")
+      .select($"doc_id", $"source")
+    val n = docs.count().toDouble
+    val s25 = ScaleOps.deterministicSampleBp(docs, "doc_id", 2500)
+    val kept = s25.select("doc_id").as[Long].collect().toSet
+    // on-rate within a loose binomial bound
+    assert(math.abs(kept.size / n - 0.25) < 0.07, s"off-rate: ${kept.size / n}")
+    // repeatable: identical membership on re-evaluation
+    assert(ScaleOps.deterministicSampleBp(docs, "doc_id", 2500)
+      .select("doc_id").as[Long].collect().toSet == kept)
+    // nested: a lower rate is a subset of a higher rate (bucket < r)
+    val s10 = ScaleOps.deterministicSampleBp(docs, "doc_id", 1000)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s10.subsetOf(kept))
+    // stratified: listed stratum gets its own rate, others the default
+    val srcs = docs.select("source").distinct().as[String].collect().sorted
+    val boosted = srcs.head
+    val strat = ScaleOps.stratifiedSampleBp(docs, "doc_id", "source",
+      Map(boosted -> 10000), defaultBp = 0)
+    val bySrc = strat.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.keySet == Set(boosted)) // default 0 drops everything else
+    assert(bySrc(boosted) == docs.where($"source" === boosted).count())
+  }
 }
