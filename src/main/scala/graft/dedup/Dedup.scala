@@ -182,6 +182,89 @@ object Dedup {
           (col("na") + col("nb") - col("n_shared")), 4).as("jaccard"))
   }
 
+  /** Connected components over an undirected near-dup pair list —
+    * the clustering step that turns pairwise similarity output into
+    * dedup groups (canonical id = min id per component). Iterative
+    * min-label propagation: each round, every node takes the minimum of
+    * its own and its neighbors' labels; converged when a round changes
+    * nothing. Rounds needed = graph diameter — near-dup components are
+    * shallow (dups of dups of one original), so the loop is short; each
+    * round is one equi-join + groupBy min, label frames are
+    * `localCheckpoint`ed to cut lineage growth, and the driver only ever
+    * sees a change COUNT, never data. At extreme diameters the
+    * alternating large-star/small-star formulation (O(log n) rounds)
+    * would replace the per-hop loop; not needed for dedup graphs.
+    *
+    * Returns (id, component) for every id appearing in `pairs`. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+    val und = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint()
+    var labels = und.select(col("u")).distinct()
+      .withColumn("label", col("u")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbr = und.join(labels.select(col("u").as("v"), col("label")), "v")
+        .groupBy(col("u")).agg(min(col("label")).as("nl"))
+      val hop = labels.join(nbr, Seq("u"), "left")
+        .select(col("u"), col("label").as("old"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("l1"))
+      // Pointer jumping: also take the label OF the label (every label is
+      // itself a node with an entry), so label information travels 2^k
+      // hops after k rounds — convergence in O(log diameter) rounds
+      // instead of O(diameter), which is what bounds the driver loop.
+      val jumped = hop.join(
+          hop.select(col("u").as("l1"), col("l1").as("ll")), Seq("l1"), "left")
+        .select(col("u"), col("old"),
+          least(col("l1"), coalesce(col("ll"), col("l1"))).as("label"))
+        .localCheckpoint()
+      val changes = jumped.where(col("label") =!= col("old")).count()
+      labels = jumped.select(col("u"), col("label"))
+      converged = changes == 0
+      i += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds " +
+      "(diameter exceeds the bound — raise maxIter or use star-contraction)")
+    labels.select(col("u").as("id"), col("label").as("component"))
+  }
+
+  /** Connected components when every edge lives inside a blocking key
+    * (near-dup pairs from a blocked generator never span blocks): one
+    * shuffle on the block, then an in-memory union-find per block —
+    * no driver-side iteration at all. Correct whenever a block's edge
+    * list fits an executor (blocks are bounded by construction in
+    * blocked dedup); DedupSpec asserts equality with the iterative
+    * formulation. Output (id, component), component = min member id. */
+  def connectedComponentsWithin(pairs: DataFrame, aCol: String, bCol: String,
+      blockCol: String): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs.select(col(blockCol).cast("string").as("blk"),
+        col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (_, u, v) =>
+          parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)
+          val (ru, rv) = (find(u), find(v))
+          if (ru != rv) parent(if (ru < rv) rv else ru) = math.min(ru, rv)
+        }
+        // roots carry the min id already (union always points to the min)
+        parent.keysIterator.map(id => (id, find(id)))
+      }
+      .toDF("id", "component")
+  }
+
   // ---- MinHash + LSH ------------------------------------------------
 
   final case class MinHashConfig(numHashes: Int = 64, shingleSize: Int = 3,

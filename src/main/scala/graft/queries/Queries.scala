@@ -613,6 +613,23 @@ object Queries {
       tbl(spark, dir, "documents").select(col("doc_id"), col("source")),
       "doc_id", rateBp = 2500)
 
+  /** Dedup clustering: connected components over the q21 near-dup pairs
+    * (Jaccard ≥ 0.8 within source blocks) — every clustered doc mapped to
+    * its canonical (minimum) doc id. The step that turns pairwise
+    * similarity into "keep one per group" at corpus scale. Pairs are
+    * block-local by construction, so the per-block union-find runs in
+    * one shuffle with no driver iteration (the generic iterative
+    * formulation exists for unblocked graphs; DedupSpec proves them
+    * equal). */
+  def q43DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = q21JaccardNearDup(spark, dir)
+    val src = tbl(spark, dir, "documents")
+      .select(col("doc_id").as("id_a"), col("source"))
+    graft.dedup.Dedup.connectedComponentsWithin(
+        pairs.join(broadcast(src), "id_a"), "id_a", "id_b", "source")
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+  }
+
   // =================================================================
   // generated oracle fragments (reproducible-hash pipelines)
   // =================================================================
@@ -892,6 +909,27 @@ object Queries {
        |WHERE ((10368889 * ${duckPolyHash("CAST(doc_id AS VARCHAR)", 1L << 31)} + 8342140)
        |  % ${1L << 31}) % 10000 < 2500""".stripMargin
 
+  /** q43 oracle: connected components as a recursive transitive-closure
+    * CTE over the q21 pair set (string shingles on the oracle side, the
+    * collision-free-verified hashed sets on the Spark side — same
+    * pairs), min reachable id per node. */
+  private lazy val q43Oracle: String =
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, source,
+       |         list_distinct(list_filter(string_split(lower(trim(text)), ' '), x -> x != '')) AS ws
+       |  FROM documents),
+       |e AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.ws, b.ws))::DOUBLE /
+       |        (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.8),
+       |und AS (SELECT id_a AS u, id_b AS v FROM e UNION SELECT id_b, id_a FROM e),
+       |reach AS (
+       |  SELECT u, u AS label FROM (SELECT DISTINCT u FROM und) t
+       |  UNION
+       |  SELECT und.u, r.label FROM und JOIN reach r ON und.v = r.u)
+       |SELECT u AS doc_id, min(label)::BIGINT AS cluster_id FROM reach GROUP BY u""".stripMargin
+
   /** q37 oracle: the group-level MinHash sketch as 64 generated min()
     * aggregates over reproducible token hashes, then pairwise signature
     * agreement — verifying the UDAF's sketches value-for-value. */
@@ -960,7 +998,8 @@ object Queries {
     "q39_contamination" -> (q39Contamination _),
     "q40_repetition" -> (q40Repetition _),
     "q41_pii_redact" -> (q41PiiRedact _),
-    "q42_deterministic_sample" -> (q42DeterministicSample _))
+    "q42_deterministic_sample" -> (q42DeterministicSample _),
+    "q43_dedup_clusters" -> (q43DedupClusters _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1089,6 +1128,7 @@ object Queries {
     "q40_repetition" -> q40Oracle,
     "q41_pii_redact" -> q41Oracle,
     "q42_deterministic_sample" -> q42Oracle,
+    "q43_dedup_clusters" -> q43Oracle,
     "q37_source_similarity" -> q37Oracle,
     "q20_exact_dedup" ->
       """SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_distinct_texts

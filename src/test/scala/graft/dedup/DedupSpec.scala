@@ -72,4 +72,33 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((0L, 3L)))
   }
+
+  test("connected components: chains merge, disjoint stay apart, singletons keep own label") {
+    // 1-2-3-4 is a path (diameter 3: label must propagate multiple hops),
+    // 10-11 a separate component, 20-21-22 a triangle
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+        (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // clustering the real q21 pairs: every member maps into its own pair
+    // set's minimum, and cluster ids are always cluster members
+    val real = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "documents")
+    val realPairs = Dedup.jaccardPairs(real, "doc_id", "text", "source",
+      shingleSize = 1, threshold = 0.8, hashShingles = true)
+    val cc = Dedup.connectedComponents(realPairs, "id_a", "id_b")
+    val byComp = cc.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(byComp.nonEmpty)
+    val members = byComp.map(_._1).toSet
+    assert(byComp.forall { case (id, comp) => comp <= id && members.contains(comp) })
+    // the per-block union-find formulation produces the identical map
+    // (q21 pairs never span blocks)
+    val src = real.select($"doc_id".as("id_a"), $"source")
+    val blocked = Dedup.connectedComponentsWithin(
+        realPairs.join(src, "id_a"), "id_a", "id_b", "source")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(blocked == byComp.toMap)
+  }
 }
