@@ -630,6 +630,12 @@ object Queries {
       .select(col("id").as("doc_id"), col("component").as("cluster_id"))
   }
 
+  /** TF-IDF top-5 distinctive terms per source (floor-scaled integer
+    * score → total deterministic ranking; see CorpusStats). */
+  def q44TfidfTerms(spark: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusStats.tfIdfTopTerms(
+      tbl(spark, dir, "documents"), "text", "source", k = 5)
+
   // =================================================================
   // generated oracle fragments (reproducible-hash pipelines)
   // =================================================================
@@ -930,6 +936,25 @@ object Queries {
        |  SELECT und.u, r.label FROM und JOIN reach r ON und.v = r.u)
        |SELECT u AS doc_id, min(label)::BIGINT AS cluster_id FROM reach GROUP BY u""".stripMargin
 
+  /** q44 oracle: same tf/df/N aggregation, same floor-scaled score and
+    * (score desc, token asc) ranking. */
+  private lazy val q44Oracle: String =
+    s"""WITH tok AS (
+       |  SELECT source, unnest(list_filter(string_split(lower(trim(text)), ' '), t -> t != '')) AS tok
+       |  FROM documents),
+       |tf AS (SELECT source, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(DISTINCT source) AS n FROM documents),
+       |s AS (
+       |  SELECT tf.source, tf.tok, tf.tf,
+       |    (tf.tf * floor(1000 * ln(n.n::DOUBLE / df.df))::BIGINT) AS score
+       |  FROM tf JOIN df USING (tok) CROSS JOIN n)
+       |SELECT source, rank, tok AS term, tf, score FROM (
+       |  SELECT source, tok, tf, score,
+       |    row_number() OVER (PARTITION BY source ORDER BY score DESC, tok) AS rank
+       |  FROM s) t
+       |WHERE rank <= 5""".stripMargin
+
   /** q37 oracle: the group-level MinHash sketch as 64 generated min()
     * aggregates over reproducible token hashes, then pairwise signature
     * agreement — verifying the UDAF's sketches value-for-value. */
@@ -999,7 +1024,8 @@ object Queries {
     "q40_repetition" -> (q40Repetition _),
     "q41_pii_redact" -> (q41PiiRedact _),
     "q42_deterministic_sample" -> (q42DeterministicSample _),
-    "q43_dedup_clusters" -> (q43DedupClusters _))
+    "q43_dedup_clusters" -> (q43DedupClusters _),
+    "q44_tfidf_terms" -> (q44TfidfTerms _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1129,6 +1155,7 @@ object Queries {
     "q41_pii_redact" -> q41Oracle,
     "q42_deterministic_sample" -> q42Oracle,
     "q43_dedup_clusters" -> q43Oracle,
+    "q44_tfidf_terms" -> q44Oracle,
     "q37_source_similarity" -> q37Oracle,
     "q20_exact_dedup" ->
       """SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_distinct_texts
