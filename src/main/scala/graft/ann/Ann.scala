@@ -54,7 +54,10 @@ object Ann {
       .repartition(parts)
     val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
     a.crossJoin(broadcast(b)).where(col("id_a") < col("id_b"))
-      .withColumn("cos", round(dot(col("v_a"), col("v_b")), 3))
+      .withColumn("cos",
+        // fenced: keeps the threshold filter referencing the computed
+        // attribute instead of a second inlined dot product (functions.Fence)
+        graft.functions.Fence.fence(round(dot(col("v_a"), col("v_b")), 3)))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
@@ -194,7 +197,10 @@ object Ann {
     cand
       .join(checked.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
       .join(checked.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
-      .withColumn("cos", round(dot(col("v_a"), col("v_b")), 3))
+      .withColumn("cos",
+        // fenced: keeps the threshold filter referencing the computed
+        // attribute instead of a second inlined dot product (functions.Fence)
+        graft.functions.Fence.fence(round(dot(col("v_a"), col("v_b")), 3)))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }

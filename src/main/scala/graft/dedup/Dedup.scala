@@ -63,7 +63,10 @@ object Dedup {
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double").as("inter"),
         size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
       .select(col("id_a"), col("id_b"),
-        (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+        // fenced: an unfenced filter on this alias would re-substitute the
+        // set-intersection into a pushed filter copy (functions.Fence)
+        graft.functions.Fence.fence(
+          col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -92,7 +95,10 @@ object Dedup {
     co.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
       .select(col("id_a"), col("id_b"),
-        (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+        // fenced: an unfenced filter on this alias would re-substitute the
+        // set-intersection into a pushed filter copy (functions.Fence)
+        graft.functions.Fence.fence(
+          col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -363,7 +369,10 @@ object Dedup {
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double").as("inter"),
         size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
       .select(col("id_a"), col("id_b"),
-        (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+        // fenced: an unfenced filter on this alias would re-substitute the
+        // set-intersection into a pushed filter copy (functions.Fence)
+        graft.functions.Fence.fence(
+          col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }

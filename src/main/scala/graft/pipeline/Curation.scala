@@ -1,0 +1,135 @@
+package graft.pipeline
+
+import graft.dedup.Dedup
+import graft.ops.ScaleOps
+import graft.text.{Redact, TextFunctions}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus curation: the engine's training-data
+  * operators composed into one deterministic pipeline —
+  *
+  *   quality gate → PII redaction → exact dedup → near-dup dedup
+  *   (MinHash-LSH pairs → connected components → keep canonical) →
+  *   eval-contamination removal → deterministic sampling
+  *
+  * Scale shape: stages 1–2 are ONE scan (all text statistics are
+  * per-row column expressions); exact dedup is one window over a text
+  * shuffle; near-dup dedup reuses the LSH candidate discipline; the
+  * contamination stage is a left-anti join on 40-bit fingerprints
+  * (broadcast when the eval set is small — it always is); sampling is a
+  * pure filter. Every stage is a deterministic function of the input,
+  * so retries, resumes and engine swaps reproduce the same corpus.
+  *
+  * Stage counts cost one action each; pass `countStages = false` to run
+  * the whole pipeline as a single lazy plan when the report isn't
+  * needed.
+  */
+object Curation {
+
+  final case class CurationConfig(
+      minQualityMilli: Long = 400,
+      maxRepetitionBp: Long = 5000,
+      dropLangs: Seq[String] = Seq.empty, // predicted langs to exclude
+      redactPii: Boolean = true,
+      nearDupThreshold: Double = 0.85,
+      sampleBp: Int = 10000)
+
+  final case class CurationReport(
+      input: Long, afterCore: Long, afterNearDup: Long,
+      afterContamination: Long, output: Long)
+
+  /** Stages 1–3 as a single composable frame (quality gate, redaction,
+    * exact dedup) — also the SQL-expressible core that q45 oracles. */
+  def curateCore(docs: DataFrame, cfg: CurationConfig): DataFrame = {
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val ts = TextFunctions.tokens(col("text"))
+    // a single-file scan arrives as ONE partition; without the spread the
+    // whole per-row chain (shingles + three redaction regexes) runs on
+    // one core before the dedup window's exchange (measured 9 s -> ~1 s)
+    val staged = docs.repartition(parts)
+      .select(col("doc_id"), col("source"), col("text"), ts.as("toks"))
+      // staged: repetitionBpFrom references its shingle input twice —
+      // materialize so the shingling runs once per row
+      .withColumn("sh2", TextFunctions.wordShinglesFrom(col("toks"), 2))
+    val n = size(col("toks"))
+    val d = size(array_distinct(col("toks")))
+    val sumLen = aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
+    val qualityMilli = when(n > 0,
+      least(n.cast("long") * 8, lit(400L)) +
+        floor(d * lit(300.0) / n).cast("long") +
+        least(floor(sumLen * lit(75.0) / (n * 2)).cast("long"), lit(300L)))
+      .otherwise(0L)
+    // Fence the gate columns: without it, predicate pushdown substitutes
+    // these aliases into a filter copy at the scan, re-inlining the
+    // token/shingle pipeline ~9× per row interpreted (measured 10×
+    // slower; see functions.Fence).
+    val gated = staged
+      .withColumn("quality_milli", graft.functions.Fence.fence(qualityMilli))
+      .withColumn("rep_bp",
+        graft.functions.Fence.fence(TextFunctions.repetitionBpFrom(col("sh2"))))
+      .where(col("quality_milli") >= cfg.minQualityMilli &&
+        col("rep_bp") <= cfg.maxRepetitionBp)
+    val langFiltered =
+      if (cfg.dropLangs.isEmpty) gated
+      else {
+        val scores = TextFunctions.LangMarkers.map { case (lang, m) =>
+          lang -> TextFunctions.langScoreFrom(col("toks"), m)
+        }
+        gated.withColumn("predicted_lang", TextFunctions.langIdFromScores(scores))
+          .where(!col("predicted_lang").isin(cfg.dropLangs: _*))
+          .drop("predicted_lang")
+      }
+    val redacted =
+      if (cfg.redactPii)
+        langFiltered.withColumn("text", Redact.redact(col("text")))
+      else langFiltered
+    // exact dedup: canonical = min doc_id per identical (redacted) text
+    val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+    redacted
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("doc_id"), col("source"), col("text"))
+  }
+
+  /** The full pipeline. `evalDocs`: a held-out set (benchmark/eval
+    * corpus) whose fingerprints must not appear in the output. */
+  def curate(docs: DataFrame, evalDocs: Option[DataFrame],
+      cfg: CurationConfig = CurationConfig(),
+      countStages: Boolean = true): (DataFrame, Option[CurationReport]) = {
+    def cnt(df: DataFrame): Long = if (countStages) df.count() else -1L
+
+    val input = cnt(docs)
+    val core = curateCore(docs, cfg)
+    val afterCore = cnt(core)
+
+    // near-dup dedup: LSH pairs at the threshold, clusters, keep canonical
+    val pairs = Dedup.minhashNearDupPairs(core, "doc_id", "text", cfg.nearDupThreshold)
+    val dropIds = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .where(col("id") =!= col("component"))
+      .select(col("id").as("doc_id"))
+    val afterNear = core.join(broadcast(dropIds), Seq("doc_id"), "left_anti")
+    val nAfterNear = cnt(afterNear)
+
+    // contamination: drop anything fingerprint-identical to the eval set
+    val clean = evalDocs match {
+      case Some(ev) =>
+        val evFps = ev.select(TextFunctions.fingerprint(col("text")).as("fp")).distinct()
+        afterNear
+          .withColumn("fp", TextFunctions.fingerprint(col("text")))
+          .join(broadcast(evFps), Seq("fp"), "left_anti")
+          .drop("fp")
+      case None => afterNear
+    }
+    val nClean = cnt(clean)
+
+    val sampled = ScaleOps.deterministicSampleBp(clean, "doc_id", cfg.sampleBp)
+    val out = cnt(sampled)
+
+    val report =
+      if (countStages)
+        Some(CurationReport(input, afterCore, nAfterNear, nClean, out))
+      else None
+    (sampled, report)
+  }
+}

@@ -636,6 +636,21 @@ object Queries {
     graft.text.CorpusStats.tfIdfTopTerms(
       tbl(spark, dir, "documents"), "text", "source", k = 5)
 
+  /** Curation core end-to-end (quality gate → repetition filter → PII
+    * redaction → exact dedup), fingerprinting the surviving text so the
+    * oracle verifies the full rewrite chain, not just membership. The
+    * near-dup/contamination/sampling stages compose on top (CurationSpec
+    * exercises the full pipeline; their operators are oracle-checked
+    * individually in q22/q39/q42/q43). */
+  def q45CurationCore(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Curation.curateCore(tbl(spark, dir, "documents"),
+        // 560 sits near this corpus's 10th quality percentile, so the
+        // gate provably rejects rows (an all-pass threshold would let a
+        // broken filter hide behind a green oracle)
+        graft.pipeline.Curation.CurationConfig(minQualityMilli = 560))
+      .select(col("doc_id"), col("source"),
+        graft.text.TextFunctions.fingerprint(col("text")).as("fp40"))
+
   // =================================================================
   // generated oracle fragments (reproducible-hash pipelines)
   // =================================================================
@@ -955,6 +970,46 @@ object Queries {
        |  FROM s) t
        |WHERE rank <= 5""".stripMargin
 
+  /** q45 oracle: the curation core in SQL — same quality formula,
+    * repetition filter, redaction chain, keep-min exact dedup, and the
+    * polynomial fingerprint of the surviving text. */
+  private lazy val q45Oracle: String = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\\b"
+    val ipv4 = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    s"""WITH t AS (
+       |  SELECT doc_id, source, text,
+       |    list_filter(string_split(lower(trim(text)), ' '), x -> x != '') AS toks
+       |  FROM documents),
+       |sh AS (SELECT doc_id, source, text, toks, ${duckShingles("toks", 2)} AS s2 FROM t),
+       |q AS (
+       |  SELECT doc_id, source, text,
+       |    CASE WHEN len(toks) > 0 THEN
+       |      least(len(toks)::BIGINT * 8, 400)
+       |      + floor(len(list_distinct(toks)) * 300.0 / len(toks))::BIGINT
+       |      + least(floor(list_sum(list_transform(toks, x -> length(x))) * 75.0
+       |          / (len(toks) * 2))::BIGINT, 300)
+       |      ELSE 0 END AS qm,
+       |    CASE WHEN len(s2) > 0
+       |         THEN floor((len(s2) - len(list_distinct(s2))) * 10000.0 / len(s2))::BIGINT
+       |         ELSE 0 END AS rep_bp
+       |  FROM sh),
+       |f AS (SELECT doc_id, source, text FROM q WHERE qm >= 560 AND rep_bp <= 5000),
+       |r AS (
+       |  SELECT doc_id, source,
+       |    regexp_replace(regexp_replace(regexp_replace(text,
+       |      '$email', '[PII]', 'g'),
+       |      '$phone', '[PII]', 'g'),
+       |      '$ipv4', '[PII]', 'g') AS text
+       |  FROM f),
+       |d AS (
+       |  SELECT doc_id, source, text,
+       |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+       |  FROM r)
+       |SELECT doc_id, source, ${duckPolyHash("replace(lower(trim(text)), ' ', '')", 1L << 40)} AS fp40
+       |FROM d WHERE rn = 1""".stripMargin
+  }
+
   /** q37 oracle: the group-level MinHash sketch as 64 generated min()
     * aggregates over reproducible token hashes, then pairwise signature
     * agreement — verifying the UDAF's sketches value-for-value. */
@@ -1025,7 +1080,8 @@ object Queries {
     "q41_pii_redact" -> (q41PiiRedact _),
     "q42_deterministic_sample" -> (q42DeterministicSample _),
     "q43_dedup_clusters" -> (q43DedupClusters _),
-    "q44_tfidf_terms" -> (q44TfidfTerms _))
+    "q44_tfidf_terms" -> (q44TfidfTerms _),
+    "q45_curation_core" -> (q45CurationCore _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1156,6 +1212,7 @@ object Queries {
     "q42_deterministic_sample" -> q42Oracle,
     "q43_dedup_clusters" -> q43Oracle,
     "q44_tfidf_terms" -> q44Oracle,
+    "q45_curation_core" -> q45Oracle,
     "q37_source_similarity" -> q37Oracle,
     "q20_exact_dedup" ->
       """SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_distinct_texts
