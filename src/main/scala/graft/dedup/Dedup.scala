@@ -416,13 +416,13 @@ object Dedup {
     Mix48Muls.foldLeft(xs(h0))((h, a) => xs(mul(h, a)))
   }
 
-  private def splitMul48(h: Column, a: Long): Column = {
+  private[graft] def splitMul48(h: Column, a: Long): Column = {
     val m24 = 1L << 24
     (((lit(a) * shiftrightunsigned(h, 24)) % m24) * m24 +
       lit(a) * h.bitwiseAND(lit(m24 - 1))) % (1L << SimHashBits)
   }
 
-  private def xorShift48(h: Column): Column =
+  private[graft] def xorShift48(h: Column): Column =
     h.bitwiseXOR(shiftrightunsigned(h, Mix48Shift))
 
   /** 48-bit positive token hashes — polynomial char-fold + avalanche so

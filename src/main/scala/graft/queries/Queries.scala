@@ -651,6 +651,14 @@ object Queries {
       .select(col("doc_id"), col("source"),
         graft.text.TextFunctions.fingerprint(col("text")).as("fp40"))
 
+  /** Reproducible-HLL registers over l_orderkey: the sketch itself as a
+    * relational result, hash-checked register by register (q36 keeps the
+    * engine-native approx_count_distinct as the rows-only option; the
+    * estimate-vs-exact bound lives in HllSpec). */
+  def q46HllRegisters(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.Hll.registers(
+      tbl(spark, dir, "lineitem").select(col("l_orderkey")), "l_orderkey")
+
   // =================================================================
   // generated oracle fragments (reproducible-hash pipelines)
   // =================================================================
@@ -1010,6 +1018,34 @@ object Queries {
        |FROM d WHERE rn = 1""".stripMargin
   }
 
+  /** q46 oracle: poly hash → scalar avalanche chain (lateral aliases) →
+    * bucket/rho → max per bucket. DISTINCT first is an oracle-side
+    * shortcut only — duplicates collapse in the max either way. */
+  private lazy val q46Oracle: String = {
+    val sh = graft.dedup.Dedup.Mix48Shift
+    val mixCols = {
+      var cur = "h"; var i = 0
+      val sb = new StringBuilder
+      def xs(): Unit = {
+        i += 1; sb.append(s",\n    xor($cur, $cur >> $sh) AS h$i"); cur = s"h$i"
+      }
+      def mul(a: Long): Unit = {
+        i += 1
+        sb.append(s",\n    ((($a * ($cur >> 24)) % 16777216) * 16777216 + " +
+          s"$a * ($cur & 16777215)) % ${1L << 48} AS h$i")
+        cur = s"h$i"
+      }
+      xs(); graft.dedup.Dedup.Mix48Muls.foreach { a => mul(a); xs() }
+      (sb.toString, cur)
+    }
+    s"""WITH k AS (SELECT DISTINCT l_orderkey FROM lineitem),
+       |h0 AS (SELECT ${duckPolyHash("CAST(l_orderkey AS VARCHAR)", 1L << 48)} AS h FROM k),
+       |mx AS (SELECT h${mixCols._1} FROM h0),
+       |r AS (SELECT ${mixCols._2} & 1023 AS bucket, ${mixCols._2} >> 10 AS v FROM mx)
+       |SELECT bucket, max(CASE WHEN v = 0 THEN 39 ELSE 39 - length(bin(v)) END)::BIGINT AS m_rho
+       |FROM r GROUP BY bucket""".stripMargin
+  }
+
   /** q37 oracle: the group-level MinHash sketch as 64 generated min()
     * aggregates over reproducible token hashes, then pairwise signature
     * agreement — verifying the UDAF's sketches value-for-value. */
@@ -1081,7 +1117,8 @@ object Queries {
     "q42_deterministic_sample" -> (q42DeterministicSample _),
     "q43_dedup_clusters" -> (q43DedupClusters _),
     "q44_tfidf_terms" -> (q44TfidfTerms _),
-    "q45_curation_core" -> (q45CurationCore _))
+    "q45_curation_core" -> (q45CurationCore _),
+    "q46_hll_registers" -> (q46HllRegisters _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1213,6 +1250,7 @@ object Queries {
     "q43_dedup_clusters" -> q43Oracle,
     "q44_tfidf_terms" -> q44Oracle,
     "q45_curation_core" -> q45Oracle,
+    "q46_hll_registers" -> q46Oracle,
     "q37_source_similarity" -> q37Oracle,
     "q20_exact_dedup" ->
       """SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_distinct_texts
