@@ -659,6 +659,28 @@ object Queries {
     graft.functions.Hll.registers(
       tbl(spark, dir, "lineitem").select(col("l_orderkey")), "l_orderkey")
 
+  /** As-of join through the gate: each purchase matched to the user's
+    * most recent click at or before it (attribution), via the union-sort
+    * last-value formulation — linear in |events|, no per-key range
+    * product, hot-key safe (ScaleOps.asofJoinBackward). Clicks are
+    * pre-aggregated to one row per (user, ts) so the at-time tie-break
+    * is total and deterministic. Times are microseconds: the oracle
+    * engine reads the nanos parquet column at µs precision, so both
+    * sides join and emit at µs (integer div — these values exceed 2^53,
+    * double division would corrupt them). */
+  def q47AsofAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts_us").as("p_ts"))
+    val clicks = e.where(col("event_type") === "click")
+      .groupBy(col("user_id").as("c_user"), col("ts_us").as("c_ts"))
+      .agg(max(col("event_id")).as("c_event"))
+    graft.ops.ScaleOps.asofJoinBackward(purchases, clicks,
+        "p_user", "c_user", "p_ts", "c_ts")
+      .select(col("p_id"), col("p_user"), col("p_ts"), col("c_ts"), col("c_event"))
+  }
+
   // =================================================================
   // generated oracle fragments (reproducible-hash pipelines)
   // =================================================================
@@ -1046,6 +1068,34 @@ object Queries {
        |FROM r GROUP BY bucket""".stripMargin
   }
 
+  /** q47 oracle: the same union-sort last-value formulation as a window
+    * (clicks sort before purchases at equal time via the side flag, so
+    * "at or before" includes same-instant clicks). */
+  private lazy val q47Oracle: String =
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS tns, event_type FROM events),
+       |c AS (
+       |  SELECT user_id, tns, max(event_id) AS c_event
+       |  FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+       |u AS (
+       |  SELECT user_id, tns, 1 AS side, event_id AS p_id,
+       |         NULL::BIGINT AS c_tns, NULL::BIGINT AS c_event
+       |  FROM e WHERE event_type = 'purchase'
+       |  UNION ALL
+       |  SELECT user_id, tns, 0 AS side, NULL, tns, c_event FROM c),
+       |w AS (
+       |  SELECT user_id, tns, side, p_id,
+       |    last_value(c_tns IGNORE NULLS) OVER
+       |      (PARTITION BY user_id ORDER BY tns, side
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_c_tns,
+       |    last_value(c_event IGNORE NULLS) OVER
+       |      (PARTITION BY user_id ORDER BY tns, side
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_c_event
+       |  FROM u)
+       |SELECT p_id, user_id AS p_user, tns AS p_ts, last_c_tns AS c_ts,
+       |       last_c_event AS c_event
+       |FROM w WHERE side = 1""".stripMargin
+
   /** q37 oracle: the group-level MinHash sketch as 64 generated min()
     * aggregates over reproducible token hashes, then pairwise signature
     * agreement — verifying the UDAF's sketches value-for-value. */
@@ -1118,7 +1168,8 @@ object Queries {
     "q43_dedup_clusters" -> (q43DedupClusters _),
     "q44_tfidf_terms" -> (q44TfidfTerms _),
     "q45_curation_core" -> (q45CurationCore _),
-    "q46_hll_registers" -> (q46HllRegisters _))
+    "q46_hll_registers" -> (q46HllRegisters _),
+    "q47_asof_attribution" -> (q47AsofAttribution _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1251,6 +1302,7 @@ object Queries {
     "q44_tfidf_terms" -> q44Oracle,
     "q45_curation_core" -> q45Oracle,
     "q46_hll_registers" -> q46Oracle,
+    "q47_asof_attribution" -> q47Oracle,
     "q37_source_similarity" -> q37Oracle,
     "q20_exact_dedup" ->
       """SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_distinct_texts
