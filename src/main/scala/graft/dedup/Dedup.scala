@@ -103,19 +103,6 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** Cross-source n-gram contamination — the train/eval-overlap audit:
-    * for every source pair, the number of distinct k-word shingles both
-    * contain and the exact shingle-set Jaccard. Inverted-index shape:
-    * distinct (source, shingle-hash) postings equi-join on the hash, so
-    * only shingles that actually co-occur ever pair — never a source ×
-    * source × vocabulary product. Shingles travel as 31-bit polynomial
-    * hashes (8 bytes instead of strings through the exchange, and
-    * oracle-reproducible); at 100 TB cap ultra-common shingles by
-    * document frequency before the self-join (a stopword 3-gram appearing
-    * in every source contributes nothing to the audit but dominates the
-    * join). This is the exact counterpart of the MinHash sketch estimate
-    * (MinHashSketchAgg / q37): run the sketch corpus-wide, this audit on
-    * the flagged pairs. */
   /** Combine a k-window of 31-bit token hashes into one 40-bit shingle
     * fingerprint: fold with (acc·A + h) mod 2^40, A = 1000003 (every
     * intermediate < 2^61 — BIGINT-reproducible). Shingle IDENTITY is what
@@ -134,6 +121,12 @@ object Dedup {
       .otherwise(array().cast("array<long>"))
   }
 
+  /** Cross-source n-gram contamination — the train/eval-overlap audit:
+    * for every source pair, the number of distinct k-word shingle
+    * fingerprints both contain and the exact set Jaccard. The exact
+    * counterpart of the MinHash sketch estimate (MinHashSketchAgg /
+    * q37): run the sketch corpus-wide, this audit on flagged pairs. See
+    * the bitmask notes inside for the ≤ 64-source aggregation shape. */
   def sourceShingleOverlap(df: DataFrame, textCol: String, srcCol: String,
       shingleSize: Int): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions

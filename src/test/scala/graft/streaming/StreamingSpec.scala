@@ -33,6 +33,65 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionization equals batch sessionization on real testdata") {
+    // the streaming==batch parity proof: every session the streaming
+    // sessionizer emits over the real events table must match the batch
+    // window formulation (q29's lag→flag→cumsum shape) exactly.
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val gapSec = 1800L
+    // ms granularity on both sides (the streaming state keys on
+    // Timestamp.getTime); one event per (user, ms) keeps ordering total
+    val raw = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "events")
+      .select($"user_id", expr("ts div 1000000").as("tms"), $"value")
+      .groupBy($"user_id", $"tms").agg(sum($"value").as("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+    // batch sessions
+    val w = Window.partitionBy($"user_id").orderBy($"tms")
+    val batch = raw.toSeq.toDF("user_id", "tms", "value")
+      .withColumn("new_sess", when(lag($"tms", 1).over(w).isNull ||
+        $"tms" - lag($"tms", 1).over(w) > gapSec * 1000, 1L).otherwise(0L))
+      .withColumn("sess", sum($"new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"sess")
+      .agg(min($"tms").as("start"), max($"tms").as("end"),
+        count(lit(1)).as("n"), round(sum($"value"), 6).as("v"))
+      .select($"user_id", $"start", $"end", $"n", $"v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+
+    // streaming sessions: feed everything, then a far-future sentinel to
+    // push the watermark past every real session's timeout
+    val input = MemoryStream[Event]
+    val q = sessionize(input.toDS(), gapSeconds = gapSec)
+      .writeStream.format("memory").queryName("sess_parity")
+      .outputMode("append").start()
+    try {
+      input.addData(raw.zipWithIndex.map { case ((u, tms, v), i) =>
+        Event(i.toLong, new Timestamp(tms), u, "e", v)
+      }.toSeq)
+      q.processAllAvailable()
+      val maxT = raw.map(_._2).max
+      input.addData(Event(-1L, new Timestamp(maxT + gapSec * 1000 * 10), -1L, "sentinel", 0.0))
+      q.processAllAvailable()
+      // one more empty-ish nudge so the timed-out state flushes
+      input.addData(Event(-2L, new Timestamp(maxT + gapSec * 1000 * 20), -1L, "sentinel", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("sess_parity")
+        .where($"user_id" >= 0)
+        .select($"user_id", $"session_start", $"session_end", $"n_events",
+          round($"total_value", 6).as("v"))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime,
+          r.getLong(3), r.getDouble(4)))
+        .toSet
+      assert(streamed == batch,
+        s"streaming ${streamed.size} sessions vs batch ${batch.size}; " +
+          s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    } finally q.stop()
+  }
+
   test("sessionization: gap closes a session, emits aggregate") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Event]
