@@ -189,7 +189,10 @@ object Dedup {
     * nothing. Rounds needed = graph diameter — near-dup components are
     * shallow (dups of dups of one original), so the loop is short; each
     * round is one equi-join + groupBy min, label frames are
-    * `localCheckpoint`ed to cut lineage growth, and the driver only ever
+    * `localCheckpoint`ed to cut the otherwise-unbounded lineage growth
+    * (the one place truncation is the point; a production run on a
+    * lossy cluster would use reliable `checkpoint` instead), and the
+    * driver only ever
     * sees a change COUNT, never data. At extreme diameters the
     * alternating large-star/small-star formulation (O(log n) rounds)
     * would replace the per-hop loop; not needed for dedup graphs.
@@ -338,13 +341,15 @@ object Dedup {
       array_distinct(TextFunctions.wordShinglesFrom(col("toks"), cfg.shingleSize)).as("shingles"))
     val hashed = shingled.select(col("id"), col("shingles"),
       shingleHashes(col("shingles")).as("shs"))
-    // Consumed twice (band explode + verification re-join): materialize
-    // so the shingle→hash→signature stage computes and codegen-compiles
-    // once, not per branch. One row per doc: signature (numHashes longs)
-    // + shingle set; MEMORY_AND_DISK spills at scale.
+    // Consumed twice (band explode + verification re-join): persist so
+    // the shingle→hash→signature stage computes and codegen-compiles
+    // once, not per branch. persist (not localCheckpoint) keeps lineage,
+    // so a lost executor block recomputes instead of failing the job.
+    // One row per doc: signature (numHashes longs) + shingle set;
+    // MEMORY_AND_DISK spills at scale.
     val sigs = hashed.select(col("id"), col("shingles"),
       signatureFrom(col("shs"), cfg).as("sig"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col("id"),
       posexplode(bandHashesFrom(col("sig"), cfg)).as(Seq("band", "bhash")))
 
@@ -466,15 +471,16 @@ object Dedup {
     // proportional to the true output size.
     // clusters is consumed by FOUR downstream branches (band explode ×2
     // via the self-join, the two member re-joins, and the intra-pair
-    // expansion). Materialize it once: it is tiny (one row per distinct
+    // expansion). Persist it once: it is tiny (one row per distinct
     // signature — orders of magnitude smaller than the corpus), and
-    // without the checkpoint every branch re-runs the 48-bit majority
-    // vote AND re-compiles its large generated code per plan fragment
+    // without the reuse every branch re-runs the 48-bit majority vote
+    // AND re-compiles its large generated code per plan fragment
     // (measured as the dominant cost at sf0.1: compile-bound, not
-    // data-bound). Deterministic input ⇒ safe to recompute on loss.
+    // data-bound). persist keeps lineage — lost blocks recompute rather
+    // than failing the job the way a truncated localCheckpoint would.
     val clusters = base.groupBy(col("blk"), col("sh"))
       .agg(sort_array(collect_list(col("id"))).as("members"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = clusters.select(col("blk"), col("sh"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("sh"), i * bandBits).bitwiseAND(lit(mask))): _*))

@@ -46,7 +46,8 @@ object Enrichment {
     val cols = ct.columns.toSet
     ct.groupBy(col("conditions_clean").as("condition"))
       .agg(
-        count(col("nct_id")).as("trial_count"),
+        (if (cols("nct_id")) count(col("nct_id"))
+         else count(lit(1))).as("trial_count"),
         (if (cols("enrollment_count")) coalesce(sum(col("enrollment_count")), lit(0.0))
          else lit(0.0)).as("total_enrollment"),
         (if (cols("is_completed")) coalesce(sum(col("is_completed").cast("long")), lit(0L))

@@ -92,13 +92,31 @@ object Lake {
   }
 
   /** Hive-style raw-zone partition path (drug_transformer.py:72-90). */
-  def rawPath(root: String, source: String, date: String): String = {
+  def rawPath(root: String, source: String, date: String,
+      prefix: String = "raw"): String = {
     val Array(y, m, d) = date.split("-")
-    s"$root/raw/$source/year=$y/month=$m/day=$d/data.json"
+    s"$root/$prefix/$source/year=$y/month=$m/day=$d/data.json"
   }
 
-  def processedPath(root: String, date: String, leaf: String): String = {
+  def processedPath(root: String, date: String, leaf: String,
+      prefix: String = "processed"): String = {
     val Array(y, m, d) = date.split("-")
-    s"$root/processed/year=$y/month=$m/day=$d/$leaf"
+    s"$root/$prefix/year=$y/month=$m/day=$d/$leaf"
+  }
+
+  /** Format-dispatched IO so the yaml `storage:` section's formats are
+    * honored without per-format call sites. */
+  def writeAs(df: DataFrame, path: String, format: String): Unit = format match {
+    case "parquet" => writeParquet(df, path)
+    case "json" => writeJson(df, path)
+    case "csv" => writeCsv(df, path)
+    case other => throw new IllegalArgumentException(s"unsupported format '$other'")
+  }
+
+  def readAs(spark: SparkSession, path: String, format: String): DataFrame = format match {
+    case "parquet" => readParquet(spark, path)
+    case "json" => readJson(spark, path)
+    case "csv" => readCsv(spark, path)
+    case other => throw new IllegalArgumentException(s"unsupported format '$other'")
   }
 }

@@ -114,11 +114,21 @@ object ScaleOps {
       leftTime: String, rightTime: String): DataFrame = {
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty, s"column names must be disjoint, overlap: $overlap")
-    val lTagged = left.select(
+    // NULL semantics must match the equi-join formulation this replaces:
+    // a NULL key or time never matches (Window.partitionBy would happily
+    // group NULL keys together), and a NULL-keyed LEFT row still appears
+    // in the output, unmatched.
+    val lNull = left.where(col(leftKey).isNull || col(leftTime).isNull)
+    val lGood = left.where(col(leftKey).isNotNull && col(leftTime).isNotNull)
+    val rGood = right.where(col(rightKey).isNotNull && col(rightTime).isNotNull)
+    val unmatchedNulls = lNull.select(
+      left.columns.map(col).toIndexedSeq ++
+        right.schema.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+    val lTagged = lGood.select(
       col(leftKey).as("__k"), col(leftTime).as("__t"), lit(1).as("__side"),
       struct(left.columns.map(col).toIndexedSeq: _*).as("__l"),
       lit(null).cast(right.schema).as("__r"))
-    val rTagged = right.select(
+    val rTagged = rGood.select(
       col(rightKey).as("__k"), col(rightTime).as("__t"), lit(0).as("__side"),
       lit(null).cast(left.schema).as("__l"),
       struct(right.columns.map(col).toIndexedSeq: _*).as("__r"))
@@ -130,5 +140,6 @@ object ScaleOps {
       .where(col("__side") === 1)
       .select(left.columns.map(c => col("__l").getField(c).as(c)) ++
         right.columns.map(c => col("__last_r").getField(c).as(c)): _*)
+      .unionByName(unmatchedNulls)
   }
 }

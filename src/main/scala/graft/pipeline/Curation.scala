@@ -108,7 +108,10 @@ object Curation {
     val dropIds = Dedup.connectedComponents(pairs, "id_a", "id_b")
       .where(col("id") =!= col("component"))
       .select(col("id").as("doc_id"))
-    val afterNear = core.join(broadcast(dropIds), Seq("doc_id"), "left_anti")
+    // no broadcast hint: dropIds scales with the duplicate count (30%+ of
+    // a crawl), so let AQE pick the join strategy — unlike the eval
+    // fingerprint set below, which is small by construction
+    val afterNear = core.join(dropIds, Seq("doc_id"), "left_anti")
     val nAfterNear = cnt(afterNear)
 
     // contamination: drop anything fingerprint-identical to the eval set

@@ -61,7 +61,7 @@ object Notify {
          |FDA Records: ${result.fdaCount}
          |Clinical Trials: ${result.ctCount}
          |Enriched Records: ${result.enrichedCount}
-         |Quality Score: ${f"${sla.qualityScore * 100}%.1f"}%% ($qualityLines)
+         |Quality Score: ${f"${sla.qualityScore * 100}%.1f"}% ($qualityLines)
          |SLA Breaches: $breachLines
          |
          |Data available at:

@@ -13,7 +13,11 @@ case class RunResult(
     ctCount: Long,
     enrichedCount: Long,
     quality: QualityReport,
-    processedPath: String)
+    processedPath: String,
+    /** Transformed records flagged `is_complete = false`, measured at the
+      * transform stage — enrichment aggregates the flag away, so the
+      * error-rate SLA must be taken before the summaries. */
+    incompleteCount: Long = 0L)
 
 /** The whole Airflow DAG collapsed into one Spark driver program
   * (`/root/reference/dags/medical_etl_dag.py:162-231` — extract →
@@ -43,27 +47,42 @@ object Pipeline {
     val (fdaSchema, ctSchema) =
       if (inferRawSchema) (None, None)
       else (Some(graft.model.Schemas.fdaEvent), Some(graft.model.Schemas.ctFlat))
-    val fdaRaw = Lake.readJson(spark, Lake.rawPath(lakeRoot, "fda", date), fdaSchema)
-    val ctRaw = Lake.readJson(spark, Lake.rawPath(lakeRoot, "clinical_trials", date), ctSchema)
+    val st = cfg.storage
+    val fdaRaw = Lake.readJson(spark,
+      Lake.rawPath(lakeRoot, "fda", date, st.rawPrefix), fdaSchema)
+    val ctRaw = Lake.readJson(spark,
+      Lake.rawPath(lakeRoot, "clinical_trials", date, st.rawPrefix), ctSchema)
 
     val fdaT = FdaTransform(fdaRaw, cfg)
     val ctT = CtTransform(ctRaw, cfg)
     val enriched = Enrichment.enrich(fdaT, ctT)
 
-    val outPath = Lake.processedPath(lakeRoot, date, "enriched_data.parquet")
+    val outPath = Lake.processedPath(lakeRoot, date,
+      s"enriched_data.${st.processedFormat}", st.processedPrefix)
     if (!enriched.isEmpty) {
-      Lake.writeParquet(enriched, outPath)
-      // Summary CSV of the first 1000 rows (drug_transformer.py:306).
-      Lake.writeCsv(enriched.limit(1000),
-        Lake.processedPath(lakeRoot, date, "summary.csv"))
+      Lake.writeAs(enriched, outPath, st.processedFormat)
+      // Summary of the first 1000 rows (drug_transformer.py:306).
+      Lake.writeAs(enriched.limit(1000),
+        Lake.processedPath(lakeRoot, date, s"summary.${st.summaryFormat}",
+          st.processedPrefix),
+        st.summaryFormat)
     }
 
     // Quality gate re-reads the processed zone, like the reference's
     // separate quality_checks task (medical_etl_dag.py:216-219).
-    val reloaded: DataFrame = Lake.readParquet(spark, outPath)
+    val reloaded: DataFrame = Lake.readAs(spark, outPath, st.processedFormat)
     val report = QualityChecks.validate(reloaded, date, cfg)
 
-    RunResult(date, fdaRaw.count(), ctRaw.count(), reloaded.count(), report, outPath)
+    // error_rate input: incompleteness is a per-record transform-stage
+    // property (FdaTransform's completeness flag); the enrichment
+    // summaries drop it, so count it here.
+    def incomplete(df: DataFrame): Long =
+      if (df.columns.contains("is_complete"))
+        df.where(org.apache.spark.sql.functions.col("is_complete") === false).count()
+      else 0L
+
+    RunResult(date, fdaRaw.count(), ctRaw.count(), reloaded.count(), report, outPath,
+      incompleteCount = incomplete(fdaT) + incomplete(ctT))
   }
 
   /** The full DAG topology in one call (medical_etl_dag.py:231:
@@ -89,32 +108,45 @@ object Pipeline {
     // the extractor output would never reach the enrichment join. Expose
     // brand_name as drug_name at the landing boundary (the intended
     // semantics; SURVEY §3.1).
+    // yaml extraction: drives the transport envelope (explicit reader
+    // options win over the config defaults) and the per-day record caps.
+    val ex = cfg.extraction
+    def withEnvelope(options: Map[String, String]): Map[String, String] =
+      Map("retries" -> ex.retryAttempts.toString,
+        "backoffms" -> (ex.retryDelaySeconds * 1000L).toString,
+        "timeoutms" -> (ex.timeoutSeconds * 1000).toString) ++ options
+    val rawPrefix = cfg.storage.rawPrefix
     val fdaExtract = {
-      val df = graft.sources.v2.ApiSources.loadFda(spark, fdaOptions)
-      if (!df.columns.contains("drug_name") && df.columns.contains("brand_name"))
-        df.withColumn("drug_name", org.apache.spark.sql.functions.col("brand_name"))
-      else df
+      val df = graft.sources.v2.ApiSources.loadFda(spark, withEnvelope(fdaOptions))
+      val adapted =
+        if (!df.columns.contains("drug_name") && df.columns.contains("brand_name"))
+          df.withColumn("drug_name", org.apache.spark.sql.functions.col("brand_name"))
+        else df
+      adapted.limit(ex.fdaLimit)
     }
-    Lake.writeJson(fdaExtract, Lake.rawPath(lakeRoot, "fda", date))
-    Lake.writeJson(graft.sources.v2.ApiSources.loadCt(spark, ctOptions),
-      Lake.rawPath(lakeRoot, "clinical_trials", date))
+    Lake.writeJson(fdaExtract, Lake.rawPath(lakeRoot, "fda", date, rawPrefix))
+    Lake.writeJson(
+      graft.sources.v2.ApiSources.loadCt(spark, withEnvelope(ctOptions))
+        .limit(ex.clinicalTrialsLimit),
+      Lake.rawPath(lakeRoot, "clinical_trials", date, rawPrefix))
 
     // validate_extraction (:104-116): zero records from either source
     // fails the run before any transform work starts.
-    val fdaLanded = Lake.readJson(spark, Lake.rawPath(lakeRoot, "fda", date), None).count()
-    val ctLanded = Lake.readJson(spark, Lake.rawPath(lakeRoot, "clinical_trials", date), None).count()
+    val fdaLanded = Lake.readJson(spark,
+      Lake.rawPath(lakeRoot, "fda", date, rawPrefix), None).count()
+    val ctLanded = Lake.readJson(spark,
+      Lake.rawPath(lakeRoot, "clinical_trials", date, rawPrefix), None).count()
     if (fdaLanded == 0) throw new IllegalStateException("No FDA records extracted!")
     if (ctLanded == 0) throw new IllegalStateException("No Clinical Trials records extracted!")
 
     val result = run(spark, lakeRoot, date, cfg, inferRawSchema = true)
 
-    // error rate: fraction of processed records flagged incomplete
-    // (is_complete=false), the pipeline's error_rate metric.
-    val processed = Lake.readParquet(spark, result.processedPath)
+    // error rate: fraction of transformed records flagged incomplete —
+    // measured at the transform stage (RunResult.incompleteCount), since
+    // the enrichment summaries aggregate the is_complete flag away.
+    val transformedTotal = result.fdaCount + result.ctCount
     val errorRate =
-      if (processed.columns.contains("is_complete") && result.enrichedCount > 0)
-        processed.where(org.apache.spark.sql.functions.col("is_complete") === false)
-          .count().toDouble / result.enrichedCount
+      if (transformedTotal > 0) result.incompleteCount.toDouble / transformedTotal
       else 0.0
 
     val minutes = (System.nanoTime() - t0) / 6e10

@@ -1390,8 +1390,9 @@ object Queries {
         |   list_transform(string_split(replace(lower(trim(text)), ' ', ''), ''), ch -> ascii(ch)::BIGINT)),
         |   (a, c) -> (a * 31 + c) % 1099511627776) AS fp40
         |FROM documents""".stripMargin,
-    // q30 rows-only: hyperplane-LSH recall is approximate (AnnSpec
-    // measures it); q36 rows-only: HLL internals are engine-specific.
+    // q36 is the single rows-only entry: the engine-native HLL sketch
+    // encoding is engine-specific (q46 carries the reproducible-register
+    // HLL oracle; everything else is hash-gated).
     "q29_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_ns(ts) AS tns, value FROM events),

@@ -91,7 +91,12 @@ final case class FdaHttpTransport(baseUrl: String, pageSize: Int = 99,
     catch { case HttpStatusException(404, _, _) => None }
 
   override def fetchPage(pageIndex: Int, dateRange: Option[(String, String)]): Option[String] = {
-    if (sleepMs > 0) Thread.sleep(sleepMs) // reference rate limit: 0.5 s/request
+    // Paces each TASK at the reference's 0.5 s/request — with N parallel
+    // page partitions the aggregate rate is N× that. A deployment that
+    // must honor a strict global budget caps the scan's parallelism
+    // (fewer cores on the ingest job, or coalesce the source to one
+    // partition); a per-JVM token bucket cannot span executors from here.
+    if (sleepMs > 0) Thread.sleep(sleepMs)
     get(keyParam ++ searchParam(dateRange) ++ Seq(
       "skip" -> (pageIndex.toLong * pageSize).toString,
       "limit" -> pageSize.toString))

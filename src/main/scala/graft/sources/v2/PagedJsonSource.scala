@@ -75,15 +75,24 @@ final case class FixtureTransport(dir: String) extends PageTransport {
   * `backoffMs * attempt` (fda_extractor.py:102-123). */
 final case class RetryingTransport(inner: PageTransport, attempts: Int = 3,
     backoffMs: Long = 0L) extends PageTransport {
+  // NOTE: a `while`, not a `for` — `return` inside a for-comprehension
+  // throws NonLocalReturnControl through the closure, which a
+  // catch-everything retry loop would swallow and "retry": every
+  // SUCCESSFUL call then burns all attempts (and their backoff sleeps)
+  // before the control exception finally delivers the value. Caught by
+  // wiring a real 5 s backoff: the whole suite slowed 4×. NonFatal also
+  // keeps control-flow/fatal throwables out of the retry path.
   private def withRetry[A](body: => A): A = {
     var lastErr: Throwable = null
-    for (attempt <- 1 to attempts) {
+    var attempt = 1
+    while (attempt <= attempts) {
       try return body
       catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           lastErr = e
           if (attempt < attempts && backoffMs > 0) Thread.sleep(backoffMs * attempt)
       }
+      attempt += 1
     }
     throw lastErr
   }

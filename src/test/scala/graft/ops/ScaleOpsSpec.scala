@@ -131,6 +131,25 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("as-of join: NULL keys and times never match, NULL-key left rows pass through") {
+    val trades = Seq(
+      (1L, Option("A"), Option(100L)),
+      (2L, None: Option[String], Option(100L)), // null key
+      (3L, Option("A"), None: Option[Long])     // null time
+    ).toDF("trade_id", "sym", "t")
+    val quotes = Seq(
+      (10L, Option("A"), Option(50L)),
+      (11L, None: Option[String], Option(40L)), // null-key quote: matches nothing
+      (12L, Option("A"), None: Option[Long])    // null-time quote: matches nothing
+    ).toDF("quote_id", "q_sym", "q_t")
+    val out = ScaleOps.asofJoinBackward(trades, quotes, "sym", "q_sym", "t", "q_t")
+      .collect().map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    assert(out == Map(
+      1L -> Some(10L), // real match
+      2L -> None,      // null key: present, unmatched (not paired with quote 11)
+      3L -> None))     // null time: present, unmatched
+  }
+
   test("deterministic sampling: on-rate, repeatable, nested, stratified") {
     val docs = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.01", "documents")
       .select($"doc_id", $"source")

@@ -89,4 +89,29 @@ class PipelineConfigSpec extends SparkSpec {
     // same row under the defaults: 2 + 10 = 12
     assert(graft.etl.FdaTransform(df).head().getAs[Long]("severity_score") == 12L)
   }
+
+  test("re-tuned storage and extraction yaml flows through the pipeline") {
+    import java.nio.file.Files
+    val cfg = PipelineConfigLoader.fromYaml(
+      "storage:\n  raw_prefix: landing\n  processed_prefix: gold\n" +
+        "extraction:\n  fda_limit: 3\n")
+    assert(cfg.storage.rawPrefix == "landing")
+    assert(cfg.extraction.fdaLimit == 3)
+
+    // land event-shaped raw under the custom prefix, run, check layout
+    val root = Files.createTempDirectory("graft-lake-prefix").toString
+    val raw = Seq(
+      ("""{"safetyreportid": "r1", "receivedate": "20240101", "drug_name": "A",""" +
+        """ "serious": 1, "seriousnessdeath": 0, "seriousnesshospitalization": 0}"""),
+      ("""{"safetyreportid": "r2", "receivedate": "20240101", "drug_name": "B",""" +
+        """ "serious": 0, "seriousnessdeath": 0, "seriousnesshospitalization": 0}"""))
+    val fdaDir = graft.io.Lake.rawPath(root, "fda", "2024-01-01", "landing")
+    Files.createDirectories(java.nio.file.Paths.get(fdaDir).getParent)
+    Files.write(java.nio.file.Paths.get(fdaDir), raw.mkString("\n").getBytes)
+    val res = Pipeline.run(spark, root, "2024-01-01", cfg)
+    assert(res.fdaCount == 2)
+    // processed zone landed under the re-tuned prefix
+    assert(res.processedPath.contains("/gold/"))
+    assert(graft.io.Lake.exists(spark, res.processedPath))
+  }
 }

@@ -134,6 +134,29 @@ class PipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("No FDA records extracted"))
   }
 
+  test("incomplete records drive the error-rate SLA (measured at transform stage)") {
+    val root = Files.createTempDirectory("graft-api-err").toString
+    val fdaDir = Files.createTempDirectory("graft-fda-pages-err").toString
+    val ctDir = Files.createTempDirectory("graft-ct-pages-err").toString
+    writeFdaPages(fdaDir)
+    // a record with no brand_name -> drug_name null -> is_complete false
+    Files.write(java.nio.file.Paths.get(fdaDir, "page-2.json"),
+      """{"results": [{"application_number": "NDA99", "sponsor_name": "S99",
+        | "products": [{"dosage_form": "TABLET"}],
+        | "submissions": [{"submission_status_date": "20240110", "submission_type": "ORIG"}]}]}"""
+        .stripMargin.replace("\n", "").getBytes)
+    writeCtPages(ctDir)
+    val strict = PipelineConfig.default.copy(
+      alerts = AlertThresholds(maxErrorRate = 0.01))
+    val (res, note) = Pipeline.runFromApis(spark, root, "2024-01-13",
+      Map("path" -> fdaDir), Map("path" -> ctDir), strict)
+    assert(res.incompleteCount >= 1, s"incompleteCount=${res.incompleteCount}")
+    assert(note.sla.errorRate > 0.0)
+    assert(!note.sla.passed)
+    assert(note.sla.breaches.exists(_.contains("error rate")),
+      note.sla.breaches.mkString("; "))
+  }
+
   test("SLA breaches surface in the notification when thresholds tighten") {
     val root = Files.createTempDirectory("graft-api-sla").toString
     val fdaDir = Files.createTempDirectory("graft-fda-pages3").toString

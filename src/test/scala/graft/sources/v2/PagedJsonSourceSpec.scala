@@ -64,6 +64,21 @@ class PagedJsonSourceSpec extends SparkSpec {
       override def pageCount(r: Option[(String, String)]): Int = 1
     }, attempts = 2, backoffMs = 0)
     intercept[RuntimeException](exhausted.fetchPage(0, None))
+    // a SUCCESSFUL call must invoke the body exactly once — the retry
+    // loop must not swallow the non-local-return control throwable and
+    // "retry" successes (regression: every success burned all attempts
+    // plus their backoff sleeps)
+    var okCalls = 0
+    val healthy = RetryingTransport(new PageTransport {
+      override def fetchPage(i: Int, r: Option[(String, String)]): Option[String] = {
+        okCalls += 1; Some("ok")
+      }
+      override def pageCount(r: Option[(String, String)]): Int = 1
+    }, attempts = 3, backoffMs = 1000)
+    val t0 = System.nanoTime()
+    assert(healthy.fetchPage(0, None).contains("ok"))
+    assert(okCalls == 1, s"success invoked body $okCalls times")
+    assert((System.nanoTime() - t0) / 1e6 < 500, "success must not sleep")
   }
 
   test("CT connector: studies flatten through the same Catalyst path") {
