@@ -110,6 +110,7 @@ object Lake {
     case "parquet" => writeParquet(df, path)
     case "json" => writeJson(df, path)
     case "csv" => writeCsv(df, path)
+    case "orc" => df.write.mode("overwrite").orc(path)
     case other => throw new IllegalArgumentException(s"unsupported format '$other'")
   }
 
@@ -117,6 +118,9 @@ object Lake {
     case "parquet" => readParquet(spark, path)
     case "json" => readJson(spark, path)
     case "csv" => readCsv(spark, path)
+    case "orc" => if (exists(spark, path)) spark.read.orc(path)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        new org.apache.spark.sql.types.StructType())
     case other => throw new IllegalArgumentException(s"unsupported format '$other'")
   }
 }
