@@ -114,4 +114,14 @@ class PipelineConfigSpec extends SparkSpec {
     assert(res.processedPath.contains("/gold/"))
     assert(graft.io.Lake.exists(spark, res.processedPath))
   }
+
+  test("orc format dispatch round-trips") {
+    import java.nio.file.Files
+    val p = Files.createTempDirectory("graft-orc").toString + "/t.orc"
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    graft.io.Lake.writeAs(df, p, "orc")
+    val back = graft.io.Lake.readAs(spark, p, "orc")
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "b")))
+  }
 }
