@@ -32,6 +32,29 @@ object Dedup {
     df.groupBy(col(textCol))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
+  /** Incremental corpus merge — the daily production loop: union an
+    * incoming batch into the existing corpus, exact-deduping within the
+    * batch (keep min id per fingerprint) and dropping anything whose
+    * fingerprint the corpus already holds (first writer wins). One
+    * window over the (small) incoming batch + one anti-join on 40-bit
+    * fingerprints; at 100 TB the corpus side persists bucketed by
+    * fingerprint so the daily anti-join is exchange-free on the big
+    * side. Output adds `fp40` and `origin` ('existing' | 'new'). */
+  def incrementalMerge(existing: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    def withFp(df: DataFrame) =
+      df.withColumn("fp40", TextFunctions.fingerprint(col(textCol)))
+    val exF = withFp(existing)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp40")).orderBy(col(idCol))
+    val inDeduped = withFp(incoming)
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .drop("__rn")
+    val newDocs = inDeduped.join(exF.select(col("fp40")), Seq("fp40"), "left_anti")
+    exF.withColumn("origin", lit("existing"))
+      .unionByName(newDocs.withColumn("origin", lit("new")))
+  }
+
   // ---- n-gram Jaccard (exact, block-bounded) ------------------------
 
   /** Exact Jaccard over distinct k-word shingle sets for all pairs

@@ -681,6 +681,18 @@ object Queries {
       .select(col("p_id"), col("p_user"), col("p_ts"), col("c_ts"), col("c_event"))
   }
 
+  /** Incremental merge through the gate: documents split deterministically
+    * into an "existing corpus" and an "incoming day" (doc_id mod 3), then
+    * merged with within-batch dedup and first-writer-wins fingerprint
+    * collision drops. */
+  def q48IncrementalMerge(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val existing = docs.where(pmod(col("doc_id"), lit(3)) =!= 0)
+    val incoming = docs.where(pmod(col("doc_id"), lit(3)) === 0)
+    graft.dedup.Dedup.incrementalMerge(existing, incoming, "doc_id", "text")
+      .select(col("doc_id"), col("source"), col("fp40"), col("origin"))
+  }
+
   // =================================================================
   // generated oracle fragments (reproducible-hash pipelines)
   // =================================================================
@@ -1096,6 +1108,26 @@ object Queries {
        |       last_c_event AS c_event
        |FROM w WHERE side = 1""".stripMargin
 
+  /** q48 oracle: same split, same fingerprints, keep-min within the
+    * batch, NOT EXISTS against the corpus. */
+  private lazy val q48Oracle: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, source,
+       |    ${duckPolyHash("replace(lower(trim(text)), ' ', '')", 1L << 40)} AS fp
+       |  FROM documents),
+       |ex AS (SELECT * FROM f WHERE doc_id % 3 != 0),
+       |inc AS (SELECT * FROM f WHERE doc_id % 3 = 0),
+       |incd AS (
+       |  SELECT doc_id, source, fp,
+       |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+       |  FROM inc),
+       |newdocs AS (
+       |  SELECT i.doc_id, i.source, i.fp FROM incd i
+       |  WHERE i.rn = 1 AND NOT EXISTS (SELECT 1 FROM ex WHERE ex.fp = i.fp))
+       |SELECT doc_id, source, fp AS fp40, 'existing' AS origin FROM ex
+       |UNION ALL
+       |SELECT doc_id, source, fp AS fp40, 'new' AS origin FROM newdocs""".stripMargin
+
   /** q37 oracle: the group-level MinHash sketch as 64 generated min()
     * aggregates over reproducible token hashes, then pairwise signature
     * agreement — verifying the UDAF's sketches value-for-value. */
@@ -1169,7 +1201,8 @@ object Queries {
     "q44_tfidf_terms" -> (q44TfidfTerms _),
     "q45_curation_core" -> (q45CurationCore _),
     "q46_hll_registers" -> (q46HllRegisters _),
-    "q47_asof_attribution" -> (q47AsofAttribution _))
+    "q47_asof_attribution" -> (q47AsofAttribution _),
+    "q48_incremental_merge" -> (q48IncrementalMerge _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1303,6 +1336,7 @@ object Queries {
     "q45_curation_core" -> q45Oracle,
     "q46_hll_registers" -> q46Oracle,
     "q47_asof_attribution" -> q47Oracle,
+    "q48_incremental_merge" -> q48Oracle,
     "q37_source_similarity" -> q37Oracle,
     "q20_exact_dedup" ->
       """SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_distinct_texts

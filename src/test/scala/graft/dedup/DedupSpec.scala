@@ -73,6 +73,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 3L)))
   }
 
+  test("incremental merge: batch dedup, first writer wins, corpus untouched") {
+    val existing = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "alpha beta"),   // collides with corpus doc 1 -> dropped
+      (11L, "epsilon zeta"), // new
+      (12L, "epsilon zeta"), // within-batch dup of 11 -> dropped
+      (13L, "eta theta")     // new
+    ).toDF("doc_id", "text")
+    val merged = Dedup.incrementalMerge(existing, incoming, "doc_id", "text")
+      .select("doc_id", "origin").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(merged == Map(1L -> "existing", 2L -> "existing",
+      11L -> "new", 13L -> "new"))
+  }
+
   test("connected components: chains merge, disjoint stay apart, singletons keep own label") {
     // 1-2-3-4 is a path (diameter 3: label must propagate multiple hops),
     // 10-11 a separate component, 20-21-22 a triangle
