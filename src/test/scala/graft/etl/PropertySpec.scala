@@ -86,4 +86,34 @@ class PropertySpec extends SparkSpec {
     assert(FdaTransform(df, cfg).head().getAs[Long]("severity_score") == 2L)
     assert(FdaTransform(df).head().getAs[Long]("severity_score") == 7L)
   }
+
+  test("polyHash range and determinism over random unicode strings") {
+    val alphabet = "abz09 .!Ωé中𝄞\t"
+    val values = Seq.fill(2000)(
+      (0 until rnd.nextInt(30)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString) ++
+      Seq("", " ", "a" * 1000)
+    for (mod <- Seq(1L << 31, 1L << 48)) {
+      val got = values.toDF("s")
+        .select(graft.text.TextFunctions.polyHash($"s", mod).as("h"))
+        .as[Long].collect()
+      assert(got.forall(h => h >= 0 && h < mod))
+      // determinism across evaluations
+      val again = values.toDF("s")
+        .select(graft.text.TextFunctions.polyHash($"s", mod).as("h"))
+        .as[Long].collect()
+      assert(got.toSeq == again.toSeq)
+    }
+  }
+
+  test("sampling monotonicity: kept fraction is non-decreasing in the rate") {
+    val docs = spark.range(4000).select($"id".as("k")).toDF()
+    val kept = Seq(0, 500, 2500, 5000, 10000).map { bp =>
+      bp -> graft.ops.ScaleOps.deterministicSampleBp(docs, "k", bp).count()
+    }
+    assert(kept.head._2 == 0L && kept.last._2 == 4000L)
+    assert(kept.sliding(2).forall { case Seq((_, a), (_, b)) => a <= b })
+    // and roughly on-rate in the middle
+    val quarter = kept.find(_._1 == 2500).get._2 / 4000.0
+    assert(math.abs(quarter - 0.25) < 0.05, s"25% rate kept $quarter")
+  }
 }
