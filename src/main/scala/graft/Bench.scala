@@ -3,7 +3,15 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR and prints one JSON line for the driver. */
+  * SPARK_GRAFT_SF_DIR and prints one JSON line for the driver.
+  *
+  * Each query is timed twice: a COLD run (includes codegen compile /
+  * plan optimization / JIT warmup for that plan shape) and a WARM
+  * second run (steady-state data cost — what a long-lived cluster
+  * session actually pays per invocation). The headline `value`/`queries`
+  * stay cold so round-over-round totals remain comparable; `warm` /
+  * `warm_total` carry the second-run timings.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -25,38 +33,46 @@ object Bench {
       try queries.Queries.tbl(spark, sfDir, t).schema
       catch { case _: Throwable => () }
     // Optional comma-separated subset filter for local iteration, and an
-    // optional repeat count (times the LAST run — separates one-time
-    // codegen-compile cost from steady-state data cost). The driver sets
-    // neither: default behavior is one timed run per query.
+    // optional warm-run count (the reported warm time is the LAST warm
+    // run; >1 deepens JIT for local investigation). The driver sets
+    // neither: default is one cold + one warm run per query.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
+    val warmRuns = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt - 1).getOrElse(1).max(0)
+    def timed(fn: => Unit): (Double, Boolean) = {
+      val t0 = System.nanoTime()
+      val ok = try { fn; true } catch { case e: Throwable =>
+        System.err.println(s"[bench] FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        false
+      }
+      ((System.nanoTime() - t0) / 1e9, ok)
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
-      var elapsed = 0.0
-      var ok = true
-      var r = 0
-      while (r < repeat && ok) {
-        val t0 = System.nanoTime()
-        ok =
-          try { fn(spark, sfDir).count(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
-            false
-          }
-        elapsed = (System.nanoTime() - t0) / 1e9
-        r += 1
+        val (cold, ok) = timed(fn(spark, sfDir).count())
+        var warm = cold
+        var r = 0
+        while (r < warmRuns && ok) {
+          val (w, wok) = timed(fn(spark, sfDir).count())
+          if (wok) warm = w
+          r += 1
+        }
+        if (!ok) System.err.println(s"[bench] $name FAILED (cold run)")
+        (name, cold, warm, ok)
       }
-      (name, elapsed, ok)
-    }
     // A crashed query must not masquerade as a fast timing: report its
     // elapsed as negative and list it under "failed".
-    val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) v else -v) }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    def jmap(f: ((String, Double, Double, Boolean)) => Double): String =
+      results.map { case t @ (k, _, _, ok) =>
+        "\"" + k + "\":" + (if (ok) f(t) else -f(t))
+      }.mkString("{", ",", "}")
+    val qs = jmap(_._2)
+    val warms = jmap(_._3)
+    val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, c, _, true) => c }.sum
+    val warmTotal = results.collect { case (_, _, w, true) => w }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm":$warms,"warm_total":$warmTotal,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -133,8 +133,13 @@ object Dedup {
     * from a materialized token-hash array skips building every k-word
     * string and re-folding its characters (measured ~2× on the whole
     * query). Fewer than k tokens → one whole-doc fingerprint; none →
-    * empty (mirrors wordShinglesFrom). */
-  private def shingleFpsFromTokenHashes(th: Column, k: Int): Column = {
+    * empty (mirrors wordShinglesFrom).
+    *
+    * This is the interpreted HOF *reference* form — the hot path runs the
+    * fused codegen [[graft.functions.ShingleFps]] expression instead
+    * (ShingleFpsSpec asserts bit parity between the two). */
+  private[graft] def shingleFpsHof(toks: Column, k: Int): Column = {
+    val th = transform(toks, t => TextFunctions.polyHash(t, 1L << 31))
     def fold(win: Column): Column =
       aggregate(win, lit(0L), (acc, h) => (acc * 1000003L + h) % HashMod)
     when(size(th) >= k,
@@ -156,10 +161,13 @@ object Dedup {
     val toks = df.select(col(srcCol).as("source"),
         TextFunctions.tokens(col(textCol)).as("toks"))
       .repartition(parts)
-    val tokHashed = toks.select(col("source"),
-      transform(col("toks"), t => TextFunctions.polyHash(t, 1L << 31)).as("th"))
-    val hashed = tokHashed.select(col("source"),
-      array_distinct(shingleFpsFromTokenHashes(col("th"), shingleSize)).as("hs"))
+    // Fused codegen shingle fingerprints (graft.functions.ShingleFps):
+    // one loop per row — tokenize → hash → window-fold — inside
+    // whole-stage codegen, replacing the interpreted HOF staging that
+    // dominated this query's cost (see shingleFpsHof for the parity
+    // reference).
+    val hashed = toks.select(col("source"),
+      array_distinct(graft.functions.ShingleFps.shingleFps(col("toks"), shingleSize)).as("hs"))
     val postings = hashed.select(col("source"), explode(col("hs")).as("h"))
 
     // Source-bitmask aggregation: with ≤ 64 sources (an audit runs over
@@ -483,28 +491,33 @@ object Dedup {
     val toks = df.select(col(idCol).as("id"), blockKey.as("blk"),
         TextFunctions.tokens(col(textCol)).as("toks"))
       .repartition(parts)
-    val hashed = toks.select(col("id"), col("blk"),
-      tokenHashes48(array_distinct(col("toks"))).as("th"))
-    val base = hashed.select(col("id"), col("blk"), simhashFromHashes(col("th")).as("sh"))
-    // Collapse identical (blk, signature) groups to one cluster row BEFORE
-    // the band join: on a shared-vocabulary corpus many documents hash to
-    // the same SimHash, so pairing raw rows makes the hot band buckets
-    // quadratic in *documents*; pairing clusters is quadratic only in
-    // *distinct signatures*, and the member expansion afterwards is
-    // proportional to the true output size.
-    // clusters is consumed by FOUR downstream branches (band explode ×2
-    // via the self-join, the two member re-joins, and the intra-pair
-    // expansion). Persist it once: it is tiny (one row per distinct
-    // signature — orders of magnitude smaller than the corpus), and
-    // without the reuse every branch re-runs the 48-bit majority vote
-    // AND re-compiles its large generated code per plan fragment
-    // (measured as the dominant cost at sf0.1: compile-bound, not
-    // data-bound). persist keeps lineage — lost blocks recompute rather
-    // than failing the job the way a truncated localCheckpoint would.
-    val clusters = base.groupBy(col("blk"), col("sh"))
-      .agg(sort_array(collect_list(col("id"))).as("members"))
+    // Fused codegen SimHash (graft.functions.SimHash48): hash+mix each
+    // distinct token once and take the 48 majority votes in one loop,
+    // replacing the 7-layer interpreted mix + 48 interpreted filter
+    // passes of the staged HOF form (kept below as the parity
+    // reference — SimHash48Spec pins them bit-equal).
+    //
+    // base is consumed by FOUR downstream branches (the distinct-signature
+    // frame and both sides of each pair expansion). Persist it once: it is
+    // three scalar columns per document, and without the reuse every
+    // branch re-runs tokenize+simhash AND re-compiles its own copy of the
+    // generated scan fragment (measured compile-bound at sf0.1). persist
+    // keeps lineage — lost blocks recompute rather than failing the job
+    // the way a truncated localCheckpoint would.
+    val base = toks.select(col("id"), col("blk"),
+        graft.functions.SimHash48.simhash48(array_distinct(col("toks"))).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = clusters.select(col("blk"), col("sh"),
+    // Collapse to distinct (blk, signature) rows BEFORE the band join: on
+    // a shared-vocabulary corpus many documents hash to the same SimHash,
+    // so pairing raw rows makes the hot band buckets quadratic in
+    // *documents*; pairing distinct signatures is quadratic only in
+    // signatures, and the expansion back to documents afterwards is
+    // proportional to the true output size. A plain distinct (codegen'd
+    // HashAggregate) replaces the earlier collect_list members rollup —
+    // the object-hash aggregate and its array machinery were the largest
+    // one-time codegen-compile cost in the whole query.
+    val sigs = base.select(col("blk"), col("sh")).distinct()
+    val banded = sigs.select(col("blk"), col("sh"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("sh"), i * bandBits).bitwiseAND(lit(mask))): _*))
         .as(Seq("band", "bval")))
@@ -518,24 +531,24 @@ object Dedup {
       // enter the distinct's shuffle (bands make most candidates fail).
       .where(col("hamming_dist") <= maxDist)
       .distinct()
-    // Cross-cluster pairs: every member of A × every member of B.
+    // Cross-signature pairs: every document of signature A × every
+    // document of signature B, via two equi-joins back to the per-doc
+    // frame (no member arrays to explode).
     val inter = sigPairs
-      .join(clusters.select(col("blk"), col("sh").as("sh_a"), col("members").as("m_a")),
+      .join(base.select(col("blk"), col("sh").as("sh_a"), col("id").as("id_x")),
         Seq("blk", "sh_a"))
-      .join(clusters.select(col("blk"), col("sh").as("sh_b"), col("members").as("m_b")),
+      .join(base.select(col("blk"), col("sh").as("sh_b"), col("id").as("id_y")),
         Seq("blk", "sh_b"))
-      .select(explode(col("m_a")).as("id_x"), col("m_b"), col("hamming_dist"))
-      .select(col("id_x"), explode(col("m_b")).as("id_y"), col("hamming_dist"))
       .select(least(col("id_x"), col("id_y")).as("id_a"),
         greatest(col("id_x"), col("id_y")).as("id_b"), col("hamming_dist"))
-    // Within-cluster pairs: identical signatures, hamming 0. members is
-    // sorted, so pairing each element with its successors keeps id_a<id_b.
-    val intra = clusters.where(size(col("members")) > 1)
-      .select(col("members"), posexplode(col("members")).as(Seq("i", "id_a")))
-      .select(col("id_a"),
-        explode(slice(col("members"), col("i") + lit(2), size(col("members")))).as("id_b"))
-      .withColumn("hamming_dist", lit(0))
+    // Within-signature pairs: identical signatures, hamming 0 — a self
+    // equi-join on (blk, sh), quadratic only in each cluster's true size.
+    val intra = base.as("p").join(base.as("q"),
+        col("p.blk") === col("q.blk") && col("p.sh") === col("q.sh") &&
+          col("p.id") < col("q.id"))
+      .select(col("p.id").as("id_a"), col("q.id").as("id_b"),
+        lit(0).as("hamming_dist"))
     inter.select(col("id_a"), col("id_b"), col("hamming_dist"))
-      .unionByName(intra.select(col("id_a"), col("id_b"), col("hamming_dist")))
+      .unionByName(intra)
   }
 }
