@@ -39,6 +39,12 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val warmRuns = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt - 1).getOrElse(1).max(0)
     def timed(fn: => Unit): (Double, Boolean) = {
+      // Queries that persist intermediates register cache entries keyed by
+      // canonicalized plan; a later identical run would silently read them
+      // instead of recomputing. Clear between timed runs so every number
+      // is a full recompute and no query inherits another's cached blocks
+      // (the r02 q24/q25 "regression" was this kind of cross-run noise).
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val ok = try { fn; true } catch { case e: Throwable =>
         System.err.println(s"[bench] FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
