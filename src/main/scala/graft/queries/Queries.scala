@@ -30,9 +30,28 @@ object Queries {
   def tbl(spark: SparkSession, dir: String, name: String): DataFrame = {
     // The driver's events.parquet carries TIMESTAMP(NANOS), which Spark's
     // parquet reader rejects unless nanos are surfaced as long. Nanos-as-
-    // long preserves ordering/equality — all we use `ts` for.
+    // long preserves ordering/equality; eventsTyped below restores full
+    // timestamp semantics on top.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** The events table with real timestamp semantics: `ts_t` is the nano
+    * instant truncated to microseconds as a TIMESTAMP_NTZ (timezone-less)
+    * column carrying the UTC wall-clock — date_trunc / date_format /
+    * interval arithmetic all work on it, and because NTZ has no zone
+    * rules there is no DST cliff anywhere downstream (TimestampSemanticsSpec
+    * proves hour buckets agree with pure integer bucketing across a DST
+    * boundary). The raw nanos long stays available as `ts` for
+    * order-exact arithmetic. Session timezone is pinned UTC so the
+    * instant→wall-clock cast is deterministic regardless of cluster
+    * locale (reference analog: datetime columns,
+    * clinicaltrials_extractor.py:211-215). */
+  def eventsTyped(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    tbl(spark, dir, "events").withColumn("ts_t",
+      timestamp_micros(expr("ts div 1000"))
+        .cast(org.apache.spark.sql.types.TimestampNTZType))
   }
 
   private def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
@@ -432,14 +451,18 @@ object Queries {
   /** Batch gap-sessionization (the batch analog of the streaming
     * flatMapGroupsWithState sessionizer): lag → new-session flag →
     * running session id → per-session rollup. Two window passes over one
-    * shuffle on user_id. `ts` is nanos-as-long (see tbl); 30-min gap. */
+    * shuffle on user_id. Runs on the typed TIMESTAMP_NTZ column with a
+    * real INTERVAL gap — timestamp subtraction yields a day-time
+    * interval, compared against 30 minutes; the oracle does the
+    * equivalent µs-integer arithmetic (both sides truncate ns → µs, so
+    * the comparison is bit-identical). */
   def q29Sessionize(spark: SparkSession, dir: String): DataFrame = {
-    val gapNs = 30L * 60 * 1000000000L
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    tbl(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_t"), col("event_id"))
+    eventsTyped(spark, dir)
       .withColumn("new_sess",
-        when(lag(col("ts"), 1).over(w).isNull ||
-          col("ts") - lag(col("ts"), 1).over(w) > gapNs, 1L).otherwise(0L))
+        when(lag(col("ts_t"), 1).over(w).isNull ||
+          col("ts_t") - lag(col("ts_t"), 1).over(w) > expr("INTERVAL 30 MINUTES"),
+          1L).otherwise(0L))
       .withColumn("session_id",
         sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("user_id"), col("session_id"))
@@ -485,12 +508,16 @@ object Queries {
         col("n"), col("sum_qty"))
 
   /** Tumbling-window aggregation, batch analog of the streaming
-    * windowedCounts — hour buckets via pure integer division on the
-    * nanos timestamps (exact in any engine, no timestamp-rounding
-    * parity risk). */
+    * windowedCounts — hour buckets on the typed TIMESTAMP_NTZ column.
+    * The bucket key is the hour-truncated wall-clock rendered as a
+    * string (date_format pins the sub-hour fields to :00:00), which both
+    * exercises real date formatting on the typed column and keeps the
+    * gate compare dtype-exact across engines (timestamp-typed output
+    * would compare datetime64[us] against DuckDB's datetime64[ns]). */
   def q33HourBuckets(spark: SparkSession, dir: String): DataFrame =
-    tbl(spark, dir, "events")
-      .groupBy(expr("ts div 3600000000000").as("hour_bucket"), col("event_type"))
+    eventsTyped(spark, dir)
+      .groupBy(date_format(col("ts_t"), "yyyy-MM-dd HH:00:00").as("hour_ts"),
+        col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
 
   /** Exact interpolated percentiles per group (Catalyst `percentile`,
@@ -664,21 +691,25 @@ object Queries {
     * last-value formulation — linear in |events|, no per-key range
     * product, hot-key safe (ScaleOps.asofJoinBackward). Clicks are
     * pre-aggregated to one row per (user, ts) so the at-time tie-break
-    * is total and deterministic. Times are microseconds: the oracle
-    * engine reads the nanos parquet column at µs precision, so both
-    * sides join and emit at µs (integer div — these values exceed 2^53,
-    * double division would corrupt them). */
+    * is total and deterministic. The whole pipeline runs on the typed
+    * TIMESTAMP_NTZ column — filter, group, union-sort window — proving
+    * the as-of operator is time-type-generic; outputs render as
+    * µs-precision wall-clock strings (dtype-exact across engines, with
+    * the oracle truncating its nanos to µs identically). */
   def q47AsofAttribution(spark: SparkSession, dir: String): DataFrame = {
-    val e = tbl(spark, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+    val e = eventsTyped(spark, dir)
     val purchases = e.where(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
-        col("ts_us").as("p_ts"))
+        col("ts_t").as("p_ts"))
     val clicks = e.where(col("event_type") === "click")
-      .groupBy(col("user_id").as("c_user"), col("ts_us").as("c_ts"))
+      .groupBy(col("user_id").as("c_user"), col("ts_t").as("c_ts"))
       .agg(max(col("event_id")).as("c_event"))
     graft.ops.ScaleOps.asofJoinBackward(purchases, clicks,
         "p_user", "c_user", "p_ts", "c_ts")
-      .select(col("p_id"), col("p_user"), col("p_ts"), col("c_ts"), col("c_event"))
+      .select(col("p_id"), col("p_user"),
+        date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("p_time"),
+        date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("c_time"),
+        col("c_event"))
   }
 
   /** Incremental merge through the gate: documents split deterministically
@@ -1104,7 +1135,9 @@ object Queries {
        |      (PARTITION BY user_id ORDER BY tns, side
        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_c_event
        |  FROM u)
-       |SELECT p_id, user_id AS p_user, tns AS p_ts, last_c_tns AS c_ts,
+       |SELECT p_id, user_id AS p_user,
+       |       strftime(make_timestamp(tns), '%Y-%m-%d %H:%M:%S.%f') AS p_time,
+       |       strftime(make_timestamp(last_c_tns), '%Y-%m-%d %H:%M:%S.%f') AS c_time,
        |       last_c_event AS c_event
        |FROM w WHERE side = 1""".stripMargin
 
@@ -1429,11 +1462,11 @@ object Queries {
     // HLL oracle; everything else is hash-gated).
     "q29_sessionize" ->
       """WITH e AS (
-        |  SELECT user_id, event_id, epoch_ns(ts) AS tns, value FROM events),
+        |  SELECT user_id, event_id, epoch_us(ts) AS tns, value FROM events),
         |f AS (
         |  SELECT user_id, event_id, tns, value,
         |    CASE WHEN lag(tns) OVER (PARTITION BY user_id ORDER BY tns, event_id) IS NULL
-        |           OR tns - lag(tns) OVER (PARTITION BY user_id ORDER BY tns, event_id) > 1800000000000
+        |           OR tns - lag(tns) OVER (PARTITION BY user_id ORDER BY tns, event_id) > 1800000000
         |         THEN 1 ELSE 0 END AS new_sess
         |  FROM e),
         |g AS (
@@ -1450,7 +1483,8 @@ object Queries {
         | count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "q33_hour_buckets" ->
-      """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+      """SELECT strftime(make_timestamp((epoch_us(ts) // 3600000000) * 3600000000),
+        |   '%Y-%m-%d %H:%M:%S') AS hour_ts, event_type,
         | count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q34_percentiles" ->
