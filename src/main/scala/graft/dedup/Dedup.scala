@@ -377,10 +377,11 @@ object Dedup {
     // once, not per branch. persist (not localCheckpoint) keeps lineage,
     // so a lost executor block recomputes instead of failing the job.
     // One row per doc: signature (numHashes longs) + shingle set;
-    // MEMORY_AND_DISK spills at scale.
-    val sigs = hashed.select(col("id"), col("shingles"),
-      signatureFrom(col("shs"), cfg).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // MEMORY_AND_DISK spills at scale. Registered with CacheScope —
+    // callers release via CacheScope.releaseAll after materializing.
+    val sigs = graft.ops.CacheScope.persist(
+      hashed.select(col("id"), col("shingles"),
+        signatureFrom(col("shs"), cfg).as("sig")))
     val banded = sigs.select(col("id"),
       posexplode(bandHashesFrom(col("sig"), cfg)).as(Seq("band", "bhash")))
 
@@ -503,10 +504,11 @@ object Dedup {
     // branch re-runs tokenize+simhash AND re-compiles its own copy of the
     // generated scan fragment (measured compile-bound at sf0.1). persist
     // keeps lineage — lost blocks recompute rather than failing the job
-    // the way a truncated localCheckpoint would.
-    val base = toks.select(col("id"), col("blk"),
-        graft.functions.SimHash48.simhash48(array_distinct(col("toks"))).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the way a truncated localCheckpoint would. Registered with
+    // CacheScope — callers release via CacheScope.releaseAll.
+    val base = graft.ops.CacheScope.persist(
+      toks.select(col("id"), col("blk"),
+        graft.functions.SimHash48.simhash48(array_distinct(col("toks"))).as("sh")))
     // Collapse to distinct (blk, signature) rows BEFORE the band join: on
     // a shared-vocabulary corpus many documents hash to the same SimHash,
     // so pairing raw rows makes the hot band buckets quadratic in

@@ -100,7 +100,12 @@ object Curation {
     def cnt(df: DataFrame): Long = if (countStages) df.count() else -1L
 
     val input = cnt(docs)
-    val core = curateCore(docs, cfg)
+    // core feeds three branches (LSH tokenization, the near-dup anti-join
+    // left side, and the contamination fingerprint stage) — without the
+    // persist the full gate+redact+dedup chain re-executes per branch.
+    // Registered with CacheScope: callers release after materializing
+    // (ops/CacheScope.scala).
+    val core = graft.ops.CacheScope.persist(curateCore(docs, cfg))
     val afterCore = cnt(core)
 
     // near-dup dedup: LSH pairs at the threshold, clusters, keep canonical

@@ -712,6 +712,26 @@ object Queries {
         col("c_event"))
   }
 
+  /** The FULL curation pipeline through the gate (q45 covers the core):
+    * quality gate → PII redaction → exact dedup → MinHash-LSH near-dup
+    * clustering (keep canonical) → eval-set decontamination → 25%
+    * deterministic sample. The eval fixture is deterministic — every
+    * 7th document plays the held-out benchmark corpus. Every stage is
+    * reproducible arithmetic, so the oracle replays the entire
+    * composition: candidate generation bit-equal (same hash params),
+    * connected components as a recursive closure, the same sampling
+    * filter — and the surviving text is fingerprinted so the rewrite
+    * chain is verified, not just membership. */
+  def q49CurationFull(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val evalSet = docs.where(pmod(col("doc_id"), lit(7)) === 0)
+    val (out, _) = graft.pipeline.Curation.curate(docs, Some(evalSet),
+      graft.pipeline.Curation.CurationConfig(minQualityMilli = 560, sampleBp = 2500),
+      countStages = false)
+    out.select(col("doc_id"), col("source"),
+      graft.text.TextFunctions.fingerprint(col("text")).as("fp40"))
+  }
+
   /** Incremental merge through the gate: documents split deterministically
     * into an "existing corpus" and an "incoming day" (doc_id mod 3), then
     * merged with within-batch dedup and first-writer-wins fingerprint
@@ -1083,6 +1103,94 @@ object Queries {
        |FROM d WHERE rn = 1""".stripMargin
   }
 
+  /** q49 oracle: the FULL curation pipeline — the q45 core (quality gate,
+    * redaction, exact dedup), then MinHash(64)+LSH(16×4) near-dup pairs
+    * at 0.85 on the redacted text (same hash params as the Spark side →
+    * bit-equal candidates), connected components as a recursive closure
+    * keeping the minimum id per cluster, NOT EXISTS decontamination
+    * against the doc_id%7 eval fixture's fingerprints, and the q42
+    * deterministic 25% sample filter. */
+  private lazy val q49Oracle: String = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\\b"
+    val ipv4 = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    val sigItems = graft.dedup.Dedup.hashParamsPublic(64).map { case (a, b) =>
+      s"list_min(list_transform(shs, h -> ($a * h + $b) % $Mod40))"
+    }.mkString(",\n    ")
+    s"""WITH RECURSIVE t AS (
+       |  SELECT doc_id, source, text,
+       |    list_filter(string_split(lower(trim(text)), ' '), x -> x != '') AS toks
+       |  FROM documents),
+       |sh AS (SELECT doc_id, source, text, toks, ${duckShingles("toks", 2)} AS s2 FROM t),
+       |q AS (
+       |  SELECT doc_id, source, text,
+       |    CASE WHEN len(toks) > 0 THEN
+       |      least(len(toks)::BIGINT * 8, 400)
+       |      + floor(len(list_distinct(toks)) * 300.0 / len(toks))::BIGINT
+       |      + least(floor(list_sum(list_transform(toks, x -> length(x))) * 75.0
+       |          / (len(toks) * 2))::BIGINT, 300)
+       |      ELSE 0 END AS qm,
+       |    CASE WHEN len(s2) > 0
+       |         THEN floor((len(s2) - len(list_distinct(s2))) * 10000.0 / len(s2))::BIGINT
+       |         ELSE 0 END AS rep_bp
+       |  FROM sh),
+       |f AS (SELECT doc_id, source, text FROM q WHERE qm >= 560 AND rep_bp <= 5000),
+       |r AS (
+       |  SELECT doc_id, source,
+       |    regexp_replace(regexp_replace(regexp_replace(text,
+       |      '$email', '[PII]', 'g'),
+       |      '$phone', '[PII]', 'g'),
+       |      '$ipv4', '[PII]', 'g') AS text
+       |  FROM f),
+       |core AS (
+       |  SELECT doc_id, source, text FROM (
+       |    SELECT doc_id, source, text,
+       |      row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+       |    FROM r) dd WHERE rn = 1),
+       |ctoks AS (
+       |  SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), x -> x != '') AS ts
+       |  FROM core),
+       |cshing AS (
+       |  SELECT doc_id, list_distinct(${duckShingles("ts", 3)}) AS shingles FROM ctoks),
+       |chash AS (
+       |  SELECT doc_id, shingles, list_transform(shingles, s -> ${duckPolyHash("s", 1L << 31)}) AS shs
+       |  FROM cshing),
+       |csigs AS (SELECT doc_id, shingles, [$sigItems] AS sig FROM chash),
+       |cband AS (
+       |  SELECT doc_id, b.band AS band,
+       |    list_reduce(list_prepend(0::BIGINT, sig[b.band * 4 + 1 : b.band * 4 + 4]),
+       |      (acc, v) -> (acc * 1000003 + v) % $Mod40) AS bhash
+       |  FROM csigs, (SELECT unnest(range(0, 16)) AS band) b),
+       |ccand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM cband x JOIN cband y ON x.band = y.band AND x.bhash = y.bhash AND x.doc_id < y.doc_id),
+       |cpairs AS (
+       |  SELECT c.id_a, c.id_b FROM ccand c
+       |  JOIN csigs a ON a.doc_id = c.id_a JOIN csigs b ON b.doc_id = c.id_b
+       |  WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+       |    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.85),
+       |und AS (SELECT id_a AS u, id_b AS v FROM cpairs UNION SELECT id_b, id_a FROM cpairs),
+       |reach AS (
+       |  SELECT u, u AS label FROM (SELECT DISTINCT u FROM und) s0
+       |  UNION
+       |  SELECT und.u, rr.label FROM und JOIN reach rr ON und.v = rr.u),
+       |dropids AS (
+       |  SELECT u AS doc_id FROM reach GROUP BY u HAVING min(label) != u),
+       |evfp AS (
+       |  SELECT DISTINCT ${duckPolyHash("replace(lower(trim(text)), ' ', '')", 1L << 40)} AS fp
+       |  FROM documents WHERE doc_id % 7 = 0),
+       |clean AS (
+       |  SELECT c.doc_id, c.source, c.text,
+       |    ${duckPolyHash("replace(lower(trim(c.text)), ' ', '')", 1L << 40)} AS fp40
+       |  FROM core c
+       |  WHERE NOT EXISTS (SELECT 1 FROM dropids dr WHERE dr.doc_id = c.doc_id)
+       |    AND NOT EXISTS (SELECT 1 FROM evfp e WHERE e.fp =
+       |      ${duckPolyHash("replace(lower(trim(c.text)), ' ', '')", 1L << 40)}))
+       |SELECT doc_id, source, fp40 FROM clean
+       |WHERE ((10368889 * ${duckPolyHash("CAST(doc_id AS VARCHAR)", 1L << 31)} + 8342140)
+       |  % ${1L << 31}) % 10000 < 2500""".stripMargin
+  }
+
   /** q46 oracle: poly hash → scalar avalanche chain (lateral aliases) →
     * bucket/rho → max per bucket. DISTINCT first is an oracle-side
     * shortcut only — duplicates collapse in the max either way. */
@@ -1235,7 +1343,8 @@ object Queries {
     "q45_curation_core" -> (q45CurationCore _),
     "q46_hll_registers" -> (q46HllRegisters _),
     "q47_asof_attribution" -> (q47AsofAttribution _),
-    "q48_incremental_merge" -> (q48IncrementalMerge _))
+    "q48_incremental_merge" -> (q48IncrementalMerge _),
+    "q49_curation_full" -> (q49CurationFull _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1370,6 +1479,7 @@ object Queries {
     "q46_hll_registers" -> q46Oracle,
     "q47_asof_attribution" -> q47Oracle,
     "q48_incremental_merge" -> q48Oracle,
+    "q49_curation_full" -> q49Oracle,
     "q37_source_similarity" -> q37Oracle,
     "q20_exact_dedup" ->
       """SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_distinct_texts
