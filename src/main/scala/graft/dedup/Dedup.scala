@@ -34,25 +34,39 @@ object Dedup {
 
   /** Incremental corpus merge — the daily production loop: union an
     * incoming batch into the existing corpus, exact-deduping within the
-    * batch (keep min id per fingerprint) and dropping anything whose
-    * fingerprint the corpus already holds (first writer wins). One
-    * window over the (small) incoming batch + one anti-join on 40-bit
-    * fingerprints; at 100 TB the corpus side persists bucketed by
-    * fingerprint so the daily anti-join is exchange-free on the big
-    * side. Output adds `fp40` and `origin` ('existing' | 'new'). */
+    * batch (keep min id per identity) and dropping anything whose
+    * identity the corpus already holds (first writer wins). One window
+    * over the (small) incoming batch + one anti-join; at 100 TB the
+    * corpus side persists bucketed by fingerprint so the daily anti-join
+    * is exchange-free on the big side. Output adds `fp40` and `origin`
+    * ('existing' | 'new').
+    *
+    * Document IDENTITY is (fp40, normalized length), not the 40-bit
+    * fingerprint alone: at 2^40 the birthday bound makes bare-fp
+    * collisions — silently dropping distinct documents as "duplicates" —
+    * expected from ~1M docs (~1 collision) and routine at corpus scale.
+    * Requiring equal normalized length too confines collisions to
+    * same-length pairs (expected collisions ÷ ≈ the number of distinct
+    * length classes — several orders of magnitude at production scale; a
+    * deployment needing cryptographic certainty should compare text on
+    * identity match, at the cost of carrying text through the join). */
   def incrementalMerge(existing: DataFrame, incoming: DataFrame,
       idCol: String, textCol: String): DataFrame = {
-    def withFp(df: DataFrame) =
-      df.withColumn("fp40", TextFunctions.fingerprint(col(textCol)))
+    def withFp(df: DataFrame) = df
+      .withColumn("fp40", TextFunctions.fingerprint(col(textCol)))
+      .withColumn("__nlen",
+        length(regexp_replace(lower(trim(col(textCol))), " ", "")))
     val exF = withFp(existing)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("fp40")).orderBy(col(idCol))
+      .partitionBy(col("fp40"), col("__nlen")).orderBy(col(idCol))
     val inDeduped = withFp(incoming)
       .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
       .drop("__rn")
-    val newDocs = inDeduped.join(exF.select(col("fp40")), Seq("fp40"), "left_anti")
+    val newDocs = inDeduped.join(exF.select(col("fp40"), col("__nlen")),
+      Seq("fp40", "__nlen"), "left_anti")
     exF.withColumn("origin", lit("existing"))
       .unionByName(newDocs.withColumn("origin", lit("new")))
+      .drop("__nlen")
   }
 
   // ---- n-gram Jaccard (exact, block-bounded) ------------------------
@@ -296,6 +310,18 @@ object Dedup {
         parent.keysIterator.map(id => (id, find(id)))
       }
       .toDF("id", "component")
+      // The block-local contract (no edge spans blocks) was previously
+      // only documented; an id appearing in two blocks would emit
+      // conflicting (id, component) rows and corrupt downstream
+      // canonical-id selection. Enforce it: one component per id, or
+      // the job fails at execution.
+      .groupBy(col("id"))
+      .agg(min(col("component")).as("component"), count(lit(1)).as("__n"))
+      .select(col("id"),
+        when(col("__n") === 1, col("component"))
+          .otherwise(raise_error(concat(lit("connectedComponentsWithin: id "),
+            col("id"), lit(" appears in multiple blocks — edges must be block-local"))))
+          .as("component"))
   }
 
   // ---- MinHash + LSH ------------------------------------------------

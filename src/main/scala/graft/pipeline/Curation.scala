@@ -119,14 +119,20 @@ object Curation {
     val afterNear = core.join(dropIds, Seq("doc_id"), "left_anti")
     val nAfterNear = cnt(afterNear)
 
-    // contamination: drop anything fingerprint-identical to the eval set
+    // contamination: drop anything identity-equal to the eval set.
+    // Identity is (fingerprint, normalized length), not the bare 40-bit
+    // fingerprint — a bare-fp collision would silently drop a clean
+    // document as "contaminated" (see Dedup.incrementalMerge's bound).
+    def nlen = length(regexp_replace(lower(trim(col("text"))), " ", ""))
     val clean = evalDocs match {
       case Some(ev) =>
-        val evFps = ev.select(TextFunctions.fingerprint(col("text")).as("fp")).distinct()
+        val evFps = ev.select(TextFunctions.fingerprint(col("text")).as("fp"),
+          nlen.as("nl")).distinct()
         afterNear
           .withColumn("fp", TextFunctions.fingerprint(col("text")))
-          .join(broadcast(evFps), Seq("fp"), "left_anti")
-          .drop("fp")
+          .withColumn("nl", nlen)
+          .join(broadcast(evFps), Seq("fp", "nl"), "left_anti")
+          .drop("fp", "nl")
       case None => afterNear
     }
     val nClean = cnt(clean)

@@ -17,7 +17,11 @@ case class RunResult(
     /** Transformed records flagged `is_complete = false`, measured at the
       * transform stage — enrichment aggregates the flag away, so the
       * error-rate SLA must be taken before the summaries. */
-    incompleteCount: Long = 0L)
+    incompleteCount: Long = 0L,
+    /** Row counts of the transformed frames (post-dedup/filter) — the
+      * denominator matching where incompleteCount is measured, so the
+      * error-rate SLA is a true fraction of transformed records. */
+    transformedCount: Long = 0L)
 
 /** The whole Airflow DAG collapsed into one Spark driver program
   * (`/root/reference/dags/medical_etl_dag.py:162-231` — extract →
@@ -38,7 +42,11 @@ object Pipeline {
     run(spark, lakeRoot, date, PipelineConfig.default)
 
   def run(spark: SparkSession, lakeRoot: String, date: String,
-      cfg: PipelineConfig, inferRawSchema: Boolean = false): RunResult = {
+      cfg: PipelineConfig, inferRawSchema: Boolean = false,
+      /** Raw-zone row counts already known to the caller (runFromApis
+        * observes them on the landing write) — passing them skips the
+        * two count jobs that would otherwise re-read the raw zone. */
+      landedCounts: Option[(Long, Long)] = None): RunResult = {
     // Extraction stage equivalent: raw JSON already landed (by the
     // connectors via runFromApis, or externally). The fixed schemas serve
     // pre-landed event-shaped data; connector-landed data reads back with
@@ -75,14 +83,29 @@ object Pipeline {
 
     // error_rate input: incompleteness is a per-record transform-stage
     // property (FdaTransform's completeness flag); the enrichment
-    // summaries drop it, so count it here.
-    def incomplete(df: DataFrame): Long =
-      if (df.columns.contains("is_complete"))
-        df.where(org.apache.spark.sql.functions.col("is_complete") === false).count()
-      else 0L
+    // summaries drop it, so count it here — fused with the transformed
+    // row count in ONE aggregation job per source (the matching SLA
+    // denominator; a filter-count plus a separate total would scan the
+    // transform output twice).
+    def stats(df: DataFrame): (Long, Long) =
+      if (df.columns.isEmpty) (0L, 0L)
+      else {
+        import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+        val inc =
+          if (df.columns.contains("is_complete"))
+            sum(when(col("is_complete") === false, 1L).otherwise(0L))
+          else sum(lit(0L))
+        val r = df.agg(count(lit(1)).as("n"), inc.as("inc")).head()
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+    val (fdaN, fdaInc) = stats(fdaT)
+    val (ctN, ctInc) = stats(ctT)
+    val (fdaLanded, ctLanded) =
+      landedCounts.getOrElse((fdaRaw.count(), ctRaw.count()))
 
-    RunResult(date, fdaRaw.count(), ctRaw.count(), reloaded.count(), report, outPath,
-      incompleteCount = incomplete(fdaT) + incomplete(ctT))
+    RunResult(date, fdaLanded, ctLanded, reloaded.count(), report, outPath,
+      incompleteCount = fdaInc + ctInc,
+      transformedCount = fdaN + ctN)
   }
 
   /** The full DAG topology in one call (medical_etl_dag.py:231:
@@ -116,41 +139,67 @@ object Pipeline {
         "backoffms" -> (ex.retryDelaySeconds * 1000L).toString,
         "timeoutms" -> (ex.timeoutSeconds * 1000).toString) ++ options
     val rawPrefix = cfg.storage.rawPrefix
-    val fdaExtract = {
-      val df = graft.sources.v2.ApiSources.loadFda(spark, withEnvelope(fdaOptions))
-      val adapted =
-        if (!df.columns.contains("drug_name") && df.columns.contains("brand_name"))
-          df.withColumn("drug_name", org.apache.spark.sql.functions.col("brand_name"))
-        else df
-      adapted.limit(ex.fdaLimit)
+    val meta = new RunMetadata.Collector(date)
+
+    // Landing writes carry an Observation each: the landed row count
+    // rides the write job itself instead of a count that re-reads the
+    // zone just written (the write is unconditional, so the metric
+    // always fires — unlike the transform frames, whose isEmpty probe
+    // would truncate an attached observation).
+    import org.apache.spark.sql.functions.{count, lit}
+    val fdaLanded = meta.time("extract_fda") {
+      val fdaExtract = {
+        val df = graft.sources.v2.ApiSources.loadFda(spark, withEnvelope(fdaOptions))
+        val adapted =
+          if (!df.columns.contains("drug_name") && df.columns.contains("brand_name"))
+            df.withColumn("drug_name", org.apache.spark.sql.functions.col("brand_name"))
+          else df
+        adapted.limit(ex.fdaLimit)
+      }
+      val obs = new org.apache.spark.sql.Observation()
+      Lake.writeJson(fdaExtract.observe(obs, count(lit(1)).as("n")),
+        Lake.rawPath(lakeRoot, "fda", date, rawPrefix))
+      val n = obs.get("n").asInstanceOf[Long]
+      (n, n)
     }
-    Lake.writeJson(fdaExtract, Lake.rawPath(lakeRoot, "fda", date, rawPrefix))
-    Lake.writeJson(
-      graft.sources.v2.ApiSources.loadCt(spark, withEnvelope(ctOptions))
-        .limit(ex.clinicalTrialsLimit),
-      Lake.rawPath(lakeRoot, "clinical_trials", date, rawPrefix))
+    val ctLanded = meta.time("extract_ct") {
+      val obs = new org.apache.spark.sql.Observation()
+      Lake.writeJson(
+        graft.sources.v2.ApiSources.loadCt(spark, withEnvelope(ctOptions))
+          .limit(ex.clinicalTrialsLimit)
+          .observe(obs, count(lit(1)).as("n")),
+        Lake.rawPath(lakeRoot, "clinical_trials", date, rawPrefix))
+      val n = obs.get("n").asInstanceOf[Long]
+      (n, n)
+    }
 
     // validate_extraction (:104-116): zero records from either source
     // fails the run before any transform work starts.
-    val fdaLanded = Lake.readJson(spark,
-      Lake.rawPath(lakeRoot, "fda", date, rawPrefix), None).count()
-    val ctLanded = Lake.readJson(spark,
-      Lake.rawPath(lakeRoot, "clinical_trials", date, rawPrefix), None).count()
     if (fdaLanded == 0) throw new IllegalStateException("No FDA records extracted!")
     if (ctLanded == 0) throw new IllegalStateException("No Clinical Trials records extracted!")
 
-    val result = run(spark, lakeRoot, date, cfg, inferRawSchema = true)
+    val result = meta.time("transform_enrich_gate") {
+      val r = run(spark, lakeRoot, date, cfg, inferRawSchema = true,
+        landedCounts = Some((fdaLanded, ctLanded)))
+      (r, r.enrichedCount)
+    }
 
     // error rate: fraction of transformed records flagged incomplete —
-    // measured at the transform stage (RunResult.incompleteCount), since
-    // the enrichment summaries aggregate the is_complete flag away.
-    val transformedTotal = result.fdaCount + result.ctCount
+    // numerator AND denominator measured at the transform stage
+    // (incompleteness is a post-transform property; dividing by the raw
+    // landed count would understate the rate whenever a transform
+    // filters rows).
     val errorRate =
-      if (transformedTotal > 0) result.incompleteCount.toDouble / transformedTotal
+      if (result.transformedCount > 0)
+        result.incompleteCount.toDouble / result.transformedCount
       else 0.0
 
     val minutes = (System.nanoTime() - t0) / 6e10
     val sla = Notify.evaluateSla(result, minutes, errorRate, cfg)
+
+    // Persist the stage log (the reference logger's context-manager rows
+    // + XCom counts) to the metadata zone — queryable run history.
+    RunMetadata.write(spark, lakeRoot, date, meta.snapshot)
     (result, Notify.completion(result, sla))
   }
 }

@@ -133,6 +133,19 @@ object PipelineConfigLoader {
             cells(2).toString)
         case other => throw new IllegalArgumentException(s"bin row must be a list, got $other")
       }
+      // Edges come from first-lo + every hi, which is only a valid cut
+      // list if the rows tile the range: each row's lo must equal the
+      // previous row's hi and every hi must be strictly above its lo —
+      // overlapping or gapped rows would silently mis-bin.
+      rows.sliding(2).foreach {
+        case Seq((_, hi, l1), (lo, _, l2)) =>
+          require(lo == hi,
+            s"bin rows must be contiguous: '$l1' ends at $hi but '$l2' starts at $lo")
+        case _ => ()
+      }
+      rows.foreach { case (lo, hi, label) =>
+        require(hi > lo, s"bin '$label' is empty or inverted: [$lo, $hi]")
+      }
       val edges = (rows.head._1 +: rows.map(_._2)).map(e =>
         if (e >= UnboundedSentinel) Double.PositiveInfinity else e)
       (edges, rows.map(_._3))

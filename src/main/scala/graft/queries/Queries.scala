@@ -1177,7 +1177,8 @@ object Queries {
        |dropids AS (
        |  SELECT u AS doc_id FROM reach GROUP BY u HAVING min(label) != u),
        |evfp AS (
-       |  SELECT DISTINCT ${duckPolyHash("replace(lower(trim(text)), ' ', '')", 1L << 40)} AS fp
+       |  SELECT DISTINCT ${duckPolyHash("replace(lower(trim(text)), ' ', '')", 1L << 40)} AS fp,
+       |    length(replace(lower(trim(text)), ' ', '')) AS nl
        |  FROM documents WHERE doc_id % 7 = 0),
        |clean AS (
        |  SELECT c.doc_id, c.source, c.text,
@@ -1185,7 +1186,8 @@ object Queries {
        |  FROM core c
        |  WHERE NOT EXISTS (SELECT 1 FROM dropids dr WHERE dr.doc_id = c.doc_id)
        |    AND NOT EXISTS (SELECT 1 FROM evfp e WHERE e.fp =
-       |      ${duckPolyHash("replace(lower(trim(c.text)), ' ', '')", 1L << 40)}))
+       |      ${duckPolyHash("replace(lower(trim(c.text)), ' ', '')", 1L << 40)}
+       |      AND e.nl = length(replace(lower(trim(c.text)), ' ', ''))))
        |SELECT doc_id, source, fp40 FROM clean
        |WHERE ((10368889 * ${duckPolyHash("CAST(doc_id AS VARCHAR)", 1L << 31)} + 8342140)
        |  % ${1L << 31}) % 10000 < 2500""".stripMargin
@@ -1249,22 +1251,25 @@ object Queries {
        |       last_c_event AS c_event
        |FROM w WHERE side = 1""".stripMargin
 
-  /** q48 oracle: same split, same fingerprints, keep-min within the
-    * batch, NOT EXISTS against the corpus. */
+  /** q48 oracle: same split, same (fingerprint, normalized-length)
+    * identity, keep-min within the batch, NOT EXISTS against the
+    * corpus. */
   private lazy val q48Oracle: String =
     s"""WITH f AS (
        |  SELECT doc_id, source,
-       |    ${duckPolyHash("replace(lower(trim(text)), ' ', '')", 1L << 40)} AS fp
+       |    ${duckPolyHash("replace(lower(trim(text)), ' ', '')", 1L << 40)} AS fp,
+       |    length(replace(lower(trim(text)), ' ', '')) AS nlen
        |  FROM documents),
        |ex AS (SELECT * FROM f WHERE doc_id % 3 != 0),
        |inc AS (SELECT * FROM f WHERE doc_id % 3 = 0),
        |incd AS (
-       |  SELECT doc_id, source, fp,
-       |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+       |  SELECT doc_id, source, fp, nlen,
+       |    row_number() OVER (PARTITION BY fp, nlen ORDER BY doc_id) AS rn
        |  FROM inc),
        |newdocs AS (
        |  SELECT i.doc_id, i.source, i.fp FROM incd i
-       |  WHERE i.rn = 1 AND NOT EXISTS (SELECT 1 FROM ex WHERE ex.fp = i.fp))
+       |  WHERE i.rn = 1 AND NOT EXISTS
+       |    (SELECT 1 FROM ex WHERE ex.fp = i.fp AND ex.nlen = i.nlen))
        |SELECT doc_id, source, fp AS fp40, 'existing' AS origin FROM ex
        |UNION ALL
        |SELECT doc_id, source, fp AS fp40, 'new' AS origin FROM newdocs""".stripMargin

@@ -88,6 +88,32 @@ class DedupSpec extends SparkSpec {
       11L -> "new", 13L -> "new"))
   }
 
+  test("incremental merge: a bare 40-bit fingerprint collision does not drop a distinct doc") {
+    // "a" and "\u0002#" share polyHash 97 (31·2 + 35 = 97 = 'a'), but
+    // their normalized lengths differ — identity is (fp40, length), so
+    // the colliding incoming doc must survive as 'new'. Under bare-fp
+    // identity it would be silently dropped as a duplicate.
+    val existing = Seq((1L, "a")).toDF("doc_id", "text")
+    val incoming = Seq((2L, "\u0002#")).toDF("doc_id", "text")
+    val merged = Dedup.incrementalMerge(existing, incoming, "doc_id", "text")
+      .select("doc_id", "fp40", "origin").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(merged(1L)._1 == 97L && merged(2L)._1 == 97L, s"fixture lost its collision: $merged")
+    assert(merged(2L)._2 == "new", "distinct doc dropped on a fingerprint collision")
+  }
+
+  test("connectedComponentsWithin fails fast when an edge set spans blocks") {
+    // id 2 appears under two different blocks — the block-local contract
+    // is violated and the output would carry conflicting components.
+    val pairs = Seq((1L, 2L, "A"), (2L, 3L, "B")).toDF("id_a", "id_b", "blk")
+    val e = intercept[Exception] {
+      Dedup.connectedComponentsWithin(pairs, "id_a", "id_b", "blk").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("multiple blocks")), e.toString)
+  }
+
   test("connected components: chains merge, disjoint stay apart, singletons keep own label") {
     // 1-2-3-4 is a path (diameter 3: label must propagate multiple hops),
     // 10-11 a separate component, 20-21-22 a triangle

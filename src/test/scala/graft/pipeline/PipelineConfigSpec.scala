@@ -115,6 +115,29 @@ class PipelineConfigSpec extends SparkSpec {
     assert(graft.io.Lake.exists(spark, res.processedPath))
   }
 
+  test("malformed bin tables fail fast: gaps, overlaps, inverted rows") {
+    def binsYaml(rows: String) =
+      s"transformation:\n  age_groups:\n$rows"
+    // gapped: 18 -> 21 skips [18, 21)
+    val gap = intercept[IllegalArgumentException] {
+      PipelineConfigLoader.fromYaml(binsYaml(
+        "    - [0, 18, \"A\"]\n    - [21, 65, \"B\"]\n"))
+    }
+    assert(gap.getMessage.contains("contiguous"), gap.getMessage)
+    // overlapping: [0,30) and [18,65) double-cover [18,30)
+    val overlap = intercept[IllegalArgumentException] {
+      PipelineConfigLoader.fromYaml(binsYaml(
+        "    - [0, 30, \"A\"]\n    - [18, 65, \"B\"]\n"))
+    }
+    assert(overlap.getMessage.contains("contiguous"), overlap.getMessage)
+    // inverted: hi <= lo
+    val inv = intercept[IllegalArgumentException] {
+      PipelineConfigLoader.fromYaml(binsYaml(
+        "    - [0, 18, \"A\"]\n    - [18, 18, \"B\"]\n"))
+    }
+    assert(inv.getMessage.contains("inverted"), inv.getMessage)
+  }
+
   test("orc format dispatch round-trips") {
     import java.nio.file.Files
     val p = Files.createTempDirectory("graft-orc").toString + "/t.orc"

@@ -122,6 +122,55 @@ class PipelineSpec extends SparkSpec {
     assert(enriched.where(enriched("drug_name") === "DRUG3").count() == 1)
   }
 
+  test("run metadata persists stage timings and landing counts ride the write (no raw re-read)") {
+    val root = Files.createTempDirectory("graft-api-meta").toString
+    val fdaDir = Files.createTempDirectory("graft-fda-pages-m").toString
+    val ctDir = Files.createTempDirectory("graft-ct-pages-m").toString
+    writeFdaPages(fdaDir)
+    writeCtPages(ctDir)
+
+    // Capture every successfully executed action (name + physical plan):
+    // the landed-count validation must come from write-side Observations,
+    // so no `count` action may scan the raw zone.
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        seen.add((funcName, qe.executedPlan.toString))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ex: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val (res, _) = Pipeline.runFromApis(spark, root, "2024-01-14",
+        Map("path" -> fdaDir), Map("path" -> ctDir))
+      assert(res.fdaCount == 12 && res.ctCount == 5)
+      assert(res.transformedCount > 0)
+
+      // stage rows landed in the metadata zone, one per pipeline stage
+      val meta = RunMetadata.read(spark, root, "2024-01-14")
+      val stages = meta.select("stage").collect().map(_.getString(0)).toSet
+      assert(stages == Set("extract_fda", "extract_ct", "transform_enrich_gate"))
+      val fdaRow = meta.where(meta("stage") === "extract_fda").head()
+      assert(fdaRow.getAs[Long]("records") == 12L)
+      assert(fdaRow.getAs[Long]("durationMs") >= 0L)
+      assert(meta.where(meta("stage") === "transform_enrich_gate")
+        .head().getAs[Long]("records") == res.enrichedCount)
+
+      // listener events are async — wait until the action log quiesces
+      var size = -1
+      var spins = 0
+      while (seen.size() != size && spins < 50) {
+        size = seen.size(); Thread.sleep(100); spins += 1
+      }
+      val rawCounts = seen.toArray(Array.empty[(String, String)]).filter {
+        case (fn, plan) => fn == "count" && plan.contains("/raw/")
+      }
+      assert(rawCounts.isEmpty,
+        s"count actions re-read the raw zone:\n${rawCounts.map(_._2).mkString}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("zero-record extraction fails the run like validate_extraction") {
     val root = Files.createTempDirectory("graft-api-empty").toString
     val emptyDir = Files.createTempDirectory("graft-no-pages").toString
