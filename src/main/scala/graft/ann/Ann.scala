@@ -129,6 +129,61 @@ object Ann {
       .select(col("id"), col("v"), (-col("m.ncid")).as("cell"))
   }
 
+  /** Deterministic spherical k-means training for IVF centroids.
+    *
+    * Init is the same stride sample the untrained q38 index uses (every
+    * `stride`-th vector by id — fixed, seedless); each of the `iters`
+    * Lloyd rounds is one broadcast argmax assignment (ivfAssign) plus
+    * one map-side-combined per-dimension sum, and the new centroid is
+    * the L2-normalized cluster sum (≡ normalized mean — for unit-norm
+    * embeddings and dot-product assignment this is spherical k-means,
+    * whose objective, the mean cosine to the assigned centroid, is
+    * monotonically non-decreasing per round; AnnSpec asserts it).
+    * Empty cells drop out, so k can only shrink. Everything is a fixed
+    * function of the input — reruns reproduce the same centroids.
+    *
+    * Scale shape: the corpus is touched `iters + 1` times, shuffles
+    * carry k·dim partial sums per partition (never vectors), and the
+    * tiny centroid frame is localCheckpoint'ed per round to keep the
+    * plan from deepening with iteration count. */
+  def ivfTrainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      stride: Int, iters: Int): DataFrame = {
+    var cents = corpus
+      .where(pmod(col(idCol), lit(stride)) === 0)
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cvec"))
+    var it = 0
+    while (it < iters) {
+      val assigned = ivfAssign(corpus, idCol, vecCol, cents)
+      val sums = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("cell"), col("i"))
+        .agg(sum(col("x").cast("double")).as("s"))
+      cents = sums.groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("s")))),
+          e => e.getField("s")).as("sv"))
+        .withColumn("nrm",
+          sqrt(aggregate(col("sv"), lit(0.0), (a, x) => a + x * x)))
+        .select(col("cell").as("cid"),
+          when(col("nrm") > 0,
+            transform(col("sv"), x => (x / col("nrm")).cast("float")))
+            .otherwise(transform(col("sv"), x => x.cast("float"))).as("cvec"))
+        .localCheckpoint()
+      it += 1
+    }
+    cents
+  }
+
+  /** Mean best-centroid cosine over the corpus — the spherical k-means
+    * objective ivfTrainCentroids improves; exposed so tests (and index
+    * monitoring) can compare centroid sets. */
+  def ivfObjective(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): Double =
+    corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(centroids.select(col("cvec"))))
+      .select(col("id"), dot(col("v"), col("cvec")).as("d"))
+      .groupBy(col("id")).agg(max(col("d")).as("best"))
+      .agg(avg(col("best"))).head().getDouble(0)
+
   /** IVF-flat top-k: each query probes its `nProbe` nearest cells and
     * scores only those cells' vectors. Candidate generation is a
     * broadcast equi-join of the (small) probe list against the cell
