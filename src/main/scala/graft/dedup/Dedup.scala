@@ -113,18 +113,40 @@ object Dedup {
     * per pair (only pairs sharing ≥1 shingle ever materialize), then join
     * set sizes. Beats the block-quadratic form whenever most pairs share
     * nothing; on corpora with ultra-common shingles the hot posting's d²
-    * contribution dominates — cap or drop high-df shingles there (at the
-    * cost of exactness), or keep the blocked form. */
+    * contribution dominates. `maxDf` is the guard: shingles held by more
+    * than `maxDf` documents are dropped from the shingle universe before
+    * the pair join (both intersection AND sizes — the result is the exact
+    * Jaccard over the capped shingle sets, so values stay engine-
+    * reproducible; SkewSpec proves equivalence with pre-filtered text).
+    * An ultra-common shingle carries ~no similarity signal but d²/2 pair
+    * contributions, so the cap trades a vanishing score perturbation for
+    * the hot key's quadratic term. None = exact, uncapped (AQE skew-join
+    * splits a hot posting partition, but cannot remove its d² pairs). */
   def jaccardPairsInverted(df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int, threshold: Double): DataFrame = {
+      shingleSize: Int, threshold: Double,
+      maxDf: Option[Long] = None): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val toks = df.select(col(idCol).as("id"),
         TextFunctions.tokens(col(textCol)).as("toks"))
       .repartition(parts)
     val shingled = toks.select(col("id"),
       array_distinct(TextFunctions.wordShinglesFrom(col("toks"), shingleSize)).as("shingles"))
-    val sizes = shingled.select(col("id"), size(col("shingles")).as("n"))
-    val postings = shingled.select(col("id"), explode(col("shingles")).as("s"))
+    val allPostings = shingled.select(col("id"), explode(col("shingles")).as("s"))
+    val postings = maxDf match {
+      case Some(cap) =>
+        // document frequency per shingle; keep the sparse tail. The df
+        // aggregation is a map-side-combined count — the hot shingle
+        // never shuffles more than one row per partition.
+        val keep = allPostings.groupBy(col("s"))
+          .agg(count(lit(1)).as("df")).where(col("df") <= cap)
+          .select(col("s"))
+        allPostings.join(keep, Seq("s"))
+      case None => allPostings
+    }
+    val sizes = maxDf match {
+      case Some(_) => postings.groupBy(col("id")).agg(count(lit(1)).as("n"))
+      case None => shingled.select(col("id"), size(col("shingles")).as("n"))
+    }
     val co = postings.as("x").join(postings.as("y"), Seq("s"))
       .where(col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))

@@ -12,8 +12,15 @@ import org.apache.spark.sql.functions._
   * (group, token), document frequency per token over the tf table — both
   * partial+final with map-side combine) → a token-keyed join → one
   * window per group for top-k. The df side carries one row per distinct
-  * token; hot tokens skew the tok join at extreme scale — AQE skew-join
-  * handles it, or pre-filter stopwords by df cap.
+  * token; a corpus-wide token makes the tok join key hot at extreme
+  * group counts. AQE skew-join does NOT engage here — the df side is
+  * derived from the tf side, and (measured on Spark 4.1, SkewSpec) the
+  * resulting stage reuse blocks OptimizeSkewedJoin even with forced
+  * thresholds — so the real mitigation is `dfCap`: drop tokens whose
+  * document frequency exceeds the cap before the join. A token in more
+  * than ~half the groups has idf ≤ ln 2 and is never "distinctive", so a
+  * cap around N/2 changes no meaningful ranking while removing the hot
+  * key entirely.
   *
   * Determinism: the score is `tf · floor(1000·ln(N/df))` — integer once
   * floored, so ranking (score desc, token asc) is total and
@@ -25,15 +32,19 @@ import org.apache.spark.sql.functions._
 object CorpusStats {
 
   /** Top-k distinctive terms per group by the floor-scaled TF-IDF score.
-    * Output: (group, rank, term, tf, score). */
+    * Output: (group, rank, term, tf, score). `dfCap`: drop tokens held by
+    * more than `dfCap` groups before the join — the hot-key guard (see
+    * the class note; capped tokens score at most tf·⌊1000·ln(N/cap)⌋, so
+    * a cap near N only removes never-distinctive stopwords). */
   def tfIdfTopTerms(df: DataFrame, textCol: String, groupCol: String,
-      k: Int): DataFrame = {
+      k: Int, dfCap: Option[Long] = None): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val toks = df.select(col(groupCol).as("grp"),
         explode(TextFunctions.tokens(col(textCol))).as("tok"))
       .repartition(parts)
     val tf = toks.groupBy(col("grp"), col("tok")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val dfreqAll = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val dfreq = dfCap.map(c => dfreqAll.where(col("df") <= c)).getOrElse(dfreqAll)
     val n = df.select(countDistinct(col(groupCol)).as("n"))
     val scored = tf.join(dfreq, "tok").crossJoin(broadcast(n))
       .select(col("grp"), col("tok"), col("tf"),
