@@ -378,10 +378,12 @@ object Dedup {
   private def shingleHashes(shingles: Column): Column =
     transform(shingles, s => TextFunctions.polyHash(s, 1L << 31))
 
-  /** Signature from a *materialized* shingle-hash column: `numHashes`
-    * independent array_min expressions, each one pass over the long
-    * array. */
-  private def signatureFrom(shs: Column, cfg: MinHashConfig): Column =
+  /** Signature from a *materialized* shingle-hash column — the
+    * interpreted HOF *reference* form: `numHashes` independent array_min
+    * expressions, each one interpreted pass over the long array. The hot
+    * path runs the fused codegen [[graft.functions.MinHashSig]] instead
+    * (one loop for all minima; MinHashSigSpec pins bit parity). */
+  private[graft] def signatureFromHof(shs: Column, cfg: MinHashConfig): Column =
     array(hashParams(cfg.numHashes).map { case (a, b) =>
       array_min(transform(shs, h => (lit(a) * h + lit(b)) % HashMod))
     }: _*)
@@ -429,7 +431,7 @@ object Dedup {
     // callers release via CacheScope.releaseAll after materializing.
     val sigs = graft.ops.CacheScope.persist(
       hashed.select(col("id"), col("shingles"),
-        signatureFrom(col("shs"), cfg).as("sig")))
+        graft.functions.MinHashSig.minhashSig(col("shs"), cfg.numHashes).as("sig")))
     val banded = sigs.select(col("id"),
       posexplode(bandHashesFrom(col("sig"), cfg)).as(Seq("band", "bhash")))
 
