@@ -744,6 +744,23 @@ object Queries {
       .select(col("doc_id"), col("source"), col("fp40"), col("origin"))
   }
 
+  /** Int8 embedding quantization through the gate: per-vector symmetric
+    * scale, floor-quantized components verified by count, value-sum and
+    * an order-sensitive polynomial fold (arrays don't survive
+    * engine-neutral cell compare; the fold pins every element+position).
+    * The 4×-compression step of a 100 TB vector pipeline. */
+  def q50QuantizeInt8(spark: SparkSession, dir: String): DataFrame =
+    graft.ann.Quantize.quantizeSummary(
+      tbl(spark, dir, "embeddings"), "vec_id", "embedding")
+
+  /** Unigram-LM surprisal (perplexity proxy) per document — corpus-level
+    * language-model quality scoring with integer millinat arithmetic
+    * (order-independent sums → engine-reproducible). */
+  def q51Surprisal(spark: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusStats.unigramSurprisal(
+        tbl(spark, dir, "documents"), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+
   // =================================================================
   // generated oracle fragments (reproducible-hash pipelines)
   // =================================================================
@@ -1349,7 +1366,9 @@ object Queries {
     "q46_hll_registers" -> (q46HllRegisters _),
     "q47_asof_attribution" -> (q47AsofAttribution _),
     "q48_incremental_merge" -> (q48IncrementalMerge _),
-    "q49_curation_full" -> (q49CurationFull _))
+    "q49_curation_full" -> (q49CurationFull _),
+    "q50_quantize_int8" -> (q50QuantizeInt8 _),
+    "q51_surprisal" -> (q51Surprisal _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1485,6 +1504,35 @@ object Queries {
     "q47_asof_attribution" -> q47Oracle,
     "q48_incremental_merge" -> q48Oracle,
     "q49_curation_full" -> q49Oracle,
+    "q50_quantize_int8" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, mx,
+        |    CASE WHEN mx = 0 THEN list_transform(embedding, x -> 0::BIGINT)
+        |         ELSE list_transform(embedding, x -> floor(127.0 * x::DOUBLE / mx)::BIGINT)
+        |    END AS qv
+        |  FROM m)
+        |SELECT vec_id, len(qv)::BIGINT AS n_dims, round(mx, 6) AS maxabs_r,
+        |  list_sum(qv)::BIGINT AS qsum,
+        |  list_reduce(list_prepend(0::BIGINT, qv),
+        |    (acc, v) -> (acc * 1000003 + (v + 128)) % 1099511627776)::BIGINT AS qfp
+        |FROM q""".stripMargin,
+    "q51_surprisal" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(lower(trim(text)), ' '), x -> x != '')) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+        |tot AS (SELECT sum(c)::BIGINT AS total FROM c),
+        |s AS (
+        |  SELECT t.doc_id,
+        |    floor(1000.0 * ln(tot.total::DOUBLE / c.c))::BIGINT AS si
+        |  FROM t JOIN c USING (tok) CROSS JOIN tot)
+        |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |  (sum(si)::BIGINT // count(*)) AS surprisal_milli
+        |FROM s GROUP BY doc_id""".stripMargin,
     "q37_source_similarity" -> q37Oracle,
     "q20_exact_dedup" ->
       """SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_distinct_texts

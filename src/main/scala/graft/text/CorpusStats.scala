@@ -56,4 +56,44 @@ object CorpusStats {
       .select(col("grp").as(groupCol), col("rank"), col("tok").as("term"),
         col("tf"), col("score"))
   }
+
+  /** Mean token surprisal under the corpus's own unigram LM — the
+    * perplexity-proxy quality score of C4/Gopher-style filtering when no
+    * trained LM is on the cluster: documents of improbable tokens score
+    * high, boilerplate scores low.
+    *
+    * Per-token surprisal is floored to integer millinats BEFORE the
+    * per-document mean: s(tok) = ⌊1000·ln(total/count(tok))⌋. Integer
+    * summation is order-independent, so the score is reproducible across
+    * partitionings and engines (a double sum of lns would depend on
+    * aggregation order); the per-token floor is q44's cross-engine-safe
+    * pattern (finitely many ln values of integer ratios, boundary
+    * distances dwarf libm ulps). Output: (id, n_tokens, surprisal_milli
+    * = ⌊Σs/n⌋).
+    *
+    * Scale shape: one explode, one map-side-combined count agg, a
+    * token-keyed join back to the postings, one final agg. The join key
+    * inherits CorpusStats' hot-token caveat — and because the counts
+    * derive from the postings, AQE skew-join is structurally blocked
+    * here too (see the class note); ultra-common tokens can't be capped
+    * away (their low surprisal IS signal), so at extreme scale the top
+    * of the Zipf head would broadcast-join separately from the tail. */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val toks = df.select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .repartition(parts)
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("total"))
+    toks.join(counts, "tok").crossJoin(broadcast(total))
+      .select(col("id"),
+        floor(lit(1000.0) * log(col("total").cast("double") / col("c")))
+          .cast("long").as("si"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("si")).cast("long").as("ssum"))
+      // integer division (si ≥ 0 so div == floor); a double mean could
+      // round up across an integer boundary and break engine parity
+      .select(col("id"), col("n_tokens"),
+        expr("ssum div n_tokens").as("surprisal_milli"))
+  }
 }

@@ -1,0 +1,43 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SurprisalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("unigram surprisal: rare tokens score high, boilerplate low, golden values") {
+    // corpus: "common" appears 8 times, "rare" once, "mid" twice.
+    // total tokens = 11.
+    val docs = Seq(
+      (1L, "common common common common"),
+      (2L, "common common common common"),
+      (3L, "rare mid"),
+      (4L, "mid")).toDF("doc_id", "text")
+    val out = CorpusStats.unigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def s(totalOverC: Double): Long = math.floor(1000.0 * math.log(totalOverC)).toLong
+    val sCommon = s(11.0 / 8)  // 318
+    val sRare = s(11.0 / 1)    // 2397
+    val sMid = s(11.0 / 2)     // 1704
+    assert(out(1L) == ((4L, sCommon)))
+    assert(out(2L) == ((4L, sCommon)))
+    assert(out(3L) == ((2L, (sRare + sMid) / 2)))
+    assert(out(4L) == ((1L, sMid)))
+    // ordering property: the boilerplate doc scores strictly lower than
+    // the rare-token doc
+    assert(out(1L)._2 < out(3L)._2)
+  }
+
+  test("surprisal is reproducible and total-token count matches tokenization") {
+    val docs = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "documents")
+    val a = CorpusStats.unigramSurprisal(docs, "doc_id", "text")
+    val b = CorpusStats.unigramSurprisal(docs.repartition(7), "doc_id", "text")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "surprisal must not depend on input partitioning")
+    val nTok = a.agg(sum($"n_tokens")).head().getLong(0)
+    val direct = docs.select(TextFunctions.tokenCount($"text").as("n"))
+      .agg(sum($"n")).head().getLong(0)
+    assert(nTok == direct)
+  }
+}
