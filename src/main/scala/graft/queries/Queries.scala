@@ -761,6 +761,22 @@ object Queries {
         tbl(spark, dir, "documents"), "doc_id", "text")
       .withColumnRenamed("id", "doc_id")
 
+  /** Context-window chunking through the gate: documents split into
+    * 32-token windows with stride 16 (50% overlap), each chunk pinned by
+    * its token count and 40-bit fingerprint — the document→training-
+    * example step of an LLM data pipeline. Per-row expansion, zero
+    * shuffles before the gate's own ordering. */
+  def q52Chunking(spark: SparkSession, dir: String): DataFrame = {
+    val tf = graft.text.TextFunctions
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"), tf.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        posexplode(tf.tokenChunksFrom(col("toks"), 32, 16)).as(Seq("chunk_id", "chunk")))
+      .select(col("doc_id"), col("chunk_id"),
+        tf.tokenCount(col("chunk")).cast("long").as("n_chunk_tokens"),
+        tf.fingerprint(col("chunk")).as("chunk_fp"))
+  }
+
   // =================================================================
   // generated oracle fragments (reproducible-hash pipelines)
   // =================================================================
@@ -1368,7 +1384,8 @@ object Queries {
     "q48_incremental_merge" -> (q48IncrementalMerge _),
     "q49_curation_full" -> (q49CurationFull _),
     "q50_quantize_int8" -> (q50QuantizeInt8 _),
-    "q51_surprisal" -> (q51Surprisal _))
+    "q51_surprisal" -> (q51Surprisal _),
+    "q52_chunking" -> (q52Chunking _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1533,6 +1550,19 @@ object Queries {
         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
         |  (sum(si)::BIGINT // count(*)) AS surprisal_milli
         |FROM s GROUP BY doc_id""".stripMargin,
+    "q52_chunking" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), x -> x != '') AS ts
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, (i - 1) // 16 AS chunk_id,
+        |    array_to_string(ts[i : i + 31], ' ') AS chunk
+        |  FROM t, LATERAL (SELECT unnest(range(1, greatest(len(ts) - 16, 1) + 1, 16)) AS i)
+        |  WHERE len(ts) > 0)
+        |SELECT doc_id, chunk_id,
+        |  len(string_split(chunk, ' '))::BIGINT AS n_chunk_tokens,
+        |  ${duckPolyHash("replace(chunk, ' ', '')", 1L << 40)} AS chunk_fp
+        |FROM c""".stripMargin,
     "q37_source_similarity" -> q37Oracle,
     "q20_exact_dedup" ->
       """SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_distinct_texts

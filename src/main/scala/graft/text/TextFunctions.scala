@@ -45,6 +45,28 @@ object TextFunctions {
   def wordShingles(text: Column, k: Int): Column =
     wordShinglesFrom(tokens(text), k)
 
+  /** Fixed-size token windows with stride — the chunking step that turns
+    * documents into training examples (context-window packing). Windows
+    * start at 1, 1+stride, 2·stride+1, … while a full-or-partial tail
+    * remains: every token lands in ≥1 chunk (stride ≤ size ⇒ overlapping
+    * windows; stride = size ⇒ a partition), the final chunk may be short,
+    * and an empty document yields no chunks. Per-row, shuffle-free;
+    * consumers posexplode into (chunk_id, chunk) rows. Pass a
+    * *materialized* tokens column (see the wordShinglesFrom PERF note). */
+  def tokenChunksFrom(ts: Column, size0: Int, stride: Int): Column = {
+    require(size0 >= 1 && stride >= 1 && stride <= size0,
+      s"need 1 <= stride <= size, got size=$size0 stride=$stride")
+    when(size(ts) > 0,
+      transform(
+        // window starts: 1, 1+stride, ... up to the last position that
+        // begins a non-redundant window (start ≤ n − size + stride keeps
+        // exactly the windows whose tokens aren't fully covered earlier)
+        sequence(lit(1),
+          greatest(size(ts) - lit(size0 - stride), lit(1)), lit(stride)),
+        i => concat_ws(" ", slice(ts, i, lit(size0)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Duplicate-k-gram fraction (Gopher-style repetition filter) in
     * floor-scaled basis points, from a *materialized* shingles column —
     * 10000·(1 − distinct/total). floor over small rationals avoids the
