@@ -24,20 +24,25 @@ object TextFunctions {
   def distinctTokens(text: Column): Column = array_distinct(tokens(text))
 
   /** k-word shingles ("n-gram" units for dedup fingerprints). Fewer than
-    * k tokens → single shingle of the whole text.
-    *
-    * PERF: pass a *materialized* tokens column (from a separate select
-    * stage) — this expression references `ts` once per shingle position,
-    * so handing it the raw tokenization expression inlines an O(tokens)
-    * split into every position: O(n²) per row (observed as a 100× slowdown
-    * in the dedup pipeline before staging). */
+    * k tokens → single shingle of the whole text; no tokens → NO
+    * shingles (not a single empty shingle: two blank documents must not
+    * pair with Jaccard 1.0 — the SQL oracle's empty shingle set yields
+    * NULL and never emits the pair). Runs as the fused codegen
+    * [[graft.functions.WordShingles]] expression — one loop joining
+    * UTF8 windows, which also evaluates its input exactly once (the HOF
+    * form re-evaluated a non-materialized `ts` per window position:
+    * O(n²) per row, an observed 100× slowdown before staging). The HOF
+    * reference form below backs the parity spec. */
   def wordShinglesFrom(ts: Column, k: Int): Column =
+    graft.functions.WordShingles.wordShingles(ts, k)
+
+  /** The higher-order-function reference formulation (interpreted; see
+    * the PERF history above — pass a materialized tokens column).
+    * WordShinglesSpec asserts string parity with the fused expression. */
+  def wordShinglesFromHof(ts: Column, k: Int): Column =
     when(size(ts) >= k,
       transform(sequence(lit(1), size(ts) - lit(k - 1)),
         i => concat_ws(" ", slice(ts, i, lit(k)))))
-      // No tokens at all → NO shingles (not a single empty shingle):
-      // two blank documents must not pair with Jaccard 1.0 — the SQL
-      // oracle's empty shingle set yields NULL and never emits the pair.
       .when(size(ts) > 0, array(concat_ws(" ", ts)))
       .otherwise(array().cast("array<string>"))
 
