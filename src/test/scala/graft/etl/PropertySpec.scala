@@ -116,4 +116,48 @@ class PropertySpec extends SparkSpec {
     val quarter = kept.find(_._1 == 2500).get._2 / 4000.0
     assert(math.abs(quarter - 0.25) < 0.05, s"25% rate kept $quarter")
   }
+
+  test("chunking invariants over random (n, size, stride): coverage, bounds, count") {
+    val cases = Seq.fill(120) {
+      val size = 1 + rnd.nextInt(12)
+      val stride = 1 + rnd.nextInt(size)
+      val n = rnd.nextInt(40)
+      (n, size, stride)
+    } ++ Seq((0, 5, 5), (1, 1, 1), (39, 12, 1))
+    val rows = cases.zipWithIndex.map { case ((n, _, _), i) =>
+      (i, (1 to n).map(t => s"w$t").mkString(" "))
+    }.toDF("case_id", "text")
+    val byCase = cases.zipWithIndex.map { case (c, i) => i -> c }.toMap
+    // run every case through the fused expression in one job per (size, stride)
+    cases.zipWithIndex.groupBy { case ((_, s, d), _) => (s, d) }.foreach {
+      case ((size, stride), group) =>
+        val ids = group.map(_._2).toSet
+        val got = rows.where($"case_id".isin(ids.toSeq: _*))
+          .select($"case_id",
+            graft.text.TextFunctions.tokenChunksFrom(
+              graft.text.TextFunctions.tokens($"text"), size, stride).as("chunks"))
+          .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+        got.foreach { case (id, chunks) =>
+          val (n, _, _) = byCase(id)
+          if (n == 0) assert(chunks.isEmpty)
+          else {
+            // expected chunk count: starts 1, 1+stride, … ≤ max(n−size+stride, 1)
+            val m = math.max(n - size + stride, 1)
+            val expected = (m + stride - 1) / stride
+            assert(chunks.length == expected,
+              s"n=$n size=$size stride=$stride got ${chunks.length}")
+            val toks = chunks.flatMap(_.split(" "))
+            // every token covered, in order within each chunk, none invented
+            assert(toks.toSet == (1 to n).map(t => s"w$t").toSet,
+              s"coverage broken: n=$n size=$size stride=$stride")
+            chunks.zipWithIndex.foreach { case (c, ci) =>
+              val ws = c.split(" ")
+              val start = ci * stride + 1
+              assert(ws.toSeq == (start until math.min(start + size, n + 1)).map(t => s"w$t"),
+                s"chunk $ci wrong window: n=$n size=$size stride=$stride")
+            }
+          }
+        }
+    }
+  }
 }
