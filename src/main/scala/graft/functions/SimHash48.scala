@@ -47,6 +47,32 @@ case class SimHash48(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** The 48-bit avalanche finalizer as a standalone scalar expression —
+  * decorrelates the order of polynomial hashes (the raw fold is affine
+  * in its input, so consecutive keys stay consecutive; the mix
+  * scrambles). Used by the deterministic training shuffle; arithmetic is
+  * [[SimHash48.mix48]], BIGINT-reproducible in the DuckDB oracle. */
+case class Mix48(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a bigint input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "mix48"
+  override def nullSafeEval(input: Any): Any =
+    SimHash48.mix48(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.SimHash48.mix48($a)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Mix48 {
+  def mix48(c: Column): Column =
+    ColumnShim.column(Mix48(ColumnShim.expression(c)))
+}
+
 object SimHash48 {
   private final val Bits = 48
   private final val Mod48 = 1L << Bits

@@ -45,8 +45,57 @@ object ScaleOps {
     * Observed on 500 decimal ids: raw fold → 60% kept at a 25% rate;
     * spread → 24.4%. */
   private def sampleBucket(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    spreadHash(key) % 10000
+
+  /** Deterministic pseudorandom permutation position for every row — the
+    * training-example global shuffle: data loaders read in `shuffle_pos`
+    * order, and every rerun, resume, or engine swap reads the identical
+    * order (no RNG state, no seed file). Ordering = (affine-spread key
+    * hash, key): total whenever keys are unique — the caller's contract.
+    *
+    * Scale shape (a global row_number would move everything into ONE
+    * window partition): the hash range is cut into `numShufflePartitions`
+    * fixed-width buckets (no sampled boundaries — fully deterministic),
+    * one bounded count job yields per-bucket offsets on the driver (one
+    * long per bucket, the AQE-stats pattern), and positions are the
+    * per-bucket row_number plus the bucket offset. One exchange for the
+    * counts, one for the final per-bucket sort; hash uniformity keeps
+    * buckets balanced. At 100 TB write the output bucketed by
+    * `shuffle_pos div rowsPerShard` and loaders stream shards
+    * sequentially.
+    *
+    * Ordering hash = avalanche-mixed 48-bit polynomial (functions.Mix48):
+    * the raw fold (and its affine spread) is order-preserving over
+    * consecutive keys — a "shuffle" ordered by it leaves runs of input
+    * order intact (measured: 9 inversions across 500 sequential ids);
+    * the mix decorrelates (ScaleOpsSpec asserts the permutation actually
+    * scrambles). */
+  def deterministicShufflePos(df: DataFrame, keyCol: String): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val width = ((1L << 48) + parts - 1) / parts
+    val withBucket = df
+      .withColumn("__h", graft.functions.Mix48.mix48(
+        graft.text.TextFunctions.polyHash(col(keyCol).cast("string"), 1L << 48)))
+      .withColumn("__b", (col("__h") / width).cast("int"))
+    val counts = withBucket.groupBy(col("__b")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (b, n)) => (b, acc + n) }
+      .sliding(2).collect { case Array((_, off), (b, _)) => b -> off }.toMap
+    val offCol = offsets.foldLeft(lit(0L)) { case (acc, (b, off)) =>
+      when(col("__b") === b, lit(off)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b")).orderBy(col("__h").asc, col(keyCol).asc)
+    withBucket
+      .withColumn("shuffle_pos", row_number().over(w).cast("long") - 1L + offCol)
+      .drop("__h", "__b")
+  }
+
+  /** Full-range affine-spread hash in [0, 2^31) — shared by sampling
+    * (bucketed mod 10^4) and shuffling (raw). */
+  private def spreadHash(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     (lit(10368889L) * graft.text.TextFunctions.polyHash(key.cast("string"), 1L << 31) +
-      lit(8342140L)) % (1L << 31) % 10000
+      lit(8342140L)) % (1L << 31)
 
   /** Stratified variant: per-stratum rates (basis points) with a default
     * for unlisted strata — the "downsample common crawl, keep all of

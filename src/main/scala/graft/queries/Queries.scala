@@ -777,6 +777,13 @@ object Queries {
         tf.fingerprint(col("chunk")).as("chunk_fp"))
   }
 
+  /** Deterministic global example shuffle through the gate: every
+    * document gets its reproducible permutation position (the
+    * training-data loader order), verified position-by-position. */
+  def q53ShufflePos(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.ScaleOps.deterministicShufflePos(
+      tbl(spark, dir, "documents").select(col("doc_id"), col("source")), "doc_id")
+
   // =================================================================
   // generated oracle fragments (reproducible-hash pipelines)
   // =================================================================
@@ -1226,6 +1233,34 @@ object Queries {
        |  % ${1L << 31}) % 10000 < 2500""".stripMargin
   }
 
+  /** q53 oracle: the avalanche-mixed ordering hash as a scalar lateral-
+    * alias chain (q46's pattern, same Mix48 constants), then the global
+    * row_number. */
+  private lazy val q53Oracle: String = {
+    val sh = graft.dedup.Dedup.Mix48Shift
+    val chain = {
+      var cur = "h"; var i = 0
+      val sb = new StringBuilder
+      def xs(): Unit = { i += 1; sb.append(s",\n  xor($cur, $cur >> $sh) AS m$i"); cur = s"m$i" }
+      def mul(a: Long): Unit = {
+        i += 1
+        sb.append(s",\n  ((($a * ($cur >> 24)) % 16777216) * 16777216 + " +
+          s"$a * ($cur & 16777215)) % ${1L << 48} AS m$i")
+        cur = s"m$i"
+      }
+      xs(); graft.dedup.Dedup.Mix48Muls.foreach { a => mul(a); xs() }
+      (sb.toString, cur)
+    }
+    s"""WITH h0 AS (
+       |  SELECT doc_id, source,
+       |    ${duckPolyHash("CAST(doc_id AS VARCHAR)", 1L << 48)} AS h
+       |  FROM documents),
+       |mx AS (SELECT doc_id, source, h${chain._1} FROM h0)
+       |SELECT doc_id, source,
+       |  row_number() OVER (ORDER BY ${chain._2}, doc_id) - 1 AS shuffle_pos
+       |FROM mx""".stripMargin
+  }
+
   /** q46 oracle: poly hash → scalar avalanche chain (lateral aliases) →
     * bucket/rho → max per bucket. DISTINCT first is an oracle-side
     * shortcut only — duplicates collapse in the max either way. */
@@ -1385,7 +1420,8 @@ object Queries {
     "q49_curation_full" -> (q49CurationFull _),
     "q50_quantize_int8" -> (q50QuantizeInt8 _),
     "q51_surprisal" -> (q51Surprisal _),
-    "q52_chunking" -> (q52Chunking _))
+    "q52_chunking" -> (q52Chunking _),
+    "q53_shuffle_pos" -> (q53ShufflePos _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1563,6 +1599,7 @@ object Queries {
         |  len(string_split(chunk, ' '))::BIGINT AS n_chunk_tokens,
         |  ${duckPolyHash("replace(chunk, ' ', '')", 1L << 40)} AS chunk_fp
         |FROM c""".stripMargin,
+    "q53_shuffle_pos" -> q53Oracle,
     "q37_source_similarity" -> q37Oracle,
     "q20_exact_dedup" ->
       """SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_distinct_texts

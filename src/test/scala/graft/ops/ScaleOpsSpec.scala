@@ -175,4 +175,27 @@ class ScaleOpsSpec extends SparkSpec {
     assert(bySrc.keySet == Set(boosted)) // default 0 drops everything else
     assert(bySrc(boosted) == docs.where($"source" === boosted).count())
   }
+
+  test("deterministic shuffle: exact permutation, partitioning-invariant, actually shuffles") {
+    val docs = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id")
+    val a = ScaleOps.deterministicShufflePos(docs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = docs.count()
+    // a total permutation: positions are exactly 0..n-1
+    assert(a.values.toSeq.sorted == (0L until n).toSeq)
+    // invariant under input partitioning (rerun on a differently-split input)
+    val b = ScaleOps.deterministicShufflePos(docs.repartition(7), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    // it is a shuffle, not the identity: sorted-by-id order is broken
+    // almost everywhere
+    val sortedIds = a.keys.toSeq.sorted
+    val inversions = sortedIds.sliding(2).count {
+      case Seq(x, y) => a(x) > a(y)
+      case _ => false
+    }
+    assert(inversions > sortedIds.length / 4,
+      s"suspiciously ordered: only $inversions inversions in ${sortedIds.length}")
+  }
 }
