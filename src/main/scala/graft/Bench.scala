@@ -44,6 +44,8 @@ object Bench {
       // instead of recomputing. Clear between timed runs so every number
       // is a full recompute and no query inherits another's cached blocks
       // (the r02 q24/q25 "regression" was this kind of cross-run noise).
+      // releaseAll also drops the CacheScope registry's frame references.
+      graft.ops.CacheScope.releaseAll(spark)
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val ok = try { fn; true } catch { case e: Throwable =>
@@ -57,14 +59,19 @@ object Bench {
       .map { case (name, fn) =>
         val (cold, ok) = timed(fn(spark, sfDir).count())
         var warm = cold
+        var warmOk = ok
         var r = 0
-        while (r < warmRuns && ok) {
+        while (r < warmRuns && ok && warmOk) {
           val (w, wok) = timed(fn(spark, sfDir).count())
+          // a warm-run crash must not masquerade as a healthy steady-state
+          // timing: mark the query failed rather than falling back to cold
+          warmOk = wok
           if (wok) warm = w
           r += 1
         }
         if (!ok) System.err.println(s"[bench] $name FAILED (cold run)")
-        (name, cold, warm, ok)
+        else if (!warmOk) System.err.println(s"[bench] $name FAILED (warm run)")
+        (name, cold, warm, ok && warmOk)
       }
     // A crashed query must not masquerade as a fast timing: report its
     // elapsed as negative and list it under "failed".

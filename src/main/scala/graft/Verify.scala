@@ -21,6 +21,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // queries that persist intermediates register them with CacheScope;
+      // release after each write so a 53-query run doesn't accumulate
+      // every signature pipeline's cached blocks
+      graft.ops.CacheScope.releaseAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

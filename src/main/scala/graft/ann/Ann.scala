@@ -140,7 +140,11 @@ object Ann {
     * whose objective, the mean cosine to the assigned centroid, is
     * monotonically non-decreasing per round; AnnSpec asserts it).
     * Empty cells drop out, so k can only shrink. Everything is a fixed
-    * function of the input — reruns reproduce the same centroids.
+    * function of the input — reruns reproduce the same centroids:
+    * per-dimension sums accumulate floor-scaled 2^24 integers (a double
+    * sum would depend on shuffle-fetch merge order; integer addition is
+    * order-independent — the same rule unigramSurprisal applies), and
+    * the ≤2^-24 quantization is far below float components' own noise.
     *
     * Scale shape: the corpus is touched `iters + 1` times, shuffles
     * carry k·dim partial sums per partition (never vectors), and the
@@ -157,7 +161,8 @@ object Ann {
       val sums = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
         .groupBy(col("cell"), col("i"))
-        .agg(sum(col("x").cast("double")).as("s"))
+        .agg((sum(floor(col("x").cast("double") * (1L << 24)).cast("long"))
+          .cast("double") / (1L << 24)).as("s"))
       cents = sums.groupBy(col("cell"))
         .agg(transform(array_sort(collect_list(struct(col("i"), col("s")))),
           e => e.getField("s")).as("sv"))
@@ -177,12 +182,16 @@ object Ann {
     * objective ivfTrainCentroids improves; exposed so tests (and index
     * monitoring) can compare centroid sets. */
   def ivfObjective(corpus: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame): Double =
-    corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      centroids: DataFrame): Double = {
+    val row = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .crossJoin(broadcast(centroids.select(col("cvec"))))
       .select(col("id"), dot(col("v"), col("cvec")).as("d"))
       .groupBy(col("id")).agg(max(col("d")).as("best"))
-      .agg(avg(col("best"))).head().getDouble(0)
+      .agg(avg(col("best"))).head()
+    require(!row.isNullAt(0),
+      "ivfObjective: empty corpus or centroid set (avg over zero vectors)")
+    row.getDouble(0)
+  }
 
   /** IVF-flat top-k: each query probes its `nProbe` nearest cells and
     * scores only those cells' vectors. Candidate generation is a

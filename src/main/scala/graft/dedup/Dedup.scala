@@ -54,8 +54,7 @@ object Dedup {
       idCol: String, textCol: String): DataFrame = {
     def withFp(df: DataFrame) = df
       .withColumn("fp40", TextFunctions.fingerprint(col(textCol)))
-      .withColumn("__nlen",
-        length(regexp_replace(lower(trim(col(textCol))), " ", "")))
+      .withColumn("__nlen", TextFunctions.normalizedLength(col(textCol)))
     val exF = withFp(existing)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("fp40"), col("__nlen")).orderBy(col(idCol))

@@ -75,7 +75,12 @@ object MinHashSig {
   }
 
   /** Shared by interpreted eval and generated code. Returns null for an
-    * empty array (the staged form's array_min over empty is null). */
+    * empty array or a null element (the staged form's array_min over
+    * empty/null-bearing input is null). Inputs must be 31-bit shingle
+    * hashes — (a·h + b) with 31-bit a,b stays below 2^62, but a 40-bit
+    * input (e.g. shingle_fps output composed via SQL) would overflow a
+    * Long and produce silently-wrong signatures, so out-of-range values
+    * fail fast instead. */
   def sig(shs: ArrayData, numHashes: Int): ArrayData = {
     val m = shs.numElements()
     if (m == 0) return null
@@ -84,7 +89,11 @@ object MinHashSig {
     java.util.Arrays.fill(out, Long.MaxValue)
     var j = 0
     while (j < m) {
+      if (shs.isNullAt(j)) return null
       val h = shs.getLong(j)
+      if (h < 0L || h >= (1L << 31)) throw new IllegalArgumentException(
+        s"minhash_sig expects 31-bit shingle hashes (poly_hash(s, 2^31)); " +
+          s"got $h — larger inputs overflow the (a*h + b) signature arithmetic")
       var i = 0
       while (i < numHashes) {
         val v = (p(2 * i) * h + p(2 * i + 1)) % Mod40

@@ -41,13 +41,17 @@ case class ShingleFps(child: Expression, k: Int) extends UnaryExpression {
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // null-element inputs poison to null
   override def prettyName: String = "shingle_fps"
 
   override def nullSafeEval(input: Any): Any =
     ShingleFps.fps(input.asInstanceOf[ArrayData], k)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, a => s"graft.functions.ShingleFps.fps($a, $k)")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = graft.functions.ShingleFps.fps($a, $k);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -67,6 +71,9 @@ object ShingleFps {
     val th = new Array[Long](n)
     var i = 0
     while (i < n) {
+      // a null token poisons the whole result (SQL callers can pass
+      // arbitrary arrays; the library's tokens() never yields nulls)
+      if (toks.isNullAt(i)) return null
       th(i) = PolyHash.hash(toks.getUTF8String(i), TokenMod)
       i += 1
     }

@@ -35,13 +35,18 @@ case class SimHash48(child: Expression) extends UnaryExpression {
   }
 
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def prettyName: String = "simhash48"
 
   override def nullSafeEval(input: Any): Any =
     SimHash48.simhash(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, a => s"graft.functions.SimHash48.simhash($a)")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      java.lang.Long ${ev.value}_r = graft.functions.SimHash48.simhash($a);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.longValue(); }
+    """)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -93,12 +98,15 @@ object SimHash48 {
     h
   }
 
-  def simhash(toks: ArrayData): Long = {
+  /** Boxed so a null token can poison the whole result (SQL callers can
+    * pass arbitrary arrays; the library's tokens() never yields nulls). */
+  def simhash(toks: ArrayData): java.lang.Long = {
     val n = toks.numElements()
     if (n == 0) return 0L
     val cnt = new Array[Int](Bits)
     var i = 0
     while (i < n) {
+      if (toks.isNullAt(i)) return null
       val h = mix48(PolyHash.hash(toks.getUTF8String(i), Mod48))
       var b = 0
       while (b < Bits) {

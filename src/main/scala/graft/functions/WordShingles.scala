@@ -31,13 +31,17 @@ case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
   }
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true // null-element inputs poison to null
   override def prettyName: String = "word_shingles"
 
   override def nullSafeEval(input: Any): Any =
     WordShingles.shingles(input.asInstanceOf[ArrayData], k)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, a => s"graft.functions.WordShingles.shingles($a, $k)")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = graft.functions.WordShingles.shingles($a, $k);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -52,7 +56,13 @@ object WordShingles {
     if (n == 0) return new GenericArrayData(Array.empty[AnyRef])
     val ts = new Array[UTF8String](n)
     var i = 0
-    while (i < n) { ts(i) = toks.getUTF8String(i); i += 1 }
+    while (i < n) {
+      // a null token poisons the whole result (SQL callers can pass
+      // arbitrary arrays; the library's tokens() never yields nulls)
+      if (toks.isNullAt(i)) return null
+      ts(i) = toks.getUTF8String(i)
+      i += 1
+    }
     val m = if (n >= k) n - k + 1 else 1
     val win = if (n >= k) k else n
     val out = new Array[AnyRef](m)

@@ -80,15 +80,21 @@ object ScaleOps {
     val counts = withBucket.groupBy(col("__b")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (b, n)) => (b, acc + n) }
-      .sliding(2).collect { case Array((_, off), (b, _)) => b -> off }.toMap
-    val offCol = offsets.foldLeft(lit(0L)) { case (acc, (b, off)) =>
-      when(col("__b") === b, lit(off)).otherwise(acc)
-    }
+      .sliding(2).collect { case Array((_, off), (b, _)) => b -> off }.toSeq
+    // offsets as a broadcast-joined frame, not a per-row when-chain: at
+    // thousands of shuffle partitions a nested CaseWhen is O(buckets)
+    // comparisons per row and a codegen hazard; the inner join is O(1)
+    // per row and fails loudly (drops nothing silently — every row's
+    // bucket is in `counts` by construction, so the join is total).
+    val spark0 = df.sparkSession
+    import spark0.implicits._
+    val offsetsDf = offsets.toDF("__b", "__off")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__b")).orderBy(col("__h").asc, col(keyCol).asc)
-    withBucket
-      .withColumn("shuffle_pos", row_number().over(w).cast("long") - 1L + offCol)
-      .drop("__h", "__b")
+    withBucket.join(broadcast(offsetsDf), Seq("__b"))
+      .withColumn("shuffle_pos",
+        row_number().over(w).cast("long") - 1L + col("__off"))
+      .drop("__h", "__b", "__off")
   }
 
   /** Full-range affine-spread hash in [0, 2^31) — shared by sampling

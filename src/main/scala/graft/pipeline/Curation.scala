@@ -123,7 +123,7 @@ object Curation {
     // Identity is (fingerprint, normalized length), not the bare 40-bit
     // fingerprint — a bare-fp collision would silently drop a clean
     // document as "contaminated" (see Dedup.incrementalMerge's bound).
-    def nlen = length(regexp_replace(lower(trim(col("text"))), " ", ""))
+    def nlen = TextFunctions.normalizedLength(col("text"))
     val clean = evalDocs match {
       case Some(ev) =>
         val evFps = ev.select(TextFunctions.fingerprint(col("text")).as("fp"),

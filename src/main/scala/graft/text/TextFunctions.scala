@@ -201,6 +201,15 @@ object TextFunctions {
       (acc, c) => (acc * 31L + c) % mod)
   }
 
+  /** The fingerprint's normalization (lowercase, trim, strip spaces) —
+    * shared so identity schemes built on (fingerprint, length) measure
+    * the SAME string the hash folds; a drifted copy would silently
+    * desynchronize the two halves of the identity. */
+  def normalized(text: Column): Column =
+    regexp_replace(lower(trim(text)), " ", "")
+
+  def normalizedLength(text: Column): Column = length(normalized(text))
+
   def fingerprint(text: Column): Column =
-    polyHash(regexp_replace(lower(trim(text)), " ", ""), FingerprintMod)
+    polyHash(normalized(text), FingerprintMod)
 }

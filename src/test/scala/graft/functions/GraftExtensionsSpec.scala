@@ -50,6 +50,16 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(m.getMessage.contains("literal integer"))
   }
 
+  test("null array elements poison instead of crashing the SQL surface") {
+    GraftExtensions.registerAll(spark)
+    val out = spark.sql(
+      """SELECT
+        |  word_shingles(array('a', CAST(NULL AS STRING)), 1) AS ws,
+        |  shingle_fps(array('a', CAST(NULL AS STRING)), 1) AS fps,
+        |  simhash48(array('a', CAST(NULL AS STRING))) AS sh""".stripMargin).head()
+    assert(out.isNullAt(0) && out.isNullAt(1) && out.isNullAt(2))
+  }
+
   test("float_dot and minhash_sig work through SQL on real embeddings") {
     GraftExtensions.registerAll(spark)
     graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "embeddings")

@@ -44,4 +44,20 @@ class MinHashSigSpec extends SparkSpec {
       MinHashSig.minhashSig($"shs", 64).as("s64")).head()
     assert(both.getSeq[Long](0) == both.getSeq[Long](1).take(32))
   }
+
+  test("SQL-surface hardening: null elements poison, out-of-range hashes fail fast") {
+    GraftExtensions.registerAll(spark)
+    // null element -> null signature (matches the staged form's null min)
+    val withNull = spark.sql("SELECT minhash_sig(array(5L, CAST(NULL AS BIGINT)), 8) AS s")
+      .collect()
+    assert(withNull.head.isNullAt(0))
+    // a 40-bit input (e.g. shingle_fps output) would overflow a*h — the
+    // guard rejects it instead of returning silently-wrong minima
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT minhash_sig(array(${1L << 40}L), 8)").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("31-bit")), e.toString)
+  }
 }
