@@ -116,6 +116,35 @@ object ScaleOps {
     df.where(sampleBucket(col(keyCol)) < rate)
   }
 
+  /** Token-budget data mixing — the training-mix allocator: given target
+    * corpus shares per source (basis points) and a total token budget,
+    * derive each source's deterministic sampling rate from its measured
+    * token count and apply the stratified sample. All integer arithmetic
+    * (rate_bp = min(10000, budget·share_bp div source_tokens)), so the
+    * allocation is engine-reproducible; unlisted sources get rate 0
+    * (excluded from the mix). The per-source token counts are one
+    * map-side-combined aggregation collected to the driver — bounded by
+    * the number of NAMED sources, the same driver-scalar pattern as the
+    * contamination audit's source list. Returns (sampled frame, rates). */
+  def mixByTokenBudget(df: DataFrame, strataCol: String, textCol: String,
+      keyCol: String, shareBp: Map[String, Int],
+      totalTokenBudget: Long): (DataFrame, Map[String, Int]) = {
+    require(shareBp.values.forall(s => s >= 0 && s <= 10000),
+      "shares must be basis points in [0, 10000]")
+    require(shareBp.values.sum <= 10000, "shares must sum to <= 10000 bp")
+    require(totalTokenBudget > 0, "token budget must be positive")
+    val counts = df
+      .groupBy(col(strataCol).cast("string").as("s"))
+      .agg(sum(graft.text.TextFunctions.tokenCount(col(textCol))).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = shareBp.flatMap { case (s, share) =>
+      counts.get(s).filter(_ > 0).map { n =>
+        s -> math.min(10000L, totalTokenBudget * share / n).toInt
+      }
+    }
+    (stratifiedSampleBp(df, keyCol, strataCol, rates, defaultBp = 0), rates)
+  }
+
   /** Salted equi-join for skewed keys: the big side's rows get a
     * deterministic salt in [0, saltFactor); the small side is replicated
     * saltFactor times; joining on (key, salt) spreads a hot key over

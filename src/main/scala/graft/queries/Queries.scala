@@ -784,6 +784,19 @@ object Queries {
     graft.ops.ScaleOps.deterministicShufflePos(
       tbl(spark, dir, "documents").select(col("doc_id"), col("source")), "doc_id")
 
+  /** Token-budget data mixing through the gate: four sources get target
+    * corpus shares (40/20/10/5% of a 2000-token budget), rates derive
+    * from measured token counts in pure integer arithmetic, and the
+    * resulting deterministic sample is verified row-by-row. The
+    * "downsample the crawl, keep the curated sources" allocation step of
+    * training-mix construction. */
+  def q54TokenMix(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.ScaleOps.mixByTokenBudget(
+      tbl(spark, dir, "documents"), "source", "text", "doc_id",
+      shareBp = Map("src0" -> 4000, "src1" -> 2000, "src2" -> 1000, "src3" -> 500),
+      totalTokenBudget = 2000L)._1
+      .select(col("doc_id"), col("source"))
+
   // =================================================================
   // generated oracle fragments (reproducible-hash pipelines)
   // =================================================================
@@ -1421,7 +1434,8 @@ object Queries {
     "q50_quantize_int8" -> (q50QuantizeInt8 _),
     "q51_surprisal" -> (q51Surprisal _),
     "q52_chunking" -> (q52Chunking _),
-    "q53_shuffle_pos" -> (q53ShufflePos _))
+    "q53_shuffle_pos" -> (q53ShufflePos _),
+    "q54_token_mix" -> (q54TokenMix _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1600,6 +1614,20 @@ object Queries {
         |  ${duckPolyHash("replace(chunk, ' ', '')", 1L << 40)} AS chunk_fp
         |FROM c""".stripMargin,
     "q53_shuffle_pos" -> q53Oracle,
+    "q54_token_mix" ->
+      s"""WITH c AS (
+        |  SELECT source,
+        |    sum(len(list_filter(string_split(lower(trim(text)), ' '), x -> x != '')))::BIGINT AS n
+        |  FROM documents GROUP BY source),
+        |r AS (
+        |  SELECT source,
+        |    least(10000, (2000 * CASE source
+        |      WHEN 'src0' THEN 4000 WHEN 'src1' THEN 2000
+        |      WHEN 'src2' THEN 1000 WHEN 'src3' THEN 500 ELSE 0 END) // n) AS rate
+        |  FROM c WHERE n > 0)
+        |SELECT d.doc_id, d.source FROM documents d JOIN r ON d.source = r.source
+        |WHERE ((10368889 * ${duckPolyHash("CAST(d.doc_id AS VARCHAR)", 1L << 31)} + 8342140)
+        |  % ${1L << 31}) % 10000 < r.rate""".stripMargin,
     "q37_source_similarity" -> q37Oracle,
     "q20_exact_dedup" ->
       """SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_distinct_texts

@@ -176,6 +176,36 @@ class ScaleOpsSpec extends SparkSpec {
     assert(bySrc(boosted) == docs.where($"source" === boosted).count())
   }
 
+  test("token-budget mixing: rates from measured counts, only listed sources, on-share") {
+    val docs = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.01", "documents")
+    val shares = Map("src0" -> 4000, "src1" -> 2000, "src2" -> 1000)
+    val (mixed, rates) = ScaleOps.mixByTokenBudget(
+      docs, "source", "text", "doc_id", shares, totalTokenBudget = 2000L)
+    // rates derive from exact integer arithmetic on measured token counts
+    val counts = docs.groupBy($"source")
+      .agg(sum(graft.text.TextFunctions.tokenCount($"text")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    shares.foreach { case (s, bp) =>
+      assert(rates(s) == math.min(10000L, 2000L * bp / counts(s)).toInt, s)
+    }
+    // only listed sources appear in the mix
+    val bySrc = mixed.groupBy($"source")
+      .agg(sum(graft.text.TextFunctions.tokenCount($"text")).as("toks"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.keySet.subsetOf(shares.keySet))
+    // sampled token mass tracks the 4:2:1 target within sampling noise
+    val t0 = bySrc.getOrElse("src0", 0L).toDouble
+    val t1 = bySrc.getOrElse("src1", 0L).toDouble
+    assert(t0 > t1, s"src0 ($t0 tokens) should outweigh src1 ($t1)")
+    assert(math.abs(t0 / (t1.max(1.0)) - 2.0) < 1.2,
+      s"src0:src1 token ratio ${t0 / t1} too far from 2.0")
+    // malformed shares fail fast
+    intercept[IllegalArgumentException] {
+      ScaleOps.mixByTokenBudget(docs, "source", "text", "doc_id",
+        Map("src0" -> 8000, "src1" -> 5000), 1000L)
+    }
+  }
+
   test("deterministic shuffle: exact permutation, partitioning-invariant, actually shuffles") {
     val docs = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "documents")
       .select($"doc_id")
