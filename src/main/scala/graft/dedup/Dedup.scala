@@ -91,7 +91,12 @@ object Dedup {
       val raw = array_distinct(TextFunctions.wordShinglesFrom(col("toks"), shingleSize))
       if (hashShingles) transform(raw, s => xxhash64(s)) else raw
     }
+    // Blank documents have EMPTY shingle sets; two of them in one block
+    // would reach the pair join and evaluate 0/0 (a DIVIDE_BY_ZERO crash
+    // under Spark 4's default ANSI mode, not a suppressed pair). Drop
+    // them here — "no shingles → no pairs" is the documented contract.
     val base = toks.select(col("id"), col("block"), shingleSet.as("shingles"))
+      .where(size(col("shingles")) > 0)
     val a = base.select(col("block"), col("id").as("id_a"), col("shingles").as("sh_a"))
     val b = base.select(col("block"), col("id").as("id_b"), col("shingles").as("sh_b"))
     a.join(b, Seq("block")).where(col("id_a") < col("id_b"))

@@ -51,7 +51,11 @@ object Flatten {
         .as("active_ingredients"),
       firstProduct.getField("dosage_form").as("dosage_form"),
       firstProduct.getField("marketing_status").as("marketing_status"),
-      to_date(latestSubmission.getField("submission_status_date"), "yyyyMMdd")
+      // try_to_date: the reference coerces parse failures to null
+      // (pd.to_datetime errors='coerce'); plain to_date THROWS under
+      // Spark 4's default ANSI mode and one malformed API value would
+      // kill the daily run.
+      try_to_date(latestSubmission.getField("submission_status_date"), "yyyyMMdd")
         .as("latest_submission_date"),
       latestSubmission.getField("submission_type").as("submission_type"))
   }
@@ -74,10 +78,10 @@ object Flatten {
       p.getField("identificationModule").getField("briefTitle").as("brief_title"),
       p.getField("identificationModule").getField("officialTitle").as("official_title"),
       p.getField("statusModule").getField("overallStatus").as("overall_status"),
-      to_timestamp(p.getField("statusModule").getField("studyFirstPostDateStruct").getField("date")).as("study_first_post_date"),
-      to_timestamp(p.getField("statusModule").getField("lastUpdatePostDateStruct").getField("date")).as("last_update_post_date"),
-      to_timestamp(p.getField("statusModule").getField("startDateStruct").getField("date")).as("start_date"),
-      to_timestamp(p.getField("statusModule").getField("completionDateStruct").getField("date")).as("completion_date"),
+      try_to_timestamp(p.getField("statusModule").getField("studyFirstPostDateStruct").getField("date")).as("study_first_post_date"),
+      try_to_timestamp(p.getField("statusModule").getField("lastUpdatePostDateStruct").getField("date")).as("last_update_post_date"),
+      try_to_timestamp(p.getField("statusModule").getField("startDateStruct").getField("date")).as("start_date"),
+      try_to_timestamp(p.getField("statusModule").getField("completionDateStruct").getField("date")).as("completion_date"),
       p.getField("descriptionModule").getField("briefSummary").as("brief_summary"),
       p.getField("descriptionModule").getField("detailedDescription").as("detailed_description"),
       arrJoin(p.getField("conditionsModule").getField("conditions")).as("conditions"),

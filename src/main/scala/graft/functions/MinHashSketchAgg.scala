@@ -49,7 +49,14 @@ class MinHashSketchAgg(numHashes: Int)
     x
   }
 
-  override def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+  /** A group whose inputs were all EMPTY hash sets never updated the
+    * buffer: its "signature" would be 64 Long.MaxValue sentinels, and two
+    * such empty vocabularies would agree on every position — estimated
+    * Jaccard 1.0 for sets with nothing in them. Finish such groups as
+    * null so consumers drop them (the q37 oracle has no row for an
+    * empty vocabulary either). */
+  override def finish(buf: Array[Long]): Seq[Long] =
+    if (buf.forall(_ == Long.MaxValue)) null else buf.toSeq
 
   override def bufferEncoder: Encoder[Array[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()

@@ -78,7 +78,12 @@ object ScaleOps {
         graft.text.TextFunctions.polyHash(col(keyCol).cast("string"), 1L << 48)))
       .withColumn("__b", (col("__h") / width).cast("int"))
     val counts = withBucket.groupBy(col("__b")).count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      .collect().map { r =>
+        // a NULL key hashes to a NULL bucket and has no defined position
+        require(!r.isNullAt(0),
+          s"deterministicShufflePos: NULL values in key column '$keyCol'")
+        r.getInt(0) -> r.getLong(1)
+      }.sortBy(_._1)
     val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (b, n)) => (b, acc + n) }
       .sliding(2).collect { case Array((_, off), (b, _)) => b -> off }.toSeq
     // offsets as a broadcast-joined frame, not a per-row when-chain: at
@@ -136,7 +141,13 @@ object ScaleOps {
     val counts = df
       .groupBy(col(strataCol).cast("string").as("s"))
       .agg(sum(graft.text.TextFunctions.tokenCount(col(textCol))).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect()
+      // a stratum whose every text is NULL sums to null — treat as zero
+      // tokens (excluded by the n > 0 rate guard) instead of NPE-ing on
+      // the driver unboxing
+      .map(r => Option(r.getString(0)).getOrElse("") ->
+        (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .toMap
     val rates = shareBp.flatMap { case (s, share) =>
       counts.get(s).filter(_ > 0).map { n =>
         s -> math.min(10000L, totalTokenBudget * share / n).toInt

@@ -53,14 +53,8 @@ object Curation {
       // staged: repetitionBpFrom references its shingle input twice —
       // materialize so the shingling runs once per row
       .withColumn("sh2", TextFunctions.wordShinglesFrom(col("toks"), 2))
-    val n = size(col("toks"))
-    val d = size(array_distinct(col("toks")))
-    val sumLen = aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
-    val qualityMilli = when(n > 0,
-      least(n.cast("long") * 8, lit(400L)) +
-        floor(d * lit(300.0) / n).cast("long") +
-        least(floor(sumLen * lit(75.0) / (n * 2)).cast("long"), lit(300L)))
-      .otherwise(0L)
+    // ONE shared quality formula with q26 (TextFunctions.qualityMilliFrom)
+    val qualityMilli = TextFunctions.qualityMilliFrom(col("toks"))
     // Fence the gate columns: without it, predicate pushdown substitutes
     // these aliases into a filter copy at the scan, re-inlining the
     // token/shingle pipeline ~9× per row interpreted (measured 10×

@@ -74,6 +74,13 @@ object Pipeline {
         Lake.processedPath(lakeRoot, date, s"summary.${st.summaryFormat}",
           st.processedPrefix),
         st.summaryFormat)
+    } else {
+      // An empty transform must not leave a PREVIOUS run's output for
+      // this date in place — the reload below would validate and report
+      // stale rows as this run's result.
+      Lake.delete(spark, outPath)
+      Lake.delete(spark, Lake.processedPath(lakeRoot, date,
+        s"summary.${st.summaryFormat}", st.processedPrefix))
     }
 
     // Quality gate re-reads the processed zone, like the reference's

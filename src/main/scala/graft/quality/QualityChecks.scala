@@ -39,6 +39,12 @@ object QualityChecks {
 
     val cols = df.columns.toSet
     val failures = scala.collection.mutable.ArrayBuffer[String]()
+    // failedChecks counts failed check CATEGORIES (of the 6), not
+    // failure messages — a frame failing many messages in one category
+    // must not push failedChecks past totalChecks (Notify.qualityScore
+    // is (total-failed)/total and must stay in [0,1]).
+    val failedCats = scala.collection.mutable.Set[Int]()
+    def fail(cat: Int, msg: String): Unit = { failures += msg; failedCats += cat }
 
     // ---- fused scalar pass -------------------------------------------
     def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
@@ -77,19 +83,19 @@ object QualityChecks {
     // 1. completeness (data_quality.py:100-140)
     if (hasSource) {
       if (n("n_fda") > 0) for (c <- RequiredFda) {
-        if (!cols(c)) failures += s"Missing required FDA column: $c"
+        if (!cols(c)) fail(1, s"Missing required FDA column: $c")
         else {
           val pct = n(s"fda_null_$c").toDouble / n("n_fda") * 100
           if (n(s"fda_null_$c") > 0 && pct > NullPctThreshold)
-            failures += f"FDA column $c has $pct%.1f%% missing values"
+            fail(1, f"FDA column $c has $pct%.1f%% missing values")
         }
       }
       if (n("n_ct") > 0) for (c <- RequiredCt) {
-        if (!cols(c)) failures += s"Missing required CT column: $c"
+        if (!cols(c)) fail(1, s"Missing required CT column: $c")
         else {
           val pct = n(s"ct_null_$c").toDouble / n("n_ct") * 100
           if (n(s"ct_null_$c") > 0 && pct > NullPctThreshold)
-            failures += f"CT column $c has $pct%.1f%% missing values"
+            fail(1, f"CT column $c has $pct%.1f%% missing values")
         }
       }
     }
@@ -98,20 +104,20 @@ object QualityChecks {
     val schema = df.schema
     for (c <- Seq("severity_score", "adverse_event_count", "enrollment_count") if cols(c))
       if (!schema(c).dataType.isInstanceOf[NumericType])
-        failures += s"Column $c should be numeric"
+        fail(2, s"Column $c should be numeric")
     for (c <- Seq("receivedate", "processed_date", "start_date", "completion_date") if cols(c))
       schema(c).dataType match {
         case _: TimestampType | _: DateType | _: TimestampNTZType => ()
-        case _ => failures += s"Column $c should be datetime"
+        case _ => fail(2, s"Column $c should be datetime")
       }
 
     // 3. value ranges (data_quality.py:168-202)
     if (cols("severity_score") && n("bad_severity") > 0)
-      failures += s"Found ${n("bad_severity")} records with invalid severity_score"
+      fail(3, s"Found ${n("bad_severity")} records with invalid severity_score")
     if (cols("patient_age") && n("bad_age") > 0)
-      failures += s"Found ${n("bad_age")} records with invalid patient_age"
+      fail(3, s"Found ${n("bad_age")} records with invalid patient_age")
     if (cols("enrollment_count") && n("bad_enroll") > 0)
-      failures += s"Found ${n("bad_enroll")} records with negative enrollment_count"
+      fail(3, s"Found ${n("bad_enroll")} records with negative enrollment_count")
 
     // 4. duplicates, keep=False semantics: count EVERY member of a
     //    duplicated group (data_quality.py:204-231)
@@ -121,30 +127,30 @@ object QualityChecks {
         .agg(coalesce(sum(col("count")), lit(0L))).collect()(0).getLong(0)
     if (cols("safetyreportid")) {
       val d = dupCount(if (hasSource) isFda else lit(true), "safetyreportid")
-      if (d > 0) failures += s"Found $d duplicate FDA safety reports"
+      if (d > 0) fail(4, s"Found $d duplicate FDA safety reports")
     }
     if (cols("nct_id")) {
       val d = dupCount(if (hasSource) isCt else lit(true), "nct_id")
-      if (d > 0) failures += s"Found $d duplicate clinical trial records"
+      if (d > 0) fail(4, s"Found $d duplicate clinical trial records")
     }
 
     // 5. record count (data_quality.py:233-260)
     if (total < MinRecords)
-      failures += s"Record count ($total) is below minimum threshold ($MinRecords)"
+      fail(5, s"Record count ($total) is below minimum threshold ($MinRecords)")
     if (hasSource) {
       if (n("n_fda") > 0 && n("n_fda") < MinPerSource)
-        failures += s"Data source FDA_OpenFDA has only ${n("n_fda")} records"
+        fail(5, s"Data source FDA_OpenFDA has only ${n("n_fda")} records")
       if (n("n_ct") > 0 && n("n_ct") < MinPerSource)
-        failures += s"Data source ClinicalTrials_gov has only ${n("n_ct")} records"
+        fail(5, s"Data source ClinicalTrials_gov has only ${n("n_ct")} records")
     }
 
     // 6. date consistency (data_quality.py:262-296)
     if (cols("start_date") && cols("completion_date") && n("bad_date_order") > 0)
-      failures += s"Found ${n("bad_date_order")} records where start_date > completion_date"
+      fail(6, s"Found ${n("bad_date_order")} records where start_date > completion_date")
     for (c <- Seq("receivedate", "start_date", "completion_date") if cols(c))
       if (n(s"future_$c") > 0)
-        failures += s"Found ${n(s"future_$c")} records with future $c"
+        fail(6, s"Found ${n(s"future_$c")} records with future $c")
 
-    QualityReport(date, failures.isEmpty, 6, failures.size, failures.toSeq, total)
+    QualityReport(date, failures.isEmpty, 6, failedCats.size, failures.toSeq, total)
   }
 }

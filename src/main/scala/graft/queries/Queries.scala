@@ -390,16 +390,14 @@ object Queries {
     * doesn't equal — no knife edge exists. */
   def q26TextStats(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.TextFunctions._
-    val ts = tokens(col("text"))
+    // tokens staged through a select: the unstaged form re-evaluated the
+    // interpreted tokenization inside ~8 output expressions per row (the
+    // project's own HOF staging discipline; cf. q27's measured 5×)
+    val staged = tbl(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+    val ts = col("toks")
     val n = size(ts)
-    val d = size(array_distinct(ts))
     val sumLen = aggregate(ts, lit(0L), (acc, t) => acc + length(t))
-    val qualityMilli =
-      when(n > 0,
-        least(n.cast("long") * 8, lit(400L)) +
-          floor(d * lit(300.0) / n).cast("long") +
-          least(floor(sumLen * lit(75.0) / (n * 2)).cast("long"), lit(300L)))
-        .otherwise(0L)
     // Ratios as floor-scaled integers (basis points / centi-chars): a
     // rational p/q with q ≤ n sits ≥ 1/q from any integer it doesn't
     // equal, so floor never splits across engines the way round(double)
@@ -407,10 +405,10 @@ object Queries {
     val stopHits = size(filter(ts, t => t.isin(EnglishStopwords: _*)))
     val punctChars = length(col("text")) -
       length(regexp_replace(col("text"), "[.,;:!?]", ""))
-    tbl(spark, dir, "documents").select(
+    staged.select(
       col("doc_id"),
-      tokenCount(col("text")).as("n_tokens"),
-      size(distinctTokens(col("text"))).as("n_distinct_tokens"),
+      n.as("n_tokens"),
+      size(array_distinct(ts)).as("n_distinct_tokens"),
       when(n > 0, floor(stopHits * lit(10000.0) / n)).otherwise(0L)
         .cast("long").as("stopword_bp"),
       when(length(col("text")) > 0,
@@ -418,7 +416,8 @@ object Queries {
         .cast("long").as("punct_bp"),
       when(n > 0, floor(sumLen * lit(100.0) / n)).otherwise(0L)
         .cast("long").as("avg_token_len_centi"),
-      qualityMilli.as("quality_milli"),
+      // ONE shared quality formula with the curation gate
+      qualityMilliFrom(ts).as("quality_milli"),
       subwordCount(col("text")).as("n_subword_tokens"))
   }
 
@@ -572,6 +571,8 @@ object Queries {
           t => graft.text.TextFunctions.polyHash(t, 1L << 31)).as("th"))
     val sketches = hashed.groupBy(col("source"))
       .agg(graft.functions.MinHashSketchAgg.minhashSketch(col("th")).as("sig"))
+      // empty-vocabulary groups sketch to null (see MinHashSketchAgg.finish)
+      .where(col("sig").isNotNull)
     val a = sketches.select(col("source").as("src_a"), col("sig").as("sig_a"))
     val b = sketches.select(col("source").as("src_b"), col("sig").as("sig_b"))
     a.crossJoin(broadcast(b)).where(col("src_a") < col("src_b"))

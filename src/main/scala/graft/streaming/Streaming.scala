@@ -68,9 +68,18 @@ object Streaming {
             for (e <- sorted) {
               val t = e.ts.getTime
               cur match {
+                // Late-but-within-watermark events can precede the stored
+                // session: a gap-separated EARLIER event forms its own
+                // already-closed session (the batch formulation would have
+                // sessionized it before the current one); an in-gap earlier
+                // event merges and LOWERS session_start (keeping s.start
+                // would emit an interval later than its earliest member).
+                case Some(s) if t < s.start - gapSeconds * 1000 =>
+                  closed ::= UserSession(userId, new java.sql.Timestamp(t),
+                    new java.sql.Timestamp(t), 1, e.value)
                 case Some(s) if t - s.last <= gapSeconds * 1000 =>
-                  cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1,
-                    s.acc + e.value))
+                  cur = Some(SessionState(math.min(s.start, t),
+                    math.max(s.last, t), s.n + 1, s.acc + e.value))
                 case Some(s) =>
                   closed ::= UserSession(userId, new java.sql.Timestamp(s.start),
                     new java.sql.Timestamp(s.last), s.n, s.acc)

@@ -107,6 +107,25 @@ object TextFunctions {
       .otherwise(0.0)
   }
 
+  /** The floor-scaled integer quality score (millis) from a
+    * *materialized* tokens column — ONE shared definition for the
+    * curation gate and the q26 stats query (two drifting copies of the
+    * weights would silently desynchronize the gates): capped length term
+    * (8/tok to 400) + lexical diversity (300·distinct/n) + capped word
+    * shape (avg len / 8 scaled to 300). Integer output avoids the
+    * round-half knife edge (see qualityScore's double form below, kept
+    * for tests). */
+  def qualityMilliFrom(ts: Column): Column = {
+    val n = size(ts)
+    val d = size(array_distinct(ts))
+    val sumLen = aggregate(ts, lit(0L), (acc, t) => acc + length(t))
+    when(n > 0,
+      least(n.cast("long") * 8, lit(400L)) +
+        floor(d * lit(300.0) / n).cast("long") +
+        least(floor(sumLen * lit(75.0) / (n * 2)).cast("long"), lit(300L)))
+      .otherwise(0L)
+  }
+
   /** Deterministic document quality score in [0,1]: rewards reasonable
     * length, lexical diversity, and word shape — the
     * length/stopword/punctuation heuristics of C4/Gopher-style filters
