@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -72,34 +72,127 @@ object ScaleOps {
     * scrambles). */
   def deterministicShufflePos(df: DataFrame, keyCol: String): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val width = ((1L << 48) + parts - 1) / parts
+    val w = Window.partitionBy(col("__b")).orderBy(col("__h").asc, col(keyCol).asc)
+    withBucketOffsets(df, keyCol, parts, count(lit(1)))
+      .withColumn("shuffle_pos",
+        row_number().over(w).cast("long") - 1L + col("__off"))
+      .drop("__h", "__b", "__off")
+  }
+
+  /** Shared two-level global-order machinery (shuffle positions, stream
+    * packing): mixed-hash fixed-width bucketing of `keyCol` plus the
+    * per-bucket EXCLUSIVE prefix total of `measure` (row count for
+    * positions, token sum for packing) broadcast-joined back as `__off`.
+    * One bounded aggregation collects `numBuckets` longs to the driver
+    * (the AQE-stats pattern); offsets ride a broadcast-joined frame, not
+    * a per-row when-chain — at thousands of buckets a nested CaseWhen is
+    * O(buckets) comparisons per row and a codegen hazard, while the
+    * inner join is O(1) per row and fails loudly (drops nothing
+    * silently — every row's bucket is in the collected set by
+    * construction, so the join is total). Callers add their own
+    * within-bucket window over (`__h`, key) and drop the `__h`/`__b`/
+    * `__off` scaffolding. */
+  private def withBucketOffsets(df: DataFrame, keyCol: String,
+      numBuckets: Int, measure: Column): DataFrame = {
+    val width = ((1L << 48) + numBuckets - 1) / numBuckets
     val withBucket = df
       .withColumn("__h", graft.functions.Mix48.mix48(
         graft.text.TextFunctions.polyHash(col(keyCol).cast("string"), 1L << 48)))
       .withColumn("__b", (col("__h") / width).cast("int"))
-    val counts = withBucket.groupBy(col("__b")).count()
+    val totals = withBucket.groupBy(col("__b")).agg(measure.as("__m"))
       .collect().map { r =>
         // a NULL key hashes to a NULL bucket and has no defined position
         require(!r.isNullAt(0),
-          s"deterministicShufflePos: NULL values in key column '$keyCol'")
-        r.getInt(0) -> r.getLong(1)
+          s"bucketed global order: NULL values in key column '$keyCol'")
+        r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1))
       }.sortBy(_._1)
-    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (b, n)) => (b, acc + n) }
+    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (b, n)) => (b, acc + n) }
       .sliding(2).collect { case Array((_, off), (b, _)) => b -> off }.toSeq
-    // offsets as a broadcast-joined frame, not a per-row when-chain: at
-    // thousands of shuffle partitions a nested CaseWhen is O(buckets)
-    // comparisons per row and a codegen hazard; the inner join is O(1)
-    // per row and fails loudly (drops nothing silently — every row's
-    // bucket is in `counts` by construction, so the join is total).
     val spark0 = df.sparkSession
     import spark0.implicits._
-    val offsetsDf = offsets.toDF("__b", "__off")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__b")).orderBy(col("__h").asc, col(keyCol).asc)
-    withBucket.join(broadcast(offsetsDf), Seq("__b"))
-      .withColumn("shuffle_pos",
-        row_number().over(w).cast("long") - 1L + col("__off"))
-      .drop("__h", "__b", "__off")
+    withBucket.join(broadcast(offsets.toDF("__b", "__off")), Seq("__b"))
+  }
+
+  /** Token-stream packing — the GPT-pretraining "concatenate the shuffled
+    * corpus and split every `binTokens` tokens" step, assigned without
+    * materializing the stream: each document gets the context-window
+    * `bin_id` its FIRST token lands in and its `bin_pos` offset within
+    * that bin (documents may straddle bin boundaries, exactly like the
+    * real token stream). The stream order is the deterministic shuffle
+    * order of [[deterministicShufflePos]] (mixed-hash, then key), so
+    * reruns, resumes, and engine swaps pack identically.
+    *
+    * Scale shape: the global exclusive token cumsum is the same
+    * two-level form as the shuffle positions — per-bucket token totals
+    * (one bounded driver collect) plus a within-bucket running sum — so
+    * nothing ever sees a single global window partition. Null token
+    * counts pack as zero-width. */
+  def packTokenStream(df: DataFrame, keyCol: String, nTokensCol: String,
+      binTokens: Long): DataFrame = {
+    require(binTokens > 0, s"binTokens must be positive: $binTokens")
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val staged = df.withColumn("__n", coalesce(col(nTokensCol).cast("long"), lit(0L)))
+    val w = Window.partitionBy(col("__b")).orderBy(col("__h").asc, col(keyCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withBucketOffsets(staged, keyCol, parts, sum(col("__n")))
+      .withColumn("__excl", sum(col("__n")).over(w) - col("__n") + col("__off"))
+      .withColumn("bin_id", expr(s"__excl div ${binTokens}L"))
+      .withColumn("bin_pos", col("__excl") % binTokens)
+      .drop("__h", "__b", "__off", "__excl", "__n")
+  }
+
+  /** Greedy first-fit-contiguous packing — the no-split variant (SFT /
+    * document-integrity packing): documents in deterministic-shuffle
+    * order accumulate into the current bin until adding the next would
+    * exceed `binTokens`, which starts a fresh bin; an oversized document
+    * (n > binTokens) gets a bin of its own. No document is ever split.
+    *
+    * The fold is inherently sequential, so parallelism comes from the
+    * bucket: bins are LOCAL to a mixed-hash bucket (`pack_bucket`,
+    * `pack_bin` together form the global bin key), `numBuckets` is the
+    * packing parallelism knob, and each bucket's fold is one linear pass
+    * over its sorted rows (mapPartitions — the genuine per-partition
+    * imperative case; no relational form expresses a data-dependent
+    * running reset). Bucket-local bins cost at most one underfull bin
+    * per bucket versus a single sequential pass — at 100 TB that is
+    * noise, and it is the SAME trade sample-packing makes per worker
+    * shard in real loaders. */
+  def packGreedyContiguous(df: DataFrame, keyCol: String, nTokensCol: String,
+      binTokens: Long, numBuckets: Int): DataFrame = {
+    require(binTokens > 0, s"binTokens must be positive: $binTokens")
+    require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
+    val width = ((1L << 48) + numBuckets - 1) / numBuckets
+    val withBucket = df
+      .withColumn("__n", coalesce(col(nTokensCol).cast("long"), lit(0L)))
+      .withColumn("__h", graft.functions.Mix48.mix48(
+        graft.text.TextFunctions.polyHash(col(keyCol).cast("string"), 1L << 48)))
+      // fail loudly on NULL keys (no defined pack order) — the lazy
+      // distributed-invariant guard, not a silent drop
+      .withColumn("__b", when(col("__h").isNull,
+          raise_error(lit(s"packGreedyContiguous: NULL values in key column '$keyCol'")))
+        .otherwise((col("__h") / width).cast("int")))
+    val sorted = withBucket.repartition(col("__b"))
+      .sortWithinPartitions(col("__b"), col("__h"), col(keyCol))
+    val schema = sorted.schema
+      .add("pack_bucket", org.apache.spark.sql.types.LongType, nullable = false)
+      .add("pack_bin", org.apache.spark.sql.types.LongType, nullable = false)
+    val bIdx = sorted.schema.fieldIndex("__b")
+    val nIdx = sorted.schema.fieldIndex("__n")
+    val binT = binTokens
+    val packed = sorted.mapPartitions { rows =>
+      // hash-partitioned by __b and sorted (__b, __h, key): buckets are
+      // contiguous runs; the fold resets at each bucket boundary
+      var curB = -1L; var bin = 0L; var fill = 0L
+      rows.map { r =>
+        val b = r.getInt(bIdx).toLong
+        val n = r.getLong(nIdx)
+        if (b != curB) { curB = b; bin = 0L; fill = n }
+        else if (fill + n <= binT) fill += n
+        else { bin += 1L; fill = n }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ b :+ bin)
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+    packed.drop("__h", "__b", "__n")
   }
 
   /** Full-range affine-spread hash in [0, 2^31) — shared by sampling

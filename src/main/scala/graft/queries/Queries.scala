@@ -798,6 +798,38 @@ object Queries {
       totalTokenBudget = 2000L)._1
       .select(col("doc_id"), col("source"))
 
+  /** Token-stream packing through the gate: the deterministically
+    * shuffled corpus concatenated and split into 256-token context
+    * windows (GPT-pretraining packing — documents may straddle bin
+    * boundaries). Every document is pinned to the bin its first token
+    * lands in and its offset within that bin, verified row-by-row. */
+  def q55PackStream(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.ScaleOps.packTokenStream(
+      tbl(spark, dir, "documents").select(col("doc_id"),
+        graft.text.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
+      "doc_id", "n_tokens", 256L)
+
+  /** Greedy first-fit packing through the gate: the no-split variant
+    * (SFT / document-integrity packing) — bins fill in shuffle order
+    * until the next document would overflow 256 tokens; bins are local
+    * to 8 hash buckets (the packing parallelism unit). The whole
+    * sequential fold is oracle-verified via a recursive-CTE replay. */
+  def q56PackGreedy(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.ScaleOps.packGreedyContiguous(
+      tbl(spark, dir, "documents").select(col("doc_id"),
+        graft.text.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
+      "doc_id", "n_tokens", 256L, numBuckets = 8)
+
+  /** Boilerplate shingle coverage through the gate: per-document basis
+    * points of 3-word shingle instances whose 40-bit fingerprint appears
+    * in ≥ 3 distinct documents — the RefinedWeb-style corpus-repetition
+    * signal (distinct from q40's WITHIN-document repetition). */
+  def q57Boilerplate(spark: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusStats.boilerplateCoverage(
+        tbl(spark, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, minDf = 3L)
+      .withColumnRenamed("id", "doc_id")
+
   // =================================================================
   // generated oracle fragments (reproducible-hash pipelines)
   // =================================================================
@@ -1247,58 +1279,136 @@ object Queries {
        |  % ${1L << 31}) % 10000 < 2500""".stripMargin
   }
 
+  /** Scalar lateral-alias-chain replica of the Mix48 avalanche over an
+    * input column named `h` (same constants, same split-multiply
+    * arithmetic as [[duckMix48]]'s list form): returns the SELECT
+    * fragment to append after `h` and the name of the final mixed
+    * column. Shared by every oracle that orders or buckets by the mixed
+    * hash (q46/q53/q55/q56). */
+  private lazy val duckMix48Scalar: (String, String) = {
+    val sh = graft.dedup.Dedup.Mix48Shift
+    var cur = "h"; var i = 0
+    val sb = new StringBuilder
+    def xs(): Unit = { i += 1; sb.append(s",\n  xor($cur, $cur >> $sh) AS m$i"); cur = s"m$i" }
+    def mul(a: Long): Unit = {
+      i += 1
+      sb.append(s",\n  ((($a * ($cur >> 24)) % 16777216) * 16777216 + " +
+        s"$a * ($cur & 16777215)) % ${1L << 48} AS m$i")
+      cur = s"m$i"
+    }
+    xs(); graft.dedup.Dedup.Mix48Muls.foreach { a => mul(a); xs() }
+    (sb.toString, cur)
+  }
+
   /** q53 oracle: the avalanche-mixed ordering hash as a scalar lateral-
     * alias chain (q46's pattern, same Mix48 constants), then the global
     * row_number. */
   private lazy val q53Oracle: String = {
-    val sh = graft.dedup.Dedup.Mix48Shift
-    val chain = {
-      var cur = "h"; var i = 0
-      val sb = new StringBuilder
-      def xs(): Unit = { i += 1; sb.append(s",\n  xor($cur, $cur >> $sh) AS m$i"); cur = s"m$i" }
-      def mul(a: Long): Unit = {
-        i += 1
-        sb.append(s",\n  ((($a * ($cur >> 24)) % 16777216) * 16777216 + " +
-          s"$a * ($cur & 16777215)) % ${1L << 48} AS m$i")
-        cur = s"m$i"
-      }
-      xs(); graft.dedup.Dedup.Mix48Muls.foreach { a => mul(a); xs() }
-      (sb.toString, cur)
-    }
+    val (chain, mixed) = duckMix48Scalar
     s"""WITH h0 AS (
        |  SELECT doc_id, source,
        |    ${duckPolyHash("CAST(doc_id AS VARCHAR)", 1L << 48)} AS h
        |  FROM documents),
-       |mx AS (SELECT doc_id, source, h${chain._1} FROM h0)
+       |mx AS (SELECT doc_id, source, h$chain FROM h0)
        |SELECT doc_id, source,
-       |  row_number() OVER (ORDER BY ${chain._2}, doc_id) - 1 AS shuffle_pos
+       |  row_number() OVER (ORDER BY $mixed, doc_id) - 1 AS shuffle_pos
        |FROM mx""".stripMargin
+  }
+
+  /** q55 oracle: same mixed-hash shuffle order, then the global
+    * EXCLUSIVE token cumsum (the concatenated stream's first-token
+    * offset per document) and its floor-div/mod split into context
+    * windows — pure window arithmetic, every value an integer. */
+  private lazy val q55Oracle: String = {
+    val (chain, mixed) = duckMix48Scalar
+    s"""WITH h0 AS (
+       |  SELECT doc_id,
+       |    len(list_filter(string_split(lower(trim(text)), ' '), x -> x != '')) AS n,
+       |    ${duckPolyHash("CAST(doc_id AS VARCHAR)", 1L << 48)} AS h
+       |  FROM documents),
+       |mx AS (SELECT doc_id, n, h$chain FROM h0),
+       |c AS (
+       |  SELECT doc_id, n,
+       |    coalesce(sum(n) OVER (ORDER BY $mixed, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+       |  FROM mx)
+       |SELECT doc_id, n::BIGINT AS n_tokens,
+       |  (excl // 256)::BIGINT AS bin_id, (excl % 256)::BIGINT AS bin_pos
+       |FROM c""".stripMargin
+  }
+
+  /** q56 oracle: the greedy first-fit fold replayed as a recursive CTE —
+    * per mixed-hash bucket (8 buckets, the Spark side's numBuckets),
+    * rows in (mixed, doc_id) order carry (bin, fill) state forward one
+    * row per recursion step. Recursion depth = max rows per bucket. */
+  private lazy val q56Oracle: String = {
+    val (chain, mixed) = duckMix48Scalar
+    val width = ((1L << 48) + 7) / 8
+    s"""WITH RECURSIVE h0 AS (
+       |  SELECT doc_id,
+       |    len(list_filter(string_split(lower(trim(text)), ' '), x -> x != '')) AS n,
+       |    ${duckPolyHash("CAST(doc_id AS VARCHAR)", 1L << 48)} AS h
+       |  FROM documents),
+       |mx AS (SELECT doc_id, n, h$chain FROM h0),
+       |b AS (
+       |  SELECT doc_id, n, ($mixed // $width) AS bucket,
+       |    row_number() OVER (PARTITION BY ($mixed // $width)
+       |      ORDER BY $mixed, doc_id) AS rn
+       |  FROM mx),
+       |r AS (
+       |  SELECT bucket, rn, doc_id, n, 0::BIGINT AS bin, n AS fill
+       |  FROM b WHERE rn = 1
+       |  UNION ALL
+       |  SELECT b.bucket, b.rn, b.doc_id, b.n,
+       |    CASE WHEN r.fill + b.n <= 256 THEN r.bin ELSE r.bin + 1 END,
+       |    CASE WHEN r.fill + b.n <= 256 THEN r.fill + b.n ELSE b.n END
+       |  FROM b JOIN r ON b.bucket = r.bucket AND b.rn = r.rn + 1)
+       |SELECT doc_id, n::BIGINT AS n_tokens,
+       |  bucket::BIGINT AS pack_bucket, bin::BIGINT AS pack_bin
+       |FROM r""".stripMargin
+  }
+
+  /** q57 oracle: the boilerplate-coverage pipeline — token hashes,
+    * 40-bit arithmetic shingle fingerprints (q39's fragments), the
+    * df ≥ 3 frequent set, and per-document instance coverage in floored
+    * basis points. */
+  private lazy val q57Oracle: String = {
+    def fold(win: String) =
+      s"list_reduce(list_prepend(0::BIGINT, $win), (acc, h) -> (acc * 1000003 + h) % $Mod40)"
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), t -> t != '') AS ts
+       |  FROM documents),
+       |th AS (
+       |  SELECT doc_id, list_transform(ts, tok -> ${duckPolyHash("tok", 1L << 31)}) AS th
+       |  FROM toks),
+       |f AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(th) >= 3 THEN list_transform(range(1, len(th) - 1), i -> ${fold("th[i:i+2]")})
+       |         WHEN len(th) > 0 THEN [${fold("th")}]
+       |         ELSE []::BIGINT[] END AS fps
+       |  FROM th),
+       |inst AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+       |freq AS (
+       |  SELECT fp FROM (SELECT fp, count(DISTINCT doc_id) AS df FROM inst GROUP BY fp) t
+       |  WHERE df >= 3),
+       |hits AS (
+       |  SELECT i.doc_id, count(*) AS h FROM inst i JOIN freq USING (fp) GROUP BY i.doc_id)
+       |SELECT f.doc_id, len(f.fps)::BIGINT AS n_shingles,
+       |  CASE WHEN len(f.fps) > 0
+       |       THEN floor(coalesce(h.h, 0) * 10000.0 / len(f.fps))::BIGINT
+       |       ELSE 0 END AS boilerplate_bp
+       |FROM f LEFT JOIN hits h ON f.doc_id = h.doc_id""".stripMargin
   }
 
   /** q46 oracle: poly hash → scalar avalanche chain (lateral aliases) →
     * bucket/rho → max per bucket. DISTINCT first is an oracle-side
     * shortcut only — duplicates collapse in the max either way. */
   private lazy val q46Oracle: String = {
-    val sh = graft.dedup.Dedup.Mix48Shift
-    val mixCols = {
-      var cur = "h"; var i = 0
-      val sb = new StringBuilder
-      def xs(): Unit = {
-        i += 1; sb.append(s",\n    xor($cur, $cur >> $sh) AS h$i"); cur = s"h$i"
-      }
-      def mul(a: Long): Unit = {
-        i += 1
-        sb.append(s",\n    ((($a * ($cur >> 24)) % 16777216) * 16777216 + " +
-          s"$a * ($cur & 16777215)) % ${1L << 48} AS h$i")
-        cur = s"h$i"
-      }
-      xs(); graft.dedup.Dedup.Mix48Muls.foreach { a => mul(a); xs() }
-      (sb.toString, cur)
-    }
+    val (chain, mixed) = duckMix48Scalar
     s"""WITH k AS (SELECT DISTINCT l_orderkey FROM lineitem),
        |h0 AS (SELECT ${duckPolyHash("CAST(l_orderkey AS VARCHAR)", 1L << 48)} AS h FROM k),
-       |mx AS (SELECT h${mixCols._1} FROM h0),
-       |r AS (SELECT ${mixCols._2} & 1023 AS bucket, ${mixCols._2} >> 10 AS v FROM mx)
+       |mx AS (SELECT h$chain FROM h0),
+       |r AS (SELECT $mixed & 1023 AS bucket, $mixed >> 10 AS v FROM mx)
        |SELECT bucket, max(CASE WHEN v = 0 THEN 39 ELSE 39 - length(bin(v)) END)::BIGINT AS m_rho
        |FROM r GROUP BY bucket""".stripMargin
   }
@@ -1436,7 +1546,10 @@ object Queries {
     "q51_surprisal" -> (q51Surprisal _),
     "q52_chunking" -> (q52Chunking _),
     "q53_shuffle_pos" -> (q53ShufflePos _),
-    "q54_token_mix" -> (q54TokenMix _))
+    "q54_token_mix" -> (q54TokenMix _),
+    "q55_pack_stream" -> (q55PackStream _),
+    "q56_pack_greedy" -> (q56PackGreedy _),
+    "q57_boilerplate" -> (q57Boilerplate _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1615,6 +1728,9 @@ object Queries {
         |  ${duckPolyHash("replace(chunk, ' ', '')", 1L << 40)} AS chunk_fp
         |FROM c""".stripMargin,
     "q53_shuffle_pos" -> q53Oracle,
+    "q55_pack_stream" -> q55Oracle,
+    "q56_pack_greedy" -> q56Oracle,
+    "q57_boilerplate" -> q57Oracle,
     "q54_token_mix" ->
       s"""WITH c AS (
         |  SELECT source,

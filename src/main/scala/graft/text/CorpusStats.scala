@@ -96,4 +96,49 @@ object CorpusStats {
       .select(col("id"), col("n_tokens"),
         expr("ssum div n_tokens").as("surprisal_milli"))
   }
+
+  /** Boilerplate coverage — the RefinedWeb/CCNet-style "how much of this
+    * document is corpus-repeated text" signal: the fraction (basis
+    * points) of a document's k-word shingle INSTANCES whose fingerprint
+    * appears in at least `minDf` distinct documents. High coverage marks
+    * templated/boilerplate documents for down-weighting or removal;
+    * unlike the per-document repetition filter (TextFunctions
+    * .repetitionBpFrom) this is a CORPUS-level signal — a unique
+    * document assembled from corpus-common phrases still scores high.
+    *
+    * Output: (id, n_shingles, boilerplate_bp), one row per input row.
+    *
+    * Scale shape: shingle fingerprints are the codegen'd 40-bit
+    * [[graft.functions.ShingleFps]] (longs ride every exchange, never
+    * shingle strings). One explode → document-frequency hash agg
+    * (map-side combined) → a left-semi join of the postings against the
+    * frequent-fp set → per-doc count. The frequent set is the join's
+    * build side and shrinks as `minDf` grows; a corpus-wide hot
+    * fingerprint is EXCLUDED from skew concerns here — it is frequent by
+    * definition, and the semi join probes it with bounded per-row work.
+    * The df agg's fp key is near-unique by construction (40-bit space),
+    * so no hot-key guard is needed on the aggregation either. */
+  def boilerplateCoverage(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, minDf: Long): DataFrame = {
+    require(shingleSize >= 1, s"shingleSize must be >= 1: $shingleSize")
+    require(minDf >= 1, s"minDf must be >= 1: $minDf")
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val staged = df.select(col(idCol).as("id"),
+        graft.functions.ShingleFps.shingleFps(
+          TextFunctions.tokens(col(textCol)), shingleSize).as("fps"))
+    val inst = staged.select(col("id"), explode(col("fps")).as("fp"))
+      .repartition(parts)
+    val frequent = inst.groupBy(col("fp"))
+      .agg(countDistinct(col("id")).as("df"))
+      .where(col("df") >= minDf).select(col("fp"))
+    val hits = inst.join(frequent, Seq("fp"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("hits"))
+    staged.select(col("id"),
+        coalesce(size(col("fps")), lit(0)).cast("long").as("n_shingles"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"), col("n_shingles"),
+        when(col("n_shingles") > 0,
+          floor(coalesce(col("hits"), lit(0L)) * lit(10000.0) / col("n_shingles")))
+          .otherwise(0L).cast("long").as("boilerplate_bp"))
+  }
 }
