@@ -221,6 +221,34 @@ object Ann {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** Cluster-balanced (semantic-diversity) sampling: keep at most
+    * `maxPerCell` vectors per IVF cell — the embedding-space analog of
+    * per-source mixing caps. A web-scale corpus is wildly unbalanced in
+    * semantic space (boilerplate-adjacent regions dominate); capping per
+    * cell flattens the distribution without touching rare regions, the
+    * standard pre-training diversity pass once near-dups are gone.
+    *
+    * Within a cell the kept set is chosen by the avalanche-mixed key
+    * hash (Mix48 — the deterministic-shuffle ordering), so the pick is
+    * unbiased w.r.t. insertion/id order yet a pure function of the
+    * data: reruns, resumes, and engine swaps keep identical vectors.
+    *
+    * Scale shape: `cells` is ivfAssign output (one exchange to build, or
+    * zero read bucketed); the cap is ONE window over a `cell` hash
+    * shuffle carrying (id, cell, hash) — vectors don't ride it. Cell
+    * population skew is bounded: a hot cell costs one partition's sort,
+    * and row_number short-circuits nothing downstream of the cap. */
+  def diversitySample(cells: DataFrame, maxPerCell: Int): DataFrame = {
+    require(maxPerCell > 0, s"maxPerCell must be positive: $maxPerCell")
+    val ord = graft.functions.Mix48.mix48(
+      graft.text.TextFunctions.polyHash(col("id").cast("string"), 1L << 48))
+    val w = Window.partitionBy(col("cell")).orderBy(col("__h").asc, col("id").asc)
+    cells.select(col("id"), col("cell"), ord.as("__h"))
+      .withColumn("drn", row_number().over(w))
+      .where(col("drn") <= maxPerCell)
+      .select(col("id"), col("cell"))
+  }
+
   /** Multi-table (OR-amplified) LSH near-dup pairs: `tables` independent
     * hash tables of `planesPerTable` bits; a pair becomes a candidate if
     * it collides in ANY table, then is verified with the exact dot

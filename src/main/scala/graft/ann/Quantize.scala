@@ -1,6 +1,7 @@
 package graft.ann
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Int8 embedding quantization — the storage/bandwidth step of a
@@ -49,5 +50,61 @@ object Quantize {
       aggregate(col("q"), lit(0L), (acc, v) => acc + v).as("qsum"),
       aggregate(col("q"), lit(0L),
         (acc, v) => (acc * 1000003L + (v + 128L)) % (1L << 40)).as("qfp"))
+  }
+
+  /** Quantized-rescore top-k: the int8 index does the coarse scan, full
+    * fp32 vectors score only the survivors — the memory-bandwidth ANN
+    * path at 100 TB (the full-corpus pass reads 1 byte/dim instead of 4;
+    * fp32 vectors are fetched for |Q|·`rerank` candidates, a point-lookup
+    * joinload, never a scan).
+    *
+    * Coarse score = (Σ qc_i·qq_i) · maxAbs(c): the integer code dot is
+    * order-independent exact Long arithmetic, and the single double
+    * multiply by the corpus scale factor is one IEEE operation — both
+    * engine-reproducible (the query's scale factor is constant within a
+    * query's ranking and is dropped). Candidates rank by (coarse desc,
+    * id); exact rescoring then restores fp32 order among them, so
+    * precision of the final list is exact given the candidate set and
+    * only recall depends on `rerank` (QuantizeSpec measures it, and
+    * proves rerank = |corpus| degenerates to brute force exactly).
+    *
+    * SHUFFLE DISCIPLINE: the coarse window exchange carries bare
+    * (query_id, neighbor_id, coarse) rows — neither the int8 codes nor
+    * the fp32 vectors ride it; vectors re-join only the candidate set.
+    * Same pattern as Ann.lshNearDupPairs. */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, rerank: Int): DataFrame = {
+    require(k > 0 && rerank >= k, s"need rerank >= k > 0, got k=$k rerank=$rerank")
+    val parts = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    // the int8 index — at scale this is the persisted artifact (4× smaller
+    // scan than the fp32 corpus); built inline here
+    val cIdx = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("v"))
+      .withColumn("mx", maxAbs(col("v")))
+      .select(col("neighbor_id"), col("mx"), quantize(col("v"), col("mx")).as("cq"))
+      .repartition(parts)
+    val qIdx = queries.select(col(idCol).as("query_id"), col(vecCol).as("v"))
+      .withColumn("mx", maxAbs(col("v")))
+      .select(col("query_id"), quantize(col("v"), col("mx")).as("qq"))
+    val idot = aggregate(zip_with(col("cq"), col("qq"), (x, y) => x * y),
+      lit(0L), (acc, v) => acc + v)
+    val coarse = cIdx.crossJoin(broadcast(qIdx))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (idot.cast("double") * col("mx")).as("coarse"))
+    val cw = Window.partitionBy(col("query_id"))
+      .orderBy(col("coarse").desc, col("neighbor_id").asc)
+    val cands = coarse.withColumn("crn", row_number().over(cw))
+      .where(col("crn") <= rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cands.join(cv, Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cos", round(Ann.dot(col("q_vec"), col("c_vec")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 }

@@ -830,6 +830,46 @@ object Queries {
         shingleSize = 3, minDf = 3L)
       .withColumnRenamed("id", "doc_id")
 
+  /** Quantized-rescore ANN through the gate: the int8 coarse scan (the
+    * 4×-bandwidth index of a 100 TB vector store) picks 40 rerank
+    * candidates per query; exact fp32 rescoring restores the final
+    * top-10 — verified rank-by-rank against a full SQL replay of both
+    * stages. */
+  def q58QuantizedTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    graft.ann.Quantize.quantizedTopK(
+      emb.where(col("vec_id") < 5), emb, "vec_id", "embedding",
+      k = 10, rerank = 40)
+  }
+
+  /** Corpus snapshot diff through the gate: two deterministic snapshot
+    * views of `documents` (v_old drops ids ≡ 0 mod 5; v_new drops ids
+    * ≡ 1 mod 5 and revises the text of ids ≡ 0 mod 3), every document
+    * classified added / removed / changed / unchanged — all four states
+    * exercised and verified row-by-row. */
+  def q59SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val oldSnap = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
+    val newSnap = docs.where(pmod(col("doc_id"), lit(5)) =!= 1)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(3)) === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")))
+    graft.ops.Snapshot.diff(oldSnap, newSnap, "doc_id", "text")
+  }
+
+  /** Semantic diversity sample through the gate: at most 5 vectors kept
+    * per IVF cell (the stride-16 index q38 probes), chosen by the
+    * avalanche-mixed key hash — the embedding-space balancing pass of
+    * corpus curation, verified id-by-id. */
+  def q60DiversitySample(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val cents = emb.where(pmod(col("vec_id"), lit(16)) === 0)
+      .select(col("vec_id").cast("long").as("cid"), col("embedding").as("cvec"))
+    val cells = graft.ann.Ann.ivfAssign(emb, "vec_id", "embedding", cents)
+    graft.ann.Ann.diversitySample(cells, maxPerCell = 5)
+      .withColumnRenamed("id", "vec_id")
+  }
+
   // =================================================================
   // generated oracle fragments (reproducible-hash pipelines)
   // =================================================================
@@ -880,6 +920,96 @@ object Queries {
        |  SELECT query_id, neighbor_id, cos,
        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
        |  FROM cand) t WHERE rank <= 10""".stripMargin
+
+  /** q58 oracle: both stages of the quantized-rescore ANN — per-vector
+    * int8 quantization (q50's arithmetic), integer code dot scaled by
+    * the corpus maxAbs, coarse candidate ranking, then the exact fp32
+    * rescore and final top-k — replayed in plain SQL. */
+  private lazy val q58Oracle: String =
+    s"""WITH m AS (
+       |  SELECT vec_id, embedding,
+       |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx
+       |  FROM embeddings),
+       |qz AS (
+       |  SELECT vec_id, embedding, mx,
+       |    CASE WHEN mx = 0 THEN list_transform(embedding, x -> 0::BIGINT)
+       |         ELSE list_transform(embedding, x -> floor(127.0 * x::DOUBLE / mx)::BIGINT)
+       |    END AS qv
+       |  FROM m),
+       |q AS (SELECT vec_id AS query_id, qv AS qq FROM qz WHERE vec_id < 5),
+       |coarse AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    (list_reduce(list_prepend(0::BIGINT,
+       |       list_transform(list_zip(c.qv, q.qq), x -> x[1] * x[2])),
+       |       (a, v) -> a + v))::DOUBLE * c.mx AS coarse
+       |  FROM qz c CROSS JOIN q WHERE c.vec_id != q.query_id),
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY coarse DESC, neighbor_id) AS crn
+       |    FROM coarse) t WHERE crn <= 40),
+       |resc AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    round(${duckDot("qe.embedding", "ce.embedding")}, 6) AS cos
+       |  FROM cand
+       |  JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+       |  JOIN embeddings qe ON qe.vec_id = cand.query_id)
+       |SELECT query_id, rank, neighbor_id, cos FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM resc) t WHERE rank <= 10""".stripMargin
+
+  /** q59 oracle: the snapshot diff replayed as a full outer join of the
+    * two deterministic snapshot views on (fp40, normalized length)
+    * identity with null-safe compares. */
+  private lazy val q59Oracle: String = {
+    def fpOf(t: String) = duckPolyHash(s"replace(lower(trim($t)), ' ', '')", 1L << 40)
+    s"""WITH o AS (
+       |  SELECT doc_id, ${fpOf("text")} AS old_fp,
+       |    length(replace(lower(trim(text)), ' ', '')) AS old_nl
+       |  FROM documents WHERE doc_id % 5 != 0),
+       |n0 AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN text || ' rev2' ELSE text END AS text
+       |  FROM documents WHERE doc_id % 5 != 1),
+       |n AS (
+       |  SELECT doc_id, ${fpOf("text")} AS new_fp,
+       |    length(replace(lower(trim(text)), ' ', '')) AS new_nl
+       |  FROM n0)
+       |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       |  CASE WHEN o.doc_id IS NULL THEN 'added'
+       |       WHEN n.doc_id IS NULL THEN 'removed'
+       |       WHEN o.old_fp IS NOT DISTINCT FROM n.new_fp
+       |        AND o.old_nl IS NOT DISTINCT FROM n.new_nl THEN 'unchanged'
+       |       ELSE 'changed' END AS status,
+       |  o.old_fp, n.new_fp
+       |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin
+  }
+
+  /** q60 oracle: q38's cell-assignment CTEs (stride centroids, argmax
+    * with the same tie-break) plus the mixed-hash per-cell cap. */
+  private lazy val q60Oracle: String = {
+    val (chain, mixed) = duckMix48Scalar
+    s"""WITH cent AS (
+       |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 16 = 0),
+       |asg0 AS (
+       |  SELECT e.vec_id, c.cid, ${duckDot("e.embedding", "c.cvec")} AS d
+       |  FROM embeddings e CROSS JOIN cent c),
+       |asg AS (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+       |  FROM asg0),
+       |cells AS (SELECT vec_id, cid AS cell FROM asg WHERE rn = 1),
+       |h0 AS (
+       |  SELECT vec_id, cell,
+       |    ${duckPolyHash("CAST(vec_id AS VARCHAR)", 1L << 48)} AS h
+       |  FROM cells),
+       |mx AS (SELECT vec_id, cell, h$chain FROM h0)
+       |SELECT vec_id, cell FROM (
+       |  SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY cell ORDER BY $mixed, vec_id) AS drn
+       |  FROM mx) t WHERE drn <= 5""".stripMargin
+  }
 
   /** DuckDB fragment: 31-ary polynomial char-fold of expr `s` mod `m` —
     * the exact arithmetic of TextFunctions.polyHash, so signatures built
@@ -1549,7 +1679,10 @@ object Queries {
     "q54_token_mix" -> (q54TokenMix _),
     "q55_pack_stream" -> (q55PackStream _),
     "q56_pack_greedy" -> (q56PackGreedy _),
-    "q57_boilerplate" -> (q57Boilerplate _))
+    "q57_boilerplate" -> (q57Boilerplate _),
+    "q58_quantized_topk" -> (q58QuantizedTopK _),
+    "q59_snapshot_diff" -> (q59SnapshotDiff _),
+    "q60_diversity_sample" -> (q60DiversitySample _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1731,6 +1864,9 @@ object Queries {
     "q55_pack_stream" -> q55Oracle,
     "q56_pack_greedy" -> q56Oracle,
     "q57_boilerplate" -> q57Oracle,
+    "q58_quantized_topk" -> q58Oracle,
+    "q59_snapshot_diff" -> q59Oracle,
+    "q60_diversity_sample" -> q60Oracle,
     "q54_token_mix" ->
       s"""WITH c AS (
         |  SELECT source,

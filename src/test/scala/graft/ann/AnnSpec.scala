@@ -144,4 +144,30 @@ class AnnSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(full == brute)
   }
+
+  test("diversity sample: per-cell cap, subset, small cells intact, deterministic") {
+    val real = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "embeddings")
+    val centroids = real.where(pmod($"vec_id", lit(16)) === 0)
+      .select($"vec_id".cast("long").as("cid"), $"embedding".as("cvec"))
+    val cells = Ann.ivfAssign(real, "vec_id", "embedding", centroids)
+    val cap = 5
+    val kept = Ann.diversitySample(cells, cap)
+    val perCell = kept.groupBy($"cell").count().collect()
+    assert(perCell.nonEmpty && perCell.forall(_.getLong(1) <= cap))
+    // kept ids are a subset of the input, with cell assignment unchanged
+    val inputPairs = cells.select($"id", $"cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val keptPairs = kept.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keptPairs.subsetOf(inputPairs))
+    // cells at or under the cap keep every member
+    val cellSizes = cells.groupBy($"cell").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val keptSizes = kept.groupBy($"cell").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cellSizes.filter(_._2 <= cap).foreach { case (c, n) =>
+      assert(keptSizes.getOrElse(c, 0L) == n, s"small cell $c lost members")
+    }
+    assert(Ann.diversitySample(cells, cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == keptPairs)
+  }
 }

@@ -33,6 +33,31 @@ class QuantizeSpec extends SparkSpec {
     }
   }
 
+  test("quantizedTopK with rerank = |corpus| degenerates to brute force exactly") {
+    val emb = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "embeddings")
+    val n = emb.count().toInt
+    val queries = emb.where($"vec_id" < 3)
+    val exact = Ann.bruteForceTopK(queries, emb, "vec_id", "embedding", 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    val quant = Quantize.quantizedTopK(queries, emb, "vec_id", "embedding", 10, n)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(quant == exact)
+  }
+
+  test("quantizedTopK recall@10 vs brute force at rerank=4k") {
+    val emb = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.where($"vec_id" < 10)
+    def keyset(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = keyset(Ann.bruteForceTopK(queries, emb, "vec_id", "embedding", 10))
+    val quant = keyset(Quantize.quantizedTopK(queries, emb, "vec_id", "embedding", 10, 40))
+    val recall = (exact intersect quant).size.toDouble / exact.size
+    // int8 coarse ordering is a tight proxy for fp32 cosine; with a 4×
+    // rerank margin the true top-10 should essentially always survive
+    assert(recall >= 0.95, s"quantized recall@10 too low: $recall")
+  }
+
   test("zero vector quantizes to zeros; summary is deterministic") {
     val z = Seq((1L, Seq(0f, 0f, 0f))).toDF("vec_id", "embedding")
     val out = Quantize.quantizeSummary(z, "vec_id", "embedding").head()

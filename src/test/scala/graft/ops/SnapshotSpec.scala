@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SnapshotSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("diff classifies added / removed / changed / unchanged") {
+    val oldSnap = Seq(
+      (1L, "alpha beta"), // unchanged
+      (2L, "gamma"),      // changed in new
+      (3L, "delta"))      // removed
+      .toDF("doc_id", "text")
+    val newSnap = Seq(
+      (1L, "alpha beta"),
+      (2L, "gamma prime"),
+      (4L, "epsilon"))    // added
+      .toDF("doc_id", "text")
+    val out = Snapshot.diff(oldSnap, newSnap, "doc_id", "text")
+      .select($"doc_id", $"status").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
+  test("whitespace-only edits are identity-preserving (normalized fingerprint)") {
+    val oldSnap = Seq((1L, "alpha  beta")).toDF("doc_id", "text")
+    val newSnap = Seq((1L, " alpha beta ")).toDF("doc_id", "text")
+    val out = Snapshot.diff(oldSnap, newSnap, "doc_id", "text").head()
+    assert(out.getAs[String]("status") == "unchanged")
+  }
+
+  test("NULL text reads as present, compares null-safely") {
+    val oldSnap = Seq((1L, null: String), (2L, null: String)).toDF("doc_id", "text")
+    val newSnap = Seq((1L, null: String), (2L, "now has text")).toDF("doc_id", "text")
+    val out = Snapshot.diff(oldSnap, newSnap, "doc_id", "text")
+      .select($"doc_id", $"status").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // a present-but-null document is NOT "added"/"removed"; null == null
+    // identity is unchanged, null -> text is changed
+    assert(out == Map(1L -> "unchanged", 2L -> "changed"))
+  }
+
+  test("diffSummary counts cover the id union and match the detail frame") {
+    val docs = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "documents")
+    val oldSnap = docs.where(pmod($"doc_id", lit(5)) =!= 0)
+    val newSnap = docs.where(pmod($"doc_id", lit(5)) =!= 1)
+      .withColumn("text",
+        when(pmod($"doc_id", lit(3)) === 0, concat($"text", lit(" rev2")))
+          .otherwise($"text"))
+    val detail = Snapshot.diff(oldSnap, newSnap, "doc_id", "text")
+    val summary = Snapshot.diffSummary(oldSnap, newSnap, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = detail.groupBy($"status").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(summary == expected)
+    assert(summary.keySet == Set("added", "removed", "changed", "unchanged"))
+    val unionIds = oldSnap.select("doc_id").union(newSnap.select("doc_id"))
+      .distinct().count()
+    assert(summary.values.sum == unionIds)
+  }
+}
