@@ -870,6 +870,13 @@ object Queries {
       .withColumnRenamed("id", "vec_id")
   }
 
+  /** Count-min sketch registers through the gate: the frequency sketch
+    * over every token instance of the corpus, verified register by
+    * register (q46's HLL treatment applied to the counting sketch —
+    * completes the distinct/similarity/frequency sketch family). */
+  def q61CmsRegisters(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.Cms.tokenRegisters(tbl(spark, dir, "documents"), "text")
+
   // =================================================================
   // generated oracle fragments (reproducible-hash pipelines)
   // =================================================================
@@ -1009,6 +1016,26 @@ object Queries {
        |  SELECT vec_id, cell,
        |    row_number() OVER (PARTITION BY cell ORDER BY $mixed, vec_id) AS drn
        |  FROM mx) t WHERE drn <= 5""".stripMargin
+  }
+
+  /** q61 oracle: the CMS registers — token-instance explode, 31-bit poly
+    * hash, Depth affine transforms taking the top Width bits, groupBy
+    * count — replayed with one UNION ALL branch per sketch row. */
+  private lazy val q61Oracle: String = {
+    val mod40 = 1L << 40
+    val div = 1L << graft.functions.Cms.BucketShift
+    val rows = graft.dedup.Dedup.hashParamsPublic(graft.functions.Cms.Depth)
+      .zipWithIndex.map { case ((a, b), i) =>
+        s"SELECT $i AS depth_row, (($a * th + $b) % $mod40) // $div AS bucket FROM h"
+      }.mkString("\n  UNION ALL ")
+    s"""WITH t AS (
+       |  SELECT unnest(list_filter(string_split(lower(trim(text)), ' '), x -> x != '')) AS tok
+       |  FROM documents),
+       |h AS (SELECT ${duckPolyHash("tok", 1L << 31)} AS th FROM t),
+       |b AS (
+       |  $rows)
+       |SELECT depth_row, bucket, count(*)::BIGINT AS cnt
+       |FROM b GROUP BY depth_row, bucket""".stripMargin
   }
 
   /** DuckDB fragment: 31-ary polynomial char-fold of expr `s` mod `m` —
@@ -1682,7 +1709,8 @@ object Queries {
     "q57_boilerplate" -> (q57Boilerplate _),
     "q58_quantized_topk" -> (q58QuantizedTopK _),
     "q59_snapshot_diff" -> (q59SnapshotDiff _),
-    "q60_diversity_sample" -> (q60DiversitySample _))
+    "q60_diversity_sample" -> (q60DiversitySample _),
+    "q61_cms_registers" -> (q61CmsRegisters _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1867,6 +1895,7 @@ object Queries {
     "q58_quantized_topk" -> q58Oracle,
     "q59_snapshot_diff" -> q59Oracle,
     "q60_diversity_sample" -> q60Oracle,
+    "q61_cms_registers" -> q61Oracle,
     "q54_token_mix" ->
       s"""WITH c AS (
         |  SELECT source,
