@@ -92,6 +92,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sketch maintenance: HLL and CMS registers equal batch (bounded state)") {
+    // the sketches are plain relational aggregations (groupBy max / count),
+    // so Structured Streaming maintains them incrementally with state
+    // bounded by construction (≤1024 register rows each) — no watermark
+    // needed. The streaming result after feeding the corpus in two
+    // batches must equal the batch registers exactly.
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val docs = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val docsDf = docs.toDF("doc_id", "text")
+    def hllSet(df: org.apache.spark.sql.DataFrame) =
+      df.select($"bucket".cast("long"), $"m_rho".cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def cmsSet(df: org.apache.spark.sql.DataFrame) =
+      df.select($"depth_row".cast("long"), $"bucket".cast("long"), $"cnt".cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batchHll = hllSet(graft.functions.Hll.registers(docsDf, "text"))
+    val batchCms = cmsSet(graft.functions.Cms.tokenRegisters(docsDf, "text"))
+
+    val input = MemoryStream[(Long, String)]
+    val sdf = input.toDF().toDF("doc_id", "text")
+    val qh = graft.functions.Hll.registers(sdf, "text")
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode("complete").start()
+    val qc = graft.functions.Cms.tokenRegisters(sdf, "text")
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData(docs.take(250))
+      qh.processAllAvailable(); qc.processAllAvailable()
+      input.addData(docs.drop(250))
+      qh.processAllAvailable(); qc.processAllAvailable()
+      assert(hllSet(spark.table("hll_stream")) == batchHll)
+      assert(cmsSet(spark.table("cms_stream")) == batchCms)
+    } finally { qh.stop(); qc.stop() }
+  }
+
   test("sessionization: gap closes a session, emits aggregate") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Event]
