@@ -877,6 +877,14 @@ object Queries {
   def q61CmsRegisters(spark: SparkSession, dir: String): DataFrame =
     graft.functions.Cms.tokenRegisters(tbl(spark, dir, "documents"), "text")
 
+  /** Histogram-sketch registers through the gate: per-event-type
+    * fixed-width value histogram (the scale path for q34's exact
+    * percentiles — no per-group sort, ≤ range/width register rows),
+    * verified bucket by bucket. */
+  def q62ValueHistogram(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.HistSketch.registers(
+      tbl(spark, dir, "events"), "event_type", "value", width = 5.0)
+
   // =================================================================
   // generated oracle fragments (reproducible-hash pipelines)
   // =================================================================
@@ -1710,7 +1718,8 @@ object Queries {
     "q58_quantized_topk" -> (q58QuantizedTopK _),
     "q59_snapshot_diff" -> (q59SnapshotDiff _),
     "q60_diversity_sample" -> (q60DiversitySample _),
-    "q61_cms_registers" -> (q61CmsRegisters _))
+    "q61_cms_registers" -> (q61CmsRegisters _),
+    "q62_value_histogram" -> (q62ValueHistogram _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1896,6 +1905,11 @@ object Queries {
     "q59_snapshot_diff" -> q59Oracle,
     "q60_diversity_sample" -> q60Oracle,
     "q61_cms_registers" -> q61Oracle,
+    "q62_value_histogram" ->
+      """SELECT event_type AS grp, floor(value::DOUBLE / 5.0)::BIGINT AS bucket,
+        | count(*)::BIGINT AS cnt
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY event_type, floor(value::DOUBLE / 5.0)::BIGINT""".stripMargin,
     "q54_token_mix" ->
       s"""WITH c AS (
         |  SELECT source,
