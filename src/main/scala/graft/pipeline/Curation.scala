@@ -140,4 +140,79 @@ object Curation {
       else None
     (sampled, report)
   }
+
+  /** Incremental recuration — the daily production loop at 100 TB: given
+    * yesterday's raw snapshot, its curated output, and today's raw
+    * snapshot, recurate ONLY the added/changed documents (the delta a
+    * crawl actually produces) and carry every untouched curated document
+    * forward. A 1% daily delta costs ~1% of a full recuration.
+    *
+    * Semantics are first-writer-wins (Dedup.incrementalMerge's rule): a
+    * delta document identity- or near-dup-equal to a CARRIED document is
+    * dropped regardless of id order; within the delta the usual
+    * min-id-canonical rule applies. Sampling is a pure key filter, so
+    * carried documents already satisfy it and delta documents face the
+    * identical decision a full run would give them. With an empty
+    * previous snapshot this degenerates to `curate` exactly
+    * (CurationSpec proves it), and with an unchanged snapshot it returns
+    * the previous output verbatim (idempotence — also spec-pinned).
+    *
+    * Scale shape: the diff is one id-join (exchange-free on bucketed
+    * snapshots); every curation stage runs on |delta| rows; the near-dup
+    * check joins delta signatures against the carried corpus via the
+    * same LSH band equi-join (at 100 TB the carried side's signatures
+    * persist bucketed by band — recomputed here at gate scale). */
+  def curateIncrement(prevRaw: DataFrame, prevCurated: DataFrame,
+      newRaw: DataFrame, evalDocs: Option[DataFrame],
+      cfg: CurationConfig = CurationConfig()): DataFrame = {
+    val d = graft.ops.Snapshot.diff(prevRaw, newRaw, "doc_id", "text")
+    val dead = d.where(col("status").isin("removed", "changed")).select(col("doc_id"))
+    val deltaIds = d.where(col("status").isin("added", "changed")).select(col("doc_id"))
+    val carried = prevCurated.join(dead, Seq("doc_id"), "left_anti")
+    val delta = newRaw.join(deltaIds, Seq("doc_id"), "left_semi")
+    // delta feeds the exact-identity join, LSH tokenization, and the
+    // survivor anti-joins — persist like curate's core
+    val deltaCore = graft.ops.CacheScope.persist(curateCore(delta, cfg))
+
+    // exact identity vs carried (first-writer-wins): (fp40, nlen) anti
+    def nlen = TextFunctions.normalizedLength(col("text"))
+    val carriedKeys = carried.select(
+      TextFunctions.fingerprint(col("text")).as("fp"), nlen.as("nl")).distinct()
+    val deltaExact = deltaCore
+      .withColumn("fp", TextFunctions.fingerprint(col("text")))
+      .withColumn("nl", nlen)
+      .join(carriedKeys, Seq("fp", "nl"), "left_anti")
+      .drop("fp", "nl")
+
+    // near-dup: delta vs (carried ∪ delta). A component containing ANY
+    // carried doc drops all its delta members (carried always wins);
+    // pure-delta components keep their canonical (min-id) member.
+    val tagged = carried.select(col("doc_id"), col("text"), lit(0L).as("is_delta"))
+      .unionByName(deltaExact.select(col("doc_id"), col("text"), lit(1L).as("is_delta")))
+    val pairs = Dedup.minhashNearDupPairs(tagged, "doc_id", "text", cfg.nearDupThreshold)
+    val withTag = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .join(tagged.select(col("doc_id").as("id"), col("is_delta")), Seq("id"))
+    val compMin = withTag.groupBy(col("component"))
+      .agg(min(col("is_delta")).as("min_delta"))
+    val dropIds = withTag.join(compMin, Seq("component"))
+      .where(col("is_delta") === 1L &&
+        (col("min_delta") === 0L || col("id") =!= col("component")))
+      .select(col("id").as("doc_id"))
+    val deltaNear = deltaExact.join(dropIds, Seq("doc_id"), "left_anti")
+
+    // decontamination + sampling: identical to the full run's stages
+    val deltaClean = evalDocs match {
+      case Some(ev) =>
+        val evFps = ev.select(TextFunctions.fingerprint(col("text")).as("fp"),
+          nlen.as("nl")).distinct()
+        deltaNear
+          .withColumn("fp", TextFunctions.fingerprint(col("text")))
+          .withColumn("nl", nlen)
+          .join(broadcast(evFps), Seq("fp", "nl"), "left_anti")
+          .drop("fp", "nl")
+      case None => deltaNear
+    }
+    carried.unionByName(
+      ScaleOps.deterministicSampleBp(deltaClean, "doc_id", cfg.sampleBp))
+  }
 }

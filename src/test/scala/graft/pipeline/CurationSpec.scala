@@ -37,4 +37,44 @@ class CurationSpec extends SparkSpec {
     // exact dedup held: all surviving texts distinct
     assert(out.select($"text").distinct().count() == report.output)
   }
+
+  test("incremental recuration: empty-prev degenerates to curate exactly") {
+    val docs = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "documents")
+    val eval = docs.where($"source" === "src0").select($"text")
+    val cfg = Curation.CurationConfig(minQualityMilli = 300, sampleBp = 8000)
+    val empty = docs.where(lit(false))
+    val (full, _) = Curation.curate(docs, Some(eval), cfg, countStages = false)
+    val incr = Curation.curateIncrement(empty, empty.select($"doc_id", $"source", $"text"),
+      docs, Some(eval), cfg)
+    assert(incr.select($"doc_id").as[Long].collect().toSet ==
+      full.select($"doc_id").as[Long].collect().toSet)
+  }
+
+  test("incremental recuration: idempotent on an unchanged snapshot; removed/changed handled") {
+    val docs = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "documents")
+    val cfg = Curation.CurationConfig(minQualityMilli = 300, sampleBp = 8000)
+    val v1 = docs.where(pmod($"doc_id", lit(4)) =!= 0)
+    val (out1, _) = Curation.curate(v1, None, cfg, countStages = false)
+    val out1Ids = out1.select($"doc_id").as[Long].collect().toSet
+
+    // unchanged snapshot → previous output verbatim
+    val same = Curation.curateIncrement(v1, out1, v1, None, cfg)
+    assert(same.select($"doc_id").as[Long].collect().toSet == out1Ids)
+
+    // v2: drop ids ≡ 1 mod 16, add the held-out quarter back
+    val v2 = docs.where(pmod($"doc_id", lit(16)) =!= 1)
+    val incr = Curation.curateIncrement(v1, out1, v2, None, cfg)
+    val incrIds = incr.select($"doc_id").as[Long].collect().toSet
+    val v2Ids = v2.select($"doc_id").as[Long].collect().toSet
+    // outputs only come from the new snapshot; removed docs are gone
+    assert(incrIds.subsetOf(v2Ids))
+    // carried docs not touched by the delta survive
+    assert((out1Ids intersect incrIds).nonEmpty)
+    assert(out1Ids.filter(_ % 16 == 1).forall(id => !incrIds.contains(id)))
+    // no exact-duplicate texts in the merged output (first-writer-wins held)
+    assert(incr.select($"text").distinct().count() == incr.count())
+    // deterministic
+    val incr2 = Curation.curateIncrement(v1, out1, v2, None, cfg)
+    assert(incr2.select($"doc_id").as[Long].collect().toSet == incrIds)
+  }
 }
