@@ -885,6 +885,31 @@ object Queries {
     graft.functions.HistSketch.registers(
       tbl(spark, dir, "events"), "event_type", "value", width = 5.0)
 
+  /** Z-order layout values through the gate: the Morton interleave of
+    * (user_id, ⌊value⌋) verified event by event — the multi-dimensional
+    * lake-clustering key that lets parquet min/max pruning serve
+    * predicates on EITHER column (ZOrderSpec measures the locality). */
+  def q63ZValues(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "events")
+      .where(col("value").isNotNull)
+      .select(col("event_id"),
+        graft.ops.ZOrder.zValue2(col("user_id"),
+          floor(col("value")).cast("long"), 16).as("zval"))
+
+  /** Retention cohort matrix through the gate: users grouped by their
+    * first-activity week, distinct-user counts per (cohort week, week
+    * offset) — the product-analytics staple over the events table. Weeks
+    * are pure integer nano arithmetic (no timezone cliffs). */
+  def q64RetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val nanosPerWeek = 604800000000000L
+    val weeks = tbl(spark, dir, "events")
+      .select(col("user_id"), expr(s"ts div ${nanosPerWeek}L").as("wk"))
+    val cohort = weeks.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    weeks.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   // =================================================================
   // generated oracle fragments (reproducible-hash pipelines)
   // =================================================================
@@ -1719,7 +1744,9 @@ object Queries {
     "q59_snapshot_diff" -> (q59SnapshotDiff _),
     "q60_diversity_sample" -> (q60DiversitySample _),
     "q61_cms_registers" -> (q61CmsRegisters _),
-    "q62_value_histogram" -> (q62ValueHistogram _))
+    "q62_value_histogram" -> (q62ValueHistogram _),
+    "q63_zorder" -> (q63ZValues _),
+    "q64_retention" -> (q64RetentionCohorts _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1905,6 +1932,53 @@ object Queries {
     "q59_snapshot_diff" -> q59Oracle,
     "q60_diversity_sample" -> q60Oracle,
     "q61_cms_registers" -> q61Oracle,
+    "q63_zorder" ->
+      """WITH e AS (
+        |  SELECT event_id, (user_id & 65535) AS ua,
+        |    (floor(value)::BIGINT & 65535) AS ub
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_id,
+        |  ((ua >> 0) & 1) * 2
+        |  + ((ub >> 0) & 1) * 1
+        |  + ((ua >> 1) & 1) * 8
+        |  + ((ub >> 1) & 1) * 4
+        |  + ((ua >> 2) & 1) * 32
+        |  + ((ub >> 2) & 1) * 16
+        |  + ((ua >> 3) & 1) * 128
+        |  + ((ub >> 3) & 1) * 64
+        |  + ((ua >> 4) & 1) * 512
+        |  + ((ub >> 4) & 1) * 256
+        |  + ((ua >> 5) & 1) * 2048
+        |  + ((ub >> 5) & 1) * 1024
+        |  + ((ua >> 6) & 1) * 8192
+        |  + ((ub >> 6) & 1) * 4096
+        |  + ((ua >> 7) & 1) * 32768
+        |  + ((ub >> 7) & 1) * 16384
+        |  + ((ua >> 8) & 1) * 131072
+        |  + ((ub >> 8) & 1) * 65536
+        |  + ((ua >> 9) & 1) * 524288
+        |  + ((ub >> 9) & 1) * 262144
+        |  + ((ua >> 10) & 1) * 2097152
+        |  + ((ub >> 10) & 1) * 1048576
+        |  + ((ua >> 11) & 1) * 8388608
+        |  + ((ub >> 11) & 1) * 4194304
+        |  + ((ua >> 12) & 1) * 33554432
+        |  + ((ub >> 12) & 1) * 16777216
+        |  + ((ua >> 13) & 1) * 134217728
+        |  + ((ub >> 13) & 1) * 67108864
+        |  + ((ua >> 14) & 1) * 536870912
+        |  + ((ub >> 14) & 1) * 268435456
+        |  + ((ua >> 15) & 1) * 2147483648
+        |  + ((ub >> 15) & 1) * 1073741824 AS zval
+        |FROM e""".stripMargin,
+    "q64_retention" ->
+      """WITH w AS (
+        |  SELECT user_id, epoch_ns(ts) // 604800000000000 AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_wk FROM w GROUP BY user_id)
+        |SELECT c.cohort_wk, (w.wk - c.cohort_wk) AS week_offset,
+        |  count(DISTINCT w.user_id)::BIGINT AS n_users
+        |FROM w JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     "q62_value_histogram" ->
       """SELECT event_type AS grp, floor(value::DOUBLE / 5.0)::BIGINT AS bucket,
         | count(*)::BIGINT AS cnt
