@@ -896,6 +896,33 @@ object Queries {
         graft.ops.ZOrder.zValue2(col("user_id"),
           floor(col("value")).cast("long"), 16).as("zval"))
 
+  /** Bloom-filter set bits through the gate: the membership sketch of
+    * every document text, verified bit by bit — at scale the ≤4096-row
+    * frame broadcasts in place of the key set itself (eval-corpus
+    * decontamination without shipping the corpus). */
+  def q65BloomBits(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.Bloom.bits(tbl(spark, dir, "documents"), "text")
+
+  /** Ordered-funnel conversion through the gate: users who clicked,
+    * then viewed strictly after their first click, then purchased
+    * strictly after that first view — the sequence-matching analytics
+    * staple, as three conditional-min aggregations (never a per-user
+    * event sort). */
+  def q66Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(spark, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+    val c = ev.where(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val v = ev.where(col("event_type") === "view")
+      .join(c, Seq("user_id")).where(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val p = ev.where(col("event_type") === "purchase")
+      .join(v, Seq("user_id")).where(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    c.agg(count(lit(1)).as("n_click"))
+      .crossJoin(v.agg(count(lit(1)).as("n_click_view")))
+      .crossJoin(p.agg(count(lit(1)).as("n_full_funnel")))
+  }
+
   /** Retention cohort matrix through the gate: users grouped by their
     * first-activity week, distinct-user counts per (cohort week, week
     * offset) — the product-analytics staple over the events table. Weeks
@@ -1049,6 +1076,24 @@ object Queries {
        |  SELECT vec_id, cell,
        |    row_number() OVER (PARTITION BY cell ORDER BY $mixed, vec_id) AS drn
        |  FROM mx) t WHERE drn <= 5""".stripMargin
+  }
+
+  /** q65 oracle: the Bloom set bits — 31-bit text hash, K affine
+    * transforms taking the top 12 bits, DISTINCT — replayed with one
+    * UNION branch per hash. */
+  private lazy val q65Oracle: String = {
+    val mod40 = 1L << 40
+    val div = 1L << 28
+    val rows = graft.dedup.Dedup.hashParamsPublic(
+        graft.functions.Cms.Depth + graft.functions.Bloom.K)
+      .drop(graft.functions.Cms.Depth)
+      .map { case (a, b) =>
+        s"SELECT (($a * h + $b) % $mod40) // $div AS bit FROM h"
+      }.mkString("\n  UNION ALL ")
+    s"""WITH h AS (SELECT ${duckPolyHash("text", 1L << 31)} AS h FROM documents),
+       |b AS (
+       |  $rows)
+       |SELECT DISTINCT bit FROM b""".stripMargin
   }
 
   /** q61 oracle: the CMS registers — token-instance explode, 31-bit poly
@@ -1746,7 +1791,9 @@ object Queries {
     "q61_cms_registers" -> (q61CmsRegisters _),
     "q62_value_histogram" -> (q62ValueHistogram _),
     "q63_zorder" -> (q63ZValues _),
-    "q64_retention" -> (q64RetentionCohorts _))
+    "q64_retention" -> (q64RetentionCohorts _),
+    "q65_bloom_bits" -> (q65BloomBits _),
+    "q66_funnel" -> (q66Funnel _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1932,6 +1979,24 @@ object Queries {
     "q59_snapshot_diff" -> q59Oracle,
     "q60_diversity_sample" -> q60Oracle,
     "q61_cms_registers" -> q61Oracle,
+    "q65_bloom_bits" -> q65Oracle,
+    "q66_funnel" ->
+      """WITH c AS (
+        |  SELECT user_id, min(epoch_ns(ts)) AS t1 FROM events
+        |  WHERE event_type = 'click' GROUP BY user_id),
+        |v AS (
+        |  SELECT e.user_id, min(epoch_ns(e.ts)) AS t2
+        |  FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'view' AND epoch_ns(e.ts) > c.t1
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(epoch_ns(e.ts)) AS t3
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > v.t2
+        |  GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM c)::BIGINT AS n_click,
+        |  (SELECT count(*) FROM v)::BIGINT AS n_click_view,
+        |  (SELECT count(*) FROM p)::BIGINT AS n_full_funnel""".stripMargin,
     "q63_zorder" ->
       """WITH e AS (
         |  SELECT event_id, (user_id & 65535) AS ua,
