@@ -31,6 +31,23 @@ object ZOrder {
     }
   }
 
+  /** N-dimensional Morton interleave: result bit d·i + j carries
+    * dimension j's bit i (dimension 0 owns the most significant bit of
+    * each round). Total bits d·`bits` must stay ≤ 63. */
+  def zValueN(dims: Seq[Column], bits: Int): Column = {
+    require(dims.nonEmpty, "zValueN needs at least one dimension")
+    require(bits >= 1 && dims.length * bits <= 63,
+      s"${dims.length} dims × $bits bits exceeds a positive Long")
+    val d = dims.length
+    val masked = dims.map(_.bitwiseAND(lit((1L << bits) - 1)))
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      masked.zipWithIndex.foldLeft(acc) { case (a, (c, j)) =>
+        a.bitwiseOR(shiftleft(
+          shiftrightunsigned(c, i).bitwiseAND(lit(1L)), d * i + (d - 1 - j)))
+      }
+    }
+  }
+
   /** Lay a frame out along the z-curve of two long-valued columns:
     * range-partition by z-value (so files = curve segments = small
     * rectangles of both domains), sorted within partitions for parquet

@@ -22,6 +22,25 @@ class ZOrderSpec extends SparkSpec {
     assert(z.values.toSet.size == 256)
   }
 
+  test("zValueN: 2-dim agrees with zValue2; 3-dim golden values and bijectivity") {
+    val grid2 = (for (a <- 0 until 8; b <- 0 until 8) yield (a.toLong, b.toLong))
+      .toDF("a", "b")
+    val agree = grid2.select(
+      (ZOrder.zValue2($"a", $"b", 3) === ZOrder.zValueN(Seq($"a", $"b"), 3)).as("eq"))
+      .as[Boolean].collect()
+    assert(agree.forall(identity))
+    val grid3 = (for (a <- 0 until 4; b <- 0 until 4; c <- 0 until 4)
+      yield (a.toLong, b.toLong, c.toLong)).toDF("a", "b", "c")
+    val z3 = grid3.select($"a", $"b", $"c",
+        ZOrder.zValueN(Seq($"a", $"b", $"c"), 2).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(z3((0L, 0L, 1L)) == 1L)
+    assert(z3((0L, 1L, 0L)) == 2L)
+    assert(z3((1L, 0L, 0L)) == 4L)
+    assert(z3((3L, 3L, 3L)) == 63L)
+    assert(z3.values.toSet.size == 64)
+  }
+
   test("z-layout bounds BOTH dimensions per partition; single-key sort does not") {
     val events = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "events")
       .where($"value".isNotNull)
