@@ -417,14 +417,32 @@ object Dedup {
     * LSH recall at the default shape (16 bands × 4 rows) is ≳99% for
     * J ≥ 0.8. */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+      threshold: Double, cfg: MinHashConfig = MinHashConfig()): DataFrame =
+    minhashNearDupPairsImpl(df, idCol, textCol, threshold, cfg, focusCol = None)
+
+  /** Focused variant: only pairs with at least one TRUE `focusCol`
+    * endpoint — the incremental-curation form, where the focus rows are
+    * a daily delta and the rest an already-deduped corpus. The band
+    * join's probe side ranges over focus rows only, so corpus×corpus
+    * candidates (provably irrelevant to a delta-only drop rule) are
+    * never generated and the LSH cost scales with |delta|, not
+    * |corpus|. With every row focused this is exactly
+    * [[minhashNearDupPairs]]. `focusCol` must be BOOLEAN. */
+  def minhashNearDupPairsFocused(df: DataFrame, idCol: String, textCol: String,
+      focusCol: String, threshold: Double,
+      cfg: MinHashConfig = MinHashConfig()): DataFrame =
+    minhashNearDupPairsImpl(df, idCol, textCol, threshold, cfg, Some(focusCol))
+
+  private def minhashNearDupPairsImpl(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, cfg: MinHashConfig, focusCol: Option[String]): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val focus = focusCol.map(col).getOrElse(lit(true))
     val toks = df.select(col(idCol).as("id"),
-        TextFunctions.tokens(col(textCol)).as("toks"))
+        TextFunctions.tokens(col(textCol)).as("toks"), focus.as("__focus"))
       .repartition(parts) // small-file scans arrive as 1 partition
-    val shingled = toks.select(col("id"),
+    val shingled = toks.select(col("id"), col("__focus"),
       array_distinct(TextFunctions.wordShinglesFrom(col("toks"), cfg.shingleSize)).as("shingles"))
-    val hashed = shingled.select(col("id"), col("shingles"),
+    val hashed = shingled.select(col("id"), col("__focus"), col("shingles"),
       shingleHashes(col("shingles")).as("shs"))
     // Consumed twice (band explode + verification re-join): persist so
     // the shingle→hash→signature stage computes and codegen-compiles
@@ -434,16 +452,28 @@ object Dedup {
     // MEMORY_AND_DISK spills at scale. Registered with CacheScope —
     // callers release via CacheScope.releaseAll after materializing.
     val sigs = graft.ops.CacheScope.persist(
-      hashed.select(col("id"), col("shingles"),
+      hashed.select(col("id"), col("__focus"), col("shingles"),
         graft.functions.MinHashSig.minhashSig(col("shs"), cfg.numHashes).as("sig")))
-    val banded = sigs.select(col("id"),
+    val banded = sigs.select(col("id"), col("__focus"),
       posexplode(bandHashesFrom(col("sig"), cfg)).as(Seq("band", "bhash")))
 
-    val cand = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
+    val cand = focusCol match {
+      case None =>
+        banded.as("x").join(banded.as("y"),
+            col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
+              col("x.id") < col("y.id"))
+          .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+          .distinct()
+      case Some(_) =>
+        // probe side = focus rows only; normalize to (min, max) so a
+        // pair found from either endpoint dedups to one row
+        banded.where(col("__focus")).as("x").join(banded.as("y"),
+            col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
+              col("x.id") =!= col("y.id"))
+          .select(least(col("x.id"), col("y.id")).as("id_a"),
+            greatest(col("x.id"), col("y.id")).as("id_b"))
+          .distinct()
+    }
 
     val sets = sigs.select(col("id"), col("shingles"))
     cand

@@ -29,15 +29,20 @@ object Bloom {
   val K = 3
   val MBits = 4096 // 2^12
   private val Mod40 = 1L << 40
-  private val BitShift: Int = 40 - 12
+  /** bit = top log2(MBits) bits of the 40-bit affine hash (public so
+    * the q65 oracle derives its divisor from the same constant). */
+  val BitShift: Int = 40 - 12
 
   private lazy val params: Seq[(Long, Long)] =
     Dedup.hashParamsPublic(Cms.Depth + K).drop(Cms.Depth) // disjoint from CMS
 
-  /** Set-bit positions for a key column: one (bit) row per set bit. */
+  /** Set-bit positions for a key column: one (bit) row per set bit.
+    * NULL keys carry no membership information and are skipped (the
+    * HistSketch rule) — without the guard they would surface as a NULL
+    * bit row that breaks driver-side Set[Long] collection. */
   def bits(df: DataFrame, keyCol: String): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val hashed = df.repartition(parts)
+    val hashed = df.where(col(keyCol).isNotNull).repartition(parts)
       .select(TextFunctions.polyHash(col(keyCol).cast("string"), 1L << 31).as("h"))
     val positions = array(params.map { case (a, b) =>
       shiftrightunsigned((lit(a) * col("h") + lit(b)) % Mod40, BitShift)

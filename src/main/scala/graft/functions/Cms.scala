@@ -54,10 +54,12 @@ object Cms {
       .agg(count(lit(1)).as("cnt"))
   }
 
-  /** JVM replica of the 31-ary polynomial char fold (PolyHash's exact
-    * arithmetic) — lets the driver probe collected registers. */
+  /** Driver-side polyHash — delegates to PolyHash's own JVM evaluator
+    * so the fold walks Unicode CODE POINTS exactly like the Spark-side
+    * expression (a UTF-16 char fold would diverge on supplementary-
+    * plane characters and silently break the sketch guarantees). */
   private[graft] def polyHashJvm(s: String, mod: Long): Long =
-    s.foldLeft(0L)((acc, ch) => (acc * 31 + ch.toLong) % mod)
+    PolyHash.hash(org.apache.spark.unsafe.types.UTF8String.fromString(s), mod)
 
   /** Point estimate for `token` from collected registers: the min over
     * rows of that row's bucket counter. Never underestimates the true

@@ -37,8 +37,12 @@ object HistSketch {
 
   /** Quantile estimate from one group's collected registers: the value
     * at rank ⌈q·N⌉ located by a cumulative walk, linearly interpolated
-    * inside its bucket. True quantile lies within `width` of the
-    * estimate (the bucket's own extent). */
+    * inside its bucket. The ⌈q·N⌉-th ORDER STATISTIC lies within
+    * `width` of the estimate (the bucket's own extent); interpolating
+    * definitions of "percentile" (mean of adjacent order statistics on
+    * gapped data) can sit anywhere between neighbors and carry no such
+    * bound — compare against the order statistic, as HistSketchSpec
+    * does. */
   def quantile(regs: Seq[(Long, Long)], width: Double, q: Double): Double = {
     require(q >= 0 && q <= 1, s"q must be in [0,1]: $q")
     require(regs.nonEmpty, "empty register set")

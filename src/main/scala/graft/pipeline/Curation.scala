@@ -113,22 +113,7 @@ object Curation {
     val afterNear = core.join(dropIds, Seq("doc_id"), "left_anti")
     val nAfterNear = cnt(afterNear)
 
-    // contamination: drop anything identity-equal to the eval set.
-    // Identity is (fingerprint, normalized length), not the bare 40-bit
-    // fingerprint — a bare-fp collision would silently drop a clean
-    // document as "contaminated" (see Dedup.incrementalMerge's bound).
-    def nlen = TextFunctions.normalizedLength(col("text"))
-    val clean = evalDocs match {
-      case Some(ev) =>
-        val evFps = ev.select(TextFunctions.fingerprint(col("text")).as("fp"),
-          nlen.as("nl")).distinct()
-        afterNear
-          .withColumn("fp", TextFunctions.fingerprint(col("text")))
-          .withColumn("nl", nlen)
-          .join(broadcast(evFps), Seq("fp", "nl"), "left_anti")
-          .drop("fp", "nl")
-      case None => afterNear
-    }
+    val clean = decontaminate(afterNear, evalDocs)
     val nClean = cnt(clean)
 
     val sampled = ScaleOps.deterministicSampleBp(clean, "doc_id", cfg.sampleBp)
@@ -139,6 +124,28 @@ object Curation {
         Some(CurationReport(input, afterCore, nAfterNear, nClean, out))
       else None
     (sampled, report)
+  }
+
+  /** Eval-set decontamination — ONE implementation shared by the full
+    * and incremental pipelines (a drifted copy would silently
+    * desynchronize their outputs). Identity is (fingerprint, normalized
+    * length), not the bare 40-bit fingerprint — a bare-fp collision
+    * would drop a clean document as "contaminated" (see
+    * Dedup.incrementalMerge's bound). The eval fingerprint set is small
+    * by construction → broadcast anti-join. */
+  private def decontaminate(docs: DataFrame, evalDocs: Option[DataFrame]): DataFrame = {
+    def nlen = TextFunctions.normalizedLength(col("text"))
+    evalDocs match {
+      case Some(ev) =>
+        val evFps = ev.select(TextFunctions.fingerprint(col("text")).as("fp"),
+          nlen.as("nl")).distinct()
+        docs
+          .withColumn("fp", TextFunctions.fingerprint(col("text")))
+          .withColumn("nl", nlen)
+          .join(broadcast(evFps), Seq("fp", "nl"), "left_anti")
+          .drop("fp", "nl")
+      case None => docs
+    }
   }
 
   /** Incremental recuration — the daily production loop at 100 TB: given
@@ -184,12 +191,17 @@ object Curation {
       .join(carriedKeys, Seq("fp", "nl"), "left_anti")
       .drop("fp", "nl")
 
-    // near-dup: delta vs (carried ∪ delta). A component containing ANY
-    // carried doc drops all its delta members (carried always wins);
+    // near-dup: delta vs (carried ∪ delta) via the FOCUSED band join —
+    // the probe side ranges over delta rows only, so carried×carried
+    // candidates (irrelevant: only delta docs can drop) are never
+    // generated and LSH cost scales with |delta|. A component containing
+    // ANY carried doc drops all its delta members (carried always wins);
     // pure-delta components keep their canonical (min-id) member.
     val tagged = carried.select(col("doc_id"), col("text"), lit(0L).as("is_delta"))
       .unionByName(deltaExact.select(col("doc_id"), col("text"), lit(1L).as("is_delta")))
-    val pairs = Dedup.minhashNearDupPairs(tagged, "doc_id", "text", cfg.nearDupThreshold)
+      .withColumn("is_delta_b", col("is_delta") === 1L)
+    val pairs = Dedup.minhashNearDupPairsFocused(tagged, "doc_id", "text",
+      "is_delta_b", cfg.nearDupThreshold)
     val withTag = Dedup.connectedComponents(pairs, "id_a", "id_b")
       .join(tagged.select(col("doc_id").as("id"), col("is_delta")), Seq("id"))
     val compMin = withTag.groupBy(col("component"))
@@ -200,19 +212,9 @@ object Curation {
       .select(col("id").as("doc_id"))
     val deltaNear = deltaExact.join(dropIds, Seq("doc_id"), "left_anti")
 
-    // decontamination + sampling: identical to the full run's stages
-    val deltaClean = evalDocs match {
-      case Some(ev) =>
-        val evFps = ev.select(TextFunctions.fingerprint(col("text")).as("fp"),
-          nlen.as("nl")).distinct()
-        deltaNear
-          .withColumn("fp", TextFunctions.fingerprint(col("text")))
-          .withColumn("nl", nlen)
-          .join(broadcast(evFps), Seq("fp", "nl"), "left_anti")
-          .drop("fp", "nl")
-      case None => deltaNear
-    }
+    // decontamination + sampling: the full run's own stages
     carried.unionByName(
-      ScaleOps.deterministicSampleBp(deltaClean, "doc_id", cfg.sampleBp))
+      ScaleOps.deterministicSampleBp(
+        decontaminate(deltaNear, evalDocs), "doc_id", cfg.sampleBp))
   }
 }

@@ -929,8 +929,11 @@ object Queries {
     * are pure integer nano arithmetic (no timezone cliffs). */
   def q64RetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
     val nanosPerWeek = 604800000000000L
+    // FLOOR division (pmod-adjusted), not `div`'s truncation: DuckDB's
+    // `//` floors, and the two disagree on pre-1970 (negative) nanos
     val weeks = tbl(spark, dir, "events")
-      .select(col("user_id"), expr(s"ts div ${nanosPerWeek}L").as("wk"))
+      .select(col("user_id"),
+        expr(s"(ts - pmod(ts, ${nanosPerWeek}L)) div ${nanosPerWeek}L").as("wk"))
     val cohort = weeks.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
     weeks.join(cohort, Seq("user_id"))
       .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
@@ -1083,14 +1086,15 @@ object Queries {
     * UNION branch per hash. */
   private lazy val q65Oracle: String = {
     val mod40 = 1L << 40
-    val div = 1L << 28
+    val div = 1L << graft.functions.Bloom.BitShift
     val rows = graft.dedup.Dedup.hashParamsPublic(
         graft.functions.Cms.Depth + graft.functions.Bloom.K)
       .drop(graft.functions.Cms.Depth)
       .map { case (a, b) =>
         s"SELECT (($a * h + $b) % $mod40) // $div AS bit FROM h"
       }.mkString("\n  UNION ALL ")
-    s"""WITH h AS (SELECT ${duckPolyHash("text", 1L << 31)} AS h FROM documents),
+    s"""WITH h AS (SELECT ${duckPolyHash("text", 1L << 31)} AS h
+       |  FROM documents WHERE text IS NOT NULL),
        |b AS (
        |  $rows)
        |SELECT DISTINCT bit FROM b""".stripMargin
