@@ -923,6 +923,13 @@ object Queries {
       .crossJoin(p.agg(count(lit(1)).as("n_full_funnel")))
   }
 
+  /** Dataset-card corpus report through the gate: the one-row release
+    * summary (docs, tokens, sources, langs, distinct texts, exact-dup
+    * basis points, mean quality) in a single aggregation pass. */
+  def q67DatasetCard(spark: SparkSession, dir: String): DataFrame =
+    graft.text.DatasetCard.report(
+      tbl(spark, dir, "documents"), "doc_id", "text", "source", "lang")
+
   /** Retention cohort matrix through the gate: users grouped by their
     * first-activity week, distinct-user counts per (cohort week, week
     * offset) — the product-analytics staple over the events table. Weeks
@@ -1080,6 +1087,32 @@ object Queries {
        |    row_number() OVER (PARTITION BY cell ORDER BY $mixed, vec_id) AS drn
        |  FROM mx) t WHERE drn <= 5""".stripMargin
   }
+
+  /** q67 oracle: the dataset card replayed — same token list, same
+    * (fp40, nlen) identity, same quality formula as the q26 oracle. */
+  private lazy val q67Oracle: String =
+    s"""WITH t AS (
+       |  SELECT source, lang, text,
+       |    list_filter(string_split(lower(trim(text)), ' '), x -> x != '') AS toks,
+       |    ${duckPolyHash("replace(lower(trim(text)), ' ', '')", 1L << 40)} AS fp,
+       |    length(replace(lower(trim(text)), ' ', '')) AS nl
+       |  FROM documents),
+       |q AS (
+       |  SELECT *, CASE WHEN len(toks) > 0 THEN
+       |    least(len(toks)::BIGINT * 8, 400)
+       |    + floor(len(list_distinct(toks)) * 300.0 / len(toks))::BIGINT
+       |    + least(floor(list_sum(list_transform(toks, x -> length(x))) * 75.0
+       |        / (len(toks) * 2))::BIGINT, 300)
+       |    ELSE 0 END AS qm
+       |  FROM t)
+       |SELECT count(*)::BIGINT AS n_docs,
+       |  coalesce(sum(len(toks)), 0)::BIGINT AS n_tokens,
+       |  count(DISTINCT source)::BIGINT AS n_sources,
+       |  count(DISTINCT lang)::BIGINT AS n_langs,
+       |  count(DISTINCT (fp, nl))::BIGINT AS n_distinct_texts,
+       |  floor((count(*) - count(DISTINCT (fp, nl))) * 10000.0 / count(*))::BIGINT AS dup_bp,
+       |  floor(avg(qm))::BIGINT AS mean_quality_milli
+       |FROM q""".stripMargin
 
   /** q65 oracle: the Bloom set bits — 31-bit text hash, K affine
     * transforms taking the top 12 bits, DISTINCT — replayed with one
@@ -1797,7 +1830,8 @@ object Queries {
     "q63_zorder" -> (q63ZValues _),
     "q64_retention" -> (q64RetentionCohorts _),
     "q65_bloom_bits" -> (q65BloomBits _),
-    "q66_funnel" -> (q66Funnel _))
+    "q66_funnel" -> (q66Funnel _),
+    "q67_dataset_card" -> (q67DatasetCard _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1984,6 +2018,7 @@ object Queries {
     "q60_diversity_sample" -> q60Oracle,
     "q61_cms_registers" -> q61Oracle,
     "q65_bloom_bits" -> q65Oracle,
+    "q67_dataset_card" -> q67Oracle,
     "q66_funnel" ->
       """WITH c AS (
         |  SELECT user_id, min(epoch_ns(ts)) AS t1 FROM events
