@@ -277,6 +277,39 @@ object ScaleOps {
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
+  /** Point-in-interval equi-bucket join: all (point, interval) pairs
+    * with `lo ≤ point ≤ hi` — the range join Spark has no native
+    * strategy for (a raw `p BETWEEN lo AND hi` theta-join plans as a
+    * BroadcastNestedLoop: every point × every interval). Buckets of
+    * width `bucketWidth` turn it into an equi-join: each interval
+    * explodes to the buckets it covers, each point maps to its single
+    * bucket, the join runs on the bucket key (hash shuffle), and the
+    * exact predicate refines. A point meets an interval in EXACTLY one
+    * bucket (its own), so no pair-dedup is needed.
+    *
+    * Scale: shuffle volume = |points| + Σ⌈interval span / width⌉ rows;
+    * pick `bucketWidth` near the typical interval span so most
+    * intervals explode to 1-2 buckets. Extreme spans fan out linearly
+    * (span/width rows) — cap or split pathological intervals upstream.
+    * NULL bounds/points never match and are dropped (equi-join on a
+    * NULL bucket matches nothing, same as the theta-join semantics). */
+  def intervalJoin(points: DataFrame, intervals: DataFrame,
+      pointCol: String, loCol: String, hiCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(overlap.isEmpty, s"column names must be disjoint, overlap: $overlap")
+    def bkt(c: Column): Column = (c - pmod(c, lit(bucketWidth))) / bucketWidth
+    val p = points.withColumn("__b", bkt(col(pointCol)).cast("long"))
+    val iv = intervals
+      .where(col(loCol) <= col(hiCol)) // empty/invalid intervals match nothing
+      .withColumn("__b",
+        explode(sequence(bkt(col(loCol)).cast("long"), bkt(col(hiCol)).cast("long"))))
+    p.join(iv, Seq("__b"))
+      .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__b")
+  }
+
   /** Backward as-of join: for each left row, the single right row with
     * the greatest `rightTime` ≤ `leftTime` within the same key (the
     * time-series "latest known value" join Spark lacks natively).

@@ -930,6 +930,23 @@ object Queries {
     graft.text.DatasetCard.report(
       tbl(spark, dir, "documents"), "doc_id", "text", "source", "lang")
 
+  /** Bucketed interval join through the gate: every click inside a
+    * purchase's 30-minute attribution window, as an equi-join on time
+    * buckets (never the BroadcastNestedLoop a raw BETWEEN theta-join
+    * plans to), verified pair-by-pair against a plain SQL range join. */
+  def q68IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val halfHourNs = 1800000000000L
+    val ev = tbl(spark, dir, "events")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        (col("ts") - halfHourNs).as("lo"), col("ts").as("hi"))
+    graft.ops.ScaleOps.intervalJoin(clicks, purchases,
+        "click_ts", "lo", "hi", bucketWidth = halfHourNs)
+      .select(col("purchase_id"), col("click_id"))
+  }
+
   /** Retention cohort matrix through the gate: users grouped by their
     * first-activity week, distinct-user counts per (cohort week, week
     * offset) — the product-analytics staple over the events table. Weeks
@@ -1831,7 +1848,8 @@ object Queries {
     "q64_retention" -> (q64RetentionCohorts _),
     "q65_bloom_bits" -> (q65BloomBits _),
     "q66_funnel" -> (q66Funnel _),
-    "q67_dataset_card" -> (q67DatasetCard _))
+    "q67_dataset_card" -> (q67DatasetCard _),
+    "q68_interval_join" -> (q68IntervalJoin _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2019,6 +2037,16 @@ object Queries {
     "q61_cms_registers" -> q61Oracle,
     "q65_bloom_bits" -> q65Oracle,
     "q67_dataset_card" -> q67Oracle,
+    "q68_interval_join" ->
+      """WITH c AS (
+        |  SELECT event_id AS click_id, epoch_ns(ts) AS cts FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT event_id AS purchase_id, epoch_ns(ts) - 1800000000000 AS lo,
+        |    epoch_ns(ts) AS hi
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, c.click_id
+        |FROM p JOIN c ON c.cts >= p.lo AND c.cts <= p.hi""".stripMargin,
     "q66_funnel" ->
       """WITH c AS (
         |  SELECT user_id, min(epoch_ns(ts)) AS t1 FROM events

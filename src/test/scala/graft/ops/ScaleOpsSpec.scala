@@ -4,6 +4,34 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 class ScaleOpsSpec extends SparkSpec {
+
+  test("intervalJoin equals the naive theta join; no nested-loop in the plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ev = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "events")
+    val pts = ev.where($"event_type" === "click")
+      .select($"event_id".as("pid"), $"ts".as("pt"))
+    val ivs = ev.where($"event_type" === "purchase")
+      .select($"event_id".as("iid"), ($"ts" - 1800000000000L).as("lo"), $"ts".as("hi"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"iid", $"pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = graft.ops.ScaleOps.intervalJoin(pts, ivs, "pt", "lo", "hi",
+      bucketWidth = 1800000000000L)
+    val naive = pts.join(ivs, $"pt" >= $"lo" && $"pt" <= $"hi")
+    assert(pairs(bucketed) == pairs(naive))
+    assert(pairs(bucketed).nonEmpty, "fixture produced no in-window pairs")
+    // the whole point: an equi-join plan, not a nested loop
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n$plan")
+    // inverted/empty intervals match nothing; NULL points never match
+    val bad = Seq((9L, 100L, 50L)).toDF("iid2", "lo2", "hi2")
+    assert(graft.ops.ScaleOps.intervalJoin(
+      pts.limit(5), bad, "pt", "lo2", "hi2", 10L).count() == 0)
+    val nullPts = Seq((1L, Option.empty[Long]), (2L, Some(75L))).toDF("pid2", "pt2")
+    val one = Seq((3L, 50L, 100L)).toDF("iid3", "lo3", "hi3")
+    val got = graft.ops.ScaleOps.intervalJoin(nullPts, one, "pt2", "lo3", "hi3", 10L)
+    assert(got.select($"pid2").as[Long].collect().toSeq == Seq(2L))
+  }
   import spark.implicits._
 
   test("bucketed tables join without exchanges (shuffle paid at write time)") {
