@@ -214,6 +214,18 @@ object ScaleOps {
     df.where(sampleBucket(col(keyCol)) < rate)
   }
 
+  /** Score-weighted deterministic sampling: each row's keep rate (basis
+    * points) is a per-row COLUMN — the "keep high-quality documents at
+    * a higher rate" curation pass, generalizing [[stratifiedSampleBp]]
+    * from per-stratum constants to any computed score. Same key-hash
+    * decision as [[deterministicSampleBp]]: reproducible across
+    * engines/retries/resumes, one scan, no shuffle, no RNG. Rates are
+    * clamped to [0, 10000]; a NULL rate keeps nothing (the row has no
+    * defined keep probability). */
+  def weightedSampleBp(df: DataFrame, keyCol: String, rateBpCol: Column): DataFrame =
+    df.where(sampleBucket(col(keyCol)) <
+      least(greatest(coalesce(rateBpCol.cast("long"), lit(0L)), lit(0L)), lit(10000L)))
+
   /** Token-budget data mixing — the training-mix allocator: given target
     * corpus shares per source (basis points) and a total token budget,
     * derive each source's deterministic sampling rate from its measured

@@ -947,6 +947,20 @@ object Queries {
       .select(col("purchase_id"), col("click_id"))
   }
 
+  /** Score-weighted deterministic sampling through the gate: each
+    * document's keep rate derives from its own quality score
+    * (rate_bp = quality_milli × 8, clamped) — high-quality documents
+    * survive at a higher rate, decided by the same reproducible key
+    * hash as q42. */
+  def q69WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val tf = graft.text.TextFunctions
+    val staged = tbl(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), tf.tokens(col("text")).as("toks"))
+      .withColumn("rate_bp", tf.qualityMilliFrom(col("toks")) * 8)
+    graft.ops.ScaleOps.weightedSampleBp(staged, "doc_id", col("rate_bp"))
+      .select(col("doc_id"), col("source"), col("rate_bp").cast("long").as("rate_bp"))
+  }
+
   /** Retention cohort matrix through the gate: users grouped by their
     * first-activity week, distinct-user counts per (cohort week, week
     * offset) — the product-analytics staple over the events table. Weeks
@@ -1130,6 +1144,26 @@ object Queries {
        |  floor((count(*) - count(DISTINCT (fp, nl))) * 10000.0 / count(*))::BIGINT AS dup_bp,
        |  floor(avg(qm))::BIGINT AS mean_quality_milli
        |FROM q""".stripMargin
+
+  /** q69 oracle: the quality formula (q26's SQL form) feeding the q42
+    * affine-spread sampling hash, rate = quality×8 clamped. */
+  private lazy val q69Oracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    list_filter(string_split(lower(trim(text)), ' '), x -> x != '') AS toks
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, source, CASE WHEN len(toks) > 0 THEN
+       |    least(len(toks)::BIGINT * 8, 400)
+       |    + floor(len(list_distinct(toks)) * 300.0 / len(toks))::BIGINT
+       |    + least(floor(list_sum(list_transform(toks, x -> length(x))) * 75.0
+       |        / (len(toks) * 2))::BIGINT, 300)
+       |    ELSE 0 END * 8 AS rate_bp
+       |  FROM t)
+       |SELECT doc_id, source, rate_bp
+       |FROM q
+       |WHERE ((10368889 * ${duckPolyHash("CAST(doc_id AS VARCHAR)", 1L << 31)} + 8342140)
+       |  % ${1L << 31}) % 10000 < least(greatest(rate_bp, 0), 10000)""".stripMargin
 
   /** q65 oracle: the Bloom set bits — 31-bit text hash, K affine
     * transforms taking the top 12 bits, DISTINCT — replayed with one
@@ -1849,7 +1883,8 @@ object Queries {
     "q65_bloom_bits" -> (q65BloomBits _),
     "q66_funnel" -> (q66Funnel _),
     "q67_dataset_card" -> (q67DatasetCard _),
-    "q68_interval_join" -> (q68IntervalJoin _))
+    "q68_interval_join" -> (q68IntervalJoin _),
+    "q69_weighted_sample" -> (q69WeightedSample _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2037,6 +2072,8 @@ object Queries {
     "q61_cms_registers" -> q61Oracle,
     "q65_bloom_bits" -> q65Oracle,
     "q67_dataset_card" -> q67Oracle,
+    "q69_weighted_sample" -> q69Oracle,
+    "q69_weighted_sample" -> q69Oracle,
     "q68_interval_join" ->
       """WITH c AS (
         |  SELECT event_id AS click_id, epoch_ns(ts) AS cts FROM events

@@ -5,6 +5,28 @@ import org.apache.spark.sql.functions._
 
 class ScaleOpsSpec extends SparkSpec {
 
+  test("weightedSampleBp: rate 0 keeps nothing, 10000 keeps all, NULL drops, clamps, monotone") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "documents")
+    assert(graft.ops.ScaleOps.weightedSampleBp(docs, "doc_id", lit(0)).count() == 0)
+    assert(graft.ops.ScaleOps.weightedSampleBp(docs, "doc_id", lit(10000)).count() == docs.count())
+    assert(graft.ops.ScaleOps.weightedSampleBp(docs, "doc_id",
+      lit(null).cast("long")).count() == 0)
+    // clamped: above 10000 behaves as 10000, below 0 as 0
+    assert(graft.ops.ScaleOps.weightedSampleBp(docs, "doc_id", lit(99999)).count() == docs.count())
+    assert(graft.ops.ScaleOps.weightedSampleBp(docs, "doc_id", lit(-5)).count() == 0)
+    // monotone in the rate column, and consistent with the constant-rate sampler
+    val r1 = graft.ops.ScaleOps.weightedSampleBp(docs, "doc_id", lit(2500))
+      .select($"doc_id").as[Long].collect().toSet
+    val r2 = graft.ops.ScaleOps.weightedSampleBp(docs, "doc_id", lit(7500))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(r1.subsetOf(r2))
+    val const = graft.ops.ScaleOps.deterministicSampleBp(docs, "doc_id", 2500)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(r1 == const)
+  }
+
   test("intervalJoin equals the naive theta join; no nested-loop in the plan") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
