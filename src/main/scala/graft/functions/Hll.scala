@@ -32,14 +32,16 @@ object Hll {
 
   /** Staged scalar avalanche of the 48-bit poly hash (same rounds and
     * constants as Dedup's token mix). Each round lands in its own select
-    * so the multi-referenced intermediates never re-evaluate the fold. */
-  private def mixedHash(df: DataFrame, keyCol: String): DataFrame = {
-    val h0 = df.select(
-      TextFunctions.polyHash(col(keyCol).cast("string"), 1L << 48).as("h"))
-    val afterFirst = h0.select(Dedup.xorShift48(col("h")).as("h"))
+    * so the multi-referenced intermediates never re-evaluate the fold.
+    * `carry` columns ride alongside untouched (the group key). */
+  private def mixedHash(df: DataFrame, keyCol: String, carry: Seq[String]): DataFrame = {
+    def keep = carry.map(col)
+    val h0 = df.select(keep :+
+      TextFunctions.polyHash(col(keyCol).cast("string"), 1L << 48).as("h"): _*)
+    val afterFirst = h0.select(keep :+ Dedup.xorShift48(col("h")).as("h"): _*)
     Dedup.Mix48Muls.foldLeft(afterFirst) { (d, a) =>
-      d.select(Dedup.splitMul48(col("h"), a).as("h"))
-        .select(Dedup.xorShift48(col("h")).as("h"))
+      d.select(keep :+ Dedup.splitMul48(col("h"), a).as("h"): _*)
+        .select(keep :+ Dedup.xorShift48(col("h")).as("h"): _*)
     }
   }
 
@@ -47,10 +49,27 @@ object Hll {
     * = empty registers. */
   def registers(df: DataFrame, keyCol: String): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    mixedHash(df.repartition(parts), keyCol)
+    mixedHash(df.repartition(parts), keyCol, Seq.empty)
       .select(col("h").bitwiseAND(lit((Buckets - 1).toLong)).as("bucket"),
         shiftrightunsigned(col("h"), BucketBits).as("v"))
       .groupBy(col("bucket"))
+      .agg(max(when(col("v") === 0, RegBits + 1)
+        .otherwise(lit(RegBits + 1) - length(bin(col("v"))))).as("m_rho"))
+  }
+
+  /** Group-wise registers: one HLL per `groupCol` value — approximate
+    * distinct keys per group with the exchange bounded by
+    * |groups|·Buckets rows per partition (the group-level analog of
+    * MinHashSketchAgg's per-group signature). Registers for the same
+    * group merge across shards/days by max, exactly like [[registers]]. */
+  def registersBy(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    mixedHash(df.repartition(parts)
+        .select(col(groupCol).as("grp"), col(keyCol)), keyCol, Seq("grp"))
+      .select(col("grp"),
+        col("h").bitwiseAND(lit((Buckets - 1).toLong)).as("bucket"),
+        shiftrightunsigned(col("h"), BucketBits).as("v"))
+      .groupBy(col("grp"), col("bucket"))
       .agg(max(when(col("v") === 0, RegBits + 1)
         .otherwise(lit(RegBits + 1) - length(bin(col("v"))))).as("m_rho"))
   }

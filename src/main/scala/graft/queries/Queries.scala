@@ -961,6 +961,14 @@ object Queries {
       .select(col("doc_id"), col("source"), col("rate_bp").cast("long").as("rate_bp"))
   }
 
+  /** Group-wise HLL registers through the gate: one distinct-user
+    * sketch per event type, verified register by register — the
+    * per-group analog of q46, with the exchange bounded by
+    * |groups|x1024 rows. */
+  def q70HllByGroup(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.Hll.registersBy(
+      tbl(spark, dir, "events"), "event_type", "user_id")
+
   /** Retention cohort matrix through the gate: users grouped by their
     * first-activity week, distinct-user counts per (cohort week, week
     * offset) — the product-analytics staple over the events table. Weeks
@@ -1164,6 +1172,18 @@ object Queries {
        |FROM q
        |WHERE ((10368889 * ${duckPolyHash("CAST(doc_id AS VARCHAR)", 1L << 31)} + 8342140)
        |  % ${1L << 31}) % 10000 < least(greatest(rate_bp, 0), 10000)""".stripMargin
+
+  /** q70 oracle: q46's register replay carried per group. */
+  private lazy val q70Oracle: String = {
+    val (chain, mixed) = duckMix48Scalar
+    s"""WITH k AS (SELECT DISTINCT event_type AS grp, user_id FROM events),
+       |h0 AS (SELECT grp, ${duckPolyHash("CAST(user_id AS VARCHAR)", 1L << 48)} AS h FROM k),
+       |mx AS (SELECT grp, h$chain FROM h0),
+       |r AS (SELECT grp, $mixed & 1023 AS bucket, $mixed >> 10 AS v FROM mx)
+       |SELECT grp, bucket,
+       |  max(CASE WHEN v = 0 THEN 39 ELSE 39 - length(bin(v)) END)::BIGINT AS m_rho
+       |FROM r GROUP BY grp, bucket""".stripMargin
+  }
 
   /** q65 oracle: the Bloom set bits — 31-bit text hash, K affine
     * transforms taking the top 12 bits, DISTINCT — replayed with one
@@ -1884,7 +1904,8 @@ object Queries {
     "q66_funnel" -> (q66Funnel _),
     "q67_dataset_card" -> (q67DatasetCard _),
     "q68_interval_join" -> (q68IntervalJoin _),
-    "q69_weighted_sample" -> (q69WeightedSample _))
+    "q69_weighted_sample" -> (q69WeightedSample _),
+    "q70_hll_by_group" -> (q70HllByGroup _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2073,7 +2094,9 @@ object Queries {
     "q65_bloom_bits" -> q65Oracle,
     "q67_dataset_card" -> q67Oracle,
     "q69_weighted_sample" -> q69Oracle,
+    "q70_hll_by_group" -> q70Oracle,
     "q69_weighted_sample" -> q69Oracle,
+    "q70_hll_by_group" -> q70Oracle,
     "q68_interval_join" ->
       """WITH c AS (
         |  SELECT event_id AS click_id, epoch_ns(ts) AS cts FROM events

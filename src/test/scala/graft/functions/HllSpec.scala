@@ -10,6 +10,24 @@ class HllSpec extends SparkSpec {
     Hll.registers(df, keyCol).collect()
       .map(r => (r.getLong(0), r.get(1).asInstanceOf[Number].longValue)).toSeq
 
+  test("group-wise registers equal per-group global registers; estimates track exact") {
+    val events = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "events")
+    val byGroup = Hll.registersBy(events, "event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.get(2).asInstanceOf[Number].longValue))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq.sorted).toMap
+    val groups = events.select($"event_type").distinct().as[String].collect()
+    assert(byGroup.keySet == groups.toSet)
+    groups.foreach { g =>
+      val solo = regsOf(events.where($"event_type" === g), "user_id").sorted
+      assert(byGroup(g) == solo, s"group $g registers diverge from a solo run")
+      val exact = events.where($"event_type" === g)
+        .select($"user_id").distinct().count()
+      val est = Hll.estimate(byGroup(g))
+      assert(math.abs(est - exact) / exact < 0.15,
+        s"group $g estimate $est vs exact $exact")
+    }
+  }
+
   test("estimate tracks exact distinct within HLL error (1024 registers -> ~3.3% sigma)") {
     // large cardinality: standard estimator path
     val big = spark.range(50000).select($"id".as("k")).toDF()
