@@ -311,12 +311,18 @@ object ScaleOps {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
     val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
     require(overlap.isEmpty, s"column names must be disjoint, overlap: $overlap")
-    def bkt(c: Column): Column = (c - pmod(c, lit(bucketWidth))) / bucketWidth
-    val p = points.withColumn("__b", bkt(col(pointCol)).cast("long"))
+    require(!points.columns.contains("__b") && !intervals.columns.contains("__b"),
+      "'__b' is reserved by intervalJoin")
+    // INTEGER floor division ((c − pmod) is an exact multiple, so `div`'s
+    // truncation IS floor, negatives included). A double `/` here loses
+    // bits above 2^53 — epoch nanos would round buckets off-by-one and
+    // silently drop matching pairs for widths that don't divide 2^k.
+    def bkt(c: String): Column =
+      expr(s"(`$c` - pmod(`$c`, ${bucketWidth}L)) div ${bucketWidth}L")
+    val p = points.withColumn("__b", bkt(pointCol))
     val iv = intervals
       .where(col(loCol) <= col(hiCol)) // empty/invalid intervals match nothing
-      .withColumn("__b",
-        explode(sequence(bkt(col(loCol)).cast("long"), bkt(col(hiCol)).cast("long"))))
+      .withColumn("__b", explode(sequence(bkt(loCol), bkt(hiCol))))
     p.join(iv, Seq("__b"))
       .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__b")

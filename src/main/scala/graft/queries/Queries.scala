@@ -1133,16 +1133,11 @@ object Queries {
     s"""WITH t AS (
        |  SELECT source, lang, text,
        |    list_filter(string_split(lower(trim(text)), ' '), x -> x != '') AS toks,
-       |    ${duckPolyHash("replace(lower(trim(text)), ' ', '')", 1L << 40)} AS fp,
-       |    length(replace(lower(trim(text)), ' ', '')) AS nl
+       |    coalesce(${duckPolyHash("replace(lower(trim(text)), ' ', '')", 1L << 40)}, -1) AS fp,
+       |    coalesce(length(replace(lower(trim(text)), ' ', '')), -1) AS nl
        |  FROM documents),
        |q AS (
-       |  SELECT *, CASE WHEN len(toks) > 0 THEN
-       |    least(len(toks)::BIGINT * 8, 400)
-       |    + floor(len(list_distinct(toks)) * 300.0 / len(toks))::BIGINT
-       |    + least(floor(list_sum(list_transform(toks, x -> length(x))) * 75.0
-       |        / (len(toks) * 2))::BIGINT, 300)
-       |    ELSE 0 END AS qm
+       |  SELECT *, ${duckQualityMilli("toks")} AS qm
        |  FROM t)
        |SELECT count(*)::BIGINT AS n_docs,
        |  coalesce(sum(len(toks)), 0)::BIGINT AS n_tokens,
@@ -1161,12 +1156,7 @@ object Queries {
        |    list_filter(string_split(lower(trim(text)), ' '), x -> x != '') AS toks
        |  FROM documents),
        |q AS (
-       |  SELECT doc_id, source, CASE WHEN len(toks) > 0 THEN
-       |    least(len(toks)::BIGINT * 8, 400)
-       |    + floor(len(list_distinct(toks)) * 300.0 / len(toks))::BIGINT
-       |    + least(floor(list_sum(list_transform(toks, x -> length(x))) * 75.0
-       |        / (len(toks) * 2))::BIGINT, 300)
-       |    ELSE 0 END * 8 AS rate_bp
+       |  SELECT doc_id, source, ${duckQualityMilli("toks")} * 8 AS rate_bp
        |  FROM t)
        |SELECT doc_id, source, rate_bp
        |FROM q
@@ -1184,6 +1174,16 @@ object Queries {
        |  max(CASE WHEN v = 0 THEN 39 ELSE 39 - length(bin(v)) END)::BIGINT AS m_rho
        |FROM r GROUP BY grp, bucket""".stripMargin
   }
+
+  /** DuckDB fragment: the quality-milli formula over a token-list expr —
+    * ONE SQL-side definition mirroring TextFunctions.qualityMilliFrom
+    * (whose comment warns that drifting weight copies silently
+    * desynchronize the gates; the SQL side had grown five). */
+  private def duckQualityMilli(toks: String): String =
+    s"CASE WHEN len($toks) > 0 THEN least(len($toks)::BIGINT * 8, 400) " +
+      s"+ floor(len(list_distinct($toks)) * 300.0 / len($toks))::BIGINT " +
+      s"+ least(floor(list_sum(list_transform($toks, x -> length(x))) * 75.0 " +
+      s"/ (len($toks) * 2))::BIGINT, 300) ELSE 0 END"
 
   /** q65 oracle: the Bloom set bits — 31-bit text hash, K affine
     * transforms taking the top 12 bits, DISTINCT — replayed with one
@@ -1506,12 +1506,7 @@ object Queries {
        |sh AS (SELECT doc_id, source, text, toks, ${duckShingles("toks", 2)} AS s2 FROM t),
        |q AS (
        |  SELECT doc_id, source, text,
-       |    CASE WHEN len(toks) > 0 THEN
-       |      least(len(toks)::BIGINT * 8, 400)
-       |      + floor(len(list_distinct(toks)) * 300.0 / len(toks))::BIGINT
-       |      + least(floor(list_sum(list_transform(toks, x -> length(x))) * 75.0
-       |          / (len(toks) * 2))::BIGINT, 300)
-       |      ELSE 0 END AS qm,
+       |    ${duckQualityMilli("toks")} AS qm,
        |    CASE WHEN len(s2) > 0
        |         THEN floor((len(s2) - len(list_distinct(s2))) * 10000.0 / len(s2))::BIGINT
        |         ELSE 0 END AS rep_bp
@@ -1553,12 +1548,7 @@ object Queries {
        |sh AS (SELECT doc_id, source, text, toks, ${duckShingles("toks", 2)} AS s2 FROM t),
        |q AS (
        |  SELECT doc_id, source, text,
-       |    CASE WHEN len(toks) > 0 THEN
-       |      least(len(toks)::BIGINT * 8, 400)
-       |      + floor(len(list_distinct(toks)) * 300.0 / len(toks))::BIGINT
-       |      + least(floor(list_sum(list_transform(toks, x -> length(x))) * 75.0
-       |          / (len(toks) * 2))::BIGINT, 300)
-       |      ELSE 0 END AS qm,
+       |    ${duckQualityMilli("toks")} AS qm,
        |    CASE WHEN len(s2) > 0
        |         THEN floor((len(s2) - len(list_distinct(s2))) * 10000.0 / len(s2))::BIGINT
        |         ELSE 0 END AS rep_bp
@@ -2095,8 +2085,6 @@ object Queries {
     "q67_dataset_card" -> q67Oracle,
     "q69_weighted_sample" -> q69Oracle,
     "q70_hll_by_group" -> q70Oracle,
-    "q69_weighted_sample" -> q69Oracle,
-    "q70_hll_by_group" -> q70Oracle,
     "q68_interval_join" ->
       """WITH c AS (
         |  SELECT event_id AS click_id, epoch_ns(ts) AS cts FROM events
@@ -2227,7 +2215,7 @@ object Queries {
         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
         |  FROM scored) t WHERE rank <= 10""".stripMargin,
     "q26_text_stats" ->
-      """WITH t AS (
+      ("""WITH t AS (
         |  SELECT doc_id, text,
         |         list_filter(string_split(lower(trim(text)), ' '), x -> x != '') AS toks
         |  FROM documents)
@@ -2243,15 +2231,10 @@ object Queries {
         | CASE WHEN len(toks) > 0 THEN
         |   floor(list_sum(list_transform(toks, x -> length(x))) * 100.0 / len(toks))::BIGINT
         |   ELSE 0 END AS avg_token_len_centi,
-        | CASE WHEN len(toks) > 0 THEN
-        |   least(len(toks)::BIGINT * 8, 400)
-        |   + floor(len(list_distinct(toks)) * 300.0 / len(toks))::BIGINT
-        |   + least(floor(list_sum(list_transform(toks, x -> length(x))) * 75.0
-        |       / (len(toks) * 2))::BIGINT, 300)
-        |   ELSE 0 END AS quality_milli,
+        | """ + duckQualityMilli("toks") + """ AS quality_milli,
         | len(regexp_extract_all(lower(text),
         |   '''(?:s|d|m|t|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS n_subword_tokens
-        |FROM t""".stripMargin,
+        |FROM t""").stripMargin,
     "q27_langid" ->
       """WITH t AS (SELECT lang,
         |  list_filter(string_split(lower(trim(text)), ' '), x -> x != '') AS toks FROM documents),

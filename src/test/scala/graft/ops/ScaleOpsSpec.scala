@@ -53,6 +53,12 @@ class ScaleOpsSpec extends SparkSpec {
     val one = Seq((3L, 50L, 100L)).toDF("iid3", "lo3", "hi3")
     val got = graft.ops.ScaleOps.intervalJoin(nullPts, one, "pt2", "lo3", "hi3", 10L)
     assert(got.select($"pid2").as[Long].collect().toSeq == Seq(2L))
+    // an ODD width at epoch-nano magnitudes: bucket arithmetic must be
+    // integer (a double divide loses bits above 2^53 and shifts buckets
+    // off-by-one, silently dropping matches)
+    val odd = graft.ops.ScaleOps.intervalJoin(pts, ivs, "pt", "lo", "hi",
+      bucketWidth = 1800000000001L)
+    assert(pairs(odd) == pairs(naive))
   }
   import spark.implicits._
 
