@@ -214,6 +214,32 @@ object ScaleOps {
     df.where(sampleBucket(col(keyCol)) < rate)
   }
 
+  /** Deterministic train/val/test split: each row gets a split label
+    * from its key-hash bucket against cumulative basis-point
+    * boundaries — the eval-split generation step of a training
+    * pipeline. Pure function of the key: reproducible across
+    * engines/retries/resumes, stable as the corpus grows (a document's
+    * split never changes when others are added — the property that
+    * prevents silent train/test contamination across dataset
+    * versions), and consistent for the same key across tables. One
+    * scan, no shuffle. `splits` maps label → basis points, must sum to
+    * exactly 10000 so every row gets exactly one label. */
+  def deterministicSplit(df: DataFrame, keyCol: String,
+      splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "splits must be non-empty with positive shares")
+    require(splits.map(_._2).sum == 10000,
+      s"split shares must sum to 10000 bp, got ${splits.map(_._2).sum}")
+    require(splits.map(_._1).distinct.length == splits.length,
+      "split labels must be unique")
+    val bounds = splits.scanLeft(0)(_ + _._2).tail // cumulative upper bounds
+    val bucket = sampleBucket(col(keyCol))
+    val label = splits.zip(bounds).reverse.foldLeft(lit(null).cast("string")) {
+      case (acc, ((name, _), hi)) => when(bucket < hi, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", label)
+  }
+
   /** Score-weighted deterministic sampling: each row's keep rate (basis
     * points) is a per-row COLUMN — the "keep high-quality documents at
     * a higher rate" curation pass, generalizing [[stratifiedSampleBp]]

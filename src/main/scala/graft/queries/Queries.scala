@@ -969,6 +969,15 @@ object Queries {
     graft.functions.Hll.registersBy(
       tbl(spark, dir, "events"), "event_type", "user_id")
 
+  /** Deterministic train/val/test split through the gate: 90/5/5 by
+    * the reproducible key hash, verified row by row — a document's
+    * split never changes as the corpus grows, the property that
+    * prevents silent train/test contamination across versions. */
+  def q71TrainSplit(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.ScaleOps.deterministicSplit(
+      tbl(spark, dir, "documents").select(col("doc_id"), col("source")),
+      "doc_id", Seq("train" -> 9000, "val" -> 500, "test" -> 500))
+
   /** Retention cohort matrix through the gate: users grouped by their
     * first-activity week, distinct-user counts per (cohort week, week
     * offset) — the product-analytics staple over the events table. Weeks
@@ -1184,6 +1193,17 @@ object Queries {
       s"+ floor(len(list_distinct($toks)) * 300.0 / len($toks))::BIGINT " +
       s"+ least(floor(list_sum(list_transform($toks, x -> length(x))) * 75.0 " +
       s"/ (len($toks) * 2))::BIGINT, 300) ELSE 0 END"
+
+  /** q71 oracle: the q42 sampling hash against cumulative split
+    * boundaries. */
+  private lazy val q71Oracle: String =
+    s"""SELECT doc_id, source,
+       |  CASE WHEN b < 9000 THEN 'train' WHEN b < 9500 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (SELECT doc_id, source,
+       |  ((10368889 * ${duckPolyHash("CAST(doc_id AS VARCHAR)", 1L << 31)} + 8342140)
+       |    % ${1L << 31}) % 10000 AS b
+       |  FROM documents) t""".stripMargin
 
   /** q65 oracle: the Bloom set bits — 31-bit text hash, K affine
     * transforms taking the top 12 bits, DISTINCT — replayed with one
@@ -1895,7 +1915,8 @@ object Queries {
     "q67_dataset_card" -> (q67DatasetCard _),
     "q68_interval_join" -> (q68IntervalJoin _),
     "q69_weighted_sample" -> (q69WeightedSample _),
-    "q70_hll_by_group" -> (q70HllByGroup _))
+    "q70_hll_by_group" -> (q70HllByGroup _),
+    "q71_train_split" -> (q71TrainSplit _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2085,6 +2106,7 @@ object Queries {
     "q67_dataset_card" -> q67Oracle,
     "q69_weighted_sample" -> q69Oracle,
     "q70_hll_by_group" -> q70Oracle,
+    "q71_train_split" -> q71Oracle,
     "q68_interval_join" ->
       """WITH c AS (
         |  SELECT event_id AS click_id, epoch_ns(ts) AS cts FROM events

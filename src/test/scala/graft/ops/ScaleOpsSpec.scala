@@ -5,6 +5,41 @@ import org.apache.spark.sql.functions._
 
 class ScaleOpsSpec extends SparkSpec {
 
+  test("deterministicSplit: total partition, growth-stable, consistent with the sampler") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "documents")
+    val splits = Seq("train" -> 9000, "val" -> 500, "test" -> 500)
+    val out = graft.ops.ScaleOps.deterministicSplit(docs, "doc_id", splits)
+    // every row gets exactly one label; all labels appear at this size
+    assert(out.where($"split".isNull).count() == 0)
+    assert(out.count() == docs.count())
+    val byLabel = out.groupBy($"split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    // stable under corpus growth: splits on a subset equal the
+    // restriction of splits on the whole (no train/test contamination
+    // across dataset versions)
+    val sub = docs.where(pmod($"doc_id", lit(3)) === 0)
+    val subSplit = graft.ops.ScaleOps.deterministicSplit(sub, "doc_id", splits)
+      .select($"doc_id", $"split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val wholeSplit = out.select($"doc_id", $"split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(subSplit.forall { case (id, sp) => wholeSplit(id) == sp })
+    // the train partition IS the 9000bp deterministic sample
+    val train = out.where($"split" === "train").select($"doc_id").as[Long].collect().toSet
+    val sample = graft.ops.ScaleOps.deterministicSampleBp(docs, "doc_id", 9000)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(train == sample)
+    // malformed shares fail fast
+    intercept[IllegalArgumentException] {
+      graft.ops.ScaleOps.deterministicSplit(docs, "doc_id", Seq("a" -> 5000, "b" -> 4000))
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.ScaleOps.deterministicSplit(docs, "doc_id", Seq("a" -> 5000, "a" -> 5000))
+    }
+  }
+
   test("weightedSampleBp: rate 0 keeps nothing, 10000 keeps all, NULL drops, clamps, monotone") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
