@@ -249,6 +249,31 @@ object Ann {
       .select(col("id"), col("cell"))
   }
 
+  /** Within-cell near-duplicate pairs — SemDeDup-shaped candidate
+    * generation: two vectors are candidates iff they share an IVF cell,
+    * then the exact dot verifies the threshold. Complements the LSH
+    * path: where LSH amplifies recall with independent hash tables,
+    * the cell form reuses the ALREADY-BUILT IVF index (at 100 TB the
+    * cells are the persisted, bucketed artifact — candidate generation
+    * is then a zero-exchange self-join within each bucket). Recall is
+    * bounded by cell granularity: near-dups straddling a cell boundary
+    * are missed (AnnSpec measures recall vs brute force; raise recall
+    * by coarser cells or the LSH path).
+    *
+    * SHUFFLE DISCIPLINE: the self-join carries (id, cell) plus the
+    * vector ONCE per side within its cell — no bucket-pair explosion,
+    * no distinct over payloads (a pair shares exactly one cell, so no
+    * dedup is needed, unlike multi-table LSH). */
+  def cellNearDupPairs(cells: DataFrame, threshold: Double): DataFrame = {
+    val a = cells.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = cells.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("cell")).where(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        graft.functions.Fence.fence(round(dot(col("v_a"), col("v_b")), 3)))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** Multi-table (OR-amplified) LSH near-dup pairs: `tables` independent
     * hash tables of `planesPerTable` bits; a pair becomes a candidate if
     * it collides in ANY table, then is verified with the exact dot

@@ -978,6 +978,19 @@ object Queries {
       tbl(spark, dir, "documents").select(col("doc_id"), col("source")),
       "doc_id", Seq("train" -> 9000, "val" -> 500, "test" -> 500))
 
+  /** Within-cell (SemDeDup-shaped) embedding near-dup pairs through
+    * the gate: candidates share an IVF cell (the persisted index at
+    * scale — no LSH tables, no bucket-pair dedup), exact cosine
+    * verifies at 0.35 (where these synthetic unclustered embeddings
+    * actually have pairs — a 0.9 gate would pass on zero rows). */
+  def q72CellNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val cents = emb.where(pmod(col("vec_id"), lit(16)) === 0)
+      .select(col("vec_id").cast("long").as("cid"), col("embedding").as("cvec"))
+    val cells = graft.ann.Ann.ivfAssign(emb, "vec_id", "embedding", cents)
+    graft.ann.Ann.cellNearDupPairs(cells, threshold = 0.35)
+  }
+
   /** Retention cohort matrix through the gate: users grouped by their
     * first-activity week, distinct-user counts per (cohort week, week
     * offset) — the product-analytics staple over the events table. Weeks
@@ -1204,6 +1217,24 @@ object Queries {
        |  ((10368889 * ${duckPolyHash("CAST(doc_id AS VARCHAR)", 1L << 31)} + 8342140)
        |    % ${1L << 31}) % 10000 AS b
        |  FROM documents) t""".stripMargin
+
+  /** q72 oracle: q38's cell CTEs, self-join within cell, exact dot at
+    * the threshold. */
+  private lazy val q72Oracle: String =
+    s"""WITH cent AS (
+       |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 16 = 0),
+       |asg0 AS (
+       |  SELECT e.vec_id, e.embedding, c.cid, ${duckDot("e.embedding", "c.cvec")} AS d
+       |  FROM embeddings e CROSS JOIN cent c),
+       |asg AS (
+       |  SELECT vec_id, embedding, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+       |  FROM asg0),
+       |cells AS (SELECT vec_id, embedding, cid AS cell FROM asg WHERE rn = 1)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  round(${duckDot("a.embedding", "b.embedding")}, 3) AS cos
+       |FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |WHERE round(${duckDot("a.embedding", "b.embedding")}, 3) >= 0.35""".stripMargin
 
   /** q65 oracle: the Bloom set bits — 31-bit text hash, K affine
     * transforms taking the top 12 bits, DISTINCT — replayed with one
@@ -1916,7 +1947,8 @@ object Queries {
     "q68_interval_join" -> (q68IntervalJoin _),
     "q69_weighted_sample" -> (q69WeightedSample _),
     "q70_hll_by_group" -> (q70HllByGroup _),
-    "q71_train_split" -> (q71TrainSplit _))
+    "q71_train_split" -> (q71TrainSplit _),
+    "q72_cell_neardup" -> (q72CellNearDup _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2107,6 +2139,7 @@ object Queries {
     "q69_weighted_sample" -> q69Oracle,
     "q70_hll_by_group" -> q70Oracle,
     "q71_train_split" -> q71Oracle,
+    "q72_cell_neardup" -> q72Oracle,
     "q68_interval_join" ->
       """WITH c AS (
         |  SELECT event_id AS click_id, epoch_ns(ts) AS cts FROM events
