@@ -991,6 +991,16 @@ object Queries {
     graft.ann.Ann.cellNearDupPairs(cells, threshold = 0.35)
   }
 
+  /** Bigram conditional surprisal through the gate: per-document mean
+    * -ln P(tok|prev) in millinats — the next-token LM-quality signal
+    * (catches locally-predictable templated text that unigram
+    * surprisal misses). Docs with < 2 tokens have no bigrams and are
+    * absent. */
+  def q73BigramSurprisal(spark: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusStats.bigramSurprisal(
+        tbl(spark, dir, "documents"), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+
   /** Retention cohort matrix through the gate: users grouped by their
     * first-activity week, distinct-user counts per (cohort week, week
     * offset) — the product-analytics staple over the events table. Weeks
@@ -1235,6 +1245,26 @@ object Queries {
        |  round(${duckDot("a.embedding", "b.embedding")}, 3) AS cos
        |FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
        |WHERE round(${duckDot("a.embedding", "b.embedding")}, 3) >= 0.35""".stripMargin
+
+  /** q73 oracle: bigrams by positional indexing, conditional counts,
+    * the q51 floor-ln treatment, integer mean. */
+  private lazy val q73Oracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(lower(trim(text)), ' '), x -> x != '') AS toks
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, toks[i] AS prev, toks[i + 1] AS tok
+       |  FROM t, unnest(range(1, len(toks))) AS r(i)
+       |  WHERE len(toks) >= 2),
+       |b AS (SELECT prev, tok, count(*) AS cb FROM p GROUP BY prev, tok),
+       |pref AS (SELECT prev, sum(cb)::BIGINT AS cp FROM b GROUP BY prev),
+       |s AS (
+       |  SELECT p.doc_id, floor(1000.0 * ln(pref.cp::DOUBLE / b.cb))::BIGINT AS si
+       |  FROM p JOIN b USING (prev, tok) JOIN pref USING (prev))
+       |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       |  (sum(si)::BIGINT // count(*)) AS bigram_surprisal_milli
+       |FROM s GROUP BY doc_id""".stripMargin
 
   /** q65 oracle: the Bloom set bits — 31-bit text hash, K affine
     * transforms taking the top 12 bits, DISTINCT — replayed with one
@@ -1948,7 +1978,8 @@ object Queries {
     "q69_weighted_sample" -> (q69WeightedSample _),
     "q70_hll_by_group" -> (q70HllByGroup _),
     "q71_train_split" -> (q71TrainSplit _),
-    "q72_cell_neardup" -> (q72CellNearDup _))
+    "q72_cell_neardup" -> (q72CellNearDup _),
+    "q73_bigram_surprisal" -> (q73BigramSurprisal _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2140,6 +2171,7 @@ object Queries {
     "q70_hll_by_group" -> q70Oracle,
     "q71_train_split" -> q71Oracle,
     "q72_cell_neardup" -> q72Oracle,
+    "q73_bigram_surprisal" -> q73Oracle,
     "q68_interval_join" ->
       """WITH c AS (
         |  SELECT event_id AS click_id, epoch_ns(ts) AS cts FROM events

@@ -141,4 +141,46 @@ object CorpusStats {
           floor(coalesce(col("hits"), lit(0L)) * lit(10000.0) / col("n_shingles")))
           .otherwise(0L).cast("long").as("boilerplate_bp"))
   }
+  /** Bigram conditional surprisal — the next-token upgrade of
+    * [[unigramSurprisal]]: per document, the mean of
+    * −ln P(tok | prev) = ln(c(prev,·) / c(prev,tok)) over its bigram
+    * instances, in floor-scaled millinats. A repetitive document whose
+    * transitions are locally predictable (even with rare unigrams)
+    * scores LOW, catching templated text the unigram model misses.
+    *
+    * All the unigram form's reproducibility rules apply (integer
+    * counts, per-instance floor of ln of an integer ratio, integer
+    * mean). Prefix totals DERIVE from the bigram counts (sum by prev) —
+    * no second corpus scan. Documents with < 2 tokens have no bigrams
+    * and are absent from the output (documented: no transition, no
+    * conditional score).
+    *
+    * Scale shape: one explode of per-row zipped (prev, tok) pairs (no
+    * window — adjacency is intra-document), one map-side-combined
+    * count agg, the prefix rollup over the (small) bigram vocabulary,
+    * one join back to the postings. Same Zipf-head caveat as the
+    * unigram form. */
+  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ts = TextFunctions.tokens(col(textCol))
+    val pairs = df
+      .select(col(idCol).as("id"), ts.as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("id"), explode(arrays_zip(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1))).as("bg"))
+      .select(col("id"), col("bg.0").as("prev"), col("bg.1").as("tok"))
+      .repartition(parts)
+    val bi = pairs.groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("cb"))
+    val prefix = bi.groupBy(col("prev")).agg(sum(col("cb")).as("cp"))
+    pairs.join(bi, Seq("prev", "tok")).join(prefix, Seq("prev"))
+      .select(col("id"),
+        floor(lit(1000.0) * log(col("cp").cast("double") / col("cb")))
+          .cast("long").as("si"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("si")).cast("long").as("ssum"))
+      .select(col("id"), col("n_bigrams"),
+        expr("ssum div n_bigrams").as("bigram_surprisal_milli"))
+  }
+
 }

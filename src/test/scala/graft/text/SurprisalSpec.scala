@@ -29,6 +29,38 @@ class SurprisalSpec extends SparkSpec {
     assert(out(1L)._2 < out(3L)._2)
   }
 
+  test("bigram surprisal: predictable transitions score low, golden values, short docs absent") {
+    // corpus bigrams: (a,b)×3 from doc 1, (a,b) (b,c) from doc 2,
+    // (x,y) from doc 3 → prefix a: cb(a,b)=4/cp=4 (certain transition),
+    // prefix b: (b,a)×2 (b,c)×1 → cp=3, prefix x: cp=1
+    val docs = Seq(
+      (1L, "a b a b a b"),  // bigrams: ab ba ab ba ab
+      (2L, "a b c"),        // ab bc
+      (3L, "x y"),          // xy
+      (4L, "solo"))         // no bigrams → absent
+      .toDF("doc_id", "text")
+    val out = CorpusStats.bigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(!out.contains(4L), "single-token doc must have no bigram score")
+    def s(cpOverCb: Double): Long = math.floor(1000.0 * math.log(cpOverCb)).toLong
+    // corpus: cb(a,b)=4 cp(a)=4; cb(b,a)=2 cb(b,c)=1 cp(b)=3; cb(x,y)=1 cp(x)=1
+    val sAB = s(4.0 / 4); val sBA = s(3.0 / 2); val sBC = s(3.0 / 1); val sXY = s(1.0 / 1)
+    assert(out(1L) == ((5L, (3 * sAB + 2 * sBA) / 5)))
+    assert(out(2L) == ((2L, (sAB + sBC) / 2)))
+    assert(out(3L) == ((1L, sXY)))
+    // the repetitive doc's transitions are more predictable than doc 2's
+    assert(out(1L)._2 < out(2L)._2)
+  }
+
+  test("bigram surprisal is partitioning-invariant on the real corpus") {
+    val docs = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "documents")
+    val a = CorpusStats.bigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = CorpusStats.bigramSurprisal(docs.repartition(7), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == b)
+  }
+
   test("surprisal is reproducible and total-token count matches tokenization") {
     val docs = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "documents")
     val a = CorpusStats.unigramSurprisal(docs, "doc_id", "text")
