@@ -1001,6 +1001,24 @@ object Queries {
         tbl(spark, dir, "documents"), "doc_id", "text")
       .withColumnRenamed("id", "doc_id")
 
+  /** Rolling 30-minute window aggregates through the gate: per event,
+    * the running sum/count over the user's trailing half hour — a
+    * RANGE frame over the nano timestamp (not ROWS: simultaneous
+    * events share the frame). Values ride as floor-scaled milli longs
+    * so the running sum is order-independent integer arithmetic. */
+  def q74RollingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"))
+      .rangeBetween(-1800000000000L, 0L)
+    tbl(spark, dir, "events")
+      .where(col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        floor(col("value") * 1000).cast("long").as("vm"))
+      .select(col("event_id"), col("user_id"),
+        sum(col("vm")).over(w).as("rolling_milli_30m"),
+        count(lit(1)).over(w).as("n_events_30m"))
+  }
+
   /** Retention cohort matrix through the gate: users grouped by their
     * first-activity week, distinct-user counts per (cohort week, week
     * offset) — the product-analytics staple over the events table. Weeks
@@ -1265,6 +1283,18 @@ object Queries {
        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
        |  (sum(si)::BIGINT // count(*)) AS bigram_surprisal_milli
        |FROM s GROUP BY doc_id""".stripMargin
+
+  /** q74 oracle: the same RANGE frame over epoch nanos. */
+  private lazy val q74Oracle: String =
+    s"""SELECT event_id, user_id,
+       |  (sum(vm) OVER w)::BIGINT AS rolling_milli_30m,
+       |  (count(*) OVER w)::BIGINT AS n_events_30m
+       |FROM (
+       |  SELECT event_id, user_id, epoch_ns(ts) AS tns,
+       |    floor(value * 1000)::BIGINT AS vm
+       |  FROM events WHERE ts IS NOT NULL) t
+       |WINDOW w AS (PARTITION BY user_id ORDER BY tns
+       |  RANGE BETWEEN 1800000000000 PRECEDING AND CURRENT ROW)""".stripMargin
 
   /** q65 oracle: the Bloom set bits — 31-bit text hash, K affine
     * transforms taking the top 12 bits, DISTINCT — replayed with one
@@ -1979,7 +2009,8 @@ object Queries {
     "q70_hll_by_group" -> (q70HllByGroup _),
     "q71_train_split" -> (q71TrainSplit _),
     "q72_cell_neardup" -> (q72CellNearDup _),
-    "q73_bigram_surprisal" -> (q73BigramSurprisal _))
+    "q73_bigram_surprisal" -> (q73BigramSurprisal _),
+    "q74_rolling_window" -> (q74RollingWindow _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2172,6 +2203,7 @@ object Queries {
     "q71_train_split" -> q71Oracle,
     "q72_cell_neardup" -> q72Oracle,
     "q73_bigram_surprisal" -> q73Oracle,
+    "q74_rolling_window" -> q74Oracle,
     "q68_interval_join" ->
       """WITH c AS (
         |  SELECT event_id AS click_id, epoch_ns(ts) AS cts FROM events
