@@ -228,13 +228,21 @@ object ScaleOps {
       splits: Seq[(String, Int)]): DataFrame = {
     require(splits.nonEmpty && splits.forall(_._2 > 0),
       "splits must be non-empty with positive shares")
-    require(splits.map(_._2).sum == 10000,
-      s"split shares must sum to 10000 bp, got ${splits.map(_._2).sum}")
+    // Long sum: an Int sum can WRAP to exactly 10000 on adversarial
+    // shares and silently pass the guard with garbage bounds
+    require(splits.map(_._2.toLong).sum == 10000L,
+      s"split shares must sum to 10000 bp, got ${splits.map(_._2.toLong).sum}")
     require(splits.map(_._1).distinct.length == splits.length,
       "split labels must be unique")
     val bounds = splits.scanLeft(0)(_ + _._2).tail // cumulative upper bounds
     val bucket = sampleBucket(col(keyCol))
-    val label = splits.zip(bounds).reverse.foldLeft(lit(null).cast("string")) {
+    // a NULL key nulls every comparison and would silently leave the
+    // row in NO split — fail loudly instead (packGreedyContiguous's
+    // lazy distributed-invariant guard)
+    val label = splits.zip(bounds).reverse.foldLeft(
+      when(bucket.isNull, raise_error(
+        lit(s"deterministicSplit: NULL values in key column '$keyCol'")))
+        .otherwise(lit(null).cast("string"))) {
       case (acc, ((name, _), hi)) => when(bucket < hi, lit(name)).otherwise(acc)
     }
     df.withColumn("split", label)

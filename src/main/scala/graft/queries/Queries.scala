@@ -587,10 +587,15 @@ object Queries {
     * cells come from nearest-centroid assignment, and each query probes
     * its 4 nearest cells. Scoring touches ~nProbe/|cells| of the corpus
     * instead of all of it; AnnSpec measures recall vs brute force. */
+  /** Stride-16 IVF centroids and cell assignment — ONE definition for
+    * q38/q60/q72 (the index those gates test must not desynchronize). */
+  private def strideCentroids(emb: DataFrame): DataFrame =
+    emb.where(pmod(col("vec_id"), lit(16)) === 0)
+      .select(col("vec_id").cast("long").as("cid"), col("embedding").as("cvec"))
+
   def q38IvfTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = tbl(spark, dir, "embeddings")
-    val centroids = emb.where(pmod(col("vec_id"), lit(16)) === 0)
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val centroids = strideCentroids(emb)
     val cells = graft.ann.Ann.ivfAssign(emb, "vec_id", "embedding", centroids)
     graft.ann.Ann.ivfProbeTopK(emb.where(col("vec_id") < 5), cells, centroids,
       "vec_id", "embedding", k = 10, nProbe = 4)
@@ -863,9 +868,7 @@ object Queries {
     * corpus curation, verified id-by-id. */
   def q60DiversitySample(spark: SparkSession, dir: String): DataFrame = {
     val emb = tbl(spark, dir, "embeddings")
-    val cents = emb.where(pmod(col("vec_id"), lit(16)) === 0)
-      .select(col("vec_id").cast("long").as("cid"), col("embedding").as("cvec"))
-    val cells = graft.ann.Ann.ivfAssign(emb, "vec_id", "embedding", cents)
+    val cells = graft.ann.Ann.ivfAssign(emb, "vec_id", "embedding", strideCentroids(emb))
     graft.ann.Ann.diversitySample(cells, maxPerCell = 5)
       .withColumnRenamed("id", "vec_id")
   }
@@ -935,15 +938,18 @@ object Queries {
     * buckets (never the BroadcastNestedLoop a raw BETWEEN theta-join
     * plans to), verified pair-by-pair against a plain SQL range join. */
   def q68IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
-    val halfHourNs = 1800000000000L
+    // µs domain on both sides: DuckDB truncates the nano timestamps to
+    // µs, so nano-domain window edges would only probabilistically
+    // agree (same reasoning as q74)
+    val halfHourUs = 1800000000L
     val ev = tbl(spark, dir, "events")
     val clicks = ev.where(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .select(col("event_id").as("click_id"), expr("ts div 1000").as("click_us"))
     val purchases = ev.where(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"),
-        (col("ts") - halfHourNs).as("lo"), col("ts").as("hi"))
+        (expr("ts div 1000") - halfHourUs).as("lo"), expr("ts div 1000").as("hi"))
     graft.ops.ScaleOps.intervalJoin(clicks, purchases,
-        "click_ts", "lo", "hi", bucketWidth = halfHourNs)
+        "click_us", "lo", "hi", bucketWidth = halfHourUs)
       .select(col("purchase_id"), col("click_id"))
   }
 
@@ -985,9 +991,7 @@ object Queries {
     * actually have pairs — a 0.9 gate would pass on zero rows). */
   def q72CellNearDup(spark: SparkSession, dir: String): DataFrame = {
     val emb = tbl(spark, dir, "embeddings")
-    val cents = emb.where(pmod(col("vec_id"), lit(16)) === 0)
-      .select(col("vec_id").cast("long").as("cid"), col("embedding").as("cvec"))
-    val cells = graft.ann.Ann.ivfAssign(emb, "vec_id", "embedding", cents)
+    val cells = graft.ann.Ann.ivfAssign(emb, "vec_id", "embedding", strideCentroids(emb))
     graft.ann.Ann.cellNearDupPairs(cells, threshold = 0.35)
   }
 
@@ -1003,16 +1007,21 @@ object Queries {
 
   /** Rolling 30-minute window aggregates through the gate: per event,
     * the running sum/count over the user's trailing half hour — a
-    * RANGE frame over the nano timestamp (not ROWS: simultaneous
-    * events share the frame). Values ride as floor-scaled milli longs
-    * so the running sum is order-independent integer arithmetic. */
+    * RANGE frame (not ROWS: simultaneous events share the frame) over
+    * the MICROSECOND timestamp: DuckDB reads the TIMESTAMP(NANOS)
+    * parquet truncated to µs, so a nano-domain frame would agree with
+    * the oracle only while no event pair straddles a boundary within
+    * 1 µs — µs on both sides makes parity structural. Values ride as
+    * floor-scaled milli longs so the running sum is order-independent
+    * integer arithmetic. */
   def q74RollingWindow(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("ts"))
-      .rangeBetween(-1800000000000L, 0L)
+      .partitionBy(col("user_id")).orderBy(col("tus"))
+      .rangeBetween(-1800000000L, 0L)
     tbl(spark, dir, "events")
       .where(col("ts").isNotNull)
-      .select(col("event_id"), col("user_id"), col("ts"),
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("tus"),
         floor(col("value") * 1000).cast("long").as("vm"))
       .select(col("event_id"), col("user_id"),
         sum(col("vm")).over(w).as("rolling_milli_30m"),
@@ -1024,12 +1033,13 @@ object Queries {
     * offset) — the product-analytics staple over the events table. Weeks
     * are pure integer nano arithmetic (no timezone cliffs). */
   def q64RetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
-    val nanosPerWeek = 604800000000000L
+    // µs domain (DuckDB truncates nanos to µs — q74's reasoning), and
     // FLOOR division (pmod-adjusted), not `div`'s truncation: DuckDB's
-    // `//` floors, and the two disagree on pre-1970 (negative) nanos
+    // `//` floors, and the two disagree on pre-1970 (negative) stamps
+    val usPerWeek = 604800000000L
     val weeks = tbl(spark, dir, "events")
       .select(col("user_id"),
-        expr(s"(ts - pmod(ts, ${nanosPerWeek}L)) div ${nanosPerWeek}L").as("wk"))
+        expr(s"((ts div 1000) - pmod(ts div 1000, ${usPerWeek}L)) div ${usPerWeek}L").as("wk"))
     val cohort = weeks.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
     weeks.join(cohort, Seq("user_id"))
       .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
@@ -1054,11 +1064,11 @@ object Queries {
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip($a, $b), " +
       "x -> x[1]::DOUBLE * x[2]::DOUBLE)), (p, q) -> p + q)"
 
-  /** q38 oracle: the whole IVF pipeline — centroid sampling, argmax cell
-    * assignment (same deterministic tie-break), probe list, candidate
-    * join, top-k — in plain SQL over the same table. */
-  private lazy val q38Oracle: String =
-    s"""WITH cent AS (
+  /** DuckDB fragment: the stride-16 IVF cell-assignment CTE chain
+    * (cent/asg0/asg/cells, argmax with the d DESC, cid tie-break) —
+    * ONE definition shared by the q38/q60/q72 oracles. */
+  private lazy val duckIvfCellsCtes: String =
+    s"""cent AS (
        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 16 = 0),
        |asg0 AS (
        |  SELECT e.vec_id, e.embedding, c.cid, ${duckDot("e.embedding", "c.cvec")} AS d
@@ -1067,7 +1077,13 @@ object Queries {
        |  SELECT vec_id, embedding, cid,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
        |  FROM asg0),
-       |cells AS (SELECT vec_id, embedding, cid AS cell FROM asg WHERE rn = 1),
+       |cells AS (SELECT vec_id, embedding, cid AS cell FROM asg WHERE rn = 1)""".stripMargin
+
+  /** q38 oracle: the whole IVF pipeline — centroid sampling, argmax cell
+    * assignment (same deterministic tie-break), probe list, candidate
+    * join, top-k — in plain SQL over the same table. */
+  private lazy val q38Oracle: String =
+    s"""WITH $duckIvfCellsCtes,
        |q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
        |p0 AS (
        |  SELECT q.query_id, q.q_vec, c.cid, ${duckDot("q.q_vec", "c.cvec")} AS d
@@ -1156,16 +1172,7 @@ object Queries {
     * with the same tie-break) plus the mixed-hash per-cell cap. */
   private lazy val q60Oracle: String = {
     val (chain, mixed) = duckMix48Scalar
-    s"""WITH cent AS (
-       |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 16 = 0),
-       |asg0 AS (
-       |  SELECT e.vec_id, c.cid, ${duckDot("e.embedding", "c.cvec")} AS d
-       |  FROM embeddings e CROSS JOIN cent c),
-       |asg AS (
-       |  SELECT vec_id, cid,
-       |    row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
-       |  FROM asg0),
-       |cells AS (SELECT vec_id, cid AS cell FROM asg WHERE rn = 1),
+    s"""WITH $duckIvfCellsCtes,
        |h0 AS (
        |  SELECT vec_id, cell,
        |    ${duckPolyHash("CAST(vec_id AS VARCHAR)", 1L << 48)} AS h
@@ -1249,16 +1256,7 @@ object Queries {
   /** q72 oracle: q38's cell CTEs, self-join within cell, exact dot at
     * the threshold. */
   private lazy val q72Oracle: String =
-    s"""WITH cent AS (
-       |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 16 = 0),
-       |asg0 AS (
-       |  SELECT e.vec_id, e.embedding, c.cid, ${duckDot("e.embedding", "c.cvec")} AS d
-       |  FROM embeddings e CROSS JOIN cent c),
-       |asg AS (
-       |  SELECT vec_id, embedding, cid,
-       |    row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
-       |  FROM asg0),
-       |cells AS (SELECT vec_id, embedding, cid AS cell FROM asg WHERE rn = 1)
+    s"""WITH $duckIvfCellsCtes
        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        |  round(${duckDot("a.embedding", "b.embedding")}, 3) AS cos
        |FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
@@ -1290,11 +1288,11 @@ object Queries {
        |  (sum(vm) OVER w)::BIGINT AS rolling_milli_30m,
        |  (count(*) OVER w)::BIGINT AS n_events_30m
        |FROM (
-       |  SELECT event_id, user_id, epoch_ns(ts) AS tns,
+       |  SELECT event_id, user_id, epoch_us(ts) AS tus,
        |    floor(value * 1000)::BIGINT AS vm
        |  FROM events WHERE ts IS NOT NULL) t
-       |WINDOW w AS (PARTITION BY user_id ORDER BY tns
-       |  RANGE BETWEEN 1800000000000 PRECEDING AND CURRENT ROW)""".stripMargin
+       |WINDOW w AS (PARTITION BY user_id ORDER BY tus
+       |  RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)""".stripMargin
 
   /** q65 oracle: the Bloom set bits — 31-bit text hash, K affine
     * transforms taking the top 12 bits, DISTINCT — replayed with one
@@ -2206,14 +2204,14 @@ object Queries {
     "q74_rolling_window" -> q74Oracle,
     "q68_interval_join" ->
       """WITH c AS (
-        |  SELECT event_id AS click_id, epoch_ns(ts) AS cts FROM events
+        |  SELECT event_id AS click_id, epoch_us(ts) AS cus FROM events
         |  WHERE event_type = 'click'),
         |p AS (
-        |  SELECT event_id AS purchase_id, epoch_ns(ts) - 1800000000000 AS lo,
-        |    epoch_ns(ts) AS hi
+        |  SELECT event_id AS purchase_id, epoch_us(ts) - 1800000000 AS lo,
+        |    epoch_us(ts) AS hi
         |  FROM events WHERE event_type = 'purchase')
         |SELECT p.purchase_id, c.click_id
-        |FROM p JOIN c ON c.cts >= p.lo AND c.cts <= p.hi""".stripMargin,
+        |FROM p JOIN c ON c.cus >= p.lo AND c.cus <= p.hi""".stripMargin,
     "q66_funnel" ->
       """WITH c AS (
         |  SELECT user_id, min(epoch_ns(ts)) AS t1 FROM events
@@ -2272,7 +2270,7 @@ object Queries {
         |FROM e""".stripMargin,
     "q64_retention" ->
       """WITH w AS (
-        |  SELECT user_id, epoch_ns(ts) // 604800000000000 AS wk FROM events),
+        |  SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
         |c AS (SELECT user_id, min(wk) AS cohort_wk FROM w GROUP BY user_id)
         |SELECT c.cohort_wk, (w.wk - c.cohort_wk) AS week_offset,
         |  count(DISTINCT w.user_id)::BIGINT AS n_users

@@ -173,10 +173,16 @@ object CorpusStats {
       .repartition(parts)
     val bi = pairs.groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("cb"))
     val prefix = bi.groupBy(col("prev")).agg(sum(col("cb")).as("cp"))
-    pairs.join(bi, Seq("prev", "tok")).join(prefix, Seq("prev"))
-      .select(col("id"),
+    // join the two VOCABULARY-sized frames first, then ONE postings
+    // join on (prev, tok): joining postings to each separately would
+    // shuffle the posting-sized frame twice, the second time keyed by
+    // the Zipf-skewed prev alone (a stopword prefix = one hot task)
+    val si = bi.join(prefix, Seq("prev"))
+      .select(col("prev"), col("tok"),
         floor(lit(1000.0) * log(col("cp").cast("double") / col("cb")))
           .cast("long").as("si"))
+    pairs.join(si, Seq("prev", "tok"))
+      .select(col("id"), col("si"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("si")).cast("long").as("ssum"))
       .select(col("id"), col("n_bigrams"),

@@ -31,13 +31,25 @@ class ScaleOpsSpec extends SparkSpec {
     val sample = graft.ops.ScaleOps.deterministicSampleBp(docs, "doc_id", 9000)
       .select($"doc_id").as[Long].collect().toSet
     assert(train == sample)
-    // malformed shares fail fast
+    // malformed shares fail fast — including an Int-wrapping sum that
+    // lands back on exactly 10000
     intercept[IllegalArgumentException] {
       graft.ops.ScaleOps.deterministicSplit(docs, "doc_id", Seq("a" -> 5000, "b" -> 4000))
     }
     intercept[IllegalArgumentException] {
       graft.ops.ScaleOps.deterministicSplit(docs, "doc_id", Seq("a" -> 5000, "a" -> 5000))
     }
+    intercept[IllegalArgumentException] {
+      graft.ops.ScaleOps.deterministicSplit(docs, "doc_id",
+        Seq("a" -> 2147483647, "b" -> 2147483647, "c" -> 10002))
+    }
+    // a NULL key has no split — fail loudly, never a silent null label
+    val withNull = Seq(Some(1L), None).toDF("doc_id")
+    val ex = intercept[Exception] {
+      graft.ops.ScaleOps.deterministicSplit(withNull, "doc_id", splits).collect()
+    }
+    assert(ex.getMessage.contains("NULL values in key column") ||
+      Option(ex.getCause).exists(_.getMessage.contains("NULL values in key column")))
   }
 
   test("weightedSampleBp: rate 0 keeps nothing, 10000 keeps all, NULL drops, clamps, monotone") {

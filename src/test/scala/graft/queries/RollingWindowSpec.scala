@@ -30,4 +30,30 @@ class RollingWindowSpec extends SparkSpec {
     assert(out(5L) == ((15L, 2L)))
     assert(out(6L) == ((15L, 2L)))
   }
+
+  test("q74 gate query end-to-end: µs frame edges, milli scaling, nano truncation") {
+    // exercises Queries.q74RollingWindow ITSELF (constants, scaling,
+    // filter, column names), not a local replica of the frame
+    val dir = java.nio.file.Files.createTempDirectory("q74fix").toString
+    val us = 1000L // nanos per µs
+    Seq(
+      (1L, 1L, 0L, Some(1.0)),
+      (2L, 1L, 1800000000L * us, Some(2.0)),       // exactly 30 min: includes ev1
+      (3L, 1L, 1800000000L * us + 500L, Some(4.0)), // +500 ns truncates to the same µs
+      (4L, 1L, 1800000001L * us, Some(8.0)),        // one µs past: ev1 falls out
+      (5L, 1L, Option.empty[Long].getOrElse(-1L), Option.empty[Double]) // null value rides
+    ).toDF("event_id", "user_id", "ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Queries.q74RollingWindow(spark, dir)
+      .select($"event_id", $"rolling_milli_30m", $"n_events_30m")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Long]), r.getLong(2)))).toMap
+    assert(out(1L)._1.contains(1000L))
+    // ev2 and ev3 TRUNCATE to the same µs → identical frames covering
+    // ev1, ev5(null vm), ev2, ev3 — the µs-domain semantics the gate
+    // oracle measures
+    assert(out(2L) == ((Some(7000L), 4L)))
+    assert(out(3L) == ((Some(7000L), 4L)))
+    assert(out(4L) == ((Some(14000L), 3L))) // ev1 and ev5 out, evs 2-4 in
+  }
 }
