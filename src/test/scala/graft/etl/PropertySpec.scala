@@ -160,4 +160,45 @@ class PropertySpec extends SparkSpec {
         }
     }
   }
+
+  test("intervalJoin equals the naive theta join on random fixtures across widths") {
+    // random points and intervals spanning negatives and zero-length
+    // intervals; every width must reproduce the exact theta-join pairs
+    val pts = Seq.tabulate(300)(i => (i.toLong, rnd.nextLong() % 10000L))
+      .toDF("pid", "pt")
+    val ivs = Seq.tabulate(120) { i =>
+      val lo = rnd.nextLong() % 10000L
+      (1000L + i, lo, lo + rnd.nextInt(800).toLong)
+    }.toDF("iid", "lo", "hi")
+    val naive = pts.join(ivs, $"pt" >= $"lo" && $"pt" <= $"hi")
+      .select($"iid", $"pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive.nonEmpty, "fixture produced no pairs")
+    for (w <- Seq(1L, 7L, 100L, 799L, 100000L)) {
+      val got = graft.ops.ScaleOps.intervalJoin(pts, ivs, "pt", "lo", "hi", w)
+        .select($"iid", $"pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == naive, s"width $w: ${(naive -- got).take(3)} missing, " +
+        s"${(got -- naive).take(3)} extra")
+    }
+  }
+
+  test("zValueN bijectivity and prefix-locality on random coordinates") {
+    val dims = 3; val bits = 5
+    val coords = Seq.fill(400)((rnd.nextInt(32).toLong, rnd.nextInt(32).toLong,
+      rnd.nextInt(32).toLong)).distinct
+    val z = coords.toDF("a", "b", "c")
+      .select($"a", $"b", $"c",
+        graft.ops.ZOrder.zValueN(Seq($"a", $"b", $"c"), bits).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    // injective over distinct coordinates, bounded to dims*bits bits
+    assert(z.values.toSet.size == coords.size)
+    assert(z.values.forall(v => v >= 0 && v < (1L << (dims * bits))))
+    // locality: equal high halves of every coordinate ⇒ equal z prefix
+    val half = bits / 2 + 1
+    z.keys.toSeq.combinations(2).take(2000).foreach { case Seq(p, q) =>
+      val sameHigh = Seq(p._1 ^ q._1, p._2 ^ q._2, p._3 ^ q._3)
+        .forall(x => (x >> (bits - half)) == 0)
+      if (sameHigh)
+        assert((z(p) >> (dims * (bits - half))) == (z(q) >> (dims * (bits - half))))
+    }
+  }
 }
