@@ -54,6 +54,25 @@ object Cms {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Group-wise registers: one CMS per `groupCol` value — per-group
+    * token frequencies with the exchange bounded by
+    * |groups|·Depth·Width rows per partition (Hll.registersBy's
+    * treatment applied to the counting sketch). Same-group registers
+    * merge across shards by SUM. */
+  def tokenRegistersBy(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val toks = df.repartition(parts)
+      .select(col(groupCol).as("grp"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .select(col("grp"), TextFunctions.polyHash(col("tok"), 1L << 31).as("th"))
+    val buckets = array(params.map { case (a, b) =>
+      shiftrightunsigned((lit(a) * col("th") + lit(b)) % Mod40, BucketShift)
+    }: _*)
+    toks.select(col("grp"), posexplode(buckets).as(Seq("depth_row", "bucket")))
+      .groupBy(col("grp"), col("depth_row"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Driver-side polyHash — delegates to PolyHash's own JVM evaluator
     * so the fold walks Unicode CODE POINTS exactly like the Spark-side
     * expression (a UTF-16 char fold would diverge on supplementary-

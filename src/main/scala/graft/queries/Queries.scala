@@ -1028,6 +1028,13 @@ object Queries {
         count(lit(1)).over(w).as("n_events_30m"))
   }
 
+  /** Group-wise CMS registers through the gate: one token-frequency
+    * sketch per source, verified register by register (q70's per-group
+    * treatment applied to the counting sketch). */
+  def q75CmsBySource(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.Cms.tokenRegistersBy(
+      tbl(spark, dir, "documents"), "source", "text")
+
   /** Retention cohort matrix through the gate: users grouped by their
     * first-activity week, distinct-user counts per (cohort week, week
     * offset) — the product-analytics staple over the events table. Weeks
@@ -1293,6 +1300,25 @@ object Queries {
        |  FROM events WHERE ts IS NOT NULL) t
        |WINDOW w AS (PARTITION BY user_id ORDER BY tus
        |  RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** q75 oracle: the q61 register replay carried per source. */
+  private lazy val q75Oracle: String = {
+    val mod40 = 1L << 40
+    val div = 1L << graft.functions.Cms.BucketShift
+    val rows = graft.dedup.Dedup.hashParamsPublic(graft.functions.Cms.Depth)
+      .zipWithIndex.map { case ((a, b), i) =>
+        s"SELECT grp, $i AS depth_row, (($a * th + $b) % $mod40) // $div AS bucket FROM h"
+      }.mkString("\n  UNION ALL ")
+    s"""WITH t AS (
+       |  SELECT source AS grp,
+       |    unnest(list_filter(string_split(lower(trim(text)), ' '), x -> x != '')) AS tok
+       |  FROM documents),
+       |h AS (SELECT grp, ${duckPolyHash("tok", 1L << 31)} AS th FROM t),
+       |b AS (
+       |  $rows)
+       |SELECT grp, depth_row, bucket, count(*)::BIGINT AS cnt
+       |FROM b GROUP BY grp, depth_row, bucket""".stripMargin
+  }
 
   /** q65 oracle: the Bloom set bits — 31-bit text hash, K affine
     * transforms taking the top 12 bits, DISTINCT — replayed with one
@@ -2008,7 +2034,8 @@ object Queries {
     "q71_train_split" -> (q71TrainSplit _),
     "q72_cell_neardup" -> (q72CellNearDup _),
     "q73_bigram_surprisal" -> (q73BigramSurprisal _),
-    "q74_rolling_window" -> (q74RollingWindow _))
+    "q74_rolling_window" -> (q74RollingWindow _),
+    "q75_cms_by_source" -> (q75CmsBySource _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2202,6 +2229,7 @@ object Queries {
     "q72_cell_neardup" -> q72Oracle,
     "q73_bigram_surprisal" -> q73Oracle,
     "q74_rolling_window" -> q74Oracle,
+    "q75_cms_by_source" -> q75Oracle,
     "q68_interval_join" ->
       """WITH c AS (
         |  SELECT event_id AS click_id, epoch_us(ts) AS cus FROM events

@@ -43,6 +43,20 @@ class CmsSpec extends SparkSpec {
     assert(collectRegs(merged) == collectRegs(whole))
   }
 
+  test("group-wise registers equal per-group solo sketches") {
+    val docs = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "documents")
+    val byGroup = Cms.tokenRegistersBy(docs, "source", "text").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).view
+      .mapValues(_.map(t => ((t._2, t._3), t._4)).toMap).toMap
+    val groups = docs.select($"source").distinct().as[String].collect()
+    assert(byGroup.keySet == groups.toSet)
+    groups.foreach { g =>
+      val solo = collectRegs(Cms.tokenRegisters(docs.where($"source" === g), "text"))
+      assert(byGroup(g) == solo, s"group $g registers diverge from a solo sketch")
+    }
+  }
+
   test("absent token estimates are bounded (zero when its buckets are empty)") {
     val tiny = Seq((1L, "alpha beta alpha")).toDF("doc_id", "text")
     val regs = collectRegs(Cms.tokenRegisters(tiny, "text"))
