@@ -44,6 +44,17 @@ class QuantizeSpec extends SparkSpec {
     assert(quant == exact)
   }
 
+  test("quantizedTopK edges: rerank=k returns exactly k rows per query; rerank<k rejected") {
+    val emb = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.where($"vec_id" < 3)
+    val out = Quantize.quantizedTopK(queries, emb, "vec_id", "embedding", 5, 5)
+    val perQuery = out.groupBy($"query_id").count().collect().map(_.getLong(1))
+    assert(perQuery.length == 3 && perQuery.forall(_ == 5L))
+    intercept[IllegalArgumentException] {
+      Quantize.quantizedTopK(queries, emb, "vec_id", "embedding", 10, 5)
+    }
+  }
+
   test("quantizedTopK recall@10 vs brute force at rerank=4k") {
     val emb = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = emb.where($"vec_id" < 10)

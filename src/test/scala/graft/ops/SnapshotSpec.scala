@@ -41,6 +41,18 @@ class SnapshotSpec extends SparkSpec {
     assert(out == Map(1L -> "unchanged", 2L -> "changed"))
   }
 
+  test("empty snapshots: everything added / everything removed / empty diff") {
+    val docs = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val empty = docs.where(lit(false))
+    val allAdded = Snapshot.diff(empty, docs, "doc_id", "text")
+      .select($"status").distinct().collect().map(_.getString(0)).toSet
+    assert(allAdded == Set("added"))
+    val allRemoved = Snapshot.diff(docs, empty, "doc_id", "text")
+      .select($"status").distinct().collect().map(_.getString(0)).toSet
+    assert(allRemoved == Set("removed"))
+    assert(Snapshot.diff(empty, empty, "doc_id", "text").count() == 0)
+  }
+
   test("diffSummary counts cover the id union and match the detail frame") {
     val docs = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "documents")
     val oldSnap = docs.where(pmod($"doc_id", lit(5)) =!= 0)
