@@ -240,6 +240,10 @@ object Ann {
     * and row_number short-circuits nothing downstream of the cap. */
   def diversitySample(cells: DataFrame, maxPerCell: Int): DataFrame = {
     require(maxPerCell > 0, s"maxPerCell must be positive: $maxPerCell")
+    // '__h'/'drn' are internal staging names; an input column by either
+    // name would be silently shadowed (reserved-name discipline)
+    require(!cells.columns.contains("__h") && !cells.columns.contains("drn"),
+      "diversitySample: '__h' and 'drn' are reserved column names")
     val ord = graft.functions.Mix48.mix48(
       graft.text.TextFunctions.polyHash(col("id").cast("string"), 1L << 48))
     val w = Window.partitionBy(col("cell")).orderBy(col("__h").asc, col("id").asc)

@@ -430,8 +430,14 @@ object Dedup {
     * [[minhashNearDupPairs]]. `focusCol` must be BOOLEAN. */
   def minhashNearDupPairsFocused(df: DataFrame, idCol: String, textCol: String,
       focusCol: String, threshold: Double,
-      cfg: MinHashConfig = MinHashConfig()): DataFrame =
+      cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    // fail fast on the documented contract — a non-boolean column would
+    // otherwise surface as a confusing cast error deep in the band-join plan
+    val dt = df.schema(focusCol).dataType
+    require(dt == org.apache.spark.sql.types.BooleanType,
+      s"minhashNearDupPairsFocused: focusCol '$focusCol' must be BOOLEAN, got $dt")
     minhashNearDupPairsImpl(df, idCol, textCol, threshold, cfg, Some(focusCol))
+  }
 
   private def minhashNearDupPairsImpl(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, cfg: MinHashConfig, focusCol: Option[String]): DataFrame = {

@@ -347,6 +347,10 @@ object ScaleOps {
     require(overlap.isEmpty, s"column names must be disjoint, overlap: $overlap")
     require(!points.columns.contains("__b") && !intervals.columns.contains("__b"),
       "'__b' is reserved by intervalJoin")
+    // bkt() interpolates these names into expr() under backtick quoting;
+    // a backtick in the name would break out of the quoting
+    for (c <- Seq(pointCol, loCol, hiCol))
+      require(!c.contains("`"), s"intervalJoin: column name must not contain a backtick: '$c'")
     // INTEGER floor division ((c − pmod) is an exact multiple, so `div`'s
     // truncation IS floor, negatives included). A double `/` here loses
     // bits above 2^53 — epoch nanos would round buckets off-by-one and

@@ -31,8 +31,16 @@ object Snapshot {
     * changed | unchanged. */
   def diff(oldSnap: DataFrame, newSnap: DataFrame,
       idCol: String, textCol: String): DataFrame = {
+    // A NULL (or non-castable) id would become a null join key that never
+    // matches across the full outer join, double-reporting one document as
+    // added+removed — fail loudly instead (deterministicSplit's guard).
+    // Id uniqueness per snapshot is the documented contract; duplicates
+    // fan the join out multiplicatively.
     def keyed(df: DataFrame, side: String) =
-      df.select(col(idCol).cast("long").as("doc_id"),
+      df.select(
+        when(col(idCol).cast("long").isNull,
+          raise_error(lit(s"Snapshot.diff: NULL or non-numeric id in '$idCol'")))
+          .otherwise(col(idCol).cast("long")).as("doc_id"),
         TextFunctions.fingerprint(col(textCol)).as(s"${side}_fp"),
         TextFunctions.normalizedLength(col(textCol)).as(s"${side}_nl"),
         lit(1).as(s"${side}_p"))

@@ -48,7 +48,14 @@ object Queries {
     * locale (reference analog: datetime columns,
     * clinicaltrials_extractor.py:211-215). */
   def eventsTyped(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // Assert, don't set: a reader function must not mutate session state
+    // as a side effect. Entry points (Bench/Verify/specs) pin UTC in the
+    // builder; anything else is a caller bug surfaced here.
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC",
+      s"eventsTyped requires spark.sql.session.timeZone=UTC (got '$tz'); " +
+        "set it in the SparkSession builder — instant->wall-clock casts are " +
+        "nondeterministic across cluster locales otherwise")
     tbl(spark, dir, "events").withColumn("ts_t",
       timestamp_micros(expr("ts div 1000"))
         .cast(org.apache.spark.sql.types.TimestampNTZType))
@@ -912,7 +919,12 @@ object Queries {
     * staple, as three conditional-min aggregations (never a per-user
     * event sort). */
   def q66Funnel(spark: SparkSession, dir: String): DataFrame = {
-    val ev = tbl(spark, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+    // µs domain on both sides (ts div 1000 here, epoch_us in the oracle):
+    // DuckDB truncates the nano timestamps to µs, so nano-domain "strictly
+    // after" would disagree with the oracle whenever two funnel events of
+    // a user share a microsecond — same discipline as q64/q68/q74.
+    val ev = tbl(spark, dir, "events").select(col("user_id"), col("event_type"),
+      expr("ts div 1000").as("ts"))
     val c = ev.where(col("event_type") === "click")
       .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
     val v = ev.where(col("event_type") === "view")
@@ -2242,17 +2254,17 @@ object Queries {
         |FROM p JOIN c ON c.cus >= p.lo AND c.cus <= p.hi""".stripMargin,
     "q66_funnel" ->
       """WITH c AS (
-        |  SELECT user_id, min(epoch_ns(ts)) AS t1 FROM events
+        |  SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
         |  WHERE event_type = 'click' GROUP BY user_id),
         |v AS (
-        |  SELECT e.user_id, min(epoch_ns(e.ts)) AS t2
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t2
         |  FROM events e JOIN c USING (user_id)
-        |  WHERE e.event_type = 'view' AND epoch_ns(e.ts) > c.t1
+        |  WHERE e.event_type = 'view' AND epoch_us(e.ts) > c.t1
         |  GROUP BY e.user_id),
         |p AS (
-        |  SELECT e.user_id, min(epoch_ns(e.ts)) AS t3
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t3
         |  FROM events e JOIN v USING (user_id)
-        |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > v.t2
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > v.t2
         |  GROUP BY e.user_id)
         |SELECT (SELECT count(*) FROM c)::BIGINT AS n_click,
         |  (SELECT count(*) FROM v)::BIGINT AS n_click_view,
