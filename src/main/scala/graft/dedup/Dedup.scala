@@ -643,4 +643,85 @@ object Dedup {
     inter.select(col("id_a"), col("id_b"), col("hamming_dist"))
       .unionByName(intra)
   }
+
+  // ---- span-level (substring) dedup ---------------------------------
+
+  /** Duplicated-span extents — the Lee-et-al-style substring dedup pass
+    * (Deduplicating Training Data Makes Language Models Better, 2022):
+    * for each document, the maximal token ranges covered by
+    * `spanTokens`-token windows whose fingerprint occurs in at least
+    * `minDf` distinct documents. Where the document-level family
+    * (exact / Jaccard / MinHash / SimHash) drops whole documents, this
+    * finds the REGIONS that are corpus-repeated — licenses, navigation
+    * chrome, boilerplate headers — so a curation pass can excise the
+    * span and keep the unique remainder.
+    *
+    * Mechanics: every `spanTokens`-token window gets the 40-bit
+    * [[graft.functions.ShingleFps]] fingerprint (one fused codegen loop
+    * per row); a window is *duplicated* when its fingerprint appears in
+    * ≥ `minDf` distinct documents; per document, duplicated window
+    * starts closer than `spanTokens` (overlapping or exactly adjacent
+    * spans) merge into one extent via gaps-and-islands. Documents
+    * shorter than `spanTokens` tokens cannot contain a qualifying span
+    * and are absent from the output.
+    *
+    * Output: (id, span_start, span_end, span_tokens, n_dup_shingles),
+    * token positions 1-based inclusive; one row per maximal extent.
+    *
+    * Scale shape: postings are (id, pos, fp) longs — text never rides
+    * an exchange. One document-frequency hash agg (map-side combined;
+    * the 40-bit fp key is near-unique so the agg has no hot key), a
+    * LEFT SEMI join of postings against the duplicated-fp set (hot
+    * corpus-wide fps are build-side rows probed with bounded per-row
+    * work, the boilerplateCoverage discipline), then one per-document
+    * window — state bounded by the document's own hit count. At 100 TB
+    * the df agg and semi join shuffle |postings| ≈ |tokens| rows of
+    * three longs each; nothing is quadratic and nothing is collected. */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int, minDf: Long = 2L): DataFrame = {
+    require(spanTokens >= 2, s"spanTokens must be >= 2: $spanTokens")
+    require(minDf >= 2, s"minDf must be >= 2 (a span is duplicated across documents): $minDf")
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    // ShingleFps emits one whole-doc fingerprint for 0 < n < k; such a
+    // fingerprint is a different-degree polynomial fold and must not be
+    // compared against true k-window fingerprints — filter short docs out
+    // BEFORE shingling (they cannot contain a spanTokens-token span).
+    val staged = df
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= spanTokens)
+      .select(col("id"),
+        graft.functions.ShingleFps.shingleFps(col("toks"), spanTokens).as("fps"))
+    val inst = staged
+      .select(col("id"), posexplode(col("fps")).as(Seq("p0", "fp")))
+      .select(col("id"), (col("p0") + 1).cast("long").as("pos"), col("fp"))
+      // partition by id, not round-robin: splits single-partition
+      // small-file scans like the usual repartition(parts), AND the
+      // downstream per-document window reuses the hash distribution —
+      // the postings shuffle once, not twice (the df-agg branch
+      // re-shuffles on fp regardless)
+      .repartition(parts, col("id"))
+    val dupFps = inst.groupBy(col("fp"))
+      .agg(countDistinct(col("id")).as("ndocs"))
+      .where(col("ndocs") >= minDf)
+      .select(col("fp"))
+    val hits = inst.join(dupFps, Seq("fp"), "left_semi")
+      .select(col("id"), col("pos"))
+    // gaps-and-islands: a new extent starts when this duplicated window
+    // begins more than spanTokens after the previous one (strictly —
+    // start distance == spanTokens means the spans touch end-to-start)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    hits
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) > spanTokens, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (spanTokens - 1).toLong).as("span_end"),
+        count(lit(1)).as("n_dup_shingles"))
+      .select(col("id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_tokens"),
+        col("n_dup_shingles"))
+  }
 }

@@ -1047,6 +1047,16 @@ object Queries {
     graft.functions.Cms.tokenRegistersBy(
       tbl(spark, dir, "documents"), "source", "text")
 
+  /** Span-level (substring) dedup through the gate: maximal duplicated
+    * 5-token-window extents per document — fingerprint posting lists →
+    * df ≥ 2 duplicated-window set → per-document gaps-and-islands merge
+    * (the Lee-et-al substring-dedup shape; candidates by fp equi-join,
+    * never all-pairs). */
+  def q76DupSpans(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.duplicatedSpans(
+        tbl(spark, dir, "documents"), "doc_id", "text", spanTokens = 5, minDf = 2L)
+      .withColumnRenamed("id", "doc_id")
+
   /** Retention cohort matrix through the gate: users grouped by their
     * first-activity week, distinct-user counts per (cohort week, week
     * offset) — the product-analytics staple over the events table. Weeks
@@ -1880,6 +1890,45 @@ object Queries {
        |FROM f LEFT JOIN hits h ON f.doc_id = h.doc_id""".stripMargin
   }
 
+  /** q76 oracle: span-level dedup — q57's shingle-fingerprint replay at
+    * width 5, the df ≥ 2 duplicated-window set, then the
+    * gaps-and-islands extent merge in plain window SQL. */
+  private lazy val q76Oracle: String = {
+    def fold(win: String) =
+      s"list_reduce(list_prepend(0::BIGINT, $win), (acc, h) -> (acc * 1000003 + h) % $Mod40)"
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), t -> t != '') AS ts
+       |  FROM documents),
+       |th AS (
+       |  SELECT doc_id, list_transform(ts, tok -> ${duckPolyHash("tok", 1L << 31)}) AS th
+       |  FROM toks WHERE len(ts) >= 5),
+       |f AS (
+       |  SELECT doc_id, list_transform(range(1, len(th) - 3), i -> ${fold("th[i:i+4]")}) AS fps
+       |  FROM th),
+       |inst AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(fps) + 1),
+       |    i -> {'pos': i, 'fp': fps[i]})) AS u
+       |  FROM f),
+       |i2 AS (SELECT doc_id, u.pos::BIGINT AS pos, u.fp AS fp FROM inst),
+       |dup AS (
+       |  SELECT fp FROM (SELECT fp, count(DISTINCT doc_id) AS d FROM i2 GROUP BY fp) t
+       |  WHERE d >= 2),
+       |h AS (SELECT doc_id, pos FROM i2 JOIN dup USING (fp)),
+       |b AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM h),
+       |isl AS (
+       |  SELECT doc_id, pos, sum(brk) OVER (
+       |    PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM b)
+       |SELECT doc_id, min(pos)::BIGINT AS span_start, (max(pos) + 4)::BIGINT AS span_end,
+       |  (max(pos) + 4 - min(pos) + 1)::BIGINT AS span_tokens,
+       |  count(*)::BIGINT AS n_dup_shingles
+       |FROM isl GROUP BY doc_id, island""".stripMargin
+  }
+
   /** q46 oracle: poly hash → scalar avalanche chain (lateral aliases) →
     * bucket/rho → max per bucket. DISTINCT first is an oracle-side
     * shortcut only — duplicates collapse in the max either way. */
@@ -2047,7 +2096,8 @@ object Queries {
     "q72_cell_neardup" -> (q72CellNearDup _),
     "q73_bigram_surprisal" -> (q73BigramSurprisal _),
     "q74_rolling_window" -> (q74RollingWindow _),
-    "q75_cms_by_source" -> (q75CmsBySource _))
+    "q75_cms_by_source" -> (q75CmsBySource _),
+    "q76_dup_spans" -> (q76DupSpans _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2242,6 +2292,7 @@ object Queries {
     "q73_bigram_surprisal" -> q73Oracle,
     "q74_rolling_window" -> q74Oracle,
     "q75_cms_by_source" -> q75Oracle,
+    "q76_dup_spans" -> q76Oracle,
     "q68_interval_join" ->
       """WITH c AS (
         |  SELECT event_id AS click_id, epoch_us(ts) AS cus FROM events

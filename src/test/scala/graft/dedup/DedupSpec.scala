@@ -142,4 +142,53 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(blocked == byComp.toMap)
   }
+
+  test("duplicated spans: planted cross-doc extents — gap split, adjacency merge, short-doc exclusion") {
+    val spanDocs = Seq(
+      // 10/11 share an 8-token prefix: k=4 windows at pos 1..5 are all
+      // duplicated, pos 6 straddles the divergence -> one extent [1,8]
+      (10L, "alpha beta gamma delta epsilon zeta eta theta u10a u10b"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta v11a v11b"),
+      // 12/13 share two 4-token phrases separated by unique filler on
+      // both sides -> two extents per doc, at different positions
+      (12L, "red orange yellow green u12a u12b u12c u12d u12e one two three four"),
+      (13L, "one two three four x13a x13b x13c x13d red orange yellow green"),
+      // 3 tokens < spanTokens: cannot contain a 4-token span; its
+      // whole-doc fingerprint must NOT be compared against real windows
+      (14L, "red orange yellow"),
+      // fully unique: absent from output
+      (15L, "w15a w15b w15c w15d w15e w15f"),
+      // 16 = phrase A ++ phrase B contiguous; A dups with 17, B with 18.
+      // Duplicated window starts 1 and 5 are exactly spanTokens apart
+      // (spans touch end-to-start) -> ONE merged extent [1,8]
+      (16L, "lorem ipsum dolor sit amet consectetur adipiscing elit"),
+      (17L, "lorem ipsum dolor sit p17a p17b p17c p17d"),
+      (18L, "q18a q18b q18c q18d amet consectetur adipiscing elit")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(spanDocs, "doc_id", "text", spanTokens = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(out == Set(
+      (10L, 1L, 8L, 8L, 5L), (11L, 1L, 8L, 8L, 5L),
+      (12L, 1L, 4L, 4L, 1L), (12L, 10L, 13L, 4L, 1L),
+      (13L, 1L, 4L, 4L, 1L), (13L, 9L, 12L, 4L, 1L),
+      (16L, 1L, 8L, 8L, 2L),
+      (17L, 1L, 4L, 4L, 1L), (18L, 5L, 8L, 4L, 1L)))
+  }
+
+  test("duplicated spans: extents stay in-bounds and >= spanTokens on the real corpus") {
+    val real = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "documents")
+    val k = 5
+    val spans = Dedup.duplicatedSpans(real, "doc_id", "text", spanTokens = k)
+      .withColumnRenamed("id", "doc_id")
+    val nToks = real.select($"doc_id",
+      size(graft.text.TextFunctions.tokens($"text")).cast("long").as("n"))
+    val bad = spans.join(nToks, "doc_id")
+      .where($"span_start" < 1 || $"span_end" > $"n" ||
+        $"span_tokens" =!= ($"span_end" - $"span_start" + 1L) ||
+        $"span_tokens" < k)
+    assert(bad.count() == 0)
+    assert(spans.count() > 0) // sf0.001 documents do share spans
+  }
 }
