@@ -106,6 +106,196 @@ object Multimodal {
   def resizeStub(media: DataFrame, w: Int, h: Int): DataFrame =
     media.withColumn("width", lit(w)).withColumn("height", lit(h))
 
+  // ---- real image header decode (public formats: PNG, JPEG) ---------
+
+  /** Parsed image header. `bit_depth` is PNG bit depth / JPEG sample
+    * precision; `channels` is PNG color-type channel count / JPEG
+    * component count. */
+  final case class ImageHeader(
+      media_id: Long,
+      format: String, // "png" | "jpeg" | "unknown"
+      width: Int,
+      height: Int,
+      bit_depth: Int,
+      channels: Int,
+      n_bytes: Long)
+
+  private val PngSig: Array[Int] =
+    Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+
+  /** REAL decode of a PNG header (public spec, RFC 2083 §4.1.1): 8-byte
+    * signature, then the IHDR chunk (length 13, type "IHDR") carrying
+    * big-endian width/height, bit depth, and color type. Channel count
+    * derives from color type (0 gray=1, 2 rgb=3, 3 palette=1, 4
+    * gray+alpha=2, 6 rgba=4). CRC is not validated — dimension metadata
+    * extraction, not integrity checking. */
+  def parsePngHeader(b: Array[Byte]): Option[(String, Int, Int, Int, Int)] = {
+    if (b == null || b.length < 33) return None
+    var i = 0
+    while (i < 8) { if ((b(i) & 0xff) != PngSig(i)) return None; i += 1 }
+    if (be32(b, 8) != 13) return None // IHDR is always first, always 13 bytes
+    if (b(12) != 'I' || b(13) != 'H' || b(14) != 'D' || b(15) != 'R') return None
+    val w = be32(b, 16)
+    val h = be32(b, 20)
+    if (w <= 0 || h <= 0) return None
+    val depth = b(24) & 0xff
+    val channels = (b(25) & 0xff) match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      case _ => return None
+    }
+    Some(("png", w, h, depth, channels))
+  }
+
+  /** REAL decode of a JPEG header (public spec, ITU T.81 §B): SOI, then
+    * marker segments walked by their big-endian lengths until a start-of-
+    * frame marker (SOF0 baseline / SOF1 extended / SOF2 progressive)
+    * yields sample precision, height, width, and component count.
+    * Standalone markers (TEM, RSTn) have no length and are skipped;
+    * hitting SOS or EOI without a SOF means no decodable frame header. */
+  def parseJpegHeader(b: Array[Byte]): Option[(String, Int, Int, Int, Int)] = {
+    if (b == null || b.length < 4) return None
+    if ((b(0) & 0xff) != 0xFF || (b(1) & 0xff) != 0xD8) return None
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xff) != 0xFF) return None // marker misalignment
+      var j = i + 1
+      while (j < b.length && (b(j) & 0xff) == 0xFF) j += 1 // fill bytes
+      if (j >= b.length) return None
+      val marker = b(j) & 0xff
+      if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD7)) {
+        i = j + 1 // standalone marker: no length field
+      } else if (marker == 0xD9 || marker == 0xDA) {
+        return None // EOI / SOS before any SOF
+      } else {
+        if (j + 2 >= b.length) return None
+        val segLen = be16(b, j + 1)
+        if (segLen < 2) return None
+        if (marker == 0xC0 || marker == 0xC1 || marker == 0xC2) {
+          if (j + 8 >= b.length) return None
+          val precision = b(j + 3) & 0xff
+          val h = be16(b, j + 4)
+          val w = be16(b, j + 6)
+          val comps = b(j + 8) & 0xff
+          if (w <= 0 || h <= 0 || comps <= 0) return None
+          return Some(("jpeg", w, h, precision, comps))
+        }
+        i = j + 1 + segLen
+      }
+    }
+    None
+  }
+
+  /** Parse an image payload's header: PNG, then JPEG, else unknown. */
+  def parseImageHeader(b: Array[Byte]): Option[(String, Int, Int, Int, Int)] = {
+    val p = parsePngHeader(b)
+    if (p.isDefined) p else parseJpegHeader(b)
+  }
+
+  /** Batched header decode over a binary media frame — the REAL
+    * replacement for the dimension half of [[decodeFeaturesStub]]: same
+    * plan shape (repartition by id, per-partition narrow map), but the
+    * width/height/depth/channels come from actually parsing the payload
+    * bytes. Unparseable payloads yield format="unknown" with zeroed
+    * dimensions (kept, not dropped — a curation gate wants to count
+    * them). */
+  def decodeImageHeaders(media: DataFrame, partitions: Int = 0): Dataset[ImageHeader] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val parts = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    media.select("media_id", "payload")
+      .repartition(parts, col("media_id"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val n = if (payload == null) 0L else payload.length.toLong
+          parseImageHeader(payload) match {
+            case Some((fmt, w, h, depth, ch)) => ImageHeader(id, fmt, w, h, depth, ch, n)
+            case None => ImageHeader(id, "unknown", 0, 0, 0, 0, n)
+          }
+        }
+      }
+  }
+
+  /** Minimal VALID PNG prefix: signature + IHDR chunk (with real CRC32)
+    * for the given dimensions — 33 bytes. Fixture-synthesis counterpart
+    * of [[parsePngHeader]]. */
+  def pngHeaderBytes(w: Int, h: Int, bitDepth: Int, colorType: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(33)
+    PngSig.foreach(out.write)
+    def w32(v: Int): Unit = {
+      out.write((v >>> 24) & 0xff); out.write((v >>> 16) & 0xff)
+      out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+    }
+    w32(13)
+    val chunk = new java.io.ByteArrayOutputStream(17)
+    "IHDR".foreach(c => chunk.write(c.toInt))
+    def c32(v: Int): Unit = {
+      chunk.write((v >>> 24) & 0xff); chunk.write((v >>> 16) & 0xff)
+      chunk.write((v >>> 8) & 0xff); chunk.write(v & 0xff)
+    }
+    c32(w); c32(h)
+    chunk.write(bitDepth); chunk.write(colorType)
+    chunk.write(0); chunk.write(0); chunk.write(0) // compression/filter/interlace
+    val cb = chunk.toByteArray
+    out.write(cb, 0, cb.length)
+    val crc = new java.util.zip.CRC32
+    crc.update(cb)
+    w32(crc.getValue.toInt)
+    out.toByteArray
+  }
+
+  /** Minimal VALID JPEG prefix: SOI + APP0/JFIF + SOF0 for the given
+    * dimensions — 39 bytes. The APP0 segment before the SOF exercises
+    * the parser's segment walk. */
+  def jpegHeaderBytes(w: Int, h: Int, precision: Int = 8, comps: Int = 3): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(39)
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v >>> 8); w8(v) }
+    w8(0xFF); w8(0xD8) // SOI
+    w8(0xFF); w8(0xE0) // APP0
+    w16(16)
+    "JFIF".foreach(c => w8(c.toInt)); w8(0)
+    w8(1); w8(1) // version 1.1
+    w8(0); w16(1); w16(1) // aspect-ratio units, density 1x1
+    w8(0); w8(0) // no thumbnail
+    w8(0xFF); w8(0xC0) // SOF0
+    w16(8 + 3 * comps)
+    w8(precision); w16(h); w16(w); w8(comps)
+    var c = 0
+    while (c < comps) {
+      w8(c + 1); w8(0x11); w8(0) // component id, 1x1 sampling, quant table 0
+      c += 1
+    }
+    out.toByteArray
+  }
+
+  /** Deterministic image corpus with REAL headers, derived from the
+    * documents table: even ids get a valid PNG prefix, odd ids a valid
+    * JPEG prefix (dimensions derived from the id), followed by the
+    * UTF-8 text as opaque body bytes. Lets [[decodeImageHeaders]] be
+    * gated against driver testdata: the engine must parse the bytes it
+    * generated; the oracle replays the id-derived dimensions. */
+  def imageCorpusFromDocuments(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      val w = ((id % 4) * 160 + 320).toInt
+      val h = ((id % 4) * 90 + 180).toInt
+      val body = if (text == null) Array.emptyByteArray else text.getBytes("UTF-8")
+      val header = if (id % 2 == 0) pngHeaderBytes(w, h, 8, 2)
+        else jpegHeaderBytes(w, h)
+      (id, header ++ body)
+    }.toDF("media_id", "payload")
+  }
+
   /** Deterministic fake media corpus derived from the documents table —
     * lets the plumbing be exercised against driver testdata without real
     * codecs: payload bytes are the UTF-8 text, metadata derived from id. */

@@ -501,6 +501,18 @@ object Queries {
         element_at(col("feature"), 1).cast("double").as("f0"))
   }
 
+  /** REAL image-header decode through the gate: a corpus whose payloads
+    * carry valid PNG/JPEG prefixes (dimensions derived from the id) is
+    * parsed byte-for-byte by the engine (PNG IHDR / JPEG SOF segment
+    * walk); the oracle replays the id-derived dimensions, so any parser
+    * misread (endianness, offset, segment skip) hash-fails. Format
+    * goldens with hand-written byte fixtures live in MultimodalSpec. */
+  def q77ImageHeaders(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.imageCorpusFromDocuments(
+      tbl(spark, dir, "documents"))
+    graft.multimodal.Multimodal.decodeImageHeaders(media).toDF()
+  }
+
   /** ROLLUP grouping sets (engine-added; the reference has none).
     * Subtotal rows surface as 'ALL' — unambiguous because the grouping
     * columns are non-null in this data. */
@@ -2097,7 +2109,8 @@ object Queries {
     "q73_bigram_surprisal" -> (q73BigramSurprisal _),
     "q74_rolling_window" -> (q74RollingWindow _),
     "q75_cms_by_source" -> (q75CmsBySource _),
-    "q76_dup_spans" -> (q76DupSpans _))
+    "q76_dup_spans" -> (q76DupSpans _),
+    "q77_image_headers" -> (q77ImageHeaders _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2293,6 +2306,16 @@ object Queries {
     "q74_rolling_window" -> q74Oracle,
     "q75_cms_by_source" -> q75Oracle,
     "q76_dup_spans" -> q76Oracle,
+    "q77_image_headers" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |  ((doc_id % 4) * 160 + 320)::INTEGER AS width,
+        |  ((doc_id % 4) * 90 + 180)::INTEGER AS height,
+        |  8::INTEGER AS bit_depth,
+        |  3::INTEGER AS channels,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 39 END
+        |    + coalesce(octet_length(encode(text)), 0))::BIGINT AS n_bytes
+        |FROM documents""".stripMargin,
     "q68_interval_join" ->
       """WITH c AS (
         |  SELECT event_id AS click_id, epoch_us(ts) AS cus FROM events

@@ -41,4 +41,81 @@ class MultimodalSpec extends SparkSpec {
     assert(r.select(sum(length(col("payload")))).head().getLong(0) ==
       media.select(sum(length(col("payload")))).head().getLong(0))
   }
+
+  test("PNG header parse: hand-written IHDR fixture (RGBA 640x360)") {
+    // independent of pngHeaderBytes — literal spec bytes so a shared
+    // endianness/offset bug in generator+parser can't self-validate
+    val png = Array(
+      0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A, // signature
+      0x00, 0x00, 0x00, 0x0D, // IHDR chunk length 13
+      0x49, 0x48, 0x44, 0x52, // "IHDR"
+      0x00, 0x00, 0x02, 0x80, // width 640 (big-endian)
+      0x00, 0x00, 0x01, 0x68, // height 360
+      0x08, 0x06, // bit depth 8, color type 6 = RGBA -> 4 channels
+      0x00, 0x00, 0x00, // compression, filter, interlace
+      0xDE, 0xAD, 0xBE, 0xEF // CRC (not validated by the parser)
+    ).map(_.toByte)
+    assert(Multimodal.parsePngHeader(png).contains(("png", 640, 360, 8, 4)))
+    assert(Multimodal.parseImageHeader(png).contains(("png", 640, 360, 8, 4)))
+  }
+
+  test("JPEG header parse: hand-written fixture walks APP0+COM to a progressive SOF2") {
+    val jpeg = Array(
+      0xFF, 0xD8, // SOI
+      0xFF, 0xE0, 0x00, 0x04, 0x01, 0x02, // APP0, length 4 (2 payload bytes)
+      0xFF, 0xFE, 0x00, 0x05, 0x61, 0x62, 0x63, // COM "abc", length 5
+      0xFF, 0xC2, 0x00, 0x0B, // SOF2 (progressive), length 11 = 8 + 3*1
+      0x08, // precision 8
+      0x00, 0x07, // height 7
+      0x04, 0x00, // width 1024
+      0x01, // 1 component (grayscale)
+      0x01, 0x11, 0x00 // component spec
+    ).map(_.toByte)
+    assert(Multimodal.parseJpegHeader(jpeg).contains(("jpeg", 1024, 7, 8, 1)))
+    assert(Multimodal.parseImageHeader(jpeg).contains(("jpeg", 1024, 7, 8, 1)))
+  }
+
+  test("header parse rejects malformed payloads") {
+    // signature only, no IHDR
+    assert(Multimodal.parsePngHeader(
+      Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)).isEmpty)
+    // SOS before any SOF: no frame header to decode
+    val sosFirst = Array(0xFF, 0xD8, 0xFF, 0xDA, 0x00, 0x02, 0x00).map(_.toByte)
+    assert(Multimodal.parseJpegHeader(sosFirst).isEmpty)
+    // plain text
+    assert(Multimodal.parseImageHeader("not an image at all".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.parseImageHeader(null).isEmpty)
+    assert(Multimodal.parseImageHeader(Array.emptyByteArray).isEmpty)
+  }
+
+  test("synthesized headers round-trip through the parser, including >16-bit PNG dims") {
+    for ((w, h) <- Seq((1, 1), (320, 180), (65535, 3), (70000, 123456))) {
+      assert(Multimodal.parsePngHeader(Multimodal.pngHeaderBytes(w, h, 8, 2))
+        .contains(("png", w, h, 8, 3)))
+    }
+    for ((w, h) <- Seq((1, 1), (800, 450), (65535, 65535))) {
+      assert(Multimodal.parseJpegHeader(Multimodal.jpegHeaderBytes(w, h))
+        .contains(("jpeg", w, h, 8, 3)))
+    }
+    // PNG color types map to channel counts
+    for ((ct, ch) <- Seq(0 -> 1, 2 -> 3, 3 -> 1, 4 -> 2, 6 -> 4)) {
+      assert(Multimodal.parsePngHeader(Multimodal.pngHeaderBytes(64, 64, 8, ct))
+        .contains(("png", 64, 64, 8, ch)))
+    }
+  }
+
+  test("decodeImageHeaders parses the generated corpus distributively") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "documents")
+    val decoded = Multimodal.decodeImageHeaders(
+      Multimodal.imageCorpusFromDocuments(docs)).toDF()
+    assert(decoded.where(col("format") === "unknown").isEmpty)
+    val bad = decoded.where(
+      col("format") =!= when(pmod(col("media_id"), lit(2)) === 0, "png").otherwise("jpeg") ||
+        col("width") =!= (pmod(col("media_id"), lit(4)) * 160 + 320).cast("int") ||
+        col("height") =!= (pmod(col("media_id"), lit(4)) * 90 + 180).cast("int") ||
+        col("bit_depth") =!= 8 || col("channels") =!= 3)
+    assert(bad.isEmpty)
+    assert(decoded.count() == docs.count())
+  }
 }
