@@ -1,0 +1,80 @@
+package graft.ops
+
+import graft.io.Lake
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-shard export — the last mile of the pretraining path: turn a
+  * packed corpus (ScaleOps.packGreedyContiguous / packTokenStream bin
+  * assignments) into size-bounded shard files a data loader can consume,
+  * plus a manifest row per shard (doc count, token total, member-id
+  * fingerprint) so the loader can plan epochs and an auditor can prove
+  * shard↔manifest consistency without re-reading payloads (reference
+  * analog: the partitioned processed write + summary,
+  * drug_transformer.py:290-308).
+  *
+  * Scale shape: the shard key (pack_bucket, pack_bin) is already the
+  * packing's hash-bucket structure, so `partitionBy` lands one directory
+  * per shard with no extra shuffle beyond the pack itself; the manifest
+  * is one map-side-combined aggregation over the same frame. The
+  * member-id fingerprint is a bit_xor of avalanche-mixed 48-bit id
+  * hashes — order-independent, overflow-free, and reproducible in any
+  * BIGINT engine (the q78 gate replays it in DuckDB), so two exports of
+  * the same corpus prove membership equality by comparing manifests
+  * alone. */
+object ShardExport {
+
+  /** One manifest row per shard of a packed frame:
+    * (pack_bucket, pack_bin, n_docs, n_tokens, ids_fp). */
+  def manifest(packed: DataFrame, keyCol: String, nTokensCol: String): DataFrame = {
+    require(packed.columns.contains("pack_bucket") && packed.columns.contains("pack_bin"),
+      "manifest expects a packed frame (pack_bucket/pack_bin from packGreedyContiguous)")
+    packed
+      .select(col("pack_bucket"), col("pack_bin"),
+        coalesce(col(nTokensCol).cast("long"), lit(0L)).as("__n"),
+        graft.functions.Mix48.mix48(
+          graft.text.TextFunctions.polyHash(col(keyCol).cast("string"), 1L << 48))
+          .as("__idh"))
+      .groupBy(col("pack_bucket"), col("pack_bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__n")).as("n_tokens"),
+        expr("bit_xor(__idh)").as("ids_fp"))
+  }
+
+  /** Pack `df` into `binTokens`-bounded bins across `numBuckets` hash
+    * buckets (greedy no-split — document integrity preserved), write one
+    * shard directory per bin under `outDir/shards/`, and land the
+    * manifest under `outDir/manifest/`. Returns the manifest frame. */
+  def writeShards(df: DataFrame, keyCol: String, nTokensCol: String,
+      binTokens: Long, numBuckets: Int, outDir: String): DataFrame = {
+    val packed = ScaleOps.packGreedyContiguous(df, keyCol, nTokensCol, binTokens, numBuckets)
+    packed.write.mode(SaveMode.Overwrite)
+      .option("compression", "snappy")
+      .partitionBy("pack_bucket", "pack_bin")
+      .parquet(s"$outDir/shards")
+    val m = manifest(packed, keyCol, nTokensCol)
+    Lake.writeParquet(m, s"$outDir/manifest")
+    m
+  }
+
+  /** Audit an exported directory: recompute every shard's aggregates
+    * from the shard files and full-outer-join against the stored
+    * manifest. Returns the mismatch frame — empty iff shards and
+    * manifest agree exactly (missing shard dirs and orphan manifest
+    * rows both surface as rows here). */
+  def verifyShards(spark: SparkSession, outDir: String,
+      keyCol: String, nTokensCol: String): DataFrame = {
+    val shards = Lake.readParquet(spark, s"$outDir/shards")
+      .withColumn("pack_bucket", col("pack_bucket").cast("long"))
+      .withColumn("pack_bin", col("pack_bin").cast("long"))
+    val recomputed = manifest(shards, keyCol, nTokensCol)
+      .withColumnRenamed("n_docs", "got_docs")
+      .withColumnRenamed("n_tokens", "got_tokens")
+      .withColumnRenamed("ids_fp", "got_fp")
+    Lake.readParquet(spark, s"$outDir/manifest")
+      .join(recomputed, Seq("pack_bucket", "pack_bin"), "full_outer")
+      .where(!(col("n_docs") <=> col("got_docs")) ||
+        !(col("n_tokens") <=> col("got_tokens")) ||
+        !(col("ids_fp") <=> col("got_fp")))
+  }
+}

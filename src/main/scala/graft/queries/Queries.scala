@@ -513,6 +513,20 @@ object Queries {
     graft.multimodal.Multimodal.decodeImageHeaders(media).toDF()
   }
 
+  /** Training-shard manifest through the gate: q56's greedy pack rolled
+    * up to one row per shard — doc count, token total, and the
+    * order-independent bit_xor fingerprint of member-id hashes that
+    * proves shard membership without re-reading payloads. The writer
+    * (ShardExport.writeShards) lands exactly this frame beside the
+    * partitioned shard files; the round-trip is spec-verified. */
+  def q78ShardManifest(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.ShardExport.manifest(
+      graft.ops.ScaleOps.packGreedyContiguous(
+        tbl(spark, dir, "documents").select(col("doc_id"),
+          graft.text.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", 256L, numBuckets = 8),
+      "doc_id", "n_tokens")
+
   /** ROLLUP grouping sets (engine-added; the reference has none).
     * Subtotal rows surface as 'ALL' — unambiguous because the grouping
     * columns are non-null in this data. */
@@ -1870,6 +1884,38 @@ object Queries {
        |FROM r""".stripMargin
   }
 
+  /** q78 oracle: q56's recursive-CTE pack replay rolled up per
+    * (bucket, bin) — counts, token sums, and the bit_xor of each
+    * member's avalanche-mixed id hash (re-joined from the mx frame). */
+  private lazy val q78Oracle: String = {
+    val (chain, mixed) = duckMix48Scalar
+    val width = ((1L << 48) + 7) / 8
+    s"""WITH RECURSIVE h0 AS (
+       |  SELECT doc_id,
+       |    len(list_filter(string_split(lower(trim(text)), ' '), x -> x != '')) AS n,
+       |    ${duckPolyHash("CAST(doc_id AS VARCHAR)", 1L << 48)} AS h
+       |  FROM documents),
+       |mx AS (SELECT doc_id, n, h$chain FROM h0),
+       |b AS (
+       |  SELECT doc_id, n, ($mixed // $width) AS bucket,
+       |    row_number() OVER (PARTITION BY ($mixed // $width)
+       |      ORDER BY $mixed, doc_id) AS rn
+       |  FROM mx),
+       |r AS (
+       |  SELECT bucket, rn, doc_id, n, 0::BIGINT AS bin, n AS fill
+       |  FROM b WHERE rn = 1
+       |  UNION ALL
+       |  SELECT b.bucket, b.rn, b.doc_id, b.n,
+       |    CASE WHEN r.fill + b.n <= 256 THEN r.bin ELSE r.bin + 1 END,
+       |    CASE WHEN r.fill + b.n <= 256 THEN r.fill + b.n ELSE b.n END
+       |  FROM b JOIN r ON b.bucket = r.bucket AND b.rn = r.rn + 1)
+       |SELECT r.bucket::BIGINT AS pack_bucket, r.bin::BIGINT AS pack_bin,
+       |  count(*)::BIGINT AS n_docs, sum(r.n)::BIGINT AS n_tokens,
+       |  bit_xor($mixed)::BIGINT AS ids_fp
+       |FROM r JOIN mx ON r.doc_id = mx.doc_id
+       |GROUP BY r.bucket, r.bin""".stripMargin
+  }
+
   /** q57 oracle: the boilerplate-coverage pipeline — token hashes,
     * 40-bit arithmetic shingle fingerprints (q39's fragments), the
     * df ≥ 3 frequent set, and per-document instance coverage in floored
@@ -2110,7 +2156,8 @@ object Queries {
     "q74_rolling_window" -> (q74RollingWindow _),
     "q75_cms_by_source" -> (q75CmsBySource _),
     "q76_dup_spans" -> (q76DupSpans _),
-    "q77_image_headers" -> (q77ImageHeaders _))
+    "q77_image_headers" -> (q77ImageHeaders _),
+    "q78_shard_manifest" -> (q78ShardManifest _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2306,6 +2353,7 @@ object Queries {
     "q74_rolling_window" -> q74Oracle,
     "q75_cms_by_source" -> q75Oracle,
     "q76_dup_spans" -> q76Oracle,
+    "q78_shard_manifest" -> q78Oracle,
     "q77_image_headers" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,

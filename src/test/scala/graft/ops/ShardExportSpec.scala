@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.io.Lake
+import org.apache.spark.sql.functions._
+
+class ShardExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = graft.queries.Queries
+    .tbl(spark, "/root/testdata/sf0.001", "documents")
+    .select($"doc_id",
+      graft.text.TextFunctions.tokenCount($"text").cast("long").as("n_tokens"))
+
+  test("shard export round-trip: manifest matches shard files exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    try {
+      val m = ShardExport.writeShards(corpus, "doc_id", "n_tokens",
+        binTokens = 256L, numBuckets = 8, outDir = dir)
+      // manifest landed and covers every shard directory
+      assert(Lake.exists(spark, s"$dir/manifest"))
+      val stored = Lake.readParquet(spark, s"$dir/manifest")
+      assert(stored.count() == m.count() && stored.count() > 0)
+      // every document landed in exactly one shard
+      val shards = Lake.readParquet(spark, s"$dir/shards")
+      assert(shards.count() == corpus.count())
+      assert(shards.select($"doc_id").distinct().count() == corpus.count())
+      // the audit recomputes per-shard aggregates from the files and
+      // finds no disagreement
+      assert(ShardExport.verifyShards(spark, dir, "doc_id", "n_tokens").isEmpty)
+      // size bound: a shard exceeds binTokens only as a single oversized
+      // document (the documented no-split exception)
+      val oversized = stored.where($"n_tokens" > 256 && $"n_docs" > 1)
+      assert(oversized.isEmpty)
+      // manifest token totals reconcile with the corpus total
+      assert(stored.agg(sum($"n_tokens")).head().getLong(0) ==
+        corpus.agg(sum($"n_tokens")).head().getLong(0))
+    } finally {
+      Lake.delete(spark, dir)
+    }
+  }
+
+  test("shard audit catches a lost shard and a corrupted manifest") {
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    try {
+      ShardExport.writeShards(corpus, "doc_id", "n_tokens",
+        binTokens = 256L, numBuckets = 4, outDir = dir)
+      // delete one shard directory -> its manifest row has no match
+      val firstShard = Lake.list(spark, s"$dir/shards")
+        .filter(_.contains("pack_bucket=")).head
+      val firstBin = Lake.list(spark, firstShard)
+        .filter(_.contains("pack_bin=")).head
+      assert(Lake.delete(spark, firstBin))
+      val bad = ShardExport.verifyShards(spark, dir, "doc_id", "n_tokens")
+      assert(bad.count() >= 1)
+    } finally {
+      Lake.delete(spark, dir)
+    }
+  }
+}
