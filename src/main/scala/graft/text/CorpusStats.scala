@@ -16,11 +16,13 @@ import org.apache.spark.sql.functions._
   * group counts. AQE skew-join does NOT engage here — the df side is
   * derived from the tf side, and (measured on Spark 4.1, SkewSpec) the
   * resulting stage reuse blocks OptimizeSkewedJoin even with forced
-  * thresholds — so the real mitigation is `dfCap`: drop tokens whose
-  * document frequency exceeds the cap before the join. A token in more
-  * than ~half the groups has idf ≤ ln 2 and is never "distinctive", so a
-  * cap around N/2 changes no meaningful ranking while removing the hot
-  * key entirely.
+  * thresholds — so the mitigations are explicit: `dfCap` drops tokens
+  * whose document frequency exceeds the cap before the join (a token in
+  * more than ~half the groups has idf ≤ ln 2 and is never
+  * "distinctive", so a cap around N/2 changes no meaningful ranking
+  * while removing the hot key entirely), and `saltFactor` runs the join
+  * salted (ScaleOps.saltedEquiJoin) for hot tokens that must remain in
+  * the result — result-identical, SkewSpec-pinned.
   *
   * Determinism: the score is `tf · floor(1000·ln(N/df))` — integer once
   * floored, so ranking (score desc, token asc) is total and
@@ -35,9 +37,15 @@ object CorpusStats {
     * Output: (group, rank, term, tf, score). `dfCap`: drop tokens held by
     * more than `dfCap` groups before the join — the hot-key guard (see
     * the class note; capped tokens score at most tf·⌊1000·ln(N/cap)⌋, so
-    * a cap near N only removes never-distinctive stopwords). */
+    * a cap near N only removes never-distinctive stopwords).
+    * `saltFactor`: > 1 runs the tf⋈df join as ScaleOps.saltedEquiJoin —
+    * the hot token's tf rows spread over saltFactor reducers while the
+    * df side replicates (one row per salt). Results are EXACTLY the
+    * plain join's (SkewSpec pins equality); use it when hot tokens must
+    * stay scoreable (a dfCap would drop them) and AQE can't help (stage
+    * reuse blocks OptimizeSkewedJoin on this shape — class note). */
   def tfIdfTopTerms(df: DataFrame, textCol: String, groupCol: String,
-      k: Int, dfCap: Option[Long] = None): DataFrame = {
+      k: Int, dfCap: Option[Long] = None, saltFactor: Int = 1): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val toks = df.select(col(groupCol).as("grp"),
         explode(TextFunctions.tokens(col(textCol))).as("tok"))
@@ -46,7 +54,10 @@ object CorpusStats {
     val dfreqAll = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val dfreq = dfCap.map(c => dfreqAll.where(col("df") <= c)).getOrElse(dfreqAll)
     val n = df.select(countDistinct(col(groupCol)).as("n"))
-    val scored = tf.join(dfreq, "tok").crossJoin(broadcast(n))
+    val joined =
+      if (saltFactor > 1) graft.ops.ScaleOps.saltedEquiJoin(tf, dfreq, "tok", saltFactor)
+      else tf.join(dfreq, "tok")
+    val scored = joined.crossJoin(broadcast(n))
       .select(col("grp"), col("tok"), col("tf"),
         (col("tf") * floor(lit(1000.0) * log(col("n").cast("double") / col("df")))
           .cast("long")).as("score"))
@@ -76,16 +87,21 @@ object CorpusStats {
     * inherits CorpusStats' hot-token caveat — and because the counts
     * derive from the postings, AQE skew-join is structurally blocked
     * here too (see the class note); ultra-common tokens can't be capped
-    * away (their low surprisal IS signal), so at extreme scale the top
-    * of the Zipf head would broadcast-join separately from the tail. */
-  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * away (their low surprisal IS signal), so `saltFactor > 1` spreads
+    * the Zipf head over saltFactor reducers via the salted join
+    * (result-identical; SkewSpec pins equality). */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String,
+      saltFactor: Int = 1): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val toks = df.select(col(idCol).as("id"),
         explode(TextFunctions.tokens(col(textCol))).as("tok"))
       .repartition(parts)
     val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val total = counts.agg(sum(col("c")).as("total"))
-    toks.join(counts, "tok").crossJoin(broadcast(total))
+    val joined =
+      if (saltFactor > 1) graft.ops.ScaleOps.saltedEquiJoin(toks, counts, "tok", saltFactor)
+      else toks.join(counts, "tok")
+    joined.crossJoin(broadcast(total))
       .select(col("id"),
         floor(lit(1000.0) * log(col("total").cast("double") / col("c")))
           .cast("long").as("si"))

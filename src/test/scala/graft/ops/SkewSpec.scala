@@ -96,7 +96,28 @@ class SkewSpec extends SparkSpec {
       val top2 = CorpusStats.tfIdfTopTerms(docs, "text", "source", k = 2,
         dfCap = Some(15000L))
       assert(top2.where($"term" === "hot").count() == 0)
+
+      // saltFactor: the tf-df join runs salted — the hot token's rows
+      // spread over 8 (tok, __salt) reducer keys instead of one — and
+      // the result is EXACTLY the plain join's
+      val salted = CorpusStats.tfIdfTopTerms(docs, "text", "source", k = 1,
+        saltFactor = 8)
+      val saltedRows = salted.collect()
+      assert(salted.queryExecution.executedPlan.toString.contains("__salt"),
+        "saltFactor did not route the tf-df join through the salted form")
+      assert(saltedRows.map(_.toString).sorted.toSeq ==
+        rows.map(_.toString).sorted.toSeq,
+        "salted tf-df join changed results")
     }
+  }
+
+  test("unigram surprisal saltFactor: salted postings join is result-identical") {
+    val docs = (0 until 500).map(i => (i.toLong, s"hot hot w$i")).toDF("doc_id", "text")
+    val plain = CorpusStats.unigramSurprisal(docs, "doc_id", "text")
+      .collect().map(_.toString).sorted.toSeq
+    val salted = CorpusStats.unigramSurprisal(docs, "doc_id", "text", saltFactor = 4)
+    assert(salted.queryExecution.executedPlan.toString.contains("__salt"))
+    assert(salted.collect().map(_.toString).sorted.toSeq == plain)
   }
 
   test("inverted-index Jaccard df-cap: hot shingle dropped, equals pre-filtered exact form") {
