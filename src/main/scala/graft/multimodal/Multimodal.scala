@@ -224,6 +224,120 @@ object Multimodal {
       }
   }
 
+  /** Parsed audio header (WAV/RIFF). `n_samples` = data-chunk bytes
+    * over block align (frames, i.e. samples per channel). */
+  final case class AudioHeader(
+      media_id: Long,
+      format: String, // "wav" | "unknown"
+      sample_rate: Int,
+      channels: Int,
+      bits_per_sample: Int,
+      n_samples: Long,
+      n_bytes: Long)
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  private def tag(b: Array[Byte], i: Int, s: String): Boolean =
+    s.indices.forall(k => (b(i + k) & 0xff) == s.charAt(k).toInt)
+
+  /** REAL decode of a WAV header (public spec, RIFF/WAVE): "RIFF" +
+    * size + "WAVE", then chunks walked by their little-endian sizes
+    * (odd sizes pad to even per the RIFF rule) until "fmt " yields
+    * channels/rate/bits and "data" yields the payload size; frames =
+    * data bytes / block align. Non-PCM fmt codes are fine — only the
+    * frame geometry is read. */
+  def parseWavHeader(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    if (b == null || b.length < 44) return None
+    if (!tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int)] = None // (rate, channels, bits)
+    var dataLen: Option[Long] = None
+    while (i + 8 <= b.length && (fmt.isEmpty || dataLen.isEmpty)) {
+      val size = le32(b, i + 4)
+      if (size < 0 || size > Int.MaxValue) return None
+      val body = i + 8
+      if (tag(b, i, "fmt ")) {
+        if (size < 16 || body + 16 > b.length) return None
+        val channels = le16(b, body + 2)
+        val rate = le32(b, body + 4)
+        val bits = le16(b, body + 14)
+        if (channels <= 0 || rate <= 0 || rate > Int.MaxValue || bits <= 0) return None
+        fmt = Some((rate.toInt, channels, bits))
+      } else if (tag(b, i, "data")) {
+        // the data chunk's declared size may exceed the bytes present
+        // (truncated capture) — clamp to what is actually there
+        dataLen = Some(math.min(size, (b.length - body).toLong))
+      }
+      i = body + size.toInt + (size.toInt & 1) // RIFF chunks pad to even
+    }
+    for ((rate, ch, bits) <- fmt; d <- dataLen) yield {
+      val blockAlign = ch * ((bits + 7) / 8)
+      (rate, ch, bits, d / blockAlign)
+    }
+  }
+
+  /** Batched audio header decode — [[decodeImageHeaders]]'s shape for
+    * the WAV path. */
+  def decodeAudioHeaders(media: DataFrame, partitions: Int = 0): Dataset[AudioHeader] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val parts = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    media.select("media_id", "payload")
+      .repartition(parts, col("media_id"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val n = if (payload == null) 0L else payload.length.toLong
+          parseWavHeader(payload) match {
+            case Some((rate, ch, bits, frames)) =>
+              AudioHeader(id, "wav", rate, ch, bits, frames, n)
+            case None => AudioHeader(id, "unknown", 0, 0, 0, 0L, n)
+          }
+        }
+      }
+  }
+
+  /** Minimal VALID 44-byte WAV header for a `dataLen`-byte payload —
+    * fixture-synthesis counterpart of [[parseWavHeader]]. */
+  def wavHeaderBytes(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      dataLen: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(44)
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v); w8(v >>> 8) }
+    def w32(v: Long): Unit = { w8(v.toInt); w8((v >>> 8).toInt); w8((v >>> 16).toInt); w8((v >>> 24).toInt) }
+    def tagW(s: String): Unit = s.foreach(c => w8(c.toInt))
+    val blockAlign = channels * ((bitsPerSample + 7) / 8)
+    tagW("RIFF"); w32(36L + dataLen); tagW("WAVE")
+    tagW("fmt "); w32(16L)
+    w16(1) // PCM
+    w16(channels); w32(sampleRate.toLong)
+    w32(sampleRate.toLong * blockAlign) // byte rate
+    w16(blockAlign); w16(bitsPerSample)
+    tagW("data"); w32(dataLen.toLong)
+    out.toByteArray
+  }
+
+  /** Deterministic audio corpus with REAL WAV headers from the documents
+    * table — [[imageCorpusFromDocuments]]'s pattern for the audio path:
+    * rate/channels derive from the id, the UTF-8 text plays the role of
+    * the sample data. */
+  def audioCorpusFromDocuments(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      val rates = Array(8000, 16000, 22050, 44100)
+      val body = if (text == null) Array.emptyByteArray else text.getBytes("UTF-8")
+      val header = wavHeaderBytes(rates((id % 4).toInt), (id % 2).toInt + 1, 16, body.length)
+      (id, header ++ body)
+    }.toDF("media_id", "payload")
+  }
+
   /** Minimal VALID PNG prefix: signature + IHDR chunk (with real CRC32)
     * for the given dimensions — 33 bytes. Fixture-synthesis counterpart
     * of [[parsePngHeader]]. */

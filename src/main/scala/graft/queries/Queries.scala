@@ -527,6 +527,15 @@ object Queries {
         "doc_id", "n_tokens", 256L, numBuckets = 8),
       "doc_id", "n_tokens")
 
+  /** REAL WAV-header decode through the gate — q77's contract for the
+    * audio path: RIFF chunk walk to fmt/data, frame count from data
+    * bytes over block align; oracle replays the id-derived geometry. */
+  def q79AudioHeaders(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.audioCorpusFromDocuments(
+      tbl(spark, dir, "documents"))
+    graft.multimodal.Multimodal.decodeAudioHeaders(media).toDF()
+  }
+
   /** ROLLUP grouping sets (engine-added; the reference has none).
     * Subtotal rows surface as 'ALL' — unambiguous because the grouping
     * columns are non-null in this data. */
@@ -2157,7 +2166,8 @@ object Queries {
     "q75_cms_by_source" -> (q75CmsBySource _),
     "q76_dup_spans" -> (q76DupSpans _),
     "q77_image_headers" -> (q77ImageHeaders _),
-    "q78_shard_manifest" -> (q78ShardManifest _))
+    "q78_shard_manifest" -> (q78ShardManifest _),
+    "q79_audio_headers" -> (q79AudioHeaders _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2354,6 +2364,15 @@ object Queries {
     "q75_cms_by_source" -> q75Oracle,
     "q76_dup_spans" -> q76Oracle,
     "q78_shard_manifest" -> q78Oracle,
+    "q79_audio_headers" ->
+      """SELECT doc_id AS media_id, 'wav' AS format,
+        |  ([8000, 16000, 22050, 44100])[(doc_id % 4) + 1]::INTEGER AS sample_rate,
+        |  ((doc_id % 2) + 1)::INTEGER AS channels,
+        |  16::INTEGER AS bits_per_sample,
+        |  (coalesce(octet_length(encode(text)), 0)
+        |    // (((doc_id % 2) + 1) * 2))::BIGINT AS n_samples,
+        |  (44 + coalesce(octet_length(encode(text)), 0))::BIGINT AS n_bytes
+        |FROM documents""".stripMargin,
     "q77_image_headers" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,

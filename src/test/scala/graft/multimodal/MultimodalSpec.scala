@@ -104,6 +104,40 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("WAV header parse: hand-written fixture with an extra chunk before fmt") {
+    // "RIFF" + size + "WAVE", a LIST chunk of odd size 3 (pads to 4),
+    // then fmt (stereo 16-bit 8000 Hz, block align 4) and a 10-byte
+    // data chunk -> 2 frames
+    val wav = Array[Int](
+      'R', 'I', 'F', 'F', 0x39, 0, 0, 0, 'W', 'A', 'V', 'E',
+      'L', 'I', 'S', 'T', 0x03, 0, 0, 0, 1, 2, 3, 0, // odd size pads
+      'f', 'm', 't', ' ', 0x10, 0, 0, 0,
+      0x01, 0x00, // PCM
+      0x02, 0x00, // 2 channels
+      0x40, 0x1F, 0x00, 0x00, // 8000 Hz (little-endian)
+      0x00, 0x7D, 0x00, 0x00, // byte rate 32000
+      0x04, 0x00, // block align 4
+      0x10, 0x00, // 16 bits
+      'd', 'a', 't', 'a', 0x0A, 0, 0, 0,
+      9, 9, 9, 9, 9, 9, 9, 9, 9, 9).map(_.toByte)
+    assert(Multimodal.parseWavHeader(wav).contains((8000, 2, 16, 2L)))
+    // truncated data chunk: declared 10 bytes, 6 present -> clamp, 1 frame
+    assert(Multimodal.parseWavHeader(wav.dropRight(4)).contains((8000, 2, 16, 1L)))
+    // not RIFF at all
+    assert(Multimodal.parseWavHeader("RIFFnope".getBytes("UTF-8") ++ wav).isEmpty)
+    assert(Multimodal.parseWavHeader(null).isEmpty)
+  }
+
+  test("synthesized WAV headers round-trip through the parser") {
+    for ((rate, ch, bits, n) <- Seq((16000, 1, 16, 100), (44100, 2, 16, 7),
+        (22050, 1, 8, 0), (8000, 4, 24, 33))) {
+      val payload = Multimodal.wavHeaderBytes(rate, ch, bits, n) ++ Array.fill(n)(1.toByte)
+      val block = ch * ((bits + 7) / 8)
+      assert(Multimodal.parseWavHeader(payload)
+        .contains((rate, ch, bits, (n / block).toLong)))
+    }
+  }
+
   test("decodeImageHeaders parses the generated corpus distributively") {
     import org.apache.spark.sql.functions._
     val docs = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "documents")
