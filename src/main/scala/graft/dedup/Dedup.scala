@@ -709,6 +709,7 @@ object Dedup {
     // gaps-and-islands: a new extent starts when this duplicated window
     // begins more than spanTokens after the previous one (strictly —
     // start distance == spanTokens means the spans touch end-to-start)
+    // (extent merge below; excision of the extents is exciseSpans)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("pos"))
     hits
@@ -723,5 +724,50 @@ object Dedup {
       .select(col("id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1L).as("span_tokens"),
         col("n_dup_shingles"))
+  }
+
+  /** Excise token extents — the rewrite half of substring dedup: given
+    * span extents (id, span_start, span_end — 1-based inclusive token
+    * positions, [[duplicatedSpans]]'s output shape), rebuild each
+    * document's normalized text without the covered tokens. Every input
+    * document appears in the output (docs without extents pass through
+    * with n_removed = 0; a fully-covered doc yields an empty string).
+    * Output: (id, clean_text, n_tokens_kept, n_tokens_removed), where
+    * clean_text is the kept tokens space-joined (the tokens() normal
+    * form — lowercased, whitespace-split).
+    *
+    * Excision removes EVERY occurrence of a duplicated span. To keep
+    * one canonical copy per span cluster (the Lee-et-al variant),
+    * filter the span frame before calling — e.g. drop each fingerprint
+    * cluster's min-id document's extents — the rewrite is agnostic to
+    * how the extents were chosen.
+    *
+    * Scale shape: extents aggregate per document (bounded by the doc's
+    * own span count) and join on the id — one shuffle each side; the
+    * token filter is a per-row expression; text rides the exchange once
+    * (it must: this is a rewrite). */
+  def exciseSpans(df: DataFrame, idCol: String, textCol: String,
+      spans: DataFrame): DataFrame = {
+    require(Seq("id", "span_start", "span_end").forall(spans.columns.contains),
+      s"spans must carry (id, span_start, span_end), got ${spans.columns.mkString(",")}")
+    val ext = spans.groupBy(col("id"))
+      .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e")))
+        .as("exts"))
+    val staged = df
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .join(ext, Seq("id"), "left")
+      // index tokens once (1-based), then keep those no extent covers;
+      // staged through selects so each layer evaluates once per row
+      .withColumn("indexed",
+        transform(col("toks"), (t, i) => struct(t.as("t"), (i + 1L).as("p"))))
+      .withColumn("kept",
+        when(col("exts").isNull, col("indexed"))
+          .otherwise(filter(col("indexed"), x =>
+            !exists(col("exts"), e =>
+              x.getField("p") >= e.getField("s") && x.getField("p") <= e.getField("e")))))
+    staged.select(col("id"),
+      array_join(transform(col("kept"), x => x.getField("t")), " ").as("clean_text"),
+      size(col("kept")).cast("long").as("n_tokens_kept"),
+      (size(col("toks")) - size(col("kept"))).cast("long").as("n_tokens_removed"))
   }
 }

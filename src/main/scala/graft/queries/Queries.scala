@@ -1092,6 +1092,17 @@ object Queries {
         tbl(spark, dir, "documents"), "doc_id", "text", spanTokens = 5, minDf = 2L)
       .withColumnRenamed("id", "doc_id")
 
+  /** Span excision through the gate: q76's duplicated extents excised
+    * from every document — detection and rewrite verified together,
+    * token-for-token (kept tokens re-joined, counts reconciled). */
+  def q80ExciseSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val spans = graft.dedup.Dedup.duplicatedSpans(
+      docs, "doc_id", "text", spanTokens = 5, minDf = 2L)
+    graft.dedup.Dedup.exciseSpans(docs, "doc_id", "text", spans)
+      .withColumnRenamed("id", "doc_id")
+  }
+
   /** Retention cohort matrix through the gate: users grouped by their
     * first-activity week, distinct-user counts per (cohort week, week
     * offset) — the product-analytics staple over the events table. Weeks
@@ -1996,6 +2007,60 @@ object Queries {
        |FROM isl GROUP BY doc_id, island""".stripMargin
   }
 
+  /** q80 oracle: q76's extent pipeline, then position-level excision —
+    * every token position not covered by an extent of its document
+    * survives; kept tokens re-join by position order. */
+  private lazy val q80Oracle: String = {
+    def fold(win: String) =
+      s"list_reduce(list_prepend(0::BIGINT, $win), (acc, h) -> (acc * 1000003 + h) % $Mod40)"
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), t -> t != '') AS ts
+       |  FROM documents),
+       |th AS (
+       |  SELECT doc_id, list_transform(ts, tok -> ${duckPolyHash("tok", 1L << 31)}) AS th
+       |  FROM toks WHERE len(ts) >= 5),
+       |f AS (
+       |  SELECT doc_id, list_transform(range(1, len(th) - 3), i -> ${fold("th[i:i+4]")}) AS fps
+       |  FROM th),
+       |inst AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(fps) + 1),
+       |    i -> {'pos': i, 'fp': fps[i]})) AS u
+       |  FROM f),
+       |i2 AS (SELECT doc_id, u.pos::BIGINT AS pos, u.fp AS fp FROM inst),
+       |dup AS (
+       |  SELECT fp FROM (SELECT fp, count(DISTINCT doc_id) AS d FROM i2 GROUP BY fp) t
+       |  WHERE d >= 2),
+       |h AS (SELECT doc_id, pos FROM i2 JOIN dup USING (fp)),
+       |b AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM h),
+       |isl AS (
+       |  SELECT doc_id, pos, sum(brk) OVER (
+       |    PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM b),
+       |ext AS (
+       |  SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
+       |  FROM isl GROUP BY doc_id, island),
+       |pos AS (
+       |  SELECT doc_id, u.p::BIGINT AS p, u.t AS t FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1),
+       |      i -> {'p': i, 't': ts[i]})) AS u
+       |    FROM toks) q),
+       |kept AS (
+       |  SELECT pos.doc_id, pos.p, pos.t FROM pos
+       |  WHERE NOT EXISTS (SELECT 1 FROM ext WHERE ext.doc_id = pos.doc_id
+       |    AND pos.p >= ext.s AND pos.p <= ext.e)),
+       |agg AS (
+       |  SELECT doc_id, string_agg(t, ' ' ORDER BY p) AS ct, count(*) AS nk
+       |  FROM kept GROUP BY doc_id)
+       |SELECT t.doc_id, coalesce(a.ct, '') AS clean_text,
+       |  coalesce(a.nk, 0)::BIGINT AS n_tokens_kept,
+       |  (len(t.ts) - coalesce(a.nk, 0))::BIGINT AS n_tokens_removed
+       |FROM toks t LEFT JOIN agg a USING (doc_id)""".stripMargin
+  }
+
   /** q46 oracle: poly hash → scalar avalanche chain (lateral aliases) →
     * bucket/rho → max per bucket. DISTINCT first is an oracle-side
     * shortcut only — duplicates collapse in the max either way. */
@@ -2167,7 +2232,8 @@ object Queries {
     "q76_dup_spans" -> (q76DupSpans _),
     "q77_image_headers" -> (q77ImageHeaders _),
     "q78_shard_manifest" -> (q78ShardManifest _),
-    "q79_audio_headers" -> (q79AudioHeaders _))
+    "q79_audio_headers" -> (q79AudioHeaders _),
+    "q80_excise_spans" -> (q80ExciseSpans _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2364,6 +2430,7 @@ object Queries {
     "q75_cms_by_source" -> q75Oracle,
     "q76_dup_spans" -> q76Oracle,
     "q78_shard_manifest" -> q78Oracle,
+    "q80_excise_spans" -> q80Oracle,
     "q79_audio_headers" ->
       """SELECT doc_id AS media_id, 'wav' AS format,
         |  ([8000, 16000, 22050, 44100])[(doc_id % 4) + 1]::INTEGER AS sample_rate,

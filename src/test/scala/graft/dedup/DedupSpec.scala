@@ -177,6 +177,36 @@ class DedupSpec extends SparkSpec {
       (17L, 1L, 4L, 4L, 1L), (18L, 5L, 8L, 4L, 1L)))
   }
 
+  test("excise spans: planted extents removed token-for-token, pass-through docs intact") {
+    val docs = Seq(
+      (1L, "keep1 keep2 CUT1 CUT2 CUT3 keep3"),
+      (2L, "solo tokens only nothing cut"),
+      (3L, "GONE1 GONE2 GONE3")
+    ).toDF("doc_id", "text")
+    val spans = Seq(
+      (1L, 3L, 5L), // covers CUT1..CUT3
+      (3L, 1L, 3L) // covers the whole doc
+    ).toDF("id", "span_start", "span_end")
+    val out = Dedup.exciseSpans(docs, "doc_id", "text", spans)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set(
+      (1L, "keep1 keep2 keep3", 3L, 3L),
+      (2L, "solo tokens only nothing cut", 5L, 0L),
+      (3L, "", 0L, 3L)))
+
+    // composition with duplicatedSpans on the planted fixture: excised
+    // docs no longer contain the duplicated phrase, unique tails survive
+    val planted = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta u10a u10b"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta v11a v11b")
+    ).toDF("doc_id", "text")
+    val ext = Dedup.duplicatedSpans(planted, "doc_id", "text", spanTokens = 4)
+    val cleaned = Dedup.exciseSpans(planted, "doc_id", "text", ext)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned(10L) == "u10a u10b")
+    assert(cleaned(11L) == "v11a v11b")
+  }
+
   test("duplicated spans: extents stay in-bounds and >= spanTokens on the real corpus") {
     val real = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "documents")
     val k = 5
