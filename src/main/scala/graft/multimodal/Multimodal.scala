@@ -338,6 +338,137 @@ object Multimodal {
     }.toDF("media_id", "payload")
   }
 
+  /** Parsed video header (MP4/ISO BMFF). Dimensions come from the first
+    * video track's tkhd (16.16 fixed point, integer part); duration_ms
+    * from mvhd's duration/timescale. */
+  final case class VideoHeader(
+      media_id: Long,
+      format: String, // "mp4" | "unknown"
+      width: Int,
+      height: Int,
+      timescale: Long,
+      duration_ms: Long,
+      n_bytes: Long)
+
+  private def be64(b: Array[Byte], i: Int): Long = (be32(b, i) & 0xffffffffL) << 32 |
+    (be32(b, i + 4) & 0xffffffffL)
+
+  /** REAL decode of an MP4 (ISO BMFF) header: top-level box walk to
+    * `moov`, then its children — `mvhd` (v0/v1) for timescale+duration,
+    * each `trak`'s `tkhd` (v0/v1) for 16.16 fixed-point width/height;
+    * the first track with a nonzero width is the video track (audio
+    * tracks carry zero dimensions). Box sizes are big-endian; size 1
+    * means a 64-bit largesize follows; size 0 (to end of file) is only
+    * legal for the last top-level box. */
+  def parseMp4Header(b: Array[Byte]): Option[(Int, Int, Long, Long)] = {
+    if (b == null || b.length < 16) return None
+    // bounded box iteration: (offset, end) pairs of each child of [lo, hi)
+    def children(lo: Int, hi: Int): Iterator[(String, Int, Int)] = new Iterator[(String, Int, Int)] {
+      private var i = lo
+      def hasNext: Boolean = i + 8 <= hi
+      def next(): (String, Int, Int) = {
+        val size32 = be32(b, i) & 0xffffffffL
+        val typ = new String(b, i + 4, 4, "ISO-8859-1")
+        val (body, size) =
+          if (size32 == 1L && i + 16 <= hi) (i + 16, be64(b, i + 8))
+          else if (size32 == 0L) (i + 8, (hi - i).toLong) // to end
+          else (i + 8, size32)
+        val end = if (size < 8 || i + size > hi) hi else (i + size).toInt
+        val r = (typ, body, end)
+        i = end
+        r
+      }
+    }
+    if (!children(0, b.length).take(1).exists(_._1 == "ftyp")) return None
+    children(0, b.length).find(_._1 == "moov").flatMap { case (_, mLo, mHi) =>
+      var ts = Option.empty[(Long, Long)] // (timescale, duration)
+      var dims = Option.empty[(Int, Int)]
+      for ((typ, lo, hi) <- children(mLo, mHi)) typ match {
+        case "mvhd" if ts.isEmpty && hi - lo >= 20 =>
+          val v = b(lo) & 0xff
+          ts = if (v == 1 && hi - lo >= 32)
+            Some(((be32(b, lo + 20) & 0xffffffffL), be64(b, lo + 24)))
+          else Some(((be32(b, lo + 12) & 0xffffffffL), be32(b, lo + 16) & 0xffffffffL))
+        case "trak" if dims.isEmpty =>
+          for ((t2, lo2, hi2) <- children(lo, hi) if t2 == "tkhd") {
+            val v = b(lo2) & 0xff
+            val wOff = if (v == 1) 88 else 76 // v1 widens creation/mod/duration
+            if (hi2 - lo2 >= wOff + 8) {
+              val w = be16(b, lo2 + wOff) // integer part of 16.16
+              val h = be16(b, lo2 + wOff + 4)
+              if (w > 0 && h > 0 && dims.isEmpty) dims = Some((w, h))
+            }
+          }
+        case _ => ()
+      }
+      for ((scale, dur) <- ts; (w, h) <- dims if scale > 0)
+        yield (w, h, scale, dur * 1000L / scale)
+    }
+  }
+
+  /** Batched video header decode — [[decodeImageHeaders]]'s shape for
+    * the MP4 path. */
+  def decodeVideoHeaders(media: DataFrame, partitions: Int = 0): Dataset[VideoHeader] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val parts = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    media.select("media_id", "payload")
+      .repartition(parts, col("media_id"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val n = if (payload == null) 0L else payload.length.toLong
+          parseMp4Header(payload) match {
+            case Some((w, h, scale, ms)) => VideoHeader(id, "mp4", w, h, scale, ms, n)
+            case None => VideoHeader(id, "unknown", 0, 0, 0L, 0L, n)
+          }
+        }
+      }
+  }
+
+  /** Minimal VALID MP4 prefix (ftyp + moov[mvhd v0, trak[tkhd v0]]) —
+    * fixture-synthesis counterpart of [[parseMp4Header]]. */
+  def mp4HeaderBytes(w: Int, h: Int, timescale: Long, duration: Long): Array[Byte] = {
+    def box(typ: String, body: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(8 + body.length)
+      val size = 8 + body.length
+      out.write((size >>> 24) & 0xff); out.write((size >>> 16) & 0xff)
+      out.write((size >>> 8) & 0xff); out.write(size & 0xff)
+      typ.foreach(c => out.write(c.toInt))
+      out.write(body, 0, body.length)
+      out.toByteArray
+    }
+    def u32(v: Long): Array[Byte] = Array(
+      ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val ftyp = box("ftyp", "isom".getBytes("ISO-8859-1") ++ u32(0L) ++
+      "isom".getBytes("ISO-8859-1"))
+    val mvhd = box("mvhd", u32(0L) ++ u32(0L) ++ u32(0L) ++
+      u32(timescale) ++ u32(duration) ++ Array.fill(80)(0.toByte))
+    val tkhdBody = new Array[Byte](84)
+    System.arraycopy(u32((w.toLong << 16)), 0, tkhdBody, 76, 4)
+    System.arraycopy(u32((h.toLong << 16)), 0, tkhdBody, 80, 4)
+    val trak = box("trak", box("tkhd", tkhdBody))
+    ftyp ++ box("moov", mvhd ++ trak)
+  }
+
+  /** Deterministic video corpus with REAL MP4 headers from the documents
+    * table — completes the image/audio/video triple: dimensions,
+    * timescale, and duration derive from the id; the UTF-8 text plays
+    * the role of the mdat payload. */
+  def videoCorpusFromDocuments(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      val w = ((id % 3) * 320 + 640).toInt
+      val h = ((id % 3) * 180 + 360).toInt
+      val dur = (id % 100) * 600 + 600 // in timescale-600 units
+      val body = if (text == null) Array.emptyByteArray else text.getBytes("UTF-8")
+      (id, mp4HeaderBytes(w, h, 600L, dur) ++ body)
+    }.toDF("media_id", "payload")
+  }
+
   /** Minimal VALID PNG prefix: signature + IHDR chunk (with real CRC32)
     * for the given dimensions — 33 bytes. Fixture-synthesis counterpart
     * of [[parsePngHeader]]. */

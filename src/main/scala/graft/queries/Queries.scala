@@ -536,6 +536,16 @@ object Queries {
     graft.multimodal.Multimodal.decodeAudioHeaders(media).toDF()
   }
 
+  /** REAL MP4-header decode through the gate — completes the
+    * image/audio/video triple: ISO-BMFF box walk to moov/mvhd/tkhd for
+    * dimensions, timescale, and duration; oracle replays the id-derived
+    * geometry. */
+  def q81VideoHeaders(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.videoCorpusFromDocuments(
+      tbl(spark, dir, "documents"))
+    graft.multimodal.Multimodal.decodeVideoHeaders(media).toDF()
+  }
+
   /** ROLLUP grouping sets (engine-added; the reference has none).
     * Subtotal rows surface as 'ALL' — unambiguous because the grouping
     * columns are non-null in this data. */
@@ -2233,7 +2243,8 @@ object Queries {
     "q77_image_headers" -> (q77ImageHeaders _),
     "q78_shard_manifest" -> (q78ShardManifest _),
     "q79_audio_headers" -> (q79AudioHeaders _),
-    "q80_excise_spans" -> (q80ExciseSpans _))
+    "q80_excise_spans" -> (q80ExciseSpans _),
+    "q81_video_headers" -> (q81VideoHeaders _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2431,6 +2442,14 @@ object Queries {
     "q76_dup_spans" -> q76Oracle,
     "q78_shard_manifest" -> q78Oracle,
     "q80_excise_spans" -> q80Oracle,
+    "q81_video_headers" ->
+      """SELECT doc_id AS media_id, 'mp4' AS format,
+        |  ((doc_id % 3) * 320 + 640)::INTEGER AS width,
+        |  ((doc_id % 3) * 180 + 360)::INTEGER AS height,
+        |  600::BIGINT AS timescale,
+        |  ((doc_id % 100) * 1000 + 1000)::BIGINT AS duration_ms,
+        |  (236 + coalesce(octet_length(encode(text)), 0))::BIGINT AS n_bytes
+        |FROM documents""".stripMargin,
     "q79_audio_headers" ->
       """SELECT doc_id AS media_id, 'wav' AS format,
         |  ([8000, 16000, 22050, 44100])[(doc_id % 4) + 1]::INTEGER AS sample_rate,

@@ -138,6 +138,40 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("MP4 header parse: hand-written fixture with audio-before-video tracks, v0/v1 boxes") {
+    def u32(v: Long) = Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      u32(8L + body.length) ++ typ.getBytes("ISO-8859-1") ++ body
+    // mvhd VERSION 1: creation/modification 8 bytes each, timescale at
+    // body offset 20, duration 8 bytes at 24
+    val mvhdV1 = box("mvhd", Array[Byte](1, 0, 0, 0) ++
+      Array.fill(16)(0.toByte) ++ u32(1000L) ++ u32(0L) ++ u32(90000L) ++
+      Array.fill(80)(0.toByte))
+    // first trak: AUDIO (tkhd v0, zero dims) — must be skipped
+    val audioTkhd = box("tkhd", new Array[Byte](84))
+    // second trak: VIDEO 1920x1080 (tkhd v0)
+    val videoBody = new Array[Byte](84)
+    System.arraycopy(u32(1920L << 16), 0, videoBody, 76, 4)
+    System.arraycopy(u32(1080L << 16), 0, videoBody, 80, 4)
+    val mp4 = box("ftyp", "isom".getBytes("ISO-8859-1") ++ u32(0L)) ++
+      box("moov", mvhdV1 ++ box("trak", audioTkhd) ++
+        box("trak", box("tkhd", videoBody)))
+    // duration 90000 at timescale 1000 -> 90000 ms
+    assert(Multimodal.parseMp4Header(mp4).contains((1920, 1080, 1000L, 90000L)))
+    // no ftyp first -> not an mp4
+    assert(Multimodal.parseMp4Header(mp4.drop(20)).isEmpty)
+    assert(Multimodal.parseMp4Header(null).isEmpty)
+    assert(Multimodal.parseMp4Header("RIFF....WAVE".getBytes("ISO-8859-1")).isEmpty)
+  }
+
+  test("synthesized MP4 headers round-trip through the parser") {
+    for ((w, h, scale, dur) <- Seq((640, 360, 600L, 600L), (1280, 720, 90000L, 123456L))) {
+      assert(Multimodal.parseMp4Header(Multimodal.mp4HeaderBytes(w, h, scale, dur))
+        .contains((w, h, scale, dur * 1000L / scale)))
+    }
+  }
+
   test("decodeImageHeaders parses the generated corpus distributively") {
     import org.apache.spark.sql.functions._
     val docs = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "documents")
