@@ -42,8 +42,13 @@ object CurationRunner {
     StructField("source", StringType),
     StructField("text", StringType)))
 
+  /** Optional last-mile export: pack the day's curated corpus and land
+    * loader-ready shards + manifest under shards/date=D. */
+  final case class ShardConfig(binTokens: Long = 2048L, numBuckets: Int = 64)
+
   final case class DailyResult(
-      date: String, snapshotDocs: Long, curatedDocs: Long, incremental: Boolean)
+      date: String, snapshotDocs: Long, curatedDocs: Long, incremental: Boolean,
+      shardCount: Long = -1L)
 
   private def snapshotPath(root: String, date: String) = s"$root/snapshot/date=$date"
   private def curatedPath(root: String, date: String) = s"$root/curated/date=$date"
@@ -59,7 +64,8 @@ object CurationRunner {
 
   def runDaily(spark: SparkSession, lakeRoot: String, date: String,
       evalDocs: Option[DataFrame] = None,
-      cfg: Curation.CurationConfig = Curation.CurationConfig()): DailyResult = {
+      cfg: Curation.CurationConfig = Curation.CurationConfig(),
+      shards: Option[ShardConfig] = None): DailyResult = {
     val meta = new RunMetadata.Collector(date)
     val staged = s"$lakeRoot/staged/documents"
 
@@ -111,8 +117,22 @@ object CurationRunner {
       val n = Lake.readParquet(spark, curatedPath(lakeRoot, date)).count()
       (n, n)
     }
+    // 5. optional training-shard export of the day's corpus: the full
+    // curate -> pack -> shard+manifest path in one daily entry point
+    val nShards = shards.fold(-1L) { sc =>
+      meta.time("shards") {
+        val withTokens = Lake.readParquet(spark, curatedPath(lakeRoot, date))
+          .select(col("doc_id"), col("text"),
+            graft.text.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+        val m = graft.ops.ShardExport.writeShards(withTokens, "doc_id", "n_tokens",
+          sc.binTokens, sc.numBuckets, s"$lakeRoot/shards/date=$date")
+        val n = m.count()
+        (n, n)
+      }
+    }
     graft.ops.CacheScope.releaseAll(spark) // curation persists its core frames
     RunMetadata.write(spark, lakeRoot, date, meta.snapshot)
-    DailyResult(date, nSnapshot, nCurated, incremental = prev.isDefined)
+    DailyResult(date, nSnapshot, nCurated, incremental = prev.isDefined,
+      shardCount = nShards)
   }
 }

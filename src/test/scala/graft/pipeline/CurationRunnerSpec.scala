@@ -45,7 +45,8 @@ class CurationRunnerSpec extends SparkSpec {
         (20L, "s0", doc(20)), (21L, "s0", doc(21)),
         (3L, "s0", doc(300)),
         (22L, "s1", doc(100) + " y")))
-      val r2 = CurationRunner.runDaily(spark, root, "2024-01-02", None, cfg)
+      val r2 = CurationRunner.runDaily(spark, root, "2024-01-02", None, cfg,
+        shards = Some(CurationRunner.ShardConfig(binTokens = 64L, numBuckets = 4)))
       assert(r2.incremental && r2.snapshotDocs == 13)
       val c2 = Lake.readParquet(spark, s"$root/curated/date=2024-01-02")
       assert(c2.where($"doc_id" === 22L).isEmpty, "carried doc must beat its new near-dup")
@@ -61,12 +62,21 @@ class CurationRunnerSpec extends SparkSpec {
       assert(c2.select($"doc_id", $"text").collect().map(_.toString).sorted.toSeq ==
         full.select($"doc_id", $"text").collect().map(_.toString).sorted.toSeq)
 
+      // day 2 also exported loader-ready shards: manifest consistent
+      // with the files, every curated doc in exactly one shard
+      assert(r2.shardCount > 0)
+      assert(graft.ops.ShardExport.verifyShards(
+        spark, s"$root/shards/date=2024-01-02", "doc_id", "n_tokens").isEmpty)
+      assert(Lake.readParquet(spark, s"$root/shards/date=2024-01-02/shards")
+        .select($"doc_id").distinct().count() == c2.count())
+
       // run metadata landed one row per stage for both runs
-      for (d <- Seq("2024-01-01", "2024-01-02")) {
-        val m = RunMetadata.read(spark, root, d)
-        assert(m.select($"stage").as[String].collect().toSet ==
-          Set("drain", "snapshot", "curate", "publish"))
-      }
+      val m1 = RunMetadata.read(spark, root, "2024-01-01")
+      assert(m1.select($"stage").as[String].collect().toSet ==
+        Set("drain", "snapshot", "curate", "publish"))
+      val m2 = RunMetadata.read(spark, root, "2024-01-02")
+      assert(m2.select($"stage").as[String].collect().toSet ==
+        Set("drain", "snapshot", "curate", "publish", "shards"))
     } finally {
       Lake.delete(spark, root)
     }
