@@ -682,23 +682,12 @@ object Dedup {
     require(spanTokens >= 2, s"spanTokens must be >= 2: $spanTokens")
     require(minDf >= 2, s"minDf must be >= 2 (a span is duplicated across documents): $minDf")
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    // ShingleFps emits one whole-doc fingerprint for 0 < n < k; such a
-    // fingerprint is a different-degree polynomial fold and must not be
-    // compared against true k-window fingerprints — filter short docs out
-    // BEFORE shingling (they cannot contain a spanTokens-token span).
-    val staged = df
-      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
-      .where(size(col("toks")) >= spanTokens)
-      .select(col("id"),
-        graft.functions.ShingleFps.shingleFps(col("toks"), spanTokens).as("fps"))
-    val inst = staged
-      .select(col("id"), posexplode(col("fps")).as(Seq("p0", "fp")))
-      .select(col("id"), (col("p0") + 1).cast("long").as("pos"), col("fp"))
-      // partition by id, not round-robin: splits single-partition
-      // small-file scans like the usual repartition(parts), AND the
-      // downstream per-document window reuses the hash distribution —
-      // the postings shuffle once, not twice (the df-agg branch
-      // re-shuffles on fp regardless)
+    // partition by id, not round-robin: splits single-partition
+    // small-file scans like the usual repartition(parts), AND the
+    // downstream per-document window reuses the hash distribution —
+    // the postings shuffle once, not twice (the df-agg branch
+    // re-shuffles on fp regardless)
+    val inst = shinglePostings(df, idCol, textCol, spanTokens)
       .repartition(parts, col("id"))
     val dupFps = inst.groupBy(col("fp"))
       .agg(countDistinct(col("id")).as("ndocs"))
@@ -724,6 +713,73 @@ object Dedup {
       .select(col("id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1L).as("span_tokens"),
         col("n_dup_shingles"))
+  }
+
+  /** Shingle-fingerprint postings of a corpus: (id, pos, fp) with pos
+    * the 1-based token position of each k-window. Docs shorter than k
+    * are absent (their whole-doc short-form fingerprint is a
+    * different-degree fold and must not meet true k-window fps). */
+  private def shinglePostings(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    df.select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= k)
+      .select(col("id"),
+        graft.functions.ShingleFps.shingleFps(col("toks"), k).as("fps"))
+      .select(col("id"), posexplode(col("fps")).as(Seq("p0", "fp")))
+      .select(col("id"), (col("p0") + 1).cast("long").as("pos"), col("fp"))
+
+  /** Passage containment search — "which documents contain this exact
+    * token run, and where": the lookup dual of [[duplicatedSpans]], via
+    * alignment voting. Both corpus and passages shingle to k-window
+    * fingerprint postings; joining on the fingerprint gives (query,
+    * doc, alignment = doc_pos − query_pos) votes, and a true
+    * containment of an m-token passage yields exactly m−k+1 votes at
+    * one alignment. Output: (query_id, doc_id, match_pos) — 1-based
+    * token position of the passage's first token, one row per
+    * occurrence start. Exact (no false positives up to 40-bit fp
+    * collision ∧ full-window agreement); passages shorter than k are
+    * rejected.
+    *
+    * Scale shape: the join ships (id, pos, fp) longs keyed by fp —
+    * candidates are bounded by per-fp document frequency times passage
+    * length, and the alignment groupBy collapses them before anything
+    * else sees them. A passage made ENTIRELY of corpus-hot phrases
+    * inherits the hot-key caveat (its windows' posting lists are what
+    * the join ships); rare windows keep the join selective. */
+  def passageSearch(docs: DataFrame, docIdCol: String, docTextCol: String,
+      passages: DataFrame, queryIdCol: String, queryTextCol: String,
+      shingleSize: Int): DataFrame = {
+    require(shingleSize >= 2, s"shingleSize must be >= 2: $shingleSize")
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val corpus = shinglePostings(docs, docIdCol, docTextCol, shingleSize)
+      .repartition(parts, col("fp"))
+    // a passage shorter than the window cannot be searched — fail
+    // loudly (the lazy distributed-invariant guard), not silently
+    // return zero matches
+    val qtoks = passages
+      .select(col(queryIdCol).as("qid"),
+        TextFunctions.tokens(col(queryTextCol)).as("toks"))
+      .select(col("qid"),
+        when(size(col("toks")) >= shingleSize, col("toks"))
+          .otherwise(raise_error(concat(
+            lit("passageSearch: passage "), col("qid").cast("string"),
+            lit(s" shorter than shingleSize=$shingleSize")))).as("toks"))
+    val q = qtoks
+      .select(col("qid"),
+        graft.functions.ShingleFps.shingleFps(col("toks"), shingleSize).as("fps"))
+      // windows per passage carried alongside the explode — the
+      // all-windows-matched test needs it, no window function required
+      .select(col("qid"), size(col("fps")).cast("long").as("qwins"),
+        posexplode(col("fps")).as(Seq("p0", "fp")))
+      .select(col("qid"), (col("p0") + 1).cast("long").as("qpos"), col("fp"),
+        col("qwins"))
+    corpus.join(q, Seq("fp"))
+      .groupBy(col("qid"), col("id"), (col("pos") - col("qpos")).as("offset"),
+        col("qwins"))
+      .agg(count(lit(1)).as("votes"))
+      .where(col("votes") === col("qwins"))
+      .select(col("qid").as("query_id"), col("id").as("doc_id"),
+        (col("offset") + 1L).as("match_pos"))
   }
 
   /** Excise token extents — the rewrite half of substring dedup: given

@@ -64,6 +64,11 @@ object ShardExport {
     * rows both surface as rows here). */
   def verifyShards(spark: SparkSession, outDir: String,
       keyCol: String, nTokensCol: String): DataFrame = {
+    // fail fast with a real message on a wrong/unwritten export dir —
+    // an empty schemaless frame would surface as an opaque resolution
+    // error on pack_bucket below
+    require(Lake.exists(spark, s"$outDir/shards") && Lake.exists(spark, s"$outDir/manifest"),
+      s"verifyShards: '$outDir' is not a shard export (missing shards/ or manifest/)")
     val shards = Lake.readParquet(spark, s"$outDir/shards")
       .withColumn("pack_bucket", col("pack_bucket").cast("long"))
       .withColumn("pack_bin", col("pack_bin").cast("long"))

@@ -1102,6 +1102,23 @@ object Queries {
         tbl(spark, dir, "documents"), "doc_id", "text", spanTokens = 5, minDf = 2L)
       .withColumnRenamed("id", "doc_id")
 
+  /** Passage containment search through the gate: 10-token passages cut
+    * from every 50th document, searched across the whole corpus by
+    * alignment voting over 5-token window fingerprints — each passage
+    * must rediscover its source (match_pos 3) plus any true near-dup
+    * carriers; the oracle replays the vote count in SQL. */
+  def q82PassageSearch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val toks = graft.text.TextFunctions.tokens(col("text"))
+    val passages = docs
+      .where(pmod(col("doc_id"), lit(50)) === 0)
+      .select(col("doc_id").as("query_id"), toks.as("ts"))
+      .where(size(col("ts")) >= 12)
+      .select(col("query_id"), array_join(slice(col("ts"), 3, 10), " ").as("qtext"))
+    graft.dedup.Dedup.passageSearch(docs, "doc_id", "text",
+      passages, "query_id", "qtext", shingleSize = 5)
+  }
+
   /** Span excision through the gate: q76's duplicated extents excised
     * from every document — detection and rewrite verified together,
     * token-for-token (kept tokens re-joined, counts reconciled). */
@@ -2071,6 +2088,44 @@ object Queries {
        |FROM toks t LEFT JOIN agg a USING (doc_id)""".stripMargin
   }
 
+  /** q82 oracle: passage search — corpus and passage window
+    * fingerprints from the shared fold, fp join, alignment-offset vote
+    * count == windows-per-passage (6 for 10-token passages at width 5). */
+  private lazy val q82Oracle: String = {
+    def fold(win: String) =
+      s"list_reduce(list_prepend(0::BIGINT, $win), (acc, h) -> (acc * 1000003 + h) % $Mod40)"
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), t -> t != '') AS ts
+       |  FROM documents),
+       |th AS (
+       |  SELECT doc_id, list_transform(ts, tok -> ${duckPolyHash("tok", 1L << 31)}) AS th
+       |  FROM toks WHERE len(ts) >= 5),
+       |f AS (
+       |  SELECT doc_id, list_transform(range(1, len(th) - 3), i -> ${fold("th[i:i+4]")}) AS fps
+       |  FROM th),
+       |cf AS (
+       |  SELECT doc_id, u.pos::BIGINT AS pos, u.fp AS fp FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(fps) + 1),
+       |      i -> {'pos': i, 'fp': fps[i]})) AS u
+       |    FROM f) t),
+       |qth AS (
+       |  SELECT doc_id AS qid,
+       |    list_transform(ts[3:12], tok -> ${duckPolyHash("tok", 1L << 31)}) AS th
+       |  FROM toks WHERE doc_id % 50 = 0 AND len(ts) >= 12),
+       |qf AS (
+       |  SELECT qid, u.qpos::BIGINT AS qpos, u.fp AS fp FROM (
+       |    SELECT qid, unnest(list_transform(range(1, 7),
+       |      i -> {'qpos': i, 'fp': list_transform(range(1, len(th) - 3),
+       |        j -> ${fold("th[j:j+4]")})[i]})) AS u
+       |    FROM qth) t),
+       |votes AS (
+       |  SELECT q.qid, c.doc_id, c.pos - q.qpos AS off, count(*) AS v
+       |  FROM cf c JOIN qf q USING (fp)
+       |  GROUP BY q.qid, c.doc_id, c.pos - q.qpos)
+       |SELECT qid AS query_id, doc_id, (off + 1)::BIGINT AS match_pos
+       |FROM votes WHERE v = 6""".stripMargin
+  }
+
   /** q46 oracle: poly hash → scalar avalanche chain (lateral aliases) →
     * bucket/rho → max per bucket. DISTINCT first is an oracle-side
     * shortcut only — duplicates collapse in the max either way. */
@@ -2244,7 +2299,8 @@ object Queries {
     "q78_shard_manifest" -> (q78ShardManifest _),
     "q79_audio_headers" -> (q79AudioHeaders _),
     "q80_excise_spans" -> (q80ExciseSpans _),
-    "q81_video_headers" -> (q81VideoHeaders _))
+    "q81_video_headers" -> (q81VideoHeaders _),
+    "q82_passage_search" -> (q82PassageSearch _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2442,6 +2498,7 @@ object Queries {
     "q76_dup_spans" -> q76Oracle,
     "q78_shard_manifest" -> q78Oracle,
     "q80_excise_spans" -> q80Oracle,
+    "q82_passage_search" -> q82Oracle,
     "q81_video_headers" ->
       """SELECT doc_id AS media_id, 'mp4' AS format,
         |  ((doc_id % 3) * 320 + 640)::INTEGER AS width,

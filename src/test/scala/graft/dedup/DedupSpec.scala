@@ -207,6 +207,34 @@ class DedupSpec extends SparkSpec {
     assert(cleaned(11L) == "v11a v11b")
   }
 
+  test("passage search: alignment voting finds every occurrence, periodic runs included") {
+    val corpus = Seq(
+      (1L, "p1 p2 alpha beta gamma delta echo fox p3 p4"), // passage at pos 3
+      (2L, "alpha beta gamma delta echo fox x y z w"), // passage at pos 1
+      (3L, "nothing related here at all whatsoever friend"),
+      (4L, "r s r s r s r s"), // periodic: 'r s r s' occurs at 1, 3, 5
+      (5L, "alpha beta gamma WRONG echo fox filler filler2") // partial only
+    ).toDF("doc_id", "text")
+    val passages = Seq(
+      (100L, "alpha beta gamma delta echo fox"),
+      (200L, "r s r s")
+    ).toDF("query_id", "qtext")
+    val hits = Dedup.passageSearch(corpus, "doc_id", "text",
+        passages, "query_id", "qtext", shingleSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(hits.filter(_._1 == 100L) == Set((100L, 1L, 3L), (100L, 2L, 1L)))
+    assert(hits.filter(_._1 == 200L) == Set((200L, 4L, 1L), (200L, 4L, 3L), (200L, 4L, 5L)))
+
+    // a passage shorter than the window fails loudly, not silently empty
+    val tiny = Seq((300L, "solo")).toDF("query_id", "qtext")
+    val e = intercept[Exception] {
+      Dedup.passageSearch(corpus, "doc_id", "text", tiny, "query_id", "qtext", 2).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("shorter than shingleSize")), e.toString)
+  }
+
   test("duplicated spans: extents stay in-bounds and >= spanTokens on the real corpus") {
     val real = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "documents")
     val k = 5
