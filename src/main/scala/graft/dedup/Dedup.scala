@@ -782,6 +782,32 @@ object Dedup {
         (col("offset") + 1L).as("match_pos"))
   }
 
+  /** Span-level eval contamination — the n-gram decontamination pass of
+    * GPT-3-style training hygiene: a corpus document is contaminated if
+    * it shares ANY `spanTokens`-token window with the held-out set
+    * (whole-doc fingerprint identity misses a benchmark question pasted
+    * into a larger page; this catches it). Output: (id,
+    * n_leaked_windows) — one row per contaminated document with its
+    * leaked-window count (the triage signal: 1 window is a quote, 100
+    * is a dump).
+    *
+    * Scale shape: the eval side collapses to DISTINCT window
+    * fingerprints (benchmark-sized — small by construction, broadcast
+    * build side); the corpus postings probe it in one semi-join-shaped
+    * inner join + per-doc count. Corpus text never rides an exchange. */
+  def spanContamination(docs: DataFrame, idCol: String, textCol: String,
+      evalDocs: DataFrame, evalTextCol: String, spanTokens: Int): DataFrame = {
+    require(spanTokens >= 2, s"spanTokens must be >= 2: $spanTokens")
+    val evalFps = shinglePostings(
+        evalDocs.select(lit(0L).as("__eid"), col(evalTextCol).as("__etext")),
+        "__eid", "__etext", spanTokens)
+      .select(col("fp")).distinct()
+    shinglePostings(docs, idCol, textCol, spanTokens)
+      .join(broadcast(evalFps), Seq("fp"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_leaked_windows"))
+  }
+
   /** Excise token extents — the rewrite half of substring dedup: given
     * span extents (id, span_start, span_end — 1-based inclusive token
     * positions, [[duplicatedSpans]]'s output shape), rebuild each

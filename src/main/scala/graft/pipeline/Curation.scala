@@ -34,7 +34,12 @@ object Curation {
       dropLangs: Seq[String] = Seq.empty, // predicted langs to exclude
       redactPii: Boolean = true,
       nearDupThreshold: Double = 0.85,
-      sampleBp: Int = 10000)
+      sampleBp: Int = 10000,
+      // GPT-3-style n-gram decontamination: ALSO drop documents sharing
+      // any k-token window with the eval set (whole-doc identity misses
+      // a benchmark question pasted into a larger page). None = exact
+      // identity only.
+      spanDecontaminationTokens: Option[Int] = None)
 
   final case class CurationReport(
       input: Long, afterCore: Long, afterNearDup: Long,
@@ -113,7 +118,7 @@ object Curation {
     val afterNear = core.join(dropIds, Seq("doc_id"), "left_anti")
     val nAfterNear = cnt(afterNear)
 
-    val clean = decontaminate(afterNear, evalDocs)
+    val clean = decontaminateSpans(decontaminate(afterNear, evalDocs), evalDocs, cfg)
     val nClean = cnt(clean)
 
     val sampled = ScaleOps.deterministicSampleBp(clean, "doc_id", cfg.sampleBp)
@@ -147,6 +152,20 @@ object Curation {
       case None => docs
     }
   }
+
+  /** Span-level decontamination (cfg.spanDecontaminationTokens): drop
+    * documents sharing any k-token window with the eval set — shared by
+    * the full and incremental pipelines like [[decontaminate]]. */
+  private def decontaminateSpans(docs: DataFrame, evalDocs: Option[DataFrame],
+      cfg: CurationConfig): DataFrame =
+    (cfg.spanDecontaminationTokens, evalDocs) match {
+      case (Some(k), Some(ev)) =>
+        docs.join(
+          Dedup.spanContamination(docs, "doc_id", "text", ev, "text", k)
+            .select(col("id").as("doc_id")),
+          Seq("doc_id"), "left_anti")
+      case _ => docs
+    }
 
   /** Incremental recuration — the daily production loop at 100 TB: given
     * yesterday's raw snapshot, its curated output, and today's raw
@@ -215,6 +234,7 @@ object Curation {
     // decontamination + sampling: the full run's own stages
     carried.unionByName(
       ScaleOps.deterministicSampleBp(
-        decontaminate(deltaNear, evalDocs), "doc_id", cfg.sampleBp))
+        decontaminateSpans(decontaminate(deltaNear, evalDocs), evalDocs, cfg),
+        "doc_id", cfg.sampleBp))
   }
 }

@@ -1119,6 +1119,18 @@ object Queries {
       passages, "query_id", "qtext", shingleSize = 5)
   }
 
+  /** Span-level eval contamination through the gate — GPT-3-style
+    * n-gram decontamination: documents sharing any 8-token window with
+    * the src0 held-out slice, with leaked-window counts. The eval side
+    * collapses to distinct window fingerprints (broadcast); corpus
+    * postings probe it in one join. */
+  def q83SpanContamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    graft.dedup.Dedup.spanContamination(docs, "doc_id", "text",
+        docs.where(col("source") === "src0"), "text", spanTokens = 8)
+      .withColumnRenamed("id", "doc_id")
+  }
+
   /** Span excision through the gate: q76's duplicated extents excised
     * from every document — detection and rewrite verified together,
     * token-for-token (kept tokens re-joined, counts reconciled). */
@@ -2088,6 +2100,30 @@ object Queries {
        |FROM toks t LEFT JOIN agg a USING (doc_id)""".stripMargin
   }
 
+  /** q83 oracle: span contamination — 8-token window fingerprints, the
+    * src0 slice's distinct fp set, per-doc leaked-window counts. */
+  private lazy val q83Oracle: String = {
+    def fold(win: String) =
+      s"list_reduce(list_prepend(0::BIGINT, $win), (acc, h) -> (acc * 1000003 + h) % $Mod40)"
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |    list_filter(string_split(lower(trim(text)), ' '), t -> t != '') AS ts
+       |  FROM documents),
+       |th AS (
+       |  SELECT doc_id, source,
+       |    list_transform(ts, tok -> ${duckPolyHash("tok", 1L << 31)}) AS th
+       |  FROM toks WHERE len(ts) >= 8),
+       |f AS (
+       |  SELECT doc_id, source,
+       |    list_transform(range(1, len(th) - 6), i -> ${fold("th[i:i+7]")}) AS fps
+       |  FROM th),
+       |inst AS (SELECT doc_id, source, unnest(fps) AS fp FROM f),
+       |ev AS (SELECT DISTINCT fp FROM inst WHERE source = 'src0')
+       |SELECT i.doc_id, count(*)::BIGINT AS n_leaked_windows
+       |FROM inst i JOIN ev USING (fp)
+       |GROUP BY i.doc_id""".stripMargin
+  }
+
   /** q82 oracle: passage search — corpus and passage window
     * fingerprints from the shared fold, fp join, alignment-offset vote
     * count == windows-per-passage (6 for 10-token passages at width 5). */
@@ -2300,7 +2336,8 @@ object Queries {
     "q79_audio_headers" -> (q79AudioHeaders _),
     "q80_excise_spans" -> (q80ExciseSpans _),
     "q81_video_headers" -> (q81VideoHeaders _),
-    "q82_passage_search" -> (q82PassageSearch _))
+    "q82_passage_search" -> (q82PassageSearch _),
+    "q83_span_contamination" -> (q83SpanContamination _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2499,6 +2536,7 @@ object Queries {
     "q78_shard_manifest" -> q78Oracle,
     "q80_excise_spans" -> q80Oracle,
     "q82_passage_search" -> q82Oracle,
+    "q83_span_contamination" -> q83Oracle,
     "q81_video_headers" ->
       """SELECT doc_id AS media_id, 'mp4' AS format,
         |  ((doc_id % 3) * 320 + 640)::INTEGER AS width,

@@ -38,6 +38,39 @@ class CurationSpec extends SparkSpec {
     assert(out.select($"text").distinct().count() == report.output)
   }
 
+  test("span decontamination drops a doc that embeds an eval passage inside larger text") {
+    def filler(i: Int, n: Int): String =
+      (0 until n).map(k => s"w${i}x$k").mkString(" ")
+    val evalText = "the held out benchmark question about spark partitions exactly here"
+    val docs = Seq(
+      // clean doc, long enough to pass the gate
+      (1L, "s0", filler(1, 30)),
+      // embeds the 10-token eval passage inside unrelated text: exact
+      // whole-doc identity decontamination misses it; span-level must not
+      (2L, "s0", filler(2, 15) + " " + evalText + " " + filler(20, 15)),
+      (3L, "s0", filler(3, 30))
+    ).toDF("doc_id", "source", "text")
+    val eval = Seq(Tuple1(evalText)).toDF("text")
+    val base = Curation.CurationConfig(minQualityMilli = 0, maxRepetitionBp = 10000)
+
+    // exact-identity-only decontamination keeps the embedding doc
+    val (exactOnly, _) = Curation.curate(docs, Some(eval), base, countStages = false)
+    assert(exactOnly.where($"doc_id" === 2L).count() == 1)
+
+    // span decontamination at 8 tokens drops it, keeps the clean docs
+    val (spanned, _) = Curation.curate(docs, Some(eval),
+      base.copy(spanDecontaminationTokens = Some(8)), countStages = false)
+    assert(spanned.where($"doc_id" === 2L).isEmpty)
+    assert(spanned.where($"doc_id".isin(1L, 3L)).count() == 2)
+
+    // the operator itself reports the leak with its window count
+    val leaks = graft.dedup.Dedup.spanContamination(
+        docs, "doc_id", "text", eval, "text", spanTokens = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(leaks.keySet == Set(2L))
+    assert(leaks(2L) == 3L) // a 10-token passage has 3 8-token windows
+  }
+
   test("incremental recuration: empty-prev degenerates to curate exactly") {
     val docs = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "documents")
     val eval = docs.where($"source" === "src0").select($"text")
