@@ -66,6 +66,18 @@ object CurationRunner {
       evalDocs: Option[DataFrame] = None,
       cfg: Curation.CurationConfig = Curation.CurationConfig(),
       shards: Option[ShardConfig] = None): DailyResult = {
+    require(date.matches("""\d{4}-\d{2}-\d{2}"""),
+      s"runDaily: date must be ISO yyyy-MM-dd (lexical ordering drives " +
+        s"snapshot versioning), got '$date'")
+    // runs must move forward: a run dated before an existing snapshot
+    // would fold later-dated staged rows into its "snapshot of $date"
+    // and diff against the wrong previous state
+    val newest = Lake.list(spark, s"$lakeRoot/snapshot")
+      .flatMap(_.split('/').lastOption)
+      .collect { case d if d.startsWith("date=") => d.stripPrefix("date=") }
+      .sorted.lastOption
+    newest.foreach(n => require(date >= n,
+      s"runDaily: date '$date' precedes the newest snapshot '$n' — daily runs are forward-only"))
     val meta = new RunMetadata.Collector(date)
     val staged = s"$lakeRoot/staged/documents"
 

@@ -82,6 +82,26 @@ class CurationRunnerSpec extends SparkSpec {
     }
   }
 
+  test("forward-only: a run dated before an existing snapshot is rejected") {
+    val root = java.nio.file.Files.createTempDirectory("lake").toString
+    try {
+      land(root, "day1.json", (0 until 6).map(i => (i.toLong, "s0", doc(i))))
+      CurationRunner.runDaily(spark, root, "2024-01-05", None,
+        Curation.CurationConfig(minQualityMilli = 200))
+      val e = intercept[IllegalArgumentException] {
+        CurationRunner.runDaily(spark, root, "2024-01-04", None,
+          Curation.CurationConfig(minQualityMilli = 200))
+      }
+      assert(e.getMessage.contains("forward-only"))
+      intercept[IllegalArgumentException] {
+        CurationRunner.runDaily(spark, root, "Jan 5 2024", None,
+          Curation.CurationConfig(minQualityMilli = 200))
+      }
+    } finally {
+      Lake.delete(spark, root)
+    }
+  }
+
   test("re-running a date drains nothing new and reproduces the same curated corpus") {
     val root = java.nio.file.Files.createTempDirectory("lake").toString
     try {
