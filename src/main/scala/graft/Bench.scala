@@ -88,7 +88,11 @@ object Bench {
     // elapsed as negative and list it under "failed".
     def jmap(f: ((String, Double, Double, Double, Boolean)) => Double): String =
       results.map { case t @ (k, _, _, _, ok) =>
-        "\"" + k + "\":" + f3(if (ok) f(t) else -f(t))
+        // a sub-millisecond crash must not round to -0.000 (which JSON
+        // parsers read as a healthy 0): floor failed timings at 1 ms so
+        // the negative marker survives the 3-decimal format
+        val v = if (ok) f3(f(t)) else "-" + f3(math.max(f(t), 0.001))
+        "\"" + k + "\":" + v
       }.mkString("{", ",", "}")
     val qs = jmap(_._2)
     val warms = jmap(_._3)

@@ -240,10 +240,9 @@ object Ann {
     * and row_number short-circuits nothing downstream of the cap. */
   def diversitySample(cells: DataFrame, maxPerCell: Int): DataFrame = {
     require(maxPerCell > 0, s"maxPerCell must be positive: $maxPerCell")
-    // '__h'/'drn' are internal staging names; an input column by either
-    // name would be silently shadowed (reserved-name discipline)
-    require(!cells.columns.contains("__h") && !cells.columns.contains("drn"),
-      "diversitySample: '__h' and 'drn' are reserved column names")
+    // no reserved-name guard needed: the first select narrows the frame
+    // to (id, cell, __h-alias) before '__h'/'drn' exist, so input
+    // columns by those names are dropped, never shadowed
     val ord = graft.functions.Mix48.mix48(
       graft.text.TextFunctions.polyHash(col("id").cast("string"), 1L << 48))
     val w = Window.partitionBy(col("cell")).orderBy(col("__h").asc, col("id").asc)

@@ -60,11 +60,9 @@ object Cms {
     * treatment applied to the counting sketch). Same-group registers
     * merge across shards by SUM. */
   def tokenRegistersBy(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
-    // internal staging names must not be shadowed by user columns
-    // (Hll.registersBy's reserved-name discipline)
-    val reserved = Set("grp", "tok", "th", "depth_row", "bucket", "cnt")
-    require(!reserved.contains(groupCol) && !reserved.contains(textCol),
-      s"tokenRegistersBy: column names $reserved are reserved (got '$groupCol', '$textCol')")
+    // Internal names ('grp', 'tok', 'th', ...) are aliases over
+    // already-narrowed frames and cannot be shadowed by input columns —
+    // the only invalid input is a groupCol/textCol collision.
     require(groupCol != textCol, s"groupCol and textCol must differ: '$groupCol'")
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val toks = df.repartition(parts)

@@ -63,12 +63,13 @@ object Hll {
     * MinHashSketchAgg's per-group signature). Registers for the same
     * group merge across shards/days by max, exactly like [[registers]]. */
   def registersBy(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
-    // 'grp'/'h' are internal staging names; a groupCol or keyCol by those
-    // names would silently shadow mid-pipeline (intervalJoin's '__b'
-    // discipline applied here).
-    val reserved = Set("grp", "h", "bucket", "v", "m_rho")
-    require(!reserved.contains(groupCol) && !reserved.contains(keyCol),
-      s"registersBy: column names $reserved are reserved (got '$groupCol', '$keyCol')")
+    // The only real conflict: keyCol named 'grp' collides with the
+    // groupCol alias in the same select (ambiguous reference). Every
+    // other internal name ('h', 'bucket', 'v', 'm_rho') is introduced
+    // as an alias over an already-narrowed frame and cannot be
+    // shadowed by input columns.
+    require(keyCol != "grp", "registersBy: keyCol must not be named 'grp' " +
+      "(collides with the internal group alias)")
     require(groupCol != keyCol, s"groupCol and keyCol must differ: '$groupCol'")
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     mixedHash(df.repartition(parts)

@@ -198,6 +198,21 @@ object Multimodal {
     if (p.isDefined) p else parseJpegHeader(b)
   }
 
+  /** Shared decode-stage shape for every modality: repartition the wide
+    * binary rows by id, then a per-partition narrow map over
+    * (id, payload) — one place to fix partitioning/null behavior for
+    * image, audio, and video alike. */
+  private def decodeStage[T](media: DataFrame, partitions: Int,
+      enc: org.apache.spark.sql.Encoder[T])(f: (Long, Array[Byte]) => T): Dataset[T] = {
+    val parts = if (partitions > 0) partitions
+      else media.sparkSession.sessionState.conf.numShufflePartitions
+    media.select("media_id", "payload")
+      .repartition(parts, col("media_id"))
+      .as[(Long, Array[Byte])](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.BINARY))
+      .mapPartitions(it => it.map { case (id, p) => f(id, p) })(enc)
+  }
+
   /** Batched header decode over a binary media frame — the REAL
     * replacement for the dimension half of [[decodeFeaturesStub]]: same
     * plan shape (repartition by id, per-partition narrow map), but the
@@ -205,24 +220,15 @@ object Multimodal {
     * bytes. Unparseable payloads yield format="unknown" with zeroed
     * dimensions (kept, not dropped — a curation gate wants to count
     * them). */
-  def decodeImageHeaders(media: DataFrame, partitions: Int = 0): Dataset[ImageHeader] = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    val parts = if (partitions > 0) partitions
-      else spark.sessionState.conf.numShufflePartitions
-    media.select("media_id", "payload")
-      .repartition(parts, col("media_id"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.map { case (id, payload) =>
-          val n = if (payload == null) 0L else payload.length.toLong
-          parseImageHeader(payload) match {
-            case Some((fmt, w, h, depth, ch)) => ImageHeader(id, fmt, w, h, depth, ch, n)
-            case None => ImageHeader(id, "unknown", 0, 0, 0, 0, n)
-          }
-        }
+  def decodeImageHeaders(media: DataFrame, partitions: Int = 0): Dataset[ImageHeader] =
+    decodeStage(media, partitions,
+        org.apache.spark.sql.Encoders.product[ImageHeader]) { (id, payload) =>
+      val n = if (payload == null) 0L else payload.length.toLong
+      parseImageHeader(payload) match {
+        case Some((fmt, w, h, depth, ch)) => ImageHeader(id, fmt, w, h, depth, ch, n)
+        case None => ImageHeader(id, "unknown", 0, 0, 0, 0, n)
       }
-  }
+    }
 
   /** Parsed audio header (WAV/RIFF). `n_samples` = data-chunk bytes
     * over block align (frames, i.e. samples per channel). */
@@ -254,26 +260,29 @@ object Multimodal {
   def parseWavHeader(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
     if (b == null || b.length < 44) return None
     if (!tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return None
-    var i = 12
+    // Long cursor: a hostile chunk declaring a near-Int.MaxValue size
+    // must walk off the end cleanly (loop exit), never overflow into a
+    // negative Int index
+    var i = 12L
     var fmt: Option[(Int, Int, Int)] = None // (rate, channels, bits)
     var dataLen: Option[Long] = None
     while (i + 8 <= b.length && (fmt.isEmpty || dataLen.isEmpty)) {
-      val size = le32(b, i + 4)
-      if (size < 0 || size > Int.MaxValue) return None
-      val body = i + 8
-      if (tag(b, i, "fmt ")) {
+      val j = i.toInt
+      val size = le32(b, j + 4)
+      val body = j + 8
+      if (tag(b, j, "fmt ")) {
         if (size < 16 || body + 16 > b.length) return None
         val channels = le16(b, body + 2)
         val rate = le32(b, body + 4)
         val bits = le16(b, body + 14)
         if (channels <= 0 || rate <= 0 || rate > Int.MaxValue || bits <= 0) return None
         fmt = Some((rate.toInt, channels, bits))
-      } else if (tag(b, i, "data")) {
+      } else if (tag(b, j, "data")) {
         // the data chunk's declared size may exceed the bytes present
         // (truncated capture) — clamp to what is actually there
         dataLen = Some(math.min(size, (b.length - body).toLong))
       }
-      i = body + size.toInt + (size.toInt & 1) // RIFF chunks pad to even
+      i = body.toLong + size + (size & 1L) // RIFF chunks pad to even
     }
     for ((rate, ch, bits) <- fmt; d <- dataLen) yield {
       val blockAlign = ch * ((bits + 7) / 8)
@@ -283,25 +292,16 @@ object Multimodal {
 
   /** Batched audio header decode — [[decodeImageHeaders]]'s shape for
     * the WAV path. */
-  def decodeAudioHeaders(media: DataFrame, partitions: Int = 0): Dataset[AudioHeader] = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    val parts = if (partitions > 0) partitions
-      else spark.sessionState.conf.numShufflePartitions
-    media.select("media_id", "payload")
-      .repartition(parts, col("media_id"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.map { case (id, payload) =>
-          val n = if (payload == null) 0L else payload.length.toLong
-          parseWavHeader(payload) match {
-            case Some((rate, ch, bits, frames)) =>
-              AudioHeader(id, "wav", rate, ch, bits, frames, n)
-            case None => AudioHeader(id, "unknown", 0, 0, 0, 0L, n)
-          }
-        }
+  def decodeAudioHeaders(media: DataFrame, partitions: Int = 0): Dataset[AudioHeader] =
+    decodeStage(media, partitions,
+        org.apache.spark.sql.Encoders.product[AudioHeader]) { (id, payload) =>
+      val n = if (payload == null) 0L else payload.length.toLong
+      parseWavHeader(payload) match {
+        case Some((rate, ch, bits, frames)) =>
+          AudioHeader(id, "wav", rate, ch, bits, frames, n)
+        case None => AudioHeader(id, "unknown", 0, 0, 0, 0L, n)
       }
-  }
+    }
 
   /** Minimal VALID 44-byte WAV header for a `dataLen`-byte payload —
     * fixture-synthesis counterpart of [[parseWavHeader]]. */
@@ -390,7 +390,10 @@ object Multimodal {
             Some(((be32(b, lo + 20) & 0xffffffffL), be64(b, lo + 24)))
           else Some(((be32(b, lo + 12) & 0xffffffffL), be32(b, lo + 16) & 0xffffffffL))
         case "trak" if dims.isEmpty =>
-          for ((t2, lo2, hi2) <- children(lo, hi) if t2 == "tkhd") {
+          // hi2 is clamped to the buffer, but a capture truncated right
+          // after the box header leaves an empty body (lo2 == hi2) —
+          // guard before the version-byte read
+          for ((t2, lo2, hi2) <- children(lo, hi) if t2 == "tkhd" && hi2 - lo2 >= 1) {
             val v = b(lo2) & 0xff
             val wOff = if (v == 1) 88 else 76 // v1 widens creation/mod/duration
             if (hi2 - lo2 >= wOff + 8) {
@@ -408,24 +411,15 @@ object Multimodal {
 
   /** Batched video header decode — [[decodeImageHeaders]]'s shape for
     * the MP4 path. */
-  def decodeVideoHeaders(media: DataFrame, partitions: Int = 0): Dataset[VideoHeader] = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    val parts = if (partitions > 0) partitions
-      else spark.sessionState.conf.numShufflePartitions
-    media.select("media_id", "payload")
-      .repartition(parts, col("media_id"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.map { case (id, payload) =>
-          val n = if (payload == null) 0L else payload.length.toLong
-          parseMp4Header(payload) match {
-            case Some((w, h, scale, ms)) => VideoHeader(id, "mp4", w, h, scale, ms, n)
-            case None => VideoHeader(id, "unknown", 0, 0, 0L, 0L, n)
-          }
-        }
+  def decodeVideoHeaders(media: DataFrame, partitions: Int = 0): Dataset[VideoHeader] =
+    decodeStage(media, partitions,
+        org.apache.spark.sql.Encoders.product[VideoHeader]) { (id, payload) =>
+      val n = if (payload == null) 0L else payload.length.toLong
+      parseMp4Header(payload) match {
+        case Some((w, h, scale, ms)) => VideoHeader(id, "mp4", w, h, scale, ms, n)
+        case None => VideoHeader(id, "unknown", 0, 0, 0L, 0L, n)
       }
-  }
+    }
 
   /** Minimal VALID MP4 prefix (ftyp + moov[mvhd v0, trak[tkhd v0]]) —
     * fixture-synthesis counterpart of [[parseMp4Header]]. */

@@ -47,14 +47,25 @@ object ShardExport {
     * manifest under `outDir/manifest/`. Returns the manifest frame. */
   def writeShards(df: DataFrame, keyCol: String, nTokensCol: String,
       binTokens: Long, numBuckets: Int, outDir: String): DataFrame = {
+    // persist: the pack (scan + token cumsum + sort + fold) feeds both
+    // the shard write and the manifest aggregation — without it the
+    // most expensive stage runs twice. Local lifecycle (write is the
+    // terminal action here), so unpersist directly rather than via
+    // CacheScope.
     val packed = ScaleOps.packGreedyContiguous(df, keyCol, nTokensCol, binTokens, numBuckets)
-    packed.write.mode(SaveMode.Overwrite)
-      .option("compression", "snappy")
-      .partitionBy("pack_bucket", "pack_bin")
-      .parquet(s"$outDir/shards")
-    val m = manifest(packed, keyCol, nTokensCol)
-    Lake.writeParquet(m, s"$outDir/manifest")
-    m
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      packed.write.mode(SaveMode.Overwrite)
+        .option("compression", "snappy")
+        .partitionBy("pack_bucket", "pack_bin")
+        .parquet(s"$outDir/shards")
+      Lake.writeParquet(manifest(packed, keyCol, nTokensCol), s"$outDir/manifest")
+      // return the landed manifest, not the in-memory plan: its lineage
+      // would otherwise re-run the pack after the unpersist below
+      Lake.readParquet(df.sparkSession, s"$outDir/manifest")
+    } finally {
+      packed.unpersist()
+    }
   }
 
   /** Audit an exported directory: recompute every shard's aggregates

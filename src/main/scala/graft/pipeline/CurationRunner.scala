@@ -53,14 +53,18 @@ object CurationRunner {
   private def snapshotPath(root: String, date: String) = s"$root/snapshot/date=$date"
   private def curatedPath(root: String, date: String) = s"$root/curated/date=$date"
 
-  /** Latest run date strictly before `date` (ISO dates sort lexically),
-    * from the date-versioned snapshot zone. */
-  private[pipeline] def prevRunDate(spark: SparkSession, root: String,
-      date: String): Option[String] =
+  /** All run dates present in the date-versioned snapshot zone, sorted
+    * ascending (ISO dates sort lexically). */
+  private[pipeline] def runDates(spark: SparkSession, root: String): Seq[String] =
     Lake.list(spark, s"$root/snapshot")
       .flatMap(_.split('/').lastOption)
       .collect { case d if d.startsWith("date=") => d.stripPrefix("date=") }
-      .filter(_ < date).sorted.lastOption
+      .sorted
+
+  /** Latest run date strictly before `date`. */
+  private[pipeline] def prevRunDate(spark: SparkSession, root: String,
+      date: String): Option[String] =
+    runDates(spark, root).filter(_ < date).lastOption
 
   def runDaily(spark: SparkSession, lakeRoot: String, date: String,
       evalDocs: Option[DataFrame] = None,
@@ -72,11 +76,7 @@ object CurationRunner {
     // runs must move forward: a run dated before an existing snapshot
     // would fold later-dated staged rows into its "snapshot of $date"
     // and diff against the wrong previous state
-    val newest = Lake.list(spark, s"$lakeRoot/snapshot")
-      .flatMap(_.split('/').lastOption)
-      .collect { case d if d.startsWith("date=") => d.stripPrefix("date=") }
-      .sorted.lastOption
-    newest.foreach(n => require(date >= n,
+    runDates(spark, lakeRoot).lastOption.foreach(n => require(date >= n,
       s"runDaily: date '$date' precedes the newest snapshot '$n' — daily runs are forward-only"))
     val meta = new RunMetadata.Collector(date)
     val staged = s"$lakeRoot/staged/documents"

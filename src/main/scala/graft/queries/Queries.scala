@@ -1475,6 +1475,11 @@ object Queries {
 
   private val Mod40 = 1L << 40
 
+  /** DuckDB replica of the ShingleFps window fold (same 1000003 / 2^40
+    * constants) — shared by every shingle-fingerprint oracle. */
+  private def duckShingleFold(win: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, $win), (acc, h) -> (acc * 1000003 + h) % $Mod40)"
+
   /** DuckDB replica of Dedup's 48-bit avalanche finalizer (same constants,
     * same split-multiply arithmetic), applied elementwise to a list expr. */
   private def duckMix48(inner: String): String = {
@@ -1623,8 +1628,6 @@ object Queries {
     * 3-gram fingerprints, distinct (source, fp) postings, co-occurrence
     * counts, exact Jaccard. */
   private lazy val q39Oracle: String = {
-    def fold(win: String) =
-      s"list_reduce(list_prepend(0::BIGINT, $win), (acc, h) -> (acc * 1000003 + h) % $Mod40)"
     s"""WITH toks AS (
        |  SELECT source, list_filter(string_split(lower(trim(text)), ' '), t -> t != '') AS ts
        |  FROM documents),
@@ -1633,8 +1636,8 @@ object Queries {
        |  FROM toks),
        |sh AS (
        |  SELECT source, unnest(list_distinct(
-       |    CASE WHEN len(th) >= 3 THEN list_transform(range(1, len(th) - 1), i -> ${fold("th[i:i+2]")})
-       |         WHEN len(th) > 0 THEN [${fold("th")}]
+       |    CASE WHEN len(th) >= 3 THEN list_transform(range(1, len(th) - 1), i -> ${duckShingleFold("th[i:i+2]")})
+       |         WHEN len(th) > 0 THEN [${duckShingleFold("th")}]
        |         ELSE []::BIGINT[] END)) AS h
        |  FROM th),
        |p AS (
@@ -1980,8 +1983,6 @@ object Queries {
     * df ≥ 3 frequent set, and per-document instance coverage in floored
     * basis points. */
   private lazy val q57Oracle: String = {
-    def fold(win: String) =
-      s"list_reduce(list_prepend(0::BIGINT, $win), (acc, h) -> (acc * 1000003 + h) % $Mod40)"
     s"""WITH toks AS (
        |  SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), t -> t != '') AS ts
        |  FROM documents),
@@ -1990,8 +1991,8 @@ object Queries {
        |  FROM toks),
        |f AS (
        |  SELECT doc_id,
-       |    CASE WHEN len(th) >= 3 THEN list_transform(range(1, len(th) - 1), i -> ${fold("th[i:i+2]")})
-       |         WHEN len(th) > 0 THEN [${fold("th")}]
+       |    CASE WHEN len(th) >= 3 THEN list_transform(range(1, len(th) - 1), i -> ${duckShingleFold("th[i:i+2]")})
+       |         WHEN len(th) > 0 THEN [${duckShingleFold("th")}]
        |         ELSE []::BIGINT[] END AS fps
        |  FROM th),
        |inst AS (SELECT doc_id, unnest(fps) AS fp FROM f),
@@ -2011,8 +2012,6 @@ object Queries {
     * width 5, the df ≥ 2 duplicated-window set, then the
     * gaps-and-islands extent merge in plain window SQL. */
   private lazy val q76Oracle: String = {
-    def fold(win: String) =
-      s"list_reduce(list_prepend(0::BIGINT, $win), (acc, h) -> (acc * 1000003 + h) % $Mod40)"
     s"""WITH toks AS (
        |  SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), t -> t != '') AS ts
        |  FROM documents),
@@ -2020,7 +2019,7 @@ object Queries {
        |  SELECT doc_id, list_transform(ts, tok -> ${duckPolyHash("tok", 1L << 31)}) AS th
        |  FROM toks WHERE len(ts) >= 5),
        |f AS (
-       |  SELECT doc_id, list_transform(range(1, len(th) - 3), i -> ${fold("th[i:i+4]")}) AS fps
+       |  SELECT doc_id, list_transform(range(1, len(th) - 3), i -> ${duckShingleFold("th[i:i+4]")}) AS fps
        |  FROM th),
        |inst AS (
        |  SELECT doc_id, unnest(list_transform(range(1, len(fps) + 1),
@@ -2050,8 +2049,6 @@ object Queries {
     * every token position not covered by an extent of its document
     * survives; kept tokens re-join by position order. */
   private lazy val q80Oracle: String = {
-    def fold(win: String) =
-      s"list_reduce(list_prepend(0::BIGINT, $win), (acc, h) -> (acc * 1000003 + h) % $Mod40)"
     s"""WITH toks AS (
        |  SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), t -> t != '') AS ts
        |  FROM documents),
@@ -2059,7 +2056,7 @@ object Queries {
        |  SELECT doc_id, list_transform(ts, tok -> ${duckPolyHash("tok", 1L << 31)}) AS th
        |  FROM toks WHERE len(ts) >= 5),
        |f AS (
-       |  SELECT doc_id, list_transform(range(1, len(th) - 3), i -> ${fold("th[i:i+4]")}) AS fps
+       |  SELECT doc_id, list_transform(range(1, len(th) - 3), i -> ${duckShingleFold("th[i:i+4]")}) AS fps
        |  FROM th),
        |inst AS (
        |  SELECT doc_id, unnest(list_transform(range(1, len(fps) + 1),
@@ -2103,8 +2100,6 @@ object Queries {
   /** q83 oracle: span contamination — 8-token window fingerprints, the
     * src0 slice's distinct fp set, per-doc leaked-window counts. */
   private lazy val q83Oracle: String = {
-    def fold(win: String) =
-      s"list_reduce(list_prepend(0::BIGINT, $win), (acc, h) -> (acc * 1000003 + h) % $Mod40)"
     s"""WITH toks AS (
        |  SELECT doc_id, source,
        |    list_filter(string_split(lower(trim(text)), ' '), t -> t != '') AS ts
@@ -2115,7 +2110,7 @@ object Queries {
        |  FROM toks WHERE len(ts) >= 8),
        |f AS (
        |  SELECT doc_id, source,
-       |    list_transform(range(1, len(th) - 6), i -> ${fold("th[i:i+7]")}) AS fps
+       |    list_transform(range(1, len(th) - 6), i -> ${duckShingleFold("th[i:i+7]")}) AS fps
        |  FROM th),
        |inst AS (SELECT doc_id, source, unnest(fps) AS fp FROM f),
        |ev AS (SELECT DISTINCT fp FROM inst WHERE source = 'src0')
@@ -2128,8 +2123,6 @@ object Queries {
     * fingerprints from the shared fold, fp join, alignment-offset vote
     * count == windows-per-passage (6 for 10-token passages at width 5). */
   private lazy val q82Oracle: String = {
-    def fold(win: String) =
-      s"list_reduce(list_prepend(0::BIGINT, $win), (acc, h) -> (acc * 1000003 + h) % $Mod40)"
     s"""WITH toks AS (
        |  SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), t -> t != '') AS ts
        |  FROM documents),
@@ -2137,7 +2130,7 @@ object Queries {
        |  SELECT doc_id, list_transform(ts, tok -> ${duckPolyHash("tok", 1L << 31)}) AS th
        |  FROM toks WHERE len(ts) >= 5),
        |f AS (
-       |  SELECT doc_id, list_transform(range(1, len(th) - 3), i -> ${fold("th[i:i+4]")}) AS fps
+       |  SELECT doc_id, list_transform(range(1, len(th) - 3), i -> ${duckShingleFold("th[i:i+4]")}) AS fps
        |  FROM th),
        |cf AS (
        |  SELECT doc_id, u.pos::BIGINT AS pos, u.fp AS fp FROM (
@@ -2152,7 +2145,7 @@ object Queries {
        |  SELECT qid, u.qpos::BIGINT AS qpos, u.fp AS fp FROM (
        |    SELECT qid, unnest(list_transform(range(1, 7),
        |      i -> {'qpos': i, 'fp': list_transform(range(1, len(th) - 3),
-       |        j -> ${fold("th[j:j+4]")})[i]})) AS u
+       |        j -> ${duckShingleFold("th[j:j+4]")})[i]})) AS u
        |    FROM qth) t),
        |votes AS (
        |  SELECT q.qid, c.doc_id, c.pos - q.qpos AS off, count(*) AS v

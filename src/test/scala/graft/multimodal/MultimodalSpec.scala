@@ -126,6 +126,13 @@ class MultimodalSpec extends SparkSpec {
     // not RIFF at all
     assert(Multimodal.parseWavHeader("RIFFnope".getBytes("UTF-8") ++ wav).isEmpty)
     assert(Multimodal.parseWavHeader(null).isEmpty)
+    // hostile chunk size near Int.MaxValue must walk off the end
+    // cleanly (None), not overflow into a negative array index
+    val hostile = "RIFF".getBytes("ISO-8859-1") ++ Array[Byte](0, 0, 0, 0) ++
+      "WAVE".getBytes("ISO-8859-1") ++ "LIST".getBytes("ISO-8859-1") ++
+      Array[Byte](0xF0.toByte, 0xFF.toByte, 0xFF.toByte, 0x7F) ++ // 0x7FFFFFF0 LE
+      Array.fill(32)(0.toByte)
+    assert(Multimodal.parseWavHeader(hostile).isEmpty)
   }
 
   test("synthesized WAV headers round-trip through the parser") {
@@ -163,6 +170,12 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseMp4Header(mp4.drop(20)).isEmpty)
     assert(Multimodal.parseMp4Header(null).isEmpty)
     assert(Multimodal.parseMp4Header("RIFF....WAVE".getBytes("ISO-8859-1")).isEmpty)
+    // capture truncated right after a tkhd box header: empty body must
+    // parse as no-video (None), not crash on the version-byte read
+    val ftyp = box("ftyp", "isom".getBytes("ISO-8859-1") ++ u32(0L))
+    val truncated = ftyp ++ box("moov", mvhdV1 ++ box("trak", u32(8L) ++
+      "tkhd".getBytes("ISO-8859-1")))
+    assert(Multimodal.parseMp4Header(truncated).isEmpty)
   }
 
   test("synthesized MP4 headers round-trip through the parser") {
