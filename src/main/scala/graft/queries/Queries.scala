@@ -1131,6 +1131,16 @@ object Queries {
       .withColumnRenamed("id", "doc_id")
   }
 
+  /** Corpus-drift audit through the gate: token-distribution KL(src0 ‖
+    * rest) in integer millinats — counts, full-outer vocabulary join,
+    * add-1 smoothing, per-token floored log-ratio, integer mean. */
+  def q84CorpusDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    graft.text.CorpusStats.tokenKlDivergence(
+      docs.where(col("source") === "src0"),
+      docs.where(col("source") =!= "src0"), "text")
+  }
+
   /** Span excision through the gate: q76's duplicated extents excised
     * from every document — detection and rewrite verified together,
     * token-for-token (kept tokens re-joined, counts reconciled). */
@@ -2119,6 +2129,33 @@ object Queries {
        |GROUP BY i.doc_id""".stripMargin
   }
 
+  /** q84 oracle: the KL audit — token counts per side, full-outer
+    * vocabulary join, the same smoothed floored log-ratio, flooring
+    * integer division (DuckDB's `//` floors; the engine pmod-adjusts
+    * to match on negative sums). */
+  private lazy val q84Oracle: String =
+    s"""WITH ta AS (
+       |  SELECT unnest(list_filter(string_split(lower(trim(text)), ' '), x -> x != '')) AS tok
+       |  FROM documents WHERE source = 'src0'),
+       |tb AS (
+       |  SELECT unnest(list_filter(string_split(lower(trim(text)), ' '), x -> x != '')) AS tok
+       |  FROM documents WHERE source <> 'src0'),
+       |ca AS (SELECT tok, count(*) AS c FROM ta GROUP BY tok),
+       |cb AS (SELECT tok, count(*) AS d FROM tb GROUP BY tok),
+       |j AS (
+       |  SELECT coalesce(c, 0) AS c, coalesce(d, 0) AS d
+       |  FROM ca FULL OUTER JOIN cb USING (tok)),
+       |t AS (SELECT count(*) AS v, sum(c) AS na, sum(d) AS nb FROM j),
+       |s AS (
+       |  SELECT j.c,
+       |    floor(1000.0 * ln((j.c * (t.nb + t.v))::DOUBLE
+       |      / (t.na * (j.d + 1))::DOUBLE))::BIGINT AS si
+       |  FROM j, t WHERE j.c > 0)
+       |SELECT t.na::BIGINT AS n_tokens_a, t.nb::BIGINT AS n_tokens_b,
+       |  t.v::BIGINT AS vocab,
+       |  ((SELECT sum(c * si) FROM s) // t.na)::BIGINT AS kl_milli
+       |FROM t""".stripMargin
+
   /** q82 oracle: passage search — corpus and passage window
     * fingerprints from the shared fold, fp join, alignment-offset vote
     * count == windows-per-passage (6 for 10-token passages at width 5). */
@@ -2330,7 +2367,8 @@ object Queries {
     "q80_excise_spans" -> (q80ExciseSpans _),
     "q81_video_headers" -> (q81VideoHeaders _),
     "q82_passage_search" -> (q82PassageSearch _),
-    "q83_span_contamination" -> (q83SpanContamination _))
+    "q83_span_contamination" -> (q83SpanContamination _),
+    "q84_corpus_divergence" -> (q84CorpusDivergence _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2530,6 +2568,7 @@ object Queries {
     "q80_excise_spans" -> q80Oracle,
     "q82_passage_search" -> q82Oracle,
     "q83_span_contamination" -> q83Oracle,
+    "q84_corpus_divergence" -> q84Oracle,
     "q81_video_headers" ->
       """SELECT doc_id AS media_id, 'mp4' AS format,
         |  ((doc_id % 3) * 320 + 640)::INTEGER AS width,

@@ -157,6 +157,48 @@ object CorpusStats {
           floor(coalesce(col("hits"), lit(0L)) * lit(10000.0) / col("n_shingles")))
           .otherwise(0L).cast("long").as("boilerplate_bp"))
   }
+  /** Token-distribution KL divergence KL(A‖B) between two corpora, in
+    * floor-scaled integer millinats — the "did the new crawl drift from
+    * the reference corpus" / "how far is this source from the mix"
+    * audit. Add-1 smoothing on the B side keeps tokens unseen in B
+    * finite (q(tok) = (d+1)/(N_b+V) over the joint vocabulary), so the
+    * divergence is defined for any pair of corpora.
+    *
+    * Reproducibility: per-token contribution
+    * s = ⌊1000·ln( c·(N_b+V) / (N_a·(d+1)) )⌋ is the floor of the log
+    * of a ratio of exact integers (q44's cross-engine discipline);
+    * kl_milli = ⌊Σ c·s / N_a⌋ in pure integer arithmetic. Integer
+    * products stay double-exact below 2^53 — beyond that (trillions of
+    * tokens) split the log into ln(c)+ln(N_b+V)−ln(N_a)−ln(d+1).
+    * Output (one row): (n_tokens_a, n_tokens_b, vocab, kl_milli).
+    *
+    * Scale shape: two token-count hash aggs (map-side combined), one
+    * full outer join on the token (vocabulary-sized frames, not
+    * postings), one single-row totals agg broadcast back, one final
+    * agg. Nothing postings-sized rides more than its own count agg. */
+  def tokenKlDivergence(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    def counts(df: DataFrame, out: String) =
+      df.select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as(out))
+    val joined = counts(a, "c").join(counts(b, "d"), Seq("tok"), "full_outer")
+      .select(coalesce(col("c"), lit(0L)).as("c"), coalesce(col("d"), lit(0L)).as("d"))
+    val totals = joined.agg(count(lit(1)).as("v"),
+      sum(col("c")).as("na"), sum(col("d")).as("nb"))
+    joined.where(col("c") > 0).crossJoin(broadcast(totals))
+      .select(col("c"), col("na"), col("nb"), col("v"),
+        floor(lit(1000.0) * log(
+          (col("c") * (col("nb") + col("v"))).cast("double") /
+            (col("na") * (col("d") + lit(1L))).cast("double")))
+          .cast("long").as("si"))
+      .groupBy(col("na"), col("nb"), col("v"))
+      .agg(sum(col("c") * col("si")).as("ssum"))
+      .select(col("na").as("n_tokens_a"), col("nb").as("n_tokens_b"),
+        col("v").as("vocab"),
+        // floor division on a possibly-negative sum: pmod-adjusted,
+        // matching DuckDB's flooring `//`
+        expr("(ssum - pmod(ssum, na)) div na").as("kl_milli"))
+  }
+
   /** Bigram conditional surprisal — the next-token upgrade of
     * [[unigramSurprisal]]: per document, the mean of
     * −ln P(tok | prev) = ln(c(prev,·) / c(prev,tok)) over its bigram

@@ -51,4 +51,31 @@ class CorpusStatsSpec extends SparkSpec {
     // "solo" < 3 tokens → one whole-doc fingerprint, df = 3 → boilerplate
     assert(byId(2L) == (1L, 10000L))
   }
+
+  test("token KL divergence: matches an independent driver-side replica and orders sanely") {
+    val a = Seq((1L, "x x x y"), (2L, "x y z")).toDF("doc_id", "text")
+    val b = Seq((3L, "x y y y"), (4L, "y z w")).toDF("doc_id", "text")
+    def replica(ac: Map[String, Long], bc: Map[String, Long]): (Long, Long, Long, Long) = {
+      val na = ac.values.sum; val nb = bc.values.sum
+      val v = (ac.keySet ++ bc.keySet).size.toLong
+      val ssum = ac.map { case (tok, c) =>
+        val d = bc.getOrElse(tok, 0L)
+        c * math.floor(1000.0 * math.log(
+          (c * (nb + v)).toDouble / (na * (d + 1)).toDouble)).toLong
+      }.sum
+      (na, nb, v, Math.floorDiv(ssum, na))
+    }
+    val got = CorpusStats.tokenKlDivergence(a, b, "text").head()
+    val exp = replica(Map("x" -> 4L, "y" -> 2L, "z" -> 1L),
+      Map("x" -> 1L, "y" -> 4L, "z" -> 1L, "w" -> 1L))
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3)) == exp)
+
+    // a corpus against itself diverges (near-)zero; disjoint-vocabulary
+    // corpora diverge far more
+    val self = CorpusStats.tokenKlDivergence(a, a, "text").head().getLong(3)
+    val disjoint = CorpusStats.tokenKlDivergence(a,
+      Seq((9L, "p q r s t u")).toDF("doc_id", "text"), "text").head().getLong(3)
+    assert(math.abs(self) < 400, s"self-KL should be near zero, got $self")
+    assert(disjoint > self + 500, s"disjoint-vocab KL ($disjoint) must dominate self ($self)")
+  }
 }
