@@ -1141,6 +1141,16 @@ object Queries {
       docs.where(col("source") =!= "src0"), "text")
   }
 
+  /** Drift triage through the gate: the 25 tokens driving KL(src0 ‖
+    * rest), ranked by absolute integer contribution (total, ties on
+    * token) — distributed top-k, no global sort. */
+  def q85DivergingTokens(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    graft.text.CorpusStats.topDivergingTokens(
+      docs.where(col("source") === "src0"),
+      docs.where(col("source") =!= "src0"), "text", k = 25)
+  }
+
   /** Span excision through the gate: q76's duplicated extents excised
     * from every document — detection and rewrite verified together,
     * token-for-token (kept tokens re-joined, counts reconciled). */
@@ -2156,6 +2166,30 @@ object Queries {
        |  ((SELECT sum(c * si) FROM s) // t.na)::BIGINT AS kl_milli
        |FROM t""".stripMargin
 
+  /** q85 oracle: the drift-triage view — same contribution arithmetic
+    * as q84, ranked by |c·s| desc then token. */
+  private lazy val q85Oracle: String =
+    s"""WITH ta AS (
+       |  SELECT unnest(list_filter(string_split(lower(trim(text)), ' '), x -> x != '')) AS tok
+       |  FROM documents WHERE source = 'src0'),
+       |tb AS (
+       |  SELECT unnest(list_filter(string_split(lower(trim(text)), ' '), x -> x != '')) AS tok
+       |  FROM documents WHERE source <> 'src0'),
+       |ca AS (SELECT tok, count(*) AS c FROM ta GROUP BY tok),
+       |cb AS (SELECT tok, count(*) AS d FROM tb GROUP BY tok),
+       |j AS (
+       |  SELECT tok, coalesce(c, 0) AS c, coalesce(d, 0) AS d
+       |  FROM ca FULL OUTER JOIN cb USING (tok)),
+       |t AS (SELECT count(*) AS v, sum(c) AS na, sum(d) AS nb FROM j),
+       |s AS (
+       |  SELECT j.tok, j.c, j.d,
+       |    j.c * floor(1000.0 * ln((j.c * (t.nb + t.v))::DOUBLE
+       |      / (t.na * (j.d + 1))::DOUBLE))::BIGINT AS cs
+       |  FROM j, t WHERE j.c > 0)
+       |SELECT row_number() OVER (ORDER BY abs(cs) DESC, tok ASC) AS rank,
+       |  tok AS token, c AS c_a, d AS c_b, cs AS contribution
+       |FROM s ORDER BY abs(cs) DESC, tok ASC LIMIT 25""".stripMargin
+
   /** q82 oracle: passage search — corpus and passage window
     * fingerprints from the shared fold, fp join, alignment-offset vote
     * count == windows-per-passage (6 for 10-token passages at width 5). */
@@ -2368,7 +2402,8 @@ object Queries {
     "q81_video_headers" -> (q81VideoHeaders _),
     "q82_passage_search" -> (q82PassageSearch _),
     "q83_span_contamination" -> (q83SpanContamination _),
-    "q84_corpus_divergence" -> (q84CorpusDivergence _))
+    "q84_corpus_divergence" -> (q84CorpusDivergence _),
+    "q85_diverging_tokens" -> (q85DivergingTokens _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2569,6 +2604,7 @@ object Queries {
     "q82_passage_search" -> q82Oracle,
     "q83_span_contamination" -> q83Oracle,
     "q84_corpus_divergence" -> q84Oracle,
+    "q85_diverging_tokens" -> q85Oracle,
     "q81_video_headers" ->
       """SELECT doc_id AS media_id, 'mp4' AS format,
         |  ((doc_id % 3) * 320 + 640)::INTEGER AS width,

@@ -199,6 +199,38 @@ object CorpusStats {
         expr("(ssum - pmod(ssum, na)) div na").as("kl_milli"))
   }
 
+  /** The tokens driving KL(A‖B) — [[tokenKlDivergence]]'s companion
+    * triage view: top-k tokens by absolute smoothed log-ratio
+    * contribution c·s (positive = over-represented in A, negative =
+    * under-represented). Output: (rank, token, c_a, c_b,
+    * contribution_milli·N_a — i.e. the un-normalized integer c·s).
+    * Ranking (|c·s| desc, token asc) is total and reproducible. */
+  def topDivergingTokens(a: DataFrame, b: DataFrame, textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    def counts(df: DataFrame, out: String) =
+      df.select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as(out))
+    val joined = counts(a, "c").join(counts(b, "d"), Seq("tok"), "full_outer")
+      .select(col("tok"), coalesce(col("c"), lit(0L)).as("c"),
+        coalesce(col("d"), lit(0L)).as("d"))
+    val totals = joined.agg(count(lit(1)).as("v"),
+      sum(col("c")).as("na"), sum(col("d")).as("nb"))
+    val contrib = joined.where(col("c") > 0).crossJoin(broadcast(totals))
+      .select(col("tok"), col("c"), col("d"),
+        (col("c") * floor(lit(1000.0) * log(
+          (col("c") * (col("nb") + col("v"))).cast("double") /
+            (col("na") * (col("d") + lit(1L))).cast("double")))
+          .cast("long")).as("cs"))
+    // distributed top-k first (TakeOrdered — no global sort partition),
+    // THEN the rank window over the k survivors only
+    val top = contrib.orderBy(abs(col("cs")).desc, col("tok").asc).limit(k)
+    val w = Window.orderBy(abs(col("cs")).desc, col("tok").asc)
+    top.withColumn("rank", row_number().over(w))
+      .select(col("rank").cast("long").as("rank"), col("tok").as("token"),
+        col("c").as("c_a"), col("d").as("c_b"), col("cs").as("contribution"))
+  }
+
   /** Bigram conditional surprisal — the next-token upgrade of
     * [[unigramSurprisal]]: per document, the mean of
     * −ln P(tok | prev) = ln(c(prev,·) / c(prev,tok)) over its bigram

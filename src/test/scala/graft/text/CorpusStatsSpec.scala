@@ -78,4 +78,17 @@ class CorpusStatsSpec extends SparkSpec {
     assert(math.abs(self) < 400, s"self-KL should be near zero, got $self")
     assert(disjoint > self + 500, s"disjoint-vocab KL ($disjoint) must dominate self ($self)")
   }
+
+  test("top diverging tokens: the planted A-only token ranks first, ranking is total") {
+    // 'aaa' appears 10x in A and never in B — the dominant contributor
+    val a = Seq((1L, ("aaa " * 10).trim + " shared shared shared")).toDF("doc_id", "text")
+    val b = Seq((2L, "shared shared shared other other")).toDF("doc_id", "text")
+    val top = CorpusStats.topDivergingTokens(a, b, "text", k = 10).collect()
+    assert(top.head.getAs[String]("token") == "aaa")
+    assert(top.head.getAs[Long]("rank") == 1L)
+    assert(top.head.getAs[Long]("c_a") == 10L && top.head.getAs[Long]("c_b") == 0L)
+    // only A-side tokens appear, ranks are 1..n without gaps
+    assert(top.map(_.getAs[Long]("rank")).toSeq == (1L to top.length).toSeq)
+    assert(top.forall(_.getAs[Long]("c_a") > 0))
+  }
 }
