@@ -235,6 +235,41 @@ class DedupSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("shorter than shingleSize")), e.toString)
   }
 
+  test("duplicated spans: randomized partitioning/order invariance") {
+    val rnd = new scala.util.Random(7)
+    // random corpus with planted shared phrases at random positions
+    val phrase = "common shared phrase tokens here"
+    val docs = (0 until 60).map { i =>
+      val words = Seq.fill(5 + rnd.nextInt(20))(s"w${rnd.nextInt(40)}")
+      val text =
+        if (i % 3 == 0) {
+          val cut = rnd.nextInt(words.length + 1)
+          (words.take(cut) ++ Seq(phrase) ++ words.drop(cut)).mkString(" ")
+        } else words.mkString(" ")
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    def spans(df: org.apache.spark.sql.DataFrame) =
+      Dedup.duplicatedSpans(df, "doc_id", "text", spanTokens = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val base = spans(docs)
+    assert(base.nonEmpty, "planted phrases must produce extents")
+    assert(spans(docs.repartition(7)) == base)
+    assert(spans(docs.orderBy($"doc_id".desc)) == base)
+  }
+
+  test("passage search: every real document rediscovers itself at position 1") {
+    val real = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "documents")
+    val k = 6
+    val passages = real.select($"doc_id".as("query_id"), $"text".as("qtext"))
+      .where(size(graft.text.TextFunctions.tokens($"qtext")) >= k)
+    val hits = Dedup.passageSearch(real, "doc_id", "text",
+        passages, "query_id", "qtext", shingleSize = k)
+      .where($"query_id" === $"doc_id" && $"match_pos" === 1L)
+    assert(hits.count() == passages.count(),
+      "self-containment: each passage-as-full-document must match itself at pos 1")
+  }
+
   test("duplicated spans: extents stay in-bounds and >= spanTokens on the real corpus") {
     val real = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "documents")
     val k = 5
