@@ -235,6 +235,21 @@ class DedupSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("shorter than shingleSize")), e.toString)
   }
 
+  test("span operators plan without nested loops or cartesian products") {
+    val real = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "documents")
+    val passages = Seq((1L, "some passage tokens to look for")).toDF("query_id", "qtext")
+    val plans = Seq(
+      Dedup.duplicatedSpans(real, "doc_id", "text", 5),
+      Dedup.passageSearch(real, "doc_id", "text", passages, "query_id", "qtext", 5),
+      Dedup.spanContamination(real, "doc_id", "text",
+        real.where($"source" === "src0"), "text", 8))
+      .map(_.queryExecution.executedPlan.toString)
+    for (plan <- plans) {
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    }
+  }
+
   test("duplicated spans: randomized partitioning/order invariance") {
     val rnd = new scala.util.Random(7)
     // random corpus with planted shared phrases at random positions
