@@ -1,0 +1,47 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Whole-catalog plan hygiene: every gate query's physical plan is free
+  * of unbounded join shapes (CartesianProduct, BroadcastNestedLoopJoin)
+  * unless it is on the documented allowlist of intentional uses — the
+  * regression net that keeps a future refactor from silently turning a
+  * bucketed candidate join back into all-pairs. Plans are compiled
+  * against sf0.001 (no execution: `executedPlan` resolves the initial
+  * physical plan only). */
+class PlanHygieneSpec extends SparkSpec {
+
+  /** Queries with an INTENTIONAL nested-loop/cartesian component, each
+    * with the reason it is bounded. */
+  private val allow: Map[String, String] = Map(
+    "q08_containment_join" -> "reference J1 theta-join: both sides are post-agg summaries, broadcast NLJ is the plan",
+    "q18_semi_anti" -> "EXISTS-shape theta semi-join over broadcast summary side",
+    "q24_embedding_neardup" -> "labeled exact small-n baseline (all-pairs by definition)",
+    "q25_ann_topk" -> "brute-force baseline: broadcast query batch x corpus",
+    "q37_source_similarity" -> "<=64 sources: pairwise sketch compare over a broadcast tiny frame",
+    "q39_contamination" -> "<=64 sources: bitmask pair expansion over a tiny collected list",
+    "q45_curation_core" -> "single-row totals crossJoin",
+    "q58_quantized_topk" -> "broadcast query batch coarse scan (bounded by query count)",
+    "q67_dataset_card" -> "single-row aggregate crossJoins (plan-asserted join-free otherwise)",
+    "q38_ivf_topk" -> "broadcast centroid list + query batch (both tiny by construction)",
+    "q44_tfidf_terms" -> "crossJoin(broadcast(n)): single-row group-count total",
+    "q51_surprisal" -> "crossJoin(broadcast(total)): single-row corpus token total",
+    "q60_diversity_sample" -> "IVF assignment: broadcast centroid list per vector",
+    "q66_funnel" -> "three single-row stage-count aggregates crossJoined",
+    "q72_cell_neardup" -> "IVF assignment: broadcast centroid list per vector",
+    "q84_corpus_divergence" -> "crossJoin(broadcast(totals)): single-row (v, na, nb)",
+    "q85_diverging_tokens" -> "crossJoin(broadcast(totals)): single-row (v, na, nb)")
+
+  test("no unbounded join shapes outside the allowlist (85-query catalog)") {
+    val dir = "/root/testdata/sf0.001"
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((name, fn) <- Queries.all.toSeq.sortBy(_._1)) {
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      val bad = plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin")
+      if (bad && !allow.contains(name)) offenders += name
+    }
+    assert(offenders.isEmpty,
+      s"unbounded join shapes in: ${offenders.mkString(", ")} — either fix the plan " +
+        "or document the bound in PlanHygieneSpec.allow")
+  }
+}
