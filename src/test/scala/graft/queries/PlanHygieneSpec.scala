@@ -32,6 +32,13 @@ class PlanHygieneSpec extends SparkSpec {
     "q84_corpus_divergence" -> "crossJoin(broadcast(totals)): single-row (v, na, nb)",
     "q85_diverging_tokens" -> "crossJoin(broadcast(totals)): single-row (v, na, nb)")
 
+  test("every gate query carries an oracle (q36 rows-only by design), no orphans") {
+    assert(Queries.all.keySet -- Queries.oracle.keySet == Set("q36_approx_distinct"),
+      "a query without an oracle entry gets only the weak rows-only check")
+    assert((Queries.oracle.keySet -- Queries.all.keySet).isEmpty,
+      "orphan oracle entries never run and rot silently")
+  }
+
   test("no unbounded join shapes outside the allowlist (85-query catalog)") {
     val dir = "/root/testdata/sf0.001"
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
