@@ -36,11 +36,18 @@ object Snapshot {
     // added+removed — fail loudly instead (deterministicSplit's guard).
     // Id uniqueness per snapshot is the documented contract; duplicates
     // fan the join out multiplicatively.
+    //
+    // The guard is a FILTER, not a projection wrapper: wrapping the id in
+    // CASE WHEN would make the join key a derived expression, which
+    // disables bucketed scans and forces both snapshots to re-shuffle —
+    // exactly the exchange the bucketed-lake path exists to avoid
+    // (BucketedSpec pins the zero-exchange plan).
     def keyed(df: DataFrame, side: String) =
-      df.select(
-        when(col(idCol).cast("long").isNull,
-          raise_error(lit(s"Snapshot.diff: NULL or non-numeric id in '$idCol'")))
-          .otherwise(col(idCol).cast("long")).as("doc_id"),
+      // try_cast: under ANSI mode a plain cast of a malformed id throws
+      // its own opaque CAST_INVALID_INPUT before the guard runs
+      df.where(when(col(idCol).try_cast("long").isNotNull, lit(true))
+          .otherwise(raise_error(lit(s"Snapshot.diff: NULL or non-numeric id in '$idCol'"))))
+        .select(col(idCol).try_cast("long").as("doc_id"),
         TextFunctions.fingerprint(col(textCol)).as(s"${side}_fp"),
         TextFunctions.normalizedLength(col(textCol)).as(s"${side}_nl"),
         lit(1).as(s"${side}_p"))

@@ -71,4 +71,21 @@ class SnapshotSpec extends SparkSpec {
       .distinct().count()
     assert(summary.values.sum == unionIds)
   }
+
+  test("diff raises on NULL and non-numeric ids instead of double-reporting") {
+    val good = Seq((1L, "a")).toDF("doc_id", "text")
+    val nullId = Seq((java.lang.Long.valueOf(1L), "a"), (null.asInstanceOf[java.lang.Long], "b"))
+      .toDF("doc_id", "text")
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val e1 = intercept[Exception] {
+      Snapshot.diff(nullId, good, "doc_id", "text").collect()
+    }
+    assert(messages(e1).exists(_.contains("NULL or non-numeric")), e1.toString)
+    val strId = Seq(("not-a-number", "a")).toDF("doc_id", "text")
+    val e2 = intercept[Exception] {
+      Snapshot.diff(good, strId, "doc_id", "text").collect()
+    }
+    assert(messages(e2).exists(_.contains("NULL or non-numeric")), e2.toString)
+  }
 }
