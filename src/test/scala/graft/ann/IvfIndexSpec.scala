@@ -1,0 +1,73 @@
+package graft.ann
+
+import graft.SparkSpec
+import graft.io.Lake
+import org.apache.spark.sql.functions._
+
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = graft.queries.Queries
+    .tbl(spark, "/root/testdata/sf0.001", "embeddings")
+
+  test("persisted-index probe == fresh probe, and only probe cells are read") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+    try {
+      val cents = corpus.where(pmod($"vec_id", lit(10)) === 0)
+        .select($"vec_id".cast("long").as("cid"), $"embedding".as("cvec"))
+      val queries = corpus.where($"vec_id" < 3)
+      val k = 10; val nProbe = 2
+
+      val fresh = Ann.ivfProbeTopK(queries,
+          Ann.ivfAssign(corpus, "vec_id", "embedding", cents), cents,
+          "vec_id", "embedding", k, nProbe)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(fresh.nonEmpty)
+
+      IvfIndex.write(corpus, "vec_id", "embedding", cents, dir)
+      val persisted = IvfIndex.probeTopK(spark, dir, queries, "vec_id", "embedding", k, nProbe)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(persisted == fresh, "persisted-index probe must equal fresh probe")
+
+      // partition pruning is real: count files ACTUALLY opened via the
+      // executed scan's numFiles metric (inputFiles lists the base
+      // relation and ignores filters)
+      def filesScanned(df: org.apache.spark.sql.DataFrame): Long = {
+        // execute THIS frame's own plan (df.count() would build and run
+        // a separate aggregate plan, leaving these metrics untouched)
+        df.queryExecution.toRdd.count()
+        import org.apache.spark.sql.execution._
+        def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+          case a: adaptive.AdaptiveSparkPlanExec => scans(a.executedPlan)
+          case f: FileSourceScanExec => Seq(f)
+          case other => other.children.flatMap(scans)
+        }
+        scans(df.queryExecution.executedPlan).map(_.metrics("numFiles").value).sum
+      }
+      val nCells = IvfIndex.cells(spark, dir).select($"cell").distinct().count()
+      val probedCells = queries.count() * nProbe // upper bound on distinct probe cells
+      assert(nCells > probedCells,
+        s"fixture degenerate: $nCells cells vs $probedCells probed — grow the corpus")
+      val allFiles = filesScanned(IvfIndex.cells(spark, dir))
+      val probeUnion = {
+        // reconstruct the pruned frame the probe used
+        val scored = queries.select($"vec_id".as("query_id"), $"embedding".as("q_vec"))
+          .crossJoin(broadcast(cents))
+          .select($"query_id", $"cid", Ann.dot($"q_vec", $"cvec").as("d"))
+        val pw = org.apache.spark.sql.expressions.Window
+          .partitionBy($"query_id").orderBy($"d".desc, $"cid".asc)
+        scored.withColumn("prn", row_number().over(pw)).where($"prn" <= nProbe)
+          .select($"cid").distinct().collect().map(_.getLong(0))
+      }
+      assert(probeUnion.nonEmpty && probeUnion.length <= probedCells)
+      val prunedFiles = filesScanned(IvfIndex.prunedCells(spark, dir, probeUnion.toSeq))
+      assert(prunedFiles < allFiles,
+        s"pruned read ($prunedFiles files) must open fewer than the full index ($allFiles)")
+      assert(prunedFiles > 0)
+    } finally {
+      Lake.delete(spark, dir)
+    }
+  }
+}
