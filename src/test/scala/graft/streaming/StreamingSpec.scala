@@ -131,6 +131,38 @@ class StreamingSpec extends SparkSpec {
     } finally { qh.stop(); qc.stop() }
   }
 
+  test("streaming span contamination equals batch (static eval fp set, bounded state)") {
+    // the n-gram decontamination check runs unchanged over a document
+    // stream: the eval window-fp set is a static broadcast build side
+    // and the per-doc leak count is a stateful agg whose state is
+    // bounded by the number of CONTAMINATED documents, not the corpus.
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val docs = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"source", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val docsDf = docs.toDF("doc_id", "source", "text")
+    val eval = docsDf.where($"source" === "src0").select($"text")
+    def leakSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = leakSet(graft.dedup.Dedup.spanContamination(
+      docsDf, "doc_id", "text", eval, "text", spanTokens = 8))
+    assert(batch.nonEmpty)
+
+    val input = MemoryStream[(Long, String, String)]
+    val sdf = input.toDF().toDF("doc_id", "source", "text")
+    val q = graft.dedup.Dedup.spanContamination(sdf, "doc_id", "text", eval, "text", 8)
+      .writeStream.format("memory").queryName("leak_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData(docs.take(200))
+      q.processAllAvailable()
+      input.addData(docs.drop(200))
+      q.processAllAvailable()
+      assert(leakSet(spark.table("leak_stream")) == batch)
+    } finally q.stop()
+  }
+
   test("sessionization: gap closes a session, emits aggregate") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Event]
