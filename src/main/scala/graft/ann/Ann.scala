@@ -201,15 +201,31 @@ object Ann {
     * cell, partition pruning skips them entirely). Recall vs brute force
     * depends on nProbe/|cells|; AnnSpec measures it. */
   def ivfProbeTopK(queries: DataFrame, cells: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame =
+    ivfProbeTopKFromProbes(
+      ivfProbes(queries, centroids, idCol, vecCol, nProbe), cells, k)
+
+  /** The probe-selection half of [[ivfProbeTopK]]: each query's
+    * `nProbe` best cells as (query_id, q_vec, cell). Exposed so a
+    * persisted-index caller can derive the probe-cell set AND run the
+    * candidate join from ONE probes frame (IvfIndex.probeTopK —
+    * recomputing it would double the scoring + window cost). */
+  def ivfProbes(queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, nProbe: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val probeScored = q.crossJoin(broadcast(centroids.select(col("cid"), col("cvec"))))
       .select(col("query_id"), col("q_vec"), col("cid"),
         dot(col("q_vec"), col("cvec")).as("d"))
     val pw = Window.partitionBy(col("query_id")).orderBy(col("d").desc, col("cid").asc)
-    val probes = probeScored.withColumn("prn", row_number().over(pw))
+    probeScored.withColumn("prn", row_number().over(pw))
       .where(col("prn") <= nProbe)
       .select(col("query_id"), col("q_vec"), col("cid").as("cell"))
+  }
+
+  /** The candidate-join half of [[ivfProbeTopK]] over a precomputed
+    * probes frame. */
+  def ivfProbeTopKFromProbes(probes: DataFrame, cells: DataFrame,
+      k: Int): DataFrame = {
     val cand = cells.join(broadcast(probes), Seq("cell"))
       .where(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"),

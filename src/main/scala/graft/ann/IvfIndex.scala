@@ -16,21 +16,36 @@ object IvfIndex {
 
   def write(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, dir: String): Unit = {
-    Lake.writeParquet(centroids, s"$dir/centroids")
-    Ann.ivfAssign(corpus, idCol, vecCol, centroids)
+    // normalize cid to long on the way in: probeTopK collects cids as
+    // longs, and an int-typed caller frame would persist fine but crash
+    // every later probe
+    val cents = centroids.select(col("cid").cast("long").as("cid"), col("cvec"))
+    Lake.writeParquet(cents, s"$dir/centroids")
+    Ann.ivfAssign(corpus, idCol, vecCol, cents)
       .write.mode(SaveMode.Overwrite)
       .option("compression", "snappy")
       .partitionBy("cell")
       .parquet(s"$dir/cells")
   }
 
-  def centroids(spark: SparkSession, dir: String): DataFrame =
+  /** Fail loudly on a wrong/unwritten dir — Lake's missing-path
+    * contract would otherwise surface as an opaque unresolved-column
+    * error on the empty schemaless frame. */
+  private def requireIndex(spark: SparkSession, dir: String): Unit =
+    require(Lake.exists(spark, s"$dir/centroids") && Lake.exists(spark, s"$dir/cells"),
+      s"no IVF index at '$dir' (missing centroids/ or cells/)")
+
+  def centroids(spark: SparkSession, dir: String): DataFrame = {
+    requireIndex(spark, dir)
     Lake.readParquet(spark, s"$dir/centroids")
+  }
 
   /** The full cell frame (partition column restored to long). */
-  def cells(spark: SparkSession, dir: String): DataFrame =
+  def cells(spark: SparkSession, dir: String): DataFrame = {
+    requireIndex(spark, dir)
     Lake.readParquet(spark, s"$dir/cells")
       .withColumn("cell", col("cell").cast("long"))
+  }
 
   /** Cell read restricted to `cellIds` — the filter runs on the RAW
     * inferred partition column (casting the column first would wrap it
@@ -38,6 +53,7 @@ object IvfIndex {
     * asserts via inputFiles that pruning actually engages), with the
     * long restore applied after. */
   def prunedCells(spark: SparkSession, dir: String, cellIds: Seq[Long]): DataFrame = {
+    requireIndex(spark, dir)
     val raw = Lake.readParquet(spark, s"$dir/cells")
     val lits: Seq[Any] = raw.schema("cell").dataType match {
       case org.apache.spark.sql.types.IntegerType => cellIds.map(_.toInt)
@@ -55,19 +71,14 @@ object IvfIndex {
     * set are pruned at the file listing, never scanned. */
   def probeTopK(spark: SparkSession, dir: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
-    val cents = centroids(spark, dir)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val scored = q.crossJoin(broadcast(cents.select(col("cid"), col("cvec"))))
-      .select(col("query_id"), col("cid"),
-        Ann.dot(col("q_vec"), col("cvec")).as("d"))
-    val pw = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("d").desc, col("cid").asc)
-    val probeCells = scored
-      .withColumn("prn", row_number().over(pw))
-      .where(col("prn") <= nProbe)
-      .select(col("cid")).distinct()
+    // ONE probes frame serves both the cell-list collect and the
+    // candidate join (persisted: recomputing it would run the scoring
+    // crossJoin + per-query window twice; CacheScope convention —
+    // callers release after materializing)
+    val probes = graft.ops.CacheScope.persist(
+      Ann.ivfProbes(queries, centroids(spark, dir), idCol, vecCol, nProbe))
+    val probeCells = probes.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).toSeq // ≤ |centroids| values
-    Ann.ivfProbeTopK(queries, prunedCells(spark, dir, probeCells), cents,
-      idCol, vecCol, k, nProbe)
+    Ann.ivfProbeTopKFromProbes(probes, prunedCells(spark, dir, probeCells), k)
   }
 }

@@ -44,9 +44,11 @@ object Snapshot {
     // (BucketedSpec pins the zero-exchange plan).
     def keyed(df: DataFrame, side: String) =
       // try_cast: under ANSI mode a plain cast of a malformed id throws
-      // its own opaque CAST_INVALID_INPUT before the guard runs
-      df.where(when(col(idCol).try_cast("long").isNotNull, lit(true))
-          .otherwise(raise_error(lit(s"Snapshot.diff: NULL or non-numeric id in '$idCol'"))))
+      // its own opaque CAST_INVALID_INPUT before the guard runs.
+      // assert_true(...).isNull is the codebase's fail-fast filter idiom
+      // (Ann.lshNearDupPairs): null for surviving rows, throws otherwise.
+      df.where(assert_true(col(idCol).try_cast("long").isNotNull,
+          lit(s"Snapshot.diff: NULL or non-numeric id in '$idCol'")).isNull)
         .select(col(idCol).try_cast("long").as("doc_id"),
         TextFunctions.fingerprint(col(textCol)).as(s"${side}_fp"),
         TextFunctions.normalizedLength(col(textCol)).as(s"${side}_nl"),

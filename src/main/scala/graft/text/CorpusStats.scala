@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -176,27 +176,46 @@ object CorpusStats {
     * full outer join on the token (vocabulary-sized frames, not
     * postings), one single-row totals agg broadcast back, one final
     * agg. Nothing postings-sized rides more than its own count agg. */
-  def tokenKlDivergence(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+  /** Shared by [[tokenKlDivergence]] and [[topDivergingTokens]]: the
+    * (token, c, d) full-outer vocabulary join and its single-row
+    * totals. `joined` feeds two branches — persisted via CacheScope
+    * (callers release after materializing, the library convention). */
+  private def klJoined(a: DataFrame, b: DataFrame,
+      textCol: String): (DataFrame, DataFrame) = {
     def counts(df: DataFrame, out: String) =
       df.select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as(out))
-    val joined = counts(a, "c").join(counts(b, "d"), Seq("tok"), "full_outer")
-      .select(coalesce(col("c"), lit(0L)).as("c"), coalesce(col("d"), lit(0L)).as("d"))
+    val joined = graft.ops.CacheScope.persist(
+      counts(a, "c").join(counts(b, "d"), Seq("tok"), "full_outer")
+        .select(col("tok"), coalesce(col("c"), lit(0L)).as("c"),
+          coalesce(col("d"), lit(0L)).as("d")))
     val totals = joined.agg(count(lit(1)).as("v"),
       sum(col("c")).as("na"), sum(col("d")).as("nb"))
-    joined.where(col("c") > 0).crossJoin(broadcast(totals))
-      .select(col("c"), col("na"), col("nb"), col("v"),
-        floor(lit(1000.0) * log(
-          (col("c") * (col("nb") + col("v"))).cast("double") /
-            (col("na") * (col("d") + lit(1L))).cast("double")))
-          .cast("long").as("si"))
-      .groupBy(col("na"), col("nb"), col("v"))
-      .agg(sum(col("c") * col("si")).as("ssum"))
-      .select(col("na").as("n_tokens_a"), col("nb").as("n_tokens_b"),
-        col("v").as("vocab"),
-        // floor division on a possibly-negative sum: pmod-adjusted,
-        // matching DuckDB's flooring `//`
-        expr("(ssum - pmod(ssum, na)) div na").as("kl_milli"))
+    (joined, totals)
+  }
+
+  /** Per-token smoothed floored log-ratio contribution c·s. */
+  private def klContribution: Column =
+    col("c") * floor(lit(1000.0) * log(
+      (col("c") * (col("nb") + col("v"))).cast("double") /
+        (col("na") * (col("d") + lit(1L))).cast("double"))).cast("long")
+
+  def tokenKlDivergence(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    val (joined, totals) = klJoined(a, b, textCol)
+    // aggregate contributions to ONE row regardless of input (an empty
+    // A yields ssum NULL, never zero rows — matching the oracle's
+    // always-one-row shape), then combine with the totals row
+    val ssum = joined.where(col("c") > 0).crossJoin(broadcast(totals))
+      .agg(sum(klContribution).as("ssum"))
+    totals.crossJoin(ssum).select(
+      col("na").as("n_tokens_a"), col("nb").as("n_tokens_b"),
+      col("v").as("vocab"),
+      // floor division on a possibly-negative sum: pmod-adjusted to
+      // match DuckDB's flooring `//`; guarded so na=0 yields NULL
+      // instead of an ANSI divide-by-zero
+      when(col("na") > 0 && col("ssum").isNotNull,
+        expr("(ssum - pmod(ssum, na)) div na"))
+        .otherwise(lit(null).cast("long")).as("kl_milli"))
   }
 
   /** The tokens driving KL(A‖B) — [[tokenKlDivergence]]'s companion
@@ -208,20 +227,9 @@ object CorpusStats {
   def topDivergingTokens(a: DataFrame, b: DataFrame, textCol: String,
       k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    def counts(df: DataFrame, out: String) =
-      df.select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
-        .groupBy(col("tok")).agg(count(lit(1)).as(out))
-    val joined = counts(a, "c").join(counts(b, "d"), Seq("tok"), "full_outer")
-      .select(col("tok"), coalesce(col("c"), lit(0L)).as("c"),
-        coalesce(col("d"), lit(0L)).as("d"))
-    val totals = joined.agg(count(lit(1)).as("v"),
-      sum(col("c")).as("na"), sum(col("d")).as("nb"))
+    val (joined, totals) = klJoined(a, b, textCol)
     val contrib = joined.where(col("c") > 0).crossJoin(broadcast(totals))
-      .select(col("tok"), col("c"), col("d"),
-        (col("c") * floor(lit(1000.0) * log(
-          (col("c") * (col("nb") + col("v"))).cast("double") /
-            (col("na") * (col("d") + lit(1L))).cast("double")))
-          .cast("long")).as("cs"))
+      .select(col("tok"), col("c"), col("d"), klContribution.as("cs"))
     // distributed top-k first (TakeOrdered — no global sort partition),
     // THEN the rank window over the k survivors only
     val top = contrib.orderBy(abs(col("cs")).desc, col("tok").asc).limit(k)

@@ -20,9 +20,7 @@ class PlanHygieneSpec extends SparkSpec {
     "q25_ann_topk" -> "brute-force baseline: broadcast query batch x corpus",
     "q37_source_similarity" -> "<=64 sources: pairwise sketch compare over a broadcast tiny frame",
     "q39_contamination" -> "<=64 sources: bitmask pair expansion over a tiny collected list",
-    "q45_curation_core" -> "single-row totals crossJoin",
     "q58_quantized_topk" -> "broadcast query batch coarse scan (bounded by query count)",
-    "q67_dataset_card" -> "single-row aggregate crossJoins (plan-asserted join-free otherwise)",
     "q38_ivf_topk" -> "broadcast centroid list + query batch (both tiny by construction)",
     "q44_tfidf_terms" -> "crossJoin(broadcast(n)): single-row group-count total",
     "q51_surprisal" -> "crossJoin(broadcast(total)): single-row corpus token total",
@@ -42,13 +40,19 @@ class PlanHygieneSpec extends SparkSpec {
   test("no unbounded join shapes outside the allowlist (85-query catalog)") {
     val dir = "/root/testdata/sf0.001"
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    val stale = scala.collection.mutable.ArrayBuffer.empty[String]
     for ((name, fn) <- Queries.all.toSeq.sortBy(_._1)) {
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       val bad = plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin")
       if (bad && !allow.contains(name)) offenders += name
+      // the inverse: an allowlisted query whose plan no longer carries
+      // the shape is a stale entry that could mask a future regression
+      if (!bad && allow.contains(name)) stale += name
     }
     assert(offenders.isEmpty,
       s"unbounded join shapes in: ${offenders.mkString(", ")} — either fix the plan " +
         "or document the bound in PlanHygieneSpec.allow")
+    assert(stale.isEmpty,
+      s"stale allowlist entries (plan no longer has the shape): ${stale.mkString(", ")}")
   }
 }

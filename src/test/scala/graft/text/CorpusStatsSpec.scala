@@ -79,6 +79,17 @@ class CorpusStatsSpec extends SparkSpec {
     assert(disjoint > self + 500, s"disjoint-vocab KL ($disjoint) must dominate self ($self)")
   }
 
+  test("token KL divergence: empty A still yields exactly one row (null kl)") {
+    val a = Seq((1L, "x y")).toDF("doc_id", "text")
+    val out = CorpusStats.tokenKlDivergence(a.where($"doc_id" < 0), a, "text")
+      .collect()
+    assert(out.length == 1, "the audit row must exist even with nothing to score")
+    val r = out.head
+    assert(r.isNullAt(r.fieldIndex("kl_milli")))
+    assert(r.getLong(r.fieldIndex("n_tokens_a")) == 0L)
+    assert(r.getLong(r.fieldIndex("n_tokens_b")) == 2L)
+  }
+
   test("top diverging tokens: the planted A-only token ranks first, ranking is total") {
     // 'aaa' appears 10x in A and never in B — the dominant contributor
     val a = Seq((1L, ("aaa " * 10).trim + " shared shared shared")).toDF("doc_id", "text")
