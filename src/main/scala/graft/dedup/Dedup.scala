@@ -715,6 +715,31 @@ object Dedup {
         col("n_dup_shingles"))
   }
 
+  /** Soft dedup — the keep-but-downweight alternative to dropping
+    * near-duplicates: every document gets a training weight
+    * ⌊10000 / cluster size⌋ basis points from its near-dup component
+    * (docs outside any component weigh 10000), so a cluster contributes
+    * ~one document's worth of gradient regardless of its size, without
+    * discarding intra-cluster variation. `components` is any
+    * (id, component) frame — connectedComponents output — so the same
+    * weights compose with Jaccard, MinHash, SimHash, or embedding
+    * clusters. Output: (id, cluster_size, weight_bp).
+    *
+    * Scale shape: one bounded groupBy over the component frame, one
+    * id-keyed left join back to the corpus — nothing beyond the
+    * clustering the caller already paid for. */
+  def dedupWeights(df: DataFrame, idCol: String, components: DataFrame): DataFrame = {
+    require(Seq("id", "component").forall(components.columns.contains),
+      s"components must carry (id, component), got ${components.columns.mkString(",")}")
+    val sizes = components.groupBy(col("component")).agg(count(lit(1)).as("n"))
+    val withN = components.join(sizes, "component").select(col("id"), col("n"))
+    df.select(col(idCol).as("id"))
+      .join(withN, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n"), lit(1L)).as("cluster_size"),
+        expr("10000 div coalesce(n, 1)").as("weight_bp"))
+  }
+
   /** Shingle-fingerprint postings of a corpus: (id, pos, fp) with pos
     * the 1-based token position of each k-window. Docs shorter than k
     * are absent (their whole-doc short-form fingerprint is a

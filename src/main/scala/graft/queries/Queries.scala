@@ -1131,6 +1131,17 @@ object Queries {
       .withColumnRenamed("id", "doc_id")
   }
 
+  /** Soft-dedup training weights through the gate: q43's near-dup
+    * clusters inverted into per-document weights — a cluster
+    * contributes ~one document's worth of gradient regardless of size;
+    * unclustered documents weigh 10000 bp. */
+  def q86DedupWeights(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = q43DedupClusters(spark, dir)
+      .select(col("doc_id").as("id"), col("cluster_id").as("component"))
+    graft.dedup.Dedup.dedupWeights(tbl(spark, dir, "documents"), "doc_id", clusters)
+      .withColumnRenamed("id", "doc_id")
+  }
+
   /** Corpus-drift audit through the gate: token-distribution KL(src0 ‖
     * rest) in integer millinats — counts, full-outer vocabulary join,
     * add-1 smoothing, per-token floored log-ratio, integer mean. */
@@ -1721,7 +1732,9 @@ object Queries {
     * CTE over the q21 pair set (string shingles on the oracle side, the
     * collision-free-verified hashed sets on the Spark side — same
     * pairs), min reachable id per node. */
-  private lazy val q43Oracle: String =
+  /** The q21-pair transitive closure as CTE text — shared by q43
+    * (clusters) and q86 (soft-dedup weights over those clusters). */
+  private lazy val q43Ctes: String =
     s"""WITH RECURSIVE d AS (
        |  SELECT doc_id, source,
        |         list_distinct(list_filter(string_split(lower(trim(text)), ' '), x -> x != '')) AS ws
@@ -1735,8 +1748,22 @@ object Queries {
        |reach AS (
        |  SELECT u, u AS label FROM (SELECT DISTINCT u FROM und) t
        |  UNION
-       |  SELECT und.u, r.label FROM und JOIN reach r ON und.v = r.u)
+       |  SELECT und.u, r.label FROM und JOIN reach r ON und.v = r.u)""".stripMargin
+
+  private lazy val q43Oracle: String =
+    s"""$q43Ctes
        |SELECT u AS doc_id, min(label)::BIGINT AS cluster_id FROM reach GROUP BY u""".stripMargin
+
+  /** q86 oracle: cluster sizes over the q43 closure, floored inverse
+    * weight, every document surfaced (unclustered docs weigh 10000). */
+  private lazy val q86Oracle: String =
+    s"""$q43Ctes,
+       |cl AS (SELECT u AS doc_id, min(label) AS cluster_id FROM reach GROUP BY u),
+       |sz AS (SELECT cluster_id, count(*) AS n FROM cl GROUP BY cluster_id),
+       |j AS (SELECT cl.doc_id, sz.n FROM cl JOIN sz USING (cluster_id))
+       |SELECT d0.doc_id, coalesce(j.n, 1)::BIGINT AS cluster_size,
+       |  (10000 // coalesce(j.n, 1))::BIGINT AS weight_bp
+       |FROM documents d0 LEFT JOIN j USING (doc_id)""".stripMargin
 
   /** q44 oracle: same tf/df/N aggregation, same floor-scaled score and
     * (score desc, token asc) ranking. */
@@ -2403,7 +2430,8 @@ object Queries {
     "q82_passage_search" -> (q82PassageSearch _),
     "q83_span_contamination" -> (q83SpanContamination _),
     "q84_corpus_divergence" -> (q84CorpusDivergence _),
-    "q85_diverging_tokens" -> (q85DivergingTokens _))
+    "q85_diverging_tokens" -> (q85DivergingTokens _),
+    "q86_dedup_weights" -> (q86DedupWeights _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2605,6 +2633,7 @@ object Queries {
     "q83_span_contamination" -> q83Oracle,
     "q84_corpus_divergence" -> q84Oracle,
     "q85_diverging_tokens" -> q85Oracle,
+    "q86_dedup_weights" -> q86Oracle,
     "q81_video_headers" ->
       """SELECT doc_id AS media_id, 'mp4' AS format,
         |  ((doc_id % 3) * 320 + 640)::INTEGER AS width,

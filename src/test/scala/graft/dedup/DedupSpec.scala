@@ -235,6 +235,24 @@ class DedupSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("shorter than shingleSize")), e.toString)
   }
 
+  test("dedup weights: cluster mass sums to ~10000 bp, singletons weigh full") {
+    // components: {1,2,3} one cluster, {10,11} another; 20 unclustered
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "component")
+    val corpus = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val got = Dedup.dedupWeights(corpus, "doc_id", comps)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == (3L, 3333L) && got(2L) == (3L, 3333L) && got(3L) == (3L, 3333L))
+    assert(got(10L) == (2L, 5000L) && got(11L) == (2L, 5000L))
+    assert(got(20L) == (1L, 10000L))
+    // each cluster's total weight is within one floor step of 10000 bp
+    val byCluster = Map(1L -> Seq(1L, 2L, 3L), 10L -> Seq(10L, 11L))
+    for ((_, members) <- byCluster) {
+      val total = members.map(got(_)._2).sum
+      assert(total <= 10000 && total > 10000 - members.length)
+    }
+  }
+
   test("span operators plan without nested loops or cartesian products") {
     val real = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "documents")
     val passages = Seq((1L, "some passage tokens to look for")).toDF("query_id", "qtext")
