@@ -75,8 +75,11 @@ object Bench {
         // round-over-round comparison when SPARK_GRAFT_REPEAT>2 is set
         val warm = if (warmTimes.nonEmpty) warmTimes.last else cold
         val med = if (warmTimes.nonEmpty) {
+          // true median: even counts average the two middle values —
+          // s(n/2) alone would report the SLOWER of 2 warm runs
           val s = warmTimes.sorted
-          s(s.length / 2)
+          val n = s.length
+          if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
         } else cold
         (name, cold, warm, med, ok && warmOk)
       }

@@ -442,7 +442,12 @@ object Dedup {
   private def minhashNearDupPairsImpl(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, cfg: MinHashConfig, focusCol: Option[String]): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val focus = focusCol.map(col).getOrElse(lit(true))
+    // NULL focus would silently drop the row from the probe side (its
+    // near-dups kept undetected) — raise instead, like deterministicSplit
+    val focus = focusCol.map(c =>
+      when(col(c).isNull, raise_error(
+        lit(s"minhashNearDupPairsFocused: NULL in focus column '$c'")))
+        .otherwise(col(c))).getOrElse(lit(true))
     val toks = df.select(col(idCol).as("id"),
         TextFunctions.tokens(col(textCol)).as("toks"), focus.as("__focus"))
       .repartition(parts) // small-file scans arrive as 1 partition
@@ -732,7 +737,16 @@ object Dedup {
     require(Seq("id", "component").forall(components.columns.contains),
       s"components must carry (id, component), got ${components.columns.mkString(",")}")
     val sizes = components.groupBy(col("component")).agg(count(lit(1)).as("n"))
-    val withN = components.join(sizes, "component").select(col("id"), col("n"))
+    // collapse to one row per id, raising on duplicates — a doubled id
+    // would otherwise fan out the corpus join and double-count the
+    // document's training contribution instead of down-weighting it
+    val withN = components.join(sizes, "component")
+      .groupBy(col("id")).agg(count(lit(1)).as("__c"), max(col("n")).as("n"))
+      .select(col("id"),
+        when(col("__c") > 1, raise_error(concat(
+            lit("dedupWeights: duplicate id in components frame: "),
+            col("id").cast("string"))))
+          .otherwise(col("n")).as("n"))
     df.select(col(idCol).as("id"))
       .join(withN, Seq("id"), "left")
       .select(col("id"),
@@ -861,7 +875,11 @@ object Dedup {
       .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e")))
         .as("exts"))
     val staged = df
-      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      // NULL text would null-propagate through tokens/filter/array_join
+      // and break the every-document-passes-through contract; treat it
+      // as the empty document (clean_text = "", 0 kept, 0 removed)
+      .select(col(idCol).as("id"),
+        TextFunctions.tokens(coalesce(col(textCol), lit(""))).as("toks"))
       .join(ext, Seq("id"), "left")
       // index tokens once (1-based), then keep those no extent covers;
       // staged through selects so each layer evaluates once per row

@@ -178,6 +178,9 @@ object Multimodal {
         val segLen = be16(b, j + 1)
         if (segLen < 2) return None
         if (marker == 0xC0 || marker == 0xC1 || marker == 0xC2) {
+          // the declared segment must cover length+precision+height+width+Nf
+          // (8 bytes) — otherwise the reads below belong to the next segment
+          if (segLen < 8) return None
           if (j + 8 >= b.length) return None
           val precision = b(j + 3) & 0xff
           val h = be16(b, j + 4)
@@ -333,7 +336,10 @@ object Multimodal {
     documents.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
       val rates = Array(8000, 16000, 22050, 44100)
       val body = if (text == null) Array.emptyByteArray else text.getBytes("UTF-8")
-      val header = wavHeaderBytes(rates((id % 4).toInt), (id % 2).toInt + 1, 16, body.length)
+      // floorMod: Scala % is negative for negative ids, which would index
+      // rates(-1) / emit invalid negative dimensions in the siblings below
+      val header = wavHeaderBytes(rates(java.lang.Math.floorMod(id, 4L).toInt),
+        java.lang.Math.floorMod(id, 2L).toInt + 1, 16, body.length)
       (id, header ++ body)
     }.toDF("media_id", "payload")
   }
@@ -386,9 +392,13 @@ object Multimodal {
       for ((typ, lo, hi) <- children(mLo, mHi)) typ match {
         case "mvhd" if ts.isEmpty && hi - lo >= 20 =>
           val v = b(lo) & 0xff
-          ts = if (v == 1 && hi - lo >= 32)
-            Some(((be32(b, lo + 20) & 0xffffffffL), be64(b, lo + 24)))
-          else Some(((be32(b, lo + 12) & 0xffffffffL), be32(b, lo + 16) & 0xffffffffL))
+          // a truncated v1 body must NOT fall back to v0 offsets — those
+          // bytes are the middle of modification_time, not timescale
+          ts = if (v == 1) {
+            if (hi - lo >= 32)
+              Some(((be32(b, lo + 20) & 0xffffffffL), be64(b, lo + 24)))
+            else None
+          } else Some(((be32(b, lo + 12) & 0xffffffffL), be32(b, lo + 16) & 0xffffffffL))
         case "trak" if dims.isEmpty =>
           // hi2 is clamped to the buffer, but a capture truncated right
           // after the box header leaves an empty body (lo2 == hi2) —
@@ -455,9 +465,9 @@ object Multimodal {
     val spark = documents.sparkSession
     import spark.implicits._
     documents.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
-      val w = ((id % 3) * 320 + 640).toInt
-      val h = ((id % 3) * 180 + 360).toInt
-      val dur = (id % 100) * 600 + 600 // in timescale-600 units
+      val w = (java.lang.Math.floorMod(id, 3L) * 320 + 640).toInt
+      val h = (java.lang.Math.floorMod(id, 3L) * 180 + 360).toInt
+      val dur = java.lang.Math.floorMod(id, 100L) * 600 + 600 // in timescale-600 units
       val body = if (text == null) Array.emptyByteArray else text.getBytes("UTF-8")
       (id, mp4HeaderBytes(w, h, 600L, dur) ++ body)
     }.toDF("media_id", "payload")
@@ -526,10 +536,10 @@ object Multimodal {
     val spark = documents.sparkSession
     import spark.implicits._
     documents.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
-      val w = ((id % 4) * 160 + 320).toInt
-      val h = ((id % 4) * 90 + 180).toInt
+      val w = (java.lang.Math.floorMod(id, 4L) * 160 + 320).toInt
+      val h = (java.lang.Math.floorMod(id, 4L) * 90 + 180).toInt
       val body = if (text == null) Array.emptyByteArray else text.getBytes("UTF-8")
-      val header = if (id % 2 == 0) pngHeaderBytes(w, h, 8, 2)
+      val header = if (java.lang.Math.floorMod(id, 2L) == 0L) pngHeaderBytes(w, h, 8, 2)
         else jpegHeaderBytes(w, h)
       (id, header ++ body)
     }.toDF("media_id", "payload")

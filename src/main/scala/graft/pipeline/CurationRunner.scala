@@ -120,7 +120,13 @@ object CurationRunner {
         case None =>
           Curation.curate(snapshot, evalDocs, cfg, countStages = false)._1
       }
-      (out, -1L)
+      // force the curation compute HERE (persist + count): without an
+      // action this stage would time only lazy plan construction and
+      // misattribute the diff/LSH/decontamination cost to "publish".
+      // The persist is released by releaseAll at the end of the run.
+      val persisted = graft.ops.CacheScope.persist(out)
+      val n = persisted.count()
+      (persisted, n)
     }
 
     // 4. publish + metadata

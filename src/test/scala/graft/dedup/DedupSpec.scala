@@ -253,6 +253,39 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("excise spans: NULL-text documents pass through as empty, not null-propagated") {
+    val docs = Seq((1L, "alpha beta"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val spans = Seq((1L, 1L, 1L)).toDF("id", "span_start", "span_end")
+    val out = Dedup.exciseSpans(docs, "doc_id", "text", spans)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set((1L, "beta", 1L, 1L), (2L, "", 0L, 0L)))
+  }
+
+  test("dedup weights: duplicate ids in the components frame raise, not fan out") {
+    val comps = Seq((1L, 1L), (1L, 2L), (2L, 1L)).toDF("id", "component")
+    val corpus = Seq(1L, 2L).toDF("doc_id")
+    val e = intercept[Exception] {
+      Dedup.dedupWeights(corpus, "doc_id", comps).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("duplicate id")), e.toString)
+  }
+
+  test("focused minhash: NULL focus values raise, not silently skip detection") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", java.lang.Boolean.TRUE),
+      (2L, "alpha beta gamma delta epsilon zeta", null.asInstanceOf[java.lang.Boolean])
+    ).toDF("doc_id", "text", "is_new")
+    val e = intercept[Exception] {
+      Dedup.minhashNearDupPairsFocused(df, "doc_id", "text", "is_new", 0.5).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("NULL in focus column")), e.toString)
+  }
+
   test("span operators plan without nested loops or cartesian products") {
     val real = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "documents")
     val passages = Seq((1L, "some passage tokens to look for")).toDF("query_id", "qtext")

@@ -178,6 +178,51 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseMp4Header(truncated).isEmpty)
   }
 
+  test("corrupt headers are rejected, not misparsed: truncated v1 mvhd, short SOF segment") {
+    def u32(v: Long) = Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      u32(8L + body.length) ++ typ.getBytes("ISO-8859-1") ++ body
+    // mvhd v1 whose body is only 24 bytes (capture truncated mid-box):
+    // reading v0 offsets would yield a garbage timescale from the middle
+    // of modification_time — must be None, not a bogus "mp4"
+    val truncV1 = box("mvhd", Array[Byte](1, 0, 0, 0) ++ Array.fill(20)(7.toByte))
+    val videoBody = new Array[Byte](84)
+    System.arraycopy(u32(640L << 16), 0, videoBody, 76, 4)
+    System.arraycopy(u32(360L << 16), 0, videoBody, 80, 4)
+    val mp4 = box("ftyp", "isom".getBytes("ISO-8859-1") ++ u32(0L)) ++
+      box("moov", truncV1 ++ box("trak", box("tkhd", videoBody)))
+    assert(Multimodal.parseMp4Header(mp4).isEmpty)
+    // JPEG whose SOF0 declares segLen 5 (< the 8 bytes its fields need)
+    // but whose buffer continues: the reads would land in the next
+    // segment's bytes — must be None, not garbage dimensions
+    val shortSof = Array(0xFF, 0xD8, 0xFF, 0xC0, 0x00, 0x05,
+      0x08, 0x01, 0x40, 0x00, 0xF0, 0x03, 0x01, 0x02, 0x03).map(_.toByte)
+    assert(Multimodal.parseJpegHeader(shortSof).isEmpty)
+  }
+
+  test("corpus generators tolerate negative ids: floorMod indexing, valid headers") {
+    import spark.implicits._
+    val docs = Seq((-1L, "neg one"), (-7L, "neg seven"), (2L, "two"))
+      .toDF("doc_id", "text")
+    val img = Multimodal.imageCorpusFromDocuments(docs).collect()
+    assert(img.length == 3)
+    img.foreach { r =>
+      val p = Multimodal.parseImageHeader(r.getAs[Array[Byte]]("payload"))
+      assert(p.isDefined && p.get._2 > 0 && p.get._3 > 0)
+    }
+    // audio: rates((-1 % 4)) would have thrown ArrayIndexOutOfBounds
+    val aud = Multimodal.audioCorpusFromDocuments(docs).collect()
+    aud.foreach { r =>
+      assert(Multimodal.parseWavHeader(r.getAs[Array[Byte]]("payload")).isDefined)
+    }
+    val vid = Multimodal.videoCorpusFromDocuments(docs).collect()
+    vid.foreach { r =>
+      val p = Multimodal.parseMp4Header(r.getAs[Array[Byte]]("payload"))
+      assert(p.isDefined && p.get._1 > 0 && p.get._2 > 0)
+    }
+  }
+
   test("synthesized MP4 headers round-trip through the parser") {
     for ((w, h, scale, dur) <- Seq((640, 360, 600L, 600L), (1280, 720, 90000L, 123456L))) {
       assert(Multimodal.parseMp4Header(Multimodal.mp4HeaderBytes(w, h, scale, dur))
