@@ -1142,6 +1142,18 @@ object Queries {
       .withColumnRenamed("id", "doc_id")
   }
 
+  /** Targeted data selection through the gate: DSIR importance weights
+    * of every non-src0 document against the src0 target sample —
+    * add-1-smoothed unigram log-likelihood ratio per document in
+    * integer millinats, every candidate document present. */
+  def q87DsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    graft.text.CorpusStats.dsirWeights(
+      docs.where(col("source") =!= "src0"),
+      docs.where(col("source") === "src0"), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+  }
+
   /** Corpus-drift audit through the gate: token-distribution KL(src0 ‖
     * rest) in integer millinats — counts, full-outer vocabulary join,
     * add-1 smoothing, per-token floored log-ratio, integer mean. */
@@ -1764,6 +1776,36 @@ object Queries {
        |SELECT d0.doc_id, coalesce(j.n, 1)::BIGINT AS cluster_size,
        |  (10000 // coalesce(j.n, 1))::BIGINT AS weight_bp
        |FROM documents d0 LEFT JOIN j USING (doc_id)""".stripMargin
+
+  /** q87 oracle: DSIR weights replayed in SQL — raw (non-src0) vs
+    * target (src0) token counts, full-outer vocabulary join, add-1
+    * smoothing both sides, per-token floored millinat log-ratio, plain
+    * integer sum per document, every raw document surfaced. */
+  private lazy val q87Oracle: String =
+    s"""WITH rawd AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+       |inst AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(lower(trim(text)), ' '), x -> x != '')) AS tok
+       |  FROM rawd),
+       |cr AS (SELECT tok, count(*) AS r FROM inst GROUP BY tok),
+       |ct AS (
+       |  SELECT tok, count(*) AS t FROM (
+       |    SELECT unnest(list_filter(string_split(lower(trim(text)), ' '), x -> x != '')) AS tok
+       |    FROM documents WHERE source = 'src0') GROUP BY tok),
+       |j AS (
+       |  SELECT tok, coalesce(r, 0) AS r, coalesce(t, 0) AS t
+       |  FROM cr FULL OUTER JOIN ct USING (tok)),
+       |tt AS (SELECT count(*) AS v, sum(r) AS nr, sum(t) AS nt FROM j),
+       |s AS (
+       |  SELECT j.tok,
+       |    floor(1000.0 * ln(((j.t + 1) * (tt.nr + tt.v))::DOUBLE
+       |      / ((j.r + 1) * (tt.nt + tt.v))::DOUBLE))::BIGINT AS s
+       |  FROM j, tt),
+       |sums AS (
+       |  SELECT inst.doc_id, count(*) AS n_tokens, sum(s.s)::BIGINT AS ssum
+       |  FROM inst JOIN s USING (tok) GROUP BY inst.doc_id)
+       |SELECT r.doc_id, coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+       |  coalesce(ssum, 0)::BIGINT AS dsir_milli
+       |FROM rawd r LEFT JOIN sums USING (doc_id)""".stripMargin
 
   /** q44 oracle: same tf/df/N aggregation, same floor-scaled score and
     * (score desc, token asc) ranking. */
@@ -2431,7 +2473,8 @@ object Queries {
     "q83_span_contamination" -> (q83SpanContamination _),
     "q84_corpus_divergence" -> (q84CorpusDivergence _),
     "q85_diverging_tokens" -> (q85DivergingTokens _),
-    "q86_dedup_weights" -> (q86DedupWeights _))
+    "q86_dedup_weights" -> (q86DedupWeights _),
+    "q87_dsir_weights" -> (q87DsirWeights _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2634,6 +2677,7 @@ object Queries {
     "q84_corpus_divergence" -> q84Oracle,
     "q85_diverging_tokens" -> q85Oracle,
     "q86_dedup_weights" -> q86Oracle,
+    "q87_dsir_weights" -> q87Oracle,
     "q81_video_headers" ->
       """SELECT doc_id AS media_id, 'mp4' AS format,
         |  ((doc_id % 3) * 320 + 640)::INTEGER AS width,

@@ -287,4 +287,70 @@ object CorpusStats {
         expr("ssum div n_bigrams").as("bigram_surprisal_milli"))
   }
 
+  /** DSIR-style importance weights (Data Selection via Importance
+    * Resampling, Xie et al. 2023): per raw-corpus document, the
+    * log-likelihood ratio of the document under a TARGET-corpus unigram
+    * LM versus the RAW corpus's own unigram LM — the published recipe
+    * for selecting pretraining data that "looks like" a trusted target
+    * sample. Positive weight = more target-like; callers keep the
+    * top-k by weight or sample proportionally to exp(weight).
+    *
+    * Both LMs are add-1 smoothed over the JOINT vocabulary V, so every
+    * token has a finite ratio on both sides. Per-token contribution in
+    * floored integer millinats (q44's cross-engine discipline — the
+    * floor of the log of a ratio of exact integers):
+    * s(tok) = ⌊1000·ln( (t+1)·(N_r+V) / ((r+1)·(N_t+V)) )⌋,
+    * and the document weight is the plain integer sum of s over its
+    * token INSTANCES (the log of DSIR's probability-ratio product) —
+    * order-independent, reproducible across partitionings and engines.
+    * Integer products stay double-exact below 2^53; beyond that
+    * (trillions of tokens) split the log into a sum of four lns.
+    * Output: (id, n_tokens, dsir_milli), EVERY raw document present —
+    * token-less documents weigh 0 over 0 tokens.
+    *
+    * Scale shape: two token-count hash aggs (map-side combined), a
+    * full-outer vocabulary join (vocab-sized, not postings-sized) with
+    * the single totals row broadcast back, then ONE postings-sized
+    * token join of the raw instances against the scored vocabulary and
+    * a per-doc sum. The token join inherits the Zipf-head caveat of
+    * [[unigramSurprisal]] — common tokens can't be capped away (their
+    * negative weight IS the boilerplate-repelling signal), so
+    * `saltFactor > 1` spreads the head over saltFactor reducers via
+    * the salted join (result-identical; SkewSpec pins the pattern). */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, saltFactor: Int = 1): DataFrame = {
+    val parts = raw.sparkSession.sessionState.conf.numShufflePartitions
+    val inst = raw.select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .repartition(parts)
+    val rawCounts = inst.groupBy(col("tok")).agg(count(lit(1)).as("r"))
+    val tgtCounts = target
+      .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("t"))
+    // consumed by the totals agg AND the instance join: persist the
+    // vocabulary frame once (CacheScope — callers release after
+    // materializing, the library convention)
+    val vocab = graft.ops.CacheScope.persist(
+      rawCounts.join(tgtCounts, Seq("tok"), "full_outer")
+        .select(col("tok"), coalesce(col("r"), lit(0L)).as("r"),
+          coalesce(col("t"), lit(0L)).as("t")))
+    val totals = vocab.agg(count(lit(1)).as("v"),
+      sum(col("r")).as("nr"), sum(col("t")).as("nt"))
+    val scored = vocab.crossJoin(broadcast(totals))
+      .select(col("tok"),
+        floor(lit(1000.0) * log(
+          ((col("t") + lit(1L)) * (col("nr") + col("v"))).cast("double") /
+            ((col("r") + lit(1L)) * (col("nt") + col("v"))).cast("double")))
+          .cast("long").as("s"))
+    val joined =
+      if (saltFactor > 1) graft.ops.ScaleOps.saltedEquiJoin(inst, scored, "tok", saltFactor)
+      else inst.join(scored, "tok")
+    val sums = joined.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("s")).cast("long").as("ssum"))
+    raw.select(col(idCol).as("id")).join(sums, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("ssum"), lit(0L)).as("dsir_milli"))
+  }
+
 }

@@ -102,4 +102,36 @@ class CorpusStatsSpec extends SparkSpec {
     assert(top.map(_.getAs[Long]("rank")).toSeq == (1L to top.length).toSeq)
     assert(top.forall(_.getAs[Long]("c_a") > 0))
   }
+
+  test("dsir weights: hand-computed golden, target-like docs score positive") {
+    // target: physics 2, quantum 1 (Nt=3); raw: physics 1, quantum 1,
+    // spam 3 (Nr=5); joint vocab V=3, so Nr+V=8, Nt+V=6.
+    //   s(physics) = floor(1000·ln(3·8 / 2·6))  = floor(1000·ln 2)    =  693
+    //   s(quantum) = floor(1000·ln(2·8 / 2·6))  = floor(1000·ln 4/3)  =  287
+    //   s(spam)    = floor(1000·ln(1·8 / 4·6))  = floor(1000·ln 1/3)  = -1099
+    val target = Seq((100L, "physics physics quantum")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "physics quantum"),
+      (2L, "spam spam spam"),
+      (3L, ""),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.dsirWeights(raw, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      1L -> (2L, 980L),   // 693 + 287: target-like, positive
+      2L -> (3L, -3297L), // 3 · -1099: off-target, negative
+      3L -> (0L, 0L),     // token-less docs pass through at weight 0
+      4L -> (0L, 0L)))    // NULL text = the empty document
+
+    // reproducibility: partitioning-invariant, and the salted Zipf-head
+    // path is result-identical to the plain join
+    val basePairs = got.toSeq.sortBy(_._1)
+    val repart = CorpusStats.dsirWeights(raw.repartition(7), target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
+    val salted = CorpusStats.dsirWeights(raw, target, "doc_id", "text", saltFactor = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
+    assert(repart == basePairs)
+    assert(salted == basePairs)
+  }
 }
