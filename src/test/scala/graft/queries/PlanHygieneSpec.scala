@@ -28,7 +28,8 @@ class PlanHygieneSpec extends SparkSpec {
     "q66_funnel" -> "three single-row stage-count aggregates crossJoined",
     "q72_cell_neardup" -> "IVF assignment: broadcast centroid list per vector",
     "q84_corpus_divergence" -> "crossJoin(broadcast(totals)): single-row (v, na, nb)",
-    "q85_diverging_tokens" -> "crossJoin(broadcast(totals)): single-row (v, na, nb)")
+    "q85_diverging_tokens" -> "crossJoin(broadcast(totals)): single-row (v, na, nb)",
+    "q87_dsir_weights" -> "crossJoin(broadcast(totals)): single-row (v, nr, nt)")
 
   test("every gate query carries an oracle (q36 rows-only by design), no orphans") {
     assert(Queries.all.keySet -- Queries.oracle.keySet == Set("q36_approx_distinct"),
@@ -37,7 +38,7 @@ class PlanHygieneSpec extends SparkSpec {
       "orphan oracle entries never run and rot silently")
   }
 
-  test("no unbounded join shapes outside the allowlist (85-query catalog)") {
+  test("no unbounded join shapes outside the allowlist (whole catalog)") {
     val dir = "/root/testdata/sf0.001"
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     val stale = scala.collection.mutable.ArrayBuffer.empty[String]
