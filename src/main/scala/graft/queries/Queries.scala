@@ -1154,6 +1154,17 @@ object Queries {
       .withColumnRenamed("id", "doc_id")
   }
 
+  /** DSIR with the paper's bounded feature space through the gate:
+    * hashed-bigram (polyHash mod 4096 buckets) importance weights of
+    * every non-src0 document against the src0 target sample. */
+  def q88DsirHashed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    graft.text.CorpusStats.dsirWeightsHashed(
+      docs.where(col("source") =!= "src0"),
+      docs.where(col("source") === "src0"), "doc_id", "text", buckets = 4096)
+      .withColumnRenamed("id", "doc_id")
+  }
+
   /** Corpus-drift audit through the gate: token-distribution KL(src0 ‖
     * rest) in integer millinats — counts, full-outer vocabulary join,
     * add-1 smoothing, per-token floored log-ratio, integer mean. */
@@ -1804,6 +1815,51 @@ object Queries {
        |  SELECT inst.doc_id, count(*) AS n_tokens, sum(s.s)::BIGINT AS ssum
        |  FROM inst JOIN s USING (tok) GROUP BY inst.doc_id)
        |SELECT r.doc_id, coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+       |  coalesce(ssum, 0)::BIGINT AS dsir_milli
+       |FROM rawd r LEFT JOIN sums USING (doc_id)""".stripMargin
+
+  /** q88 oracle: hashed-bigram DSIR replayed in SQL — q73's bigram
+    * generation + q28's 40-bit polyHash chain, bucketed mod 4096,
+    * add-1 smoothing over the FIXED bucket space (denominators
+    * N+4096), floored millinat log-ratio, integer sum per document,
+    * every raw document surfaced (sub-2-token docs at 0). */
+  private lazy val q88Oracle: String =
+    s"""WITH rawd AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+       |tr AS (
+       |  SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), x -> x != '') AS toks
+       |  FROM rawd),
+       |pr AS (
+       |  SELECT doc_id,
+       |    (list_reduce(list_prepend(0::BIGINT,
+       |       list_transform(string_split(toks[i] || ' ' || toks[i + 1], ''), ch -> ascii(ch)::BIGINT)),
+       |     (a, c) -> (a * 31 + c) % 1099511627776)) % 4096 AS b
+       |  FROM tr, unnest(range(1, len(toks))) AS r(i)
+       |  WHERE len(toks) >= 2),
+       |tg AS (
+       |  SELECT list_filter(string_split(lower(trim(text)), ' '), x -> x != '') AS toks
+       |  FROM documents WHERE source = 'src0'),
+       |pt AS (
+       |  SELECT
+       |    (list_reduce(list_prepend(0::BIGINT,
+       |       list_transform(string_split(toks[i] || ' ' || toks[i + 1], ''), ch -> ascii(ch)::BIGINT)),
+       |     (a, c) -> (a * 31 + c) % 1099511627776)) % 4096 AS b
+       |  FROM tg, unnest(range(1, len(toks))) AS r(i)
+       |  WHERE len(toks) >= 2),
+       |cr AS (SELECT b, count(*) AS r FROM pr GROUP BY b),
+       |ct AS (SELECT b, count(*) AS t FROM pt GROUP BY b),
+       |j AS (
+       |  SELECT b, coalesce(r, 0) AS r, coalesce(t, 0) AS t
+       |  FROM cr FULL OUTER JOIN ct USING (b)),
+       |tt AS (SELECT sum(r) AS nr, sum(t) AS nt FROM j),
+       |s AS (
+       |  SELECT j.b,
+       |    floor(1000.0 * ln(((j.t + 1) * (tt.nr + 4096))::DOUBLE
+       |      / ((j.r + 1) * (tt.nt + 4096))::DOUBLE))::BIGINT AS s
+       |  FROM j, tt),
+       |sums AS (
+       |  SELECT pr.doc_id, count(*) AS n_bigrams, sum(s.s)::BIGINT AS ssum
+       |  FROM pr JOIN s USING (b) GROUP BY pr.doc_id)
+       |SELECT r.doc_id, coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
        |  coalesce(ssum, 0)::BIGINT AS dsir_milli
        |FROM rawd r LEFT JOIN sums USING (doc_id)""".stripMargin
 
@@ -2474,7 +2530,8 @@ object Queries {
     "q84_corpus_divergence" -> (q84CorpusDivergence _),
     "q85_diverging_tokens" -> (q85DivergingTokens _),
     "q86_dedup_weights" -> (q86DedupWeights _),
-    "q87_dsir_weights" -> (q87DsirWeights _))
+    "q87_dsir_weights" -> (q87DsirWeights _),
+    "q88_dsir_hashed" -> (q88DsirHashed _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2678,6 +2735,7 @@ object Queries {
     "q85_diverging_tokens" -> q85Oracle,
     "q86_dedup_weights" -> q86Oracle,
     "q87_dsir_weights" -> q87Oracle,
+    "q88_dsir_hashed" -> q88Oracle,
     "q81_video_headers" ->
       """SELECT doc_id AS media_id, 'mp4' AS format,
         |  ((doc_id % 3) * 320 + 640)::INTEGER AS width,

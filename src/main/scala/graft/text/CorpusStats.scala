@@ -353,4 +353,61 @@ object CorpusStats {
         coalesce(col("ssum"), lit(0L)).as("dsir_milli"))
   }
 
+  /** [[dsirWeights]] with the paper's HASHED-BIGRAM feature space:
+    * features are word bigrams hashed into a FIXED number of buckets
+    * (pmod(polyHash("prev tok"), buckets), the cross-engine-replayable
+    * 40-bit chain), so every feature frame is bounded by `buckets`
+    * regardless of corpus vocabulary — the shape that still holds when
+    * the joint n-gram vocabulary is itself too large to treat as a
+    * small frame (web-scale corpora). Add-1 smoothing runs over the
+    * fixed bucket space (denominators N+buckets), so unobserved
+    * buckets need no rows. Documents with fewer than 2 tokens have no
+    * bigram features and weigh 0 — still present, per the
+    * every-document contract. Same floored-millinat integer discipline
+    * and salted-join option as [[dsirWeights]]; the bucket join key is
+    * near-uniform by construction (hashing spreads the Zipf head), so
+    * salting is rarely needed on this variant.
+    * Output: (id, n_bigrams, dsir_milli). */
+  def dsirWeightsHashed(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 1 << 14, saltFactor: Int = 1): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    val parts = raw.sparkSession.sessionState.conf.numShufflePartitions
+    val ts = TextFunctions.tokens(col(textCol))
+    def bucketed(df: DataFrame, idc: Column): DataFrame =
+      df.select(idc.as("id"), ts.as("toks"))
+        .where(size(col("toks")) >= 2)
+        .select(col("id"), explode(arrays_zip(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1))).as("bg"))
+        .select(col("id"), pmod(TextFunctions.polyHash(
+            concat_ws(" ", col("bg.0"), col("bg.1")), 1L << 40),
+          lit(buckets.toLong)).as("b"))
+    val rawInst = bucketed(raw, col(idCol)).repartition(parts)
+    val rawCounts = rawInst.groupBy(col("b")).agg(count(lit(1)).as("r"))
+    val tgtCounts = bucketed(target, lit(0L))
+      .groupBy(col("b")).agg(count(lit(1)).as("t"))
+    // observed buckets only (≤ buckets rows by construction); consumed
+    // by the totals agg and the instance join — persist once
+    val obs = graft.ops.CacheScope.persist(
+      rawCounts.join(tgtCounts, Seq("b"), "full_outer")
+        .select(col("b"), coalesce(col("r"), lit(0L)).as("r"),
+          coalesce(col("t"), lit(0L)).as("t")))
+    val totals = obs.agg(sum(col("r")).as("nr"), sum(col("t")).as("nt"))
+    val scored = obs.crossJoin(broadcast(totals))
+      .select(col("b"),
+        floor(lit(1000.0) * log(
+          ((col("t") + lit(1L)) * (col("nr") + lit(buckets.toLong))).cast("double") /
+            ((col("r") + lit(1L)) * (col("nt") + lit(buckets.toLong))).cast("double")))
+          .cast("long").as("s"))
+    val joined =
+      if (saltFactor > 1) graft.ops.ScaleOps.saltedEquiJoin(rawInst, scored, "b", saltFactor)
+      else rawInst.join(scored, "b")
+    val sums = joined.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).cast("long").as("ssum"))
+    raw.select(col(idCol).as("id")).join(sums, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("ssum"), lit(0L)).as("dsir_milli"))
+  }
+
 }

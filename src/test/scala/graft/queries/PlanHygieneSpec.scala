@@ -29,7 +29,8 @@ class PlanHygieneSpec extends SparkSpec {
     "q72_cell_neardup" -> "IVF assignment: broadcast centroid list per vector",
     "q84_corpus_divergence" -> "crossJoin(broadcast(totals)): single-row (v, na, nb)",
     "q85_diverging_tokens" -> "crossJoin(broadcast(totals)): single-row (v, na, nb)",
-    "q87_dsir_weights" -> "crossJoin(broadcast(totals)): single-row (v, nr, nt)")
+    "q87_dsir_weights" -> "crossJoin(broadcast(totals)): single-row (v, nr, nt)",
+    "q88_dsir_hashed" -> "crossJoin(broadcast(totals)): single-row (nr, nt)")
 
   test("every gate query carries an oracle (q36 rows-only by design), no orphans") {
     assert(Queries.all.keySet -- Queries.oracle.keySet == Set("q36_approx_distinct"),

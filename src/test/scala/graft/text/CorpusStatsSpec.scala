@@ -134,4 +134,49 @@ class CorpusStatsSpec extends SparkSpec {
     assert(repart == basePairs)
     assert(salted == basePairs)
   }
+
+  test("hashed-bigram dsir: matches an independent driver-side replica") {
+    val B = 512
+    val targetDocs = Seq((100L, "physics is fun physics is hard"))
+    val rawDocs = Seq(
+      (1L, "physics is fun today"),
+      (2L, "spam offer spam offer spam"),
+      (3L, "solo"),                      // < 2 tokens: no bigram features
+      (4L, null.asInstanceOf[String]))
+    val target = targetDocs.toDF("doc_id", "text")
+    val raw = rawDocs.toDF("doc_id", "text")
+
+    // plain-Scala replica of the whole computation (40-bit polyhash of
+    // "prev tok" mod B, fixed-space add-1 smoothing, floored millinats)
+    def toks(s: String): Seq[String] =
+      if (s == null) Seq.empty
+      else s.trim.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
+    def bucketsOf(s: String): Seq[Long] = {
+      val t = toks(s)
+      if (t.length < 2) Seq.empty
+      else t.sliding(2).map { bg =>
+        val str = bg.mkString(" ")
+        str.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % (1L << 40)) % B
+      }.toSeq
+    }
+    val rawInst = rawDocs.flatMap { case (id, s) => bucketsOf(s).map(id -> _) }
+    val rCnt = rawInst.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val tCnt = targetDocs.flatMap(d => bucketsOf(d._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nr = rCnt.values.sum; val nt = tCnt.values.sum
+    def s(b: Long): Long = math.floor(1000.0 * math.log(
+      ((tCnt.getOrElse(b, 0L) + 1) * (nr + B)).toDouble /
+        ((rCnt.getOrElse(b, 0L) + 1) * (nt + B)))).toLong
+    val expected = rawDocs.map { case (id, text) =>
+      val bs = bucketsOf(text)
+      id -> (bs.size.toLong, bs.map(s).sum)
+    }.toMap
+
+    val got = CorpusStats.dsirWeightsHashed(raw, target, "doc_id", "text", buckets = B)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+    // the planted separation survives hashing: target-like > off-target
+    assert(got(1L)._2 > got(2L)._2)
+    assert(got(3L) == (0L, 0L) && got(4L) == (0L, 0L))
+  }
 }
