@@ -195,6 +195,71 @@ object ScaleOps {
     packed.drop("__h", "__b", "__n")
   }
 
+  /** Budgeted prefix selection in a VALUE order — "keep the
+    * highest-scoring documents until the token budget fills", the step
+    * that follows any importance/quality scoring (DSIR weights, quality
+    * scores): rows are taken in (`orderCol` desc, `keyCol` asc) global
+    * order while the inclusive running sum of `nTokensCol` stays within
+    * `tokenBudget`. Output = the selected rows with their inclusive
+    * `cum_tokens`; the kept set is a true prefix of the order (the
+    * running sum is monotone), so the rule is exactly "stop at the
+    * first overflow".
+    *
+    * Scale shape: the global cumsum is two-level like
+    * [[packTokenStream]]'s, but bucketed by VALUE RANGE instead of
+    * hash so buckets align with the score order: approximate quantile
+    * boundaries of `orderCol` (one bounded driver list; boundary
+    * precision affects only partition balance, never the result) give
+    * ≤ numBuckets range buckets, per-bucket token totals collect as
+    * numBuckets longs, and the within-bucket window runs over
+    * (`orderCol` desc, key) — no single global window partition
+    * anywhere. Equal scores always share a bucket (assignment is by
+    * value), so ties resolve purely by the within-bucket key order.
+    * numBuckets is capped because assignment is an O(numBuckets)
+    * comparison chain per row. NULL scores raise (no defined rank);
+    * NULL token counts select as zero-width. */
+  def selectTokenBudget(df: DataFrame, keyCol: String, orderCol: String,
+      nTokensCol: String, tokenBudget: Long, numBuckets: Int = 0): DataFrame = {
+    require(tokenBudget >= 0, s"tokenBudget must be >= 0: $tokenBudget")
+    val spark0 = df.sparkSession
+    val k = if (numBuckets > 0) numBuckets
+      else spark0.sessionState.conf.numShufflePartitions
+    require(k <= 256,
+      s"selectTokenBudget: numBuckets $k > 256 puts an O(numBuckets) comparison chain on every row")
+    val staged = df
+      .withColumn("__n", coalesce(col(nTokensCol).cast("long"), lit(0L)))
+      .withColumn("__o", when(col(orderCol).isNull, raise_error(
+          lit(s"selectTokenBudget: NULL values in order column '$orderCol'")))
+        .otherwise(col(orderCol).cast("double")))
+    val probs = (1 until k).map(_.toDouble / k).toArray
+    val bounds =
+      if (probs.isEmpty) Array.empty[Double]
+      else staged.stat.approxQuantile("__o", probs, 0.001).distinct.sorted
+    // bucket 0 = highest scores; descending boundary chain, ties land
+    // together because assignment depends only on the value
+    val bucketCol = bounds.reverse.zipWithIndex
+      .foldRight(lit(bounds.length).cast("int"): Column) {
+        case ((b, i), acc) => when(col("__o") > lit(b), lit(i)).otherwise(acc)
+      }
+    val withB = staged.withColumn("__b", bucketCol)
+    val totals = withB.groupBy(col("__b")).agg(sum(col("__n")).as("__m"))
+      .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .sortBy(_._1)
+    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (b, n)) => (b, acc + n) }
+      .sliding(2).collect { case Array((_, off), (b, _)) => b -> off }.toSeq
+    import spark0.implicits._
+    val w = Window.partitionBy(col("__b"))
+      .orderBy(col("__o").desc, col(keyCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offDf =
+      if (offsets.isEmpty) Seq((0, 0L)).toDF("__b", "__off") // empty input
+      else offsets.toDF("__b", "__off")
+    withB.join(broadcast(offDf), Seq("__b"))
+      .withColumn("cum_tokens", sum(col("__n")).over(w) + col("__off"))
+      .where(col("cum_tokens") <= tokenBudget)
+      .drop("__b", "__n", "__o", "__off")
+  }
+
   /** Full-range affine-spread hash in [0, 2^31) — shared by sampling
     * (bucketed mod 10^4) and shuffling (raw). */
   private def spreadHash(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

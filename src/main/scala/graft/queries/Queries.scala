@@ -1165,6 +1165,20 @@ object Queries {
       .withColumnRenamed("id", "doc_id")
   }
 
+  /** Budgeted selection through the gate: the q87 DSIR ranking
+    * truncated at a 20k-token budget — "take the most target-like
+    * documents until the budget fills", the step that follows scoring.
+    * Two-level value-range cumsum; no global window partition. */
+  def q89DsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val weights = graft.text.CorpusStats.dsirWeights(
+      docs.where(col("source") =!= "src0"),
+      docs.where(col("source") === "src0"), "doc_id", "text")
+    graft.ops.ScaleOps.selectTokenBudget(
+        weights, "id", "dsir_milli", "n_tokens", 20000L)
+      .withColumnRenamed("id", "doc_id")
+  }
+
   /** Corpus-drift audit through the gate: token-distribution KL(src0 ‖
     * rest) in integer millinats — counts, full-outer vocabulary join,
     * add-1 smoothing, per-token floored log-ratio, integer mean. */
@@ -1791,8 +1805,9 @@ object Queries {
   /** q87 oracle: DSIR weights replayed in SQL — raw (non-src0) vs
     * target (src0) token counts, full-outer vocabulary join, add-1
     * smoothing both sides, per-token floored millinat log-ratio, plain
-    * integer sum per document, every raw document surfaced. */
-  private lazy val q87Oracle: String =
+    * integer sum per document, every raw document surfaced. The CTE
+    * chain is shared with q89 (budgeted selection over the weights). */
+  private lazy val q87Ctes: String =
     s"""WITH rawd AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
        |inst AS (
        |  SELECT doc_id, unnest(list_filter(string_split(lower(trim(text)), ' '), x -> x != '')) AS tok
@@ -1813,10 +1828,27 @@ object Queries {
        |  FROM j, tt),
        |sums AS (
        |  SELECT inst.doc_id, count(*) AS n_tokens, sum(s.s)::BIGINT AS ssum
-       |  FROM inst JOIN s USING (tok) GROUP BY inst.doc_id)
-       |SELECT r.doc_id, coalesce(n_tokens, 0)::BIGINT AS n_tokens,
-       |  coalesce(ssum, 0)::BIGINT AS dsir_milli
-       |FROM rawd r LEFT JOIN sums USING (doc_id)""".stripMargin
+       |  FROM inst JOIN s USING (tok) GROUP BY inst.doc_id),
+       |dsirw AS (
+       |  SELECT r.doc_id, coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+       |    coalesce(ssum, 0)::BIGINT AS dsir_milli
+       |  FROM rawd r LEFT JOIN sums USING (doc_id))""".stripMargin
+
+  private lazy val q87Oracle: String =
+    s"""$q87Ctes
+       |SELECT doc_id, n_tokens, dsir_milli FROM dsirw""".stripMargin
+
+  /** q89 oracle: the budgeted prefix of the q87 ranking — window
+    * cumsum over (dsir_milli desc, doc_id), kept while ≤ 20000. */
+  private lazy val q89Oracle: String =
+    s"""$q87Ctes,
+       |c AS (
+       |  SELECT doc_id, n_tokens, dsir_milli,
+       |    sum(n_tokens) OVER (ORDER BY dsir_milli DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens
+       |  FROM dsirw)
+       |SELECT doc_id, n_tokens, dsir_milli, cum_tokens
+       |FROM c WHERE cum_tokens <= 20000""".stripMargin
 
   /** q88 oracle: hashed-bigram DSIR replayed in SQL — q73's bigram
     * generation + q28's 40-bit polyHash chain, bucketed mod 4096,
@@ -2531,7 +2563,8 @@ object Queries {
     "q85_diverging_tokens" -> (q85DivergingTokens _),
     "q86_dedup_weights" -> (q86DedupWeights _),
     "q87_dsir_weights" -> (q87DsirWeights _),
-    "q88_dsir_hashed" -> (q88DsirHashed _))
+    "q88_dsir_hashed" -> (q88DsirHashed _),
+    "q89_dsir_select" -> (q89DsirSelect _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2736,6 +2769,7 @@ object Queries {
     "q86_dedup_weights" -> q86Oracle,
     "q87_dsir_weights" -> q87Oracle,
     "q88_dsir_hashed" -> q88Oracle,
+    "q89_dsir_select" -> q89Oracle,
     "q81_video_headers" ->
       """SELECT doc_id AS media_id, 'mp4' AS format,
         |  ((doc_id % 3) * 320 + 640)::INTEGER AS width,

@@ -331,4 +331,45 @@ class ScaleOpsSpec extends SparkSpec {
     assert(inversions > sortedIds.length / 4,
       s"suspiciously ordered: only $inversions inversions in ${sortedIds.length}")
   }
+
+  test("selectTokenBudget: exact score-ordered prefix, ties by key, stop at first overflow") {
+    // order: id2(90,w5) id5(80,w4) id7(80,w4) id1(50,w10) id9(10,w3)
+    //   cum:      5          9          13         23         26
+    val df = Seq(
+      (1L, 50L, 10L), (2L, 90L, 5L), (5L, 80L, 4L), (7L, 80L, 4L), (9L, 10L, 3L)
+    ).toDF("id", "score", "n_tok")
+    def sel(budget: Long) = ScaleOps.selectTokenBudget(df, "id", "score", "n_tok", budget)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("cum_tokens"))).toSet
+    assert(sel(13L) == Set((2L, 5L), (5L, 9L), (7L, 13L)))
+    // 22 < 23: id1 overflows and the prefix stops BEFORE it even though
+    // id9 alone would still fit (prefix rule, not knapsack)
+    assert(sel(22L) == Set((2L, 5L), (5L, 9L), (7L, 13L)))
+    assert(sel(0L) == Set.empty)
+    assert(sel(1000L).map(_._1) == Set(1L, 2L, 5L, 7L, 9L))
+
+    // partitioning-invariant; numBuckets (incl. the degenerate single
+    // bucket) never changes the result, only the execution layout
+    val base = ScaleOps.selectTokenBudget(df, "id", "score", "n_tok", 13L)
+      .collect().map(_.getAs[Long]("id")).sorted.toSeq
+    for (nb <- Seq(1, 2, 7)) {
+      val got = ScaleOps.selectTokenBudget(df.repartition(5), "id", "score", "n_tok", 13L,
+        numBuckets = nb).collect().map(_.getAs[Long]("id")).sorted.toSeq
+      assert(got == base, s"numBuckets=$nb diverged")
+    }
+
+    // NULL score raises; NULL token count selects as zero-width
+    val withNullScore = Seq((1L, Option(5L), 2L), (2L, Option.empty[Long], 2L))
+      .toDF("id", "score", "n_tok")
+    val e = intercept[Exception] {
+      ScaleOps.selectTokenBudget(withNullScore, "id", "score", "n_tok", 10L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("NULL values in order column")), e.toString)
+    val withNullTok = Seq((1L, 5L, Option(2L)), (2L, 4L, Option.empty[Long]))
+      .toDF("id", "score", "n_tok")
+    val z = ScaleOps.selectTokenBudget(withNullTok, "id", "score", "n_tok", 2L)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("cum_tokens"))).toSet
+    assert(z == Set((1L, 2L), (2L, 2L))) // zero-width row rides along
+  }
 }

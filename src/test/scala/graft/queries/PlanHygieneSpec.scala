@@ -30,7 +30,8 @@ class PlanHygieneSpec extends SparkSpec {
     "q84_corpus_divergence" -> "crossJoin(broadcast(totals)): single-row (v, na, nb)",
     "q85_diverging_tokens" -> "crossJoin(broadcast(totals)): single-row (v, na, nb)",
     "q87_dsir_weights" -> "crossJoin(broadcast(totals)): single-row (v, nr, nt)",
-    "q88_dsir_hashed" -> "crossJoin(broadcast(totals)): single-row (nr, nt)")
+    "q88_dsir_hashed" -> "crossJoin(broadcast(totals)): single-row (nr, nt)",
+    "q89_dsir_select" -> "composes q87: crossJoin(broadcast(totals)) single-row")
 
   test("every gate query carries an oracle (q36 rows-only by design), no orphans") {
     assert(Queries.all.keySet -- Queries.oracle.keySet == Set("q36_approx_distinct"),
