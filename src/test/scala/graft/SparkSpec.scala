@@ -21,4 +21,10 @@ object SparkTestSession {
 
 abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
+
+  /** Flattened message chain of an exception and its causes — shared by
+    * every raise_error assertion (Spark wraps task failures, so the
+    * interesting message is usually a few causes deep). */
+  protected def messages(t: Throwable): Seq[String] =
+    if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
 }

@@ -109,8 +109,6 @@ class DedupSpec extends SparkSpec {
     val e = intercept[Exception] {
       Dedup.connectedComponentsWithin(pairs, "id_a", "id_b", "blk").collect()
     }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("multiple blocks")), e.toString)
   }
 
@@ -230,8 +228,6 @@ class DedupSpec extends SparkSpec {
     val e = intercept[Exception] {
       Dedup.passageSearch(corpus, "doc_id", "text", tiny, "query_id", "qtext", 2).collect()
     }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("shorter than shingleSize")), e.toString)
   }
 
@@ -268,8 +264,6 @@ class DedupSpec extends SparkSpec {
     val e = intercept[Exception] {
       Dedup.dedupWeights(corpus, "doc_id", comps).collect()
     }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("duplicate id")), e.toString)
   }
 
@@ -281,8 +275,6 @@ class DedupSpec extends SparkSpec {
     val e = intercept[Exception] {
       Dedup.minhashNearDupPairsFocused(df, "doc_id", "text", "is_new", 0.5).collect()
     }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("NULL in focus column")), e.toString)
   }
 

@@ -56,8 +56,6 @@ class MinHashSigSpec extends SparkSpec {
     val e = intercept[Exception] {
       spark.sql(s"SELECT minhash_sig(array(${1L << 40}L), 8)").collect()
     }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("31-bit")), e.toString)
   }
 }

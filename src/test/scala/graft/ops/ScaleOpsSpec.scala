@@ -363,8 +363,6 @@ class ScaleOpsSpec extends SparkSpec {
     val e = intercept[Exception] {
       ScaleOps.selectTokenBudget(withNullScore, "id", "score", "n_tok", 10L).collect()
     }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("NULL values in order column")), e.toString)
     val withNullTok = Seq((1L, 5L, Option(2L)), (2L, 4L, Option.empty[Long]))
       .toDF("id", "score", "n_tok")

@@ -76,8 +76,6 @@ class SnapshotSpec extends SparkSpec {
     val good = Seq((1L, "a")).toDF("doc_id", "text")
     val nullId = Seq((java.lang.Long.valueOf(1L), "a"), (null.asInstanceOf[java.lang.Long], "b"))
       .toDF("doc_id", "text")
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
     val e1 = intercept[Exception] {
       Snapshot.diff(nullId, good, "doc_id", "text").collect()
     }
