@@ -266,6 +266,48 @@ object ScaleOps {
     (lit(10368889L) * graft.text.TextFunctions.polyHash(key.cast("string"), 1L << 31) +
       lit(8342140L)) % (1L << 31)
 
+  /** Exact-k deterministic sample: the k rows whose affine-spread key
+    * hashes sort FIRST (ties on the key) — the "exactly 10k eval
+    * documents" ask that a rate can only approximate on. Same hash
+    * family as [[deterministicSampleBp]]: a pure function of the key,
+    * reproducible across engines/retries and invariant under
+    * re-partitioning. Unlike rate sampling, membership is NOT stable
+    * under corpus growth (a new low-hash row displaces the current
+    * k-th) — inherent to any exact-k semantics; callers who need
+    * growth-stability use the rate form. Keys must be unique (the
+    * contract everywhere keys order rows); duplicate keys make the cut
+    * among their copies arbitrary.
+    *
+    * Scale shape: orderBy+limit plans as TakeOrderedAndProject —
+    * per-partition top-k then one k-bounded driver merge, never a
+    * single-partition global sort. */
+  def exactKSample(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(keyCol != "__sh", "keyCol must not use the reserved name '__sh'")
+    df.withColumn("__sh", spreadHash(col(keyCol)))
+      .orderBy(col("__sh").asc, col(keyCol).asc)
+      .limit(k)
+      .drop("__sh")
+  }
+
+  /** Per-stratum [[exactKSample]]: exactly k rows from every stratum
+    * (all of them where the stratum is smaller) — balanced eval panels
+    * over unbalanced sources. Window top-k partitioned by the stratum:
+    * one shuffle on the stratum key, no global ordering anywhere. */
+  def exactKSampleBy(df: DataFrame, keyCol: String, strataCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(keyCol != strataCol, s"keyCol and strataCol must differ: '$keyCol'")
+    require(keyCol != "__rn" && strataCol != "__rn",
+      "column names must not use the reserved name '__rn'")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(spreadHash(col(keyCol)).asc, col(keyCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Stratified variant: per-stratum rates (basis points) with a default
     * for unlisted strata — the "downsample common crawl, keep all of
     * wikipedia" shape of training-data mixing. */

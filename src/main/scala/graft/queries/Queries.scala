@@ -1179,6 +1179,67 @@ object Queries {
       .withColumnRenamed("id", "doc_id")
   }
 
+  /** 8-token probe queries cut from every 25th document — shared by the
+    * BM25 (q90) and hybrid (q91) retrieval gates, mirrored token-exactly
+    * by the `probe` CTE in their oracles. */
+  private def retrievalProbes(spark: SparkSession, dir: String): DataFrame = {
+    val ts = graft.text.TextFunctions.tokens(col("text"))
+    tbl(spark, dir, "documents")
+      .where(pmod(col("doc_id"), lit(25)) === 0)
+      .select(col("doc_id").as("query_id"), ts.as("ts"))
+      .where(size(col("ts")) >= 9)
+      .select(col("query_id"),
+        array_join(slice(col("ts"), 2, 8), " ").as("qtext"))
+  }
+
+  /** BM25 ranked retrieval through the gate: integer-exact BM25
+    * (millinat idf × integer-rational tf-normalization, k1=1.2 b=0.75)
+    * of the corpus against 8-token probes, top-10 per probe. The probe
+    * join is postings ⋈ broadcast(query terms) — the corpus never
+    * reshuffles for the probe batch; the oracle replays every integer
+    * step. */
+  def q90Bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Retrieval.bm25TopK(tbl(spark, dir, "documents"), "doc_id",
+      "text", retrievalProbes(spark, dir), "query_id", "qtext", k = 10)
+
+  /** Hybrid lexical+semantic retrieval through the gate: BM25 top-20
+    * and brute-force-cosine top-20 for the same probe ids, fused by
+    * integer reciprocal-rank points ⌊10⁶/(60+rank)⌋, final top-10.
+    * Assumes the standard shared id space (documents.doc_id ↔
+    * embeddings.vec_id). The exact-cosine arm is the labeled
+    * small-batch baseline (q25); at corpus scale it swaps for the IVF
+    * arm (q38) without touching the fusion. */
+  def q91HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val emb = tbl(spark, dir, "embeddings")
+    val lex = graft.text.Retrieval.bm25TopK(docs, "doc_id", "text",
+        retrievalProbes(spark, dir), "query_id", "qtext", k = 20)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val sem = graft.ann.Ann.bruteForceTopK(
+        emb.where(pmod(col("vec_id"), lit(25)) === 0), emb,
+        "vec_id", "embedding", k = 20)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    graft.text.Retrieval.rrfFuse(lex, sem, k = 10)
+  }
+
+  /** Tokenizer-vocabulary coverage through the gate: the top-16
+    * corpus-frequency vocabulary scored per source — instance coverage
+    * in basis points plus distinct OOV type counts (the "will a size-V
+    * vocab cover this source" pre-tokenizer audit). The top-V cut is
+    * sort+limit (TakeOrderedAndProject), never a global window. */
+  def q92VocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusStats.vocabCoverage(
+      tbl(spark, dir, "documents"), "source", "text", vocabSize = 16)
+
+  /** Exact-k stratified sampling through the gate: exactly 3 documents
+    * per source by affine-spread hash order — the balanced eval-panel
+    * primitive (q42's rate form can only approximate a count). Window
+    * top-k per stratum; the oracle replays the spread-hash order. */
+  def q93ExactSample(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.ScaleOps.exactKSampleBy(
+        tbl(spark, dir, "documents"), "doc_id", "source", k = 3)
+      .select(col("doc_id"), col("source"))
+
   /** Corpus-drift audit through the gate: token-distribution KL(src0 ‖
     * rest) in integer millinats — counts, full-outer vocabulary join,
     * add-1 smoothing, per-token floored log-ratio, integer mean. */
@@ -1849,6 +1910,87 @@ object Queries {
        |  FROM dsirw)
        |SELECT doc_id, n_tokens, dsir_milli, cum_tokens
        |FROM c WHERE cum_tokens <= 20000""".stripMargin
+
+  /** q90/q91 shared BM25 CTE chain: corpus postings (tf, dl), the
+    * integer avgdl quantization A=⌊100·T/D⌋, the 8-token probe terms
+    * (every 25th document, mirroring retrievalProbes token-exactly),
+    * query-vocab df, and the integer-exact BM25 score with an
+    * unfiltered rank — consumers cut at their own k. */
+  private lazy val duckBm25Ctes: String =
+    s"""WITH dlt AS (
+       |  SELECT doc_id AS id,
+       |    list_filter(string_split(lower(trim(text)), ' '), t -> t != '') AS ts
+       |  FROM documents),
+       |dl AS (SELECT id, ts, len(ts)::BIGINT AS dl FROM dlt),
+       |post AS (
+       |  SELECT id, dl, tok, count(*)::BIGINT AS tf FROM (
+       |    SELECT id, dl, unnest(ts) AS tok FROM dl) GROUP BY 1, 2, 3),
+       |tot AS (
+       |  SELECT count(*)::BIGINT AS d_docs,
+       |    (CASE WHEN count(*) = 0 THEN 1
+       |          ELSE (100 * coalesce(sum(dl), 0)) // count(*) END)::BIGINT AS a_cdl
+       |  FROM dl),
+       |probe AS (
+       |  SELECT id AS query_id, ts[2:9] AS qt FROM dl
+       |  WHERE id % 25 = 0 AND len(ts) >= 9),
+       |qterm AS (SELECT DISTINCT query_id, unnest(qt) AS tok FROM probe),
+       |dfq AS (
+       |  SELECT p.tok, count(*)::BIGINT AS df FROM post p
+       |  WHERE p.tok IN (SELECT tok FROM qterm) GROUP BY 1),
+       |sc AS (
+       |  SELECT q.query_id, p.id,
+       |    sum(floor(1000.0 * ln((2 * t.d_docs + 2)::DOUBLE
+       |          / (2 * d.df + 1)::DOUBLE))::BIGINT
+       |      * ((22000 * p.tf * t.a_cdl)
+       |          // (10 * p.tf * t.a_cdl + 3 * t.a_cdl + 900 * p.dl)))::BIGINT
+       |      AS bm25_scaled
+       |  FROM post p JOIN qterm q ON p.tok = q.tok JOIN dfq d ON p.tok = d.tok
+       |  CROSS JOIN tot t
+       |  GROUP BY 1, 2),
+       |bmrank AS (
+       |  SELECT query_id, id AS doc_id, bm25_scaled,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY bm25_scaled DESC, id) AS rank
+       |  FROM sc WHERE bm25_scaled > 0)""".stripMargin
+
+  /** q90 oracle: the BM25 chain cut at rank ≤ 10. */
+  private lazy val q90Oracle: String =
+    s"""$duckBm25Ctes
+       |SELECT query_id, rank, doc_id, bm25_scaled
+       |FROM bmrank WHERE rank <= 10""".stripMargin
+
+  /** q91 oracle: BM25 top-20 (shared chain) ∪ exact-cosine top-20
+    * (q25's sequential-dot discipline), fused by integer RRF points
+    * ⌊10⁶/(60+rank)⌋, final top-10 per query. */
+  private lazy val q91Oracle: String =
+    s"""$duckBm25Ctes,
+       |lex AS (SELECT query_id, doc_id, rank FROM bmrank WHERE rank <= 20),
+       |qv AS (
+       |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+       |  WHERE vec_id % 25 = 0),
+       |coss AS (
+       |  SELECT q.query_id, c.vec_id AS doc_id,
+       |    round(${duckDot("q.qe", "c.embedding")}, 6) AS cos
+       |  FROM qv q CROSS JOIN embeddings c WHERE q.query_id != c.vec_id),
+       |sem AS (
+       |  SELECT query_id, doc_id, rank FROM (
+       |    SELECT query_id, doc_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos DESC, doc_id) AS rank
+       |    FROM coss) t WHERE rank <= 20),
+       |pts AS (
+       |  SELECT coalesce(l.query_id, s.query_id) AS query_id,
+       |    coalesce(l.doc_id, s.doc_id) AS doc_id,
+       |    (CASE WHEN l.rank IS NULL THEN 0 ELSE 1000000 // (60 + l.rank) END
+       |     + CASE WHEN s.rank IS NULL THEN 0 ELSE 1000000 // (60 + s.rank) END
+       |    )::BIGINT AS rrf_pts
+       |  FROM lex l FULL OUTER JOIN sem s
+       |    ON l.query_id = s.query_id AND l.doc_id = s.doc_id)
+       |SELECT query_id, rank, doc_id, rrf_pts FROM (
+       |  SELECT query_id, doc_id, rrf_pts,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rrf_pts DESC, doc_id) AS rank
+       |  FROM pts) t WHERE rank <= 10""".stripMargin
 
   /** q88 oracle: hashed-bigram DSIR replayed in SQL — q73's bigram
     * generation + q28's 40-bit polyHash chain, bucketed mod 4096,
@@ -2564,7 +2706,11 @@ object Queries {
     "q86_dedup_weights" -> (q86DedupWeights _),
     "q87_dsir_weights" -> (q87DsirWeights _),
     "q88_dsir_hashed" -> (q88DsirHashed _),
-    "q89_dsir_select" -> (q89DsirSelect _))
+    "q89_dsir_select" -> (q89DsirSelect _),
+    "q90_bm25_topk" -> (q90Bm25TopK _),
+    "q91_hybrid_rrf" -> (q91HybridRrf _),
+    "q92_vocab_coverage" -> (q92VocabCoverage _),
+    "q93_exact_sample" -> (q93ExactSample _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2770,6 +2916,28 @@ object Queries {
     "q87_dsir_weights" -> q87Oracle,
     "q88_dsir_hashed" -> q88Oracle,
     "q89_dsir_select" -> q89Oracle,
+    "q90_bm25_topk" -> q90Oracle,
+    "q91_hybrid_rrf" -> q91Oracle,
+    "q93_exact_sample" ->
+      s"""SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY
+        |      ((10368889 * ${duckPolyHash("CAST(doc_id AS VARCHAR)", 1L << 31)} + 8342140)
+        |        % ${1L << 31}) ASC, doc_id ASC) AS rn
+        |  FROM documents) t WHERE rn <= 3""".stripMargin,
+    "q92_vocab_coverage" ->
+      """WITH inst AS (
+        |  SELECT source, unnest(list_filter(string_split(lower(trim(text)), ' '), x -> x != '')) AS tok
+        |  FROM documents),
+        |vc AS (SELECT tok, count(*) AS c FROM inst GROUP BY 1),
+        |vocab AS (SELECT tok FROM vc ORDER BY c DESC, tok LIMIT 16),
+        |j AS (
+        |  SELECT i.source, i.tok, v.tok IS NOT NULL AS cov
+        |  FROM inst i LEFT JOIN vocab v ON i.tok = v.tok)
+        |SELECT source, count(*)::BIGINT AS n_tokens,
+        |  ((10000 * sum(CASE WHEN cov THEN 1 ELSE 0 END)) // count(*))::BIGINT AS covered_bp,
+        |  count(DISTINCT CASE WHEN NOT cov THEN tok END)::BIGINT AS n_oov_types
+        |FROM j GROUP BY 1""".stripMargin,
     "q81_video_headers" ->
       """SELECT doc_id AS media_id, 'mp4' AS format,
         |  ((doc_id % 3) * 320 + 640)::INTEGER AS width,

@@ -410,4 +410,40 @@ object CorpusStats {
         coalesce(col("ssum"), lit(0L)).as("dsir_milli"))
   }
 
+  /** Vocabulary coverage report — the "will a size-V tokenizer vocab
+    * cover this corpus" question asked before training a tokenizer (or
+    * after, per ingest source, to catch a source whose token
+    * distribution the vocab was never fit on). The vocabulary is the
+    * top `vocabSize` corpus tokens by frequency (ties on ascending
+    * token — deterministic both engines); per group the report carries
+    * the token-instance coverage rate (basis points, floored) and the
+    * count of distinct out-of-vocab token types.
+    *
+    * Scale shape: one shuffle builds token counts; the top-V cut is
+    * sort+limit (TakeOrderedAndProject — per-partition top-V then a
+    * V-bounded driver merge, never a single-partition global window);
+    * the ≤V vocab broadcasts back onto the instance frame, so the
+    * corpus-sized side shuffles exactly once (the count aggregation).
+    * Output: (group, n_tokens, covered_bp, n_oov_types). */
+  def vocabCoverage(df: DataFrame, groupCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1: $vocabSize")
+    require(groupCol != textCol, s"groupCol and textCol must differ: '$groupCol'")
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val inst = df.select(col(groupCol).as("grp"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .repartition(parts)
+    val vocab = inst.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok").asc).limit(vocabSize)
+      .select(col("tok"), lit(1).as("in_v"))
+    inst.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNotNull, 1L).otherwise(0L)).as("n_covered"),
+        countDistinct(when(col("in_v").isNull, col("tok"))).as("n_oov_types"))
+      .select(col("grp").as(groupCol), col("n_tokens"),
+        expr("(10000 * n_covered) div n_tokens").as("covered_bp"),
+        col("n_oov_types"))
+  }
+
 }

@@ -370,4 +370,45 @@ class ScaleOpsSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("cum_tokens"))).toSet
     assert(z == Set((1L, 2L), (2L, 2L))) // zero-width row rides along
   }
+
+  test("exactKSample: exact count, partitioning-invariant, schema preserved") {
+    import spark.implicits._
+    val docs = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "documents")
+    val n = docs.count()
+    val got = ScaleOps.exactKSample(docs, "doc_id", 7)
+    assert(got.count() == 7L)
+    assert(got.columns.toSeq == docs.columns.toSeq, "sampling preserves schema")
+    // the kept set is a pure function of the keys — identical after an
+    // adversarial repartition
+    val a = got.select($"doc_id").collect().map(_.getLong(0)).toSet
+    val b = ScaleOps.exactKSample(docs.repartition(7), "doc_id", 7)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // k >= corpus keeps everything; plan is TakeOrderedAndProject, not a
+    // single-partition global sort
+    assert(ScaleOps.exactKSample(docs, "doc_id", 100000).count() == n)
+    val plan = ScaleOps.exactKSample(docs, "doc_id", 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in:\n$plan")
+  }
+
+  test("exactKSampleBy: exactly k per stratum, small strata kept whole") {
+    import spark.implicits._
+    val docs = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "documents")
+    val per = ScaleOps.exactKSampleBy(docs, "doc_id", "source", 2)
+      .groupBy($"source").count().collect().map(r => r.getLong(1))
+    assert(per.nonEmpty && per.forall(_ == 2L), "every stratum yields exactly k")
+    // a stratum smaller than k survives whole
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b")).toDF("id", "src")
+    val got = ScaleOps.exactKSampleBy(tiny, "id", "src", 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got.count(_._2 == "a") == 2 && got.contains((4L, "b")))
+    intercept[IllegalArgumentException] {
+      ScaleOps.exactKSampleBy(tiny, "id", "src", 0)
+    }
+    intercept[IllegalArgumentException] {
+      ScaleOps.exactKSampleBy(tiny, "id", "id", 2)
+    }
+  }
 }

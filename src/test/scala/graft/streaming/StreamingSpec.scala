@@ -163,6 +163,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed BM25 index maintenance equals the one-shot batch index") {
+    // the additive-index property as a stream: each micro-batch indexes
+    // only ITS documents (zero standing state — bm25Index is batch-local)
+    // and appends postings/stats deltas to the lake; the serving path
+    // reads the concatenation. Parity: streamed-in-two-batches ==
+    // one-shot batch index, same top-k.
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val docs = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val docsDf = docs.toDF("doc_id", "text")
+    val probeText = docs.map(_._2).find(t => t != null && t.split(" ").length >= 6)
+      .map(_.split(" ").take(6).mkString(" ")).get
+    val probes = Seq((1L, probeText)).toDF("query_id", "qtext")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = rows(graft.text.Retrieval.bm25TopK(
+      docsDf, "doc_id", "text", probes, "query_id", "qtext", k = 10))
+    assert(batch.nonEmpty)
+
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val (p, s) = graft.text.Retrieval.bm25Index(b.toDF(), "doc_id", "text")
+        p.write.mode("append").parquet(s"$dir/postings")
+        s.write.mode("append").parquet(s"$dir/stats")
+        ()
+      }
+      .start()
+    try {
+      input.addData(docs.take(200)); q.processAllAvailable()
+      input.addData(docs.drop(200)); q.processAllAvailable()
+    } finally q.stop()
+    val postings = spark.read.parquet(s"$dir/postings")
+    val stats = spark.read.parquet(s"$dir/stats").agg(
+      coalesce(sum($"d_docs"), lit(0L)).as("d_docs"),
+      coalesce(sum($"t_toks"), lit(0L)).as("t_toks"))
+    val streamed = rows(graft.text.Retrieval.bm25TopKFromIndex(
+      postings, stats, probes, "query_id", "qtext", k = 10))
+    assert(streamed == batch,
+      "delta-appended postings/stats must serve the same top-k as the batch index")
+  }
+
   test("sessionization: gap closes a session, emits aggregate") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Event]

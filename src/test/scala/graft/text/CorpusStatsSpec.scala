@@ -42,6 +42,23 @@ class CorpusStatsSpec extends SparkSpec {
     assert(byId(5L) == (3L, 3333L))  // floor(1*10000/3)
   }
 
+  test("vocab coverage: hand-computed golden incl. boundary tie-break") {
+    val docs = Seq(("g1", "a a b"), ("g2", "b c")).toDF("source", "text")
+    // counts: a=2, b=2, c=1; V=2 -> vocab {a, b}
+    def run(v: Int) = CorpusStats.vocabCoverage(docs, "source", "text", v)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(run(2) == Map(
+      "g1" -> (3L, 10000L, 0L),
+      "g2" -> (2L, 5000L, 1L)))   // b covered, c OOV
+    // V=1 cuts inside the a/b count tie -> 'a' wins on the token order
+    assert(run(1) == Map(
+      "g1" -> (3L, 6666L, 1L),    // floor(2*10000/3)
+      "g2" -> (2L, 0L, 2L)))
+    // V >= |vocab|: full coverage everywhere
+    assert(run(100).values.forall { case (_, bp, oov) => bp == 10000L && oov == 0L })
+  }
+
   test("boilerplate coverage: empty and sub-shingle docs score zero") {
     val docs = Seq((1L, ""), (2L, "solo"), (3L, "solo"), (4L, "solo"))
       .toDF("doc_id", "text")
