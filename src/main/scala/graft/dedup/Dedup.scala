@@ -895,4 +895,85 @@ object Dedup {
       size(col("kept")).cast("long").as("n_tokens_kept"),
       (size(col("toks")) - size(col("kept"))).cast("long").as("n_tokens_removed"))
   }
+
+  // ---- candidate-pair verification & cluster canonicalization -------
+
+  /** Edit-distance verification of candidate near-dup pairs — the
+    * secondary verify stage a production dedup runs after candidate
+    * generation: signature methods (MinHash Jaccard, SimHash hamming)
+    * measure SET similarity and can pass pairs whose token
+    * multisets/orders differ badly; exact character-level Levenshtein
+    * similarity is the stricter referee. Similarity in basis points:
+    * sim_bp = 10000 − ⌊10000·lev / max(|a|,|b|)⌋ (two empty texts are
+    * identical → 10000); pairs at sim_bp ≥ `minSimBp` survive. NULL
+    * text reads as the empty document (candidate generators never emit
+    * null-text endpoints — their shingle stages drop them — so this
+    * only matters for hand-built pair frames).
+    *
+    * `pairs` must carry (id_a, id_b) in `docs`' id domain — the output
+    * shape of every candidate generator in this object. Output:
+    * (id_a, id_b, lev_dist, sim_bp), verified pairs only.
+    *
+    * Scale shape: texts join the BOUNDED pair frame by id (bare-id
+    * discipline — the pair shuffle never carries text until this final
+    * verify), and the O(|a|·|b|) distance runs once per candidate,
+    * never all-pairs. Levenshtein cost on pathologically long docs is
+    * the caller's knob: cap candidate length upstream (truncate or
+    * pre-filter on length ratio — a pair with len_a ≪ len_b can never
+    * reach high sim_bp anyway). */
+  def editVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, minSimBp: Long): DataFrame = {
+    require(minSimBp >= 0L && minSimBp <= 10000L,
+      s"minSimBp must be in [0, 10000]: $minSimBp")
+    require(Seq("id_a", "id_b").forall(pairs.columns.contains),
+      s"pairs must carry (id_a, id_b), got ${pairs.columns.mkString(",")}")
+    val t = docs.select(col(idCol).as("__pid"),
+      coalesce(col(textCol), lit("")).as("__ptext"))
+    pairs.select(col("id_a"), col("id_b"))
+      .join(t.select(col("__pid").as("id_a"), col("__ptext").as("__ta")), Seq("id_a"))
+      .join(t.select(col("__pid").as("id_b"), col("__ptext").as("__tb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__ta"), col("__tb")).cast("long").as("lev_dist"),
+        greatest(length(col("__ta")), length(col("__tb"))).cast("long").as("__mx"))
+      .select(col("id_a"), col("id_b"), col("lev_dist"),
+        when(col("__mx") === 0L, lit(10000L))
+          .otherwise(lit(10000L) - expr("(10000 * lev_dist) div __mx"))
+          .as("sim_bp"))
+      .where(col("sim_bp") >= minSimBp)
+  }
+
+  /** Quality-ranked canonical selection — which member of each near-dup
+    * cluster to KEEP. Keep-first (D1/D2) and min-id canonicalization
+    * pick arbitrarily; production corpus curation keeps the
+    * highest-quality member (longest/cleanest copy of the page, not the
+    * truncated mirror). One representative per cluster: the max
+    * `quality_milli` (ties: lowest id); documents in no cluster are
+    * singleton clusters of themselves and always survive.
+    *
+    * `clusters` carries (doc_id, cluster_id) — [[connectedComponentsWithin]]
+    * output via q43's shape; ids absent from it are unclustered. Output:
+    * (cluster_id, doc_id, quality_milli) — the kept rows, one per
+    * cluster, cluster_id = the member-min id for real clusters and the
+    * doc's own id for singletons.
+    *
+    * Scale shape: quality is a per-row expression; the cluster join is
+    * an equi-join on the id; the argmax is one window over cluster_id —
+    * state bounded per cluster, one shuffle on the cluster key. */
+  def canonicalByQuality(docs: DataFrame, idCol: String, textCol: String,
+      clusters: DataFrame): DataFrame = {
+    require(Seq("doc_id", "cluster_id").forall(clusters.columns.contains),
+      s"clusters must carry (doc_id, cluster_id), got ${clusters.columns.mkString(",")}")
+    val scored = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.qualityMilliFrom(TextFunctions.tokens(col(textCol)))
+        .as("quality_milli"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("quality_milli").desc, col("doc_id").asc)
+    scored
+      .join(clusters.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("cluster_id"), col("doc_id"), col("quality_milli"))
+  }
 }

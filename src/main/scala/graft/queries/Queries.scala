@@ -1240,6 +1240,35 @@ object Queries {
         tbl(spark, dir, "documents"), "doc_id", "source", k = 3)
       .select(col("doc_id"), col("source"))
 
+  /** Candidate-pair verification through the gate: the q21 word-set
+    * Jaccard candidates re-judged by exact character-level Levenshtein
+    * similarity at ≥ 3500 bp — the verify stage production dedup runs
+    * after signature-based candidate generation. On this corpus the
+    * threshold provably splits: set-similar pairs whose word ORDER
+    * differs score ~2400–3500 bp and are rejected; true near-identical
+    * rewrites score ~9800 and survive (an all-pass threshold would let
+    * a broken verifier hide behind a green oracle, cf. q45). */
+  def q94EditVerified(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.editVerifiedPairs(tbl(spark, dir, "documents"),
+      "doc_id", "text", q21JaccardNearDup(spark, dir), minSimBp = 3500L)
+
+  /** Quality-ranked canonicalization through the gate: for each q43
+    * dup cluster keep the member with the highest q26 quality score
+    * (ties: lowest id), unclustered docs surviving as their own
+    * singletons — "keep the best copy", not "keep the first seen". */
+  def q95CanonicalQuality(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.canonicalByQuality(tbl(spark, dir, "documents"),
+      "doc_id", "text", q43DedupClusters(spark, dir))
+
+  /** Hard-negative mining through the gate: each probe's top-5 BM25
+    * matches excluding the probe's own source document (the anchor),
+    * ranks dense over the negatives — the contrastive-training pair
+    * generator on top of the q90 scoring core. */
+  def q96HardNegatives(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Retrieval.bm25HardNegatives(tbl(spark, dir, "documents"),
+      "doc_id", "text", retrievalProbes(spark, dir), "query_id", "qtext",
+      k = 5)
+
   /** Corpus-drift audit through the gate: token-distribution KL(src0 ‖
     * rest) in integer millinats — counts, full-outer vocabulary join,
     * add-1 smoothing, per-token floored log-ratio, integer mean. */
@@ -1958,6 +1987,63 @@ object Queries {
     s"""$duckBm25Ctes
        |SELECT query_id, rank, doc_id, bm25_scaled
        |FROM bmrank WHERE rank <= 10""".stripMargin
+
+  /** q96 oracle: the q90 scoring CTEs re-ranked AFTER excluding the
+    * probe's own source document (bmrank ranks the full list, so the
+    * exclusion must precede its window — the sc CTE is the shared
+    * cut point). */
+  private lazy val q96Oracle: String =
+    s"""$duckBm25Ctes
+       |SELECT query_id, rank, doc_id, bm25_scaled FROM (
+       |  SELECT query_id, id AS doc_id, bm25_scaled,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY bm25_scaled DESC, id) AS rank
+       |  FROM sc WHERE bm25_scaled > 0 AND id <> query_id) t
+       |WHERE rank <= 5""".stripMargin
+
+  /** q94 oracle: the q43 pair CTE (`e`, extended with both endpoint
+    * texts) judged by DuckDB's levenshtein — identical integer
+    * similarity formula, floor division, empty-vs-empty = 10000. */
+  private lazy val q94Oracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, coalesce(text, '') AS t,
+       |         list_distinct(list_filter(string_split(lower(trim(text)), ' '), x -> x != '')) AS ws
+       |  FROM documents),
+       |e AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    levenshtein(a.t, b.t)::BIGINT AS lev_dist,
+       |    greatest(length(a.t), length(b.t))::BIGINT AS mx
+       |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.ws, b.ws))::DOUBLE /
+       |        (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.8)
+       |SELECT id_a, id_b, lev_dist, sim_bp FROM (
+       |  SELECT id_a, id_b, lev_dist,
+       |    CASE WHEN mx = 0 THEN 10000
+       |         ELSE 10000 - ((10000 * lev_dist) // mx) END AS sim_bp
+       |  FROM e) t
+       |WHERE sim_bp >= 3500""".stripMargin
+
+  /** q95 oracle: the q43 closure's clusters, the shared quality-milli
+    * fragment per document, singleton fallback to the doc's own id,
+    * window argmax per cluster (ties on ascending doc id). */
+  private lazy val q95Oracle: String = {
+    val toks = "list_filter(string_split(lower(trim(text)), ' '), x -> x != '')"
+    s"""$q43Ctes,
+       |cl AS (SELECT u AS doc_id, min(label) AS cluster_id FROM reach GROUP BY u),
+       |q AS (
+       |  SELECT doc_id, ${duckQualityMilli("toks")}::BIGINT AS quality_milli
+       |  FROM (SELECT doc_id, $toks AS toks FROM documents)),
+       |j AS (
+       |  SELECT q.doc_id, coalesce(cl.cluster_id, q.doc_id)::BIGINT AS cluster_id,
+       |         q.quality_milli
+       |  FROM q LEFT JOIN cl USING (doc_id)),
+       |r AS (
+       |  SELECT cluster_id, doc_id, quality_milli,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY quality_milli DESC, doc_id) AS rn
+       |  FROM j)
+       |SELECT cluster_id, doc_id, quality_milli FROM r WHERE rn = 1""".stripMargin
+  }
 
   /** q91 oracle: BM25 top-20 (shared chain) ∪ exact-cosine top-20
     * (q25's sequential-dot discipline), fused by integer RRF points
@@ -2710,7 +2796,10 @@ object Queries {
     "q90_bm25_topk" -> (q90Bm25TopK _),
     "q91_hybrid_rrf" -> (q91HybridRrf _),
     "q92_vocab_coverage" -> (q92VocabCoverage _),
-    "q93_exact_sample" -> (q93ExactSample _))
+    "q93_exact_sample" -> (q93ExactSample _),
+    "q94_edit_verified" -> (q94EditVerified _),
+    "q95_canonical_quality" -> (q95CanonicalQuality _),
+    "q96_hard_negatives" -> (q96HardNegatives _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2918,6 +3007,9 @@ object Queries {
     "q89_dsir_select" -> q89Oracle,
     "q90_bm25_topk" -> q90Oracle,
     "q91_hybrid_rrf" -> q91Oracle,
+    "q94_edit_verified" -> q94Oracle,
+    "q95_canonical_quality" -> q95Oracle,
+    "q96_hard_negatives" -> q96Oracle,
     "q93_exact_sample" ->
       s"""SELECT doc_id, source FROM (
         |  SELECT doc_id, source,

@@ -102,6 +102,48 @@ object Retrieval {
       queries: DataFrame, qidCol: String, qtextCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
+    rankTopK(bm25Scored(postings, stats, queries, qidCol, qtextCol), k)
+  }
+
+  /** Hard-negative mining for retrieval/embedding training: each
+    * probe's top-k BM25 matches EXCLUDING the probe's own source
+    * document — the probes' id domain IS the doc id domain here
+    * (queries cut from corpus documents, the standard mining setup).
+    * The anchor doc would otherwise take rank 1 for almost every probe;
+    * excluding it BEFORE ranking keeps ranks dense 1..k over the
+    * negatives themselves, which is what a contrastive-training
+    * loader consumes ((anchor, negative, rank) triples). Same
+    * integer-exact scoring and scale shape as [[bm25TopK]]; the
+    * exclusion is one bare-column predicate on the already
+    * queries×corpus-bounded scored frame, before the per-query
+    * window. Output: (query_id, rank, doc_id, bm25_scaled). */
+  def bm25HardNegatives(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val (postings, stats) = bm25Index(docs, idCol, textCol)
+    rankTopK(
+      bm25Scored(postings, stats, queries, qidCol, qtextCol)
+        .where(col("id") =!= col("query_id")), k)
+  }
+
+  /** Per-query dense rank + cut over a (query_id, id, bm25_scaled)
+    * frame — already bounded by queries×matching-docs, so the window
+    * state is small; ties break on ascending doc id. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("bm25_scaled").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("doc_id"),
+        col("bm25_scaled"))
+  }
+
+  /** The shared scoring core: integer-exact BM25 of every corpus doc
+    * against every query's distinct terms, positive scores only.
+    * Output: (query_id, id, bm25_scaled). */
+  private def bm25Scored(postings: DataFrame, stats: DataFrame,
+      queries: DataFrame, qidCol: String, qtextCol: String): DataFrame = {
     // Single-row totals: doc count D and the shared integer avgdl
     // quantization A = floor(100*T/D).
     val totals = stats
@@ -125,7 +167,7 @@ object Retrieval {
         "/ cast(2 * df + 1 AS DOUBLE))) " +
         "* ((22000 * tf * a_cdl) div " +
         "(10 * tf * a_cdl + 3 * a_cdl + 900 * dl))")
-    val scored = postings
+    postings
       .join(broadcast(qterms), Seq("tok"))
       .join(broadcast(dfFrame), Seq("tok"))
       .crossJoin(broadcast(totals))
@@ -133,12 +175,6 @@ object Retrieval {
       .groupBy(col("query_id"), col("id"))
       .agg(sum(col("contrib")).as("bm25_scaled"))
       .where(col("bm25_scaled") > 0L)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("bm25_scaled").desc, col("id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("id").as("doc_id"),
-        col("bm25_scaled"))
   }
 
   /** Reciprocal-rank fusion of two ranked lists (Cormack et al.):

@@ -342,4 +342,59 @@ class DedupSpec extends SparkSpec {
     assert(bad.count() == 0)
     assert(spans.count() > 0) // sf0.001 documents do share spans
   }
+
+  test("edit-verified pairs: integer similarity golden, empty/NULL texts identical") {
+    val d = Seq(
+      (1L, "abcd"), (2L, "abce"),               // lev 1, mx 4 -> 7500
+      (3L, ""), (4L, null.asInstanceOf[String]), // both empty -> lev 0, 10000
+      (5L, "xyz")                                // vs "abcd": lev 4, mx 4 -> 0
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L), (1L, 5L)).toDF("id_a", "id_b")
+    val all = Dedup.editVerifiedPairs(d, "doc_id", "text", pairs, minSimBp = 0L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(all((1L, 2L)) == ((1L, 7500L)))
+    assert(all((3L, 4L)) == ((0L, 10000L)))
+    assert(all((1L, 5L)) == ((4L, 0L)))
+    val kept = Dedup.editVerifiedPairs(d, "doc_id", "text", pairs, minSimBp = 7000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept == Set((1L, 2L), (3L, 4L)), "threshold must reject the dissimilar pair")
+  }
+
+  test("edit-verified pairs: guards fail fast") {
+    val pairs = Seq((0L, 1L)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Dedup.editVerifiedPairs(docs, "doc_id", "text", pairs, minSimBp = 10001L)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.editVerifiedPairs(docs, "doc_id", "text",
+        Seq((0L, 1L)).toDF("left", "right"), minSimBp = 0L)
+    }
+  }
+
+  test("canonical by quality: best member kept per cluster, ties on id, singleton fallback") {
+    val d = Seq(
+      (0L, "a a"),                                  // quality 203
+      (1L, "alpha beta gamma delta epsilon zeta"),  // quality 529 — cluster winner
+      (2L, "solo document unrelated"),              // unclustered singleton
+      (5L, "same text twin"), (6L, "same text twin") // equal quality -> min id 5
+    ).toDF("doc_id", "text")
+    val clusters = Seq((0L, 0L), (1L, 0L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "cluster_id")
+    val out = Dedup.canonicalByQuality(d, "doc_id", "text", clusters)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((0L, 1L), (2L, 2L), (5L, 5L)))
+  }
+
+  test("canonical by quality: quality values ride through, clusters-shape guard") {
+    val d = Seq((7L, "a a")).toDF("doc_id", "text")
+    val out = Dedup.canonicalByQuality(d, "doc_id", "text",
+        Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // n=2 d=1 sumLen=2: min(16,400) + floor(300/2) + min(floor(2*75/4),300) = 203
+    assert(out == Seq((7L, 7L, 203L)))
+    intercept[IllegalArgumentException] {
+      Dedup.canonicalByQuality(d, "doc_id", "text",
+        Seq((0L, 1L)).toDF("id", "cluster"))
+    }
+  }
 }

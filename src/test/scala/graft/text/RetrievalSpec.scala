@@ -123,10 +123,47 @@ class RetrievalSpec extends SparkSpec {
     assert(got == Seq((1, 7L), (2, 9L), (3, 3L)))
   }
 
+  test("hard negatives: anchor excluded before ranking, ranks dense") {
+    // same golden as the bm25 test, probe id = doc 1 (the anchor):
+    // doc 1 would rank 1st at 1347500 but is excluded; the negatives
+    // re-rank densely from 1
+    val probes = Seq((1L, "apple cherry")).toDF("query_id", "qtext")
+    val got = Retrieval.bm25HardNegatives(corpus, "doc_id", "text",
+        probes, "query_id", "qtext", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(_._2)
+    assert(got == Seq(
+      (1L, 1, 3L, 470L * 1466L),
+      (1L, 2, 2L, 470L * 1157L)))
+  }
+
+  test("hard negatives on the real corpus: never the anchor, subset of unranked topK") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ts = TextFunctions.tokens(col("text"))
+    val probes = docs.where(pmod(col("doc_id"), lit(25)) === 0)
+      .select(col("doc_id").as("query_id"), ts.as("ts"))
+      .where(size(col("ts")) >= 9)
+      .select(col("query_id"), array_join(slice(col("ts"), 2, 8), " ").as("qtext"))
+    val neg = Retrieval.bm25HardNegatives(docs, "doc_id", "text",
+      probes, "query_id", "qtext", k = 5)
+    assert(neg.where(col("doc_id") === col("query_id")).count() == 0L,
+      "the anchor document must never appear among its own negatives")
+    // exclusion-then-rank == full ranking with the anchor dropped:
+    // every negative appears in the k+1 unfiltered list at the same score
+    val full = Retrieval.bm25TopK(docs, "doc_id", "text",
+        probes, "query_id", "qtext", k = 6)
+      .select(col("query_id"), col("doc_id"), col("bm25_scaled"))
+    assert(neg.join(full, Seq("query_id", "doc_id", "bm25_scaled"), "left_anti")
+      .count() == 0L)
+  }
+
   test("guards: invalid k / k0 fail fast") {
     val probes = Seq((10L, "apple")).toDF("query_id", "qtext")
     intercept[IllegalArgumentException] {
       Retrieval.bm25TopK(corpus, "doc_id", "text", probes, "query_id", "qtext", 0)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25HardNegatives(corpus, "doc_id", "text", probes, "query_id", "qtext", 0)
     }
     val l = Seq((1L, 2L, 1)).toDF("query_id", "doc_id", "rank")
     intercept[IllegalArgumentException] { Retrieval.rrfFuse(l, l, k = 0) }
