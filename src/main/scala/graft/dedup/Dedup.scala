@@ -916,11 +916,17 @@ object Dedup {
     *
     * Scale shape: texts join the BOUNDED pair frame by id (bare-id
     * discipline — the pair shuffle never carries text until this final
-    * verify), and the O(|a|·|b|) distance runs once per candidate,
-    * never all-pairs. Levenshtein cost on pathologically long docs is
-    * the caller's knob: cap candidate length upstream (truncate or
-    * pre-filter on length ratio — a pair with len_a ≪ len_b can never
-    * reach high sim_bp anyway). */
+    * verify), and the distance runs once per candidate, never
+    * all-pairs. The per-pair cost is NOT the naive O(|a|·|b|) DP: the
+    * threshold is algebraically equivalent to a max allowed distance
+    * kmax = ⌊(mx·(10001−minSimBp)−1)/10000⌋ (the largest lev with
+    * sim_bp ≥ minSimBp under floor division), and Spark's banded
+    * three-arg levenshtein computes in O(kmax·min(|a|,|b|)) — exact
+    * when ≤ kmax, −1 when the band is exceeded, which IS the reject
+    * verdict. At a strict threshold (the production setting — verify
+    * means "near-identical") the band is a thin diagonal and the
+    * verify pass costs a small fraction of the full DP; the kept
+    * pairs' reported lev_dist is exact either way. */
   def editVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
       pairs: DataFrame, minSimBp: Long): DataFrame = {
     require(minSimBp >= 0L && minSimBp <= 10000L,
@@ -933,13 +939,22 @@ object Dedup {
       .join(t.select(col("__pid").as("id_a"), col("__ptext").as("__ta")), Seq("id_a"))
       .join(t.select(col("__pid").as("id_b"), col("__ptext").as("__tb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        levenshtein(col("__ta"), col("__tb")).cast("long").as("lev_dist"),
-        greatest(length(col("__ta")), length(col("__tb"))).cast("long").as("__mx"))
+        greatest(length(col("__ta")), length(col("__tb"))).cast("long").as("__mx"),
+        col("__ta"), col("__tb"))
+      // banded distance: exact iff lev <= kmax, else -1 (= rejected).
+      // kmax derivation: sim_bp >= T  <=>  (10000*lev) div mx <= 10000-T
+      //   <=>  10000*lev <= mx*(10000-T) + (mx-1)
+      //   <=>  lev <= (mx*(10001-T) - 1) div 10000          (mx >= 1)
+      // mx = 0 (two empty texts) passes any threshold with lev 0.
+      .select(col("id_a"), col("id_b"), col("__mx"),
+        expr(s"levenshtein(__ta, __tb, " +
+          s"greatest((__mx * ${10001L - minSimBp}L - 1) div 10000, 0))")
+          .cast("long").as("lev_dist"))
+      .where(col("lev_dist") >= 0L)
       .select(col("id_a"), col("id_b"), col("lev_dist"),
         when(col("__mx") === 0L, lit(10000L))
           .otherwise(lit(10000L) - expr("(10000 * lev_dist) div __mx"))
           .as("sim_bp"))
-      .where(col("sim_bp") >= minSimBp)
   }
 
   /** Quality-ranked canonical selection — which member of each near-dup

@@ -526,4 +526,48 @@ object ScaleOps {
         right.columns.map(c => col("__last_r").getField(c).as(c)): _*)
       .unionByName(unmatchedNulls)
   }
+
+  /** Curriculum staging: partition a scored corpus into `nStages`
+    * difficulty bands by exact score percentiles — stage 1 holds the
+    * lowest scores (easiest, when the score is a difficulty signal
+    * like surprisal), stage `nStages` the highest. A training loader
+    * then feeds stages in order (optionally with q53's deterministic
+    * within-stage shuffle — composable, not baked in).
+    *
+    * Banding is by VALUE against the (nStages−1) interior percentile
+    * boundaries, not by rank: ties land in the same stage (a global
+    * ntile would split equal scores arbitrarily across stages AND
+    * need a single-partition window — the non-starter at corpus
+    * scale). Stage sizes are therefore approximately equal, exactly
+    * equal only when scores are distinct at the boundaries.
+    * Boundaries are interpolated percentiles rounded to 4 decimals on
+    * both engines (the q34-proven parity discipline); scores are
+    * integers, so a boundary only ever ties a score when it IS one.
+    *
+    * Scale shape: one exact-percentile aggregation (single row, all
+    * boundaries in one array) broadcast back over the corpus; the
+    * stage expression is per-row arithmetic — no shuffle beyond the
+    * aggregation, no window anywhere. Output: every input column plus
+    * `stage` (1-based long). */
+  def curriculumStages(scored: DataFrame, scoreCol: String,
+      nStages: Int): DataFrame = {
+    require(nStages >= 2 && nStages <= 1000,
+      s"nStages must be in [2, 1000]: $nStages")
+    require(!scored.columns.contains("stage"),
+      "input already carries a 'stage' column")
+    val qs = (1 until nStages).map(i => i.toDouble / nStages)
+    val bounds = scored.agg(
+      expr(s"percentile($scoreCol, array(${qs.mkString(",")}))").as("__bs"))
+      .select(transform(col("__bs"), b => round(b, 4)).as("__bs"))
+    scored.crossJoin(broadcast(bounds))
+      // a NULL score nulls the filter lambda and would silently land the
+      // row in stage 1 — fail loudly (deterministicSplit's guard idiom)
+      .withColumn("stage",
+        when(col(scoreCol).isNull, raise_error(
+          lit(s"curriculumStages: NULL values in score column '$scoreCol'"))
+          .cast("long"))
+          .otherwise(lit(1L) + size(filter(col("__bs"),
+            b => col(scoreCol).cast("double") > b)).cast("long")))
+      .drop("__bs")
+  }
 }

@@ -1242,15 +1242,19 @@ object Queries {
 
   /** Candidate-pair verification through the gate: the q21 word-set
     * Jaccard candidates re-judged by exact character-level Levenshtein
-    * similarity at ≥ 3500 bp — the verify stage production dedup runs
+    * similarity at ≥ 9000 bp — the verify stage production dedup runs
     * after signature-based candidate generation. On this corpus the
     * threshold provably splits: set-similar pairs whose word ORDER
     * differs score ~2400–3500 bp and are rejected; true near-identical
     * rewrites score ~9800 and survive (an all-pass threshold would let
-    * a broken verifier hide behind a green oracle, cf. q45). */
+    * a broken verifier hide behind a green oracle, cf. q45). The
+    * strict threshold is also what keeps the verify pass cheap: the
+    * banded distance runs in a ⌊0.1·mx⌋ diagonal, not the full DP
+    * (sub-threshold candidates exit with −1 — rejection IS the cheap
+    * path). */
   def q94EditVerified(spark: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.editVerifiedPairs(tbl(spark, dir, "documents"),
-      "doc_id", "text", q21JaccardNearDup(spark, dir), minSimBp = 3500L)
+      "doc_id", "text", q21JaccardNearDup(spark, dir), minSimBp = 9000L)
 
   /** Quality-ranked canonicalization through the gate: for each q43
     * dup cluster keep the member with the highest q26 quality score
@@ -1268,6 +1272,38 @@ object Queries {
     graft.text.Retrieval.bm25HardNegatives(tbl(spark, dir, "documents"),
       "doc_id", "text", retrievalProbes(spark, dir), "query_id", "qtext",
       k = 5)
+
+  /** Contrastive POSITIVE pair generation through the gate: every
+    * document of ≥ 8 tokens split into two disjoint half-spans
+    * (anchor, positive) — the deterministic inverse-cloze recipe that
+    * pairs with q96's hard negatives to form full contrastive
+    * training triples. Pure per-row projection, zero shuffles. */
+  def q97PositivePairs(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Retrieval.positiveSpanPairs(
+        tbl(spark, dir, "documents"), "doc_id", "text", minTokens = 8)
+      .withColumnRenamed("id", "doc_id")
+
+  /** Temperature-scaled source mixing through the gate: per-source
+    * sampling weights p_s ∝ c_s^0.7 over token counts — the
+    * multilingual-LM rebalancing rule that keeps a dominant source
+    * from swamping training without flattening to uniform. One
+    * aggregation; weights in integer basis points. */
+  def q98TemperatureMix(spark: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusStats.temperatureWeights(
+      tbl(spark, dir, "documents"), "source", "text", alphaMilli = 700L)
+
+  /** Curriculum staging through the gate: documents banded into 4
+    * difficulty stages by exact quartiles of q51 unigram surprisal —
+    * value-banded (ties share a stage), percentile boundaries
+    * broadcast, no global window. Composes with q53's deterministic
+    * within-stage shuffle at load time. */
+  def q99Curriculum(spark: SparkSession, dir: String): DataFrame = {
+    val scored = graft.text.CorpusStats.unigramSurprisal(
+        tbl(spark, dir, "documents"), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .select(col("doc_id"), col("surprisal_milli"))
+    graft.ops.ScaleOps.curriculumStages(scored, "surprisal_milli", nStages = 4)
+  }
 
   /** Corpus-drift audit through the gate: token-distribution KL(src0 ‖
     * rest) in integer millinats — counts, full-outer vocabulary join,
@@ -2021,7 +2057,7 @@ object Queries {
        |    CASE WHEN mx = 0 THEN 10000
        |         ELSE 10000 - ((10000 * lev_dist) // mx) END AS sim_bp
        |  FROM e) t
-       |WHERE sim_bp >= 3500""".stripMargin
+       |WHERE sim_bp >= 9000""".stripMargin
 
   /** q95 oracle: the q43 closure's clusters, the shared quality-milli
     * fragment per document, singleton fallback to the doc's own id,
@@ -2044,6 +2080,67 @@ object Queries {
        |  FROM j)
        |SELECT cluster_id, doc_id, quality_milli FROM r WHERE rn = 1""".stripMargin
   }
+
+  /** q97 oracle: half-split token slices, DuckDB's 1-based inclusive
+    * list slicing mirroring Spark's slice(ts, 1, m) / slice(ts, m+1,
+    * n−m) exactly. */
+  private lazy val q97Oracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(lower(trim(text)), ' '), x -> x != '') AS ts
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, ts, len(ts) AS n, len(ts) // 2 AS m
+       |  FROM t WHERE len(ts) >= 8)
+       |SELECT doc_id,
+       |  array_to_string(ts[1:m], ' ') AS anchor_text,
+       |  array_to_string(ts[m+1:n], ' ') AS positive_text,
+       |  m::BIGINT AS n_anchor, (n - m)::BIGINT AS n_positive
+       |FROM s""".stripMargin
+
+  /** q98 oracle: the same single float composition
+    * ⌊1000·exp(0.7·ln c)⌋ over integer token counts, then pure BIGINT
+    * normalization — the tfIdfTopTerms floor-boundary argument covers
+    * the one libm step. */
+  private lazy val q98Oracle: String =
+    s"""WITH c AS (
+       |  SELECT source,
+       |    sum(coalesce(len(list_filter(string_split(lower(trim(text)), ' '), x -> x != '')), 0))::BIGINT AS n_tokens
+       |  FROM documents GROUP BY source),
+       |e AS (
+       |  SELECT source, n_tokens,
+       |    CASE WHEN n_tokens > 0
+       |         THEN floor(1000.0 * exp(0.7 * ln(n_tokens)))::BIGINT
+       |         ELSE 0 END AS em
+       |  FROM c),
+       |t AS (SELECT sum(em)::BIGINT AS em_total FROM e)
+       |SELECT source, n_tokens,
+       |  (CASE WHEN em_total > 0 THEN (10000 * em) // em_total ELSE 0 END)::BIGINT AS weight_bp
+       |FROM e CROSS JOIN t""".stripMargin
+
+  /** q99 oracle: the q51 surprisal chain, interior quartile boundaries
+    * via quantile_cont rounded to 4 decimals (q34's parity
+    * discipline), value-banded stage assignment. */
+  private lazy val q99Oracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(lower(trim(text)), ' '), x -> x != '')) AS tok
+       |  FROM documents),
+       |c AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+       |tot AS (SELECT sum(c)::BIGINT AS total FROM c),
+       |s AS (
+       |  SELECT t.doc_id,
+       |    floor(1000.0 * ln(tot.total::DOUBLE / c.c))::BIGINT AS si
+       |  FROM t JOIN c USING (tok) CROSS JOIN tot),
+       |sc AS (
+       |  SELECT doc_id, (sum(si)::BIGINT // count(*)) AS surprisal_milli
+       |  FROM s GROUP BY doc_id),
+       |b AS (
+       |  SELECT list_transform(quantile_cont(surprisal_milli, [0.25, 0.5, 0.75]),
+       |    x -> round(x, 4)) AS bs
+       |  FROM sc)
+       |SELECT doc_id, surprisal_milli,
+       |  (1 + len(list_filter(b.bs, x -> surprisal_milli > x)))::BIGINT AS stage
+       |FROM sc CROSS JOIN b""".stripMargin
 
   /** q91 oracle: BM25 top-20 (shared chain) ∪ exact-cosine top-20
     * (q25's sequential-dot discipline), fused by integer RRF points
@@ -2799,7 +2896,10 @@ object Queries {
     "q93_exact_sample" -> (q93ExactSample _),
     "q94_edit_verified" -> (q94EditVerified _),
     "q95_canonical_quality" -> (q95CanonicalQuality _),
-    "q96_hard_negatives" -> (q96HardNegatives _))
+    "q96_hard_negatives" -> (q96HardNegatives _),
+    "q97_positive_pairs" -> (q97PositivePairs _),
+    "q98_temperature_mix" -> (q98TemperatureMix _),
+    "q99_curriculum" -> (q99Curriculum _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -3010,6 +3110,9 @@ object Queries {
     "q94_edit_verified" -> q94Oracle,
     "q95_canonical_quality" -> q95Oracle,
     "q96_hard_negatives" -> q96Oracle,
+    "q97_positive_pairs" -> q97Oracle,
+    "q98_temperature_mix" -> q98Oracle,
+    "q99_curriculum" -> q99Oracle,
     "q93_exact_sample" ->
       s"""SELECT doc_id, source FROM (
         |  SELECT doc_id, source,

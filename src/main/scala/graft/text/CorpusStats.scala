@@ -446,4 +446,50 @@ object CorpusStats {
         col("n_oov_types"))
   }
 
+  /** Temperature-scaled source sampling weights — the multilingual /
+    * multi-source rebalancing rule (p_s ∝ c_s^α at α < 1): raw token
+    * counts would let a dominant source swamp training; α compresses
+    * the gap (α=1 proportional, α=0 uniform). Published as the
+    * "exponentially smoothed" sampling of multilingual-LM training;
+    * the weights feed directly into mixByTokenBudget-style targets.
+    *
+    * Integer discipline: em_s = ⌊1000·exp((α_milli/1000)·ln c_s)⌋ —
+    * ONE float composition (exp∘ln = the power), floored once, then
+    * weight_bp = ⌊10000·em_s / Σ em⌋ in pure BIGINT arithmetic. Both
+    * engines evaluate the identical double expression over integer
+    * token counts; the floor-boundary ulp argument of tfIdfTopTerms
+    * applies. An empty source list returns an empty frame; c_s ≥ 1
+    * whenever the source has any token, so ln is never undefined
+    * (sources with ZERO tokens — all-null/empty texts — still appear,
+    * with em pinned to 0: they deserve weight 0, not a NaN).
+    *
+    * Scale shape: one token-count aggregation per source (map-side
+    * combined), then arithmetic over the tiny per-source frame and one
+    * single-row total broadcast — nothing corpus-sized past the first
+    * agg. Output: (groupCol, n_tokens, weight_bp). */
+  def temperatureWeights(df: DataFrame, groupCol: String, textCol: String,
+      alphaMilli: Long): DataFrame = {
+    require(alphaMilli >= 0L && alphaMilli <= 1000L,
+      s"alphaMilli must be in [0, 1000]: $alphaMilli")
+    require(groupCol != textCol, s"groupCol and textCol must differ: '$groupCol'")
+    val counts = df
+      .select(col(groupCol).as("grp"),
+        // NULL text = zero tokens: an all-NULL source must surface with
+        // n_tokens 0 / weight 0, not a NULL count (mixByTokenBudget's rule)
+        coalesce(size(TextFunctions.tokens(col(textCol))).cast("long"), lit(0L))
+          .as("n"))
+      .groupBy(col("grp")).agg(sum(col("n")).as("n_tokens"))
+      .withColumn("em",
+        when(col("n_tokens") > 0L,
+          floor(lit(1000.0) *
+            exp(lit(alphaMilli / 1000.0) * log(col("n_tokens")))).cast("long"))
+          .otherwise(0L))
+    val total = counts.agg(
+      coalesce(sum(col("em")), lit(0L)).as("em_total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("grp").as(groupCol), col("n_tokens"),
+        when(col("em_total") > 0L,
+          expr("(10000 * em) div em_total")).otherwise(0L).as("weight_bp"))
+  }
+
 }

@@ -177,6 +177,39 @@ object Retrieval {
       .where(col("bm25_scaled") > 0L)
   }
 
+  /** Contrastive POSITIVE pair generation (the counterpart of
+    * [[bm25HardNegatives]]): each sufficiently long document splits
+    * into two disjoint half-spans — (anchor, positive) — the
+    * inverse-cloze/ICT recipe for training retrieval embeddings
+    * without labels: text from the same document is the positive,
+    * everything else (plus mined hard negatives) is the negative.
+    * The split is DETERMINISTIC (first ⌊n/2⌋ tokens vs the rest), so
+    * regenerating the corpus regenerates identical pairs — no RNG to
+    * disagree across runs or engines. Documents under `minTokens`
+    * yield nothing (a 3-token "positive" teaches nothing; the
+    * threshold also guarantees both halves are non-empty).
+    *
+    * Scale shape: one narrow projection per row — tokenize, two
+    * slices, two joins back to text — no shuffle at all; the output
+    * partitions exactly as the input. Output: (id, anchor_text,
+    * positive_text, n_anchor, n_positive). */
+  def positiveSpanPairs(docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int): DataFrame = {
+    require(minTokens >= 2, s"minTokens must be >= 2: $minTokens")
+    val ts = TextFunctions.tokens(col(textCol))
+    docs.select(col(idCol).as("id"), ts.as("__ts"))
+      .where(size(col("__ts")) >= minTokens)
+      .select(col("id"), col("__ts"),
+        (size(col("__ts")) / 2).cast("int").as("__m"),
+        size(col("__ts")).as("__n"))
+      .select(col("id"),
+        array_join(slice(col("__ts"), lit(1), col("__m")), " ").as("anchor_text"),
+        array_join(slice(col("__ts"), col("__m") + 1, col("__n") - col("__m")), " ")
+          .as("positive_text"),
+        col("__m").cast("long").as("n_anchor"),
+        (col("__n") - col("__m")).cast("long").as("n_positive"))
+  }
+
   /** Reciprocal-rank fusion of two ranked lists (Cormack et al.):
     * each list contributes ⌊1000000/(k0 + rank)⌋ points per (query,
     * doc); absent-from-one-list docs simply score the other list's

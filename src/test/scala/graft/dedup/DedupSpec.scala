@@ -360,6 +360,29 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set((1L, 2L), (3L, 4L)), "threshold must reject the dissimilar pair")
   }
 
+  test("edit-verified pairs: banded formulation equals the naive full-DP filter on the real corpus") {
+    val real = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "documents")
+    val pairs = Dedup.jaccardPairs(real, "doc_id", "text", "source", 1, 0.8,
+      hashShingles = true).select($"id_a", $"id_b")
+    for (t <- Seq(0L, 3500L, 9000L, 10000L)) {
+      val banded = Dedup.editVerifiedPairs(real, "doc_id", "text", pairs, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      // naive reference: unbounded levenshtein + post-filter
+      val naive = pairs
+        .join(real.select($"doc_id".as("id_a"), coalesce($"text", lit("")).as("ta")), "id_a")
+        .join(real.select($"doc_id".as("id_b"), coalesce($"text", lit("")).as("tb")), "id_b")
+        .select($"id_a", $"id_b", levenshtein($"ta", $"tb").cast("long").as("lev"),
+          greatest(length($"ta"), length($"tb")).cast("long").as("mx"))
+        .select($"id_a", $"id_b", $"lev",
+          when($"mx" === 0L, 10000L)
+            .otherwise(lit(10000L) - expr("(10000 * lev) div mx")).as("sim"))
+        .where($"sim" >= t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(banded == naive, s"banded != naive at threshold $t")
+      assert(t == 10000L || banded.nonEmpty, s"fixture must keep pairs at $t")
+    }
+  }
+
   test("edit-verified pairs: guards fail fast") {
     val pairs = Seq((0L, 1L)).toDF("id_a", "id_b")
     intercept[IllegalArgumentException] {

@@ -411,4 +411,38 @@ class ScaleOpsSpec extends SparkSpec {
       ScaleOps.exactKSampleBy(tiny, "id", "id", 2)
     }
   }
+
+  test("curriculumStages: quartile golden, ties share a stage, columns preserved") {
+    import spark.implicits._
+    val scored = (1L to 8L).map(s => (s * 10, s)).toDF("id", "score")
+    val out = ScaleOps.curriculumStages(scored, "score", 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    // interior quartiles of 1..8 interpolate to 2.75 / 4.5 / 6.25:
+    // stage = 1 + #(boundaries below score)
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L,
+      5L -> 3L, 6L -> 3L, 7L -> 4L, 8L -> 4L))
+    // every input column rides through
+    assert(ScaleOps.curriculumStages(scored, "score", 4).columns.toSeq ==
+      Seq("id", "score", "stage"))
+    // all-equal scores: boundaries all tie the value -> everything stage 1
+    val flat = Seq((1L, 7L), (2L, 7L), (3L, 7L)).toDF("id", "score")
+    val fl = ScaleOps.curriculumStages(flat, "score", 4)
+      .collect().map(_.getLong(2)).toSet
+    assert(fl == Set(1L), "equal scores must all land in one stage")
+  }
+
+  test("curriculumStages: NULL score fails loudly, guards fail fast") {
+    import spark.implicits._
+    val scored = Seq((1L, Some(5L)), (2L, None)).toDF("id", "score")
+    val e = intercept[Exception] {
+      ScaleOps.curriculumStages(scored, "score", 2).collect()
+    }
+    assert(e.getMessage.contains("NULL values in score column") ||
+      Option(e.getCause).exists(_.getMessage.contains("NULL values in score column")))
+    val ok = Seq((1L, 5L)).toDF("id", "score")
+    intercept[IllegalArgumentException] { ScaleOps.curriculumStages(ok, "score", 1) }
+    intercept[IllegalArgumentException] {
+      ScaleOps.curriculumStages(ok.withColumn("stage", lit(1)), "score", 2)
+    }
+  }
 }

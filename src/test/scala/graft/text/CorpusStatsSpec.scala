@@ -196,4 +196,43 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got(1L)._2 > got(2L)._2)
     assert(got(3L) == (0L, 0L) && got(4L) == (0L, 0L))
   }
+
+  test("temperature weights: golden vs driver-side replica, alpha endpoints, zero-token source") {
+    import spark.implicits._
+    // srcA 16 tokens, srcB 1 token, srcC all-NULL text (0 tokens)
+    val docs = Seq(
+      ("a", Seq.fill(16)("w").mkString(" ")),
+      ("b", "solo"),
+      ("c", null.asInstanceOf[String])
+    ).toDF("source", "text")
+    def replica(counts: Map[String, Long], alphaMilli: Long): Map[String, Long] = {
+      val em = counts.view.mapValues(n =>
+        if (n > 0) math.floor(1000.0 *
+          math.exp(alphaMilli / 1000.0 * math.log(n.toDouble))).toLong
+        else 0L).toMap
+      val tot = em.values.sum
+      counts.map { case (s, _) =>
+        s -> (if (tot > 0) 10000L * em(s) / tot else 0L) }
+    }
+    val counts = Map("a" -> 16L, "b" -> 1L, "c" -> 0L)
+    for (alpha <- Seq(0L, 500L, 700L, 1000L)) {
+      val got = CorpusStats.temperatureWeights(docs, "source", "text", alpha)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(got.map(t => t._1 -> t._2).toMap == counts, s"alpha=$alpha token counts")
+      assert(got.map(t => t._1 -> t._3).toMap == replica(counts, alpha), s"alpha=$alpha weights")
+    }
+    // alpha=1000 is proportional, alpha=0 flattens the live sources to equal
+    val w1000 = CorpusStats.temperatureWeights(docs, "source", "text", 1000L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(w1000("a") > 9L * w1000("b"), "alpha=1 keeps the raw 16:1 gap")
+    val w0 = CorpusStats.temperatureWeights(docs, "source", "text", 0L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(w0("a") == w0("b") && w0("c") == 0L, "alpha=0 is uniform over live sources")
+    intercept[IllegalArgumentException] {
+      CorpusStats.temperatureWeights(docs, "source", "text", 1001L)
+    }
+    intercept[IllegalArgumentException] {
+      CorpusStats.temperatureWeights(docs, "text", "text", 500L)
+    }
+  }
 }

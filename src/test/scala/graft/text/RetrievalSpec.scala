@@ -157,6 +157,37 @@ class RetrievalSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("positive span pairs: deterministic half-split golden, short docs yield nothing") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i"),   // 9 tokens: anchor 4, positive 5
+      (2L, "a b c d e f g h"),     // 8 tokens: anchor 4, positive 4
+      (3L, "a b c d e f g"),       // 7 tokens: below minTokens, dropped
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = Retrieval.positiveSpanPairs(docs, "doc_id", "text", minTokens = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set(
+      (1L, "a b c d", "e f g h i", 4L, 5L),
+      (2L, "a b c d", "e f g h", 4L, 4L)))
+    intercept[IllegalArgumentException] {
+      Retrieval.positiveSpanPairs(docs, "doc_id", "text", minTokens = 1)
+    }
+  }
+
+  test("positive span pairs: anchor + positive reassemble the tokenized document") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = Retrieval.positiveSpanPairs(real, "doc_id", "text", minTokens = 8)
+    val full = real.select(col("doc_id").as("id"),
+      graft.text.TextFunctions.tokens(col("text")).as("fts"))
+    val bad = pairs.join(full, Seq("id"))
+      .where(concat(col("anchor_text"), lit(" "), col("positive_text")) =!=
+          array_join(col("fts"), " ") ||
+        col("n_anchor") + col("n_positive") =!= size(col("fts")).cast("long"))
+    assert(bad.count() == 0, "halves must reassemble losslessly")
+    assert(pairs.count() > 0)
+  }
+
   test("guards: invalid k / k0 fail fast") {
     val probes = Seq((10L, "apple")).toDF("query_id", "qtext")
     intercept[IllegalArgumentException] {
