@@ -991,4 +991,86 @@ object Dedup {
       .where(col("__rn") === 1)
       .select(col("cluster_id"), col("doc_id"), col("quality_milli"))
   }
+
+  /** Split-leakage audit: near-dup pairs whose endpoints landed in
+    * DIFFERENT train/val/test splits — the "dedup before you split"
+    * violation detector. A near-dup of a test document sitting in
+    * train quietly inflates eval scores; this surfaces every such
+    * pair with both labels so the caller can re-assign or drop.
+    * Empty result = the split is leak-free w.r.t. the given pair set
+    * (only as good as the candidate generator that produced it).
+    *
+    * `pairs` carries (id_a, id_b) — any candidate/verified pair frame
+    * from this object; `assignment` carries (doc_id, split) —
+    * ScaleOps.deterministicSplit's shape. A pair endpoint missing
+    * from `assignment` fails loudly (an unsplit document in the pair
+    * set means the audit inputs are out of sync, not that there is no
+    * leak). Output: (id_a, id_b, split_a, split_b).
+    *
+    * Scale shape: two equi-joins of the BOUNDED pair frame against
+    * the bare (id, split) projection — the corpus-sized assignment
+    * never widens, the pair frame never carries text. */
+  def crossSplitPairs(pairs: DataFrame, assignment: DataFrame): DataFrame = {
+    require(Seq("id_a", "id_b").forall(pairs.columns.contains),
+      s"pairs must carry (id_a, id_b), got ${pairs.columns.mkString(",")}")
+    require(Seq("doc_id", "split").forall(assignment.columns.contains),
+      s"assignment must carry (doc_id, split), got ${assignment.columns.mkString(",")}")
+    val s = assignment.select(col("doc_id"),
+      when(col("split").isNull, raise_error(
+        lit("crossSplitPairs: NULL split label in assignment"))
+        .cast("string")).otherwise(col("split")).as("split"))
+    pairs.select(col("id_a"), col("id_b"))
+      .join(s.select(col("doc_id").as("id_a"), col("split").as("split_a")),
+        Seq("id_a"), "left")
+      .join(s.select(col("doc_id").as("id_b"), col("split").as("split_b")),
+        Seq("id_b"), "left")
+      .select(Seq(col("id_a"), col("id_b")) ++ Seq("a", "b").map { side =>
+        val c = col(s"split_$side")
+        when(c.isNull, raise_error(
+          lit(s"crossSplitPairs: pair endpoint id_$side missing from assignment"))
+          .cast("string")).otherwise(c).as(s"split_$side")
+      }: _*)
+      .where(col("split_a") =!= col("split_b"))
+  }
+
+  /** Winnowed document fingerprints (Schleimer/Wilkerson/Aiken's MOSS
+    * selection): from the k-token shingle fingerprint sequence, each
+    * sliding window of `window` consecutive fingerprints contributes
+    * its MINIMUM (rightmost position on ties — the "robust winnowing"
+    * rule, so a run of equal minima re-selects one position, not one
+    * per window), deduplicated by (position, fp). The guarantee: any
+    * shared token run of length ≥ window + k − 1 yields at least one
+    * IDENTICAL selected fingerprint in both documents, at ~1/window
+    * the density of the full posting list — the sub-linear index for
+    * plagiarism/overlap detection that [[duplicatedSpans]]' full
+    * postings would oversize at corpus scale. Documents with fewer
+    * than `window` shingles winnow their whole (single, short) window;
+    * documents under k tokens have no shingles and are absent.
+    *
+    * Output: (id, pos, fp) — 1-based token position of the selected
+    * shingle, its 40-bit fingerprint.
+    *
+    * Scale shape: selection is one per-row higher-order expression
+    * over the fps array (O(m·window) per doc, no shuffle, no UDF);
+    * the output explodes to ~m/window rows per document. Downstream
+    * joins on fp meet a frame `window`× smaller than full postings. */
+  def winnowedFingerprints(df: DataFrame, idCol: String, textCol: String,
+      shingleTokens: Int, window: Int): DataFrame = {
+    require(shingleTokens >= 2, s"shingleTokens must be >= 2: $shingleTokens")
+    require(window >= 2, s"window must be >= 2: $window")
+    val sel = expr(
+      s"""transform(sequence(1, size(__fps) - __wl + 1), i ->
+         |  named_struct(
+         |    'pos', cast(i + aggregate(sequence(0, __wl - 1), -1L,
+         |      (acc, j) -> IF(element_at(__fps, cast(i + j AS INT)) =
+         |        array_min(slice(__fps, i, __wl)), j, acc)) AS BIGINT),
+         |    'fp', array_min(slice(__fps, i, __wl))))""".stripMargin)
+    df.select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= shingleTokens)
+      .select(col("id"),
+        graft.functions.ShingleFps.shingleFps(col("__toks"), shingleTokens).as("__fps"))
+      .withColumn("__wl", least(lit(window), size(col("__fps"))))
+      .select(col("id"), explode(array_distinct(sel)).as("__s"))
+      .select(col("id"), col("__s.pos").as("pos"), col("__s.fp").as("fp"))
+  }
 }

@@ -1305,6 +1305,36 @@ object Queries {
     graft.ops.ScaleOps.curriculumStages(scored, "surprisal_milli", nStages = 4)
   }
 
+  /** Split-leakage audit through the gate: q21 near-dup pairs whose
+    * endpoints fall in different q71 train/val/test splits — the
+    * "dedup before you split" violation detector, every leaking pair
+    * surfaced with both labels. */
+  def q100SplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val split = graft.ops.ScaleOps.deterministicSplit(
+      tbl(spark, dir, "documents").select(col("doc_id")), "doc_id",
+      Seq("train" -> 9000, "val" -> 500, "test" -> 500))
+    graft.dedup.Dedup.crossSplitPairs(q21JaccardNearDup(spark, dir),
+      split.select(col("doc_id"), col("split")))
+  }
+
+  /** Collocation mining through the gate: top-25 adjacent-bigram PMI
+    * at a ≥ 5 count cutoff — integer-millinat scores over exact
+    * counts, total (score, tok_a, tok_b) ranking, sort+limit plan. */
+  def q101BigramPmi(spark: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusStats.bigramPmiTop(
+      tbl(spark, dir, "documents"), "text", k = 25, minCount = 5L)
+
+  /** Winnowed fingerprints through the gate: MOSS-style minimum
+    * selection over 5-token shingle fingerprints in windows of 4
+    * (rightmost-min ties) — the ~1/window-density document index
+    * whose selected fps still guarantee detection of any shared run
+    * of ≥ 8 tokens. Pure per-row higher-order expression. */
+  def q102Winnowing(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.winnowedFingerprints(
+      tbl(spark, dir, "documents"), "doc_id", "text",
+      shingleTokens = 5, window = 4)
+      .withColumnRenamed("id", "doc_id")
+
   /** Corpus-drift audit through the gate: token-distribution KL(src0 ‖
     * rest) in integer millinats — counts, full-outer vocabulary join,
     * add-1 smoothing, per-token floored log-ratio, integer mean. */
@@ -2142,6 +2172,80 @@ object Queries {
        |  (1 + len(list_filter(b.bs, x -> surprisal_milli > x)))::BIGINT AS stage
        |FROM sc CROSS JOIN b""".stripMargin
 
+  /** q100 oracle: the q94 pair CTE joined twice against the q71 split
+    * formula; pairs with differing labels survive. */
+  private lazy val q100Oracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |         list_distinct(list_filter(string_split(lower(trim(text)), ' '), x -> x != '')) AS ws
+       |  FROM documents),
+       |e AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.ws, b.ws))::DOUBLE /
+       |        (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.8),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN b < 9000 THEN 'train' WHEN b < 9500 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM (SELECT doc_id,
+       |    ((10368889 * ${duckPolyHash("CAST(doc_id AS VARCHAR)", 1L << 31)} + 8342140)
+       |      % ${1L << 31}) % 10000 AS b
+       |    FROM documents) t)
+       |SELECT e.id_a, e.id_b, sa.split AS split_a, sb.split AS split_b
+       |FROM e JOIN sp sa ON sa.doc_id = e.id_a JOIN sp sb ON sb.doc_id = e.id_b
+       |WHERE sa.split <> sb.split""".stripMargin
+
+  /** q101 oracle: positional bigram extraction (q73's indexing), exact
+    * unigram/bigram counts, the identically-ordered double ratio under
+    * one floored ln, cutoff before ranking. */
+  private lazy val q101Oracle: String =
+    s"""WITH t AS (
+       |  SELECT list_filter(string_split(lower(trim(text)), ' '), x -> x != '') AS ts
+       |  FROM documents),
+       |u AS (SELECT unnest(ts) AS tok FROM t),
+       |uc AS (SELECT tok, count(*) AS c FROM u GROUP BY tok),
+       |p AS (
+       |  SELECT ts[i] AS tok_a, ts[i + 1] AS tok_b
+       |  FROM t, unnest(range(1, len(ts))) AS r(i)
+       |  WHERE len(ts) >= 2),
+       |bc AS (SELECT tok_a, tok_b, count(*) AS cb FROM p GROUP BY 1, 2),
+       |tt AS (
+       |  SELECT (SELECT sum(c) FROM uc)::BIGINT AS tu,
+       |         (SELECT sum(cb) FROM bc)::BIGINT AS tb),
+       |s AS (
+       |  SELECT b.tok_a, b.tok_b, b.cb AS n_pair,
+       |    floor(1000.0 * ln(b.cb::DOUBLE * tt.tu * tt.tu
+       |      / (tt.tb::DOUBLE * ua.c * ub.c)))::BIGINT AS pmi_milli
+       |  FROM bc b JOIN uc ua ON ua.tok = b.tok_a
+       |            JOIN uc ub ON ub.tok = b.tok_b
+       |  CROSS JOIN tt
+       |  WHERE b.cb >= 5)
+       |SELECT tok_a, tok_b, n_pair::BIGINT AS n_pair, pmi_milli FROM s
+       |ORDER BY pmi_milli DESC, tok_a, tok_b LIMIT 25""".stripMargin
+
+  /** q102 oracle: q76's shingle-fp replay at width 5, then the
+    * winnowing selection — per window of 4, the minimum fp at its
+    * rightmost position, deduplicated. */
+  private lazy val q102Oracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), t -> t != '') AS ts
+       |  FROM documents),
+       |th AS (
+       |  SELECT doc_id, list_transform(ts, tok -> ${duckPolyHash("tok", 1L << 31)}) AS th
+       |  FROM toks WHERE len(ts) >= 5),
+       |f AS (
+       |  SELECT doc_id, list_transform(range(1, len(th) - 3), i -> ${duckShingleFold("th[i:i+4]")}) AS fps
+       |  FROM th),
+       |wl AS (SELECT doc_id, fps, least(4, len(fps)) AS wl FROM f),
+       |sel AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(fps) - wl + 2), i ->
+       |    {'pos': i + list_max(list_filter(range(0, wl),
+       |       j -> fps[i + j] = list_min(fps[i:i + wl - 1]))),
+       |     'fp': list_min(fps[i:i + wl - 1])})) AS u
+       |  FROM wl)
+       |SELECT DISTINCT doc_id, u.pos::BIGINT AS pos, u.fp AS fp FROM sel""".stripMargin
+
   /** q91 oracle: BM25 top-20 (shared chain) ∪ exact-cosine top-20
     * (q25's sequential-dot discipline), fused by integer RRF points
     * ⌊10⁶/(60+rank)⌋, final top-10 per query. */
@@ -2899,7 +3003,10 @@ object Queries {
     "q96_hard_negatives" -> (q96HardNegatives _),
     "q97_positive_pairs" -> (q97PositivePairs _),
     "q98_temperature_mix" -> (q98TemperatureMix _),
-    "q99_curriculum" -> (q99Curriculum _))
+    "q99_curriculum" -> (q99Curriculum _),
+    "q100_split_leakage" -> (q100SplitLeakage _),
+    "q101_bigram_pmi" -> (q101BigramPmi _),
+    "q102_winnowing" -> (q102Winnowing _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -3113,6 +3220,9 @@ object Queries {
     "q97_positive_pairs" -> q97Oracle,
     "q98_temperature_mix" -> q98Oracle,
     "q99_curriculum" -> q99Oracle,
+    "q100_split_leakage" -> q100Oracle,
+    "q101_bigram_pmi" -> q101Oracle,
+    "q102_winnowing" -> q102Oracle,
     "q93_exact_sample" ->
       s"""SELECT doc_id, source FROM (
         |  SELECT doc_id, source,

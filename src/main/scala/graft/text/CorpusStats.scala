@@ -492,4 +492,55 @@ object CorpusStats {
           expr("(10000 * em) div em_total")).otherwise(0L).as("weight_bp"))
   }
 
+  /** Top-k adjacent-bigram PMI — the collocation detector ("new york",
+    * "machine learning") used to audit tokenizer merge candidates and
+    * to spot templated word pairs: PMI(x,y) = ln(p(x,y)/(p(x)p(y)))
+    * with p over bigram/unigram instance counts, in floored integer
+    * millinats: ⌊1000·ln(cb·Tu²/(Tb·cx·cy))⌋ — the ratio of exact
+    * integers evaluated in IEEE doubles (exactly-rounded mult/div,
+    * one libm ln — the established cross-engine floor discipline).
+    * Hapax pairs trivially maximize PMI, so pairs below `minCount`
+    * are dropped BEFORE ranking (the standard PMI-cutoff practice).
+    * Ranking is total: (pmi_milli desc, tok_a asc, tok_b asc).
+    *
+    * Scale shape: one bigram hash agg + one unigram hash agg (both
+    * map-side combined); the minCount cut shrinks the bigram frame
+    * before its two vocabulary-sized joins; totals ride one broadcast
+    * row; top-k is sort+limit (TakeOrderedAndProject), never a global
+    * window. Output: (tok_a, tok_b, n_pair, pmi_milli). */
+  def bigramPmiTop(df: DataFrame, textCol: String, k: Int,
+      minCount: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(minCount >= 1L, s"minCount must be >= 1: $minCount")
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ts = TextFunctions.tokens(col(textCol))
+    val toks = df.select(ts.as("toks"))
+    val uni = toks.select(explode(col("toks")).as("tok"))
+      .repartition(parts)
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val biAll = toks.where(size(col("toks")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1))).as("bg"))
+      .select(col("bg.0").as("tok_a"), col("bg.1").as("tok_b"))
+      .repartition(parts)
+      .groupBy(col("tok_a"), col("tok_b")).agg(count(lit(1)).as("cb"))
+    val bi = biAll.where(col("cb") >= minCount)
+    // Tb is the FULL bigram instance count — probabilities are over the
+    // corpus, the minCount cut only prunes what gets ranked
+    val totals = uni.agg(coalesce(sum(col("c")), lit(0L)).as("tu"))
+      .crossJoin(biAll.agg(coalesce(sum(col("cb")), lit(0L)).as("tb")))
+    bi
+      .join(uni.select(col("tok").as("tok_a"), col("c").as("ca")), Seq("tok_a"))
+      .join(uni.select(col("tok").as("tok_b"), col("c").as("cb_uni")), Seq("tok_b"))
+      .crossJoin(broadcast(totals))
+      .select(col("tok_a"), col("tok_b"), col("cb").as("n_pair"),
+        floor(lit(1000.0) * log(
+          col("cb").cast("double") * col("tu") * col("tu") /
+            (col("tb").cast("double") * col("ca") * col("cb_uni"))))
+          .cast("long").as("pmi_milli"))
+      .orderBy(col("pmi_milli").desc, col("tok_a").asc, col("tok_b").asc)
+      .limit(k)
+  }
+
 }

@@ -383,6 +383,72 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("cross-split pairs: only crossing pairs survive, missing endpoint raises") {
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val assign = Seq((1L, "train"), (2L, "test"), (3L, "train"), (4L, "train"),
+      (5L, "val"), (6L, "train")).toDF("doc_id", "split")
+    val got = Dedup.crossSplitPairs(pairs, assign)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
+    assert(got == Set((1L, 2L, "train", "test"), (5L, 6L, "val", "train")))
+    // an endpoint absent from the assignment is an input-sync bug, not a pass
+    val partial = Seq((1L, "train")).toDF("doc_id", "split")
+    val e = intercept[Exception] {
+      Dedup.crossSplitPairs(Seq((1L, 2L)).toDF("id_a", "id_b"), partial).collect()
+    }
+    assert((e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .contains("missing from assignment"))
+    intercept[IllegalArgumentException] {
+      Dedup.crossSplitPairs(Seq((1L, 2L)).toDF("x", "y"), assign)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.crossSplitPairs(pairs, assign.withColumnRenamed("split", "s"))
+    }
+  }
+
+  test("winnowing: matches a driver-side replica on the real corpus") {
+    val real = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "documents")
+    val k = 5; val w = 4
+    val got = Dedup.winnowedFingerprints(real, "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // replica: per-doc fps array via the same public ShingleFps column,
+    // then literal winnowing (min per window, rightmost tie) in Scala
+    val fps = real
+      .select($"doc_id", graft.functions.ShingleFps.shingleFps(
+        graft.text.TextFunctions.tokens($"text"), k).as("fps"))
+      .where(size(graft.text.TextFunctions.tokens($"text")) >= k)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector)
+    val expected = fps.flatMap { case (id, f) =>
+      val wl = math.min(w, f.length)
+      (0 to f.length - wl).map { i0 =>
+        val win = f.slice(i0, i0 + wl)
+        val mn = win.min
+        val j = win.lastIndexOf(mn)
+        (id, (i0 + 1 + j).toLong, mn)
+      }.distinct
+    }.toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("winnowing: shared run of >= window+k-1 tokens shares a selected fingerprint") {
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel" // 8 tokens = 4+5-1
+    val d = Seq(
+      (1L, s"one two three four five six $shared"),
+      (2L, s"$shared nine ten eleven twelve thirteen fourteen")
+    ).toDF("doc_id", "text")
+    val sel = Dedup.winnowedFingerprints(d, "doc_id", "text", 5, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val common = sel.filter(_._1 == 1L).map(_._2).toSet
+      .intersect(sel.filter(_._1 == 2L).map(_._2).toSet)
+    assert(common.nonEmpty, "the MOSS guarantee: a shared 8-token run must be detected")
+    intercept[IllegalArgumentException] {
+      Dedup.winnowedFingerprints(d, "doc_id", "text", 1, 4)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.winnowedFingerprints(d, "doc_id", "text", 5, 1)
+    }
+  }
+
   test("edit-verified pairs: guards fail fast") {
     val pairs = Seq((0L, 1L)).toDF("id_a", "id_b")
     intercept[IllegalArgumentException] {

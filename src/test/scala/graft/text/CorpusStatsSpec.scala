@@ -235,4 +235,39 @@ class CorpusStatsSpec extends SparkSpec {
       CorpusStats.temperatureWeights(docs, "text", "text", 500L)
     }
   }
+
+  test("bigram PMI: matches a driver-side replica, cutoff before ranking, total order") {
+    import spark.implicits._
+    val texts = Seq(
+      "new york new york new york new york new york",
+      "the cat the dog the cat the dog the end",
+      "new deal the cat new york stories")
+    val docs = texts.toDF("text")
+    // driver-side replica over the same whitespace tokens
+    val toksPerDoc = texts.map(_.split(" ").toSeq.filter(_.nonEmpty))
+    val uni = toksPerDoc.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bis = toksPerDoc.flatMap(ts => ts.zip(ts.drop(1)))
+    val bc = bis.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tu = uni.values.sum.toDouble
+    val tb = bis.size.toDouble
+    val minCount = 2L
+    val expected = bc.filter(_._2 >= minCount).map { case ((a, b), cb) =>
+      (a, b, cb, math.floor(1000.0 *
+        math.log(cb.toDouble * tu * tu / (tb * uni(a) * uni(b)))).toLong)
+    }.toSeq.sortBy(t => (-t._4, t._1, t._2))
+    val got = CorpusStats.bigramPmiTop(docs, "text", k = 100, minCount = minCount)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected, "replica mismatch")
+    assert(got.nonEmpty && !got.exists(t => bc((t._1, t._2)) < minCount))
+    // k cuts the ranked head
+    val top1 = CorpusStats.bigramPmiTop(docs, "text", k = 1, minCount = minCount)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(top1 == expected.take(1).map(t => (t._1, t._2)))
+    intercept[IllegalArgumentException] {
+      CorpusStats.bigramPmiTop(docs, "text", k = 0, minCount = 2L)
+    }
+    intercept[IllegalArgumentException] {
+      CorpusStats.bigramPmiTop(docs, "text", k = 5, minCount = 0L)
+    }
+  }
 }
