@@ -1073,4 +1073,44 @@ object Dedup {
       .select(col("id"), explode(array_distinct(sel)).as("__s"))
       .select(col("id"), col("__s.pos").as("pos"), col("__s.fp").as("fp"))
   }
+
+  /** Cross-corpus overlap detection over winnowed fingerprints — the
+    * scale path for "which documents of corpus A share text runs with
+    * corpus B" (benchmark contamination against a huge pretraining
+    * corpus, licensing audits, mirror detection): both sides winnow
+    * ([[winnowedFingerprints]]), candidates meet on selected-fp
+    * equality, and a pair survives at ≥ `minShared` distinct shared
+    * fp VALUES. Winnowing's guarantee transfers: any shared run of
+    * ≥ window + shingleTokens − 1 tokens selects at least one common
+    * fingerprint, at ~1/window the posting density the full-postings
+    * auditor (duplicatedSpans / spanContamination) would ship.
+    *
+    * `maxDf` drops fingerprints selected by more than that many
+    * documents PER SIDE before the join — the hot-key guard: a
+    * boilerplate shingle selected corpus-wide would otherwise fan the
+    * fp join quadratically (the jaccardPairsInverted df-cap
+    * rationale; evidence from ubiquitous text is not evidence of
+    * pairwise overlap anyway). Output: (id_a, id_b, n_shared_fps),
+    * id_a from `a`, id_b from `b`.
+    *
+    * Scale shape: two per-row winnowing projections, one equi-join on
+    * the fp (both sides ~1/window density, df-capped), one count
+    * aggregation keyed by the pair — no all-pairs stage anywhere. */
+  def winnowedOverlapPairs(a: DataFrame, b: DataFrame, idCol: String,
+      textCol: String, shingleTokens: Int, window: Int,
+      minShared: Long, maxDf: Long = 1000L): DataFrame = {
+    require(minShared >= 1L, s"minShared must be >= 1: $minShared")
+    require(maxDf >= 1L, s"maxDf must be >= 1: $maxDf")
+    def side(df: DataFrame, out: String) = {
+      val w = winnowedFingerprints(df, idCol, textCol, shingleTokens, window)
+        .select(col("id").as(out), col("fp")).distinct()
+      val rare = w.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+        .where(col("__df") <= maxDf).select(col("fp"))
+      w.join(rare, Seq("fp"), "left_semi")
+    }
+    side(a, "id_a").join(side(b, "id_b"), Seq("fp"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared_fps"))
+      .where(col("n_shared_fps") >= minShared)
+  }
 }

@@ -1335,6 +1335,28 @@ object Queries {
       shingleTokens = 5, window = 4)
       .withColumnRenamed("id", "doc_id")
 
+  /** Winnowed cross-corpus overlap through the gate: src0 documents
+    * vs the rest over q102's selected fingerprints — pairs sharing
+    * ≥ 2 distinct selected fps, the ~1/window-density contamination
+    * detector (q83 is the full-postings auditor; this is its scale
+    * path). Per-side df-cap guards the fp join's hot keys. */
+  def q103WinnowedOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    graft.dedup.Dedup.winnowedOverlapPairs(
+      docs.where(col("source") === "src0"),
+      docs.where(col("source") =!= "src0"),
+      "doc_id", "text", shingleTokens = 5, window = 4,
+      minShared = 2L, maxDf = 1000L)
+  }
+
+  /** Per-source length profile through the gate: exact interpolated
+    * token-count percentiles per source (q34's rounding discipline) —
+    * the distribution-shape card that length filters and packing
+    * policies are tuned against. */
+  def q104SourceProfile(spark: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusStats.lengthProfile(
+      tbl(spark, dir, "documents"), "source", "text")
+
   /** Corpus-drift audit through the gate: token-distribution KL(src0 ‖
     * rest) in integer millinats — counts, full-outer vocabulary join,
     * add-1 smoothing, per-token floored log-ratio, integer mean. */
@@ -2246,6 +2268,46 @@ object Queries {
        |  FROM wl)
        |SELECT DISTINCT doc_id, u.pos::BIGINT AS pos, u.fp AS fp FROM sel""".stripMargin
 
+  /** q103 oracle: one winnowing chain (q102's) carrying the source,
+    * split per side, per-side df-cap, fp join, shared-count cut. */
+  private lazy val q103Oracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, list_filter(string_split(lower(trim(text)), ' '), t -> t != '') AS ts
+       |  FROM documents),
+       |th AS (
+       |  SELECT doc_id, source, list_transform(ts, tok -> ${duckPolyHash("tok", 1L << 31)}) AS th
+       |  FROM toks WHERE len(ts) >= 5),
+       |f AS (
+       |  SELECT doc_id, source, list_transform(range(1, len(th) - 3), i -> ${duckShingleFold("th[i:i+4]")}) AS fps
+       |  FROM th),
+       |wl AS (SELECT doc_id, source, fps, least(4, len(fps)) AS wl FROM f),
+       |sel AS (
+       |  SELECT doc_id, source, unnest(list_transform(range(1, len(fps) - wl + 2), i ->
+       |    list_min(fps[i:i + wl - 1]))) AS fp
+       |  FROM wl),
+       |wa AS (SELECT DISTINCT doc_id AS id_a, fp FROM sel WHERE source = 'src0'),
+       |wb AS (SELECT DISTINCT doc_id AS id_b, fp FROM sel WHERE source <> 'src0'),
+       |ra AS (SELECT fp FROM (SELECT fp, count(*) AS c FROM wa GROUP BY fp) t WHERE c <= 1000),
+       |rb AS (SELECT fp FROM (SELECT fp, count(*) AS c FROM wb GROUP BY fp) t WHERE c <= 1000),
+       |ja AS (SELECT id_a, fp FROM wa JOIN ra USING (fp)),
+       |jb AS (SELECT id_b, fp FROM wb JOIN rb USING (fp))
+       |SELECT id_a, id_b, count(*)::BIGINT AS n_shared_fps
+       |FROM ja JOIN jb USING (fp)
+       |GROUP BY id_a, id_b HAVING count(*) >= 2""".stripMargin
+
+  /** q104 oracle: per-source interpolated percentiles of token
+    * counts, q34's round-to-4 parity discipline, NULL text = 0. */
+  private lazy val q104Oracle: String =
+    s"""SELECT source, count(*)::BIGINT AS n_docs,
+       |  round(quantile_cont(n, 0.25), 4) AS p25_tokens,
+       |  round(quantile_cont(n, 0.5), 4) AS p50_tokens,
+       |  round(quantile_cont(n, 0.75), 4) AS p75_tokens,
+       |  round(quantile_cont(n, 0.9), 4) AS p90_tokens
+       |FROM (SELECT source,
+       |  coalesce(len(list_filter(string_split(lower(trim(text)), ' '), x -> x != '')), 0) AS n
+       |  FROM documents) t
+       |GROUP BY source""".stripMargin
+
   /** q91 oracle: BM25 top-20 (shared chain) ∪ exact-cosine top-20
     * (q25's sequential-dot discipline), fused by integer RRF points
     * ⌊10⁶/(60+rank)⌋, final top-10 per query. */
@@ -3006,7 +3068,9 @@ object Queries {
     "q99_curriculum" -> (q99Curriculum _),
     "q100_split_leakage" -> (q100SplitLeakage _),
     "q101_bigram_pmi" -> (q101BigramPmi _),
-    "q102_winnowing" -> (q102Winnowing _))
+    "q102_winnowing" -> (q102Winnowing _),
+    "q103_winnowed_overlap" -> (q103WinnowedOverlap _),
+    "q104_source_profile" -> (q104SourceProfile _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -3223,6 +3287,8 @@ object Queries {
     "q100_split_leakage" -> q100Oracle,
     "q101_bigram_pmi" -> q101Oracle,
     "q102_winnowing" -> q102Oracle,
+    "q103_winnowed_overlap" -> q103Oracle,
+    "q104_source_profile" -> q104Oracle,
     "q93_exact_sample" ->
       s"""SELECT doc_id, source FROM (
         |  SELECT doc_id, source,

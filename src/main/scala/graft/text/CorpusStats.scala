@@ -492,6 +492,34 @@ object CorpusStats {
           expr("(10000 * em) div em_total")).otherwise(0L).as("weight_bp"))
   }
 
+  /** Per-group document-length percentile profile — the dataset-card
+    * companion (q67 carries means; distribution SHAPE is what length
+    * filters and packing policies are tuned against): exact
+    * interpolated percentiles of the per-document token count, per
+    * group, rounded to 4 decimals (q34's cross-engine percentile
+    * discipline). NULL text counts as a zero-length document — a
+    * source padded with empty docs should look short, not shrink.
+    *
+    * Scale shape: one narrow (group, count) projection, one per-group
+    * percentile aggregation — exact percentile state is per-group and
+    * distributed; nothing global, nothing driver-side. Output:
+    * (groupCol, n_docs, p25_tokens, p50_tokens, p75_tokens,
+    * p90_tokens). */
+  def lengthProfile(df: DataFrame, groupCol: String, textCol: String)
+      : DataFrame = {
+    require(groupCol != textCol, s"groupCol and textCol must differ: '$groupCol'")
+    df.select(col(groupCol).as("grp"),
+        coalesce(size(TextFunctions.tokens(col(textCol))).cast("long"), lit(0L))
+          .as("n"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(expr("percentile(n, 0.25D)"), 4).as("p25_tokens"),
+        round(expr("percentile(n, 0.5D)"), 4).as("p50_tokens"),
+        round(expr("percentile(n, 0.75D)"), 4).as("p75_tokens"),
+        round(expr("percentile(n, 0.9D)"), 4).as("p90_tokens"))
+      .withColumnRenamed("grp", groupCol)
+  }
+
   /** Top-k adjacent-bigram PMI — the collocation detector ("new york",
     * "machine learning") used to audit tokenizer merge candidates and
     * to spot templated word pairs: PMI(x,y) = ln(p(x,y)/(p(x)p(y)))

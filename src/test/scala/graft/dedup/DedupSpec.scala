@@ -449,6 +449,37 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("winnowed overlap: planted shared run detected, df-cap drops ubiquitous fps") {
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel" // >= w+k-1 = 8
+    val boiler = "common header line repeated on every single page here"
+    val a = Seq(
+      (1L, s"$boiler intro text $shared"),
+      (2L, s"$boiler unrelated body entirely different words")
+    ).toDF("doc_id", "text")
+    val b = Seq(
+      (10L, s"$shared closing remarks $boiler"),
+      (11L, s"$boiler another unrelated document text")
+    ).toDF("doc_id", "text")
+    val got = Dedup.winnowedOverlapPairs(a, b, "doc_id", "text",
+        shingleTokens = 5, window = 4, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the true shared run pairs (1,10); boilerplate alone also pairs at
+    // high df — with the cap at 1 per side, boilerplate fps (in 2 docs
+    // per side) are dropped and ONLY the planted pair survives
+    assert(got.contains((1L, 10L)))
+    val capped = Dedup.winnowedOverlapPairs(a, b, "doc_id", "text",
+        shingleTokens = 5, window = 4, minShared = 1L, maxDf = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 10L)),
+      "df-cap must remove corpus-wide boilerplate evidence, keep the real overlap")
+    intercept[IllegalArgumentException] {
+      Dedup.winnowedOverlapPairs(a, b, "doc_id", "text", 5, 4, minShared = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.winnowedOverlapPairs(a, b, "doc_id", "text", 5, 4, 1L, maxDf = 0L)
+    }
+  }
+
   test("edit-verified pairs: guards fail fast") {
     val pairs = Seq((0L, 1L)).toDF("id_a", "id_b")
     intercept[IllegalArgumentException] {

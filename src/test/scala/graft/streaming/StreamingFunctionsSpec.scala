@@ -39,4 +39,31 @@ class StreamingFunctionsSpec extends SparkSpec {
     assert(got == batch)
     assert(got.size == 3)
   }
+
+  test("winnowing streams: per-row selection equals batch on an append stream") {
+    // winnowedFingerprints is one per-row HOF projection, so it must run
+    // unchanged over a stream (the incremental half of the q103 overlap
+    // audit: winnow each micro-batch, join against a static winnowed index)
+    val texts = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel india"),
+      (2L, "one two three four five six seven"),
+      (3L, "short under k"))
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val streamed = graft.dedup.Dedup.winnowedFingerprints(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        shingleTokens = 5, window = 4)
+      .writeStream.format("memory").queryName("winnow_stream")
+      .outputMode("append").start()
+    input.addData(texts: _*)
+    streamed.processAllAvailable()
+    streamed.stop()
+    val got = spark.table("winnow_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.dedup.Dedup.winnowedFingerprints(
+        texts.toDF("doc_id", "text"), "doc_id", "text", 5, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == batch && got.nonEmpty)
+    assert(!got.exists(_._1 == 3L), "sub-k docs have no shingles, streamed or not")
+  }
 }

@@ -270,4 +270,22 @@ class CorpusStatsSpec extends SparkSpec {
       CorpusStats.bigramPmiTop(docs, "text", k = 5, minCount = 0L)
     }
   }
+
+  test("length profile: interpolated percentile golden, NULL text counts as zero") {
+    import spark.implicits._
+    // src a: counts 1,2,3,4 -> p25=1.75 p50=2.5 p75=3.25 p90=3.7
+    // src b: one NULL text -> count 0 -> all percentiles 0
+    val docs = Seq(
+      ("a", "w"), ("a", "w w"), ("a", "w w w"), ("a", "w w w w"),
+      ("b", null.asInstanceOf[String])
+    ).toDF("source", "text")
+    val got = CorpusStats.lengthProfile(docs, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got("a") == ((4L, 1.75, 2.5, 3.25, 3.7)))
+    assert(got("b") == ((1L, 0.0, 0.0, 0.0, 0.0)))
+    intercept[IllegalArgumentException] {
+      CorpusStats.lengthProfile(docs, "text", "text")
+    }
+  }
 }
