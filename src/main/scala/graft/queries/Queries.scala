@@ -1357,6 +1357,19 @@ object Queries {
     graft.text.CorpusStats.lengthProfile(
       tbl(spark, dir, "documents"), "source", "text")
 
+  /** Vocabulary encoding through the gate: every document's token
+    * stream as integer ids under the top-16 corpus vocabulary
+    * (frequency-rank ids, OOV bucket = 16), order recovered by
+    * position sort — the tokenize-for-training last mile. The id
+    * array rides the gate as its CSV rendering (the comparator hashes
+    * scalar cells); the operator itself returns the real array. */
+  def q105EncodeTokens(spark: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusStats.encodeTopV(
+        tbl(spark, dir, "documents"), "doc_id", "text", vocabSize = 16)
+      .withColumnRenamed("id", "doc_id")
+      .select(col("doc_id"), array_join(col("ids"), ",").as("ids_csv"),
+        col("n_tokens"), col("n_oov"))
+
   /** Corpus-drift audit through the gate: token-distribution KL(src0 ‖
     * rest) in integer millinats — counts, full-outer vocabulary join,
     * add-1 smoothing, per-token floored log-ratio, integer mean. */
@@ -2308,6 +2321,33 @@ object Queries {
        |  FROM documents) t
        |GROUP BY source""".stripMargin
 
+  /** q105 oracle: frequency-rank vocabulary (row_number qualified to
+    * top-16), positional encode with the OOV fallback, ids re-listed
+    * in position order, every document surfaced. */
+  private lazy val q105Oracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), x -> x != '') AS ts
+       |  FROM documents),
+       |i AS (
+       |  SELECT doc_id, p.i AS pos, ts[p.i] AS tok
+       |  FROM t, LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i) p),
+       |vc AS (SELECT tok, count(*) AS c FROM i GROUP BY tok),
+       |v AS (
+       |  SELECT tok, (row_number() OVER (ORDER BY c DESC, tok) - 1)::BIGINT AS vid
+       |  FROM vc QUALIFY vid < 16),
+       |e AS (
+       |  SELECT i.doc_id, i.pos, coalesce(v.vid, 16) AS vid
+       |  FROM i LEFT JOIN v USING (tok)),
+       |g AS (
+       |  SELECT doc_id, list(vid ORDER BY pos) AS ids, count(*)::BIGINT AS n_tokens,
+       |    sum(CASE WHEN vid = 16 THEN 1 ELSE 0 END)::BIGINT AS n_oov
+       |  FROM e GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  array_to_string(coalesce(g.ids, []::BIGINT[]), ',') AS ids_csv,
+       |  coalesce(g.n_tokens, 0)::BIGINT AS n_tokens,
+       |  coalesce(g.n_oov, 0)::BIGINT AS n_oov
+       |FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN g USING (doc_id)""".stripMargin
+
   /** q91 oracle: BM25 top-20 (shared chain) ∪ exact-cosine top-20
     * (q25's sequential-dot discipline), fused by integer RRF points
     * ⌊10⁶/(60+rank)⌋, final top-10 per query. */
@@ -3070,7 +3110,8 @@ object Queries {
     "q101_bigram_pmi" -> (q101BigramPmi _),
     "q102_winnowing" -> (q102Winnowing _),
     "q103_winnowed_overlap" -> (q103WinnowedOverlap _),
-    "q104_source_profile" -> (q104SourceProfile _))
+    "q104_source_profile" -> (q104SourceProfile _),
+    "q105_encode_tokens" -> (q105EncodeTokens _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -3289,6 +3330,7 @@ object Queries {
     "q102_winnowing" -> q102Oracle,
     "q103_winnowed_overlap" -> q103Oracle,
     "q104_source_profile" -> q104Oracle,
+    "q105_encode_tokens" -> q105Oracle,
     "q93_exact_sample" ->
       s"""SELECT doc_id, source FROM (
         |  SELECT doc_id, source,

@@ -520,6 +520,60 @@ object CorpusStats {
       .withColumnRenamed("grp", groupCol)
   }
 
+  /** Vocabulary encoding — the tokenize-for-training last mile: every
+    * document's token stream mapped to integer ids under the top-V
+    * corpus-frequency vocabulary (id = frequency rank, 0-based, ties
+    * on token asc — the q92 vocabulary cut made assignable), OOV
+    * tokens collapsing to the single bucket id = V. What a trainer
+    * loads is ids, not strings; this is the step that turns the
+    * curated corpus into that tensor precursor, with the OOV count
+    * riding along as the coverage diagnostic.
+    *
+    * Output: (id, ids array<bigint> in token order, n_tokens, n_oov),
+    * EVERY input document present — token-less docs carry an empty
+    * array. Deterministic: the id order is recovered by sorting the
+    * collected (pos, vid) pairs, never by collect order.
+    *
+    * Scale shape: one instance-frame explode + hash count for the
+    * vocabulary; the top-V cut is sort+limit (V-bounded) and the rank
+    * window runs over that ≤V frame only — never the corpus. The
+    * encode join is instances ⋈ broadcast(vocab); re-assembly is one
+    * per-doc aggregation. The corpus shuffles twice (count, encode
+    * groupBy) — the minimum for a corpus-derived vocabulary. */
+  def encodeTopV(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1: $vocabSize")
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val inst = df
+      .select(col(idCol).as("id"), posexplode(TextFunctions.tokens(col(textCol)))
+        .as(Seq("pos", "tok")))
+      .repartition(parts)
+    val vocab = inst.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok").asc).limit(vocabSize)
+      .withColumn("vid",
+        row_number().over(Window.orderBy(col("c").desc, col("tok").asc))
+          .cast("long") - 1L)
+      .select(col("tok"), col("vid"))
+    val encoded = inst
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .select(col("id"), col("pos"),
+        coalesce(col("vid"), lit(vocabSize.toLong)).as("vid"))
+      .groupBy(col("id"))
+      .agg(collect_list(struct(col("pos"), col("vid"))).as("pv"))
+      .select(col("id"),
+        transform(array_sort(col("pv")), p => p.getField("vid")).as("ids"))
+      .select(col("id"), col("ids"),
+        size(col("ids")).cast("long").as("n_tokens"),
+        size(filter(col("ids"), v => v === vocabSize.toLong)).cast("long")
+          .as("n_oov"))
+    df.select(col(idCol).as("id")).distinct()
+      .join(encoded, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("ids"), array().cast("array<bigint>")).as("ids"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+  }
+
   /** Top-k adjacent-bigram PMI — the collocation detector ("new york",
     * "machine learning") used to audit tokenizer merge candidates and
     * to spot templated word pairs: PMI(x,y) = ln(p(x,y)/(p(x)p(y)))

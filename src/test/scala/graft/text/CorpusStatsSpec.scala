@@ -271,6 +271,29 @@ class CorpusStatsSpec extends SparkSpec {
     }
   }
 
+  test("encode top-V: rank ids in token order, OOV bucket, empty docs surface") {
+    import spark.implicits._
+    // counts: w=5, x=3, y=2, z=1 -> vocab(V=2): w->0, x->1; y/z OOV->2
+    val docs = Seq(
+      (1L, "w x w y z"),
+      (2L, "x y w w x w"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.encodeTopV(docs, "doc_id", "text", vocabSize = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Long](1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((Seq(0L, 1L, 0L, 2L, 2L), 5L, 2L)))
+    assert(got(2L) == ((Seq(1L, 2L, 0L, 0L, 1L, 0L), 6L, 1L)))
+    assert(got(3L) == ((Seq.empty[Long], 0L, 0L)), "token-less docs carry an empty array")
+    // frequency tie on count breaks by token asc: with V=3, y (c=2) is in, z is OOV
+    val got3 = CorpusStats.encodeTopV(docs, "doc_id", "text", vocabSize = 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got3(1L) == Seq(0L, 1L, 0L, 2L, 3L))
+    intercept[IllegalArgumentException] {
+      CorpusStats.encodeTopV(docs, "doc_id", "text", vocabSize = 0)
+    }
+  }
+
   test("length profile: interpolated percentile golden, NULL text counts as zero") {
     import spark.implicits._
     // src a: counts 1,2,3,4 -> p25=1.75 p50=2.5 p75=3.25 p90=3.7
