@@ -946,10 +946,14 @@ object Dedup {
       //   <=>  10000*lev <= mx*(10000-T) + (mx-1)
       //   <=>  lev <= (mx*(10001-T) - 1) div 10000          (mx >= 1)
       // mx = 0 (two empty texts) passes any threshold with lev 0.
+      // fenced: the >= 0 filter on this alias would otherwise re-substitute
+      // the banded DP into a pushed filter copy and run it twice per kept
+      // pair (functions.Fence — the jaccardPairs pathology)
       .select(col("id_a"), col("id_b"), col("__mx"),
-        expr(s"levenshtein(__ta, __tb, " +
-          s"greatest((__mx * ${10001L - minSimBp}L - 1) div 10000, 0))")
-          .cast("long").as("lev_dist"))
+        graft.functions.Fence.fence(
+          expr(s"levenshtein(__ta, __tb, " +
+            s"greatest((__mx * ${10001L - minSimBp}L - 1) div 10000, 0))")
+            .cast("long")).as("lev_dist"))
       .where(col("lev_dist") >= 0L)
       .select(col("id_a"), col("id_b"), col("lev_dist"),
         when(col("__mx") === 0L, lit(10000L))
@@ -981,11 +985,19 @@ object Dedup {
     val scored = docs.select(col(idCol).as("doc_id"),
       TextFunctions.qualityMilliFrom(TextFunctions.tokens(col(textCol)))
         .as("quality_milli"))
+    // the argmax window keys on (is-singleton, cluster_id), not cluster_id
+    // alone: under the documented q43 convention (cluster_id = min MEMBER
+    // id) an unclustered doc's id can never equal a real cluster's id, but
+    // a foreign labeling could collide them — and a bare cluster_id key
+    // would then silently drop one of the two documents. Disambiguating
+    // the key keeps both (rather than raising: the collision is only
+    // observable after a shuffle, and both rows are individually valid).
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("cluster_id"))
+      .partitionBy(col("__singleton"), col("cluster_id"))
       .orderBy(col("quality_milli").desc, col("doc_id").asc)
     scored
       .join(clusters.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+      .withColumn("__singleton", col("cluster_id").isNull)
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
@@ -1058,13 +1070,19 @@ object Dedup {
       shingleTokens: Int, window: Int): DataFrame = {
     require(shingleTokens >= 2, s"shingleTokens must be >= 2: $shingleTokens")
     require(window >= 2, s"window must be >= 2: $window")
+    // ONE aggregate pass per window carrying (min so far, its rightmost
+    // offset) — O(window) per window, O(m·window) per doc. A naive
+    // array_min(slice(...)) inside the tie-break lambda would re-scan the
+    // window per element (O(m·window²)) — measured as the dominant cost.
     val sel = expr(
       s"""transform(sequence(1, size(__fps) - __wl + 1), i ->
-         |  named_struct(
-         |    'pos', cast(i + aggregate(sequence(0, __wl - 1), -1L,
-         |      (acc, j) -> IF(element_at(__fps, cast(i + j AS INT)) =
-         |        array_min(slice(__fps, i, __wl)), j, acc)) AS BIGINT),
-         |    'fp', array_min(slice(__fps, i, __wl))))""".stripMargin)
+         |  aggregate(sequence(0, __wl - 1),
+         |    named_struct('mn', 9223372036854775807L, 'j', -1L),
+         |    (acc, j) -> IF(element_at(__fps, cast(i + j AS INT)) <= acc.mn,
+         |      named_struct('mn', element_at(__fps, cast(i + j AS INT)),
+         |                   'j', cast(j AS BIGINT)),
+         |      acc),
+         |    acc -> named_struct('pos', cast(i AS BIGINT) + acc.j, 'fp', acc.mn)))""".stripMargin)
     df.select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("__toks"))
       .where(size(col("__toks")) >= shingleTokens)
       .select(col("id"),

@@ -2180,7 +2180,7 @@ object Queries {
        |  FROM c),
        |t AS (SELECT sum(em)::BIGINT AS em_total FROM e)
        |SELECT source, n_tokens,
-       |  (CASE WHEN em_total > 0 THEN (10000 * em) // em_total ELSE 0 END)::BIGINT AS weight_bp
+       |  (CASE WHEN em_total > 0 THEN (10000::HUGEINT * em) // em_total ELSE 0 END)::BIGINT AS weight_bp
        |FROM e CROSS JOIN t""".stripMargin
 
   /** q99 oracle: the q51 surprisal chain, interior quartile boundaries

@@ -487,9 +487,15 @@ object CorpusStats {
     val total = counts.agg(
       coalesce(sum(col("em")), lit(0L)).as("em_total"))
     counts.crossJoin(broadcast(total))
+      // the 10000·em intermediate is widened to DECIMAL(38,0) (HUGEINT on
+      // the oracle side): at proportional mixing over a trillion-token
+      // source, 10000·(1000·c_s) clears BIGINT — the quotient (≤ 10000)
+      // never does, so widening only the intermediate keeps the result
+      // BIGINT and the arithmetic exact on both engines
       .select(col("grp").as(groupCol), col("n_tokens"),
         when(col("em_total") > 0L,
-          expr("(10000 * em) div em_total")).otherwise(0L).as("weight_bp"))
+          expr("CAST((CAST(10000 AS DECIMAL(38,0)) * em) div em_total AS BIGINT)"))
+          .otherwise(0L).as("weight_bp"))
   }
 
   /** Per-group document-length percentile profile — the dataset-card

@@ -190,8 +190,8 @@ object Retrieval {
     * threshold also guarantees both halves are non-empty).
     *
     * Scale shape: one narrow projection per row — tokenize, two
-    * slices, two joins back to text — no shuffle at all; the output
-    * partitions exactly as the input. Output: (id, anchor_text,
+    * slices re-joined into strings — no join, no shuffle at all; the
+    * output partitions exactly as the input. Output: (id, anchor_text,
     * positive_text, n_anchor, n_positive). */
   def positiveSpanPairs(docs: DataFrame, idCol: String, textCol: String,
       minTokens: Int): DataFrame = {

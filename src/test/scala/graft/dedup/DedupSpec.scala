@@ -480,6 +480,14 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("edit-verified pairs: the banded DP evaluates once (fence holds against pushdown)") {
+    val pairs = Seq((0L, 1L)).toDF("id_a", "id_b")
+    val plan = Dedup.editVerifiedPairs(docs, "doc_id", "text", pairs, 9000L)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.split("levenshtein", -1).length - 1 == 1,
+      "the >= 0 filter must reference the fenced alias, not a second DP copy")
+  }
+
   test("edit-verified pairs: guards fail fast") {
     val pairs = Seq((0L, 1L)).toDF("id_a", "id_b")
     intercept[IllegalArgumentException] {
