@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Empty-corpus sweep over the round-4 operator batch: every operator
+  * must return an empty (correctly-typed) frame on empty input, never
+  * throw — the degenerate case every incremental/streaming caller hits
+  * on a quiet micro-batch or a fresh corpus. (Per-operator NULL and
+  * guard behavior lives in the operators' own specs; this is the one
+  * sweep asserting the shared zero-rows contract.)
+  */
+class EdgeCasesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("round-4 operators are empty-corpus safe") {
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val srcDocs = Seq.empty[(String, String)].toDF("source", "text")
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val assign = Seq.empty[(Long, String)].toDF("doc_id", "split")
+    val clusters = Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
+    val probes = Seq.empty[(Long, String)].toDF("query_id", "qtext")
+    val scored = Seq.empty[(Long, Long)].toDF("id", "score")
+
+    assert(graft.dedup.Dedup.editVerifiedPairs(docs, "doc_id", "text", pairs, 9000L).count() == 0)
+    assert(graft.dedup.Dedup.canonicalByQuality(docs, "doc_id", "text", clusters).count() == 0)
+    assert(graft.dedup.Dedup.crossSplitPairs(pairs, assign).count() == 0)
+    assert(graft.dedup.Dedup.winnowedFingerprints(docs, "doc_id", "text", 5, 4).count() == 0)
+    assert(graft.dedup.Dedup.winnowedOverlapPairs(docs, docs, "doc_id", "text", 5, 4, 1L).count() == 0)
+    assert(graft.text.Retrieval.bm25HardNegatives(docs, "doc_id", "text",
+      probes, "query_id", "qtext", 5).count() == 0)
+    assert(graft.text.Retrieval.positiveSpanPairs(docs, "doc_id", "text", 8).count() == 0)
+    assert(graft.text.CorpusStats.temperatureWeights(srcDocs, "source", "text", 700L).count() == 0)
+    assert(graft.text.CorpusStats.lengthProfile(srcDocs, "source", "text").count() == 0)
+    assert(graft.text.CorpusStats.bigramPmiTop(docs, "text", 5, 1L).count() == 0)
+    assert(graft.text.CorpusStats.encodeTopV(docs, "doc_id", "text", 4).count() == 0)
+    assert(graft.ops.ScaleOps.curriculumStages(scored, "score", 4).count() == 0)
+  }
+
+  test("one-document corpora do not degenerate (pairs empty, per-doc ops emit)") {
+    val one = Seq((1L, "alpha bravo charlie delta echo foxtrot golf hotel india")).toDF("doc_id", "text")
+    assert(graft.dedup.Dedup.winnowedFingerprints(one, "doc_id", "text", 5, 4).count() > 0)
+    assert(graft.text.Retrieval.positiveSpanPairs(one, "doc_id", "text", 8).count() == 1)
+    assert(graft.text.CorpusStats.encodeTopV(one, "doc_id", "text", 4).count() == 1)
+    // a single doc is its own BM25 match — and its own only hard-negative exclusion
+    val probe = Seq((1L, "bravo charlie")).toDF("query_id", "qtext")
+    assert(graft.text.Retrieval.bm25HardNegatives(one, "doc_id", "text",
+      probe, "query_id", "qtext", 5).count() == 0)
+    // curriculum over one row: single stage
+    val s1 = Seq((1L, 42L)).toDF("id", "score")
+    val st = graft.ops.ScaleOps.curriculumStages(s1, "score", 4).collect()
+    assert(st.length == 1 && st.head.getLong(2) == 1L)
+  }
+}
