@@ -527,6 +527,59 @@ object ScaleOps {
       .unionByName(unmatchedNulls)
   }
 
+  /** Pack assembly — the step after [[packGreedyContiguous]]: per
+    * (pack_bucket, pack_bin), the member documents' id arrays
+    * concatenated in the PACK FOLD ORDER (mix48 hash, then key — the
+    * same order the greedy fold consumed, recomputed from the key
+    * rather than trusted from collect order) plus the token-offset
+    * boundary of each document — what an attention-masking dataloader
+    * needs to keep packed documents from attending to each other.
+    *
+    * Output: (pack_bucket, pack_bin, ids_csv, boundaries_csv, n_docs,
+    * n_tokens) — the sequences render as CSV strings (the id arrays
+    * are BIGINT lists; CSV keeps the row a flat scalar record any
+    * sink/gate can hash). boundaries_csv holds each member's START
+    * offset (n_docs entries, first always 0); zero-token members
+    * contribute a repeated offset and no ids.
+    *
+    * Scale shape: one hash aggregation keyed by the pack — state per
+    * group is the pack's own members (≤ binTokens tokens by
+    * construction), and the prefix-sum/concat run as per-row
+    * higher-order expressions after an array_sort of that bounded
+    * member list. Nothing global, nothing driver-side. */
+  def assemblePackedSequences(packed: DataFrame, keyCol: String,
+      idsCol: String, nTokensCol: String): DataFrame = {
+    require(Seq("pack_bucket", "pack_bin").forall(packed.columns.contains),
+      s"packed must carry (pack_bucket, pack_bin) — packGreedyContiguous output, " +
+        s"got ${packed.columns.mkString(",")}")
+    val h = graft.functions.Mix48.mix48(
+      graft.text.TextFunctions.polyHash(col(keyCol).cast("string"), 1L << 48))
+    val asm = expr(
+      s"""aggregate(__m,
+         |  named_struct('offs', cast(array() AS ARRAY<BIGINT>),
+         |               'ids',  cast(array() AS ARRAY<BIGINT>), 'cum', 0L),
+         |  (acc, x) -> named_struct(
+         |    'offs', concat(acc.offs, array(acc.cum)),
+         |    'ids',  concat(acc.ids, x.ids),
+         |    'cum',  acc.cum + x.n))""".stripMargin)
+    packed
+      .select(col("pack_bucket"), col("pack_bin"),
+        // tie-break on the key in its NATIVE type (a string cast would
+        // order 10 before 9); ties on the 48-bit mix are near-impossible
+        // but the fold's order is (hash, key) and assembly must match it
+        struct(h.as("h"), col(keyCol).as("k"),
+          col(idsCol).as("ids"), col(nTokensCol).cast("long").as("n")).as("__s"))
+      .groupBy(col("pack_bucket"), col("pack_bin"))
+      .agg(collect_list(col("__s")).as("__raw"))
+      .withColumn("__m", array_sort(col("__raw")))
+      .withColumn("__a", asm)
+      .select(col("pack_bucket"), col("pack_bin"),
+        array_join(col("__a.ids"), ",").as("ids_csv"),
+        array_join(col("__a.offs"), ",").as("boundaries_csv"),
+        size(col("__m")).cast("long").as("n_docs"),
+        col("__a.cum").as("n_tokens"))
+  }
+
   /** Curriculum staging: partition a scored corpus into `nStages`
     * difficulty bands by exact score percentiles — stage 1 holds the
     * lowest scores (easiest, when the score is a difficulty signal

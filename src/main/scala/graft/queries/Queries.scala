@@ -1370,6 +1370,25 @@ object Queries {
       .select(col("doc_id"), array_join(col("ids"), ",").as("ids_csv"),
         col("n_tokens"), col("n_oov"))
 
+  /** Packed training sequences through the gate: the full last mile —
+    * q105's encoded id streams greedily packed (q56's fold, 256-token
+    * bins, 8 buckets) and assembled per pack in fold order with
+    * document boundary offsets (attention-mask metadata). Composition
+    * of three verified operators; the whole packed sequence and its
+    * boundaries hash-compare as CSV. */
+  def q106PackedSequences(spark: SparkSession, dir: String): DataFrame = {
+    val enc = graft.text.CorpusStats.encodeTopV(
+      tbl(spark, dir, "documents"), "doc_id", "text", vocabSize = 16)
+    // pack on the BARE (id, n) projection — the id arrays must not ride
+    // the pack's repartition+sort; they join back once, at assembly
+    val packed = graft.ops.ScaleOps.packGreedyContiguous(
+      enc.select(col("id"), col("n_tokens")),
+      "id", "n_tokens", 256L, numBuckets = 8)
+    graft.ops.ScaleOps.assemblePackedSequences(
+      packed.join(enc.select(col("id"), col("ids")), Seq("id")),
+      "id", "ids", "n_tokens")
+  }
+
   /** Corpus-drift audit through the gate: token-distribution KL(src0 ‖
     * rest) in integer millinats — counts, full-outer vocabulary join,
     * add-1 smoothing, per-token floored log-ratio, integer mean. */
@@ -2348,6 +2367,63 @@ object Queries {
        |  coalesce(g.n_oov, 0)::BIGINT AS n_oov
        |FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN g USING (doc_id)""".stripMargin
 
+  /** q106 oracle: the q56 recursive pack replay (bucket/bin/rn per
+    * doc) joined with the q105 encode chain, members re-listed in
+    * fold order (rn), ids flattened and boundary offsets prefix-
+    * summed per pack. */
+  private lazy val q106Oracle: String = {
+    val (chain, mixed) = duckMix48Scalar
+    val width = ((1L << 48) + 7) / 8
+    s"""WITH RECURSIVE h0 AS (
+       |  SELECT doc_id,
+       |    len(list_filter(string_split(lower(trim(text)), ' '), x -> x != '')) AS n,
+       |    ${duckPolyHash("CAST(doc_id AS VARCHAR)", 1L << 48)} AS h
+       |  FROM documents),
+       |mx AS (SELECT doc_id, n, h$chain FROM h0),
+       |b AS (
+       |  SELECT doc_id, n, ($mixed // $width) AS bucket,
+       |    row_number() OVER (PARTITION BY ($mixed // $width)
+       |      ORDER BY $mixed, doc_id) AS rn
+       |  FROM mx),
+       |r AS (
+       |  SELECT bucket, rn, doc_id, n, 0::BIGINT AS bin, n AS fill
+       |  FROM b WHERE rn = 1
+       |  UNION ALL
+       |  SELECT b.bucket, b.rn, b.doc_id, b.n,
+       |    CASE WHEN r.fill + b.n <= 256 THEN r.bin ELSE r.bin + 1 END,
+       |    CASE WHEN r.fill + b.n <= 256 THEN r.fill + b.n ELSE b.n END
+       |  FROM b JOIN r ON b.bucket = r.bucket AND b.rn = r.rn + 1),
+       |t AS (
+       |  SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), x -> x != '') AS ts
+       |  FROM documents),
+       |i AS (
+       |  SELECT doc_id, p.i AS pos, ts[p.i] AS tok
+       |  FROM t, LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i) p),
+       |vc AS (SELECT tok, count(*) AS c FROM i GROUP BY tok),
+       |v AS (
+       |  SELECT tok, (row_number() OVER (ORDER BY c DESC, tok) - 1)::BIGINT AS vid
+       |  FROM vc QUALIFY vid < 16),
+       |e AS (
+       |  SELECT i.doc_id, i.pos, coalesce(v.vid, 16) AS vid
+       |  FROM i LEFT JOIN v USING (tok)),
+       |g2 AS (SELECT doc_id, list(vid ORDER BY pos) AS ids FROM e GROUP BY doc_id),
+       |binm AS (
+       |  SELECT r.bucket, r.bin, r.rn, r.n,
+       |    coalesce(g2.ids, []::BIGINT[]) AS ids
+       |  FROM r LEFT JOIN g2 USING (doc_id)),
+       |packs AS (
+       |  SELECT bucket, bin,
+       |    list(ids ORDER BY rn) AS idss, list(n ORDER BY rn) AS ns,
+       |    count(*) AS n_docs, sum(n) AS n_tokens
+       |  FROM binm GROUP BY bucket, bin)
+       |SELECT bucket::BIGINT AS pack_bucket, bin::BIGINT AS pack_bin,
+       |  array_to_string(flatten(idss), ',') AS ids_csv,
+       |  array_to_string(list_transform(range(1, len(ns) + 1),
+       |    i -> coalesce(list_sum(ns[1:i-1]), 0)::BIGINT), ',') AS boundaries_csv,
+       |  n_docs::BIGINT AS n_docs, n_tokens::BIGINT AS n_tokens
+       |FROM packs""".stripMargin
+  }
+
   /** q91 oracle: BM25 top-20 (shared chain) ∪ exact-cosine top-20
     * (q25's sequential-dot discipline), fused by integer RRF points
     * ⌊10⁶/(60+rank)⌋, final top-10 per query. */
@@ -3111,7 +3187,8 @@ object Queries {
     "q102_winnowing" -> (q102Winnowing _),
     "q103_winnowed_overlap" -> (q103WinnowedOverlap _),
     "q104_source_profile" -> (q104SourceProfile _),
-    "q105_encode_tokens" -> (q105EncodeTokens _))
+    "q105_encode_tokens" -> (q105EncodeTokens _),
+    "q106_packed_sequences" -> (q106PackedSequences _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -3331,6 +3408,7 @@ object Queries {
     "q103_winnowed_overlap" -> q103Oracle,
     "q104_source_profile" -> q104Oracle,
     "q105_encode_tokens" -> q105Oracle,
+    "q106_packed_sequences" -> q106Oracle,
     "q93_exact_sample" ->
       s"""SELECT doc_id, source FROM (
         |  SELECT doc_id, source,

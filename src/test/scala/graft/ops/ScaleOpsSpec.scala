@@ -412,6 +412,42 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("assemblePackedSequences: fold-order ids, boundary offsets, nothing lost or duplicated") {
+    import spark.implicits._
+    val enc = Seq(
+      (1L, Seq(11L, 12L, 13L), 3L),
+      (2L, Seq(24L), 1L),
+      (3L, Seq.empty[Long], 0L),      // zero-token member: repeated offset, no ids
+      (4L, Seq(45L, 46L), 2L),
+      (5L, Seq(57L, 58L, 59L, 60L), 4L)
+    ).toDF("id", "ids", "n_tokens")
+    val packed = ScaleOps.packGreedyContiguous(enc, "id", "n_tokens", 5L, numBuckets = 2)
+    val out = ScaleOps.assemblePackedSequences(packed, "id", "ids", "n_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getString(3), r.getLong(4), r.getLong(5)))).toMap
+    // driver-side replica: fold order is (mix48(polyHash(id)), id) within pack
+    val hOf = enc.select($"id", graft.functions.Mix48.mix48(
+        graft.text.TextFunctions.polyHash($"id".cast("string"), 1L << 48)).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val members = packed.collect().map(r => (
+      r.getAs[Long]("pack_bucket"), r.getAs[Long]("pack_bin"),
+      r.getAs[Long]("id"), r.getAs[scala.collection.Seq[Long]]("ids").toSeq,
+      r.getAs[Long]("n_tokens")))
+    val expected = members.groupBy(m => (m._1, m._2)).map { case (k, ms) =>
+      val sorted = ms.sortBy(m => (hOf(m._3), m._3))
+      val ids = sorted.flatMap(_._4)
+      val offs = sorted.map(_._5).scanLeft(0L)(_ + _).dropRight(1)
+      k -> ((ids.mkString(","), offs.mkString(","), sorted.length.toLong, sorted.map(_._5).sum))
+    }
+    assert(out == expected)
+    // conservation: every input id value appears exactly once across all packs
+    val allIds = out.values.flatMap(_._1.split(",").filter(_.nonEmpty).map(_.toLong)).toSeq.sorted
+    assert(allIds == Seq(11L, 12L, 13L, 24L, 45L, 46L, 57L, 58L, 59L, 60L))
+    intercept[IllegalArgumentException] {
+      ScaleOps.assemblePackedSequences(enc, "id", "ids", "n_tokens")
+    }
+  }
+
   test("curriculumStages: quartile golden, ties share a stage, columns preserved") {
     import spark.implicits._
     val scored = (1L to 8L).map(s => (s * 10, s)).toDF("id", "score")
