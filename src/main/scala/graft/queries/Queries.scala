@@ -2340,11 +2340,13 @@ object Queries {
        |  FROM documents) t
        |GROUP BY source""".stripMargin
 
-  /** q105 oracle: frequency-rank vocabulary (row_number qualified to
-    * top-16), positional encode with the OOV fallback, ids re-listed
-    * in position order, every document surfaced. */
-  private lazy val q105Oracle: String =
-    s"""WITH t AS (
+  /** The q105 encode replay as shared CTE text (t→i→vc→v→e→g2:
+    * positional tokens, frequency-rank top-16 vocabulary, OOV
+    * fallback to id 16, per-doc id list in position order) — ONE copy
+    * consumed by q105 (per-doc encode) and q106 (per-pack assembly);
+    * same single-source rule as duckPackChain. */
+  private lazy val duckEncodeChain: String =
+    s"""t AS (
        |  SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), x -> x != '') AS ts
        |  FROM documents),
        |i AS (
@@ -2357,56 +2359,28 @@ object Queries {
        |e AS (
        |  SELECT i.doc_id, i.pos, coalesce(v.vid, 16) AS vid
        |  FROM i LEFT JOIN v USING (tok)),
-       |g AS (
+       |g2 AS (
        |  SELECT doc_id, list(vid ORDER BY pos) AS ids, count(*)::BIGINT AS n_tokens,
        |    sum(CASE WHEN vid = 16 THEN 1 ELSE 0 END)::BIGINT AS n_oov
-       |  FROM e GROUP BY doc_id)
+       |  FROM e GROUP BY doc_id)""".stripMargin
+
+  /** q105 oracle: the shared encode chain, ids as CSV, every document
+    * surfaced. */
+  private lazy val q105Oracle: String =
+    s"""WITH $duckEncodeChain
        |SELECT d.doc_id,
-       |  array_to_string(coalesce(g.ids, []::BIGINT[]), ',') AS ids_csv,
-       |  coalesce(g.n_tokens, 0)::BIGINT AS n_tokens,
-       |  coalesce(g.n_oov, 0)::BIGINT AS n_oov
-       |FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN g USING (doc_id)""".stripMargin
+       |  array_to_string(coalesce(g2.ids, []::BIGINT[]), ',') AS ids_csv,
+       |  coalesce(g2.n_tokens, 0)::BIGINT AS n_tokens,
+       |  coalesce(g2.n_oov, 0)::BIGINT AS n_oov
+       |FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN g2 USING (doc_id)""".stripMargin
 
   /** q106 oracle: the q56 recursive pack replay (bucket/bin/rn per
     * doc) joined with the q105 encode chain, members re-listed in
     * fold order (rn), ids flattened and boundary offsets prefix-
     * summed per pack. */
   private lazy val q106Oracle: String = {
-    val (chain, mixed) = duckMix48Scalar
-    val width = ((1L << 48) + 7) / 8
-    s"""WITH RECURSIVE h0 AS (
-       |  SELECT doc_id,
-       |    len(list_filter(string_split(lower(trim(text)), ' '), x -> x != '')) AS n,
-       |    ${duckPolyHash("CAST(doc_id AS VARCHAR)", 1L << 48)} AS h
-       |  FROM documents),
-       |mx AS (SELECT doc_id, n, h$chain FROM h0),
-       |b AS (
-       |  SELECT doc_id, n, ($mixed // $width) AS bucket,
-       |    row_number() OVER (PARTITION BY ($mixed // $width)
-       |      ORDER BY $mixed, doc_id) AS rn
-       |  FROM mx),
-       |r AS (
-       |  SELECT bucket, rn, doc_id, n, 0::BIGINT AS bin, n AS fill
-       |  FROM b WHERE rn = 1
-       |  UNION ALL
-       |  SELECT b.bucket, b.rn, b.doc_id, b.n,
-       |    CASE WHEN r.fill + b.n <= 256 THEN r.bin ELSE r.bin + 1 END,
-       |    CASE WHEN r.fill + b.n <= 256 THEN r.fill + b.n ELSE b.n END
-       |  FROM b JOIN r ON b.bucket = r.bucket AND b.rn = r.rn + 1),
-       |t AS (
-       |  SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), x -> x != '') AS ts
-       |  FROM documents),
-       |i AS (
-       |  SELECT doc_id, p.i AS pos, ts[p.i] AS tok
-       |  FROM t, LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i) p),
-       |vc AS (SELECT tok, count(*) AS c FROM i GROUP BY tok),
-       |v AS (
-       |  SELECT tok, (row_number() OVER (ORDER BY c DESC, tok) - 1)::BIGINT AS vid
-       |  FROM vc QUALIFY vid < 16),
-       |e AS (
-       |  SELECT i.doc_id, i.pos, coalesce(v.vid, 16) AS vid
-       |  FROM i LEFT JOIN v USING (tok)),
-       |g2 AS (SELECT doc_id, list(vid ORDER BY pos) AS ids FROM e GROUP BY doc_id),
+    s"""WITH RECURSIVE $duckPackChain,
+       |$duckEncodeChain,
        |binm AS (
        |  SELECT r.bucket, r.bin, r.rn, r.n,
        |    coalesce(g2.ids, []::BIGINT[]) AS ids
@@ -2703,10 +2677,17 @@ object Queries {
     * per mixed-hash bucket (8 buckets, the Spark side's numBuckets),
     * rows in (mixed, doc_id) order carry (bin, fill) state forward one
     * row per recursion step. Recursion depth = max rows per bucket. */
-  private lazy val q56Oracle: String = {
+  /** The q56 greedy-pack replay as shared CTE text (h0→mx→b→r: token
+    * counts, avalanche-mixed id hash, bucket + fold order, the
+    * recursive bin fold at 256 tokens / 8 buckets) — ONE copy consumed
+    * by q56 (per-doc assignment), q78 (per-bin manifest rollup), and
+    * q106 (per-bin sequence assembly); a drifting second copy of the
+    * fold would silently desynchronize those gates. Prepend
+    * `WITH RECURSIVE`. */
+  private lazy val duckPackChain: String = {
     val (chain, mixed) = duckMix48Scalar
     val width = ((1L << 48) + 7) / 8
-    s"""WITH RECURSIVE h0 AS (
+    s"""h0 AS (
        |  SELECT doc_id,
        |    len(list_filter(string_split(lower(trim(text)), ' '), x -> x != '')) AS n,
        |    ${duckPolyHash("CAST(doc_id AS VARCHAR)", 1L << 48)} AS h
@@ -2724,37 +2705,21 @@ object Queries {
        |  SELECT b.bucket, b.rn, b.doc_id, b.n,
        |    CASE WHEN r.fill + b.n <= 256 THEN r.bin ELSE r.bin + 1 END,
        |    CASE WHEN r.fill + b.n <= 256 THEN r.fill + b.n ELSE b.n END
-       |  FROM b JOIN r ON b.bucket = r.bucket AND b.rn = r.rn + 1)
+       |  FROM b JOIN r ON b.bucket = r.bucket AND b.rn = r.rn + 1)""".stripMargin
+  }
+
+  private lazy val q56Oracle: String =
+    s"""WITH RECURSIVE $duckPackChain
        |SELECT doc_id, n::BIGINT AS n_tokens,
        |  bucket::BIGINT AS pack_bucket, bin::BIGINT AS pack_bin
        |FROM r""".stripMargin
-  }
 
   /** q78 oracle: q56's recursive-CTE pack replay rolled up per
     * (bucket, bin) — counts, token sums, and the bit_xor of each
     * member's avalanche-mixed id hash (re-joined from the mx frame). */
   private lazy val q78Oracle: String = {
-    val (chain, mixed) = duckMix48Scalar
-    val width = ((1L << 48) + 7) / 8
-    s"""WITH RECURSIVE h0 AS (
-       |  SELECT doc_id,
-       |    len(list_filter(string_split(lower(trim(text)), ' '), x -> x != '')) AS n,
-       |    ${duckPolyHash("CAST(doc_id AS VARCHAR)", 1L << 48)} AS h
-       |  FROM documents),
-       |mx AS (SELECT doc_id, n, h$chain FROM h0),
-       |b AS (
-       |  SELECT doc_id, n, ($mixed // $width) AS bucket,
-       |    row_number() OVER (PARTITION BY ($mixed // $width)
-       |      ORDER BY $mixed, doc_id) AS rn
-       |  FROM mx),
-       |r AS (
-       |  SELECT bucket, rn, doc_id, n, 0::BIGINT AS bin, n AS fill
-       |  FROM b WHERE rn = 1
-       |  UNION ALL
-       |  SELECT b.bucket, b.rn, b.doc_id, b.n,
-       |    CASE WHEN r.fill + b.n <= 256 THEN r.bin ELSE r.bin + 1 END,
-       |    CASE WHEN r.fill + b.n <= 256 THEN r.fill + b.n ELSE b.n END
-       |  FROM b JOIN r ON b.bucket = r.bucket AND b.rn = r.rn + 1)
+    val (_, mixed) = duckMix48Scalar
+    s"""WITH RECURSIVE $duckPackChain
        |SELECT r.bucket::BIGINT AS pack_bucket, r.bin::BIGINT AS pack_bin,
        |  count(*)::BIGINT AS n_docs, sum(r.n)::BIGINT AS n_tokens,
        |  bit_xor($mixed)::BIGINT AS ids_fp
