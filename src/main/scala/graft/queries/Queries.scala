@@ -28,12 +28,27 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 object Queries {
 
   def tbl(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // The driver's events.parquet carries TIMESTAMP(NANOS), which Spark's
-    // parquet reader rejects unless nanos are surfaced as long. Nanos-as-
-    // long preserves ordering/equality; eventsTyped below restores full
-    // timestamp semantics on top.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    // The driver's events.parquet lands `ts` as a parquet timestamp
+    // (µs precision, read as TIMESTAMP_NTZ). The engine standardizes on
+    // nanos-as-long for `ts` — integer arithmetic is exact, order-stable,
+    // and engine-portable (the DuckDB oracles work from epoch_us(ts)) —
+    // so restore that contract at the read boundary. The conversion is
+    // wall-clock→instant and therefore needs the UTC session pin every
+    // entry point applies (Bench/Verify/specs); fail loudly otherwise.
+    // Older generator versions wrote TIMESTAMP(NANOS), which Spark reads
+    // as long only under the legacy nanosAsLong flag — the LongType
+    // branch keeps that shape working unchanged.
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" &&
+        !df.schema("ts").dataType.isInstanceOf[org.apache.spark.sql.types.LongType]) {
+      val tz = spark.conf.get("spark.sql.session.timeZone")
+      require(tz == "UTC",
+        s"events.ts is a wall-clock timestamp; converting it to epoch nanos " +
+          s"requires spark.sql.session.timeZone=UTC (got '$tz') — set it in " +
+          "the SparkSession builder")
+      df.withColumn("ts",
+        unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)) * lit(1000L))
+    } else df
   }
 
   /** The events table with real timestamp semantics: `ts_t` is the nano
