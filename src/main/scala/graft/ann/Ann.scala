@@ -105,6 +105,33 @@ object Ann {
     bits.foldLeft(lit(0L))((acc, bit) => acc * 2 + bit)
   }
 
+  /** Johnson–Lindenstrauss random projection to `outDim` coordinates:
+    * p_j = v · s_j over fixed ±1 sign vectors from the same
+    * deterministic generator as the LSH tables ([[planeWeights]] —
+    * a dense Achlioptas/JL projection). Pairwise inner products and
+    * distances are preserved in expectation with O(ln n / ε²) output
+    * dims; callers wanting the variance-normalized form divide by
+    * √outDim (omitted here so every coordinate stays a plain
+    * sequential-accumulation dot both engines reproduce bit-exactly —
+    * the q30 plane discipline).
+    *
+    * This is the 100 TB pre-shrink for the ANN family: project once,
+    * write the narrow column, and run the IVF/LSH/brute paths on
+    * dim/outDim× less vector payload per scan, shuffle, and index.
+    * Entirely expression-level — no shuffle, no UDF, codegen'd dots
+    * ([[graft.functions.FloatVectorDot]]).
+    *
+    * `planeOffset` selects a disjoint sign-vector set (e.g. to draw an
+    * independent projection for a second index or a distortion A/B). */
+  def randomProject(vec: Column, outDim: Int, dim: Int,
+      planeOffset: Int = 0): Column = {
+    require(outDim >= 1, s"randomProject: outDim must be >= 1: $outDim")
+    val planes = planeWeights(planeOffset + outDim, dim).drop(planeOffset)
+    array(planes.map { w =>
+      dot(vec, array(w.map(x => lit(x.toFloat)): _*))
+    }: _*)
+  }
+
   // ---- IVF (inverted-file) ANN --------------------------------------
 
   /** Nearest-centroid cell assignment — the IVF index build. Centroids

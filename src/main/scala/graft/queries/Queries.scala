@@ -1404,6 +1404,53 @@ object Queries {
       "id", "ids", "n_tokens")
   }
 
+  /** Trained quality classifier through the gate: multinomial Naive
+    * Bayes (add-1, integer millinat log-odds + class prior) with weak
+    * labels "document comes from a curated source" (src0–src3) — the
+    * GPT-3/CCNet-style learned filter, scored over every document.
+    * All-integer once each per-token log floors, so the gate hashes
+    * exactly (CorpusStats.naiveBayesQuality). */
+  def q107NbQuality(spark: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusStats.naiveBayesQuality(
+        tbl(spark, dir, "documents").withColumn("y",
+          when(col("source").isin("src0", "src1", "src2", "src3"), 1L)
+            .otherwise(0L)),
+        "doc_id", "text", "y")
+      .withColumnRenamed("id", "doc_id")
+
+  /** JL random projection through the gate: every embedding shrunk
+    * 64→16 dims over fixed ±1 sign planes (offset 64 — disjoint from
+    * q30's LSH tables), coordinates floored to integer millis. The
+    * dots are bit-exact sequential accumulation on both engines (the
+    * q30 discipline), so the floor is hash-safe with no boundary
+    * argument needed. */
+  def q108RandomProjection(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "embeddings").select(col("vec_id"),
+      array_join(transform(
+        graft.ann.Ann.randomProject(col("embedding"), outDim = 16,
+          dim = 64, planeOffset = 64),
+        d => floor(d * lit(1000.0)).cast("long")), ",").as("proj_csv"))
+
+  /** Blocklist screening through the gate: exact-token hits against a
+    * small term list, density in basis points, keep verdict at ≤ 5%.
+    * Expression-only (no shuffle) — TextFunctions.blocklistHitsFrom. */
+  def q109Blocklist(spark: SparkSession, dir: String): DataFrame = {
+    val ts = graft.text.TextFunctions.tokens(col("text"))
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"), size(ts).cast("long").as("n_tokens"),
+        graft.text.TextFunctions.blocklistHitsFrom(ts, BlockTerms)
+          .cast("long").as("n_hits"))
+      .withColumn("hit_bp",
+        when(col("n_tokens") > 0,
+          expr("(n_hits * 10000) div n_tokens"))
+          .otherwise(lit(0L)).cast("long"))
+      .withColumn("keep", when(col("hit_bp") <= 500L, 1L).otherwise(0L))
+  }
+
+  /** The q109 demo blocklist (stand-ins for a real obscenity/policy
+    * list — the testdata vocabulary is synthetic). */
+  private val BlockTerms: Seq[String] = Seq("slow", "leak", "crash")
+
   /** Corpus-drift audit through the gate: token-distribution KL(src0 ‖
     * rest) in integer millinats — counts, full-outer vocabulary join,
     * add-1 smoothing, per-token floored log-ratio, integer mean. */
@@ -2413,6 +2460,82 @@ object Queries {
        |FROM packs""".stripMargin
   }
 
+  /** q107 oracle: the Naive Bayes chain replayed in SQL — weak labels
+    * from the source column, per-token two-class counts, add-1 over
+    * the joint vocabulary, floored millinat log-odds per token, class
+    * prior from document counts, plain integer sum per document, every
+    * document surfaced (token-less docs carry the bare prior). */
+  private lazy val q107Oracle: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN source IN ('src0','src1','src2','src3')
+       |         THEN 1 ELSE 0 END AS y
+       |  FROM documents),
+       |inst AS (
+       |  SELECT doc_id, y,
+       |    unnest(list_filter(string_split(lower(trim(text)), ' '), x -> x != '')) AS tok
+       |  FROM base),
+       |voc AS (
+       |  SELECT tok,
+       |    sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)::BIGINT AS c1,
+       |    sum(CASE WHEN y = 0 THEN 1 ELSE 0 END)::BIGINT AS c0
+       |  FROM inst GROUP BY tok),
+       |tt AS (SELECT count(*)::BIGINT AS v, sum(c1)::BIGINT AS t1,
+       |  sum(c0)::BIGINT AS t0 FROM voc),
+       |pr AS (
+       |  SELECT floor(1000.0 * ln(
+       |    sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)::DOUBLE /
+       |    sum(CASE WHEN y = 0 THEN 1 ELSE 0 END)::DOUBLE))::BIGINT AS prior_milli
+       |  FROM base),
+       |s AS (
+       |  SELECT voc.tok,
+       |    floor(1000.0 * ln(((voc.c1 + 1) * (tt.t0 + tt.v))::DOUBLE
+       |      / ((voc.c0 + 1) * (tt.t1 + tt.v))::DOUBLE))::BIGINT AS s
+       |  FROM voc, tt),
+       |sums AS (
+       |  SELECT inst.doc_id, count(*)::BIGINT AS n_tokens,
+       |    sum(s.s)::BIGINT AS ssum
+       |  FROM inst JOIN s USING (tok) GROUP BY inst.doc_id)
+       |SELECT b.doc_id, b.y::BIGINT AS label,
+       |  coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+       |  (coalesce(ssum, 0) + pr.prior_milli)::BIGINT AS nb_milli,
+       |  (CASE WHEN coalesce(ssum, 0) + pr.prior_milli > 0
+       |        THEN 1 ELSE 0 END)::BIGINT AS keep
+       |FROM base b LEFT JOIN sums USING (doc_id), pr""".stripMargin
+
+  /** q108 oracle: the 16 JL projection coordinates as one list literal
+    * of floored-milli sequential dots — plane literals emitted from the
+    * same generator as the Spark side (the q30 pattern, offset 64). */
+  private lazy val q108Oracle: String = {
+    val planes = graft.ann.Ann.planeWeights(64 + 16, 64).drop(64)
+    def planeLit(w: Seq[Double]): String =
+      w.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    val coords = planes.map { w =>
+      s"floor(1000.0 * ${duckDot("embedding", planeLit(w))})::BIGINT"
+    }.mkString(",\n    ")
+    s"""SELECT vec_id,
+       |  array_to_string([$coords], ',') AS proj_csv
+       |FROM embeddings""".stripMargin
+  }
+
+  /** q109 oracle: exact-token blocklist hits, basis-point density
+    * (floored), ≤5% keep verdict. */
+  private lazy val q109Oracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(lower(trim(text)), ' '), x -> x != '') AS ts
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, len(ts)::BIGINT AS n_tokens,
+       |    len(list_filter(ts, x -> list_contains(['slow','leak','crash'], x)))::BIGINT AS n_hits
+       |  FROM t)
+       |SELECT doc_id, n_tokens, n_hits,
+       |  (CASE WHEN n_tokens > 0 THEN (n_hits * 10000) // n_tokens
+       |        ELSE 0 END)::BIGINT AS hit_bp,
+       |  (CASE WHEN (CASE WHEN n_tokens > 0 THEN (n_hits * 10000) // n_tokens
+       |        ELSE 0 END) <= 500 THEN 1 ELSE 0 END)::BIGINT AS keep
+       |FROM h""".stripMargin
+
   /** q91 oracle: BM25 top-20 (shared chain) ∪ exact-cosine top-20
     * (q25's sequential-dot discipline), fused by integer RRF points
     * ⌊10⁶/(60+rank)⌋, final top-10 per query. */
@@ -3168,7 +3291,10 @@ object Queries {
     "q103_winnowed_overlap" -> (q103WinnowedOverlap _),
     "q104_source_profile" -> (q104SourceProfile _),
     "q105_encode_tokens" -> (q105EncodeTokens _),
-    "q106_packed_sequences" -> (q106PackedSequences _))
+    "q106_packed_sequences" -> (q106PackedSequences _),
+    "q107_nb_quality" -> (q107NbQuality _),
+    "q108_random_projection" -> (q108RandomProjection _),
+    "q109_blocklist" -> (q109Blocklist _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -3389,6 +3515,9 @@ object Queries {
     "q104_source_profile" -> q104Oracle,
     "q105_encode_tokens" -> q105Oracle,
     "q106_packed_sequences" -> q106Oracle,
+    "q107_nb_quality" -> q107Oracle,
+    "q108_random_projection" -> q108Oracle,
+    "q109_blocklist" -> q109Oracle,
     "q93_exact_sample" ->
       s"""SELECT doc_id, source FROM (
         |  SELECT doc_id, source,

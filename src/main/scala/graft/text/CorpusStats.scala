@@ -410,6 +410,95 @@ object CorpusStats {
         coalesce(col("ssum"), lit(0L)).as("dsir_milli"))
   }
 
+  /** Trained quality classifier — multinomial Naive Bayes over unigram
+    * features with add-1 smoothing, the GPT-3/CCNet-style filter that
+    * LEARNS what "good" looks like from weak labels (label 1 = docs
+    * from trusted/curated sources, label 0 = the rest) instead of
+    * hand-tuned heuristics. Where [[dsirWeights]] contrasts a target
+    * CORPUS against the raw corpus, this trains from a LABEL COLUMN on
+    * the corpus itself and adds the class prior — the supervised
+    * complement.
+    *
+    * Per-token evidence in floored integer millinats (the q44/q51
+    * cross-engine discipline — one floor of one log of a ratio of exact
+    * integers): s(tok) = ⌊1000·ln( (c1+1)·(T0+V) / ((c0+1)·(T1+V)) )⌋
+    * over the joint vocabulary V; the document's log-odds is
+    * prior + Σ s over its token instances with
+    * prior = ⌊1000·ln(N1/N0)⌋ — all integer sums, order-independent,
+    * reproducible across partitionings and engines. Integer products
+    * stay double-exact below 2^53; beyond that (trillions of tokens)
+    * split the log into a sum of four lns. Output: (id, label,
+    * n_tokens, nb_milli, keep = 1 iff nb_milli > 0), EVERY document
+    * present — a token-less document carries the bare prior.
+    *
+    * Fails loudly on a NULL or non-binary label and on a nonempty
+    * one-class corpus (ln(N1/N0) undefined — a classifier with nothing
+    * to contrast is a caller bug, not a degenerate frame). A fully
+    * EMPTY corpus returns an empty frame: empty-relation propagation
+    * prunes the plan before the guard can evaluate, which is the
+    * empty-input contract every operator here shares (EdgeCasesSpec).
+    *
+    * Scale shape: one explode → one per-token two-class hash agg
+    * (map-side combined, vocab-sized result) → broadcast totals → ONE
+    * postings-sized token join of the instances against the scored
+    * vocabulary → per-doc sum. The token join inherits the Zipf-head
+    * caveat of [[unigramSurprisal]] — common tokens carry class
+    * evidence and can't be capped away — so `saltFactor > 1` spreads
+    * the head via the salted join (result-identical, SkewSpec-pinned
+    * pattern). Scoring a NEW corpus against a saved model is the same
+    * final join: persist `scored` + the totals row and skip training. */
+  def naiveBayesQuality(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String, saltFactor: Int = 1): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    // assert_true(..).isNull is the codebase's fail-fast filter idiom:
+    // null for surviving rows, throws on a bad label before any join.
+    val base = df
+      .select(col(idCol).as("id"), col(textCol).as("text"),
+        col(labelCol).cast("long").as("y"))
+      .filter(assert_true(col("y").isin(0L, 1L),
+        lit(s"naiveBayesQuality: label column '$labelCol' must be 0 or 1")).isNull)
+    val inst = base
+      .select(col("id"), col("y"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .repartition(parts)
+    val vocab = inst.groupBy(col("tok")).agg(
+      sum(when(col("y") === 1L, 1L).otherwise(0L)).as("c1"),
+      sum(when(col("y") === 0L, 1L).otherwise(0L)).as("c0"))
+    val totals = vocab.agg(count(lit(1)).as("v"),
+      sum(col("c1")).as("t1"), sum(col("c0")).as("t0"))
+    // class prior from DOCUMENT counts; the one-class guard rides the
+    // single-row frame (assert_true, evaluated before any per-doc math)
+    val prior = base.agg(
+        // coalesce: an EMPTY corpus sums to NULL, which must hit the
+        // one-class guard below as 0, not ride through as NULL
+        coalesce(sum(when(col("y") === 1L, 1L).otherwise(0L)), lit(0L)).as("n1"),
+        coalesce(sum(when(col("y") === 0L, 1L).otherwise(0L)), lit(0L)).as("n0"))
+      .filter(assert_true(col("n1") > 0 && col("n0") > 0,
+        lit("naiveBayesQuality: both classes must be inhabited")).isNull)
+      .select(floor(lit(1000.0) *
+        log(col("n1").cast("double") / col("n0").cast("double")))
+        .cast("long").as("prior_milli"))
+    val scored = vocab.crossJoin(broadcast(totals))
+      .select(col("tok"),
+        floor(lit(1000.0) * log(
+          ((col("c1") + lit(1L)) * (col("t0") + col("v"))).cast("double") /
+            ((col("c0") + lit(1L)) * (col("t1") + col("v"))).cast("double")))
+          .cast("long").as("s"))
+    val bare = inst.select(col("id"), col("tok"))
+    val joined =
+      if (saltFactor > 1) graft.ops.ScaleOps.saltedEquiJoin(bare, scored, "tok", saltFactor)
+      else bare.join(scored, "tok")
+    val sums = joined.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("s")).cast("long").as("ssum"))
+    base.select(col("id"), col("y").as("label"))
+      .join(sums, Seq("id"), "left")
+      .crossJoin(broadcast(prior))
+      .select(col("id"), col("label"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        (coalesce(col("ssum"), lit(0L)) + col("prior_milli")).as("nb_milli"))
+      .withColumn("keep", when(col("nb_milli") > 0L, 1L).otherwise(0L))
+  }
+
   /** Vocabulary coverage report — the "will a size-V tokenizer vocab
     * cover this corpus" question asked before training a tokenizer (or
     * after, per ingest source, to catch a source whose token

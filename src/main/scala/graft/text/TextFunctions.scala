@@ -189,6 +189,24 @@ object TextFunctions {
       lang -> langScoreFrom(tokens(text), markers)
     })
 
+  /** Blocklist hit count — the C4-style term-list screening stage
+    * (cf. the "List of Dirty, Naughty, Obscene..." filter every
+    * web-corpus pipeline runs): how many of the document's token
+    * INSTANCES match the list. Exact token equality after the standard
+    * tokenization — no substring surprises ('class' never trips a
+    * 4-letter entry). Entirely expression-level: the list rides the
+    * plan as an array literal (no join, no shuffle, codegen'd); at
+    * realistic list sizes (hundreds to a few thousand terms) the
+    * per-token membership scan is cheap, and a list too large to
+    * inline falls back to the same semantics via a broadcast left-semi
+    * join on exploded tokens. Terms are lowercased to match the
+    * tokenizer's casefold. */
+  def blocklistHitsFrom(ts: Column, terms: Seq[String]): Column = {
+    require(terms.nonEmpty, "blocklistHitsFrom: empty term list")
+    val termArr = array(terms.map(_.toLowerCase).distinct.map(lit): _*)
+    size(filter(ts, t => array_contains(termArr, t)))
+  }
+
   /** 40-bit rolling polynomial fingerprint of the space-stripped text.
     * The modulus keeps `acc*31 + c` far from Long overflow, so the exact
     * arithmetic is reproducible in any BIGINT engine (overflow-free). */

@@ -34,6 +34,17 @@ class EdgeCasesSpec extends SparkSpec {
     assert(graft.text.CorpusStats.bigramPmiTop(docs, "text", 5, 1L).count() == 0)
     assert(graft.text.CorpusStats.encodeTopV(docs, "doc_id", "text", 4).count() == 0)
     assert(graft.ops.ScaleOps.curriculumStages(scored, "score", 4).count() == 0)
+    val embs = Seq.empty[(Long, Array[Float])].toDF("id", "v")
+    assert(embs.select(graft.ann.Ann.randomProject(col("v"), 8, 4).as("p")).count() == 0)
+    assert(docs.select(graft.text.TextFunctions.blocklistHitsFrom(
+      graft.text.TextFunctions.tokens(col("text")), Seq("x")).as("h")).count() == 0)
+    // the FULLY empty corpus short-circuits to an empty frame before the
+    // one-class guard can evaluate (empty-relation propagation prunes
+    // the prior subtree) — consistent with this sweep's contract; the
+    // guard fires on NONEMPTY one-class corpora (ClassifierSpec).
+    val labeled = Seq.empty[(Long, String, Long)].toDF("doc_id", "text", "y")
+    assert(graft.text.CorpusStats.naiveBayesQuality(labeled, "doc_id", "text", "y")
+      .count() == 0)
   }
 
   test("one-document corpora do not degenerate (pairs empty, per-doc ops emit)") {

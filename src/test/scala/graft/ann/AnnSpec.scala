@@ -66,6 +66,46 @@ class AnnSpec extends SparkSpec {
     assert(b1.toSeq == b2.toSeq)
   }
 
+  test("random projection: coordinate golden, neighbor preservation, guards") {
+    // coordinate parity against a driver-side replica of the same
+    // planes on a hand-held vector (unit basis vector e_2 picks out
+    // each plane's second sign exactly)
+    val basis = Seq((0L, vec(0, 1, 0, 0))).toDF("vec_id", "embedding")
+    val got = basis.select(Ann.randomProject($"embedding", 3, dim).as("p"))
+      .as[Seq[Double]].head()
+    val expected = Ann.planeWeights(3, dim).map(_(1))
+    assert(got == expected)
+    // neighbor preservation on real 64-dim testdata: projected top-10
+    // overlaps exact top-10 well above the ~0.02 random baseline.
+    // Collapse guard, not tuning (measured 0.185 at 64→16).
+    val real = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "embeddings")
+      .select($"vec_id".as("id"), $"embedding".as("v"))
+    val proj = real.select($"id", Ann.randomProject($"v", 16, 64, planeOffset = 64).as("p"))
+    def dotD(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    import org.apache.spark.sql.expressions.Window
+    def topk(scored: org.apache.spark.sql.DataFrame) = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy(desc("s"), $"id")))
+      .where($"rn" <= 10).select("qid", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q = real.where($"id" % 25 === 0).select($"id".as("qid"), $"v".as("qv"))
+    val qp = proj.where($"id" % 25 === 0).select($"id".as("qid"), $"p".as("qp"))
+    val exact = topk(q.crossJoin(real).where($"qid" =!= $"id")
+      .withColumn("s", Ann.dot($"qv", $"v")))
+    val approx = topk(qp.crossJoin(proj).where($"qid" =!= $"id")
+      .withColumn("s", dotD($"qp", $"p")))
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(s"projection recall@10 at 64->16: $recall")
+    assert(recall >= 0.08, s"projected neighbors collapsed: $recall")
+    // disjoint offsets draw an independent projection
+    val p0 = real.select(Ann.randomProject($"v", 4, 64).as("p")).as[Seq[Double]].head()
+    val p1 = real.select(Ann.randomProject($"v", 4, 64, planeOffset = 4).as("p"))
+      .as[Seq[Double]].head()
+    assert(p0 != p1)
+    intercept[IllegalArgumentException] { Ann.randomProject($"v", 0, 64) }
+  }
+
   test("trained IVF centroids: monotone spherical-kmeans objective, recall vs stride init") {
     val real = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "embeddings")
     val stride = real.where(pmod($"vec_id", lit(16)) === 0)
