@@ -132,6 +132,56 @@ object Ann {
     }: _*)
   }
 
+  /** Projected-rescore top-k — the JL pre-shrink ANN path: the coarse
+    * scan runs over [[randomProject]]ed vectors (dim/outDim× less
+    * payload than the fp32 corpus; at scale the projected column is
+    * the persisted index artifact and this stage reads ONLY it), then
+    * exact fp32 rescoring of the `rerank` survivors restores the final
+    * top-k. Output precision is exact — only recall is approximate
+    * (AnnSpec measures it against brute force). Same two-stage shape
+    * as Quantize.quantizedTopK; the coarse scores are
+    * sequential-accumulation doubles over bit-exact projected
+    * coordinates, so the candidate cut is engine-reproducible and the
+    * whole pipeline carries a full SQL oracle (q110).
+    *
+    * SHUFFLE DISCIPLINE: the (small) query batch broadcasts at both
+    * stages; candidates travel as bare (query_id, neighbor_id); fp32
+    * vectors are fetched only for the |Q|·rerank survivors — a
+    * point-lookup join, never a scan. */
+  def projectedRescoreTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, rerank: Int, outDim: Int,
+      dim: Int, planeOffset: Int = 0): DataFrame = {
+    require(k > 0 && rerank >= k, s"need rerank >= k > 0, got k=$k rerank=$rerank")
+    val parts = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    def projected(df: DataFrame, outId: String, outVec: String) =
+      df.select(col(idCol).as(outId),
+        randomProject(col(vecCol), outDim, dim, planeOffset).as(outVec))
+    val cIdx = projected(corpus, "neighbor_id", "cp").repartition(parts)
+    val qIdx = projected(queries, "query_id", "qp")
+    // double-list dot (the projected coords are doubles): same
+    // sequential left fold as FloatVectorDot / the DuckDB list_reduce
+    val pdot = aggregate(zip_with(col("cp"), col("qp"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+    val cw = Window.partitionBy(col("query_id"))
+      .orderBy(col("coarse").desc, col("neighbor_id").asc)
+    val cands = cIdx.crossJoin(broadcast(qIdx))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), pdot.as("coarse"))
+      .withColumn("crn", row_number().over(cw))
+      .where(col("crn") <= rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cands.join(cv, Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cos", round(dot(col("q_vec"), col("c_vec")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   // ---- IVF (inverted-file) ANN --------------------------------------
 
   /** Nearest-centroid cell assignment — the IVF index build. Centroids

@@ -1431,6 +1431,19 @@ object Queries {
           dim = 64, planeOffset = 64),
         d => floor(d * lit(1000.0)).cast("long")), ",").as("proj_csv"))
 
+  /** Projected-rescore ANN through the gate: the q108 JL pre-shrink
+    * composed into a working index path — coarse top-40 per query on
+    * the 16-dim projected vectors, exact fp32 rescore to the final
+    * top-10 (q58's two-stage shape with the projection as the coarse
+    * index). Verified rank-by-rank against a full SQL replay of both
+    * stages. */
+  def q110ProjectedTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    graft.ann.Ann.projectedRescoreTopK(
+      emb.where(col("vec_id") < 5), emb, "vec_id", "embedding",
+      k = 10, rerank = 40, outDim = 16, dim = 64, planeOffset = 64)
+  }
+
   /** Blocklist screening through the gate: exact-token hits against a
     * small term list, density in basis points, keep verdict at ≤ 5%.
     * Expression-only (no shuffle) — TextFunctions.blocklistHitsFrom. */
@@ -2503,20 +2516,58 @@ object Queries {
        |        THEN 1 ELSE 0 END)::BIGINT AS keep
        |FROM base b LEFT JOIN sums USING (doc_id), pr""".stripMargin
 
-  /** q108 oracle: the 16 JL projection coordinates as one list literal
-    * of floored-milli sequential dots — plane literals emitted from the
-    * same generator as the Spark side (the q30 pattern, offset 64). */
-  private lazy val q108Oracle: String = {
+  /** Shared q108/q110 CTE: every embedding's 16 JL projection
+    * coordinates as one double list — plane literals emitted from the
+    * same generator as the Spark side (the q30 pattern, offset 64).
+    * ONE copy consumed by q108 (floored-milli rendering) and q110
+    * (coarse ANN scan) — the single-source rule. */
+  private lazy val duckProjChain: String = {
     val planes = graft.ann.Ann.planeWeights(64 + 16, 64).drop(64)
     def planeLit(w: Seq[Double]): String =
       w.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
     val coords = planes.map { w =>
-      s"floor(1000.0 * ${duckDot("embedding", planeLit(w))})::BIGINT"
+      duckDot("embedding", planeLit(w))
     }.mkString(",\n    ")
-    s"""SELECT vec_id,
-       |  array_to_string([$coords], ',') AS proj_csv
-       |FROM embeddings""".stripMargin
+    s"""proj AS (
+       |  SELECT vec_id,
+       |    [$coords] AS p
+       |  FROM embeddings)""".stripMargin
   }
+
+  /** q108 oracle: the shared projection chain, coordinates floored to
+    * integer millis and rendered as CSV. */
+  private lazy val q108Oracle: String =
+    s"""WITH $duckProjChain
+       |SELECT vec_id,
+       |  array_to_string(list_transform(p, x -> floor(1000.0 * x)::BIGINT), ',') AS proj_csv
+       |FROM proj""".stripMargin
+
+  /** q110 oracle: both stages of the projected-rescore ANN — the
+    * shared projection chain, the coarse double-dot candidate ranking
+    * (bit-exact sequential folds on both engines), then the exact fp32
+    * rescore and final top-k (q58's two-stage replay shape). */
+  private lazy val q110Oracle: String =
+    s"""WITH $duckProjChain,
+       |q AS (SELECT vec_id AS query_id, p AS qp FROM proj WHERE vec_id < 5),
+       |coarse AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    ${duckDot("c.p", "q.qp")} AS coarse
+       |  FROM proj c CROSS JOIN q WHERE c.vec_id != q.query_id),
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY coarse DESC, neighbor_id) AS crn
+       |    FROM coarse) t WHERE crn <= 40),
+       |resc AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    round(${duckDot("qe.embedding", "ce.embedding")}, 6) AS cos
+       |  FROM cand
+       |  JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+       |  JOIN embeddings qe ON qe.vec_id = cand.query_id)
+       |SELECT query_id, rank, neighbor_id, cos FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM resc) t WHERE rank <= 10""".stripMargin
 
   /** q109 oracle: exact-token blocklist hits, basis-point density
     * (floored), ≤5% keep verdict. */
@@ -3294,7 +3345,8 @@ object Queries {
     "q106_packed_sequences" -> (q106PackedSequences _),
     "q107_nb_quality" -> (q107NbQuality _),
     "q108_random_projection" -> (q108RandomProjection _),
-    "q109_blocklist" -> (q109Blocklist _))
+    "q109_blocklist" -> (q109Blocklist _),
+    "q110_projected_topk" -> (q110ProjectedTopK _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -3518,6 +3570,7 @@ object Queries {
     "q107_nb_quality" -> q107Oracle,
     "q108_random_projection" -> q108Oracle,
     "q109_blocklist" -> q109Oracle,
+    "q110_projected_topk" -> q110Oracle,
     "q93_exact_sample" ->
       s"""SELECT doc_id, source FROM (
         |  SELECT doc_id, source,

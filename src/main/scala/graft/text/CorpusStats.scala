@@ -445,18 +445,37 @@ object CorpusStats {
     * caveat of [[unigramSurprisal]] — common tokens carry class
     * evidence and can't be capped away — so `saltFactor > 1` spreads
     * the head via the salted join (result-identical, SkewSpec-pinned
-    * pattern). Scoring a NEW corpus against a saved model is the same
-    * final join: persist `scored` + the totals row and skip training. */
+    * pattern). This convenience form = [[naiveBayesTrain]] +
+    * [[naiveBayesScore]] on the same corpus; deployment persists the
+    * trained model frame and scores new corpora / streaming
+    * micro-batches with [[naiveBayesScore]] alone. */
   def naiveBayesQuality(df: DataFrame, idCol: String, textCol: String,
       labelCol: String, saltFactor: Int = 1): DataFrame = {
-    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    // assert_true(..).isNull is the codebase's fail-fast filter idiom:
-    // null for surviving rows, throws on a bad label before any join.
-    val base = df
-      .select(col(idCol).as("id"), col(textCol).as("text"),
+    val base = nbLabeled(df, idCol, textCol, labelCol)
+    naiveBayesScore(base.select(col("id"), col("y").as("label"), col("text")),
+      "id", "text", naiveBayesTrain(df, idCol, textCol, labelCol), saltFactor)
+  }
+
+  /** The labeled projection with the fail-fast label guard — shared by
+    * train and the train+score convenience form. */
+  private def nbLabeled(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(textCol).as("text"),
         col(labelCol).cast("long").as("y"))
+      // assert_true(..).isNull is the codebase's fail-fast filter idiom:
+      // null for surviving rows, throws on a bad label before any join.
       .filter(assert_true(col("y").isin(0L, 1L),
         lit(s"naiveBayesQuality: label column '$labelCol' must be 0 or 1")).isNull)
+
+  /** Train the [[naiveBayesQuality]] model: one vocab-sized frame
+    * (tok, s, prior_milli — the prior rides every row as a constant so
+    * the model is ONE self-contained persistable artifact). Merging two
+    * shards' models is NOT count-additive once floored — retrain from
+    * merged counts instead (the counts themselves are additive). */
+  def naiveBayesTrain(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val base = nbLabeled(df, idCol, textCol, labelCol)
     val inst = base
       .select(col("id"), col("y"),
         explode(TextFunctions.tokens(col("text"))).as("tok"))
@@ -478,24 +497,50 @@ object CorpusStats {
       .select(floor(lit(1000.0) *
         log(col("n1").cast("double") / col("n0").cast("double")))
         .cast("long").as("prior_milli"))
-    val scored = vocab.crossJoin(broadcast(totals))
+    vocab.crossJoin(broadcast(totals))
       .select(col("tok"),
         floor(lit(1000.0) * log(
           ((col("c1") + lit(1L)) * (col("t0") + col("v"))).cast("double") /
             ((col("c0") + lit(1L)) * (col("t1") + col("v"))).cast("double")))
           .cast("long").as("s"))
-    val bare = inst.select(col("id"), col("tok"))
+      .crossJoin(broadcast(prior))
+  }
+
+  /** Score a corpus against a trained [[naiveBayesTrain]] model — the
+    * deployment path: the model frame is the persisted artifact; new
+    * documents (a later snapshot, a daily delta, a streaming
+    * micro-batch via foreachBatch) score with ONE token join + per-doc
+    * sum and never re-train. Tokens outside the model vocabulary
+    * contribute 0 (they carry no class evidence under the training
+    * corpus — exactly the add-1 limit as counts→0 cancels in the
+    * ratio's floor only approximately, so the model documents the
+    * convention rather than faking a pseudo-count). Every extra input
+    * column (e.g. a label carried for evaluation) passes through. */
+  def naiveBayesScore(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, saltFactor: Int = 1): DataFrame = {
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val bare = docs
+      .select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .repartition(parts)
+    val scored = model.select(col("tok"), col("s"))
     val joined =
       if (saltFactor > 1) graft.ops.ScaleOps.saltedEquiJoin(bare, scored, "tok", saltFactor)
       else bare.join(scored, "tok")
     val sums = joined.groupBy(col("id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("s")).cast("long").as("ssum"))
-    base.select(col("id"), col("y").as("label"))
+    val prior = model.agg(max(col("prior_milli")).as("prior_milli"))
+    docs.drop(textCol).withColumnRenamed(idCol, "id")
       .join(sums, Seq("id"), "left")
       .crossJoin(broadcast(prior))
-      .select(col("id"), col("label"),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        (coalesce(col("ssum"), lit(0L)) + col("prior_milli")).as("nb_milli"))
+      .select((Seq(col("id")) ++
+        docs.columns.filter(c => c != textCol && c != idCol).map(col).toSeq ++
+        Seq(
+          // n_tokens counts IN-VOCABULARY instances: on a new corpus,
+          // tokens the model never saw contribute neither evidence nor
+          // length (they drop out of the model join)
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          (coalesce(col("ssum"), lit(0L)) + col("prior_milli")).as("nb_milli"))): _*)
       .withColumn("keep", when(col("nb_milli") > 0L, 1L).otherwise(0L))
   }
 

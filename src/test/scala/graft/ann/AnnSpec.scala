@@ -106,6 +106,29 @@ class AnnSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Ann.randomProject($"v", 0, 64) }
   }
 
+  test("projected-rescore top-k: exact precision, recall vs brute force, full-rerank equality") {
+    val real = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = real.where($"vec_id" % 25 === 0)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = asSet(Ann.bruteForceTopK(q, real, "vec_id", "embedding", 10))
+    val proj = asSet(Ann.projectedRescoreTopK(q, real, "vec_id", "embedding",
+      k = 10, rerank = 40, outDim = 16, dim = 64, planeOffset = 64))
+    val recall = brute.intersect(proj).size.toDouble / brute.size
+    info(s"projected-rescore recall@10 (rerank=40, 64->16): $recall")
+    assert(recall >= 0.15, s"projected-rescore recall collapsed: $recall")
+    // rerank = |corpus| makes the coarse stage a no-op filter: the
+    // exact rescore must then reproduce brute force EXACTLY
+    val n = real.count().toInt
+    val full = asSet(Ann.projectedRescoreTopK(q, real, "vec_id", "embedding",
+      k = 10, rerank = n, outDim = 16, dim = 64, planeOffset = 64))
+    assert(full == brute, "full-rerank projected path must equal brute force")
+    intercept[IllegalArgumentException] {
+      Ann.projectedRescoreTopK(q, real, "vec_id", "embedding", 10, 5, 16, 64)
+    }
+  }
+
   test("trained IVF centroids: monotone spherical-kmeans objective, recall vs stride init") {
     val real = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "embeddings")
     val stride = real.where(pmod($"vec_id", lit(16)) === 0)
