@@ -145,9 +145,11 @@ object Ann {
     * whole pipeline carries a full SQL oracle (q110).
     *
     * SHUFFLE DISCIPLINE: the (small) query batch broadcasts at both
-    * stages; candidates travel as bare (query_id, neighbor_id); fp32
-    * vectors are fetched only for the |Q|·rerank survivors — a
-    * point-lookup join, never a scan. */
+    * stages; candidates travel as bare (query_id, neighbor_id); the
+    * fp32 rescore is a shuffle equi-join of the candidates against the
+    * corpus vector column (one pass over it) whose OUTPUT is bounded to
+    * |Q|·rerank rows — only the bare candidate ids and the surviving
+    * vectors ever ride an exchange. */
   def projectedRescoreTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int, rerank: Int, outDim: Int,
       dim: Int, planeOffset: Int = 0): DataFrame = {

@@ -226,11 +226,16 @@ object ScaleOps {
       else spark0.sessionState.conf.numShufflePartitions
     require(k <= 256,
       s"selectTokenBudget: numBuckets $k > 256 puts an O(numBuckets) comparison chain on every row")
-    val staged = df
+    // Three actions run over this frame (the quantile probe, the
+    // per-bucket totals collect, the final selection) — persist it so an
+    // expensive input pipeline (q89 feeds the full DSIR scorer here) is
+    // computed once, not three times. Same pattern as
+    // ShardExport.writeShards; callers release via CacheScope.
+    val staged = graft.ops.CacheScope.persist(df
       .withColumn("__n", coalesce(col(nTokensCol).cast("long"), lit(0L)))
       .withColumn("__o", when(col(orderCol).isNull, raise_error(
           lit(s"selectTokenBudget: NULL values in order column '$orderCol'")))
-        .otherwise(col(orderCol).cast("double")))
+        .otherwise(col(orderCol).cast("double"))))
     val probs = (1 until k).map(_.toDouble / k).toArray
     val bounds =
       if (probs.isEmpty) Array.empty[Double]

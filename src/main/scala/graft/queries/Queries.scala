@@ -1392,8 +1392,10 @@ object Queries {
     * of three verified operators; the whole packed sequence and its
     * boundaries hash-compare as CSV. */
   def q106PackedSequences(spark: SparkSession, dir: String): DataFrame = {
-    val enc = graft.text.CorpusStats.encodeTopV(
-      tbl(spark, dir, "documents"), "doc_id", "text", vocabSize = 16)
+    // `enc` feeds both the pack and the assembly join — persist so the
+    // encode (tokenize + vocab join) runs once, not twice.
+    val enc = graft.ops.CacheScope.persist(graft.text.CorpusStats.encodeTopV(
+      tbl(spark, dir, "documents"), "doc_id", "text", vocabSize = 16))
     // pack on the BARE (id, n) projection — the id arrays must not ride
     // the pack's repartition+sort; they join back once, at assembly
     val packed = graft.ops.ScaleOps.packGreedyContiguous(

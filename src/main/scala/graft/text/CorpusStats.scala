@@ -492,11 +492,19 @@ object CorpusStats {
         // one-class guard below as 0, not ride through as NULL
         coalesce(sum(when(col("y") === 1L, 1L).otherwise(0L)), lit(0L)).as("n1"),
         coalesce(sum(when(col("y") === 0L, 1L).otherwise(0L)), lit(0L)).as("n0"))
-      .filter(assert_true(col("n1") > 0 && col("n0") > 0,
+      // one-class input throws; a GENUINELY empty runtime input (e.g. an
+      // empty parquet partition, which Catalyst can't fold away like a
+      // LocalRelation) passes through — the result frame is empty anyway
+      // (empty vocab), so the prior value is never observed and 0 stands
+      // in to keep the log/cast off the (0,0) row.
+      .filter(assert_true((col("n1") > 0 && col("n0") > 0) ||
+          (col("n1") === 0 && col("n0") === 0),
         lit("naiveBayesQuality: both classes must be inhabited")).isNull)
-      .select(floor(lit(1000.0) *
-        log(col("n1").cast("double") / col("n0").cast("double")))
-        .cast("long").as("prior_milli"))
+      .select(when(col("n1") > 0 && col("n0") > 0,
+          floor(lit(1000.0) *
+            log(col("n1").cast("double") / col("n0").cast("double")))
+            .cast("long"))
+        .otherwise(lit(0L)).as("prior_milli"))
     vocab.crossJoin(broadcast(totals))
       .select(col("tok"),
         floor(lit(1000.0) * log(
