@@ -1,0 +1,150 @@
+package graft.text
+
+import graft.io.Lake
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted BM25 index — the standing-corpus lifecycle behind
+  * [[Retrieval.bm25TopKFromIndex]], mirroring [[graft.ann.IvfIndex]]'s
+  * deployment shape: the corpus tokenizes ONCE at index time, postings
+  * land partitioned by a token-hash bucket, and every later probe batch
+  * reads only the bucket directories its query terms hash into —
+  * partition pruning at the file listing, never a scan of the standing
+  * postings (Bm25DiskIndexSpec asserts this via inputFiles, the
+  * IvfIndexSpec discipline). Without this, every probe batch re-pays
+  * the corpus tokenize + postings aggregation (the q90/q91/q96 cost
+  * profile at sf0.1 — ~3.5 s each of pure rebuild).
+  *
+  * Daily ingest is APPEND-ONLY, composing [[Retrieval.mergeBm25Index]]'s
+  * additivity with the on-disk layout: a delta's postings append into
+  * the same bucket partitioning (new files in existing bucket dirs —
+  * standing files are never rewritten) and its single stats row appends
+  * as an increment; readers aggregate the increments. Disjointness of
+  * document ids across appends is the caller's contract, as in
+  * [[Retrieval.bm25Index]].
+  *
+  * Layout: `dir/postings/bucket=B/…` (id, dl, tok, tf) and `dir/stats`
+  * (one row per increment: d_docs, t_toks, n_buckets). `n_buckets` is
+  * fixed at [[write]] time and validated on append — probes compute
+  * each term's bucket with the same [[TextFunctions.polyHash]] the
+  * build used, so a mismatched bucket count would silently miss
+  * postings; the guard makes it loud instead. */
+object Bm25DiskIndex {
+
+  /** Bucket of a token — shared by build and probe. polyHash (not a
+    * JVM-internal hash) so the bucket assignment is a documented pure
+    * function of the token bytes, reproducible across engines. */
+  private def bucketOf(tok: org.apache.spark.sql.Column, n: Int) =
+    TextFunctions.polyHash(tok, n.toLong)
+
+  /** Build the index from scratch (Overwrite). `numBuckets` bounds the
+    * probe-side file listing: a probe batch with T distinct terms opens
+    * at most min(T, numBuckets) bucket directories. 64 keeps per-bucket
+    * partition counts sane at sf-test scale; a 100 TB corpus would use
+    * O(thousands) so each bucket stays executor-sized. */
+  def write(docs: DataFrame, idCol: String, textCol: String, dir: String,
+      numBuckets: Int = 64): Unit = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1: $numBuckets")
+    val (postings, stats) = Retrieval.bm25Index(docs, idCol, textCol)
+    postings.withColumn("bucket", bucketOf(col("tok"), numBuckets))
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "snappy")
+      .partitionBy("bucket")
+      .parquet(s"$dir/postings")
+    stats.withColumn("n_buckets", lit(numBuckets.toLong))
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "snappy")
+      .parquet(s"$dir/stats")
+  }
+
+  /** Append a disjoint delta (a daily ingest) — new postings files in
+    * the existing bucket layout plus one stats increment row; the
+    * standing index is never read or rewritten. Equivalent to
+    * [[Retrieval.mergeBm25Index]] of the standing and delta indexes
+    * (spec-pinned). */
+  def append(docs: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit = {
+    val n = numBuckets(docs.sparkSession, dir)
+    val (postings, stats) = Retrieval.bm25Index(docs, idCol, textCol)
+    postings.withColumn("bucket", bucketOf(col("tok"), n))
+      .write.mode(SaveMode.Append)
+      .option("compression", "snappy")
+      .partitionBy("bucket")
+      .parquet(s"$dir/postings")
+    stats.withColumn("n_buckets", lit(n.toLong))
+      .write.mode(SaveMode.Append)
+      .option("compression", "snappy")
+      .parquet(s"$dir/stats")
+  }
+
+  /** Fail loudly on a wrong/unwritten dir — Lake's missing-path
+    * contract would otherwise surface as an opaque unresolved-column
+    * error on the empty schemaless frame. */
+  private def requireIndex(spark: SparkSession, dir: String): Unit =
+    require(Lake.exists(spark, s"$dir/postings") && Lake.exists(spark, s"$dir/stats"),
+      s"no BM25 index at '$dir' (missing postings/ or stats/)")
+
+  /** The bucket count the index was built with (validated consistent
+    * across increments — one bounded two-long collect). */
+  def numBuckets(spark: SparkSession, dir: String): Int = {
+    requireIndex(spark, dir)
+    val r = Lake.readParquet(spark, s"$dir/stats")
+      .agg(min(col("n_buckets")).as("lo"), max(col("n_buckets")).as("hi"))
+      .collect()(0)
+    require(!r.isNullAt(0), s"BM25 index at '$dir' has no stats increments")
+    require(r.getLong(0) == r.getLong(1),
+      s"BM25 index at '$dir' mixes bucket counts ${r.getLong(0)} and ${r.getLong(1)}")
+    r.getLong(0).toInt
+  }
+
+  /** Aggregated single-row stats over all appended increments — the
+    * exact frame [[Retrieval.bm25TopKFromIndex]] expects. */
+  def stats(spark: SparkSession, dir: String): DataFrame = {
+    requireIndex(spark, dir)
+    Lake.readParquet(spark, s"$dir/stats").agg(
+      coalesce(sum(col("d_docs")), lit(0L)).as("d_docs"),
+      coalesce(sum(col("t_toks")), lit(0L)).as("t_toks"))
+  }
+
+  /** The full postings frame (partition column restored to long). */
+  def postings(spark: SparkSession, dir: String): DataFrame = {
+    requireIndex(spark, dir)
+    Lake.readParquet(spark, s"$dir/postings")
+      .withColumn("bucket", col("bucket").cast("long"))
+  }
+
+  /** Postings restricted to `buckets` — the filter runs on the RAW
+    * inferred partition column (casting first would wrap it in an
+    * expression and silently disable partition pruning; the spec
+    * asserts via inputFiles that pruning actually engages). */
+  def prunedPostings(spark: SparkSession, dir: String,
+      buckets: Seq[Long]): DataFrame = {
+    requireIndex(spark, dir)
+    val raw = Lake.readParquet(spark, s"$dir/postings")
+    val lits: Seq[Any] = raw.schema("bucket").dataType match {
+      case org.apache.spark.sql.types.IntegerType => buckets.map(_.toInt)
+      case _ => buckets
+    }
+    raw.where(col("bucket").isin(lits: _*))
+  }
+
+  /** Probe the persisted index: compute the probe batch's distinct
+    * terms, hash them to their bucket set (a bounded driver collect —
+    * ≤ min(distinct query terms, numBuckets) longs, the IvfIndex
+    * probe-cell discipline), read ONLY those bucket directories, and
+    * run the standard integer-exact scoring. Results are identical to
+    * [[Retrieval.bm25TopK]] over the raw corpus (spec-pinned); the
+    * difference is the read — and that the corpus text is never
+    * touched at all. */
+  def probeTopK(spark: SparkSession, dir: String, queries: DataFrame,
+      qidCol: String, qtextCol: String, k: Int): DataFrame = {
+    val n = numBuckets(spark, dir)
+    val probeBuckets = queries
+      .select(explode(array_distinct(TextFunctions.tokens(col(qtextCol)))).as("tok"))
+      .select(bucketOf(col("tok"), n).as("bucket")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    Retrieval.bm25TopKFromIndex(
+      prunedPostings(spark, dir, probeBuckets).drop("bucket"),
+      stats(spark, dir), queries, qidCol, qtextCol, k)
+  }
+}

@@ -1,0 +1,105 @@
+package graft.text
+
+import graft.SparkSpec
+import graft.io.Lake
+import org.apache.spark.sql.functions._
+
+class Bm25DiskIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .select($"doc_id", $"text")
+
+  private def probes = {
+    val ts = TextFunctions.tokens(col("text"))
+    docs.where(pmod($"doc_id", lit(25)) === 0)
+      .select($"doc_id".as("query_id"), ts.as("ts"))
+      .where(size($"ts") >= 9)
+      .select($"query_id", array_join(slice($"ts", 2, 8), " ").as("qtext"))
+  }
+
+  private def asSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+
+  test("persisted probe == fresh bm25TopK, and only probe buckets are read") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    try {
+      val fresh = asSet(Retrieval.bm25TopK(docs, "doc_id", "text",
+        probes, "query_id", "qtext", k = 10))
+      assert(fresh.nonEmpty)
+
+      Bm25DiskIndex.write(docs, "doc_id", "text", dir, numBuckets = 64)
+      val persisted = asSet(Bm25DiskIndex.probeTopK(spark, dir,
+        probes, "query_id", "qtext", k = 10))
+      assert(persisted == fresh, "persisted-index probe must equal fresh scoring")
+
+      // partition pruning is real: count files ACTUALLY opened via the
+      // executed scan's numFiles metric (the IvfIndexSpec discipline)
+      def filesScanned(df: org.apache.spark.sql.DataFrame): Long = {
+        df.queryExecution.toRdd.count()
+        import org.apache.spark.sql.execution._
+        def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+          case a: adaptive.AdaptiveSparkPlanExec => scans(a.executedPlan)
+          case f: FileSourceScanExec => Seq(f)
+          case other => other.children.flatMap(scans)
+        }
+        scans(df.queryExecution.executedPlan).map(_.metrics("numFiles").value).sum
+      }
+      // one narrow probe (few distinct terms -> few buckets) so the
+      // pruned listing is a strict subset of the 64 bucket dirs
+      val narrow = probes.limit(1)
+      val nBuckets = Bm25DiskIndex.numBuckets(spark, dir)
+      val bucketSet = narrow
+        .select(explode(array_distinct(TextFunctions.tokens($"qtext"))).as("tok"))
+        .select(TextFunctions.polyHash($"tok", nBuckets.toLong).as("b"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      assert(bucketSet.nonEmpty && bucketSet.length < nBuckets)
+      val allFiles = filesScanned(Bm25DiskIndex.postings(spark, dir))
+      val prunedFiles = filesScanned(
+        Bm25DiskIndex.prunedPostings(spark, dir, bucketSet))
+      assert(prunedFiles < allFiles,
+        s"pruned read ($prunedFiles files) must open fewer than the full index ($allFiles)")
+      assert(prunedFiles > 0)
+    } finally { Lake.delete(spark, dir) }
+  }
+
+  test("append-only delta: write(half1) + append(half2) == one-shot index") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    try {
+      val half1 = docs.where(pmod($"doc_id", lit(2)) === 0)
+      val half2 = docs.where(pmod($"doc_id", lit(2)) === 1)
+      Bm25DiskIndex.write(half1, "doc_id", "text", dir, numBuckets = 32)
+      Bm25DiskIndex.append(half2, "doc_id", "text", dir)
+      // stats increments aggregate to the one-shot totals
+      val st = Bm25DiskIndex.stats(spark, dir).collect()(0)
+      val (pFresh, sFresh) = Retrieval.bm25Index(docs, "doc_id", "text")
+      val sf = sFresh.collect()(0)
+      assert(st.getLong(0) == sf.getLong(0) && st.getLong(1) == sf.getLong(1))
+      // and the probe over the merged on-disk index == fresh scoring of
+      // the full corpus (df/idf see both halves)
+      val got = asSet(Bm25DiskIndex.probeTopK(spark, dir,
+        probes, "query_id", "qtext", k = 10))
+      val fresh = asSet(Retrieval.bm25TopK(docs, "doc_id", "text",
+        probes, "query_id", "qtext", k = 10))
+      assert(got == fresh, "appended index must score identically to one-shot")
+      assert(pFresh.count() == Bm25DiskIndex.postings(spark, dir).count())
+    } finally { Lake.delete(spark, dir) }
+  }
+
+  test("missing dir and mixed bucket counts fail loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    try {
+      intercept[IllegalArgumentException] {
+        Bm25DiskIndex.probeTopK(spark, s"$dir/nope", probes, "query_id", "qtext", 5)
+      }
+      Bm25DiskIndex.write(docs.limit(10), "doc_id", "text", dir, numBuckets = 8)
+      // forge a mismatched increment to prove the guard trips
+      Seq((1L, 1L, 16L)).toDF("d_docs", "t_toks", "n_buckets")
+        .write.mode("append").parquet(s"$dir/stats")
+      intercept[IllegalArgumentException] {
+        Bm25DiskIndex.numBuckets(spark, dir)
+      }
+    } finally { Lake.delete(spark, dir) }
+  }
+}
