@@ -1446,6 +1446,30 @@ object Queries {
       k = 10, rerank = 40, outDim = 16, dim = 64, planeOffset = 64)
   }
 
+  /** Hybrid retrieval with the IVF semantic arm through the gate: the
+    * q91 fusion (BM25 top-20 + semantic top-20, integer RRF points,
+    * final top-10) with q38's IVF probe (stride-16 centroids, nProbe=4)
+    * swapped in for the brute-cosine arm — the promised at-scale form,
+    * where the semantic candidate join touches only probed cells
+    * instead of the whole corpus. Proves the swap lands behind the
+    * same (query_id, doc_id, rank) contract without touching rrfFuse;
+    * RetrievalSpec additionally pins its recall against the q91 brute
+    * baseline. */
+  def q111HybridIvf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val emb = tbl(spark, dir, "embeddings")
+    val lex = graft.text.Retrieval.bm25TopK(docs, "doc_id", "text",
+        retrievalProbes(spark, dir), "query_id", "qtext", k = 20)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val centroids = strideCentroids(emb)
+    val cells = graft.ann.Ann.ivfAssign(emb, "vec_id", "embedding", centroids)
+    val sem = graft.ann.Ann.ivfProbeTopK(
+        emb.where(pmod(col("vec_id"), lit(25)) === 0), cells, centroids,
+        "vec_id", "embedding", k = 20, nProbe = 4)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    graft.text.Retrieval.rrfFuse(lex, sem, k = 10)
+  }
+
   /** Blocklist screening through the gate: exact-token hits against a
     * small term list, density in basis points, keep verdict at ≤ 5%.
     * Expression-only (no shuffle) — TextFunctions.blocklistHitsFrom. */
@@ -2571,6 +2595,49 @@ object Queries {
        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
        |  FROM resc) t WHERE rank <= 10""".stripMargin
 
+  /** q111 oracle: the q91 fusion with the IVF arm — BM25 chain (shared)
+    * + q38's cell-assignment CTEs + probe/candidate/top-20 for the
+    * %25 query set, fused by the same integer RRF points. */
+  private lazy val q111Oracle: String =
+    s"""$duckBm25Ctes,
+       |lex AS (SELECT query_id, doc_id, rank FROM bmrank WHERE rank <= 20),
+       |$duckIvfCellsCtes,
+       |ivq AS (
+       |  SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+       |  WHERE vec_id % 25 = 0),
+       |ivp0 AS (
+       |  SELECT q.query_id, q.q_vec, c.cid, ${duckDot("q.q_vec", "c.cvec")} AS d
+       |  FROM ivq q CROSS JOIN cent c),
+       |ivpr AS (
+       |  SELECT query_id, q_vec, cell FROM (
+       |    SELECT query_id, q_vec, cid AS cell,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY d DESC, cid) AS prn
+       |    FROM ivp0) t WHERE prn <= 4),
+       |ivcand AS (
+       |  SELECT ivpr.query_id, cells.vec_id AS doc_id,
+       |    round(${duckDot("ivpr.q_vec", "cells.embedding")}, 6) AS cos
+       |  FROM ivpr JOIN cells ON ivpr.cell = cells.cell
+       |  WHERE cells.vec_id != ivpr.query_id),
+       |sem AS (
+       |  SELECT query_id, doc_id, rank FROM (
+       |    SELECT query_id, doc_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos DESC, doc_id) AS rank
+       |    FROM ivcand) t WHERE rank <= 20),
+       |pts AS (
+       |  SELECT coalesce(l.query_id, s.query_id) AS query_id,
+       |    coalesce(l.doc_id, s.doc_id) AS doc_id,
+       |    (CASE WHEN l.rank IS NULL THEN 0 ELSE 1000000 // (60 + l.rank) END
+       |     + CASE WHEN s.rank IS NULL THEN 0 ELSE 1000000 // (60 + s.rank) END
+       |    )::BIGINT AS rrf_pts
+       |  FROM lex l FULL OUTER JOIN sem s
+       |    ON l.query_id = s.query_id AND l.doc_id = s.doc_id)
+       |SELECT query_id, rank, doc_id, rrf_pts FROM (
+       |  SELECT query_id, doc_id, rrf_pts,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rrf_pts DESC, doc_id) AS rank
+       |  FROM pts) t WHERE rank <= 10""".stripMargin
+
   /** q109 oracle: exact-token blocklist hits, basis-point density
     * (floored), ≤5% keep verdict. */
   private lazy val q109Oracle: String =
@@ -3348,7 +3415,8 @@ object Queries {
     "q107_nb_quality" -> (q107NbQuality _),
     "q108_random_projection" -> (q108RandomProjection _),
     "q109_blocklist" -> (q109Blocklist _),
-    "q110_projected_topk" -> (q110ProjectedTopK _))
+    "q110_projected_topk" -> (q110ProjectedTopK _),
+    "q111_hybrid_ivf" -> (q111HybridIvf _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -3573,6 +3641,7 @@ object Queries {
     "q108_random_projection" -> q108Oracle,
     "q109_blocklist" -> q109Oracle,
     "q110_projected_topk" -> q110Oracle,
+    "q111_hybrid_ivf" -> q111Oracle,
     "q93_exact_sample" ->
       s"""SELECT doc_id, source FROM (
         |  SELECT doc_id, source,
