@@ -684,8 +684,22 @@ object Dedup {
     * three longs each; nothing is quadratic and nothing is collected. */
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
       spanTokens: Int, minDf: Long = 2L): DataFrame = {
+    val (postings, dfs) = spanIndex(df, idCol, textCol, spanTokens)
+    duplicatedSpansFromIndex(postings, dfs, spanTokens, minDf)
+  }
+
+  /** The carried state behind [[duplicatedSpans]] — the daily-loop
+    * form of the substring-dedup pass: a postings frame (id, pos, fp)
+    * and a per-fingerprint document-frequency frame (fp, ndocs). Both
+    * are ADDITIVE over disjoint document sets (df counts DISTINCT docs,
+    * and disjoint increments contribute disjoint doc sets — the
+    * incrementalMerge / bm25Index delta discipline): a daily ingest
+    * shingles only its delta and merges with [[mergeSpanIndex]], never
+    * re-tokenizing the standing corpus. Disjointness of document ids
+    * across merged increments is the caller's contract. */
+  def spanIndex(df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int): (DataFrame, DataFrame) = {
     require(spanTokens >= 2, s"spanTokens must be >= 2: $spanTokens")
-    require(minDf >= 2, s"minDf must be >= 2 (a span is duplicated across documents): $minDf")
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     // partition by id, not round-robin: splits single-partition
     // small-file scans like the usual repartition(parts), AND the
@@ -694,11 +708,34 @@ object Dedup {
     // re-shuffles on fp regardless)
     val inst = shinglePostings(df, idCol, textCol, spanTokens)
       .repartition(parts, col("id"))
-    val dupFps = inst.groupBy(col("fp"))
+    val dfs = inst.groupBy(col("fp"))
       .agg(countDistinct(col("id")).as("ndocs"))
-      .where(col("ndocs") >= minDf)
-      .select(col("fp"))
-    val hits = inst.join(dupFps, Seq("fp"), "left_semi")
+    (inst, dfs)
+  }
+
+  /** Merge two [[spanIndex]] increments over disjoint document sets:
+    * postings concatenate, per-fp document frequencies add.
+    * Associative — fold any number of daily deltas; a span that only
+    * becomes corpus-duplicated once the delta lands (df crossing
+    * `minDf` at the merged count) is found exactly as the full-corpus
+    * pass would find it. */
+  def mergeSpanIndex(a: (DataFrame, DataFrame), b: (DataFrame, DataFrame))
+      : (DataFrame, DataFrame) =
+    (a._1.unionByName(b._1),
+      a._2.unionByName(b._2).groupBy(col("fp"))
+        .agg(sum(col("ndocs")).as("ndocs")))
+
+  /** [[duplicatedSpans]] over a prebuilt (or incrementally merged)
+    * index — re-threshold the carried document frequencies and run the
+    * per-document extent merge. Input-side work (tokenize, shingle,
+    * df agg) is what the index carries; this is the output-side
+    * recompute only. */
+  def duplicatedSpansFromIndex(postings: DataFrame, dfs: DataFrame,
+      spanTokens: Int, minDf: Long = 2L): DataFrame = {
+    require(spanTokens >= 2, s"spanTokens must be >= 2: $spanTokens")
+    require(minDf >= 2, s"minDf must be >= 2 (a span is duplicated across documents): $minDf")
+    val dupFps = dfs.where(col("ndocs") >= minDf).select(col("fp"))
+    val hits = postings.join(dupFps, Seq("fp"), "left_semi")
       .select(col("id"), col("pos"))
     // gaps-and-islands: a new extent starts when this duplicated window
     // begins more than spanTokens after the previous one (strictly —

@@ -1470,6 +1470,26 @@ object Queries {
     graft.text.Retrieval.rrfFuse(lex, sem, k = 10)
   }
 
+  /** BPE vocabulary learning through the gate: the first 8 merges
+    * learned on the documents corpus (freq-weighted adjacent-pair
+    * argmax, count DESC / left ASC / right ASC ties) — the oracle
+    * replays all 8 iterations as unrolled SQL CTE chains with the
+    * identical delimiter-string merge rewrite. */
+  def q112BpeMerges(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Bpe.mergeTable(tbl(spark, dir, "documents"), "text",
+      numMerges = 8)
+
+  /** BPE encoding through the gate: every document's subword stream
+    * under the q112 merge table — learn once, broadcast the word→seg
+    * table onto token instances, reassemble in token order. Empty/NULL
+    * docs surface with an empty stream. */
+  def q113BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val (_, seg) = graft.text.Bpe.learn(docs, "text", numMerges = 8)
+    graft.text.Bpe.encode(docs, "doc_id", "text", seg)
+      .withColumnRenamed("id", "doc_id")
+  }
+
   /** Blocklist screening through the gate: exact-token hits against a
     * small term list, density in basis points, keep verdict at ≤ 5%.
     * Expression-only (no shuffle) — TextFunctions.blocklistHitsFrom. */
@@ -2638,6 +2658,78 @@ object Queries {
        |      ORDER BY rrf_pts DESC, doc_id) AS rank
        |  FROM pts) t WHERE rank <= 10""".stripMargin
 
+  /** DuckDB fragment: the unrolled BPE learning chain — wt/s0 then,
+    * per iteration i, pair counts p{i} (lateral unnest over adjacent
+    * symbol positions), the argmax merge m{i} (same count DESC / l ASC
+    * / r ASC tie-break), and the rewrite s{i} (the identical
+    * wrap/replace/strip on the chr(31)-delimited segmentation; the
+    * coalesce(chr(30)) pattern makes an exhausted m{i} a no-op, as on
+    * the Spark side). */
+  private def duckBpeCtes(numMerges: Int): String = {
+    val d = "chr(31)"
+    val dd = s"$d || $d"
+    val head =
+      s"""WITH wt AS (
+         |  SELECT tok AS word, count(*)::BIGINT AS freq FROM (
+         |    SELECT unnest(list_filter(string_split(lower(trim(text)), ' '), x -> x != '')) AS tok
+         |    FROM documents) GROUP BY 1),
+         |s0 AS MATERIALIZED (
+         |  SELECT word, freq,
+         |    array_to_string(string_split(word, ''), $dd) AS seg
+         |  FROM wt)""".stripMargin
+    val iters = (1 to numMerges).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT sym[j] AS l, sym[j + 1] AS r, sum(freq)::BIGINT AS c
+         |  FROM (SELECT string_split(seg, $dd) AS sym, freq FROM s${i - 1}) t,
+         |       unnest(range(1, len(sym))) AS u(j)
+         |  GROUP BY 1, 2),
+         |m$i AS MATERIALIZED (SELECT l, r, c FROM p$i ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+         |s$i AS MATERIALIZED (
+         |  SELECT word, freq, substr(x, 2, length(x) - 2) AS seg FROM (
+         |    SELECT word, freq, replace($d || seg || $d,
+         |      coalesce((SELECT $d || l || $dd || r || $d FROM m$i), chr(30)),
+         |      coalesce((SELECT $d || l || r || $d FROM m$i), chr(30))) AS x
+         |    FROM s${i - 1}) t2)""".stripMargin
+    }
+    (head +: iters).mkString(",\n")
+  }
+
+  /** q112 oracle: the merge table — one row per unrolled m{i}. */
+  private lazy val q112Oracle: String = {
+    val n = 8
+    val rows = (1 to n).map(i =>
+      s"SELECT $i::INTEGER AS merge_rank, l AS l_sym, r AS r_sym, " +
+        s"c AS pair_count, l || r AS merged FROM m$i")
+    s"""${duckBpeCtes(n)}
+       |${rows.mkString("", "\nUNION ALL ", "")}""".stripMargin
+  }
+
+  /** q113 oracle: encode with the learned table — token instances with
+    * positions join the final segmentation s8, subword streams
+    * reassemble ordered, delimiter rewritten to spaces; every document
+    * surfaces via the left join. */
+  private lazy val q113Oracle: String = {
+    val n = 8
+    s"""${duckBpeCtes(n)},
+       |btr AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(lower(trim(text)), ' '), x -> x != '') AS toks
+       |  FROM documents),
+       |binst AS (
+       |  SELECT doc_id, j AS pos, toks[j] AS word
+       |  FROM btr, unnest(range(1, len(toks) + 1)) AS u(j)),
+       |bencj AS (
+       |  SELECT i.doc_id, i.pos, replace(s.seg, chr(31) || chr(31), ' ') AS sub
+       |  FROM binst i JOIN s$n s ON i.word = s.word),
+       |bagg AS (
+       |  SELECT doc_id, string_agg(sub, ' ' ORDER BY pos) AS sub_str,
+       |    sum(len(string_split(sub, ' ')))::BIGINT AS n_sub
+       |  FROM bencj GROUP BY 1)
+       |SELECT d.doc_id, coalesce(a.sub_str, '') AS sub_str,
+       |  coalesce(a.n_sub, 0)::BIGINT AS n_sub
+       |FROM documents d LEFT JOIN bagg a ON d.doc_id = a.doc_id""".stripMargin
+  }
+
   /** q109 oracle: exact-token blocklist hits, basis-point density
     * (floored), ≤5% keep verdict. */
   private lazy val q109Oracle: String =
@@ -3416,7 +3508,9 @@ object Queries {
     "q108_random_projection" -> (q108RandomProjection _),
     "q109_blocklist" -> (q109Blocklist _),
     "q110_projected_topk" -> (q110ProjectedTopK _),
-    "q111_hybrid_ivf" -> (q111HybridIvf _))
+    "q111_hybrid_ivf" -> (q111HybridIvf _),
+    "q112_bpe_merges" -> (q112BpeMerges _),
+    "q113_bpe_encode" -> (q113BpeEncode _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -3642,6 +3736,8 @@ object Queries {
     "q109_blocklist" -> q109Oracle,
     "q110_projected_topk" -> q110Oracle,
     "q111_hybrid_ivf" -> q111Oracle,
+    "q112_bpe_merges" -> q112Oracle,
+    "q113_bpe_encode" -> q113Oracle,
     "q93_exact_sample" ->
       s"""SELECT doc_id, source FROM (
         |  SELECT doc_id, source,

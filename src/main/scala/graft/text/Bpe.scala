@@ -1,0 +1,153 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding subword vocabulary learning — the real
+  * tokenize-for-training step above CorpusStats.encodeTopV's word-level
+  * ids (Sennrich et al. 2016, learned on word TYPES): start from
+  * per-character segmentations, repeatedly count adjacent symbol pairs
+  * across the corpus (weighted by word frequency) and merge the most
+  * frequent pair, greedily left-to-right and non-overlapping within
+  * each word. No end-of-word marker (the within-word variant — merges
+  * never cross word boundaries because segmentation is per word type).
+  *
+  * Determinism contract (the engine's cross-engine discipline): pair
+  * counts are exact integers; the merge pick breaks ties on (count
+  * DESC, left ASC, right ASC) in binary string order, so the learned
+  * merge table replays bit-identically in DuckDB SQL (q112/q113).
+  *
+  * REPRESENTATION is what makes the merge step engine-portable: a
+  * word's segmentation is its symbols joined by a double U+001F
+  * delimiter ("ab","c" → "ab␟␟c"). One merge of (l, r) is then a plain
+  * non-overlapping left-to-right string replace of "␟l␟␟r␟" with
+  * "␟lr␟" on the "␟"-wrapped segmentation — full delimiters on both
+  * sides of both symbols mean a partial-symbol match is impossible,
+  * and the wrap-strip keeps runs correct ("a a a a" merges to
+  * "aa aa", not "aa a a": each match consumes its trailing delimiter,
+  * and the next match re-anchors on the leading one). `replace` has
+  * identical scan-left semantics in Spark (UTF8String.replace) and
+  * DuckDB, so both engines rewrite segmentations identically — no
+  * lookbehind regex (which RE2/DuckDB lacks) needed. U+001F never
+  * appears in whitespace-tokenized text.
+  *
+  * Scale shape: learning runs over the WORD-TYPE frame (one groupBy of
+  * the corpus, then all iterations touch only |vocab| rows — the
+  * standard BPE trick; a 100 TB corpus has millions of word types, not
+  * trillions). Each of the `numMerges` iterations is one bounded
+  * pair-count aggregation + a ONE-ROW driver collect (the argmax pair)
+  * + one narrow projection; the segmentation frame re-persists per
+  * iteration (CacheScope) so lineage doesn't re-run prior rewrites.
+  * Encoding never re-applies merges: the final segmentation frame IS
+  * the word→subwords table, broadcast-joined to token instances. */
+object Bpe {
+
+  /** Symbol delimiter — U+001F (unit separator): cannot occur in
+    * whitespace-tokenized text, printable-safe in parquet/SQL. */
+  val D = "\u001f"
+  private val DD = D + D
+
+  /** One learned merge: rank (1-based learning order), the pair, and
+    * its corpus-weighted adjacency count at pick time. */
+  final case class Merge(rank: Int, l: String, r: String, count: Long)
+
+  /** The word-type frame (word, freq, seg) at character-level
+    * segmentation — learning's iteration state zero. */
+  private def initialSegments(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"),
+        array_join(split(col("word"), ""), DD).as("seg"))
+
+  /** Adjacent-pair counts of a segmentation frame, corpus-weighted. */
+  private def pairCounts(seg: DataFrame): DataFrame = {
+    val sym = split(col("seg"), DD)
+    seg.select(col("freq"), sym.as("sym"))
+      .where(size(col("sym")) >= 2)
+      .select(col("freq"), explode(transform(
+        sequence(lit(1), size(col("sym")) - 1),
+        i => struct(element_at(col("sym"), i).as("l"),
+          element_at(col("sym"), i + 1).as("r")))).as("pr"))
+      .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+      .agg(sum(col("freq")).as("c"))
+  }
+
+  /** Apply one merge to a segmentation column — the wrap/replace/strip
+    * described above. */
+  private def applyMerge(seg: org.apache.spark.sql.Column, l: String, r: String) = {
+    val wrapped = concat(lit(D), seg, lit(D))
+    val replaced = replace(wrapped, lit(D + l + DD + r + D), lit(D + l + r + D))
+    replaced.substr(lit(2), length(replaced) - 2)
+  }
+
+  /** Learn `numMerges` merges; returns the merge table in learning
+    * order plus the final word→segmentation frame (word, freq, seg) —
+    * the encode artifact. Stops early if the corpus runs out of
+    * adjacent pairs (every word fully merged). */
+  def learn(docs: DataFrame, textCol: String, numMerges: Int)
+      : (Seq[Merge], DataFrame) = {
+    require(numMerges >= 1, s"numMerges must be >= 1: $numMerges")
+    var seg = graft.ops.CacheScope.persist(initialSegments(docs, textCol))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var exhausted = false
+    for (i <- 1 to numMerges if !exhausted) {
+      val top = pairCounts(seg)
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += Merge(i, l, r, c)
+        seg = graft.ops.CacheScope.persist(
+          seg.withColumn("seg", applyMerge(col("seg"), l, r)))
+      }
+    }
+    (merges.toSeq, seg)
+  }
+
+  /** [[learn]]'s merge table as a DataFrame gate surface:
+    * (merge_rank, l_sym, r_sym, pair_count, merged). */
+  def mergeTable(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    val (merges, _) = learn(docs, textCol, numMerges)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    merges.map(m => (m.rank, m.l, m.r, m.count, m.l + m.r))
+      .toDF("merge_rank", "l_sym", "r_sym", "pair_count", "merged")
+  }
+
+  /** Encode a corpus with a learned segmentation frame: token
+    * instances keep their positions, broadcast-join the word→seg
+    * table (vocab-sized — the only join; the corpus never reshuffles
+    * beyond its own doc grouping), and per-document subword streams
+    * reassemble in token order. Every input document surfaces (empty
+    * stream for empty/NULL text). Words absent from the segmentation
+    * table cannot occur when encoding the training corpus itself; on
+    * NEW text they fall back to their character segmentation — exactly
+    * what BPE with zero applicable merges produces, and what a
+    * fresh [[learn]] over the union would start from.
+    * Output: (id, sub_str — space-joined subwords, n_sub). */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      segments: DataFrame): DataFrame = {
+    val inst = docs
+      .select(col(idCol).as("id"),
+        posexplode_outer(TextFunctions.tokens(col(textCol))))
+      .withColumnRenamed("col", "word")
+    val segTab = segments.select(col("word"),
+      replace(col("seg"), lit(DD), lit(" ")).as("sub"))
+    val enc = inst.join(broadcast(segTab), Seq("word"), "left")
+      .select(col("id"), col("pos"),
+        // fallback: character segmentation of an unseen word; NULL word
+        // (posexplode_outer on an empty doc) stays NULL and drops out
+        // of the aggregates below
+        coalesce(col("sub"),
+          array_join(split(col("word"), ""), " ")).as("sub"))
+    enc.groupBy(col("id"))
+      .agg(
+        coalesce(array_join(array_sort(collect_list(
+            struct(col("pos"), col("sub")))).getField("sub"), " "), lit(""))
+          .as("sub_str"),
+        coalesce(sum(when(col("sub").isNotNull,
+            size(split(col("sub"), " ")).cast("long"))), lit(0L))
+          .as("n_sub"))
+  }
+}

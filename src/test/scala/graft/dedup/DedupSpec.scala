@@ -175,6 +175,42 @@ class DedupSpec extends SparkSpec {
       (17L, 1L, 4L, 4L, 1L), (18L, 5L, 8L, 4L, 1L)))
   }
 
+  test("span index: two increments merge to the full-corpus duplicatedSpans") {
+    // the cross-increment case is the one that matters: 20/21 land in
+    // DIFFERENT increments and share a phrase that is unique WITHIN
+    // each — only the merged df crosses minDf
+    val inc1 = Seq(
+      (20L, "november oscar papa quebec a20a a20b"),
+      (22L, "golf hotel india juliet kilo lima"),
+      (24L, "golf hotel india juliet z24a z24b")).toDF("doc_id", "text")
+    val inc2 = Seq(
+      (21L, "november oscar papa quebec b21a b21b"),
+      (23L, "mike unique filler words here only")).toDF("doc_id", "text")
+    val k = 4
+    val merged = Dedup.mergeSpanIndex(
+      Dedup.spanIndex(inc1, "doc_id", "text", k),
+      Dedup.spanIndex(inc2, "doc_id", "text", k))
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val got = asSet(Dedup.duplicatedSpansFromIndex(merged._1, merged._2, k))
+    val full = asSet(Dedup.duplicatedSpans(inc1.unionByName(inc2),
+      "doc_id", "text", k))
+    assert(got == full, "incremental index must equal the one-shot pass")
+    // and the cross-increment phrase was actually found (20/21), plus
+    // the within-increment one (22/24) — the fixture isn't vacuous
+    assert(got.map(_._1) == Set(20L, 21L, 22L, 24L))
+
+    // associativity on the real corpus: three parity slices
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val slices = (0 to 2).map(i =>
+      Dedup.spanIndex(real.where(pmod(col("doc_id"), lit(3)) === i),
+        "doc_id", "text", 5))
+    val folded = slices.reduce(Dedup.mergeSpanIndex)
+    assert(asSet(Dedup.duplicatedSpansFromIndex(folded._1, folded._2, 5)) ==
+      asSet(Dedup.duplicatedSpans(real, "doc_id", "text", 5)))
+  }
+
   test("excise spans: planted extents removed token-for-token, pass-through docs intact") {
     val docs = Seq(
       (1L, "keep1 keep2 CUT1 CUT2 CUT3 keep3"),

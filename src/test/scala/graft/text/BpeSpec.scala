@@ -1,0 +1,72 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the Sennrich toy family: freq-weighted pairs, deterministic ties
+  private def corpus = Seq(
+    (1L, "low low low"),
+    (2L, "lower lowest")).toDF("doc_id", "text")
+
+  test("learn: hand-computed merge sequence with tie-breaks") {
+    // freqs: low=3 lower=1 lowest=1
+    // pairs: (l,o)=5 (o,w)=5 (w,e)=2 (e,r)=1 (e,s)=1 (s,t)=1
+    // m1: count-5 tie (l,o) vs (o,w) -> left asc picks (l,o)
+    // m2: (lo,w)=5 -> low   m3: (low,e)=2 -> lowe
+    // m4: count-1 tie (lowe,r)/(lowe,s)/(s,t) -> (lowe,r)
+    val (merges, seg) = Bpe.learn(corpus, "text", numMerges = 4)
+    assert(merges.map(m => (m.rank, m.l, m.r, m.count)) == Seq(
+      (1, "l", "o", 5L), (2, "lo", "w", 5L),
+      (3, "low", "e", 2L), (4, "lowe", "r", 1L)))
+    val segs = seg.collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(segs("low") == "low")
+    assert(segs("lower") == "lower")
+    assert(segs("lowest") == Seq("lowe", "s", "t").mkString(Bpe.D + Bpe.D))
+  }
+
+  test("learn: greedy left-to-right non-overlap on runs (aaaa -> [aa,aa])") {
+    val runs = Seq((1L, "aaaa aaa")).toDF("doc_id", "text")
+    val (m1, seg1) = Bpe.learn(runs, "text", numMerges = 1)
+    // pairs: aaaa has 3 (a,a), aaa has 2 -> (a,a)=5
+    assert(m1.map(m => (m.l, m.r, m.count)) == Seq(("a", "a", 5L)))
+    val segs = seg1.collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    val dd = Bpe.D + Bpe.D
+    assert(segs("aaaa") == s"aa${dd}aa", "4-run must merge both pairs")
+    assert(segs("aaa") == s"aa${dd}a", "3-run merges the leftmost pair only")
+  }
+
+  test("learn: exhaustion stops early instead of looping") {
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val (merges, seg) = Bpe.learn(tiny, "text", numMerges = 10)
+    // (a,b) merges once; the fully-merged word has no pairs left
+    assert(merges.map(m => (m.l, m.r)) == Seq(("a", "b")))
+    assert(seg.collect().map(_.getString(2)).toSeq == Seq("ab"))
+  }
+
+  test("encode: ordered subword streams, unseen-word fallback, empty docs") {
+    val (_, seg) = Bpe.learn(corpus, "text", numMerges = 3)
+    // after 3 merges: low=[low] lower=[low,e,r]->wait m3 gives [lowe,r]? no:
+    // m3 merged (low,e): lower=[lowe,r], lowest=[lowe,s,t]
+    val docs = Seq(
+      (1L, "low lower lowest"),
+      (2L, "unseen"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = Bpe.encode(docs, "doc_id", "text", seg)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (1L, "low lowe r lowe s t", 6L),
+      (2L, "u n s e e n", 6L), // not in the table -> char fallback
+      (3L, "", 0L)))
+  }
+
+  test("merge table surface: ranks dense, merged = l+r") {
+    val mt = Bpe.mergeTable(corpus, "text", numMerges = 4)
+      .orderBy("merge_rank").collect()
+    assert(mt.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
+    assert(mt.forall(r => r.getString(4) == r.getString(1) + r.getString(2)))
+    intercept[IllegalArgumentException] { Bpe.learn(corpus, "text", 0) }
+  }
+}
