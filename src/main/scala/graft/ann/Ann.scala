@@ -230,10 +230,23 @@ object Ann {
     * tiny centroid frame is localCheckpoint'ed per round to keep the
     * plan from deepening with iteration count. */
   def ivfTrainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-      stride: Int, iters: Int): DataFrame = {
-    var cents = corpus
-      .where(pmod(col(idCol), lit(stride)) === 0)
-      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cvec"))
+      stride: Int, iters: Int): DataFrame =
+    ivfRefineCentroids(corpus, idCol, vecCol,
+      corpus.where(pmod(col(idCol), lit(stride)) === 0)
+        .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cvec")),
+      iters)
+
+  /** The Lloyd loop of [[ivfTrainCentroids]] warm-started from an
+    * EXISTING centroid set — the index-refresh path: a corpus that has
+    * drifted since the index was built (the thing the q84/q85 KL audits
+    * detect) re-trains from the standing centroids instead of a fresh
+    * stride sample, so few rounds recover the objective and stable
+    * regions keep their cell identity (cids survive as long as their
+    * cells stay inhabited). Same determinism and scale shape as
+    * training from scratch. */
+  def ivfRefineCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      initCentroids: DataFrame, iters: Int): DataFrame = {
+    var cents = initCentroids.select(col("cid").cast("long").as("cid"), col("cvec"))
     var it = 0
     while (it < iters) {
       val assigned = ivfAssign(corpus, idCol, vecCol, cents)

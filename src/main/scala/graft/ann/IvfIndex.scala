@@ -63,6 +63,32 @@ object IvfIndex {
       .withColumn("cell", col("cell").cast("long"))
   }
 
+  /** Refresh a persisted index against corpus drift: warm-start the
+    * Lloyd rounds from the STANDING centroids (Ann.ivfRefineCentroids —
+    * few rounds recover the spherical-kmeans objective after drift,
+    * and the objective is monotonically non-decreasing from the warm
+    * start, so a refresh can only improve cell quality), reassign, and
+    * land the refreshed index at `outDir` under the same layout —
+    * every reader/probe contract (`centroids`/`cells`/`prunedCells`/
+    * `probeTopK`) holds on the result. The corpus is the index's own
+    * persisted vectors: refresh needs no re-supplied corpus frame.
+    *
+    * `outDir` must differ from `dir`: the refreshed index is written
+    * while the standing one is still being lazily read (the
+    * CurationRunner date-versioning discipline — a run never
+    * overwrites an input; callers swap a "current" pointer after the
+    * write, keeping the old version probe-able throughout). */
+  def refresh(spark: SparkSession, dir: String, outDir: String,
+      iters: Int): Unit = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    require(new java.net.URI(outDir).normalize() != new java.net.URI(dir).normalize(),
+      s"refresh must write a NEW versioned index dir, not overwrite '$dir' in place")
+    val corpus = cells(spark, dir).select(col("id"), col("v"))
+    val refined = Ann.ivfRefineCentroids(corpus, "id", "v",
+      centroids(spark, dir), iters)
+    write(corpus, "id", "v", refined, outDir)
+  }
+
   /** Probe the persisted index: compute the queries' probe-cell set
     * (bounded by the centroid count — a bounded driver collect), read
     * ONLY those cell partitions, and run the standard probe join.

@@ -70,4 +70,43 @@ class IvfIndexSpec extends SparkSpec {
       Lake.delete(spark, dir)
     }
   }
+
+  test("refresh: warm-start retrain lands a contract-intact index, objective non-decreasing") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("ivf").toString
+    try {
+      val cents = corpus.where(pmod($"vec_id", lit(16)) === 0)
+        .select($"vec_id".cast("long").as("cid"), $"embedding".as("cvec"))
+      IvfIndex.write(corpus, "vec_id", "embedding", cents, dir)
+      val objBefore = Ann.ivfObjective(corpus, "vec_id", "embedding",
+        IvfIndex.centroids(spark, dir))
+
+      intercept[IllegalArgumentException] {
+        IvfIndex.refresh(spark, dir, dir, iters = 2) // in-place forbidden
+      }
+      IvfIndex.refresh(spark, dir, dir2, iters = 2)
+
+      val refined = IvfIndex.centroids(spark, dir2)
+      val objAfter = Ann.ivfObjective(corpus, "vec_id", "embedding", refined)
+      assert(objAfter >= objBefore - 1e-9,
+        s"refresh must not degrade the objective: $objBefore -> $objAfter")
+
+      // the refreshed index honors the full probe contract: persisted
+      // probe == fresh probe against the refined centroids
+      val queries = corpus.where($"vec_id" < 3)
+      def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      val fresh = asSet(Ann.ivfProbeTopK(queries,
+        Ann.ivfAssign(corpus, "vec_id", "embedding", refined), refined,
+        "vec_id", "embedding", k = 10, nProbe = 2))
+      val persisted = asSet(IvfIndex.probeTopK(spark, dir2, queries,
+        "vec_id", "embedding", k = 10, nProbe = 2))
+      assert(persisted == fresh && fresh.nonEmpty)
+      // and the standing index is untouched (versioned, not replaced)
+      assert(asSet(IvfIndex.probeTopK(spark, dir, queries,
+        "vec_id", "embedding", k = 10, nProbe = 2)).nonEmpty)
+    } finally {
+      Lake.delete(spark, dir); Lake.delete(spark, dir2)
+    }
+  }
 }
