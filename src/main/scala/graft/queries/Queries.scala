@@ -1490,6 +1490,28 @@ object Queries {
       .withColumnRenamed("id", "doc_id")
   }
 
+  /** BPE fertility audit through the gate: per source, how many
+    * subwords the q112 tokenizer spends per word (fertility in floored
+    * millis — the "is this vocabulary a good fit for this source"
+    * pre-training audit; a drifted or out-of-domain source shows
+    * inflated fertility). Word instances broadcast-join the learned
+    * word→seg table; per-word subword counts ride the tiny vocab
+    * frame, never the instance rows. */
+  def q114BpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val (_, seg) = graft.text.Bpe.learn(docs, "text", numMerges = 8)
+    val nsub = seg.select(col("word"),
+      size(split(col("seg"), graft.text.Bpe.D + graft.text.Bpe.D))
+        .cast("long").as("nsub"))
+    docs.select(col("source"),
+        explode(graft.text.TextFunctions.tokens(col("text"))).as("word"))
+      .join(broadcast(nsub), Seq("word"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"), sum(col("nsub")).as("n_subwords"))
+      .withColumn("fertility_milli",
+        expr("(1000 * n_subwords) div n_words"))
+  }
+
   /** Blocklist screening through the gate: exact-token hits against a
     * small term list, density in basis points, keep verdict at ≤ 5%.
     * Expression-only (no shuffle) — TextFunctions.blocklistHitsFrom. */
@@ -2730,6 +2752,22 @@ object Queries {
        |FROM documents d LEFT JOIN bagg a ON d.doc_id = a.doc_id""".stripMargin
   }
 
+  /** q114 oracle: the unrolled BPE chain's final segmentation, subword
+    * counts per word type, instance join, per-source fertility. */
+  private lazy val q114Oracle: String =
+    s"""${duckBpeCtes(8)},
+       |fw AS (
+       |  SELECT source,
+       |    unnest(list_filter(string_split(lower(trim(text)), ' '), x -> x != '')) AS word
+       |  FROM documents),
+       |fn AS (
+       |  SELECT word, len(string_split(seg, chr(31) || chr(31)))::BIGINT AS nsub
+       |  FROM s8),
+       |fj AS (SELECT f.source, n.nsub FROM fw f JOIN fn n ON f.word = n.word)
+       |SELECT source, count(*)::BIGINT AS n_words, sum(nsub)::BIGINT AS n_subwords,
+       |  ((1000 * sum(nsub)) // count(*))::BIGINT AS fertility_milli
+       |FROM fj GROUP BY 1""".stripMargin
+
   /** q109 oracle: exact-token blocklist hits, basis-point density
     * (floored), ≤5% keep verdict. */
   private lazy val q109Oracle: String =
@@ -3510,7 +3548,8 @@ object Queries {
     "q110_projected_topk" -> (q110ProjectedTopK _),
     "q111_hybrid_ivf" -> (q111HybridIvf _),
     "q112_bpe_merges" -> (q112BpeMerges _),
-    "q113_bpe_encode" -> (q113BpeEncode _))
+    "q113_bpe_encode" -> (q113BpeEncode _),
+    "q114_bpe_fertility" -> (q114BpeFertility _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -3738,6 +3777,7 @@ object Queries {
     "q111_hybrid_ivf" -> q111Oracle,
     "q112_bpe_merges" -> q112Oracle,
     "q113_bpe_encode" -> q113Oracle,
+    "q114_bpe_fertility" -> q114Oracle,
     "q93_exact_sample" ->
       s"""SELECT doc_id, source FROM (
         |  SELECT doc_id, source,

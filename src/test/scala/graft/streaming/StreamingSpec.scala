@@ -163,6 +163,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming NB scoring against a frozen model equals batch scoring") {
+    // the classifier deployment path: the trained model frame is a
+    // static broadcast build side; each micro-batch scores only ITS
+    // documents (naiveBayesScore is batch-local — no standing state),
+    // so a daily delta or a foreachBatch stream scores without
+    // retraining. Parity: streamed-in-two-batches == batch scoring of
+    // the same corpus with the same frozen model.
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val base = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "documents")
+      .withColumn("y", when($"source".isin("src0", "src1", "src2", "src3"), 1L)
+        .otherwise(0L))
+    val model = graft.text.CorpusStats
+      .naiveBayesTrain(base, "doc_id", "text", "y").localCheckpoint(true)
+    val docs = base.select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    def scoreSet(df: org.apache.spark.sql.DataFrame) = df
+      .select($"id", $"n_tokens", $"nb_milli", $"keep")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = scoreSet(graft.text.CorpusStats.naiveBayesScore(
+      docs.toDF("doc_id", "text"), "doc_id", "text", model))
+    assert(batch.nonEmpty)
+
+    // foreachBatch is the documented deployment shape (the score plan
+    // ends in a per-doc join back to the input — fine batch-locally,
+    // not as a continuous stream-stream join): each micro-batch scores
+    // in isolation against the frozen broadcast model
+    val input = MemoryStream[(Long, String)]
+    val sdf = input.toDF().toDF("doc_id", "text")
+    val acc = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Long)]()
+    val q = sdf.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.text.CorpusStats.naiveBayesScore(b.toDF(), "doc_id", "text", model)
+          .select($"id", $"n_tokens", $"nb_milli", $"keep")
+          .collect().foreach(r =>
+            acc.add((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))))
+      }
+      .start()
+    try {
+      input.addData(docs.take(200))
+      q.processAllAvailable()
+      input.addData(docs.drop(200))
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(acc.asScala.toSet == batch)
+    } finally q.stop()
+  }
+
   test("streamed BM25 index maintenance equals the one-shot batch index") {
     // the additive-index property as a stream: each micro-batch indexes
     // only ITS documents (zero standing state — bm25Index is batch-local)
