@@ -379,7 +379,7 @@ object Dedup {
     * Polynomial char-fold instead of xxhash64 so the full LSH pipeline —
     * signatures, band buckets, verified pairs — is reproducible by the
     * DuckDB oracle (see TextFunctions.polyHash). */
-  private def shingleHashes(shingles: Column): Column =
+  private[dedup] def shingleHashes(shingles: Column): Column =
     transform(shingles, s => TextFunctions.polyHash(s, 1L << 31))
 
   /** Signature from a *materialized* shingle-hash column — the
@@ -407,7 +407,7 @@ object Dedup {
     * < 2^61 — overflow-free, BIGINT-reproducible). Collisions only add
     * candidates, which exact verification then rejects on both engines
     * identically. */
-  private def bandHashesFrom(sig: Column, cfg: MinHashConfig): Column =
+  private[dedup] def bandHashesFrom(sig: Column, cfg: MinHashConfig): Column =
     array((0 until cfg.bands).map(i =>
       aggregate(slice(sig, i * cfg.rowsPerBand + 1, cfg.rowsPerBand), lit(0L),
         (acc, v) => (acc * 1000003L + v) % HashMod)): _*)
