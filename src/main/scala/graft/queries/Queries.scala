@@ -1490,6 +1490,22 @@ object Queries {
       .withColumnRenamed("id", "doc_id")
   }
 
+  /** Classifier calibration through the gate: the q107 scores bucketed
+    * into clamped 2000-millinat bins with the weak-label rate per bin —
+    * "do higher scores actually mean more curated-like" (a filter whose
+    * rate is flat across bins is noise, and a threshold move reads
+    * straight off the table). The floor-divide runs in double on both
+    * engines: IEEE division of exact integers is correctly rounded, so
+    * bin boundaries land exactly. Bounded output (≤ 11 bins). */
+  def q115NbCalibration(spark: SparkSession, dir: String): DataFrame =
+    q107NbQuality(spark, dir)
+      .select(col("label"),
+        least(greatest(floor(col("nb_milli") / lit(2000.0)).cast("long"),
+          lit(-5L)), lit(5L)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("label")).as("n_pos"))
+      .withColumn("pos_bp", expr("(10000 * n_pos) div n_docs"))
+
   /** BPE fertility audit through the gate: per source, how many
     * subwords the q112 tokenizer spends per word (fertility in floored
     * millis — the "is this vocabulary a good fit for this source"
@@ -2546,7 +2562,10 @@ object Queries {
     * the joint vocabulary, floored millinat log-odds per token, class
     * prior from document counts, plain integer sum per document, every
     * document surfaced (token-less docs carry the bare prior). */
-  private lazy val q107Oracle: String =
+  /** Shared q107/q115 CTE chain: weak labels, NB training counts,
+    * prior, scored vocabulary, per-doc sums — ONE copy consumed by the
+    * score gate (q107) and the calibration audit (q115). */
+  private lazy val duckNbCtes: String =
     s"""WITH base AS (
        |  SELECT doc_id, text,
        |    CASE WHEN source IN ('src0','src1','src2','src3')
@@ -2576,13 +2595,35 @@ object Queries {
        |sums AS (
        |  SELECT inst.doc_id, count(*)::BIGINT AS n_tokens,
        |    sum(s.s)::BIGINT AS ssum
-       |  FROM inst JOIN s USING (tok) GROUP BY inst.doc_id)
+       |  FROM inst JOIN s USING (tok) GROUP BY inst.doc_id)""".stripMargin
+
+  private lazy val q107Oracle: String =
+    s"""$duckNbCtes
        |SELECT b.doc_id, b.y::BIGINT AS label,
        |  coalesce(n_tokens, 0)::BIGINT AS n_tokens,
        |  (coalesce(ssum, 0) + pr.prior_milli)::BIGINT AS nb_milli,
        |  (CASE WHEN coalesce(ssum, 0) + pr.prior_milli > 0
        |        THEN 1 ELSE 0 END)::BIGINT AS keep
        |FROM base b LEFT JOIN sums USING (doc_id), pr""".stripMargin
+
+  /** q115 oracle: the q107 scoring chain bucketed into clamped
+    * 2000-millinat calibration bins (the floor division runs in double
+    * on both engines — IEEE division of exact integers is correctly
+    * rounded, so boundary multiples land exactly) with per-bin label
+    * rates. */
+  private lazy val q115Oracle: String =
+    s"""$duckNbCtes,
+       |sc AS (
+       |  SELECT b.y::BIGINT AS label,
+       |    (coalesce(ssum, 0) + pr.prior_milli)::BIGINT AS nb_milli
+       |  FROM base b LEFT JOIN sums USING (doc_id), pr),
+       |bk AS (
+       |  SELECT label,
+       |    least(greatest(floor(nb_milli / 2000.0), -5), 5)::BIGINT AS bucket
+       |  FROM sc)
+       |SELECT bucket, count(*)::BIGINT AS n_docs, sum(label)::BIGINT AS n_pos,
+       |  ((10000 * sum(label)) // count(*))::BIGINT AS pos_bp
+       |FROM bk GROUP BY 1""".stripMargin
 
   /** Shared q108/q110 CTE: every embedding's 16 JL projection
     * coordinates as one double list — plane literals emitted from the
@@ -3549,7 +3590,8 @@ object Queries {
     "q111_hybrid_ivf" -> (q111HybridIvf _),
     "q112_bpe_merges" -> (q112BpeMerges _),
     "q113_bpe_encode" -> (q113BpeEncode _),
-    "q114_bpe_fertility" -> (q114BpeFertility _))
+    "q114_bpe_fertility" -> (q114BpeFertility _),
+    "q115_nb_calibration" -> (q115NbCalibration _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -3778,6 +3820,7 @@ object Queries {
     "q112_bpe_merges" -> q112Oracle,
     "q113_bpe_encode" -> q113Oracle,
     "q114_bpe_fertility" -> q114Oracle,
+    "q115_nb_calibration" -> q115Oracle,
     "q93_exact_sample" ->
       s"""SELECT doc_id, source FROM (
         |  SELECT doc_id, source,

@@ -40,7 +40,8 @@ class PlanHygieneSpec extends SparkSpec {
     "q101_bigram_pmi" -> "crossJoin(broadcast(totals)): single-row (tu, tb) corpus counts",
     "q107_nb_quality" -> "crossJoin(broadcast(totals)) + crossJoin(broadcast(prior)): two single-row frames (vocab/class totals, class prior)",
     "q110_projected_topk" -> "broadcast query batch x projected corpus coarse scan + fp32 rescore (bounded by query count; q25/q58 shape)",
-    "q111_hybrid_ivf" -> "composes q90's single-row totals + q38's broadcast centroid list (assignment and probe selection)")
+    "q111_hybrid_ivf" -> "composes q90's single-row totals + q38's broadcast centroid list (assignment and probe selection)",
+    "q115_nb_calibration" -> "composes q107: crossJoin(broadcast(totals)) + crossJoin(broadcast(prior)) single-row frames")
 
   test("every gate query carries an oracle (q36 rows-only by design), no orphans") {
     assert(Queries.all.keySet -- Queries.oracle.keySet == Set("q36_approx_distinct"),
