@@ -265,6 +265,81 @@ object ScaleOps {
       .drop("__b", "__n", "__o", "__off")
   }
 
+  /** Per-group [[selectTokenBudget]]: each group independently keeps
+    * its best-scored rows until ITS token budget fills — the final
+    * training-mix assembly ("each domain gets its temperature share,
+    * filled with its highest-quality documents"). `budgets` carries
+    * one (groupCol, token_budget) row per group; a duplicate group or
+    * a row whose group has no budget raises (a silent inner join would
+    * quietly drop a whole source from the mix).
+    *
+    * Scale shape: the score-range buckets are GLOBAL (one bounded
+    * quantile probe — per-group quantiles would need a per-group pass),
+    * so equal scores share a bucket in every group and the per-group
+    * cumsum order is exactly (`orderCol` desc, `keyCol`). Per-(group,
+    * bucket) totals stay a FRAME (groups×numBuckets rows — the offsets
+    * window runs on it, nothing collects to the driver), broadcast back
+    * with the budgets; the data-sized window partitions by (group,
+    * bucket) — never a whole group, never global. */
+  def selectTokenBudgetBy(df: DataFrame, keyCol: String, orderCol: String,
+      nTokensCol: String, groupCol: String, budgets: DataFrame,
+      numBuckets: Int = 0): DataFrame = {
+    require(budgets.columns.contains(groupCol) &&
+        budgets.columns.contains("token_budget"),
+      s"budgets must carry ($groupCol, token_budget), got ${budgets.columns.mkString(",")}")
+    val spark0 = df.sparkSession
+    val k = if (numBuckets > 0) numBuckets
+      else spark0.sessionState.conf.numShufflePartitions
+    require(k <= 256,
+      s"selectTokenBudgetBy: numBuckets $k > 256 puts an O(numBuckets) comparison chain on every row")
+    val staged = graft.ops.CacheScope.persist(df
+      .withColumn("__n", coalesce(col(nTokensCol).cast("long"), lit(0L)))
+      .withColumn("__o", when(col(orderCol).isNull, raise_error(
+          lit(s"selectTokenBudgetBy: NULL values in order column '$orderCol'")))
+        .otherwise(col(orderCol).cast("double"))))
+    val probs = (1 until k).map(_.toDouble / k).toArray
+    val bounds =
+      if (probs.isEmpty) Array.empty[Double]
+      else staged.stat.approxQuantile("__o", probs, 0.001).distinct.sorted
+    val bucketCol = bounds.reverse.zipWithIndex
+      .foldRight(lit(bounds.length).cast("int"): Column) {
+        case ((b, i), acc) => when(col("__o") > lit(b), lit(i)).otherwise(acc)
+      }
+    val withB = staged.withColumn("__b", bucketCol)
+    // per-(group, bucket) token totals and their within-group exclusive
+    // prefix sums — a window over the TINY totals frame, nothing
+    // driver-side
+    val totals = withB.groupBy(col(groupCol), col("__b"))
+      .agg(sum(col("__n")).as("__m"))
+    val ow = Window.partitionBy(col(groupCol)).orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offDf = totals
+      .withColumn("__off", coalesce(sum(col("__m")).over(ow), lit(0L)))
+      .select(col(groupCol), col("__b"), col("__off"))
+    // one budget per group, loudly: duplicates fan out the data join and
+    // double-select; missing budgets silently drop a source
+    val bud = budgets.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__c"),
+        max(col("token_budget")).cast("long").as("__bud"))
+      .select(col(groupCol),
+        when(col("__c") > 1, raise_error(concat(
+            lit("selectTokenBudgetBy: duplicate budget rows for group "),
+            col(groupCol).cast("string"))))
+          .otherwise(col("__bud")).as("__bud"))
+    val w = Window.partitionBy(col(groupCol), col("__b"))
+      .orderBy(col("__o").desc, col(keyCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB.join(broadcast(offDf), Seq(groupCol, "__b"))
+      .join(broadcast(bud), Seq(groupCol), "left")
+      .withColumn("__bud", when(col("__bud").isNull, raise_error(concat(
+          lit("selectTokenBudgetBy: no budget row for group "),
+          col(groupCol).cast("string"))))
+        .otherwise(col("__bud")))
+      .withColumn("cum_tokens", sum(col("__n")).over(w) + col("__off"))
+      .where(col("cum_tokens") <= col("__bud"))
+      .drop("__b", "__n", "__o", "__off", "__bud")
+  }
+
   /** Full-range affine-spread hash in [0, 2^31) — shared by sampling
     * (bucketed mod 10^4) and shuffling (raw). */
   private def spreadHash(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -1506,6 +1506,32 @@ object Queries {
       .agg(count(lit(1)).as("n_docs"), sum(col("label")).as("n_pos"))
       .withColumn("pos_bp", expr("(10000 * n_pos) div n_docs"))
 
+  /** Quality-filled temperature mix through the gate — the final
+    * training-mix assembly composing three verified pipelines: q98's
+    * temperature weights set each source's share of a 20k-token
+    * budget, and each source fills its budget with its HIGHEST-q107-
+    * scoring documents (ScaleOps.selectTokenBudgetBy — global score
+    * buckets, per-(source, bucket) windows, broadcast budgets; no
+    * whole-group window anywhere). Output: the selected mix with
+    * per-source inclusive token cumsums. */
+  def q116QualityMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val budgets = graft.text.CorpusStats.temperatureWeights(
+        docs, "source", "text", alphaMilli = 700L)
+      .select(col("source"),
+        expr("(20000 * weight_bp) div 10000").as("token_budget"))
+    val scored = graft.text.CorpusStats.naiveBayesQuality(
+        docs.withColumn("y",
+          when(col("source").isin("src0", "src1", "src2", "src3"), 1L)
+            .otherwise(0L)),
+        "doc_id", "text", "y")
+      .withColumnRenamed("id", "doc_id")
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("nb_milli"))
+    graft.ops.ScaleOps.selectTokenBudgetBy(scored, "doc_id", "nb_milli",
+      "n_tokens", "source", budgets)
+  }
+
   /** BPE fertility audit through the gate: per source, how many
     * subwords the q112 tokenizer spends per word (fertility in floored
     * millis — the "is this vocabulary a good fit for this source"
@@ -2606,6 +2632,47 @@ object Queries {
        |        THEN 1 ELSE 0 END)::BIGINT AS keep
        |FROM base b LEFT JOIN sums USING (doc_id), pr""".stripMargin
 
+  /** q116 oracle: q98's temperature-weight chain → per-source budgets
+    * of a 200k-token total, the shared NB scoring chain → per-doc
+    * scores, then the per-source budget prefix as one window cumsum
+    * (the oracle's single window IS the semantics the bucketed
+    * engine-side cumsum reproduces). */
+  private lazy val q116Oracle: String =
+    s"""$duckNbCtes,
+       |tc AS (
+       |  SELECT source,
+       |    sum(coalesce(len(list_filter(string_split(lower(trim(text)), ' '), x -> x != '')), 0))::BIGINT AS src_toks
+       |  FROM documents GROUP BY source),
+       |te AS (
+       |  SELECT source,
+       |    CASE WHEN src_toks > 0
+       |         THEN floor(1000.0 * exp(0.7 * ln(src_toks)))::BIGINT
+       |         ELSE 0 END AS em
+       |  FROM tc),
+       |tt2 AS (SELECT sum(em)::BIGINT AS em_total FROM te),
+       |bud AS (
+       |  SELECT source,
+       |    ((20000 * (CASE WHEN em_total > 0
+       |        THEN (10000::HUGEINT * em) // em_total ELSE 0 END)::BIGINT)
+       |      // 10000)::BIGINT AS token_budget
+       |  FROM te CROSS JOIN tt2),
+       |scd AS (
+       |  SELECT b.doc_id, d.source,
+       |    coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+       |    (coalesce(ssum, 0) + pr.prior_milli)::BIGINT AS nb_milli
+       |  FROM base b LEFT JOIN sums USING (doc_id)
+       |  CROSS JOIN pr
+       |  JOIN documents d ON d.doc_id = b.doc_id),
+       |cm AS (
+       |  SELECT doc_id, source, n_tokens, nb_milli,
+       |    sum(n_tokens) OVER (PARTITION BY source
+       |      ORDER BY nb_milli DESC, doc_id
+       |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+       |  FROM scd)
+       |SELECT cm.doc_id, cm.source, cm.n_tokens, cm.nb_milli, cm.cum_tokens
+       |FROM cm JOIN bud USING (source)
+       |WHERE cum_tokens <= token_budget""".stripMargin
+
   /** q115 oracle: the q107 scoring chain bucketed into clamped
     * 2000-millinat calibration bins (the floor division runs in double
     * on both engines — IEEE division of exact integers is correctly
@@ -3591,7 +3658,8 @@ object Queries {
     "q112_bpe_merges" -> (q112BpeMerges _),
     "q113_bpe_encode" -> (q113BpeEncode _),
     "q114_bpe_fertility" -> (q114BpeFertility _),
-    "q115_nb_calibration" -> (q115NbCalibration _))
+    "q115_nb_calibration" -> (q115NbCalibration _),
+    "q116_quality_mix" -> (q116QualityMix _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -3821,6 +3889,7 @@ object Queries {
     "q113_bpe_encode" -> q113Oracle,
     "q114_bpe_fertility" -> q114Oracle,
     "q115_nb_calibration" -> q115Oracle,
+    "q116_quality_mix" -> q116Oracle,
     "q93_exact_sample" ->
       s"""SELECT doc_id, source FROM (
         |  SELECT doc_id, source,

@@ -332,6 +332,49 @@ class ScaleOpsSpec extends SparkSpec {
       s"suspiciously ordered: only $inversions inversions in ${sortedIds.length}")
   }
 
+  test("selectTokenBudgetBy: per-group prefixes == per-group selectTokenBudget, loud guards") {
+    val df = Seq(
+      ("a", 1L, 50L, 10L), ("a", 2L, 90L, 5L), ("a", 5L, 80L, 4L),
+      ("b", 7L, 80L, 4L), ("b", 9L, 10L, 3L), ("b", 3L, 95L, 6L)
+    ).toDF("src", "id", "score", "n_tok")
+    val budgets = Seq(("a", 9L), ("b", 7L)).toDF("src", "token_budget")
+    val got = ScaleOps.selectTokenBudgetBy(df, "id", "score", "n_tok", "src", budgets)
+      .collect().map(r => (r.getAs[String]("src"), r.getAs[Long]("id"),
+        r.getAs[Long]("cum_tokens"))).toSet
+    // a: id2(90,5) cum5, id5(80,4) cum9 <= 9; id1 overflows
+    // b: id3(95,6) cum6 <= 7; id7(80,4) cum10 overflows (prefix stops)
+    assert(got == Set(("a", 2L, 5L), ("a", 5L, 9L), ("b", 3L, 6L)))
+    // equivalence: each group independently == the scalar operator
+    for ((g, bud) <- Seq(("a", 9L), ("b", 7L))) {
+      val scalar = ScaleOps.selectTokenBudget(
+          df.where($"src" === g), "id", "score", "n_tok", bud)
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("cum_tokens"))).toSet
+      assert(got.collect { case (`g`, i, c) => (i, c) } == scalar, s"group $g diverged")
+    }
+    // bucketing never changes the result
+    for (nb <- Seq(1, 3)) {
+      val g2 = ScaleOps.selectTokenBudgetBy(df.repartition(4), "id", "score",
+          "n_tok", "src", budgets, numBuckets = nb)
+        .collect().map(r => (r.getAs[String]("src"), r.getAs[Long]("id"))).toSet
+      assert(g2 == got.map(t => (t._1, t._2)), s"numBuckets=$nb diverged")
+    }
+    // a group with rows but no budget row raises; duplicate budgets raise
+    val missing = intercept[Exception] {
+      ScaleOps.selectTokenBudgetBy(df, "id", "score", "n_tok", "src",
+        budgets.where($"src" === "a")).collect()
+    }
+    assert(messages(missing).exists(_.contains("no budget row")), missing.toString)
+    val dup = intercept[Exception] {
+      ScaleOps.selectTokenBudgetBy(df, "id", "score", "n_tok", "src",
+        budgets.unionByName(Seq(("a", 1L)).toDF("src", "token_budget"))).collect()
+    }
+    assert(messages(dup).exists(_.contains("duplicate budget rows")), dup.toString)
+    intercept[IllegalArgumentException] {
+      ScaleOps.selectTokenBudgetBy(df, "id", "score", "n_tok", "src",
+        budgets.withColumnRenamed("token_budget", "b"))
+    }
+  }
+
   test("selectTokenBudget: exact score-ordered prefix, ties by key, stop at first overflow") {
     // order: id2(90,w5) id5(80,w4) id7(80,w4) id1(50,w10) id9(10,w3)
     //   cum:      5          9          13         23         26

@@ -41,7 +41,8 @@ class PlanHygieneSpec extends SparkSpec {
     "q107_nb_quality" -> "crossJoin(broadcast(totals)) + crossJoin(broadcast(prior)): two single-row frames (vocab/class totals, class prior)",
     "q110_projected_topk" -> "broadcast query batch x projected corpus coarse scan + fp32 rescore (bounded by query count; q25/q58 shape)",
     "q111_hybrid_ivf" -> "composes q90's single-row totals + q38's broadcast centroid list (assignment and probe selection)",
-    "q115_nb_calibration" -> "composes q107: crossJoin(broadcast(totals)) + crossJoin(broadcast(prior)) single-row frames")
+    "q115_nb_calibration" -> "composes q107: crossJoin(broadcast(totals)) + crossJoin(broadcast(prior)) single-row frames",
+    "q116_quality_mix" -> "composes q107's and q98's single-row broadcast totals (NB vocab/prior + temperature normalizer)")
 
   test("every gate query carries an oracle (q36 rows-only by design), no orphans") {
     assert(Queries.all.keySet -- Queries.oracle.keySet == Set("q36_approx_distinct"),
