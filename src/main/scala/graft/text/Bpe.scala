@@ -51,13 +51,29 @@ object Bpe {
     * its corpus-weighted adjacency count at pick time. */
   final case class Merge(rank: Int, l: String, r: String, count: Long)
 
-  /** The word-type frame (word, freq, seg) at character-level
-    * segmentation — learning's iteration state zero. */
-  private def initialSegments(docs: DataFrame, textCol: String): DataFrame =
+  /** Word-type frequencies of a corpus — the ADDITIVE carried state
+    * behind incremental vocabulary refresh: learning sees nothing but
+    * these counts, and counts over disjoint document sets add
+    * ([[mergeWordCounts]]), so "re-learn after a daily delta" tokenizes
+    * only the delta and re-runs the cheap |vocab|-sized iterations —
+    * EXACTLY equal to learning on the union (BpeSpec pins it; contrast
+    * the span/BM25 indexes, whose carried state feeds a re-threshold
+    * rather than a re-learn). */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(TextFunctions.tokens(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .select(col("word"), col("freq"),
-        array_join(split(col("word"), ""), DD).as("seg"))
+
+  /** Merge word-count increments over disjoint document sets —
+    * associative; fold any number of daily deltas. */
+  def mergeWordCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("word"))
+      .agg(sum(col("freq")).as("freq"))
+
+  /** The word-type frame (word, freq, seg) at character-level
+    * segmentation — learning's iteration state zero. */
+  private def initialSegments(counts: DataFrame): DataFrame =
+    counts.select(col("word"), col("freq"),
+      array_join(split(col("word"), ""), DD).as("seg"))
 
   /** Adjacent-pair counts of a segmentation frame, corpus-weighted. */
   private def pairCounts(seg: DataFrame): DataFrame = {
@@ -85,9 +101,16 @@ object Bpe {
     * the encode artifact. Stops early if the corpus runs out of
     * adjacent pairs (every word fully merged). */
   def learn(docs: DataFrame, textCol: String, numMerges: Int)
+      : (Seq[Merge], DataFrame) =
+    learnFromCounts(wordCounts(docs, textCol), numMerges)
+
+  /** [[learn]] from a (word, freq) counts frame — the incremental
+    * path: feed [[mergeWordCounts]]-folded daily counts and only the
+    * newest delta ever tokenizes. */
+  def learnFromCounts(counts: DataFrame, numMerges: Int)
       : (Seq[Merge], DataFrame) = {
     require(numMerges >= 1, s"numMerges must be >= 1: $numMerges")
-    var seg = graft.ops.CacheScope.persist(initialSegments(docs, textCol))
+    var seg = graft.ops.CacheScope.persist(initialSegments(counts))
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var exhausted = false
     for (i <- 1 to numMerges if !exhausted) {

@@ -62,6 +62,19 @@ class BpeSpec extends SparkSpec {
       (3L, "", 0L)))
   }
 
+  test("incremental counts: merged daily deltas learn the union's exact vocabulary") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val slices = (0 to 2).map(i =>
+      Bpe.wordCounts(real.where(pmod(col("doc_id"), lit(3)) === i), "text"))
+    val folded = slices.reduce(Bpe.mergeWordCounts)
+    val (incMerges, incSeg) = Bpe.learnFromCounts(folded, numMerges = 6)
+    val (fullMerges, fullSeg) = Bpe.learn(real, "text", numMerges = 6)
+    assert(incMerges == fullMerges, "merge tables must match exactly")
+    def segMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(segMap(incSeg) == segMap(fullSeg), "segmentations must match exactly")
+  }
+
   test("merge table surface: ranks dense, merged = l+r") {
     val mt = Bpe.mergeTable(corpus, "text", numMerges = 4)
       .orderBy("merge_rank").collect()
