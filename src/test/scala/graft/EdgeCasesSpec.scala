@@ -47,6 +47,43 @@ class EdgeCasesSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("round-5 surfaces: empty/no-match inputs stay empty, not crashed") {
+    import spark.implicits._
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val real = Seq((1L, "alpha bravo charlie delta"),
+      (2L, "echo foxtrot golf hotel")).toDF("doc_id", "text")
+
+    // BPE: empty corpus learns nothing, encodes nothing; a nonempty
+    // corpus encoded against an EMPTY segmentation table falls back to
+    // character segmentation for every word
+    val (m0, s0) = graft.text.Bpe.learn(docs, "text", numMerges = 5)
+    assert(m0.isEmpty && s0.count() == 0)
+    assert(graft.text.Bpe.mergeTable(docs, "text", 5).count() == 0)
+    val fb = graft.text.Bpe.encode(real, "doc_id", "text", s0)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(fb(1L) == "a l p h a b r a v o c h a r l i e d e l t a")
+
+    // selectTokenBudgetBy: empty data frame with nonempty budgets
+    val noRows = Seq.empty[(String, Long, Long, Long)].toDF("src", "id", "score", "n_tok")
+    val buds = Seq(("a", 5L)).toDF("src", "token_budget")
+    assert(graft.ops.ScaleOps.selectTokenBudgetBy(
+      noRows, "id", "score", "n_tok", "src", buds).count() == 0)
+
+    // disk indexes: probes that match nothing return empty frames
+    val dir = java.nio.file.Files.createTempDirectory("edge").toString
+    try {
+      graft.text.Bm25DiskIndex.write(real, "doc_id", "text", s"$dir/bm", numBuckets = 8)
+      val missProbe = Seq((9L, "zulu yankee")).toDF("query_id", "qtext")
+      assert(graft.text.Bm25DiskIndex.probeTopK(spark, s"$dir/bm",
+        missProbe, "query_id", "qtext", 5).count() == 0)
+      graft.dedup.LshDiskIndex.write(real, "doc_id", "text", s"$dir/lsh", numBuckets = 8)
+      val farDelta = Seq((30L, "unrelated words entirely different content here"))
+        .toDF("doc_id", "text")
+      assert(graft.dedup.LshDiskIndex.probe(spark, s"$dir/lsh",
+        farDelta, "doc_id", "text", 0.8).count() == 0)
+    } finally { graft.io.Lake.delete(spark, dir) }
+  }
+
   test("one-document corpora do not degenerate (pairs empty, per-doc ops emit)") {
     val one = Seq((1L, "alpha bravo charlie delta echo foxtrot golf hotel india")).toDF("doc_id", "text")
     assert(graft.dedup.Dedup.winnowedFingerprints(one, "doc_id", "text", 5, 4).count() > 0)
