@@ -81,7 +81,11 @@ object IvfIndex {
   def refresh(spark: SparkSession, dir: String, outDir: String,
       iters: Int): Unit = {
     require(iters >= 1, s"iters must be >= 1: $iters")
-    require(new java.net.URI(outDir).normalize() != new java.net.URI(dir).normalize(),
+    // trailing slashes would defeat a plain URI compare ("/x/" vs "/x"
+    // are the same directory) — normalize both before comparing
+    def canon(p: String) =
+      new java.net.URI(p).normalize().toString.replaceAll("/+$", "")
+    require(canon(outDir) != canon(dir),
       s"refresh must write a NEW versioned index dir, not overwrite '$dir' in place")
     val corpus = cells(spark, dir).select(col("id"), col("v"))
     val refined = Ann.ivfRefineCentroids(corpus, "id", "v",

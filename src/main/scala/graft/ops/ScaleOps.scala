@@ -221,6 +221,7 @@ object ScaleOps {
   def selectTokenBudget(df: DataFrame, keyCol: String, orderCol: String,
       nTokensCol: String, tokenBudget: Long, numBuckets: Int = 0): DataFrame = {
     require(tokenBudget >= 0, s"tokenBudget must be >= 0: $tokenBudget")
+    requireNoReservedBudgetCols(df)
     val spark0 = df.sparkSession
     val k = if (numBuckets > 0) numBuckets
       else spark0.sessionState.conf.numShufflePartitions
@@ -287,6 +288,7 @@ object ScaleOps {
     require(budgets.columns.contains(groupCol) &&
         budgets.columns.contains("token_budget"),
       s"budgets must carry ($groupCol, token_budget), got ${budgets.columns.mkString(",")}")
+    requireNoReservedBudgetCols(df)
     val spark0 = df.sparkSession
     val k = if (numBuckets > 0) numBuckets
       else spark0.sessionState.conf.numShufflePartitions
@@ -338,6 +340,17 @@ object ScaleOps {
       .withColumn("cum_tokens", sum(col("__n")).over(w) + col("__off"))
       .where(col("cum_tokens") <= col("__bud"))
       .drop("__b", "__n", "__o", "__off", "__bud")
+  }
+
+  /** The budget operators' staging columns — an input column with one
+    * of these names would be silently overwritten (and `cum_tokens`
+    * shadowed in the output); fail loudly instead, the exactKSample
+    * reserved-name discipline. */
+  private def requireNoReservedBudgetCols(df: DataFrame): Unit = {
+    val reserved = Seq("__n", "__o", "__b", "__off", "__bud", "__m", "cum_tokens")
+    val clash = df.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"input must not use the reserved column names ${clash.mkString(", ")}")
   }
 
   /** Full-range affine-spread hash in [0, 2^31) — shared by sampling

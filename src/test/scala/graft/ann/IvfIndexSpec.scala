@@ -84,6 +84,9 @@ class IvfIndexSpec extends SparkSpec {
       intercept[IllegalArgumentException] {
         IvfIndex.refresh(spark, dir, dir, iters = 2) // in-place forbidden
       }
+      intercept[IllegalArgumentException] {
+        IvfIndex.refresh(spark, dir, dir + "/", iters = 2) // slash alias too
+      }
       IvfIndex.refresh(spark, dir, dir2, iters = 2)
 
       val refined = IvfIndex.centroids(spark, dir2)

@@ -373,6 +373,15 @@ class ScaleOpsSpec extends SparkSpec {
       ScaleOps.selectTokenBudgetBy(df, "id", "score", "n_tok", "src",
         budgets.withColumnRenamed("token_budget", "b"))
     }
+    // reserved staging names fail loudly instead of being overwritten
+    intercept[IllegalArgumentException] {
+      ScaleOps.selectTokenBudgetBy(df.withColumn("cum_tokens", lit(1L)),
+        "id", "score", "n_tok", "src", budgets)
+    }
+    intercept[IllegalArgumentException] {
+      ScaleOps.selectTokenBudget(df.withColumn("__o", lit(1L)),
+        "id", "score", "n_tok", 5L)
+    }
   }
 
   test("selectTokenBudget: exact score-ordered prefix, ties by key, stop at first overflow") {
