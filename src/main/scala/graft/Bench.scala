@@ -22,6 +22,11 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // task-side output commit (v2): the index-lifecycle queries write
+      // many-partition parquet dirs; v1 renames every partition dir
+      // sequentially on the driver (measured: the dominant cost of the
+      // q111/q117/q118 in-gate index builds)
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Light warmup: JIT/codegen paths and parquet footer reads, so the
@@ -87,30 +92,49 @@ object Bench {
     // enough for the driver's tail capture (the r03 9-decimal line was
     // truncated mid-JSON and failed to parse).
     def f3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    // 10 ms precision for the contract line only — every byte there
+    // counts against the driver's 2000-char tail window (see below).
+    def f2(d: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, d)
     // A crashed query must not masquerade as a fast timing: report its
     // elapsed as negative and list it under "failed".
-    def jmap(f: ((String, Double, Double, Double, Boolean)) => Double): String =
+    def jmap(f: ((String, Double, Double, Double, Boolean)) => Double,
+             key: String => String = identity, fmt: Double => String = f3): String =
       results.map { case t @ (k, _, _, _, ok) =>
-        // a sub-millisecond crash must not round to -0.000 (which JSON
-        // parsers read as a healthy 0): floor failed timings at 1 ms so
-        // the negative marker survives the 3-decimal format
-        val v = if (ok) f3(f(t)) else "-" + f3(math.max(f(t), 0.001))
-        "\"" + k + "\":" + v
+        // a sub-millisecond crash must not round to -0.00 (which JSON
+        // parsers read as a healthy 0): floor failed timings at 10 ms so
+        // the negative marker survives the coarsest format
+        val v = if (ok) fmt(f(t)) else "-" + fmt(math.max(f(t), 0.01))
+        "\"" + key(k) + "\":" + v
       }.mkString("{", ",", "}")
-    val qs = jmap(_._2)
+    // Contract keys use the unique `qNNN` prefix of each query name
+    // ("q90_bm25_topk" -> "q90"): with 116+ queries the full-name map is
+    // ~3 KB and the driver captures only a 2000-char stdout tail, so a
+    // full-name contract line is front-truncated mid-JSON at ANY print
+    // position (the r03/r04/r05 "parsed": null failures). Short keys +
+    // 2-decimal values keep the whole line ~1.6 KB incl. the sbt footer.
+    def shortKey(k: String): String = k.takeWhile(_ != '_')
+    require(results.map(t => shortKey(t._1)).distinct.size == results.size,
+      "bench contract short keys must stay unique (qNNN prefix collision)")
+    val qs = jmap(_._2, shortKey, f2)
+    val qsFull = jmap(_._2)
     val warms = jmap(_._3)
     val medians = jmap(_._4)
-    val failed = results.collect { case (k, _, _, _, false) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, _, _, _, false) => "\"" + shortKey(k) + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, c, _, _, true) => c }.sum
     val warmTotal = results.collect { case (_, _, w, _, true) => w }.sum
     // The contract line (metric/value/queries/failed) must be the LAST
-    // stdout line: the driver captures a bounded tail, and with 110+
-    // queries any line printed after the contract can push it out of the
-    // capture window (the r03/r04 "parsed": null failures were exactly
-    // this). Warm/median detail goes first and is safe to truncate.
+    // stdout line AND fit inside the driver's 2000-char tail capture.
+    // Full-name / full-precision detail (cold, warm, warm-median) goes
+    // on earlier lines where truncation is harmless.
+    println(s"""{"bench_detail":"cold","cold_full":$qsFull}""")
     println(s"""{"bench_detail":"warm","warm_total":${f3(warmTotal)},"warm":$warms,"warm_median":$medians}""")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val contract = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    // Loud guard: if the contract ever outgrows the tail window again,
+    // fail the bench run rather than silently producing parsed:null.
+    if (contract.length > 1850)
+      System.err.println(s"[bench] WARNING: contract line ${contract.length} bytes; driver tail is 2000")
+    println(contract)
     spark.stop()
   }
 }

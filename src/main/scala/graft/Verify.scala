@@ -12,6 +12,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // task-side output commit: the index-lifecycle queries write
+      // many-partition parquet dirs, and v1's sequential driver-side
+      // rename of every partition dir dominates their wall clock
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -186,17 +186,91 @@ object Ann {
 
   // ---- IVF (inverted-file) ANN --------------------------------------
 
-  /** Nearest-centroid cell assignment — the IVF index build. Centroids
-    * (`cid`, `cvec`) are broadcast (there are ~√n of them; they fit);
-    * each corpus vector scores all centroids and keeps the argmax dot
-    * with a deterministic tie-break (smallest cid). The argmax is a
-    * map-side partial `max(struct(dot, -cid))`: the centroid-factor row
-    * blowup collapses to one row per vector inside each scan partition,
-    * so the only exchange carries |corpus| rows — at 100 TB you'd
-    * additionally persist the result bucketed by `cell` so repeated
-    * query batches pay zero index shuffles. */
+  /** Nearest-centroid cell assignment — the IVF index build. The
+    * centroid matrix is collected and BROADCAST as plain arrays (the
+    * coarse quantizer is memory-resident by design — ~√n centroids,
+    * the faiss discipline) and each corpus vector computes its argmax
+    * dot in ONE fused per-row loop inside mapPartitions. The obvious
+    * relational form — crossJoin(broadcast(centroids)) + groupBy
+    * argmax ([[ivfAssignReference]], parity-pinned in AnnSpec) —
+    * amplifies the scan |centroids|-fold before the partial aggregate
+    * collapses it (every intermediate row re-carrying the full vector
+    * through the hash agg); the kernel does the same flops with zero
+    * row amplification and no agg state, so assignment cost is exactly
+    * one corpus pass. Semantics are bit-identical: left-to-right
+    * double accumulation (the [[graft.functions.FloatVectorDot]]
+    * contract: null array, length mismatch, or null element → null
+    * dot), argmax by (d desc, cid asc) under Spark's SQL ordering
+    * (null smallest, NaN greatest, -0.0 == 0.0). */
   def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val src = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .repartition(parts)
+    // deterministic cid-ascending order: ties keep the FIRST (smallest
+    // cid) candidate, replicating max(struct(d, -cid))
+    val cents: Array[(Long, Array[Float], Boolean)] = centroids
+      .select(col("cid").cast("long"), col("cvec")).collect()
+      .map { r =>
+        val raw = r.getAs[scala.collection.Seq[java.lang.Float]](1)
+        if (raw == null) (r.getLong(0), null: Array[Float], true)
+        else (r.getLong(0), raw.map(x => if (x == null) 0f else x.toFloat).toArray,
+          raw.exists(_ == null))
+      }.sortBy(_._1)
+    require(cents.nonEmpty, "ivfAssign: empty centroid frame")
+    val bc = spark.sparkContext.broadcast(cents)
+    val outSchema = src.schema.add("cell", org.apache.spark.sql.types.LongType)
+    src.mapPartitions { it =>
+      val cs = bc.value
+      // SQL double ordering: null < everything, NaN greatest, -0.0 == 0.0
+      def norm(d: Double): Double = if (d == 0.0) 0.0 else d
+      it.map { r =>
+        val raw = r.getAs[scala.collection.Seq[java.lang.Float]](1)
+        val vNull = raw == null
+        val v: Array[Float] =
+          if (vNull) null else raw.map(x => if (x == null) 0f else x.toFloat).toArray
+        val vHasNull = !vNull && raw.exists(_ == null)
+        var bestSet = false
+        var bestNull = true
+        var bestD = 0.0
+        var bestC = 0L
+        var j = 0
+        while (j < cs.length) {
+          val (cid, cv, cHasNull) = cs(j)
+          // dot = null iff either array null, lengths differ, or any
+          // element null (FloatVectorDot's contract — a null element
+          // nulls the dot wherever it sits, so a flag suffices)
+          val isNull = vNull || cv == null || v.length != cv.length ||
+            vHasNull || cHasNull
+          var d = 0.0
+          if (!isNull) {
+            var i = 0
+            val n = v.length
+            while (i < n) { d += v(i).toDouble * cv(i).toDouble; i += 1 }
+          }
+          // strict improvement only: equal keys keep the earlier
+          // (smaller-cid) winner
+          val better =
+            if (!bestSet) true
+            else if (isNull) false
+            else if (bestNull) true
+            else java.lang.Double.compare(norm(d), norm(bestD)) > 0
+          if (better) { bestSet = true; bestNull = isNull; bestD = d; bestC = cid }
+          j += 1
+        }
+        org.apache.spark.sql.Row(r.get(0), r.get(1), bestC)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+      .toDF()
+  }
+
+  /** The relational formulation of [[ivfAssign]] — kept as the
+    * executable specification the fused kernel is parity-pinned
+    * against (AnnSpec): crossJoin against broadcast centroids, argmax
+    * as a map-side partial max(struct(dot, -cid)). */
+  private[graft] def ivfAssignReference(corpus: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame): DataFrame = {
     val parts = corpus.sparkSession.sessionState.conf.numShufflePartitions
     val scored = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .repartition(parts)
@@ -301,8 +375,90 @@ object Ann {
     * `nProbe` best cells as (query_id, q_vec, cell). Exposed so a
     * persisted-index caller can derive the probe-cell set AND run the
     * candidate join from ONE probes frame (IvfIndex.probeTopK —
-    * recomputing it would double the scoring + window cost). */
+    * recomputing it would double the scoring cost).
+    *
+    * Same fused-kernel shape as [[ivfAssign]] (the relational
+    * crossJoin + per-query window — [[ivfProbesReference]], parity-
+    * pinned in AnnSpec — amplifies the query batch |centroids|-fold
+    * and windows the product): one pass per query vector over the
+    * broadcast centroid matrix, keeping the nProbe best under the
+    * identical ordering (d desc with SQL semantics — null smallest,
+    * NaN greatest, -0.0 == 0.0 — ties on cid asc). */
   def ivfProbes(queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, nProbe: Int): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1: $nProbe")
+    val spark = queries.sparkSession
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val cents: Array[(Long, Array[Float], Boolean)] = centroids
+      .select(col("cid").cast("long"), col("cvec")).collect()
+      .map { r =>
+        val raw = r.getAs[scala.collection.Seq[java.lang.Float]](1)
+        if (raw == null) (r.getLong(0), null: Array[Float], true)
+        else (r.getLong(0), raw.map(x => if (x == null) 0f else x.toFloat).toArray,
+          raw.exists(_ == null))
+      }.sortBy(_._1)
+    require(cents.nonEmpty, "ivfProbes: empty centroid frame")
+    val bc = spark.sparkContext.broadcast(cents)
+    val outSchema = q.schema
+      .add("cell", org.apache.spark.sql.types.LongType, nullable = false)
+    q.mapPartitions { it =>
+      val cs = bc.value
+      def norm(d: Double): Double = if (d == 0.0) 0.0 else d
+      // ordering of (isNull, d, cid): non-null before null, d desc
+      // (NaN greatest via Double.compare), ties cid asc — exactly the
+      // window's (d desc, cid asc) with default nulls-last
+      def beats(aNull: Boolean, aD: Double, aC: Long,
+          bNull: Boolean, bD: Double, bC: Long): Boolean =
+        if (aNull != bNull) bNull
+        else if (!aNull && java.lang.Double.compare(norm(aD), norm(bD)) != 0)
+          java.lang.Double.compare(norm(aD), norm(bD)) > 0
+        else aC < bC
+      it.flatMap { r =>
+        val raw = r.getAs[scala.collection.Seq[java.lang.Float]](1)
+        val vNull = raw == null
+        val v: Array[Float] =
+          if (vNull) null else raw.map(x => if (x == null) 0f else x.toFloat).toArray
+        val vHasNull = !vNull && raw.exists(_ == null)
+        val m = math.min(nProbe, cs.length)
+        // insertion top-m (m is tiny — nProbe cells per query)
+        val tN = new Array[Boolean](m); val tD = new Array[Double](m)
+        val tC = new Array[Long](m); var filled = 0
+        var j = 0
+        while (j < cs.length) {
+          val (cid, cv, cHasNull) = cs(j)
+          val isNull = vNull || cv == null || v.length != cv.length ||
+            vHasNull || cHasNull
+          var d = 0.0
+          if (!isNull) {
+            var i = 0; val n = v.length
+            while (i < n) { d += v(i).toDouble * cv(i).toDouble; i += 1 }
+          }
+          if (filled < m) {
+            // insert into the kept list, keeping it ordered best-first
+            var p = filled
+            while (p > 0 && beats(isNull, d, cid, tN(p - 1), tD(p - 1), tC(p - 1))) {
+              tN(p) = tN(p - 1); tD(p) = tD(p - 1); tC(p) = tC(p - 1); p -= 1
+            }
+            tN(p) = isNull; tD(p) = d; tC(p) = cid; filled += 1
+          } else if (beats(isNull, d, cid, tN(m - 1), tD(m - 1), tC(m - 1))) {
+            var p = m - 1
+            while (p > 0 && beats(isNull, d, cid, tN(p - 1), tD(p - 1), tC(p - 1))) {
+              tN(p) = tN(p - 1); tD(p) = tD(p - 1); tC(p) = tC(p - 1); p -= 1
+            }
+            tN(p) = isNull; tD(p) = d; tC(p) = cid
+          }
+          j += 1
+        }
+        (0 until filled).map(p => org.apache.spark.sql.Row(r.get(0), r.get(1), tC(p)))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+      .toDF()
+  }
+
+  /** The relational formulation of [[ivfProbes]] — the executable
+    * specification the fused kernel is parity-pinned against
+    * (AnnSpec). */
+  private[graft] def ivfProbesReference(queries: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, nProbe: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val probeScored = q.crossJoin(broadcast(centroids.select(col("cid"), col("cvec"))))

@@ -6,26 +6,40 @@ import org.apache.spark.sql.functions._
 
 /** Persisted IVF index — the 100 TB deployment shape the probe path is
   * designed for: centroids land as a tiny parquet, cell assignments
-  * land partitioned BY CELL, so a probe reads only the `nProbe` cell
-  * directories its queries select and the rest of the corpus is never
-  * opened (partition pruning, asserted functionally in IvfIndexSpec via
+  * land partitioned by CELL BUCKET (`cell mod n_buckets` — the same
+  * bounded-directory discipline as Bm25DiskIndex's token buckets and
+  * LshDiskIndex's band buckets: with ~√n cells, one directory per cell
+  * would be a million directories at web scale and the write cost is
+  * directory-count-bound), so a probe reads only the bucket
+  * directories its probed cells hash into and filters to the exact
+  * cells inside them — the rest of the corpus is never opened
+  * (partition pruning, asserted functionally in IvfIndexSpec via
   * inputFiles). Building the index costs one assignment pass; every
   * subsequent probe batch reuses it — the amortization that makes IVF
   * worthwhile over brute force at scale. */
 object IvfIndex {
 
   def write(corpus: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame, dir: String): Unit = {
+      centroids: DataFrame, dir: String, numBuckets: Int = 64): Unit = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1: $numBuckets")
     // normalize cid to long on the way in: probeTopK collects cids as
     // longs, and an int-typed caller frame would persist fine but crash
     // every later probe
     val cents = centroids.select(col("cid").cast("long").as("cid"), col("cvec"))
     Lake.writeParquet(cents, s"$dir/centroids")
+    // cluster by bucket before the partitionBy write (the LshDiskIndex
+    // small-files discipline: without it every task writes every dir)
     Ann.ivfAssign(corpus, idCol, vecCol, cents)
+      .withColumn("cbucket", pmod(col("cell"), lit(numBuckets.toLong)))
+      .repartition(col("cbucket"))
       .write.mode(SaveMode.Overwrite)
       .option("compression", "snappy")
-      .partitionBy("cell")
+      .partitionBy("cbucket")
       .parquet(s"$dir/cells")
+    Lake.writeParquet(
+      corpus.sparkSession.range(1)
+        .select(lit(numBuckets.toLong).as("n_buckets")),
+      s"$dir/meta")
   }
 
   /** Fail loudly on a wrong/unwritten dir — Lake's missing-path
@@ -40,27 +54,39 @@ object IvfIndex {
     Lake.readParquet(spark, s"$dir/centroids")
   }
 
-  /** The full cell frame (partition column restored to long). */
+  /** The bucket count the index was written with. */
+  def numBuckets(spark: SparkSession, dir: String): Int = {
+    requireIndex(spark, dir)
+    require(Lake.exists(spark, s"$dir/meta"),
+      s"no IVF index meta at '$dir/meta' — rebuild with IvfIndex.write")
+    Lake.readParquet(spark, s"$dir/meta")
+      .select(col("n_buckets")).collect()(0).getLong(0).toInt
+  }
+
+  /** The full cell frame (id, v, cell). */
   def cells(spark: SparkSession, dir: String): DataFrame = {
     requireIndex(spark, dir)
     Lake.readParquet(spark, s"$dir/cells")
-      .withColumn("cell", col("cell").cast("long"))
+      .select(col("id"), col("v"), col("cell"))
   }
 
-  /** Cell read restricted to `cellIds` — the filter runs on the RAW
-    * inferred partition column (casting the column first would wrap it
-    * in an expression and silently disable partition pruning; the spec
-    * asserts via inputFiles that pruning actually engages), with the
-    * long restore applied after. */
+  /** Cell read restricted to `cellIds`: the probed cells' BUCKET set
+    * prunes directories at the file listing (the filter runs on the
+    * RAW inferred partition column — casting first would wrap it in an
+    * expression and silently disable pruning; the spec asserts via
+    * inputFiles that it engages), and the exact-cell filter cuts the
+    * surviving buckets' rows. */
   def prunedCells(spark: SparkSession, dir: String, cellIds: Seq[Long]): DataFrame = {
     requireIndex(spark, dir)
+    val n = numBuckets(spark, dir).toLong
     val raw = Lake.readParquet(spark, s"$dir/cells")
-    val lits: Seq[Any] = raw.schema("cell").dataType match {
-      case org.apache.spark.sql.types.IntegerType => cellIds.map(_.toInt)
-      case _ => cellIds
+    val buckets = cellIds.map(c => ((c % n) + n) % n).distinct
+    val lits: Seq[Any] = raw.schema("cbucket").dataType match {
+      case org.apache.spark.sql.types.IntegerType => buckets.map(_.toInt)
+      case _ => buckets
     }
-    raw.where(col("cell").isin(lits: _*))
-      .withColumn("cell", col("cell").cast("long"))
+    raw.where(col("cbucket").isin(lits: _*) && col("cell").isin(cellIds: _*))
+      .select(col("id"), col("v"), col("cell"))
   }
 
   /** Refresh a persisted index against corpus drift: warm-start the
@@ -81,16 +107,42 @@ object IvfIndex {
   def refresh(spark: SparkSession, dir: String, outDir: String,
       iters: Int): Unit = {
     require(iters >= 1, s"iters must be >= 1: $iters")
-    // trailing slashes would defeat a plain URI compare ("/x/" vs "/x"
-    // are the same directory) — normalize both before comparing
-    def canon(p: String) =
-      new java.net.URI(p).normalize().toString.replaceAll("/+$", "")
+    // A plain string/URI compare misses aliases of the same directory
+    // ("file:/x" vs "/x", relative vs absolute, trailing slashes) — an
+    // aliased outDir would pass the guard and the Overwrite write would
+    // truncate dir/cells while it is still being lazily read as the
+    // refresh corpus. Qualify both through the Hadoop FileSystem (the
+    // same resolution the write itself will use) before comparing.
+    def canon(p: String): String = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.makeQualified(hp).toUri.normalize().toString.replaceAll("/+$", "")
+    }
     require(canon(outDir) != canon(dir),
       s"refresh must write a NEW versioned index dir, not overwrite '$dir' in place")
     val corpus = cells(spark, dir).select(col("id"), col("v"))
     val refined = Ann.ivfRefineCentroids(corpus, "id", "v",
       centroids(spark, dir), iters)
-    write(corpus, "id", "v", refined, outDir)
+    write(corpus, "id", "v", refined, outDir, numBuckets(spark, dir))
+  }
+
+  /** Version-pointer discipline for a refreshing index family: versions
+    * land as sibling dirs under `root` (the [[refresh]] contract — a
+    * refresh never overwrites the dir it reads), and a one-row parquet
+    * at `root/ptr` names the current one. Readers resolve the pointer,
+    * then probe `root/<version>`; a refresh lands the new version fully
+    * before the pointer swaps, so the old version stays probe-able
+    * throughout (the CurationRunner date-versioning discipline). */
+  def currentVersion(spark: SparkSession, root: String): Option[String] =
+    if (!Lake.exists(spark, s"$root/ptr")) None
+    else Some(Lake.readParquet(spark, s"$root/ptr")
+      .select(col("version")).collect()(0).getString(0))
+
+  def setCurrentVersion(spark: SparkSession, root: String, version: String): Unit = {
+    require(Lake.exists(spark, s"$root/$version/centroids"),
+      s"no IVF index version at '$root/$version' — land the version before pointing at it")
+    Lake.writeParquet(
+      spark.range(1).select(lit(version).as("version")), s"$root/ptr")
   }
 
   /** Probe the persisted index: compute the queries' probe-cell set

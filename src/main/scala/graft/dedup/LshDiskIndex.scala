@@ -31,11 +31,23 @@ import org.apache.spark.sql.functions._
   *
   * Daily ingest is APPEND-ONLY ([[append]]): a delta's band rows and
   * shingle sets land as new files; nothing standing is rewritten.
-  * Disjointness of document ids across increments is the caller's
+  * Disjointness of LIVE document ids across increments is the caller's
   * contract (as in Bm25DiskIndex). Signatures are a pure per-document
   * function of fixed hash params, so increment-built signatures equal
   * what a one-shot build would produce — the parity LshDiskIndexSpec
-  * pins against the in-memory focused pipeline. */
+  * pins against the in-memory focused pipeline.
+  *
+  * Removals ride TOMBSTONES (the Lucene delete-bitmap discipline —
+  * standing files are immutable, so "delete" is a marker, not a
+  * rewrite): every indexed row carries the `seq` of the increment that
+  * wrote it, [[retire]] appends (id, seq) markers, and a row is LIVE
+  * iff its seq is >= every tombstone seq for its id. A changed
+  * document therefore retires at seq s and re-appends at the same s —
+  * the old rows die, the new ones live, and probes see exactly the
+  * current corpus (spec-pinned against a fresh index over the live
+  * set). Tombstones are read whole per probe — bounded by the retired
+  * doc count; when that grows past a fraction of the index, compaction
+  * (a fresh [[write]] of the live set) folds them away. */
 object LshDiskIndex {
 
   import Dedup.MinHashConfig
@@ -63,13 +75,21 @@ object LshDiskIndex {
       .withColumn("bucket", pmod(col("bhash"), lit(numBuckets.toLong)))
 
   private def writeIncrement(docs: DataFrame, idCol: String, textCol: String,
-      dir: String, cfg: MinHashConfig, numBuckets: Int, mode: SaveMode): Unit = {
+      dir: String, cfg: MinHashConfig, numBuckets: Int, mode: SaveMode,
+      seq: Long): Unit = {
     val st = graft.ops.CacheScope.persist(staged(docs, idCol, textCol, cfg))
+    // cluster rows by their target partition dir before the partitionBy
+    // write: without this every task writes to every (band, bucket) dir
+    // (tasks × bands × buckets tiny files — measured 97 s at sf0.1 vs
+    // ~1 file per dir after; the same small-files discipline a real
+    // lake job applies)
     bandRows(st, cfg, numBuckets)
+      .withColumn("seq", lit(seq))
+      .repartition(col("band"), col("bucket"))
       .write.mode(mode).option("compression", "snappy")
       .partitionBy("band", "bucket")
       .parquet(s"$dir/bands")
-    st.select(col("id"), col("shingles"))
+    st.select(col("id"), col("shingles"), lit(seq).as("seq"))
       .write.mode(mode).option("compression", "snappy")
       .parquet(s"$dir/sigs")
     docs.sparkSession.range(1).select(
@@ -86,18 +106,54 @@ object LshDiskIndex {
     * keeps directory counts sane, at 100 TB use O(thousands) so each
     * (band, bucket) partition stays executor-sized. */
   def write(docs: DataFrame, idCol: String, textCol: String, dir: String,
-      cfg: MinHashConfig = MinHashConfig(), numBuckets: Int = 16): Unit = {
+      cfg: MinHashConfig = MinHashConfig(), numBuckets: Int = 16,
+      seq: Long = 0L): Unit = {
     require(numBuckets >= 1, s"numBuckets must be >= 1: $numBuckets")
-    writeIncrement(docs, idCol, textCol, dir, cfg, numBuckets, SaveMode.Overwrite)
+    writeIncrement(docs, idCol, textCol, dir, cfg, numBuckets,
+      SaveMode.Overwrite, seq)
+    // a fresh write IS compaction — earlier tombstones refer to rows
+    // that no longer exist and must not kill the new increment's rows
+    Lake.delete(docs.sparkSession, s"$dir/tombstones")
   }
 
   /** Append a disjoint delta under the standing config — new files
-    * only; the standing index is never read or rewritten. */
+    * only; the standing index is never read or rewritten. `seq` stamps
+    * the increment for tombstone ordering: pass a value >= every
+    * earlier increment's (the CurationRunner uses the run date). */
   def append(docs: DataFrame, idCol: String, textCol: String,
-      dir: String): Unit = {
+      dir: String, seq: Long = 0L): Unit = {
     val (cfg, numBuckets) = meta(docs.sparkSession, dir)
-    writeIncrement(docs, idCol, textCol, dir, cfg, numBuckets, SaveMode.Append)
+    writeIncrement(docs, idCol, textCol, dir, cfg, numBuckets,
+      SaveMode.Append, seq)
   }
+
+  /** Retire documents: append (id, seq) tombstones killing every indexed
+    * row of those ids whose ingest seq is STRICTLY below `seq`. Rows
+    * (re-)appended at `seq` or later stay live — so a changed document
+    * retires and re-appends under the same seq. Standing files are never
+    * touched (the append-only contract). `ids` is one column of doc ids. */
+  def retire(spark: SparkSession, dir: String, ids: DataFrame,
+      idCol: String, seq: Long): Unit = {
+    requireIndex(spark, dir)
+    ids.select(col(idCol).cast("long").as("id"), lit(seq).as("seq"))
+      .write.mode(SaveMode.Append).option("compression", "snappy")
+      .parquet(s"$dir/tombstones")
+  }
+
+  /** Max tombstone seq per retired id, or None when nothing was ever
+    * retired. Small by construction (bounded by the retired doc count);
+    * AQE broadcasts the live-filter join when it is. */
+  private def deadSeqs(spark: SparkSession, dir: String): Option[DataFrame] =
+    if (!Lake.exists(spark, s"$dir/tombstones")) None
+    else Some(Lake.readParquet(spark, s"$dir/tombstones")
+      .groupBy(col("id")).agg(max(col("seq")).as("dead_seq")))
+
+  /** Drop index rows killed by tombstones: live iff no tombstone for the
+    * id, or the row's ingest seq is >= the newest tombstone seq. */
+  private def liveOnly(rows: DataFrame, dead: Option[DataFrame]): DataFrame =
+    dead.fold(rows)(d => rows.join(d, Seq("id"), "left")
+      .where(col("dead_seq").isNull || col("seq") >= col("dead_seq"))
+      .drop("dead_seq"))
 
   private def requireIndex(spark: SparkSession, dir: String): Unit =
     require(Lake.exists(spark, s"$dir/bands") && Lake.exists(spark, s"$dir/sigs") &&
@@ -156,12 +212,14 @@ object LshDiskIndex {
   def probe(spark: SparkSession, dir: String, delta: DataFrame,
       idCol: String, textCol: String, threshold: Double): DataFrame = {
     val (cfg, numBuckets) = meta(spark, dir)
+    val dead = deadSeqs(spark, dir)
     val st = graft.ops.CacheScope.persist(staged(delta, idCol, textCol, cfg))
     val dBands = graft.ops.CacheScope.persist(bandRows(st, cfg, numBuckets))
     // the probe footprint: bounded by min(|delta|·bands, bands·buckets)
     val foot = dBands.select(col("band"), col("bucket")).distinct().collect()
-    val corpus = prunedBands(spark, dir,
-      foot.map(_.getLong(0)).distinct.toSeq, foot.map(_.getLong(1)).distinct.toSeq)
+    val corpus = liveOnly(prunedBands(spark, dir,
+      foot.map(_.getLong(0)).distinct.toSeq, foot.map(_.getLong(1)).distinct.toSeq),
+      dead)
     // delta × (standing ∪ delta): near-dups among the new documents
     // count too (the focused-pipeline contract)
     val side = corpus.select(col("id"), col("band"), col("bhash"))
@@ -172,9 +230,9 @@ object LshDiskIndex {
       .select(least(col("x.id"), col("y.id")).as("id_a"),
         greatest(col("x.id"), col("y.id")).as("id_b"))
       .distinct()
-    val sets = Lake.readParquet(spark, s"$dir/sigs")
-      .unionByName(st.select(col("id"), col("shingles")))
+    val sets = liveOnly(Lake.readParquet(spark, s"$dir/sigs"), dead)
       .select(col("id"), col("shingles"))
+      .unionByName(st.select(col("id"), col("shingles")))
     cand
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")

@@ -501,6 +501,212 @@ object Multimodal {
     out.toByteArray
   }
 
+  // ---- real PNG pixel decode (IDAT inflate + scanline unfilter) -----
+
+  /** Per-image pixel statistics from a REAL decode — integer sums and
+    * sums-of-squares per channel (exact, hash-comparable) plus floored
+    * milli means. Unparseable / non-8-bit-RGB payloads surface as
+    * format="unknown" with zeroed stats (kept, not dropped). */
+  final case class PngPixelStats(
+      media_id: Long, format: String, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long,
+      ssq_r: Long, ssq_g: Long, ssq_b: Long,
+      mean_r_milli: Long, mean_g_milli: Long, mean_b_milli: Long)
+
+  /** The Paeth predictor (RFC 2083 §6.6). */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def pngChunk(out: java.io.ByteArrayOutputStream, typ: String,
+      data: Array[Byte]): Unit = {
+    def w32(v: Int): Unit = {
+      out.write((v >>> 24) & 0xff); out.write((v >>> 16) & 0xff)
+      out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+    }
+    w32(data.length)
+    val body = typ.getBytes("US-ASCII") ++ data
+    out.write(body, 0, body.length)
+    val crc = new java.util.zip.CRC32
+    crc.update(body)
+    w32(crc.getValue.toInt)
+  }
+
+  /** FULL PNG encoder for 8-bit RGB (colorType 2): signature + IHDR
+    * (via [[pngHeaderBytes]]), one zlib-deflated IDAT of filtered
+    * scanlines — filter type cycles `y mod 5`, so every PNG filter
+    * (None/Sub/Up/Average/Paeth) appears in every image taller than 4
+    * rows — and IEND. Fixture-synthesis counterpart of
+    * [[decodePngPixels]]: the decoder must invert the filters and the
+    * deflate stream exactly to reproduce `pixel(x, y, c)`. */
+  def pngBytes(w: Int, h: Int, pixel: (Int, Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"pngBytes: need positive dims, got ${w}x$h")
+    val bpp = 3
+    val stride = w * bpp
+    val raw = Array.ofDim[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < bpp) {
+          raw(y * stride + x * bpp + c) = (pixel(x, y, c) & 0xff).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val filtered = new java.io.ByteArrayOutputStream(h * (stride + 1))
+    y = 0
+    while (y < h) {
+      val ft = y % 5
+      filtered.write(ft)
+      var i = 0
+      while (i < stride) {
+        val v = raw(y * stride + i) & 0xff
+        val left = if (i >= bpp) raw(y * stride + i - bpp) & 0xff else 0
+        val up = if (y > 0) raw((y - 1) * stride + i) & 0xff else 0
+        val ul = if (y > 0 && i >= bpp) raw((y - 1) * stride + i - bpp) & 0xff else 0
+        val f = ft match {
+          case 0 => v
+          case 1 => v - left
+          case 2 => v - up
+          case 3 => v - (left + up) / 2
+          case _ => v - paeth(left, up, ul)
+        }
+        filtered.write(f & 0xff)
+        i += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater // default = zlib wrapper
+    defl.setInput(filtered.toByteArray)
+    defl.finish()
+    val z = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) z.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val out = new java.io.ByteArrayOutputStream()
+    val head = pngHeaderBytes(w, h, 8, 2)
+    out.write(head, 0, head.length)
+    pngChunk(out, "IDAT", z.toByteArray)
+    pngChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** REAL pixel decode of an 8-bit RGB PNG (the modality-completing
+    * counterpart of [[parsePngHeader]]'s metadata walk): IHDR parsed,
+    * IDAT chunks concatenated in stream order, zlib-inflated
+    * (java.util.zip.Inflater — no new deps), and every scanline
+    * unfiltered per its leading filter-type byte. Returns (w, h, raw
+    * interleaved RGB bytes); None for any other color type / bit
+    * depth, truncated streams, or malformed chunk walks. */
+  def decodePngPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    try {
+      parsePngHeader(b) match {
+        case Some(("png", w, h, 8, 3)) =>
+          // collect IDAT payloads with a bounds-checked chunk walk
+          val idat = new java.io.ByteArrayOutputStream()
+          var i = 8 + 4 + 4 + 13 + 4 // after IHDR
+          var done = false
+          while (!done) {
+            if (i + 8 > b.length) return None
+            val len = be32(b, i)
+            if (len < 0 || i + 12 + len > b.length) return None
+            val typ = new String(b, i + 4, 4, "US-ASCII")
+            if (typ == "IDAT") idat.write(b, i + 8, len)
+            if (typ == "IEND") done = true
+            i += 12 + len
+          }
+          val infl = new java.util.zip.Inflater
+          infl.setInput(idat.toByteArray)
+          val stride = w * 3
+          val expect = h * (stride + 1)
+          val flt = new Array[Byte](expect)
+          var off = 0
+          while (off < expect && !infl.finished()) {
+            val n = infl.inflate(flt, off, expect - off)
+            if (n == 0 && infl.needsInput()) return None // truncated
+            off += n
+          }
+          infl.end()
+          if (off != expect) return None
+          val px = new Array[Byte](h * stride)
+          var y = 0
+          while (y < h) {
+            val ft = flt(y * (stride + 1)) & 0xff
+            if (ft > 4) return None
+            var i2 = 0
+            while (i2 < stride) {
+              val f = flt(y * (stride + 1) + 1 + i2) & 0xff
+              val left = if (i2 >= 3) px(y * stride + i2 - 3) & 0xff else 0
+              val up = if (y > 0) px((y - 1) * stride + i2) & 0xff else 0
+              val ul = if (y > 0 && i2 >= 3) px((y - 1) * stride + i2 - 3) & 0xff else 0
+              val v = ft match {
+                case 0 => f
+                case 1 => f + left
+                case 2 => f + up
+                case 3 => f + (left + up) / 2
+                case _ => f + paeth(left, up, ul)
+              }
+              px(y * stride + i2) = (v & 0xff).toByte
+              i2 += 1
+            }
+            y += 1
+          }
+          Some((w, h, px))
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+
+  /** Batched pixel-stats decode over a binary media frame — the REAL
+    * replacement for the image half of [[decodeFeaturesStub]]: channel
+    * sums / sums-of-squares / milli means from actually inflating and
+    * unfiltering the payload. Same decodeStage plan shape as the
+    * header walks. */
+  def decodePngPixelStats(media: DataFrame, partitions: Int = 0): Dataset[PngPixelStats] =
+    decodeStage(media, partitions,
+        org.apache.spark.sql.Encoders.product[PngPixelStats]) { (id, payload) =>
+      decodePngPixels(payload) match {
+        case Some((w, h, px)) =>
+          val sums = new Array[Long](3)
+          val ssqs = new Array[Long](3)
+          var i = 0
+          while (i < px.length) {
+            val v = (px(i) & 0xff).toLong
+            sums(i % 3) += v
+            ssqs(i % 3) += v * v
+            i += 1
+          }
+          val n = w.toLong * h
+          PngPixelStats(id, "png", w, h, sums(0), sums(1), sums(2),
+            ssqs(0), ssqs(1), ssqs(2),
+            1000L * sums(0) / n, 1000L * sums(1) / n, 1000L * sums(2) / n)
+        case None =>
+          PngPixelStats(id, "unknown", 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+      }
+    }
+
+  /** Deterministic FULL-PIXEL PNG corpus from the documents table:
+    * small id-derived dimensions, pixel(x, y, c) = (31·id + 7x + 13y +
+    * 5c) mod 256, really encoded (all five filters + zlib). The q77
+    * generate-parse-replay pattern one level deeper: the oracle
+    * replays the closed-form channel sums, so the engine only matches
+    * if inflate + unfilter reproduce every pixel. */
+  def pngPixelCorpusFromDocuments(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].map { id =>
+      val w = (java.lang.Math.floorMod(id, 4L) * 4 + 4).toInt // 4..16
+      val h = (java.lang.Math.floorMod(id, 3L) * 4 + 8).toInt // 8..16: all filters hit
+      (id, pngBytes(w, h,
+        (x, y, c) => ((31L * id + 7L * x + 13L * y + 5L * c) % 256L).toInt))
+    }.toDF("media_id", "payload")
+  }
+
   /** Minimal VALID JPEG prefix: SOI + APP0/JFIF + SOF0 for the given
     * dimensions — 39 bytes. The APP0 segment before the SOF exercises
     * the parser's segment walk. */

@@ -187,11 +187,28 @@ object Curation {
     * snapshots); every curation stage runs on |delta| rows; the near-dup
     * check joins delta signatures against the carried corpus via the
     * same LSH band equi-join (at 100 TB the carried side's signatures
-    * persist bucketed by band — recomputed here at gate scale). */
+    * persist bucketed by band — recomputed here at gate scale, or read
+    * from a persisted [[graft.dedup.LshDiskIndex]] when `lshIndexDir`
+    * is set).
+    *
+    * `lshIndexDir`: a persisted LSH index whose LIVE set equals
+    * `carried` (prevCurated minus this increment's dead docs — the
+    * CurationRunner retires them before calling). When set, the
+    * near-dup stage probes the index instead of re-signing the carried
+    * corpus: the standing signatures are read pruned to the delta's
+    * own (band, bucket) footprint, so the daily near-dup cost scales
+    * with |delta|, not |corpus| (probe ≡ focused pass, spec-pinned).
+    *
+    * `precomputedDiff`: the Snapshot.diff(prevRaw, newRaw) frame when
+    * the caller already computed (and persisted) it for its own
+    * bookkeeping — avoids a second full diff of the snapshots. */
   def curateIncrement(prevRaw: DataFrame, prevCurated: DataFrame,
       newRaw: DataFrame, evalDocs: Option[DataFrame],
-      cfg: CurationConfig = CurationConfig()): DataFrame = {
-    val d = graft.ops.Snapshot.diff(prevRaw, newRaw, "doc_id", "text")
+      cfg: CurationConfig = CurationConfig(),
+      lshIndexDir: Option[String] = None,
+      precomputedDiff: Option[DataFrame] = None): DataFrame = {
+    val d = precomputedDiff.getOrElse(
+      graft.ops.Snapshot.diff(prevRaw, newRaw, "doc_id", "text"))
     val dead = d.where(col("status").isin("removed", "changed")).select(col("doc_id"))
     val deltaIds = d.where(col("status").isin("added", "changed")).select(col("doc_id"))
     val carried = prevCurated.join(dead, Seq("doc_id"), "left_anti")
@@ -216,11 +233,19 @@ object Curation {
     // generated and LSH cost scales with |delta|. A component containing
     // ANY carried doc drops all its delta members (carried always wins);
     // pure-delta components keep their canonical (min-id) member.
+    // With an LSH index the SAME pair set comes from the persisted
+    // probe instead — the carried corpus is then never re-signed, only
+    // its pruned (band, bucket) partitions are read.
     val tagged = carried.select(col("doc_id"), col("text"), lit(0L).as("is_delta"))
       .unionByName(deltaExact.select(col("doc_id"), col("text"), lit(1L).as("is_delta")))
       .withColumn("is_delta_b", col("is_delta") === 1L)
-    val pairs = Dedup.minhashNearDupPairsFocused(tagged, "doc_id", "text",
-      "is_delta_b", cfg.nearDupThreshold)
+    val pairs = lshIndexDir match {
+      case Some(dir) => graft.dedup.LshDiskIndex.probe(
+        newRaw.sparkSession, dir, deltaExact, "doc_id", "text",
+        cfg.nearDupThreshold)
+      case None => Dedup.minhashNearDupPairsFocused(tagged, "doc_id", "text",
+        "is_delta_b", cfg.nearDupThreshold)
+    }
     val withTag = Dedup.connectedComponents(pairs, "id_a", "id_b")
       .join(tagged.select(col("doc_id").as("id"), col("is_delta")), Seq("id"))
     val compMin = withTag.groupBy(col("component"))

@@ -46,9 +46,24 @@ object CurationRunner {
     * loader-ready shards + manifest under shards/date=D. */
   final case class ShardConfig(binTokens: Long = 2048L, numBuckets: Int = 64)
 
+  /** Standing-index maintenance for the daily loop (on by default —
+    * the indexes exist FOR this loop). Each run keeps the persisted
+    * LSH and BM25 indexes' live set equal to the day's curated corpus:
+    * retire this increment's dead docs, probe near-dups through the
+    * LSH index (so the carried corpus is never re-signed — the probe
+    * reads only the delta's own (band, bucket) footprint), and append
+    * the day's curated survivors. An IVF index registered under
+    * `index/ivf` additionally refreshes its centroids (warm-start
+    * Lloyd over the index's own vectors, date-versioned landing +
+    * pointer swap) whenever the day's token KL drift exceeds
+    * `ivfRefreshKlMilli`. */
+  final case class IndexConfig(
+      lshBuckets: Int = 16, bm25Buckets: Int = 64,
+      ivfRefreshKlMilli: Long = 100L, ivfRefreshIters: Int = 2)
+
   final case class DailyResult(
       date: String, snapshotDocs: Long, curatedDocs: Long, incremental: Boolean,
-      shardCount: Long = -1L)
+      shardCount: Long = -1L, klMilli: Long = -1L, ivfRefreshed: Boolean = false)
 
   private def snapshotPath(root: String, date: String) = s"$root/snapshot/date=$date"
   private def curatedPath(root: String, date: String) = s"$root/curated/date=$date"
@@ -69,7 +84,8 @@ object CurationRunner {
   def runDaily(spark: SparkSession, lakeRoot: String, date: String,
       evalDocs: Option[DataFrame] = None,
       cfg: Curation.CurationConfig = Curation.CurationConfig(),
-      shards: Option[ShardConfig] = None): DailyResult = {
+      shards: Option[ShardConfig] = None,
+      indexes: Option[IndexConfig] = Some(IndexConfig())): DailyResult = {
     require(date.matches("""\d{4}-\d{2}-\d{2}"""),
       s"runDaily: date must be ISO yyyy-MM-dd (lexical ordering drives " +
         s"snapshot versioning), got '$date'")
@@ -108,25 +124,65 @@ object CurationRunner {
     // curation never recomputes the drain+window chain per stage.
     val snapshot = Lake.readParquet(spark, snapshotPath(lakeRoot, date))
 
-    // 3. curate: incremental against the previous run when one exists
+    // 3. curate: incremental against the previous run when one exists.
+    // With index maintenance on (the default), the near-dup stage runs
+    // through the persisted LSH index: retire this increment's dead
+    // docs first (so the index's live set == carried), probe, and —
+    // after publish — append the day's survivors. The `_applied/date=D`
+    // marker makes a re-run of an already-maintained date a no-op on
+    // the indexes (retire's negative stats and append's new files must
+    // not double-apply; a run that CRASHED mid-maintenance leaves no
+    // marker — rebuild the indexes via write() before re-running).
     val prev = prevRunDate(spark, lakeRoot, date)
-    val curated = meta.time("curate") {
-      val out = prev match {
+    val seq = date.replace("-", "").toLong
+    val lshDir = s"$lakeRoot/index/lsh"
+    val bm25Dir = s"$lakeRoot/index/bm25"
+    val appliedMark = s"$lakeRoot/index/_applied/date=$date"
+    val maintain = indexes.filter(_ => !Lake.exists(spark, appliedMark))
+    val (curated, deltaIdsOpt) = meta.time("curate") {
+      val (out, deltaIds) = prev match {
         case Some(p) =>
-          Curation.curateIncrement(
-            Lake.readParquet(spark, snapshotPath(lakeRoot, p)),
-            Lake.readParquet(spark, curatedPath(lakeRoot, p)),
-            snapshot, evalDocs, cfg)
+          val prevSnap = Lake.readParquet(spark, snapshotPath(lakeRoot, p))
+          val prevCur = Lake.readParquet(spark, curatedPath(lakeRoot, p))
+          // ONE diff serves the index bookkeeping and curateIncrement
+          val d = graft.ops.CacheScope.persist(
+            graft.ops.Snapshot.diff(prevSnap, snapshot, "doc_id", "text"))
+          val deadIds = d.where(col("status").isin("removed", "changed"))
+            .select(col("doc_id"))
+          maintain.foreach { ix =>
+            // backfill: a lake predating index maintenance builds the
+            // standing indexes ONCE from the previous curated corpus
+            val prevSeq = p.replace("-", "").toLong
+            if (!Lake.exists(spark, s"$lshDir/meta"))
+              graft.dedup.LshDiskIndex.write(prevCur, "doc_id", "text",
+                lshDir, numBuckets = ix.lshBuckets, seq = prevSeq)
+            if (!Lake.exists(spark, s"$bm25Dir/stats"))
+              graft.text.Bm25DiskIndex.write(prevCur, "doc_id", "text",
+                bm25Dir, numBuckets = ix.bm25Buckets, seq = prevSeq)
+            // retire ONLY dead docs the index actually holds (the
+            // BM25 stats decrement must subtract indexed text)
+            val retired = graft.ops.CacheScope.persist(
+              prevCur.join(deadIds, Seq("doc_id"), "left_semi"))
+            graft.dedup.LshDiskIndex.retire(spark, lshDir,
+              retired.select(col("doc_id")), "doc_id", seq)
+            graft.text.Bm25DiskIndex.retire(retired, "doc_id", "text",
+              bm25Dir, seq)
+          }
+          (Curation.curateIncrement(prevSnap, prevCur, snapshot, evalDocs,
+            cfg, lshIndexDir = maintain.map(_ => lshDir),
+            precomputedDiff = Some(d)),
+            Some(d.where(col("status").isin("added", "changed"))
+              .select(col("doc_id"))))
         case None =>
-          Curation.curate(snapshot, evalDocs, cfg, countStages = false)._1
+          (Curation.curate(snapshot, evalDocs, cfg, countStages = false)._1,
+            None)
       }
       // force the curation compute HERE (persist + count): without an
       // action this stage would time only lazy plan construction and
       // misattribute the diff/LSH/decontamination cost to "publish".
       // The persist is released by releaseAll at the end of the run.
       val persisted = graft.ops.CacheScope.persist(out)
-      val n = persisted.count()
-      (persisted, n)
+      ((persisted, deltaIds), persisted.count())
     }
 
     // 4. publish + metadata
@@ -135,7 +191,66 @@ object CurationRunner {
       val n = Lake.readParquet(spark, curatedPath(lakeRoot, date)).count()
       (n, n)
     }
-    // 5. optional training-shard export of the day's corpus: the full
+    // 5. index append: fold the day's curated survivors into the
+    // standing indexes, restoring the invariant live set == curated(D).
+    // Reads the PUBLISHED version (the lazy pre-publish plan would
+    // re-run curation); the delta-semi keeps the append |delta|-sized.
+    maintain.foreach { ix =>
+      meta.time("index_append") {
+        val cur = Lake.readParquet(spark, curatedPath(lakeRoot, date))
+        val newDocs = deltaIdsOpt match {
+          case Some(ids) => cur.join(ids, Seq("doc_id"), "left_semi")
+          case None => cur
+        }
+        prev match {
+          case Some(_) =>
+            graft.dedup.LshDiskIndex.append(newDocs, "doc_id", "text",
+              lshDir, seq = seq)
+            graft.text.Bm25DiskIndex.append(newDocs, "doc_id", "text",
+              bm25Dir, seq = seq)
+          case None =>
+            graft.dedup.LshDiskIndex.write(newDocs, "doc_id", "text",
+              lshDir, numBuckets = ix.lshBuckets, seq = seq)
+            graft.text.Bm25DiskIndex.write(newDocs, "doc_id", "text",
+              bm25Dir, numBuckets = ix.bm25Buckets, seq = seq)
+        }
+        val n = newDocs.count()
+        Lake.writeParquet(
+          spark.range(1).select(lit(date).as("date"), lit(n).as("n_docs")),
+          appliedMark)
+        ((), n)
+      }
+    }
+    // 6. IVF drift check: when a vector index family is registered
+    // under index/ivf, audit the day's token drift (delta vs previous
+    // snapshot — the q84 KL shape) and refresh the current version's
+    // centroids past the threshold. The refresh reads only the index's
+    // own persisted vectors and lands date-versioned; the pointer
+    // swaps after, so the old version stays probe-able throughout.
+    val ivfRoot = s"$lakeRoot/index/ivf"
+    val (klMilli, ivfRefreshed) = (indexes, prev,
+        graft.ann.IvfIndex.currentVersion(spark, ivfRoot)) match {
+      case (Some(ix), Some(p), Some(ver)) =>
+        meta.time("ivf_refresh") {
+          val prevSnap = Lake.readParquet(spark, snapshotPath(lakeRoot, p))
+          val deltaDocs = deltaIdsOpt
+            .fold(snapshot)(ids => snapshot.join(ids, Seq("doc_id"), "left_semi"))
+          val klRow = graft.text.CorpusStats
+            .tokenKlDivergence(deltaDocs, prevSnap, "text")
+            .select(col("kl_milli")).collect()(0)
+          val kl = if (klRow.isNullAt(0)) 0L else klRow.getLong(0)
+          val newVer = s"v$date"
+          val doRefresh = kl > ix.ivfRefreshKlMilli && ver != newVer
+          if (doRefresh) {
+            graft.ann.IvfIndex.refresh(spark, s"$ivfRoot/$ver",
+              s"$ivfRoot/$newVer", ix.ivfRefreshIters)
+            graft.ann.IvfIndex.setCurrentVersion(spark, ivfRoot, newVer)
+          }
+          ((kl, doRefresh), kl)
+        }
+      case _ => (-1L, false)
+    }
+    // 7. optional training-shard export of the day's corpus: the full
     // curate -> pack -> shard+manifest path in one daily entry point
     val nShards = shards.fold(-1L) { sc =>
       meta.time("shards") {
@@ -151,6 +266,6 @@ object CurationRunner {
     graft.ops.CacheScope.releaseAll(spark) // curation persists its core frames
     RunMetadata.write(spark, lakeRoot, date, meta.snapshot)
     DailyResult(date, nSnapshot, nCurated, incremental = prev.isDefined,
-      shardCount = nShards)
+      shardCount = nShards, klMilli = klMilli, ivfRefreshed = ivfRefreshed)
   }
 }

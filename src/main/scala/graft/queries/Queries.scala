@@ -1448,23 +1448,27 @@ object Queries {
 
   /** Hybrid retrieval with the IVF semantic arm through the gate: the
     * q91 fusion (BM25 top-20 + semantic top-20, integer RRF points,
-    * final top-10) with q38's IVF probe (stride-16 centroids, nProbe=4)
-    * swapped in for the brute-cosine arm — the promised at-scale form,
-    * where the semantic candidate join touches only probed cells
-    * instead of the whole corpus. Proves the swap lands behind the
-    * same (query_id, doc_id, rank) contract without touching rrfFuse;
-    * RetrievalSpec additionally pins its recall against the q91 brute
-    * baseline. */
+    * final top-10) with the PERSISTED IVF index serving the semantic
+    * arm — the full at-scale form: the index builds once
+    * (IvfIndex.write, fused one-pass assignment, cells landed
+    * partitioned by cell) and the probe reads ONLY the probed cell
+    * partitions (nProbe=4 of ~n/16 cells — partition pruning at the
+    * file listing, IvfIndexSpec-asserted). Probe==fresh parity keeps
+    * the oracle identical to the in-memory chain; RetrievalSpec pins
+    * recall against the q91 brute baseline. In-gate each run builds in
+    * a fresh temp dir (self-contained); in production the build
+    * amortizes across probe batches — the q117/q118 lifecycle. */
   def q111HybridIvf(spark: SparkSession, dir: String): DataFrame = {
     val docs = tbl(spark, dir, "documents")
     val emb = tbl(spark, dir, "embeddings")
     val lex = graft.text.Retrieval.bm25TopK(docs, "doc_id", "text",
         retrievalProbes(spark, dir), "query_id", "qtext", k = 20)
       .select(col("query_id"), col("doc_id"), col("rank"))
-    val centroids = strideCentroids(emb)
-    val cells = graft.ann.Ann.ivfAssign(emb, "vec_id", "embedding", centroids)
-    val sem = graft.ann.Ann.ivfProbeTopK(
-        emb.where(pmod(col("vec_id"), lit(25)) === 0), cells, centroids,
+    val idx = java.nio.file.Files.createTempDirectory("graft-q111").toString
+    graft.ann.IvfIndex.write(emb, "vec_id", "embedding",
+      strideCentroids(emb), idx)
+    val sem = graft.ann.IvfIndex.probeTopK(spark, idx,
+        emb.where(pmod(col("vec_id"), lit(25)) === 0),
         "vec_id", "embedding", k = 20, nProbe = 4)
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
     graft.text.Retrieval.rrfFuse(lex, sem, k = 10)
@@ -1530,6 +1534,72 @@ object Queries {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("nb_milli"))
     graft.ops.ScaleOps.selectTokenBudgetBy(scored, "doc_id", "nb_milli",
       "n_tokens", "source", budgets)
+  }
+
+  /** Persisted-BM25-index retrieval through the gate: the full disk
+    * lifecycle INSIDE the query — write half the corpus as the standing
+    * index, append the other half as a daily delta, then retire and
+    * re-append one slice at a later seq (a changed-docs day whose net
+    * live set is unchanged), and serve the q90 probes from the
+    * persisted postings with bucket-pruned reads. Probe==fresh parity
+    * (Bm25DiskIndexSpec) means the result IS the q90 ranking, so the
+    * q90 oracle replays it unchanged — a broken append, tombstone
+    * filter, or negative-stats increment would hash-mismatch here.
+    * Each invocation builds in a fresh temp dir (runs are
+    * self-contained; at production scale the dir is a lake path and
+    * the build amortizes across probe batches — the whole point). */
+  def q117Bm25IndexProbe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val idx = java.nio.file.Files.createTempDirectory("graft-q117").toString
+    graft.text.Bm25DiskIndex.write(
+      docs.where(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text",
+      idx, numBuckets = 64, seq = 1L)
+    graft.text.Bm25DiskIndex.append(
+      docs.where(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text",
+      idx, seq = 2L)
+    val slice = docs.where(pmod(col("doc_id"), lit(10)) === 3)
+    graft.text.Bm25DiskIndex.retire(slice, "doc_id", "text", idx, seq = 3L)
+    graft.text.Bm25DiskIndex.append(slice, "doc_id", "text", idx, seq = 3L)
+    graft.text.Bm25DiskIndex.probeTopK(spark, idx,
+      retrievalProbes(spark, dir), "query_id", "qtext", k = 10)
+  }
+
+  /** Persisted-LSH-index near-dup probe through the gate: write 2/5 of
+    * the corpus, append another 2/5 (the standing index), then probe
+    * the remaining fifth as the daily delta — near-dups of the delta
+    * against standing ∪ delta, exactly the q22 pair set restricted to
+    * pairs touching the delta (the oracle replays q22 and filters).
+    * Probe==focused parity (LshDiskIndexSpec) puts the banded disk
+    * layout, the (band, bucket) partition pruning, and the append path
+    * behind the driver's hash gate. */
+  def q118LshIndexProbe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val idx = java.nio.file.Files.createTempDirectory("graft-q118").toString
+    val standing = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
+    // 8 buckets × 16 bands = 128 partition dirs — gate-sized (the write
+    // cost is dir-count-bound); a 100 TB corpus uses O(thousands) so
+    // each (band, bucket) partition stays executor-sized
+    graft.dedup.LshDiskIndex.write(
+      standing.where(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text",
+      idx, numBuckets = 8, seq = 1L)
+    graft.dedup.LshDiskIndex.append(
+      standing.where(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text",
+      idx, seq = 2L)
+    graft.dedup.LshDiskIndex.probe(spark, idx,
+      docs.where(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text", 0.7)
+  }
+
+  /** REAL PNG pixel decode through the gate — the q77 generate-parse-
+    * replay pattern one level deeper: payloads are FULLY ENCODED PNGs
+    * (id-derived pixels, all five scanline filters, zlib IDAT), the
+    * engine inflates + unfilters them back to raw RGB, and the oracle
+    * replays the closed-form per-channel sums/squares — a single
+    * mis-predicted byte anywhere (filter math, Paeth ordering, inflate
+    * framing) hash-fails every downstream aggregate. */
+  def q119PngPixels(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.pngPixelCorpusFromDocuments(
+      tbl(spark, dir, "documents"))
+    graft.multimodal.Multimodal.decodePngPixelStats(media).toDF()
   }
 
   /** BPE fertility audit through the gate: per source, how many
@@ -2633,7 +2703,7 @@ object Queries {
        |FROM base b LEFT JOIN sums USING (doc_id), pr""".stripMargin
 
   /** q116 oracle: q98's temperature-weight chain → per-source budgets
-    * of a 200k-token total, the shared NB scoring chain → per-doc
+    * of a 20k-token total, the shared NB scoring chain → per-doc
     * scores, then the per-source budget prefix as one window cumsum
     * (the oracle's single window IS the semantics the bucketed
     * engine-side cumsum reproduces). */
@@ -3659,7 +3729,10 @@ object Queries {
     "q113_bpe_encode" -> (q113BpeEncode _),
     "q114_bpe_fertility" -> (q114BpeFertility _),
     "q115_nb_calibration" -> (q115NbCalibration _),
-    "q116_quality_mix" -> (q116QualityMix _))
+    "q116_quality_mix" -> (q116QualityMix _),
+    "q117_bm25_index_probe" -> (q117Bm25IndexProbe _),
+    "q118_lsh_index_probe" -> (q118LshIndexProbe _),
+    "q119_png_pixels" -> (q119PngPixels _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -3890,6 +3963,44 @@ object Queries {
     "q114_bpe_fertility" -> q114Oracle,
     "q115_nb_calibration" -> q115Oracle,
     "q116_quality_mix" -> q116Oracle,
+    // probe==fresh parity: the disk-index lifecycle queries replay the
+    // corresponding in-memory oracles — q117 is exactly the q90 chain,
+    // q118 is the q22 pair set cut to pairs touching the probed fifth
+    "q117_bm25_index_probe" -> q90Oracle,
+    "q118_lsh_index_probe" ->
+      s"""SELECT id_a, id_b, jaccard FROM (
+         |$q22Oracle
+         |) t WHERE id_a % 5 = 0 OR id_b % 5 = 0""".stripMargin,
+    // closed-form replay of the id-derived pixel generator: the engine
+    // only matches after a correct inflate + unfilter of every byte
+    "q119_png_pixels" ->
+      """WITH d AS (
+        |  SELECT doc_id, ((doc_id % 4) * 4 + 4)::INTEGER AS w,
+        |         ((doc_id % 3) * 4 + 8)::INTEGER AS h
+        |  FROM documents),
+        |g AS (SELECT unnest(range(0, 16)) AS i),
+        |px AS (
+        |  SELECT d.doc_id, d.w, d.h, c.c AS ch,
+        |    ((31 * d.doc_id + 7 * gx.i + 13 * gy.i + 5 * c.c) % 256)::BIGINT AS v
+        |  FROM d
+        |  JOIN g gx ON gx.i < d.w
+        |  JOIN g gy ON gy.i < d.h
+        |  CROSS JOIN (SELECT unnest(range(0, 3)) AS c) c),
+        |s AS (
+        |  SELECT doc_id, w, h,
+        |    sum(CASE WHEN ch = 0 THEN v ELSE 0 END)::BIGINT AS sum_r,
+        |    sum(CASE WHEN ch = 1 THEN v ELSE 0 END)::BIGINT AS sum_g,
+        |    sum(CASE WHEN ch = 2 THEN v ELSE 0 END)::BIGINT AS sum_b,
+        |    sum(CASE WHEN ch = 0 THEN v * v ELSE 0 END)::BIGINT AS ssq_r,
+        |    sum(CASE WHEN ch = 1 THEN v * v ELSE 0 END)::BIGINT AS ssq_g,
+        |    sum(CASE WHEN ch = 2 THEN v * v ELSE 0 END)::BIGINT AS ssq_b
+        |  FROM px GROUP BY doc_id, w, h)
+        |SELECT doc_id AS media_id, 'png' AS format, w AS width, h AS height,
+        |  sum_r, sum_g, sum_b, ssq_r, ssq_g, ssq_b,
+        |  ((1000 * sum_r) // (w * h))::BIGINT AS mean_r_milli,
+        |  ((1000 * sum_g) // (w * h))::BIGINT AS mean_g_milli,
+        |  ((1000 * sum_b) // (w * h))::BIGINT AS mean_b_milli
+        |FROM s""".stripMargin,
     "q93_exact_sample" ->
       s"""SELECT doc_id, source FROM (
         |  SELECT doc_id, source,

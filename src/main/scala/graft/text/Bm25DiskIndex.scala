@@ -43,10 +43,15 @@ object Bm25DiskIndex {
     * partition counts sane at sf-test scale; a 100 TB corpus would use
     * O(thousands) so each bucket stays executor-sized. */
   def write(docs: DataFrame, idCol: String, textCol: String, dir: String,
-      numBuckets: Int = 64): Unit = {
+      numBuckets: Int = 64, seq: Long = 0L): Unit = {
     require(numBuckets >= 1, s"numBuckets must be >= 1: $numBuckets")
     val (postings, stats) = Retrieval.bm25Index(docs, idCol, textCol)
+    // cluster by target bucket dir before the partitionBy write — every
+    // task writing to every bucket dir is tasks × buckets tiny files
+    // (the LshDiskIndex small-files discipline)
     postings.withColumn("bucket", bucketOf(col("tok"), numBuckets))
+      .withColumn("seq", lit(seq))
+      .repartition(col("bucket"))
       .write.mode(SaveMode.Overwrite)
       .option("compression", "snappy")
       .partitionBy("bucket")
@@ -55,18 +60,25 @@ object Bm25DiskIndex {
       .write.mode(SaveMode.Overwrite)
       .option("compression", "snappy")
       .parquet(s"$dir/stats")
+    // a fresh write IS compaction — earlier tombstones refer to rows
+    // that no longer exist and must not kill the new increment's rows
+    graft.io.Lake.delete(docs.sparkSession, s"$dir/tombstones")
   }
 
   /** Append a disjoint delta (a daily ingest) — new postings files in
     * the existing bucket layout plus one stats increment row; the
     * standing index is never read or rewritten. Equivalent to
     * [[Retrieval.mergeBm25Index]] of the standing and delta indexes
-    * (spec-pinned). */
+    * (spec-pinned). `seq` stamps the increment for tombstone ordering
+    * (pass a value >= every earlier increment's — the CurationRunner
+    * uses the run date). */
   def append(docs: DataFrame, idCol: String, textCol: String,
-      dir: String): Unit = {
+      dir: String, seq: Long = 0L): Unit = {
     val n = numBuckets(docs.sparkSession, dir)
     val (postings, stats) = Retrieval.bm25Index(docs, idCol, textCol)
     postings.withColumn("bucket", bucketOf(col("tok"), n))
+      .withColumn("seq", lit(seq))
+      .repartition(col("bucket"))
       .write.mode(SaveMode.Append)
       .option("compression", "snappy")
       .partitionBy("bucket")
@@ -76,6 +88,49 @@ object Bm25DiskIndex {
       .option("compression", "snappy")
       .parquet(s"$dir/stats")
   }
+
+  /** Retire documents (the Lucene delete-bitmap discipline — standing
+    * postings files are immutable, so "delete" is a marker plus a
+    * NEGATIVE stats increment, never a rewrite): appends (id, seq)
+    * tombstones killing every posting of those ids with ingest seq
+    * STRICTLY below `seq` (rows re-appended at `seq` or later stay
+    * live — a changed document retires and re-appends under the same
+    * seq), and one stats row subtracting the retired docs' counts so
+    * the aggregated (d_docs, t_toks) — and therefore idf and avgdl —
+    * equal a fresh index over the live set exactly (spec-pinned).
+    * `docs` must be the retired documents WITH their indexed text
+    * (the previous curated snapshot has it); df needs no correction
+    * because probes recount it from live postings. */
+  def retire(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, seq: Long): Unit = {
+    val spark = docs.sparkSession
+    val n = numBuckets(spark, dir)
+    docs.select(col(idCol).cast("long").as("id"), lit(seq).as("seq"))
+      .write.mode(SaveMode.Append).option("compression", "snappy")
+      .parquet(s"$dir/tombstones")
+    docs.select(size(TextFunctions.tokens(col(textCol))).cast("long").as("dl"))
+      .agg((-count(lit(1))).as("d_docs"),
+        (-coalesce(sum(col("dl")), lit(0L))).as("t_toks"))
+      .withColumn("n_buckets", lit(n.toLong))
+      .write.mode(SaveMode.Append).option("compression", "snappy")
+      .parquet(s"$dir/stats")
+  }
+
+  /** Max tombstone seq per retired id, or None when nothing was ever
+    * retired. Bounded by the retired doc count; AQE broadcasts the
+    * live-filter join when it is small. Compaction (a fresh [[write]]
+    * of the live set) folds tombstones away when they grow. */
+  private def deadSeqs(spark: SparkSession, dir: String): Option[DataFrame] =
+    if (!Lake.exists(spark, s"$dir/tombstones")) None
+    else Some(Lake.readParquet(spark, s"$dir/tombstones")
+      .groupBy(col("id")).agg(max(col("seq")).as("dead_seq")))
+
+  /** Drop postings killed by tombstones: live iff no tombstone for the
+    * id, or the row's ingest seq is >= the newest tombstone seq. */
+  private def liveOnly(rows: DataFrame, dead: Option[DataFrame]): DataFrame =
+    dead.fold(rows)(d => rows.join(d, Seq("id"), "left")
+      .where(col("dead_seq").isNull || col("seq") >= col("dead_seq"))
+      .drop("dead_seq"))
 
   /** Fail loudly on a wrong/unwritten dir — Lake's missing-path
     * contract would otherwise surface as an opaque unresolved-column
@@ -143,8 +198,12 @@ object Bm25DiskIndex {
       .select(explode(array_distinct(TextFunctions.tokens(col(qtextCol)))).as("tok"))
       .select(bucketOf(col("tok"), n).as("bucket")).distinct()
       .collect().map(_.getLong(0)).toSeq
+    // tombstone filter AFTER pruning: df and scores then come from live
+    // postings only, and the negative stats increments have already
+    // corrected d_docs/t_toks — probe == fresh index over the live set
     Retrieval.bm25TopKFromIndex(
-      prunedPostings(spark, dir, probeBuckets).drop("bucket"),
+      liveOnly(prunedPostings(spark, dir, probeBuckets).drop("bucket"),
+        deadSeqs(spark, dir)).drop("seq"),
       stats(spark, dir), queries, qidCol, qtextCol, k)
   }
 }

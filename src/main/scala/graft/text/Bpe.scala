@@ -106,23 +106,105 @@ object Bpe {
 
   /** [[learn]] from a (word, freq) counts frame — the incremental
     * path: feed [[mergeWordCounts]]-folded daily counts and only the
-    * newest delta ever tokenizes. */
-  def learnFromCounts(counts: DataFrame, numMerges: Int)
-      : (Seq[Merge], DataFrame) = {
+    * newest delta ever tokenizes.
+    *
+    * Learning is BATCHED and EXACT: each round takes the longest
+    * sorted prefix of the pair-count order that is provably the next
+    * run of sequential argmax picks, applies it in one rewrite pass,
+    * and releases the superseded segmentation frame — so a real 32k
+    * vocabulary costs ~numMerges/batch driver round-trips and holds at
+    * most two cached copies of the word-type frame, not numMerges of
+    * each (the r05 scale caveat). Exactness argument (BpeSpec pins
+    * batched ≡ one-at-a-time, including on adversarial tie corpora):
+    * walking pairs in (count DESC, l ASC, r ASC) order, accept p_i iff
+    *   (a) p_i shares no symbol with an earlier accepted pick — its
+    *       own count is then untouched by their merges, and any pair
+    *       ABOVE p_i in the order was accepted (else we stopped), so
+    *       no unmerged old pair can outrank it; pairs that share a
+    *       symbol with accepted picks only ever LOSE occurrences; and
+    *   (b) count(p_i) STRICTLY exceeds every old count of every
+    *       non-accepted pair adjacent to an accepted symbol — a pair
+    *       CREATED by an accepted merge (x,l·r from x,l; l·r,y from
+    *       r,y; l·r,l·r from r,l) inherits at most its parent's old
+    *       count, so (b) guarantees no created pair can reach, let
+    *       alone win, the tie-break against p_i.
+    * The first pair always satisfies both (empty accepted set), so
+    * every round advances and the worst case degrades to the
+    * sequential loop, never past it. */
+  def learnFromCounts(counts: DataFrame, numMerges: Int,
+      maxBatch: Int = 32): (Seq[Merge], DataFrame) = {
     require(numMerges >= 1, s"numMerges must be >= 1: $numMerges")
+    require(maxBatch >= 1, s"maxBatch must be >= 1: $maxBatch")
     var seg = graft.ops.CacheScope.persist(initialSegments(counts))
+    var prevSeg: DataFrame = null
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var exhausted = false
-    for (i <- 1 to numMerges if !exhausted) {
-      val top = pairCounts(seg)
-        .orderBy(col("c").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
-      if (top.isEmpty) exhausted = true
+    while (merges.size < numMerges && !exhausted) {
+      val want = math.min(maxBatch, numMerges - merges.size)
+      // ONE pair-count aggregation serves both bounded collects below
+      val pc = graft.ops.CacheScope.persist(pairCounts(seg))
+      // candidate prefix (K > want: stop-rule walks may reject some)
+      val topK = pc.orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(want * 2 + 8).collect()
+      // the previous round's frame fed this round's counts; its blocks
+      // are no longer needed once topK materialized the current seg
+      if (prevSeg != null) { prevSeg.unpersist(); prevSeg = null }
+      if (topK.isEmpty) exhausted = true
       else {
-        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += Merge(i, l, r, c)
-        seg = graft.ops.CacheScope.persist(
-          seg.withColumn("seg", applyMerge(col("seg"), l, r)))
+        // per-symbol top-2 pair counts (with the top pair's identity),
+        // restricted to candidate symbols — answers "best count among
+        // pairs touching s, excluding a given pair" for rule (b)
+        val candSyms = topK.flatMap(r => Seq(r.getString(0), r.getString(1))).distinct.toSeq
+        val perSym = pc
+          .select(explode(array(col("l"), col("r"))).as("s"),
+            col("l"), col("r"), col("c"))
+          .where(col("s").isin(candSyms: _*))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
+              .orderBy(col("c").desc, col("l").asc, col("r").asc)))
+          .where(col("rn") <= 3) // (l,l) pairs occupy two slots of one pair
+          .collect()
+          .groupBy(_.getString(0))
+          .map { case (s, rows) =>
+            s -> rows.sortBy(_.getAs[Int]("rn"))
+              .map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+          }
+        def maxOther(s: String, notL: String, notR: String): Long =
+          perSym.getOrElse(s, Array.empty[(String, String, Long)])
+            .collectFirst { case (l, r, c) if l != notL || r != notR => c }
+            .getOrElse(Long.MinValue)
+        val used = scala.collection.mutable.Set.empty[String]
+        var bound = Long.MinValue
+        val batch = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var stop = false
+        var i = 0
+        while (!stop && i < topK.length && batch.size < want) {
+          val (l, r, c) = (topK(i).getString(0), topK(i).getString(1), topK(i).getLong(2))
+          if (used(l) || used(r)) stop = true          // rule (a)
+          else if (batch.nonEmpty && c <= bound) stop = true // rule (b)
+          else {
+            batch += ((l, r, c))
+            used += l; used += r
+            bound = math.max(bound,
+              math.max(maxOther(l, l, r), maxOther(r, l, r)))
+            // a SELF-pair (l == l) collapses runs, creating pairs
+            // ((ll,ll), (ll,l)) whose parent is the pick itself — rule
+            // (b)'s parent bound can't see them, so the batch ends here
+            if (l == r) stop = true
+          }
+          i += 1
+        }
+        pc.unpersist()
+        batch.foreach { case (l, r, c) =>
+          merges += Merge(merges.size + 1, l, r, c)
+        }
+        // one rewrite pass for the whole batch: accepted pairs are
+        // symbol-disjoint, so chained replaces commute
+        val newSegCol = batch.foldLeft(col("seg")) { case (acc, (l, r, _)) =>
+          applyMerge(acc, l, r)
+        }
+        prevSeg = seg
+        seg = graft.ops.CacheScope.persist(seg.withColumn("seg", newSegCol))
       }
     }
     (merges.toSeq, seg)

@@ -13,6 +13,10 @@ object SparkTestSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .config("spark.ui.enabled", "false")
+      // task-side output commit, matching Bench/Verify: index specs
+      // write many-partition dirs; v1's sequential driver rename is the
+      // dominant cost
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -37,6 +37,53 @@ class AnnSpec extends SparkSpec {
     assert(bad.head().isNullAt(0))
   }
 
+  test("fused ivfAssign == relational reference, incl. null/mismatch/tie semantics") {
+    // real corpus, stride-16 centroids — every cell assignment must agree
+    val real = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = real.where(pmod($"vec_id", lit(16)) === 0)
+      .select($"vec_id".cast("long").as("cid"), $"embedding".as("cvec"))
+    val fused = Ann.ivfAssign(real, "vec_id", "embedding", cents)
+      .select($"id", $"cell").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ref = Ann.ivfAssignReference(real, "vec_id", "embedding", cents)
+      .select($"id", $"cell").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fused == ref, "fused kernel must assign every vector to the reference cell")
+
+    // adversarial: null vector, null element, length mismatch, exact tie
+    val cents2 = Seq((1L, vec(1, 0, 0, 0)), (2L, vec(0, 1, 0, 0)),
+      (3L, vec(1, 0, 0, 0))).toDF("cid", "cvec")
+    val weird = Seq(
+      (10L, vec(1, 0, 0, 0)),          // ties cids 1 and 3 -> smaller wins
+      (11L, vec(0, 1, 0, 0)),
+      (13L, vec(0.5, 0.5, 0, 0))       // ties 1/2/3 at 0.5 -> cid 1
+    ).toDF("id", "v")
+      .unionByName(Seq((12L, Array(1.0f, 2.0f))).toDF("id", "v")) // len mismatch -> all null
+      .unionByName(spark.sql(
+        "SELECT 14L AS id, CAST(NULL AS ARRAY<FLOAT>) AS v")) // null vec
+      .unionByName(spark.sql(
+        "SELECT 15L AS id, ARRAY(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT), " +
+          "CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT)) AS v")) // null element
+    val f2 = Ann.ivfAssign(weird, "id", "v", cents2)
+      .select($"id", $"cell").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val r2 = Ann.ivfAssignReference(weird, "id", "v", cents2)
+      .select($"id", $"cell").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(f2 == r2, s"adversarial parity: fused=$f2 ref=$r2")
+    assert(f2(10L) == 1L && f2(13L) == 1L, "ties must keep the smallest cid")
+    assert(f2(12L) == 1L && f2(14L) == 1L && f2(15L) == 1L,
+      "all-null dots fall back to the smallest cid (struct-ordering contract)")
+
+    // fused ivfProbes == relational window reference on both corpora
+    def probeSet(df: org.apache.spark.sql.DataFrame) = df
+      .select($"query_id", $"cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val qs = real.where($"vec_id" < 7)
+    assert(probeSet(Ann.ivfProbes(qs, cents, "vec_id", "embedding", 3)) ==
+      probeSet(Ann.ivfProbesReference(qs, cents, "vec_id", "embedding", 3)),
+      "fused probes must pick the reference probe cells")
+    assert(probeSet(Ann.ivfProbes(weird, cents2, "id", "v", 2)) ==
+      probeSet(Ann.ivfProbesReference(weird, cents2, "id", "v", 2)),
+      "fused probes must match the reference on null/mismatch/tie inputs")
+  }
+
   test("brute-force top-k ranks the nearest vector first") {
     val top = Ann.bruteForceTopK(emb.where($"vec_id" === 0), emb, "vec_id", "embedding", 2)
       .orderBy($"rank").collect()

@@ -73,6 +73,40 @@ class LshDiskIndexSpec extends SparkSpec {
     } finally { Lake.delete(spark, dir); Lake.delete(spark, dir2) }
   }
 
+  test("retire: tombstoned docs stop matching; re-append at the same seq revives the id") {
+    val dir = java.nio.file.Files.createTempDirectory("lshidx").toString
+    try {
+      val th = 0.7
+      // retire the planted-copy ORIGINALS (1, 11, 21) — the delta's
+      // planted near-copies must then only match what remains live
+      val retiredIds = Seq(1L, 11L, 21L)
+      val live = standing.where(!$"doc_id".isin(retiredIds: _*))
+      LshDiskIndex.write(standing, "doc_id", "text", dir, numBuckets = 64, seq = 1L)
+      LshDiskIndex.retire(spark, dir,
+        standing.where($"doc_id".isin(retiredIds: _*)).select($"doc_id"),
+        "doc_id", seq = 2L)
+      val got = asSet(LshDiskIndex.probe(spark, dir, delta, "doc_id", "text", th))
+      val expected = asSet(Dedup.minhashNearDupPairsFocused(
+        live.unionByName(delta)
+          .withColumn("is_new", $"doc_id" >= 100000L || pmod($"doc_id", lit(10)) === 0),
+        "doc_id", "text", "is_new", th))
+      assert(got == expected, "probe after retire must equal the focused pass over live docs")
+      assert(!got.exists { case (a, b, _) => retiredIds.contains(a) || retiredIds.contains(b) },
+        "no pair may touch a retired id")
+      // changed doc: retire + re-append id 2 with new text at one seq
+      val newText = standing.where($"doc_id" === 2L)
+        .select($"doc_id", concat($"text", lit(" altered")).as("text"))
+      LshDiskIndex.retire(spark, dir, Seq(2L).toDF("doc_id"), "doc_id", seq = 3L)
+      LshDiskIndex.append(newText, "doc_id", "text", dir, seq = 3L)
+      // a probe near-identical to the NEW text must match id 2 again
+      val probeNew = newText.select(($"doc_id" + 500000L).as("doc_id"),
+        concat($"text", lit(" tail")).as("text"))
+      val revived = asSet(LshDiskIndex.probe(spark, dir, probeNew, "doc_id", "text", th))
+      assert(revived.exists { case (a, _, _) => a == 2L },
+        "re-appended id must be probe-able under its new text")
+    } finally { Lake.delete(spark, dir) }
+  }
+
   test("guards: missing dir and mixed configs fail loudly") {
     val dir = java.nio.file.Files.createTempDirectory("lshidx").toString
     try {

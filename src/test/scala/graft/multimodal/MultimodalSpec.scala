@@ -230,6 +230,59 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("PNG pixel decode: encode/decode round-trip recovers every pixel under all filters") {
+    // deterministic pixel pattern; h=7 cycles filter types 0..4 + 2 repeats
+    val (w, h) = (5, 7)
+    def pix(x: Int, y: Int, c: Int): Int = (x * 17 + y * 29 + c * 7 + 3) % 256
+    val bytes = Multimodal.pngBytes(w, h, pix)
+    // the encoded stream parses as a PNG header too (shared IHDR path)
+    assert(Multimodal.parsePngHeader(bytes).contains(("png", w, h, 8, 3)))
+    val Some((dw, dh, px)) = Multimodal.decodePngPixels(bytes)
+    assert(dw == w && dh == h)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      assert((px(y * w * 3 + x * 3 + c) & 0xff) == pix(x, y, c),
+        s"pixel mismatch at ($x,$y,$c)")
+    // gradient + constant images exercise Sub/Up/Average/Paeth edge math
+    for ((name, f) <- Seq[(String, (Int, Int, Int) => Int)](
+        ("constant", (_, _, _) => 200),
+        ("xgrad", (x, _, _) => (x * 50) % 256),
+        ("ygrad", (_, y, _) => (y * 50) % 256),
+        ("checker", (x, y, c) => if ((x + y + c) % 2 == 0) 255 else 0))) {
+      val b2 = Multimodal.pngBytes(8, 6, f)
+      val Some((_, _, p2)) = Multimodal.decodePngPixels(b2)
+      for (y <- 0 until 6; x <- 0 until 8; c <- 0 until 3)
+        assert((p2(y * 24 + x * 3 + c) & 0xff) == f(x, y, c), s"$name ($x,$y,$c)")
+    }
+    // malformed payloads are rejected, never misdecoded
+    assert(Multimodal.decodePngPixels(null).isEmpty)
+    assert(Multimodal.decodePngPixels(bytes.take(40)).isEmpty) // truncated IDAT walk
+    assert(Multimodal.decodePngPixels(
+      Multimodal.pngHeaderBytes(4, 4, 8, 2)).isEmpty) // header only, no IDAT
+    // an IDAT whose declared length overruns the payload must be
+    // rejected by the bounds-checked chunk walk, never read past-end
+    val overrun = Multimodal.pngBytes(3, 3, (_, _, _) => 1)
+      .updated(33, 0x7f.toByte) // IDAT length field -> huge
+    assert(Multimodal.decodePngPixels(overrun).isEmpty)
+    // grayscale (colorType 0) is out of decode scope -> None, not garbage
+    assert(Multimodal.decodePngPixels(Multimodal.pngHeaderBytes(4, 4, 8, 0)).isEmpty)
+  }
+
+  test("PNG pixel stats over the generated corpus match the closed-form generator") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "documents")
+      .limit(50)
+    val stats = Multimodal.decodePngPixelStats(
+      Multimodal.pngPixelCorpusFromDocuments(docs)).toDF()
+    assert(stats.where(col("format") === "unknown").isEmpty,
+      "every generated payload must decode")
+    // spot-verify one image's sums against the generator directly
+    val r = stats.where(col("media_id") === 1L).collect()(0)
+    val (w, h) = (r.getInt(2), r.getInt(3))
+    val expect = (for (x <- 0 until w; y <- 0 until h) yield (31L * 1 + 7 * x + 13 * y) % 256).sum
+    assert(r.getLong(4) == expect, s"sum_r mismatch: ${r.getLong(4)} vs $expect")
+    assert(stats.count() == 50)
+  }
+
   test("decodeImageHeaders parses the generated corpus distributively") {
     import org.apache.spark.sql.functions._
     val docs = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "documents")

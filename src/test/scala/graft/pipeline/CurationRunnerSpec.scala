@@ -70,16 +70,129 @@ class CurationRunnerSpec extends SparkSpec {
       assert(Lake.readParquet(spark, s"$root/shards/date=2024-01-02/shards")
         .select($"doc_id").distinct().count() == c2.count())
 
-      // run metadata landed one row per stage for both runs
+      // run metadata landed one row per stage for both runs (index
+      // maintenance is on by default and records its append stage)
       val m1 = RunMetadata.read(spark, root, "2024-01-01")
       assert(m1.select($"stage").as[String].collect().toSet ==
-        Set("drain", "snapshot", "curate", "publish"))
+        Set("drain", "snapshot", "curate", "publish", "index_append"))
       val m2 = RunMetadata.read(spark, root, "2024-01-02")
       assert(m2.select($"stage").as[String].collect().toSet ==
-        Set("drain", "snapshot", "curate", "publish", "shards"))
+        Set("drain", "snapshot", "curate", "publish", "index_append", "shards"))
+
+      // the standing indexes' live set == the day-2 curated corpus:
+      // the LSH index probes near-dups of a planted copy, and the BM25
+      // index serves the same ranking a fresh index over c2 would
+      val planted = Seq((900L, doc(20) + " z")).toDF("doc_id", "text")
+      val hits = graft.dedup.LshDiskIndex.probe(
+        spark, s"$root/index/lsh", planted, "doc_id", "text", 0.7)
+      assert(hits.where($"id_a" === 20L && $"id_b" === 900L).count() == 1,
+        "day-2 index must hold the day-2 survivors")
+      // a retired (changed) doc's OLD text must no longer match: doc 3
+      // re-landed with doc(300); its day-1 doc(3) text is tombstoned
+      val probeOld = Seq((901L, doc(3) + " q")).toDF("doc_id", "text")
+      assert(graft.dedup.LshDiskIndex.probe(
+        spark, s"$root/index/lsh", probeOld, "doc_id", "text", 0.7)
+        .where($"id_a" === 3L).isEmpty,
+        "tombstoned day-1 text of a changed doc must not match")
+      val qs = Seq((0L, "quick brown fox document number 21")).toDF("query_id", "qtext")
+      val fromIdx = graft.text.Bm25DiskIndex.probeTopK(
+        spark, s"$root/index/bm25", qs, "query_id", "qtext", 5)
+      val fresh = graft.text.Retrieval.bm25TopK(
+        c2, "doc_id", "text", qs, "query_id", "qtext", 5)
+      assert(fromIdx.collect().map(_.toString).sorted.toSeq ==
+        fresh.collect().map(_.toString).sorted.toSeq,
+        "BM25 disk index must rank exactly like a fresh index over the curated corpus")
     } finally {
       Lake.delete(spark, root)
     }
+  }
+
+  test("index-backed increments == the in-memory path, and probes read only the index") {
+    val rootA = java.nio.file.Files.createTempDirectory("lakeA").toString
+    val rootB = java.nio.file.Files.createTempDirectory("lakeB").toString
+    try {
+      val cfg = Curation.CurationConfig(minQualityMilli = 200)
+      val days = Seq(
+        ("2024-02-01", (0 until 8).map(i => (i.toLong, "s0", doc(i))) :+
+          (8L, "s1", doc(100)) :+ (9L, "s1", doc(100) + " x")),
+        ("2024-02-02", Seq((20L, "s0", doc(20)), (3L, "s0", doc(300)),
+          (22L, "s1", doc(100) + " y"))),
+        ("2024-02-03", Seq((30L, "s0", doc(30)), (31L, "s1", doc(20) + " w"),
+          (3L, "s0", doc(301)))))
+      for ((date, rows) <- days) {
+        land(rootA, s"$date.json", rows); land(rootB, s"$date.json", rows)
+        CurationRunner.runDaily(spark, rootA, date, None, cfg) // indexes on
+        CurationRunner.runDaily(spark, rootB, date, None, cfg, indexes = None)
+        val a = graft.io.Lake.readParquet(spark, s"$rootA/curated/date=$date")
+          .collect().map(_.toString).sorted.toSeq
+        val b = graft.io.Lake.readParquet(spark, s"$rootB/curated/date=$date")
+          .collect().map(_.toString).sorted.toSeq
+        assert(a == b, s"index-backed corpus must equal in-memory corpus on $date")
+      }
+      // the probe's read footprint is the index alone: the standing
+      // corpus (snapshot/curated parquet) is never re-read for near-dups
+      val planted = Seq((950L, doc(30) + " t")).toDF("doc_id", "text")
+      val probe = graft.dedup.LshDiskIndex.probe(
+        spark, s"$rootA/index/lsh", planted, "doc_id", "text", 0.7)
+      val files = probe.inputFiles
+      assert(files.nonEmpty && files.forall(_.contains("/index/lsh/")),
+        s"probe must read only index files, got: ${files.filterNot(_.contains("/index/lsh/")).take(3).mkString(",")}")
+      // re-running an already-applied date must not double-apply index
+      // maintenance (negative stats / duplicate postings) — stats stay
+      // consistent with a fresh index over the final corpus
+      CurationRunner.runDaily(spark, rootA, "2024-02-03", None, cfg)
+      val c3 = graft.io.Lake.readParquet(spark, s"$rootA/curated/date=2024-02-03")
+      val qs = Seq((0L, "quick brown fox document number 30")).toDF("query_id", "qtext")
+      val fromIdx = graft.text.Bm25DiskIndex.probeTopK(
+        spark, s"$rootA/index/bm25", qs, "query_id", "qtext", 5)
+      val fresh = graft.text.Retrieval.bm25TopK(
+        c3, "doc_id", "text", qs, "query_id", "qtext", 5)
+      assert(fromIdx.collect().map(_.toString).sorted.toSeq ==
+        fresh.collect().map(_.toString).sorted.toSeq,
+        "re-run must leave the BM25 index equal to a fresh one over the corpus")
+    } finally { Lake.delete(spark, rootA); Lake.delete(spark, rootB) }
+  }
+
+  test("IVF drift trigger: a drifty day refreshes the registered index version") {
+    val root = java.nio.file.Files.createTempDirectory("lake").toString
+    try {
+      val cfg = Curation.CurationConfig(minQualityMilli = 200)
+      land(root, "day1.json", (0 until 8).map(i => (i.toLong, "s0", doc(i))))
+      CurationRunner.runDaily(spark, root, "2024-03-01", None, cfg)
+      // register an IVF index family in the lake (vectors from testdata)
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val cents = emb.where($"vec_id" % 16 === 0)
+        .select($"vec_id".cast("long").as("cid"), $"embedding".as("cvec"))
+      graft.ann.IvfIndex.write(emb, "vec_id", "embedding", cents,
+        s"$root/index/ivf/v0")
+      graft.ann.IvfIndex.setCurrentVersion(spark, s"$root/index/ivf", "v0")
+      // calm day: same vocabulary, below the KL threshold -> no refresh
+      land(root, "day2.json", Seq((20L, "s0", doc(20)), (21L, "s0", doc(21))))
+      val calm = CurationRunner.runDaily(spark, root, "2024-03-02", None, cfg,
+        indexes = Some(CurationRunner.IndexConfig(ivfRefreshKlMilli = 1500L)))
+      assert(calm.klMilli >= 0 && !calm.ivfRefreshed,
+        s"calm day must not refresh (kl=${calm.klMilli})")
+      assert(graft.ann.IvfIndex.currentVersion(spark, s"$root/index/ivf")
+        .contains("v0"))
+      // drifty day: an alien vocabulary -> KL spikes -> refresh + swap
+      land(root, "day3.json", (40 until 44).map(i => (i.toLong, "s9",
+        s"zq$i xv$i wk$i vj$i uh$i tg$i rf$i ed$i plasma quark boson lepton " +
+          s"hadron gluon neutrino meson baryon photon tachyon axion zq${i}b")))
+      val drift = CurationRunner.runDaily(spark, root, "2024-03-03", None, cfg,
+        indexes = Some(CurationRunner.IndexConfig(ivfRefreshKlMilli = 1500L)))
+      assert(drift.klMilli > 1500L && drift.ivfRefreshed,
+        s"drifty day must refresh (kl=${drift.klMilli})")
+      assert(graft.ann.IvfIndex.currentVersion(spark, s"$root/index/ivf")
+        .contains("v2024-03-03"))
+      // the refreshed version serves the full probe contract; the old
+      // version remains intact (never overwritten in place)
+      val probe = graft.ann.IvfIndex.probeTopK(spark,
+        s"$root/index/ivf/v2024-03-03",
+        emb.where($"vec_id" < 3), "vec_id", "embedding", k = 5, nProbe = 2)
+      assert(probe.count() > 0)
+      assert(graft.ann.IvfIndex.cells(spark, s"$root/index/ivf/v0").count() ==
+        emb.count())
+    } finally { Lake.delete(spark, root) }
   }
 
   test("forward-only: a run dated before an existing snapshot is rejected") {

@@ -21,12 +21,12 @@ class PlanHygieneSpec extends SparkSpec {
     "q37_source_similarity" -> "<=64 sources: pairwise sketch compare over a broadcast tiny frame",
     "q39_contamination" -> "<=64 sources: bitmask pair expansion over a tiny collected list",
     "q58_quantized_topk" -> "broadcast query batch coarse scan (bounded by query count)",
-    "q38_ivf_topk" -> "broadcast centroid list + query batch (both tiny by construction)",
+    // q38/q60/q72 (IVF assignment/probe) left the allowlist when the
+    // crossJoin(broadcast(centroids)) formulation became the fused
+    // broadcast-kernel mapPartitions (Ann.ivfAssign/ivfProbes)
     "q44_tfidf_terms" -> "crossJoin(broadcast(n)): single-row group-count total",
     "q51_surprisal" -> "crossJoin(broadcast(total)): single-row corpus token total",
-    "q60_diversity_sample" -> "IVF assignment: broadcast centroid list per vector",
     "q66_funnel" -> "three single-row stage-count aggregates crossJoined",
-    "q72_cell_neardup" -> "IVF assignment: broadcast centroid list per vector",
     "q84_corpus_divergence" -> "crossJoin(broadcast(totals)): single-row (v, na, nb)",
     "q85_diverging_tokens" -> "crossJoin(broadcast(totals)): single-row (v, na, nb)",
     "q87_dsir_weights" -> "crossJoin(broadcast(totals)): single-row (v, nr, nt)",
@@ -42,6 +42,7 @@ class PlanHygieneSpec extends SparkSpec {
     "q110_projected_topk" -> "broadcast query batch x projected corpus coarse scan + fp32 rescore (bounded by query count; q25/q58 shape)",
     "q111_hybrid_ivf" -> "composes q90's single-row totals + q38's broadcast centroid list (assignment and probe selection)",
     "q115_nb_calibration" -> "composes q107: crossJoin(broadcast(totals)) + crossJoin(broadcast(prior)) single-row frames",
+    "q117_bm25_index_probe" -> "composes q90's scoring core over the persisted postings: crossJoin(broadcast(totals)) single-row (d_docs, a_cdl)",
     "q116_quality_mix" -> "composes q107's and q98's single-row broadcast totals (NB vocab/prior + temperature normalizer)")
 
   test("every gate query carries an oracle (q36 rows-only by design), no orphans") {

@@ -87,6 +87,49 @@ class Bm25DiskIndexSpec extends SparkSpec {
     } finally { Lake.delete(spark, dir) }
   }
 
+  test("retire: tombstoned docs drop out of scoring; stats stay exact; re-append revives an id") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    try {
+      val retired = docs.where(pmod($"doc_id", lit(7)) === 3)
+      val live = docs.where(pmod($"doc_id", lit(7)) =!= 3)
+      assert(retired.count() > 0)
+      Bm25DiskIndex.write(docs, "doc_id", "text", dir, numBuckets = 32, seq = 1L)
+      Bm25DiskIndex.retire(retired, "doc_id", "text", dir, seq = 2L)
+      // aggregated stats == a fresh index over the live set (the
+      // negative increment corrected d_docs/t_toks, so idf/avgdl agree)
+      val st = Bm25DiskIndex.stats(spark, dir).collect()(0)
+      val sLive = Retrieval.bm25Index(live, "doc_id", "text")._2.collect()(0)
+      assert(st.getLong(0) == sLive.getLong(0) && st.getLong(1) == sLive.getLong(1),
+        "retire must subtract exactly the retired docs' stats")
+      // probe == fresh scoring over the live set only
+      val got = asSet(Bm25DiskIndex.probeTopK(spark, dir,
+        probes, "query_id", "qtext", k = 10))
+      val fresh = asSet(Retrieval.bm25TopK(live, "doc_id", "text",
+        probes, "query_id", "qtext", k = 10))
+      assert(got == fresh, "probe after retire must equal fresh index over live docs")
+      assert(got != asSet(Retrieval.bm25TopK(docs, "doc_id", "text",
+        probes, "query_id", "qtext", k = 10)),
+        "fixture must actually change the ranking (retired docs ranked before)")
+      // a changed document (the runner flow): retire its OLD indexed
+      // text and re-append the NEW text at the SAME seq -> the new
+      // rows live (seq >= tombstone seq), the old rows stay dead
+      val changedIds = live.limit(2).select($"doc_id")
+      val changedOld = live.join(changedIds, Seq("doc_id"), "left_semi")
+      val changedNew = changedOld
+        .select($"doc_id", concat($"text", lit(" freshtail")).as("text"))
+      Bm25DiskIndex.retire(changedOld, "doc_id", "text", dir, seq = 3L)
+      Bm25DiskIndex.append(changedNew, "doc_id", "text", dir, seq = 3L)
+      val live2 = live.join(changedIds, Seq("doc_id"), "left_anti")
+        .unionByName(changedNew)
+      val got2 = asSet(Bm25DiskIndex.probeTopK(spark, dir,
+        probes, "query_id", "qtext", k = 10))
+      val fresh2 = asSet(Retrieval.bm25TopK(live2, "doc_id", "text",
+        probes, "query_id", "qtext", k = 10))
+      assert(got2 == fresh2,
+        "retire+re-append at one seq must serve the NEW text only")
+    } finally { Lake.delete(spark, dir) }
+  }
+
   test("missing dir and mixed bucket counts fail loudly") {
     val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
     try {

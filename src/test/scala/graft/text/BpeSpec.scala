@@ -75,6 +75,61 @@ class BpeSpec extends SparkSpec {
     assert(segMap(incSeg) == segMap(fullSeg), "segmentations must match exactly")
   }
 
+  test("batched learning == one-at-a-time on the real corpus") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val counts = Bpe.wordCounts(real, "text")
+    val (b, segB) = Bpe.learnFromCounts(counts, numMerges = 48) // batched default
+    val (s, segS) = Bpe.learnFromCounts(counts, numMerges = 48, maxBatch = 1)
+    assert(b == s, "batched merge table must equal the sequential one exactly")
+    def segMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(segMap(segB) == segMap(segS))
+    // argmax counts are non-increasing in learning order (created pairs
+    // inherit at most their parent's count) — a violated invariant
+    // would mean the batch accepted something sequential wouldn't
+    assert(b.map(_.count).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+  }
+
+  test("batch stop rules: created-pair trap and self-pair trap replay sequentially") {
+    // created-pair trap: (a,z) merges first; every z-b adjacency is
+    // preceded by a, so (az,b) is CREATED at count 50 and must win the
+    // tie against (b,b) — a skip-heuristic batcher that accepted (b,b)
+    // in round 1 would diverge from sequential here
+    val trap = Seq((1L, ("azb " * 50) + ("bb " * 50))).toDF("doc_id", "text")
+    val (bt, _) = Bpe.learnFromCounts(Bpe.wordCounts(trap, "text"), 2)
+    val (st, _) = Bpe.learnFromCounts(Bpe.wordCounts(trap, "text"), 2, maxBatch = 1)
+    assert(bt == st)
+    assert(bt.map(m => (m.l, m.r)) == Seq(("a", "z"), ("az", "b")),
+      s"round 2 must pick the created pair, got ${bt.map(m => (m.l, m.r))}")
+
+    // self-pair trap: merging (a,a) collapses runs and creates (aa,aa)
+    // at count 30 > (b,c)'s 25 — the batch must end at the self-pair
+    val self = Seq((1L, ("aaaa " * 30) + ("bc " * 25))).toDF("doc_id", "text")
+    val (bs, _) = Bpe.learnFromCounts(Bpe.wordCounts(self, "text"), 2)
+    val (ss, _) = Bpe.learnFromCounts(Bpe.wordCounts(self, "text"), 2, maxBatch = 1)
+    assert(bs == ss)
+    assert(bs.map(m => (m.l, m.r)) == Seq(("a", "a"), ("aa", "aa")),
+      s"round 2 must pick the run-created pair, got ${bs.map(m => (m.l, m.r))}")
+  }
+
+  test("batched learning scales: a 512-merge vocabulary learns in bounded rounds") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val t0 = System.nanoTime()
+    val (merges, seg) = Bpe.learnFromCounts(
+      Bpe.wordCounts(real, "text"), numMerges = 512, maxBatch = 64)
+    val secs = (System.nanoTime() - t0) / 1e9
+    // exhaustion may stop earlier on the tiny corpus; what matters is
+    // that hundreds of merges complete in far fewer driver round-trips
+    // than merges (sequential 512 rounds at ~3 jobs each would take
+    // minutes) and the invariants hold end-to-end
+    assert(merges.size > 100, s"expected deep vocabulary, got ${merges.size}")
+    assert(merges.map(_.count).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)),
+      "argmax counts must be non-increasing")
+    assert(merges.map(_.rank) == (1 to merges.size), "ranks must stay dense")
+    assert(seg.count() > 0)
+    assert(secs < 240, f"512-merge learn took $secs%.0f s — batching is not engaging")
+  }
+
   test("merge table surface: ranks dense, merged = l+r") {
     val mt = Bpe.mergeTable(corpus, "text", numMerges = 4)
       .orderBy("merge_rank").collect()
