@@ -344,6 +344,125 @@ object Multimodal {
     }.toDF("media_id", "payload")
   }
 
+  // ---- real WAV sample decode (16-bit PCM) --------------------------
+
+  /** Per-clip sample statistics from a REAL 16-bit PCM decode — exact
+    * integer per-channel sums / sums-of-squares (channel 0 = left,
+    * channel 1 = right; mono leaves the right slots zero, channels
+    * past the second contribute only to the peak), the global peak
+    * magnitude, and the frame count. Unparseable / non-PCM / non-16-bit
+    * payloads surface as format="unknown" with zeroed stats (kept, not
+    * dropped). */
+  final case class WavSampleStats(
+      media_id: Long, format: String, sample_rate: Int, channels: Int,
+      n_frames: Long, sum_l: Long, sum_r: Long, ssq_l: Long, ssq_r: Long,
+      peak_abs: Long)
+
+  /** REAL sample decode of a 16-bit PCM WAV (the modality-completing
+    * counterpart of [[parseWavHeader]]'s metadata walk, as
+    * [[decodePngPixels]] is to [[parsePngHeader]]): RIFF chunk walk to
+    * fmt + data, then the data chunk read as interleaved little-endian
+    * SIGNED 16-bit samples — whole frames only, a trailing partial
+    * frame is ignored, and a data size declared past the buffer clamps
+    * to the bytes present (truncated capture). Returns (rate,
+    * channels, interleaved samples); None unless fmt is PCM (code 1)
+    * at 16 bits with sane geometry. */
+  def decodeWavSamples(b: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+    if (b == null || b.length < 44) return None
+    if (!tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return None
+    var i = 12L
+    var fmt: Option[(Int, Int, Int, Int)] = None // (code, channels, rate, bits)
+    var data: Option[(Int, Int)] = None // (offset, byte length present)
+    while (i + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+      val j = i.toInt
+      val size = le32(b, j + 4)
+      val body = j + 8
+      if (tag(b, j, "fmt ")) {
+        if (size < 16 || body + 16 > b.length) return None
+        val rate = le32(b, body + 4)
+        if (rate <= 0 || rate > Int.MaxValue) return None
+        fmt = Some((le16(b, body), le16(b, body + 2), rate.toInt, le16(b, body + 14)))
+      } else if (tag(b, j, "data")) {
+        data = Some((body, math.min(size, (b.length - body).toLong).toInt))
+      }
+      i = body.toLong + size + (size & 1L) // RIFF chunks pad to even
+    }
+    for {
+      (code, ch, rate, bits) <- fmt
+      (off, len) <- data
+      if code == 1 && bits == 16 && ch > 0
+    } yield {
+      val frames = len / (ch * 2)
+      val out = new Array[Short](frames * ch)
+      var k = 0
+      // le16 yields 0..65535; toShort reinterprets the low 16 bits as
+      // the signed sample — exactly LE signed PCM
+      while (k < out.length) { out(k) = le16(b, off + 2 * k).toShort; k += 1 }
+      (rate, ch, out)
+    }
+  }
+
+  /** Batched sample-stats decode over a binary media frame — the REAL
+    * replacement for the audio half of [[decodeFeaturesStub]], same
+    * decodeStage plan shape as the header walks and
+    * [[decodePngPixelStats]]. */
+  def decodeWavSampleStats(media: DataFrame, partitions: Int = 0): Dataset[WavSampleStats] =
+    decodeStage(media, partitions,
+        org.apache.spark.sql.Encoders.product[WavSampleStats]) { (id, payload) =>
+      decodeWavSamples(payload) match {
+        case Some((rate, ch, s)) =>
+          var sumL = 0L; var sumR = 0L; var ssqL = 0L; var ssqR = 0L
+          var peak = 0L
+          var k = 0
+          while (k < s.length) {
+            val v = s(k).toLong
+            val c = k % ch
+            if (c == 0) { sumL += v; ssqL += v * v }
+            else if (c == 1) { sumR += v; ssqR += v * v }
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            k += 1
+          }
+          WavSampleStats(id, "wav", rate, ch, s.length / ch,
+            sumL, sumR, ssqL, ssqR, peak)
+        case None =>
+          WavSampleStats(id, "unknown", 0, 0, 0L, 0L, 0L, 0L, 0L, 0L)
+      }
+    }
+
+  /** Deterministic FULL-SAMPLE 16-bit PCM corpus from the documents
+    * table: id-derived geometry (mono/stereo, four rates, 32..96
+    * frames), sample(i, c) = ((37·id + 11·i + 23·c) mod 4096) − 2048,
+    * really encoded little-endian behind a real RIFF header — the
+    * [[pngPixelCorpusFromDocuments]] pattern for audio: the oracle
+    * replays the closed-form channel sums, so the engine only matches
+    * if the byte-level PCM decode reproduces every sample. */
+  def wavPcmCorpusFromDocuments(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].map { id =>
+      val rates = Array(8000, 16000, 22050, 44100)
+      val ch = java.lang.Math.floorMod(id, 2L).toInt + 1
+      val n = (java.lang.Math.floorMod(id, 5L) * 16 + 32).toInt
+      val body = new Array[Byte](n * ch * 2)
+      var i = 0
+      while (i < n) {
+        var c = 0
+        while (c < ch) {
+          val v = (java.lang.Math.floorMod(37L * id + 11L * i + 23L * c, 4096L) - 2048L).toInt
+          val k = (i * ch + c) * 2
+          body(k) = (v & 0xff).toByte
+          body(k + 1) = ((v >> 8) & 0xff).toByte
+          c += 1
+        }
+        i += 1
+      }
+      val header = wavHeaderBytes(
+        rates(java.lang.Math.floorMod(id, 4L).toInt), ch, 16, body.length)
+      (id, header ++ body)
+    }.toDF("media_id", "payload")
+  }
+
   /** Parsed video header (MP4/ISO BMFF). Dimensions come from the first
     * video track's tkhd (16.16 fixed point, integer part); duration_ms
     * from mvhd's duration/timescale. */

@@ -1602,6 +1602,41 @@ object Queries {
     graft.multimodal.Multimodal.decodePngPixelStats(media).toDF()
   }
 
+  /** REAL WAV sample decode through the gate — q119's contract for the
+    * audio path: payloads are fully-encoded 16-bit PCM clips
+    * (id-derived samples behind a real RIFF header), the engine reads
+    * back every interleaved little-endian sample, and the oracle
+    * replays the closed-form per-channel sums — a mis-read byte order,
+    * channel interleave, or signedness hash-fails every aggregate. */
+  def q120WavSamples(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.wavPcmCorpusFromDocuments(
+      tbl(spark, dir, "documents"))
+    graft.multimodal.Multimodal.decodeWavSampleStats(media).toDF()
+  }
+
+  /** Unigram-LM (SentencePiece-style) vocabulary through the gate —
+    * the top-down alternative to q112's bottom-up BPE: substring seed
+    * (chars + top-200 longer pieces), integer milli-log-prob scores,
+    * a Viterbi segmentation of every word type, usage recount, prune
+    * to chars + top-120, add-1 rescore. The oracle replays the WHOLE
+    * chain — including the Viterbi DP as a recursive CTE carrying a
+    * maxPieceLen-deep best-state window — so a divergence anywhere
+    * (seed cut tie, score floor, DP tie-break) hash-fails. */
+  def q121UnigramVocab(spark: SparkSession, dir: String): DataFrame =
+    graft.text.UnigramLm.learn(tbl(spark, dir, "documents"), "text")._1
+
+  /** Unigram-LM encoding through the gate: every document's subword
+    * stream under the q121 vocabulary — the final Viterbi segmentation
+    * (second DP pass, final scores) feeds the same broadcast
+    * word→segmentation encode as BPE (q113's chain, shared plumbing).
+    * The oracle replays BOTH Viterbi passes. */
+  def q122UnigramEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val (_, segments) = graft.text.UnigramLm.learn(docs, "text")
+    graft.text.Bpe.encode(docs, "doc_id", "text", segments)
+      .withColumnRenamed("id", "doc_id")
+  }
+
   /** BPE fertility audit through the gate: per source, how many
     * subwords the q112 tokenizer spends per word (fertility in floored
     * millis — the "is this vocabulary a good fit for this source"
@@ -2946,6 +2981,115 @@ object Queries {
        |  ((1000 * sum(nsub)) // count(*))::BIGINT AS fertility_milli
        |FROM fj GROUP BY 1""".stripMargin
 
+  /** DuckDB fragment: one unigram-LM Viterbi pass as a RECURSIVE CTE —
+    * per word, a maxPieceLen(=5)-deep window of best (negScore, count,
+    * seg) states advances one character per iteration; candidates look
+    * up piece scores in the `mname` one-row map CTE, and the best is
+    * `list_min` under the struct's natural (ns, k, seg) field order —
+    * exactly the engine kernel's total order (equal pos+k ⇒ equal seg
+    * length, so VARCHAR order is piece-sequence order). */
+  private def duckViterbi(name: String, mname: String): String = {
+    val dd = "chr(31) || chr(31)"
+    s"""$name AS (
+       |  SELECT word, length(word)::BIGINT AS len, 0::BIGINT AS pos,
+       |    [NULL, NULL, NULL, NULL, {ns: 0::BIGINT, k: 0::BIGINT, seg: ''}]::STRUCT(ns BIGINT, k BIGINT, seg VARCHAR)[] AS hist
+       |  FROM wt
+       |  UNION ALL
+       |  SELECT word, len, pos + 1,
+       |    hist[2:] || [list_min(list_filter(
+       |      list_transform(range(1, least(5, pos + 1) + 1), j ->
+       |        CASE WHEN hist[6 - j] IS NOT NULL
+       |              AND len(element_at($mname.m, word[(pos + 2 - j)::INT:(pos + 1)::INT])) > 0
+       |        THEN {ns: hist[6 - j].ns - element_at($mname.m, word[(pos + 2 - j)::INT:(pos + 1)::INT])[1],
+       |              k: hist[6 - j].k + 1,
+       |              seg: hist[6 - j].seg ||
+       |                   CASE WHEN hist[6 - j].k = 0 THEN '' ELSE $dd END ||
+       |                   word[(pos + 2 - j)::INT:(pos + 1)::INT]}
+       |        END),
+       |      x -> x IS NOT NULL))]
+       |  FROM $name, $mname WHERE pos < len)""".stripMargin
+  }
+
+  /** DuckDB fragment: the q121 unigram-LM learning chain — word types,
+    * substring seed (chars + top-200 by (c DESC, piece ASC)), milli
+    * log-prob scores, Viterbi pass 1, usage recount, prune (chars +
+    * top-120 by (u DESC, piece ASC)), add-1 rescore. Must head the
+    * statement (WITH RECURSIVE). */
+  private lazy val duckUnigramCtes: String =
+    s"""WITH RECURSIVE
+       |wt AS MATERIALIZED (
+       |  SELECT tok AS word, count(*)::BIGINT AS freq FROM (
+       |    SELECT unnest(list_filter(string_split(lower(trim(text)), ' '), x -> x != '')) AS tok
+       |    FROM documents) GROUP BY 1),
+       |usub AS MATERIALIZED (
+       |  SELECT w.word[i::INT:(i + j - 1)::INT] AS piece, sum(w.freq)::BIGINT AS c
+       |  FROM wt w,
+       |       unnest(range(1, length(w.word) + 1)) AS u(i),
+       |       unnest(range(1, least(5, length(w.word) - i + 1) + 1)) AS v(j)
+       |  GROUP BY 1),
+       |useedv AS MATERIALIZED (
+       |  SELECT piece, c FROM usub WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, c FROM (
+       |    SELECT piece, c, row_number() OVER (ORDER BY c DESC, piece ASC) AS rn
+       |    FROM usub WHERE length(piece) > 1) t WHERE rn <= 200),
+       |ust AS (SELECT sum(c)::BIGINT AS t FROM useedv),
+       |us1 AS MATERIALIZED (
+       |  SELECT piece, floor(1000 * ln(c::DOUBLE / t))::BIGINT AS s FROM useedv, ust),
+       |um1 AS MATERIALIZED (SELECT map(list(piece), list(s)) AS m FROM us1),
+       |${duckViterbi("udp1", "um1")},
+       |ufin1 AS (SELECT word, hist[5] AS st FROM udp1 WHERE pos = len),
+       |uuse AS MATERIALIZED (
+       |  SELECT piece, sum(freq)::BIGINT AS u FROM (
+       |    SELECT w.freq, unnest(string_split(f.st.seg, chr(31) || chr(31))) AS piece
+       |    FROM ufin1 f JOIN wt w USING (word)) t
+       |  GROUP BY 1),
+       |ukept AS MATERIALIZED (
+       |  SELECT s.piece, coalesce(u.u, 0)::BIGINT AS u
+       |  FROM (SELECT piece FROM useedv WHERE length(piece) = 1) s
+       |  LEFT JOIN uuse u USING (piece)
+       |  UNION ALL
+       |  SELECT piece, u FROM (
+       |    SELECT piece, u, row_number() OVER (ORDER BY u DESC, piece ASC) AS rn
+       |    FROM uuse WHERE length(piece) > 1) t WHERE rn <= 120),
+       |ukt AS (SELECT sum(u)::BIGINT AS tu, count(*)::BIGINT AS v FROM ukept),
+       |uvocab AS MATERIALIZED (
+       |  SELECT piece, u AS usage,
+       |    floor(1000 * ln((u + 1)::DOUBLE / (tu + v)))::BIGINT AS score_milli
+       |  FROM ukept, ukt)""".stripMargin
+
+  /** q121 oracle: the learned unigram-LM vocabulary. */
+  private lazy val q121Oracle: String =
+    s"""$duckUnigramCtes
+       |SELECT piece, usage, score_milli FROM uvocab""".stripMargin
+
+  /** q122 oracle: Viterbi pass 2 under the final vocabulary, then the
+    * q113 instance-join assembly (shared encode semantics). */
+  private lazy val q122Oracle: String =
+    s"""$duckUnigramCtes,
+       |um2 AS MATERIALIZED (SELECT map(list(piece), list(score_milli)) AS m FROM uvocab),
+       |${duckViterbi("udp2", "um2")},
+       |ufin2 AS MATERIALIZED (
+       |  SELECT word, replace(hist[5].seg, chr(31) || chr(31), ' ') AS sub
+       |  FROM udp2 WHERE pos = len),
+       |utr AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(lower(trim(text)), ' '), x -> x != '') AS toks
+       |  FROM documents),
+       |uinst AS (
+       |  SELECT doc_id, j AS pos, toks[j] AS word
+       |  FROM utr, unnest(range(1, len(toks) + 1)) AS u(j)),
+       |uencj AS (
+       |  SELECT i.doc_id, i.pos, s.sub
+       |  FROM uinst i JOIN ufin2 s ON i.word = s.word),
+       |uagg AS (
+       |  SELECT doc_id, string_agg(sub, ' ' ORDER BY pos) AS sub_str,
+       |    sum(len(string_split(sub, ' ')))::BIGINT AS n_sub
+       |  FROM uencj GROUP BY 1)
+       |SELECT d.doc_id, coalesce(a.sub_str, '') AS sub_str,
+       |  coalesce(a.n_sub, 0)::BIGINT AS n_sub
+       |FROM documents d LEFT JOIN uagg a ON d.doc_id = a.doc_id""".stripMargin
+
   /** q109 oracle: exact-token blocklist hits, basis-point density
     * (floored), ≤5% keep verdict. */
   private lazy val q109Oracle: String =
@@ -3732,7 +3876,10 @@ object Queries {
     "q116_quality_mix" -> (q116QualityMix _),
     "q117_bm25_index_probe" -> (q117Bm25IndexProbe _),
     "q118_lsh_index_probe" -> (q118LshIndexProbe _),
-    "q119_png_pixels" -> (q119PngPixels _))
+    "q119_png_pixels" -> (q119PngPixels _),
+    "q120_wav_samples" -> (q120WavSamples _),
+    "q121_unigram_vocab" -> (q121UnigramVocab _),
+    "q122_unigram_encode" -> (q122UnigramEncode _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -4001,6 +4148,35 @@ object Queries {
         |  ((1000 * sum_g) // (w * h))::BIGINT AS mean_g_milli,
         |  ((1000 * sum_b) // (w * h))::BIGINT AS mean_b_milli
         |FROM s""".stripMargin,
+    // closed-form replay of the id-derived PCM generator: the engine
+    // only matches after a correct byte-level sample decode
+    "q120_wav_samples" ->
+      """WITH d AS (
+        |  SELECT doc_id, (doc_id % 2 + 1)::INTEGER AS ch,
+        |         ((doc_id % 5) * 16 + 32)::BIGINT AS n,
+        |         (CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |           WHEN 2 THEN 22050 ELSE 44100 END)::INTEGER AS rate
+        |  FROM documents),
+        |g AS (SELECT unnest(range(0, 96)) AS i),
+        |sm AS (
+        |  SELECT d.doc_id, c.c,
+        |    ((37 * d.doc_id + 11 * g.i + 23 * c.c) % 4096 - 2048)::BIGINT AS v
+        |  FROM d JOIN g ON g.i < d.n
+        |  JOIN (SELECT unnest(range(0, 2)) AS c) c ON c.c < d.ch),
+        |s AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN c = 0 THEN v ELSE 0 END)::BIGINT AS sum_l,
+        |    sum(CASE WHEN c = 1 THEN v ELSE 0 END)::BIGINT AS sum_r,
+        |    sum(CASE WHEN c = 0 THEN v * v ELSE 0 END)::BIGINT AS ssq_l,
+        |    sum(CASE WHEN c = 1 THEN v * v ELSE 0 END)::BIGINT AS ssq_r,
+        |    max(abs(v))::BIGINT AS peak_abs
+        |  FROM sm GROUP BY doc_id)
+        |SELECT d.doc_id AS media_id, 'wav' AS format, d.rate AS sample_rate,
+        |  d.ch AS channels, d.n AS n_frames,
+        |  s.sum_l, s.sum_r, s.ssq_l, s.ssq_r, s.peak_abs
+        |FROM d JOIN s USING (doc_id)""".stripMargin,
+    "q121_unigram_vocab" -> q121Oracle,
+    "q122_unigram_encode" -> q122Oracle,
     "q93_exact_sample" ->
       s"""SELECT doc_id, source FROM (
         |  SELECT doc_id, source,

@@ -283,6 +283,54 @@ class MultimodalSpec extends SparkSpec {
     assert(stats.count() == 50)
   }
 
+  test("WAV sample decode: LE signed 16-bit round-trip, clamps, and rejections") {
+    // hand-built stereo clip: 3 frames of known samples incl. negatives
+    // and both int16 extremes — byte order / signedness golden
+    val samples = Array[Short](0, -1, 32767, -32768, 1000, -1000)
+    val body = new Array[Byte](samples.length * 2)
+    for (k <- samples.indices) {
+      body(2 * k) = (samples(k) & 0xff).toByte
+      body(2 * k + 1) = ((samples(k) >> 8) & 0xff).toByte
+    }
+    val clip = Multimodal.wavHeaderBytes(16000, 2, 16, body.length) ++ body
+    val Some((rate, ch, s)) = Multimodal.decodeWavSamples(clip)
+    assert(rate == 16000 && ch == 2 && s.toSeq == samples.toSeq)
+    // truncated capture: data declares 12 bytes but only 7 present ->
+    // 1 whole stereo frame survives (partial frame dropped)
+    val trunc = Multimodal.wavHeaderBytes(8000, 2, 16, body.length) ++ body.take(7)
+    val Some((_, _, st)) = Multimodal.decodeWavSamples(trunc)
+    assert(st.toSeq == samples.take(2).toSeq)
+    // rejections: non-PCM fmt code, 8-bit depth, truncated header
+    val nonPcm = clip.clone(); nonPcm(20) = 3 // fmt code -> IEEE float
+    assert(Multimodal.decodeWavSamples(nonPcm).isEmpty)
+    val bits8 = Multimodal.wavHeaderBytes(8000, 1, 8, 4) ++ Array[Byte](1, 2, 3, 4)
+    assert(Multimodal.decodeWavSamples(bits8).isEmpty)
+    assert(Multimodal.decodeWavSamples(null).isEmpty)
+    assert(Multimodal.decodeWavSamples(clip.take(30)).isEmpty)
+  }
+
+  test("WAV sample stats over the generated corpus match the closed-form generator") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "documents")
+      .limit(50)
+    val stats = Multimodal.decodeWavSampleStats(
+      Multimodal.wavPcmCorpusFromDocuments(docs)).toDF()
+    assert(stats.where(col("format") === "unknown").isEmpty,
+      "every generated payload must decode")
+    // spot-verify a stereo clip (odd id) against the generator directly
+    val r = stats.where(col("media_id") === 3L).collect()(0)
+    assert(r.getInt(3) == 2, "odd ids are stereo")
+    val n = r.getLong(4)
+    def smp(i: Long, c: Long) = (37L * 3 + 11L * i + 23L * c) % 4096L - 2048L
+    val el = (0L until n).map(smp(_, 0))
+    val er = (0L until n).map(smp(_, 1))
+    assert(r.getLong(5) == el.sum && r.getLong(6) == er.sum)
+    assert(r.getLong(7) == el.map(v => v * v).sum &&
+      r.getLong(8) == er.map(v => v * v).sum)
+    assert(r.getLong(9) == (el ++ er).map(math.abs).max)
+    assert(stats.count() == 50)
+  }
+
   test("decodeImageHeaders parses the generated corpus distributively") {
     import org.apache.spark.sql.functions._
     val docs = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "documents")

@@ -43,6 +43,10 @@ class PlanHygieneSpec extends SparkSpec {
     "q111_hybrid_ivf" -> "composes q90's single-row totals + q38's broadcast centroid list (assignment and probe selection)",
     "q115_nb_calibration" -> "composes q107: crossJoin(broadcast(totals)) + crossJoin(broadcast(prior)) single-row frames",
     "q117_bm25_index_probe" -> "composes q90's scoring core over the persisted postings: crossJoin(broadcast(totals)) single-row (d_docs, a_cdl)",
+    // q122_unigram_encode carries no crossJoin: the vocab totals are
+    // consumed by the eager score-map collect, and the returned plan is
+    // the broadcast word→seg encode join alone
+    "q121_unigram_vocab" -> "crossJoin(broadcast(totals)): two single-row frames (seed count total, kept usage total)",
     "q116_quality_mix" -> "composes q107's and q98's single-row broadcast totals (NB vocab/prior + temperature normalizer)")
 
   test("every gate query carries an oracle (q36 rows-only by design), no orphans") {
