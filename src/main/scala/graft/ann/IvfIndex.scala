@@ -6,11 +6,11 @@ import org.apache.spark.sql.functions._
 
 /** Persisted IVF index — the 100 TB deployment shape the probe path is
   * designed for: centroids land as a tiny parquet, cell assignments
-  * land partitioned by CELL BUCKET (`cell mod n_buckets` — the same
-  * bounded-directory discipline as Bm25DiskIndex's token buckets and
-  * LshDiskIndex's band buckets: with ~√n cells, one directory per cell
-  * would be a million directories at web scale and the write cost is
-  * directory-count-bound), so a probe reads only the bucket
+  * land partitioned by CELL BUCKET (centroid RANK mod n_buckets — the
+  * same bounded-directory discipline as Bm25DiskIndex's token buckets
+  * and LshDiskIndex's band buckets: with ~√n cells, one directory per
+  * cell would be a million directories at web scale and the write cost
+  * is directory-count-bound), so a probe reads only the bucket
   * directories its probed cells hash into and filters to the exact
   * cells inside them — the rest of the corpus is never opened
   * (partition pruning, asserted functionally in IvfIndexSpec via
@@ -18,6 +18,21 @@ import org.apache.spark.sql.functions._
   * subsequent probe batch reuses it — the amortization that makes IVF
   * worthwhile over brute force at scale. */
 object IvfIndex {
+
+  /** Bucket assignment for cell ids: RANK of the cid in ascending cid
+    * order, mod `numBuckets` — NOT `cid mod n`, because centroid ids
+    * are caller-chosen and may share arithmetic structure with the
+    * modulus (a stride-16 cid family mod 64 collapses onto 4 residues,
+    * so 4 directories carry the whole index and bucket pruning prunes
+    * nothing). Rank is id-structure-independent and perfectly balanced
+    * by construction. The window runs over the centroid frame only —
+    * bounded (~√n rows), the codebase's benign-bounded-window case. */
+  private def cellBuckets(cents: DataFrame, numBuckets: Int): DataFrame =
+    cents.select(col("cid"),
+      pmod(
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("cid"))).cast("long") - 1L,
+        lit(numBuckets.toLong)).as("cbucket"))
 
   def write(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, dir: String, numBuckets: Int = 64): Unit = {
@@ -30,7 +45,9 @@ object IvfIndex {
     // cluster by bucket before the partitionBy write (the LshDiskIndex
     // small-files discipline: without it every task writes every dir)
     Ann.ivfAssign(corpus, idCol, vecCol, cents)
-      .withColumn("cbucket", pmod(col("cell"), lit(numBuckets.toLong)))
+      .join(broadcast(cellBuckets(cents, numBuckets)),
+        col("cell") === col("cid"))
+      .drop("cid")
       .repartition(col("cbucket"))
       .write.mode(SaveMode.Overwrite)
       .option("compression", "snappy")
@@ -40,6 +57,33 @@ object IvfIndex {
       corpus.sparkSession.range(1)
         .select(lit(numBuckets.toLong).as("n_buckets")),
       s"$dir/meta")
+  }
+
+  /** Append a disjoint vector delta under the STANDING centroids — the
+    * daily-ingest path (vectors: this; ranked lexical:
+    * Bm25DiskIndex.append; near-dup: LshDiskIndex.append): the delta
+    * assigns against the persisted centroids and its cell rows land as
+    * NEW files in the existing bucket layout; standing cells are never
+    * read or rewritten. Cell identity is stable on append — centroids
+    * do not move (drift is [[refresh]]'s job, which rewrites a new
+    * version from ALL of the index's vectors, the delta included), so
+    * probing the appended index equals probing a fresh index over the
+    * union (spec-pinned). Disjointness of ids across increments is the
+    * caller's contract, as on the text indexes. */
+  def append(delta: DataFrame, idCol: String, vecCol: String,
+      dir: String): Unit = {
+    val spark = delta.sparkSession
+    requireIndex(spark, dir)
+    val cents = centroids(spark, dir)
+    val n = numBuckets(spark, dir)
+    Ann.ivfAssign(delta, idCol, vecCol, cents)
+      .join(broadcast(cellBuckets(cents, n)), col("cell") === col("cid"))
+      .drop("cid")
+      .repartition(col("cbucket"))
+      .write.mode(SaveMode.Append)
+      .option("compression", "snappy")
+      .partitionBy("cbucket")
+      .parquet(s"$dir/cells")
   }
 
   /** Fail loudly on a wrong/unwritten dir — Lake's missing-path
@@ -78,9 +122,15 @@ object IvfIndex {
     * surviving buckets' rows. */
   def prunedCells(spark: SparkSession, dir: String, cellIds: Seq[Long]): DataFrame = {
     requireIndex(spark, dir)
-    val n = numBuckets(spark, dir).toLong
+    val n = numBuckets(spark, dir)
+    // probed cells -> their rank buckets, via the same bounded
+    // centroid-rank mapping the write used (one bounded collect,
+    // ≤ |probed cells| rows)
+    val buckets = cellBuckets(centroids(spark, dir), n)
+      .where(col("cid").isin(cellIds: _*))
+      .select(col("cbucket")).distinct()
+      .collect().map(_.getLong(0)).toSeq
     val raw = Lake.readParquet(spark, s"$dir/cells")
-    val buckets = cellIds.map(c => ((c % n) + n) % n).distinct
     val lits: Seq[Any] = raw.schema("cbucket").dataType match {
       case org.apache.spark.sql.types.IntegerType => buckets.map(_.toInt)
       case _ => buckets

@@ -155,6 +155,27 @@ object LshDiskIndex {
       .where(col("dead_seq").isNull || col("seq") >= col("dead_seq"))
       .drop("dead_seq"))
 
+  /** Distinct retired ids — the compaction trigger's numerator.
+    * Bounded by the retired doc count; 0 when nothing was retired. */
+  def tombstoneCount(spark: SparkSession, dir: String): Long =
+    if (!Lake.exists(spark, s"$dir/tombstones")) 0L
+    else Lake.readParquet(spark, s"$dir/tombstones")
+      .select(col("id")).distinct().count()
+
+  /** Fold tombstones away: a fresh [[write]] of `docs` — the LIVE set,
+    * i.e. the caller's current curated corpus — under the STANDING
+    * config (a config change would silently shift every band hash;
+    * rebuild under a new config via an explicit [[write]] instead).
+    * Probes before and after are identical (write==live parity is the
+    * retire contract); what changes is the read footprint — dead rows
+    * stop occupying band files and the tombstone anti-set disappears
+    * from every probe. */
+  def compact(spark: SparkSession, dir: String, docs: DataFrame,
+      idCol: String, textCol: String, seq: Long): Unit = {
+    val (cfg, numBuckets) = meta(spark, dir)
+    write(docs, idCol, textCol, dir, cfg, numBuckets, seq)
+  }
+
   private def requireIndex(spark: SparkSession, dir: String): Unit =
     require(Lake.exists(spark, s"$dir/bands") && Lake.exists(spark, s"$dir/sigs") &&
         Lake.exists(spark, s"$dir/meta"),

@@ -57,9 +57,16 @@ object CurationRunner {
     * Lloyd over the index's own vectors, date-versioned landing +
     * pointer swap) whenever the day's token KL drift exceeds
     * `ivfRefreshKlMilli`. */
+  /** `compactTombstoneBp`: when an index's distinct retired ids exceed
+    * this fraction (basis points) of the day's curated corpus, the
+    * daily run COMPACTS it — a fresh write of the live set under the
+    * standing config — folding the tombstone anti-set out of every
+    * future probe (the Lucene segment-merge analog; until then,
+    * retire stays O(delta) and standing files stay immutable). */
   final case class IndexConfig(
       lshBuckets: Int = 16, bm25Buckets: Int = 64,
-      ivfRefreshKlMilli: Long = 100L, ivfRefreshIters: Int = 2)
+      ivfRefreshKlMilli: Long = 100L, ivfRefreshIters: Int = 2,
+      compactTombstoneBp: Long = 2000L)
 
   final case class DailyResult(
       date: String, snapshotDocs: Long, curatedDocs: Long, incremental: Boolean,
@@ -213,6 +220,21 @@ object CurationRunner {
               lshDir, numBuckets = ix.lshBuckets, seq = seq)
             graft.text.Bm25DiskIndex.write(newDocs, "doc_id", "text",
               bm25Dir, numBuckets = ix.bm25Buckets, seq = seq)
+        }
+        // tombstone-fraction compaction: past the threshold, rebuild
+        // the index as one fresh write of the live set (== the just-
+        // published curated corpus) under its standing config — the
+        // probes are unchanged, the dead rows and the tombstone
+        // anti-set stop being read
+        if (nCurated > 0) {
+          if (graft.dedup.LshDiskIndex.tombstoneCount(spark, lshDir) * 10000L >
+              ix.compactTombstoneBp * nCurated)
+            graft.dedup.LshDiskIndex.compact(spark, lshDir, cur,
+              "doc_id", "text", seq)
+          if (graft.text.Bm25DiskIndex.tombstoneCount(spark, bm25Dir) * 10000L >
+              ix.compactTombstoneBp * nCurated)
+            graft.text.Bm25DiskIndex.compact(spark, bm25Dir, cur,
+              "doc_id", "text", seq)
         }
         val n = newDocs.count()
         Lake.writeParquet(

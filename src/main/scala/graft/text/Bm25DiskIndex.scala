@@ -116,10 +116,29 @@ object Bm25DiskIndex {
       .parquet(s"$dir/stats")
   }
 
+  /** Distinct retired ids — the compaction trigger's numerator.
+    * Bounded by the retired doc count; 0 when nothing was retired. */
+  def tombstoneCount(spark: SparkSession, dir: String): Long =
+    if (!Lake.exists(spark, s"$dir/tombstones")) 0L
+    else Lake.readParquet(spark, s"$dir/tombstones")
+      .select(col("id")).distinct().count()
+
+  /** Fold tombstones away: a fresh [[write]] of `docs` — the LIVE set,
+    * i.e. the caller's current curated corpus — under the STANDING
+    * bucket count (a changed count would scatter tokens across a
+    * different layout; rebuild under a new one via an explicit
+    * [[write]]). Probes before and after are identical; what changes
+    * is the read footprint — dead postings stop occupying bucket
+    * files, the stats fold to one clean row, and the tombstone
+    * anti-set disappears from every probe. */
+  def compact(spark: SparkSession, dir: String, docs: DataFrame,
+      idCol: String, textCol: String, seq: Long): Unit =
+    write(docs, idCol, textCol, dir, numBuckets(spark, dir), seq)
+
   /** Max tombstone seq per retired id, or None when nothing was ever
     * retired. Bounded by the retired doc count; AQE broadcasts the
-    * live-filter join when it is small. Compaction (a fresh [[write]]
-    * of the live set) folds tombstones away when they grow. */
+    * live-filter join when it is small. Compaction ([[compact]])
+    * folds tombstones away when they grow. */
   private def deadSeqs(spark: SparkSession, dir: String): Option[DataFrame] =
     if (!Lake.exists(spark, s"$dir/tombstones")) None
     else Some(Lake.readParquet(spark, s"$dir/tombstones")

@@ -334,6 +334,17 @@ object CorpusStats {
       rawCounts.join(tgtCounts, Seq("tok"), "full_outer")
         .select(col("tok"), coalesce(col("r"), lit(0L)).as("r"),
           coalesce(col("t"), lit(0L)).as("t")))
+    // Materialize the vocabulary BEFORE the downstream plans compile:
+    // a populated InMemoryRelation carries accurate size stats, so the
+    // postings-sized token join below plans broadcast-hash statically
+    // when the vocabulary is small — the choice AQE would make, but
+    // made in a way that survives a caller CACHING this frame (cached
+    // plans compile without AQE: a caller persist()ing the result —
+    // selectTokenBudget does — otherwise pays a sort-merge join of the
+    // full instance stream; measured 5.7 s vs 0.5 s at sf0.1). At a
+    // vocabulary too big to broadcast the stats say so and sort-merge
+    // is the right plan anyway.
+    vocab.count()
     val totals = vocab.agg(count(lit(1)).as("v"),
       sum(col("r")).as("nr"), sum(col("t")).as("nt"))
     val scored = vocab.crossJoin(broadcast(totals))
@@ -452,6 +463,13 @@ object CorpusStats {
   def naiveBayesQuality(df: DataFrame, idCol: String, textCol: String,
       labelCol: String, saltFactor: Int = 1): DataFrame = {
     val base = nbLabeled(df, idCol, textCol, labelCol)
+    // NOTE: unlike dsirWeights, the model is deliberately NOT
+    // eagerly materialized here — measured at sf0.1 the extra
+    // serialized train job costs more (q116 +1 s warm) than the
+    // cached-plan join-strategy risk it would remove, because the
+    // fused train+score DAG shares the instance scan. Deployment
+    // callers score via naiveBayesScore against their own persisted
+    // model artifact, which carries accurate stats anyway.
     naiveBayesScore(base.select(col("id"), col("y").as("label"), col("text")),
       "id", "text", naiveBayesTrain(df, idCol, textCol, labelCol), saltFactor)
   }

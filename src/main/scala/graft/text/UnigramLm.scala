@@ -92,7 +92,10 @@ object UnigramLm {
     val spark = words.sparkSession
     val m: Map[String, Long] = vocab.select(col("piece"), col("s").cast("long"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    require(m.nonEmpty, "viterbiSegments: empty vocabulary")
+    // empty vocab (an EMPTY corpus has no substrings) degrades to the
+    // no-word-coverable case per word — and an empty corpus has no
+    // words either, so the result is the empty frame the
+    // empty-input contract requires (EdgeCasesSpec discipline)
     val bc = spark.sparkContext.broadcast(m)
     val src = words.select(col("word"), col("freq"))
     val outSchema = src.schema

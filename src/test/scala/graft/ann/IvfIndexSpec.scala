@@ -112,4 +112,33 @@ class IvfIndexSpec extends SparkSpec {
       Lake.delete(spark, dir); Lake.delete(spark, dir2)
     }
   }
+  test("append: vector delta under standing centroids == one-shot index; standing files untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfapp").toString
+    try {
+      val cents = corpus.where(pmod($"vec_id", lit(10)) === 0)
+        .select($"vec_id".cast("long").as("cid"), $"embedding".as("cvec"))
+      val standing = corpus.where(pmod($"vec_id", lit(3)) =!= 0)
+      val delta = corpus.where(pmod($"vec_id", lit(3)) === 0)
+      IvfIndex.write(standing, "vec_id", "embedding", cents, dir)
+      val before = new java.io.File(s"$dir/cells").listFiles()
+        .filter(_.isDirectory).flatMap(_.listFiles()).map(_.getPath).toSet
+      IvfIndex.append(delta, "vec_id", "embedding", dir)
+      val after = new java.io.File(s"$dir/cells").listFiles()
+        .filter(_.isDirectory).flatMap(_.listFiles()).map(_.getPath).toSet
+      assert(before.subsetOf(after) && after.size > before.size,
+        "append must only ADD files to the standing layout")
+
+      val oneShot = java.nio.file.Files.createTempDirectory("ivfone").toString
+      try {
+        IvfIndex.write(corpus, "vec_id", "embedding", cents, oneShot)
+        val queries = corpus.where($"vec_id" < 4)
+        def probe(d: String) =
+          IvfIndex.probeTopK(spark, d, queries, "vec_id", "embedding", 10, 2)
+            .collect().map(_.toString).sorted.toSeq
+        assert(probe(dir) == probe(oneShot),
+          "appended index must probe exactly like a one-shot build over the union")
+      } finally { Lake.delete(spark, oneShot) }
+    } finally { Lake.delete(spark, dir) }
+  }
+
 }

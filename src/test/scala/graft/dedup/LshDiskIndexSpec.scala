@@ -119,4 +119,24 @@ class LshDiskIndexSpec extends SparkSpec {
       intercept[IllegalArgumentException] { LshDiskIndex.meta(spark, dir) }
     } finally { Lake.delete(spark, dir) }
   }
+  test("compact: fresh write of the live set — identical probes, tombstones folded away") {
+    val dir = java.nio.file.Files.createTempDirectory("lshidx").toString
+    try {
+      val base = real.where(pmod($"doc_id", lit(5)) =!= 0)
+      val probeDocs = real.where(pmod($"doc_id", lit(5)) === 0)
+      val retired = base.where(pmod($"doc_id", lit(3)) === 1)
+      val live = base.where(pmod($"doc_id", lit(3)) =!= 1)
+      LshDiskIndex.write(base, "doc_id", "text", dir, numBuckets = 8, seq = 1L)
+      LshDiskIndex.retire(spark, dir, retired.select($"doc_id"), "doc_id", seq = 2L)
+      assert(LshDiskIndex.tombstoneCount(spark, dir) == retired.count())
+      def probeSet() = LshDiskIndex.probe(spark, dir, probeDocs, "doc_id", "text", 0.5)
+        .collect().map(_.toString).sorted.toSeq
+      val before = probeSet()
+      LshDiskIndex.compact(spark, dir, live, "doc_id", "text", seq = 3L)
+      assert(LshDiskIndex.tombstoneCount(spark, dir) == 0L,
+        "compaction must fold the tombstone set away")
+      assert(probeSet() == before, "compaction must not change any probe result")
+    } finally { Lake.delete(spark, dir) }
+  }
+
 }

@@ -233,4 +233,35 @@ class CurationRunnerSpec extends SparkSpec {
       Lake.delete(spark, root)
     }
   }
+  test("tombstone-fraction compaction: a churn-heavy day folds the index tombstones away") {
+    val root = java.nio.file.Files.createTempDirectory("lake").toString
+    try {
+      val cfg = Curation.CurationConfig(minQualityMilli = 200)
+      land(root, "day1.json", (0 until 10).map(i => (i.toLong, "s0", doc(i))))
+      CurationRunner.runDaily(spark, root, "2024-04-01", None, cfg)
+      // day 2 re-lands 6 of 10 with NEW text: 6 tombstones vs ~10
+      // curated (60% > the 20% default threshold) -> compaction fires
+      land(root, "day2.json", (0 until 6).map(i => (i.toLong, "s0", doc(i + 50))))
+      CurationRunner.runDaily(spark, root, "2024-04-02", None, cfg)
+      assert(graft.dedup.LshDiskIndex.tombstoneCount(spark, s"$root/index/lsh") == 0L,
+        "churn beyond the threshold must compact the LSH index")
+      assert(graft.text.Bm25DiskIndex.tombstoneCount(spark, s"$root/index/bm25") == 0L,
+        "churn beyond the threshold must compact the BM25 index")
+      // the compacted indexes still serve exactly the curated corpus
+      val c2 = graft.io.Lake.readParquet(spark, s"$root/curated/date=2024-04-02")
+      val qs = Seq((0L, "quick brown fox document number 52")).toDF("query_id", "qtext")
+      assert(graft.text.Bm25DiskIndex.probeTopK(
+          spark, s"$root/index/bm25", qs, "query_id", "qtext", 5)
+        .collect().map(_.toString).sorted.toSeq ==
+        graft.text.Retrieval.bm25TopK(c2, "doc_id", "text", qs, "query_id", "qtext", 5)
+        .collect().map(_.toString).sorted.toSeq,
+        "compacted BM25 index must rank like a fresh index over the curated corpus")
+      val planted = Seq((990L, doc(53) + " z")).toDF("doc_id", "text")
+      assert(graft.dedup.LshDiskIndex.probe(
+          spark, s"$root/index/lsh", planted, "doc_id", "text", 0.7)
+        .where($"id_a" === 3L && $"id_b" === 990L).count() == 1,
+        "compacted LSH index must hold the current live set")
+    } finally { Lake.delete(spark, root) }
+  }
+
 }

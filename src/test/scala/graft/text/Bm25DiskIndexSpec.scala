@@ -145,4 +145,25 @@ class Bm25DiskIndexSpec extends SparkSpec {
       }
     } finally { Lake.delete(spark, dir) }
   }
+  test("compact: fresh write of the live set — identical probes, tombstones folded away") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    try {
+      val retired = docs.where(pmod($"doc_id", lit(3)) === 0)
+      val live = docs.where(pmod($"doc_id", lit(3)) =!= 0)
+      Bm25DiskIndex.write(docs, "doc_id", "text", dir, numBuckets = 32, seq = 1L)
+      Bm25DiskIndex.retire(retired, "doc_id", "text", dir, seq = 2L)
+      assert(Bm25DiskIndex.tombstoneCount(spark, dir) == retired.count())
+      val before = asSet(Bm25DiskIndex.probeTopK(spark, dir,
+        probes, "query_id", "qtext", k = 10))
+      Bm25DiskIndex.compact(spark, dir, live, "doc_id", "text", seq = 3L)
+      assert(Bm25DiskIndex.tombstoneCount(spark, dir) == 0L,
+        "compaction must fold the tombstone set away")
+      assert(asSet(Bm25DiskIndex.probeTopK(spark, dir,
+        probes, "query_id", "qtext", k = 10)) == before,
+        "compaction must not change any probe result")
+      // the standing bucket count survives compaction
+      assert(Bm25DiskIndex.numBuckets(spark, dir) == 32)
+    } finally { Lake.delete(spark, dir) }
+  }
+
 }

@@ -105,6 +105,18 @@ class UnigramLmSpec extends SparkSpec {
       folded._2.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("learn: empty and all-NULL corpora yield empty frames, not crashes") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val (v0, s0) = UnigramLm.learn(empty, "text")
+    assert(v0.isEmpty && s0.isEmpty)
+    val nulls = Seq((1L, null: String), (2L, "")).toDF("doc_id", "text")
+    val (v1, s1) = UnigramLm.learn(nulls, "text")
+    assert(v1.isEmpty && s1.isEmpty)
+    // encode over an empty segmentation table still surfaces every doc
+    val enc = Bpe.encode(nulls, "doc_id", "text", s1)
+    assert(enc.count() == 2 && enc.where(col("sub_str") =!= "").isEmpty)
+  }
+
   test("learn: prune cut is deterministic under usage ties and respects vocabMulti") {
     // many equal-usage bigrams: the cut must break ties on piece asc
     val docs = Seq((1L, "aa bb cc dd ee ff gg hh")).toDF("doc_id", "text")
