@@ -1473,15 +1473,17 @@ object Queries {
     standingIdx.computeIfAbsent("ivf:" + dir, _ => {
       val emb = tbl(spark, dir, "embeddings")
       val p = java.nio.file.Files.createTempDirectory("graft-ivf-standing").toString
+      // gate-sized bucket counts (write cost is directory-count-bound
+      // — see q117's note); 100 TB uses O(thousands)
       graft.ann.IvfIndex.write(emb, "vec_id", "embedding",
-        strideCentroids(emb), p)
+        strideCentroids(emb), p, numBuckets = 16)
       p
     })
   private def standingBm25Idx(spark: SparkSession, dir: String): String =
     standingIdx.computeIfAbsent("bm25:" + dir, _ => {
       val p = java.nio.file.Files.createTempDirectory("graft-bm25-standing").toString
       graft.text.Bm25DiskIndex.write(tbl(spark, dir, "documents"),
-        "doc_id", "text", p)
+        "doc_id", "text", p, numBuckets = 16)
       p
     })
 
@@ -1576,9 +1578,13 @@ object Queries {
   def q117Bm25IndexProbe(spark: SparkSession, dir: String): DataFrame = {
     val docs = tbl(spark, dir, "documents")
     val idx = java.nio.file.Files.createTempDirectory("graft-q117").toString
+    // bucket count scales with the corpus (write cost is directory-
+    // count-bound — measured 5.9 s at 64 dirs vs 1.7 s at 16 for the
+    // same sf0.1 data): gate-sized corpora get 16; 100 TB uses
+    // O(thousands) so each bucket stays executor-sized
     graft.text.Bm25DiskIndex.write(
       docs.where(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text",
-      idx, numBuckets = 64, seq = 1L)
+      idx, numBuckets = 16, seq = 1L)
     graft.text.Bm25DiskIndex.append(
       docs.where(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text",
       idx, seq = 2L)
@@ -1601,12 +1607,13 @@ object Queries {
     val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("text"))
     val idx = java.nio.file.Files.createTempDirectory("graft-q118").toString
     val standing = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
-    // 8 buckets × 16 bands = 128 partition dirs — gate-sized (the write
-    // cost is dir-count-bound); a 100 TB corpus uses O(thousands) so
-    // each (band, bucket) partition stays executor-sized
+    // 4 buckets × 16 bands = 64 partition dirs — gate-sized (the write
+    // cost is dir-count-bound; measured 4.7 s at 128 dirs vs 2.3 s at
+    // 64 for the same data); a 100 TB corpus uses O(thousands) so each
+    // (band, bucket) partition stays executor-sized
     graft.dedup.LshDiskIndex.write(
       standing.where(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text",
-      idx, numBuckets = 8, seq = 1L)
+      idx, numBuckets = 4, seq = 1L)
     graft.dedup.LshDiskIndex.append(
       standing.where(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text",
       idx, seq = 2L)
@@ -1678,6 +1685,26 @@ object Queries {
     docs.select(col("source"),
         explode(graft.text.TextFunctions.tokens(col("text"))).as("word"))
       .join(broadcast(nsub), Seq("word"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"), sum(col("nsub")).as("n_subwords"))
+      .withColumn("fertility_milli",
+        expr("(1000 * n_subwords) div n_words"))
+  }
+
+  /** Unigram-LM fertility audit through the gate — q114's measure
+    * under the q121 vocabulary, completing the tokenizer COMPARISON:
+    * the same per-source subwords-per-word statistic from both
+    * learners over one corpus answers "which vocabulary fits this
+    * source better" directly. The segmentation frame carries n_pieces
+    * already (the Viterbi output), so the audit is one broadcast join
+    * + one aggregation. */
+  def q123UnigramFertility(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val (_, segments) = graft.text.UnigramLm.learn(docs, "text")
+    docs.select(col("source"),
+        explode(graft.text.TextFunctions.tokens(col("text"))).as("word"))
+      .join(broadcast(segments.select(col("word"),
+        col("n_pieces").as("nsub"))), Seq("word"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_words"), sum(col("nsub")).as("n_subwords"))
       .withColumn("fertility_milli",
@@ -3115,6 +3142,24 @@ object Queries {
        |  coalesce(a.n_sub, 0)::BIGINT AS n_sub
        |FROM documents d LEFT JOIN uagg a ON d.doc_id = a.doc_id""".stripMargin
 
+  /** q123 oracle: Viterbi pass 2's piece counts (hist[5].k carries
+    * them), instance join, per-source fertility — q114's assembly
+    * under the unigram vocabulary. */
+  private lazy val q123Oracle: String =
+    s"""$duckUnigramCtes,
+       |um2 AS MATERIALIZED (SELECT map(list(piece), list(score_milli)) AS m FROM uvocab),
+       |${duckViterbi("udp2", "um2")},
+       |ufk AS MATERIALIZED (
+       |  SELECT word, hist[5].k AS nsub FROM udp2 WHERE pos = len),
+       |ufw AS (
+       |  SELECT source,
+       |    unnest(list_filter(string_split(lower(trim(text)), ' '), x -> x != '')) AS word
+       |  FROM documents),
+       |ufj AS (SELECT f.source, n.nsub FROM ufw f JOIN ufk n ON f.word = n.word)
+       |SELECT source, count(*)::BIGINT AS n_words, sum(nsub)::BIGINT AS n_subwords,
+       |  ((1000 * sum(nsub)) // count(*))::BIGINT AS fertility_milli
+       |FROM ufj GROUP BY 1""".stripMargin
+
   /** q109 oracle: exact-token blocklist hits, basis-point density
     * (floored), ≤5% keep verdict. */
   private lazy val q109Oracle: String =
@@ -3904,7 +3949,8 @@ object Queries {
     "q119_png_pixels" -> (q119PngPixels _),
     "q120_wav_samples" -> (q120WavSamples _),
     "q121_unigram_vocab" -> (q121UnigramVocab _),
-    "q122_unigram_encode" -> (q122UnigramEncode _))
+    "q122_unigram_encode" -> (q122UnigramEncode _),
+    "q123_unigram_fertility" -> (q123UnigramFertility _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -4202,6 +4248,7 @@ object Queries {
         |FROM d JOIN s USING (doc_id)""".stripMargin,
     "q121_unigram_vocab" -> q121Oracle,
     "q122_unigram_encode" -> q122Oracle,
+    "q123_unigram_fertility" -> q123Oracle,
     "q93_exact_sample" ->
       s"""SELECT doc_id, source FROM (
         |  SELECT doc_id, source,

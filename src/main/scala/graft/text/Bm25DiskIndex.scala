@@ -100,7 +100,15 @@ object Bm25DiskIndex {
     * equal a fresh index over the live set exactly (spec-pinned).
     * `docs` must be the retired documents WITH their indexed text
     * (the previous curated snapshot has it); df needs no correction
-    * because probes recount it from live postings. */
+    * because probes recount it from live postings.
+    *
+    * CONTRACT: every passed doc must actually be live in the index
+    * with exactly this text — the stats decrement subtracts blind
+    * (validating would mean scanning the corpus-sized postings ids,
+    * the cost retire exists to avoid), so retiring a phantom id or
+    * stale text skews idf/avgdl for every later probe. The daily
+    * runner guarantees it by semi-joining the previous curated
+    * corpus; do the same. */
   def retire(docs: DataFrame, idCol: String, textCol: String,
       dir: String, seq: Long): Unit = {
     val spark = docs.sparkSession

@@ -98,4 +98,71 @@ class EdgeCasesSpec extends SparkSpec {
     val st = graft.ops.ScaleOps.curriculumStages(s1, "score", 4).collect()
     assert(st.length == 1 && st.head.getLong(2) == 1L)
   }
+  test("round-6 surfaces: empty/degenerate inputs stay sane") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val real = Seq((1L, "alpha bravo charlie delta"),
+      (2L, "echo foxtrot golf hotel")).toDF("doc_id", "text")
+
+    // modality decodes: empty media frames decode to empty frames;
+    // zero-byte and garbage payloads surface as format="unknown"
+    val noMedia = Seq.empty[(Long, Array[Byte])].toDF("media_id", "payload")
+    assert(graft.multimodal.Multimodal.decodePngPixelStats(noMedia).count() == 0)
+    assert(graft.multimodal.Multimodal.decodeWavSampleStats(noMedia).count() == 0)
+    val junk = Seq((1L, Array.emptyByteArray), (2L, Array[Byte](1, 2, 3)),
+      (3L, null: Array[Byte])).toDF("media_id", "payload")
+    assert(graft.multimodal.Multimodal.decodePngPixelStats(junk).toDF()
+      .where($"format" =!= "unknown").isEmpty)
+    assert(graft.multimodal.Multimodal.decodeWavSampleStats(junk).toDF()
+      .where($"format" =!= "unknown").isEmpty)
+
+    // empty generators from an empty documents table
+    assert(graft.multimodal.Multimodal.pngPixelCorpusFromDocuments(empty).count() == 0)
+    assert(graft.multimodal.Multimodal.wavPcmCorpusFromDocuments(empty).count() == 0)
+
+    val dir = java.nio.file.Files.createTempDirectory("edge6").toString
+    try {
+      // retire + same-seq re-append of an indexed doc's EXACT text:
+      // stats return to the starting point, probes identical (the
+      // retire contract — unindexed/stale-text retires subtract blind
+      // and are a documented caller violation)
+      graft.text.Bm25DiskIndex.write(real, "doc_id", "text", s"$dir/bm", numBuckets = 4)
+      val probe = Seq((9L, "alpha bravo")).toDF("query_id", "qtext")
+      val before = graft.text.Bm25DiskIndex.probeTopK(spark, s"$dir/bm",
+        probe, "query_id", "qtext", 5).collect().map(_.toString).sorted.toSeq
+      val doc1 = real.where($"doc_id" === 1L)
+      graft.text.Bm25DiskIndex.retire(doc1, "doc_id", "text", s"$dir/bm", seq = 2L)
+      graft.text.Bm25DiskIndex.append(doc1, "doc_id", "text", s"$dir/bm", seq = 2L)
+      val after = graft.text.Bm25DiskIndex.probeTopK(spark, s"$dir/bm",
+        probe, "query_id", "qtext", 5).collect().map(_.toString).sorted.toSeq
+      assert(after == before, "retire + identical re-append must be probe-neutral")
+      // compact to the same live set folds the tombstone away
+      graft.text.Bm25DiskIndex.compact(spark, s"$dir/bm", real, "doc_id", "text", 3L)
+      assert(graft.text.Bm25DiskIndex.tombstoneCount(spark, s"$dir/bm") == 0L)
+      assert(graft.text.Bm25DiskIndex.probeTopK(spark, s"$dir/bm",
+        probe, "query_id", "qtext", 5).collect().map(_.toString).sorted.toSeq == before)
+
+      // IVF append of an EMPTY delta is a no-op on probes
+      val emb = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "embeddings")
+      val cents = emb.where(pmod($"vec_id", lit(16)) === 0)
+        .select($"vec_id".cast("long").as("cid"), $"embedding".as("cvec"))
+      graft.ann.IvfIndex.write(emb, "vec_id", "embedding", cents, s"$dir/ivf")
+      val q = emb.where($"vec_id" < 2)
+      val b4 = graft.ann.IvfIndex.probeTopK(spark, s"$dir/ivf", q,
+        "vec_id", "embedding", 5, 2).collect().map(_.toString).sorted.toSeq
+      graft.ann.IvfIndex.append(emb.where(lit(false)), "vec_id", "embedding", s"$dir/ivf")
+      assert(graft.ann.IvfIndex.probeTopK(spark, s"$dir/ivf", q,
+        "vec_id", "embedding", 5, 2).collect().map(_.toString).sorted.toSeq == b4)
+    } finally { graft.io.Lake.delete(spark, dir) }
+
+    // unigram-LM: encoding NEW text against a learned vocab falls back
+    // to character segmentation for unseen words (the Bpe.encode
+    // contract shared by both tokenizers)
+    val (_, segs) = graft.text.UnigramLm.learn(real, "text")
+    val novel = Seq((7L, "zulu alpha")).toDF("doc_id", "text")
+    val enc = graft.text.Bpe.encode(novel, "doc_id", "text", segs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(enc(7L).startsWith("z u l u "), s"unseen word must char-fall-back: ${enc(7L)}")
+  }
+
 }

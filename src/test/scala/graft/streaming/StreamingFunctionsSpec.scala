@@ -66,4 +66,45 @@ class StreamingFunctionsSpec extends SparkSpec {
     assert(got == batch && got.nonEmpty)
     assert(!got.exists(_._1 == 3L), "sub-k docs have no shingles, streamed or not")
   }
+  test("modality decodes stream: PNG pixel / WAV sample stats equal batch on micro-batches") {
+    import graft.multimodal.Multimodal
+    // really-encoded payloads (all five PNG filters; stereo LE PCM)
+    val png = (1L to 4L).map(id => id -> Multimodal.pngBytes(5, 7,
+      (x, y, c) => ((11 * id + 3 * x + 5 * y + 7 * c) % 256).toInt))
+    val wav = (5L to 8L).map { id =>
+      val n = 16; val ch = 2
+      val body = new Array[Byte](n * ch * 2)
+      for (i <- 0 until n; c <- 0 until ch) {
+        val v = ((13 * id + 7 * i + 29 * c) % 4096 - 2048).toInt
+        val k = (i * ch + c) * 2
+        body(k) = (v & 0xff).toByte; body(k + 1) = ((v >> 8) & 0xff).toByte
+      }
+      id -> (Multimodal.wavHeaderBytes(16000, ch, 16, body.length) ++ body)
+    }
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Array[Byte])]
+    val streamed = Multimodal.decodePngPixelStats(
+        input.toDF().toDF("media_id", "payload")).toDF()
+      .writeStream.format("memory").queryName("png_stream").outputMode("append").start()
+    input.addData(png: _*)
+    streamed.processAllAvailable(); streamed.stop()
+    val gotPng = spark.table("png_stream").collect().map(_.toString).sorted.toSeq
+    val batchPng = Multimodal.decodePngPixelStats(
+        png.toDF("media_id", "payload")).toDF()
+      .collect().map(_.toString).sorted.toSeq
+    assert(gotPng == batchPng && gotPng.size == 4)
+
+    val input2 = MemoryStream[(Long, Array[Byte])]
+    val streamed2 = Multimodal.decodeWavSampleStats(
+        input2.toDF().toDF("media_id", "payload")).toDF()
+      .writeStream.format("memory").queryName("wav_stream").outputMode("append").start()
+    input2.addData(wav: _*)
+    streamed2.processAllAvailable(); streamed2.stop()
+    val gotWav = spark.table("wav_stream").collect().map(_.toString).sorted.toSeq
+    val batchWav = Multimodal.decodeWavSampleStats(
+        wav.toDF("media_id", "payload")).toDF()
+      .collect().map(_.toString).sorted.toSeq
+    assert(gotWav == batchWav && gotWav.size == 4)
+  }
+
 }
