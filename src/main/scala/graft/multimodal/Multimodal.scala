@@ -344,6 +344,61 @@ object Multimodal {
     }.toDF("media_id", "payload")
   }
 
+  // ---- real JPEG pixel decode (baseline, via Jpeg) ------------------
+
+  /** Per-image pixel statistics from the REAL baseline JPEG decode
+    * ([[Jpeg.decodeJpegPixels]]): integer RGB channel sums /
+    * sums-of-squares (grayscale expands to R=G=B; `channels` records
+    * the source component count). Out-of-scope / malformed payloads
+    * surface as format="unknown" with zeroed stats. */
+  final case class JpegPixelStats(
+      media_id: Long, format: String, width: Int, height: Int, channels: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long,
+      ssq_r: Long, ssq_g: Long, ssq_b: Long)
+
+  /** Batched JPEG pixel-stats decode — the [[decodePngPixelStats]]
+    * plan shape for the second image codec. */
+  def decodeJpegPixelStats(media: DataFrame, partitions: Int = 0): Dataset[JpegPixelStats] =
+    decodeStage(media, partitions,
+        org.apache.spark.sql.Encoders.product[JpegPixelStats]) { (id, payload) =>
+      Jpeg.decodeJpegPixels(payload) match {
+        case Some((w, h, nc, rgb)) =>
+          val sums = new Array[Long](3)
+          val ssqs = new Array[Long](3)
+          var i = 0
+          while (i < rgb.length) {
+            val v = (rgb(i) & 0xff).toLong
+            sums(i % 3) += v
+            ssqs(i % 3) += v * v
+            i += 1
+          }
+          JpegPixelStats(id, "jpeg", w, h, nc, sums(0), sums(1), sums(2),
+            ssqs(0), ssqs(1), ssqs(2))
+        case None =>
+          JpegPixelStats(id, "unknown", 0, 0, 0, 0L, 0L, 0L, 0L, 0L, 0L)
+      }
+    }
+
+  /** Deterministic DC-only JPEG corpus from the documents table:
+    * id-derived block grid (1-3 × 1-2 blocks of 8×8), block luma
+    * p(bx, by) = (29·id + 17·bx + 23·by) mod 256, neutral chroma;
+    * even ids encode 3-component YCbCr, odd ids grayscale — both REAL
+    * baseline streams through the full DHT/DQT/SOF/SOS + entropy
+    * path. The oracle replays the closed-form block constants (the
+    * q119 pattern; see [[Jpeg]] for why DC-only is integer-exact). */
+  def jpegDcCorpusFromDocuments(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].map { id =>
+      val nbx = (java.lang.Math.floorMod(id, 3L) + 1).toInt
+      val nby = (java.lang.Math.floorMod(id, 2L) + 1).toInt
+      val comps = if (java.lang.Math.floorMod(id, 2L) == 0L) 3 else 1
+      (id, Jpeg.dcOnlyBytes(nbx * 8, nby * 8, comps, (bx, by, c) =>
+        if (c == 0) java.lang.Math.floorMod(29L * id + 17L * bx + 23L * by, 256L).toInt
+        else 128))
+    }.toDF("media_id", "payload")
+  }
+
   // ---- real WAV sample decode (16-bit PCM) --------------------------
 
   /** Per-clip sample statistics from a REAL 16-bit PCM decode — exact

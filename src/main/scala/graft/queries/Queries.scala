@@ -1646,6 +1646,20 @@ object Queries {
     graft.multimodal.Multimodal.decodeWavSampleStats(media).toDF()
   }
 
+  /** REAL baseline JPEG decode through the gate — the second image
+    * codec after q119's PNG: payloads are real DC-only baseline
+    * streams (custom canonical DHTs, all-ones DQT, FF-stuffed entropy
+    * data; even ids 3-component YCbCr, odd ids grayscale), the engine
+    * runs the full table-parse + Huffman + dequant + IDCT + color
+    * conversion path, and the oracle replays the closed-form block
+    * constants — a mis-decoded bit anywhere shifts the DC predictor
+    * chain and hash-fails everything after it. */
+  def q124JpegPixels(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.jpegDcCorpusFromDocuments(
+      tbl(spark, dir, "documents"))
+    graft.multimodal.Multimodal.decodeJpegPixelStats(media).toDF()
+  }
+
   /** Unigram-LM (SentencePiece-style) vocabulary through the gate —
     * the top-down alternative to q112's bottom-up BPE: substring seed
     * (chars + top-200 longer pieces), integer milli-log-prob scores,
@@ -3950,7 +3964,8 @@ object Queries {
     "q120_wav_samples" -> (q120WavSamples _),
     "q121_unigram_vocab" -> (q121UnigramVocab _),
     "q122_unigram_encode" -> (q122UnigramEncode _),
-    "q123_unigram_fertility" -> (q123UnigramFertility _))
+    "q123_unigram_fertility" -> (q123UnigramFertility _),
+    "q124_jpeg_pixels" -> (q124JpegPixels _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -4249,6 +4264,31 @@ object Queries {
     "q121_unigram_vocab" -> q121Oracle,
     "q122_unigram_encode" -> q122Oracle,
     "q123_unigram_fertility" -> q123Oracle,
+    // closed-form replay of the DC-only block constants: the engine
+    // only matches after a correct Huffman + dequant + IDCT of every
+    // block (grayscale expands to R=G=B; chroma is neutral, so color
+    // conversion is integer-exact)
+    "q124_jpeg_pixels" ->
+      """WITH d AS (
+        |  SELECT doc_id, ((doc_id % 3) + 1)::INTEGER AS nbx,
+        |         ((doc_id % 2) + 1)::INTEGER AS nby,
+        |         (CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END)::INTEGER AS channels
+        |  FROM documents),
+        |g AS (SELECT unnest(range(0, 3)) AS i),
+        |blk AS (
+        |  SELECT d.doc_id,
+        |    ((29 * d.doc_id + 17 * gx.i + 23 * gy.i) % 256)::BIGINT AS p
+        |  FROM d JOIN g gx ON gx.i < d.nbx JOIN g gy ON gy.i < d.nby),
+        |s AS (
+        |  SELECT doc_id, (64 * sum(p))::BIGINT AS sv,
+        |         (64 * sum(p * p))::BIGINT AS sq
+        |  FROM blk GROUP BY 1)
+        |SELECT d.doc_id AS media_id, 'jpeg' AS format,
+        |  (8 * d.nbx)::INTEGER AS width, (8 * d.nby)::INTEGER AS height,
+        |  d.channels,
+        |  s.sv AS sum_r, s.sv AS sum_g, s.sv AS sum_b,
+        |  s.sq AS ssq_r, s.sq AS ssq_g, s.sq AS ssq_b
+        |FROM d JOIN s USING (doc_id)""".stripMargin,
     "q93_exact_sample" ->
       s"""SELECT doc_id, source FROM (
         |  SELECT doc_id, source,

@@ -1,0 +1,118 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class JpegSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("DC-only round trip: decoded pixels are exactly the block constants (gray + color)") {
+    // 3x2 block grid, values crossing every DC category sign/size:
+    // predictor deltas positive, negative, zero, and extreme
+    val vals = Array(Array(0, 255, 128), Array(1, 254, 128))
+    def bv(bx: Int, by: Int, c: Int): Int = if (c == 0) vals(by)(bx) else 128
+    for (comps <- Seq(1, 3)) {
+      val bytes = Jpeg.dcOnlyBytes(24, 16, comps, bv)
+      // the stream parses as a JPEG header too (shared SOF walk)
+      assert(Multimodal.parseJpegHeader(bytes).contains(("jpeg", 24, 16, 8, comps)))
+      val Some((w, h, nc, rgb)) = Jpeg.decodeJpegPixels(bytes)
+      assert(w == 24 && h == 16 && nc == comps)
+      for (y <- 0 until 16; x <- 0 until 24; ch <- 0 until 3) {
+        val expect = vals(y / 8)(x / 8)
+        assert((rgb((y * 24 + x) * 3 + ch) & 0xff) == expect,
+          s"comps=$comps pixel ($x,$y,$ch)")
+      }
+    }
+  }
+
+  test("AC path: a hand-assembled stream with one AC coefficient decodes via the full entropy chain") {
+    // build a single-block grayscale stream by hand: DC table = the
+    // fixture's 12x4-bit canonical table; AC table with EOB (len 1),
+    // plus (0,1) and (1,1) at len 2 — exercises run/size decode and
+    // zigzag placement, not just EOB
+    val out = new java.io.ByteArrayOutputStream()
+    def m(mk: Int): Unit = { out.write(0xff); out.write(mk) }
+    def w16(v: Int): Unit = { out.write(v >> 8); out.write(v & 0xff) }
+    m(0xd8)
+    m(0xdb); w16(2 + 65); out.write(0x00); (0 until 64).foreach(_ => out.write(1))
+    m(0xc0); w16(8 + 3); out.write(8); w16(8); w16(8); out.write(1)
+    out.write(1); out.write(0x11); out.write(0)
+    m(0xc4); w16(2 + 17 + 12); out.write(0x00)
+    Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).foreach(out.write)
+    (0 until 12).foreach(out.write)
+    m(0xc4); w16(2 + 17 + 3); out.write(0x10)
+    Array(1, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).foreach(out.write)
+    out.write(0x00); out.write(0x01); out.write(0x11) // EOB="0", (0,1)="10", (1,1)="11"
+    m(0xda); w16(6 + 2); out.write(1); out.write(1); out.write(0x00)
+    out.write(0); out.write(63); out.write(0)
+    // entropy bits: DC cat2 "0010" + bits "10" (=+2) ; AC (0,1) "10" +
+    // bit "1" (=+1 at zigzag 1) ; AC (1,1) "11" + bit "0" (=-1 after
+    // extend, at zigzag 3 = natural (3,0)->row0 col3? zigzag(3)=16) ;
+    // EOB "0"  -> pad with 1s
+    val bits = "0010" + "10" + "10" + "1" + "11" + "0" + "0"
+    val padded = bits + "1" * ((8 - bits.length % 8) % 8)
+    padded.grouped(8).foreach(g => out.write(Integer.parseInt(g, 2)))
+    m(0xd9)
+    val Some((w, h, nc, rgb)) = Jpeg.decodeJpegPixels(out.toByteArray)
+    assert(w == 8 && h == 8 && nc == 1)
+    // reference: coefficients DC=2, zigzag(1)->natural 1 = +1,
+    // zigzag(3)->natural 16 = -1 (all dequantized by 1)
+    val coef = new Array[Int](64)
+    coef(0) = 2; coef(1) = 1; coef(16) = -1
+    def ref(x: Int, y: Int): Int = {
+      var s = 0.0
+      for (v <- 0 until 8; u <- 0 until 8; if coef(v * 8 + u) != 0) {
+        val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
+        val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
+        s += cu * cv * coef(v * 8 + u) *
+          math.cos((2 * x + 1) * u * math.Pi / 16) *
+          math.cos((2 * y + 1) * v * math.Pi / 16)
+      }
+      val r = Math.round(s / 4.0 + 128.0).toInt
+      math.max(0, math.min(255, r))
+    }
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert((rgb((y * 8 + x) * 3) & 0xff) == ref(x, y), s"pixel ($x,$y)")
+  }
+
+  test("out-of-scope and malformed streams are rejected, never misdecoded") {
+    val good = Jpeg.dcOnlyBytes(8, 8, 1, (_, _, _) => 100)
+    assert(Jpeg.decodeJpegPixels(good).isDefined)
+    assert(Jpeg.decodeJpegPixels(null).isEmpty)
+    assert(Jpeg.decodeJpegPixels(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Jpeg.decodeJpegPixels(good.take(30)).isEmpty) // truncated tables
+    assert(Jpeg.decodeJpegPixels(good.dropRight(8)).isEmpty) // truncated entropy+EOI
+    // progressive SOF2 -> rejected
+    val prog = good.clone()
+    val sofAt = (0 until prog.length - 1).find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    assert(Jpeg.decodeJpegPixels(prog).isEmpty)
+    // subsampled (2x1 luma) -> rejected: find SOF0 comp-1 hv byte
+    val sub = good.clone()
+    sub(sofAt + 11) = 0x21.toByte // comp 1 h=2 v=1
+    assert(Jpeg.decodeJpegPixels(sub).isEmpty)
+    // header-only prefix from the header synthesizer (no scan) -> None
+    assert(Jpeg.decodeJpegPixels(Multimodal.jpegHeaderBytes(16, 16)).isEmpty)
+  }
+
+  test("generated corpus decodes to the closed-form block constants distributively") {
+    val docs = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "documents")
+      .limit(40)
+    val stats = Multimodal.decodeJpegPixelStats(
+      Multimodal.jpegDcCorpusFromDocuments(docs)).toDF()
+    assert(stats.where(col("format") === "unknown").isEmpty,
+      "every generated payload must decode")
+    val r = stats.where(col("media_id") === 2L).collect()(0)
+    // id=2: 3x1 blocks, color (channels 3)
+    assert(r.getInt(2) == 24 && r.getInt(3) == 8 && r.getInt(4) == 3)
+    val expect = (0 until 3).map(bx => (29L * 2 + 17 * bx) % 256).map(p => 64L * p).sum
+    assert(r.getLong(5) == expect && r.getLong(6) == expect && r.getLong(7) == expect)
+    assert(stats.count() == 40)
+    // negative ids produce valid streams too (floorMod geometry)
+    val neg = Seq(-7L).toDF("doc_id")
+    val negStats = Multimodal.decodeJpegPixelStats(
+      Multimodal.jpegDcCorpusFromDocuments(neg)).toDF().collect()
+    assert(negStats.length == 1 && negStats(0).getString(1) == "jpeg")
+  }
+}
