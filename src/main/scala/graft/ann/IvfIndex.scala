@@ -35,7 +35,8 @@ object IvfIndex {
         lit(numBuckets.toLong)).as("cbucket"))
 
   def write(corpus: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame, dir: String, numBuckets: Int = 64): Unit = {
+      centroids: DataFrame, dir: String, numBuckets: Int = 64,
+      seq: Long = 0L): Unit = {
     require(numBuckets >= 1, s"numBuckets must be >= 1: $numBuckets")
     // normalize cid to long on the way in: probeTopK collects cids as
     // longs, and an int-typed caller frame would persist fine but crash
@@ -48,6 +49,7 @@ object IvfIndex {
       .join(broadcast(cellBuckets(cents, numBuckets)),
         col("cell") === col("cid"))
       .drop("cid")
+      .withColumn("seq", lit(seq))
       .repartition(col("cbucket"))
       .write.mode(SaveMode.Overwrite)
       .option("compression", "snappy")
@@ -57,6 +59,9 @@ object IvfIndex {
       corpus.sparkSession.range(1)
         .select(lit(numBuckets.toLong).as("n_buckets")),
       s"$dir/meta")
+    // a fresh write IS compaction — earlier tombstones refer to rows
+    // that no longer exist and must not kill the new increment's rows
+    Lake.delete(corpus.sparkSession, s"$dir/tombstones")
   }
 
   /** Append a disjoint vector delta under the STANDING centroids — the
@@ -71,7 +76,7 @@ object IvfIndex {
     * union (spec-pinned). Disjointness of ids across increments is the
     * caller's contract, as on the text indexes. */
   def append(delta: DataFrame, idCol: String, vecCol: String,
-      dir: String): Unit = {
+      dir: String, seq: Long = 0L): Unit = {
     val spark = delta.sparkSession
     requireIndex(spark, dir)
     val cents = centroids(spark, dir)
@@ -79,11 +84,59 @@ object IvfIndex {
     Ann.ivfAssign(delta, idCol, vecCol, cents)
       .join(broadcast(cellBuckets(cents, n)), col("cell") === col("cid"))
       .drop("cid")
+      .withColumn("seq", lit(seq))
       .repartition(col("cbucket"))
       .write.mode(SaveMode.Append)
       .option("compression", "snappy")
       .partitionBy("cbucket")
       .parquet(s"$dir/cells")
+  }
+
+  /** Retire vectors (the text indexes' tombstone discipline for the
+    * vector family — a removed or re-embedded document's OLD vector
+    * must leave the probe set): appends (id, seq) markers killing
+    * every cell row of those ids with ingest seq STRICTLY below `seq`;
+    * rows (re-)appended at `seq` or later stay live, so a re-embedded
+    * id retires and re-appends under one seq. Standing files are never
+    * touched. */
+  def retire(spark: SparkSession, dir: String, ids: DataFrame,
+      idCol: String, seq: Long): Unit = {
+    requireIndex(spark, dir)
+    ids.select(col(idCol).cast("long").as("id"), lit(seq).as("seq"))
+      .write.mode(SaveMode.Append).option("compression", "snappy")
+      .parquet(s"$dir/tombstones")
+  }
+
+  /** Distinct retired ids — the compaction trigger's numerator. */
+  def tombstoneCount(spark: SparkSession, dir: String): Long =
+    if (!Lake.exists(spark, s"$dir/tombstones")) 0L
+    else Lake.readParquet(spark, s"$dir/tombstones")
+      .select(col("id")).distinct().count()
+
+  private def deadSeqs(spark: SparkSession, dir: String): Option[DataFrame] =
+    if (!Lake.exists(spark, s"$dir/tombstones")) None
+    else Some(Lake.readParquet(spark, s"$dir/tombstones")
+      .groupBy(col("id")).agg(max(col("seq")).as("dead_seq")))
+
+  private def liveOnly(rows: DataFrame, dead: Option[DataFrame]): DataFrame =
+    dead.fold(rows)(d => rows.join(d, Seq("id"), "left")
+      .where(col("dead_seq").isNull || col("seq") >= col("dead_seq"))
+      .drop("dead_seq"))
+
+  /** Fold tombstones away by rewriting the LIVE rows as a NEW
+    * versioned index dir. Unlike the text indexes' in-place [[
+    * graft.text.Bm25DiskIndex.compact]] (whose input is the EXTERNAL
+    * curated corpus), this rewrite lazily READS the index being
+    * compacted — landing in place would truncate its own input, so it
+    * follows [[refresh]]'s land-beside + pointer-swap discipline (and
+    * shares its aliased-path guard). Centroids carry over unchanged;
+    * assignment is deterministic, so cells are identical. */
+  def compact(spark: SparkSession, dir: String, outDir: String,
+      seq: Long = 0L): Unit = {
+    require(canon(spark, outDir) != canon(spark, dir),
+      s"compact must write a NEW versioned index dir, not overwrite '$dir' in place")
+    write(cells(spark, dir).select(col("id"), col("v")), "id", "v",
+      centroids(spark, dir), outDir, numBuckets(spark, dir), seq)
   }
 
   /** Fail loudly on a wrong/unwritten dir — Lake's missing-path
@@ -107,10 +160,12 @@ object IvfIndex {
       .select(col("n_buckets")).collect()(0).getLong(0).toInt
   }
 
-  /** The full cell frame (id, v, cell). */
+  /** The full LIVE cell frame (id, v, cell) — tombstoned rows
+    * filtered (so [[refresh]] retrains on live vectors only, and its
+    * rewrite doubles as compaction). */
   def cells(spark: SparkSession, dir: String): DataFrame = {
     requireIndex(spark, dir)
-    Lake.readParquet(spark, s"$dir/cells")
+    liveOnly(Lake.readParquet(spark, s"$dir/cells"), deadSeqs(spark, dir))
       .select(col("id"), col("v"), col("cell"))
   }
 
@@ -135,8 +190,21 @@ object IvfIndex {
       case org.apache.spark.sql.types.IntegerType => buckets.map(_.toInt)
       case _ => buckets
     }
-    raw.where(col("cbucket").isin(lits: _*) && col("cell").isin(cellIds: _*))
+    liveOnly(
+        raw.where(col("cbucket").isin(lits: _*) && col("cell").isin(cellIds: _*)),
+        deadSeqs(spark, dir))
       .select(col("id"), col("v"), col("cell"))
+  }
+
+  /** Qualify a path through the Hadoop FileSystem before comparing: a
+    * plain string/URI compare misses aliases of the same directory
+    * ("file:/x" vs "/x", relative vs absolute, trailing slashes), and
+    * an aliased outDir would pass a no-self-overwrite guard while the
+    * Overwrite write truncates the very cells being lazily read. */
+  private def canon(spark: SparkSession, p: String): String = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.makeQualified(hp).toUri.normalize().toString.replaceAll("/+$", "")
   }
 
   /** Refresh a persisted index against corpus drift: warm-start the
@@ -157,18 +225,7 @@ object IvfIndex {
   def refresh(spark: SparkSession, dir: String, outDir: String,
       iters: Int): Unit = {
     require(iters >= 1, s"iters must be >= 1: $iters")
-    // A plain string/URI compare misses aliases of the same directory
-    // ("file:/x" vs "/x", relative vs absolute, trailing slashes) — an
-    // aliased outDir would pass the guard and the Overwrite write would
-    // truncate dir/cells while it is still being lazily read as the
-    // refresh corpus. Qualify both through the Hadoop FileSystem (the
-    // same resolution the write itself will use) before comparing.
-    def canon(p: String): String = {
-      val hp = new org.apache.hadoop.fs.Path(p)
-      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.makeQualified(hp).toUri.normalize().toString.replaceAll("/+$", "")
-    }
-    require(canon(outDir) != canon(dir),
+    require(canon(spark, outDir) != canon(spark, dir),
       s"refresh must write a NEW versioned index dir, not overwrite '$dir' in place")
     val corpus = cells(spark, dir).select(col("id"), col("v"))
     val refined = Ann.ivfRefineCentroids(corpus, "id", "v",

@@ -141,4 +141,47 @@ class IvfIndexSpec extends SparkSpec {
     } finally { Lake.delete(spark, dir) }
   }
 
+  test("retire/compact: tombstoned vectors leave probes; versioned compaction folds them") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfret").toString
+    try {
+      val cents = corpus.where(pmod($"vec_id", lit(10)) === 0)
+        .select($"vec_id".cast("long").as("cid"), $"embedding".as("cvec"))
+      IvfIndex.write(corpus, "vec_id", "embedding", cents, dir, seq = 1L)
+      val queries = corpus.where($"vec_id" < 3)
+      def probe(d: String) =
+        IvfIndex.probeTopK(spark, d, queries, "vec_id", "embedding", 10, 2)
+          .collect().map(_.toString).sorted.toSeq
+      val full = probe(dir)
+      // retire a slice that currently appears among the neighbors
+      val dead = corpus.where(pmod($"vec_id", lit(7)) === 2)
+      IvfIndex.retire(spark, dir, dead.select($"vec_id"), "vec_id", seq = 2L)
+      val afterRetire = probe(dir)
+      assert(afterRetire != full, "fixture must actually change the neighbor set")
+      // parity: probes == a fresh index over the live vectors
+      val live = corpus.where(pmod($"vec_id", lit(7)) =!= 2)
+      val fresh = java.nio.file.Files.createTempDirectory("ivffresh").toString
+      try {
+        IvfIndex.write(live, "vec_id", "embedding", cents, fresh)
+        assert(afterRetire == probe(fresh),
+          "retired index must probe exactly like a fresh index over the live set")
+      } finally { Lake.delete(spark, fresh) }
+      // a re-embedded id: retire + re-append at one seq -> new vector live
+      val reemb = corpus.where($"vec_id" === 5L)
+      IvfIndex.retire(spark, dir, reemb.select($"vec_id"), "vec_id", seq = 3L)
+      IvfIndex.append(reemb, "vec_id", "embedding", dir, seq = 3L)
+      assert(IvfIndex.cells(spark, dir).where($"id" === 5L).count() == 1,
+        "re-append at the tombstone seq must leave exactly one live row")
+      // versioned compaction: in-place rejected, landed-beside identical
+      intercept[IllegalArgumentException] {
+        IvfIndex.compact(spark, dir, dir + "/", seq = 4L)
+      }
+      val out = java.nio.file.Files.createTempDirectory("ivfcomp").toString + "/v2"
+      val before = probe(dir)
+      IvfIndex.compact(spark, dir, out, seq = 4L)
+      assert(IvfIndex.tombstoneCount(spark, out) == 0L)
+      assert(probe(out) == before, "compaction must not change any probe result")
+      assert(IvfIndex.cells(spark, out).count() == IvfIndex.cells(spark, dir).count())
+    } finally { Lake.delete(spark, dir) }
+  }
+
 }
