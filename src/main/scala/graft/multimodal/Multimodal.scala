@@ -593,6 +593,118 @@ object Multimodal {
     }
   }
 
+  /** Bounded ISO-BMFF child-box iterator over [lo, hi) — shared by the
+    * sample-table walk; mirrors [[parseMp4Header]]'s inline iterator
+    * (64-bit and to-end sizes, malformed sizes clamp to the parent). */
+  private def mp4Children(b: Array[Byte], lo: Int, hi: Int): Iterator[(String, Int, Int)] =
+    new Iterator[(String, Int, Int)] {
+      private var i = lo
+      def hasNext: Boolean = i + 8 <= hi
+      def next(): (String, Int, Int) = {
+        val size32 = be32(b, i) & 0xffffffffL
+        val typ = new String(b, i + 4, 4, "ISO-8859-1")
+        val (body, size) =
+          if (size32 == 1L && i + 16 <= hi) (i + 16, be64(b, i + 8))
+          else if (size32 == 0L) (i + 8, (hi - i).toLong)
+          else (i + 8, size32)
+        val end = if (size < 8 || i + size > hi) hi else (i + size).toInt
+        val r = (typ, body, end)
+        i = end
+        r
+      }
+    }
+
+  /** One track's sample-table summary (the stbl walk): sample count
+    * and byte total from stsz (uniform or per-sample), chunk count
+    * from stco, media duration in timescale ticks from stts. */
+  final case class TrackSamples(
+      track_idx: Int, n_samples: Long, total_sample_bytes: Long,
+      n_chunks: Long, duration_ticks: Long)
+
+  /** REAL sample-table decode (ISO 14496-12 stbl): walk moov → trak →
+    * mdia → minf → stbl and read stts (decoding-time deltas), stsz
+    * (sample sizes — both the uniform and the per-sample-table form),
+    * and stco (chunk offsets) per track. This is the metadata level a
+    * lake job actually uses for video (frame counts, byte budgets,
+    * durations — the payload itself stays codec-opaque). Tracks
+    * missing any of the three boxes are skipped; None when no track
+    * carries a complete table or the container is malformed. */
+  def parseMp4SampleTables(b: Array[Byte]): Option[Seq[TrackSamples]] = {
+    if (b == null || b.length < 16) return None
+    if (!mp4Children(b, 0, b.length).take(1).exists(_._1 == "ftyp")) return None
+    mp4Children(b, 0, b.length).find(_._1 == "moov").flatMap { case (_, mLo, mHi) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[TrackSamples]
+      var idx = 0
+      for ((typ, lo, hi) <- mp4Children(b, mLo, mHi) if typ == "trak") {
+        val stbl = for {
+          (t1, l1, h1) <- mp4Children(b, lo, hi).find(_._1 == "mdia")
+          (t2, l2, h2) <- mp4Children(b, l1, h1).find(_._1 == "minf")
+          (t3, l3, h3) <- mp4Children(b, l2, h2).find(_._1 == "stbl")
+        } yield (l3, h3)
+        stbl.foreach { case (sLo, sHi) =>
+          var dur = Option.empty[Long]
+          var sz = Option.empty[(Long, Long)] // (count, bytes)
+          var chunks = Option.empty[Long]
+          for ((t, lo2, hi2) <- mp4Children(b, sLo, sHi)) t match {
+            case "stts" if hi2 - lo2 >= 8 =>
+              val n = be32(b, lo2 + 4)
+              if (n >= 0 && lo2 + 8 + 8L * n <= hi2) {
+                var s = 0L; var k = 0
+                while (k < n) {
+                  s += (be32(b, lo2 + 8 + 8 * k) & 0xffffffffL) *
+                    (be32(b, lo2 + 12 + 8 * k) & 0xffffffffL)
+                  k += 1
+                }
+                dur = Some(s)
+              }
+            case "stsz" if hi2 - lo2 >= 12 =>
+              val uniform = be32(b, lo2 + 4) & 0xffffffffL
+              val n = be32(b, lo2 + 8)
+              if (n >= 0) {
+                if (uniform != 0L) sz = Some((n.toLong, uniform * n))
+                else if (lo2 + 12 + 4L * n <= hi2) {
+                  var s = 0L; var k = 0
+                  while (k < n) { s += be32(b, lo2 + 12 + 4 * k) & 0xffffffffL; k += 1 }
+                  sz = Some((n.toLong, s))
+                }
+              }
+            case "stco" if hi2 - lo2 >= 8 =>
+              val n = be32(b, lo2 + 4)
+              if (n >= 0 && lo2 + 8 + 4L * n <= hi2) chunks = Some(n.toLong)
+            case _ => ()
+          }
+          for (d <- dur; (n, tot) <- sz; c <- chunks)
+            out += TrackSamples(idx, n, tot, c, d)
+        }
+        idx += 1
+      }
+      if (out.isEmpty) None else Some(out.toSeq)
+    }
+  }
+
+  /** Per-(clip, track) sample-table stats over a binary media frame —
+    * one output row per complete track table; unparseable payloads
+    * surface as a single format="unknown" row (kept, not dropped). */
+  final case class Mp4TrackStats(
+      media_id: Long, format: String, track_idx: Int, n_samples: Long,
+      total_sample_bytes: Long, n_chunks: Long, duration_ticks: Long)
+
+  def decodeMp4SampleStats(media: DataFrame, partitions: Int = 0): Dataset[Mp4TrackStats] = {
+    val parts = if (partitions > 0) partitions
+      else media.sparkSession.sessionState.conf.numShufflePartitions
+    media.select("media_id", "payload")
+      .repartition(parts, col("media_id"))
+      .as[(Long, Array[Byte])](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.BINARY))
+      .flatMap { case (id, p) =>
+        parseMp4SampleTables(p) match {
+          case Some(ts) => ts.map(t => Mp4TrackStats(id, "mp4", t.track_idx,
+            t.n_samples, t.total_sample_bytes, t.n_chunks, t.duration_ticks))
+          case None => Seq(Mp4TrackStats(id, "unknown", 0, 0L, 0L, 0L, 0L))
+        }
+      }(org.apache.spark.sql.Encoders.product[Mp4TrackStats])
+  }
+
   /** Batched video header decode — [[decodeImageHeaders]]'s shape for
     * the MP4 path. */
   def decodeVideoHeaders(media: DataFrame, partitions: Int = 0): Dataset[VideoHeader] =
@@ -604,6 +716,54 @@ object Multimodal {
         case None => VideoHeader(id, "unknown", 0, 0, 0L, 0L, n)
       }
     }
+
+  private def mp4Box(typ: String, bodies: Array[Byte]*): Array[Byte] = {
+    val body = bodies.foldLeft(Array.emptyByteArray)(_ ++ _)
+    val out = new java.io.ByteArrayOutputStream(8 + body.length)
+    val size = 8 + body.length
+    out.write((size >>> 24) & 0xff); out.write((size >>> 16) & 0xff)
+    out.write((size >>> 8) & 0xff); out.write(size & 0xff)
+    typ.foreach(c => out.write(c.toInt))
+    out.write(body, 0, body.length)
+    out.toByteArray
+  }
+
+  private def u32s(vs: Long*): Array[Byte] =
+    vs.flatMap(v => Seq(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)).toArray
+
+  /** Deterministic sample-table MP4 corpus from the documents table:
+    * id-derived track count (1-2), per-track stts/stsz/stco with both
+    * stsz forms exercised (even ids carry a per-sample size table,
+    * odd ids the uniform-size shortcut) behind the real ftyp + moov →
+    * trak → mdia → minf → stbl nesting. The oracle replays the
+    * closed-form sums ([[parseMp4SampleTables]]'s
+    * generate-parse-replay gate). */
+  def mp4SampleCorpusFromDocuments(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].map { id =>
+      val fm = (x: Long, m: Long) => java.lang.Math.floorMod(x, m)
+      val ntr = (fm(id, 2L) + 1).toInt
+      val traks = (0 until ntr).map { t =>
+        val n = ((fm(id + t, 4L) + 1) * 3).toInt
+        val delta = (fm(id, 5L) + 1) * 100L
+        val stts = mp4Box("stts", u32s(0L, 1L, n.toLong, delta))
+        val stsz =
+          if (fm(id, 2L) == 0L)
+            mp4Box("stsz", u32s(0L, 0L, n.toLong),
+              u32s((0 until n).map(i => fm(7L * id + 3L * i + 11L * t, 100L) + 10L): _*))
+          else mp4Box("stsz", u32s(0L, fm(id, 50L) + 20L, n.toLong))
+        val nc = fm(id + t, 2L) + 1
+        val stco = mp4Box("stco", u32s(0L, nc), u32s((0L until nc).map(1000L + _): _*))
+        mp4Box("trak", mp4Box("mdia", mp4Box("minf",
+          mp4Box("stbl", stts, stsz, stco))))
+      }
+      val ftyp = mp4Box("ftyp", "isom".getBytes("ISO-8859-1") ++ u32s(0L) ++
+        "isom".getBytes("ISO-8859-1"))
+      (id, ftyp ++ mp4Box("moov", traks: _*))
+    }.toDF("media_id", "payload")
+  }
 
   /** Minimal VALID MP4 prefix (ftyp + moov[mvhd v0, trak[tkhd v0]]) —
     * fixture-synthesis counterpart of [[parseMp4Header]]. */

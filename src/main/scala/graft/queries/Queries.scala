@@ -1660,6 +1660,17 @@ object Queries {
     graft.multimodal.Multimodal.decodeJpegPixelStats(media).toDF()
   }
 
+  /** REAL MP4 sample-table decode through the gate — the video-side
+    * depth step past q81's mvhd/tkhd walk: per-(clip, track) sample
+    * counts, byte totals (both stsz forms), chunk counts, and
+    * stts-summed durations from walking moov → trak → mdia → minf →
+    * stbl; the oracle replays the closed-form id-derived tables. */
+  def q125Mp4Samples(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.mp4SampleCorpusFromDocuments(
+      tbl(spark, dir, "documents"))
+    graft.multimodal.Multimodal.decodeMp4SampleStats(media).toDF()
+  }
+
   /** Unigram-LM (SentencePiece-style) vocabulary through the gate —
     * the top-down alternative to q112's bottom-up BPE: substring seed
     * (chars + top-200 longer pieces), integer milli-log-prob scores,
@@ -3965,7 +3976,8 @@ object Queries {
     "q121_unigram_vocab" -> (q121UnigramVocab _),
     "q122_unigram_encode" -> (q122UnigramEncode _),
     "q123_unigram_fertility" -> (q123UnigramFertility _),
-    "q124_jpeg_pixels" -> (q124JpegPixels _))
+    "q124_jpeg_pixels" -> (q124JpegPixels _),
+    "q125_mp4_samples" -> (q125Mp4Samples _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -4289,6 +4301,31 @@ object Queries {
         |  s.sv AS sum_r, s.sv AS sum_g, s.sv AS sum_b,
         |  s.sq AS ssq_r, s.sq AS ssq_g, s.sq AS ssq_b
         |FROM d JOIN s USING (doc_id)""".stripMargin,
+    // closed-form replay of the id-derived sample tables: per-sample
+    // stsz sums for even ids, the uniform shortcut for odd ids
+    "q125_mp4_samples" ->
+      """WITH d AS (
+        |  SELECT doc_id, (doc_id % 2 + 1)::INTEGER AS ntr FROM documents),
+        |tr AS (
+        |  SELECT d.doc_id, t.t FROM d
+        |  JOIN (SELECT unnest(range(0, 2)) AS t) t ON t.t < d.ntr),
+        |base AS (
+        |  SELECT doc_id, t,
+        |    (((doc_id + t) % 4 + 1) * 3)::BIGINT AS n,
+        |    ((doc_id % 5 + 1) * 100)::BIGINT AS delta
+        |  FROM tr),
+        |g AS (SELECT unnest(range(0, 12)) AS i),
+        |persample AS (
+        |  SELECT b.doc_id, b.t,
+        |    sum((7 * b.doc_id + 3 * g.i + 11 * b.t) % 100 + 10)::BIGINT AS tot
+        |  FROM base b JOIN g ON g.i < b.n GROUP BY 1, 2)
+        |SELECT b.doc_id AS media_id, 'mp4' AS format, b.t::INTEGER AS track_idx,
+        |  b.n AS n_samples,
+        |  (CASE WHEN b.doc_id % 2 = 0 THEN p.tot
+        |        ELSE (b.doc_id % 50 + 20) * b.n END)::BIGINT AS total_sample_bytes,
+        |  ((b.doc_id + b.t) % 2 + 1)::BIGINT AS n_chunks,
+        |  (b.n * b.delta)::BIGINT AS duration_ticks
+        |FROM base b JOIN persample p ON b.doc_id = p.doc_id AND b.t = p.t""".stripMargin,
     "q93_exact_sample" ->
       s"""SELECT doc_id, source FROM (
         |  SELECT doc_id, source,

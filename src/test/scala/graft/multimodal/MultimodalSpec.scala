@@ -345,4 +345,54 @@ class MultimodalSpec extends SparkSpec {
     assert(bad.isEmpty)
     assert(decoded.count() == docs.count())
   }
+  test("MP4 sample tables: both stsz forms, per-track walk, truncation rejections") {
+    import spark.implicits._
+    val docs = Seq(2L, 3L).toDF("doc_id")
+    val media = Multimodal.mp4SampleCorpusFromDocuments(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    // id=2 (even): 1 track, per-sample stsz; n = ((2+0)%4+1)*3 = 9
+    val Some(t2) = Multimodal.parseMp4SampleTables(media(2L))
+    assert(t2.length == 1)
+    assert(t2(0).n_samples == 9)
+    assert(t2(0).total_sample_bytes ==
+      (0 until 9).map(i => (7 * 2 + 3 * i) % 100 + 10).sum)
+    assert(t2(0).duration_ticks == 9 * ((2 % 5) + 1) * 100)
+    assert(t2(0).n_chunks == 1)
+    // id=3 (odd): 2 tracks, uniform stsz of (3%50)+20 = 23 bytes
+    val Some(t3) = Multimodal.parseMp4SampleTables(media(3L))
+    assert(t3.length == 2 && t3.map(_.track_idx) == Seq(0, 1))
+    assert(t3(0).n_samples == 12 && t3(0).total_sample_bytes == 23L * 12)
+    assert(t3(1).n_samples == 3 && t3(1).total_sample_bytes == 23L * 3)
+    // rejections: no ftyp, no complete table, truncated stsz entry list
+    assert(Multimodal.parseMp4SampleTables(null).isEmpty)
+    assert(Multimodal.parseMp4SampleTables(media(2L).take(40)).isEmpty)
+    assert(Multimodal.parseMp4SampleTables(
+      Multimodal.mp4HeaderBytes(640, 360, 600, 600)).isEmpty,
+      "a header-only clip has no sample tables")
+    // flip the per-sample stsz count to overrun its box -> that track
+    // must drop out (None here: it is the only track)
+    val bad = media(2L).clone()
+    val stszAt = (0 until bad.length - 4).find(i =>
+      new String(bad, i, 4, "ISO-8859-1") == "stsz").get
+    bad(stszAt + 12) = 0x7f.toByte // sample_count -> huge
+    assert(Multimodal.parseMp4SampleTables(bad).isEmpty)
+  }
+
+  test("MP4 sample stats: per-track rows distributively, unknown rows kept") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "documents")
+      .limit(30)
+    val stats = Multimodal.decodeMp4SampleStats(
+      Multimodal.mp4SampleCorpusFromDocuments(docs)).toDF()
+    assert(stats.where(col("format") === "unknown").isEmpty)
+    // row count = sum of track counts = sum(id%2 + 1)
+    val expect = docs.select(sum(pmod(col("doc_id"), lit(2)) + 1)).collect()(0).getLong(0)
+    assert(stats.count() == expect)
+    // junk payloads surface as unknown
+    val junk = Seq((9L, Array[Byte](1, 2, 3, 4))).toDF("media_id", "payload")
+    val u = Multimodal.decodeMp4SampleStats(junk).collect()
+    assert(u.length == 1 && u(0).format == "unknown")
+  }
+
 }
