@@ -1671,6 +1671,20 @@ object Queries {
     graft.multimodal.Multimodal.decodeMp4SampleStats(media).toDF()
   }
 
+  /** Parquet footer audit through the gate — real lake-ops tooling
+    * with a genuinely independent oracle: the engine reads row-group /
+    * column metadata via parquet-hadoop's footer reader, DuckDB reads
+    * the SAME footer bytes via parquet_metadata(), and every count and
+    * byte total must agree. Restricted to the flat tables (nested
+    * schemas name leaf paths differently across readers). NOTE the
+    * oracle addresses the sf0.01 files directly (parquet_metadata
+    * takes paths, not views) — the driver's correctness gate runs at
+    * sf0.01 by contract; local subset runs must use that dir too. */
+  def q126ParquetAudit(spark: SparkSession, dir: String): DataFrame =
+    graft.io.ParquetAudit.footerAudit(spark, dir)
+      .where(col("file").isin("lineitem.parquet", "orders.parquet",
+        "documents.parquet", "region.parquet"))
+
   /** Unigram-LM (SentencePiece-style) vocabulary through the gate —
     * the top-down alternative to q112's bottom-up BPE: substring seed
     * (chars + top-200 longer pieces), integer milli-log-prob scores,
@@ -3977,7 +3991,8 @@ object Queries {
     "q122_unigram_encode" -> (q122UnigramEncode _),
     "q123_unigram_fertility" -> (q123UnigramFertility _),
     "q124_jpeg_pixels" -> (q124JpegPixels _),
-    "q125_mp4_samples" -> (q125Mp4Samples _))
+    "q125_mp4_samples" -> (q125Mp4Samples _),
+    "q126_parquet_audit" -> (q126ParquetAudit _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -4326,6 +4341,23 @@ object Queries {
         |  ((b.doc_id + b.t) % 2 + 1)::BIGINT AS n_chunks,
         |  (b.n * b.delta)::BIGINT AS duration_ticks
         |FROM base b JOIN persample p ON b.doc_id = p.doc_id AND b.t = p.t""".stripMargin,
+    // the same footer bytes through DuckDB's independent reader; the
+    // gate runs at sf0.01 by contract (parquet_metadata takes paths)
+    "q126_parquet_audit" ->
+      """WITH m AS (
+        |  SELECT * FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet')
+        |  UNION ALL SELECT * FROM parquet_metadata('/root/testdata/sf0.01/orders.parquet')
+        |  UNION ALL SELECT * FROM parquet_metadata('/root/testdata/sf0.01/documents.parquet')
+        |  UNION ALL SELECT * FROM parquet_metadata('/root/testdata/sf0.01/region.parquet'))
+        |SELECT regexp_extract(file_name, '[^/]+$') AS file,
+        |  row_group_id::BIGINT AS row_group_id,
+        |  row_group_num_rows::BIGINT AS rg_rows,
+        |  path_in_schema AS col_path, num_values::BIGINT AS num_values,
+        |  coalesce(stats_null_count, -1)::BIGINT AS null_count,
+        |  total_compressed_size::BIGINT AS compressed_bytes,
+        |  total_uncompressed_size::BIGINT AS uncompressed_bytes,
+        |  compression AS codec
+        |FROM m""".stripMargin,
     "q93_exact_sample" ->
       s"""SELECT doc_id, source FROM (
         |  SELECT doc_id, source,
