@@ -40,7 +40,7 @@ class PlanHygieneSpec extends SparkSpec {
     "q101_bigram_pmi" -> "crossJoin(broadcast(totals)): single-row (tu, tb) corpus counts",
     "q107_nb_quality" -> "crossJoin(broadcast(totals)) + crossJoin(broadcast(prior)): two single-row frames (vocab/class totals, class prior)",
     "q110_projected_topk" -> "broadcast query batch x projected corpus coarse scan + fp32 rescore (bounded by query count; q25/q58 shape)",
-    "q111_hybrid_ivf" -> "composes q90's single-row totals + q38's broadcast centroid list (assignment and probe selection)",
+    "q111_hybrid_ivf" -> "composes q90's single-row totals (BM25 arm via the standing disk index); the IVF arm is the fused kernel, joinless",
     "q115_nb_calibration" -> "composes q107: crossJoin(broadcast(totals)) + crossJoin(broadcast(prior)) single-row frames",
     "q117_bm25_index_probe" -> "composes q90's scoring core over the persisted postings: crossJoin(broadcast(totals)) single-row (d_docs, a_cdl)",
     // q122_unigram_encode carries no crossJoin: the vocab totals are

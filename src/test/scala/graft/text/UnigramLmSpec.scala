@@ -117,6 +117,29 @@ class UnigramLmSpec extends SparkSpec {
     assert(enc.count() == 2 && enc.where(col("sub_str") =!= "").isEmpty)
   }
 
+  test("learn at a real vocabulary scale stays two Viterbi passes (bounded time)") {
+    // a synthetic corpus with thousands of word types: learning cost
+    // must stay corpus-INDEPENDENT in pass count (seed agg + 2 Viterbi
+    // passes + prune — no per-piece driver loop, the contrast with
+    // BPE's per-merge rounds)
+    val docs = (0 until 4000).map { i =>
+      (i.toLong, s"prefix${i % 97}mid${i % 53}suffix${i % 31} " +
+        s"common shared tokens ride along w${i % 701}x")
+    }.toDF("doc_id", "text")
+    val cfg = UnigramLm.Config(maxPieceLen = 8, seedMulti = 2000, vocabMulti = 1000)
+    val t0 = System.nanoTime()
+    val (vocab, segs) = UnigramLm.learn(docs, "text", cfg)
+    val nVocab = vocab.count()
+    val nTypes = segs.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(nTypes > 1500, s"fixture degenerate: only $nTypes word types")
+    assert(nVocab > 100)
+    // generous local bound — the point is no per-piece iteration blowup
+    assert(secs < 120.0, s"2k-seed/1k-vocab learn took $secs s")
+    segs.collect().foreach(r =>
+      assert(r.getString(2).replace(dd, "") == r.getString(0)))
+  }
+
   test("learn: prune cut is deterministic under usage ties and respects vocabMulti") {
     // many equal-usage bigrams: the cut must break ties on piece asc
     val docs = Seq((1L, "aa bb cc dd ee ff gg hh")).toDF("doc_id", "text")
