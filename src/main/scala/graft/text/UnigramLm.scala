@@ -193,4 +193,23 @@ object UnigramLm {
   def learn(docs: DataFrame, textCol: String, cfg: Config = Config())
       : (DataFrame, DataFrame) =
     learnFromCounts(Bpe.wordCounts(docs, textCol), cfg)
+
+  /** Encode NEW text under a learned vocabulary — the deployment path.
+    * [[Bpe.encode]] with the training segmentation frame covers
+    * training words only (unseen words char-fall-back, which is exact
+    * for BPE but merely safe for unigram-LM); here every word TYPE of
+    * the new corpus runs its own Viterbi pass under the standing
+    * scores, so unseen words segment by maximum likelihood like
+    * everything else. Words containing characters outside the
+    * vocabulary still char-fall-back (their seg is NULL and
+    * [[Bpe.encode]]'s coalesce takes over) — the shared
+    * every-document-surfaces contract holds. Cost: one word-type
+    * tokenize of the new corpus + the broadcast-map kernel — no
+    * relearn, no corpus reshuffle beyond its own doc grouping. */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, cfg: Config = Config()): DataFrame = {
+    val segs = viterbiSegments(Bpe.wordCounts(docs, textCol),
+      vocab.select(col("piece"), col("score_milli").as("s")), cfg.maxPieceLen)
+    Bpe.encode(docs, idCol, textCol, segs.where(col("seg").isNotNull))
+  }
 }

@@ -1,0 +1,66 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+/** Deterministic corruption sweep over every byte-level decoder: a
+  * decoder fed a damaged payload may return Some (the damage landed in
+  * slack it legitimately tolerates — e.g. unvalidated CRCs) or None,
+  * but must NEVER throw, hang, or read out of bounds. Seeds are fixed,
+  * so a failure reproduces exactly. */
+class DecoderFuzzSpec extends SparkSpec {
+
+  private def fuzz(name: String, base: Array[Byte],
+      decode: Array[Byte] => Any): Unit = {
+    val rnd = new scala.util.Random(42)
+    var i = 0
+    while (i < 300) {
+      val b = base.clone()
+      val mode = rnd.nextInt(4)
+      mode match {
+        case 0 => // flip 1-4 random bytes
+          (0 to rnd.nextInt(4)).foreach { _ =>
+            b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+          }
+          decode(b)
+        case 1 => // truncate anywhere
+          decode(b.take(rnd.nextInt(b.length)))
+        case 2 => // truncate AND flip
+          val t = b.take(1 + rnd.nextInt(b.length - 1))
+          if (t.nonEmpty) t(rnd.nextInt(t.length)) = rnd.nextInt(256).toByte
+          decode(t)
+        case _ => // splice random garbage into the middle
+          val at = rnd.nextInt(b.length)
+          val junk = Array.fill(1 + rnd.nextInt(16))(rnd.nextInt(256).toByte)
+          decode(b.take(at) ++ junk ++ b.drop(at))
+      }
+      i += 1
+    }
+  }
+
+  test("PNG pixel decoder survives 300 deterministic corruptions") {
+    val base = Multimodal.pngBytes(6, 9, (x, y, c) => (x * 31 + y * 7 + c) % 256)
+    fuzz("png", base, Multimodal.decodePngPixels)
+  }
+
+  test("JPEG decoder survives 300 deterministic corruptions") {
+    val base = Jpeg.dcOnlyBytes(16, 16, 3,
+      (bx, by, c) => if (c == 0) (bx * 50 + by * 90) % 256 else 128)
+    fuzz("jpeg", base, Jpeg.decodeJpegPixels)
+  }
+
+  test("WAV sample decoder survives 300 deterministic corruptions") {
+    val body = Array.tabulate(64)(i => ((i * 37) % 256 - 128).toByte)
+    val base = Multimodal.wavHeaderBytes(16000, 2, 16, body.length) ++ body
+    fuzz("wav", base, Multimodal.decodeWavSamples)
+  }
+
+  test("MP4 sample-table walker survives 300 deterministic corruptions") {
+    import spark.implicits._
+    val base = Multimodal.mp4SampleCorpusFromDocuments(Seq(6L).toDF("doc_id"))
+      .collect()(0).getAs[Array[Byte]](1)
+    fuzz("mp4", base, Multimodal.parseMp4SampleTables)
+    // the header walker shares the box iterator — sweep it too
+    fuzz("mp4-header", Multimodal.mp4HeaderBytes(640, 360, 600, 1200),
+      Multimodal.parseMp4Header)
+  }
+}

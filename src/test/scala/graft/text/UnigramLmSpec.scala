@@ -117,6 +117,36 @@ class UnigramLmSpec extends SparkSpec {
     assert(enc.count() == 2 && enc.where(col("sub_str") =!= "").isEmpty)
   }
 
+  test("encode of NEW text: unseen words segment by maximum likelihood, not chars") {
+    // train where "inter", "national" become strong pieces, then encode
+    // a corpus containing the UNSEEN word "internationalize"
+    val train = Seq(
+      (1L, "inter inter inter inter national national national national"),
+      (2L, "inter national inter national")).toDF("doc_id", "text")
+    val cfg = UnigramLm.Config(maxPieceLen = 8, seedMulti = 50, vocabMulti = 20)
+    val (vocab, trainSegs) = UnigramLm.learn(train, "text", cfg)
+    val fresh = Seq((9L, "international inter")).toDF("doc_id", "text")
+    val enc = UnigramLm.encode(fresh, "doc_id", "text", vocab, cfg)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // "international" never occurred as a word type, but its ML
+    // segmentation under the vocabulary is inter + national — the char
+    // fallback would emit 13 single letters
+    assert(enc(9L) == "inter national inter", s"got: ${enc(9L)}")
+    // on the TRAINING corpus, encode-under-vocab == encode-with-the-
+    // learned-segmentation-frame (same Viterbi, same scores)
+    val a = UnigramLm.encode(train, "doc_id", "text", vocab, cfg)
+      .collect().map(_.toString).sorted.toSeq
+    val b = Bpe.encode(train, "doc_id", "text", trainSegs)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+    // out-of-vocabulary CHARS still fall back to chars, docs all surface
+    val alien = Seq((5L, "inter zzz99"), (6L, "")).toDF("doc_id", "text")
+    val e2 = UnigramLm.encode(alien, "doc_id", "text", vocab, cfg)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(e2(5L).startsWith("inter z z z"), s"got: ${e2(5L)}")
+    assert(e2(6L) == "")
+  }
+
   test("learn at a real vocabulary scale stays two Viterbi passes (bounded time)") {
     // a synthetic corpus with thousands of word types: learning cost
     // must stay corpus-INDEPENDENT in pass count (seed agg + 2 Viterbi
