@@ -381,10 +381,15 @@ object Multimodal {
 
   /** Deterministic DC-only JPEG corpus from the documents table:
     * id-derived block grid (1-3 × 1-2 blocks of 8×8), block luma
-    * p(bx, by) = (29·id + 17·bx + 23·by) mod 256, neutral chroma;
-    * even ids encode 3-component YCbCr, odd ids grayscale — both REAL
-    * baseline streams through the full DHT/DQT/SOF/SOS + entropy
-    * path. The oracle replays the closed-form block constants (the
+    * p(bx, by) = (29·id + 17·bx + 23·by) mod 256; even ids encode
+    * 3-component YCbCr with ACTIVE per-image chroma drawn from
+    * {88, 108, 128, 148, 168} (so the color-conversion math is really
+    * exercised — every member of that set × every luma sits ≥ 1e-6
+    * from a .5 rounding boundary as an exact rational, verified
+    * exhaustively, so round-then-clamp is integer-identical in the
+    * engine and the oracle), odd ids grayscale — both REAL baseline
+    * streams through the full DHT/DQT/SOF/SOS + entropy path. The
+    * oracle replays the closed-form converted block constants (the
     * q119 pattern; see [[Jpeg]] for why DC-only is integer-exact). */
   def jpegDcCorpusFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
@@ -393,9 +398,11 @@ object Multimodal {
       val nbx = (java.lang.Math.floorMod(id, 3L) + 1).toInt
       val nby = (java.lang.Math.floorMod(id, 2L) + 1).toInt
       val comps = if (java.lang.Math.floorMod(id, 2L) == 0L) 3 else 1
+      val cb = (88L + 20L * java.lang.Math.floorMod(java.lang.Math.floorDiv(id, 2L), 5L)).toInt
+      val cr = (88L + 20L * java.lang.Math.floorMod(java.lang.Math.floorDiv(id, 2L) + 1L, 5L)).toInt
       (id, Jpeg.dcOnlyBytes(nbx * 8, nby * 8, comps, (bx, by, c) =>
         if (c == 0) java.lang.Math.floorMod(29L * id + 17L * bx + 23L * by, 256L).toInt
-        else 128))
+        else if (c == 1) cb else cr))
     }.toDF("media_id", "payload")
   }
 

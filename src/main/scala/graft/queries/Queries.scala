@@ -4291,30 +4291,42 @@ object Queries {
     "q121_unigram_vocab" -> q121Oracle,
     "q122_unigram_encode" -> q122Oracle,
     "q123_unigram_fertility" -> q123Oracle,
-    // closed-form replay of the DC-only block constants: the engine
-    // only matches after a correct Huffman + dequant + IDCT of every
-    // block (grayscale expands to R=G=B; chroma is neutral, so color
-    // conversion is integer-exact)
+    // closed-form replay of the DC-only block constants, INCLUDING the
+    // JFIF color conversion for the 3-component (even-id) images: every
+    // (chroma, luma) combination the generator can emit sits >= 1e-6
+    // from a .5 rounding boundary (exhaustively verified), so
+    // round-then-clamp is integer-identical across engines
     "q124_jpeg_pixels" ->
       """WITH d AS (
         |  SELECT doc_id, ((doc_id % 3) + 1)::INTEGER AS nbx,
         |         ((doc_id % 2) + 1)::INTEGER AS nby,
-        |         (CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END)::INTEGER AS channels
+        |         (CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END)::INTEGER AS channels,
+        |         (88 + 20 * ((doc_id // 2) % 5) - 128)::BIGINT AS c1,
+        |         (88 + 20 * (((doc_id // 2) + 1) % 5) - 128)::BIGINT AS c2
         |  FROM documents),
         |g AS (SELECT unnest(range(0, 3)) AS i),
         |blk AS (
-        |  SELECT d.doc_id,
+        |  SELECT d.doc_id, d.channels, d.c1, d.c2,
         |    ((29 * d.doc_id + 17 * gx.i + 23 * gy.i) % 256)::BIGINT AS p
         |  FROM d JOIN g gx ON gx.i < d.nbx JOIN g gy ON gy.i < d.nby),
+        |px AS (
+        |  SELECT doc_id,
+        |    CASE WHEN channels = 1 THEN p ELSE
+        |      greatest(0, least(255, round(p + 1.402 * c2)))::BIGINT END AS r,
+        |    CASE WHEN channels = 1 THEN p ELSE
+        |      greatest(0, least(255, round(p - 0.344136 * c1 - 0.714136 * c2)))::BIGINT END AS gg,
+        |    CASE WHEN channels = 1 THEN p ELSE
+        |      greatest(0, least(255, round(p + 1.772 * c1)))::BIGINT END AS b
+        |  FROM blk),
         |s AS (
-        |  SELECT doc_id, (64 * sum(p))::BIGINT AS sv,
-        |         (64 * sum(p * p))::BIGINT AS sq
-        |  FROM blk GROUP BY 1)
+        |  SELECT doc_id, (64 * sum(r))::BIGINT AS sum_r,
+        |    (64 * sum(gg))::BIGINT AS sum_g, (64 * sum(b))::BIGINT AS sum_b,
+        |    (64 * sum(r * r))::BIGINT AS ssq_r, (64 * sum(gg * gg))::BIGINT AS ssq_g,
+        |    (64 * sum(b * b))::BIGINT AS ssq_b
+        |  FROM px GROUP BY 1)
         |SELECT d.doc_id AS media_id, 'jpeg' AS format,
         |  (8 * d.nbx)::INTEGER AS width, (8 * d.nby)::INTEGER AS height,
-        |  d.channels,
-        |  s.sv AS sum_r, s.sv AS sum_g, s.sv AS sum_b,
-        |  s.sq AS ssq_r, s.sq AS ssq_g, s.sq AS ssq_b
+        |  d.channels, s.sum_r, s.sum_g, s.sum_b, s.ssq_r, s.ssq_g, s.ssq_b
         |FROM d JOIN s USING (doc_id)""".stripMargin,
     // closed-form replay of the id-derived sample tables: per-sample
     // stsz sums for even ids, the uniform shortcut for odd ids

@@ -104,10 +104,14 @@ class JpegSpec extends SparkSpec {
     assert(stats.where(col("format") === "unknown").isEmpty,
       "every generated payload must decode")
     val r = stats.where(col("media_id") === 2L).collect()(0)
-    // id=2: 3x1 blocks, color (channels 3)
+    // id=2: 3x1 blocks, color (channels 3) with ACTIVE chroma
+    // cb=108 (c1=-20), cr=128 (c2=0): R stays the luma, G/B shift
     assert(r.getInt(2) == 24 && r.getInt(3) == 8 && r.getInt(4) == 3)
-    val expect = (0 until 3).map(bx => (29L * 2 + 17 * bx) % 256).map(p => 64L * p).sum
-    assert(r.getLong(5) == expect && r.getLong(6) == expect && r.getLong(7) == expect)
+    def cl(d: Double) = math.max(0L, math.min(255L, Math.round(d)))
+    val ps = (0 until 3).map(bx => (29L * 2 + 17 * bx) % 256)
+    assert(r.getLong(5) == ps.map(p => 64L * cl(p + 1.402 * 0)).sum)
+    assert(r.getLong(6) == ps.map(p => 64L * cl(p - 0.344136 * -20 - 0.714136 * 0)).sum)
+    assert(r.getLong(7) == ps.map(p => 64L * cl(p + 1.772 * -20)).sum)
     assert(stats.count() == 40)
     // negative ids produce valid streams too (floorMod geometry)
     val neg = Seq(-7L).toDF("doc_id")
