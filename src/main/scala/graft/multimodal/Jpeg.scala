@@ -5,12 +5,12 @@ package graft.multimodal
   * entropy decode + dequant + IDCT), built from the public T.81 spec.
   *
   * Scope (documented, loudly rejected otherwise): baseline sequential
-  * DCT (SOF0), 8-bit precision, 1 or 3 components at 4:4:4 sampling
-  * (all sampling factors 1), single interleaved scan, no restart
-  * intervals. That covers the encoder below and the overwhelmingly
-  * common "decoded elsewhere, re-encoded 4:4:4" lake payload;
-  * progressive/subsampled payloads surface as None (format="unknown"
-  * in the stats frame), never as garbage pixels.
+  * DCT (SOF0), 8-bit precision, grayscale / 4:4:4 / 4:2:0 (luma 2×2,
+  * chroma 1×1 — the dominant real-world layout; chroma planes decode
+  * at half resolution and upsample by index scaling at the color
+  * conversion), single interleaved scan, no restart intervals.
+  * Progressive and other sampling layouts surface as None
+  * (format="unknown" in the stats frame), never as garbage pixels.
   *
   * The fixture encoder ([[dcOnlyBytes]]) emits REAL JPEGs — custom
   * canonical Huffman tables in DHT, FF-stuffed entropy data — whose
@@ -152,7 +152,8 @@ object Jpeg {
       val qt = new java.util.HashMap[Int, Array[Int]]() // id -> natural-order table
       val dcT = new java.util.HashMap[Int, Huff]()
       val acT = new java.util.HashMap[Int, Huff]()
-      var sof: Option[(Int, Int, Array[(Int, Int)])] = None // (w, h, comps (id, tq))
+      // (w, h, comps as (id, tq, hSamp, vSamp))
+      var sof: Option[(Int, Int, Array[(Int, Int, Int, Int)])] = None
       var i = 2
       while (i + 3 < b.length) {
         if ((b(i) & 0xff) != 0xff) return None
@@ -197,13 +198,17 @@ object Jpeg {
               val h = be16(b, body + 1); val w = be16(b, body + 3)
               val nc = b(body + 5) & 0xff
               if (precision != 8 || (nc != 1 && nc != 3)) return None
+              // (id, tq, hSamp, vSamp); supported layouts: all-(1,1)
+              // (4:4:4 / grayscale) or Y=(2,2) with (1,1) chroma (4:2:0)
               val comps = (0 until nc).map { c =>
                 val o = body + 6 + 3 * c
-                val id = b(o) & 0xff
                 val hv = b(o + 1) & 0xff
-                if (hv != 0x11) return None // 4:4:4 only
-                (id, b(o + 2) & 0xff)
+                (b(o) & 0xff, b(o + 2) & 0xff, (hv >> 4) & 0x0f, hv & 0x0f)
               }.toArray
+              val ok = comps.forall(c => c._3 == 1 && c._4 == 1) ||
+                (nc == 3 && comps(0)._3 == 2 && comps(0)._4 == 2 &&
+                  comps.tail.forall(c => c._3 == 1 && c._4 == 1))
+              if (!ok) return None
               if (w <= 0 || h <= 0) return None
               sof = Some((w, h, comps))
             case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
@@ -223,49 +228,67 @@ object Jpeg {
                 (ci, (tt >> 4) & 0x0f, tt & 0x0f)
               }
               val r = new BitReader(b, j + 1 + segLen)
-              val bw = (w + 7) / 8; val bh = (h + 7) / 8
-              val planes = Array.fill(comps.length)(new Array[Int](bw * 8 * bh * 8))
+              val maxH = comps.map(_._3).max; val maxV = comps.map(_._4).max
+              val mcusX = (w + 8 * maxH - 1) / (8 * maxH)
+              val mcusY = (h + 8 * maxV - 1) / (8 * maxV)
+              // per-component plane at ITS resolution (chroma planes of
+              // a 4:2:0 image are half-size; upsampling happens at the
+              // color conversion by index scaling)
+              val planeW = comps.map(c => mcusX * c._3 * 8)
+              val planes = comps.indices.map(ci =>
+                new Array[Int](planeW(ci) * mcusY * comps(ci)._4 * 8)).toArray
               val pred = new Array[Int](comps.length)
-              var by = 0
-              while (by < bh) {
-                var bx = 0
-                while (bx < bw) {
+              var my = 0
+              while (my < mcusY) {
+                var mx = 0
+                while (mx < mcusX) {
                   for ((ci, td, ta) <- scan) {
                     val q = qt.get(comps(ci)._2); if (q == null) return None
                     val dc = dcT.get(td); val ac = acT.get(ta)
                     if (dc == null || ac == null) return None
-                    val coef = new Array[Int](64)
-                    val t = dc.decode(r)
-                    pred(ci) += extend(r.readBits(t), t)
-                    coef(0) = pred(ci) * q(0)
-                    var k = 1
-                    var eob = false
-                    while (k < 64 && !eob) {
-                      val rs = ac.decode(r)
-                      val run = rs >> 4; val size = rs & 0x0f
-                      if (size == 0) {
-                        if (run == 15) k += 16 else eob = true
-                      } else {
-                        k += run
-                        if (k > 63) return None
-                        coef(Zigzag(k)) = extend(r.readBits(size), size) * q(Zigzag(k))
-                        k += 1
+                    val (hS, vS) = (comps(ci)._3, comps(ci)._4)
+                    var byy = 0
+                    while (byy < vS) {
+                      var bxx = 0
+                      while (bxx < hS) {
+                        val coef = new Array[Int](64)
+                        val t = dc.decode(r)
+                        pred(ci) += extend(r.readBits(t), t)
+                        coef(0) = pred(ci) * q(0)
+                        var k = 1
+                        var eob = false
+                        while (k < 64 && !eob) {
+                          val rs = ac.decode(r)
+                          val run = rs >> 4; val size = rs & 0x0f
+                          if (size == 0) {
+                            if (run == 15) k += 16 else eob = true
+                          } else {
+                            k += run
+                            if (k > 63) return None
+                            coef(Zigzag(k)) = extend(r.readBits(size), size) * q(Zigzag(k))
+                            k += 1
+                          }
+                        }
+                        val px = idctBlock(coef)
+                        val px0 = (mx * hS + bxx) * 8
+                        val py0 = (my * vS + byy) * 8
+                        var yy = 0
+                        while (yy < 8) {
+                          var xx = 0
+                          while (xx < 8) {
+                            planes(ci)((py0 + yy) * planeW(ci) + px0 + xx) = px(yy * 8 + xx)
+                            xx += 1
+                          }
+                          yy += 1
+                        }
+                        bxx += 1
                       }
-                    }
-                    val px = idctBlock(coef)
-                    var yy = 0
-                    while (yy < 8) {
-                      var xx = 0
-                      while (xx < 8) {
-                        planes(ci)((by * 8 + yy) * bw * 8 + bx * 8 + xx) = px(yy * 8 + xx)
-                        xx += 1
-                      }
-                      yy += 1
+                      byy += 1
                     }
                   }
-                  bx += 1
+                  mx += 1
                 }
-                by += 1
+                my += 1
               }
               val out = new Array[Byte](w * h * 3)
               var yy = 0
@@ -273,12 +296,14 @@ object Jpeg {
                 var xx = 0
                 while (xx < w) {
                   val o = (yy * w + xx) * 3
-                  val p0 = planes(0)(yy * bw * 8 + xx)
+                  def smp(ci: Int): Int = planes(ci)(
+                    (yy * comps(ci)._4 / maxV) * planeW(ci) + xx * comps(ci)._3 / maxH)
+                  val p0 = smp(0)
                   if (comps.length == 1) {
                     out(o) = p0.toByte; out(o + 1) = p0.toByte; out(o + 2) = p0.toByte
                   } else {
-                    val cb = planes(1)(yy * bw * 8 + xx) - 128
-                    val cr = planes(2)(yy * bw * 8 + xx) - 128
+                    val cb = smp(1) - 128
+                    val cr = smp(2) - 128
                     out(o) = clamp8(p0 + 1.402 * cr).toByte
                     out(o + 1) = clamp8(p0 - 0.344136 * cb - 0.714136 * cr).toByte
                     out(o + 2) = clamp8(p0 + 1.772 * cb).toByte
@@ -389,6 +414,75 @@ object Jpeg {
     }
     bw.flushOnes()
     m(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** [[dcOnlyBytes]] for 4:2:0 — Y sampled 2×2, chroma 1×1, the
+    * dominant real-world layout: dims multiples of 16; luma is an 8×8
+    * constant per block `lumaVal(bx, by)` over the (w/8)×(h/8) grid,
+    * chroma is constant per MCU `chromaVal(mx, my, c∈{0=Cb,1=Cr})`.
+    * The MCU entropy order is the T.81 interleave — 4 raster luma
+    * blocks, then Cb, then Cr — with per-component DC predictors, so
+    * the decoder's full subsampled MCU loop and half-resolution chroma
+    * plane indexing are really exercised. */
+  def dcOnly420Bytes(w: Int, h: Int, lumaVal: (Int, Int) => Int,
+      chromaVal: (Int, Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w % 16 == 0 && h % 16 == 0,
+      s"dcOnly420Bytes: dims must be positive multiples of 16, got ${w}x$h")
+    val out = new java.io.ByteArrayOutputStream()
+    def m(mk: Int): Unit = { out.write(0xff); out.write(mk) }
+    def w16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    m(0xd8)
+    m(0xe0); w16(16)
+    out.write(Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0), 0, 14)
+    m(0xdb); w16(2 + 65); out.write(0x00)
+    (0 until 64).foreach(_ => out.write(1))
+    m(0xc0); w16(8 + 9); out.write(8); w16(h); w16(w); out.write(3)
+    out.write(1); out.write(0x22); out.write(0) // Y: 2x2
+    out.write(2); out.write(0x11); out.write(0) // Cb
+    out.write(3); out.write(0x11); out.write(0) // Cr
+    m(0xc4); w16(2 + 17 + 12); out.write(0x00)
+    Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).foreach(out.write)
+    (0 until 12).foreach(out.write)
+    m(0xc4); w16(2 + 17 + 2); out.write(0x10)
+    Array(0, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).foreach(out.write)
+    out.write(0x00); out.write(0xf0)
+    m(0xda); w16(6 + 6); out.write(3)
+    (1 to 3).foreach { id => out.write(id); out.write(0x00) }
+    out.write(0); out.write(63); out.write(0)
+    val bw = new BitWriter(out)
+    val pred = new Array[Int](3)
+    def block(c: Int, p: Int): Unit = {
+      require(p >= 0 && p <= 255, s"block value out of range: $p")
+      val v = 8 * (p - 128)
+      val diff = v - pred(c); pred(c) = v
+      val t = dcCategory(diff)
+      bw.write(t, 4)
+      if (t > 0) bw.write(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+      bw.write(0, 2) // AC EOB
+    }
+    val (nmx, nmy) = (w / 16, h / 16)
+    var my = 0
+    while (my < nmy) {
+      var mx = 0
+      while (mx < nmx) {
+        var byy = 0
+        while (byy < 2) {
+          var bxx = 0
+          while (bxx < 2) {
+            block(0, lumaVal(mx * 2 + bxx, my * 2 + byy))
+            bxx += 1
+          }
+          byy += 1
+        }
+        block(1, chromaVal(mx, my, 0))
+        block(2, chromaVal(mx, my, 1))
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flushOnes()
+    m(0xd9)
     out.toByteArray
   }
 }

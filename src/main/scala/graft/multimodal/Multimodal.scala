@@ -406,6 +406,24 @@ object Multimodal {
     }.toDF("media_id", "payload")
   }
 
+  /** Deterministic 4:2:0 DC-only JPEG corpus — [[
+    * jpegDcCorpusFromDocuments]]'s pattern for the subsampled layout:
+    * id-derived MCU grid (1-2 × 1 MCUs of 16×16), luma per 8-block
+    * p(bx, by) = (31·id + 13·bx + 19·by) mod 256, per-MCU chroma from
+    * the rounding-safe {88..168 step 20} set varying with mx (so the
+    * half-resolution chroma plane indexing is load-bearing). */
+  def jpeg420CorpusFromDocuments(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].map { id =>
+      val nmx = (java.lang.Math.floorMod(id, 2L) + 1).toInt
+      (id, Jpeg.dcOnly420Bytes(nmx * 16, 16,
+        (bx, by) => java.lang.Math.floorMod(31L * id + 13L * bx + 19L * by, 256L).toInt,
+        (mx, my, c) =>
+          (88L + 20L * java.lang.Math.floorMod(id + mx + my + 2L * c, 5L)).toInt))
+    }.toDF("media_id", "payload")
+  }
+
   // ---- real WAV sample decode (16-bit PCM) --------------------------
 
   /** Per-clip sample statistics from a REAL 16-bit PCM decode — exact

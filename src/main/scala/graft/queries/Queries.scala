@@ -1671,6 +1671,18 @@ object Queries {
     graft.multimodal.Multimodal.decodeMp4SampleStats(media).toDF()
   }
 
+  /** 4:2:0 JPEG decode through the gate — the q124 contract on the
+    * dominant real-world sampling layout: the full subsampled MCU loop
+    * (4 raster luma blocks + Cb + Cr per MCU, per-component DC
+    * predictors) and the half-resolution chroma plane with per-MCU
+    * varying chroma, so the upsampling index math is load-bearing.
+    * Same closed-form DC-only + rounding-safe chroma discipline. */
+  def q127Jpeg420(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.jpeg420CorpusFromDocuments(
+      tbl(spark, dir, "documents"))
+    graft.multimodal.Multimodal.decodeJpegPixelStats(media).toDF()
+  }
+
   /** Parquet footer audit through the gate — real lake-ops tooling
     * with a genuinely independent oracle: the engine reads row-group /
     * column metadata via parquet-hadoop's footer reader, DuckDB reads
@@ -3992,7 +4004,8 @@ object Queries {
     "q123_unigram_fertility" -> (q123UnigramFertility _),
     "q124_jpeg_pixels" -> (q124JpegPixels _),
     "q125_mp4_samples" -> (q125Mp4Samples _),
-    "q126_parquet_audit" -> (q126ParquetAudit _))
+    "q126_parquet_audit" -> (q126ParquetAudit _),
+    "q127_jpeg_420" -> (q127Jpeg420 _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -4353,6 +4366,35 @@ object Queries {
         |  ((b.doc_id + b.t) % 2 + 1)::BIGINT AS n_chunks,
         |  (b.n * b.delta)::BIGINT AS duration_ticks
         |FROM base b JOIN persample p ON b.doc_id = p.doc_id AND b.t = p.t""".stripMargin,
+    // 4:2:0: luma varies per 8-block, chroma per MCU (mx = bx // 2);
+    // same rounding-safe closed-form color conversion as q124
+    "q127_jpeg_420" ->
+      """WITH d AS (
+        |  SELECT doc_id, ((doc_id % 2) + 1)::INTEGER AS nmx FROM documents),
+        |g AS (SELECT unnest(range(0, 4)) AS i),
+        |blk AS (
+        |  SELECT d.doc_id, d.nmx,
+        |    ((31 * d.doc_id + 13 * gx.i + 19 * gy.i) % 256)::BIGINT AS p,
+        |    (88 + 20 * ((d.doc_id + (gx.i // 2)) % 5) - 128)::BIGINT AS c1,
+        |    (88 + 20 * ((d.doc_id + (gx.i // 2) + 2) % 5) - 128)::BIGINT AS c2
+        |  FROM d JOIN g gx ON gx.i < 2 * d.nmx
+        |  JOIN g gy ON gy.i < 2),
+        |px AS (
+        |  SELECT doc_id, nmx,
+        |    greatest(0, least(255, round(p + 1.402 * c2)))::BIGINT AS r,
+        |    greatest(0, least(255, round(p - 0.344136 * c1 - 0.714136 * c2)))::BIGINT AS gg,
+        |    greatest(0, least(255, round(p + 1.772 * c1)))::BIGINT AS b
+        |  FROM blk),
+        |s AS (
+        |  SELECT doc_id, max(nmx) AS nmx, (64 * sum(r))::BIGINT AS sum_r,
+        |    (64 * sum(gg))::BIGINT AS sum_g, (64 * sum(b))::BIGINT AS sum_b,
+        |    (64 * sum(r * r))::BIGINT AS ssq_r, (64 * sum(gg * gg))::BIGINT AS ssq_g,
+        |    (64 * sum(b * b))::BIGINT AS ssq_b
+        |  FROM px GROUP BY doc_id)
+        |SELECT doc_id AS media_id, 'jpeg' AS format,
+        |  (16 * nmx)::INTEGER AS width, 16::INTEGER AS height, 3::INTEGER AS channels,
+        |  sum_r, sum_g, sum_b, ssq_r, ssq_g, ssq_b
+        |FROM s""".stripMargin,
     // the same footer bytes through DuckDB's independent reader; the
     // gate runs at sf0.01 by contract (parquet_metadata takes paths)
     "q126_parquet_audit" ->

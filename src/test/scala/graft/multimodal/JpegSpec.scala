@@ -75,6 +75,37 @@ class JpegSpec extends SparkSpec {
       assert((rgb((y * 8 + x) * 3) & 0xff) == ref(x, y), s"pixel ($x,$y)")
   }
 
+  test("4:2:0 round trip: subsampled MCU order and half-res chroma indexing") {
+    // 32x16 = 2 MCUs: distinct luma per 8-block, distinct chroma per
+    // MCU — a swapped MCU block order or wrong chroma index is visible
+    val luma = Array(Array(10, 60, 110, 160), Array(35, 85, 135, 185))
+    def lv(bx: Int, by: Int) = luma(by)(bx)
+    def cv(mx: Int, my: Int, c: Int) = 88 + 20 * ((mx + 2 * c) % 5)
+    val bytes = Jpeg.dcOnly420Bytes(32, 16, lv, cv)
+    val Some((w, h, nc, rgb)) = Jpeg.decodeJpegPixels(bytes)
+    assert(w == 32 && h == 16 && nc == 3)
+    def cl(d: Double) = math.max(0, math.min(255, Math.round(d).toInt))
+    for (y <- 0 until 16; x <- 0 until 32) {
+      val p = lv(x / 8, y / 8)
+      val c1 = cv(x / 16, 0, 0) - 128
+      val c2 = cv(x / 16, 0, 1) - 128
+      val o = (y * 32 + x) * 3
+      assert((rgb(o) & 0xff) == cl(p + 1.402 * c2), s"R($x,$y)")
+      assert((rgb(o + 1) & 0xff) == cl(p - 0.344136 * c1 - 0.714136 * c2), s"G($x,$y)")
+      assert((rgb(o + 2) & 0xff) == cl(p + 1.772 * c1), s"B($x,$y)")
+    }
+    // the generated 4:2:0 corpus decodes clean, negative ids included
+    val stats = Multimodal.decodeJpegPixelStats(
+      Multimodal.jpeg420CorpusFromDocuments(Seq(0L, 1L, -5L).toDF("doc_id"))).toDF()
+    assert(stats.where(col("format") === "unknown").isEmpty)
+    // 4:2:2 (luma 2x1) stays out of scope -> rejected
+    val b422 = bytes.clone()
+    val sofAt = (0 until b422.length - 1).find(i =>
+      (b422(i) & 0xff) == 0xff && (b422(i + 1) & 0xff) == 0xc0).get
+    b422(sofAt + 11) = 0x21.toByte
+    assert(Jpeg.decodeJpegPixels(b422).isEmpty)
+  }
+
   test("out-of-scope and malformed streams are rejected, never misdecoded") {
     val good = Jpeg.dcOnlyBytes(8, 8, 1, (_, _, _) => 100)
     assert(Jpeg.decodeJpegPixels(good).isDefined)
