@@ -34,7 +34,7 @@ object Jpeg {
   /** Entropy-segment bit reader with 0xFF00 stuffing (T.81 B.1.1.5):
     * a 0xFF data byte is followed by a stuffed 0x00; any other value
     * after 0xFF is a marker — surfaced as MarkerHit so the caller can
-    * reject restart markers cleanly. */
+    * consume an expected restart marker or reject cleanly. */
   private final class BitReader(b: Array[Byte], var pos: Int) {
     private var acc = 0
     private var n = 0
@@ -57,6 +57,15 @@ object Jpeg {
       var v = 0; var i = 0
       while (i < k) { v = (v << 1) | readBit(); i += 1 }
       v
+    }
+    /** Consume an expected RSTm marker at a restart boundary: discard
+      * the partial byte (encoders pad with 1s), then the 0xFF D0+m
+      * pair must follow in MODULO-8 sequence (T.81 E.1.4). */
+    def expectRestart(m: Int): Unit = {
+      n = 0 // byte-align: padding bits discard
+      if (pos + 1 >= b.length || (b(pos) & 0xff) != 0xff ||
+          (b(pos + 1) & 0xff) != (0xd0 + m)) throw new MarkerHit(-3)
+      pos += 2
     }
   }
 
@@ -154,6 +163,7 @@ object Jpeg {
       val acT = new java.util.HashMap[Int, Huff]()
       // (w, h, comps as (id, tq, hSamp, vSamp))
       var sof: Option[(Int, Int, Array[(Int, Int, Int, Int)])] = None
+      var dri = 0 // restart interval in MCUs (0 = none)
       var i = 2
       while (i + 3 < b.length) {
         if ((b(i) & 0xff) != 0xff) return None
@@ -214,8 +224,8 @@ object Jpeg {
             case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
                  0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
               return None // non-baseline SOF
-            case 0xdd => // DRI: restart intervals out of scope
-              if (be16(b, body) != 0) return None
+            case 0xdd => // DRI: restart interval in MCUs (0 = none)
+              dri = be16(b, body)
             case 0xda => // SOS — decode the scan and return
               val (w, h, comps) = sof.getOrElse(return None)
               val ns = b(body) & 0xff
@@ -238,10 +248,20 @@ object Jpeg {
               val planes = comps.indices.map(ci =>
                 new Array[Int](planeW(ci) * mcusY * comps(ci)._4 * 8)).toArray
               val pred = new Array[Int](comps.length)
+              var mcuIdx = 0
+              var rstSeq = 0
               var my = 0
               while (my < mcusY) {
                 var mx = 0
                 while (mx < mcusX) {
+                  // restart boundary: byte-align, consume RSTm in
+                  // modulo-8 sequence, reset every DC predictor
+                  if (dri > 0 && mcuIdx > 0 && mcuIdx % dri == 0) {
+                    r.expectRestart(rstSeq)
+                    rstSeq = (rstSeq + 1) % 8
+                    java.util.Arrays.fill(pred, 0)
+                  }
+                  mcuIdx += 1
                   for ((ci, td, ta) <- scan) {
                     val q = qt.get(comps(ci)._2); if (q == null) return None
                     val dc = dcT.get(td); val ac = acT.get(ta)
@@ -356,7 +376,7 @@ object Jpeg {
     * entropy-decode + IDCT path on it, and the decoded block is
     * exactly the constant (DC 8·(p−128) dequantized by 1 IDCTs to p). */
   def dcOnlyBytes(w: Int, h: Int, comps: Int,
-      blockVal: (Int, Int, Int) => Int): Array[Byte] = {
+      blockVal: (Int, Int, Int) => Int, restartInterval: Int = 0): Array[Byte] = {
     require(w > 0 && h > 0 && w % 8 == 0 && h % 8 == 0,
       s"dcOnlyBytes: dims must be positive multiples of 8, got ${w}x$h")
     require(comps == 1 || comps == 3, s"comps must be 1 or 3: $comps")
@@ -370,6 +390,7 @@ object Jpeg {
     // DQT: table 0, all ones
     m(0xdb); w16(2 + 65); out.write(0x00)
     (0 until 64).foreach(_ => out.write(1))
+    if (restartInterval > 0) { m(0xdd); w16(4); w16(restartInterval) }
     // SOF0
     m(0xc0); w16(8 + 3 * comps); out.write(8); w16(h); w16(w); out.write(comps)
     (1 to comps).foreach { id => out.write(id); out.write(0x11); out.write(0) }
@@ -392,10 +413,20 @@ object Jpeg {
     val bw = new BitWriter(out)
     val pred = new Array[Int](comps)
     val (nbx, nby) = (w / 8, h / 8)
+    var mcuIdx = 0
+    var rstSeq = 0
     var by = 0
     while (by < nby) {
       var bx = 0
       while (bx < nbx) {
+        // restart boundary: pad to a byte, emit RSTm, reset predictors
+        if (restartInterval > 0 && mcuIdx > 0 && mcuIdx % restartInterval == 0) {
+          bw.flushOnes()
+          out.write(0xff); out.write(0xd0 + rstSeq)
+          rstSeq = (rstSeq + 1) % 8
+          java.util.Arrays.fill(pred, 0)
+        }
+        mcuIdx += 1
         var c = 0
         while (c < comps) {
           val p = blockVal(bx, by, c)

@@ -106,6 +106,33 @@ class JpegSpec extends SparkSpec {
     assert(Jpeg.decodeJpegPixels(b422).isEmpty)
   }
 
+  test("restart intervals: RSTm sequence + predictor resets round-trip; bad sequence rejected") {
+    // 4x3 = 12 blocks, restart every 2 MCUs: 5 RST markers, predictors
+    // reset at each — values chosen so a missed reset shifts every
+    // block after the first boundary
+    def pix(bx: Int, by: Int, c: Int) = (40 * bx + 70 * by + 10 * c) % 256
+    val bytes = Jpeg.dcOnlyBytes(32, 24, 3, pix, restartInterval = 2)
+    // the stream really contains RST markers
+    val nRst = (0 until bytes.length - 1).count(i =>
+      (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) >= 0xd0 &&
+        (bytes(i + 1) & 0xff) <= 0xd7)
+    assert(nRst == 5, s"expected 5 restart markers, found $nRst")
+    val Some((w, h, nc, rgb)) = Jpeg.decodeJpegPixels(bytes)
+    assert(w == 32 && h == 24 && nc == 3)
+    def cl(d: Double) = math.max(0, math.min(255, Math.round(d).toInt))
+    for (y <- 0 until 24; x <- 0 until 32) {
+      val p = pix(x / 8, y / 8, 0)
+      val c1 = pix(x / 8, y / 8, 1) - 128; val c2 = pix(x / 8, y / 8, 2) - 128
+      assert((rgb((y * 32 + x) * 3) & 0xff) == cl(p + 1.402 * c2), s"R($x,$y)")
+    }
+    // breaking the modulo-8 restart sequence must reject, not shift
+    val bad = bytes.clone()
+    val firstRst = (0 until bad.length - 1).find(i =>
+      (bad(i) & 0xff) == 0xff && (bad(i + 1) & 0xff) == 0xd0).get
+    bad(firstRst + 1) = 0xd5.toByte
+    assert(Jpeg.decodeJpegPixels(bad).isEmpty)
+  }
+
   test("out-of-scope and malformed streams are rejected, never misdecoded") {
     val good = Jpeg.dcOnlyBytes(8, 8, 1, (_, _, _) => 100)
     assert(Jpeg.decodeJpegPixels(good).isDefined)
