@@ -1683,6 +1683,30 @@ object Queries {
     graft.multimodal.Multimodal.decodeJpegPixelStats(media).toDF()
   }
 
+  /** HTML → text extraction through the gate: each document's text is
+    * wrapped in a REAL page skeleton — head with style/script elements
+    * (the script body contains a bare `<` that a naive tag strip would
+    * desynchronize on), comments, nested tags, and all five standard
+    * entities — and the engine's expression-only extractor must
+    * recover clean text; the oracle replays generation AND extraction
+    * with DuckDB's RE2 regexp_replace, pinning the cross-engine
+    * pattern semantics and the script-first/amp-last ordering. */
+  def q128HtmlText(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val html = concat(
+      lit("<html><head><title>T</title><style>body { margin: 0; }</style>" +
+        "<script type=\"text/javascript\">var x = 1 < 2;</script></head>" +
+        "<body><!-- generated\n page --><h1>Doc &amp; heading</h1>" +
+        "<p class=\"main\">"),
+      coalesce(col("text"), lit("")),
+      lit("</p><div><span>&lt;tail&gt; &quot;q&quot; &#39;s&#39;</span>" +
+        "</div></body></html>"))
+    docs.select(col("doc_id"),
+        graft.text.Html.htmlToText(html).as("clean_text"))
+      .withColumn("n_tokens",
+        size(graft.text.TextFunctions.tokens(col("clean_text"))).cast("long"))
+  }
+
   /** Parquet footer audit through the gate — real lake-ops tooling
     * with a genuinely independent oracle: the engine reads row-group /
     * column metadata via parquet-hadoop's footer reader, DuckDB reads
@@ -4005,7 +4029,8 @@ object Queries {
     "q124_jpeg_pixels" -> (q124JpegPixels _),
     "q125_mp4_samples" -> (q125Mp4Samples _),
     "q126_parquet_audit" -> (q126ParquetAudit _),
-    "q127_jpeg_420" -> (q127Jpeg420 _))
+    "q127_jpeg_420" -> (q127Jpeg420 _),
+    "q128_html_text" -> (q128HtmlText _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -4395,6 +4420,34 @@ object Queries {
         |  (16 * nmx)::INTEGER AS width, 16::INTEGER AS height, 3::INTEGER AS channels,
         |  sum_r, sum_g, sum_b, ssq_r, ssq_g, ssq_b
         |FROM s""".stripMargin,
+    // generation AND extraction replayed under DuckDB's RE2 — pattern
+    // semantics, strip ordering, and entity decode order all pinned
+    "q128_html_text" ->
+      """WITH hh AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>T</title><style>body { margin: 0; }</style>' ||
+        |    '<script type="text/javascript">var x = 1 < 2;</script></head>' ||
+        |    '<body><!-- generated' || chr(10) || ' page --><h1>Doc &amp; heading</h1>' ||
+        |    '<p class="main">' || coalesce(text, '') ||
+        |    '</p><div><span>&lt;tail&gt; &quot;q&quot; &#39;s&#39;</span></div></body></html>'
+        |    AS html
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |            '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |          '(?s)<!--.*?-->', ' ', 'g'),
+        |        '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+        |    '[ \t\n\r]+', ' ', 'g')) AS clean_text
+        |  FROM hh)
+        |SELECT doc_id, clean_text,
+        |  len(list_filter(string_split(lower(trim(clean_text)), ' '), x -> x != ''))::BIGINT AS n_tokens
+        |FROM c""".stripMargin,
     // the same footer bytes through DuckDB's independent reader; the
     // gate runs at sf0.01 by contract (parquet_metadata takes paths)
     "q126_parquet_audit" ->
