@@ -39,7 +39,12 @@ object Curation {
       // any k-token window with the eval set (whole-doc identity misses
       // a benchmark question pasted into a larger page). None = exact
       // identity only.
-      spanDecontaminationTokens: Option[Int] = None)
+      spanDecontaminationTokens: Option[Int] = None,
+      // raw crawl input: the text column is HTML and every stage should
+      // see the EXTRACTED text (graft.text.Html.htmlToText — a narrow
+      // expression-only projection, so the whole pipeline including the
+      // incremental diff path just sees cleaner text)
+      htmlInput: Boolean = false)
 
   final case class CurationReport(
       input: Long, afterCore: Long, afterNearDup: Long,
@@ -47,8 +52,16 @@ object Curation {
 
   /** Stages 1–3 as a single composable frame (quality gate, redaction,
     * exact dedup) — also the SQL-expressible core that q45 oracles. */
-  def curateCore(docs: DataFrame, cfg: CurationConfig): DataFrame = {
-    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+  def curateCore(docs0: DataFrame, cfg: CurationConfig): DataFrame = {
+    val parts = docs0.sparkSession.sessionState.conf.numShufflePartitions
+    // crawl input: extract text from HTML FIRST so every downstream
+    // stage (quality, dedup fingerprints, near-dup signatures,
+    // decontamination) operates on the real content, not markup
+    val docs =
+      if (cfg.htmlInput)
+        docs0.withColumn("text",
+          coalesce(graft.text.Html.htmlToText(col("text")), lit("")))
+      else docs0
     val ts = TextFunctions.tokens(col("text"))
     // a single-file scan arrives as ONE partition; without the spread the
     // whole per-row chain (shingles + three redaction regexes) runs on

@@ -110,4 +110,30 @@ class CurationSpec extends SparkSpec {
     val incr2 = Curation.curateIncrement(v1, out1, v2, None, cfg)
     assert(incr2.select($"doc_id").as[Long].collect().toSet == incrIds)
   }
+  test("htmlInput: curating HTML-wrapped pages == curating the plain text") {
+    val docs = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "documents")
+      .limit(120)
+    // pure-markup wrapper (no textual content of its own) with the
+    // extraction traps embedded: bare '<' inside the script, a comment,
+    // entities that must NOT appear in the output
+    val wrapped = docs.withColumn("text", concat(
+      lit("<html><head><style>p { a: 1 < 2 }</style></head>" +
+        "<body><!-- wrap --><p class=\"x\">"),
+      coalesce($"text", lit("")),
+      lit("</p><script>var q = '</p>';</script></body></html>")))
+    val cfgPlain = Curation.CurationConfig(minQualityMilli = 300)
+    val cfgHtml = cfgPlain.copy(htmlInput = true)
+    val plain = Curation.curate(docs, None, cfgPlain, countStages = false)._1
+      .collect().map(_.toString).sorted.toSeq
+    val fromHtml = Curation.curate(wrapped, None, cfgHtml, countStages = false)._1
+      .collect().map(_.toString).sorted.toSeq
+    assert(plain.nonEmpty && fromHtml == plain,
+      "every stage (quality, fingerprints, near-dup, sample) must see the extracted text")
+    // without the flag the markup leaks into the corpus (the guard that
+    // proves the flag is load-bearing)
+    val leaked = Curation.curate(wrapped, None, cfgPlain, countStages = false)._1
+    assert(leaked.where($"text".contains("<p")).count() > 0 ||
+      leaked.count() != plain.size)
+  }
+
 }
