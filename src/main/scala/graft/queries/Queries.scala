@@ -1707,6 +1707,40 @@ object Queries {
         size(graft.text.TextFunctions.tokens(col("clean_text"))).cast("long"))
   }
 
+  /** URL normalization + host/domain extraction through the gate — the
+    * crawl-frontier step (canonical URL dedup keys, domain mixing,
+    * blocklists). Five id-derived URL families cover the normalization
+    * space: upper-case scheme/host with default port + duplicate path
+    * slashes + fragment; https default port with a kept query; a
+    * blocklisted domain with a bare trailing "?"; a bare host with a
+    * trailing slash; a non-http scheme whose :80 must SURVIVE. The
+    * oracle states the expected canonical strings independently in
+    * closed form — not a regex replay — so the normalization semantics
+    * are cross-derived, not self-validated. */
+  def q129UrlNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val id = col("doc_id")
+    val k7 = pmod(id, lit(7L)).cast("string")
+    val url = when(pmod(id, lit(5L)) === 0,
+        concat(lit("HTTP://WWW.Example"), k7, lit(".COM:80//a//b/page"),
+          id.cast("string"), lit(".html#frag")))
+      .when(pmod(id, lit(5L)) === 1,
+        concat(lit("https://Sub.Domain"), k7, lit(".org:443/path?q="),
+          id.cast("string")))
+      .when(pmod(id, lit(5L)) === 2,
+        concat(lit("https://spam"), pmod(id, lit(3L)).cast("string"),
+          lit(".bad.site/x/y?")))
+      .when(pmod(id, lit(5L)) === 3,
+        concat(lit("http://plain"), k7, lit(".net/")))
+      .otherwise(concat(lit("ftp://Files.Host"), k7, lit(".io:80/data")))
+    docs.select(id,
+        graft.text.Urls.normalizeUrl(url).as("url_norm"),
+        graft.text.Urls.urlHost(url).as("host"),
+        graft.text.Urls.urlDomain(url).as("domain"))
+      .withColumn("blocked",
+        when(col("domain") === "bad.site", 1L).otherwise(0L))
+  }
+
   /** Parquet footer audit through the gate — real lake-ops tooling
     * with a genuinely independent oracle: the engine reads row-group /
     * column metadata via parquet-hadoop's footer reader, DuckDB reads
@@ -4030,7 +4064,8 @@ object Queries {
     "q125_mp4_samples" -> (q125Mp4Samples _),
     "q126_parquet_audit" -> (q126ParquetAudit _),
     "q127_jpeg_420" -> (q127Jpeg420 _),
-    "q128_html_text" -> (q128HtmlText _))
+    "q128_html_text" -> (q128HtmlText _),
+    "q129_url_normalize" -> (q129UrlNormalize _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -4420,6 +4455,36 @@ object Queries {
         |  (16 * nmx)::INTEGER AS width, 16::INTEGER AS height, 3::INTEGER AS channels,
         |  sum_r, sum_g, sum_b, ssq_r, ssq_g, ssq_b
         |FROM s""".stripMargin,
+    // INDEPENDENT closed-form expectations per URL family — the oracle
+    // states the canonical strings, it does not replay the regexes
+    "q129_url_normalize" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN 'http://www.example' || (doc_id % 7) || '.com/a/b/page' || doc_id || '.html'
+        |      WHEN 1 THEN 'https://sub.domain' || (doc_id % 7) || '.org/path?q=' || doc_id
+        |      WHEN 2 THEN 'https://spam' || (doc_id % 3) || '.bad.site/x/y'
+        |      WHEN 3 THEN 'http://plain' || (doc_id % 7) || '.net'
+        |      ELSE 'ftp://files.host' || (doc_id % 7) || '.io:80/data'
+        |    END AS url_norm,
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN 'www.example' || (doc_id % 7) || '.com'
+        |      WHEN 1 THEN 'sub.domain' || (doc_id % 7) || '.org'
+        |      WHEN 2 THEN 'spam' || (doc_id % 3) || '.bad.site'
+        |      WHEN 3 THEN 'plain' || (doc_id % 7) || '.net'
+        |      ELSE 'files.host' || (doc_id % 7) || '.io'
+        |    END AS host,
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN 'example' || (doc_id % 7) || '.com'
+        |      WHEN 1 THEN 'domain' || (doc_id % 7) || '.org'
+        |      WHEN 2 THEN 'bad.site'
+        |      WHEN 3 THEN 'plain' || (doc_id % 7) || '.net'
+        |      ELSE 'host' || (doc_id % 7) || '.io'
+        |    END AS domain
+        |  FROM documents)
+        |SELECT doc_id, url_norm, host, domain,
+        |  (CASE WHEN domain = 'bad.site' THEN 1 ELSE 0 END)::BIGINT AS blocked
+        |FROM u""".stripMargin,
     // generation AND extraction replayed under DuckDB's RE2 — pattern
     // semantics, strip ordering, and entity decode order all pinned
     "q128_html_text" ->
