@@ -424,6 +424,78 @@ object Multimodal {
     }.toDF("media_id", "payload")
   }
 
+  // ---- gzip text payload decode -------------------------------------
+
+  /** Decoded gzip text payload: UTF-8 text + the sizes a lake ingest
+    * job budgets by. Malformed/non-gzip payloads surface as ok=0 with
+    * empty text (kept — a crawl archive audit counts them). */
+  final case class GzipText(
+      media_id: Long, ok: Int, text: String,
+      compressed_bytes: Long, text_bytes: Long)
+
+  /** Gzip-decompress a byte payload to UTF-8 text (java.util.zip.
+    * GZIPInputStream — no new deps; crawl archives and WARC-adjacent
+    * lakes store text this way). `maxBytes` bounds decompression (a
+    * tiny hostile payload can inflate without limit — the zip-bomb
+    * guard every ingest needs); over-limit payloads are REJECTED, not
+    * truncated (truncation would silently corrupt the corpus). */
+  def gunzipText(b: Array[Byte], maxBytes: Int = 1 << 26): Option[String] =
+    try {
+      if (b == null || b.length < 3) return None
+      if ((b(0) & 0xff) != 0x1f || (b(1) & 0xff) != 0x8b) return None
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(b))
+      val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 16))
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (out.size() + n > maxBytes) return None // zip bomb
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      in.close()
+      Some(new String(out.toByteArray, "UTF-8"))
+    } catch { case _: java.io.IOException => None }
+
+  /** Gzip-compress text — fixture-synthesis counterpart (a REAL gzip
+    * stream: CRC32 + ISIZE trailer, deflate body). */
+  def gzipBytes(text: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(text.getBytes("UTF-8"))
+    gz.close()
+    out.toByteArray
+  }
+
+  /** Batched gzip text decode over a binary media frame — the same
+    * decodeStage plan shape as the codec decoders. */
+  def decodeGzipText(media: DataFrame, partitions: Int = 0,
+      maxBytes: Int = 1 << 26): Dataset[GzipText] =
+    decodeStage(media, partitions,
+        org.apache.spark.sql.Encoders.product[GzipText]) { (id, payload) =>
+      val nIn = if (payload == null) 0L else payload.length.toLong
+      gunzipText(payload, maxBytes) match {
+        case Some(t) => GzipText(id, 1, t, nIn, t.getBytes("UTF-8").length.toLong)
+        case None => GzipText(id, 0, "", nIn, 0L)
+      }
+    }
+
+  /** Deterministic gzip corpus from the documents table: each doc's
+    * text really deflates (CRC + trailer); every third id is a
+    * corrupted stream (flipped deflate byte) the decoder must reject,
+    * so the gate covers the error path too. */
+  def gzipCorpusFromDocuments(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)].map {
+      case (id, text) =>
+        val b = gzipBytes(if (text == null) "" else text)
+        if (java.lang.Math.floorMod(id, 3L) == 0L && b.length > 12)
+          b(10) = (b(10) ^ 0x55).toByte // corrupt the deflate body
+        (id, b)
+    }.toDF("media_id", "payload")
+  }
+
   // ---- real WAV sample decode (16-bit PCM) --------------------------
 
   /** Per-clip sample statistics from a REAL 16-bit PCM decode — exact

@@ -1741,6 +1741,20 @@ object Queries {
         when(col("domain") === "bad.site", 1L).otherwise(0L))
   }
 
+  /** Gzip text ingestion through the gate — crawl archives store text
+    * deflated: payloads are REAL gzip streams (CRC32 + ISIZE trailer)
+    * of each doc's text, every third id carries a corrupted deflate
+    * body the CRC check must reject (ok=0, empty — the error path is
+    * oracle-covered, not just spec-covered). The oracle states the
+    * expected text closed-form; compressed size is deflate-dependent
+    * and stays a spec-level check. */
+  def q130GzipText(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.gzipCorpusFromDocuments(
+      tbl(spark, dir, "documents"))
+    graft.multimodal.Multimodal.decodeGzipText(media).toDF()
+      .select(col("media_id"), col("ok"), col("text"), col("text_bytes"))
+  }
+
   /** Parquet footer audit through the gate — real lake-ops tooling
     * with a genuinely independent oracle: the engine reads row-group /
     * column metadata via parquet-hadoop's footer reader, DuckDB reads
@@ -4065,7 +4079,8 @@ object Queries {
     "q126_parquet_audit" -> (q126ParquetAudit _),
     "q127_jpeg_420" -> (q127Jpeg420 _),
     "q128_html_text" -> (q128HtmlText _),
-    "q129_url_normalize" -> (q129UrlNormalize _))
+    "q129_url_normalize" -> (q129UrlNormalize _),
+    "q130_gzip_text" -> (q130GzipText _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -4455,6 +4470,15 @@ object Queries {
         |  (16 * nmx)::INTEGER AS width, 16::INTEGER AS height, 3::INTEGER AS channels,
         |  sum_r, sum_g, sum_b, ssq_r, ssq_g, ssq_b
         |FROM s""".stripMargin,
+    // the expected recovered text stated closed-form; corrupted ids
+    // (every third) must fail the CRC and surface ok=0
+    "q130_gzip_text" ->
+      """SELECT doc_id AS media_id,
+        |  (CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END)::INTEGER AS ok,
+        |  CASE WHEN doc_id % 3 = 0 THEN '' ELSE coalesce(text, '') END AS text,
+        |  (CASE WHEN doc_id % 3 = 0 THEN 0
+        |        ELSE coalesce(octet_length(encode(text)), 0) END)::BIGINT AS text_bytes
+        |FROM documents""".stripMargin,
     // INDEPENDENT closed-form expectations per URL family — the oracle
     // states the canonical strings, it does not replay the regexes
     "q129_url_normalize" ->

@@ -395,4 +395,33 @@ class MultimodalSpec extends SparkSpec {
     assert(u.length == 1 && u(0).format == "unknown")
   }
 
+  test("gzip text decode: round trip, zip-bomb guard, corruption and junk rejection") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val text = "the quick brown fox \u00e9\u00e8\u00ea unicode tail " * 20
+    val gz = Multimodal.gzipBytes(text)
+    assert(Multimodal.gunzipText(gz).contains(text), "round trip with CRC verify")
+    assert(Multimodal.gunzipText(gz).get.getBytes("UTF-8").length > gz.length,
+      "fixture really compresses")
+    // zip-bomb guard: the same stream rejected when it inflates past the cap
+    assert(Multimodal.gunzipText(gz, maxBytes = 64).isEmpty,
+      "over-limit inflation must reject, not truncate")
+    // corrupted deflate body fails the CRC
+    val bad = gz.clone(); bad(10) = (bad(10) ^ 0x55).toByte
+    assert(Multimodal.gunzipText(bad).isEmpty)
+    // junk / truncated / null
+    assert(Multimodal.gunzipText(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.gunzipText(gz.take(gz.length - 4)).isEmpty,
+      "a missing trailer must reject")
+    assert(Multimodal.gunzipText(null).isEmpty)
+    // distributed: corpus ok/corrupt split matches the generator rule
+    val docs = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "documents")
+      .limit(30)
+    val out = Multimodal.decodeGzipText(
+      Multimodal.gzipCorpusFromDocuments(docs)).toDF()
+    assert(out.where($"ok" === 0 && pmod($"media_id", lit(3)) =!= 0).isEmpty)
+    assert(out.where($"ok" === 1 && pmod($"media_id", lit(3)) === 0).isEmpty)
+    assert(out.where($"ok" === 1 && $"compressed_bytes" <= 0).isEmpty)
+  }
+
 }
