@@ -1528,14 +1528,30 @@ object Queries {
     * straight off the table). The floor-divide runs in double on both
     * engines: IEEE division of exact integers is correctly rounded, so
     * bin boundaries land exactly. Bounded output (≤ 11 bins). */
-  def q115NbCalibration(spark: SparkSession, dir: String): DataFrame =
-    q107NbQuality(spark, dir)
+  def q115NbCalibration(spark: SparkSession, dir: String): DataFrame = {
+    // Unlike q107 (fused train+score shares the instance scan — fastest
+    // single-pass shape), the calibration audit materializes the
+    // vocab-sized model first: naiveBayesScore's prior aggregation and
+    // token join each re-execute the model subtree, and under a cached
+    // plan AQE can't see the tiny model to broadcast it (the measured
+    // dsirWeights discipline — count() makes InMemoryRelation stats
+    // drive a static broadcast). Same model, same scores, same oracle.
+    val docs = tbl(spark, dir, "documents").withColumn("y",
+      when(col("source").isin("src0", "src1", "src2", "src3"), 1L)
+        .otherwise(0L))
+    val model = graft.ops.CacheScope.persist(
+      graft.text.CorpusStats.naiveBayesTrain(docs, "doc_id", "text", "y"))
+    model.count()
+    graft.text.CorpusStats.naiveBayesScore(
+        docs.select(col("doc_id").as("id"), col("y").as("label"), col("text")),
+        "id", "text", model)
       .select(col("label"),
         least(greatest(floor(col("nb_milli") / lit(2000.0)).cast("long"),
           lit(-5L)), lit(5L)).as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"), sum(col("label")).as("n_pos"))
       .withColumn("pos_bp", expr("(10000 * n_pos) div n_docs"))
+  }
 
   /** Quality-filled temperature mix through the gate — the final
     * training-mix assembly composing three verified pipelines: q98's

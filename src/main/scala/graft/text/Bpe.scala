@@ -88,11 +88,27 @@ object Bpe {
       .agg(sum(col("freq")).as("c"))
   }
 
-  /** Apply one merge to a segmentation column — the wrap/replace/strip
-    * described above. */
-  private def applyMerge(seg: org.apache.spark.sql.Column, l: String, r: String) = {
+  /** One merge's replace node on an already-D-wrapped segmentation
+    * column. The D-wrap/unwrap is hoisted OUT to [[applyMerges]]: each
+    * replace preserves the leading/trailing delimiter, so a k-merge
+    * batch chains k replace nodes LINEARLY on one wrapped expression.
+    * (Wrapping per merge would reference the accumulated expression
+    * twice per step — substr target + length — i.e. a 2^k node tree;
+    * a 32-merge batch then stringifies to a 2 GiB plan and OOMs.) */
+  private def mergeReplace(wrapped: org.apache.spark.sql.Column,
+      l: String, r: String) =
+    replace(wrapped, lit(D + l + DD + r + D), lit(D + l + r + D))
+
+  /** Apply a symbol-disjoint batch of merges to a segmentation column:
+    * wrap once, chain one replace per merge (they commute — accepted
+    * pairs share no symbols), strip once. Expression size is O(batch),
+    * pinned by BpeSpec's node-count regression test. */
+  private[text] def applyMerges(seg: org.apache.spark.sql.Column,
+      batch: Seq[(String, String)]): org.apache.spark.sql.Column = {
     val wrapped = concat(lit(D), seg, lit(D))
-    val replaced = replace(wrapped, lit(D + l + DD + r + D), lit(D + l + r + D))
+    val replaced = batch.foldLeft(wrapped) { case (acc, (l, r)) =>
+      mergeReplace(acc, l, r)
+    }
     replaced.substr(lit(2), length(replaced) - 2)
   }
 
@@ -135,8 +151,20 @@ object Bpe {
       maxBatch: Int = 32): (Seq[Merge], DataFrame) = {
     require(numMerges >= 1, s"numMerges must be >= 1: $numMerges")
     require(maxBatch >= 1, s"maxBatch must be >= 1: $maxBatch")
-    var seg = graft.ops.CacheScope.persist(initialSegments(counts))
-    var prevSeg: DataFrame = null
+    // Iteration state is LOCAL-CHECKPOINTED, not merely persisted:
+    // chaining round n's plan over round n-1's cached frame nests an
+    // AdaptiveSparkPlanExec inside every InMemoryRelation, and AQE's
+    // plan string prints BOTH Current and Initial subtrees per level —
+    // 2^depth bytes, so a ~30-round sequential learn OOMs the driver
+    // just STRINGIFYING the plan for the SQL listener (the r06 abort).
+    // localCheckpoint(eager) rebases each round on a LogicalRDD leaf:
+    // plan depth stays constant however many rounds run — the standard
+    // iterative-algorithm discipline (cf. GraphX/MLlib checkpointing).
+    // Superseded rounds' blocks are dropped by the ContextCleaner when
+    // the frame reference goes out of scope; the frames are word-TYPE
+    // sized (the BPE trick), not corpus-sized. On a real cluster,
+    // reliable `checkpoint()` is the fault-tolerant variant.
+    var seg = initialSegments(counts).localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var exhausted = false
     while (merges.size < numMerges && !exhausted) {
@@ -146,9 +174,6 @@ object Bpe {
       // candidate prefix (K > want: stop-rule walks may reject some)
       val topK = pc.orderBy(col("c").desc, col("l").asc, col("r").asc)
         .limit(want * 2 + 8).collect()
-      // the previous round's frame fed this round's counts; its blocks
-      // are no longer needed once topK materialized the current seg
-      if (prevSeg != null) { prevSeg.unpersist(); prevSeg = null }
       if (topK.isEmpty) exhausted = true
       else {
         // per-symbol top-2 pair counts (with the top pair's identity),
@@ -200,11 +225,9 @@ object Bpe {
         }
         // one rewrite pass for the whole batch: accepted pairs are
         // symbol-disjoint, so chained replaces commute
-        val newSegCol = batch.foldLeft(col("seg")) { case (acc, (l, r, _)) =>
-          applyMerge(acc, l, r)
-        }
-        prevSeg = seg
-        seg = graft.ops.CacheScope.persist(seg.withColumn("seg", newSegCol))
+        val newSegCol = applyMerges(col("seg"),
+          batch.toSeq.map { case (l, r, _) => (l, r) })
+        seg = seg.withColumn("seg", newSegCol).localCheckpoint(true)
       }
     }
     (merges.toSeq, seg)

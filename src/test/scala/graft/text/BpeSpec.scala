@@ -118,16 +118,36 @@ class BpeSpec extends SparkSpec {
     val (merges, seg) = Bpe.learnFromCounts(
       Bpe.wordCounts(real, "text"), numMerges = 512, maxBatch = 64)
     val secs = (System.nanoTime() - t0) / 1e9
-    // exhaustion may stop earlier on the tiny corpus; what matters is
-    // that hundreds of merges complete in far fewer driver round-trips
-    // than merges (sequential 512 rounds at ~3 jobs each would take
-    // minutes) and the invariants hold end-to-end
-    assert(merges.size > 100, s"expected deep vocabulary, got ${merges.size}")
+    // exhaustion may stop earlier on the tiny corpus (it does: the
+    // sf0.001 vocabulary fully merges in <512); what matters is that
+    // the learn runs deep in bounded rounds AND that an early stop
+    // really is exhaustion — every word merged to a single symbol,
+    // zero adjacent pairs left
+    assert(merges.size > 50, s"expected deep vocabulary, got ${merges.size}")
+    if (merges.size < 512)
+      assert(seg.where(col("seg").contains(Bpe.D)).count() == 0L,
+        "early stop must mean full exhaustion: no adjacent pairs remain")
     assert(merges.map(_.count).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)),
       "argmax counts must be non-increasing")
     assert(merges.map(_.rank) == (1 to merges.size), "ranks must stay dense")
     assert(seg.count() > 0)
     assert(secs < 240, f"512-merge learn took $secs%.0f s — batching is not engaging")
+  }
+
+  test("regression: batch rewrite expression grows linearly in batch size") {
+    // r06 defect: per-merge wrap/unwrap referenced the accumulated
+    // column twice per step -> 2^k-node tree (a 32-merge batch
+    // stringified to a 2 GiB plan and OOM'd the suite). Pin linearity.
+    def nodes(e: org.apache.spark.sql.catalyst.expressions.Expression): Long =
+      1L + e.children.map(nodes).sum
+    def batchNodes(k: Int): Long = nodes(
+      org.apache.spark.sql.graft.ColumnShim.expression(
+        Bpe.applyMerges(col("seg"), (1 to k).map(i => (s"l$i", s"r$i")))))
+    val n8 = batchNodes(8)
+    val n32 = batchNodes(32)
+    assert(n32 < 500, s"32-merge batch rewrite must stay linear, got $n32 nodes")
+    // slope check: 4x the batch must cost ~4x the nodes, not 2^24x
+    assert(n32 <= n8 * 8, s"superlinear growth: 8-merge=$n8, 32-merge=$n32")
   }
 
   test("merge table surface: ranks dense, merged = l+r") {
