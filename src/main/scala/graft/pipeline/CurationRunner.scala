@@ -62,11 +62,31 @@ object CurationRunner {
     * daily run COMPACTS it — a fresh write of the live set under the
     * standing config — folding the tombstone anti-set out of every
     * future probe (the Lucene segment-merge analog; until then,
-    * retire stays O(delta) and standing files stay immutable). */
+    * retire stays O(delta) and standing files stay immutable).
+    *
+    * `embed`: the vector-side of the daily loop. When supplied — a
+    * function from a curated docs frame (doc_id, source, text) to one
+    * (doc_id, embedding) row per doc — the run keeps the IVF family
+    * under `index/ivf` tracking the curated corpus exactly as the text
+    * indexes do: backfill once from the previous curated corpus when
+    * no family exists (stride-seeded Lloyd centroids), retire the
+    * increment's dead vectors, append the delta's vectors under the
+    * standing centroids, compact past the tombstone threshold (as a
+    * NEW version + pointer swap — vector compaction reads the index it
+    * rewrites, so it lands beside, never in place). Without `embed`
+    * a registered family gets drift-refresh only (the frozen-corpus
+    * mode — its live set is the caller's business). An embed-maintained
+    * family is doc_id-keyed by construction; don't point the ptr at a
+    * foreign-keyed index and then supply `embed`.
+    * `ivfBuckets`/`ivfTrainStride` size backfill/first-write: gate-
+    * scale defaults; a 100 TB corpus wants O(thousands) buckets and a
+    * stride putting ~√n vectors in the seed. */
   final case class IndexConfig(
       lshBuckets: Int = 16, bm25Buckets: Int = 64,
       ivfRefreshKlMilli: Long = 100L, ivfRefreshIters: Int = 2,
-      compactTombstoneBp: Long = 2000L)
+      compactTombstoneBp: Long = 2000L,
+      embed: Option[DataFrame => DataFrame] = None,
+      ivfBuckets: Int = 16, ivfTrainStride: Int = 16)
 
   final case class DailyResult(
       date: String, snapshotDocs: Long, curatedDocs: Long, incremental: Boolean,
@@ -137,13 +157,18 @@ object CurationRunner {
     // docs first (so the index's live set == carried), probe, and —
     // after publish — append the day's survivors. The `_applied/date=D`
     // marker makes a re-run of an already-maintained date a no-op on
-    // the indexes (retire's negative stats and append's new files must
-    // not double-apply; a run that CRASHED mid-maintenance leaves no
-    // marker — rebuild the indexes via write() before re-running).
+    // the indexes (append's new files must not double-apply). A run
+    // that CRASHED mid-maintenance leaves no marker; re-running it is
+    // safe through publish — retire is idempotent per seq (tombstones
+    // fold in the per-id max; the BM25 stats decrement dedupes on its
+    // seq stamp) — but a crash inside the APPEND stage itself (after a
+    // postings job committed, before the marker) still needs a rebuild
+    // via write()/compact before re-running.
     val prev = prevRunDate(spark, lakeRoot, date)
     val seq = date.replace("-", "").toLong
     val lshDir = s"$lakeRoot/index/lsh"
     val bm25Dir = s"$lakeRoot/index/bm25"
+    val ivfRoot = s"$lakeRoot/index/ivf"
     val appliedMark = s"$lakeRoot/index/_applied/date=$date"
     val maintain = indexes.filter(_ => !Lake.exists(spark, appliedMark))
     val (curated, deltaIdsOpt) = meta.time("curate") {
@@ -174,6 +199,21 @@ object CurationRunner {
               retired.select(col("doc_id")), "doc_id", seq)
             graft.text.Bm25DiskIndex.retire(retired, "doc_id", "text",
               bm25Dir, seq)
+            // vector family: backfill once, then retire dead vectors —
+            // the text indexes' exact discipline over embeddings
+            ix.embed.foreach { embed =>
+              if (graft.ann.IvfIndex.currentVersion(spark, ivfRoot).isEmpty) {
+                val pv = embed(prevCur)
+                graft.ann.IvfIndex.write(pv, "doc_id", "embedding",
+                  graft.ann.Ann.ivfTrainCentroids(pv, "doc_id", "embedding",
+                    ix.ivfTrainStride, ix.ivfRefreshIters),
+                  s"$ivfRoot/v$p", ix.ivfBuckets, prevSeq)
+                graft.ann.IvfIndex.setCurrentVersion(spark, ivfRoot, s"v$p")
+              }
+              val ver = graft.ann.IvfIndex.currentVersion(spark, ivfRoot).get
+              graft.ann.IvfIndex.retire(spark, s"$ivfRoot/$ver",
+                deadIds, "doc_id", seq)
+            }
           }
           (Curation.curateIncrement(prevSnap, prevCur, snapshot, evalDocs,
             cfg, lshIndexDir = maintain.map(_ => lshDir),
@@ -215,11 +255,27 @@ object CurationRunner {
               lshDir, seq = seq)
             graft.text.Bm25DiskIndex.append(newDocs, "doc_id", "text",
               bm25Dir, seq = seq)
+            ix.embed.foreach { embed =>
+              val ver = graft.ann.IvfIndex.currentVersion(spark, ivfRoot).get
+              graft.ann.IvfIndex.append(embed(newDocs), "doc_id", "embedding",
+                s"$ivfRoot/$ver", seq)
+            }
           case None =>
             graft.dedup.LshDiskIndex.write(newDocs, "doc_id", "text",
               lshDir, numBuckets = ix.lshBuckets, seq = seq)
             graft.text.Bm25DiskIndex.write(newDocs, "doc_id", "text",
               bm25Dir, numBuckets = ix.bm25Buckets, seq = seq)
+            // first run: the vector family starts as a fresh write of
+            // the full curated corpus (trained centroids), versioned +
+            // pointer-swapped like every later rewrite
+            ix.embed.foreach { embed =>
+              val v = embed(newDocs)
+              graft.ann.IvfIndex.write(v, "doc_id", "embedding",
+                graft.ann.Ann.ivfTrainCentroids(v, "doc_id", "embedding",
+                  ix.ivfTrainStride, ix.ivfRefreshIters),
+                s"$ivfRoot/v$date", ix.ivfBuckets, seq)
+              graft.ann.IvfIndex.setCurrentVersion(spark, ivfRoot, s"v$date")
+            }
         }
         // tombstone-fraction compaction: past the threshold, rebuild
         // the index as one fresh write of the live set (== the just-
@@ -235,6 +291,21 @@ object CurationRunner {
               ix.compactTombstoneBp * nCurated)
             graft.text.Bm25DiskIndex.compact(spark, bm25Dir, cur,
               "doc_id", "text", seq)
+          // vector compaction lands beside (it reads the index it
+          // rewrites) and swaps the pointer — old version stays
+          // probe-able throughout
+          ix.embed.foreach { _ =>
+            graft.ann.IvfIndex.currentVersion(spark, ivfRoot).foreach { ver =>
+              val newVer = s"v${date}c"
+              if (ver != newVer &&
+                  graft.ann.IvfIndex.tombstoneCount(spark, s"$ivfRoot/$ver") * 10000L >
+                    ix.compactTombstoneBp * nCurated) {
+                graft.ann.IvfIndex.compact(spark, s"$ivfRoot/$ver",
+                  s"$ivfRoot/$newVer", seq)
+                graft.ann.IvfIndex.setCurrentVersion(spark, ivfRoot, newVer)
+              }
+            }
+          }
         }
         val n = newDocs.count()
         Lake.writeParquet(
@@ -249,7 +320,6 @@ object CurationRunner {
     // centroids past the threshold. The refresh reads only the index's
     // own persisted vectors and lands date-versioned; the pointer
     // swaps after, so the old version stays probe-able throughout.
-    val ivfRoot = s"$lakeRoot/index/ivf"
     val (klMilli, ivfRefreshed) = (indexes, prev,
         graft.ann.IvfIndex.currentVersion(spark, ivfRoot)) match {
       case (Some(ix), Some(p), Some(ver)) =>

@@ -649,20 +649,26 @@ object Queries {
   }
 
   /** IVF-flat ANN top-10 (the q25 brute-force workload on the scale
-    * path): centroids are every 16th corpus vector (deterministic,
-    * data-adaptive, and — unlike trained k-means — oracle-reproducible),
-    * cells come from nearest-centroid assignment, and each query probes
-    * its 4 nearest cells. Scoring touches ~nProbe/|cells| of the corpus
-    * instead of all of it; AnnSpec measures recall vs brute force. */
-  /** Stride-16 IVF centroids and cell assignment — ONE definition for
-    * q38/q60/q72 (the index those gates test must not desynchronize). */
-  private def strideCentroids(emb: DataFrame): DataFrame =
-    emb.where(pmod(col("vec_id"), lit(16)) === 0)
-      .select(col("vec_id").cast("long").as("cid"), col("embedding").as("cvec"))
+    * path): centroids are TRAINED — stride-16 corpus-vector seed
+    * + 2 fixed-point Lloyd rounds (Ann.ivfTrainCentroids) — cells come
+    * from nearest-centroid assignment, and each query probes its 4
+    * nearest cells. Scoring touches ~nProbe/|cells| of the corpus
+    * instead of all of it; AnnSpec measures the trained-centroid
+    * recall uplift vs brute force. */
+  /** Trained IVF centroids — ONE definition for q38/q60/q72 and the
+    * standing q111 index (the index those gates test must not
+    * desynchronize). Training is oracle-replayable: assignment dots
+    * accumulate sequentially, the per-coordinate sums floor to 2^-24
+    * fixed point (exact integers, order-independent), and the L2 norm
+    * folds left-to-right — DuckDB replays both Lloyd rounds
+    * bit-identically (duckIvfCellsCtes). */
+  private def trainedCentroids(emb: DataFrame): DataFrame =
+    graft.ann.Ann.ivfTrainCentroids(emb, "vec_id", "embedding",
+      stride = 16, iters = 2)
 
   def q38IvfTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = tbl(spark, dir, "embeddings")
-    val centroids = strideCentroids(emb)
+    val centroids = trainedCentroids(emb)
     val cells = graft.ann.Ann.ivfAssign(emb, "vec_id", "embedding", centroids)
     graft.ann.Ann.ivfProbeTopK(emb.where(col("vec_id") < 5), cells, centroids,
       "vec_id", "embedding", k = 10, nProbe = 4)
@@ -935,7 +941,7 @@ object Queries {
     * corpus curation, verified id-by-id. */
   def q60DiversitySample(spark: SparkSession, dir: String): DataFrame = {
     val emb = tbl(spark, dir, "embeddings")
-    val cells = graft.ann.Ann.ivfAssign(emb, "vec_id", "embedding", strideCentroids(emb))
+    val cells = graft.ann.Ann.ivfAssign(emb, "vec_id", "embedding", trainedCentroids(emb))
     graft.ann.Ann.diversitySample(cells, maxPerCell = 5)
       .withColumnRenamed("id", "vec_id")
   }
@@ -1063,7 +1069,7 @@ object Queries {
     * actually have pairs — a 0.9 gate would pass on zero rows). */
   def q72CellNearDup(spark: SparkSession, dir: String): DataFrame = {
     val emb = tbl(spark, dir, "embeddings")
-    val cells = graft.ann.Ann.ivfAssign(emb, "vec_id", "embedding", strideCentroids(emb))
+    val cells = graft.ann.Ann.ivfAssign(emb, "vec_id", "embedding", trainedCentroids(emb))
     graft.ann.Ann.cellNearDupPairs(cells, threshold = 0.35)
   }
 
@@ -1476,7 +1482,7 @@ object Queries {
       // gate-sized bucket counts (write cost is directory-count-bound
       // — see q117's note); 100 TB uses O(thousands)
       graft.ann.IvfIndex.write(emb, "vec_id", "embedding",
-        strideCentroids(emb), p, numBuckets = 16)
+        trainedCentroids(emb), p, numBuckets = 16)
       p
     })
   private def standingBm25Idx(spark: SparkSession, dir: String): String =
@@ -1937,12 +1943,47 @@ object Queries {
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip($a, $b), " +
       "x -> x[1]::DOUBLE * x[2]::DOUBLE)), (p, q) -> p + q)"
 
-  /** DuckDB fragment: the stride-16 IVF cell-assignment CTE chain
-    * (cent/asg0/asg/cells, argmax with the d DESC, cid tie-break) —
-    * ONE definition shared by the q38/q60/q72 oracles. */
+  /** DuckDB fragment: ONE Lloyd round — assign every vector to its
+    * nearest `in` centroid (argmax dot, d DESC / cid tie-break), then
+    * rebuild the inhabited centroids from 2^-24 fixed-point coordinate
+    * sums with a sequential-fold L2 normalization — the exact
+    * arithmetic of Ann.ivfRefineCentroids, so the replay is
+    * bit-identical. */
+  private def duckLloydRound(in: String, out: String): String =
+    s"""${out}_a AS (
+       |  SELECT vec_id, embedding, cid FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${duckDot("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN $in c) t WHERE rn = 1),
+       |${out}_g AS (
+       |  SELECT cell, i,
+       |    sum(floor(x::DOUBLE * 16777216.0)::BIGINT)::DOUBLE / 16777216.0 AS s
+       |  FROM (SELECT cid AS cell, generate_subscripts(embedding, 1) AS i,
+       |          unnest(embedding) AS x FROM ${out}_a) u
+       |  GROUP BY cell, i),
+       |${out}_v AS (
+       |  SELECT cell, list(s ORDER BY i) AS sv FROM ${out}_g GROUP BY cell),
+       |$out AS (
+       |  SELECT cell AS cid,
+       |    CASE WHEN nrm > 0 THEN list_transform(sv, x -> (x / nrm)::FLOAT)
+       |         ELSE list_transform(sv, x -> x::FLOAT) END AS cvec
+       |  FROM (SELECT cell, sv,
+       |      sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+       |        list_transform(sv, x -> x * x)), (a, v) -> a + v)) AS nrm
+       |    FROM ${out}_v) t)""".stripMargin
+
+  /** DuckDB fragment: the TRAINED IVF cell-assignment CTE chain —
+    * stride-16 seed, two unrolled Lloyd rounds (the Spark side's
+    * Ann.ivfTrainCentroids(stride=16, iters=2)), then the final
+    * cent/asg0/asg/cells assignment (argmax with the d DESC, cid
+    * tie-break) — ONE definition shared by the q38/q60/q72/q111
+    * oracles. */
   private lazy val duckIvfCellsCtes: String =
-    s"""cent AS (
+    s"""cent_seed AS (
        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 16 = 0),
+       |${duckLloydRound("cent_seed", "cent_r1")},
+       |${duckLloydRound("cent_r1", "cent")},
        |asg0 AS (
        |  SELECT e.vec_id, e.embedding, c.cid, ${duckDot("e.embedding", "c.cvec")} AS d
        |  FROM embeddings e CROSS JOIN cent c),

@@ -57,6 +57,7 @@ object Bm25DiskIndex {
       .partitionBy("bucket")
       .parquet(s"$dir/postings")
     stats.withColumn("n_buckets", lit(numBuckets.toLong))
+      .withColumn("sseq", lit(null).cast("long"))
       .write.mode(SaveMode.Overwrite)
       .option("compression", "snappy")
       .parquet(s"$dir/stats")
@@ -84,6 +85,7 @@ object Bm25DiskIndex {
       .partitionBy("bucket")
       .parquet(s"$dir/postings")
     stats.withColumn("n_buckets", lit(n.toLong))
+      .withColumn("sseq", lit(null).cast("long"))
       .write.mode(SaveMode.Append)
       .option("compression", "snappy")
       .parquet(s"$dir/stats")
@@ -108,7 +110,19 @@ object Bm25DiskIndex {
     * the cost retire exists to avoid), so retiring a phantom id or
     * stale text skews idf/avgdl for every later probe. The daily
     * runner guarantees it by semi-joining the previous curated
-    * corpus; do the same. */
+    * corpus; do the same.
+    *
+    * Retire is IDEMPOTENT per (dir, seq): the stats decrement is
+    * stamped with `seq` and [[stats]] folds duplicate-seq decrements
+    * to one, so a crashed daily run re-executed from the top (the
+    * normal ops reflex — retire runs before the `_applied` marker
+    * lands) cannot double-subtract d_docs/t_toks. The flip side of
+    * the contract: AT MOST ONE logical retire batch per seq — two
+    * DIFFERENT batches at one seq collapse to one decrement (the
+    * daily runner retires once per date-derived seq by construction;
+    * distinct ad-hoc batches must use distinct seqs). Tombstones were
+    * always idempotent (duplicate (id, seq) markers fold in the
+    * per-id max). */
   def retire(docs: DataFrame, idCol: String, textCol: String,
       dir: String, seq: Long): Unit = {
     val spark = docs.sparkSession
@@ -120,6 +134,7 @@ object Bm25DiskIndex {
       .agg((-count(lit(1))).as("d_docs"),
         (-coalesce(sum(col("dl")), lit(0L))).as("t_toks"))
       .withColumn("n_buckets", lit(n.toLong))
+      .withColumn("sseq", lit(seq))
       .write.mode(SaveMode.Append).option("compression", "snappy")
       .parquet(s"$dir/stats")
   }
@@ -180,12 +195,27 @@ object Bm25DiskIndex {
   }
 
   /** Aggregated single-row stats over all appended increments — the
-    * exact frame [[Retrieval.bm25TopKFromIndex]] expects. */
+    * exact frame [[Retrieval.bm25TopKFromIndex]] expects. Write/append
+    * increments (sseq NULL) sum as-is; retire decrements (sseq = the
+    * retire's seq) first fold to ONE row per seq, so a replayed retire
+    * ([[retire]]'s idempotence contract) subtracts once. `min` picks
+    * deterministically among replay rows (identical batches replay
+    * identical values, so it is the identity there). */
   def stats(spark: SparkSession, dir: String): DataFrame = {
     requireIndex(spark, dir)
-    Lake.readParquet(spark, s"$dir/stats").agg(
-      coalesce(sum(col("d_docs")), lit(0L)).as("d_docs"),
-      coalesce(sum(col("t_toks")), lit(0L)).as("t_toks"))
+    val raw = Lake.readParquet(spark, s"$dir/stats")
+    val rows = if (raw.columns.contains("sseq")) raw
+      else raw.withColumn("sseq", lit(null).cast("long"))
+    rows.select(col("d_docs"), col("t_toks"), col("sseq"))
+      .groupBy(col("sseq")).agg(
+        min(col("d_docs")).as("dd"), min(col("t_toks")).as("tt"),
+        sum(col("d_docs")).as("sdd"), sum(col("t_toks")).as("stt"))
+      .select(
+        when(col("sseq").isNull, col("sdd")).otherwise(col("dd")).as("d_docs"),
+        when(col("sseq").isNull, col("stt")).otherwise(col("tt")).as("t_toks"))
+      .agg(
+        coalesce(sum(col("d_docs")), lit(0L)).as("d_docs"),
+        coalesce(sum(col("t_toks")), lit(0L)).as("t_toks"))
   }
 
   /** The full postings frame (partition column restored to long). */

@@ -195,6 +195,98 @@ class CurationRunnerSpec extends SparkSpec {
     } finally { Lake.delete(spark, root) }
   }
 
+  // deterministic text-derived embedding — the spec's stand-in for a
+  // real encoder: same text -> bit-identical vector on every call, so
+  // maintained-index vectors and freshly-embedded vectors compare exact
+  private def embedDocs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select($"doc_id", transform(sequence(lit(0), lit(7)),
+      i => (pmod(xxhash64($"text", i), lit(1000L)).cast("double") / 500.0 - 1.0)
+        .cast("float")).as("embedding"))
+
+  test("embed-maintained IVF family: backfill, retire+append track the curated corpus, compaction versions") {
+    val root = java.nio.file.Files.createTempDirectory("lake").toString
+    try {
+      val cfg = Curation.CurationConfig(minQualityMilli = 200)
+      // refresh quiet (huge KL threshold): this test isolates the
+      // backfill/retire/append/compact path; drift-refresh has its own
+      val ixCfg = CurationRunner.IndexConfig(embed = Some(embedDocs),
+        ivfBuckets = 4, ivfTrainStride = 4, ivfRefreshKlMilli = 1000000L)
+      def liveVecs(ver: String) = graft.ann.IvfIndex
+        .cells(spark, s"$root/index/ivf/$ver")
+        .select($"id", $"v").collect().map(_.toString).sorted.toSeq
+      def curatedVecs(date: String) = embedDocs(
+          Lake.readParquet(spark, s"$root/curated/date=$date"))
+        .select($"doc_id".as("id"), $"embedding".as("v"))
+        .collect().map(_.toString).sorted.toSeq
+
+      // day 1 runs WITHOUT embed — the lake predates vector maintenance
+      land(root, "day1.json", (0 until 8).map(i => (i.toLong, "s0", doc(i))))
+      CurationRunner.runDaily(spark, root, "2024-05-01", None, cfg)
+      assert(graft.ann.IvfIndex.currentVersion(spark, s"$root/index/ivf").isEmpty)
+
+      // day 2 supplies embed: backfill from the day-1 curated corpus,
+      // then retire the changed doc's old vector and append the delta
+      land(root, "day2.json", Seq(
+        (20L, "s0", doc(20)), (3L, "s0", doc(300))))
+      CurationRunner.runDaily(spark, root, "2024-05-02", None, cfg,
+        indexes = Some(ixCfg))
+      val ver2 = graft.ann.IvfIndex.currentVersion(spark, s"$root/index/ivf").get
+      assert(ver2 == "v2024-05-01", s"backfill must land at the previous date, got $ver2")
+      assert(liveVecs(ver2) == curatedVecs("2024-05-02"),
+        "IVF live set must equal the day-2 curated corpus (changed doc re-embedded)")
+
+      // day 3 churns 5 of ~9 docs (> 20% tombstones) -> compaction to a
+      // NEW version + pointer swap; old version dir stays intact
+      land(root, "day3.json", (0 until 5).map(i => (i.toLong, "s0", doc(i + 70))))
+      CurationRunner.runDaily(spark, root, "2024-05-03", None, cfg,
+        indexes = Some(ixCfg))
+      val ver3 = graft.ann.IvfIndex.currentVersion(spark, s"$root/index/ivf").get
+      assert(ver3 == "v2024-05-03c", s"churn past the threshold must compact, got $ver3")
+      assert(graft.ann.IvfIndex.tombstoneCount(spark, s"$root/index/ivf/$ver3") == 0L)
+      assert(liveVecs(ver3) == curatedVecs("2024-05-03"),
+        "compacted IVF live set must equal the day-3 curated corpus")
+      assert(Lake.exists(spark, s"$root/index/ivf/$ver2/cells"),
+        "compaction lands beside — the old version is never truncated")
+
+      // probe == fresh parity: the maintained index answers exactly like
+      // a fresh index written over the curated corpus + same centroids
+      val c3 = Lake.readParquet(spark, s"$root/curated/date=2024-05-03")
+      val freshDir = java.nio.file.Files.createTempDirectory("ivf-fresh").toString
+      graft.ann.IvfIndex.write(embedDocs(c3), "doc_id", "embedding",
+        graft.ann.IvfIndex.centroids(spark, s"$root/index/ivf/$ver3"),
+        freshDir, numBuckets = 4)
+      val qs = embedDocs(c3.where($"doc_id" < 2))
+      val got = graft.ann.IvfIndex.probeTopK(spark, s"$root/index/ivf/$ver3",
+        qs, "doc_id", "embedding", k = 3, nProbe = 2)
+        .collect().map(_.toString).sorted.toSeq
+      val want = graft.ann.IvfIndex.probeTopK(spark, freshDir,
+        qs, "doc_id", "embedding", k = 3, nProbe = 2)
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == want, "maintained-index probes must equal fresh-index probes")
+      Lake.delete(spark, freshDir)
+    } finally { Lake.delete(spark, root) }
+  }
+
+  test("embed on a fresh lake: the first run writes the IVF family from the full corpus") {
+    val root = java.nio.file.Files.createTempDirectory("lake").toString
+    try {
+      val cfg = Curation.CurationConfig(minQualityMilli = 200)
+      land(root, "day1.json", (0 until 6).map(i => (i.toLong, "s0", doc(i))))
+      CurationRunner.runDaily(spark, root, "2024-06-01", None, cfg,
+        indexes = Some(CurationRunner.IndexConfig(embed = Some(embedDocs),
+          ivfBuckets = 4, ivfTrainStride = 4)))
+      assert(graft.ann.IvfIndex.currentVersion(spark, s"$root/index/ivf")
+        .contains("v2024-06-01"))
+      val live = graft.ann.IvfIndex
+        .cells(spark, s"$root/index/ivf/v2024-06-01")
+        .select($"id", $"v").collect().map(_.toString).sorted.toSeq
+      val want = embedDocs(Lake.readParquet(spark, s"$root/curated/date=2024-06-01"))
+        .select($"doc_id".as("id"), $"embedding".as("v"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(live == want, "first-run IVF live set must equal the curated corpus")
+    } finally { Lake.delete(spark, root) }
+  }
+
   test("forward-only: a run dated before an existing snapshot is rejected") {
     val root = java.nio.file.Files.createTempDirectory("lake").toString
     try {

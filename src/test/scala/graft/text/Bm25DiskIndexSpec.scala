@@ -130,6 +130,36 @@ class Bm25DiskIndexSpec extends SparkSpec {
     } finally { Lake.delete(spark, dir) }
   }
 
+  test("retire is idempotent per seq: a crash-rerun replay cannot double-subtract stats") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    try {
+      val retired = docs.where(pmod($"doc_id", lit(7)) === 3)
+      val live = docs.where(pmod($"doc_id", lit(7)) =!= 3)
+      Bm25DiskIndex.write(docs, "doc_id", "text", dir, numBuckets = 32, seq = 1L)
+      Bm25DiskIndex.retire(retired, "doc_id", "text", dir, seq = 2L)
+      // the ops reflex after a crash between retire and the _applied
+      // marker: run the same maintenance again — same batch, same seq
+      Bm25DiskIndex.retire(retired, "doc_id", "text", dir, seq = 2L)
+      Bm25DiskIndex.retire(retired, "doc_id", "text", dir, seq = 2L)
+      val st = Bm25DiskIndex.stats(spark, dir).collect()(0)
+      val sLive = Retrieval.bm25Index(live, "doc_id", "text")._2.collect()(0)
+      assert(st.getLong(0) == sLive.getLong(0) && st.getLong(1) == sLive.getLong(1),
+        "replayed retire must subtract ONCE — stats equal a fresh live-set index")
+      // distinct batches at DISTINCT seqs still both subtract
+      val more = live.where(pmod($"doc_id", lit(7)) === 4)
+      Bm25DiskIndex.retire(more, "doc_id", "text", dir, seq = 3L)
+      val live2 = live.where(pmod($"doc_id", lit(7)) =!= 4)
+      val st2 = Bm25DiskIndex.stats(spark, dir).collect()(0)
+      val sLive2 = Retrieval.bm25Index(live2, "doc_id", "text")._2.collect()(0)
+      assert(st2.getLong(0) == sLive2.getLong(0) && st2.getLong(1) == sLive2.getLong(1))
+      // probes agree with the fresh live set after the replays
+      assert(asSet(Bm25DiskIndex.probeTopK(spark, dir,
+          probes, "query_id", "qtext", k = 10)) ==
+        asSet(Retrieval.bm25TopK(live2, "doc_id", "text",
+          probes, "query_id", "qtext", k = 10)))
+    } finally { Lake.delete(spark, dir) }
+  }
+
   test("missing dir and mixed bucket counts fail loudly") {
     val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
     try {

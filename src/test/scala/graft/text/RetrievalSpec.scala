@@ -200,14 +200,17 @@ class RetrievalSpec extends SparkSpec {
     val ivfSet = ivf.select(col("query_id"), col("doc_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(brute.nonEmpty && ivfSet.nonEmpty)
-    // nProbe=4 over stride-16 centroids: the IVF arm sees a cell subset,
-    // so fused top-10s drift — but must stay mostly the brute result
-    // (the lexical arm is identical; only semantic candidates differ)
-    // measured 0.66 on this fixed corpus (nProbe=4 of ~31 cells — an
-    // aggressive 1/8 probe fraction); the floor guards against a probe
-    // or fusion regression, not the exact value
+    // nProbe=4 over TRAINED centroids (stride-16 seed + 2 Lloyd
+    // rounds): the IVF arm sees a cell subset, so fused top-10s drift —
+    // but must stay mostly the brute result (the lexical arm is
+    // identical; only semantic candidates differ). Measured 0.68 on
+    // this fixed corpus with trained centroids (0.66 with the raw
+    // stride seed — the fusion dampens the pure-ANN uplift AnnSpec
+    // measures, since half the points come from the unchanged BM25
+    // arm); the floor guards against a probe or fusion regression,
+    // not the exact value
     val recall = ivfSet.intersect(brute).size.toDouble / brute.size
-    assert(recall >= 0.60, f"hybrid-IVF recall vs brute fusion: $recall%.3f < 0.60")
+    assert(recall >= 0.65, f"hybrid-IVF recall vs brute fusion: $recall%.3f < 0.65")
   }
 
   test("guards: invalid k / k0 fail fast") {
