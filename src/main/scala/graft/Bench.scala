@@ -129,12 +129,28 @@ object Bench {
     // on earlier lines where truncation is harmless.
     println(s"""{"bench_detail":"cold","cold_full":$qsFull}""")
     println(s"""{"bench_detail":"warm","warm_total":${f3(warmTotal)},"warm":$warms,"warm_median":$medians}""")
-    val contract = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
-    // Loud guard: if the contract ever outgrows the tail window again,
-    // fail the bench run rather than silently producing parsed:null.
-    if (contract.length > 1850)
-      System.err.println(s"[bench] WARNING: contract line ${contract.length} bytes; driver tail is 2000")
-    println(contract)
+    // Warm detail for the driver: the contract carries warm_total, and
+    // this second-to-last line carries the 10 slowest warm queries —
+    // sized (~170 bytes) to SHARE the 2000-char tail with the contract.
+    // If the contract ever grows enough to push it out, the loss is
+    // graceful: this line truncates, the final contract line still
+    // parses (judge re-runs read the full warm map above either way).
+    val warmTop = results.filter(_._5).sortBy(-_._3).take(10)
+      .map { case (k, _, w, _, _) => "\"" + shortKey(k) + "\":" + f2(w) }
+      .mkString("{", ",", "}")
+    println(s"""{"warm_total":${f2(warmTotal)},"warm_top":$warmTop}""")
+    val contract = s"""{"metric":"total","value":${f3(total)},"unit":"sec","warm_total":${f2(warmTotal)},"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    // Guard: if the contract ever outgrows the tail window again,
+    // DEGRADE to a detail-free contract that always fits (metric/value/
+    // failed stay parseable) instead of emitting a line the driver
+    // would front-truncate mid-JSON into parsed:null — and instead of
+    // throwing, which would lose the round's headline number entirely.
+    if (contract.length > 1850) {
+      System.err.println(s"[bench] WARNING: contract line ${contract.length} bytes " +
+        "exceeds the 1850 budget (driver tail is 2000) — emitting reduced contract; " +
+        "per-query cold timings for this run live on the bench_detail lines only")
+      println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","warm_total":${f2(warmTotal)},"queries":{},"failed":$failed,"sf":"$sfDir"}""")
+    } else println(contract)
     spark.stop()
   }
 }

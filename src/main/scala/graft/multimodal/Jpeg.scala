@@ -8,7 +8,9 @@ package graft.multimodal
   * DCT (SOF0), 8-bit precision, grayscale / 4:4:4 / 4:2:0 (luma 2×2,
   * chroma 1×1 — the dominant real-world layout; chroma planes decode
   * at half resolution and upsample by index scaling at the color
-  * conversion), single interleaved scan, no restart intervals.
+  * conversion), single interleaved scan, WITH restart-interval support
+  * (DRI + RSTm markers: bit-reader realignment, DC predictor reset,
+  * modulo-8 marker sequence checking — q127's fixtures exercise it).
   * Progressive and other sampling layouts surface as None
   * (format="unknown" in the stats frame), never as garbage pixels.
   *

@@ -1475,6 +1475,22 @@ object Queries {
     * first q111 run pays build + probe; warm runs measure the true
     * serving path — probe-only, reading pruned index partitions. */
   private val standingIdx = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // the standing dirs are JVM-lifetime artifacts under tmp; delete them
+  // on exit so repeated local sessions don't accumulate orphans (a real
+  // deployment lands its indexes at a stable lake path instead — this
+  // tmp placement exists only for the self-contained gate)
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    standingIdx.values().forEach { p =>
+      try {
+        val root = java.nio.file.Paths.get(p)
+        if (java.nio.file.Files.exists(root)) {
+          val walk = java.nio.file.Files.walk(root)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(q => java.nio.file.Files.deleteIfExists(q))
+          finally walk.close()
+        }
+      } catch { case _: Throwable => () } // best-effort at JVM exit
+    }))
   private def standingIvfIdx(spark: SparkSession, dir: String): String =
     standingIdx.computeIfAbsent("ivf:" + dir, _ => {
       val emb = tbl(spark, dir, "embeddings")
@@ -1731,30 +1747,35 @@ object Queries {
 
   /** URL normalization + host/domain extraction through the gate — the
     * crawl-frontier step (canonical URL dedup keys, domain mixing,
-    * blocklists). Five id-derived URL families cover the normalization
+    * blocklists). Six id-derived URL families cover the normalization
     * space: upper-case scheme/host with default port + duplicate path
-    * slashes + fragment; https default port with a kept query; a
-    * blocklisted domain with a bare trailing "?"; a bare host with a
-    * trailing slash; a non-http scheme whose :80 must SURVIVE. The
-    * oracle states the expected canonical strings independently in
-    * closed form — not a regex replay — so the normalization semantics
-    * are cross-derived, not self-validated. */
+    * slashes + fragment; https default port with duplicate PATH
+    * slashes and a kept query whose bytes embed "://" and "//" (the
+    * collapse must stop at the '?'); a blocklisted domain with a bare
+    * trailing "?"; a bare host with a trailing slash; a non-http
+    * scheme whose :80 must SURVIVE; a schemeless protocol-relative
+    * url that must pass through UNCHANGED. The oracle states the
+    * expected canonical strings independently in closed form — not a
+    * regex replay — so the normalization semantics are cross-derived,
+    * not self-validated. */
   def q129UrlNormalize(spark: SparkSession, dir: String): DataFrame = {
     val docs = tbl(spark, dir, "documents")
     val id = col("doc_id")
     val k7 = pmod(id, lit(7L)).cast("string")
-    val url = when(pmod(id, lit(5L)) === 0,
+    val url = when(pmod(id, lit(6L)) === 0,
         concat(lit("HTTP://WWW.Example"), k7, lit(".COM:80//a//b/page"),
           id.cast("string"), lit(".html#frag")))
-      .when(pmod(id, lit(5L)) === 1,
-        concat(lit("https://Sub.Domain"), k7, lit(".org:443/path?q="),
-          id.cast("string")))
-      .when(pmod(id, lit(5L)) === 2,
+      .when(pmod(id, lit(6L)) === 1,
+        concat(lit("https://Sub.Domain"), k7, lit(".org:443/path//sub?q="),
+          id.cast("string"), lit("&next=https://x//y")))
+      .when(pmod(id, lit(6L)) === 2,
         concat(lit("https://spam"), pmod(id, lit(3L)).cast("string"),
           lit(".bad.site/x/y?")))
-      .when(pmod(id, lit(5L)) === 3,
+      .when(pmod(id, lit(6L)) === 3,
         concat(lit("http://plain"), k7, lit(".net/")))
-      .otherwise(concat(lit("ftp://Files.Host"), k7, lit(".io:80/data")))
+      .when(pmod(id, lit(6L)) === 4,
+        concat(lit("ftp://Files.Host"), k7, lit(".io:80/data")))
+      .otherwise(concat(lit("//cdn"), k7, lit(".net//x#f")))
     docs.select(id,
         graft.text.Urls.normalizeUrl(url).as("url_norm"),
         graft.text.Urls.urlHost(url).as("host"),
@@ -4541,26 +4562,29 @@ object Queries {
     "q129_url_normalize" ->
       """WITH u AS (
         |  SELECT doc_id,
-        |    CASE doc_id % 5
+        |    CASE doc_id % 6
         |      WHEN 0 THEN 'http://www.example' || (doc_id % 7) || '.com/a/b/page' || doc_id || '.html'
-        |      WHEN 1 THEN 'https://sub.domain' || (doc_id % 7) || '.org/path?q=' || doc_id
+        |      WHEN 1 THEN 'https://sub.domain' || (doc_id % 7) || '.org/path/sub?q=' || doc_id || '&next=https://x//y'
         |      WHEN 2 THEN 'https://spam' || (doc_id % 3) || '.bad.site/x/y'
         |      WHEN 3 THEN 'http://plain' || (doc_id % 7) || '.net'
-        |      ELSE 'ftp://files.host' || (doc_id % 7) || '.io:80/data'
+        |      WHEN 4 THEN 'ftp://files.host' || (doc_id % 7) || '.io:80/data'
+        |      ELSE '//cdn' || (doc_id % 7) || '.net//x#f'
         |    END AS url_norm,
-        |    CASE doc_id % 5
+        |    CASE doc_id % 6
         |      WHEN 0 THEN 'www.example' || (doc_id % 7) || '.com'
         |      WHEN 1 THEN 'sub.domain' || (doc_id % 7) || '.org'
         |      WHEN 2 THEN 'spam' || (doc_id % 3) || '.bad.site'
         |      WHEN 3 THEN 'plain' || (doc_id % 7) || '.net'
-        |      ELSE 'files.host' || (doc_id % 7) || '.io'
+        |      WHEN 4 THEN 'files.host' || (doc_id % 7) || '.io'
+        |      ELSE ''
         |    END AS host,
-        |    CASE doc_id % 5
+        |    CASE doc_id % 6
         |      WHEN 0 THEN 'example' || (doc_id % 7) || '.com'
         |      WHEN 1 THEN 'domain' || (doc_id % 7) || '.org'
         |      WHEN 2 THEN 'bad.site'
         |      WHEN 3 THEN 'plain' || (doc_id % 7) || '.net'
-        |      ELSE 'host' || (doc_id % 7) || '.io'
+        |      WHEN 4 THEN 'host' || (doc_id % 7) || '.io'
+        |      ELSE ''
         |    END AS domain
         |  FROM documents)
         |SELECT doc_id, url_norm, host, domain,

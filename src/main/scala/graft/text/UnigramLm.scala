@@ -87,6 +87,30 @@ object UnigramLm {
     * impossible when encoding the training corpus itself, possible on
     * new text against a foreign vocabulary.
     * Output: (word, freq, seg, n_pieces, score_milli). */
+  /** Lexicographic compare in UTF-8 BYTE order — the collation Spark's
+    * orderBy (UTF8String) and the DuckDB oracle both use. Java's
+    * String.compareTo compares UTF-16 code units, which orders
+    * supplementary characters (surrogate pairs, 0xD800+ units) BELOW
+    * U+E000..U+FFFF — the opposite of their byte order. For THIS
+    * tie-break the two collations happen to agree (tied segmentations
+    * are one word with U+001F delimiters at different cuts, so the
+    * first difference is always delimiter-vs-word-char and U+001F is
+    * below either way), but the kernel compares the way the engines
+    * collate so the invariant is structural, not an artifact of the
+    * delimiter choice. Only reached on exact (score, count) ties. */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
   def viterbiSegments(words: DataFrame, vocab: DataFrame,
       maxPieceLen: Int): DataFrame = {
     val spark = words.sparkSession
@@ -128,7 +152,7 @@ object UnigramLm {
                 val cNp = np(start) + 1
                 val cSeg = if (np(start) == 0L) piece else seg(start) + dd + piece
                 val better = !found || cNs < bNs || (cNs == bNs &&
-                  (cNp < bNp || (cNp == bNp && cSeg.compareTo(bSeg) < 0)))
+                  (cNp < bNp || (cNp == bNp && utf8Compare(cSeg, bSeg) < 0)))
                 if (better) { bNs = cNs; bNp = cNp; bSeg = cSeg; found = true }
               }
             }

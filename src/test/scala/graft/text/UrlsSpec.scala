@@ -27,6 +27,13 @@ class UrlsSpec extends SparkSpec {
     assert(norm("https://a.b.c.com/x/")._1 == "https://a.b.c.com/x/")
     // bare trailing "?" strips; "?" with content stays
     assert(norm("http://h.com/p?")._1 == "http://h.com/p")
+    // the //+ collapse is a PATH rule: query bytes stay verbatim even
+    // when they embed '://' or '//' (a redirect param is identity)
+    assert(norm("http://h.com/p//q?next=https://x//y")._1 ==
+      "http://h.com/p/q?next=https://x//y")
+    assert(norm("http://h.com/p?a=1&b=//raw")._1 == "http://h.com/p?a=1&b=//raw")
+    // a bare '?' strip applies only to an EMPTY query
+    assert(norm("http://h.com/p?x")._1 == "http://h.com/p?x")
     // multi-label host -> last two labels as the domain
     assert(norm("https://a.b.c.com/")._3 == "c.com")
     // single-label host is its own domain
@@ -36,6 +43,11 @@ class UrlsSpec extends SparkSpec {
 
   test("degenerate inputs: no scheme, empty, fragment-only — sane, not crashed") {
     assert(norm("not a url")._2 == "")
+    // no scheme://authority prefix -> byte-identical pass-through
+    // (guessing would corrupt: '//host/path' is NOT '/host/path')
+    assert(norm("not a url")._1 == "not a url")
+    assert(norm("//cdn.net//x#f")._1 == "//cdn.net//x#f")
+    assert(norm("www.example.com/a//b?x#f")._1 == "www.example.com/a//b?x#f")
     assert(norm("")._1 == "" && norm("")._2 == "")
     assert(norm("https://h.com#only-fragment")._1 == "https://h.com")
     val n = Seq((1L, null: String)).toDF("id", "u")
