@@ -1,0 +1,380 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Raw web-crawl container ingestion — the record walk that turns an
+  * archived crawl segment into per-record rows, completing the
+  * Common-Crawl path in front of the existing stages (gzip member
+  * decode -> THIS -> [[graft.text.Urls]] canonicalization ->
+  * [[graft.text.Html]] extraction -> curation). Reference analog: the
+  * extractors' raw-zone landing intent (medical_etl_dag.py:88-96) —
+  * land opaque payloads, then parse structure out of them downstream.
+  *
+  * Two container formats, both from their public specs:
+  *  - WARC (ISO 28500): records = "WARC/x.y" header block (CRLF lines,
+  *    "Name: value"), blank line, Content-Length payload bytes, CRLF
+  *    CRLF terminator. Response records carrying an HTTP message
+  *    (Content-Type: application/http) additionally split the status
+  *    line + headers off the body.
+  *  - POSIX ustar tar: 512-byte headers (NUL-terminated name, octal
+  *    size/checksum fields), data rounded up to 512-byte blocks,
+  *    two-zero-block end marker. The checksum (header bytes summed
+  *    with the checksum field as spaces) is VALIDATED — a corrupted
+  *    header must not walk garbage offsets.
+  *
+  * Error contract (the codec discipline of [[Multimodal]]): a
+  * malformed container surfaces its parsed prefix as ok=1 rows plus
+  * ONE ok=0 row at the failing record index — kept, not dropped, so a
+  * crawl-archive audit can count bad segments; never garbage rows
+  * past a corrupt header.
+  *
+  * Scale shape: one row per container in, mapPartitions batch walk
+  * (no driver bytes), one row per record out — the decodeStage plan
+  * shape. Containers are bounded by the binary-column row limit; at
+  * 100 TB the archives arrive as bounded segments (the Common-Crawl
+  * layout: ~1 GB per .warc.gz) and each segment is one row, so the
+  * walk parallelizes across segments, records explode executor-side,
+  * and `maxRecords` caps adversarial many-empty-record payloads. */
+object Containers {
+
+  // ---- WARC ---------------------------------------------------------
+
+  final case class WarcRecord(
+      media_id: Long, rec_index: Int, ok: Int, warc_type: String,
+      url: String, http_status: Int, body: String, payload_bytes: Long)
+
+  private def indexOfCrlfCrlf(b: Array[Byte], from: Int, until: Int): Int = {
+    var i = from
+    val end = math.min(until, b.length) - 3
+    while (i < end) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' && b(i + 3) == '\n')
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Walk one WARC container. Strict: a record whose version line,
+    * Content-Length, or CRLFCRLF terminator is wrong ends the walk
+    * with an ok=0 row at that index (bytes after a bad length are
+    * unaddressable — resynchronizing would fabricate records). */
+  def parseWarc(id: Long, b: Array[Byte],
+      maxRecords: Int = 100000): Seq[WarcRecord] = {
+    val out = Seq.newBuilder[WarcRecord]
+    if (b == null || b.length == 0) {
+      out += WarcRecord(id, 0, 0, "", "", 0, "", 0L)
+      return out.result()
+    }
+    var i = 0
+    var idx = 0
+    var failed = false
+    while (!failed && i < b.length && idx < maxRecords) {
+      val he = indexOfCrlfCrlf(b, i, b.length)
+      if (he < 0) failed = true
+      else {
+        // header bytes are ASCII per spec; latin-1 decode is lossless
+        val lines = new String(b, i, he - i, "ISO-8859-1").split("\r\n")
+        if (!lines(0).startsWith("WARC/")) failed = true
+        else {
+          val hdrs = lines.iterator.drop(1).flatMap { l =>
+            val c = l.indexOf(':')
+            if (c <= 0) None
+            else Some(l.substring(0, c).trim.toLowerCase -> l.substring(c + 1).trim)
+          }.toMap
+          val lenOpt = hdrs.get("content-length")
+            .flatMap(s => scala.util.Try(s.toLong).toOption)
+            .filter(n => n >= 0 && n <= b.length.toLong - he - 8)
+          lenOpt match {
+            case Some(len) =>
+              val ps = he + 4
+              val pe = ps + len.toInt
+              if (!(b(pe) == '\r' && b(pe + 1) == '\n' &&
+                    b(pe + 2) == '\r' && b(pe + 3) == '\n')) failed = true
+              else {
+                val ctype = hdrs.getOrElse("content-type", "")
+                val (status, bs, be) =
+                  if (ctype.startsWith("application/http")) {
+                    val hhe = indexOfCrlfCrlf(b, ps, pe)
+                    if (hhe < 0) (0, ps, pe)
+                    else {
+                      val eol0 = {
+                        var j = ps
+                        while (j < hhe && b(j) != '\r') j += 1
+                        j
+                      }
+                      val l0 = new String(b, ps, eol0 - ps, "ISO-8859-1")
+                      val m = "^HTTP/\\d\\.\\d (\\d{3})".r.findFirstMatchIn(l0)
+                      (m.map(_.group(1).toInt).getOrElse(0), hhe + 4, pe)
+                    }
+                  } else (0, ps, pe)
+                out += WarcRecord(id, idx, 1,
+                  hdrs.getOrElse("warc-type", ""),
+                  hdrs.getOrElse("warc-target-uri", ""),
+                  status,
+                  new String(b, bs, be - bs, "UTF-8"),
+                  len)
+                i = pe + 4
+                idx += 1
+              }
+            case None => failed = true
+          }
+        }
+      }
+    }
+    if (failed) out += WarcRecord(id, idx, 0, "", "", 0, "", 0L)
+    out.result()
+  }
+
+  /** Batched WARC record walk over a binary media frame (media_id,
+    * payload). `gzipped = true` gunzips each container first (the
+    * .warc.gz layout), with [[Multimodal.gunzipText]]'s zip-bomb
+    * bound; an unopenable gzip member is a container-level ok=0 row. */
+  def decodeWarc(media: DataFrame, partitions: Int = 0,
+      gzipped: Boolean = false, maxBytes: Int = 1 << 26): Dataset[WarcRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val parts = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    media.select("media_id", "payload")
+      .repartition(parts, col("media_id"))
+      .as[(Long, Array[Byte])](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.BINARY))
+      .flatMap { case (id, p) =>
+        val raw = if (!gzipped) Option(p)
+          else Multimodal.gunzipBytes(p, maxBytes)
+        raw match {
+          case Some(bytes) => parseWarc(id, bytes)
+          case None => Seq(WarcRecord(id, 0, 0, "", "", 0, "", 0L))
+        }
+      }
+  }
+
+  /** One serialized WARC record (fixture-synthesis counterpart —
+    * Content-Length computed, CRLFCRLF framing per spec). */
+  def warcRecordBytes(headers: Seq[(String, String)],
+      payload: Array[Byte], declaredLength: Option[Long] = None): Array[Byte] = {
+    val sb = new StringBuilder("WARC/1.0\r\n")
+    headers.foreach { case (k, v) => sb.append(k).append(": ").append(v).append("\r\n") }
+    sb.append("Content-Length: ")
+      .append(declaredLength.getOrElse(payload.length.toLong))
+      .append("\r\n\r\n")
+    val head = sb.toString.getBytes("ISO-8859-1")
+    val outB = new Array[Byte](head.length + payload.length + 4)
+    System.arraycopy(head, 0, outB, 0, head.length)
+    System.arraycopy(payload, 0, outB, head.length, payload.length)
+    outB(outB.length - 4) = '\r'; outB(outB.length - 3) = '\n'
+    outB(outB.length - 2) = '\r'; outB(outB.length - 1) = '\n'
+    outB
+  }
+
+  /** Deterministic WARC corpus from the documents table — the q131
+    * generate-parse-replay fixture: each doc becomes a 2-record
+    * container (warcinfo + an HTTP response whose URI derives from the
+    * id and whose body is the doc text); every id%4==2 container
+    * declares a WRONG Content-Length on the response record, so the
+    * gate covers the error path (warcinfo parses, response surfaces
+    * as the ok=0 tail row). */
+  def warcCorpusFromDocuments(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)].map {
+      case (id, text) =>
+        val info = warcRecordBytes(Seq(
+          "WARC-Type" -> "warcinfo",
+          "Content-Type" -> "application/warc-fields"),
+          "software: graft\r\n".getBytes("UTF-8"))
+        val body = (if (text == null) "" else text).getBytes("UTF-8")
+        val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n")
+          .getBytes("ISO-8859-1") ++ body
+        val bad = java.lang.Math.floorMod(id, 4L) == 2L
+        val resp = warcRecordBytes(Seq(
+          "WARC-Type" -> "response",
+          "WARC-Target-URI" ->
+            s"http://site${java.lang.Math.floorMod(id, 7L)}.example/doc$id.html",
+          "Content-Type" -> "application/http; msgtype=response"),
+          http,
+          declaredLength = if (bad) Some(http.length.toLong + 9L) else None)
+        (id, info ++ resp)
+    }.toDF("media_id", "payload")
+  }
+
+  // ---- tar ----------------------------------------------------------
+
+  final case class TarEntry(
+      media_id: Long, ent_index: Int, ok: Int, name: String,
+      n_bytes: Long, text: String)
+
+  private def parseOctal(b: Array[Byte], off: Int, len: Int): Long = {
+    var i = off
+    val end = off + len
+    while (i < end && (b(i) == ' ' || b(i) == 0)) i += 1
+    var v = 0L
+    var any = false
+    while (i < end && b(i) >= '0' && b(i) <= '7') {
+      v = v * 8 + (b(i) - '0'); any = true; i += 1
+    }
+    if (any) v else -1L
+  }
+
+  private def cString(b: Array[Byte], off: Int, len: Int): String = {
+    var n = 0
+    while (n < len && b(off + n) != 0) n += 1
+    new String(b, off, n, "UTF-8")
+  }
+
+  private def allZero(b: Array[Byte], off: Int, len: Int): Boolean = {
+    var i = off
+    while (i < off + len) { if (b(i) != 0) return false; i += 1 }
+    true
+  }
+
+  /** Walk one ustar tar. The header checksum is validated (all header
+    * bytes summed unsigned with the checksum field as 8 spaces) — a
+    * failed checksum, bad octal size, or data running past the buffer
+    * ends the walk with an ok=0 row at that entry index. A zero block
+    * ends the archive (the two-zero-block marker; one suffices — the
+    * second is framing, and a truncated-after-one archive is still
+    * unambiguous). */
+  def parseTar(id: Long, b: Array[Byte],
+      maxEntries: Int = 100000): Seq[TarEntry] = {
+    val out = Seq.newBuilder[TarEntry]
+    if (b == null || b.length < 512) {
+      out += TarEntry(id, 0, 0, "", 0L, "")
+      return out.result()
+    }
+    var i = 0
+    var idx = 0
+    var failed = false
+    var done = false
+    while (!done && !failed && i + 512 <= b.length && idx < maxEntries) {
+      if (allZero(b, i, 512)) done = true
+      else {
+        val stored = parseOctal(b, i + 148, 8)
+        var sum = 0L
+        var j = 0
+        while (j < 512) {
+          sum += (if (j >= 148 && j < 156) ' '.toLong else (b(i + j) & 0xff).toLong)
+          j += 1
+        }
+        val size = parseOctal(b, i + 124, 12)
+        if (stored < 0 || stored != sum || size < 0) failed = true
+        else {
+          val dataStart = i + 512
+          val padded = ((size + 511L) / 512L) * 512L
+          if (dataStart.toLong + padded > b.length.toLong) failed = true
+          else {
+            out += TarEntry(id, idx, 1, cString(b, i, 100), size,
+              new String(b, dataStart, size.toInt, "UTF-8"))
+            i = dataStart + padded.toInt
+            idx += 1
+          }
+        }
+      }
+    }
+    if (failed) out += TarEntry(id, idx, 0, "", 0L, "")
+    out.result()
+  }
+
+  /** Batched tar entry walk — same plan shape as [[decodeWarc]]. */
+  def decodeTar(media: DataFrame, partitions: Int = 0,
+      gzipped: Boolean = false, maxBytes: Int = 1 << 26): Dataset[TarEntry] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val parts = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    media.select("media_id", "payload")
+      .repartition(parts, col("media_id"))
+      .as[(Long, Array[Byte])](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.BINARY))
+      .flatMap { case (id, p) =>
+        val raw = if (!gzipped) Option(p)
+          else Multimodal.gunzipBytes(p, maxBytes)
+        raw match {
+          case Some(bytes) => parseTar(id, bytes)
+          case None => Seq(TarEntry(id, 0, 0, "", 0L, ""))
+        }
+      }
+  }
+
+  /** One serialized ustar entry (header + padded data) — fixture
+    * synthesis with a REAL computed checksum. */
+  def tarEntryBytes(name: String, data: Array[Byte]): Array[Byte] = {
+    val h = new Array[Byte](512)
+    def put(off: Int, s: String): Unit = {
+      val sb = s.getBytes("ISO-8859-1")
+      System.arraycopy(sb, 0, h, off, math.min(sb.length, 100))
+    }
+    def putOctal(off: Int, width: Int, v: Long): Unit =
+      // width-1 octal digits + NUL terminator, zero-padded (ustar style)
+      put(off, ("%0" + (width - 1) + "o").format(v))
+    put(0, name)
+    putOctal(100, 8, 420L /* 0644 */)
+    putOctal(108, 8, 0L)
+    putOctal(116, 8, 0L)
+    putOctal(124, 12, data.length.toLong)
+    putOctal(136, 12, 0L)
+    h(156) = '0' // regular file
+    put(257, "ustar")
+    h(263) = '0'; h(264) = '0' // version "00"
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    var sum = 0L
+    var i = 0
+    while (i < 512) { sum += (h(i) & 0xff).toLong; i += 1 }
+    val cs = ("%06o".format(sum)).getBytes("ISO-8859-1")
+    System.arraycopy(cs, 0, h, 148, 6)
+    h(154) = 0; h(155) = ' '
+    val padded = ((data.length + 511) / 512) * 512
+    val outB = new Array[Byte](512 + padded)
+    System.arraycopy(h, 0, outB, 0, 512)
+    System.arraycopy(data, 0, outB, 512, data.length)
+    outB
+  }
+
+  /** Deterministic tar corpus from the documents table — the q132
+    * fixture: each doc becomes a 2-entry archive (its text under
+    * docs/, a tiny id-derived metadata file under meta/) closed by the
+    * two-zero-block end marker; every id%5==3 archive carries a
+    * corrupted checksum on the SECOND entry (entry 0 parses, entry 1
+    * surfaces as the ok=0 tail row). */
+  def tarCorpusFromDocuments(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)].map {
+      case (id, text) =>
+        val e0 = tarEntryBytes(s"docs/$id.txt",
+          (if (text == null) "" else text).getBytes("UTF-8"))
+        val e1 = tarEntryBytes(s"meta/$id.txt", s"id=$id".getBytes("UTF-8"))
+        if (java.lang.Math.floorMod(id, 5L) == 3L)
+          e1(148) = (e1(148) ^ 0x07).toByte // break the stored checksum
+        (id, e0 ++ e1 ++ new Array[Byte](1024))
+    }.toDF("media_id", "payload")
+  }
+
+  // ---- on-disk loader ----------------------------------------------
+
+  /** Load a directory of container files as a binary media frame — the
+    * Spark `binaryFile` source with the (media_id, payload) shape the
+    * decoders expect; media_id is the path hash (stable, join-able
+    * back through `path`). The source parallelizes across files, so a
+    * directory of bounded crawl segments IS the 100 TB ingest layout. */
+  def readBinaryMedia(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("binaryFile").load(path)
+      .select(xxhash64(col("path")).as("media_id"), col("path"),
+        col("content").as("payload"))
+
+  /** The crawl-ingest composition in one call: WARC responses ->
+    * canonical URL + HTML-extracted text — rows ready for the curation
+    * pipeline's (doc_id, source, text) contract (doc_id = hash of the
+    * canonical URL; source = registrable domain). */
+  def warcDocs(media: DataFrame, gzipped: Boolean = false): DataFrame =
+    decodeWarc(media, gzipped = gzipped).toDF()
+      .where(col("ok") === 1 && col("warc_type") === "response")
+      .select(
+        xxhash64(graft.text.Urls.normalizeUrl(col("url"))).as("doc_id"),
+        graft.text.Urls.urlDomain(col("url")).as("source"),
+        graft.text.Html.htmlToText(col("body")).as("text"),
+        graft.text.Urls.normalizeUrl(col("url")).as("url_norm"))
+}

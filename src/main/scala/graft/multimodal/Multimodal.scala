@@ -440,6 +440,12 @@ object Multimodal {
     * guard every ingest needs); over-limit payloads are REJECTED, not
     * truncated (truncation would silently corrupt the corpus). */
   def gunzipText(b: Array[Byte], maxBytes: Int = 1 << 26): Option[String] =
+    gunzipBytes(b, maxBytes).map(new String(_, "UTF-8"))
+
+  /** [[gunzipText]]'s byte-level core — the shape container decoders
+    * need (.warc.gz / .tar.gz members are binary, not text). Same
+    * zip-bomb bound, same reject-don't-truncate contract. */
+  def gunzipBytes(b: Array[Byte], maxBytes: Int = 1 << 26): Option[Array[Byte]] =
     try {
       if (b == null || b.length < 3) return None
       if ((b(0) & 0xff) != 0x1f || (b(1) & 0xff) != 0x8b) return None
@@ -454,7 +460,7 @@ object Multimodal {
         n = in.read(buf)
       }
       in.close()
-      Some(new String(out.toByteArray, "UTF-8"))
+      Some(out.toByteArray)
     } catch { case _: java.io.IOException => None }
 
   /** Gzip-compress text — fixture-synthesis counterpart (a REAL gzip

@@ -1798,6 +1798,39 @@ object Queries {
       .select(col("media_id"), col("ok"), col("text"), col("text_bytes"))
   }
 
+  /** WARC record walk through the gate — the crawl-archive container
+    * step in front of q128/q129/q130: each doc synthesizes a REAL
+    * 2-record WARC (warcinfo + an HTTP response whose Target-URI
+    * derives from the id and whose body is the doc text); every
+    * id%4==2 container declares a wrong Content-Length on the
+    * response, so the strict-walk error path is oracle-covered (the
+    * warcinfo row parses, the response surfaces as an ok=0 tail row).
+    * The oracle states record fields closed-form — the
+    * generate-parse-replay pattern of q119/q130. */
+  def q131WarcRecords(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Containers.warcCorpusFromDocuments(
+      tbl(spark, dir, "documents"))
+    graft.multimodal.Containers.decodeWarc(media).toDF()
+      .select(col("media_id"), col("rec_index"), col("ok"),
+        col("warc_type"), col("url"), col("http_status"), col("body"))
+  }
+
+  /** ustar tar entry walk through the gate — the shard-archive
+    * container step (tarred text corpora, model-data drops): each doc
+    * synthesizes a REAL 2-entry ustar archive (text under docs/, an
+    * id-derived metadata file under meta/, computed checksums, zero-
+    * block end marker); every id%5==3 archive carries a corrupted
+    * checksum on the second entry (entry 0 parses, entry 1 is the
+    * ok=0 tail row — a bad checksum must never walk garbage offsets).
+    * Closed-form oracle, q131's pattern. */
+  def q132TarEntries(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Containers.tarCorpusFromDocuments(
+      tbl(spark, dir, "documents"))
+    graft.multimodal.Containers.decodeTar(media).toDF()
+      .select(col("media_id"), col("ent_index"), col("ok"),
+        col("name"), col("n_bytes"), col("text"))
+  }
+
   /** Parquet footer audit through the gate — real lake-ops tooling
     * with a genuinely independent oracle: the engine reads row-group /
     * column metadata via parquet-hadoop's footer reader, DuckDB reads
@@ -4158,7 +4191,9 @@ object Queries {
     "q127_jpeg_420" -> (q127Jpeg420 _),
     "q128_html_text" -> (q128HtmlText _),
     "q129_url_normalize" -> (q129UrlNormalize _),
-    "q130_gzip_text" -> (q130GzipText _))
+    "q130_gzip_text" -> (q130GzipText _),
+    "q131_warc_records" -> (q131WarcRecords _),
+    "q132_tar_entries" -> (q132TarEntries _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -4556,6 +4591,37 @@ object Queries {
         |  CASE WHEN doc_id % 3 = 0 THEN '' ELSE coalesce(text, '') END AS text,
         |  (CASE WHEN doc_id % 3 = 0 THEN 0
         |        ELSE coalesce(octet_length(encode(text)), 0) END)::BIGINT AS text_bytes
+        |FROM documents""".stripMargin,
+    // closed-form record fields per container — the oracle does not
+    // replay the walk, it states what each synthesized record holds
+    "q131_warc_records" ->
+      """SELECT doc_id AS media_id, 0::INTEGER AS rec_index, 1::INTEGER AS ok,
+        |  'warcinfo' AS warc_type, '' AS url, 0::INTEGER AS http_status,
+        |  'software: graft' || chr(13) || chr(10) AS body
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id AS media_id, 1::INTEGER AS rec_index,
+        |  (CASE WHEN doc_id % 4 = 2 THEN 0 ELSE 1 END)::INTEGER AS ok,
+        |  CASE WHEN doc_id % 4 = 2 THEN '' ELSE 'response' END AS warc_type,
+        |  CASE WHEN doc_id % 4 = 2 THEN ''
+        |       ELSE 'http://site' || (doc_id % 7) || '.example/doc' || doc_id || '.html'
+        |  END AS url,
+        |  (CASE WHEN doc_id % 4 = 2 THEN 0 ELSE 200 END)::INTEGER AS http_status,
+        |  CASE WHEN doc_id % 4 = 2 THEN '' ELSE coalesce(text, '') END AS body
+        |FROM documents""".stripMargin,
+    "q132_tar_entries" ->
+      """SELECT doc_id AS media_id, 0::INTEGER AS ent_index, 1::INTEGER AS ok,
+        |  'docs/' || doc_id || '.txt' AS name,
+        |  coalesce(octet_length(encode(text)), 0)::BIGINT AS n_bytes,
+        |  coalesce(text, '') AS text
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id AS media_id, 1::INTEGER AS ent_index,
+        |  (CASE WHEN doc_id % 5 = 3 THEN 0 ELSE 1 END)::INTEGER AS ok,
+        |  CASE WHEN doc_id % 5 = 3 THEN '' ELSE 'meta/' || doc_id || '.txt' END AS name,
+        |  (CASE WHEN doc_id % 5 = 3 THEN 0
+        |        ELSE octet_length(encode('id=' || doc_id)) END)::BIGINT AS n_bytes,
+        |  CASE WHEN doc_id % 5 = 3 THEN '' ELSE 'id=' || doc_id END AS text
         |FROM documents""".stripMargin,
     // INDEPENDENT closed-form expectations per URL family — the oracle
     // states the canonical strings, it does not replay the regexes

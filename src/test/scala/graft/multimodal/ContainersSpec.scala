@@ -1,0 +1,121 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ContainersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def warcPair(text: String, badLen: Boolean = false): Array[Byte] = {
+    val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n")
+      .getBytes("ISO-8859-1") ++ text.getBytes("UTF-8")
+    Containers.warcRecordBytes(Seq(
+        "WARC-Type" -> "warcinfo",
+        "Content-Type" -> "application/warc-fields"),
+      "software: graft\r\n".getBytes("UTF-8")) ++
+      Containers.warcRecordBytes(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Target-URI" -> "http://h.example/x",
+        "Content-Type" -> "application/http; msgtype=response"),
+        http, declaredLength = if (badLen) Some(http.length + 9L) else None)
+  }
+
+  test("warc: generate-parse round trip, http split, multi-record walk") {
+    val recs = Containers.parseWarc(7L, warcPair("the body text"))
+    assert(recs.map(r => (r.rec_index, r.ok, r.warc_type)) ==
+      Seq((0, 1, "warcinfo"), (1, 1, "response")))
+    assert(recs(0).body == "software: graft\r\n" && recs(0).http_status == 0)
+    assert(recs(1).url == "http://h.example/x")
+    assert(recs(1).http_status == 200)
+    assert(recs(1).body == "the body text", "http headers must split off the body")
+    // non-http payloads keep the whole payload as body
+    val plain = Containers.parseWarc(1L, Containers.warcRecordBytes(
+      Seq("WARC-Type" -> "resource", "Content-Type" -> "text/plain"),
+      "raw".getBytes("UTF-8")))
+    assert(plain.head.body == "raw" && plain.head.http_status == 0)
+  }
+
+  test("warc: strict error path — parsed prefix survives, ok=0 tail at the bad record") {
+    val recs = Containers.parseWarc(2L, warcPair("x", badLen = true))
+    assert(recs.map(r => (r.rec_index, r.ok)) == Seq((0, 1), (1, 0)))
+    assert(Containers.parseWarc(3L, Array.empty[Byte]).map(_.ok) == Seq(0))
+    assert(Containers.parseWarc(4L, null).map(_.ok) == Seq(0))
+    assert(Containers.parseWarc(5L, "not a warc at all\r\n\r\n".getBytes("UTF-8"))
+      .map(_.ok) == Seq(0))
+    // negative / non-numeric / overlong Content-Length all reject
+    val man = ("WARC/1.0\r\nContent-Length: 999999\r\n\r\nxx\r\n\r\n").getBytes("ISO-8859-1")
+    assert(Containers.parseWarc(6L, man).map(_.ok) == Seq(0))
+  }
+
+  test("warc: gzipped container path equals the plain one; bad gzip is container-level ok=0") {
+    val plain = Seq((1L, warcPair("zipped body"))).toDF("media_id", "payload")
+    val gz = Seq((1L, {
+      val out = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(out)
+      g.write(warcPair("zipped body")); g.close(); out.toByteArray
+    })).toDF("media_id", "payload")
+    val a = Containers.decodeWarc(plain).collect().toSeq.sortBy(_.rec_index)
+    val b = Containers.decodeWarc(gz, gzipped = true).collect().toSeq.sortBy(_.rec_index)
+    assert(a == b)
+    val bad = Seq((2L, "nope".getBytes("UTF-8"))).toDF("media_id", "payload")
+    assert(Containers.decodeWarc(bad, gzipped = true).collect().map(_.ok).toSeq == Seq(0))
+  }
+
+  test("tar: generate-parse round trip, checksum validation, end marker") {
+    val bytes = Containers.tarEntryBytes("docs/9.txt", "nine".getBytes("UTF-8")) ++
+      Containers.tarEntryBytes("meta/9.txt", "id=9".getBytes("UTF-8")) ++
+      new Array[Byte](1024)
+    val ents = Containers.parseTar(9L, bytes)
+    assert(ents.map(e => (e.ent_index, e.ok, e.name, e.n_bytes, e.text)) == Seq(
+      (0, 1, "docs/9.txt", 4L, "nine"), (1, 1, "meta/9.txt", 4L, "id=9")))
+    // corrupt the second entry's checksum: entry 0 survives, tail ok=0
+    val bad = bytes.clone()
+    bad(512 + ((4 + 511) / 512) * 512 + 512 * 0 + 148) =
+      (bad(512 + 512 + 148) ^ 0x07).toByte
+    val e2 = Containers.parseTar(9L, bad)
+    assert(e2.map(e => (e.ent_index, e.ok)) == Seq((0, 1), (1, 0)),
+      "a failed checksum must stop the walk, not walk garbage offsets")
+    // data running past the buffer rejects
+    val trunc = bytes.take(512 + 2)
+    assert(Containers.parseTar(1L, trunc).last.ok == 0)
+    // an all-zero archive is the bare end marker: empty AND valid
+    assert(Containers.parseTar(1L, new Array[Byte](1024)).isEmpty)
+  }
+
+  test("warcDocs composition: responses -> canonical url + extracted text, curation-ready") {
+    val docs = Seq(
+      (0L, "alpha beta gamma"), (2L, "ignored — corrupt container"),
+      (5L, "delta epsilon")).toDF("doc_id", "text")
+    val media = Containers.warcCorpusFromDocuments(docs)
+    val out = Containers.warcDocs(media).collect()
+    // id 2 is the corrupted container (2 % 4 == 2): its response never
+    // parses, so only ids 0 and 5 surface
+    assert(out.length == 2)
+    val byUrl = out.map(r => r.getAs[String]("url_norm") -> r).toMap
+    assert(byUrl.keySet == Set(
+      "http://site0.example/doc0.html", "http://site5.example/doc5.html"))
+    assert(byUrl("http://site0.example/doc0.html").getAs[String]("text")
+      == "alpha beta gamma")
+    assert(byUrl("http://site0.example/doc0.html").getAs[String]("source")
+      == "site0.example")
+    // doc_id is the canonical-url hash: stable and distinct
+    assert(out.map(_.getAs[Long]("doc_id")).distinct.length == 2)
+  }
+
+  test("readBinaryMedia: a directory of container files loads as (media_id, payload)") {
+    val dir = java.nio.file.Files.createTempDirectory("warcdir")
+    try {
+      java.nio.file.Files.write(dir.resolve("a.warc"), warcPair("file a"))
+      java.nio.file.Files.write(dir.resolve("b.warc"), warcPair("file b"))
+      val media = Containers.readBinaryMedia(spark, dir.toString)
+      assert(media.count() == 2)
+      val recs = Containers.decodeWarc(media).toDF()
+      assert(recs.where(col("ok") === 1 && col("warc_type") === "response")
+        .select(col("body")).as[String].collect().toSet == Set("file a", "file b"))
+      // media_id is stable per path and distinct across files
+      assert(media.select(col("media_id")).distinct().count() == 2)
+    } finally {
+      graft.io.Lake.delete(spark, dir.toString)
+    }
+  }
+}

@@ -54,6 +54,27 @@ class DecoderFuzzSpec extends SparkSpec {
     fuzz("wav", base, Multimodal.decodeWavSamples)
   }
 
+  test("WARC record walker survives 300 deterministic corruptions") {
+    val body = "HTTP/1.1 200 OK\r\n\r\nhello warc body".getBytes("ISO-8859-1")
+    val base = Containers.warcRecordBytes(Seq(
+        "WARC-Type" -> "warcinfo",
+        "Content-Type" -> "application/warc-fields"),
+      "software: graft\r\n".getBytes("UTF-8")) ++
+      Containers.warcRecordBytes(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Target-URI" -> "http://h.example/x",
+        "Content-Type" -> "application/http; msgtype=response"), body)
+    fuzz("warc", base, b => Containers.parseWarc(1L, b))
+  }
+
+  test("tar entry walker survives 300 deterministic corruptions") {
+    val base = Containers.tarEntryBytes("docs/1.txt",
+        "hello tar body".getBytes("UTF-8")) ++
+      Containers.tarEntryBytes("meta/1.txt", "id=1".getBytes("UTF-8")) ++
+      new Array[Byte](1024)
+    fuzz("tar", base, b => Containers.parseTar(1L, b))
+  }
+
   test("MP4 sample-table walker survives 300 deterministic corruptions") {
     import spark.implicits._
     val base = Multimodal.mp4SampleCorpusFromDocuments(Seq(6L).toDF("doc_id"))
