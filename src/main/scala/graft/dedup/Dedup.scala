@@ -649,6 +649,44 @@ object Dedup {
       .unionByName(intra)
   }
 
+  /** Near-dup pairs among PRECOMPUTED fixed-width hash signatures —
+    * the signature-agnostic core of [[simhashNearDupPairs]], for
+    * hashes that arrive as a column rather than from text: image
+    * perceptual hashes (Multimodal.pHash64 — the q133 path), audio
+    * fingerprints, any 64-bit sketch. Same exact-match band pigeonhole
+    * (hd <= bands-1 ==> some band equal, so recall is EXACT for
+    * maxDist <= bands-1; more bands buy a larger exact radius at the
+    * cost of shorter — hotter — band values), same scale shape: banded
+    * equi-join on (band, band-value) — never all-pairs — then the
+    * exact popcount filter. Signatures here are expected near-unique
+    * per item (unlike shared-vocabulary text SimHash), so pairs join
+    * directly on items; feed the distinct-signature collapse of
+    * [[simhashNearDupPairs]] first if a corpus clusters onto few
+    * hashes. */
+  def hammingNearDupPairs(df: DataFrame, idCol: String, hashCol: String,
+      totalBits: Int = 64, maxDist: Int = 3, bands: Int = 4): DataFrame = {
+    require(bands >= 1 && maxDist <= bands - 1,
+      s"hammingNearDupPairs: $bands-band pigeonhole is exact only for maxDist <= ${bands - 1}, got $maxDist")
+    require(totalBits % bands == 0 && totalBits >= bands && totalBits <= 64,
+      s"hammingNearDupPairs: totalBits must be a multiple of $bands in [$bands, 64], got $totalBits")
+    val bandBits = totalBits / bands
+    val mask = (1L << bandBits) - 1
+    val sigs = df.select(col(idCol).cast("long").as("id"),
+      col(hashCol).cast("long").as("hh"))
+    val banded = sigs.select(col("id"), col("hh"),
+      posexplode(array((0 until bands).map(i =>
+        shiftrightunsigned(col("hh"), i * bandBits).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "bval")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming(col("a.hh"), col("b.hh")).cast("long").as("hamming_dist"))
+      .where(col("hamming_dist") <= maxDist)
+      // a pair can match in several bands — one row per pair
+      .distinct()
+  }
+
   // ---- span-level (substring) dedup ---------------------------------
 
   /** Duplicated-span extents — the Lee-et-al-style substring dedup pass

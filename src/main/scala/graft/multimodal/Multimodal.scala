@@ -1144,6 +1144,127 @@ object Multimodal {
     }.toDF("media_id", "payload")
   }
 
+  // ---- perceptual hash (8x8-DCT pHash) ------------------------------
+
+  /** 2^10 fixed-point 8-point DCT-II cosine table, T(u)(k) =
+    * round(cos(pi*(2k+1)*u/16) * 1024) — FROZEN literal constants (the
+    * q133 oracle embeds the same integers), so every pHash arithmetic
+    * step is integer-exact and engine-independent. 2^10 keeps the worst
+    * coefficient |sum| < 2^40 for 8-bit pixels at any image size whose
+    * 8x8 block sums stay under 2^18 (a 4096x4096 image). */
+  private[multimodal] val PhashDct: Array[Array[Long]] = Array(
+    Array(1024L, 1024L, 1024L, 1024L, 1024L, 1024L, 1024L, 1024L),
+    Array(1004L, 851L, 569L, 200L, -200L, -569L, -851L, -1004L),
+    Array(946L, 392L, -392L, -946L, -946L, -392L, 392L, 946L),
+    Array(851L, -200L, -1004L, -569L, 569L, 1004L, 200L, -851L),
+    Array(724L, -724L, -724L, 724L, 724L, -724L, -724L, 724L),
+    Array(569L, -1004L, 200L, 851L, -851L, -200L, 1004L, -569L),
+    Array(392L, -946L, 946L, -392L, -392L, 946L, -946L, 392L),
+    Array(200L, -569L, 851L, -1004L, 1004L, -851L, 569L, -200L))
+
+  /** 63-bit perceptual hash of a grayscale plane — the image
+    * counterpart of the text MinHash/SimHash signatures, feeding the
+    * same banded-pair machinery (Dedup.hammingNearDupPairs): downscale
+    * to 8x8 integer BLOCK SUMS (floor-mapped blocks — sums, not means:
+    * the DCT is linear and the median threshold is scale-invariant, so
+    * dividing would only lose exactness), 2D DCT with the fixed-point
+    * [[PhashDct]] table, then bit p-1 = (coefficient at p = 8u+v) >
+    * median of the 63 AC coefficients (sorted index 31 — the lower
+    * middle, a frozen convention). All-integer, so cross-engine
+    * bit-identical; near-identical images differ in few bits,
+    * re-encoded/noise-perturbed copies stay close, distinct content
+    * lands far — exactly what byte-level dedup (q20) cannot see. */
+  def pHash64(gray: Array[Int], w: Int, h: Int): Long = {
+    require(w >= 8 && h >= 8, s"pHash64: need >= 8x8, got ${w}x$h")
+    require(gray.length == w * h, s"pHash64: plane size ${gray.length} != ${w}x$h")
+    val s = Array.ofDim[Long](8, 8)
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      var x = 0
+      while (x < w) { s(by)(x * 8 / w) += gray(y * w + x); x += 1 }
+      y += 1
+    }
+    val f = new Array[Long](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0L
+        var i = 0
+        while (i < 8) {
+          var j = 0
+          while (j < 8) { acc += s(i)(j) * PhashDct(u)(i) * PhashDct(v)(j); j += 1 }
+          i += 1
+        }
+        f(u * 8 + v) = acc
+        v += 1
+      }
+      u += 1
+    }
+    val sorted = java.util.Arrays.copyOfRange(f, 1, 64)
+    java.util.Arrays.sort(sorted)
+    val med = sorted(31)
+    var hash = 0L
+    var p = 1
+    while (p < 64) {
+      if (f(p) > med) hash |= 1L << (p - 1)
+      p += 1
+    }
+    hash
+  }
+
+  final case class ImagePHash(media_id: Long, ok: Int, phash: Long)
+
+  /** Batched PNG-decode -> pHash over a binary media frame: the real
+    * pixel decode ([[decodePngPixels]]) feeding [[pHash64]] over the
+    * red channel (the fixtures encode gray as R=G=B; a production
+    * luma mix is one weighted sum away and changes nothing
+    * structural). Unparseable payloads surface ok=0, phash=0. */
+  def decodePngPHash(media: DataFrame, partitions: Int = 0): Dataset[ImagePHash] =
+    decodeStage(media, partitions,
+        org.apache.spark.sql.Encoders.product[ImagePHash]) { (id, payload) =>
+      decodePngPixels(payload) match {
+        case Some((w, h, px)) if w >= 8 && h >= 8 =>
+          val gray = new Array[Int](w * h)
+          var i = 0
+          while (i < gray.length) { gray(i) = px(3 * i) & 0xff; i += 1 }
+          ImagePHash(id, 1, pHash64(gray, w, h))
+        case _ => ImagePHash(id, 0, 0L)
+      }
+    }
+
+  /** Deterministic perceptual-dup PNG corpus — the q133 fixture: a
+    * macro-pixel base pattern per SEED (the 4x4-pixel macro cells
+    * align with the pHash blocks, so pattern energy dominates every
+    * DCT coefficient), overlaid with small per-id +/-1 pixel noise —
+    * images are byte-DISTINCT but perceptual dups of every same-seed
+    * image. Calm ids seed by group (id mod 10 -> seeds 0-9); every
+    * id%9==0 is an OUTLIER seeded from a DISJOINT seed space (10 +
+    * id mod 7), so outliers never perceptually match a calm group —
+    * they pair only with outliers sharing their seed. (An earlier
+    * draft used high-amplitude pixel noise as the outlier family;
+    * zero-mean noise AVERAGES OUT in the 16-pixel block sums, so
+    * those "outliers" hashed onto their group — correct pHash
+    * behavior, wrong fixture. Perceptual difference must be macro
+    * structure, not texture.) 32x32, gray as R=G=B, really
+    * PNG-encoded. */
+  def phashImageCorpusFromDocuments(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].map { id =>
+      val seed =
+        if (java.lang.Math.floorMod(id, 9L) == 0L)
+          10L + java.lang.Math.floorMod(id, 7L)
+        else java.lang.Math.floorMod(id, 10L)
+      (id, pngBytes(32, 32, (x, y, _) => {
+        val base = ((seed * 73L + (x / 4) * 37L + (y / 4) * 91L) % 17L) * 15L
+        val e = (id * 31L + x * 7L + y * 13L) % 3L - 1L
+        math.max(0L, math.min(255L, base + e)).toInt
+      }))
+    }.toDF("media_id", "payload")
+  }
+
   /** Minimal VALID JPEG prefix: SOI + APP0/JFIF + SOF0 for the given
     * dimensions — 39 bytes. The APP0 segment before the SOF exercises
     * the parser's segment walk. */

@@ -1831,6 +1831,29 @@ object Queries {
         col("name"), col("n_bytes"), col("text"))
   }
 
+  /** Image perceptual near-dup through the gate — the content-level
+    * image dedup that byte-exact dedup (q20) cannot see: id-derived
+    * 32x32 PNGs (seed-keyed macro-pixel patterns + id-unique small
+    * noise, so every payload is byte-distinct; every id%9==0 is an
+    * outlier from a disjoint seed space and must pair with no calm
+    * group) are REALLY encoded and decoded (q119's pixel path),
+    * pHashed (fixed-point 8x8-DCT, integer-exact —
+    * Multimodal.pHash64), and paired through the 8-band pigeonhole
+    * machinery at hamming <= 5 (measured: same-seed pairs land 0-4,
+    * different seeds 10+ — the threshold sits in the gap with margin
+    * both ways). The oracle replays gray plane -> block sums -> DCT
+    * (the same frozen cosine literals) -> median bits -> brute-force
+    * pair join: banded recall is exact at this distance, so banded ==
+    * brute is part of what the gate pins. */
+  def q133PhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.phashImageCorpusFromDocuments(
+      tbl(spark, dir, "documents"))
+    val hashes = graft.multimodal.Multimodal.decodePngPHash(media).toDF()
+      .where(col("ok") === 1)
+    graft.dedup.Dedup.hammingNearDupPairs(hashes, "media_id", "phash",
+      totalBits = 64, maxDist = 5, bands = 8)
+  }
+
   /** Parquet footer audit through the gate — real lake-ops tooling
     * with a genuinely independent oracle: the engine reads row-group /
     * column metadata via parquet-hadoop's footer reader, DuckDB reads
@@ -4193,7 +4216,8 @@ object Queries {
     "q129_url_normalize" -> (q129UrlNormalize _),
     "q130_gzip_text" -> (q130GzipText _),
     "q131_warc_records" -> (q131WarcRecords _),
-    "q132_tar_entries" -> (q132TarEntries _))
+    "q132_tar_entries" -> (q132TarEntries _),
+    "q133_phash_pairs" -> (q133PhashPairs _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -4623,6 +4647,50 @@ object Queries {
         |        ELSE octet_length(encode('id=' || doc_id)) END)::BIGINT AS n_bytes,
         |  CASE WHEN doc_id % 5 = 3 THEN '' ELSE 'id=' || doc_id END AS text
         |FROM documents""".stripMargin,
+    // full pHash replay: closed-form gray plane -> 8x8 block sums ->
+    // fixed-point DCT (the SAME frozen cosine literals as
+    // Multimodal.PhashDct) -> median bits -> brute-force pair join
+    // (banded recall is exact at hd<=3, so brute == the Spark bands)
+    "q133_phash_pairs" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, x.x AS x, y.y AS y,
+        |    least(greatest(
+        |      (((CASE WHEN d.doc_id % 9 = 0 THEN 10 + d.doc_id % 7
+        |              ELSE d.doc_id % 10 END) * 73
+        |        + (x.x // 4) * 37 + (y.y // 4) * 91) % 17) * 15 +
+        |      (d.doc_id * 31 + x.x * 7 + y.y * 13) % 3 - 1,
+        |      0), 255) AS g
+        |  FROM documents d, range(0, 32) AS x(x), range(0, 32) AS y(y)),
+        |blk AS (
+        |  SELECT doc_id, y // 4 AS bi, x // 4 AS bj, sum(g) AS s
+        |  FROM px GROUP BY doc_id, y // 4, x // 4),
+        |tt AS (SELECT [[1024,1024,1024,1024,1024,1024,1024,1024],
+        |  [1004,851,569,200,-200,-569,-851,-1004],
+        |  [946,392,-392,-946,-946,-392,392,946],
+        |  [851,-200,-1004,-569,569,1004,200,-851],
+        |  [724,-724,-724,724,724,-724,-724,724],
+        |  [569,-1004,200,851,-851,-200,1004,-569],
+        |  [392,-946,946,-392,-392,946,-946,392],
+        |  [200,-569,851,-1004,1004,-851,569,-200]] AS t),
+        |dct AS (
+        |  SELECT b.doc_id, u.u AS u, v.v AS v,
+        |    sum(b.s * t[u.u + 1][b.bi + 1] * t[v.v + 1][b.bj + 1]) AS f
+        |  FROM blk b, range(0, 8) AS u(u), range(0, 8) AS v(v), tt
+        |  GROUP BY b.doc_id, u.u, v.v),
+        |med AS (
+        |  SELECT doc_id, list_sort(list(f))[32] AS m
+        |  FROM dct WHERE NOT (u = 0 AND v = 0) GROUP BY doc_id),
+        |ph AS (
+        |  SELECT d.doc_id,
+        |    sum(CASE WHEN d.f > med.m THEN 1::BIGINT << (d.u * 8 + d.v - 1)
+        |             ELSE 0::BIGINT END)::BIGINT AS h
+        |  FROM dct d JOIN med ON d.doc_id = med.doc_id
+        |  WHERE NOT (d.u = 0 AND d.v = 0)
+        |  GROUP BY d.doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  bit_count(xor(a.h, b.h))::BIGINT AS hamming_dist
+        |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 5""".stripMargin,
     // INDEPENDENT closed-form expectations per URL family — the oracle
     // states the canonical strings, it does not replay the regexes
     "q129_url_normalize" ->

@@ -1,0 +1,88 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PhashSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def gray(w: Int, h: Int)(f: (Int, Int) => Int): Array[Int] =
+    Array.tabulate(w * h)(k => f(k % w, k / w) & 0xff)
+
+  private def hd(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("pHash64: deterministic, noise-robust, content-sensitive") {
+    val base = gray(32, 32)((x, y) => ((x / 4) * 37 + (y / 4) * 91) % 17 * 15)
+    val noisy = gray(32, 32)((x, y) =>
+      math.max(0, math.min(255, ((x / 4) * 37 + (y / 4) * 91) % 17 * 15 +
+        (x * 7 + y * 13) % 3 - 1)))
+    val other = gray(32, 32)((x, y) => ((x / 4) * 91 + (y / 4) * 37 + 5) % 17 * 15)
+    val hBase = Multimodal.pHash64(base, 32, 32)
+    assert(hBase == Multimodal.pHash64(base.clone(), 32, 32), "deterministic")
+    assert(hd(hBase, Multimodal.pHash64(noisy, 32, 32)) <= 3,
+      "small pixel noise must stay within the near-dup bound")
+    assert(hd(hBase, Multimodal.pHash64(other, 32, 32)) > 10,
+      "a different macro pattern must land far")
+    // scale invariance of the downscale: the same pattern at 2x
+    // resolution block-sums to 4x the values — same bits
+    val big = gray(64, 64)((x, y) => ((x / 8) * 37 + (y / 8) * 91) % 17 * 15)
+    assert(Multimodal.pHash64(big, 64, 64) == hBase,
+      "resolution must not change the hash of the same pattern")
+    intercept[IllegalArgumentException] { Multimodal.pHash64(gray(4, 4)((_, _) => 0), 4, 4) }
+  }
+
+  // the fixture's perceptual-equivalence classes: calm ids seed by
+  // group, outliers (id%9==0) by a disjoint seed space
+  private def seedOf(id: Long): Long =
+    if (id % 9 == 0) 10 + id % 7 else id % 10
+
+  test("decode->hash->banded pairs: planted dups found, disjoint-seed outliers never cross") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val media = Multimodal.phashImageCorpusFromDocuments(docs)
+    val hashes = graft.ops.CacheScope.persist(
+      Multimodal.decodePngPHash(media).toDF().where($"ok" === 1))
+    assert(hashes.count() == docs.count(), "every fixture PNG must decode")
+    val pairs = graft.dedup.Dedup.hammingNearDupPairs(
+      hashes, "media_id", "phash", totalBits = 64, maxDist = 5, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ids = docs.select($"doc_id").as[Long].collect()
+    // EXACT pair set: same seed <=> perceptual dup (measured gap:
+    // same-seed distances 0-4, different seeds 10+ — threshold 5
+    // separates with margin both ways)
+    val expected = (for {
+      a <- ids; b <- ids
+      if a < b && seedOf(a) == seedOf(b)
+    } yield (a, b)).toSet
+    val got = pairs.map(p => (p._1, p._2)).toSet
+    assert(got == expected,
+      s"missing: ${(expected -- got).take(5)}; spurious: ${(got -- expected).take(5)}")
+    // in particular: an outlier never pairs with a calm id (disjoint
+    // seed spaces), and no calm pair crosses groups
+    assert(!pairs.exists(p => (p._1 % 9 == 0) != (p._2 % 9 == 0)),
+      "outliers must not near-dup against calm groups")
+    assert(pairs.forall(_._3 <= 5))
+  }
+
+  test("banded pairs == brute force within the pigeonhole-exact radius") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val hashes = graft.ops.CacheScope.persist(
+      Multimodal.decodePngPHash(
+        Multimodal.phashImageCorpusFromDocuments(docs)).toDF().where($"ok" === 1))
+    val banded = graft.dedup.Dedup.hammingNearDupPairs(
+        hashes, "media_id", "phash", 64, 5, bands = 8)
+      .collect().map(_.toString).sorted.toSeq
+    val brute = hashes.as("a").join(hashes.as("b"), $"a.media_id" < $"b.media_id")
+      .select($"a.media_id".as("id_a"), $"b.media_id".as("id_b"),
+        bit_count($"a.phash".bitwiseXOR($"b.phash")).cast("long").as("hamming_dist"))
+      .where($"hamming_dist" <= 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(banded == brute)
+    // a maxDist past the band count's exact radius fails fast
+    intercept[IllegalArgumentException] {
+      graft.dedup.Dedup.hammingNearDupPairs(hashes, "media_id", "phash", 64, 4)
+    }
+    intercept[IllegalArgumentException] {
+      graft.dedup.Dedup.hammingNearDupPairs(hashes, "media_id", "phash", 64, 8, bands = 8)
+    }
+  }
+}
