@@ -1265,6 +1265,83 @@ object Multimodal {
     }.toDF("media_id", "payload")
   }
 
+  /** 63-bit audio envelope fingerprint — [[pHash64]]'s treatment of a
+    * clip: the mono stream (channel 0) folds into an 8x8 grid of
+    * per-cell MEAN absolute amplitudes (floor-mapped time cells; the
+    * mean bounds values at 2^15 whatever the clip length), and the
+    * grid goes through the identical fixed-point-DCT + median-bits
+    * pipeline. The median threshold makes the fingerprint VOLUME-
+    * invariant (scaling every cell scales every coefficient — the
+    * bits cannot move), and envelope structure survives sample-level
+    * noise the way macro pixels survive pixel noise. Requires >= 64
+    * mono samples. */
+  def audioFingerprint64(samples: Array[Short], channels: Int): Long = {
+    require(channels >= 1, s"audioFingerprint64: channels must be >= 1: $channels")
+    val n = samples.length / channels
+    require(n >= 64, s"audioFingerprint64: need >= 64 mono samples, got $n")
+    val sums = new Array[Long](64)
+    val cnt = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      val c = (j.toLong * 64 / n).toInt
+      sums(c) += math.abs(samples(j * channels).toInt)
+      cnt(c) += 1
+      j += 1
+    }
+    val g = Array.tabulate(64)(k => (sums(k) / math.max(1, cnt(k))).toInt)
+    pHash64(g, 8, 8)
+  }
+
+  final case class AudioFp(media_id: Long, ok: Int, afp: Long)
+
+  /** Batched WAV-decode -> envelope fingerprint — [[decodePngPHash]]'s
+    * shape for the audio modality. Unparseable / too-short clips
+    * surface ok=0, afp=0. */
+  def decodeWavFingerprint(media: DataFrame, partitions: Int = 0): Dataset[AudioFp] =
+    decodeStage(media, partitions,
+        org.apache.spark.sql.Encoders.product[AudioFp]) { (id, payload) =>
+      decodeWavSamples(payload) match {
+        case Some((_, ch, samples)) if ch >= 1 && samples.length / ch >= 64 =>
+          AudioFp(id, 1, audioFingerprint64(samples, ch))
+        case _ => AudioFp(id, 0, 0L)
+      }
+    }
+
+  /** Deterministic perceptual-dup WAV corpus — the q134 fixture,
+    * [[phashImageCorpusFromDocuments]]'s construction in time: 256
+    * mono 16-bit samples per clip, amplitude envelope from the same
+    * seed-keyed macro pattern over the 64 fingerprint cells (4
+    * samples per cell), sign-alternating so the waveform is a real
+    * oscillation, plus per-id small noise. Calm ids seed by group
+    * (id mod 10), id%9==0 outliers from the disjoint seed space
+    * (10 + id mod 7). Byte-distinct clips, perceptually equal within
+    * a seed. */
+  def audioFpCorpusFromDocuments(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].map { id =>
+      val seed =
+        if (java.lang.Math.floorMod(id, 9L) == 0L)
+          10L + java.lang.Math.floorMod(id, 7L)
+        else java.lang.Math.floorMod(id, 10L)
+      val n = 256
+      val body = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val cell = i / 4
+        val t = cell / 8
+        val s = cell % 8
+        val a = ((seed * 73L + t * 37L + s * 91L) % 17L) * 120L
+        val e = (id * 31L + i * 7L) % 3L - 1L
+        val v = ((a + e) * (if (i % 2 == 0) 1L else -1L)).toInt
+        body(2 * i) = (v & 0xff).toByte
+        body(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      (id, wavHeaderBytes(16000, 1, 16, body.length) ++ body)
+    }.toDF("media_id", "payload")
+  }
+
   /** Minimal VALID JPEG prefix: SOI + APP0/JFIF + SOF0 for the given
     * dimensions — 39 bytes. The APP0 segment before the SOF exercises
     * the parser's segment walk. */

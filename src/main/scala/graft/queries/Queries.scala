@@ -1854,6 +1854,25 @@ object Queries {
       totalBits = 64, maxDist = 5, bands = 8)
   }
 
+  /** Audio perceptual near-dup through the gate — q133's contract for
+    * the audio modality: id-derived 256-sample WAVs (seed-keyed
+    * envelope macro patterns in time + id-unique sample noise,
+    * byte-distinct clips; id%9==0 outliers from the disjoint seed
+    * space) are really encoded, PCM-decoded (q120's path),
+    * envelope-fingerprinted (Multimodal.audioFingerprint64 — the same
+    * fixed-point-DCT pipeline over per-cell mean |amplitude|), and
+    * paired through the 8-band machinery. Oracle: full closed-form
+    * replay, sample values -> cell means -> DCT literals -> median
+    * bits -> brute pairs. */
+  def q134AudioFpPairs(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.audioFpCorpusFromDocuments(
+      tbl(spark, dir, "documents"))
+    val fps = graft.multimodal.Multimodal.decodeWavFingerprint(media).toDF()
+      .where(col("ok") === 1)
+    graft.dedup.Dedup.hammingNearDupPairs(fps, "media_id", "afp",
+      totalBits = 64, maxDist = 5, bands = 8)
+  }
+
   /** Parquet footer audit through the gate — real lake-ops tooling
     * with a genuinely independent oracle: the engine reads row-group /
     * column metadata via parquet-hadoop's footer reader, DuckDB reads
@@ -4217,7 +4236,8 @@ object Queries {
     "q130_gzip_text" -> (q130GzipText _),
     "q131_warc_records" -> (q131WarcRecords _),
     "q132_tar_entries" -> (q132TarEntries _),
-    "q133_phash_pairs" -> (q133PhashPairs _))
+    "q133_phash_pairs" -> (q133PhashPairs _),
+    "q134_audio_fp_pairs" -> (q134AudioFpPairs _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -4677,6 +4697,45 @@ object Queries {
         |    sum(b.s * t[u.u + 1][b.bi + 1] * t[v.v + 1][b.bj + 1]) AS f
         |  FROM blk b, range(0, 8) AS u(u), range(0, 8) AS v(v), tt
         |  GROUP BY b.doc_id, u.u, v.v),
+        |med AS (
+        |  SELECT doc_id, list_sort(list(f))[32] AS m
+        |  FROM dct WHERE NOT (u = 0 AND v = 0) GROUP BY doc_id),
+        |ph AS (
+        |  SELECT d.doc_id,
+        |    sum(CASE WHEN d.f > med.m THEN 1::BIGINT << (d.u * 8 + d.v - 1)
+        |             ELSE 0::BIGINT END)::BIGINT AS h
+        |  FROM dct d JOIN med ON d.doc_id = med.doc_id
+        |  WHERE NOT (d.u = 0 AND d.v = 0)
+        |  GROUP BY d.doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  bit_count(xor(a.h, b.h))::BIGINT AS hamming_dist
+        |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 5""".stripMargin,
+    // the audio twin of q133: closed-form |sample| values -> per-cell
+    // means -> the same frozen DCT literals -> median bits -> brute
+    // pairs (same-seed clips measured 0-2 bits apart, others 18+)
+    "q134_audio_fp_pairs" ->
+      """WITH sm AS (
+        |  SELECT d.doc_id, (i.i // 4) // 8 AS bi, (i.i // 4) % 8 AS bj,
+        |    abs((((CASE WHEN d.doc_id % 9 = 0 THEN 10 + d.doc_id % 7
+        |               ELSE d.doc_id % 10 END) * 73
+        |      + ((i.i // 4) // 8) * 37 + ((i.i // 4) % 8) * 91) % 17) * 120
+        |      + (d.doc_id * 31 + i.i * 7) % 3 - 1) AS ax
+        |  FROM documents d, range(0, 256) AS i(i)),
+        |blk AS (SELECT doc_id, bi, bj, sum(ax) // 4 AS s FROM sm GROUP BY 1, 2, 3),
+        |tt AS (SELECT [[1024,1024,1024,1024,1024,1024,1024,1024],
+        |  [1004,851,569,200,-200,-569,-851,-1004],
+        |  [946,392,-392,-946,-946,-392,392,946],
+        |  [851,-200,-1004,-569,569,1004,200,-851],
+        |  [724,-724,-724,724,724,-724,-724,724],
+        |  [569,-1004,200,851,-851,-200,1004,-569],
+        |  [392,-946,946,-392,-392,946,-946,392],
+        |  [200,-569,851,-1004,1004,-851,569,-200]] AS t),
+        |dct AS (
+        |  SELECT b.doc_id, u.u AS u, v.v AS v,
+        |    sum(b.s * t[u.u + 1][b.bi + 1] * t[v.v + 1][b.bj + 1]) AS f
+        |  FROM blk b, range(0, 8) AS u(u), range(0, 8) AS v(v), tt
+        |  GROUP BY 1, 2, 3),
         |med AS (
         |  SELECT doc_id, list_sort(list(f))[32] AS m
         |  FROM dct WHERE NOT (u = 0 AND v = 0) GROUP BY doc_id),

@@ -63,6 +63,38 @@ class PhashSpec extends SparkSpec {
     assert(pairs.forall(_._3 <= 5))
   }
 
+  test("audio fingerprint: volume-invariant, envelope-sensitive; gate semantics hold") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // volume invariance: scaling every sample scales every DCT
+    // coefficient, so the median bits cannot move
+    def clip(scale: Int): Array[Short] = Array.tabulate(256) { i =>
+      val cell = i / 4
+      val a = ((cell / 8) * 37 + (cell % 8) * 91) % 17 * 120
+      ((a * scale / 4) * (if (i % 2 == 0) 1 else -1)).toShort
+    }
+    val f1 = Multimodal.audioFingerprint64(clip(4), 1)
+    assert(f1 == Multimodal.audioFingerprint64(clip(2), 1),
+      "half volume must not change the fingerprint")
+    intercept[IllegalArgumentException] {
+      Multimodal.audioFingerprint64(new Array[Short](32), 1)
+    }
+    // end-to-end: decode -> fingerprint -> banded pairs, exact pair set
+    val fps = graft.ops.CacheScope.persist(
+      Multimodal.decodeWavFingerprint(
+        Multimodal.audioFpCorpusFromDocuments(docs)).toDF().where($"ok" === 1))
+    assert(fps.count() == docs.count(), "every fixture WAV must decode")
+    val pairs = graft.dedup.Dedup.hammingNearDupPairs(
+      fps, "media_id", "afp", totalBits = 64, maxDist = 5, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ids = docs.select($"doc_id").as[Long].collect()
+    val expected = (for {
+      a <- ids; b <- ids
+      if a < b && seedOf(a) == seedOf(b)
+    } yield (a, b)).toSet
+    assert(pairs.map(p => (p._1, p._2)).toSet == expected,
+      "audio pair set must be exactly the same-seed classes")
+  }
+
   test("banded pairs == brute force within the pigeonhole-exact radius") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val hashes = graft.ops.CacheScope.persist(
