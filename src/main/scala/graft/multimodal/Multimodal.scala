@@ -1234,6 +1234,27 @@ object Multimodal {
       }
     }
 
+  /** [[decodePngPHash]] for baseline JPEG payloads — the SAME hash
+    * over the other codec's decoded plane, so a picture saved as PNG
+    * and as JPEG lands at the same (or adjacent) hash and the banded
+    * pairs find CROSS-CODEC dups — the thing byte-level dedup is
+    * blind to by construction (PhashSpec pins PNG==JPEG hash equality
+    * on a blocky fixture where both decodes are pixel-exact). */
+  def decodeJpegPHash(media: DataFrame, partitions: Int = 0): Dataset[ImagePHash] =
+    decodeStage(media, partitions,
+        org.apache.spark.sql.Encoders.product[ImagePHash]) { (id, payload) =>
+      Jpeg.decodeJpegPixels(payload) match {
+        // the decoder's buffer is ALWAYS 3-byte interleaved (grayscale
+        // replicates into R=G=B), whatever the source component count
+        case Some((w, h, _, px)) if w >= 8 && h >= 8 =>
+          val gray = new Array[Int](w * h)
+          var i = 0
+          while (i < gray.length) { gray(i) = px(3 * i) & 0xff; i += 1 }
+          ImagePHash(id, 1, pHash64(gray, w, h))
+        case _ => ImagePHash(id, 0, 0L)
+      }
+    }
+
   /** Deterministic perceptual-dup PNG corpus — the q133 fixture: a
     * macro-pixel base pattern per SEED (the 4x4-pixel macro cells
     * align with the pHash blocks, so pattern energy dominates every

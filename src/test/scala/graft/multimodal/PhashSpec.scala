@@ -63,6 +63,27 @@ class PhashSpec extends SparkSpec {
     assert(pairs.forall(_._3 <= 5))
   }
 
+  test("cross-codec dup: the same picture as PNG and as JPEG hashes identically") {
+    // an 8x8-blocky image both codecs reproduce pixel-exactly (PNG is
+    // lossless; a DC-only JPEG block IS its constant value)
+    def p(bx: Int, by: Int): Int = (bx * 37 + by * 91) % 17 * 15
+    val png = Multimodal.pngBytes(32, 32, (x, y, _) => p(x / 8, y / 8))
+    val jpg = Jpeg.dcOnlyBytes(32, 32, 1, (bx, by, _) => p(bx, by))
+    val media = Seq((1L, png), (2L, jpg))
+    val hPng = Multimodal.decodePngPHash(
+      Seq(media(0)).toDF("media_id", "payload")).collect()(0)
+    val hJpg = Multimodal.decodeJpegPHash(
+      Seq(media(1)).toDF("media_id", "payload")).collect()(0)
+    assert(hPng.ok == 1 && hJpg.ok == 1)
+    assert(hPng.phash == hJpg.phash,
+      "identical pixels through different codecs must hash identically")
+    // and the pair machinery finds the cross-codec dup from the union
+    val both = Seq((1L, hPng.phash), (2L, hJpg.phash)).toDF("media_id", "phash")
+    val pairs = graft.dedup.Dedup.hammingNearDupPairs(both, "media_id", "phash",
+      64, 5, bands = 8).collect()
+    assert(pairs.length == 1 && pairs(0).getLong(0) == 1L && pairs(0).getLong(1) == 2L)
+  }
+
   test("audio fingerprint: volume-invariant, envelope-sensitive; gate semantics hold") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     // volume invariance: scaling every sample scales every DCT
