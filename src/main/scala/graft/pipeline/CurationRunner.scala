@@ -42,6 +42,20 @@ object CurationRunner {
     StructField("source", StringType),
     StructField("text", StringType)))
 
+  /** How the raw zone's landed files decode into (doc_id, source,
+    * text) rows. [[RawJson]] (the default): NDJSON rows of
+    * [[rawSchema]]. [[RawWarc]]: binary crawl-archive segments —
+    * each landed .warc (or .warc.gz) file drains through
+    * [[graft.multimodal.Containers.warcDocs]] (record walk ->
+    * responses only -> canonical URL -> HTML-extracted text), with
+    * doc_id = hash of the canonical URL and source = registrable
+    * domain, so a re-crawl of a URL on a later day is a CHANGED
+    * document under the snapshot's latest-row-wins semantics — the
+    * full Common-Crawl ingestion path inside the same daily loop. */
+  sealed trait RawFormat
+  case object RawJson extends RawFormat
+  final case class RawWarc(gzipped: Boolean = false) extends RawFormat
+
   /** Optional last-mile export: pack the day's curated corpus and land
     * loader-ready shards + manifest under shards/date=D. */
   final case class ShardConfig(binTokens: Long = 2048L, numBuckets: Int = 64)
@@ -112,7 +126,8 @@ object CurationRunner {
       evalDocs: Option[DataFrame] = None,
       cfg: Curation.CurationConfig = Curation.CurationConfig(),
       shards: Option[ShardConfig] = None,
-      indexes: Option[IndexConfig] = Some(IndexConfig())): DailyResult = {
+      indexes: Option[IndexConfig] = Some(IndexConfig()),
+      rawFormat: RawFormat = RawJson): DailyResult = {
     require(date.matches("""\d{4}-\d{2}-\d{2}"""),
       s"runDaily: date must be ISO yyyy-MM-dd (lexical ordering drives " +
         s"snapshot versioning), got '$date'")
@@ -127,9 +142,21 @@ object CurationRunner {
     // 1. drain: every raw file the checkpoint hasn't seen, stamped with
     // this run's date — the Airflow daily batch as an AvailableNow stream
     meta.time("drain") {
-      Streaming.runDailyAvailableNow(spark, s"$lakeRoot/raw/documents",
-        rawSchema, _.withColumn("ingest_date", lit(date)),
-        staged, s"$lakeRoot/_checkpoints/documents")
+      rawFormat match {
+        case RawJson =>
+          Streaming.runDailyAvailableNow(spark, s"$lakeRoot/raw/documents",
+            rawSchema, _.withColumn("ingest_date", lit(date)),
+            staged, s"$lakeRoot/_checkpoints/documents")
+        case RawWarc(gz) =>
+          Streaming.runDailyAvailableNowBinary(spark, s"$lakeRoot/raw/documents",
+            df => graft.multimodal.Containers.warcDocs(
+                df.select(xxhash64(col("path")).as("media_id"),
+                  col("content").as("payload")),
+                gzipped = gz)
+              .select(col("doc_id"), col("source"), col("text"))
+              .withColumn("ingest_date", lit(date)),
+            staged, s"$lakeRoot/_checkpoints/documents")
+      }
       ((), -1L)
     }
 

@@ -128,4 +128,37 @@ object Streaming {
       .start()
     q.awaitTermination()
   }
+
+  /** [[runDailyAvailableNow]] over BINARY landed files (crawl-archive
+    * segments — .warc / .tar — rather than NDJSON rows): the
+    * `binaryFile` streaming source feeds (path, content) batches to
+    * `transform`, and the checkpoint is still the only ledger of which
+    * segments were ingested. One file = one row = one container walk
+    * executor-side; the bounded-segment layout keeps rows row-size
+    * safe (the Containers contract). */
+  def runDailyAvailableNowBinary(spark: SparkSession, rawGlob: String,
+      transform: DataFrame => DataFrame,
+      outPath: String, checkpoint: String): Unit = {
+    // the binaryFile source's schema is FIXED by the format, but the
+    // streaming reader requires it stated (no inference on streams)
+    val binarySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val stream = spark.readStream.format("binaryFile")
+      .schema(binarySchema).load(rawGlob)
+    val q = transform(stream).writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

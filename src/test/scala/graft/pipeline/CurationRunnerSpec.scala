@@ -287,6 +287,63 @@ class CurationRunnerSpec extends SparkSpec {
     } finally { Lake.delete(spark, root) }
   }
 
+  /** One WARC segment of HTTP-response records with HTML bodies. */
+  private def warcSeg(urls: Seq[(String, String)]): Array[Byte] =
+    urls.flatMap { case (url, text) =>
+      graft.multimodal.Containers.warcRecordBytes(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Target-URI" -> url,
+        "Content-Type" -> "application/http; msgtype=response"),
+        ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+          s"<html><body><p>$text</p></body></html>").getBytes("UTF-8")).toSeq
+    }.toArray
+
+  private def landBin(root: String, name: String, bytes: Array[Byte]): Unit = {
+    val dir = java.nio.file.Paths.get(root, "raw", "documents")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve(name), bytes)
+  }
+
+  test("RawWarc daily loop: crawl segments drain through the container walk into curation") {
+    val root = java.nio.file.Files.createTempDirectory("lake").toString
+    try {
+      val cfg = Curation.CurationConfig(minQualityMilli = 200)
+      def url(i: Int) = s"http://site$i.example/page$i.html"
+      // day 1: two segments, four pages
+      landBin(root, "seg1.warc", warcSeg(Seq(
+        (url(1), doc(1)), (url(2), doc(2)))))
+      landBin(root, "seg2.warc", warcSeg(Seq(
+        (url(3), doc(3)), (url(4), doc(4)))))
+      val r1 = CurationRunner.runDaily(spark, root, "2024-07-01", None, cfg,
+        rawFormat = CurationRunner.RawWarc())
+      assert(r1.snapshotDocs == 4)
+      // htmlToText squeezes whitespace runs — expected text is the
+      // squeezed form (doc() has a double space at its empty tail slot)
+      def sq(s: String) = s.replaceAll(" +", " ")
+      val c1 = Lake.readParquet(spark, s"$root/curated/date=2024-07-01")
+      val byText = c1.select($"source", $"text").collect()
+        .map(r => r.getString(1) -> r.getString(0)).toMap
+      assert(byText.keySet == (1 to 4).map(i => sq(doc(i))).toSet,
+        "HTML-extracted page text must reach the curated corpus")
+      assert(byText(sq(doc(1))) == "site1.example",
+        "source must be the registrable domain of the crawled URL")
+      assert(c1.select($"doc_id").distinct().count() == 4)
+
+      // day 2: RE-CRAWL url(2) with new content + one new page; the
+      // re-crawled URL hashes to the SAME doc_id -> a changed document
+      landBin(root, "seg3.warc", warcSeg(Seq(
+        (url(2), doc(200)), (url(5), doc(5)))))
+      val r2 = CurationRunner.runDaily(spark, root, "2024-07-02", None, cfg,
+        rawFormat = CurationRunner.RawWarc())
+      assert(r2.incremental && r2.snapshotDocs == 5,
+        "re-crawled URL must collapse onto its standing doc_id")
+      val c2 = Lake.readParquet(spark, s"$root/curated/date=2024-07-02")
+      val texts = c2.select($"text").as[String].collect().toSet
+      assert(texts == Set(doc(1), doc(200), doc(3), doc(4), doc(5)).map(sq),
+        "latest crawl wins for the re-crawled URL; carried pages intact")
+    } finally { Lake.delete(spark, root) }
+  }
+
   test("forward-only: a run dated before an existing snapshot is rejected") {
     val root = java.nio.file.Files.createTempDirectory("lake").toString
     try {
