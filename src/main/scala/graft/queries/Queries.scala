@@ -1854,6 +1854,46 @@ object Queries {
       totalBits = 64, maxDist = 5, bands = 8)
   }
 
+  /** Gopher document-rule audit through the gate (Rae et al. 2021
+    * §A1.1): every structural rule measure — word count, mean word
+    * length, symbol/bullet/ellipsis/alpha fractions (floored bp/milli
+    * — exact integers), stop-word evidence — plus the conjunctive
+    * keep, per document. Surfacing each measure (not just the boolean)
+    * is the audit shape: a rule tweak's corpus impact reads straight
+    * off the columns. */
+  def q135GopherRules(spark: SparkSession, dir: String): DataFrame =
+    graft.text.QualityRules.gopherRules(tbl(spark, dir, "documents"), "text")
+      .select(col("doc_id"), col("n_words"), col("mean_word_len_milli"),
+        col("symbol_bp"), col("bullet_bp"), col("ellipsis_bp"),
+        col("alpha_bp"), col("n_stop_hits"), col("keep"))
+
+  /** C4 line cleaning through the gate (Raffel et al. 2020 §2.2):
+    * each doc becomes a synthesized multi-line page planting every
+    * rule path — the doc text with terminal punctuation (kept), a
+    * "javascript" line (dropped), a 2-word line (dropped), a kept
+    * second line, an unterminated line (dropped), a "lorem ipsum"
+    * marker on every 7th id (page drop), a '{' code line on every
+    * 11th-mod-3 id (page drop) — and the cleaner rebuilds the page
+    * from the surviving lines. Closed-form-by-construction: the
+    * oracle replays generation AND cleaning. */
+  def q136C4Clean(spark: SparkSession, dir: String): DataFrame = {
+    val page = concat(
+      coalesce(col("text"), lit("")), lit(".\n"),
+      lit("this javascript line is dropped.\n"),
+      lit("too short.\n"),
+      lit("a second kept line stays here.\n"),
+      lit("no terminal punctuation line here\n"),
+      when(pmod(col("doc_id"), lit(7L)) === 0, lit("hidden lorem ipsum marker\n"))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(11L)) === 3, lit("code { block }\n"))
+        .otherwise(lit("")))
+    graft.text.QualityRules.c4Clean(
+        tbl(spark, dir, "documents").select(col("doc_id"), page.as("page")),
+        "page")
+      .select(col("doc_id"), col("n_lines"), col("n_kept"), col("keep"),
+        col("clean_text"))
+  }
+
   /** Audio perceptual near-dup through the gate — q133's contract for
     * the audio modality: id-derived 256-sample WAVs (seed-keyed
     * envelope macro patterns in time + id-unique sample noise,
@@ -4237,7 +4277,9 @@ object Queries {
     "q131_warc_records" -> (q131WarcRecords _),
     "q132_tar_entries" -> (q132TarEntries _),
     "q133_phash_pairs" -> (q133PhashPairs _),
-    "q134_audio_fp_pairs" -> (q134AudioFpPairs _))
+    "q134_audio_fp_pairs" -> (q134AudioFpPairs _),
+    "q135_gopher_rules" -> (q135GopherRules _),
+    "q136_c4_clean" -> (q136C4Clean _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -4711,6 +4753,62 @@ object Queries {
         |  bit_count(xor(a.h, b.h))::BIGINT AS hamming_dist
         |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.h, b.h)) <= 5""".stripMargin,
+    // full rule replay over the same token/line conventions; floored
+    // integer ratios make every measure hash-exact
+    "q135_gopher_rules" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(trim(coalesce(text, ''))), ' '), x -> x != '') AS ws,
+        |    list_filter(list_transform(string_split(coalesce(text, ''), chr(10)), x -> trim(x)), x -> x != '') AS ls
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(ws)::BIGINT AS n_words,
+        |    (CASE WHEN len(ws) > 0 THEN (1000 * list_sum(list_transform(ws, x -> length(x)))) // len(ws) ELSE 0 END)::BIGINT AS mean_word_len_milli,
+        |    (CASE WHEN len(ws) > 0 THEN (10000 * len(list_filter(ws, x -> contains(x, '#') OR contains(x, '...')))) // len(ws) ELSE 0 END)::BIGINT AS symbol_bp,
+        |    (CASE WHEN len(ls) > 0 THEN (10000 * len(list_filter(ls, x -> starts_with(x, '-') OR starts_with(x, '*') OR starts_with(x, '•')))) // len(ls) ELSE 0 END)::BIGINT AS bullet_bp,
+        |    (CASE WHEN len(ls) > 0 THEN (10000 * len(list_filter(ls, x -> ends_with(x, '...')))) // len(ls) ELSE 0 END)::BIGINT AS ellipsis_bp,
+        |    (CASE WHEN len(ws) > 0 THEN (10000 * len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))) // len(ws) ELSE 0 END)::BIGINT AS alpha_bp,
+        |    len(list_filter(list_distinct(ws), x -> list_contains(['the','be','to','of','and','that','have','with'], x)))::BIGINT AS n_stop_hits
+        |  FROM w)
+        |SELECT doc_id, n_words, mean_word_len_milli, symbol_bp, bullet_bp,
+        |  ellipsis_bp, alpha_bp, n_stop_hits,
+        |  (CASE WHEN n_words >= 50 AND n_words <= 100000
+        |        AND mean_word_len_milli >= 3000 AND mean_word_len_milli <= 10000
+        |        AND symbol_bp <= 1000 AND bullet_bp <= 9000
+        |        AND ellipsis_bp <= 3000 AND alpha_bp >= 8000
+        |        AND n_stop_hits >= 2 THEN 1 ELSE 0 END)::BIGINT AS keep
+        |FROM m""".stripMargin,
+    // generation AND line cleaning replayed — every rule path planted
+    "q136_c4_clean" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    coalesce(text, '') || '.' || chr(10) ||
+        |    'this javascript line is dropped.' || chr(10) ||
+        |    'too short.' || chr(10) ||
+        |    'a second kept line stays here.' || chr(10) ||
+        |    'no terminal punctuation line here' || chr(10) ||
+        |    CASE WHEN doc_id % 7 = 0 THEN 'hidden lorem ipsum marker' || chr(10) ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 3 THEN 'code { block }' || chr(10) ELSE '' END AS page
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, page,
+        |    list_filter(list_transform(string_split(page, chr(10)), x -> trim(x)), x -> x != '') AS ls
+        |  FROM p),
+        |k AS (
+        |  SELECT doc_id, ls,
+        |    list_filter(ls, x ->
+        |      (ends_with(x, '.') OR ends_with(x, '!') OR ends_with(x, '?') OR ends_with(x, '"'))
+        |      AND len(list_filter(string_split(lower(x), ' '), w -> w != '')) >= 3
+        |      AND NOT contains(lower(x), 'javascript') AND NOT contains(x, '{')) AS kept,
+        |    (contains(lower(page), 'lorem ipsum') OR contains(page, '{')) AS pdrop
+        |  FROM l)
+        |SELECT doc_id, len(ls)::BIGINT AS n_lines,
+        |  (CASE WHEN pdrop THEN 0 ELSE len(kept) END)::BIGINT AS n_kept,
+        |  (CASE WHEN pdrop OR len(kept) = 0 THEN 0 ELSE 1 END)::BIGINT AS keep,
+        |  CASE WHEN pdrop OR len(kept) = 0 THEN ''
+        |       ELSE array_to_string(kept, chr(10)) END AS clean_text
+        |FROM k""".stripMargin,
     // the audio twin of q133: closed-form |sample| values -> per-cell
     // means -> the same frozen DCT literals -> median bits -> brute
     // pairs (same-seed clips measured 0-2 bits apart, others 18+)

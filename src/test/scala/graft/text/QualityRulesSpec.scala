@@ -1,0 +1,94 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class QualityRulesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def gopher(text: String) =
+    QualityRules.gopherRules(Seq((1L, text)).toDF("id", "text"), "text")
+      .collect()(0)
+
+  test("gopher rules: each measure and each failure mode") {
+    // a healthy document: 50+ short words with stop-word evidence
+    val good = (("the quick fox and that dog have fun with logs of wood " * 5)
+      + "end word pad " * 3).trim
+    val g = gopher(good)
+    assert(g.getAs[Long]("n_words") >= 50 && g.getAs[Long]("keep") == 1, g.toString)
+    // too few words
+    assert(gopher("the and that have tiny doc").getAs[Long]("keep") == 0)
+    // symbol ratio: half the words carry '#'
+    val symb = ("tag# " + "the and that have with of be to plain word " * 5).trim +
+      (" x# y# z# w# v# u# t# s# r# q#" * 3)
+    val gs = gopher(symb)
+    assert(gs.getAs[Long]("symbol_bp") > 1000 && gs.getAs[Long]("keep") == 0)
+    // bullet lines: every line a bullet -> bullet_bp = 10000
+    val bullets = (1 to 60).map(i => s"- the item $i and that").mkString("\n")
+    val gb = gopher(bullets)
+    assert(gb.getAs[Long]("bullet_bp") == 10000 && gb.getAs[Long]("keep") == 0)
+    // ellipsis lines past 30%
+    val ell = (1 to 10).map(i => s"the line $i trails off...").mkString("\n") +
+      "\nthe one and only plain line with that have of be to" + (" word" * 45)
+    val ge = gopher(ell)
+    assert(ge.getAs[Long]("ellipsis_bp") > 3000 && ge.getAs[Long]("keep") == 0)
+    // numeric soup fails the alphabetic-word rule
+    val nums = ("the and that have with of be to " + ("1234 " * 60)).trim
+    val gn = gopher(nums)
+    assert(gn.getAs[Long]("alpha_bp") < 8000 && gn.getAs[Long]("keep") == 0)
+    // no stop-word evidence
+    val alien = ("zork plugh xyzzy quux " * 15).trim
+    val ga = gopher(alien)
+    assert(ga.getAs[Long]("n_stop_hits") < 2 && ga.getAs[Long]("keep") == 0)
+    // empty / NULL text: zeroed measures, keep 0
+    assert(gopher("").getAs[Long]("keep") == 0)
+    val nul = QualityRules.gopherRules(
+      Seq((1L, null.asInstanceOf[String])).toDF("id", "text"), "text").collect()(0)
+    assert(nul.getAs[Long]("n_words") == 0 && nul.getAs[Long]("keep") == 0)
+  }
+
+  private def c4(text: String) =
+    QualityRules.c4Clean(Seq((1L, text)).toDF("id", "text"), "text")
+      .collect()(0)
+
+  test("c4 cleaning: line retention, page drops, rebuild") {
+    val page = Seq(
+      "this first line ends properly.",
+      "no terminal punctuation so dropped",
+      "drop the javascript included line.",
+      "two words.",
+      "a quoted line can end like this\"",
+      "and an exclamation works too!").mkString("\n")
+    val r = c4(page)
+    assert(r.getAs[Long]("n_lines") == 6)
+    assert(r.getAs[Long]("n_kept") == 3 && r.getAs[Long]("keep") == 1)
+    assert(r.getAs[String]("clean_text") == Seq(
+      "this first line ends properly.",
+      "a quoted line can end like this\"",
+      "and an exclamation works too!").mkString("\n"))
+    // page drops: lorem ipsum anywhere, '{' anywhere, or nothing kept
+    assert(c4("a fine line stays here.\nsome Lorem Ipsum filler.")
+      .getAs[Long]("keep") == 0)
+    assert(c4("a fine line stays here.\nvar f = function() { return; }")
+      .getAs[Long]("keep") == 0)
+    val none = c4("nothing here ends with punctuation\nnor here")
+    assert(none.getAs[Long]("keep") == 0 && none.getAs[String]("clean_text") == "")
+    // whitespace-only lines never count
+    assert(c4("   \none real kept line here.\n   ").getAs[Long]("n_lines") == 1)
+  }
+
+  test("rules are pure column expressions over the corpus (no driver logic)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val g = QualityRules.gopherRules(docs, "text")
+    assert(g.count() == docs.count(), "every document surfaces with its measures")
+    assert(g.where($"keep" === 1 || $"keep" === 0).count() == docs.count())
+    val c = QualityRules.c4Clean(docs, "text")
+    assert(c.count() == docs.count())
+    // cleaning is idempotent on its own output for kept pages: kept
+    // lines still satisfy the line rules
+    val again = QualityRules.c4Clean(
+      c.where($"keep" === 1).select($"doc_id", $"clean_text".as("text")), "text")
+    assert(again.where($"n_kept" =!= $"n_lines").count() == 0,
+      "every kept line must survive a second cleaning pass")
+  }
+}
