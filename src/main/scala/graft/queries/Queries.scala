@@ -1894,6 +1894,29 @@ object Queries {
         col("clean_text"))
   }
 
+  /** Perceptual image DEDUP through the gate — the action over q133's
+    * pairs: connected components (pointer-jumping label propagation)
+    * cluster the perceptual dups, cluster id = min member, and the
+    * canonical representative keeps — exactly the q43→q86 text-dedup
+    * composition applied to the image modality. Every image surfaces
+    * (singletons are their own cluster and keep). */
+  def q137PhashClusters(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.phashImageCorpusFromDocuments(
+      tbl(spark, dir, "documents"))
+    val hashes = graft.ops.CacheScope.persist(
+      graft.multimodal.Multimodal.decodePngPHash(media).toDF()
+        .where(col("ok") === 1))
+    val pairs = graft.dedup.Dedup.hammingNearDupPairs(hashes, "media_id",
+      "phash", totalBits = 64, maxDist = 5, bands = 8)
+    val cc = graft.dedup.Dedup.connectedComponents(pairs, "id_a", "id_b")
+    hashes.select(col("media_id"))
+      .join(cc, col("media_id") === col("id"), "left")
+      .select(col("media_id"),
+        coalesce(col("component"), col("media_id")).as("cluster_id"))
+      .withColumn("keep",
+        when(col("media_id") === col("cluster_id"), 1L).otherwise(0L))
+  }
+
   /** Audio perceptual near-dup through the gate — q133's contract for
     * the audio modality: id-derived 256-sample WAVs (seed-keyed
     * envelope macro patterns in time + id-unique sample noise,
@@ -2078,6 +2101,48 @@ object Queries {
   private def duckDot(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip($a, $b), " +
       "x -> x[1]::DOUBLE * x[2]::DOUBLE)), (p, q) -> p + q)"
+
+  /** DuckDB fragment: the q133 pHash chain — closed-form gray plane of
+    * the id-derived fixture corpus, 8x8 block sums, fixed-point DCT
+    * against the SAME frozen cosine literals as Multimodal.PhashDct,
+    * median bits — ending in `ph(doc_id, h)`. Shared by the q133 pair
+    * gate and the q137 cluster closure. */
+  private lazy val duckPhashCtes: String =
+    """px AS (
+      |  SELECT d.doc_id, x.x AS x, y.y AS y,
+      |    least(greatest(
+      |      (((CASE WHEN d.doc_id % 9 = 0 THEN 10 + d.doc_id % 7
+      |              ELSE d.doc_id % 10 END) * 73
+      |        + (x.x // 4) * 37 + (y.y // 4) * 91) % 17) * 15 +
+      |      (d.doc_id * 31 + x.x * 7 + y.y * 13) % 3 - 1,
+      |      0), 255) AS g
+      |  FROM documents d, range(0, 32) AS x(x), range(0, 32) AS y(y)),
+      |blk AS (
+      |  SELECT doc_id, y // 4 AS bi, x // 4 AS bj, sum(g) AS s
+      |  FROM px GROUP BY doc_id, y // 4, x // 4),
+      |tt AS (SELECT [[1024,1024,1024,1024,1024,1024,1024,1024],
+      |  [1004,851,569,200,-200,-569,-851,-1004],
+      |  [946,392,-392,-946,-946,-392,392,946],
+      |  [851,-200,-1004,-569,569,1004,200,-851],
+      |  [724,-724,-724,724,724,-724,-724,724],
+      |  [569,-1004,200,851,-851,-200,1004,-569],
+      |  [392,-946,946,-392,-392,946,-946,392],
+      |  [200,-569,851,-1004,1004,-851,569,-200]] AS t),
+      |dct AS (
+      |  SELECT b.doc_id, u.u AS u, v.v AS v,
+      |    sum(b.s * t[u.u + 1][b.bi + 1] * t[v.v + 1][b.bj + 1]) AS f
+      |  FROM blk b, range(0, 8) AS u(u), range(0, 8) AS v(v), tt
+      |  GROUP BY b.doc_id, u.u, v.v),
+      |med AS (
+      |  SELECT doc_id, list_sort(list(f))[32] AS m
+      |  FROM dct WHERE NOT (u = 0 AND v = 0) GROUP BY doc_id),
+      |ph AS (
+      |  SELECT d.doc_id,
+      |    sum(CASE WHEN d.f > med.m THEN 1::BIGINT << (d.u * 8 + d.v - 1)
+      |             ELSE 0::BIGINT END)::BIGINT AS h
+      |  FROM dct d JOIN med ON d.doc_id = med.doc_id
+      |  WHERE NOT (d.u = 0 AND d.v = 0)
+      |  GROUP BY d.doc_id)""".stripMargin
 
   /** DuckDB fragment: ONE Lloyd round — assign every vector to its
     * nearest `in` centroid (argmax dot, d DESC / cid tie-break), then
@@ -4279,7 +4344,8 @@ object Queries {
     "q133_phash_pairs" -> (q133PhashPairs _),
     "q134_audio_fp_pairs" -> (q134AudioFpPairs _),
     "q135_gopher_rules" -> (q135GopherRules _),
-    "q136_c4_clean" -> (q136C4Clean _))
+    "q136_c4_clean" -> (q136C4Clean _),
+    "q137_phash_clusters" -> (q137PhashClusters _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -4714,45 +4780,30 @@ object Queries {
     // Multimodal.PhashDct) -> median bits -> brute-force pair join
     // (banded recall is exact at hd<=3, so brute == the Spark bands)
     "q133_phash_pairs" ->
-      """WITH px AS (
-        |  SELECT d.doc_id, x.x AS x, y.y AS y,
-        |    least(greatest(
-        |      (((CASE WHEN d.doc_id % 9 = 0 THEN 10 + d.doc_id % 7
-        |              ELSE d.doc_id % 10 END) * 73
-        |        + (x.x // 4) * 37 + (y.y // 4) * 91) % 17) * 15 +
-        |      (d.doc_id * 31 + x.x * 7 + y.y * 13) % 3 - 1,
-        |      0), 255) AS g
-        |  FROM documents d, range(0, 32) AS x(x), range(0, 32) AS y(y)),
-        |blk AS (
-        |  SELECT doc_id, y // 4 AS bi, x // 4 AS bj, sum(g) AS s
-        |  FROM px GROUP BY doc_id, y // 4, x // 4),
-        |tt AS (SELECT [[1024,1024,1024,1024,1024,1024,1024,1024],
-        |  [1004,851,569,200,-200,-569,-851,-1004],
-        |  [946,392,-392,-946,-946,-392,392,946],
-        |  [851,-200,-1004,-569,569,1004,200,-851],
-        |  [724,-724,-724,724,724,-724,-724,724],
-        |  [569,-1004,200,851,-851,-200,1004,-569],
-        |  [392,-946,946,-392,-392,946,-946,392],
-        |  [200,-569,851,-1004,1004,-851,569,-200]] AS t),
-        |dct AS (
-        |  SELECT b.doc_id, u.u AS u, v.v AS v,
-        |    sum(b.s * t[u.u + 1][b.bi + 1] * t[v.v + 1][b.bj + 1]) AS f
-        |  FROM blk b, range(0, 8) AS u(u), range(0, 8) AS v(v), tt
-        |  GROUP BY b.doc_id, u.u, v.v),
-        |med AS (
-        |  SELECT doc_id, list_sort(list(f))[32] AS m
-        |  FROM dct WHERE NOT (u = 0 AND v = 0) GROUP BY doc_id),
-        |ph AS (
-        |  SELECT d.doc_id,
-        |    sum(CASE WHEN d.f > med.m THEN 1::BIGINT << (d.u * 8 + d.v - 1)
-        |             ELSE 0::BIGINT END)::BIGINT AS h
-        |  FROM dct d JOIN med ON d.doc_id = med.doc_id
-        |  WHERE NOT (d.u = 0 AND d.v = 0)
-        |  GROUP BY d.doc_id)
+      s"""WITH $duckPhashCtes
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  bit_count(xor(a.h, b.h))::BIGINT AS hamming_dist
         |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.h, b.h)) <= 5""".stripMargin,
+    // the q43 recursive-closure pattern over the q133 pair edges:
+    // cluster id = min member, canonical representative keeps
+    "q137_phash_clusters" ->
+      s"""WITH RECURSIVE $duckPhashCtes,
+        |e AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.h, b.h)) <= 5),
+        |und AS (SELECT id_a AS u, id_b AS v FROM e UNION SELECT id_b, id_a FROM e),
+        |reach AS (
+        |  SELECT u, u AS label FROM (SELECT DISTINCT u FROM und) t
+        |  UNION
+        |  SELECT und.u, r.label FROM und JOIN reach r ON und.v = r.u),
+        |cl AS (SELECT u AS media_id, min(label) AS cluster_id FROM reach GROUP BY u)
+        |SELECT d.doc_id AS media_id,
+        |  coalesce(cl.cluster_id, d.doc_id)::BIGINT AS cluster_id,
+        |  (CASE WHEN coalesce(cl.cluster_id, d.doc_id) = d.doc_id
+        |        THEN 1 ELSE 0 END)::BIGINT AS keep
+        |FROM documents d LEFT JOIN cl ON cl.media_id = d.doc_id""".stripMargin,
     // full rule replay over the same token/line conventions; floored
     // integer ratios make every measure hash-exact
     "q135_gopher_rules" ->
