@@ -102,9 +102,22 @@ object CurationRunner {
       embed: Option[DataFrame => DataFrame] = None,
       ivfBuckets: Int = 16, ivfTrainStride: Int = 16)
 
+  /** Persisted-tokenizer maintenance (the BPE deployment lifecycle —
+    * [[graft.text.TokenizerStore]]): each run folds the curated
+    * corpus's day-over-day delta into the additive word-count state
+    * (changed/removed docs retire their OLD counts as negative
+    * increments, so the folded state equals a from-scratch tokenize of
+    * the current corpus EXACTLY) and re-learns a new artifact version
+    * + pointer swap when the arriving text's token KL vs the previous
+    * corpus exceeds `refreshKlMilli` — the IVF-refresh trigger applied
+    * to the tokenizer. */
+  final case class TokenizerConfig(
+      numMerges: Int = 64, refreshKlMilli: Long = 100L)
+
   final case class DailyResult(
       date: String, snapshotDocs: Long, curatedDocs: Long, incremental: Boolean,
-      shardCount: Long = -1L, klMilli: Long = -1L, ivfRefreshed: Boolean = false)
+      shardCount: Long = -1L, klMilli: Long = -1L, ivfRefreshed: Boolean = false,
+      tokenizerRefreshed: Boolean = false)
 
   private def snapshotPath(root: String, date: String) = s"$root/snapshot/date=$date"
   private def curatedPath(root: String, date: String) = s"$root/curated/date=$date"
@@ -127,7 +140,8 @@ object CurationRunner {
       cfg: Curation.CurationConfig = Curation.CurationConfig(),
       shards: Option[ShardConfig] = None,
       indexes: Option[IndexConfig] = Some(IndexConfig()),
-      rawFormat: RawFormat = RawJson): DailyResult = {
+      rawFormat: RawFormat = RawJson,
+      tokenizer: Option[TokenizerConfig] = None): DailyResult = {
     require(date.matches("""\d{4}-\d{2}-\d{2}"""),
       s"runDaily: date must be ISO yyyy-MM-dd (lexical ordering drives " +
         s"snapshot versioning), got '$date'")
@@ -369,7 +383,63 @@ object CurationRunner {
         }
       case _ => (-1L, false)
     }
-    // 7. optional training-shard export of the day's corpus: the full
+    // 7. persisted-tokenizer maintenance: fold the curated delta into
+    // the additive count state (changed/removed docs retire their old
+    // counts — negative increments keep the folded state == a
+    // from-scratch tokenize of today's corpus), and past the KL-drift
+    // threshold re-learn and land a NEW artifact version before the
+    // pointer swaps. The `_applied` marker makes a re-run a no-op
+    // (count increments must not double-fold).
+    val tokenizerRefreshed = tokenizer.fold(false) { tc =>
+      meta.time("tokenizer") {
+        val tokRoot = s"$lakeRoot/tokenizer"
+        val mark = s"$tokRoot/_applied/date=$date"
+        var refreshed = false
+        if (!Lake.exists(spark, mark)) {
+          val curC = Lake.readParquet(spark, curatedPath(lakeRoot, date))
+          (prev, graft.text.TokenizerStore.currentVersion(spark, tokRoot)) match {
+            case (Some(p), Some(_)) =>
+              val prevC = Lake.readParquet(spark, curatedPath(lakeRoot, p))
+              // delta identity is (doc_id, text): a changed doc appears
+              // on BOTH sides — old counts out, new counts in
+              val plus = curC.join(prevC.select(col("doc_id"), col("text")),
+                Seq("doc_id", "text"), "left_anti")
+              val minus = prevC.join(curC.select(col("doc_id"), col("text")),
+                Seq("doc_id", "text"), "left_anti")
+              graft.text.TokenizerStore.appendCounts(
+                graft.text.Bpe.wordCounts(plus, "text").unionByName(
+                  graft.text.Bpe.wordCounts(minus, "text")
+                    .select(col("word"), (-col("freq")).as("freq"))),
+                tokRoot)
+              val klRow = graft.text.CorpusStats
+                .tokenKlDivergence(plus, prevC, "text")
+                .select(col("kl_milli")).collect()(0)
+              val kl = if (klRow.isNullAt(0)) 0L else klRow.getLong(0)
+              if (kl > tc.refreshKlMilli) {
+                graft.text.TokenizerStore.refresh(spark, tokRoot, s"v$date",
+                  tc.numMerges)
+                graft.text.TokenizerStore.setCurrentVersion(spark, tokRoot,
+                  s"v$date")
+                refreshed = true
+              }
+            case _ =>
+              // first run or unregistered store: state = today's corpus
+              graft.text.TokenizerStore.appendCounts(
+                graft.text.Bpe.wordCounts(curC, "text"), tokRoot)
+              graft.text.TokenizerStore.refresh(spark, tokRoot, s"v$date",
+                tc.numMerges)
+              graft.text.TokenizerStore.setCurrentVersion(spark, tokRoot,
+                s"v$date")
+              refreshed = true
+          }
+          Lake.writeParquet(
+            spark.range(1).select(lit(date).as("date")), mark)
+        }
+        (refreshed, if (refreshed) 1L else 0L)
+      }
+    }
+
+    // 8. optional training-shard export of the day's corpus: the full
     // curate -> pack -> shard+manifest path in one daily entry point
     val nShards = shards.fold(-1L) { sc =>
       meta.time("shards") {
@@ -385,6 +455,7 @@ object CurationRunner {
     graft.ops.CacheScope.releaseAll(spark) // curation persists its core frames
     RunMetadata.write(spark, lakeRoot, date, meta.snapshot)
     DailyResult(date, nSnapshot, nCurated, incremental = prev.isDefined,
-      shardCount = nShards, klMilli = klMilli, ivfRefreshed = ivfRefreshed)
+      shardCount = nShards, klMilli = klMilli, ivfRefreshed = ivfRefreshed,
+      tokenizerRefreshed = tokenizerRefreshed)
   }
 }

@@ -1,0 +1,93 @@
+package graft.text
+
+import graft.io.Lake
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted tokenizer lifecycle — the deployment story for the BPE
+  * family, mirroring the disk indexes' discipline: the learned
+  * artifact (merge table + word→segmentation frame) lands versioned
+  * with a current-version pointer, and the ADDITIVE learning state
+  * (word-type counts) accumulates as append-only increments so a
+  * daily delta folds in O(|delta|) and a re-learn starts from the
+  * exact counts a from-scratch tokenize of the full corpus would
+  * produce ([[Bpe.mergeWordCounts]] associativity, BpeSpec-pinned).
+  *
+  * Layout under `root`:
+  *   counts/      (word, freq) increments, append-only; fold on read.
+  *                Increments may be NEGATIVE (a changed/removed
+  *                document retires its old counts), so the folded
+  *                frame equals wordCounts(current corpus) exactly;
+  *                words folding to freq <= 0 drop out.
+  *   v<tag>/merges    (merge_rank, l_sym, r_sym, pair_count)
+  *   v<tag>/segments  (word, freq, seg) — [[Bpe.encode]]'s table
+  *   ptr          one-row (version) — the serving artifact
+  *
+  * Refresh ([[refresh]]) re-learns from the folded counts and lands a
+  * NEW version before the pointer swaps — the old version stays
+  * encode-able throughout (the IvfIndex.refresh discipline). The
+  * learn's outputs are localCheckpoint-materialized before any write,
+  * so nothing the write touches is still being lazily read. */
+object TokenizerStore {
+
+  def countsPath(root: String) = s"$root/counts"
+
+  /** Append a (word, freq) increment — positive for arriving text,
+    * negative (pre-negated by the caller) for departing text. */
+  def appendCounts(increment: DataFrame, root: String): Unit =
+    increment.select(col("word"), col("freq"))
+      .write.mode(SaveMode.Append).option("compression", "snappy")
+      .parquet(countsPath(root))
+
+  /** The folded learning state: one row per word with net freq > 0. */
+  def foldedCounts(spark: SparkSession, root: String): DataFrame =
+    Lake.readParquet(spark, countsPath(root))
+      .groupBy(col("word")).agg(sum(col("freq")).as("freq"))
+      .where(col("freq") > 0)
+
+  /** Learn from the folded counts and land version `tag` (no pointer
+    * swap — [[setCurrentVersion]] after, so a crashed refresh leaves
+    * the old version serving). Returns the learned merge count. */
+  def refresh(spark: SparkSession, root: String, tag: String,
+      numMerges: Int): Int = {
+    val (merges, seg) = Bpe.learnFromCounts(foldedCounts(spark, root), numMerges)
+    import spark.implicits._
+    Lake.writeParquet(
+      merges.map(m => (m.rank, m.l, m.r, m.count))
+        .toDF("merge_rank", "l_sym", "r_sym", "pair_count"),
+      s"$root/$tag/merges")
+    Lake.writeParquet(seg.select(col("word"), col("freq"), col("seg")),
+      s"$root/$tag/segments")
+    merges.size
+  }
+
+  def currentVersion(spark: SparkSession, root: String): Option[String] =
+    if (!Lake.exists(spark, s"$root/ptr")) None
+    else Some(Lake.readParquet(spark, s"$root/ptr")
+      .select(col("version")).collect()(0).getString(0))
+
+  def setCurrentVersion(spark: SparkSession, root: String, version: String): Unit = {
+    require(Lake.exists(spark, s"$root/$version/segments"),
+      s"no tokenizer version at '$root/$version' — land it before pointing at it")
+    Lake.writeParquet(
+      spark.range(1).select(lit(version).as("version")), s"$root/ptr")
+  }
+
+  def segments(spark: SparkSession, root: String, version: String): DataFrame =
+    Lake.readParquet(spark, s"$root/$version/segments")
+
+  def merges(spark: SparkSession, root: String, version: String): DataFrame =
+    Lake.readParquet(spark, s"$root/$version/merges")
+
+  /** Encode a corpus with the CURRENT artifact — the serving path
+    * (broadcast word→seg join; unseen words char-fall-back, the
+    * [[Bpe.encode]] contract). */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      root: String): DataFrame = {
+    val spark = docs.sparkSession
+    val ver = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"no current tokenizer version under '$root' — refresh + point first"))
+    Bpe.encode(docs, idCol, textCol, segments(spark, root, ver))
+  }
+}
