@@ -44,7 +44,16 @@ object Curation {
       // see the EXTRACTED text (graft.text.Html.htmlToText — a narrow
       // expression-only projection, so the whole pipeline including the
       // incremental diff path just sees cleaner text)
-      htmlInput: Boolean = false)
+      htmlInput: Boolean = false,
+      // the published rule-based recipes as opt-in stages, in the
+      // FineWeb-style order: extract -> C4 line cleaning (rebuilds the
+      // page from retained lines; page drops remove the doc) -> Gopher
+      // document rules (structural gates) -> the engine's own
+      // quality/repetition gates. Both are expression-only
+      // (text.QualityRules), so the incremental path inherits them
+      // for free.
+      c4LineClean: Boolean = false,
+      gopherRules: Boolean = false)
 
   final case class CurationReport(
       input: Long, afterCore: Long, afterNearDup: Long,
@@ -57,11 +66,23 @@ object Curation {
     // crawl input: extract text from HTML FIRST so every downstream
     // stage (quality, dedup fingerprints, near-dup signatures,
     // decontamination) operates on the real content, not markup
-    val docs =
+    val extracted =
       if (cfg.htmlInput)
         docs0.withColumn("text",
           coalesce(graft.text.Html.htmlToText(col("text")), lit("")))
       else docs0
+    val lineCleaned =
+      if (cfg.c4LineClean)
+        graft.text.QualityRules.c4Clean(extracted, "text")
+          .where(col("keep") === 1L)
+          .select(col("doc_id"), col("source"), col("clean_text").as("text"))
+      else extracted
+    val docs =
+      if (cfg.gopherRules)
+        graft.text.QualityRules.gopherRules(lineCleaned, "text")
+          .where(col("keep") === 1L)
+          .select(col("doc_id"), col("source"), col("text"))
+      else lineCleaned
     val ts = TextFunctions.tokens(col("text"))
     // a single-file scan arrives as ONE partition; without the spread the
     // whole per-row chain (shingles + three redaction regexes) runs on

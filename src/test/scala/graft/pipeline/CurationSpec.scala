@@ -136,4 +136,40 @@ class CurationSpec extends SparkSpec {
       leaked.count() != plain.size)
   }
 
+  test("c4LineClean + gopherRules stages: curate(raw) == curate(hand-precleaned)") {
+    // pages crafted around the rule set: a healthy multi-line page, a
+    // page whose junk lines clean away, a code page ('{' -> page drop),
+    // and a page that survives cleaning but fails Gopher's word count
+    def healthy(i: Int) =
+      (s"the quick brown fox number $i jumps over the lazy dog and " +
+        s"that fence with the friends of fox $i to have some more fun here.\n") * 3
+    val docs = Seq(
+      (1L, "s0", healthy(1)),
+      (2L, "s0", healthy(2) + "junk line without punctuation\nshort one.\n"),
+      (3L, "s0", healthy(3) + "var f = function() { return 1; }\n"),
+      (4L, "s0", "a tiny kept line with the fox.\n")).toDF("doc_id", "source", "text")
+    val cfg = Curation.CurationConfig(minQualityMilli = 0, sampleBp = 10000,
+      maxRepetitionBp = 10000, // the repeated healthy line is deliberate
+      c4LineClean = true, gopherRules = true)
+    val out = Curation.curate(docs, None, cfg, countStages = false)._1
+    // 3 drops at page level ('{'), 4 fails gopher word count, junk
+    // lines of 2 clean away -> 1 and 2 survive with equal cleaned text?
+    // no: different numbers keep them distinct
+    val ids = out.select($"doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L), s"expected {1,2}, got $ids")
+    // composition law: the staged flags == hand-applied QualityRules
+    // then default curate
+    val pre = graft.text.QualityRules.c4Clean(docs, "text")
+      .where($"keep" === 1L)
+      .select($"doc_id", $"source", $"clean_text".as("text"))
+    val pre2 = graft.text.QualityRules.gopherRules(pre, "text")
+      .where($"keep" === 1L)
+      .select($"doc_id", $"source", $"text")
+    val manual = Curation.curate(pre2, None,
+        cfg.copy(c4LineClean = false, gopherRules = false),
+        countStages = false)._1
+      .collect().map(_.toString).sorted.toSeq
+    assert(out.collect().map(_.toString).sorted.toSeq == manual)
+  }
+
 }
