@@ -68,6 +68,55 @@ object ShardExport {
     }
   }
 
+  /** [[writeShards]] landing JSONL shards — the loader-facing text
+    * format most training stacks ingest directly: one JSON object per
+    * line (to_json escapes embedded newlines, so one line IS one
+    * document), one directory per (pack_bucket, pack_bin), same
+    * parquet manifest. The JSON object carries every non-pack column
+    * of `df` in column order. */
+  def writeJsonlShards(df: DataFrame, keyCol: String, nTokensCol: String,
+      binTokens: Long, numBuckets: Int, outDir: String): DataFrame = {
+    val packed = ScaleOps.packGreedyContiguous(df, keyCol, nTokensCol, binTokens, numBuckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val payloadCols = df.columns.toSeq
+      packed
+        .withColumn("value", to_json(struct(payloadCols.map(col): _*)))
+        .select(col("pack_bucket"), col("pack_bin"), col("value"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("pack_bucket", "pack_bin")
+        .text(s"$outDir/shards")
+      Lake.writeParquet(manifest(packed, keyCol, nTokensCol), s"$outDir/manifest")
+      Lake.readParquet(df.sparkSession, s"$outDir/manifest")
+    } finally {
+      packed.unpersist()
+    }
+  }
+
+  /** [[verifyShards]] for a JSONL export: the audit fields parse back
+    * out of each line (get_json_object), so the manifest check needs
+    * no caller-supplied schema. */
+  def verifyJsonlShards(spark: SparkSession, outDir: String,
+      keyCol: String, nTokensCol: String): DataFrame = {
+    require(Lake.exists(spark, s"$outDir/shards") && Lake.exists(spark, s"$outDir/manifest"),
+      s"verifyJsonlShards: '$outDir' is not a shard export (missing shards/ or manifest/)")
+    val shards = spark.read.format("text").load(s"$outDir/shards")
+      .withColumn("pack_bucket", col("pack_bucket").cast("long"))
+      .withColumn("pack_bin", col("pack_bin").cast("long"))
+      .withColumn(keyCol, get_json_object(col("value"), s"$$.$keyCol"))
+      .withColumn(nTokensCol,
+        get_json_object(col("value"), s"$$.$nTokensCol").cast("long"))
+    val recomputed = manifest(shards, keyCol, nTokensCol)
+      .withColumnRenamed("n_docs", "got_docs")
+      .withColumnRenamed("n_tokens", "got_tokens")
+      .withColumnRenamed("ids_fp", "got_fp")
+    Lake.readParquet(spark, s"$outDir/manifest")
+      .join(recomputed, Seq("pack_bucket", "pack_bin"), "full_outer")
+      .where(!(col("n_docs") <=> col("got_docs")) ||
+        !(col("n_tokens") <=> col("got_tokens")) ||
+        !(col("ids_fp") <=> col("got_fp")))
+  }
+
   /** Audit an exported directory: recompute every shard's aggregates
     * from the shard files and full-outer-join against the stored
     * manifest. Returns the mismatch frame — empty iff shards and

@@ -40,6 +40,43 @@ class ShardExportSpec extends SparkSpec {
     }
   }
 
+  test("JSONL shard export: one line per doc, escaping-safe, manifest parity with parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("jshards").toString
+    val pdir = java.nio.file.Files.createTempDirectory("pshards").toString
+    try {
+      // carry the text too — with an embedded newline + quote to prove
+      // the one-line-per-document contract survives hostile content
+      val docs = graft.queries.Queries
+        .tbl(spark, "/root/testdata/sf0.001", "documents")
+        .select($"doc_id",
+          when($"doc_id" === 7L, lit("line one\nline \"two\"")).otherwise($"text")
+            .as("text"),
+          graft.text.TextFunctions.tokenCount($"text").cast("long").as("n_tokens"))
+      val m = ShardExport.writeJsonlShards(docs, "doc_id", "n_tokens",
+        binTokens = 256L, numBuckets = 8, outDir = dir)
+      assert(m.count() > 0)
+      val lines = spark.read.format("text").load(s"$dir/shards")
+      assert(lines.count() == docs.count(), "exactly one JSONL line per document")
+      // parse-back: every line yields its doc_id; id 7's newline survived
+      val parsed = lines.select(
+        get_json_object($"value", "$.doc_id").cast("long").as("doc_id"),
+        get_json_object($"value", "$.text").as("text"))
+      assert(parsed.select($"doc_id").distinct().count() == docs.count())
+      assert(parsed.where($"doc_id" === 7L).head().getString(1) ==
+        "line one\nline \"two\"")
+      // the schema-free audit agrees with the manifest
+      assert(ShardExport.verifyJsonlShards(spark, dir, "doc_id", "n_tokens").isEmpty)
+      // and the manifest is FORMAT-INDEPENDENT: byte-identical rows to
+      // a parquet export of the same corpus (same pack, same fp)
+      val mp = ShardExport.writeShards(docs, "doc_id", "n_tokens",
+        binTokens = 256L, numBuckets = 8, outDir = pdir)
+      assert(m.collect().map(_.toString).sorted.toSeq ==
+        mp.collect().map(_.toString).sorted.toSeq)
+    } finally {
+      Lake.delete(spark, dir); Lake.delete(spark, pdir)
+    }
+  }
+
   test("shard audit catches a lost shard and a corrupted manifest") {
     val dir = java.nio.file.Files.createTempDirectory("shards").toString
     try {
