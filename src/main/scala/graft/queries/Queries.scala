@@ -1917,6 +1917,29 @@ object Queries {
         when(col("media_id") === col("cluster_id"), 1L).otherwise(0L))
   }
 
+  /** Flesch-Kincaid readability through the gate — the grade-level
+    * signal several published curation stacks filter on, frozen as
+    * integer milli arithmetic: syllables = max-1-floored [aeiouy]+
+    * groups per word, sentences = max-1-floored [.!?]+ runs,
+    * fk_milli = floor(390·W/S) + floor(11800·SY/W) − 15590 (each term
+    * floored separately — the frozen convention). Word-less documents
+    * carry NULL (nothing to read). */
+  def q138Readability(spark: SparkSession, dir: String): DataFrame = {
+    val ts = graft.text.TextFunctions.tokens(col("text"))
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(ts).cast("long").as("n_words"),
+        graft.text.TextFunctions.sentenceCount(col("text")).as("n_sentences"),
+        coalesce(aggregate(
+            transform(ts, w => graft.text.TextFunctions.syllableCount(w)),
+            lit(0L), (a, x) => a + x), lit(0L)).as("n_syllables"))
+      .withColumn("fk_milli", when(col("n_words") > 0,
+          floor(lit(390L) * col("n_words") / col("n_sentences")).cast("long") +
+            floor(lit(11800L) * col("n_syllables") / col("n_words")).cast("long") -
+            lit(15590L))
+        .otherwise(lit(null).cast("long")))
+  }
+
   /** Audio perceptual near-dup through the gate — q133's contract for
     * the audio modality: id-derived 256-sample WAVs (seed-keyed
     * envelope macro patterns in time + id-unique sample noise,
@@ -4345,7 +4368,8 @@ object Queries {
     "q134_audio_fp_pairs" -> (q134AudioFpPairs _),
     "q135_gopher_rules" -> (q135GopherRules _),
     "q136_c4_clean" -> (q136C4Clean _),
-    "q137_phash_clusters" -> (q137PhashClusters _))
+    "q137_phash_clusters" -> (q137PhashClusters _),
+    "q138_readability" -> (q138Readability _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -4860,6 +4884,25 @@ object Queries {
         |  CASE WHEN pdrop OR len(kept) = 0 THEN ''
         |       ELSE array_to_string(kept, chr(10)) END AS clean_text
         |FROM k""".stripMargin,
+    // syllable/sentence heuristics + floored milli terms, all integer
+    "q138_readability" ->
+      """WITH w AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(lower(trim(coalesce(text, ''))), ' '), x -> x != '') AS ws
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(ws)::BIGINT AS n_words,
+        |    greatest(1, len(regexp_extract_all(coalesce(text, ''), '[.!?]+')))::BIGINT AS n_sentences,
+        |    coalesce(list_sum(list_transform(ws,
+        |      x -> greatest(1, len(regexp_extract_all(x, '[aeiouy]+'))))), 0)::BIGINT AS n_syllables
+        |  FROM w)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CASE WHEN n_words > 0
+        |       THEN ((390 * n_words) // n_sentences
+        |             + (11800 * n_syllables) // n_words - 15590)::BIGINT
+        |       ELSE NULL END AS fk_milli
+        |FROM m""".stripMargin,
     // the audio twin of q133: closed-form |sample| values -> per-cell
     // means -> the same frozen DCT literals -> median bits -> brute
     // pairs (same-seed clips measured 0-2 bits apart, others 18+)

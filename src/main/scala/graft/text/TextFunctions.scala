@@ -93,6 +93,18 @@ object TextFunctions {
       .otherwise(0.0)
   }
 
+  /** Syllables of one word by the standard heuristic: maximal vowel
+    * groups ([aeiouy]+), floored at 1 — exact on both engines (the
+    * pattern is RE2-trivial). */
+  def syllableCount(word: Column): Column =
+    greatest(lit(1L), regexp_count(word, lit("[aeiouy]+")).cast("long"))
+
+  /** Sentences as maximal terminal-punctuation runs ([.!?]+), floored
+    * at 1 so ratio denominators stay alive on unpunctuated text. */
+  def sentenceCount(text: Column): Column =
+    greatest(lit(1L),
+      regexp_count(coalesce(text, lit("")), lit("[.!?]+")).cast("long"))
+
   /** Fraction of characters that are sentence punctuation. */
   def punctRatio(text: Column): Column =
     when(length(text) > 0,

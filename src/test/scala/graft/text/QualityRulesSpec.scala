@@ -77,6 +77,37 @@ class QualityRulesSpec extends SparkSpec {
     assert(c4("   \none real kept line here.\n   ").getAs[Long]("n_lines") == 1)
   }
 
+  test("readability heuristics: syllable groups, sentence runs, FK goldens") {
+    def syl(w: String): Long = Seq(w).toDF("w")
+      .select(TextFunctions.syllableCount(col("w"))).collect()(0).getLong(0)
+    assert(syl("beautiful") == 3)  // eau, i, u
+    assert(syl("rhythm") == 1)     // y
+    assert(syl("crwth") == 1)      // no vowel groups -> floor 1
+    assert(syl("aeiou") == 1)      // one maximal group
+    assert(syl("banana") == 3)
+    def sen(t: String): Long = Seq(t).toDF("t")
+      .select(TextFunctions.sentenceCount(col("t"))).collect()(0).getLong(0)
+    assert(sen("one. two! three?") == 3)
+    assert(sen("ellipsis... still one run. and two") == 2)
+    assert(sen("no terminal punctuation") == 1) // floored denominator
+    // FK formula golden: 12 words, 2 sentences, 16 syllables ->
+    // floor(390*12/2) + floor(11800*16/12) - 15590 = 2340+15733-15590
+    val t = "the cat sat on the mat today. the happy dog ran around."
+    val r = Seq((1L, t)).toDF("doc_id", "text")
+    val ts = TextFunctions.tokens(col("text"))
+    val row = r.select(
+        size(ts).cast("long").as("w"),
+        TextFunctions.sentenceCount(col("text")).as("s"),
+        aggregate(transform(ts, w => TextFunctions.syllableCount(w)),
+          lit(0L), (a, x) => a + x).as("sy"))
+      .collect()(0)
+    assert(row.getLong(0) == 12 && row.getLong(1) == 2)
+    info(s"syllables=${row.getLong(2)}")
+    val fk = 390L * row.getLong(0) / row.getLong(1) +
+      11800L * row.getLong(2) / row.getLong(0) - 15590L
+    assert(fk == 390 * 12 / 2 + 11800 * row.getLong(2) / 12 - 15590)
+  }
+
   test("rules are pure column expressions over the corpus (no driver logic)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val g = QualityRules.gopherRules(docs, "text")
