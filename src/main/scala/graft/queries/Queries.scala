@@ -1940,6 +1940,41 @@ object Queries {
         .otherwise(lit(null).cast("long")))
   }
 
+  /** Per-source corpus audit rollup through the gate — the dataset
+    * report a curation run publishes: for every source, the Gopher
+    * keep rate, the C4 page-keep rate, and the mean FK grade (floored
+    * bp/milli — exact integers), all computed in ONE scan (the rule
+    * recipes are expression-only, so they fuse into a single pass +
+    * one aggregation; no joins). The audit shape of q135/q136/q138
+    * rolled up to where a mixing decision actually reads it. */
+  def q139SourceAudit(spark: SparkSession, dir: String): DataFrame = {
+    val g = graft.text.QualityRules.gopherRules(
+        tbl(spark, dir, "documents"), "text")
+      .withColumnRenamed("keep", "gopher_keep")
+    val gc = graft.text.QualityRules.c4Clean(g, "text")
+      .withColumnRenamed("keep", "c4_keep")
+    val ts = graft.text.TextFunctions.tokens(col("text"))
+    val withFk = gc
+      .withColumn("n_sentences", graft.text.TextFunctions.sentenceCount(col("text")))
+      .withColumn("n_syllables", coalesce(aggregate(
+        transform(ts, w => graft.text.TextFunctions.syllableCount(w)),
+        lit(0L), (a, x) => a + x), lit(0L)))
+      .withColumn("fk_milli", when(col("n_words") > 0,
+          floor(lit(390L) * col("n_words") / col("n_sentences")).cast("long") +
+            floor(lit(11800L) * col("n_syllables") / col("n_words")).cast("long") -
+            lit(15590L))
+        .otherwise(lit(null).cast("long")))
+    withFk.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      floor(lit(10000L) * sum(col("gopher_keep")) / count(lit(1)))
+        .cast("long").as("gopher_keep_bp"),
+      floor(lit(10000L) * sum(col("c4_keep")) / count(lit(1)))
+        .cast("long").as("c4_keep_bp"),
+      floor(sum(col("fk_milli")) /
+          sum(when(col("fk_milli").isNotNull, 1L).otherwise(0L)))
+        .cast("long").as("mean_fk_milli"))
+  }
+
   /** Audio perceptual near-dup through the gate — q133's contract for
     * the audio modality: id-derived 256-sample WAVs (seed-keyed
     * envelope macro patterns in time + id-unique sample noise,
@@ -4369,7 +4404,8 @@ object Queries {
     "q135_gopher_rules" -> (q135GopherRules _),
     "q136_c4_clean" -> (q136C4Clean _),
     "q137_phash_clusters" -> (q137PhashClusters _),
-    "q138_readability" -> (q138Readability _))
+    "q138_readability" -> (q138Readability _),
+    "q139_source_audit" -> (q139SourceAudit _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -4903,6 +4939,48 @@ object Queries {
         |             + (11800 * n_syllables) // n_words - 15590)::BIGINT
         |       ELSE NULL END AS fk_milli
         |FROM m""".stripMargin,
+    // the q135/q136/q138 replays fused and rolled up per source
+    "q139_source_audit" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, text,
+        |    list_filter(string_split(lower(trim(coalesce(text, ''))), ' '), x -> x != '') AS ws,
+        |    list_filter(list_transform(string_split(coalesce(text, ''), chr(10)), x -> trim(x)), x -> x != '') AS ls
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, source,
+        |    len(ws)::BIGINT AS n_words,
+        |    (CASE WHEN len(ws) > 0 THEN (1000 * list_sum(list_transform(ws, x -> length(x)))) // len(ws) ELSE 0 END)::BIGINT AS mw,
+        |    (CASE WHEN len(ws) > 0 THEN (10000 * len(list_filter(ws, x -> contains(x, '#') OR contains(x, '...')))) // len(ws) ELSE 0 END)::BIGINT AS sy_bp,
+        |    (CASE WHEN len(ls) > 0 THEN (10000 * len(list_filter(ls, x -> starts_with(x, '-') OR starts_with(x, '*') OR starts_with(x, '•')))) // len(ls) ELSE 0 END)::BIGINT AS bu_bp,
+        |    (CASE WHEN len(ls) > 0 THEN (10000 * len(list_filter(ls, x -> ends_with(x, '...')))) // len(ls) ELSE 0 END)::BIGINT AS el_bp,
+        |    (CASE WHEN len(ws) > 0 THEN (10000 * len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))) // len(ws) ELSE 0 END)::BIGINT AS al_bp,
+        |    len(list_filter(list_distinct(ws), x -> list_contains(['the','be','to','of','and','that','have','with'], x)))::BIGINT AS st,
+        |    (CASE WHEN (contains(lower(coalesce(text, '')), 'lorem ipsum') OR contains(coalesce(text, ''), '{'))
+        |             OR len(list_filter(ls, x ->
+        |               (ends_with(x, '.') OR ends_with(x, '!') OR ends_with(x, '?') OR ends_with(x, '"'))
+        |               AND len(list_filter(string_split(lower(x), ' '), v -> v != '')) >= 3
+        |               AND NOT contains(lower(x), 'javascript') AND NOT contains(x, '{'))) = 0
+        |          THEN 0 ELSE 1 END)::BIGINT AS ck,
+        |    greatest(1, len(regexp_extract_all(coalesce(text, ''), '[.!?]+')))::BIGINT AS n_sentences,
+        |    coalesce(list_sum(list_transform(ws,
+        |      x -> greatest(1, len(regexp_extract_all(x, '[aeiouy]+'))))), 0)::BIGINT AS n_syllables
+        |  FROM w),
+        |f AS (
+        |  SELECT source,
+        |    (CASE WHEN n_words >= 50 AND n_words <= 100000 AND mw >= 3000 AND mw <= 10000
+        |          AND sy_bp <= 1000 AND bu_bp <= 9000 AND el_bp <= 3000 AND al_bp >= 8000
+        |          AND st >= 2 THEN 1 ELSE 0 END)::BIGINT AS gk,
+        |    ck,
+        |    CASE WHEN n_words > 0
+        |         THEN (390 * n_words) // n_sentences + (11800 * n_syllables) // n_words - 15590
+        |         ELSE NULL END AS fk
+        |  FROM m)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  ((10000 * sum(gk)) // count(*))::BIGINT AS gopher_keep_bp,
+        |  ((10000 * sum(ck)) // count(*))::BIGINT AS c4_keep_bp,
+        |  (CASE WHEN count(fk) = 0 THEN NULL
+        |        ELSE sum(fk) // count(fk) END)::BIGINT AS mean_fk_milli
+        |FROM f GROUP BY source""".stripMargin,
     // the audio twin of q133: closed-form |sample| values -> per-cell
     // means -> the same frozen DCT literals -> median bits -> brute
     // pairs (same-seed clips measured 0-2 bits apart, others 18+)
