@@ -98,6 +98,54 @@ class EdgeCasesSpec extends SparkSpec {
     val st = graft.ops.ScaleOps.curriculumStages(s1, "score", 4).collect()
     assert(st.length == 1 && st.head.getLong(2) == 1L)
   }
+  test("round-7 surfaces: empty/degenerate inputs stay sane") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text")
+    val noMedia = Seq.empty[(Long, Array[Byte])].toDF("media_id", "payload")
+    val junk = Seq((1L, Array.emptyByteArray), (2L, Array[Byte](1, 2, 3)),
+      (3L, null: Array[Byte])).toDF("media_id", "payload")
+
+    // container walks: empty frames stay empty; junk payloads are
+    // container-level ok=0 rows, never crashes
+    assert(graft.multimodal.Containers.decodeWarc(noMedia).count() == 0)
+    assert(graft.multimodal.Containers.decodeTar(noMedia).count() == 0)
+    assert(graft.multimodal.Containers.decodeWarc(junk).toDF()
+      .where($"ok" =!= 0).isEmpty)
+    assert(graft.multimodal.Containers.decodeTar(junk).toDF()
+      .where($"ok" =!= 0).isEmpty)
+    assert(graft.multimodal.Containers.warcCorpusFromDocuments(
+      empty.select($"doc_id", $"text")).count() == 0)
+
+    // perceptual hashes: junk -> ok=0; empty hash frames pair to nothing
+    assert(graft.multimodal.Multimodal.decodePngPHash(junk).toDF()
+      .where($"ok" =!= 0).isEmpty)
+    assert(graft.multimodal.Multimodal.decodeWavFingerprint(junk).toDF()
+      .where($"ok" =!= 0).isEmpty)
+    val noHashes = Seq.empty[(Long, Long)].toDF("media_id", "phash")
+    assert(graft.dedup.Dedup.hammingNearDupPairs(
+      noHashes, "media_id", "phash", 64, 5, bands = 8).count() == 0)
+
+    // rule recipes: empty corpus stays empty; every-doc contract holds
+    assert(graft.text.QualityRules.gopherRules(empty, "text").count() == 0)
+    assert(graft.text.QualityRules.c4Clean(empty, "text").count() == 0)
+
+    // tokenizer store: an empty count state learns an empty artifact
+    // and serves the every-document-surfaces encode contract
+    val dir = java.nio.file.Files.createTempDirectory("edge7").toString
+    try {
+      graft.text.TokenizerStore.appendCounts(
+        Seq.empty[(String, Long)].toDF("word", "freq"), dir)
+      assert(graft.text.TokenizerStore.refresh(spark, dir, "v0", 4) == 0)
+      graft.text.TokenizerStore.setCurrentVersion(spark, dir, "v0")
+      val enc = graft.text.TokenizerStore.encode(
+        Seq((1L, "unseen words here")).toDF("doc_id", "text"),
+        "doc_id", "text", dir)
+      // empty vocabulary -> pure char fallback, doc still surfaces
+      assert(enc.count() == 1)
+      assert(enc.collect()(0).getAs[Long]("n_sub") > 0)
+    } finally { graft.io.Lake.delete(spark, dir) }
+  }
+
   test("round-6 surfaces: empty/degenerate inputs stay sane") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")

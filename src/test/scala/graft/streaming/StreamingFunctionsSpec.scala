@@ -40,6 +40,37 @@ class StreamingFunctionsSpec extends SparkSpec {
     assert(got.size == 3)
   }
 
+  test("rule recipes stream: gopher/c4/readability equal batch on micro-batches") {
+    // QualityRules + the readability heuristics are expression-only, so
+    // the same frame transforms run on an unbounded stream — the
+    // batch == streaming == oracle triangle for the round-7 recipes
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today.\nshort.\n"),
+      (2L, "a kept line with plenty of words right here.\nvar x = 1\n"),
+      (3L, "no punctuation only words all the way"))
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    def shape(df: org.apache.spark.sql.DataFrame) = {
+      val g = graft.text.QualityRules.gopherRules(
+          df.toDF("doc_id", "text"), "text")
+        .withColumnRenamed("keep", "gk")
+      graft.text.QualityRules.c4Clean(g, "text")
+        .withColumnRenamed("keep", "ck")
+        .select($"doc_id", $"gk", $"ck", $"n_words", $"n_kept",
+          graft.text.TextFunctions.sentenceCount($"text").as("ns"))
+    }
+    val q = shape(input.toDF()).writeStream.format("memory")
+      .queryName("rules_stream").outputMode("append").start()
+    input.addData(texts: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("rules_stream")
+      .collect().map(_.toString).sorted.toSeq
+    val batch = shape(texts.toDF("a", "b"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == batch && got.size == 3)
+  }
+
   test("winnowing streams: per-row selection equals batch on an append stream") {
     // winnowedFingerprints is one per-row HOF projection, so it must run
     // unchanged over a stream (the incremental half of the q103 overlap
