@@ -785,6 +785,139 @@ object Multimodal {
     }
   }
 
+  /** Extract the SAMPLE BYTES of the first single-chunk per-sample
+    * track — the step from q125's table walk to actual frame payloads:
+    * stsz's per-sample sizes index consecutively from the track's one
+    * stco offset (the fixture layout, and the common
+    * one-chunk-per-track fast path of real muxers; multi-chunk tracks
+    * need stsc's chunk-to-sample map and are out of scope — skipped,
+    * not guessed). Strict bounds: a size table running past the buffer
+    * rejects the track (None) rather than emitting partial frames.
+    * Returns (sample_idx, bytes) pairs. */
+  def extractMp4Frames(b: Array[Byte],
+      maxFrames: Int = 10000): Option[Seq[(Int, Array[Byte])]] = {
+    if (b == null || b.length < 16) return None
+    if (!mp4Children(b, 0, b.length).take(1).exists(_._1 == "ftyp")) return None
+    mp4Children(b, 0, b.length).find(_._1 == "moov").flatMap { case (_, mLo, mHi) =>
+      val traks = mp4Children(b, mLo, mHi).filter(_._1 == "trak")
+      var result = Option.empty[Seq[(Int, Array[Byte])]]
+      for ((_, lo, hi) <- traks if result.isEmpty) {
+        val stbl = for {
+          (_, l1, h1) <- mp4Children(b, lo, hi).find(_._1 == "mdia")
+          (_, l2, h2) <- mp4Children(b, l1, h1).find(_._1 == "minf")
+          (_, l3, h3) <- mp4Children(b, l2, h2).find(_._1 == "stbl")
+        } yield (l3, h3)
+        stbl.foreach { case (sLo, sHi) =>
+          var sizes = Option.empty[Array[Long]]
+          var chunk0 = Option.empty[Long]
+          for ((t, lo2, hi2) <- mp4Children(b, sLo, sHi)) t match {
+            case "stsz" if hi2 - lo2 >= 12 =>
+              val uniform = be32(b, lo2 + 4) & 0xffffffffL
+              val n = be32(b, lo2 + 8)
+              if (uniform == 0L && n >= 0 && n <= maxFrames &&
+                  lo2 + 12 + 4L * n <= hi2)
+                sizes = Some(Array.tabulate(n)(k =>
+                  be32(b, lo2 + 12 + 4 * k) & 0xffffffffL))
+            case "stco" if hi2 - lo2 >= 12 =>
+              val n = be32(b, lo2 + 4)
+              if (n == 1) chunk0 = Some(be32(b, lo2 + 8) & 0xffffffffL)
+            case _ => ()
+          }
+          for (sz <- sizes; off <- chunk0) {
+            val total = sz.sum
+            if (off >= 0 && off + total <= b.length.toLong &&
+                sz.forall(_ <= Int.MaxValue)) {
+              var p = off
+              result = Some(sz.toSeq.zipWithIndex.map { case (s, k) =>
+                val frame = java.util.Arrays.copyOfRange(b, p.toInt, (p + s).toInt)
+                p += s
+                (k, frame)
+              })
+            }
+          }
+        }
+      }
+      result
+    }
+  }
+
+  final case class VideoFramePHash(
+      media_id: Long, frame_idx: Int, ok: Int, phash: Long)
+
+  /** Video keyframe fingerprints: extract each MP4 sample
+    * ([[extractMp4Frames]]), decode it as a baseline JPEG
+    * ([[Jpeg.decodeJpegPixels]] — the MJPEG-style layout the fixtures
+    * mux), pHash the plane — one row per frame, so the banded pair
+    * machinery finds near-dup CLIPS by shared frame hashes. A frame
+    * that fails to decode surfaces (frame_idx, ok=0); a container
+    * whose walk fails surfaces one (ok=0) row. */
+  def decodeMp4FramePHash(media: DataFrame,
+      partitions: Int = 0): Dataset[VideoFramePHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val parts = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    media.select("media_id", "payload")
+      .repartition(parts, col("media_id"))
+      .as[(Long, Array[Byte])](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.BINARY))
+      .flatMap { case (id, p) =>
+        extractMp4Frames(p) match {
+          case Some(frames) => frames.map { case (fi, bytes) =>
+            Jpeg.decodeJpegPixels(bytes) match {
+              case Some((w, h, _, px)) if w >= 8 && h >= 8 =>
+                val gray = new Array[Int](w * h)
+                var i = 0
+                while (i < gray.length) { gray(i) = px(3 * i) & 0xff; i += 1 }
+                VideoFramePHash(id, fi, 1, pHash64(gray, w, h))
+              case _ => VideoFramePHash(id, fi, 0, 0L)
+            }
+          }
+          case None => Seq(VideoFramePHash(id, 0, 0, 0L))
+        }
+      }
+  }
+
+  /** Deterministic MJPEG-in-MP4 corpus — the q140 fixture: each doc is
+    * a REAL MP4 (ftyp + mdat + moov — data first, so the single stco
+    * offset is known at build time) whose one video track's samples
+    * are three DC-only 64x64 grayscale JPEGs — a full 8x8 macro-block
+    * pattern per frame (the q133 pattern family: enough structure that
+    * distinct id/frame patterns hash apart; a 16x16 draft with only 4
+    * blocks collided) — with every id%6==4 clip's frame 1 SOI zeroed
+    * inside mdat (sizes stay true, so extraction succeeds and the
+    * DECODE error path surfaces per-frame). ([[videoCorpusFromDocuments]]
+    * is the header-level fixture; this one carries real frame data.) */
+  def mjpegVideoCorpusFromDocuments(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].map { id =>
+      val frames = (0 until 3).map { f =>
+        Jpeg.dcOnlyBytes(64, 64, 1, (bx, by, _) =>
+          (((java.lang.Math.floorMod(id, 10L) * 73L + f * 29L +
+            bx * 37L + by * 91L) % 17L) * 15L).toInt)
+      }
+      val ftyp = mp4Box("ftyp", "isom".getBytes("ISO-8859-1") ++ u32s(0L) ++
+        "isom".getBytes("ISO-8859-1"))
+      val mdatBody = frames.reduce(_ ++ _)
+      val mdat = mp4Box("mdat", mdatBody)
+      val off = ftyp.length + 8 // first frame: right after the mdat header
+      val stts = mp4Box("stts", u32s(0L, 1L, 3L, 100L))
+      val stsz = mp4Box("stsz", u32s(0L, 0L, 3L),
+        u32s(frames.map(_.length.toLong): _*))
+      val stco = mp4Box("stco", u32s(0L, 1L), u32s(off.toLong))
+      val moov = mp4Box("moov", mp4Box("trak", mp4Box("mdia",
+        mp4Box("minf", mp4Box("stbl", stts, stsz, stco)))))
+      val out = ftyp ++ mdat ++ moov
+      if (java.lang.Math.floorMod(id, 6L) == 4L) {
+        out(off + frames(0).length) = 0 // frame 1's SOI first byte
+        out(off + frames(0).length + 1) = 0
+      }
+      (id, out)
+    }.toDF("media_id", "payload")
+  }
+
   /** Per-(clip, track) sample-table stats over a binary media frame —
     * one output row per complete track table; unparseable payloads
     * surface as a single format="unknown" row (kept, not dropped). */

@@ -1975,6 +1975,23 @@ object Queries {
         .cast("long").as("mean_fk_milli"))
   }
 
+  /** Video keyframe fingerprints through the gate — the composition
+    * that takes q125's sample-table walk to CONTENT: real MJPEG-style
+    * MP4s (ftyp + mdat + moov, DC-only JPEG samples), frames extracted
+    * by the stsz/stco walk, decoded by the real JPEG decoder, pHashed
+    * per frame — the clip-level near-dup signal is shared frame
+    * hashes. Every id%6==4 clip carries a frame whose SOI bytes are
+    * zeroed inside mdat: extraction succeeds (sizes stay true), the
+    * DECODE rejects, and the per-frame error path is oracle-covered.
+    * The oracle replays block pattern -> cell sums -> the frozen DCT
+    * literals -> median bits per (clip, frame). */
+  def q140VideoFrames(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.mjpegVideoCorpusFromDocuments(
+      tbl(spark, dir, "documents"))
+    graft.multimodal.Multimodal.decodeMp4FramePHash(media).toDF()
+      .select(col("media_id"), col("frame_idx"), col("ok"), col("phash"))
+  }
+
   /** Audio perceptual near-dup through the gate — q133's contract for
     * the audio modality: id-derived 256-sample WAVs (seed-keyed
     * envelope macro patterns in time + id-unique sample noise,
@@ -4405,7 +4422,8 @@ object Queries {
     "q136_c4_clean" -> (q136C4Clean _),
     "q137_phash_clusters" -> (q137PhashClusters _),
     "q138_readability" -> (q138Readability _),
-    "q139_source_audit" -> (q139SourceAudit _))
+    "q139_source_audit" -> (q139SourceAudit _),
+    "q140_video_frames" -> (q140VideoFrames _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -4981,6 +4999,44 @@ object Queries {
         |  (CASE WHEN count(fk) = 0 THEN NULL
         |        ELSE sum(fk) // count(fk) END)::BIGINT AS mean_fk_milli
         |FROM f GROUP BY source""".stripMargin,
+    // per-(clip, frame) pHash replay: the 64x64 DC-only frames are 8x8
+    // constant blocks aligned with the hash cells, so each 8x8-pixel
+    // cell sums to 64x one block value — no pixel explosion needed
+    "q140_video_frames" ->
+      """WITH fr AS (
+        |  SELECT doc_id, f.f AS f FROM documents, range(0, 3) AS f(f)),
+        |blk AS (
+        |  SELECT doc_id, f, bi.bi AS bi, bj.bj AS bj,
+        |    64 * ((((doc_id % 10) * 73 + f * 29 + bj.bj * 37
+        |      + bi.bi * 91) % 17) * 15) AS s
+        |  FROM fr, range(0, 8) AS bi(bi), range(0, 8) AS bj(bj)),
+        |tt AS (SELECT [[1024,1024,1024,1024,1024,1024,1024,1024],
+        |  [1004,851,569,200,-200,-569,-851,-1004],
+        |  [946,392,-392,-946,-946,-392,392,946],
+        |  [851,-200,-1004,-569,569,1004,200,-851],
+        |  [724,-724,-724,724,724,-724,-724,724],
+        |  [569,-1004,200,851,-851,-200,1004,-569],
+        |  [392,-946,946,-392,-392,946,-946,392],
+        |  [200,-569,851,-1004,1004,-851,569,-200]] AS t),
+        |dct AS (
+        |  SELECT b.doc_id, b.f, u.u AS u, v.v AS v,
+        |    sum(b.s * t[u.u + 1][b.bi + 1] * t[v.v + 1][b.bj + 1]) AS fc
+        |  FROM blk b, range(0, 8) AS u(u), range(0, 8) AS v(v), tt
+        |  GROUP BY b.doc_id, b.f, u.u, v.v),
+        |med AS (
+        |  SELECT doc_id, f, list_sort(list(fc))[32] AS m
+        |  FROM dct WHERE NOT (u = 0 AND v = 0) GROUP BY doc_id, f),
+        |ph AS (
+        |  SELECT d.doc_id, d.f,
+        |    sum(CASE WHEN d.fc > med.m THEN 1::BIGINT << (d.u * 8 + d.v - 1)
+        |             ELSE 0::BIGINT END)::BIGINT AS h
+        |  FROM dct d JOIN med ON d.doc_id = med.doc_id AND d.f = med.f
+        |  WHERE NOT (d.u = 0 AND d.v = 0)
+        |  GROUP BY d.doc_id, d.f)
+        |SELECT doc_id AS media_id, f::INTEGER AS frame_idx,
+        |  (CASE WHEN doc_id % 6 = 4 AND f = 1 THEN 0 ELSE 1 END)::INTEGER AS ok,
+        |  CASE WHEN doc_id % 6 = 4 AND f = 1 THEN 0 ELSE h END AS phash
+        |FROM ph""".stripMargin,
     // the audio twin of q133: closed-form |sample| values -> per-cell
     // means -> the same frozen DCT literals -> median bits -> brute
     // pairs (same-seed clips measured 0-2 bits apart, others 18+)

@@ -80,6 +80,10 @@ class DecoderFuzzSpec extends SparkSpec {
     val base = Multimodal.mp4SampleCorpusFromDocuments(Seq(6L).toDF("doc_id"))
       .collect()(0).getAs[Array[Byte]](1)
     fuzz("mp4", base, Multimodal.parseMp4SampleTables)
+    // the frame extractor walks the same boxes plus the mdat byte runs
+    val vid = Multimodal.mjpegVideoCorpusFromDocuments(Seq(6L).toDF("doc_id"))
+      .collect()(0).getAs[Array[Byte]](1)
+    fuzz("mp4-frames", vid, b => Multimodal.extractMp4Frames(b))
     // the header walker shares the box iterator — sweep it too
     fuzz("mp4-header", Multimodal.mp4HeaderBytes(640, 360, 600, 1200),
       Multimodal.parseMp4Header)

@@ -116,6 +116,33 @@ class PhashSpec extends SparkSpec {
       "audio pair set must be exactly the same-seed classes")
   }
 
+  test("video frames: extraction round trip, per-frame decode errors, clip-level dups") {
+    val docs = Seq(11L, 21L, 16L, 18L).toDF("doc_id") // 11/21 share id%10; 18: clean control
+    val media = Multimodal.mjpegVideoCorpusFromDocuments(docs)
+    // extraction returns exactly the muxed JPEG bytes
+    val p11 = media.where($"media_id" === 11L).collect()(0).getAs[Array[Byte]]("payload")
+    val frames = Multimodal.extractMp4Frames(p11).get
+    assert(frames.map(_._1) == Seq(0, 1, 2))
+    assert(frames.forall { case (_, b) =>
+      (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 }, "frames must be real JPEGs")
+    val hashes = Multimodal.decodeMp4FramePHash(media).collect()
+      .map(r => (r.media_id, r.frame_idx) -> ((r.ok, r.phash))).toMap
+    assert(hashes.size == 12)
+    // id 16 (16%6==4) carries the zeroed-SOI frame 1; everything else decodes
+    assert(hashes((16L, 1))._1 == 0 && hashes((16L, 1))._2 == 0L)
+    assert(hashes.filter(_._1 != ((16L, 1))).forall(_._2._1 == 1))
+    // clips sharing id%10 share every frame hash (the clip-dup signal);
+    // different patterns differ
+    (0 until 3).foreach { f =>
+      assert(hashes((11L, f))._2 == hashes((21L, f))._2, s"frame $f must match")
+      assert(hashes((11L, f))._2 != hashes((18L, f))._2)
+    }
+    // container-level failure: junk payload -> one ok=0 row
+    val junk = Seq((9L, Array[Byte](1, 2, 3))).toDF("media_id", "payload")
+    val jr = Multimodal.decodeMp4FramePHash(junk).collect()
+    assert(jr.length == 1 && jr(0).ok == 0)
+  }
+
   test("banded pairs == brute force within the pigeonhole-exact radius") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val hashes = graft.ops.CacheScope.persist(
