@@ -1992,6 +1992,31 @@ object Queries {
       .select(col("media_id"), col("frame_idx"), col("ok"), col("phash"))
   }
 
+  /** Clip-level video near-dup through the gate — the aggregation over
+    * q140's frame fingerprints: frames pair across clips through the
+    * banded Hamming machinery (composite id = clip*4 + frame rides the
+    * 64-bit pair join; decode-failed frames are already excluded), and
+    * two clips are near-dups when >= 2 of their frames match at
+    * hamming <= 3 — the shared-keyframe criterion. Oracle: the q140
+    * hash replay + a frame-pair join + the same threshold. */
+  def q141ClipDups(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.mjpegVideoCorpusFromDocuments(
+      tbl(spark, dir, "documents"))
+    val frames = graft.ops.CacheScope.persist(
+      graft.multimodal.Multimodal.decodeMp4FramePHash(media).toDF()
+        .where(col("ok") === 1)
+        .select((col("media_id") * 4 + col("frame_idx")).as("fid"),
+          col("phash")))
+    graft.dedup.Dedup.hammingNearDupPairs(frames, "fid", "phash",
+        totalBits = 64, maxDist = 3, bands = 4)
+      .select(shiftright(col("id_a"), 2).as("clip_a"),
+        shiftright(col("id_b"), 2).as("clip_b"))
+      .where(col("clip_a") < col("clip_b"))
+      .groupBy(col("clip_a"), col("clip_b"))
+      .agg(count(lit(1)).as("n_frames"))
+      .where(col("n_frames") >= 2)
+  }
+
   /** Audio perceptual near-dup through the gate — q133's contract for
     * the audio modality: id-derived 256-sample WAVs (seed-keyed
     * envelope macro patterns in time + id-unique sample noise,
@@ -4423,7 +4448,8 @@ object Queries {
     "q137_phash_clusters" -> (q137PhashClusters _),
     "q138_readability" -> (q138Readability _),
     "q139_source_audit" -> (q139SourceAudit _),
-    "q140_video_frames" -> (q140VideoFrames _))
+    "q140_video_frames" -> (q140VideoFrames _),
+    "q141_clip_dups" -> (q141ClipDups _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -5037,6 +5063,48 @@ object Queries {
         |  (CASE WHEN doc_id % 6 = 4 AND f = 1 THEN 0 ELSE 1 END)::INTEGER AS ok,
         |  CASE WHEN doc_id % 6 = 4 AND f = 1 THEN 0 ELSE h END AS phash
         |FROM ph""".stripMargin,
+    // q140's hash replay + a cross-clip frame-pair join at hd<=3 +
+    // the >=2-shared-frames clip criterion
+    "q141_clip_dups" ->
+      """WITH fr AS (
+        |  SELECT doc_id, f.f AS f FROM documents, range(0, 3) AS f(f)),
+        |blk AS (
+        |  SELECT doc_id, f, bi.bi AS bi, bj.bj AS bj,
+        |    64 * ((((doc_id % 10) * 73 + f * 29 + bj.bj * 37
+        |      + bi.bi * 91) % 17) * 15) AS s
+        |  FROM fr, range(0, 8) AS bi(bi), range(0, 8) AS bj(bj)),
+        |tt AS (SELECT [[1024,1024,1024,1024,1024,1024,1024,1024],
+        |  [1004,851,569,200,-200,-569,-851,-1004],
+        |  [946,392,-392,-946,-946,-392,392,946],
+        |  [851,-200,-1004,-569,569,1004,200,-851],
+        |  [724,-724,-724,724,724,-724,-724,724],
+        |  [569,-1004,200,851,-851,-200,1004,-569],
+        |  [392,-946,946,-392,-392,946,-946,392],
+        |  [200,-569,851,-1004,1004,-851,569,-200]] AS t),
+        |dct AS (
+        |  SELECT b.doc_id, b.f, u.u AS u, v.v AS v,
+        |    sum(b.s * t[u.u + 1][b.bi + 1] * t[v.v + 1][b.bj + 1]) AS fc
+        |  FROM blk b, range(0, 8) AS u(u), range(0, 8) AS v(v), tt
+        |  GROUP BY b.doc_id, b.f, u.u, v.v),
+        |med AS (
+        |  SELECT doc_id, f, list_sort(list(fc))[32] AS m
+        |  FROM dct WHERE NOT (u = 0 AND v = 0) GROUP BY doc_id, f),
+        |ph AS (
+        |  SELECT d.doc_id, d.f,
+        |    sum(CASE WHEN d.fc > med.m THEN 1::BIGINT << (d.u * 8 + d.v - 1)
+        |             ELSE 0::BIGINT END)::BIGINT AS h
+        |  FROM dct d JOIN med ON d.doc_id = med.doc_id AND d.f = med.f
+        |  WHERE NOT (d.u = 0 AND d.v = 0)
+        |  GROUP BY d.doc_id, d.f),
+        |live AS (
+        |  SELECT doc_id, f, h FROM ph
+        |  WHERE NOT (doc_id % 6 = 4 AND f = 1))
+        |SELECT a.doc_id AS clip_a, b.doc_id AS clip_b,
+        |  count(*)::BIGINT AS n_frames
+        |FROM live a JOIN live b
+        |  ON a.doc_id < b.doc_id AND bit_count(xor(a.h, b.h)) <= 3
+        |GROUP BY a.doc_id, b.doc_id
+        |HAVING count(*) >= 2""".stripMargin,
     // the audio twin of q133: closed-form |sample| values -> per-cell
     // means -> the same frozen DCT literals -> median bits -> brute
     // pairs (same-seed clips measured 0-2 bits apart, others 18+)
