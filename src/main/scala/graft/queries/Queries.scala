@@ -2017,6 +2017,29 @@ object Queries {
       .where(col("n_frames") >= 2)
   }
 
+  /** Leakage-free train/val/test split through the gate — q100's
+    * detector turned into the FIX: near-dup clusters (the q43 closure
+    * over q21's pairs) define the split KEY, so a whole cluster lands
+    * in one split and cross-split near-dup leakage is zero BY
+    * CONSTRUCTION (the group-aware split eval hygiene prescribes —
+    * hash-splitting doc_ids leaks because near-dups of a test doc
+    * land in train; q100 measures exactly that). Singletons key by
+    * their own id; the split hash is q71's, applied to the cluster
+    * id. */
+  def q142GroupSplit(spark: SparkSession, dir: String): DataFrame = {
+    val withCluster = graft.ops.CacheScope.persist(
+      tbl(spark, dir, "documents").select(col("doc_id"))
+        .join(q43DedupClusters(spark, dir)
+          .withColumnRenamed("doc_id", "cid"), col("doc_id") === col("cid"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id")))
+    val clusterSplit = graft.ops.ScaleOps.deterministicSplit(
+      withCluster.select(col("cluster_id")).distinct(), "cluster_id",
+      Seq("train" -> 9000, "val" -> 500, "test" -> 500))
+    withCluster.join(clusterSplit, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+  }
+
   /** Audio perceptual near-dup through the gate — q133's contract for
     * the audio modality: id-derived 256-sample WAVs (seed-keyed
     * envelope macro patterns in time + id-unique sample noise,
@@ -4449,7 +4472,8 @@ object Queries {
     "q138_readability" -> (q138Readability _),
     "q139_source_audit" -> (q139SourceAudit _),
     "q140_video_frames" -> (q140VideoFrames _),
-    "q141_clip_dups" -> (q141ClipDups _))
+    "q141_clip_dups" -> (q141ClipDups _),
+    "q142_group_split" -> (q142GroupSplit _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -5105,6 +5129,21 @@ object Queries {
         |  ON a.doc_id < b.doc_id AND bit_count(xor(a.h, b.h)) <= 3
         |GROUP BY a.doc_id, b.doc_id
         |HAVING count(*) >= 2""".stripMargin,
+    // the q43 closure defines the split key; the q71 split hash
+    // applies to the CLUSTER id (singletons key by their own id)
+    "q142_group_split" ->
+      s"""$q43Ctes,
+        |cl AS (SELECT u, min(label) AS cluster_id FROM reach GROUP BY u),
+        |wc AS (
+        |  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN cl ON cl.u = d.doc_id)
+        |SELECT doc_id, cluster_id::BIGINT AS cluster_id,
+        |  CASE WHEN b < 9000 THEN 'train' WHEN b < 9500 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id, cluster_id,
+        |  ((10368889 * ${duckPolyHash("CAST(cluster_id AS VARCHAR)", 1L << 31)} + 8342140)
+        |    % ${1L << 31}) % 10000 AS b
+        |  FROM wc) t""".stripMargin,
     // the audio twin of q133: closed-form |sample| values -> per-cell
     // means -> the same frozen DCT literals -> median bits -> brute
     // pairs (same-seed clips measured 0-2 bits apart, others 18+)

@@ -419,6 +419,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("group-aware split: zero cross-split near-dup leakage by construction") {
+    val dir = "/root/testdata/sf0.001"
+    val assignment = graft.queries.Queries.q142GroupSplit(spark, dir)
+      .select($"doc_id", $"split")
+    val pairs = graft.queries.Queries.q21JaccardNearDup(spark, dir)
+      .select($"id_a", $"id_b")
+    // the doc-id hash split (q100's setup) leaks on this corpus; the
+    // cluster-keyed split cannot — same pairs, zero crossings
+    assert(graft.dedup.Dedup.crossSplitPairs(pairs, assignment).count() == 0,
+      "a near-dup pair crossing splits breaks the construction")
+    val leakyAssign = graft.ops.ScaleOps.deterministicSplit(
+      graft.queries.Queries.tbl(spark, dir, "documents").select($"doc_id"),
+      "doc_id", Seq("train" -> 9000, "val" -> 500, "test" -> 500))
+      .select($"doc_id", $"split")
+    assert(graft.dedup.Dedup.crossSplitPairs(pairs, leakyAssign).count() > 0,
+      "fixture must actually leak under the naive split (else the test is vacuous)")
+    // every document is assigned exactly once
+    assert(assignment.count() ==
+      graft.queries.Queries.tbl(spark, dir, "documents").count())
+    assert(assignment.select($"doc_id").distinct().count() == assignment.count())
+  }
+
   test("cross-split pairs: only crossing pairs survive, missing endpoint raises") {
     val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
     val assign = Seq((1L, "train"), (2L, "test"), (3L, "train"), (4L, "train"),
