@@ -2040,6 +2040,32 @@ object Queries {
       .select(col("doc_id"), col("cluster_id"), col("split"))
   }
 
+  /** Dedup-savings report through the gate — the cost/benefit number a
+    * dedup rollout is judged by: per source, how many documents and
+    * tokens the near-dup pass would REMOVE (non-canonical cluster
+    * members — canonical = min id, q43's convention) and the floored-bp
+    * token savings. Pure composition of the q43 closure with token
+    * counts; every source surfaces even when nothing clusters. */
+  def q143DedupSavings(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("source"),
+      graft.text.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val clusters = q43DedupClusters(spark, dir).withColumnRenamed("doc_id", "cid")
+    docs.join(clusters, col("doc_id") === col("cid"), "left")
+      .withColumn("removed",
+        when(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id"), 1L)
+          .otherwise(0L))
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("removed")).as("n_removed"),
+        sum(col("n_tokens")).as("tokens_total"),
+        sum(when(col("removed") === 1L, col("n_tokens")).otherwise(0L))
+          .as("tokens_removed"))
+      .withColumn("savings_bp",
+        when(col("tokens_total") > 0,
+          floor(lit(10000L) * col("tokens_removed") / col("tokens_total")))
+          .otherwise(0L).cast("long"))
+  }
+
   /** Audio perceptual near-dup through the gate — q133's contract for
     * the audio modality: id-derived 256-sample WAVs (seed-keyed
     * envelope macro patterns in time + id-unique sample noise,
@@ -4473,7 +4499,8 @@ object Queries {
     "q139_source_audit" -> (q139SourceAudit _),
     "q140_video_frames" -> (q140VideoFrames _),
     "q141_clip_dups" -> (q141ClipDups _),
-    "q142_group_split" -> (q142GroupSplit _))
+    "q142_group_split" -> (q142GroupSplit _),
+    "q143_dedup_savings" -> (q143DedupSavings _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -5144,6 +5171,29 @@ object Queries {
         |  ((10368889 * ${duckPolyHash("CAST(cluster_id AS VARCHAR)", 1L << 31)} + 8342140)
         |    % ${1L << 31}) % 10000 AS b
         |  FROM wc) t""".stripMargin,
+    // the q43 closure + token counts rolled up per source; canonical
+    // = min cluster member, so removed = member of a cluster it does
+    // not lead
+    "q143_dedup_savings" ->
+      s"""$q43Ctes,
+        |cl AS (SELECT u AS doc_id, min(label) AS cluster_id FROM reach GROUP BY u),
+        |tk AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split(lower(trim(coalesce(text, ''))), ' '), x -> x != ''))::BIGINT AS n_tokens
+        |  FROM documents),
+        |j AS (
+        |  SELECT tk.source, tk.n_tokens,
+        |    CASE WHEN cl.cluster_id IS NOT NULL AND cl.cluster_id <> tk.doc_id
+        |         THEN 1 ELSE 0 END AS removed
+        |  FROM tk LEFT JOIN cl USING (doc_id))
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(removed)::BIGINT AS n_removed,
+        |  sum(n_tokens)::BIGINT AS tokens_total,
+        |  sum(CASE WHEN removed = 1 THEN n_tokens ELSE 0 END)::BIGINT AS tokens_removed,
+        |  (CASE WHEN sum(n_tokens) > 0
+        |        THEN (10000 * sum(CASE WHEN removed = 1 THEN n_tokens ELSE 0 END)) // sum(n_tokens)
+        |        ELSE 0 END)::BIGINT AS savings_bp
+        |FROM j GROUP BY source""".stripMargin,
     // the audio twin of q133: closed-form |sample| values -> per-cell
     // means -> the same frozen DCT literals -> median bits -> brute
     // pairs (same-seed clips measured 0-2 bits apart, others 18+)
