@@ -661,14 +661,33 @@ object Queries {
     * accumulate sequentially, the per-coordinate sums floor to 2^-24
     * fixed point (exact integers, order-independent), and the L2 norm
     * folds left-to-right — DuckDB replays both Lloyd rounds
-    * bit-identically (duckIvfCellsCtes). */
-  private def trainedCentroids(emb: DataFrame): DataFrame =
-    graft.ann.Ann.ivfTrainCentroids(emb, "vec_id", "embedding",
-      stride = 16, iters = 2)
+    * bit-identically (duckIvfCellsCtes).
+    *
+    * Trained ONCE per corpus dir per JVM and landed as a standing
+    * parquet artifact (the [[standingIdx]] amortization, one level
+    * down): training is deterministic and float parquet round-trips
+    * bit-exactly, so every caller reads the identical centroid set a
+    * fresh training would produce — a deployment trains at index-build
+    * time, never per query. Disk-backed so cache eviction between gate
+    * queries cannot force a retrain. */
+  private val standingCent =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def trainedCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val p = standingCent.computeIfAbsent(dir, _ => {
+      val emb = tbl(spark, dir, "embeddings")
+      val out = java.nio.file.Files.createTempDirectory("graft-cent-standing").toString
+      // one file: centroid count is corpus/stride — bounded small
+      graft.ann.Ann.ivfTrainCentroids(emb, "vec_id", "embedding",
+          stride = 16, iters = 2)
+        .coalesce(1).write.mode("overwrite").parquet(out)
+      out
+    })
+    spark.read.parquet(p)
+  }
 
   def q38IvfTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = tbl(spark, dir, "embeddings")
-    val centroids = trainedCentroids(emb)
+    val centroids = trainedCentroids(spark, dir)
     val cells = graft.ann.Ann.ivfAssign(emb, "vec_id", "embedding", centroids)
     graft.ann.Ann.ivfProbeTopK(emb.where(col("vec_id") < 5), cells, centroids,
       "vec_id", "embedding", k = 10, nProbe = 4)
@@ -941,7 +960,8 @@ object Queries {
     * corpus curation, verified id-by-id. */
   def q60DiversitySample(spark: SparkSession, dir: String): DataFrame = {
     val emb = tbl(spark, dir, "embeddings")
-    val cells = graft.ann.Ann.ivfAssign(emb, "vec_id", "embedding", trainedCentroids(emb))
+    val cells = graft.ann.Ann.ivfAssign(emb, "vec_id", "embedding",
+      trainedCentroids(spark, dir))
     graft.ann.Ann.diversitySample(cells, maxPerCell = 5)
       .withColumnRenamed("id", "vec_id")
   }
@@ -1069,7 +1089,8 @@ object Queries {
     * actually have pairs — a 0.9 gate would pass on zero rows). */
   def q72CellNearDup(spark: SparkSession, dir: String): DataFrame = {
     val emb = tbl(spark, dir, "embeddings")
-    val cells = graft.ann.Ann.ivfAssign(emb, "vec_id", "embedding", trainedCentroids(emb))
+    val cells = graft.ann.Ann.ivfAssign(emb, "vec_id", "embedding",
+      trainedCentroids(spark, dir))
     graft.ann.Ann.cellNearDupPairs(cells, threshold = 0.35)
   }
 
@@ -1479,8 +1500,10 @@ object Queries {
   // on exit so repeated local sessions don't accumulate orphans (a real
   // deployment lands its indexes at a stable lake path instead — this
   // tmp placement exists only for the self-contained gate)
-  Runtime.getRuntime.addShutdownHook(new Thread(() =>
-    standingIdx.values().forEach { p =>
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    val dirs = new java.util.ArrayList[String](standingIdx.values())
+    dirs.addAll(standingCent.values())
+    dirs.forEach { p =>
       try {
         val root = java.nio.file.Paths.get(p)
         if (java.nio.file.Files.exists(root)) {
@@ -1490,15 +1513,17 @@ object Queries {
           finally walk.close()
         }
       } catch { case _: Throwable => () } // best-effort at JVM exit
-    }))
+    }
+  }))
   private def standingIvfIdx(spark: SparkSession, dir: String): String =
     standingIdx.computeIfAbsent("ivf:" + dir, _ => {
       val emb = tbl(spark, dir, "embeddings")
       val p = java.nio.file.Files.createTempDirectory("graft-ivf-standing").toString
       // gate-sized bucket counts (write cost is directory-count-bound
       // — see q117's note); 100 TB uses O(thousands)
+      // standingCent is a DIFFERENT map, so this nested lookup is safe
       graft.ann.IvfIndex.write(emb, "vec_id", "embedding",
-        trainedCentroids(emb), p, numBuckets = 16)
+        trainedCentroids(spark, dir), p, numBuckets = 16)
       p
     })
   private def standingBm25Idx(spark: SparkSession, dir: String): String =
