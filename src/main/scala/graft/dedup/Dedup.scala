@@ -665,11 +665,13 @@ object Dedup {
     * hashes. */
   def hammingNearDupPairs(df: DataFrame, idCol: String, hashCol: String,
       totalBits: Int = 64, maxDist: Int = 3, bands: Int = 4): DataFrame = {
-    require(bands >= 1 && maxDist <= bands - 1,
-      s"hammingNearDupPairs: $bands-band pigeonhole is exact only for maxDist <= ${bands - 1}, got $maxDist")
+    require(bands >= 2 && maxDist <= bands - 1,
+      s"hammingNearDupPairs: $bands-band pigeonhole is exact only for maxDist <= ${bands - 1}, got $maxDist" +
+        (if (bands == 1) " (bands=1 would also degenerate the banded equi-join to all-pairs: one 64-bit band's 1L<<64 mask wraps to 0)" else ""))
     require(totalBits % bands == 0 && totalBits >= bands && totalBits <= 64,
       s"hammingNearDupPairs: totalBits must be a multiple of $bands in [$bands, 64], got $totalBits")
     val bandBits = totalBits / bands
+    // bands >= 2 keeps bandBits <= 32, so the shift never wraps
     val mask = (1L << bandBits) - 1
     val sigs = df.select(col(idCol).cast("long").as("id"),
       col(hashCol).cast("long").as("hh"))

@@ -27,7 +27,11 @@ import org.apache.spark.sql.functions._
   * malformed container surfaces its parsed prefix as ok=1 rows plus
   * ONE ok=0 row at the failing record index — kept, not dropped, so a
   * crawl-archive audit can count bad segments; never garbage rows
-  * past a corrupt header.
+  * past a corrupt header. Hitting `maxRecords`/`maxEntries` with bytes
+  * left surfaces the same way: an ok=0 "__truncated__" marker row (the
+  * type/name field carries the family, the byte-count field the
+  * unconsumed remainder), so a capped walk never reads as fully
+  * ingested.
   *
   * Scale shape: one row per container in, mapPartitions batch walk
   * (no driver bytes), one row per record out — the decodeStage plan
@@ -123,6 +127,13 @@ object Containers {
       }
     }
     if (failed) out += WarcRecord(id, idx, 0, "", "", 0, "", 0L)
+    // audit contract: hitting the record cap with bytes left must not
+    // look fully ingested — surface ONE marker row, distinguishable
+    // from a parse failure by its warc_type ("__truncated__" is not a
+    // legal WARC-Type value), carrying the unconsumed byte count
+    else if (idx >= maxRecords && i < b.length)
+      out += WarcRecord(id, idx, 0, "__truncated__", "", 0, "",
+        (b.length - i).toLong)
     out.result()
   }
 
@@ -274,6 +285,14 @@ object Containers {
       }
     }
     if (failed) out += TarEntry(id, idx, 0, "", 0L, "")
+    // same truncation contract as parseWarc: entry cap with non-end
+    // bytes left -> one marker row ("__truncated__" cannot collide
+    // with a real member name), n_bytes = unconsumed bytes. A cap that
+    // lands exactly on the zero end-marker block is a COMPLETE walk,
+    // not a truncation — the remaining bytes are framing.
+    else if (idx >= maxEntries && !done && i + 512 <= b.length &&
+        !allZero(b, i, 512))
+      out += TarEntry(id, idx, 0, "__truncated__", (b.length - i).toLong, "")
     out.result()
   }
 

@@ -388,8 +388,10 @@ object CurationRunner {
     // counts — negative increments keep the folded state == a
     // from-scratch tokenize of today's corpus), and past the KL-drift
     // threshold re-learn and land a NEW artifact version before the
-    // pointer swaps. The `_applied` marker makes a re-run a no-op
-    // (count increments must not double-fold).
+    // pointer swaps. The `_applied` marker makes a clean re-run a
+    // no-op, and the seq stamp on the count increments closes the
+    // crash window between appendCounts and the marker: a replayed
+    // day's identical batch folds once, never twice.
     val tokenizerRefreshed = tokenizer.fold(false) { tc =>
       meta.time("tokenizer") {
         val tokRoot = s"$lakeRoot/tokenizer"
@@ -406,11 +408,15 @@ object CurationRunner {
                 Seq("doc_id", "text"), "left_anti")
               val minus = prevC.join(curC.select(col("doc_id"), col("text")),
                 Seq("doc_id", "text"), "left_anti")
+              // seq-stamped: a crash after this append but before the
+              // `_applied` marker re-runs the day, and the replayed
+              // identical batch folds ONCE (TokenizerStore.foldedCounts
+              // keeps one copy per (cseq, word))
               graft.text.TokenizerStore.appendCounts(
                 graft.text.Bpe.wordCounts(plus, "text").unionByName(
                   graft.text.Bpe.wordCounts(minus, "text")
                     .select(col("word"), (-col("freq")).as("freq"))),
-                tokRoot)
+                tokRoot, seq = Some(seq))
               val klRow = graft.text.CorpusStats
                 .tokenKlDivergence(plus, prevC, "text")
                 .select(col("kl_milli")).collect()(0)
@@ -425,7 +431,8 @@ object CurationRunner {
             case _ =>
               // first run or unregistered store: state = today's corpus
               graft.text.TokenizerStore.appendCounts(
-                graft.text.Bpe.wordCounts(curC, "text"), tokRoot)
+                graft.text.Bpe.wordCounts(curC, "text"), tokRoot,
+                seq = Some(seq))
               graft.text.TokenizerStore.refresh(spark, tokRoot, s"v$date",
                 tc.numMerges)
               graft.text.TokenizerStore.setCurrentVersion(spark, tokRoot,

@@ -203,7 +203,11 @@ object Bm25DiskIndex {
     * identical values, so it is the identity there). */
   def stats(spark: SparkSession, dir: String): DataFrame = {
     requireIndex(spark, dir)
-    val raw = Lake.readParquet(spark, s"$dir/stats")
+    // mergeSchema: a mixed-vintage stats dir (pre-sseq write/append
+    // files + post-sseq retire files) must not let footer-inference
+    // pick an OLD footer and drop sseq — that would nondeterministically
+    // lose the retire-dedup fold below
+    val raw = spark.read.option("mergeSchema", "true").parquet(s"$dir/stats")
     val rows = if (raw.columns.contains("sseq")) raw
       else raw.withColumn("sseq", lit(null).cast("long"))
     rows.select(col("d_docs"), col("t_toks"), col("sseq"))

@@ -33,17 +33,48 @@ object TokenizerStore {
   def countsPath(root: String) = s"$root/counts"
 
   /** Append a (word, freq) increment — positive for arriving text,
-    * negative (pre-negated by the caller) for departing text. */
-  def appendCounts(increment: DataFrame, root: String): Unit =
-    increment.select(col("word"), col("freq"))
-      .write.mode(SaveMode.Append).option("compression", "snappy")
+    * negative (pre-negated by the caller) for departing text.
+    *
+    * `seq` stamps the batch for replay idempotence (the
+    * Bm25DiskIndex.stats discipline): a stamped batch is pre-folded to
+    * ONE net row per word and [[foldedCounts]] keeps one copy per
+    * (cseq, word), so a crashed run that re-appends the same delta
+    * (the CurationRunner crash window between appendCounts and its
+    * `_applied` marker) folds exactly once. Unstamped appends
+    * (seq = None) keep the plain additive semantics. */
+  def appendCounts(increment: DataFrame, root: String,
+      seq: Option[Long] = None): Unit = {
+    val batch = seq match {
+      case Some(s) => increment.select(col("word"), col("freq"))
+        .groupBy(col("word")).agg(sum(col("freq")).as("freq"))
+        .where(col("freq") =!= 0L)
+        .select(col("word"), col("freq"), lit(s).as("cseq"))
+      case None => increment
+        .select(col("word"), col("freq"), lit(null).cast("long").as("cseq"))
+    }
+    batch.write.mode(SaveMode.Append).option("compression", "snappy")
       .parquet(countsPath(root))
+  }
 
-  /** The folded learning state: one row per word with net freq > 0. */
-  def foldedCounts(spark: SparkSession, root: String): DataFrame =
-    Lake.readParquet(spark, countsPath(root))
+  /** The folded learning state: one row per word with net freq > 0.
+    * Stamped increments (cseq non-null) first collapse to one row per
+    * (cseq, word) — `min` is the identity on replay rows, which are
+    * bit-identical — then everything sums; unstamped rows sum as-is. */
+  def foldedCounts(spark: SparkSession, root: String): DataFrame = {
+    val path = countsPath(root)
+    // mergeSchema: a mixed-vintage counts dir (pre-cseq files + stamped
+    // files) must not let footer-inference drop the cseq column
+    val raw = if (!Lake.exists(spark, path)) Lake.readParquet(spark, path)
+      else spark.read.option("mergeSchema", "true").parquet(path)
+    val rows = if (raw.columns.contains("cseq")) raw
+      else raw.withColumn("cseq", lit(null).cast("long"))
+    rows.groupBy(col("cseq"), col("word"))
+      .agg(min(col("freq")).as("one"), sum(col("freq")).as("all"))
+      .select(col("word"),
+        when(col("cseq").isNull, col("all")).otherwise(col("one")).as("freq"))
       .groupBy(col("word")).agg(sum(col("freq")).as("freq"))
       .where(col("freq") > 0)
+  }
 
   /** Learn from the folded counts and land version `tag` (no pointer
     * swap — [[setCurrentVersion]] after, so a crashed refresh leaves

@@ -73,6 +73,18 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 3L)))
   }
 
+  test("hammingNearDupPairs rejects bands=1 — the one-band mask would wrap and degenerate to all-pairs") {
+    val sigs = Seq((1L, 5L), (2L, 5L)).toDF("id", "hh")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.hammingNearDupPairs(sigs, "id", "hh",
+        totalBits = 64, maxDist = 0, bands = 1)
+    }
+    assert(e.getMessage.contains("all-pairs"))
+    // the minimum legal banding still works
+    assert(Dedup.hammingNearDupPairs(sigs, "id", "hh",
+      totalBits = 64, maxDist = 1, bands = 2).count() == 1L)
+  }
+
   test("incremental merge: batch dedup, first writer wins, corpus untouched") {
     val existing = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
     val incoming = Seq(

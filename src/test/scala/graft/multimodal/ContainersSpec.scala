@@ -82,6 +82,30 @@ class ContainersSpec extends SparkSpec {
     assert(Containers.parseTar(1L, new Array[Byte](1024)).isEmpty)
   }
 
+  test("record-cap truncation surfaces a __truncated__ marker, never a fully-ingested look") {
+    // warc: 2 records, cap 1 -> parsed prefix + ok=0 marker carrying
+    // the unconsumed byte count; cap == record count -> clean walk
+    val two = warcPair("abc")
+    val recs = Containers.parseWarc(9L, two, maxRecords = 1)
+    assert(recs.map(r => (r.rec_index, r.ok, r.warc_type)) ==
+      Seq((0, 1, "warcinfo"), (1, 0, "__truncated__")))
+    assert(recs.last.payload_bytes > 0L,
+      "the marker must carry the unconsumed remainder size")
+    assert(Containers.parseWarc(9L, two, maxRecords = 2)
+      .map(r => (r.ok, r.warc_type)) == Seq((1, "warcinfo"), (1, "response")))
+    // tar: same contract; a cap landing exactly on the zero end-marker
+    // block is a COMPLETE walk (the remainder is framing, not data)
+    val bytes = Containers.tarEntryBytes("docs/1.txt", "one".getBytes("UTF-8")) ++
+      Containers.tarEntryBytes("docs/2.txt", "two".getBytes("UTF-8")) ++
+      new Array[Byte](1024)
+    val ents = Containers.parseTar(3L, bytes, maxEntries = 1)
+    assert(ents.map(e => (e.ent_index, e.ok, e.name)) ==
+      Seq((0, 1, "docs/1.txt"), (1, 0, "__truncated__")))
+    assert(ents.last.n_bytes == 512L + 512L + 1024L)
+    assert(Containers.parseTar(3L, bytes, maxEntries = 2).map(_.ok) == Seq(1, 1),
+      "cap at the end marker is complete, not truncated")
+  }
+
   test("warcDocs composition: responses -> canonical url + extracted text, curation-ready") {
     val docs = Seq(
       (0L, "alpha beta gamma"), (2L, "ignored — corrupt container"),

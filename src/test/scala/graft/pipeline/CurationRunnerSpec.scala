@@ -402,6 +402,35 @@ class CurationRunnerSpec extends SparkSpec {
     } finally { Lake.delete(spark, root) }
   }
 
+  test("tokenizer count increments are idempotent per seq: crash-window replays fold once") {
+    val root = java.nio.file.Files.createTempDirectory("tokstore").toString
+    def folded = graft.text.TokenizerStore.foldedCounts(spark, root)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    try {
+      val day1 = Seq(("alpha", 3L), ("beta", 2L)).toDF("word", "freq")
+      graft.text.TokenizerStore.appendCounts(day1, root, seq = Some(10L))
+      // the ops reflex after a crash between appendCounts and the
+      // _applied marker: run the same day again — same batch, same seq
+      graft.text.TokenizerStore.appendCounts(day1, root, seq = Some(10L))
+      graft.text.TokenizerStore.appendCounts(day1, root, seq = Some(10L))
+      assert(folded == Set(("alpha", 3L), ("beta", 2L)),
+        "a replayed stamped batch must fold ONCE")
+      // a later day at a DISTINCT seq still folds: plus/minus rows of
+      // one word net within the batch, zero-net words drop out
+      val day2 = Seq(("alpha", -3L), ("beta", 5L), ("beta", -1L))
+        .toDF("word", "freq")
+      graft.text.TokenizerStore.appendCounts(day2, root, seq = Some(11L))
+      graft.text.TokenizerStore.appendCounts(day2, root, seq = Some(11L))
+      assert(folded == Set(("beta", 6L)))
+      // mixed vintage: a pre-cseq file (plain additive rows) sums as-is
+      // next to stamped files — mergeSchema keeps the cseq column alive
+      Seq(("gamma", 7L), ("gamma", 1L)).toDF("word", "freq")
+        .coalesce(1).write.mode("append")
+        .parquet(graft.text.TokenizerStore.countsPath(root))
+      assert(folded == Set(("beta", 6L), ("gamma", 8L)))
+    } finally { Lake.delete(spark, root) }
+  }
+
   test("forward-only: a run dated before an existing snapshot is rejected") {
     val root = java.nio.file.Files.createTempDirectory("lake").toString
     try {

@@ -160,6 +160,27 @@ class Bm25DiskIndexSpec extends SparkSpec {
     } finally { Lake.delete(spark, dir) }
   }
 
+  test("stats survives mixed-vintage files: an old pre-sseq footer cannot drop the retire fold") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    try {
+      val retired = docs.where(pmod($"doc_id", lit(7)) === 3)
+      val live = docs.where(pmod($"doc_id", lit(7)) =!= 3)
+      Bm25DiskIndex.write(docs, "doc_id", "text", dir, numBuckets = 32, seq = 1L)
+      // plant an OLD-vintage stats file (no sseq column) alongside —
+      // plain footer inference could pick ITS schema and silently drop
+      // sseq from every row; mergeSchema must keep it
+      Seq((5L, 50L, 32L)).toDF("d_docs", "t_toks", "n_buckets")
+        .coalesce(1).write.mode("append").parquet(s"$dir/stats")
+      Bm25DiskIndex.retire(retired, "doc_id", "text", dir, seq = 2L)
+      Bm25DiskIndex.retire(retired, "doc_id", "text", dir, seq = 2L) // replay
+      val st = Bm25DiskIndex.stats(spark, dir).collect()(0)
+      val sLive = Retrieval.bm25Index(live, "doc_id", "text")._2.collect()(0)
+      assert(st.getLong(0) == sLive.getLong(0) + 5L &&
+        st.getLong(1) == sLive.getLong(1) + 50L,
+        "old-vintage rows sum additively AND the sseq-stamped replay folds once")
+    } finally { Lake.delete(spark, dir) }
+  }
+
   test("missing dir and mixed bucket counts fail loudly") {
     val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
     try {
