@@ -785,72 +785,166 @@ object Multimodal {
     }
   }
 
-  /** Extract the SAMPLE BYTES of the first single-chunk per-sample
-    * track — the step from q125's table walk to actual frame payloads:
-    * stsz's per-sample sizes index consecutively from the track's one
-    * stco offset (the fixture layout, and the common
-    * one-chunk-per-track fast path of real muxers; multi-chunk tracks
-    * need stsc's chunk-to-sample map and are out of scope — skipped,
-    * not guessed). Strict bounds: a size table running past the buffer
-    * rejects the track (None) rather than emitting partial frames.
-    * Returns (sample_idx, bytes) pairs. */
-  def extractMp4Frames(b: Array[Byte],
-      maxFrames: Int = 10000): Option[Seq[(Int, Array[Byte])]] = {
-    if (b == null || b.length < 16) return None
-    if (!mp4Children(b, 0, b.length).take(1).exists(_._1 == "ftyp")) return None
-    mp4Children(b, 0, b.length).find(_._1 == "moov").flatMap { case (_, mLo, mHi) =>
-      val traks = mp4Children(b, mLo, mHi).filter(_._1 == "trak")
-      var result = Option.empty[Seq[(Int, Array[Byte])]]
-      for ((_, lo, hi) <- traks if result.isEmpty) {
-        val stbl = for {
-          (_, l1, h1) <- mp4Children(b, lo, hi).find(_._1 == "mdia")
-          (_, l2, h2) <- mp4Children(b, l1, h1).find(_._1 == "minf")
-          (_, l3, h3) <- mp4Children(b, l2, h2).find(_._1 == "stbl")
-        } yield (l3, h3)
-        stbl.foreach { case (sLo, sHi) =>
-          var sizes = Option.empty[Array[Long]]
-          var chunk0 = Option.empty[Long]
-          for ((t, lo2, hi2) <- mp4Children(b, sLo, sHi)) t match {
-            case "stsz" if hi2 - lo2 >= 12 =>
-              val uniform = be32(b, lo2 + 4) & 0xffffffffL
-              val n = be32(b, lo2 + 8)
-              if (uniform == 0L && n >= 0 && n <= maxFrames &&
-                  lo2 + 12 + 4L * n <= hi2)
-                sizes = Some(Array.tabulate(n)(k =>
-                  be32(b, lo2 + 12 + 4 * k) & 0xffffffffL))
-            case "stco" if hi2 - lo2 >= 12 =>
-              val n = be32(b, lo2 + 4)
-              if (n == 1) chunk0 = Some(be32(b, lo2 + 8) & 0xffffffffL)
-            case _ => ()
-          }
-          for (sz <- sizes; off <- chunk0) {
-            val total = sz.sum
-            if (off >= 0 && off + total <= b.length.toLong &&
-                sz.forall(_ <= Int.MaxValue)) {
-              var p = off
-              result = Some(sz.toSeq.zipWithIndex.map { case (s, k) =>
-                val frame = java.util.Arrays.copyOfRange(b, p.toInt, (p + s).toInt)
-                p += s
-                (k, frame)
-              })
+  /** Extract the SAMPLE BYTES of the first per-sample-sized track —
+    * the step from q125's table walk to actual frame payloads — with a
+    * TAGGED error family, so an audit can tell a layout the walk
+    * declines from bytes the walk cannot trust:
+    *
+    *  - `"not_mp4"`: no leading ftyp, no moov, or no track carrying a
+    *    sample table at all — the payload isn't this container.
+    *  - `"unsupported_layout"`: a well-formed table the walk declines
+    *    (uniform-size stsz — no per-sample boundaries; >1 chunk with
+    *    no stsc map; sample count over `maxFrames`). The bytes are
+    *    fine; the layout is out of scope.
+    *  - `"corrupt"`: tables that contradict each other or the buffer
+    *    (malformed entry lists, an stsc map that doesn't cover the
+    *    samples, offsets running past the payload). Resynchronizing
+    *    would fabricate frames, so the track rejects whole.
+    *
+    * Multi-chunk layouts (the normal output of real muxers, which
+    * interleave audio/video chunks) walk ISO 14496-12 stsc: entry
+    * (first_chunk, samples_per_chunk) runs apply from their
+    * first_chunk until the next entry's, samples assign to chunks in
+    * order, and each chunk's samples pack consecutively from its stco
+    * offset. A missing stsc with ONE chunk keeps the everything-in-
+    * chunk-1 default. Returns (sample_idx, bytes) pairs. */
+  def extractMp4FramesTagged(b: Array[Byte],
+      maxFrames: Int = 10000): Either[String, Seq[(Int, Array[Byte])]] = {
+    if (b == null || b.length < 16) return Left("not_mp4")
+    if (!mp4Children(b, 0, b.length).take(1).exists(_._1 == "ftyp"))
+      return Left("not_mp4")
+    mp4Children(b, 0, b.length).find(_._1 == "moov") match {
+      case None => Left("not_mp4")
+      case Some((_, mLo, mHi)) =>
+        // first track that extracts wins; else the first REAL error
+        // (a track with no table at all is a skip, not an error)
+        var firstErr = Option.empty[String]
+        for ((_, lo, hi) <- mp4Children(b, mLo, mHi).filter(_._1 == "trak")) {
+          val stbl = for {
+            (_, l1, h1) <- mp4Children(b, lo, hi).find(_._1 == "mdia")
+            (_, l2, h2) <- mp4Children(b, l1, h1).find(_._1 == "minf")
+            (_, l3, h3) <- mp4Children(b, l2, h2).find(_._1 == "stbl")
+          } yield (l3, h3)
+          stbl.foreach { case (sLo, sHi) =>
+            extractTrackFrames(b, sLo, sHi, maxFrames) match {
+              case Right(frames) => return Right(frames)
+              case Left("no_table") => ()
+              case Left(e) => if (firstErr.isEmpty) firstErr = Some(e)
             }
           }
         }
-      }
-      result
+        Left(firstErr.getOrElse("not_mp4"))
     }
   }
 
+  /** Untagged compatibility form of [[extractMp4FramesTagged]]. */
+  def extractMp4Frames(b: Array[Byte],
+      maxFrames: Int = 10000): Option[Seq[(Int, Array[Byte])]] =
+    extractMp4FramesTagged(b, maxFrames).toOption
+
+  /** One track's frame extraction from its stbl span — see
+    * [[extractMp4FramesTagged]] for the error families; the private
+    * `"no_table"` marks a track with no stsz+stco at all (skipped by
+    * the caller, never surfaced). */
+  private def extractTrackFrames(b: Array[Byte], sLo: Int, sHi: Int,
+      maxFrames: Int): Either[String, Seq[(Int, Array[Byte])]] = {
+    var sizes = Option.empty[Array[Long]]
+    var uniform = false
+    var offsets = Option.empty[Array[Long]]
+    var stscMap = Option.empty[Array[(Long, Long)]]
+    var badTable = false
+    var oversize = false
+    for ((t, lo2, hi2) <- mp4Children(b, sLo, sHi)) t match {
+      case "stsz" if hi2 - lo2 >= 12 =>
+        val u = be32(b, lo2 + 4) & 0xffffffffL
+        val n = be32(b, lo2 + 8)
+        if (u != 0L) uniform = true
+        else if (n < 0) badTable = true
+        else if (n > maxFrames) oversize = true
+        else if (lo2 + 12 + 4L * n <= hi2)
+          sizes = Some(Array.tabulate(n)(k =>
+            be32(b, lo2 + 12 + 4 * k) & 0xffffffffL))
+        else badTable = true
+      case "stco" if hi2 - lo2 >= 8 =>
+        val n = be32(b, lo2 + 4)
+        if (n >= 0 && lo2 + 8 + 4L * n <= hi2)
+          offsets = Some(Array.tabulate(n)(k =>
+            be32(b, lo2 + 8 + 4 * k) & 0xffffffffL))
+        else badTable = true
+      case "stsc" if hi2 - lo2 >= 8 =>
+        val n = be32(b, lo2 + 4)
+        if (n >= 0 && lo2 + 8 + 12L * n <= hi2)
+          stscMap = Some(Array.tabulate(n)(k => (
+            be32(b, lo2 + 8 + 12 * k) & 0xffffffffL,
+            be32(b, lo2 + 12 + 12 * k) & 0xffffffffL)))
+        else badTable = true
+      case _ => ()
+    }
+    if (badTable) Left("corrupt")
+    else if (uniform) Left("unsupported_layout")
+    else if (oversize) Left("unsupported_layout")
+    else (sizes, offsets) match {
+      case (None, None) => Left("no_table")
+      case (Some(sz), Some(off)) =>
+        stscMap match {
+          case Some(map) => walkChunkedSamples(b, sz, off, map)
+          case None if off.length == 1 =>
+            walkChunkedSamples(b, sz, off, Array((1L, sz.length.toLong)))
+          case None => Left("unsupported_layout")
+        }
+      case _ => Left("corrupt") // one table present without its partner
+    }
+  }
+
+  /** Assign per-sample sizes to chunks through the stsc run map and
+    * copy each frame's byte run. Strict: a map that doesn't start at
+    * chunk 1, doesn't increase, carries a zero samples-per-chunk, or
+    * leaves samples unassigned after the last chunk is "corrupt", as
+    * is any frame extent outside the buffer. */
+  private def walkChunkedSamples(b: Array[Byte], sz: Array[Long],
+      off: Array[Long], map: Array[(Long, Long)])
+      : Either[String, Seq[(Int, Array[Byte])]] = {
+    if (map.isEmpty || map(0)._1 != 1L || map.exists(_._2 <= 0L))
+      return Left("corrupt")
+    var k = 0
+    while (k + 1 < map.length) {
+      if (map(k + 1)._1 <= map(k)._1) return Left("corrupt")
+      k += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[(Int, Array[Byte])](sz.length)
+    var s = 0   // next sample index
+    var e = 0   // current stsc entry
+    var c = 1L  // current chunk number (1-based, stco order)
+    while (s < sz.length && c <= off.length) {
+      while (e + 1 < map.length && map(e + 1)._1 <= c) e += 1
+      var p = off((c - 1).toInt)
+      var j = 0L
+      while (j < map(e)._2 && s < sz.length) {
+        val len = sz(s)
+        if (p < 0 || len > Int.MaxValue || p + len > b.length.toLong)
+          return Left("corrupt")
+        out += ((s, java.util.Arrays.copyOfRange(b, p.toInt, (p + len).toInt)))
+        p += len; s += 1; j += 1
+      }
+      c += 1
+    }
+    if (s < sz.length) Left("corrupt") // chunks exhausted, samples left
+    else Right(out.toSeq)
+  }
+
   final case class VideoFramePHash(
-      media_id: Long, frame_idx: Int, ok: Int, phash: Long)
+      media_id: Long, frame_idx: Int, ok: Int, phash: Long, err: String)
 
   /** Video keyframe fingerprints: extract each MP4 sample
-    * ([[extractMp4Frames]]), decode it as a baseline JPEG
+    * ([[extractMp4FramesTagged]]), decode it as a baseline JPEG
     * ([[Jpeg.decodeJpegPixels]] — the MJPEG-style layout the fixtures
     * mux), pHash the plane — one row per frame, so the banded pair
-    * machinery finds near-dup CLIPS by shared frame hashes. A frame
-    * that fails to decode surfaces (frame_idx, ok=0); a container
-    * whose walk fails surfaces one (ok=0) row. */
+    * machinery finds near-dup CLIPS by shared frame hashes. Error rows
+    * carry their FAMILY so audits don't conflate them: a frame that
+    * fails to decode surfaces (frame_idx, ok=0, err="frame_decode"); a
+    * container whose walk fails surfaces one ok=0 row with the walk's
+    * tag ("not_mp4" / "unsupported_layout" / "corrupt"); ok=1 rows
+    * carry err="". */
   def decodeMp4FramePHash(media: DataFrame,
       partitions: Int = 0): Dataset[VideoFramePHash] = {
     val spark = media.sparkSession
@@ -863,56 +957,78 @@ object Multimodal {
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.BINARY))
       .flatMap { case (id, p) =>
-        extractMp4Frames(p) match {
-          case Some(frames) => frames.map { case (fi, bytes) =>
+        extractMp4FramesTagged(p) match {
+          case Right(frames) => frames.map { case (fi, bytes) =>
             Jpeg.decodeJpegPixels(bytes) match {
               case Some((w, h, _, px)) if w >= 8 && h >= 8 =>
                 val gray = new Array[Int](w * h)
                 var i = 0
                 while (i < gray.length) { gray(i) = px(3 * i) & 0xff; i += 1 }
-                VideoFramePHash(id, fi, 1, pHash64(gray, w, h))
-              case _ => VideoFramePHash(id, fi, 0, 0L)
+                VideoFramePHash(id, fi, 1, pHash64(gray, w, h), "")
+              case _ => VideoFramePHash(id, fi, 0, 0L, "frame_decode")
             }
           }
-          case None => Seq(VideoFramePHash(id, 0, 0, 0L))
+          case Left(family) => Seq(VideoFramePHash(id, 0, 0, 0L, family))
         }
       }
   }
 
   /** Deterministic MJPEG-in-MP4 corpus — the q140 fixture: each doc is
-    * a REAL MP4 (ftyp + mdat + moov — data first, so the single stco
-    * offset is known at build time) whose one video track's samples
-    * are three DC-only 64x64 grayscale JPEGs — a full 8x8 macro-block
-    * pattern per frame (the q133 pattern family: enough structure that
-    * distinct id/frame patterns hash apart; a 16x16 draft with only 4
-    * blocks collided) — with every id%6==4 clip's frame 1 SOI zeroed
-    * inside mdat (sizes stay true, so extraction succeeds and the
-    * DECODE error path surfaces per-frame). ([[videoCorpusFromDocuments]]
-    * is the header-level fixture; this one carries real frame data.) */
+    * a REAL MP4 (ftyp + mdat + moov — data first, so the stco offsets
+    * are known at build time) whose one video track's samples are
+    * 3 + id%4 (3..6) DC-only 64x64 grayscale JPEGs — a full 8x8
+    * macro-block pattern per frame (the q133 pattern family: enough
+    * structure that distinct id/frame patterns hash apart; a 16x16
+    * draft with only 4 blocks collided). Layout varies with the id so
+    * the gate covers both chunk walks: id%3==1 clips mux TWO chunks
+    * (frame 0 alone, then 17 filler bytes a single-chunk walk would
+    * misread as frame 1's head, then the rest) mapped by a 2-entry
+    * stsc; the others are single-chunk with no stsc (the default-map
+    * path). Every id%6==4 clip's frame 1 SOI is zeroed inside mdat
+    * (sizes stay true, so extraction succeeds and the DECODE error
+    * path surfaces per-frame as err="frame_decode").
+    * ([[videoCorpusFromDocuments]] is the header-level fixture; this
+    * one carries real frame data.) */
   def mjpegVideoCorpusFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     documents.select(col("doc_id")).as[Long].map { id =>
-      val frames = (0 until 3).map { f =>
+      val fm = (x: Long, m: Long) => java.lang.Math.floorMod(x, m)
+      val nf = (3L + fm(id, 4L)).toInt
+      val frames = (0 until nf).map { f =>
         Jpeg.dcOnlyBytes(64, 64, 1, (bx, by, _) =>
-          (((java.lang.Math.floorMod(id, 10L) * 73L + f * 29L +
+          (((fm(id, 10L) * 73L + f * 29L +
             bx * 37L + by * 91L) % 17L) * 15L).toInt)
       }
       val ftyp = mp4Box("ftyp", "isom".getBytes("ISO-8859-1") ++ u32s(0L) ++
         "isom".getBytes("ISO-8859-1"))
-      val mdatBody = frames.reduce(_ ++ _)
+      val multi = fm(id, 3L) == 1L
+      val filler = if (multi) Array.fill[Byte](17)(0x55) else Array.emptyByteArray
+      val mdatBody = frames.head ++ filler ++
+        frames.tail.foldLeft(Array.emptyByteArray)(_ ++ _)
       val mdat = mp4Box("mdat", mdatBody)
-      val off = ftyp.length + 8 // first frame: right after the mdat header
-      val stts = mp4Box("stts", u32s(0L, 1L, 3L, 100L))
-      val stsz = mp4Box("stsz", u32s(0L, 0L, 3L),
+      val off0 = ftyp.length + 8 // first frame: right after the mdat header
+      val stts = mp4Box("stts", u32s(0L, 1L, nf.toLong, 100L))
+      val stsz = mp4Box("stsz", u32s(0L, 0L, nf.toLong),
         u32s(frames.map(_.length.toLong): _*))
-      val stco = mp4Box("stco", u32s(0L, 1L), u32s(off.toLong))
+      val tableBoxes =
+        if (multi) {
+          val off1 = off0 + frames.head.length + filler.length
+          // stsc entries: (first_chunk, samples_per_chunk, sdesc_idx)
+          val stsc = mp4Box("stsc", u32s(0L, 2L),
+            u32s(1L, 1L, 1L), u32s(2L, (nf - 1).toLong, 1L))
+          Seq(stts, stsc, stsz,
+            mp4Box("stco", u32s(0L, 2L), u32s(off0.toLong, off1.toLong)))
+        } else
+          Seq(stts, stsz, mp4Box("stco", u32s(0L, 1L), u32s(off0.toLong)))
       val moov = mp4Box("moov", mp4Box("trak", mp4Box("mdia",
-        mp4Box("minf", mp4Box("stbl", stts, stsz, stco)))))
+        mp4Box("minf", mp4Box("stbl", tableBoxes: _*)))))
       val out = ftyp ++ mdat ++ moov
-      if (java.lang.Math.floorMod(id, 6L) == 4L) {
-        out(off + frames(0).length) = 0 // frame 1's SOI first byte
-        out(off + frames(0).length + 1) = 0
+      if (fm(id, 6L) == 4L) {
+        // frame 1's first bytes inside mdat (after the filler when the
+        // clip is multi-chunk — id%6==4 implies id%3==1, so it always is)
+        val p1 = off0 + frames.head.length + filler.length
+        out(p1) = 0; out(p1 + 1) = 0
       }
       (id, out)
     }.toDF("media_id", "payload")

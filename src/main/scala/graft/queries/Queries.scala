@@ -2002,40 +2002,63 @@ object Queries {
 
   /** Video keyframe fingerprints through the gate — the composition
     * that takes q125's sample-table walk to CONTENT: real MJPEG-style
-    * MP4s (ftyp + mdat + moov, DC-only JPEG samples), frames extracted
-    * by the stsz/stco walk, decoded by the real JPEG decoder, pHashed
-    * per frame — the clip-level near-dup signal is shared frame
-    * hashes. Every id%6==4 clip carries a frame whose SOI bytes are
-    * zeroed inside mdat: extraction succeeds (sizes stay true), the
-    * DECODE rejects, and the per-frame error path is oracle-covered.
-    * The oracle replays block pattern -> cell sums -> the frozen DCT
-    * literals -> median bits per (clip, frame). */
+    * MP4s (ftyp + mdat + moov, DC-only JPEG samples, 3 + id%4 frames
+    * per clip), frames extracted by the stsz/stsc/stco walk — id%3==1
+    * clips mux TWO chunks with filler bytes between them, so the gate
+    * proves the stsc chunk map is actually walked (a single-chunk
+    * assumption would hash the filler) — decoded by the real JPEG
+    * decoder, pHashed per frame. Every id%6==4 clip carries a frame
+    * whose SOI bytes are zeroed inside mdat: extraction succeeds
+    * (sizes stay true), the DECODE rejects, and the per-frame error
+    * path surfaces with its FAMILY (err="frame_decode", distinct from
+    * the container-walk families). The oracle replays block pattern ->
+    * cell sums -> the frozen DCT literals -> median bits per
+    * (clip, frame). */
   def q140VideoFrames(spark: SparkSession, dir: String): DataFrame = {
     val media = graft.multimodal.Multimodal.mjpegVideoCorpusFromDocuments(
       tbl(spark, dir, "documents"))
     graft.multimodal.Multimodal.decodeMp4FramePHash(media).toDF()
-      .select(col("media_id"), col("frame_idx"), col("ok"), col("phash"))
+      .select(col("media_id"), col("frame_idx"), col("ok"), col("phash"),
+        col("err"))
   }
 
   /** Clip-level video near-dup through the gate — the aggregation over
     * q140's frame fingerprints: frames pair across clips through the
-    * banded Hamming machinery (composite id = clip*4 + frame rides the
-    * 64-bit pair join; decode-failed frames are already excluded), and
-    * two clips are near-dups when >= 2 of their frames match at
-    * hamming <= 3 — the shared-keyframe criterion. Oracle: the q140
-    * hash replay + a frame-pair join + the same threshold. */
+    * banded Hamming machinery (a composite id = clip << shift | frame
+    * rides the 64-bit pair join; decode-failed frames are already
+    * excluded), and two clips are near-dups when >= 2 of their frames
+    * match at hamming <= 3 — the shared-keyframe criterion. The pack
+    * width derives from the ACTUAL max frame index (the q140 corpus
+    * carries 3..6 frames per clip — a fixed 2-bit shift would alias
+    * frame 4+ onto the next clip id), with a loud require that clip
+    * ids fit the remaining bits: a corpus keyed by full-width 64-bit
+    * hashes must switch to a struct-keyed pair join, never silently
+    * mis-attribute frames. Oracle: the q140 hash replay + a frame-pair
+    * join + the same threshold. */
   def q141ClipDups(spark: SparkSession, dir: String): DataFrame = {
     val media = graft.multimodal.Multimodal.mjpegVideoCorpusFromDocuments(
       tbl(spark, dir, "documents"))
     val frames = graft.ops.CacheScope.persist(
       graft.multimodal.Multimodal.decodeMp4FramePHash(media).toDF()
         .where(col("ok") === 1)
-        .select((col("media_id") * 4 + col("frame_idx")).as("fid"),
-          col("phash")))
-    graft.dedup.Dedup.hammingNearDupPairs(frames, "fid", "phash",
+        .select(col("media_id"), col("frame_idx"), col("phash")))
+    // bounded collect: one aggregate row (max frame index + id range)
+    val r = frames.agg(max(col("frame_idx")).cast("long"),
+      min(col("media_id")), max(col("media_id"))).collect()(0)
+    val maxIdx = if (r.isNullAt(0)) 0L else r.getLong(0)
+    val shift = 64 - java.lang.Long.numberOfLeadingZeros(math.max(maxIdx, 1L))
+    if (!r.isNullAt(1))
+      require(r.getLong(1) >= 0L && r.getLong(2) < (1L << (62 - shift)),
+        s"q141 fid packing: media ids [${r.getLong(1)}, ${r.getLong(2)}] " +
+          s"do not fit ${62 - shift} bits next to a $shift-bit frame index " +
+          "— key the pair join by a (clip, frame) struct instead")
+    val packed = frames.select(
+      (col("media_id") * lit(1L << shift) + col("frame_idx")).as("fid"),
+      col("phash"))
+    graft.dedup.Dedup.hammingNearDupPairs(packed, "fid", "phash",
         totalBits = 64, maxDist = 3, bands = 4)
-      .select(shiftright(col("id_a"), 2).as("clip_a"),
-        shiftright(col("id_b"), 2).as("clip_b"))
+      .select(shiftright(col("id_a"), shift).as("clip_a"),
+        shiftright(col("id_b"), shift).as("clip_b"))
       .where(col("clip_a") < col("clip_b"))
       .groupBy(col("clip_a"), col("clip_b"))
       .agg(count(lit(1)).as("n_frames"))
@@ -5103,10 +5126,12 @@ object Queries {
         |FROM f GROUP BY source""".stripMargin,
     // per-(clip, frame) pHash replay: the 64x64 DC-only frames are 8x8
     // constant blocks aligned with the hash cells, so each 8x8-pixel
-    // cell sums to 64x one block value — no pixel explosion needed
+    // cell sums to 64x one block value — no pixel explosion needed;
+    // frame count is 3 + id%4 (the multi-chunk clips land extra frames)
     "q140_video_frames" ->
       """WITH fr AS (
-        |  SELECT doc_id, f.f AS f FROM documents, range(0, 3) AS f(f)),
+        |  SELECT doc_id, f.f AS f
+        |  FROM documents, range(0, 6) AS f(f) WHERE f.f < 3 + doc_id % 4),
         |blk AS (
         |  SELECT doc_id, f, bi.bi AS bi, bj.bj AS bj,
         |    64 * ((((doc_id % 10) * 73 + f * 29 + bj.bj * 37
@@ -5137,13 +5162,15 @@ object Queries {
         |  GROUP BY d.doc_id, d.f)
         |SELECT doc_id AS media_id, f::INTEGER AS frame_idx,
         |  (CASE WHEN doc_id % 6 = 4 AND f = 1 THEN 0 ELSE 1 END)::INTEGER AS ok,
-        |  CASE WHEN doc_id % 6 = 4 AND f = 1 THEN 0 ELSE h END AS phash
+        |  CASE WHEN doc_id % 6 = 4 AND f = 1 THEN 0 ELSE h END AS phash,
+        |  CASE WHEN doc_id % 6 = 4 AND f = 1 THEN 'frame_decode' ELSE '' END AS err
         |FROM ph""".stripMargin,
     // q140's hash replay + a cross-clip frame-pair join at hd<=3 +
     // the >=2-shared-frames clip criterion
     "q141_clip_dups" ->
       """WITH fr AS (
-        |  SELECT doc_id, f.f AS f FROM documents, range(0, 3) AS f(f)),
+        |  SELECT doc_id, f.f AS f
+        |  FROM documents, range(0, 6) AS f(f) WHERE f.f < 3 + doc_id % 4),
         |blk AS (
         |  SELECT doc_id, f, bi.bi AS bi, bj.bj AS bj,
         |    64 * ((((doc_id % 10) * 73 + f * 29 + bj.bj * 37

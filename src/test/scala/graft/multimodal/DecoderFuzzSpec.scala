@@ -84,6 +84,11 @@ class DecoderFuzzSpec extends SparkSpec {
     val vid = Multimodal.mjpegVideoCorpusFromDocuments(Seq(6L).toDF("doc_id"))
       .collect()(0).getAs[Array[Byte]](1)
     fuzz("mp4-frames", vid, b => Multimodal.extractMp4Frames(b))
+    // the multi-chunk layout adds the stsc map to the walked surface
+    // (7%3==1 -> two chunks + filler; 7%4==3 -> 6 frames)
+    val vidMc = Multimodal.mjpegVideoCorpusFromDocuments(Seq(7L).toDF("doc_id"))
+      .collect()(0).getAs[Array[Byte]](1)
+    fuzz("mp4-frames-multichunk", vidMc, b => Multimodal.extractMp4Frames(b))
     // the header walker shares the box iterator — sweep it too
     fuzz("mp4-header", Multimodal.mp4HeaderBytes(640, 360, 600, 1200),
       Multimodal.parseMp4Header)

@@ -230,6 +230,66 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("frame extraction walks stsc chunk maps; error families tag layout vs corruption") {
+    def u32(v: Long) = Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      u32(8L + body.length) ++ typ.getBytes("ISO-8859-1") ++ body
+    val ftyp = box("ftyp", "isom".getBytes("ISO-8859-1") ++ u32(0L))
+    // five 4-byte samples laid out over THREE chunks with junk between:
+    // chunk1 = s0,s1 | chunk2 = s2 | chunk3 = s3,s4 (stsc entry 2's
+    // run covers chunks 2 only; entry 3 takes over at chunk 3)
+    val samples = (0 until 5).map(i => Array.fill[Byte](4)((0x10 * (i + 1)).toByte))
+    val junk = Array.fill[Byte](7)(0x77)
+    val mdatBody = samples(0) ++ samples(1) ++ junk ++ samples(2) ++ junk ++
+      samples(3) ++ samples(4)
+    val mdat = box("mdat", mdatBody)
+    val off1 = ftyp.length + 8
+    val off2 = off1 + 8 + 7
+    val off3 = off2 + 4 + 7
+    def stbl(stsc: Array[Byte], stco: Array[Byte]) =
+      box("moov", box("trak", box("mdia", box("minf", box("stbl",
+        box("stsz", u32(0L) ++ u32(0L) ++ u32(5L) ++
+          samples.flatMap(s => u32(s.length.toLong)).toArray) ++
+        stsc ++ stco)))))
+    val stsc3 = box("stsc", u32(0L) ++ u32(3L) ++
+      u32(1L) ++ u32(2L) ++ u32(1L) ++   // chunks 1.. : 2 samples each
+      u32(2L) ++ u32(1L) ++ u32(1L) ++   // chunks 2.. : 1 sample
+      u32(3L) ++ u32(2L) ++ u32(1L))     // chunks 3.. : 2 samples
+    val stco3 = box("stco", u32(0L) ++ u32(3L) ++
+      u32(off1.toLong) ++ u32(off2.toLong) ++ u32(off3.toLong))
+    val good = ftyp ++ mdat ++ stbl(stsc3, stco3)
+    val got = Multimodal.extractMp4FramesTagged(good)
+    assert(got.isRight)
+    assert(got.toOption.get.map { case (i, b) => (i, b.toSeq) } ==
+      samples.zipWithIndex.map { case (s, i) => (i, s.toSeq) },
+      "chunk-mapped extraction must recover exactly the sample runs, skipping junk")
+    // multi-chunk with NO stsc: the walk cannot map -> unsupported_layout
+    val noMap = ftyp ++ mdat ++ stbl(Array.emptyByteArray, stco3)
+    assert(Multimodal.extractMp4FramesTagged(noMap) == Left("unsupported_layout"))
+    // uniform stsz: no per-sample boundaries -> unsupported_layout
+    val uni = ftyp ++ mdat ++ box("moov", box("trak", box("mdia", box("minf",
+      box("stbl", box("stsz", u32(0L) ++ u32(4L) ++ u32(5L)) ++ stsc3 ++ stco3)))))
+    assert(Multimodal.extractMp4FramesTagged(uni) == Left("unsupported_layout"))
+    // stsc covering too few samples (chunks run out) -> corrupt
+    val short = box("stsc", u32(0L) ++ u32(1L) ++ u32(1L) ++ u32(1L) ++ u32(1L))
+    assert(Multimodal.extractMp4FramesTagged(
+      ftyp ++ mdat ++ stbl(short, stco3)) == Left("corrupt"))
+    // an offset past the payload -> corrupt
+    val badCo = box("stco", u32(0L) ++ u32(3L) ++
+      u32(off1.toLong) ++ u32(off2.toLong) ++ u32(good.length.toLong + 50L))
+    assert(Multimodal.extractMp4FramesTagged(
+      ftyp ++ mdat ++ stbl(stsc3, badCo)) == Left("corrupt"))
+    // a non-increasing stsc chain -> corrupt
+    val nonInc = box("stsc", u32(0L) ++ u32(2L) ++
+      u32(1L) ++ u32(2L) ++ u32(1L) ++ u32(1L) ++ u32(3L) ++ u32(1L))
+    assert(Multimodal.extractMp4FramesTagged(
+      ftyp ++ mdat ++ stbl(nonInc, stco3)) == Left("corrupt"))
+    // not this container at all
+    assert(Multimodal.extractMp4FramesTagged("plainly text".getBytes("UTF-8"))
+      == Left("not_mp4"))
+  }
+
   test("PNG pixel decode: encode/decode round-trip recovers every pixel under all filters") {
     // deterministic pixel pattern; h=7 cycles filter types 0..4 + 2 repeats
     val (w, h) = (5, 7)

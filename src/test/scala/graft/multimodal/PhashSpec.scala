@@ -117,30 +117,45 @@ class PhashSpec extends SparkSpec {
   }
 
   test("video frames: extraction round trip, per-frame decode errors, clip-level dups") {
-    val docs = Seq(11L, 21L, 16L, 18L).toDF("doc_id") // 11/21 share id%10; 18: clean control
+    // 11/21 share id%10; 18: clean control. Frame counts are 3+id%4:
+    // 11 -> 6, 21 -> 4, 16 -> 3, 18 -> 5. 16 (16%6==4) is the
+    // corrupt-frame plant AND multi-chunk (16%3==1); 11/18 single-chunk.
+    val docs = Seq(11L, 21L, 16L, 18L).toDF("doc_id")
     val media = Multimodal.mjpegVideoCorpusFromDocuments(docs)
     // extraction returns exactly the muxed JPEG bytes
     val p11 = media.where($"media_id" === 11L).collect()(0).getAs[Array[Byte]]("payload")
     val frames = Multimodal.extractMp4Frames(p11).get
-    assert(frames.map(_._1) == Seq(0, 1, 2))
+    assert(frames.map(_._1) == (0 until 6))
     assert(frames.forall { case (_, b) =>
       (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 }, "frames must be real JPEGs")
+    // multi-chunk clip (19%3==1, clean): the stsc walk must skip the
+    // inter-chunk filler — every frame is still a real JPEG
+    val m19 = Multimodal.mjpegVideoCorpusFromDocuments(Seq(19L).toDF("doc_id"))
+      .collect()(0).getAs[Array[Byte]]("payload")
+    val f19 = Multimodal.extractMp4Frames(m19).get
+    assert(f19.map(_._1) == (0 until 6)) // 19%4==3 -> 6 frames
+    assert(f19.forall { case (_, b) =>
+      (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 },
+      "multi-chunk frames must be the real JPEG runs, not filler-shifted bytes")
     val hashes = Multimodal.decodeMp4FramePHash(media).collect()
-      .map(r => (r.media_id, r.frame_idx) -> ((r.ok, r.phash))).toMap
-    assert(hashes.size == 12)
-    // id 16 (16%6==4) carries the zeroed-SOI frame 1; everything else decodes
+      .map(r => (r.media_id, r.frame_idx) -> ((r.ok, r.phash, r.err))).toMap
+    assert(hashes.size == 6 + 4 + 3 + 5)
+    // id 16 (16%6==4) carries the zeroed-SOI frame 1; the error family
+    // is the DECODE's, not the container walk's
     assert(hashes((16L, 1))._1 == 0 && hashes((16L, 1))._2 == 0L)
-    assert(hashes.filter(_._1 != ((16L, 1))).forall(_._2._1 == 1))
-    // clips sharing id%10 share every frame hash (the clip-dup signal);
-    // different patterns differ
-    (0 until 3).foreach { f =>
+    assert(hashes((16L, 1))._3 == "frame_decode")
+    assert(hashes.filter(_._1 != ((16L, 1))).forall(h =>
+      h._2._1 == 1 && h._2._3 == ""))
+    // clips sharing id%10 share every common frame hash (the clip-dup
+    // signal); different patterns differ
+    (0 until 4).foreach { f => // 21 has 4 frames
       assert(hashes((11L, f))._2 == hashes((21L, f))._2, s"frame $f must match")
       assert(hashes((11L, f))._2 != hashes((18L, f))._2)
     }
-    // container-level failure: junk payload -> one ok=0 row
+    // container-level failure: junk payload -> one ok=0 row, tagged
     val junk = Seq((9L, Array[Byte](1, 2, 3))).toDF("media_id", "payload")
     val jr = Multimodal.decodeMp4FramePHash(junk).collect()
-    assert(jr.length == 1 && jr(0).ok == 0)
+    assert(jr.length == 1 && jr(0).ok == 0 && jr(0).err == "not_mp4")
   }
 
   test("banded pairs == brute force within the pigeonhole-exact radius") {
