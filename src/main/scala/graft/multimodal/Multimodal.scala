@@ -1483,6 +1483,34 @@ object Multimodal {
       }
     }
 
+  /** Codec-SNIFFING image pHash over a mixed binary media frame: each
+    * payload dispatches on its magic bytes (\x89PNG / FFD8) to the
+    * real decoder for its codec, then the SAME hash — the form a lake
+    * of heterogenous crawled images actually needs, and what makes
+    * the q133/q137 cross-codec dedup claim gate-checkable: a picture
+    * stored once as PNG and once as JPEG lands at the same (or
+    * adjacent) hash whatever bytes carried it. Unknown magic or a
+    * failed decode surfaces ok=0. */
+  def decodeImagePHash(media: DataFrame, partitions: Int = 0): Dataset[ImagePHash] =
+    decodeStage(media, partitions,
+        org.apache.spark.sql.Encoders.product[ImagePHash]) { (id, payload) =>
+      val dec: Option[(Int, Int, Array[Byte])] =
+        if (payload == null || payload.length < 2) None
+        else if ((payload(0) & 0xff) == 0x89 && payload(1) == 'P')
+          decodePngPixels(payload)
+        else if ((payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8)
+          Jpeg.decodeJpegPixels(payload).map { case (w, h, _, px) => (w, h, px) }
+        else None
+      dec match {
+        case Some((w, h, px)) if w >= 8 && h >= 8 =>
+          val gray = new Array[Int](w * h)
+          var i = 0
+          while (i < gray.length) { gray(i) = px(3 * i) & 0xff; i += 1 }
+          ImagePHash(id, 1, pHash64(gray, w, h))
+        case _ => ImagePHash(id, 0, 0L)
+      }
+    }
+
   /** [[decodePngPHash]] for baseline JPEG payloads — the SAME hash
     * over the other codec's decoded plane, so a picture saved as PNG
     * and as JPEG lands at the same (or adjacent) hash and the banded
@@ -1532,6 +1560,48 @@ object Multimodal {
         val e = (id * 31L + x * 7L + y * 13L) % 3L - 1L
         math.max(0L, math.min(255L, base + e)).toInt
       }))
+    }.toDF("media_id", "payload")
+  }
+
+  /** MIXED-codec perceptual-dup corpus — the q133/q137 fixture:
+    * [[phashImageCorpusFromDocuments]]'s seed families (calm id%10
+    * groups; id%9==0 outliers from a disjoint seed space) re-encoded
+    * through BOTH real encoders, so the cross-codec dup claim —
+    * byte-level dedup is blind to a picture saved under two codecs —
+    * sits behind the oracle rather than only a spec. Codec keys by
+    * DECADE ((id/10)%2 — id parity would make calm seed classes
+    * codec-pure, since id%10 fixes the parity): even decades are the
+    * 32x32 PNGs above (4x4 macro cells + per-pixel noise); odd
+    * decades are 64x64 DC-ONLY JPEGs whose 8x8 blocks carry the SAME
+    * seed pattern (one block per hash cell) + per-id block jitter.
+    * Hash-cell sums land 16·pattern + noise vs 64·pattern + jitter —
+    * the DCT scales, the median threshold scales with it, so the bit
+    * pattern matches across codecs (same-seed pairs stay inside the
+    * q133 hamming<=5 radius; PhashSpec measures the margins), while
+    * every payload stays byte-distinct. */
+  def mixedCodecImageCorpusFromDocuments(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].map { id =>
+      val seed =
+        if (java.lang.Math.floorMod(id, 9L) == 0L)
+          10L + java.lang.Math.floorMod(id, 7L)
+        else java.lang.Math.floorMod(id, 10L)
+      val jpeg = java.lang.Math.floorMod(id / 10L, 2L) == 1L
+      val payload =
+        if (!jpeg)
+          pngBytes(32, 32, (x, y, _) => {
+            val base = ((seed * 73L + (x / 4) * 37L + (y / 4) * 91L) % 17L) * 15L
+            val e = (id * 31L + x * 7L + y * 13L) % 3L - 1L
+            math.max(0L, math.min(255L, base + e)).toInt
+          })
+        else
+          Jpeg.dcOnlyBytes(64, 64, 1, (bx, by, _) => {
+            val base = ((seed * 73L + bx * 37L + by * 91L) % 17L) * 15L
+            val e = (id * 31L + bx * 7L + by * 13L) % 3L - 1L
+            math.max(0L, math.min(255L, base + e)).toInt
+          })
+      (id, payload)
     }.toDF("media_id", "payload")
   }
 

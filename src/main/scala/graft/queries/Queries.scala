@@ -1857,23 +1857,26 @@ object Queries {
   }
 
   /** Image perceptual near-dup through the gate — the content-level
-    * image dedup that byte-exact dedup (q20) cannot see: id-derived
-    * 32x32 PNGs (seed-keyed macro-pixel patterns + id-unique small
-    * noise, so every payload is byte-distinct; every id%9==0 is an
-    * outlier from a disjoint seed space and must pair with no calm
-    * group) are REALLY encoded and decoded (q119's pixel path),
-    * pHashed (fixed-point 8x8-DCT, integer-exact —
-    * Multimodal.pHash64), and paired through the 8-band pigeonhole
-    * machinery at hamming <= 5 (measured: same-seed pairs land 0-4,
-    * different seeds 10+ — the threshold sits in the gap with margin
-    * both ways). The oracle replays gray plane -> block sums -> DCT
-    * (the same frozen cosine literals) -> median bits -> brute-force
-    * pair join: banded recall is exact at this distance, so banded ==
-    * brute is part of what the gate pins. */
+    * image dedup that byte-exact dedup (q20) cannot see, on a
+    * MIXED-CODEC corpus: id-derived images (seed-keyed macro
+    * patterns + id-unique small noise, so every payload is
+    * byte-distinct; every id%9==0 is an outlier from a disjoint seed
+    * space and must pair with no calm group) land as 32x32 PNGs on
+    * even decades and 64x64 DC-only JPEGs on odd decades, are REALLY
+    * decoded by the codec the magic bytes name (decodeImagePHash),
+    * pHashed (fixed-point 8x8-DCT, integer-exact), and paired through
+    * the 8-band pigeonhole machinery at hamming <= 5. Same-seed pairs
+    * land inside the radius ACROSS codecs — the cross-codec dup claim
+    * (a picture saved as PNG and as JPEG byte-dedups as two files) is
+    * oracle-checked here, not just spec-pinned. The oracle replays
+    * both encoders' planes (pixel sums for PNG, 64x block constants
+    * for the DC-only JPEGs) -> DCT -> median bits -> brute-force pair
+    * join: banded recall is exact at this distance, so banded == brute
+    * is part of what the gate pins. */
   def q133PhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val media = graft.multimodal.Multimodal.phashImageCorpusFromDocuments(
+    val media = graft.multimodal.Multimodal.mixedCodecImageCorpusFromDocuments(
       tbl(spark, dir, "documents"))
-    val hashes = graft.multimodal.Multimodal.decodePngPHash(media).toDF()
+    val hashes = graft.multimodal.Multimodal.decodeImagePHash(media).toDF()
       .where(col("ok") === 1)
     graft.dedup.Dedup.hammingNearDupPairs(hashes, "media_id", "phash",
       totalBits = 64, maxDist = 5, bands = 8)
@@ -1926,10 +1929,10 @@ object Queries {
     * composition applied to the image modality. Every image surfaces
     * (singletons are their own cluster and keep). */
   def q137PhashClusters(spark: SparkSession, dir: String): DataFrame = {
-    val media = graft.multimodal.Multimodal.phashImageCorpusFromDocuments(
+    val media = graft.multimodal.Multimodal.mixedCodecImageCorpusFromDocuments(
       tbl(spark, dir, "documents"))
     val hashes = graft.ops.CacheScope.persist(
-      graft.multimodal.Multimodal.decodePngPHash(media).toDF()
+      graft.multimodal.Multimodal.decodeImagePHash(media).toDF()
         .where(col("ok") === 1))
     val pairs = graft.dedup.Dedup.hammingNearDupPairs(hashes, "media_id",
       "phash", totalBits = 64, maxDist = 5, bands = 8)
@@ -2299,11 +2302,13 @@ object Queries {
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip($a, $b), " +
       "x -> x[1]::DOUBLE * x[2]::DOUBLE)), (p, q) -> p + q)"
 
-  /** DuckDB fragment: the q133 pHash chain — closed-form gray plane of
-    * the id-derived fixture corpus, 8x8 block sums, fixed-point DCT
-    * against the SAME frozen cosine literals as Multimodal.PhashDct,
-    * median bits — ending in `ph(doc_id, h)`. Shared by the q133 pair
-    * gate and the q137 cluster closure. */
+  /** DuckDB fragment: the q133 pHash chain — closed-form gray planes
+    * of the MIXED-codec fixture corpus (even decades: 32x32 PNG pixel
+    * sums per 4x4 cell; odd decades: 64x64 DC-only JPEG, one constant
+    * 8x8 block per hash cell, so the cell sum is 64x the block value),
+    * fixed-point DCT against the SAME frozen cosine literals as
+    * Multimodal.PhashDct, median bits — ending in `ph(doc_id, h)`.
+    * Shared by the q133 pair gate and the q137 cluster closure. */
   private lazy val duckPhashCtes: String =
     """px AS (
       |  SELECT d.doc_id, x.x AS x, y.y AS y,
@@ -2313,10 +2318,21 @@ object Queries {
       |        + (x.x // 4) * 37 + (y.y // 4) * 91) % 17) * 15 +
       |      (d.doc_id * 31 + x.x * 7 + y.y * 13) % 3 - 1,
       |      0), 255) AS g
-      |  FROM documents d, range(0, 32) AS x(x), range(0, 32) AS y(y)),
+      |  FROM documents d, range(0, 32) AS x(x), range(0, 32) AS y(y)
+      |  WHERE (d.doc_id // 10) % 2 = 0),
       |blk AS (
       |  SELECT doc_id, y // 4 AS bi, x // 4 AS bj, sum(g) AS s
-      |  FROM px GROUP BY doc_id, y // 4, x // 4),
+      |  FROM px GROUP BY doc_id, y // 4, x // 4
+      |  UNION ALL
+      |  SELECT d.doc_id, bi.bi AS bi, bj.bj AS bj,
+      |    64 * least(greatest(
+      |      (((CASE WHEN d.doc_id % 9 = 0 THEN 10 + d.doc_id % 7
+      |              ELSE d.doc_id % 10 END) * 73
+      |        + bj.bj * 37 + bi.bi * 91) % 17) * 15 +
+      |      (d.doc_id * 31 + bj.bj * 7 + bi.bi * 13) % 3 - 1,
+      |      0), 255) AS s
+      |  FROM documents d, range(0, 8) AS bi(bi), range(0, 8) AS bj(bj)
+      |  WHERE (d.doc_id // 10) % 2 = 1),
       |tt AS (SELECT [[1024,1024,1024,1024,1024,1024,1024,1024],
       |  [1004,851,569,200,-200,-569,-851,-1004],
       |  [946,392,-392,-946,-946,-392,392,946],

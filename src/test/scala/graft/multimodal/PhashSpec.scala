@@ -116,6 +116,30 @@ class PhashSpec extends SparkSpec {
       "audio pair set must be exactly the same-seed classes")
   }
 
+  test("mixed-codec corpus: cross-codec same-seed dups pair, distinct seeds stay apart") {
+    // decade keys the codec: 3/23 are PNG, 13 is JPEG — all seed 3.
+    // 5 (PNG) / 15 (JPEG) are seed 5. 9/99 are id%9==0 outliers with
+    // DISTINCT disjoint-space seeds (12 and 11) — no pair anywhere.
+    val docs = Seq(3L, 13L, 23L, 5L, 15L, 9L, 99L).toDF("doc_id")
+    val media = Multimodal.mixedCodecImageCorpusFromDocuments(docs)
+    val byId = media.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert((byId(3L)(0) & 0xff) == 0x89 && (byId(13L)(0) & 0xff) == 0xff,
+      "decade 0 must be PNG bytes, decade 1 JPEG bytes")
+    assert(!java.util.Arrays.equals(byId(3L), byId(23L)),
+      "same-seed same-codec payloads stay byte-distinct (noise)")
+    val hs = Multimodal.decodeImagePHash(media).collect()
+    assert(hs.forall(_.ok == 1), "both codecs must really decode")
+    val h = hs.map(r => r.media_id -> r.phash).toMap
+    def hd(a: Long, b: Long) = java.lang.Long.bitCount(h(a) ^ h(b))
+    assert(hd(3L, 13L) <= 5, s"PNG-JPEG same seed must pair: hd=${hd(3L, 13L)}")
+    assert(hd(13L, 23L) <= 5, s"JPEG-PNG same seed must pair: hd=${hd(13L, 23L)}")
+    assert(hd(5L, 15L) <= 5, s"seed-5 cross-codec must pair: hd=${hd(5L, 15L)}")
+    assert(hd(3L, 5L) > 5 && hd(13L, 15L) > 5,
+      "distinct seeds stay apart within AND across codecs")
+    assert(hd(3L, 15L) > 5 && hd(9L, 99L) > 5 && hd(9L, 3L) > 5,
+      "outliers with distinct seeds never pair")
+  }
+
   test("video frames: extraction round trip, per-frame decode errors, clip-level dups") {
     // 11/21 share id%10; 18: clean control. Frame counts are 3+id%4:
     // 11 -> 6, 21 -> 4, 16 -> 3, 18 -> 5. 16 (16%6==4) is the
