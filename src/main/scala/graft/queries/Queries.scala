@@ -2117,6 +2117,86 @@ object Queries {
           .otherwise(0L).cast("long"))
   }
 
+  /** Per-LANGUAGE curation audit through the gate — the q139 rollup
+    * keyed by PREDICTED language (the first thing a multilingual
+    * corpus owner asks of a curation report): per predicted lang, doc
+    * count, Gopher/C4 keep rates, mean readability, and subword
+    * fertility (BPE-ish pretokenizer units per word — the
+    * expression-level proxy; the REAL learned-tokenizer fertility per
+    * lang is q145). Language is the staged q27 marker argmax (scores
+    * materialize once as int attributes — the measured-5x discipline).
+    * Everything is a column expression over documents, so the whole
+    * report plans to ONE Scan parquet node (PlanHygieneSpec pins it
+    * alongside q139): a corpus-wide multilingual audit costs a single
+    * aggregation at 100 TB, not a join tree. */
+  def q144LangAudit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextFunctions._
+    val g = graft.text.QualityRules.gopherRules(
+        tbl(spark, dir, "documents"), "text")
+      .withColumnRenamed("keep", "gopher_keep")
+    val gc = graft.text.QualityRules.c4Clean(g, "text")
+      .withColumnRenamed("keep", "c4_keep")
+    val staged = gc.withColumn("toks", tokens(col("text")))
+    val scored = staged.select(col("*") +: LangMarkers.map { case (l, m) =>
+      langScoreFrom(col("toks"), m).as(s"s_$l")
+    }: _*)
+    val withLang = scored
+      .withColumn("predicted_lang", langIdFromScores(
+        LangMarkers.map { case (l, _) => l -> col(s"s_$l") }))
+      .withColumn("n_sentences", sentenceCount(col("text")))
+      .withColumn("n_syllables", coalesce(aggregate(
+        transform(col("toks"), w => syllableCount(w)),
+        lit(0L), (a, x) => a + x), lit(0L)))
+      .withColumn("fk_milli", when(col("n_words") > 0,
+          floor(lit(390L) * col("n_words") / col("n_sentences")).cast("long") +
+            floor(lit(11800L) * col("n_syllables") / col("n_words")).cast("long") -
+            lit(15590L))
+        .otherwise(lit(null).cast("long")))
+      .withColumn("n_subwords", subwordCount(col("text")).cast("long"))
+    withLang.groupBy(col("predicted_lang")).agg(
+      count(lit(1)).as("n_docs"),
+      floor(lit(10000L) * sum(col("gopher_keep")) / count(lit(1)))
+        .cast("long").as("gopher_keep_bp"),
+      floor(lit(10000L) * sum(col("c4_keep")) / count(lit(1)))
+        .cast("long").as("c4_keep_bp"),
+      floor(sum(col("fk_milli")) /
+          sum(when(col("fk_milli").isNotNull, 1L).otherwise(0L)))
+        .cast("long").as("mean_fk_milli"),
+      when(sum(col("n_words")) > 0,
+          floor(lit(1000L) * sum(col("n_subwords")) / sum(col("n_words"))))
+        .otherwise(lit(null)).cast("long").as("subword_fertility_milli"))
+  }
+
+  /** REAL learned-tokenizer fertility per predicted language — the
+    * q114 measure (subwords per word under the 8-merge BPE learned on
+    * this corpus) with the q27 language argmax as the dimension: the
+    * number that tells a multilingual corpus owner which languages
+    * the tokenizer underserves (high fertility = more tokens per word
+    * = worse compression for that language). Same scale shape as
+    * q114: vocab-bounded segment table broadcast to the exploded
+    * word stream, one groupBy. */
+  def q145LangFertility(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextFunctions._
+    val docs = tbl(spark, dir, "documents")
+    val (_, seg) = graft.text.Bpe.learn(docs, "text", numMerges = 8)
+    val nsub = seg.select(col("word"),
+      size(split(col("seg"), graft.text.Bpe.D + graft.text.Bpe.D))
+        .cast("long").as("nsub"))
+    val staged = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val scored = staged.select(col("doc_id") +: col("toks") +:
+      LangMarkers.map { case (l, m) =>
+        langScoreFrom(col("toks"), m).as(s"s_$l")
+      }: _*)
+    val withLang = scored.withColumn("predicted_lang", langIdFromScores(
+      LangMarkers.map { case (l, _) => l -> col(s"s_$l") }))
+    withLang.select(col("predicted_lang"), explode(col("toks")).as("word"))
+      .join(broadcast(nsub), Seq("word"))
+      .groupBy(col("predicted_lang"))
+      .agg(count(lit(1)).as("n_words"), sum(col("nsub")).as("n_subwords"))
+      .withColumn("fertility_milli",
+        expr("(1000 * n_subwords) div n_words"))
+  }
+
   /** Audio perceptual near-dup through the gate — q133's contract for
     * the audio modality: id-derived 256-sample WAVs (seed-keyed
     * envelope macro patterns in time + id-unique sample noise,
@@ -3627,6 +3707,40 @@ object Queries {
        |  ((1000 * sum(nsub)) // count(*))::BIGINT AS fertility_milli
        |FROM fj GROUP BY 1""".stripMargin
 
+  /** q145 oracle: the q114 fertility replay re-keyed by the q27
+    * language argmax — same 8-merge BPE CTE chain, the dimension
+    * column swaps from source to predicted_lang. */
+  private lazy val q145Oracle: String =
+    s"""${duckBpeCtes(8)},
+       |lt AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(lower(trim(text)), ' '), x -> x != '') AS toks
+       |  FROM documents),
+       |ld AS (
+       |  SELECT doc_id, toks,
+       |    CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'und'
+       |         WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+       |         WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+       |         WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+       |         WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+       |         ELSE 'zh' END AS predicted_lang
+       |  FROM (SELECT doc_id, toks,
+       |    len(list_filter(toks, x -> list_contains(['the','a','and','of','to','is','in','it'], x))) AS s_en,
+       |    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], x))) AS s_de,
+       |    len(list_filter(toks, x -> list_contains(['el','los','las','una','es','y','que','por'], x))) AS s_es,
+       |    len(list_filter(toks, x -> list_contains(['le','la','les','et','des','une','est','dans'], x))) AS s_fr,
+       |    len(list_filter(toks, x -> list_contains(['的','了','是','我','在','不','有','人'], x))) AS s_zh
+       |  FROM lt) t),
+       |fw AS (SELECT predicted_lang, unnest(toks) AS word FROM ld),
+       |fn AS (
+       |  SELECT word, len(string_split(seg, chr(31) || chr(31)))::BIGINT AS nsub
+       |  FROM s8),
+       |fj AS (SELECT f.predicted_lang, n.nsub FROM fw f JOIN fn n ON f.word = n.word)
+       |SELECT predicted_lang, count(*)::BIGINT AS n_words,
+       |  sum(nsub)::BIGINT AS n_subwords,
+       |  ((1000 * sum(nsub)) // count(*))::BIGINT AS fertility_milli
+       |FROM fj GROUP BY 1""".stripMargin
+
   /** DuckDB fragment: one unigram-LM Viterbi pass as a RECURSIVE CTE —
     * per word, a maxPieceLen(=5)-deep window of best (negScore, count,
     * seg) states advances one character per iteration; candidates look
@@ -4564,7 +4678,9 @@ object Queries {
     "q140_video_frames" -> (q140VideoFrames _),
     "q141_clip_dups" -> (q141ClipDups _),
     "q142_group_split" -> (q142GroupSplit _),
-    "q143_dedup_savings" -> (q143DedupSavings _))
+    "q143_dedup_savings" -> (q143DedupSavings _),
+    "q144_lang_audit" -> (q144LangAudit _),
+    "q145_lang_fertility" -> (q145LangFertility _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -5262,6 +5378,65 @@ object Queries {
         |        THEN (10000 * sum(CASE WHEN removed = 1 THEN n_tokens ELSE 0 END)) // sum(n_tokens)
         |        ELSE 0 END)::BIGINT AS savings_bp
         |FROM j GROUP BY source""".stripMargin,
+    // the q139 fused replay re-keyed by the q27 language argmax, plus
+    // the subword-proxy fertility (q26's pretokenizer regex) per lang
+    "q144_lang_audit" ->
+      """WITH w AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(lower(trim(coalesce(text, ''))), ' '), x -> x != '') AS ws,
+        |    list_filter(list_transform(string_split(coalesce(text, ''), chr(10)), x -> trim(x)), x -> x != '') AS ls
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(ws)::BIGINT AS nw,
+        |    (CASE WHEN len(ws) > 0 THEN (1000 * list_sum(list_transform(ws, x -> length(x)))) // len(ws) ELSE 0 END)::BIGINT AS mw,
+        |    (CASE WHEN len(ws) > 0 THEN (10000 * len(list_filter(ws, x -> contains(x, '#') OR contains(x, '...')))) // len(ws) ELSE 0 END)::BIGINT AS sy_bp,
+        |    (CASE WHEN len(ls) > 0 THEN (10000 * len(list_filter(ls, x -> starts_with(x, '-') OR starts_with(x, '*') OR starts_with(x, '•')))) // len(ls) ELSE 0 END)::BIGINT AS bu_bp,
+        |    (CASE WHEN len(ls) > 0 THEN (10000 * len(list_filter(ls, x -> ends_with(x, '...')))) // len(ls) ELSE 0 END)::BIGINT AS el_bp,
+        |    (CASE WHEN len(ws) > 0 THEN (10000 * len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))) // len(ws) ELSE 0 END)::BIGINT AS al_bp,
+        |    len(list_filter(list_distinct(ws), x -> list_contains(['the','be','to','of','and','that','have','with'], x)))::BIGINT AS st,
+        |    (CASE WHEN (contains(lower(coalesce(text, '')), 'lorem ipsum') OR contains(coalesce(text, ''), '{'))
+        |             OR len(list_filter(ls, x ->
+        |               (ends_with(x, '.') OR ends_with(x, '!') OR ends_with(x, '?') OR ends_with(x, '"'))
+        |               AND len(list_filter(string_split(lower(x), ' '), v -> v != '')) >= 3
+        |               AND NOT contains(lower(x), 'javascript') AND NOT contains(x, '{'))) = 0
+        |          THEN 0 ELSE 1 END)::BIGINT AS ck,
+        |    greatest(1, len(regexp_extract_all(coalesce(text, ''), '[.!?]+')))::BIGINT AS n_sentences,
+        |    coalesce(list_sum(list_transform(ws,
+        |      x -> greatest(1, len(regexp_extract_all(x, '[aeiouy]+'))))), 0)::BIGINT AS n_syllables,
+        |    len(regexp_extract_all(lower(text),
+        |      '''(?:s|d|m|t|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))::BIGINT AS nsub,
+        |    len(list_filter(ws, x -> list_contains(['the','a','and','of','to','is','in','it'], x))) AS s_en,
+        |    len(list_filter(ws, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], x))) AS s_de,
+        |    len(list_filter(ws, x -> list_contains(['el','los','las','una','es','y','que','por'], x))) AS s_es,
+        |    len(list_filter(ws, x -> list_contains(['le','la','les','et','des','une','est','dans'], x))) AS s_fr,
+        |    len(list_filter(ws, x -> list_contains(['的','了','是','我','在','不','有','人'], x))) AS s_zh
+        |  FROM w),
+        |f AS (
+        |  SELECT
+        |    CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'und'
+        |         WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+        |         WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+        |         WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+        |         WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+        |         ELSE 'zh' END AS predicted_lang,
+        |    (CASE WHEN nw >= 50 AND nw <= 100000 AND mw >= 3000 AND mw <= 10000
+        |          AND sy_bp <= 1000 AND bu_bp <= 9000 AND el_bp <= 3000 AND al_bp >= 8000
+        |          AND st >= 2 THEN 1 ELSE 0 END)::BIGINT AS gk,
+        |    ck, nw, nsub,
+        |    CASE WHEN nw > 0
+        |         THEN (390 * nw) // n_sentences + (11800 * n_syllables) // nw - 15590
+        |         ELSE NULL END AS fk
+        |  FROM m)
+        |SELECT predicted_lang, count(*)::BIGINT AS n_docs,
+        |  ((10000 * sum(gk)) // count(*))::BIGINT AS gopher_keep_bp,
+        |  ((10000 * sum(ck)) // count(*))::BIGINT AS c4_keep_bp,
+        |  (CASE WHEN count(fk) = 0 THEN NULL
+        |        ELSE sum(fk) // count(fk) END)::BIGINT AS mean_fk_milli,
+        |  (CASE WHEN sum(nw) = 0 THEN NULL
+        |        ELSE (1000 * sum(nsub)) // sum(nw) END)::BIGINT AS subword_fertility_milli
+        |FROM f GROUP BY predicted_lang""".stripMargin,
+    "q145_lang_fertility" -> q145Oracle,
     // the audio twin of q133: closed-form |sample| values -> per-cell
     // means -> the same frozen DCT literals -> median bits -> brute
     // pairs (same-seed clips measured 0-2 bits apart, others 18+)

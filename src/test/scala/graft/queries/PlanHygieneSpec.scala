@@ -74,4 +74,16 @@ class PlanHygieneSpec extends SparkSpec {
     assert(stale.isEmpty,
       s"stale allowlist entries (plan no longer has the shape): ${stale.mkString(", ")}")
   }
+
+  test("the corpus-audit rollups plan to ONE parquet scan (q139, q144)") {
+    // the at-scale contract of the audit family: every measure is a
+    // column expression, so a corpus-wide report costs a single
+    // aggregation over a single scan — no joins, no re-reads
+    val dir = "/root/testdata/sf0.001"
+    for (name <- Seq("q139_source_audit", "q144_lang_audit")) {
+      val plan = Queries.all(name)(spark, dir).queryExecution.executedPlan.toString
+      val scans = "Scan parquet".r.findAllIn(plan).length
+      assert(scans == 1, s"$name must plan to ONE parquet scan, got $scans")
+    }
+  }
 }
