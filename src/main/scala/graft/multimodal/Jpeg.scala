@@ -12,7 +12,10 @@ package graft.multimodal
   * (DRI + RSTm markers: bit-reader realignment, DC predictor reset,
   * modulo-8 marker sequence checking — q127's fixtures exercise it).
   * Progressive and other sampling layouts surface as None
-  * (format="unknown" in the stats frame), never as garbage pixels.
+  * (format="unknown" in the stats frame), never as garbage pixels —
+  * and a corpus can QUANTIFY the progressive refusal rate without
+  * decoding: [[Multimodal.decodeImageHeaders]] classifies the SOF
+  * family per payload (the q77 coding column).
   *
   * The fixture encoder ([[dcOnlyBytes]]) emits REAL JPEGs — custom
   * canonical Huffman tables in DHT, FF-stuffed entropy data — whose

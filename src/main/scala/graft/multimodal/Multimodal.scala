@@ -110,7 +110,11 @@ object Multimodal {
 
   /** Parsed image header. `bit_depth` is PNG bit depth / JPEG sample
     * precision; `channels` is PNG color-type channel count / JPEG
-    * component count. */
+    * component count. `coding` classifies the JPEG frame family from
+    * its SOF marker ("baseline" SOF0 / "extended" SOF1 /
+    * "progressive" SOF2 — the family [[Jpeg.decodeJpegPixels]]
+    * documents as out of scope, so a corpus audit can COUNT the
+    * refusal rate without decoding); "" for PNG and unknown. */
   final case class ImageHeader(
       media_id: Long,
       format: String, // "png" | "jpeg" | "unknown"
@@ -118,6 +122,7 @@ object Multimodal {
       height: Int,
       bit_depth: Int,
       channels: Int,
+      coding: String, // "baseline" | "extended" | "progressive" | ""
       n_bytes: Long)
 
   private val PngSig: Array[Int] =
@@ -136,7 +141,7 @@ object Multimodal {
     * derives from color type (0 gray=1, 2 rgb=3, 3 palette=1, 4
     * gray+alpha=2, 6 rgba=4). CRC is not validated — dimension metadata
     * extraction, not integrity checking. */
-  def parsePngHeader(b: Array[Byte]): Option[(String, Int, Int, Int, Int)] = {
+  def parsePngHeader(b: Array[Byte]): Option[(String, Int, Int, Int, Int, String)] = {
     if (b == null || b.length < 33) return None
     var i = 0
     while (i < 8) { if ((b(i) & 0xff) != PngSig(i)) return None; i += 1 }
@@ -150,16 +155,19 @@ object Multimodal {
       case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
       case _ => return None
     }
-    Some(("png", w, h, depth, channels))
+    Some(("png", w, h, depth, channels, ""))
   }
 
   /** REAL decode of a JPEG header (public spec, ITU T.81 §B): SOI, then
     * marker segments walked by their big-endian lengths until a start-of-
     * frame marker (SOF0 baseline / SOF1 extended / SOF2 progressive)
-    * yields sample precision, height, width, and component count.
-    * Standalone markers (TEM, RSTn) have no length and are skipped;
-    * hitting SOS or EOI without a SOF means no decodable frame header. */
-  def parseJpegHeader(b: Array[Byte]): Option[(String, Int, Int, Int, Int)] = {
+    * yields sample precision, height, width, component count, and the
+    * CODING family named by the marker — progressive being the common
+    * real-world family the pixel decoder declines, so audits can
+    * quantify the refusal from headers alone. Standalone markers (TEM,
+    * RSTn) have no length and are skipped; hitting SOS or EOI without
+    * a SOF means no decodable frame header. */
+  def parseJpegHeader(b: Array[Byte]): Option[(String, Int, Int, Int, Int, String)] = {
     if (b == null || b.length < 4) return None
     if ((b(0) & 0xff) != 0xFF || (b(1) & 0xff) != 0xD8) return None
     var i = 2
@@ -187,7 +195,12 @@ object Multimodal {
           val w = be16(b, j + 6)
           val comps = b(j + 8) & 0xff
           if (w <= 0 || h <= 0 || comps <= 0) return None
-          return Some(("jpeg", w, h, precision, comps))
+          val coding = marker match {
+            case 0xC0 => "baseline"
+            case 0xC1 => "extended"
+            case _ => "progressive"
+          }
+          return Some(("jpeg", w, h, precision, comps, coding))
         }
         i = j + 1 + segLen
       }
@@ -196,7 +209,7 @@ object Multimodal {
   }
 
   /** Parse an image payload's header: PNG, then JPEG, else unknown. */
-  def parseImageHeader(b: Array[Byte]): Option[(String, Int, Int, Int, Int)] = {
+  def parseImageHeader(b: Array[Byte]): Option[(String, Int, Int, Int, Int, String)] = {
     val p = parsePngHeader(b)
     if (p.isDefined) p else parseJpegHeader(b)
   }
@@ -228,8 +241,9 @@ object Multimodal {
         org.apache.spark.sql.Encoders.product[ImageHeader]) { (id, payload) =>
       val n = if (payload == null) 0L else payload.length.toLong
       parseImageHeader(payload) match {
-        case Some((fmt, w, h, depth, ch)) => ImageHeader(id, fmt, w, h, depth, ch, n)
-        case None => ImageHeader(id, "unknown", 0, 0, 0, 0, n)
+        case Some((fmt, w, h, depth, ch, coding)) =>
+          ImageHeader(id, fmt, w, h, depth, ch, coding, n)
+        case None => ImageHeader(id, "unknown", 0, 0, 0, 0, "", n)
       }
     }
 
@@ -1293,7 +1307,7 @@ object Multimodal {
   def decodePngPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
     try {
       parsePngHeader(b) match {
-        case Some(("png", w, h, 8, 3)) =>
+        case Some(("png", w, h, 8, 3, _)) =>
           // collect IDAT payloads with a bounds-checked chunk walk
           val idat = new java.io.ByteArrayOutputStream()
           var i = 8 + 4 + 4 + 13 + 4 // after IHDR
@@ -1682,10 +1696,13 @@ object Multimodal {
     }.toDF("media_id", "payload")
   }
 
-  /** Minimal VALID JPEG prefix: SOI + APP0/JFIF + SOF0 for the given
+  /** Minimal VALID JPEG prefix: SOI + APP0/JFIF + SOF for the given
     * dimensions — 39 bytes. The APP0 segment before the SOF exercises
-    * the parser's segment walk. */
-  def jpegHeaderBytes(w: Int, h: Int, precision: Int = 8, comps: Int = 3): Array[Byte] = {
+    * the parser's segment walk. `sofMarker` picks the frame family
+    * (0xC0 baseline default; 0xC2 synthesizes the progressive headers
+    * the q77 audit classifies). */
+  def jpegHeaderBytes(w: Int, h: Int, precision: Int = 8, comps: Int = 3,
+      sofMarker: Int = 0xC0): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(39)
     def w8(v: Int): Unit = out.write(v & 0xff)
     def w16(v: Int): Unit = { w8(v >>> 8); w8(v) }
@@ -1696,7 +1713,7 @@ object Multimodal {
     w8(1); w8(1) // version 1.1
     w8(0); w16(1); w16(1) // aspect-ratio units, density 1x1
     w8(0); w8(0) // no thumbnail
-    w8(0xFF); w8(0xC0) // SOF0
+    w8(0xFF); w8(sofMarker) // SOF0/SOF1/SOF2
     w16(8 + 3 * comps)
     w8(precision); w16(h); w16(w); w8(comps)
     var c = 0
@@ -1709,10 +1726,12 @@ object Multimodal {
 
   /** Deterministic image corpus with REAL headers, derived from the
     * documents table: even ids get a valid PNG prefix, odd ids a valid
-    * JPEG prefix (dimensions derived from the id), followed by the
-    * UTF-8 text as opaque body bytes. Lets [[decodeImageHeaders]] be
-    * gated against driver testdata: the engine must parse the bytes it
-    * generated; the oracle replays the id-derived dimensions. */
+    * JPEG prefix (dimensions derived from the id; every odd id%5==2 is
+    * PROGRESSIVE — SOF2 — so the q77 audit classifies the family the
+    * pixel decoder declines), followed by the UTF-8 text as opaque
+    * body bytes. Lets [[decodeImageHeaders]] be gated against driver
+    * testdata: the engine must parse the bytes it generated; the
+    * oracle replays the id-derived dimensions. */
   def imageCorpusFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
@@ -1721,7 +1740,8 @@ object Multimodal {
       val h = (java.lang.Math.floorMod(id, 4L) * 90 + 180).toInt
       val body = if (text == null) Array.emptyByteArray else text.getBytes("UTF-8")
       val header = if (java.lang.Math.floorMod(id, 2L) == 0L) pngHeaderBytes(w, h, 8, 2)
-        else jpegHeaderBytes(w, h)
+        else jpegHeaderBytes(w, h, sofMarker =
+          if (java.lang.Math.floorMod(id, 5L) == 2L) 0xC2 else 0xC0)
       (id, header ++ body)
     }.toDF("media_id", "payload")
   }

@@ -5598,6 +5598,9 @@ object Queries {
         |  ((doc_id % 4) * 90 + 180)::INTEGER AS height,
         |  8::INTEGER AS bit_depth,
         |  3::INTEGER AS channels,
+        |  CASE WHEN doc_id % 2 = 0 THEN ''
+        |       WHEN doc_id % 5 = 2 THEN 'progressive'
+        |       ELSE 'baseline' END AS coding,
         |  (CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 39 END
         |    + coalesce(octet_length(encode(text)), 0))::BIGINT AS n_bytes
         |FROM documents""".stripMargin,

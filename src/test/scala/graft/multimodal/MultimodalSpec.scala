@@ -55,8 +55,8 @@ class MultimodalSpec extends SparkSpec {
       0x00, 0x00, 0x00, // compression, filter, interlace
       0xDE, 0xAD, 0xBE, 0xEF // CRC (not validated by the parser)
     ).map(_.toByte)
-    assert(Multimodal.parsePngHeader(png).contains(("png", 640, 360, 8, 4)))
-    assert(Multimodal.parseImageHeader(png).contains(("png", 640, 360, 8, 4)))
+    assert(Multimodal.parsePngHeader(png).contains(("png", 640, 360, 8, 4, "")))
+    assert(Multimodal.parseImageHeader(png).contains(("png", 640, 360, 8, 4, "")))
   }
 
   test("JPEG header parse: hand-written fixture walks APP0+COM to a progressive SOF2") {
@@ -71,8 +71,8 @@ class MultimodalSpec extends SparkSpec {
       0x01, // 1 component (grayscale)
       0x01, 0x11, 0x00 // component spec
     ).map(_.toByte)
-    assert(Multimodal.parseJpegHeader(jpeg).contains(("jpeg", 1024, 7, 8, 1)))
-    assert(Multimodal.parseImageHeader(jpeg).contains(("jpeg", 1024, 7, 8, 1)))
+    assert(Multimodal.parseJpegHeader(jpeg).contains(("jpeg", 1024, 7, 8, 1, "progressive")))
+    assert(Multimodal.parseImageHeader(jpeg).contains(("jpeg", 1024, 7, 8, 1, "progressive")))
   }
 
   test("header parse rejects malformed payloads") {
@@ -91,16 +91,22 @@ class MultimodalSpec extends SparkSpec {
   test("synthesized headers round-trip through the parser, including >16-bit PNG dims") {
     for ((w, h) <- Seq((1, 1), (320, 180), (65535, 3), (70000, 123456))) {
       assert(Multimodal.parsePngHeader(Multimodal.pngHeaderBytes(w, h, 8, 2))
-        .contains(("png", w, h, 8, 3)))
+        .contains(("png", w, h, 8, 3, "")))
     }
     for ((w, h) <- Seq((1, 1), (800, 450), (65535, 65535))) {
       assert(Multimodal.parseJpegHeader(Multimodal.jpegHeaderBytes(w, h))
-        .contains(("jpeg", w, h, 8, 3)))
+        .contains(("jpeg", w, h, 8, 3, "baseline")))
+      assert(Multimodal.parseJpegHeader(
+          Multimodal.jpegHeaderBytes(w, h, sofMarker = 0xC2))
+        .contains(("jpeg", w, h, 8, 3, "progressive")))
+      assert(Multimodal.parseJpegHeader(
+          Multimodal.jpegHeaderBytes(w, h, sofMarker = 0xC1))
+        .contains(("jpeg", w, h, 8, 3, "extended")))
     }
     // PNG color types map to channel counts
     for ((ct, ch) <- Seq(0 -> 1, 2 -> 3, 3 -> 1, 4 -> 2, 6 -> 4)) {
       assert(Multimodal.parsePngHeader(Multimodal.pngHeaderBytes(64, 64, 8, ct))
-        .contains(("png", 64, 64, 8, ch)))
+        .contains(("png", 64, 64, 8, ch, "")))
     }
   }
 
@@ -296,7 +302,7 @@ class MultimodalSpec extends SparkSpec {
     def pix(x: Int, y: Int, c: Int): Int = (x * 17 + y * 29 + c * 7 + 3) % 256
     val bytes = Multimodal.pngBytes(w, h, pix)
     // the encoded stream parses as a PNG header too (shared IHDR path)
-    assert(Multimodal.parsePngHeader(bytes).contains(("png", w, h, 8, 3)))
+    assert(Multimodal.parsePngHeader(bytes).contains(("png", w, h, 8, 3, "")))
     val Some((dw, dh, px)) = Multimodal.decodePngPixels(bytes)
     assert(dw == w && dh == h)
     for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
@@ -401,9 +407,15 @@ class MultimodalSpec extends SparkSpec {
       col("format") =!= when(pmod(col("media_id"), lit(2)) === 0, "png").otherwise("jpeg") ||
         col("width") =!= (pmod(col("media_id"), lit(4)) * 160 + 320).cast("int") ||
         col("height") =!= (pmod(col("media_id"), lit(4)) * 90 + 180).cast("int") ||
-        col("bit_depth") =!= 8 || col("channels") =!= 3)
+        col("bit_depth") =!= 8 || col("channels") =!= 3 ||
+        col("coding") =!= when(pmod(col("media_id"), lit(2)) === 0, "")
+          .when(pmod(col("media_id"), lit(5)) === 2, "progressive")
+          .otherwise("baseline"))
     assert(bad.isEmpty)
     assert(decoded.count() == docs.count())
+    // the audit the classification exists for: progressive refusal rate
+    // counts straight off the header frame, no pixel decode
+    assert(decoded.where(col("coding") === "progressive").count() > 0)
   }
   test("MP4 sample tables: both stsz forms, per-track walk, truncation rejections") {
     import spark.implicits._
