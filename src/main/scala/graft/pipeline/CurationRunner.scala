@@ -450,9 +450,23 @@ object CurationRunner {
     // curate -> pack -> shard+manifest path in one daily entry point
     val nShards = shards.fold(-1L) { sc =>
       meta.time("shards") {
-        val withTokens = Lake.readParquet(spark, curatedPath(lakeRoot, date))
-          .select(col("doc_id"), col("text"),
-            graft.text.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+        val curC = Lake.readParquet(spark, curatedPath(lakeRoot, date))
+        // token accounting matches what a training run consumes: under
+        // a maintained tokenizer (stage 7 guarantees a current version
+        // by this point) the shard token counts are the SERVED
+        // artifact's subword counts; without one, the whitespace proxy
+        val withTokens = tokenizer match {
+          case Some(_) =>
+            curC.select(col("doc_id"), col("text"))
+              .join(graft.text.TokenizerStore.encode(
+                  curC, "doc_id", "text", s"$lakeRoot/tokenizer")
+                .select(col("id").as("doc_id"), col("n_sub").as("n_tokens")),
+                Seq("doc_id"))
+          case None =>
+            curC.select(col("doc_id"), col("text"),
+              graft.text.TextFunctions.tokenCount(col("text")).cast("long")
+                .as("n_tokens"))
+        }
         val m = graft.ops.ShardExport.writeShards(withTokens, "doc_id", "n_tokens",
           sc.binTokens, sc.numBuckets, s"$lakeRoot/shards/date=$date")
         val n = m.count()

@@ -2197,6 +2197,76 @@ object Queries {
         expr("(1000 * n_subwords) div n_words"))
   }
 
+  /** END-TO-END token delivery through the gate — the composition a
+    * training run actually consumes, as ONE verified path: curated
+    * corpus (the q45 core: quality gate, PII redaction, exact dedup) →
+    * TokenizerStore lifecycle (seq-stamped counts fold → 8-merge BPE
+    * learn → versioned artifact + pointer) → subword encode under the
+    * SERVED artifact (TokenizerStore.encode — the q113 contract) →
+    * token-stream context windows (packTokenStream, 256-token bins) →
+    * greedy no-split shard export with manifest (writeShards), the
+    * WRITTEN shards verified against the WRITTEN manifest
+    * (verifyShards must return zero mismatch rows or the query fails
+    * loudly) and the manifest values joined back per document from
+    * DISK. One row per delivered doc: its subword count and encode
+    * fingerprint, its stream window position, its shard assignment,
+    * and its shard's manifest row. The oracle replays the ENTIRE
+    * chain — curation CTEs, the unrolled BPE learn over the curated
+    * text, per-doc encode, both packs, and the manifest fingerprints.
+    * Scale shape: each stage is the already-audited operator (nothing
+    * new executes); lifecycle artifacts land in per-run temp dirs (a
+    * deployment uses lake paths — the q117 note). */
+  def q146TokenDelivery(spark: SparkSession, dir: String): DataFrame = {
+    val curated = graft.ops.CacheScope.persist(
+      graft.pipeline.Curation.curateCore(tbl(spark, dir, "documents"),
+          graft.pipeline.Curation.CurationConfig(minQualityMilli = 560))
+        .select(col("doc_id"), col("text")))
+    val tokRoot = java.nio.file.Files.createTempDirectory("graft-q146-tok").toString
+    graft.text.TokenizerStore.appendCounts(
+      graft.text.Bpe.wordCounts(curated, "text"), tokRoot, seq = Some(1L))
+    graft.text.TokenizerStore.refresh(spark, tokRoot, "v1", numMerges = 8)
+    graft.text.TokenizerStore.setCurrentVersion(spark, tokRoot, "v1")
+    val enc = graft.ops.CacheScope.persist(
+      graft.text.TokenizerStore.encode(curated, "doc_id", "text", tokRoot)
+        .select(col("id").as("doc_id"), col("sub_str"), col("n_sub")))
+    val stream = graft.ops.ScaleOps.packTokenStream(
+      enc.select(col("doc_id"), col("n_sub")), "doc_id", "n_sub",
+      binTokens = 256L)
+    val outDir = java.nio.file.Files.createTempDirectory("graft-q146-shards").toString
+    // shard bins are DIRECTORIES (writeShards partitions by bucket/bin):
+    // gate-sized 16k-token shards keep the dir count ~dozens at sf0.1
+    // (256-token bins measured 4145 dirs / 19 s write — the q117
+    // directory-count lesson); a deployment sizes shards in the 100s
+    // of MB. The 256-token STREAM windows above are pure arithmetic.
+    graft.ops.ShardExport.writeShards(enc.select(col("doc_id"), col("n_sub")),
+      "doc_id", "n_sub", binTokens = 16384L, numBuckets = 8, outDir)
+    // the delivery guarantee: what landed on disk IS what the manifest
+    // claims — zero mismatch rows, or no green gate row at all
+    val mismatches = graft.ops.ShardExport.verifyShards(
+      spark, outDir, "doc_id", "n_sub").count()
+    require(mismatches == 0L,
+      s"q146: shard/manifest verification found $mismatches mismatch rows")
+    val shardsOnDisk = spark.read.parquet(s"$outDir/shards")
+      .select(col("doc_id"), col("pack_bucket").cast("long").as("pack_bucket"),
+        col("pack_bin").cast("long").as("pack_bin"))
+    val manifestOnDisk = spark.read.parquet(s"$outDir/manifest")
+      .select(col("pack_bucket").cast("long").as("pack_bucket"),
+        col("pack_bin").cast("long").as("pack_bin"),
+        col("n_docs").as("shard_docs"), col("n_tokens").as("shard_tokens"),
+        col("ids_fp").as("shard_fp"))
+    enc
+      .join(stream.select(col("doc_id"), col("bin_id"), col("bin_pos")),
+        Seq("doc_id"))
+      .join(shardsOnDisk, Seq("doc_id"))
+      .join(broadcast(manifestOnDisk), Seq("pack_bucket", "pack_bin"))
+      .select(col("doc_id"), col("n_sub"),
+        graft.text.TextFunctions.polyHash(col("sub_str"), 1L << 40).as("sub_fp"),
+        col("bin_id"), col("bin_pos"),
+        col("pack_bucket"), col("pack_bin"),
+        col("shard_docs"), col("shard_tokens"), col("shard_fp"),
+        lit(1L).as("manifest_ok"))
+  }
+
   /** Audio perceptual near-dup through the gate — q133's contract for
     * the audio modality: id-derived 256-sample WAVs (seed-keyed
     * envelope macro patterns in time + id-unique sample noise,
@@ -3626,14 +3696,17 @@ object Queries {
     * wrap/replace/strip on the chr(31)-delimited segmentation; the
     * coalesce(chr(30)) pattern makes an exhausted m{i} a no-op, as on
     * the Spark side). */
-  private def duckBpeCtes(numMerges: Int): String = {
+  /** Body form for composition after other CTEs (no leading WITH);
+    * `srcRel` is any relation providing a `text` column — the corpus
+    * the vocabulary learns from. */
+  private def duckBpeCtesBody(numMerges: Int, srcRel: String): String = {
     val d = "chr(31)"
     val dd = s"$d || $d"
     val head =
-      s"""WITH wt AS (
+      s"""wt AS (
          |  SELECT tok AS word, count(*)::BIGINT AS freq FROM (
          |    SELECT unnest(list_filter(string_split(lower(trim(text)), ' '), x -> x != '')) AS tok
-         |    FROM documents) GROUP BY 1),
+         |    FROM $srcRel) GROUP BY 1),
          |s0 AS MATERIALIZED (
          |  SELECT word, freq,
          |    array_to_string(string_split(word, ''), $dd) AS seg
@@ -3654,6 +3727,9 @@ object Queries {
     }
     (head +: iters).mkString(",\n")
   }
+
+  private def duckBpeCtes(numMerges: Int): String =
+    "WITH " + duckBpeCtesBody(numMerges, "documents")
 
   /** q112 oracle: the merge table — one row per unrolled m{i}. */
   private lazy val q112Oracle: String = {
@@ -3986,11 +4062,15 @@ object Queries {
   /** q45 oracle: the curation core in SQL — same quality formula,
     * repetition filter, redaction chain, keep-min exact dedup, and the
     * polynomial fingerprint of the surviving text. */
-  private lazy val q45Oracle: String = {
+  /** The q45 core-curation chain (quality gate → redaction → exact
+    * dedup) as composable CTE text ending in `d` (keep = rn = 1) —
+    * ONE copy consumed by q45 and the q146 token-delivery composition;
+    * CTE names t/sh/q/f/r/d are reserved by it. */
+  private lazy val duckCurationCtes: String = {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val phone = "\\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\\b"
     val ipv4 = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
-    s"""WITH t AS (
+    s"""t AS (
        |  SELECT doc_id, source, text,
        |    list_filter(string_split(lower(trim(text)), ' '), x -> x != '') AS toks
        |  FROM documents),
@@ -4013,9 +4093,86 @@ object Queries {
        |d AS (
        |  SELECT doc_id, source, text,
        |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
-       |  FROM r)
+       |  FROM r)""".stripMargin
+  }
+
+  private lazy val q45Oracle: String =
+    s"""WITH $duckCurationCtes
        |SELECT doc_id, source, ${duckPolyHash("replace(lower(trim(text)), ' ', '')", 1L << 40)} AS fp40
        |FROM d WHERE rn = 1""".stripMargin
+
+  /** q146 oracle: the FULL token-delivery replay — the q45 curation
+    * chain, the 8-merge BPE learn unrolled over the CURATED text, the
+    * q113 per-doc encode (no char-fallback arm: the vocabulary was
+    * learned from the same corpus, so every word is in s8), the q55
+    * stream cumsum and the q56 recursive greedy pack on SUBWORD
+    * counts, and the q78 manifest fingerprints — one row per curated
+    * doc. CTE names: t/sh/q/f/r/d belong to the curation chain and
+    * wt/s{i}/p{i}/m{i} to the BPE learn; the pack fold is `pk` here
+    * to stay clear of the curation chain's `r`. */
+  private lazy val q146Oracle: String = {
+    val (chain, mixed) = duckMix48Scalar
+    val width = ((1L << 48) + 7) / 8
+    s"""WITH RECURSIVE $duckCurationCtes,
+       |cur AS (SELECT doc_id, text FROM d WHERE rn = 1),
+       |${duckBpeCtesBody(8, "cur")},
+       |btr AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(lower(trim(text)), ' '), x -> x != '') AS toks
+       |  FROM cur),
+       |binst AS (
+       |  SELECT doc_id, j AS pos, toks[j] AS word
+       |  FROM btr, unnest(range(1, len(toks) + 1)) AS u(j)),
+       |bencj AS (
+       |  SELECT i.doc_id, i.pos, replace(s.seg, chr(31) || chr(31), ' ') AS sub
+       |  FROM binst i JOIN s8 s ON i.word = s.word),
+       |bagg AS (
+       |  SELECT doc_id, string_agg(sub, ' ' ORDER BY pos) AS sub_str,
+       |    sum(len(string_split(sub, ' ')))::BIGINT AS n_sub
+       |  FROM bencj GROUP BY 1),
+       |enc AS (
+       |  SELECT c.doc_id, coalesce(a.sub_str, '') AS sub_str,
+       |    coalesce(a.n_sub, 0)::BIGINT AS n
+       |  FROM cur c LEFT JOIN bagg a ON c.doc_id = a.doc_id),
+       |h0 AS (
+       |  SELECT doc_id, n,
+       |    ${duckPolyHash("CAST(doc_id AS VARCHAR)", 1L << 48)} AS h
+       |  FROM enc),
+       |mx AS (SELECT doc_id, n, h$chain FROM h0),
+       |sc AS (
+       |  SELECT doc_id, n,
+       |    coalesce(sum(n) OVER (ORDER BY $mixed, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+       |  FROM mx),
+       |bk AS (
+       |  SELECT doc_id, n, ($mixed // $width) AS bucket,
+       |    row_number() OVER (PARTITION BY ($mixed // $width)
+       |      ORDER BY $mixed, doc_id) AS brn
+       |  FROM mx),
+       |pk AS (
+       |  SELECT bucket, brn, doc_id, n, 0::BIGINT AS bin, n AS fill
+       |  FROM bk WHERE brn = 1
+       |  UNION ALL
+       |  SELECT bk.bucket, bk.brn, bk.doc_id, bk.n,
+       |    CASE WHEN pk.fill + bk.n <= 16384 THEN pk.bin ELSE pk.bin + 1 END,
+       |    CASE WHEN pk.fill + bk.n <= 16384 THEN pk.fill + bk.n ELSE bk.n END
+       |  FROM bk JOIN pk ON bk.bucket = pk.bucket AND bk.brn = pk.brn + 1),
+       |mf AS (
+       |  SELECT pk.bucket AS pack_bucket, pk.bin AS pack_bin,
+       |    count(*)::BIGINT AS shard_docs, sum(pk.n)::BIGINT AS shard_tokens,
+       |    bit_xor($mixed)::BIGINT AS shard_fp
+       |  FROM pk JOIN mx ON pk.doc_id = mx.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT e.doc_id, e.n AS n_sub,
+       |  ${duckPolyHash("e.sub_str", 1L << 40)} AS sub_fp,
+       |  (sc.excl // 256)::BIGINT AS bin_id, (sc.excl % 256)::BIGINT AS bin_pos,
+       |  pk.bucket::BIGINT AS pack_bucket, pk.bin::BIGINT AS pack_bin,
+       |  mf.shard_docs, mf.shard_tokens, mf.shard_fp,
+       |  1::BIGINT AS manifest_ok
+       |FROM enc e
+       |JOIN sc ON e.doc_id = sc.doc_id
+       |JOIN pk ON e.doc_id = pk.doc_id
+       |JOIN mf ON pk.bucket = mf.pack_bucket AND pk.bin = mf.pack_bin""".stripMargin
   }
 
   /** q49 oracle: the FULL curation pipeline — the q45 core (quality gate,
@@ -4680,7 +4837,8 @@ object Queries {
     "q142_group_split" -> (q142GroupSplit _),
     "q143_dedup_savings" -> (q143DedupSavings _),
     "q144_lang_audit" -> (q144LangAudit _),
-    "q145_lang_fertility" -> (q145LangFertility _))
+    "q145_lang_fertility" -> (q145LangFertility _),
+    "q146_token_delivery" -> (q146TokenDelivery _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -5437,6 +5595,7 @@ object Queries {
         |        ELSE (1000 * sum(nsub)) // sum(nw) END)::BIGINT AS subword_fertility_milli
         |FROM f GROUP BY predicted_lang""".stripMargin,
     "q145_lang_fertility" -> q145Oracle,
+    "q146_token_delivery" -> q146Oracle,
     // the audio twin of q133: closed-form |sample| values -> per-cell
     // means -> the same frozen DCT literals -> median bits -> brute
     // pairs (same-seed clips measured 0-2 bits apart, others 18+)

@@ -402,6 +402,39 @@ class CurationRunnerSpec extends SparkSpec {
     } finally { Lake.delete(spark, root) }
   }
 
+  test("export day under a maintained tokenizer: shard token accounting == the served artifact's encoding") {
+    val root = java.nio.file.Files.createTempDirectory("lake").toString
+    try {
+      val cfg = Curation.CurationConfig(minQualityMilli = 200)
+      val tok = CurationRunner.TokenizerConfig(numMerges = 6, refreshKlMilli = 0L)
+      val sc = CurationRunner.ShardConfig(binTokens = 64L, numBuckets = 4)
+      land(root, "day1.json", (0 until 10).map(i => (i.toLong, "s0", doc(i))))
+      val r = CurationRunner.runDaily(spark, root, "2024-08-01", None, cfg,
+        shards = Some(sc), tokenizer = Some(tok))
+      assert(r.shardCount > 0 && r.tokenizerRefreshed)
+      val outDir = s"$root/shards/date=2024-08-01"
+      // the shards' n_tokens must be the MAINTAINED tokenizer's subword
+      // counts (what a training run consumes), not the whitespace proxy
+      val curated = Lake.readParquet(spark, s"$root/curated/date=2024-08-01")
+      val served = graft.text.TokenizerStore.encode(
+          curated, "doc_id", "text", s"$root/tokenizer")
+        .collect().map(rr => rr.getLong(0) -> rr.getLong(2)).toMap
+      val shardRows = spark.read.parquet(s"$outDir/shards")
+        .select($"doc_id", $"n_tokens").collect()
+        .map(rr => rr.getLong(0) -> rr.getLong(1)).toMap
+      assert(shardRows == served,
+        "shard token counts must equal the served artifact's encoding")
+      val ws = curated.select($"doc_id",
+          graft.text.TextFunctions.tokenCount($"text").cast("long")).collect()
+        .map(rr => rr.getLong(0) -> rr.getLong(1)).toMap
+      assert(shardRows != ws,
+        "fixture must discriminate: subword counts differ from whitespace counts")
+      // manifest verifies against what actually landed
+      assert(graft.ops.ShardExport.verifyShards(
+        spark, outDir, "doc_id", "n_tokens").isEmpty)
+    } finally { Lake.delete(spark, root) }
+  }
+
   test("tokenizer count increments are idempotent per seq: crash-window replays fold once") {
     val root = java.nio.file.Files.createTempDirectory("tokstore").toString
     def folded = graft.text.TokenizerStore.foldedCounts(spark, root)
