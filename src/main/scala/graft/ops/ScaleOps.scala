@@ -79,6 +79,57 @@ object ScaleOps {
       .drop("__h", "__b", "__off")
   }
 
+  /** Per-EPOCH deterministic shuffle — the multi-epoch loader order: a
+    * training run visits the corpus once per epoch in a DIFFERENT
+    * deterministic permutation (identical epoch orders replay the same
+    * gradient curriculum; a seeded-random order isn't resumable). The
+    * ordering hash salts the key with the epoch number
+    * (mix48(polyHash(key || ':' || epoch))), so every epoch is an
+    * independent permutation of the same rows, any (epoch, position)
+    * is resumable from the keys alone, and engines replay it exactly
+    * ([[deterministicShufflePos]]'s contract, one dimension up).
+    *
+    * Output: one row per (key, epoch) with the epoch-local position
+    * (0-based, dense per epoch). Same two-level scale shape as the
+    * single-epoch form — positions are the per-(epoch, bucket)
+    * row_number plus a broadcast exclusive offset; the offsets
+    * aggregation collects epochs x numShufflePartitions longs (bounded:
+    * epochs is a small parameter, buckets the session constant). */
+  def epochShufflePos(df: DataFrame, keyCol: String, epochs: Int): DataFrame = {
+    require(epochs >= 1, s"epochShufflePos: epochs must be >= 1, got $epochs")
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val width = ((1L << 48) + parts - 1) / parts
+    val staged = df
+      .withColumn("epoch", explode(array((0 until epochs).map(e => lit(e.toLong)): _*)))
+      .withColumn("__h", graft.functions.Mix48.mix48(
+        graft.text.TextFunctions.polyHash(
+          concat(col(keyCol).cast("string"), lit(":"), col("epoch").cast("string")),
+          1L << 48)))
+      .withColumn("__b", (col("__h") / width).cast("int"))
+    // bounded collect: epochs x buckets (count, see Scaladoc)
+    val totals = staged.groupBy(col("epoch"), col("__b"))
+      .agg(count(lit(1)).as("__m"))
+      .collect().map { r =>
+        require(!r.isNullAt(0) && !r.isNullAt(1),
+          s"epochShufflePos: NULL values in key column '$keyCol'")
+        (r.getLong(0), r.getInt(1)) -> r.getLong(2)
+      }.sortBy(_._1)
+    val offsets = totals.groupBy(_._1._1).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(_._1._2)
+      sorted.map(_._1).zip(
+        sorted.scanLeft(0L) { case (acc, (_, n)) => acc + n }.dropRight(1))
+    }.map { case ((e, b), off) => (e, b, off) }
+    val spark0 = df.sparkSession
+    import spark0.implicits._
+    val w = Window.partitionBy(col("epoch"), col("__b"))
+      .orderBy(col("__h").asc, col(keyCol).asc)
+    staged.join(broadcast(offsets.toDF("epoch", "__b", "__off")),
+        Seq("epoch", "__b"))
+      .withColumn("epoch_pos",
+        row_number().over(w).cast("long") - 1L + col("__off"))
+      .drop("__h", "__b", "__off")
+  }
+
   /** Shared two-level global-order machinery (shuffle positions, stream
     * packing): mixed-hash fixed-width bucketing of `keyCol` plus the
     * per-bucket EXCLUSIVE prefix total of `measure` (row count for

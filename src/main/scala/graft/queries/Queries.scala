@@ -2267,6 +2267,41 @@ object Queries {
         lit(1L).as("manifest_ok"))
   }
 
+  /** Multi-EPOCH deterministic shuffle through the gate — the loader
+    * order of a real training run: each of 3 epochs is an INDEPENDENT
+    * deterministic permutation of the corpus (epoch-salted mixed hash,
+    * ScaleOps.epochShufflePos), so a resume at any (epoch, position)
+    * replays exactly and no two epochs present the same curriculum.
+    * The oracle replays the salted hash chain and the per-epoch dense
+    * positions. */
+  def q147EpochShuffle(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.ScaleOps.epochShufflePos(
+        tbl(spark, dir, "documents").select(col("doc_id")), "doc_id",
+        epochs = 3)
+      .select(col("doc_id"), col("epoch"), col("epoch_pos"))
+
+  /** Packing-efficiency audit through the gate — the fill-rate report
+    * a packing policy is tuned by: per pack bucket, how many bins the
+    * greedy no-split fold opened, the token total, and the floored-bp
+    * fill fraction (tokens / bin capacity) — the number that says how
+    * much context-window budget the no-split trade wastes at this bin
+    * size. Rolls up the q56 pack (256-token bins, 8 buckets), so the
+    * oracle reuses the recursive fold replay. */
+  def q148PackEfficiency(spark: SparkSession, dir: String): DataFrame = {
+    val packed = graft.ops.ScaleOps.packGreedyContiguous(
+      tbl(spark, dir, "documents").select(col("doc_id"),
+        graft.text.TextFunctions.tokenCount(col("text")).cast("long")
+          .as("n_tokens")),
+      "doc_id", "n_tokens", 256L, numBuckets = 8)
+    packed.groupBy(col("pack_bucket")).agg(
+      (max(col("pack_bin")) + 1L).as("n_bins"),
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("n_tokens"),
+      floor(lit(10000L) * sum(col("n_tokens")) /
+          ((max(col("pack_bin")) + 1L) * lit(256L)))
+        .cast("long").as("fill_bp"))
+  }
+
   /** Audio perceptual near-dup through the gate — q133's contract for
     * the audio modality: id-derived 256-sample WAVs (seed-keyed
     * envelope macro patterns in time + id-unique sample noise,
@@ -4281,6 +4316,23 @@ object Queries {
     (sb.toString, cur)
   }
 
+  /** q147 oracle: the q53 shuffle replay per epoch — the ordering hash
+    * salts the key with the epoch number, positions are dense per
+    * epoch partition. */
+  private lazy val q147Oracle: String = {
+    val (chain, mixed) = duckMix48Scalar
+    s"""WITH ep AS (
+       |  SELECT doc_id, e.e AS epoch FROM documents, range(0, 3) AS e(e)),
+       |h0 AS (
+       |  SELECT doc_id, epoch,
+       |    ${duckPolyHash("CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)", 1L << 48)} AS h
+       |  FROM ep),
+       |mx AS (SELECT doc_id, epoch, h$chain FROM h0)
+       |SELECT doc_id, epoch::BIGINT AS epoch,
+       |  (row_number() OVER (PARTITION BY epoch ORDER BY $mixed, doc_id) - 1)::BIGINT AS epoch_pos
+       |FROM mx""".stripMargin
+  }
+
   /** q53 oracle: the avalanche-mixed ordering hash as a scalar lateral-
     * alias chain (q46's pattern, same Mix48 constants), then the global
     * row_number. */
@@ -4838,7 +4890,9 @@ object Queries {
     "q143_dedup_savings" -> (q143DedupSavings _),
     "q144_lang_audit" -> (q144LangAudit _),
     "q145_lang_fertility" -> (q145LangFertility _),
-    "q146_token_delivery" -> (q146TokenDelivery _))
+    "q146_token_delivery" -> (q146TokenDelivery _),
+    "q147_epoch_shuffle" -> (q147EpochShuffle _),
+    "q148_pack_efficiency" -> (q148PackEfficiency _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -5596,6 +5650,16 @@ object Queries {
         |FROM f GROUP BY predicted_lang""".stripMargin,
     "q145_lang_fertility" -> q145Oracle,
     "q146_token_delivery" -> q146Oracle,
+    "q147_epoch_shuffle" -> q147Oracle,
+    // the q56 recursive fold replay rolled up per bucket
+    "q148_pack_efficiency" ->
+      s"""WITH RECURSIVE $duckPackChain
+         |SELECT bucket::BIGINT AS pack_bucket,
+         |  (max(bin) + 1)::BIGINT AS n_bins,
+         |  count(*)::BIGINT AS n_docs,
+         |  sum(n)::BIGINT AS n_tokens,
+         |  ((10000 * sum(n)) // ((max(bin) + 1) * 256))::BIGINT AS fill_bp
+         |FROM r GROUP BY bucket""".stripMargin,
     // the audio twin of q133: closed-form |sample| values -> per-cell
     // means -> the same frozen DCT literals -> median bits -> brute
     // pairs (same-seed clips measured 0-2 bits apart, others 18+)

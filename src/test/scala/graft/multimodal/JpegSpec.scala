@@ -14,7 +14,8 @@ class JpegSpec extends SparkSpec {
     for (comps <- Seq(1, 3)) {
       val bytes = Jpeg.dcOnlyBytes(24, 16, comps, bv)
       // the stream parses as a JPEG header too (shared SOF walk)
-      assert(Multimodal.parseJpegHeader(bytes).contains(("jpeg", 24, 16, 8, comps)))
+      assert(Multimodal.parseJpegHeader(bytes)
+        .contains(("jpeg", 24, 16, 8, comps, "baseline")))
       val Some((w, h, nc, rgb)) = Jpeg.decodeJpegPixels(bytes)
       assert(w == 24 && h == 16 && nc == comps)
       for (y <- 0 until 16; x <- 0 until 24; ch <- 0 until 3) {

@@ -332,6 +332,31 @@ class ScaleOpsSpec extends SparkSpec {
       s"suspiciously ordered: only $inversions inversions in ${sortedIds.length}")
   }
 
+  test("epoch shuffle: independent dense permutation per epoch, partitioning-invariant") {
+    val docs = graft.queries.Queries.tbl(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id")
+    val n = docs.count()
+    val a = ScaleOps.epochShufflePos(docs, "doc_id", epochs = 3)
+      .select($"epoch", $"doc_id", $"epoch_pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // every epoch is a TOTAL dense permutation of the same rows
+    for (e <- 0L until 3L) {
+      val pos = a.collect { case ((`e`, _), p) => p }.toSeq
+      assert(pos.sorted == (0L until n).toSeq, s"epoch $e not a dense permutation")
+    }
+    // epochs are DIFFERENT permutations (the curriculum changes):
+    // almost no doc keeps its epoch-0 position in epoch 1
+    val ids = docs.collect().map(_.getLong(0))
+    val same = ids.count(id => a((0L, id)) == a((1L, id)))
+    assert(same < ids.length / 10,
+      s"epochs 0 and 1 agree on $same of ${ids.length} positions — not independent")
+    // invariant under input partitioning, and a rerun replays exactly
+    val b = ScaleOps.epochShufflePos(docs.repartition(7), "doc_id", epochs = 3)
+      .select($"epoch", $"doc_id", $"epoch_pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(a == b)
+  }
+
   test("selectTokenBudgetBy: per-group prefixes == per-group selectTokenBudget, loud guards") {
     val df = Seq(
       ("a", 1L, 50L, 10L), ("a", 2L, 90L, 5L), ("a", 5L, 80L, 4L),
