@@ -98,12 +98,14 @@ object Bench {
     // A crashed query must not masquerade as a fast timing: report its
     // elapsed as negative and list it under "failed".
     def jmap(f: ((String, Double, Double, Double, Boolean)) => Double,
-             key: String => String = identity, fmt: Double => String = f3): String =
+             key: String => String = identity, fmt: Double => String = f3,
+             failFloor: Double = 0.01): String =
       results.map { case t @ (k, _, _, _, ok) =>
         // a sub-millisecond crash must not round to -0.00 (which JSON
-        // parsers read as a healthy 0): floor failed timings at 10 ms so
-        // the negative marker survives the coarsest format
-        val v = if (ok) fmt(f(t)) else "-" + fmt(math.max(f(t), 0.01))
+        // parsers read as a healthy 0): floor failed timings at one ulp
+        // of the FORMAT (10 ms for 2-decimal, 100 ms for the 1-decimal
+        // degrade step) so the negative marker survives rendering
+        val v = if (ok) fmt(f(t)) else "-" + fmt(math.max(f(t), failFloor))
         "\"" + key(k) + "\":" + v
       }.mkString("{", ",", "}")
     // Contract keys use the unique `qNNN` prefix of each query name
@@ -151,7 +153,7 @@ object Bench {
     // failed stay parseable; cold detail lives on bench_detail lines).
     if (contract.length > 1850) {
       def f1(d: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, d)
-      val qs1 = jmap(_._2, shortKey, f1)
+      val qs1 = jmap(_._2, shortKey, f1, failFloor = 0.1)
       val contract1 = s"""{"metric":"total","value":${f3(total)},"unit":"sec","warm_total":${f2(warmTotal)},"queries":$qs1,"failed":$failed,"sf":"$sfDir"}"""
       if (contract1.length <= 1850) {
         System.err.println(s"[bench] NOTE: contract at ${contract.length} bytes " +

@@ -1479,22 +1479,29 @@ object Multimodal {
 
   final case class ImagePHash(media_id: Long, ok: Int, phash: Long)
 
+  /** Shared decode-result -> hash step of every image pHash stage: the
+    * red channel of the 3-byte-interleaved decode (the fixtures encode
+    * gray as R=G=B; a production luma mix is one weighted sum away and
+    * changes nothing structural) through [[pHash64]]. ONE copy so the
+    * cross-codec hash-equality claim cannot drift between the per-codec
+    * stages and the sniffing one. Failed/tiny decodes -> ok=0. */
+  private def grayPHash(id: Long,
+      dec: Option[(Int, Int, Array[Byte])]): ImagePHash = dec match {
+    case Some((w, h, px)) if w >= 8 && h >= 8 =>
+      val gray = new Array[Int](w * h)
+      var i = 0
+      while (i < gray.length) { gray(i) = px(3 * i) & 0xff; i += 1 }
+      ImagePHash(id, 1, pHash64(gray, w, h))
+    case _ => ImagePHash(id, 0, 0L)
+  }
+
   /** Batched PNG-decode -> pHash over a binary media frame: the real
-    * pixel decode ([[decodePngPixels]]) feeding [[pHash64]] over the
-    * red channel (the fixtures encode gray as R=G=B; a production
-    * luma mix is one weighted sum away and changes nothing
-    * structural). Unparseable payloads surface ok=0, phash=0. */
+    * pixel decode ([[decodePngPixels]]) feeding [[grayPHash]].
+    * Unparseable payloads surface ok=0, phash=0. */
   def decodePngPHash(media: DataFrame, partitions: Int = 0): Dataset[ImagePHash] =
     decodeStage(media, partitions,
         org.apache.spark.sql.Encoders.product[ImagePHash]) { (id, payload) =>
-      decodePngPixels(payload) match {
-        case Some((w, h, px)) if w >= 8 && h >= 8 =>
-          val gray = new Array[Int](w * h)
-          var i = 0
-          while (i < gray.length) { gray(i) = px(3 * i) & 0xff; i += 1 }
-          ImagePHash(id, 1, pHash64(gray, w, h))
-        case _ => ImagePHash(id, 0, 0L)
-      }
+      grayPHash(id, decodePngPixels(payload))
     }
 
   /** Codec-SNIFFING image pHash over a mixed binary media frame: each
@@ -1515,14 +1522,7 @@ object Multimodal {
         else if ((payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8)
           Jpeg.decodeJpegPixels(payload).map { case (w, h, _, px) => (w, h, px) }
         else None
-      dec match {
-        case Some((w, h, px)) if w >= 8 && h >= 8 =>
-          val gray = new Array[Int](w * h)
-          var i = 0
-          while (i < gray.length) { gray(i) = px(3 * i) & 0xff; i += 1 }
-          ImagePHash(id, 1, pHash64(gray, w, h))
-        case _ => ImagePHash(id, 0, 0L)
-      }
+      grayPHash(id, dec)
     }
 
   /** [[decodePngPHash]] for baseline JPEG payloads — the SAME hash
@@ -1534,16 +1534,10 @@ object Multimodal {
   def decodeJpegPHash(media: DataFrame, partitions: Int = 0): Dataset[ImagePHash] =
     decodeStage(media, partitions,
         org.apache.spark.sql.Encoders.product[ImagePHash]) { (id, payload) =>
-      Jpeg.decodeJpegPixels(payload) match {
-        // the decoder's buffer is ALWAYS 3-byte interleaved (grayscale
-        // replicates into R=G=B), whatever the source component count
-        case Some((w, h, _, px)) if w >= 8 && h >= 8 =>
-          val gray = new Array[Int](w * h)
-          var i = 0
-          while (i < gray.length) { gray(i) = px(3 * i) & 0xff; i += 1 }
-          ImagePHash(id, 1, pHash64(gray, w, h))
-        case _ => ImagePHash(id, 0, 0L)
-      }
+      // the decoder's buffer is ALWAYS 3-byte interleaved (grayscale
+      // replicates into R=G=B), whatever the source component count
+      grayPHash(id,
+        Jpeg.decodeJpegPixels(payload).map { case (w, h, _, px) => (w, h, px) })
     }
 
   /** Deterministic perceptual-dup PNG corpus — the q133 fixture: a

@@ -90,78 +90,78 @@ object ScaleOps {
     * ([[deterministicShufflePos]]'s contract, one dimension up).
     *
     * Output: one row per (key, epoch) with the epoch-local position
-    * (0-based, dense per epoch). Same two-level scale shape as the
-    * single-epoch form — positions are the per-(epoch, bucket)
+    * (0-based, dense per epoch). Same two-level machinery as the
+    * single-epoch form ([[withBucketOffsets]] with the epoch as the
+    * salt/group column) — positions are the per-(epoch, bucket)
     * row_number plus a broadcast exclusive offset; the offsets
     * aggregation collects epochs x numShufflePartitions longs (bounded:
     * epochs is a small parameter, buckets the session constant). */
   def epochShufflePos(df: DataFrame, keyCol: String, epochs: Int): DataFrame = {
     require(epochs >= 1, s"epochShufflePos: epochs must be >= 1, got $epochs")
+    require(!df.columns.contains("epoch"),
+      "epochShufflePos: input already carries an 'epoch' column")
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val width = ((1L << 48) + parts - 1) / parts
-    val staged = df
-      .withColumn("epoch", explode(array((0 until epochs).map(e => lit(e.toLong)): _*)))
-      .withColumn("__h", graft.functions.Mix48.mix48(
-        graft.text.TextFunctions.polyHash(
-          concat(col(keyCol).cast("string"), lit(":"), col("epoch").cast("string")),
-          1L << 48)))
-      .withColumn("__b", (col("__h") / width).cast("int"))
-    // bounded collect: epochs x buckets (count, see Scaladoc)
-    val totals = staged.groupBy(col("epoch"), col("__b"))
-      .agg(count(lit(1)).as("__m"))
-      .collect().map { r =>
-        require(!r.isNullAt(0) && !r.isNullAt(1),
-          s"epochShufflePos: NULL values in key column '$keyCol'")
-        (r.getLong(0), r.getInt(1)) -> r.getLong(2)
-      }.sortBy(_._1)
-    val offsets = totals.groupBy(_._1._1).toSeq.flatMap { case (_, rows) =>
-      val sorted = rows.sortBy(_._1._2)
-      sorted.map(_._1).zip(
-        sorted.scanLeft(0L) { case (acc, (_, n)) => acc + n }.dropRight(1))
-    }.map { case ((e, b), off) => (e, b, off) }
-    val spark0 = df.sparkSession
-    import spark0.implicits._
+    val staged = df.withColumn("epoch",
+      explode(array((0 until epochs).map(e => lit(e.toLong)): _*)))
     val w = Window.partitionBy(col("epoch"), col("__b"))
       .orderBy(col("__h").asc, col(keyCol).asc)
-    staged.join(broadcast(offsets.toDF("epoch", "__b", "__off")),
-        Seq("epoch", "__b"))
+    withBucketOffsets(staged, keyCol, parts, count(lit(1)),
+        saltCol = Some("epoch"))
       .withColumn("epoch_pos",
         row_number().over(w).cast("long") - 1L + col("__off"))
       .drop("__h", "__b", "__off")
   }
 
   /** Shared two-level global-order machinery (shuffle positions, stream
-    * packing): mixed-hash fixed-width bucketing of `keyCol` plus the
-    * per-bucket EXCLUSIVE prefix total of `measure` (row count for
-    * positions, token sum for packing) broadcast-joined back as `__off`.
-    * One bounded aggregation collects `numBuckets` longs to the driver
-    * (the AQE-stats pattern); offsets ride a broadcast-joined frame, not
-    * a per-row when-chain — at thousands of buckets a nested CaseWhen is
-    * O(buckets) comparisons per row and a codegen hazard, while the
-    * inner join is O(1) per row and fails loudly (drops nothing
-    * silently — every row's bucket is in the collected set by
+    * packing, epoch shuffles): mixed-hash fixed-width bucketing of
+    * `keyCol` plus the per-bucket EXCLUSIVE prefix total of `measure`
+    * (row count for positions, token sum for packing) broadcast-joined
+    * back as `__off`. One bounded aggregation collects `numBuckets`
+    * longs to the driver (times the salt cardinality when `saltCol` is
+    * set — the AQE-stats pattern); offsets ride a broadcast-joined
+    * frame, not a per-row when-chain — at thousands of buckets a nested
+    * CaseWhen is O(buckets) comparisons per row and a codegen hazard,
+    * while the inner join is O(1) per row and fails loudly (drops
+    * nothing silently — every row's bucket is in the collected set by
     * construction, so the join is total). Callers add their own
     * within-bucket window over (`__h`, key) and drop the `__h`/`__b`/
-    * `__off` scaffolding. */
+    * `__off` scaffolding.
+    *
+    * `saltCol` (a non-null LONG column, e.g. the epoch number) both
+    * salts the ordering hash (key || ':' || salt — independent
+    * permutations per salt value) and scopes the offsets: positions
+    * restart dense at 0 within each salt group. */
   private def withBucketOffsets(df: DataFrame, keyCol: String,
-      numBuckets: Int, measure: Column): DataFrame = {
+      numBuckets: Int, measure: Column,
+      saltCol: Option[String] = None): DataFrame = {
     val width = ((1L << 48) + numBuckets - 1) / numBuckets
+    val hashSrc = saltCol.fold(col(keyCol).cast("string"))(s =>
+      concat(col(keyCol).cast("string"), lit(":"), col(s).cast("string")))
     val withBucket = df
       .withColumn("__h", graft.functions.Mix48.mix48(
-        graft.text.TextFunctions.polyHash(col(keyCol).cast("string"), 1L << 48)))
+        graft.text.TextFunctions.polyHash(hashSrc, 1L << 48)))
       .withColumn("__b", (col("__h") / width).cast("int"))
-    val totals = withBucket.groupBy(col("__b")).agg(measure.as("__m"))
+      .withColumn("__g",
+        saltCol.fold(lit(0L))(s => col(s).cast("long")))
+    val totals = withBucket.groupBy(col("__g"), col("__b"))
+      .agg(measure.as("__m"))
       .collect().map { r =>
         // a NULL key hashes to a NULL bucket and has no defined position
-        require(!r.isNullAt(0),
-          s"bucketed global order: NULL values in key column '$keyCol'")
-        r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1))
+        require(!r.isNullAt(0) && !r.isNullAt(1),
+          s"bucketed global order: NULL values in key column '$keyCol'" +
+            saltCol.fold("")(s => s" or salt column '$s'"))
+        (r.getLong(0), r.getInt(1)) -> (if (r.isNullAt(2)) 0L else r.getLong(2))
       }.sortBy(_._1)
-    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (b, n)) => (b, acc + n) }
-      .sliding(2).collect { case Array((_, off), (b, _)) => b -> off }.toSeq
+    val offsets = totals.groupBy(_._1._1).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(_._1._2)
+      sorted.map(_._1).zip(
+        sorted.scanLeft(0L) { case (acc, (_, n)) => acc + n }.dropRight(1))
+    }.map { case ((g, b), off) => (g, b, off) }
     val spark0 = df.sparkSession
     import spark0.implicits._
-    withBucket.join(broadcast(offsets.toDF("__b", "__off")), Seq("__b"))
+    withBucket.join(broadcast(offsets.toDF("__g", "__b", "__off")),
+        Seq("__g", "__b"))
+      .drop("__g")
   }
 
   /** Token-stream packing — the GPT-pretraining "concatenate the shuffled

@@ -1500,9 +1500,21 @@ object Queries {
   // on exit so repeated local sessions don't accumulate orphans (a real
   // deployment lands its indexes at a stable lake path instead — this
   // tmp placement exists only for the self-contained gate)
+  /** Per-invocation lifecycle temp dirs (q117/q118/q146 build their
+    * index/tokenizer/shard artifacts fresh each call) — registered
+    * here so the same exit hook reclaims them; a bench sweep otherwise
+    * orphans a full shard export per q146 run. */
+  private val tmpLifecycleDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private def tmpLifecycleDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix).toString
+    tmpLifecycleDirs.add(p)
+    p
+  }
   Runtime.getRuntime.addShutdownHook(new Thread(() => {
     val dirs = new java.util.ArrayList[String](standingIdx.values())
     dirs.addAll(standingCent.values())
+    dirs.addAll(tmpLifecycleDirs)
     dirs.forEach { p =>
       try {
         val root = java.nio.file.Paths.get(p)
@@ -1640,7 +1652,7 @@ object Queries {
     * the build amortizes across probe batches — the whole point). */
   def q117Bm25IndexProbe(spark: SparkSession, dir: String): DataFrame = {
     val docs = tbl(spark, dir, "documents")
-    val idx = java.nio.file.Files.createTempDirectory("graft-q117").toString
+    val idx = tmpLifecycleDir("graft-q117")
     // bucket count scales with the corpus (write cost is directory-
     // count-bound — measured 5.9 s at 64 dirs vs 1.7 s at 16 for the
     // same sf0.1 data): gate-sized corpora get 16; 100 TB uses
@@ -1668,7 +1680,7 @@ object Queries {
     * behind the driver's hash gate. */
   def q118LshIndexProbe(spark: SparkSession, dir: String): DataFrame = {
     val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("text"))
-    val idx = java.nio.file.Files.createTempDirectory("graft-q118").toString
+    val idx = tmpLifecycleDir("graft-q118")
     val standing = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
     // 4 buckets × 16 bands = 64 partition dirs — gate-sized (the write
     // cost is dir-count-bound; measured 4.7 s at 128 dirs vs 2.3 s at
@@ -2221,7 +2233,7 @@ object Queries {
       graft.pipeline.Curation.curateCore(tbl(spark, dir, "documents"),
           graft.pipeline.Curation.CurationConfig(minQualityMilli = 560))
         .select(col("doc_id"), col("text")))
-    val tokRoot = java.nio.file.Files.createTempDirectory("graft-q146-tok").toString
+    val tokRoot = tmpLifecycleDir("graft-q146-tok")
     graft.text.TokenizerStore.appendCounts(
       graft.text.Bpe.wordCounts(curated, "text"), tokRoot, seq = Some(1L))
     graft.text.TokenizerStore.refresh(spark, tokRoot, "v1", numMerges = 8)
@@ -2232,7 +2244,7 @@ object Queries {
     val stream = graft.ops.ScaleOps.packTokenStream(
       enc.select(col("doc_id"), col("n_sub")), "doc_id", "n_sub",
       binTokens = 256L)
-    val outDir = java.nio.file.Files.createTempDirectory("graft-q146-shards").toString
+    val outDir = tmpLifecycleDir("graft-q146-shards")
     // shard bins are DIRECTORIES (writeShards partitions by bucket/bin):
     // gate-sized 16k-token shards keep the dir count ~dozens at sf0.1
     // (256-token bins measured 4145 dirs / 19 s write — the q117
