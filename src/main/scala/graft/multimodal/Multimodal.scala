@@ -973,14 +973,12 @@ object Multimodal {
       .flatMap { case (id, p) =>
         extractMp4FramesTagged(p) match {
           case Right(frames) => frames.map { case (fi, bytes) =>
-            Jpeg.decodeJpegPixels(bytes) match {
-              case Some((w, h, _, px)) if w >= 8 && h >= 8 =>
-                val gray = new Array[Int](w * h)
-                var i = 0
-                while (i < gray.length) { gray(i) = px(3 * i) & 0xff; i += 1 }
-                VideoFramePHash(id, fi, 1, pHash64(gray, w, h), "")
-              case _ => VideoFramePHash(id, fi, 0, 0L, "frame_decode")
-            }
+            // same gray-plane hash as the image stages (grayPHash) so a
+            // video keyframe and a still of the same content collide
+            val h = grayPHash(id,
+              Jpeg.decodeJpegPixels(bytes).map { case (w, hh, _, px) => (w, hh, px) })
+            VideoFramePHash(id, fi, h.ok, h.phash,
+              if (h.ok == 1) "" else "frame_decode")
           }
           case Left(family) => Seq(VideoFramePHash(id, 0, 0, 0L, family))
         }
