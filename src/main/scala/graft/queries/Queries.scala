@@ -2292,6 +2292,40 @@ object Queries {
         epochs = 3)
       .select(col("doc_id"), col("epoch"), col("epoch_pos"))
 
+  /** ANN recall@10 through the gate — the headline quality number of
+    * the IVF index (previously only spec-pinned in AnnSpec): per
+    * query, how many of the exact brute-force top-10 the trained
+    * 4-probe IVF index returns, in floored basis points. Both arms are
+    * the already-gated operators (q25's brute ranking, q38's trained
+    * probe) over a 25-query batch, so the oracle replays both chains
+    * and intersects — recall is an exact integer, not a sampled
+    * estimate. At 100 TB this is the recurring index-health audit: a
+    * drifted corpus (q84's detector) shows up here as a recall drop
+    * before users notice. Read the LEVEL with its config in mind: the
+    * audit measures the SERVED setting (nProbe=4, the q38/q111 config),
+    * and on these synthetic UNCLUSTERED embeddings the probed fraction
+    * is ~nProbe/(n/16) — it shrinks as the corpus grows (sf0.01 mean
+    * ~0.48), which is exactly the signal that tells a deployment to
+    * raise nProbe or retrain with more centroids; AnnSpec pins the
+    * recall floor at its own fixture scale. */
+  def q149AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val queries0 = emb.where(col("vec_id") < 25)
+    val brute = graft.ann.Ann.bruteForceTopK(queries0, emb,
+        "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val centroids = trainedCentroids(spark, dir)
+    val cells = graft.ann.Ann.ivfAssign(emb, "vec_id", "embedding", centroids)
+    val ivf = graft.ann.Ann.ivfProbeTopK(queries0, cells, centroids,
+        "vec_id", "embedding", k = 10, nProbe = 4)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id")).agg(
+        count(lit(1)).as("k"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall_bp", expr("(10000 * n_hit) div k"))
+  }
+
   /** Packing-efficiency audit through the gate — the fill-rate report
     * a packing policy is tuned by: per pack bucket, how many bins the
     * greedy no-split fold opened, the token total, and the floored-bp
@@ -2603,6 +2637,46 @@ object Queries {
        |    row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
        |  FROM asg0),
        |cells AS (SELECT vec_id, embedding, cid AS cell FROM asg WHERE rn = 1)""".stripMargin
+
+  /** q149 oracle: both retrieval arms replayed and intersected — the
+    * q25 brute ranking and the q38 trained-IVF probe chain over the
+    * same 25-query batch, recall as exact floored basis points. */
+  private lazy val q149Oracle: String =
+    s"""WITH $duckIvfCellsCtes,
+       |q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 25),
+       |p0 AS (
+       |  SELECT q.query_id, q.q_vec, c.cid, ${duckDot("q.q_vec", "c.cvec")} AS d
+       |  FROM q CROSS JOIN cent c),
+       |pr AS (
+       |  SELECT query_id, q_vec, cell FROM (
+       |    SELECT query_id, q_vec, cid AS cell,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY d DESC, cid) AS prn
+       |    FROM p0) t WHERE prn <= 4),
+       |icand AS (
+       |  SELECT pr.query_id, cells.vec_id AS neighbor_id,
+       |    round(${duckDot("pr.q_vec", "cells.embedding")}, 6) AS cos
+       |  FROM pr JOIN cells ON pr.cell = cells.cell
+       |  WHERE cells.vec_id != pr.query_id),
+       |ivf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |    FROM icand) t WHERE rank <= 10),
+       |bs AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    round(${duckDot("q.q_vec", "c.embedding")}, 6) AS cos
+       |  FROM q CROSS JOIN embeddings c WHERE c.vec_id != q.query_id),
+       |brute AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |    FROM bs) t WHERE rank <= 10)
+       |SELECT b.query_id, count(*)::BIGINT AS k,
+       |  sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+       |  ((10000 * sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)) // count(*))::BIGINT AS recall_bp
+       |FROM brute b LEFT JOIN ivf i
+       |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+       |GROUP BY b.query_id""".stripMargin
 
   /** q38 oracle: the whole IVF pipeline — centroid sampling, argmax cell
     * assignment (same deterministic tie-break), probe list, candidate
@@ -4904,7 +4978,8 @@ object Queries {
     "q145_lang_fertility" -> (q145LangFertility _),
     "q146_token_delivery" -> (q146TokenDelivery _),
     "q147_epoch_shuffle" -> (q147EpochShuffle _),
-    "q148_pack_efficiency" -> (q148PackEfficiency _))
+    "q148_pack_efficiency" -> (q148PackEfficiency _),
+    "q149_ann_recall" -> (q149AnnRecall _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -5663,6 +5738,7 @@ object Queries {
     "q145_lang_fertility" -> q145Oracle,
     "q146_token_delivery" -> q146Oracle,
     "q147_epoch_shuffle" -> q147Oracle,
+    "q149_ann_recall" -> q149Oracle,
     // the q56 recursive fold replay rolled up per bucket
     "q148_pack_efficiency" ->
       s"""WITH RECURSIVE $duckPackChain

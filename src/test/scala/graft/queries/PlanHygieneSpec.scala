@@ -47,7 +47,8 @@ class PlanHygieneSpec extends SparkSpec {
     // consumed by the eager score-map collect, and the returned plan is
     // the broadcast word→seg encode join alone
     "q121_unigram_vocab" -> "crossJoin(broadcast(totals)): two single-row frames (seed count total, kept usage total)",
-    "q116_quality_mix" -> "composes q107's and q98's single-row broadcast totals (NB vocab/prior + temperature normalizer)")
+    "q116_quality_mix" -> "composes q107's and q98's single-row broadcast totals (NB vocab/prior + temperature normalizer)",
+    "q149_ann_recall" -> "recall audit's exact arm IS q25's brute baseline: broadcast 25-query batch x corpus")
 
   test("every gate query carries an oracle (q36 rows-only by design), no orphans") {
     assert(Queries.all.keySet -- Queries.oracle.keySet == Set("q36_approx_distinct"),
