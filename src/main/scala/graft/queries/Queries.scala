@@ -2292,6 +2292,26 @@ object Queries {
         epochs = 3)
       .select(col("doc_id"), col("epoch"), col("epoch_pos"))
 
+  /** Shard PROVENANCE through the gate — which sources each training
+    * shard mixes, and in what doc/token proportion: the verification a
+    * loader-ops team runs after an export to confirm the data mixture
+    * actually landed in the shards (a skewed pack hash or a
+    * source-correlated id range would concentrate one source into few
+    * shards and bias every batch drawn from them). One join of the
+    * q56 pack back to the source column + one rollup; the oracle
+    * replays the recursive fold and the same join. */
+  def q150ShardProvenance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val packed = graft.ops.ScaleOps.packGreedyContiguous(
+      docs.select(col("doc_id"),
+        graft.text.TextFunctions.tokenCount(col("text")).cast("long")
+          .as("n_tokens")),
+      "doc_id", "n_tokens", 256L, numBuckets = 8)
+    packed.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("pack_bucket"), col("pack_bin"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+  }
+
   /** ANN recall@10 through the gate — the headline quality number of
     * the IVF index (previously only spec-pinned in AnnSpec): per
     * query, how many of the exact brute-force top-10 the trained
@@ -4979,7 +4999,8 @@ object Queries {
     "q146_token_delivery" -> (q146TokenDelivery _),
     "q147_epoch_shuffle" -> (q147EpochShuffle _),
     "q148_pack_efficiency" -> (q148PackEfficiency _),
-    "q149_ann_recall" -> (q149AnnRecall _))
+    "q149_ann_recall" -> (q149AnnRecall _),
+    "q150_shard_provenance" -> (q150ShardProvenance _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -5739,6 +5760,13 @@ object Queries {
     "q146_token_delivery" -> q146Oracle,
     "q147_epoch_shuffle" -> q147Oracle,
     "q149_ann_recall" -> q149Oracle,
+    // the q56 fold replay joined back to the source dimension
+    "q150_shard_provenance" ->
+      s"""WITH RECURSIVE $duckPackChain
+         |SELECT r.bucket::BIGINT AS pack_bucket, r.bin::BIGINT AS pack_bin,
+         |  d.source, count(*)::BIGINT AS n_docs, sum(r.n)::BIGINT AS n_tokens
+         |FROM r JOIN documents d ON r.doc_id = d.doc_id
+         |GROUP BY 1, 2, 3""".stripMargin,
     // the q56 recursive fold replay rolled up per bucket
     "q148_pack_efficiency" ->
       s"""WITH RECURSIVE $duckPackChain
