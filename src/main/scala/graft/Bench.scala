@@ -131,42 +131,53 @@ object Bench {
     // on earlier lines where truncation is harmless.
     println(s"""{"bench_detail":"cold","cold_full":$qsFull}""")
     println(s"""{"bench_detail":"warm","warm_total":${f3(warmTotal)},"warm":$warms,"warm_median":$medians}""")
-    // Warm detail for the driver: the contract carries warm_total, and
-    // this second-to-last line carries the 7 slowest warm queries —
-    // sized (~125 bytes) to SHARE the 2000-char tail with the contract
-    // (at 148 queries the contract alone is ~1800 bytes; 10 entries
-    // pushed the pair past the window and front-truncated this line).
-    // If the contract ever grows enough to push it out anyway, the loss
-    // is graceful: this line truncates, the final contract line still
-    // parses (judge re-runs read the full warm map above either way).
-    val warmTop = results.filter(_._5).sortBy(-_._3).take(7)
-      .map { case (k, _, w, _, _) => "\"" + shortKey(k) + "\":" + f2(w) }
-      .mkString("{", ",", "}")
-    println(s"""{"warm_total":${f2(warmTotal)},"warm_top":$warmTop}""")
+    // Pick the contract FIRST (it must always fit), then size the
+    // warm_top line to whatever tail budget remains — at 150 queries
+    // the full-precision contract alone is ~1820 bytes and sbt's
+    // variable-length [success] footer (~70-75 bytes, longer for
+    // longer runs) also lands in the 2000-char capture, so a
+    // fixed-size warm_top line was one footer-digit away from
+    // front-truncating. Degrade order: full-precision contract →
+    // 1-decimal per-query values (saves ~1 byte/query) → detail-free
+    // contract (metric/value/failed stay parseable; cold detail lives
+    // on the bench_detail lines either way).
     val contract = s"""{"metric":"total","value":${f3(total)},"unit":"sec","warm_total":${f2(warmTotal)},"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
-    // Guard: if the contract ever outgrows the tail window again,
-    // DEGRADE in two steps instead of emitting a line the driver would
-    // front-truncate mid-JSON into parsed:null — and instead of
-    // throwing, which would lose the round's headline number entirely.
-    // Step 1: 1-decimal per-query values (saves ~1 byte/query — buys
-    // ~150 more queries). Step 2: drop the per-query map (metric/value/
-    // failed stay parseable; cold detail lives on bench_detail lines).
-    if (contract.length > 1850) {
-      def f1(d: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, d)
-      val qs1 = jmap(_._2, shortKey, f1, failFloor = 0.1)
-      val contract1 = s"""{"metric":"total","value":${f3(total)},"unit":"sec","warm_total":${f2(warmTotal)},"queries":$qs1,"failed":$failed,"sf":"$sfDir"}"""
-      if (contract1.length <= 1850) {
-        System.err.println(s"[bench] NOTE: contract at ${contract.length} bytes " +
-          "exceeds the 1850 budget — emitting 1-decimal per-query values " +
-          s"(${contract1.length} bytes); full precision on the bench_detail lines")
-        println(contract1)
-      } else {
-        System.err.println(s"[bench] WARNING: contract line ${contract.length} bytes " +
-          "exceeds the 1850 budget even at 1-decimal — emitting reduced contract; " +
-          "per-query cold timings for this run live on the bench_detail lines only")
-        println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","warm_total":${f2(warmTotal)},"queries":{},"failed":$failed,"sf":"$sfDir"}""")
+    val contractFinal =
+      if (contract.length <= 1850) contract
+      else {
+        def f1(d: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, d)
+        val qs1 = jmap(_._2, shortKey, f1, failFloor = 0.1)
+        val contract1 = s"""{"metric":"total","value":${f3(total)},"unit":"sec","warm_total":${f2(warmTotal)},"queries":$qs1,"failed":$failed,"sf":"$sfDir"}"""
+        if (contract1.length <= 1850) {
+          System.err.println(s"[bench] NOTE: contract at ${contract.length} bytes " +
+            "exceeds the 1850 budget — emitting 1-decimal per-query values " +
+            s"(${contract1.length} bytes); full precision on the bench_detail lines")
+          contract1
+        } else {
+          System.err.println(s"[bench] WARNING: contract line ${contract.length} bytes " +
+            "exceeds the 1850 budget even at 1-decimal — emitting reduced contract; " +
+            "per-query cold timings for this run live on the bench_detail lines only")
+          s"""{"metric":"total","value":${f3(total)},"unit":"sec","warm_total":${f2(warmTotal)},"queries":{},"failed":$failed,"sf":"$sfDir"}"""
+        }
       }
-    } else println(contract)
+    // warm_top: as many of the slowest warm queries as fit in the tail
+    // next to the contract, a ~90-byte reserve for sbt's footer, and
+    // this line's own framing. Zero entries still emits valid JSON; if
+    // even the frame doesn't fit, the line is skipped (the full warm
+    // map lives on the bench_detail line above either way).
+    val warmFrame = s"""{"warm_total":${f2(warmTotal)},"warm_top":{}}"""
+    val warmBudget = 2000 - contractFinal.length - 90 - warmFrame.length
+    if (warmBudget >= 0) {
+      val entries = results.filter(_._5).sortBy(-_._3)
+        .map { case (k, _, w, _, _) => "\"" + shortKey(k) + "\":" + f2(w) }
+      val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+      var used = 0
+      for (e <- entries if used + e.length + 1 <= warmBudget) {
+        kept += e; used += e.length + 1
+      }
+      println(s"""{"warm_total":${f2(warmTotal)},"warm_top":${kept.mkString("{", ",", "}")}}""")
+    }
+    println(contractFinal)
     spark.stop()
   }
 }
