@@ -2292,6 +2292,36 @@ object Queries {
         epochs = 3)
       .select(col("doc_id"), col("epoch"), col("epoch_pos"))
 
+  /** nProbe SWEEP of the recall audit — the q149 measure at serving
+    * candidates 4 / 8 / 16, aggregated over the query batch: the table
+    * a deployment reads to PICK its nProbe once q149 flags a drop
+    * (recall climbs with the probed fraction; latency climbs with it
+    * too — this query quantifies the first axis exactly so the trade
+    * is made on numbers, not folklore). Cells assign once and persist;
+    * each arm re-ranks its own probe set. Oracle: the probe ranking
+    * CTE shared, three candidate arms cut at prn <= nProbe, all
+    * intersected with the same brute baseline. */
+  def q151NprobeSweep(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val queries0 = emb.where(col("vec_id") < 25)
+    val brute = graft.ops.CacheScope.persist(
+      graft.ann.Ann.bruteForceTopK(queries0, emb, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id")))
+    val centroids = trainedCentroids(spark, dir)
+    val cells = graft.ops.CacheScope.persist(
+      graft.ann.Ann.ivfAssign(emb, "vec_id", "embedding", centroids))
+    Seq(4, 8, 16).map { np =>
+      val ivf = graft.ann.Ann.ivfProbeTopK(queries0, cells, centroids,
+          "vec_id", "embedding", k = 10, nProbe = np)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(lit(np.toLong).as("n_probe"), col("k"), col("n_hit"))
+    }.reduce(_ unionByName _)
+      .withColumn("recall_bp", expr("(10000 * n_hit) div k"))
+  }
+
   /** Shard PROVENANCE through the gate — which sources each training
     * shard mixes, and in what doc/token proportion: the verification a
     * loader-ops team runs after an export to confirm the data mixture
@@ -2697,6 +2727,51 @@ object Queries {
        |FROM brute b LEFT JOIN ivf i
        |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
        |GROUP BY b.query_id""".stripMargin
+
+  /** q151 oracle: the q149 chains with the probe ranking shared and
+    * three candidate arms cut at prn <= nProbe, aggregated per arm. */
+  private lazy val q151Oracle: String = {
+    val arms = Seq(4, 8, 16).map { np =>
+      s"""ic$np AS (
+         |  SELECT pr.query_id, cells.vec_id AS neighbor_id,
+         |    round(${duckDot("pr.q_vec", "cells.embedding")}, 6) AS cos
+         |  FROM (SELECT query_id, q_vec, cell FROM prall WHERE prn <= $np) pr
+         |  JOIN cells ON pr.cell = cells.cell
+         |  WHERE cells.vec_id != pr.query_id),
+         |iv$np AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM ic$np) t WHERE rank <= 10)""".stripMargin
+    }.mkString(",\n")
+    val sel = Seq(4, 8, 16).map { np =>
+      s"""SELECT $np::BIGINT AS n_probe, count(*)::BIGINT AS k,
+         |  sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+         |  ((10000 * sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)) // count(*))::BIGINT AS recall_bp
+         |FROM brute b LEFT JOIN iv$np i
+         |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $duckIvfCellsCtes,
+       |q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 25),
+       |p0 AS (
+       |  SELECT q.query_id, q.q_vec, c.cid, ${duckDot("q.q_vec", "c.cvec")} AS d
+       |  FROM q CROSS JOIN cent c),
+       |prall AS (
+       |  SELECT query_id, q_vec, cid AS cell,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY d DESC, cid) AS prn
+       |  FROM p0),
+       |bs AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    round(${duckDot("q.q_vec", "c.embedding")}, 6) AS cos
+       |  FROM q CROSS JOIN embeddings c WHERE c.vec_id != q.query_id),
+       |brute AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |    FROM bs) t WHERE rank <= 10),
+       |$arms
+       |$sel""".stripMargin
+  }
 
   /** q38 oracle: the whole IVF pipeline — centroid sampling, argmax cell
     * assignment (same deterministic tie-break), probe list, candidate
@@ -5000,7 +5075,8 @@ object Queries {
     "q147_epoch_shuffle" -> (q147EpochShuffle _),
     "q148_pack_efficiency" -> (q148PackEfficiency _),
     "q149_ann_recall" -> (q149AnnRecall _),
-    "q150_shard_provenance" -> (q150ShardProvenance _))
+    "q150_shard_provenance" -> (q150ShardProvenance _),
+    "q151_nprobe_sweep" -> (q151NprobeSweep _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -5760,6 +5836,7 @@ object Queries {
     "q146_token_delivery" -> q146Oracle,
     "q147_epoch_shuffle" -> q147Oracle,
     "q149_ann_recall" -> q149Oracle,
+    "q151_nprobe_sweep" -> q151Oracle,
     // the q56 fold replay joined back to the source dimension
     "q150_shard_provenance" ->
       s"""WITH RECURSIVE $duckPackChain
