@@ -76,7 +76,7 @@ object LshDiskIndex {
 
   private def writeIncrement(docs: DataFrame, idCol: String, textCol: String,
       dir: String, cfg: MinHashConfig, numBuckets: Int, mode: SaveMode,
-      seq: Long): Unit = {
+      seq: Long, writeMeta: Boolean = true): Unit = {
     val st = graft.ops.CacheScope.persist(staged(docs, idCol, textCol, cfg))
     // cluster rows by their target partition dir before the partitionBy
     // write: without this every task writes to every (band, bucket) dir
@@ -92,13 +92,14 @@ object LshDiskIndex {
     st.select(col("id"), col("shingles"), lit(seq).as("seq"))
       .write.mode(mode).option("compression", "snappy")
       .parquet(s"$dir/sigs")
-    docs.sparkSession.range(1).select(
-        lit(cfg.numHashes.toLong).as("num_hashes"),
-        lit(cfg.shingleSize.toLong).as("shingle_size"),
-        lit(cfg.bands.toLong).as("bands"),
-        lit(numBuckets.toLong).as("n_buckets"))
-      .write.mode(mode).option("compression", "snappy")
-      .parquet(s"$dir/meta")
+    if (writeMeta)
+      docs.sparkSession.range(1).select(
+          lit(cfg.numHashes.toLong).as("num_hashes"),
+          lit(cfg.shingleSize.toLong).as("shingle_size"),
+          lit(cfg.bands.toLong).as("bands"),
+          lit(numBuckets.toLong).as("n_buckets"))
+        .write.mode(mode).option("compression", "snappy")
+        .parquet(s"$dir/meta")
   }
 
   /** Build the index from scratch (Overwrite). `numBuckets` bounds the
@@ -123,8 +124,11 @@ object LshDiskIndex {
   def append(docs: DataFrame, idCol: String, textCol: String,
       dir: String, seq: Long = 0L): Unit = {
     val (cfg, numBuckets) = meta(docs.sparkSession, dir)
+    // the config just read IS the config this increment writes under —
+    // re-appending an identical meta row would only cost a write job
+    // (meta() folds duplicates via distinct, so it was never load-bearing)
     writeIncrement(docs, idCol, textCol, dir, cfg, numBuckets,
-      SaveMode.Append, seq)
+      SaveMode.Append, seq, writeMeta = false)
   }
 
   /** Retire documents: append (id, seq) tombstones killing every indexed

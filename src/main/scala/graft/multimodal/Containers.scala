@@ -290,8 +290,8 @@ object Containers {
     // with a real member name), n_bytes = unconsumed bytes. A cap that
     // lands exactly on the zero end-marker block is a COMPLETE walk,
     // not a truncation — the remaining bytes are framing.
-    else if (idx >= maxEntries && !done && i + 512 <= b.length &&
-        !allZero(b, i, 512))
+    else if (idx >= maxEntries && !done && i < b.length &&
+        !allZero(b, i, math.min(512, b.length - i)))
       out += TarEntry(id, idx, 0, "__truncated__", (b.length - i).toLong, "")
     out.result()
   }

@@ -900,6 +900,11 @@ object Multimodal {
     else (sizes, offsets) match {
       case (None, None) => Left("no_table")
       case (Some(sz), Some(off)) =>
+        // An empty-but-valid track (stsz n=0 with an offset table) has
+        // nothing to extract and nothing to distrust: Right(Nil), not
+        // "corrupt" — the default one-chunk map below would otherwise
+        // trip walkChunkedSamples' samples_per_chunk<=0 guard.
+        if (sz.isEmpty) return Right(Nil)
         stscMap match {
           case Some(map) => walkChunkedSamples(b, sz, off, map)
           case None if off.length == 1 =>

@@ -673,15 +673,21 @@ object Queries {
   private val standingCent =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def trainedCentroids(spark: SparkSession, dir: String): DataFrame = {
-    val p = standingCent.computeIfAbsent(dir, _ => {
+    // The train+write Spark job runs OUTSIDE the map's bin lock
+    // (computeIfAbsent would hold it for the job's duration,
+    // serializing unrelated dirs that hash to the same bin and
+    // deadlocking on re-entry); racing trainings are identical and
+    // putIfAbsent keeps exactly one — the loser's temp dir is merely
+    // an orphan the JVM exit reaps.
+    val p = Option(standingCent.get(dir)).getOrElse {
       val emb = tbl(spark, dir, "embeddings")
       val out = java.nio.file.Files.createTempDirectory("graft-cent-standing").toString
       // one file: centroid count is corpus/stride — bounded small
       graft.ann.Ann.ivfTrainCentroids(emb, "vec_id", "embedding",
           stride = 16, iters = 2)
         .coalesce(1).write.mode("overwrite").parquet(out)
-      out
-    })
+      Option(standingCent.putIfAbsent(dir, out)).getOrElse(out)
+    }
     spark.read.parquet(p)
   }
 
@@ -1682,13 +1688,15 @@ object Queries {
     val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("text"))
     val idx = tmpLifecycleDir("graft-q118")
     val standing = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
-    // 4 buckets × 16 bands = 64 partition dirs — gate-sized (the write
-    // cost is dir-count-bound; measured 4.7 s at 128 dirs vs 2.3 s at
-    // 64 for the same data); a 100 TB corpus uses O(thousands) so each
-    // (band, bucket) partition stays executor-sized
+    // 2 buckets × 16 bands = 32 partition dirs — gate-sized (the write
+    // cost is dir-count-bound; same-JVM A/B at sf0.1 measured the
+    // write+append pair at ~2.4 s with 32 dirs vs ~5.1 s with 64, and
+    // earlier 4.7 s at 128 — each halving of dirs roughly halves the
+    // committer cost at this data size); a 100 TB corpus uses
+    // O(thousands) so each (band, bucket) partition stays executor-sized
     graft.dedup.LshDiskIndex.write(
       standing.where(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text",
-      idx, numBuckets = 4, seq = 1L)
+      idx, numBuckets = 2, seq = 1L)
     graft.dedup.LshDiskIndex.append(
       standing.where(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text",
       idx, seq = 2L)

@@ -58,8 +58,13 @@ object TokenizerStore {
 
   /** The folded learning state: one row per word with net freq > 0.
     * Stamped increments (cseq non-null) first collapse to one row per
-    * (cseq, word) — `min` is the identity on replay rows, which are
-    * bit-identical — then everything sums; unstamped rows sum as-is. */
+    * (cseq, word) — replay rows are bit-identical, so min == max and
+    * either is the one true value. A seq replayed with a NON-identical
+    * batch (a day re-run after a config or upstream change without
+    * clearing counts) would silently merge wrong state, so the fold
+    * ASSERTS identity: min != max within a (cseq, word) group raises
+    * in-plan rather than collapsing to an arbitrary pick; unstamped
+    * rows sum as-is. */
   def foldedCounts(spark: SparkSession, root: String): DataFrame = {
     val path = countsPath(root)
     // mergeSchema: a mixed-vintage counts dir (pre-cseq files + stamped
@@ -69,9 +74,16 @@ object TokenizerStore {
     val rows = if (raw.columns.contains("cseq")) raw
       else raw.withColumn("cseq", lit(null).cast("long"))
     rows.groupBy(col("cseq"), col("word"))
-      .agg(min(col("freq")).as("one"), sum(col("freq")).as("all"))
+      .agg(min(col("freq")).as("one"), max(col("freq")).as("mx"),
+        sum(col("freq")).as("all"))
       .select(col("word"),
-        when(col("cseq").isNull, col("all")).otherwise(col("one")).as("freq"))
+        when(col("cseq").isNull, col("all"))
+          .when(col("one") =!= col("mx"), raise_error(concat(
+            lit("TokenizerStore: seq "), col("cseq").cast("string"),
+            lit(" was replayed with a non-identical batch (word '"),
+            col("word"), lit("' has conflicting freqs) — clear or "),
+            lit("re-stamp the day's counts before re-running"))).cast("long"))
+          .otherwise(col("one")).as("freq"))
       .groupBy(col("word")).agg(sum(col("freq")).as("freq"))
       .where(col("freq") > 0)
   }
