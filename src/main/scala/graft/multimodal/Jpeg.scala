@@ -1,21 +1,28 @@
 package graft.multimodal
 
-/** REAL baseline JPEG pixel decode — the third real image/audio codec
+/** REAL JPEG pixel decode — the third real image/audio codec
   * path (PNG pixels: inflate + unfilter; WAV: PCM samples; this:
   * entropy decode + dequant + IDCT), built from the public T.81 spec.
   *
   * Scope (documented, loudly rejected otherwise): baseline sequential
-  * DCT (SOF0), 8-bit precision, grayscale / 4:4:4 / 4:2:0 (luma 2×2,
+  * DCT (SOF0) AND progressive DCT (SOF2 — spectral selection +
+  * successive approximation, the most common real-world JPEG family),
+  * 8-bit precision, grayscale / 4:4:4 / 4:2:0 (luma 2×2,
   * chroma 1×1 — the dominant real-world layout; chroma planes decode
   * at half resolution and upsample by index scaling at the color
-  * conversion), single interleaved scan, WITH restart-interval support
+  * conversion), WITH restart-interval support
   * (DRI + RSTm markers: bit-reader realignment, DC predictor reset,
   * modulo-8 marker sequence checking — q127's fixtures exercise it).
-  * Progressive and other sampling layouts surface as None
+  * Progressive streams run the multi-scan path ([[
+  * decodeProgressivePixels]]): DC first/refinement scans (interleaved
+  * or single-component), per-component AC first/refinement scans with
+  * EOB-run decoding (T.81 G.1.2), coefficients accumulated across
+  * scans and IDCT'd once at EOI. Arithmetic coding, hierarchical mode,
+  * 12-bit precision, and other sampling layouts surface as None
   * (format="unknown" in the stats frame), never as garbage pixels —
-  * and a corpus can QUANTIFY the progressive refusal rate without
-  * decoding: [[Multimodal.decodeImageHeaders]] classifies the SOF
-  * family per payload (the q77 coding column).
+  * and a corpus can QUANTIFY the refusal rate without decoding:
+  * [[Multimodal.decodeImageHeaders]] classifies the SOF family per
+  * payload (the q77 coding column).
   *
   * The fixture encoder ([[dcOnlyBytes]]) emits REAL JPEGs — custom
   * canonical Huffman tables in DHT, FF-stuffed entropy data — whose
@@ -152,6 +159,38 @@ object Jpeg {
   private def be16(b: Array[Byte], i: Int): Int =
     ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
 
+  /** Per-component sample planes → interleaved RGB (grayscale expands
+    * to R=G=B): index-scaling upsample of subsampled chroma + the
+    * JFIF/CCIR 601 full-range conversion, shared by the baseline and
+    * progressive paths. `comps` rows are (id, tq, hSamp, vSamp). */
+  private def planesToRgb(w: Int, h: Int, comps: Array[(Int, Int, Int, Int)],
+      planes: Array[Array[Int]], planeW: Seq[Int],
+      maxH: Int, maxV: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h * 3)
+    var yy = 0
+    while (yy < h) {
+      var xx = 0
+      while (xx < w) {
+        val o = (yy * w + xx) * 3
+        def smp(ci: Int): Int = planes(ci)(
+          (yy * comps(ci)._4 / maxV) * planeW(ci) + xx * comps(ci)._3 / maxH)
+        val p0 = smp(0)
+        if (comps.length == 1) {
+          out(o) = p0.toByte; out(o + 1) = p0.toByte; out(o + 2) = p0.toByte
+        } else {
+          val cb = smp(1) - 128
+          val cr = smp(2) - 128
+          out(o) = clamp8(p0 + 1.402 * cr).toByte
+          out(o + 1) = clamp8(p0 - 0.344136 * cb - 0.714136 * cr).toByte
+          out(o + 2) = clamp8(p0 + 1.772 * cb).toByte
+        }
+        xx += 1
+      }
+      yy += 1
+    }
+    out
+  }
+
   /** Decode a baseline JPEG to interleaved 8-bit RGB (grayscale
     * expands to R=G=B). Returns (w, h, components-in-source, rgb);
     * None outside the documented scope or on any malformed structure.
@@ -226,9 +265,11 @@ object Jpeg {
               if (!ok) return None
               if (w <= 0 || h <= 0) return None
               sof = Some((w, h, comps))
-            case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+            case 0xc2 => // progressive DCT: the multi-scan path
+              return decodeProgressivePixels(b)
+            case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
                  0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
-              return None // non-baseline SOF
+              return None // extended/lossless/arithmetic/hierarchical SOF
             case 0xdd => // DRI: restart interval in MCUs (0 = none)
               dri = be16(b, body)
             case 0xda => // SOS — decode the scan and return
@@ -315,29 +356,8 @@ object Jpeg {
                 }
                 my += 1
               }
-              val out = new Array[Byte](w * h * 3)
-              var yy = 0
-              while (yy < h) {
-                var xx = 0
-                while (xx < w) {
-                  val o = (yy * w + xx) * 3
-                  def smp(ci: Int): Int = planes(ci)(
-                    (yy * comps(ci)._4 / maxV) * planeW(ci) + xx * comps(ci)._3 / maxH)
-                  val p0 = smp(0)
-                  if (comps.length == 1) {
-                    out(o) = p0.toByte; out(o + 1) = p0.toByte; out(o + 2) = p0.toByte
-                  } else {
-                    val cb = smp(1) - 128
-                    val cr = smp(2) - 128
-                    out(o) = clamp8(p0 + 1.402 * cr).toByte
-                    out(o + 1) = clamp8(p0 - 0.344136 * cb - 0.714136 * cr).toByte
-                    out(o + 2) = clamp8(p0 + 1.772 * cb).toByte
-                  }
-                  xx += 1
-                }
-                yy += 1
-              }
-              return Some((w, h, comps.length, out))
+              return Some((w, h, comps.length,
+                planesToRgb(w, h, comps, planes, planeW, maxH, maxV)))
             case _ => () // APPn/COM/other: skip
           }
           i = j + 1 + segLen
@@ -345,6 +365,380 @@ object Jpeg {
       }
       None
     } catch { case _: MarkerHit | _: ArrayIndexOutOfBoundsException => None }
+
+  // ---- progressive DCT (SOF2) ---------------------------------------
+
+  /** Decode a progressive JPEG (T.81 Annex G: spectral selection +
+    * successive approximation) to interleaved 8-bit RGB — same output
+    * contract and sampling scope as the baseline path. Coefficients
+    * accumulate across scans in per-component stores (natural order
+    * per block) and dequant + IDCT run once at EOI:
+    *
+    *  - DC first scans (Ss=Se=0, Ah=0): Huffman DIFF decoding of the
+    *    2^Al-scaled values, interleaved MCU order when the scan carries
+    *    several components, component raster order otherwise.
+    *  - DC refinement (Ah>0): one raw bit per block, OR-ed at Al —
+    *    correct for negative values because the first scan's
+    *    arithmetic-shift floor leaves exactly the low bits to fill.
+    *  - AC first scans (Ss≥1, single component per T.81): run/size
+    *    coding with EOB-RUN (G.1.2.2) — an EOBn code ends 2^r+extra
+    *    blocks at once.
+    *  - AC refinement (G.1.2.3): correction bits for history-nonzero
+    *    coefficients (magnitude grows toward the sign, never flips),
+    *    new ±2^Al coefficients placed after their zero-history run,
+    *    EOB-RUN blocks still paying correction bits.
+    *
+    * Restart markers reset DC predictors AND the EOB run; intervals
+    * count MCUs in interleaved scans and blocks otherwise. Any
+    * malformed structure → None (never garbage pixels). */
+  def decodeProgressivePixels(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] =
+    try {
+      if (b == null || b.length < 4) return None
+      if ((b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+      val qt = new java.util.HashMap[Int, Array[Int]]()
+      val dcT = new java.util.HashMap[Int, Huff]()
+      val acT = new java.util.HashMap[Int, Huff]()
+      var sof: Option[(Int, Int, Array[(Int, Int, Int, Int)])] = None
+      var dri = 0
+      var coefs: Array[Array[Int]] = null // per comp, padded grid, 64/block
+      var wBlk: Array[Int] = null // padded block-grid width (MCU multiples)
+      var nbW: Array[Int] = null // non-interleaved block dims (unpadded)
+      var nbH: Array[Int] = null
+      var mcusX = 0; var mcusY = 0; var maxH = 1; var maxV = 1
+      var sawScan = false
+      var i = 2
+      while (i + 1 < b.length) {
+        if ((b(i) & 0xff) != 0xff) return None
+        var j = i + 1
+        while (j < b.length && (b(j) & 0xff) == 0xff) j += 1
+        if (j >= b.length) return None
+        val marker = b(j) & 0xff
+        if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) { i = j + 1 }
+        else if (marker == 0xd9) { // EOI: finalize
+          val (w, h, comps) = sof.getOrElse(return None)
+          if (coefs == null || !sawScan) return None
+          val planeW = comps.indices.map(ci => wBlk(ci) * 8)
+          val planes = comps.indices.map(ci =>
+            new Array[Int](planeW(ci) * mcusY * comps(ci)._4 * 8)).toArray
+          var ci = 0
+          while (ci < comps.length) {
+            val q = qt.get(comps(ci)._2); if (q == null) return None
+            // only the unpadded grid reaches pixels; padded MCU blocks
+            // exist for interleaved-DC addressing and are cropped here
+            var by = 0
+            while (by < nbH(ci)) {
+              var bx = 0
+              while (bx < nbW(ci)) {
+                val base = (by * wBlk(ci) + bx) * 64
+                val coef = new Array[Int](64)
+                var k = 0
+                while (k < 64) { coef(k) = coefs(ci)(base + k) * q(k); k += 1 }
+                val px = idctBlock(coef)
+                var yy = 0
+                while (yy < 8) {
+                  var xx = 0
+                  while (xx < 8) {
+                    planes(ci)((by * 8 + yy) * planeW(ci) + bx * 8 + xx) =
+                      px(yy * 8 + xx)
+                    xx += 1
+                  }
+                  yy += 1
+                }
+                bx += 1
+              }
+              by += 1
+            }
+            ci += 1
+          }
+          return Some((w, h, comps.length,
+            planesToRgb(w, h, comps, planes, planeW, maxH, maxV)))
+        }
+        else {
+          if (j + 2 >= b.length) return None
+          val segLen = be16(b, j + 1)
+          if (segLen < 2 || j + 1 + segLen > b.length) return None
+          val body = j + 3
+          var nextI = j + 1 + segLen
+          marker match {
+            case 0xc4 =>
+              var p = body
+              while (p < j + 1 + segLen) {
+                val tc = (b(p) & 0xff) >> 4; val th = b(p) & 0x0f
+                val counts = (1 to 16).map(k => b(p + k) & 0xff).toArray
+                val n = counts.sum
+                if (p + 17 + n > j + 1 + segLen) return None
+                val syms = (0 until n).map(k => b(p + 17 + k) & 0xff).toArray
+                val hf = new Huff(counts, syms)
+                if (tc == 0) dcT.put(th, hf) else acT.put(th, hf)
+                p += 17 + n
+              }
+            case 0xdb =>
+              var p = body
+              while (p < j + 1 + segLen) {
+                val pq = (b(p) & 0xff) >> 4; val tq = b(p) & 0x0f
+                if (pq != 0) return None
+                if (p + 65 > j + 1 + segLen) return None
+                val tab = new Array[Int](64)
+                var k = 0
+                while (k < 64) { tab(Zigzag(k)) = b(p + 1 + k) & 0xff; k += 1 }
+                qt.put(tq, tab)
+                p += 65
+              }
+            case 0xc2 =>
+              if (sof.isDefined) return None // one frame header only
+              val precision = b(body) & 0xff
+              val h = be16(b, body + 1); val w = be16(b, body + 3)
+              val nc = b(body + 5) & 0xff
+              if (precision != 8 || (nc != 1 && nc != 3)) return None
+              val comps = (0 until nc).map { c =>
+                val o = body + 6 + 3 * c
+                val hv = b(o + 1) & 0xff
+                (b(o) & 0xff, b(o + 2) & 0xff, (hv >> 4) & 0x0f, hv & 0x0f)
+              }.toArray
+              val ok = comps.forall(c => c._3 == 1 && c._4 == 1) ||
+                (nc == 3 && comps(0)._3 == 2 && comps(0)._4 == 2 &&
+                  comps.tail.forall(c => c._3 == 1 && c._4 == 1))
+              if (!ok) return None
+              if (w <= 0 || h <= 0) return None
+              sof = Some((w, h, comps))
+              maxH = comps.map(_._3).max; maxV = comps.map(_._4).max
+              mcusX = (w + 8 * maxH - 1) / (8 * maxH)
+              mcusY = (h + 8 * maxV - 1) / (8 * maxV)
+              wBlk = comps.map(c => mcusX * c._3)
+              nbW = comps.map { c =>
+                val compW = (w * c._3 + maxH - 1) / maxH
+                (compW + 7) / 8
+              }
+              nbH = comps.map { c =>
+                val compH = (h * c._4 + maxV - 1) / maxV
+                (compH + 7) / 8
+              }
+              coefs = comps.indices.map(ci =>
+                new Array[Int](wBlk(ci) * mcusY * comps(ci)._4 * 64)).toArray
+            case 0xc0 | 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+                 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+              return None // a second, non-progressive frame header
+            case 0xdd => dri = be16(b, body)
+            case 0xda =>
+              val (_, _, comps) = sof.getOrElse(return None)
+              sawScan = true
+              val ns = b(body) & 0xff
+              if (ns < 1 || ns > comps.length) return None
+              val scomps = (0 until ns).map { c =>
+                val cid = b(body + 1 + 2 * c) & 0xff
+                val tt = b(body + 2 + 2 * c) & 0xff
+                val ci = comps.indexWhere(_._1 == cid)
+                if (ci < 0) return None
+                (ci, (tt >> 4) & 0x0f, tt & 0x0f)
+              }.toArray
+              val ss = b(body + 1 + 2 * ns) & 0xff
+              val se = b(body + 2 + 2 * ns) & 0xff
+              val a = b(body + 3 + 2 * ns) & 0xff
+              val ah = (a >> 4) & 0x0f; val al = a & 0x0f
+              if (ss == 0 && se != 0) return None // DC scan is exactly [0,0]
+              if (ss > 0 && (ns != 1 || se < ss || se > 63)) return None
+              if (al > 13 || (ah != 0 && ah != al + 1)) return None
+              val r = new BitReader(b, j + 1 + segLen)
+              if (ss == 0)
+                decodeDcScan(r, scomps, comps, coefs, wBlk, nbW, nbH,
+                  mcusX, mcusY, dcT, ah, al, dri)
+              else
+                decodeAcScan(r, scomps(0)._1, scomps(0)._3, coefs, wBlk,
+                  nbW, nbH, acT, ss, se, ah, al, dri)
+              // scan entropy data ends mid-byte; resync to the next
+              // true marker (skipping FF00 stuffing and stray RSTs)
+              var p = r.pos
+              var found = -1
+              while (found < 0 && p + 1 < b.length) {
+                if ((b(p) & 0xff) != 0xff) p += 1
+                else {
+                  val m2 = b(p + 1) & 0xff
+                  if (m2 == 0x00) p += 2
+                  else if (m2 >= 0xd0 && m2 <= 0xd7) p += 2
+                  else if (m2 == 0xff) p += 1
+                  else found = p
+                }
+              }
+              if (found < 0) return None
+              nextI = found
+            case _ => ()
+          }
+          i = nextI
+        }
+      }
+      None
+    } catch {
+      case _: MarkerHit | _: ArrayIndexOutOfBoundsException |
+           _: NegativeArraySizeException => None
+    }
+
+  /** One DC scan (first or refinement) into the coefficient stores. */
+  private def decodeDcScan(r: BitReader,
+      scomps: Array[(Int, Int, Int)], comps: Array[(Int, Int, Int, Int)],
+      coefs: Array[Array[Int]], wBlk: Array[Int],
+      nbW: Array[Int], nbH: Array[Int], mcusX: Int, mcusY: Int,
+      dcT: java.util.HashMap[Int, Huff], ah: Int, al: Int, dri: Int): Unit = {
+    val pred = new Array[Int](scomps.length)
+    var unit = 0 // MCU (interleaved) or block (single-component) counter
+    var rstSeq = 0
+    def restartIfDue(): Unit =
+      if (dri > 0 && unit > 0 && unit % dri == 0) {
+        r.expectRestart(rstSeq)
+        rstSeq = (rstSeq + 1) % 8
+        java.util.Arrays.fill(pred, 0)
+      }
+    def block(si: Int, ci: Int, blockIdx: Int): Unit = {
+      val base = blockIdx * 64
+      if (ah == 0) {
+        val dc = dcT.get(scomps(si)._2)
+        if (dc == null) throw new MarkerHit(-7)
+        val t = dc.decode(r)
+        if (t > 15) throw new MarkerHit(-7)
+        pred(si) += extend(r.readBits(t), t)
+        coefs(ci)(base) = pred(si) << al
+      } else if (r.readBit() == 1) coefs(ci)(base) |= 1 << al
+    }
+    if (scomps.length > 1) {
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          restartIfDue(); unit += 1
+          var si = 0
+          while (si < scomps.length) {
+            val ci = scomps(si)._1
+            val (hS, vS) = (comps(ci)._3, comps(ci)._4)
+            var byy = 0
+            while (byy < vS) {
+              var bxx = 0
+              while (bxx < hS) {
+                block(si, ci, (my * vS + byy) * wBlk(ci) + mx * hS + bxx)
+                bxx += 1
+              }
+              byy += 1
+            }
+            si += 1
+          }
+          mx += 1
+        }
+        my += 1
+      }
+    } else {
+      val ci = scomps(0)._1
+      var by = 0
+      while (by < nbH(ci)) {
+        var bx = 0
+        while (bx < nbW(ci)) {
+          restartIfDue(); unit += 1
+          block(0, ci, by * wBlk(ci) + bx)
+          bx += 1
+        }
+        by += 1
+      }
+    }
+  }
+
+  /** One AC scan (first or refinement) over a single component's
+    * non-interleaved block raster. */
+  private def decodeAcScan(r: BitReader, ci: Int, ta: Int,
+      coefs: Array[Array[Int]], wBlk: Array[Int],
+      nbW: Array[Int], nbH: Array[Int],
+      acT: java.util.HashMap[Int, Huff],
+      ss: Int, se: Int, ah: Int, al: Int, dri: Int): Unit = {
+    val ac = acT.get(ta)
+    if (ac == null) throw new MarkerHit(-8)
+    val coef = coefs(ci)
+    var eobrun = 0
+    var unit = 0
+    var rstSeq = 0
+    val p1 = 1 << al
+    var by = 0
+    while (by < nbH(ci)) {
+      var bx = 0
+      while (bx < nbW(ci)) {
+        if (dri > 0 && unit > 0 && unit % dri == 0) {
+          r.expectRestart(rstSeq)
+          rstSeq = (rstSeq + 1) % 8
+          eobrun = 0
+        }
+        unit += 1
+        val base = (by * wBlk(ci) + bx) * 64
+        if (ah == 0) { // AC first scan (G.1.2.2)
+          if (eobrun > 0) eobrun -= 1
+          else {
+            var k = ss
+            while (k <= se) {
+              val rs = ac.decode(r)
+              val run = rs >> 4; val s = rs & 0x0f
+              if (s != 0) {
+                k += run
+                if (k > se) throw new MarkerHit(-9)
+                coef(base + Zigzag(k)) = extend(r.readBits(s), s) << al
+                k += 1
+              } else if (run == 15) k += 16
+              else {
+                eobrun = (1 << run) - 1
+                if (run > 0) eobrun += r.readBits(run)
+                k = se + 1
+              }
+            }
+          }
+        } else { // AC refinement scan (G.1.2.3)
+          def refine(c: Int): Unit =
+            if (r.readBit() == 1 && (coef(c) & p1) == 0)
+              coef(c) += (if (coef(c) >= 0) p1 else -p1)
+          var k = ss
+          if (eobrun == 0) {
+            var brk = false
+            while (k <= se && !brk) {
+              val rs = ac.decode(r)
+              var run = rs >> 4
+              val s = rs & 0x0f
+              var newval = 0
+              if (s == 0) {
+                if (run != 15) {
+                  // unlike the first scan, the EOB run INCLUDES the
+                  // current block — its remaining positions still pay
+                  // correction bits in the sweep below, then the run
+                  // decrements there
+                  eobrun = 1 << run
+                  if (run > 0) eobrun += r.readBits(run)
+                  brk = true
+                }
+                // run == 15 (ZRL): skip 16 zero-history coefficients
+              } else {
+                if (s != 1) throw new MarkerHit(-10)
+                newval = if (r.readBit() == 1) p1 else -p1
+              }
+              if (!brk) {
+                var placed = false
+                while (k <= se && !placed) {
+                  val c = base + Zigzag(k)
+                  if (coef(c) != 0) refine(c)
+                  else if (run == 0) {
+                    if (s != 0) coef(c) = newval
+                    placed = true
+                  } else run -= 1
+                  k += 1
+                }
+                if (!placed && s != 0) throw new MarkerHit(-11)
+              }
+            }
+          }
+          if (eobrun > 0) { // EOB-run blocks still pay correction bits
+            while (k <= se) {
+              val c = base + Zigzag(k)
+              if (coef(c) != 0) refine(c)
+              k += 1
+            }
+            eobrun -= 1
+          }
+        }
+        bx += 1
+      }
+      by += 1
+    }
+  }
 
   // ---- fixture encoder: REAL DC-only baseline JPEG ------------------
 
@@ -449,6 +843,200 @@ object Jpeg {
       by += 1
     }
     bw.flushOnes()
+    m(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Encode `w`×`h` (multiples of 8) as a REAL progressive JPEG
+    * (SOF2) over caller-supplied QUANTIZED coefficients:
+    * `coefVal(bx, by, c, k)` is block (bx, by) of component c's
+    * coefficient at NATURAL index k (0 = DC; quantization is q(0)=8,
+    * q(k>0)=1, so a DC-only pattern `p - 128` dequantizes to
+    * 8·(p−128) and IDCTs to the exact constant block p — the q124
+    * closed-form, now reached through four-plus scans). Scan
+    * progression, mirroring the decode dual exactly:
+    *
+    *   1. DC first, ALL components interleaved, Al=1 (diffs of the
+    *      arithmetic-shifted values)
+    *   2. DC refinement, Ah=1→Al=0 (one raw low bit per block)
+    *   3. per component: AC first, Ss=1..63, Al=1 — run/size coding
+    *      of the shifted coefficients with EOB runs MERGED across
+    *      all-zero blocks (a multi-block EOBn exercises the run
+    *      decoder, not just plain EOB)
+    *   4. per component: AC refinement, Al=0 — correction bits for
+    *      history-nonzero coefficients, new ±1 coefficients placed
+    *      after their zero-history runs (ZRL-split when > 16), EOB
+    *      runs carrying the covered blocks' correction bits.
+    *
+    * Sampling is 1×1 (grayscale / 4:4:4); comps = 1 or 3. New-in-
+    * refinement coefficients must have |value| == 1 and history
+    * values |value| ≥ 2 carry their low bit as the correction —
+    * both are properties of ANY integer pattern, so every coefficient
+    * assignment is encodable. */
+  def progressiveBytes(w: Int, h: Int, comps: Int,
+      coefVal: (Int, Int, Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w % 8 == 0 && h % 8 == 0,
+      s"progressiveBytes: dims must be positive multiples of 8, got ${w}x$h")
+    require(comps == 1 || comps == 3, s"comps must be 1 or 3: $comps")
+    val out = new java.io.ByteArrayOutputStream()
+    def m(mk: Int): Unit = { out.write(0xff); out.write(mk) }
+    def w16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    m(0xd8) // SOI
+    m(0xe0); w16(16)
+    out.write(Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0), 0, 14)
+    // DQT: zigzag position 0 (the DC) quantizes by 8, the rest by 1
+    m(0xdb); w16(2 + 65); out.write(0x00)
+    out.write(8); (1 until 64).foreach(_ => out.write(1))
+    // SOF2
+    m(0xc2); w16(8 + 3 * comps); out.write(8); w16(h); w16(w); out.write(comps)
+    (1 to comps).foreach { id => out.write(id); out.write(0x11); out.write(0) }
+    // DHT DC 0: 12 categories at 4 bits (code of category t IS t)
+    m(0xc4); w16(2 + 17 + 12); out.write(0x00)
+    Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).foreach(out.write)
+    (0 until 12).foreach(out.write)
+    // DHT AC 0: the UNIVERSAL table — symbols 0x00..0xFE at 8 bits
+    // (canonical code = symbol value), 0xFF at 9 bits (code 510); every
+    // (run, size) pair is encodable, so the encoder never needs a
+    // per-image table build
+    m(0xc4); w16(2 + 17 + 256); out.write(0x10)
+    Array(0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0).foreach(out.write)
+    (0 until 256).foreach(out.write)
+    def huffAc(bw: BitWriter, sym: Int): Unit =
+      if (sym < 255) bw.write(sym, 8) else bw.write(510, 9)
+    def sos(scomps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      m(0xda); w16(6 + 2 * scomps.length); out.write(scomps.length)
+      scomps.foreach { id => out.write(id); out.write(0x00) }
+      out.write(ss); out.write(se); out.write((ah << 4) | al)
+    }
+    val (nbx, nby) = (w / 8, h / 8)
+    def eachBlock(f: (Int, Int) => Unit): Unit = {
+      var by = 0
+      while (by < nby) {
+        var bx = 0
+        while (bx < nbx) { f(bx, by); bx += 1 }
+        by += 1
+      }
+    }
+    // --- scan 1: DC first, interleaved, Al=1 ---
+    sos(1 to comps, 0, 0, 0, 1)
+    val bw1 = new BitWriter(out)
+    val pred = new Array[Int](comps)
+    eachBlock { (bx, by) =>
+      var c = 0
+      while (c < comps) {
+        val va = coefVal(bx, by, c, 0) >> 1 // arithmetic shift = T.81 point transform
+        val diff = va - pred(c); pred(c) = va
+        val t = dcCategory(diff)
+        require(t <= 11, s"DC diff $diff out of the 12-category table")
+        bw1.write(t, 4)
+        if (t > 0) bw1.write(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+        c += 1
+      }
+    }
+    bw1.flushOnes()
+    // --- scan 2: DC refinement, Al=0 ---
+    sos(1 to comps, 0, 0, 1, 0)
+    val bw2 = new BitWriter(out)
+    eachBlock { (bx, by) =>
+      var c = 0
+      while (c < comps) { bw2.write(coefVal(bx, by, c, 0) & 1, 1); c += 1 }
+    }
+    bw2.flushOnes()
+    // EOB-run flush shared by both AC scans: n covered blocks, each
+    // carrying its (possibly empty) correction-bit list
+    def flushEob(bw: BitWriter, blocks: scala.collection.mutable.ArrayBuffer[Seq[Int]]): Unit = {
+      var idx = 0
+      while (idx < blocks.length) {
+        val n = math.min(blocks.length - idx, 32767)
+        var r = 0
+        while ((1 << (r + 1)) <= n) r += 1
+        huffAc(bw, r << 4)
+        if (r > 0) bw.write(n - (1 << r), r)
+        var k = 0
+        while (k < n) { blocks(idx + k).foreach(bit => bw.write(bit, 1)); k += 1 }
+        idx += n
+      }
+      blocks.clear()
+    }
+    var c = 0
+    while (c < comps) {
+      // --- AC first, Ss=1..63, Al=1 ---
+      sos(Seq(c + 1), 1, 63, 0, 1)
+      val bw3 = new BitWriter(out)
+      val eob3 = scala.collection.mutable.ArrayBuffer.empty[Seq[Int]]
+      eachBlock { (bx, by) =>
+        val t = Array.tabulate(64)(k => coefVal(bx, by, c, k) / 2) // trunc toward 0
+        val lastNz = (63 to 1 by -1).find(k => t(Zigzag(k)) != 0).getOrElse(0)
+        if (lastNz == 0) eob3 += Nil // all-zero block joins the EOB run
+        else {
+          flushEob(bw3, eob3)
+          var run = 0
+          var k = 1
+          while (k <= lastNz) {
+            val v = t(Zigzag(k))
+            if (v == 0) run += 1
+            else {
+              while (run >= 16) { huffAc(bw3, 0xf0); run -= 16 }
+              val s = dcCategory(v)
+              huffAc(bw3, (run << 4) | s)
+              bw3.write(if (v < 0) v + (1 << s) - 1 else v, s)
+              run = 0
+            }
+            k += 1
+          }
+          if (lastNz < 63) eob3 += Nil // trailing zeros: this block opens a run
+        }
+      }
+      flushEob(bw3, eob3)
+      bw3.flushOnes()
+      // --- AC refinement, Al=0 — the decoder walk's exact dual ---
+      sos(Seq(c + 1), 1, 63, 1, 0)
+      val bw4 = new BitWriter(out)
+      val eob4 = scala.collection.mutable.ArrayBuffer.empty[Seq[Int]]
+      eachBlock { (bx, by) =>
+        val cur = Array.tabulate(64)(k => coefVal(bx, by, c, k))
+        val hist = cur.map(_ / 2)
+        def corrBit(k: Int): Int = math.abs(cur(Zigzag(k))) & 1
+        val news = (1 to 63).filter(k =>
+          hist(Zigzag(k)) == 0 && cur(Zigzag(k)) != 0)
+        news.foreach(k => require(math.abs(cur(Zigzag(k))) == 1,
+          s"new-in-refinement coefficient must be ±1 at zigzag $k"))
+        if (news.isEmpty)
+          eob4 += (1 to 63).filter(k => hist(Zigzag(k)) != 0).map(corrBit)
+        else {
+          flushEob(bw4, eob4)
+          var k = 1
+          news.foreach { p =>
+            // zero-history run length up to the placement position
+            var z = (k until p).count(q => hist(Zigzag(q)) == 0)
+            while (z >= 16) {
+              // ZRL: consumes 16 zero-history positions, paying the
+              // correction bits of history-nonzero ones passed
+              huffAc(bw4, 0xf0)
+              var consumed = 0
+              while (consumed < 16) {
+                if (hist(Zigzag(k)) != 0) bw4.write(corrBit(k), 1)
+                else consumed += 1
+                k += 1
+              }
+              z -= 16
+            }
+            huffAc(bw4, (z << 4) | 1)
+            bw4.write(if (cur(Zigzag(p)) > 0) 1 else 0, 1)
+            while (k < p) {
+              if (hist(Zigzag(k)) != 0) bw4.write(corrBit(k), 1)
+              k += 1
+            }
+            k = p + 1 // the placement position itself pays no bit
+          }
+          if (k <= 63) // trailing positions ride an EOB run
+            eob4 += (k to 63).filter(q => hist(Zigzag(q)) != 0).map(corrBit)
+        }
+      }
+      flushEob(bw4, eob4)
+      bw4.flushOnes()
+      c += 1
+    }
     m(0xd9) // EOI
     out.toByteArray
   }

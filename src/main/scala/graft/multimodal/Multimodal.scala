@@ -420,6 +420,34 @@ object Multimodal {
     }.toDF("media_id", "payload")
   }
 
+  /** Deterministic PROGRESSIVE JPEG corpus — [[
+    * jpegDcCorpusFromDocuments]]'s closed-form discipline through the
+    * SOF2 multi-scan path ([[Jpeg.progressiveBytes]]): id-derived
+    * block grid, DC-only coefficients delivered across four-plus
+    * scans (interleaved DC first at Al=1, DC refinement bits, per-
+    * component AC first + refinement whose EOB RUNS span the all-zero
+    * blocks), decoding to the same exact constant blocks — so the
+    * oracle replays pixels without replicating the decoder while the
+    * engine really runs spectral selection + successive approximation.
+    * Chroma for even ids comes from the verified rounding-safe set
+    * {88..168 step 20} (see jpegDcCorpusFromDocuments). */
+  def jpegProgressiveCorpusFromDocuments(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].map { id =>
+      val nbx = (java.lang.Math.floorMod(id, 3L) + 1).toInt
+      val nby = (java.lang.Math.floorMod(id, 2L) + 1).toInt
+      val comps = if (java.lang.Math.floorMod(id, 2L) == 0L) 3 else 1
+      val cb = (88L + 20L * java.lang.Math.floorMod(java.lang.Math.floorDiv(id, 3L), 5L)).toInt
+      val cr = (88L + 20L * java.lang.Math.floorMod(java.lang.Math.floorDiv(id, 3L) + 2L, 5L)).toInt
+      (id, Jpeg.progressiveBytes(nbx * 8, nby * 8, comps, (bx, by, c, k) =>
+        if (k != 0) 0
+        else (if (c == 0)
+          java.lang.Math.floorMod(37L * id + 19L * bx + 29L * by, 256L).toInt
+        else if (c == 1) cb else cr) - 128))
+    }.toDF("media_id", "payload")
+  }
+
   /** Deterministic 4:2:0 DC-only JPEG corpus — [[
     * jpegDcCorpusFromDocuments]]'s pattern for the subsampled layout:
     * id-derived MCU grid (1-2 × 1 MCUs of 16×16), luma per 8-block

@@ -181,15 +181,62 @@ object ScaleOps {
   def packTokenStream(df: DataFrame, keyCol: String, nTokensCol: String,
       binTokens: Long): DataFrame = {
     require(binTokens > 0, s"binTokens must be positive: $binTokens")
+    tokenStreamOffsets(df, keyCol, nTokensCol)
+      .withColumn("bin_id", expr(s"__excl div ${binTokens}L"))
+      .withColumn("bin_pos", col("__excl") % binTokens)
+      .drop("__excl", "__n")
+  }
+
+  /** The token stream's global EXCLUSIVE cumsum — each document's
+    * first-token offset `__excl` (plus its width `__n`) in the
+    * deterministic-shuffle concatenation order; the shared core of
+    * [[packTokenStream]] and [[packTokenSpans]]. Two-level: per-bucket
+    * totals (one bounded collect) + a within-bucket running sum. */
+  private def tokenStreamOffsets(df: DataFrame, keyCol: String,
+      nTokensCol: String): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val staged = df.withColumn("__n", coalesce(col(nTokensCol).cast("long"), lit(0L)))
     val w = Window.partitionBy(col("__b")).orderBy(col("__h").asc, col(keyCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     withBucketOffsets(staged, keyCol, parts, sum(col("__n")))
       .withColumn("__excl", sum(col("__n")).over(w) - col("__n") + col("__off"))
-      .withColumn("bin_id", expr(s"__excl div ${binTokens}L"))
-      .withColumn("bin_pos", col("__excl") % binTokens)
-      .drop("__h", "__b", "__off", "__excl", "__n")
+      .drop("__h", "__b", "__off")
+  }
+
+  /** Per-context-window DOCUMENT SPANS of the packed token stream — the
+    * metadata a loader needs to build attention masks over
+    * [[packTokenStream]]'s windows: one row per (window, document)
+    * intersection with
+    *
+    *   `bin_id`      the context window,
+    *   `bin_start`   where the document's slice begins WITHIN the window,
+    *   `doc_off`     where the slice begins within the document (0 unless
+    *                 the document straddled in from the previous window),
+    *   `span_tokens` the slice width.
+    *
+    * Within each window the spans tile it exactly: bin_start values are
+    * the prefix sums of span_tokens (ShardExportSpec pins the tiling
+    * invariant), so block-diagonal masks read straight off the rows.
+    * Zero-width documents carry no tokens into any window and emit no
+    * span. The explode is bounded per document by n/binTokens + 1 —
+    * linear in corpus tokens over the window size, the same output
+    * cardinality as the windows themselves. */
+  def packTokenSpans(df: DataFrame, keyCol: String, nTokensCol: String,
+      binTokens: Long): DataFrame = {
+    require(binTokens > 0, s"binTokens must be positive: $binTokens")
+    tokenStreamOffsets(df, keyCol, nTokensCol)
+      .where(col("__n") > 0)
+      .withColumn("bin_id", explode(sequence(
+        expr(s"__excl div ${binTokens}L"),
+        expr(s"(__excl + __n - 1) div ${binTokens}L"))))
+      .withColumn("bin_start",
+        greatest(col("__excl") - col("bin_id") * binTokens, lit(0L)))
+      .withColumn("doc_off",
+        greatest(col("bin_id") * binTokens - col("__excl"), lit(0L)))
+      .withColumn("span_tokens",
+        least(col("__excl") + col("__n"), (col("bin_id") + lit(1L)) * binTokens) -
+          greatest(col("__excl"), col("bin_id") * binTokens))
+      .drop("__excl", "__n")
   }
 
   /** Greedy first-fit-contiguous packing — the no-split variant (SFT /

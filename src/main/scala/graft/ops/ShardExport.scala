@@ -41,17 +41,47 @@ object ShardExport {
         expr("bit_xor(__idh)").as("ids_fp"))
   }
 
+  /** Per-document SPANS of each greedy-packed shard — the
+    * attention-mask metadata a loader needs when it concatenates a
+    * shard's documents into context windows: documents in the shard's
+    * PACK ORDER (avalanche-mixed id hash, then id — the
+    * packGreedyContiguous fold order, recomputed here since it is a
+    * pure function of the key) with `bin_start` = the exclusive token
+    * cumsum within the bin and `span_tokens` the document's width.
+    * Spans tile each bin exactly (ShardExportSpec pins the invariant),
+    * so block-diagonal masks read straight off the rows. The window
+    * partitions by (pack_bucket, pack_bin) — bins hold at most
+    * binTokens of documents, so no partition ever approaches global
+    * size. */
+  def spanIndex(packed: DataFrame, keyCol: String, nTokensCol: String): DataFrame = {
+    require(packed.columns.contains("pack_bucket") && packed.columns.contains("pack_bin"),
+      "spanIndex expects a packed frame (pack_bucket/pack_bin from packGreedyContiguous)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pack_bucket"), col("pack_bin"))
+      .orderBy(col("__h").asc, col(keyCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    packed
+      .withColumn("__n", coalesce(col(nTokensCol).cast("long"), lit(0L)))
+      .withColumn("__h", graft.functions.Mix48.mix48(
+        graft.text.TextFunctions.polyHash(col(keyCol).cast("string"), 1L << 48)))
+      .withColumn("bin_start", sum(col("__n")).over(w) - col("__n"))
+      .select(col("pack_bucket"), col("pack_bin"), col(keyCol),
+        col("bin_start"), col("__n").as("span_tokens"))
+  }
+
   /** Pack `df` into `binTokens`-bounded bins across `numBuckets` hash
     * buckets (greedy no-split — document integrity preserved), write one
-    * shard directory per bin under `outDir/shards/`, and land the
-    * manifest under `outDir/manifest/`. Returns the manifest frame. */
+    * shard directory per bin under `outDir/shards/`, the manifest under
+    * `outDir/manifest/`, and the per-document span index ([[spanIndex]])
+    * under `outDir/spans/`. Returns the manifest frame. */
   def writeShards(df: DataFrame, keyCol: String, nTokensCol: String,
       binTokens: Long, numBuckets: Int, outDir: String): DataFrame = {
-    // persist: the pack (scan + token cumsum + sort + fold) feeds both
-    // the shard write and the manifest aggregation — without it the
-    // most expensive stage runs twice. Local lifecycle (write is the
-    // terminal action here), so unpersist directly rather than via
-    // CacheScope.
+    // persist: the pack (scan + token cumsum + sort + fold) feeds the
+    // shard write, the manifest aggregation, and the span index —
+    // without it the most expensive stage runs three times. Local
+    // lifecycle (write is the terminal action here), so unpersist
+    // directly rather than via CacheScope.
     val packed = ScaleOps.packGreedyContiguous(df, keyCol, nTokensCol, binTokens, numBuckets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -60,6 +90,9 @@ object ShardExport {
         .partitionBy("pack_bucket", "pack_bin")
         .parquet(s"$outDir/shards")
       Lake.writeParquet(manifest(packed, keyCol, nTokensCol), s"$outDir/manifest")
+      // one parquet dir, not per-shard files: the span table is tiny
+      // relative to payloads and a loader filters it by (bucket, bin)
+      Lake.writeParquet(spanIndex(packed, keyCol, nTokensCol), s"$outDir/spans")
       // return the landed manifest, not the in-memory plan: its lineage
       // would otherwise re-run the pack after the unpersist below
       Lake.readParquet(df.sparkSession, s"$outDir/manifest")

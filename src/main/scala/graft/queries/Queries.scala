@@ -2330,6 +2330,39 @@ object Queries {
       .withColumn("recall_bp", expr("(10000 * n_hit) div k"))
   }
 
+  /** PROGRESSIVE JPEG decode through the gate — the q124 closed-form
+    * contract reached through the SOF2 multi-scan path instead of one
+    * baseline scan: payloads are real progressive streams
+    * ([[graft.multimodal.Jpeg.progressiveBytes]] — interleaved DC
+    * first scan at Al=1, DC refinement bits, per-component AC
+    * first/refinement scans whose EOB runs span the all-zero blocks),
+    * the engine accumulates coefficients across scans and IDCTs at
+    * EOI, and the oracle replays the closed-form constant blocks —
+    * a wrong successive-approximation shift, missed refinement bit,
+    * or broken EOB-run count shifts every pixel and hash-fails the
+    * aggregates. The most common real-world JPEG family stops being
+    * a refusal row (q77 counts the population this unlocks). */
+  def q152JpegProgressive(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.jpegProgressiveCorpusFromDocuments(
+      tbl(spark, dir, "documents"))
+    graft.multimodal.Multimodal.decodeJpegPixelStats(media).toDF()
+  }
+
+  /** Doc-boundary SPANS of the packed token stream through the gate —
+    * the q55 windows annotated with the attention-mask metadata a
+    * loader needs: one row per (context window, document) intersection
+    * with the slice's offset inside the window, its offset inside the
+    * DOCUMENT (non-zero exactly when the document straddled in from
+    * the previous window), and its width. Windows tile exactly
+    * (ShardExportSpec pins the invariant); the oracle replays the q55
+    * cumsum and the same interval arithmetic over a generated bin
+    * range — every value an integer. */
+  def q153PackSpans(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.ScaleOps.packTokenSpans(
+      tbl(spark, dir, "documents").select(col("doc_id"),
+        graft.text.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
+      "doc_id", "n_tokens", 256L)
+
   /** Shard PROVENANCE through the gate — which sources each training
     * shard mixes, and in what doc/token proportion: the verification a
     * loader-ops team runs after an export to confirm the data mixture
@@ -4559,6 +4592,37 @@ object Queries {
        |FROM c""".stripMargin
   }
 
+  /** q153 oracle: the q55 exclusive cumsum, then each document's
+    * window-intersection rows over a generated bin range (fixed
+    * uncorrelated range + BETWEEN filter — DuckDB's range() rejects
+    * correlated bounds) with the same interval arithmetic. */
+  private lazy val q153Oracle: String = {
+    val (chain, mixed) = duckMix48Scalar
+    s"""WITH h0 AS (
+       |  SELECT doc_id,
+       |    len(list_filter(string_split(lower(trim(text)), ' '), x -> x != '')) AS n,
+       |    ${duckPolyHash("CAST(doc_id AS VARCHAR)", 1L << 48)} AS h
+       |  FROM documents),
+       |mx AS (SELECT doc_id, n, h$chain FROM h0),
+       |c AS (
+       |  SELECT doc_id, n,
+       |    coalesce(sum(n) OVER (ORDER BY $mixed, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+       |  FROM mx),
+       |g AS (SELECT unnest(range(0,
+       |  (SELECT (1 + sum(n) // 256)::BIGINT FROM h0))) AS i),
+       |s AS (
+       |  SELECT c.doc_id, c.n, g.i AS bin_id, c.excl FROM c JOIN g
+       |    ON g.i BETWEEN c.excl // 256 AND (c.excl + c.n - 1) // 256
+       |  WHERE c.n > 0)
+       |SELECT doc_id, n::BIGINT AS n_tokens, bin_id::BIGINT AS bin_id,
+       |  greatest(excl - bin_id * 256, 0)::BIGINT AS bin_start,
+       |  greatest(bin_id * 256 - excl, 0)::BIGINT AS doc_off,
+       |  (least(excl + n, (bin_id + 1) * 256)
+       |    - greatest(excl, bin_id * 256))::BIGINT AS span_tokens
+       |FROM s""".stripMargin
+  }
+
   /** q56 oracle: the greedy first-fit fold replayed as a recursive CTE —
     * per mixed-hash bucket (8 buckets, the Spark side's numBuckets),
     * rows in (mixed, doc_id) order carry (bin, fill) state forward one
@@ -5084,7 +5148,9 @@ object Queries {
     "q148_pack_efficiency" -> (q148PackEfficiency _),
     "q149_ann_recall" -> (q149AnnRecall _),
     "q150_shard_provenance" -> (q150ShardProvenance _),
-    "q151_nprobe_sweep" -> (q151NprobeSweep _))
+    "q151_nprobe_sweep" -> (q151NprobeSweep _),
+    "q152_jpeg_progressive" -> (q152JpegProgressive _),
+    "q153_pack_spans" -> (q153PackSpans _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -5845,6 +5911,42 @@ object Queries {
     "q147_epoch_shuffle" -> q147Oracle,
     "q149_ann_recall" -> q149Oracle,
     "q151_nprobe_sweep" -> q151Oracle,
+    // the q124 closed-form replay under the progressive corpus's own
+    // block/chroma formulas — the decoder path differs (multi-scan
+    // SOF2), the pixels don't
+    "q153_pack_spans" -> q153Oracle,
+    "q152_jpeg_progressive" ->
+      """WITH d AS (
+        |  SELECT doc_id, ((doc_id % 3) + 1)::INTEGER AS nbx,
+        |         ((doc_id % 2) + 1)::INTEGER AS nby,
+        |         (CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END)::INTEGER AS channels,
+        |         (88 + 20 * ((doc_id // 3) % 5) - 128)::BIGINT AS c1,
+        |         (88 + 20 * (((doc_id // 3) + 2) % 5) - 128)::BIGINT AS c2
+        |  FROM documents),
+        |g AS (SELECT unnest(range(0, 3)) AS i),
+        |blk AS (
+        |  SELECT d.doc_id, d.channels, d.c1, d.c2,
+        |    ((37 * d.doc_id + 19 * gx.i + 29 * gy.i) % 256)::BIGINT AS p
+        |  FROM d JOIN g gx ON gx.i < d.nbx JOIN g gy ON gy.i < d.nby),
+        |px AS (
+        |  SELECT doc_id,
+        |    CASE WHEN channels = 1 THEN p ELSE
+        |      greatest(0, least(255, round(p + 1.402 * c2)))::BIGINT END AS r,
+        |    CASE WHEN channels = 1 THEN p ELSE
+        |      greatest(0, least(255, round(p - 0.344136 * c1 - 0.714136 * c2)))::BIGINT END AS gg,
+        |    CASE WHEN channels = 1 THEN p ELSE
+        |      greatest(0, least(255, round(p + 1.772 * c1)))::BIGINT END AS b
+        |  FROM blk),
+        |s AS (
+        |  SELECT doc_id, (64 * sum(r))::BIGINT AS sum_r,
+        |    (64 * sum(gg))::BIGINT AS sum_g, (64 * sum(b))::BIGINT AS sum_b,
+        |    (64 * sum(r * r))::BIGINT AS ssq_r, (64 * sum(gg * gg))::BIGINT AS ssq_g,
+        |    (64 * sum(b * b))::BIGINT AS ssq_b
+        |  FROM px GROUP BY 1)
+        |SELECT d.doc_id AS media_id, 'jpeg' AS format,
+        |  (8 * d.nbx)::INTEGER AS width, (8 * d.nby)::INTEGER AS height,
+        |  d.channels, s.sum_r, s.sum_g, s.sum_b, s.ssq_r, s.ssq_g, s.ssq_b
+        |FROM d JOIN s USING (doc_id)""".stripMargin,
     // the q56 fold replay joined back to the source dimension
     "q150_shard_provenance" ->
       s"""WITH RECURSIVE $duckPackChain

@@ -48,6 +48,18 @@ class DecoderFuzzSpec extends SparkSpec {
     fuzz("jpeg", base, Jpeg.decodeJpegPixels)
   }
 
+  test("progressive JPEG decoder survives 300 deterministic corruptions") {
+    // AC coefficients present, so the fuzz reaches the spectral-
+    // selection / refinement / EOB-run paths, not just the DC scans
+    val base = Jpeg.progressiveBytes(16, 16, 3, (bx, by, c, k) =>
+      if (k == 0) (bx * 50 + by * 90) % 256 - 128
+      else if (k == 9 && c == 0) 5
+      else if (k == 17 && c == 1) -3
+      else if (k == 2 && c == 2) 1
+      else 0)
+    fuzz("jpeg-progressive", base, Jpeg.decodeJpegPixels)
+  }
+
   test("WAV sample decoder survives 300 deterministic corruptions") {
     val body = Array.tabulate(64)(i => ((i * 37) % 256 - 128).toByte)
     val base = Multimodal.wavHeaderBytes(16000, 2, 16, body.length) ++ body

@@ -141,7 +141,9 @@ class JpegSpec extends SparkSpec {
     assert(Jpeg.decodeJpegPixels(Array[Byte](1, 2, 3)).isEmpty)
     assert(Jpeg.decodeJpegPixels(good.take(30)).isEmpty) // truncated tables
     assert(Jpeg.decodeJpegPixels(good.dropRight(8)).isEmpty) // truncated entropy+EOI
-    // progressive SOF2 -> rejected
+    // a BASELINE stream whose SOF marker is flipped to SOF2 routes to
+    // the progressive path and rejects there: a baseline scan header
+    // (Ss=0, Se=63) is not a legal progressive scan
     val prog = good.clone()
     val sofAt = (0 until prog.length - 1).find(i =>
       (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
@@ -177,5 +179,85 @@ class JpegSpec extends SparkSpec {
     val negStats = Multimodal.decodeJpegPixelStats(
       Multimodal.jpegDcCorpusFromDocuments(neg)).toDF().collect()
     assert(negStats.length == 1 && negStats(0).getString(1) == "jpeg")
+  }
+
+  test("progressive DC-only parity: multi-scan decode equals the baseline decode bit-for-bit") {
+    // same constants through two codings: one baseline scan vs DC
+    // first (Al=1) + DC refinement + per-component AC first/refine
+    // whose EOB runs span the all-zero blocks — any successive-
+    // approximation or EOB-run slip breaks the byte-array equality
+    for (id <- 0L until 24L) {
+      val nbx = (id % 3 + 1).toInt; val nby = (id % 2 + 1).toInt
+      val comps = if (id % 2 == 0) 3 else 1
+      def pv(bx: Int, by: Int, c: Int): Int =
+        if (c == 0) ((29 * id + 17 * bx + 23 * by) % 256).toInt
+        else if (c == 1) 108 else 148
+      val base = Jpeg.dcOnlyBytes(nbx * 8, nby * 8, comps, pv)
+      val prog = Jpeg.progressiveBytes(nbx * 8, nby * 8, comps,
+        (bx, by, c, k) => if (k == 0) pv(bx, by, c) - 128 else 0)
+      // the stream classifies as progressive at header level (q77)
+      assert(Multimodal.parseJpegHeader(prog)
+        .contains(("jpeg", nbx * 8, nby * 8, 8, comps, "progressive")))
+      val Some((w1, h1, c1, p1)) = Jpeg.decodeJpegPixels(base)
+      val Some((w2, h2, c2, p2)) = Jpeg.decodeJpegPixels(prog)
+      assert(w1 == w2 && h1 == h2 && c1 == c2, s"id=$id dims")
+      assert(java.util.Arrays.equals(p1, p2), s"id=$id pixels")
+    }
+  }
+
+  test("progressive AC coefficients decode exactly against a reference IDCT") {
+    // random sparse AC patterns: magnitudes >= 2 exercise first-scan
+    // placement + refinement correction bits, magnitudes == 1 the
+    // new-in-refinement path, runs >= 16 the ZRL split, all-zero
+    // stretches the EOB-run machinery; decoded grayscale must match
+    // an independent float IDCT of the dequantized coefficients
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 25) {
+      val coefs = Array.fill(64)(0)
+      coefs(0) = rnd.nextInt(200) - 100
+      for (_ <- 0 until (3 + rnd.nextInt(6)))
+        coefs(1 + rnd.nextInt(63)) = rnd.nextInt(13) - 6
+      val prog = Jpeg.progressiveBytes(8, 8, 1, (_, _, _, k) => coefs(k))
+      val Some((8, 8, 1, rgb)) = Jpeg.decodeJpegPixels(prog)
+      val deq = coefs.clone(); deq(0) = coefs(0) * 8 // the q(0)=8 table
+      for (y <- 0 until 8; x <- 0 until 8) {
+        var s = 0.0
+        for (v <- 0 until 8; u <- 0 until 8; if deq(v * 8 + u) != 0) {
+          val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
+          val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
+          s += cu * cv * deq(v * 8 + u) *
+            math.cos((2 * x + 1) * u * math.Pi / 16) *
+            math.cos((2 * y + 1) * v * math.Pi / 16)
+        }
+        val expect = math.max(0, math.min(255, Math.round(s / 4 + 128).toInt))
+        assert((rgb((y * 8 + x) * 3) & 0xff) == expect,
+          s"trial $trial pixel ($x,$y)")
+      }
+    }
+  }
+
+  test("progressive malformed scans are rejected, never misdecoded") {
+    val good = Jpeg.progressiveBytes(16, 8, 1,
+      (bx, by, _, k) => if (k == 0) (40 + 50 * bx + 90 * by) - 128 else 0)
+    assert(Jpeg.decodeJpegPixels(good).isDefined)
+    assert(Jpeg.decodeProgressivePixels(good.take(40)).isEmpty)
+    assert(Jpeg.decodeProgressivePixels(good.dropRight(6)).isEmpty) // truncated scans
+    // an AC scan claiming two components is illegal (T.81: Ss>0 => ns=1):
+    // find the first SOS with Ss=1 and bump its component count byte
+    def findSos(b: Array[Byte], pred: Int => Boolean): Int =
+      (0 until b.length - 9).find { i =>
+        (b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xda && pred(i)
+      }.get
+    val twoComp = good.clone()
+    val sosAt = findSos(twoComp, i => (twoComp(i + 4) & 0xff) == 1 &&
+      (twoComp(i + 7) & 0xff) == 1) // ns=1 scan whose Ss byte == 1
+    // rewriting ns to 2 misaligns the header fields -> must reject
+    twoComp(sosAt + 4) = 2.toByte
+    assert(Jpeg.decodeProgressivePixels(twoComp).isEmpty)
+    // successive approximation must step by one bit: Ah=3 with Al=0
+    val badAh = good.clone()
+    val sos2 = findSos(badAh, i => ((badAh(i + 9) & 0xff) >> 4) == 1)
+    badAh(sos2 + 9) = 0x30.toByte // Ah=3, Al=0
+    assert(Jpeg.decodeProgressivePixels(badAh).isEmpty)
   }
 }

@@ -35,6 +35,55 @@ class PackingSpec extends SparkSpec {
     assert(excl == docs.agg(sum($"n")).head().getLong(0)) // tokens conserved
   }
 
+  test("span table: windows tile exactly, documents reconstruct, stream parity") {
+    val spans = ScaleOps.packTokenSpans(docs, "doc_id", "n", B)
+      .select($"doc_id", $"bin_id", $"bin_start", $"doc_off", $"span_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val total = docs.agg(sum($"n")).head().getLong(0)
+    val lastBin = (total - 1) / B
+    // every window except the last is tiled EXACTLY: bin_starts are the
+    // prefix sums of span_tokens and they sum to B
+    for ((bin, rows) <- spans.groupBy(_._2)) {
+      val sorted = rows.sortBy(_._3)
+      var at = 0L
+      sorted.foreach { r =>
+        assert(r._3 == at, s"bin $bin: span at ${r._3}, tiling expects $at")
+        assert(r._5 > 0, s"bin $bin: zero-width span for doc ${r._1}")
+        at += r._5
+      }
+      if (bin < lastBin) assert(at == B, s"bin $bin covers $at of $B tokens")
+      else assert(at == total - lastBin * B)
+    }
+    // each document reconstructs: doc_offs contiguous from 0, widths sum
+    // to its token count; zero-width docs emit no span
+    val byDoc = spans.groupBy(_._1)
+    for ((id, n) <- docs.collect().map(r => (r.getLong(0), r.getLong(1)))) {
+      if (n == 0) assert(!byDoc.contains(id), s"doc $id: zero-width span emitted")
+      else {
+        val parts = byDoc(id).sortBy(_._4)
+        assert(parts.head._4 == 0L && parts.map(_._5).sum == n, s"doc $id")
+        parts.sliding(2).foreach {
+          case Array(a2, b2) => assert(a2._4 + a2._5 == b2._4, s"doc $id gap")
+          case _ => ()
+        }
+        // consecutive spans land in consecutive windows
+        parts.sliding(2).foreach {
+          case Array(a2, b2) => assert(a2._2 + 1 == b2._2, s"doc $id windows")
+          case _ => ()
+        }
+      }
+    }
+    // parity with the stream pack: each doc's FIRST span is at the q55
+    // (bin_id, bin_pos)
+    val stream = ScaleOps.packTokenStream(docs, "doc_id", "n", B)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    for ((id, rows) <- byDoc) {
+      val first = rows.minBy(_._2)
+      assert(stream(id) == (first._2, first._3), s"doc $id stream parity")
+    }
+  }
+
   test("stream packing is deterministic across reruns and repartitionings") {
     val a = ScaleOps.packTokenStream(docs, "doc_id", "n", B).collect().toSet
     val b = ScaleOps.packTokenStream(docs.repartition(7), "doc_id", "n", B)

@@ -35,6 +35,36 @@ class ShardExportSpec extends SparkSpec {
       // manifest token totals reconcile with the corpus total
       assert(stored.agg(sum($"n_tokens")).head().getLong(0) ==
         corpus.agg(sum($"n_tokens")).head().getLong(0))
+      // span index landed: per (bucket, bin) the spans TILE the bin —
+      // sorted bin_starts are exactly the prefix sums of span_tokens,
+      // totals match the manifest, membership matches the shard files
+      assert(Lake.exists(spark, s"$dir/spans"))
+      val spans = Lake.readParquet(spark, s"$dir/spans")
+      assert(spans.count() == corpus.count())
+      val spanRows = spans.select($"pack_bucket", $"pack_bin",
+          $"doc_id", $"bin_start", $"span_tokens")
+        .collect()
+        .groupBy(r => (r.getLong(0), r.getLong(1)))
+      val manifestTok = stored.select($"pack_bucket", $"pack_bin", $"n_tokens")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      spanRows.foreach { case (bin, rows) =>
+        val sorted = rows.sortBy(_.getLong(3))
+        var expectStart = 0L
+        sorted.foreach { r =>
+          assert(r.getLong(3) == expectStart,
+            s"bin $bin: span at ${r.getLong(3)} but tiling expects $expectStart")
+          expectStart += r.getLong(4)
+        }
+        assert(expectStart == manifestTok(bin),
+          s"bin $bin: spans cover $expectStart tokens vs manifest ${manifestTok(bin)}")
+      }
+      // span membership == shard membership per bin (partition-dir
+      // columns infer as INT on read — cast back to the written long)
+      val shardIds = shards.select($"pack_bucket".cast("long"),
+          $"pack_bin".cast("long"), $"doc_id")
+        .collect().groupBy(r => (r.getLong(0), r.getLong(1)))
+        .map { case (k, rs) => k -> rs.map(_.getLong(2)).toSet }
+      assert(spanRows.map { case (k, rs) => k -> rs.map(_.getLong(2)).toSet } == shardIds)
     } finally {
       Lake.delete(spark, dir)
     }

@@ -461,6 +461,15 @@ class CurationRunnerSpec extends SparkSpec {
         .coalesce(1).write.mode("append")
         .parquet(graft.text.TokenizerStore.countsPath(root))
       assert(folded == Set(("beta", 6L), ("gamma", 8L)))
+      // a seq replayed with a NON-identical batch is corrupted state,
+      // not a crash replay: the fold fails loudly instead of silently
+      // min-merging the conflicting rows
+      graft.text.TokenizerStore.appendCounts(
+        Seq(("beta", 9L)).toDF("word", "freq"), root, seq = Some(11L))
+      val e = intercept[Exception] { folded }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("non-identical")), msgs(e).mkString(" | "))
     } finally { Lake.delete(spark, root) }
   }
 
