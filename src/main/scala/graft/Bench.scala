@@ -37,6 +37,18 @@ object Bench {
         "orders", "lineitem", "events", "documents", "embeddings"))
       try queries.Queries.tbl(spark, sfDir, t).schema
       catch { case _: Throwable => () }
+    // Warm the shingle/minhash codegen family on a tiny in-memory frame:
+    // those expression trees are shared by a third of the catalog, and
+    // whichever query sorts first (q118 today) otherwise absorbs the
+    // catalog-wide JIT in its cold number (~10-15 s observed vs ~4 s
+    // steady — SCALE.md's q118 profile). No parquet is read here, so
+    // every query's DATA path stays cold.
+    try {
+      val wdocs = spark.range(64).selectExpr("id",
+        "concat('warm tok ', cast(id % 7 as string), " +
+          "' alpha beta gamma delta epsilon zeta eta theta') as text")
+      graft.dedup.Dedup.minhashNearDupPairs(wdocs, "id", "text", 0.7).count()
+    } catch { case _: Throwable => () }
     // Optional comma-separated subset filter for local iteration, and an
     // optional warm-run count (the reported warm time is the LAST warm
     // run; >1 deepens JIT for local investigation). The driver sets
@@ -197,9 +209,17 @@ object Bench {
       s""""load1_start":${f2(load0)},"load1_end":${f2(osBean.getSystemLoadAverage)},""" +
       s""""cpus":${Runtime.getRuntime.availableProcessors}}}"""
     val warmFrame = s"""{"warm_total":${f2(warmTotal)},"warm_top":{}}"""
-    val warmBudget = 2000 - contractFinal.length - 90 - warmFrame.length -
-      (envLine.length + 1)
-    println(envLine)
+    // The env line is attribution telemetry, not contract: it only
+    // prints when it fits in the tail BESIDE the contract + footer
+    // reserve (an unconditional print could push a pathologically long
+    // contract line out of the driver's 2000-char capture — the exact
+    // failure the budget arithmetic exists to prevent).
+    val envBudget = 2000 - contractFinal.length - 90 - warmFrame.length
+    val envFits = envLine.length + 1 <= envBudget
+    val warmBudget = envBudget - (if (envFits) envLine.length + 1 else 0)
+    if (envFits) println(envLine)
+    else System.err.println("[bench] NOTE: bench_env line dropped from the " +
+      "tail (no budget beside the contract); env telemetry for this run: " + envLine)
     if (warmBudget >= 0) {
       val entries = results.filter(_._5).sortBy(-_._3)
         .map { case (k, _, w, _, _) => "\"" + shortKey(k) + "\":" + f2(w) }

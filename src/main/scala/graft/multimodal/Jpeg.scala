@@ -404,6 +404,16 @@ object Jpeg {
       var wBlk: Array[Int] = null // padded block-grid width (MCU multiples)
       var nbW: Array[Int] = null // non-interleaved block dims (unpadded)
       var nbH: Array[Int] = null
+      // successive-approximation history (G.1.1.1.1): per-component DC
+      // point transform after the last DC scan (-1 = no DC scan yet)
+      // and per-coefficient AC state — a scan whose Ss/Se/Ah/Al
+      // contradicts the history (AC before the component's DC first
+      // scan, a repeated first scan overwriting prior coefficients, a
+      // refinement whose Ah is not the Al the prior scan left) decodes
+      // to deterministic-but-meaningless pixels, so it is structure-
+      // invalid here: None, never garbage.
+      var dcAl: Array[Int] = null
+      var acAl: Array[Array[Int]] = null
       var mcusX = 0; var mcusY = 0; var maxH = 1; var maxV = 1
       var sawScan = false
       var i = 2
@@ -515,6 +525,8 @@ object Jpeg {
               }
               coefs = comps.indices.map(ci =>
                 new Array[Int](wBlk(ci) * mcusY * comps(ci)._4 * 64)).toArray
+              dcAl = Array.fill(comps.length)(-1)
+              acAl = Array.fill(comps.length)(Array.fill(64)(-1))
             case 0xc0 | 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
                  0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
               return None // a second, non-progressive frame header
@@ -538,6 +550,27 @@ object Jpeg {
               if (ss == 0 && se != 0) return None // DC scan is exactly [0,0]
               if (ss > 0 && (ns != 1 || se < ss || se > 63)) return None
               if (al > 13 || (ah != 0 && ah != al + 1)) return None
+              // cross-scan history checks (see dcAl/acAl above)
+              if (ss == 0) {
+                var si = 0
+                while (si < scomps.length) {
+                  val ci = scomps(si)._1
+                  if (ah == 0) { if (dcAl(ci) != -1) return None }
+                  else if (dcAl(ci) != ah) return None
+                  dcAl(ci) = al
+                  si += 1
+                }
+              } else {
+                val ci = scomps(0)._1
+                if (dcAl(ci) == -1) return None // AC before DC first scan
+                var k = ss
+                while (k <= se) {
+                  if (ah == 0) { if (acAl(ci)(k) != -1) return None }
+                  else if (acAl(ci)(k) != ah) return None
+                  acAl(ci)(k) = al
+                  k += 1
+                }
+              }
               val r = new BitReader(b, j + 1 + segLen)
               if (ss == 0)
                 decodeDcScan(r, scomps, comps, coefs, wBlk, nbW, nbH,
@@ -545,17 +578,23 @@ object Jpeg {
               else
                 decodeAcScan(r, scomps(0)._1, scomps(0)._3, coefs, wBlk,
                   nbW, nbH, acT, ss, se, ah, al, dri)
-              // scan entropy data ends mid-byte; resync to the next
-              // true marker (skipping FF00 stuffing and stray RSTs)
+              // scan entropy data ends at a byte boundary (the reader
+              // consumes stuffing 0x00s with their FF at load time), so
+              // the next bytes must be FF fill bytes then a true marker.
+              // A non-FF byte, a stuffed FF00, or a stray RST here means
+              // the scan UNDER-CONSUMED its entropy segment (trailing
+              // garbage) — an FF D9 inside that leftover data would
+              // finalize the image early with partial coefficients, so
+              // reject instead of resyncing past it.
               var p = r.pos
               var found = -1
               while (found < 0 && p + 1 < b.length) {
-                if ((b(p) & 0xff) != 0xff) p += 1
+                if ((b(p) & 0xff) != 0xff) return None
                 else {
                   val m2 = b(p + 1) & 0xff
-                  if (m2 == 0x00) p += 2
-                  else if (m2 >= 0xd0 && m2 <= 0xd7) p += 2
-                  else if (m2 == 0xff) p += 1
+                  if (m2 == 0xff) p += 1 // fill byte
+                  else if (m2 == 0x00 || (m2 >= 0xd0 && m2 <= 0xd7))
+                    return None // leftover entropy / unconsumed RST
                   else found = p
                 }
               }

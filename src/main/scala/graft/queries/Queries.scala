@@ -686,7 +686,10 @@ object Queries {
       graft.ann.Ann.ivfTrainCentroids(emb, "vec_id", "embedding",
           stride = 16, iters = 2)
         .coalesce(1).write.mode("overwrite").parquet(out)
-      Option(standingCent.putIfAbsent(dir, out)).getOrElse(out)
+      Option(standingCent.putIfAbsent(dir, out)) match {
+        case Some(winner) => tmpLifecycleDirs.add(out); winner
+        case None => out
+      }
     }
     spark.read.parquet(p)
   }
@@ -1533,24 +1536,36 @@ object Queries {
       } catch { case _: Throwable => () } // best-effort at JVM exit
     }
   }))
+  // Both standing builds run their Spark jobs OUTSIDE the map's bin
+  // lock — the trainedCentroids discipline (computeIfAbsent would hold
+  // the bin for the job's duration, serializing unrelated keys that
+  // hash to the same bin and deadlocking on re-entry). Racing builds
+  // are deterministic-identical; putIfAbsent keeps exactly one and the
+  // loser's temp dir is an orphan the JVM exit hook reaps (losers are
+  // registered in tmpLifecycleDirs so they are reclaimed either way).
   private def standingIvfIdx(spark: SparkSession, dir: String): String =
-    standingIdx.computeIfAbsent("ivf:" + dir, _ => {
+    Option(standingIdx.get("ivf:" + dir)).getOrElse {
       val emb = tbl(spark, dir, "embeddings")
       val p = java.nio.file.Files.createTempDirectory("graft-ivf-standing").toString
       // gate-sized bucket counts (write cost is directory-count-bound
       // — see q117's note); 100 TB uses O(thousands)
-      // standingCent is a DIFFERENT map, so this nested lookup is safe
       graft.ann.IvfIndex.write(emb, "vec_id", "embedding",
         trainedCentroids(spark, dir), p, numBuckets = 16)
-      p
-    })
+      Option(standingIdx.putIfAbsent("ivf:" + dir, p)) match {
+        case Some(winner) => tmpLifecycleDirs.add(p); winner
+        case None => p
+      }
+    }
   private def standingBm25Idx(spark: SparkSession, dir: String): String =
-    standingIdx.computeIfAbsent("bm25:" + dir, _ => {
+    Option(standingIdx.get("bm25:" + dir)).getOrElse {
       val p = java.nio.file.Files.createTempDirectory("graft-bm25-standing").toString
       graft.text.Bm25DiskIndex.write(tbl(spark, dir, "documents"),
         "doc_id", "text", p, numBuckets = 16)
-      p
-    })
+      Option(standingIdx.putIfAbsent("bm25:" + dir, p)) match {
+        case Some(winner) => tmpLifecycleDirs.add(p); winner
+        case None => p
+      }
+    }
 
   def q111HybridIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = tbl(spark, dir, "embeddings")

@@ -40,17 +40,32 @@ object TokenizerStore {
     * ONE net row per word and [[foldedCounts]] keeps one copy per
     * (cseq, word), so a crashed run that re-appends the same delta
     * (the CurationRunner crash window between appendCounts and its
-    * `_applied` marker) folds exactly once. Unstamped appends
-    * (seq = None) keep the plain additive semantics. */
+    * `_applied` marker) folds exactly once. Every stamped row also
+    * carries the batch's word count (`bn`) and an order-independent
+    * (word, freq) fingerprint (`bfp`), so [[foldedCounts]] can detect
+    * a seq replayed with a DIFFERENT word set (words added, removed,
+    * or swapped — cases where per-word freq comparison alone is
+    * blind, each group having one row). Unstamped appends (seq = None)
+    * keep the plain additive semantics. */
   def appendCounts(increment: DataFrame, root: String,
       seq: Option[Long] = None): Unit = {
     val batch = seq match {
-      case Some(s) => increment.select(col("word"), col("freq"))
-        .groupBy(col("word")).agg(sum(col("freq")).as("freq"))
-        .where(col("freq") =!= 0L)
-        .select(col("word"), col("freq"), lit(s).as("cseq"))
+      case Some(s) =>
+        val net = increment.select(col("word"), col("freq"))
+          .groupBy(col("word")).agg(sum(col("freq")).as("freq"))
+          .where(col("freq") =!= 0L)
+        // batch stats ride on every row (broadcast of a 1-row agg):
+        // fp terms are mod-bounded so their sum never overflows a long
+        // at any realistic batch size (ANSI-safe)
+        val stats = net.agg(count(lit(1)).as("bn"),
+          sum(pmod(xxhash64(col("word"), col("freq")), lit(1000000007L)))
+            .as("bfp"))
+        net.crossJoin(broadcast(stats))
+          .select(col("word"), col("freq"), lit(s).as("cseq"),
+            col("bn"), col("bfp"))
       case None => increment
-        .select(col("word"), col("freq"), lit(null).cast("long").as("cseq"))
+        .select(col("word"), col("freq"), lit(null).cast("long").as("cseq"),
+          lit(null).cast("long").as("bn"), lit(null).cast("long").as("bfp"))
     }
     batch.write.mode(SaveMode.Append).option("compression", "snappy")
       .parquet(countsPath(root))
@@ -62,26 +77,64 @@ object TokenizerStore {
     * either is the one true value. A seq replayed with a NON-identical
     * batch (a day re-run after a config or upstream change without
     * clearing counts) would silently merge wrong state, so the fold
-    * ASSERTS identity: min != max within a (cseq, word) group raises
-    * in-plan rather than collapsing to an arbitrary pick; unstamped
-    * rows sum as-is. */
+    * ASSERTS identity at two levels, raising in-plan rather than
+    * collapsing to an arbitrary pick:
+    *  - per (cseq, word): min(freq) != max(freq) — conflicting freqs
+    *    for a shared word;
+    *  - per cseq, against the batch stats stamped at append time: the
+    *    actual distinct word count must equal the stamped `bn` and the
+    *    refolded (word, freq) fingerprint the stamped `bfp` — this is
+    *    what catches words ADDED, REMOVED, or SWAPPED in a replay
+    *    (each (cseq, word) group then has one row, so the freq check
+    *    alone is blind). Stamps written before the bn/bfp columns
+    *    existed are null and skip the batch-level check (the freq-
+    *    conflict check still applies); unstamped rows sum as-is. */
   def foldedCounts(spark: SparkSession, root: String): DataFrame = {
     val path = countsPath(root)
     // mergeSchema: a mixed-vintage counts dir (pre-cseq files + stamped
     // files) must not let footer-inference drop the cseq column
     val raw = if (!Lake.exists(spark, path)) Lake.readParquet(spark, path)
       else spark.read.option("mergeSchema", "true").parquet(path)
-    val rows = if (raw.columns.contains("cseq")) raw
+    val withCseq = if (raw.columns.contains("cseq")) raw
       else raw.withColumn("cseq", lit(null).cast("long"))
-    rows.groupBy(col("cseq"), col("word"))
+    val rows = Seq("bn", "bfp").foldLeft(withCseq) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast("long"))
+    }
+    val perWord = rows.groupBy(col("cseq"), col("word"))
       .agg(min(col("freq")).as("one"), max(col("freq")).as("mx"),
-        sum(col("freq")).as("all"))
+        sum(col("freq")).as("all"),
+        min(col("bn")).as("gbn1"), max(col("bn")).as("gbn2"),
+        min(col("bfp")).as("gfp1"), max(col("bfp")).as("gfp2"))
+    // Batch-level replay check. Within-group stamp conflicts (a shared
+    // word carrying both vintages' bn/bfp) surface here too: the group
+    // min/max spread makes bn1 != bn2 / fp1 != fp2 across the cseq.
+    // Disjoint-word replays surface as n_act or fp_act mismatching the
+    // (consistent) stamp. The violation set is tiny (one row per bad
+    // cseq) — broadcast back onto the fold.
+    val viol = perWord.where(col("cseq").isNotNull)
+      .groupBy(col("cseq"))
+      .agg(count(lit(1)).as("n_act"),
+        sum(pmod(xxhash64(col("word"), col("one")), lit(1000000007L)))
+          .as("fp_act"),
+        min(col("gbn1")).as("bn1"), max(col("gbn2")).as("bn2"),
+        min(col("gfp1")).as("fp1"), max(col("gfp2")).as("fp2"))
+      .where(col("bn1").isNotNull &&
+        (col("bn1") =!= col("bn2") || col("n_act") =!= col("bn2") ||
+         col("fp1") =!= col("fp2") || col("fp_act") =!= col("fp2")))
+      .select(col("cseq"), lit(true).as("batch_conflict"))
+    perWord.join(broadcast(viol), Seq("cseq"), "left")
       .select(col("word"),
         when(col("cseq").isNull, col("all"))
           .when(col("one") =!= col("mx"), raise_error(concat(
             lit("TokenizerStore: seq "), col("cseq").cast("string"),
             lit(" was replayed with a non-identical batch (word '"),
             col("word"), lit("' has conflicting freqs) — clear or "),
+            lit("re-stamp the day's counts before re-running"))).cast("long"))
+          .when(col("batch_conflict"), raise_error(concat(
+            lit("TokenizerStore: seq "), col("cseq").cast("string"),
+            lit(" was replayed with a non-identical batch (word set "),
+            lit("differs from the stamped batch stats) — clear or "),
             lit("re-stamp the day's counts before re-running"))).cast("long"))
           .otherwise(col("one")).as("freq"))
       .groupBy(col("word")).agg(sum(col("freq")).as("freq"))

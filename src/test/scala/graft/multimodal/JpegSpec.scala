@@ -260,4 +260,43 @@ class JpegSpec extends SparkSpec {
     badAh(sos2 + 9) = 0x30.toByte // Ah=3, Al=0
     assert(Jpeg.decodeProgressivePixels(badAh).isEmpty)
   }
+
+  test("progressive scan-history violations reject: order, repeats, under-consumed scans") {
+    // a fixture with real AC content so all four scans carry data
+    val good = Jpeg.progressiveBytes(16, 8, 1,
+      (bx, by, _, k) =>
+        if (k == 0) (40 + 50 * bx + 90 * by) - 128
+        else if (k == 9) 5 else 0)
+    assert(Jpeg.decodeProgressivePixels(good).isDefined)
+    // SOS offsets are unambiguous: inside entropy data FF is always
+    // stuffed (FF 00), so a literal FF DA pair only starts a scan
+    def sosOffsets(b: Array[Byte]): IndexedSeq[Int] =
+      (0 until b.length - 1).filter(i =>
+        (b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xda)
+    val sos = sosOffsets(good)
+    assert(sos.length == 4, "DC first, DC refine, AC first, AC refine")
+    // a REPEATED DC first scan decodes to the same coefficients — only
+    // the scan history makes it rejectable (T.81 forbids two first
+    // scans over the same band)
+    val dup = good.take(sos(1)) ++ good.slice(sos(0), sos(1)) ++ good.drop(sos(1))
+    assert(Jpeg.decodeProgressivePixels(dup).isEmpty)
+    // AC scans with the component's DC first scan DELETED: entropy
+    // decodes fine (DC stays 0) — history must reject
+    val noDc = good.take(sos(0)) ++ good.drop(sos(2))
+    assert(Jpeg.decodeProgressivePixels(noDc).isEmpty)
+    // a DC refinement whose Ah chains to no prior scan
+    val refineOnly = good.take(sos(0)) ++ good.drop(sos(1))
+    assert(Jpeg.decodeProgressivePixels(refineOnly).isEmpty)
+    // an AC refinement whose first scan was deleted
+    val acRefOnly = good.take(sos(2)) ++ good.drop(sos(3))
+    assert(Jpeg.decodeProgressivePixels(acRefOnly).isEmpty)
+    // trailing garbage between a scan's entropy data and the next
+    // marker = an under-consumed scan; resyncing past it could even
+    // hit a fake EOI and finalize early with partial coefficients
+    val trail = good.take(sos(1)) ++ Array(0x37.toByte) ++ good.drop(sos(1))
+    assert(Jpeg.decodeProgressivePixels(trail).isEmpty)
+    val fakeEoi = good.take(sos(1)) ++
+      Array(0x12.toByte, 0xff.toByte, 0xd9.toByte) ++ good.drop(sos(1))
+    assert(Jpeg.decodeProgressivePixels(fakeEoi).isEmpty)
+  }
 }

@@ -473,6 +473,62 @@ class CurationRunnerSpec extends SparkSpec {
     } finally { Lake.delete(spark, root) }
   }
 
+  test("tokenizer replay guard catches word-set drift, not just freq conflicts") {
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    def withStore(f: String => Unit): Unit = {
+      val root = java.nio.file.Files.createTempDirectory("tokstore").toString
+      try f(root) finally { Lake.delete(spark, root) }
+    }
+    def folded(root: String) = graft.text.TokenizerStore
+      .foldedCounts(spark, root).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // word ADDED in the replay: every (cseq, word) group still has
+    // internally-consistent freqs (min == max), so the freq check alone
+    // is blind — the stamped batch stats (bn/bfp) must catch it
+    withStore { root =>
+      graft.text.TokenizerStore.appendCounts(
+        Seq(("alpha", 3L)).toDF("word", "freq"), root, seq = Some(7L))
+      graft.text.TokenizerStore.appendCounts(
+        Seq(("alpha", 3L), ("beta", 2L)).toDF("word", "freq"),
+        root, seq = Some(7L))
+      val e = intercept[Exception] { folded(root) }
+      assert(msgs(e).exists(_.contains("non-identical")), msgs(e).mkString(" | "))
+    }
+    // word REMOVED (the surviving word keeps its freq)
+    withStore { root =>
+      graft.text.TokenizerStore.appendCounts(
+        Seq(("alpha", 3L), ("beta", 2L)).toDF("word", "freq"),
+        root, seq = Some(7L))
+      graft.text.TokenizerStore.appendCounts(
+        Seq(("alpha", 3L)).toDF("word", "freq"), root, seq = Some(7L))
+      val e = intercept[Exception] { folded(root) }
+      assert(msgs(e).exists(_.contains("non-identical")), msgs(e).mkString(" | "))
+    }
+    // word SWAPPED at the same count and freq (disjoint change, batch
+    // sizes equal) — only the fingerprint distinguishes the batches
+    withStore { root =>
+      graft.text.TokenizerStore.appendCounts(
+        Seq(("alpha", 3L), ("beta", 2L)).toDF("word", "freq"),
+        root, seq = Some(7L))
+      graft.text.TokenizerStore.appendCounts(
+        Seq(("alpha", 3L), ("gamma", 2L)).toDF("word", "freq"),
+        root, seq = Some(7L))
+      val e = intercept[Exception] { folded(root) }
+      assert(msgs(e).exists(_.contains("non-identical")), msgs(e).mkString(" | "))
+    }
+    // identical replays and distinct seqs still fold cleanly alongside
+    // the new stamps (no false positives from the batch stats)
+    withStore { root =>
+      val day = Seq(("alpha", 3L), ("beta", 2L)).toDF("word", "freq")
+      graft.text.TokenizerStore.appendCounts(day, root, seq = Some(7L))
+      graft.text.TokenizerStore.appendCounts(day, root, seq = Some(7L))
+      graft.text.TokenizerStore.appendCounts(
+        Seq(("beta", 1L)).toDF("word", "freq"), root, seq = Some(8L))
+      assert(folded(root) == Set(("alpha", 3L), ("beta", 3L)))
+    }
+  }
+
   test("forward-only: a run dated before an existing snapshot is rejected") {
     val root = java.nio.file.Files.createTempDirectory("lake").toString
     try {
