@@ -137,25 +137,47 @@ object Containers {
     out.result()
   }
 
+  /** Container-level inflate: "none" passes bytes through, "gzip" /
+    * "zstd" decode the named codec ([[Multimodal.gunzipBytes]] /
+    * [[Zstd.decompress]], both with the zip-bomb bound), "auto"
+    * sniffs the magic (1F 8B gzip, 28 B5 2F FD zstd, else plain) —
+    * the mixed-compression crawl-segment directory case. */
+  def inflate(p: Array[Byte], codec: String,
+      maxBytes: Int = 1 << 26): Option[Array[Byte]] = codec match {
+    case "none" | "" => Option(p)
+    case "gzip" => Multimodal.gunzipBytes(p, maxBytes)
+    case "zstd" => Zstd.decompress(p, maxBytes)
+    case "auto" =>
+      if (p == null) None
+      else if (p.length >= 2 && (p(0) & 0xff) == 0x1f && (p(1) & 0xff) == 0x8b)
+        Multimodal.gunzipBytes(p, maxBytes)
+      else if (Zstd.isZstd(p)) Zstd.decompress(p, maxBytes)
+      else Option(p)
+    case other =>
+      throw new IllegalArgumentException(s"unknown container codec '$other'")
+  }
+
   /** Batched WARC record walk over a binary media frame (media_id,
     * payload). `gzipped = true` gunzips each container first (the
-    * .warc.gz layout), with [[Multimodal.gunzipText]]'s zip-bomb
-    * bound; an unopenable gzip member is a container-level ok=0 row. */
+    * .warc.gz layout); `codec` names the compression explicitly
+    * ("gzip" / "zstd" — the .warc.zst layout — / "auto" magic sniff)
+    * and takes precedence over the legacy flag. An unopenable member
+    * is a container-level ok=0 row. */
   def decodeWarc(media: DataFrame, partitions: Int = 0,
-      gzipped: Boolean = false, maxBytes: Int = 1 << 26): Dataset[WarcRecord] = {
+      gzipped: Boolean = false, maxBytes: Int = 1 << 26,
+      codec: String = ""): Dataset[WarcRecord] = {
     val spark = media.sparkSession
     import spark.implicits._
     val parts = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
+    val eff = if (codec.nonEmpty) codec else if (gzipped) "gzip" else "none"
     media.select("media_id", "payload")
       .repartition(parts, col("media_id"))
       .as[(Long, Array[Byte])](org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.BINARY))
       .flatMap { case (id, p) =>
-        val raw = if (!gzipped) Option(p)
-          else Multimodal.gunzipBytes(p, maxBytes)
-        raw match {
+        inflate(p, eff, maxBytes) match {
           case Some(bytes) => parseWarc(id, bytes)
           case None => Seq(WarcRecord(id, 0, 0, "", "", 0, "", 0L))
         }
@@ -296,22 +318,23 @@ object Containers {
     out.result()
   }
 
-  /** Batched tar entry walk — same plan shape as [[decodeWarc]]. */
+  /** Batched tar entry walk — same plan shape and codec handling as
+    * [[decodeWarc]] (.tar.gz / .tar.zst). */
   def decodeTar(media: DataFrame, partitions: Int = 0,
-      gzipped: Boolean = false, maxBytes: Int = 1 << 26): Dataset[TarEntry] = {
+      gzipped: Boolean = false, maxBytes: Int = 1 << 26,
+      codec: String = ""): Dataset[TarEntry] = {
     val spark = media.sparkSession
     import spark.implicits._
     val parts = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
+    val eff = if (codec.nonEmpty) codec else if (gzipped) "gzip" else "none"
     media.select("media_id", "payload")
       .repartition(parts, col("media_id"))
       .as[(Long, Array[Byte])](org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.BINARY))
       .flatMap { case (id, p) =>
-        val raw = if (!gzipped) Option(p)
-          else Multimodal.gunzipBytes(p, maxBytes)
-        raw match {
+        inflate(p, eff, maxBytes) match {
           case Some(bytes) => parseTar(id, bytes)
           case None => Seq(TarEntry(id, 0, 0, "", 0L, ""))
         }

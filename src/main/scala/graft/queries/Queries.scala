@@ -2378,6 +2378,44 @@ object Queries {
         graft.text.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
       "doc_id", "n_tokens", 256L)
 
+  /** Zstandard text decode through the gate — the q130 gzip pattern
+    * for the modern corpus-distribution codec (RFC 8878, pure-JVM
+    * [[graft.multimodal.Zstd]]): each doc's text really compresses
+    * (LZ parse, canonical-Huffman literals, FSE-coded sequences,
+    * XXH64 checksum) with the encoder VARIANT fanned over ids so one
+    * gate crosses raw blocks, predefined + 1-stream, FSE-described
+    * tables + Repeat mode, and FSE-compressed weights + 4-stream;
+    * every id%3==0 payload carries a mid-frame byte flip the checksum
+    * or structure must reject (ok=0, kept). The oracle states the
+    * recovered text closed-form. */
+  def q154ZstdText(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Zstd.zstdCorpusFromDocuments(
+      tbl(spark, dir, "documents"))
+    graft.multimodal.Zstd.decodeZstdText(media).toDF()
+      .select(col("media_id"), col("ok"), col("text"), col("text_bytes"))
+  }
+
+  /** The .warc.zst layout through the gate: the EXACT q131 container
+    * corpus (2-record WARCs, every id%4==2 with a wrong inner
+    * Content-Length), each container zstd-compressed, walked via
+    * decodeWarc(codec="zstd") — so the q131 oracle applies verbatim
+    * and any inflate defect (wrong bytes, wrong lengths) breaks the
+    * record walk it feeds. The compression layer must be INVISIBLE to
+    * the record semantics; that invisibility is what this gate pins. */
+  def q155WarcZst(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val media = graft.multimodal.Containers.warcCorpusFromDocuments(
+      tbl(spark, dir, "documents"))
+      .as[(Long, Array[Byte])].map { case (id, payload) =>
+        (id, graft.multimodal.Zstd.compress(payload,
+          graft.multimodal.Zstd.VariantAuto))
+      }.toDF("media_id", "payload")
+    graft.multimodal.Containers.decodeWarc(media, codec = "zstd").toDF()
+      .select(col("media_id"), col("rec_index"), col("ok"),
+        col("warc_type"), col("url"), col("http_status"), col("body"))
+  }
+
   /** Shard PROVENANCE through the gate — which sources each training
     * shard mixes, and in what doc/token proportion: the verification a
     * loader-ops team runs after an export to confirm the data mixture
@@ -4607,6 +4645,26 @@ object Queries {
        |FROM c""".stripMargin
   }
 
+  /** Shared by q131 (plain WARC walk) and q155 (.warc.zst: identical
+    * corpus zstd-compressed per container — the inflate layer must be
+    * invisible to record semantics, so the SAME closed-form oracle
+    * applies verbatim). */
+  private lazy val warcRecordsOracle: String =
+    """SELECT doc_id AS media_id, 0::INTEGER AS rec_index, 1::INTEGER AS ok,
+      |  'warcinfo' AS warc_type, '' AS url, 0::INTEGER AS http_status,
+      |  'software: graft' || chr(13) || chr(10) AS body
+      |FROM documents
+      |UNION ALL
+      |SELECT doc_id AS media_id, 1::INTEGER AS rec_index,
+      |  (CASE WHEN doc_id % 4 = 2 THEN 0 ELSE 1 END)::INTEGER AS ok,
+      |  CASE WHEN doc_id % 4 = 2 THEN '' ELSE 'response' END AS warc_type,
+      |  CASE WHEN doc_id % 4 = 2 THEN ''
+      |       ELSE 'http://site' || (doc_id % 7) || '.example/doc' || doc_id || '.html'
+      |  END AS url,
+      |  (CASE WHEN doc_id % 4 = 2 THEN 0 ELSE 200 END)::INTEGER AS http_status,
+      |  CASE WHEN doc_id % 4 = 2 THEN '' ELSE coalesce(text, '') END AS body
+      |FROM documents""".stripMargin
+
   /** q153 oracle: the q55 exclusive cumsum, then each document's
     * window-intersection rows over a generated bin range (fixed
     * uncorrelated range + BETWEEN filter — DuckDB's range() rejects
@@ -5165,7 +5223,9 @@ object Queries {
     "q150_shard_provenance" -> (q150ShardProvenance _),
     "q151_nprobe_sweep" -> (q151NprobeSweep _),
     "q152_jpeg_progressive" -> (q152JpegProgressive _),
-    "q153_pack_spans" -> (q153PackSpans _))
+    "q153_pack_spans" -> (q153PackSpans _),
+    "q154_zstd_text" -> (q154ZstdText _),
+    "q155_warc_zst" -> (q155WarcZst _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -5566,21 +5626,7 @@ object Queries {
         |FROM documents""".stripMargin,
     // closed-form record fields per container — the oracle does not
     // replay the walk, it states what each synthesized record holds
-    "q131_warc_records" ->
-      """SELECT doc_id AS media_id, 0::INTEGER AS rec_index, 1::INTEGER AS ok,
-        |  'warcinfo' AS warc_type, '' AS url, 0::INTEGER AS http_status,
-        |  'software: graft' || chr(13) || chr(10) AS body
-        |FROM documents
-        |UNION ALL
-        |SELECT doc_id AS media_id, 1::INTEGER AS rec_index,
-        |  (CASE WHEN doc_id % 4 = 2 THEN 0 ELSE 1 END)::INTEGER AS ok,
-        |  CASE WHEN doc_id % 4 = 2 THEN '' ELSE 'response' END AS warc_type,
-        |  CASE WHEN doc_id % 4 = 2 THEN ''
-        |       ELSE 'http://site' || (doc_id % 7) || '.example/doc' || doc_id || '.html'
-        |  END AS url,
-        |  (CASE WHEN doc_id % 4 = 2 THEN 0 ELSE 200 END)::INTEGER AS http_status,
-        |  CASE WHEN doc_id % 4 = 2 THEN '' ELSE coalesce(text, '') END AS body
-        |FROM documents""".stripMargin,
+    "q131_warc_records" -> warcRecordsOracle,
     "q132_tar_entries" ->
       """SELECT doc_id AS media_id, 0::INTEGER AS ent_index, 1::INTEGER AS ok,
         |  'docs/' || doc_id || '.txt' AS name,
@@ -5930,6 +5976,18 @@ object Queries {
     // block/chroma formulas — the decoder path differs (multi-scan
     // SOF2), the pixels don't
     "q153_pack_spans" -> q153Oracle,
+    // q130's closed-form pattern: expected recovered text stated, every
+    // id%3==0 a corrupted frame the checksum/structure must reject
+    "q154_zstd_text" ->
+      """SELECT doc_id AS media_id,
+        |  (CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END)::INTEGER AS ok,
+        |  CASE WHEN doc_id % 3 = 0 THEN '' ELSE coalesce(text, '') END AS text,
+        |  (CASE WHEN doc_id % 3 = 0 THEN 0
+        |        ELSE coalesce(octet_length(encode(text)), 0) END)::BIGINT AS text_bytes
+        |FROM documents""".stripMargin,
+    // the q131 oracle verbatim: the zstd layer must be invisible to
+    // the record walk
+    "q155_warc_zst" -> warcRecordsOracle,
     "q152_jpeg_progressive" ->
       """WITH d AS (
         |  SELECT doc_id, ((doc_id % 3) + 1)::INTEGER AS nbx,

@@ -61,6 +61,41 @@ class ContainersSpec extends SparkSpec {
     assert(Containers.decodeWarc(bad, gzipped = true).collect().map(_.ok).toSeq == Seq(0))
   }
 
+  test("warc: zstd and auto codec paths equal the plain walk; bad member is ok=0") {
+    val raw = warcPair("zst body")
+    val plain = Seq((1L, raw)).toDF("media_id", "payload")
+    val zst = Seq((1L, Zstd.compress(raw))).toDF("media_id", "payload")
+    val a = Containers.decodeWarc(plain).collect().toSeq.sortBy(_.rec_index)
+    val b = Containers.decodeWarc(zst, codec = "zstd").collect().toSeq
+      .sortBy(_.rec_index)
+    assert(a == b)
+    // auto: one gzip member, one zstd member, one plain — one frame each
+    val gz = {
+      val out = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(out)
+      g.write(raw); g.close(); out.toByteArray
+    }
+    val mixed = Seq((1L, gz), (2L, Zstd.compress(raw)), (3L, raw))
+      .toDF("media_id", "payload")
+    val m = Containers.decodeWarc(mixed, codec = "auto").collect()
+    assert(m.count(_.ok == 1) == 6) // 2 records × 3 containers
+    assert(m.groupBy(_.media_id).view.mapValues(_.length).toMap ==
+      Map(1L -> 2, 2L -> 2, 3L -> 2))
+    // a zstd member whose checksum is broken is a container-level ok=0
+    val broken = Zstd.compress(raw).clone()
+    broken(broken.length - 2) = (broken(broken.length - 2) ^ 0x11).toByte
+    val badZ = Seq((4L, broken)).toDF("media_id", "payload")
+    assert(Containers.decodeWarc(badZ, codec = "zstd").collect()
+      .map(_.ok).toSeq == Seq(0))
+    // tar shares the codec plumbing (.tar.zst)
+    val tar = Containers.tarEntryBytes("docs/z.txt",
+      "tar in zstd".getBytes("UTF-8")) ++ new Array[Byte](1024)
+    val tz = Seq((5L, Zstd.compress(tar))).toDF("media_id", "payload")
+    val te = Containers.decodeTar(tz, codec = "zstd").collect()
+    assert(te.map(e => (e.ok, e.name, e.text)).toSeq ==
+      Seq((1, "docs/z.txt", "tar in zstd")))
+  }
+
   test("tar: generate-parse round trip, checksum validation, end marker") {
     val bytes = Containers.tarEntryBytes("docs/9.txt", "nine".getBytes("UTF-8")) ++
       Containers.tarEntryBytes("meta/9.txt", "id=9".getBytes("UTF-8")) ++

@@ -105,4 +105,19 @@ class DecoderFuzzSpec extends SparkSpec {
     fuzz("mp4-header", Multimodal.mp4HeaderBytes(640, 360, 600, 1200),
       Multimodal.parseMp4Header)
   }
+
+  test("zstd decoder survives 300 deterministic corruptions per variant") {
+    val text = ("the quick brown fox jumps over the lazy dog; " * 60 +
+      "abcdefg" * 40).getBytes("UTF-8")
+    for (variant <- Seq(Zstd.VariantAuto, Zstd.VariantRawBlocks,
+        Zstd.VariantPredefined, Zstd.VariantFseWeights)) {
+      val base = Zstd.compress(text, variant)
+      fuzz(s"zstd-v$variant", base, b => Zstd.decompress(b))
+    }
+    // multi-block frame: Repeat-mode tables + treeless literals on the
+    // fuzzed surface
+    val big = ("lorem ipsum dolor sit amet " * 3000).getBytes("UTF-8")
+    fuzz("zstd-multiblock", Zstd.compress(big, Zstd.VariantAuto, 1 << 14),
+      b => Zstd.decompress(b))
+  }
 }
