@@ -2416,6 +2416,20 @@ object Queries {
         col("warc_type"), col("url"), col("http_status"), col("body"))
   }
 
+  /** MP3 frame-header classification through the gate — compressed
+    * audio made audit-visible (WAV decodes fully; the MP3 population
+    * was an undifferentiated refusal): version/layer/rate/bitrate,
+    * frame count, duration estimate, VBR detection, ID3v2/v1 tag
+    * accounting, and TAGGED error families (bad_header / bad_sync /
+    * truncated), each planted by the fixture's id arithmetic and
+    * restated closed-form by the oracle — every header field, both
+    * tag wrappers, and all three error walks are oracle-pinned. */
+  def q156Mp3Headers(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Mp3.mp3CorpusFromDocuments(
+      tbl(spark, dir, "documents"))
+    graft.multimodal.Mp3.decodeMp3Info(media).toDF()
+  }
+
   /** Shard PROVENANCE through the gate — which sources each training
     * shard mixes, and in what doc/token proportion: the verification a
     * loader-ops team runs after an export to confirm the data mixture
@@ -5225,7 +5239,8 @@ object Queries {
     "q152_jpeg_progressive" -> (q152JpegProgressive _),
     "q153_pack_spans" -> (q153PackSpans _),
     "q154_zstd_text" -> (q154ZstdText _),
-    "q155_warc_zst" -> (q155WarcZst _))
+    "q155_warc_zst" -> (q155WarcZst _),
+    "q156_mp3_headers" -> (q156Mp3Headers _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -5988,6 +6003,50 @@ object Queries {
     // the q131 oracle verbatim: the zstd layer must be invisible to
     // the record walk
     "q155_warc_zst" -> warcRecordsOracle,
+    // every fixture arm restated closed-form from the id arithmetic:
+    // version/layer/rate/bitrate tables as list literals, samples-per-
+    // frame duration, the three error families and both tag wrappers
+    "q156_mp3_headers" ->
+      """WITH m AS (
+        |  SELECT doc_id AS id, doc_id % 3 AS v,
+        |    CASE WHEN doc_id % 4 = 2 THEN 2 WHEN doc_id % 4 = 3 THEN 1 ELSE 3 END AS l,
+        |    (doc_id // 3) % 3 AS sr_idx, 3 + doc_id % 5 AS nf,
+        |    (doc_id % 13 = 7) AS bad_header,
+        |    (doc_id % 13 <> 7 AND doc_id % 7 = 3) AS bad_sync,
+        |    (doc_id % 13 <> 7 AND doc_id % 7 = 5) AS trunc
+        |  FROM documents),
+        |c AS (
+        |  SELECT *,
+        |    CASE WHEN v = 0 THEN ([44100,48000,32000])[sr_idx + 1]
+        |         WHEN v = 1 THEN ([22050,24000,16000])[sr_idx + 1]
+        |         ELSE ([11025,12000,8000])[sr_idx + 1] END AS rate,
+        |    CASE WHEN l = 1 THEN 384 WHEN l = 2 THEN 1152
+        |         WHEN v = 0 THEN 1152 ELSE 576 END AS spf,
+        |    CASE WHEN v = 0 AND l = 1 THEN ([32,64,96,128,160,192,224,256,288,320,352,384,416,448])[1 + id % 14]
+        |         WHEN v = 0 AND l = 2 THEN ([32,48,56,64,80,96,112,128,160,192,224,256,320,384])[1 + id % 14]
+        |         WHEN v = 0 THEN ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[1 + id % 14]
+        |         WHEN l = 1 THEN ([32,48,56,64,80,96,112,128,144,160,176,192,224,256])[1 + id % 14]
+        |         ELSE ([8,16,24,32,40,48,56,64,80,96,112,128,144,160])[1 + id % 14] END AS br0,
+        |    CASE WHEN bad_header THEN 0 WHEN bad_sync THEN 1
+        |         WHEN trunc THEN nf - 1 ELSE nf END AS n_eff
+        |  FROM m)
+        |SELECT id AS media_id,
+        |  (CASE WHEN bad_header OR bad_sync OR trunc THEN 0 ELSE 1 END)::INTEGER AS ok,
+        |  CASE WHEN n_eff = 0 THEN '' WHEN v = 0 THEN '1'
+        |       WHEN v = 1 THEN '2' ELSE '2.5' END AS version,
+        |  (CASE WHEN n_eff = 0 THEN 0 ELSE l END)::INTEGER AS layer,
+        |  (CASE WHEN n_eff = 0 THEN 0 ELSE rate END)::INTEGER AS sample_rate,
+        |  (CASE WHEN n_eff = 0 THEN 0 ELSE br0 END)::INTEGER AS first_bitrate_kbps,
+        |  (CASE WHEN id % 5 = 2 AND n_eff >= 2 THEN 1 ELSE 0 END)::INTEGER AS vbr,
+        |  n_eff::INTEGER AS n_frames,
+        |  (CASE WHEN n_eff = 0 THEN 0
+        |        ELSE (n_eff * spf * 1000) // rate END)::BIGINT AS duration_ms,
+        |  (CASE WHEN id % 4 = 1 THEN 27 + id % 50 ELSE 0 END)::INTEGER AS id3v2_bytes,
+        |  (CASE WHEN id % 6 = 4 AND NOT bad_header AND NOT bad_sync AND NOT trunc
+        |        THEN 1 ELSE 0 END)::INTEGER AS id3v1,
+        |  CASE WHEN bad_header THEN 'bad_header' WHEN bad_sync THEN 'bad_sync'
+        |       WHEN trunc THEN 'truncated' ELSE '' END AS err
+        |FROM c""".stripMargin,
     "q152_jpeg_progressive" ->
       """WITH d AS (
         |  SELECT doc_id, ((doc_id % 3) + 1)::INTEGER AS nbx,

@@ -106,6 +106,16 @@ class DecoderFuzzSpec extends SparkSpec {
       Multimodal.parseMp4Header)
   }
 
+  test("MP3 header walker survives 300 deterministic corruptions") {
+    import spark.implicits._
+    val base = Mp3.mp3CorpusFromDocuments(Seq(4L).toDF("doc_id"))
+      .collect()(0).getAs[Array[Byte]](1) // id3v2-prefixed multi-frame clip
+    fuzz("mp3", base, b => Mp3.parseMp3(4L, b))
+    val vbr = Mp3.mp3CorpusFromDocuments(Seq(22L).toDF("doc_id"))
+      .collect()(0).getAs[Array[Byte]](1) // vbr arm
+    fuzz("mp3-vbr", vbr, b => Mp3.parseMp3(22L, b))
+  }
+
   test("zstd decoder survives 300 deterministic corruptions per variant") {
     val text = ("the quick brown fox jumps over the lazy dog; " * 60 +
       "abcdefg" * 40).getBytes("UTF-8")
