@@ -2430,6 +2430,75 @@ object Queries {
     graft.multimodal.Mp3.decodeMp3Info(media).toDF()
   }
 
+  /** Paired image-text curation through the gate — the first ask of a
+    * multimodal-pretraining owner, composed ENTIRELY from gated
+    * pieces: the q133 mixed-codec image corpus joined to its caption
+    * (the document text), gated on BOTH modalities and deduped on
+    * EITHER side. Per pair: the image must decode (real PNG/JPEG
+    * decode), the caption must pass the STRUCTURAL Gopher rules
+    * (q135's measures minus the stop-word-evidence rule — captions
+    * are not prose; see the inline note), the
+    * image must be its pHash cluster's canonical representative
+    * (q137: min-id member at hamming<=5), and the caption its MinHash
+    * cluster's representative (q22 pairs at J>=0.7 -> components).
+    * Drop reasons are tagged undecodable > caption_quality >
+    * caption_dup > image_dup — the order a real pipeline applies them
+    * (text dedup is cheap and runs before image hashing), so a curation
+    * owner reads per-side loss straight off the column — a pair can
+    * be image-clean but caption-dropped and vice versa. Clusters are
+    * canonical-by-min-id (the q137 semantics): the kept member of a
+    * dup cluster is deterministic, never quality-re-elected. */
+  def q157PairedCuration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val media = graft.multimodal.Multimodal.mixedCodecImageCorpusFromDocuments(docs)
+    val hashes = graft.ops.CacheScope.persist(
+      graft.multimodal.Multimodal.decodeImagePHash(media).toDF())
+    val imgPairs = graft.dedup.Dedup.hammingNearDupPairs(
+      hashes.where(col("ok") === 1), "media_id", "phash",
+      totalBits = 64, maxDist = 5, bands = 8)
+    val imgCc = graft.dedup.Dedup.connectedComponents(imgPairs, "id_a", "id_b")
+    val capPairs = graft.dedup.Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+      threshold = 0.7,
+      graft.dedup.Dedup.MinHashConfig(numHashes = 64, shingleSize = 3, bands = 16))
+    val capCc = graft.dedup.Dedup.connectedComponents(capPairs, "id_a", "id_b")
+    // caption gate: the STRUCTURAL Gopher rules (word count, word
+    // length, symbol/bullet/ellipsis/alpha fractions) — the stop-word
+    // evidence rule is deliberately omitted: captions are not prose
+    // (and this corpus's synthetic vocabulary carries no stopwords at
+    // all, q135 measures it as 0/500 — including it would fail every
+    // caption and leave the dedup arms unreachable)
+    val quality = graft.text.QualityRules.gopherRules(docs, "text")
+      .select(col("doc_id"),
+        when(col("n_words").between(50L, 100000L) &&
+             col("mean_word_len_milli").between(3000L, 10000L) &&
+             col("symbol_bp") <= 1000L && col("bullet_bp") <= 9000L &&
+             col("ellipsis_bp") <= 3000L && col("alpha_bp") >= 8000L,
+          lit(1L)).otherwise(lit(0L)).as("keep"))
+    docs.select(col("doc_id"))
+      .join(hashes.select(col("media_id"), col("ok").as("img_ok")),
+        col("doc_id") === col("media_id"), "left")
+      .join(imgCc.select(col("id").as("i_id"), col("component").as("img_c")),
+        col("doc_id") === col("i_id"), "left")
+      .join(capCc.select(col("id").as("c_id"), col("component").as("cap_c")),
+        col("doc_id") === col("c_id"), "left")
+      .join(quality, Seq("doc_id"))
+      .select(col("doc_id"),
+        coalesce(col("img_ok"), lit(0)).as("img_ok"),
+        coalesce(col("img_c"), col("doc_id")).as("img_cluster"),
+        coalesce(col("cap_c"), col("doc_id")).as("cap_cluster"),
+        col("keep"))
+      .select(col("doc_id"),
+        when(col("img_ok") =!= 1, lit("image_undecodable"))
+          .when(col("keep") === 0, lit("caption_quality"))
+          .when(col("cap_cluster") =!= col("doc_id"), lit("caption_dup"))
+          .when(col("img_cluster") =!= col("doc_id"), lit("image_dup"))
+          .otherwise(lit("")).as("drop_reason"),
+        col("img_cluster"), col("cap_cluster"))
+      .select(col("doc_id"),
+        when(col("drop_reason") === "", lit(1L)).otherwise(lit(0L)).as("kept"),
+        col("drop_reason"), col("img_cluster"), col("cap_cluster"))
+  }
+
   /** Shard PROVENANCE through the gate — which sources each training
     * shard mixes, and in what doc/token proportion: the verification a
     * loader-ops team runs after an export to confirm the data mixture
@@ -3183,11 +3252,13 @@ object Queries {
     * buckets, the candidate set, and the verified pairs all agree
     * exactly. Band-hash collisions only add candidates, which the exact
     * Jaccard verification rejects identically on both engines. */
-  private lazy val q22Oracle: String = {
+  /** q22's CTE chain (minhash signatures -> banded candidates -> exact
+    * Jaccard verify) — shared with the q157 caption-dedup replay. */
+  private lazy val q22Ctes: String = {
     val sigItems = graft.dedup.Dedup.hashParamsPublic(64).map { case (a, b) =>
       s"list_min(list_transform(shs, h -> ($a * h + $b) % $Mod40))"
     }.mkString(",\n    ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), t -> t != '') AS ts
        |  FROM documents),
        |shingled AS (
@@ -3210,9 +3281,95 @@ object Queries {
        |  SELECT c.id_a, c.id_b,
        |    len(list_intersect(a.shingles, b.shingles))::DOUBLE /
        |      (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jac
-       |  FROM cand c JOIN sigs a ON a.doc_id = c.id_a JOIN sigs b ON b.doc_id = c.id_b)
-       |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM j WHERE jac >= 0.7""".stripMargin
+       |  FROM cand c JOIN sigs a ON a.doc_id = c.id_a JOIN sigs b ON b.doc_id = c.id_b)""".stripMargin
   }
+
+  private lazy val q22Oracle: String =
+    s"""WITH $q22Ctes
+       |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM j WHERE jac >= 0.7""".stripMargin
+
+  /** q135's CTE chain (Gopher measures + conjunctive keep) — shared
+    * with the q157 caption-quality replay. */
+  private lazy val gopherCtes: String =
+    """w AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(lower(trim(coalesce(text, ''))), ' '), x -> x != '') AS ws,
+      |    list_filter(list_transform(string_split(coalesce(text, ''), chr(10)), x -> trim(x)), x -> x != '') AS ls
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |    len(ws)::BIGINT AS n_words,
+      |    (CASE WHEN len(ws) > 0 THEN (1000 * list_sum(list_transform(ws, x -> length(x)))) // len(ws) ELSE 0 END)::BIGINT AS mean_word_len_milli,
+      |    (CASE WHEN len(ws) > 0 THEN (10000 * len(list_filter(ws, x -> contains(x, '#') OR contains(x, '...')))) // len(ws) ELSE 0 END)::BIGINT AS symbol_bp,
+      |    (CASE WHEN len(ls) > 0 THEN (10000 * len(list_filter(ls, x -> starts_with(x, '-') OR starts_with(x, '*') OR starts_with(x, '•')))) // len(ls) ELSE 0 END)::BIGINT AS bullet_bp,
+      |    (CASE WHEN len(ls) > 0 THEN (10000 * len(list_filter(ls, x -> ends_with(x, '...')))) // len(ls) ELSE 0 END)::BIGINT AS ellipsis_bp,
+      |    (CASE WHEN len(ws) > 0 THEN (10000 * len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))) // len(ws) ELSE 0 END)::BIGINT AS alpha_bp,
+      |    len(list_filter(list_distinct(ws), x -> list_contains(['the','be','to','of','and','that','have','with'], x)))::BIGINT AS n_stop_hits
+      |  FROM w),
+      |gk AS (
+      |  SELECT doc_id, n_words, mean_word_len_milli, symbol_bp, bullet_bp,
+      |    ellipsis_bp, alpha_bp, n_stop_hits,
+      |    (CASE WHEN n_words >= 50 AND n_words <= 100000
+      |          AND mean_word_len_milli >= 3000 AND mean_word_len_milli <= 10000
+      |          AND symbol_bp <= 1000 AND bullet_bp <= 9000
+      |          AND ellipsis_bp <= 3000 AND alpha_bp >= 8000
+      |          AND n_stop_hits >= 2 THEN 1 ELSE 0 END)::BIGINT AS keep
+      |  FROM m)""".stripMargin
+
+  private lazy val q135Oracle: String =
+    s"""WITH $gopherCtes
+       |SELECT doc_id, n_words, mean_word_len_milli, symbol_bp, bullet_bp,
+       |  ellipsis_bp, alpha_bp, n_stop_hits, keep
+       |FROM gk""".stripMargin
+
+  /** q157 oracle: the q137 pHash closure (image clusters), the q22
+    * minhash chain + the same recursive closure (caption clusters),
+    * and the q135 keep — composed with the query's exact drop-reason
+    * precedence. All three replays are the already-gated oracles of
+    * their standalone queries; only the composition is new. */
+  private lazy val q157Oracle: String =
+    s"""WITH RECURSIVE $duckPhashCtes,
+       |$q22Ctes,
+       |$gopherCtes,
+       |ie AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.h, b.h)) <= 5),
+       |iund AS (SELECT id_a AS u, id_b AS v FROM ie UNION SELECT id_b, id_a FROM ie),
+       |ireach AS (
+       |  SELECT u, u AS label FROM (SELECT DISTINCT u FROM iund) t
+       |  UNION
+       |  SELECT iund.u, r.label FROM iund JOIN ireach r ON iund.v = r.u),
+       |icl AS (SELECT u, min(label) AS cluster_id FROM ireach GROUP BY u),
+       |ce AS (SELECT id_a, id_b FROM j WHERE jac >= 0.7),
+       |cund AS (SELECT id_a AS u, id_b AS v FROM ce UNION SELECT id_b, id_a FROM ce),
+       |creach AS (
+       |  SELECT u, u AS label FROM (SELECT DISTINCT u FROM cund) t
+       |  UNION
+       |  SELECT cund.u, r.label FROM cund JOIN creach r ON cund.v = r.u),
+       |ccl AS (SELECT u, min(label) AS cluster_id FROM creach GROUP BY u),
+       |f AS (
+       |  SELECT d.doc_id,
+       |    coalesce(icl.cluster_id, d.doc_id) AS img_cluster,
+       |    coalesce(ccl.cluster_id, d.doc_id) AS cap_cluster,
+       |    (CASE WHEN gk.n_words >= 50 AND gk.n_words <= 100000
+       |          AND gk.mean_word_len_milli >= 3000 AND gk.mean_word_len_milli <= 10000
+       |          AND gk.symbol_bp <= 1000 AND gk.bullet_bp <= 9000
+       |          AND gk.ellipsis_bp <= 3000 AND gk.alpha_bp >= 8000
+       |          THEN 1 ELSE 0 END) AS keep
+       |  FROM documents d
+       |  LEFT JOIN icl ON icl.u = d.doc_id
+       |  LEFT JOIN ccl ON ccl.u = d.doc_id
+       |  JOIN gk ON gk.doc_id = d.doc_id)
+       |SELECT doc_id,
+       |  (CASE WHEN keep = 1 AND img_cluster = doc_id AND cap_cluster = doc_id
+       |        THEN 1 ELSE 0 END)::BIGINT AS kept,
+       |  CASE WHEN keep = 0 THEN 'caption_quality'
+       |       WHEN cap_cluster <> doc_id THEN 'caption_dup'
+       |       WHEN img_cluster <> doc_id THEN 'image_dup'
+       |       ELSE '' END AS drop_reason,
+       |  img_cluster::BIGINT AS img_cluster, cap_cluster::BIGINT AS cap_cluster
+       |FROM f""".stripMargin
 
   /** q23 oracle: SimHash(48) + hamming ≤ 3 within source blocks. The
     * Spark side's 4-band bucketing is pigeonhole-exact for maxDist ≤ 3
@@ -5240,7 +5397,8 @@ object Queries {
     "q153_pack_spans" -> (q153PackSpans _),
     "q154_zstd_text" -> (q154ZstdText _),
     "q155_warc_zst" -> (q155WarcZst _),
-    "q156_mp3_headers" -> (q156Mp3Headers _))
+    "q156_mp3_headers" -> (q156Mp3Headers _),
+    "q157_paired_curation" -> (q157PairedCuration _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -5687,30 +5845,10 @@ object Queries {
         |FROM documents d LEFT JOIN cl ON cl.media_id = d.doc_id""".stripMargin,
     // full rule replay over the same token/line conventions; floored
     // integer ratios make every measure hash-exact
-    "q135_gopher_rules" ->
-      """WITH w AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split(lower(trim(coalesce(text, ''))), ' '), x -> x != '') AS ws,
-        |    list_filter(list_transform(string_split(coalesce(text, ''), chr(10)), x -> trim(x)), x -> x != '') AS ls
-        |  FROM documents),
-        |m AS (
-        |  SELECT doc_id,
-        |    len(ws)::BIGINT AS n_words,
-        |    (CASE WHEN len(ws) > 0 THEN (1000 * list_sum(list_transform(ws, x -> length(x)))) // len(ws) ELSE 0 END)::BIGINT AS mean_word_len_milli,
-        |    (CASE WHEN len(ws) > 0 THEN (10000 * len(list_filter(ws, x -> contains(x, '#') OR contains(x, '...')))) // len(ws) ELSE 0 END)::BIGINT AS symbol_bp,
-        |    (CASE WHEN len(ls) > 0 THEN (10000 * len(list_filter(ls, x -> starts_with(x, '-') OR starts_with(x, '*') OR starts_with(x, '•')))) // len(ls) ELSE 0 END)::BIGINT AS bullet_bp,
-        |    (CASE WHEN len(ls) > 0 THEN (10000 * len(list_filter(ls, x -> ends_with(x, '...')))) // len(ls) ELSE 0 END)::BIGINT AS ellipsis_bp,
-        |    (CASE WHEN len(ws) > 0 THEN (10000 * len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))) // len(ws) ELSE 0 END)::BIGINT AS alpha_bp,
-        |    len(list_filter(list_distinct(ws), x -> list_contains(['the','be','to','of','and','that','have','with'], x)))::BIGINT AS n_stop_hits
-        |  FROM w)
-        |SELECT doc_id, n_words, mean_word_len_milli, symbol_bp, bullet_bp,
-        |  ellipsis_bp, alpha_bp, n_stop_hits,
-        |  (CASE WHEN n_words >= 50 AND n_words <= 100000
-        |        AND mean_word_len_milli >= 3000 AND mean_word_len_milli <= 10000
-        |        AND symbol_bp <= 1000 AND bullet_bp <= 9000
-        |        AND ellipsis_bp <= 3000 AND alpha_bp >= 8000
-        |        AND n_stop_hits >= 2 THEN 1 ELSE 0 END)::BIGINT AS keep
-        |FROM m""".stripMargin,
+    "q135_gopher_rules" -> q135Oracle,
+    // composition of the q137/q22/q135 replays with the query's
+    // drop-reason precedence
+    "q157_paired_curation" -> q157Oracle,
     // generation AND line cleaning replayed — every rule path planted
     "q136_c4_clean" ->
       """WITH p AS (
