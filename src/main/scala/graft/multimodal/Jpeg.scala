@@ -253,14 +253,18 @@ object Jpeg {
               val nc = b(body + 5) & 0xff
               if (precision != 8 || (nc != 1 && nc != 3)) return None
               // (id, tq, hSamp, vSamp); supported layouts: all-(1,1)
-              // (4:4:4 / grayscale) or Y=(2,2) with (1,1) chroma (4:2:0)
+              // (4:4:4 / grayscale), Y=(2,2) chroma (1,1) (4:2:0), or
+              // Y=(2,1) chroma (1,1) (4:2:2 — half-width chroma). The
+              // MCU loop and plane indexing are h×v-generic; this
+              // check just names the audited scope.
               val comps = (0 until nc).map { c =>
                 val o = body + 6 + 3 * c
                 val hv = b(o + 1) & 0xff
                 (b(o) & 0xff, b(o + 2) & 0xff, (hv >> 4) & 0x0f, hv & 0x0f)
               }.toArray
               val ok = comps.forall(c => c._3 == 1 && c._4 == 1) ||
-                (nc == 3 && comps(0)._3 == 2 && comps(0)._4 == 2 &&
+                (nc == 3 && comps(0)._3 == 2 &&
+                  (comps(0)._4 == 2 || comps(0)._4 == 1) &&
                   comps.tail.forall(c => c._3 == 1 && c._4 == 1))
               if (!ok) return None
               if (w <= 0 || h <= 0) return None
@@ -1137,6 +1141,69 @@ object Jpeg {
             bxx += 1
           }
           byy += 1
+        }
+        block(1, chromaVal(mx, my, 0))
+        block(2, chromaVal(mx, my, 1))
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flushOnes()
+    m(0xd9)
+    out.toByteArray
+  }
+
+  /** [[dcOnly420Bytes]] for 4:2:2 — Y sampled 2×1, chroma 1×1
+    * (half-WIDTH chroma, the remaining common broadcast/camera
+    * layout): width multiple of 16, height multiple of 8; MCUs are
+    * 16×8. Luma is constant per 8×8 block `lumaVal(bx, by)` over the
+    * (w/8)×(h/8) grid; chroma constant per MCU `chromaVal(mx, my, c)`.
+    * Entropy order per MCU: 2 raster luma blocks, Cb, Cr. */
+  def dcOnly422Bytes(w: Int, h: Int, lumaVal: (Int, Int) => Int,
+      chromaVal: (Int, Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w % 16 == 0 && h % 8 == 0,
+      s"dcOnly422Bytes: width %16, height %8, got ${w}x$h")
+    val out = new java.io.ByteArrayOutputStream()
+    def m(mk: Int): Unit = { out.write(0xff); out.write(mk) }
+    def w16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    m(0xd8)
+    m(0xe0); w16(16)
+    out.write(Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0), 0, 14)
+    m(0xdb); w16(2 + 65); out.write(0x00)
+    (0 until 64).foreach(_ => out.write(1))
+    m(0xc0); w16(8 + 9); out.write(8); w16(h); w16(w); out.write(3)
+    out.write(1); out.write(0x21); out.write(0) // Y: 2x1
+    out.write(2); out.write(0x11); out.write(0) // Cb
+    out.write(3); out.write(0x11); out.write(0) // Cr
+    m(0xc4); w16(2 + 17 + 12); out.write(0x00)
+    Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).foreach(out.write)
+    (0 until 12).foreach(out.write)
+    m(0xc4); w16(2 + 17 + 2); out.write(0x10)
+    Array(0, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).foreach(out.write)
+    out.write(0x00); out.write(0xf0)
+    m(0xda); w16(6 + 6); out.write(3)
+    (1 to 3).foreach { id => out.write(id); out.write(0x00) }
+    out.write(0); out.write(63); out.write(0)
+    val bw = new BitWriter(out)
+    val pred = new Array[Int](3)
+    def block(c: Int, p: Int): Unit = {
+      require(p >= 0 && p <= 255, s"block value out of range: $p")
+      val v = 8 * (p - 128)
+      val diff = v - pred(c); pred(c) = v
+      val t = dcCategory(diff)
+      bw.write(t, 4)
+      if (t > 0) bw.write(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+      bw.write(0, 2) // AC EOB
+    }
+    val (nmx, nmy) = (w / 16, h / 8)
+    var my = 0
+    while (my < nmy) {
+      var mx = 0
+      while (mx < nmx) {
+        var bxx = 0
+        while (bxx < 2) {
+          block(0, lumaVal(mx * 2 + bxx, my))
+          bxx += 1
         }
         block(1, chromaVal(mx, my, 0))
         block(2, chromaVal(mx, my, 1))

@@ -466,6 +466,25 @@ object Multimodal {
     }.toDF("media_id", "payload")
   }
 
+  /** [[jpeg420CorpusFromDocuments]] for 4:2:2 — half-WIDTH chroma:
+    * id-derived MCU grid (1-2 × 1-2 MCUs of 16×8), luma per 8-block
+    * p(bx, by) = (31·id + 13·bx + 19·by) mod 256, per-MCU chroma from
+    * the rounding-safe set varying with BOTH mx and my (16×8 MCUs
+    * stack vertically, so the chroma row indexing is load-bearing
+    * too). */
+  def jpeg422CorpusFromDocuments(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].map { id =>
+      val nmx = (java.lang.Math.floorMod(id, 2L) + 1).toInt
+      val nmy = (java.lang.Math.floorMod(id / 2, 2L) + 1).toInt
+      (id, Jpeg.dcOnly422Bytes(nmx * 16, nmy * 8,
+        (bx, by) => java.lang.Math.floorMod(31L * id + 13L * bx + 19L * by, 256L).toInt,
+        (mx, my, c) =>
+          (88L + 20L * java.lang.Math.floorMod(id + mx + 3L * my + 2L * c, 5L)).toInt))
+    }.toDF("media_id", "payload")
+  }
+
   // ---- gzip text payload decode -------------------------------------
 
   /** Decoded gzip text payload: UTF-8 text + the sizes a lake ingest

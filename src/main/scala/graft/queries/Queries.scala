@@ -1781,6 +1781,18 @@ object Queries {
     graft.multimodal.Multimodal.decodeJpegPixelStats(media).toDF()
   }
 
+  /** 4:2:2 JPEG decode through the gate — q127's contract on the
+    * half-WIDTH-chroma layout (broadcast/camera default): 16×8 MCUs
+    * (2 luma blocks + Cb + Cr, per-component DC predictors), chroma
+    * varying with BOTH MCU coordinates so the horizontal-only
+    * upsampling index math is load-bearing in both axes. Same
+    * closed-form DC-only + rounding-safe chroma discipline. */
+  def q158Jpeg422(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.jpeg422CorpusFromDocuments(
+      tbl(spark, dir, "documents"))
+    graft.multimodal.Multimodal.decodeJpegPixelStats(media).toDF()
+  }
+
   /** HTML → text extraction through the gate: each document's text is
     * wrapped in a REAL page skeleton — head with style/script elements
     * (the script body contains a bare `<` that a naive tag strip would
@@ -5398,7 +5410,8 @@ object Queries {
     "q154_zstd_text" -> (q154ZstdText _),
     "q155_warc_zst" -> (q155WarcZst _),
     "q156_mp3_headers" -> (q156Mp3Headers _),
-    "q157_paired_curation" -> (q157PairedCuration _))
+    "q157_paired_curation" -> (q157PairedCuration _),
+    "q158_jpeg_422" -> (q158Jpeg422 _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -5786,6 +5799,37 @@ object Queries {
         |  FROM px GROUP BY doc_id)
         |SELECT doc_id AS media_id, 'jpeg' AS format,
         |  (16 * nmx)::INTEGER AS width, 16::INTEGER AS height, 3::INTEGER AS channels,
+        |  sum_r, sum_g, sum_b, ssq_r, ssq_g, ssq_b
+        |FROM s""".stripMargin,
+    // q127's replay on the 4:2:2 geometry: per-luma-block constants,
+    // chroma by the block's (mx=gx//2, my=gy) MCU, same color math
+    "q158_jpeg_422" ->
+      """WITH d AS (
+        |  SELECT doc_id, ((doc_id % 2) + 1)::INTEGER AS nmx,
+        |    (((doc_id // 2) % 2) + 1)::INTEGER AS nmy FROM documents),
+        |g AS (SELECT unnest(range(0, 4)) AS i),
+        |blk AS (
+        |  SELECT d.doc_id, d.nmx, d.nmy,
+        |    ((31 * d.doc_id + 13 * gx.i + 19 * gy.i) % 256)::BIGINT AS p,
+        |    (88 + 20 * ((d.doc_id + (gx.i // 2) + 3 * gy.i) % 5) - 128)::BIGINT AS c1,
+        |    (88 + 20 * ((d.doc_id + (gx.i // 2) + 3 * gy.i + 2) % 5) - 128)::BIGINT AS c2
+        |  FROM d JOIN g gx ON gx.i < 2 * d.nmx
+        |  JOIN g gy ON gy.i < d.nmy),
+        |px AS (
+        |  SELECT doc_id, nmx, nmy,
+        |    greatest(0, least(255, round(p + 1.402 * c2)))::BIGINT AS r,
+        |    greatest(0, least(255, round(p - 0.344136 * c1 - 0.714136 * c2)))::BIGINT AS gg,
+        |    greatest(0, least(255, round(p + 1.772 * c1)))::BIGINT AS b
+        |  FROM blk),
+        |s AS (
+        |  SELECT doc_id, max(nmx) AS nmx, max(nmy) AS nmy,
+        |    (64 * sum(r))::BIGINT AS sum_r,
+        |    (64 * sum(gg))::BIGINT AS sum_g, (64 * sum(b))::BIGINT AS sum_b,
+        |    (64 * sum(r * r))::BIGINT AS ssq_r, (64 * sum(gg * gg))::BIGINT AS ssq_g,
+        |    (64 * sum(b * b))::BIGINT AS ssq_b
+        |  FROM px GROUP BY doc_id)
+        |SELECT doc_id AS media_id, 'jpeg' AS format,
+        |  (16 * nmx)::INTEGER AS width, (8 * nmy)::INTEGER AS height, 3::INTEGER AS channels,
         |  sum_r, sum_g, sum_b, ssq_r, ssq_g, ssq_b
         |FROM s""".stripMargin,
     // the expected recovered text stated closed-form; corrupted ids

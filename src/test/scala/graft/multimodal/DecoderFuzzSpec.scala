@@ -48,6 +48,13 @@ class DecoderFuzzSpec extends SparkSpec {
     fuzz("jpeg", base, Jpeg.decodeJpegPixels)
   }
 
+  test("4:2:2 JPEG decoder survives 300 deterministic corruptions") {
+    val base = Jpeg.dcOnly422Bytes(32, 16,
+      (bx, by) => (bx * 50 + by * 90) % 256,
+      (mx, my, c) => 88 + 20 * ((mx + 3 * my + 2 * c) % 5))
+    fuzz("jpeg-422", base, Jpeg.decodeJpegPixels)
+  }
+
   test("progressive JPEG decoder survives 300 deterministic corruptions") {
     // AC coefficients present, so the fuzz reaches the spectral-
     // selection / refinement / EOB-run paths, not just the DC scans

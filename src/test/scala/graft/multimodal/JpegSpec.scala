@@ -261,6 +261,36 @@ class JpegSpec extends SparkSpec {
     assert(Jpeg.decodeProgressivePixels(badAh).isEmpty)
   }
 
+  test("4:2:2: exact pixels, half-width chroma indexing, scope boundary") {
+    // 2×2 MCUs of 16×8: chroma varies per MCU in BOTH axes
+    val b = Jpeg.dcOnly422Bytes(32, 16,
+      (bx, by) => 16 * bx + 64 * by + 8,
+      (mx, my, c) => 128 + (if (c == 0) 20 * mx else -20 * my))
+    val Some((w, h, nc, rgb)) = Jpeg.decodeJpegPixels(b)
+    assert((w, h, nc) == (32, 16, 3))
+    // spot-check pixels against the closed-form color conversion
+    def expect(x: Int, y: Int): (Int, Int, Int) = {
+      val p = 16 * (x / 8) + 64 * (y / 8) + 8
+      val cb = 20 * (x / 16)
+      val cr = -20 * (y / 8)
+      def c8(v: Double) = math.max(0, math.min(255, Math.round(v).toInt))
+      (c8(p + 1.402 * cr), c8(p - 0.344136 * cb - 0.714136 * cr), c8(p + 1.772 * cb))
+    }
+    for (x <- Seq(0, 7, 8, 15, 16, 31); y <- Seq(0, 7, 8, 15)) {
+      val o = (y * 32 + x) * 3
+      val got = ((rgb(o) & 0xff), (rgb(o + 1) & 0xff), (rgb(o + 2) & 0xff))
+      assert(got == expect(x, y), s"pixel ($x,$y)")
+    }
+    // 4:1:1 (Y=4x1) stays out of the audited scope
+    val b411 = b.clone()
+    val sof = (0 until b411.length - 1).find(i =>
+      (b411(i) & 0xff) == 0xff && (b411(i + 1) & 0xff) == 0xc0).get
+    // FF C0 len(2) prec h(2) w(2) nc id -> hv at sof+11
+    assert((b411(sof + 11) & 0xff) == 0x21, "fixture layout byte moved")
+    b411(sof + 11) = 0x41.toByte // Y sampling 4x1
+    assert(Jpeg.decodeJpegPixels(b411).isEmpty)
+  }
+
   test("progressive scan-history violations reject: order, repeats, under-consumed scans") {
     // a fixture with real AC content so all four scans carry data
     val good = Jpeg.progressiveBytes(16, 8, 1,
