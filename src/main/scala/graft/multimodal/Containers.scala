@@ -395,6 +395,80 @@ object Containers {
     }.toDF("media_id", "payload")
   }
 
+  // ---- NDJSON (jsonl) ------------------------------------------------
+
+  final case class JsonlLine(media_id: Long, line_no: Int, ok: Int, line: String)
+
+  /** Batched NDJSON line walk over a binary media frame — the
+    * `.jsonl.zst` / `.jsonl.gz` corpus-distribution layout (one JSON
+    * object per line). The walk splits lines only; parsing is the
+    * caller's `from_json` so schema stays declarative and Catalyst-
+    * optimizable. An uninflatable member is a container-level ok=0
+    * row (kept). Trailing newline tolerated; interior empty lines
+    * preserved as empty-string rows (an audit counts them). */
+  def decodeJsonl(media: DataFrame, partitions: Int = 0,
+      codec: String = "", maxBytes: Int = 1 << 26): Dataset[JsonlLine] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val parts = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    media.select("media_id", "payload")
+      .repartition(parts, col("media_id"))
+      .as[(Long, Array[Byte])](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.BINARY))
+      .flatMap { case (id, p) =>
+        inflate(p, codec, maxBytes) match {
+          case Some(bytes) =>
+            val text = new String(bytes, "UTF-8")
+            val body = if (text.endsWith("\n")) text.dropRight(1) else text
+            if (body.isEmpty) Seq.empty
+            else body.split("\n", -1).toSeq.zipWithIndex.map {
+              case (l, i) => JsonlLine(id, i, 1, l)
+            }
+          case None => Seq(JsonlLine(id, 0, 0, ""))
+        }
+      }
+  }
+
+  /** Deterministic `.jsonl.zst` corpus from the documents table — the
+    * q130/q154 pattern for the NDJSON container: each doc becomes a
+    * 2-line NDJSON member (its text + an id-derived metadata record,
+    * hand-escaped JSON so the decode side's REAL from_json parse is
+    * cross-derived, not a to_json replay) zstd-compressed; every
+    * id%3==0 member carries the checksum-guaranteed corrupt flips. */
+  def jsonlZstCorpusFromDocuments(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)].map {
+      case (id, text) =>
+        def esc(s: String): String = {
+          val sb = new StringBuilder("\"")
+          s.foreach {
+            case '"' => sb.append("\\\"")
+            case '\\' => sb.append("\\\\")
+            case '\n' => sb.append("\\n")
+            case '\r' => sb.append("\\r")
+            case '\t' => sb.append("\\t")
+            case c if c < 0x20 => sb.append("\\u%04x".format(c.toInt))
+            case c => sb.append(c)
+          }
+          sb.append('"').toString
+        }
+        val t = if (text == null) "" else text
+        val ndjson = Seq(
+          s"""{"rec_id": $id, "part": 0, "body": ${esc(t)}}""",
+          s"""{"rec_id": $id, "part": 1, "body": ${esc(s"meta-$id")}}""")
+          .mkString("", "\n", "\n")
+        val b = Zstd.compress(ndjson.getBytes("UTF-8"))
+        if (java.lang.Math.floorMod(id, 3L) == 0L) {
+          b(b.length / 2) = (b(b.length / 2) ^ 0x55).toByte
+          b(b.length - 2) = (b(b.length - 2) ^ 0x55).toByte
+        }
+        (id, b)
+    }.toDF("media_id", "payload")
+  }
+
   // ---- on-disk loader ----------------------------------------------
 
   /** Load a directory of container files as a binary media frame — the
@@ -410,9 +484,12 @@ object Containers {
   /** The crawl-ingest composition in one call: WARC responses ->
     * canonical URL + HTML-extracted text — rows ready for the curation
     * pipeline's (doc_id, source, text) contract (doc_id = hash of the
-    * canonical URL; source = registrable domain). */
-  def warcDocs(media: DataFrame, gzipped: Boolean = false): DataFrame =
-    decodeWarc(media, gzipped = gzipped).toDF()
+    * canonical URL; source = registrable domain). `codec` as in
+    * [[decodeWarc]] ("zstd" for .warc.zst, "auto" for mixed segment
+    * directories; takes precedence over the legacy flag). */
+  def warcDocs(media: DataFrame, gzipped: Boolean = false,
+      codec: String = ""): DataFrame =
+    decodeWarc(media, gzipped = gzipped, codec = codec).toDF()
       .where(col("ok") === 1 && col("warc_type") === "response")
       .select(
         xxhash64(graft.text.Urls.normalizeUrl(col("url"))).as("doc_id"),

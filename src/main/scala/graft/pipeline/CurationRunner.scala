@@ -45,7 +45,9 @@ object CurationRunner {
   /** How the raw zone's landed files decode into (doc_id, source,
     * text) rows. [[RawJson]] (the default): NDJSON rows of
     * [[rawSchema]]. [[RawWarc]]: binary crawl-archive segments —
-    * each landed .warc (or .warc.gz) file drains through
+    * each landed .warc (or .warc.gz / .warc.zst — `codec` names the
+    * compression, "auto" sniffs per-file magic for mixed segment
+    * directories) file drains through
     * [[graft.multimodal.Containers.warcDocs]] (record walk ->
     * responses only -> canonical URL -> HTML-extracted text), with
     * doc_id = hash of the canonical URL and source = registrable
@@ -54,7 +56,8 @@ object CurationRunner {
     * full Common-Crawl ingestion path inside the same daily loop. */
   sealed trait RawFormat
   case object RawJson extends RawFormat
-  final case class RawWarc(gzipped: Boolean = false) extends RawFormat
+  final case class RawWarc(gzipped: Boolean = false,
+      codec: String = "") extends RawFormat
 
   /** Optional last-mile export: pack the day's curated corpus and land
     * loader-ready shards + manifest under shards/date=D. */
@@ -161,12 +164,12 @@ object CurationRunner {
           Streaming.runDailyAvailableNow(spark, s"$lakeRoot/raw/documents",
             rawSchema, _.withColumn("ingest_date", lit(date)),
             staged, s"$lakeRoot/_checkpoints/documents")
-        case RawWarc(gz) =>
+        case RawWarc(gz, codec) =>
           Streaming.runDailyAvailableNowBinary(spark, s"$lakeRoot/raw/documents",
             df => graft.multimodal.Containers.warcDocs(
                 df.select(xxhash64(col("path")).as("media_id"),
                   col("content").as("payload")),
-                gzipped = gz)
+                gzipped = gz, codec = codec)
               .select(col("doc_id"), col("source"), col("text"))
               .withColumn("ingest_date", lit(date)),
             staged, s"$lakeRoot/_checkpoints/documents")

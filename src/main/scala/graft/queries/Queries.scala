@@ -1793,6 +1793,28 @@ object Queries {
     graft.multimodal.Multimodal.decodeJpegPixelStats(media).toDF()
   }
 
+  /** `.jsonl.zst` ingest through the gate — the NDJSON corpus-
+    * distribution layout end to end: hand-escaped 2-line NDJSON
+    * members zstd-compressed per doc, inflated + line-split by
+    * [[graft.multimodal.Containers.decodeJsonl]], then REALLY parsed
+    * by Spark's from_json (the fixture's escaper and Spark's parser
+    * are independent implementations, so escaping semantics are
+    * cross-derived). Corrupt members (id%3==0, checksum-guaranteed)
+    * surface as ok=0 rows with null fields. The oracle states the
+    * recovered records closed-form. */
+  def q159JsonlZst(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Containers.jsonlZstCorpusFromDocuments(
+      tbl(spark, dir, "documents"))
+    graft.multimodal.Containers.decodeJsonl(media, codec = "zstd").toDF()
+      .select(col("media_id"), col("line_no"), col("ok"),
+        from_json(col("line"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "rec_id BIGINT, part INT, body STRING")).as("j"))
+      .select(col("media_id"), col("line_no"), col("ok"),
+        col("j.rec_id").as("rec_id"), col("j.part").as("part"),
+        col("j.body").as("body"))
+  }
+
   /** HTML → text extraction through the gate: each document's text is
     * wrapped in a REAL page skeleton — head with style/script elements
     * (the script body contains a bare `<` that a naive tag strip would
@@ -5411,7 +5433,8 @@ object Queries {
     "q155_warc_zst" -> (q155WarcZst _),
     "q156_mp3_headers" -> (q156Mp3Headers _),
     "q157_paired_curation" -> (q157PairedCuration _),
-    "q158_jpeg_422" -> (q158Jpeg422 _))
+    "q158_jpeg_422" -> (q158Jpeg422 _),
+    "q159_jsonl_zst" -> (q159JsonlZst _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -6185,6 +6208,20 @@ object Queries {
     // the q131 oracle verbatim: the zstd layer must be invisible to
     // the record walk
     "q155_warc_zst" -> warcRecordsOracle,
+    // recovered NDJSON records stated closed-form; corrupt members
+    // (checksum-guaranteed) are one ok=0 row with null fields
+    "q159_jsonl_zst" ->
+      """SELECT doc_id AS media_id, 0::INTEGER AS line_no, 1::INTEGER AS ok,
+        |  doc_id::BIGINT AS rec_id, 0::INTEGER AS part,
+        |  coalesce(text, '') AS body
+        |FROM documents WHERE doc_id % 3 <> 0
+        |UNION ALL
+        |SELECT doc_id, 1::INTEGER, 1::INTEGER, doc_id::BIGINT, 1::INTEGER,
+        |  'meta-' || doc_id
+        |FROM documents WHERE doc_id % 3 <> 0
+        |UNION ALL
+        |SELECT doc_id, 0::INTEGER, 0::INTEGER, NULL::BIGINT, NULL::INTEGER, NULL
+        |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
     // every fixture arm restated closed-form from the id arithmetic:
     // version/layer/rate/bitrate tables as list literals, samples-per-
     // frame duration, the three error families and both tag wrappers

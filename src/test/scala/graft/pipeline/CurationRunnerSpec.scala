@@ -344,6 +344,36 @@ class CurationRunnerSpec extends SparkSpec {
     } finally { Lake.delete(spark, root) }
   }
 
+  test("RawWarc .warc.zst segments drain through the daily loop; auto sniffs mixed dirs") {
+    val root = java.nio.file.Files.createTempDirectory("lake").toString
+    try {
+      val cfg = Curation.CurationConfig(minQualityMilli = 200)
+      def url(i: Int) = s"http://site$i.example/page$i.html"
+      def sq(s: String) = s.replaceAll(" +", " ")
+      // day 1: zstd-compressed crawl segments (the modern corpus norm)
+      landBin(root, "seg1.warc.zst", graft.multimodal.Zstd.compress(
+        warcSeg(Seq((url(1), doc(1)), (url(2), doc(2))))))
+      val r1 = CurationRunner.runDaily(spark, root, "2024-07-01", None, cfg,
+        rawFormat = CurationRunner.RawWarc(codec = "zstd"))
+      assert(r1.snapshotDocs == 2)
+      val c1 = Lake.readParquet(spark, s"$root/curated/date=2024-07-01")
+      assert(c1.select($"text").as[String].collect().toSet ==
+        Set(sq(doc(1)), sq(doc(2))))
+      // day 2: a MIXED directory increment — one plain segment, one
+      // zstd — drains under codec="auto" (per-file magic sniff)
+      landBin(root, "seg2.warc", warcSeg(Seq((url(3), doc(3)))))
+      landBin(root, "seg3.warc.zst", graft.multimodal.Zstd.compress(
+        warcSeg(Seq((url(4), doc(4))))))
+      val r2 = CurationRunner.runDaily(spark, root, "2024-07-02", None, cfg,
+        rawFormat = CurationRunner.RawWarc(codec = "auto"))
+      assert(r2.snapshotDocs == 4)
+      val c2 = Lake.readParquet(spark, s"$root/curated/date=2024-07-02")
+      assert(c2.select($"text").as[String].collect().toSet ==
+        (1 to 4).map(i => sq(doc(i))).toSet,
+        "plain and zstd segments must land identically under auto")
+    } finally { Lake.delete(spark, root) }
+  }
+
   test("tokenizer maintenance: increments fold exactly; drift refreshes a versioned artifact") {
     val root = java.nio.file.Files.createTempDirectory("lake").toString
     try {
