@@ -1815,6 +1815,36 @@ object Queries {
         col("j.body").as("body"))
   }
 
+  /** Persisted perceptual-hash index lifecycle through the gate — the
+    * q118 discipline on the IMAGE modality (incremental media dedup):
+    * write 2/5 of the decoded pHash corpus, append another 2/5 (the
+    * standing index), probe the remaining fifth as the daily media
+    * delta — perceptual near-dups of the delta against standing ∪
+    * delta, exactly the q133 pair set restricted to pairs touching
+    * the delta (the oracle replays the closed-form pHash pipeline and
+    * filters). Probe==in-memory parity, banded disk layout, and the
+    * (band, bucket) partition pruning are PhashDiskIndexSpec-pinned;
+    * gate numBuckets=2 (16 dirs — directory count drives write cost
+    * at this scale; 100 TB uses O(hundreds+)). */
+  def q160PhashIndexProbe(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.mixedCodecImageCorpusFromDocuments(
+      tbl(spark, dir, "documents"))
+    val hashes = graft.ops.CacheScope.persist(
+      graft.multimodal.Multimodal.decodeImagePHash(media).toDF()
+        .where(col("ok") === 1)
+        .select(col("media_id").as("id"), col("phash")))
+    val idx = tmpLifecycleDir("graft-q160")
+    val standing = hashes.where(pmod(col("id"), lit(5)) =!= 0)
+    graft.dedup.PhashDiskIndex.write(
+      standing.where(pmod(col("id"), lit(2)) === 0), "id", "phash", idx,
+      totalBits = 64, bands = 8, numBuckets = 2, seq = 1L)
+    graft.dedup.PhashDiskIndex.append(
+      standing.where(pmod(col("id"), lit(2)) === 1), "id", "phash", idx,
+      seq = 2L)
+    graft.dedup.PhashDiskIndex.probe(spark, idx,
+      hashes.where(pmod(col("id"), lit(5)) === 0), "id", "phash", maxDist = 5)
+  }
+
   /** HTML → text extraction through the gate: each document's text is
     * wrapped in a REAL page skeleton — head with style/script elements
     * (the script body contains a bare `<` that a naive tag strip would
@@ -5434,7 +5464,8 @@ object Queries {
     "q156_mp3_headers" -> (q156Mp3Headers _),
     "q157_paired_curation" -> (q157PairedCuration _),
     "q158_jpeg_422" -> (q158Jpeg422 _),
-    "q159_jsonl_zst" -> (q159JsonlZst _))
+    "q159_jsonl_zst" -> (q159JsonlZst _),
+    "q160_phash_index_probe" -> (q160PhashIndexProbe _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -5891,6 +5922,15 @@ object Queries {
         |  bit_count(xor(a.h, b.h))::BIGINT AS hamming_dist
         |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.h, b.h)) <= 5""".stripMargin,
+    // q133's pair set restricted to pairs touching the probed fifth —
+    // the q118 oracle pattern on the image modality
+    "q160_phash_index_probe" ->
+      s"""WITH $duckPhashCtes
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  bit_count(xor(a.h, b.h))::BIGINT AS hamming_dist
+        |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 5
+        |  AND (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)""".stripMargin,
     // the q43 recursive-closure pattern over the q133 pair edges:
     // cluster id = min member, canonical representative keeps
     "q137_phash_clusters" ->
