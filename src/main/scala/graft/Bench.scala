@@ -204,22 +204,28 @@ object Bench {
           p.getPeakUsage != null) peakHeap += p.getPeakUsage.getUsed
     }
     val cpuS = sunOs.map(_.getProcessCpuTime / 1e9).getOrElse(-1.0)
-    val envLine = s"""{"bench_env":{"gc_ms":$gcMs,"cpu_s":${f2(cpuS)},""" +
-      s""""wall_s":${f2(wallS)},"peak_heap_mb":${peakHeap >> 20},""" +
+    // integer seconds for cpu/wall (sub-second resolution is noise at
+    // multi-minute scale) keep this line small enough to fit the tail
+    // beside a ~1.8 KB 160-query contract
+    val envLine = s"""{"bench_env":{"gc_ms":$gcMs,"cpu_s":${cpuS.round},""" +
+      s""""wall_s":${wallS.round},"peak_heap_mb":${peakHeap >> 20},""" +
       s""""load1_start":${f2(load0)},"load1_end":${f2(osBean.getSystemLoadAverage)},""" +
       s""""cpus":${Runtime.getRuntime.availableProcessors}}}"""
     val warmFrame = s"""{"warm_total":${f2(warmTotal)},"warm_top":{}}"""
-    // The env line is attribution telemetry, not contract: it only
-    // prints when it fits in the tail BESIDE the contract + footer
-    // reserve (an unconditional print could push a pathologically long
-    // contract line out of the driver's 2000-char capture — the exact
-    // failure the budget arithmetic exists to prevent).
-    val envBudget = 2000 - contractFinal.length - 90 - warmFrame.length
+    // Tail priority: contract (the driver parse) > bench_env (the
+    // attribution telemetry that makes driver-vs-judge deltas
+    // explainable from the file alone) > warm_top (nice-to-have — the
+    // full warm map rides the earlier bench_detail line for anyone
+    // reading the whole log). Nothing prints unless it fits BESIDE
+    // the contract + sbt-footer reserve: an unconditional print could
+    // push the contract out of the driver's 2000-char capture.
+    val envBudget = 2000 - contractFinal.length - 90
     val envFits = envLine.length + 1 <= envBudget
-    val warmBudget = envBudget - (if (envFits) envLine.length + 1 else 0)
     if (envFits) println(envLine)
     else System.err.println("[bench] NOTE: bench_env line dropped from the " +
       "tail (no budget beside the contract); env telemetry for this run: " + envLine)
+    val warmBudget = (if (envFits) envBudget - envLine.length - 1 else envBudget) -
+      warmFrame.length
     if (warmBudget >= 0) {
       val entries = results.filter(_._5).sortBy(-_._3)
         .map { case (k, _, w, _, _) => "\"" + shortKey(k) + "\":" + f2(w) }

@@ -1845,6 +1845,66 @@ object Queries {
       hashes.where(pmod(col("id"), lit(5)) === 0), "id", "phash", maxDist = 5)
   }
 
+  /** INCREMENTAL paired image-text curation through the gate — q157's
+    * decision rule served from STANDING indexes, the form a daily
+    * multimodal loop actually runs: the standing 4/5 of the corpus is
+    * indexed once (pHash bands on the image side, MinHash LSH on the
+    * caption side); the delta fifth probes both, paying only its own
+    * (band, bucket) footprints. A delta pair is dropped when its
+    * caption fails the structural Gopher gate, when either side
+    * near-dups ANYTHING standing, or when it near-dups a SMALLER-id
+    * delta item (the deterministic first-wins rule a daily ingest
+    * applies — no transitive closure needed incrementally, unlike
+    * q157's whole-corpus cluster canonicalization). Precedence as in
+    * q157. Output: the delta's ids with kept + drop_reason. */
+  def q161PairedDelta(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val media = graft.multimodal.Multimodal.mixedCodecImageCorpusFromDocuments(docs)
+    val hashes = graft.ops.CacheScope.persist(
+      graft.multimodal.Multimodal.decodeImagePHash(media).toDF()
+        .where(col("ok") === 1)
+        .select(col("media_id").as("id"), col("phash")))
+    val idxP = tmpLifecycleDir("graft-q161-ph")
+    graft.dedup.PhashDiskIndex.write(
+      hashes.where(pmod(col("id"), lit(5)) =!= 0), "id", "phash", idxP,
+      totalBits = 64, bands = 8, numBuckets = 2, seq = 1L)
+    val imgPairs = graft.dedup.PhashDiskIndex.probe(spark, idxP,
+      hashes.where(pmod(col("id"), lit(5)) === 0), "id", "phash", maxDist = 5)
+    val idxL = tmpLifecycleDir("graft-q161-lsh")
+    graft.dedup.LshDiskIndex.write(
+      docs.where(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text", idxL,
+      numBuckets = 2, seq = 1L)
+    val capPairs = graft.dedup.LshDiskIndex.probe(spark, idxL,
+      docs.where(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text", 0.7)
+    // a delta id d is a dup iff some partner is standing, or a delta
+    // item with a smaller id (pairs are (id_a < id_b)-normalized:
+    // id_b's partner is always smaller; id_a's counts only if standing)
+    def dupIds(pairs: DataFrame, flag: String): DataFrame =
+      pairs.where(pmod(col("id_b"), lit(5)) === 0).select(col("id_b").as("doc_id"))
+        .unionByName(pairs.where(pmod(col("id_a"), lit(5)) === 0 &&
+          pmod(col("id_b"), lit(5)) =!= 0).select(col("id_a").as("doc_id")))
+        .distinct().withColumn(flag, lit(1))
+    val quality = graft.text.QualityRules.gopherRules(
+        docs.where(pmod(col("doc_id"), lit(5)) === 0), "text")
+      .select(col("doc_id"),
+        when(col("n_words").between(50L, 100000L) &&
+             col("mean_word_len_milli").between(3000L, 10000L) &&
+             col("symbol_bp") <= 1000L && col("bullet_bp") <= 9000L &&
+             col("ellipsis_bp") <= 3000L && col("alpha_bp") >= 8000L,
+          lit(1L)).otherwise(lit(0L)).as("keep"))
+    quality
+      .join(broadcast(dupIds(capPairs, "cap_dup")), Seq("doc_id"), "left")
+      .join(broadcast(dupIds(imgPairs, "img_dup")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("keep") === 0, lit("caption_quality"))
+          .when(col("cap_dup") === 1, lit("caption_dup"))
+          .when(col("img_dup") === 1, lit("image_dup"))
+          .otherwise(lit("")).as("drop_reason"))
+      .select(col("doc_id"),
+        when(col("drop_reason") === "", lit(1L)).otherwise(lit(0L)).as("kept"),
+        col("drop_reason"))
+  }
+
   /** HTML → text extraction through the gate: each document's text is
     * wrapped in a REAL page skeleton — head with style/script elements
     * (the script body contains a bare `<` that a naive tag strip would
@@ -5465,7 +5525,8 @@ object Queries {
     "q157_paired_curation" -> (q157PairedCuration _),
     "q158_jpeg_422" -> (q158Jpeg422 _),
     "q159_jsonl_zst" -> (q159JsonlZst _),
-    "q160_phash_index_probe" -> (q160PhashIndexProbe _))
+    "q160_phash_index_probe" -> (q160PhashIndexProbe _),
+    "q161_paired_delta" -> (q161PairedDelta _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -5956,6 +6017,45 @@ object Queries {
     // composition of the q137/q22/q135 replays with the query's
     // drop-reason precedence
     "q157_paired_curation" -> q157Oracle,
+    // the incremental (delta-vs-standing) decision rule: pairwise
+    // any-standing-or-smaller-delta partner, no closure — the q160/
+    // q118 pair replays + the structural-gopher gate, delta ids only
+    "q161_paired_delta" ->
+      s"""WITH $duckPhashCtes,
+        |$q22Ctes,
+        |$gopherCtes,
+        |ie AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.h, b.h)) <= 5),
+        |imgdup AS (
+        |  SELECT DISTINCT d FROM (
+        |    SELECT id_b AS d FROM ie WHERE id_b % 5 = 0
+        |    UNION ALL
+        |    SELECT id_a FROM ie WHERE id_a % 5 = 0 AND id_b % 5 <> 0) t),
+        |ce AS (SELECT id_a, id_b FROM j WHERE jac >= 0.7),
+        |capdup AS (
+        |  SELECT DISTINCT d FROM (
+        |    SELECT id_b AS d FROM ce WHERE id_b % 5 = 0
+        |    UNION ALL
+        |    SELECT id_a FROM ce WHERE id_a % 5 = 0 AND id_b % 5 <> 0) t),
+        |f AS (
+        |  SELECT gk.doc_id,
+        |    (CASE WHEN gk.n_words >= 50 AND gk.n_words <= 100000
+        |          AND gk.mean_word_len_milli >= 3000 AND gk.mean_word_len_milli <= 10000
+        |          AND gk.symbol_bp <= 1000 AND gk.bullet_bp <= 9000
+        |          AND gk.ellipsis_bp <= 3000 AND gk.alpha_bp >= 8000
+        |          THEN 1 ELSE 0 END) AS keep,
+        |    (gk.doc_id IN (SELECT d FROM capdup)) AS cdup,
+        |    (gk.doc_id IN (SELECT d FROM imgdup)) AS idup
+        |  FROM gk WHERE gk.doc_id % 5 = 0)
+        |SELECT doc_id,
+        |  (CASE WHEN keep = 1 AND NOT cdup AND NOT idup THEN 1 ELSE 0 END)::BIGINT AS kept,
+        |  CASE WHEN keep = 0 THEN 'caption_quality'
+        |       WHEN cdup THEN 'caption_dup'
+        |       WHEN idup THEN 'image_dup'
+        |       ELSE '' END AS drop_reason
+        |FROM f""".stripMargin,
     // generation AND line cleaning replayed — every rule path planted
     "q136_c4_clean" ->
       """WITH p AS (
