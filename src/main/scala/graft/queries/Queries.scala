@@ -1103,6 +1103,34 @@ object Queries {
     graft.ann.Ann.cellNearDupPairs(cells, threshold = 0.35)
   }
 
+  /** INCREMENTAL embedding near-dup through the gate — the third
+    * modality's delta-vs-standing form (text: q118, image: q160):
+    * a vector delta (every 25th id — the q111 query-batch convention)
+    * probes the STANDING IVF index's nProbe=4 nearest cells and keeps
+    * exact-cosine partners at the q24 threshold (0.4), reading only
+    * the probed cells' rank-bucket partitions. This is SemDeDup's
+    * serving path: the standing corpus is never re-scored; recall is
+    * the IVF probe's (q149 audits it) — the candidate set is the
+    * probed cells, exactness is the verify dot. The oracle replays
+    * the trained-centroid chain, the probe ranking, and the verify
+    * products bit-identically (the q149 machinery at a threshold). */
+  def q162EmbedDeltaNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val idx = standingIvfIdx(spark, dir)
+    val delta = emb.where(pmod(col("vec_id"), lit(25)) === 0)
+    val probes = graft.ops.CacheScope.persist(graft.ann.Ann.ivfProbes(delta,
+      graft.ann.IvfIndex.centroids(spark, idx), "vec_id", "embedding", nProbe = 4))
+    val cellIds = probes.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    graft.ann.IvfIndex.prunedCells(spark, idx, cellIds)
+      .join(probes, Seq("cell"))
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        graft.functions.Fence.fence(
+          round(graft.ann.Ann.dot(col("q_vec"), col("v")), 3)).as("cos"))
+      .where(col("cos") >= 0.4)
+  }
+
   /** Bigram conditional surprisal through the gate: per-document mean
     * -ln P(tok|prev) in millinats — the next-token LM-quality signal
     * (catches locally-predictable templated text that unigram
@@ -2988,6 +3016,27 @@ object Queries {
        |    row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
        |  FROM asg0),
        |cells AS (SELECT vec_id, embedding, cid AS cell FROM asg WHERE rn = 1)""".stripMargin
+
+  /** q162 oracle: the q149 probe chain (trained centroids, nProbe=4
+    * cell ranking) over the every-25th delta, with the verify dot at
+    * the q24 threshold instead of a top-k cut. */
+  private lazy val q162Oracle: String =
+    s"""WITH $duckIvfCellsCtes,
+       |q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+       |      WHERE vec_id % 25 = 0),
+       |p0 AS (
+       |  SELECT q.query_id, q.q_vec, c.cid, ${duckDot("q.q_vec", "c.cvec")} AS d
+       |  FROM q CROSS JOIN cent c),
+       |pr AS (
+       |  SELECT query_id, q_vec, cell FROM (
+       |    SELECT query_id, q_vec, cid AS cell,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY d DESC, cid) AS prn
+       |    FROM p0) t WHERE prn <= 4)
+       |SELECT pr.query_id, cells.vec_id AS neighbor_id,
+       |  round(${duckDot("pr.q_vec", "cells.embedding")}, 3) AS cos
+       |FROM pr JOIN cells ON pr.cell = cells.cell
+       |WHERE cells.vec_id != pr.query_id
+       |  AND round(${duckDot("pr.q_vec", "cells.embedding")}, 3) >= 0.4""".stripMargin
 
   /** q149 oracle: both retrieval arms replayed and intersected — the
     * q25 brute ranking and the q38 trained-IVF probe chain over the
@@ -5526,7 +5575,8 @@ object Queries {
     "q158_jpeg_422" -> (q158Jpeg422 _),
     "q159_jsonl_zst" -> (q159JsonlZst _),
     "q160_phash_index_probe" -> (q160PhashIndexProbe _),
-    "q161_paired_delta" -> (q161PairedDelta _))
+    "q161_paired_delta" -> (q161PairedDelta _),
+    "q162_embed_delta_neardup" -> (q162EmbedDeltaNearDup _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -5718,6 +5768,7 @@ object Queries {
     "q70_hll_by_group" -> q70Oracle,
     "q71_train_split" -> q71Oracle,
     "q72_cell_neardup" -> q72Oracle,
+    "q162_embed_delta_neardup" -> q162Oracle,
     "q73_bigram_surprisal" -> q73Oracle,
     "q74_rolling_window" -> q74Oracle,
     "q75_cms_by_source" -> q75Oracle,
