@@ -1131,6 +1131,43 @@ object Queries {
       .where(col("cos") >= 0.4)
   }
 
+  /** MinHash-LSH recall audit through the gate — measure, don't
+    * guess: the banded pipeline's recall against the EXACT Jaccard
+    * pair set, bucketed by similarity (500 bp buckets), on a corpus
+    * whose similarity axis is POPULATED: each document plants a
+    * partial-overlap variant (its first 20-92% of tokens, the
+    * fraction id-derived) so pairs sweep J from ~0.2 up and the
+    * banding recall cliff — P(catch) = 1-(1-J^rows)^bands collapsing
+    * at low J — is visible in the output instead of assumed from
+    * theory. The exact arm is the inverted-index join (never
+    * all-pairs); the banded arm is the q22 pipeline at the audit
+    * threshold. This is the table a deployment tunes bands/rows
+    * against (the q151 nProbe-sweep discipline for the LSH family). */
+  def q163LshRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val toks = docs.select(col("doc_id"),
+      graft.text.TextFunctions.tokens(col("text")).as("ts"))
+    val variants = toks.where(size(col("ts")) > 0).selectExpr(
+      "doc_id + 1000000 AS doc_id",
+      "concat_ws(' ', slice(ts, 1, greatest(3, " +
+        "(size(ts) * (20 + (doc_id % 13) * 6)) div 100))) AS text")
+    val corpus = docs.unionByName(variants)
+    val exact = graft.dedup.Dedup.jaccardPairsInverted(corpus, "doc_id", "text",
+      shingleSize = 3, threshold = 0.2)
+    val banded = graft.dedup.Dedup.minhashNearDupPairs(corpus, "doc_id", "text",
+        threshold = 0.2,
+        graft.dedup.Dedup.MinHashConfig(numHashes = 64, shingleSize = 3, bands = 16))
+      .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
+    exact
+      .withColumn("jbp", round(col("jaccard") * 10000, 0).cast("long"))
+      .join(banded, Seq("id_a", "id_b"), "left")
+      .selectExpr("jbp div 500 AS bucket", "coalesce(hit, 0L) AS hit")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_exact"), sum(col("hit")).as("n_banded"))
+      .selectExpr("bucket * 500 AS bucket_lo_bp", "n_exact", "n_banded",
+        "(10000 * n_banded) div n_exact AS recall_bp")
+  }
+
   /** Bigram conditional surprisal through the gate: per-document mean
     * -ln P(tok|prev) in millinats — the next-token LM-quality signal
     * (catches locally-predictable templated text that unigram
@@ -3433,7 +3470,7 @@ object Queries {
     }.mkString(",\n    ")
     s"""toks AS (
        |  SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), t -> t != '') AS ts
-       |  FROM documents),
+       |  FROM corpus0),
        |shingled AS (
        |  SELECT doc_id, list_distinct(${duckShingles("ts", 3)}) AS shingles
        |  FROM toks),
@@ -3457,8 +3494,48 @@ object Queries {
        |  FROM cand c JOIN sigs a ON a.doc_id = c.id_a JOIN sigs b ON b.doc_id = c.id_b)""".stripMargin
   }
 
+  /** q163 oracle: the union corpus (documents + prefix variants)
+    * bound into the q22 chain; the exact arm brute-joins the staged
+    * shingle sets (500k pairs at gate scale — oracle-side only, the
+    * engine uses the inverted join), the banded arm is `j` at the
+    * audit threshold, both bucketed by the same integer arithmetic. */
+  private lazy val q163Oracle: String =
+    s"""WITH corpus0 AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000,
+       |    array_to_string(ts[1:greatest(3, (len(ts) * (20 + (doc_id % 13) * 6)) // 100)], ' ')
+       |  FROM (SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), t -> t != '') AS ts
+       |        FROM documents)
+       |  WHERE len(ts) > 0),
+       |$q22Ctes,
+       |exact AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+       |      (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jac0
+       |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.shingles, b.shingles)) > 0),
+       |e AS (
+       |  SELECT id_a, id_b, round(round(jac0, 4) * 10000)::BIGINT AS jbp
+       |  FROM exact WHERE jac0 >= 0.2),
+       |bd AS (SELECT id_a, id_b FROM j WHERE jac >= 0.2),
+       |g AS (
+       |  SELECT e.jbp // 500 AS bucket, count(*) AS n_exact,
+       |    sum(CASE WHEN bd.id_a IS NOT NULL THEN 1 ELSE 0 END) AS n_banded
+       |  FROM e LEFT JOIN bd ON e.id_a = bd.id_a AND e.id_b = bd.id_b
+       |  GROUP BY 1)
+       |SELECT (bucket * 500)::BIGINT AS bucket_lo_bp, n_exact::BIGINT AS n_exact,
+       |  n_banded::BIGINT AS n_banded,
+       |  ((10000 * n_banded) // n_exact)::BIGINT AS recall_bp
+       |FROM g""".stripMargin
+
+  /** The plain-documents corpus binding for [[q22Ctes]]. */
+  private val corpusDocs: String =
+    "corpus0 AS (SELECT doc_id, text FROM documents)"
+
   private lazy val q22Oracle: String =
-    s"""WITH $q22Ctes
+    s"""WITH $corpusDocs,
+       |$q22Ctes
        |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM j WHERE jac >= 0.7""".stripMargin
 
   /** q135's CTE chain (Gopher measures + conjunctive keep) — shared
@@ -3502,6 +3579,7 @@ object Queries {
     * their standalone queries; only the composition is new. */
   private lazy val q157Oracle: String =
     s"""WITH RECURSIVE $duckPhashCtes,
+       |$corpusDocs,
        |$q22Ctes,
        |$gopherCtes,
        |ie AS (
@@ -5576,7 +5654,8 @@ object Queries {
     "q159_jsonl_zst" -> (q159JsonlZst _),
     "q160_phash_index_probe" -> (q160PhashIndexProbe _),
     "q161_paired_delta" -> (q161PairedDelta _),
-    "q162_embed_delta_neardup" -> (q162EmbedDeltaNearDup _))
+    "q162_embed_delta_neardup" -> (q162EmbedDeltaNearDup _),
+    "q163_lsh_recall_audit" -> (q163LshRecallAudit _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -5769,6 +5848,7 @@ object Queries {
     "q71_train_split" -> q71Oracle,
     "q72_cell_neardup" -> q72Oracle,
     "q162_embed_delta_neardup" -> q162Oracle,
+    "q163_lsh_recall_audit" -> q163Oracle,
     "q73_bigram_surprisal" -> q73Oracle,
     "q74_rolling_window" -> q74Oracle,
     "q75_cms_by_source" -> q75Oracle,
@@ -6073,6 +6153,7 @@ object Queries {
     // q118 pair replays + the structural-gopher gate, delta ids only
     "q161_paired_delta" ->
       s"""WITH $duckPhashCtes,
+        |$corpusDocs,
         |$q22Ctes,
         |$gopherCtes,
         |ie AS (
