@@ -167,23 +167,38 @@ object Bench {
     // 1-decimal per-query values (saves ~1 byte/query) → detail-free
     // contract (metric/value/failed stay parseable; cold detail lives
     // on the bench_detail lines either way).
-    val contract = s"""{"metric":"total","value":${f3(total)},"unit":"sec","warm_total":${f2(warmTotal)},"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    def contractWith(qsMap: String): String =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","warm_total":${f2(warmTotal)},"queries":$qsMap,"failed":$failed,"sf":"$sfDir"}"""
+    val contract = contractWith(qs)
+    // Degrade ladder: full-precision -> 1-decimal -> integer seconds ->
+    // detail-free. The integer step matters on an environment-inflated
+    // run: 3-digit per-query values can push even the 1-decimal map
+    // past the tail budget, and losing ALL per-query detail to that is
+    // far worse than losing sub-second resolution (full precision
+    // always rides the bench_detail lines).
     val contractFinal =
       if (contract.length <= 1850) contract
       else {
         def f1(d: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, d)
-        val qs1 = jmap(_._2, shortKey, f1, failFloor = 0.1)
-        val contract1 = s"""{"metric":"total","value":${f3(total)},"unit":"sec","warm_total":${f2(warmTotal)},"queries":$qs1,"failed":$failed,"sf":"$sfDir"}"""
+        def f0(d: Double): String = math.round(d).toString
+        val contract1 = contractWith(jmap(_._2, shortKey, f1, failFloor = 0.1))
+        val contract0 = contractWith(jmap(_._2, shortKey, f0, failFloor = 1.0))
         if (contract1.length <= 1850) {
           System.err.println(s"[bench] NOTE: contract at ${contract.length} bytes " +
             "exceeds the 1850 budget — emitting 1-decimal per-query values " +
             s"(${contract1.length} bytes); full precision on the bench_detail lines")
           contract1
+        } else if (contract0.length <= 1850) {
+          System.err.println(s"[bench] NOTE: contract at ${contract.length} bytes " +
+            "exceeds the 1850 budget even at 1-decimal — emitting integer-second " +
+            s"per-query values (${contract0.length} bytes); full precision on the " +
+            "bench_detail lines")
+          contract0
         } else {
           System.err.println(s"[bench] WARNING: contract line ${contract.length} bytes " +
-            "exceeds the 1850 budget even at 1-decimal — emitting reduced contract; " +
-            "per-query cold timings for this run live on the bench_detail lines only")
-          s"""{"metric":"total","value":${f3(total)},"unit":"sec","warm_total":${f2(warmTotal)},"queries":{},"failed":$failed,"sf":"$sfDir"}"""
+            "exceeds the 1850 budget even at integer seconds — emitting reduced " +
+            "contract; per-query cold timings live on the bench_detail lines only")
+          contractWith("{}")
         }
       }
     // warm_top: as many of the slowest warm queries as fit in the tail
