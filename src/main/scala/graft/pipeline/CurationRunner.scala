@@ -97,13 +97,27 @@ object CurationRunner {
     * foreign-keyed index and then supply `embed`.
     * `ivfBuckets`/`ivfTrainStride` size backfill/first-write: gate-
     * scale defaults; a 100 TB corpus wants O(thousands) buckets and a
-    * stride putting ~√n vectors in the seed. */
+    * stride putting ~√n vectors in the seed.
+    *
+    * `phash`: the MEDIA-side of the daily loop. When supplied — a
+    * function from a curated docs frame to one (doc_id, phash) row
+    * per doc with a media payload (perceptual hash of the decoded
+    * bytes; docs without media simply absent) — the run keeps a
+    * [[graft.dedup.PhashDiskIndex]] family under `index/phash`
+    * tracking the curated corpus with the exact text-index
+    * discipline: backfill once from the previous curated corpus,
+    * retire the increment's dead media, append the delta's hashes,
+    * compact past the tombstone threshold. Incremental image/audio
+    * near-dup decisions (the q161 rule) then probe this standing
+    * family instead of re-banding the corpus. */
   final case class IndexConfig(
       lshBuckets: Int = 16, bm25Buckets: Int = 64,
       ivfRefreshKlMilli: Long = 100L, ivfRefreshIters: Int = 2,
       compactTombstoneBp: Long = 2000L,
       embed: Option[DataFrame => DataFrame] = None,
-      ivfBuckets: Int = 16, ivfTrainStride: Int = 16)
+      ivfBuckets: Int = 16, ivfTrainStride: Int = 16,
+      phash: Option[DataFrame => DataFrame] = None,
+      phashBuckets: Int = 16)
 
   /** Persisted-tokenizer maintenance (the BPE deployment lifecycle —
     * [[graft.text.TokenizerStore]]): each run folds the curated
@@ -213,6 +227,7 @@ object CurationRunner {
     val lshDir = s"$lakeRoot/index/lsh"
     val bm25Dir = s"$lakeRoot/index/bm25"
     val ivfRoot = s"$lakeRoot/index/ivf"
+    val phDir = s"$lakeRoot/index/phash"
     val appliedMark = s"$lakeRoot/index/_applied/date=$date"
     val maintain = indexes.filter(_ => !Lake.exists(spark, appliedMark))
     val (curated, deltaIdsOpt) = meta.time("curate") {
@@ -245,6 +260,15 @@ object CurationRunner {
               bm25Dir, seq)
             // vector family: backfill once, then retire dead vectors —
             // the text indexes' exact discipline over embeddings
+            // media family: backfill once, then retire dead media —
+            // the same discipline over perceptual hashes
+            ix.phash.foreach { ph =>
+              if (!Lake.exists(spark, s"$phDir/meta"))
+                graft.dedup.PhashDiskIndex.write(ph(prevCur), "doc_id", "phash",
+                  phDir, numBuckets = ix.phashBuckets, seq = prevSeq)
+              graft.dedup.PhashDiskIndex.retire(spark, phDir, deadIds,
+                "doc_id", seq)
+            }
             ix.embed.foreach { embed =>
               if (graft.ann.IvfIndex.currentVersion(spark, ivfRoot).isEmpty) {
                 val pv = embed(prevCur)
@@ -299,6 +323,10 @@ object CurationRunner {
               lshDir, seq = seq)
             graft.text.Bm25DiskIndex.append(newDocs, "doc_id", "text",
               bm25Dir, seq = seq)
+            ix.phash.foreach { ph =>
+              graft.dedup.PhashDiskIndex.append(ph(newDocs), "doc_id", "phash",
+                phDir, seq = seq)
+            }
             ix.embed.foreach { embed =>
               val ver = graft.ann.IvfIndex.currentVersion(spark, ivfRoot).get
               graft.ann.IvfIndex.append(embed(newDocs), "doc_id", "embedding",
@@ -309,6 +337,10 @@ object CurationRunner {
               lshDir, numBuckets = ix.lshBuckets, seq = seq)
             graft.text.Bm25DiskIndex.write(newDocs, "doc_id", "text",
               bm25Dir, numBuckets = ix.bm25Buckets, seq = seq)
+            ix.phash.foreach { ph =>
+              graft.dedup.PhashDiskIndex.write(ph(newDocs), "doc_id", "phash",
+                phDir, numBuckets = ix.phashBuckets, seq = seq)
+            }
             // first run: the vector family starts as a fresh write of
             // the full curated corpus (trained centroids), versioned +
             // pointer-swapped like every later rewrite
@@ -335,6 +367,12 @@ object CurationRunner {
               ix.compactTombstoneBp * nCurated)
             graft.text.Bm25DiskIndex.compact(spark, bm25Dir, cur,
               "doc_id", "text", seq)
+          ix.phash.foreach { ph =>
+            if (graft.dedup.PhashDiskIndex.tombstoneCount(spark, phDir) * 10000L >
+                ix.compactTombstoneBp * nCurated)
+              graft.dedup.PhashDiskIndex.compact(spark, phDir, ph(cur),
+                "doc_id", "phash", seq)
+          }
           // vector compaction lands beside (it reads the index it
           // rewrites) and swaps the pointer — old version stays
           // probe-able throughout

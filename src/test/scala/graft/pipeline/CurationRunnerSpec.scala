@@ -267,6 +267,63 @@ class CurationRunnerSpec extends SparkSpec {
     } finally { Lake.delete(spark, root) }
   }
 
+  // deterministic text-derived perceptual hash — the spec's stand-in
+  // for a real media decode+pHash (same text -> same hash, changed
+  // text -> changed hash), so maintained-index state compares exact
+  private def phashDocs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select($"doc_id", xxhash64($"text").as("phash"))
+
+  test("phash-maintained media family: backfill, retire+append track the curated corpus, compaction") {
+    val root = java.nio.file.Files.createTempDirectory("lake").toString
+    try {
+      val cfg = Curation.CurationConfig(minQualityMilli = 200)
+      val ixCfg = CurationRunner.IndexConfig(phash = Some(phashDocs),
+        phashBuckets = 4)
+      val phDir = s"$root/index/phash"
+      // probe parity pins the live set exactly: a near-hash delta must
+      // match the SAME partners against the maintained index as
+      // against a fresh index over the day's curated hashes
+      def parity(date: String): Unit = {
+        val cur = Lake.readParquet(spark, s"$root/curated/date=$date")
+        val probe = phashDocs(cur).select(($"doc_id" + 1000L).as("doc_id"),
+          $"phash".bitwiseXOR(1L).as("phash"))
+        val freshDir = java.nio.file.Files.createTempDirectory("ph-fresh").toString
+        graft.dedup.PhashDiskIndex.write(phashDocs(cur), "doc_id", "phash",
+          freshDir, numBuckets = 4)
+        val got = graft.dedup.PhashDiskIndex.probe(spark, phDir, probe,
+          "doc_id", "phash", 5).collect().map(_.toString).sorted.toSeq
+        val want = graft.dedup.PhashDiskIndex.probe(spark, freshDir, probe,
+          "doc_id", "phash", 5).collect().map(_.toString).sorted.toSeq
+        Lake.delete(spark, freshDir)
+        assert(got.nonEmpty, "parity probe must produce matches")
+        assert(got == want,
+          s"$date: maintained-index probes must equal fresh-index probes")
+      }
+
+      // day 1 runs WITHOUT the hook — the lake predates media indexing
+      land(root, "day1.json", (0 until 8).map(i => (i.toLong, "s0", doc(i))))
+      CurationRunner.runDaily(spark, root, "2024-06-01", None, cfg)
+      assert(!Lake.exists(spark, s"$phDir/meta"))
+
+      // day 2 supplies the hook: backfill from day-1's curated corpus,
+      // retire the changed doc's old hash, append the delta's hashes
+      land(root, "day2.json", Seq(
+        (20L, "s0", doc(20)), (3L, "s0", doc(300))))
+      CurationRunner.runDaily(spark, root, "2024-06-02", None, cfg,
+        indexes = Some(ixCfg))
+      assert(Lake.exists(spark, s"$phDir/meta"))
+      parity("2024-06-02")
+
+      // day 3 churns most docs -> compaction folds the tombstones away
+      land(root, "day3.json", (0 until 5).map(i => (i.toLong, "s0", doc(i + 70))))
+      CurationRunner.runDaily(spark, root, "2024-06-03", None, cfg,
+        indexes = Some(ixCfg))
+      assert(graft.dedup.PhashDiskIndex.tombstoneCount(spark, phDir) == 0L,
+        "churn past the threshold must compact the media family")
+      parity("2024-06-03")
+    } finally { Lake.delete(spark, root) }
+  }
+
   test("embed on a fresh lake: the first run writes the IVF family from the full corpus") {
     val root = java.nio.file.Files.createTempDirectory("lake").toString
     try {
