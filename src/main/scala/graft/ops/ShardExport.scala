@@ -107,18 +107,33 @@ object ShardExport {
     * document), one directory per (pack_bucket, pack_bin), same
     * parquet manifest. The JSON object carries every non-pack column
     * of `df` in column order. */
+  /** `compression`: "" = plain text files; "zstd" = every shard file
+    * lands as a REAL single-frame `.zst` (graft.io.ZstdFrameCodec —
+    * standard tools and [[graft.multimodal.Containers.decodeJsonl]]
+    * both read it back; the codec is registered with the session so
+    * [[verifyJsonlShards]]' text read resolves the extension). */
   def writeJsonlShards(df: DataFrame, keyCol: String, nTokensCol: String,
-      binTokens: Long, numBuckets: Int, outDir: String): DataFrame = {
+      binTokens: Long, numBuckets: Int, outDir: String,
+      compression: String = ""): DataFrame = {
     val packed = ScaleOps.packGreedyContiguous(df, keyCol, nTokensCol, binTokens, numBuckets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val payloadCols = df.columns.toSeq
-      packed
+      val writer = packed
         .withColumn("value", to_json(struct(payloadCols.map(col): _*)))
         .select(col("pack_bucket"), col("pack_bin"), col("value"))
         .write.mode(SaveMode.Overwrite)
         .partitionBy("pack_bucket", "pack_bin")
-        .text(s"$outDir/shards")
+      val configured = compression match {
+        case "" => writer
+        case "zstd" =>
+          graft.io.ZstdFrameCodec.register(df.sparkSession)
+          writer.option("compression", graft.io.ZstdFrameCodec.Name)
+        case other =>
+          throw new IllegalArgumentException(
+            s"writeJsonlShards: unknown compression '$other' (use \"\" or \"zstd\")")
+      }
+      configured.text(s"$outDir/shards")
       Lake.writeParquet(manifest(packed, keyCol, nTokensCol), s"$outDir/manifest")
       Lake.readParquet(df.sparkSession, s"$outDir/manifest")
     } finally {
@@ -133,6 +148,8 @@ object ShardExport {
       keyCol: String, nTokensCol: String): DataFrame = {
     require(Lake.exists(spark, s"$outDir/shards") && Lake.exists(spark, s"$outDir/manifest"),
       s"verifyJsonlShards: '$outDir' is not a shard export (missing shards/ or manifest/)")
+    // a zstd-compressed export reads back through the same codec
+    graft.io.ZstdFrameCodec.register(spark)
     val shards = spark.read.format("text").load(s"$outDir/shards")
       .withColumn("pack_bucket", col("pack_bucket").cast("long"))
       .withColumn("pack_bin", col("pack_bin").cast("long"))
