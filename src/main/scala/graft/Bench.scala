@@ -219,13 +219,14 @@ object Bench {
           p.getPeakUsage != null) peakHeap += p.getPeakUsage.getUsed
     }
     val cpuS = sunOs.map(_.getProcessCpuTime / 1e9).getOrElse(-1.0)
-    // integer seconds for cpu/wall (sub-second resolution is noise at
-    // multi-minute scale) keep this line small enough to fit the tail
-    // beside a ~1.8 KB 160-query contract
+    // compact form (~85 bytes): integer seconds (sub-second cpu/wall
+    // resolution is noise at multi-minute scale), l1 = [start, end]
+    // system load at 1 decimal, cpus dropped (constant 32, documented
+    // in SCALE.md) — sized to fit the tail beside a 1.85 KB contract
+    def f1e(d: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, d)
     val envLine = s"""{"bench_env":{"gc_ms":$gcMs,"cpu_s":${cpuS.round},""" +
-      s""""wall_s":${wallS.round},"peak_heap_mb":${peakHeap >> 20},""" +
-      s""""load1_start":${f2(load0)},"load1_end":${f2(osBean.getSystemLoadAverage)},""" +
-      s""""cpus":${Runtime.getRuntime.availableProcessors}}}"""
+      s""""wall_s":${wallS.round},"heap_mb":${peakHeap >> 20},""" +
+      s""""l1":[${f1e(load0)},${f1e(osBean.getSystemLoadAverage)}]}}"""
     val warmFrame = s"""{"warm_total":${f2(warmTotal)},"warm_top":{}}"""
     // Tail priority: contract (the driver parse) > bench_env (the
     // attribution telemetry that makes driver-vs-judge deltas
@@ -234,7 +235,9 @@ object Bench {
     // reading the whole log). Nothing prints unless it fits BESIDE
     // the contract + sbt-footer reserve: an unconditional print could
     // push the contract out of the driver's 2000-char capture.
-    val envBudget = 2000 - contractFinal.length - 90
+    // footer reserve: sbt's "[success] Total time: ..." line measures
+    // ~72-75 bytes; 80 keeps margin without starving the env line
+    val envBudget = 2000 - contractFinal.length - 80
     val envFits = envLine.length + 1 <= envBudget
     if (envFits) println(envLine)
     else System.err.println("[bench] NOTE: bench_env line dropped from the " +
