@@ -1970,6 +1970,19 @@ object Queries {
         col("drop_reason"))
   }
 
+  /** FLAC stream classification through the gate — the lossless arm
+    * of the compressed-audio audit family (q156 covers MPEG): the
+    * metadata-block walk recovers rate/channels/bits/total-samples
+    * (exact duration, no frame parsing) with tagged error families
+    * (not_flac / no_streaminfo / truncated) and the frame payload
+    * counted opaque. Every field and every error walk id-planted and
+    * restated closed-form by the oracle. */
+  def q164FlacHeaders(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Flac.flacCorpusFromDocuments(
+      tbl(spark, dir, "documents"))
+    graft.multimodal.Flac.decodeFlacInfo(media).toDF()
+  }
+
   /** HTML → text extraction through the gate: each document's text is
     * wrapped in a REAL page skeleton — head with style/script elements
     * (the script body contains a bare `<` that a naive tag strip would
@@ -5655,7 +5668,8 @@ object Queries {
     "q160_phash_index_probe" -> (q160PhashIndexProbe _),
     "q161_paired_delta" -> (q161PairedDelta _),
     "q162_embed_delta_neardup" -> (q162EmbedDeltaNearDup _),
-    "q163_lsh_recall_audit" -> (q163LshRecallAudit _))
+    "q163_lsh_recall_audit" -> (q163LshRecallAudit _),
+    "q164_flac_headers" -> (q164FlacHeaders _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -5849,6 +5863,33 @@ object Queries {
     "q72_cell_neardup" -> q72Oracle,
     "q162_embed_delta_neardup" -> q162Oracle,
     "q163_lsh_recall_audit" -> q163Oracle,
+    // every fixture arm restated closed-form from the id arithmetic
+    "q164_flac_headers" ->
+      """WITH m AS (
+        |  SELECT doc_id AS id,
+        |    ([8000,16000,22050,32000,44100,48000])[(doc_id % 6) + 1] AS rate,
+        |    (1 + doc_id % 2) AS channels,
+        |    (1000 + doc_id % 9000)::BIGINT AS total,
+        |    (doc_id % 7 = 2) AS notflac,
+        |    (doc_id % 7 <> 2 AND doc_id % 7 = 4) AS trunc,
+        |    (doc_id % 7 <> 2 AND doc_id % 7 <> 4 AND doc_id % 11 = 5) AS noinfo,
+        |    (doc_id % 3 = 1) AS pad
+        |  FROM documents)
+        |SELECT id AS media_id,
+        |  (CASE WHEN notflac OR trunc OR noinfo THEN 0 ELSE 1 END)::INTEGER AS ok,
+        |  (CASE WHEN notflac OR trunc OR noinfo THEN 0 ELSE rate END)::INTEGER AS sample_rate,
+        |  (CASE WHEN notflac OR trunc OR noinfo THEN 0 ELSE channels END)::INTEGER AS channels,
+        |  (CASE WHEN notflac OR trunc OR noinfo THEN 0 ELSE 16 END)::INTEGER AS bits_per_sample,
+        |  (CASE WHEN notflac OR trunc OR noinfo THEN 0 ELSE total END)::BIGINT AS total_samples,
+        |  (CASE WHEN notflac OR trunc OR noinfo THEN 0
+        |        ELSE (total * 1000) // rate END)::BIGINT AS duration_ms,
+        |  (CASE WHEN notflac OR trunc OR noinfo THEN 0
+        |        WHEN pad THEN 2 ELSE 1 END)::INTEGER AS n_meta_blocks,
+        |  (CASE WHEN notflac OR trunc OR noinfo THEN 0
+        |        ELSE id % 50 END)::BIGINT AS audio_bytes,
+        |  CASE WHEN notflac THEN 'not_flac' WHEN trunc THEN 'truncated'
+        |       WHEN noinfo THEN 'no_streaminfo' ELSE '' END AS err
+        |FROM m""".stripMargin,
     "q73_bigram_surprisal" -> q73Oracle,
     "q74_rolling_window" -> q74Oracle,
     "q75_cms_by_source" -> q75Oracle,

@@ -123,6 +123,13 @@ class DecoderFuzzSpec extends SparkSpec {
     fuzz("mp3-vbr", vbr, b => Mp3.parseMp3(22L, b))
   }
 
+  test("FLAC metadata walker survives 300 deterministic corruptions") {
+    import spark.implicits._
+    val base = Flac.flacCorpusFromDocuments(Seq(7L).toDF("doc_id"))
+      .collect()(0).getAs[Array[Byte]](1) // padding-block clip (7%3==1)
+    fuzz("flac", base, b => Flac.parseFlac(7L, b))
+  }
+
   test("zstd decoder survives 300 deterministic corruptions per variant") {
     val text = ("the quick brown fox jumps over the lazy dog; " * 60 +
       "abcdefg" * 40).getBytes("UTF-8")
