@@ -157,58 +157,24 @@ object Bench {
     // on earlier lines where truncation is harmless.
     println(s"""{"bench_detail":"cold","cold_full":$qsFull}""")
     println(s"""{"bench_detail":"warm","warm_total":${f3(warmTotal)},"warm":$warms,"warm_median":$medians}""")
-    // Pick the contract FIRST (it must always fit), then size the
-    // warm_top line to whatever tail budget remains — at 150 queries
-    // the full-precision contract alone is ~1820 bytes and sbt's
-    // variable-length [success] footer (~70-75 bytes, longer for
-    // longer runs) also lands in the 2000-char capture, so a
-    // fixed-size warm_top line was one footer-digit away from
-    // front-truncating. Degrade order: full-precision contract →
-    // 1-decimal per-query values (saves ~1 byte/query) → detail-free
-    // contract (metric/value/failed stay parseable; cold detail lives
-    // on the bench_detail lines either way).
-    def contractWith(qsMap: String): String =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","warm_total":${f2(warmTotal)},"queries":$qsMap,"failed":$failed,"sf":"$sfDir"}"""
-    val contract = contractWith(qs)
-    // Degrade ladder: full-precision -> 1-decimal -> integer seconds ->
-    // detail-free. The integer step matters on an environment-inflated
-    // run: 3-digit per-query values can push even the 1-decimal map
-    // past the tail budget, and losing ALL per-query detail to that is
-    // far worse than losing sub-second resolution (full precision
-    // always rides the bench_detail lines).
-    val contractFinal =
-      if (contract.length <= 1850) contract
-      else {
-        def f1(d: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, d)
-        def f0(d: Double): String = math.round(d).toString
-        val contract1 = contractWith(jmap(_._2, shortKey, f1, failFloor = 0.1))
-        val contract0 = contractWith(jmap(_._2, shortKey, f0, failFloor = 1.0))
-        if (contract1.length <= 1850) {
-          System.err.println(s"[bench] NOTE: contract at ${contract.length} bytes " +
-            "exceeds the 1850 budget — emitting 1-decimal per-query values " +
-            s"(${contract1.length} bytes); full precision on the bench_detail lines")
-          contract1
-        } else if (contract0.length <= 1850) {
-          System.err.println(s"[bench] NOTE: contract at ${contract.length} bytes " +
-            "exceeds the 1850 budget even at 1-decimal — emitting integer-second " +
-            s"per-query values (${contract0.length} bytes); full precision on the " +
-            "bench_detail lines")
-          contract0
-        } else {
-          System.err.println(s"[bench] WARNING: contract line ${contract.length} bytes " +
-            "exceeds the 1850 budget even at integer seconds — emitting reduced " +
-            "contract; per-query cold timings live on the bench_detail lines only")
-          contractWith("{}")
-        }
-      }
-    // warm_top: as many of the slowest warm queries as fit in the tail
-    // next to the contract, a ~90-byte reserve for sbt's footer, and
-    // this line's own framing. Zero entries still emits valid JSON; if
-    // even the frame doesn't fit, the line is skipped (the full warm
-    // map lives on the bench_detail line above either way).
-    // One compact env line INSIDE the tail capture (counted against the
-    // warm_top budget below) so BENCH_rN.json itself carries the
-    // attribution evidence; ~130 bytes.
+    // Tail layout: the driver captures a 2000-char stdout tail; the
+    // contract line must be LAST and parse, and sbt's variable-length
+    // "[success] Total time: ..." footer (~72-75 bytes) also lands in
+    // the capture (80-byte reserve). Priority: contract (the driver
+    // parse) > bench_env (the attribution telemetry that makes
+    // driver-vs-judge deltas explainable from the file alone) >
+    // warm_top (nice-to-have — the full warm map rides the earlier
+    // bench_detail line for anyone reading the whole log).
+    //
+    // The env line is computed BEFORE the contract level is chosen so
+    // the degrade ladder can guarantee it a seat: the r10 file chose
+    // the contract first (its own 1850 budget only) and handed env the
+    // leftovers — at 164 queries the 1-decimal contract was 1,833 B,
+    // the leftover 87 B, and a one-byte-wider env line (digit counts
+    // vary run to run) fell off the tail, costing the round its
+    // environment-attribution evidence. No digit-width guessing is
+    // needed: every env metric is final here (queries are done; the
+    // microseconds until print don't move integer-second fields).
     val wallS = (System.nanoTime() - benchT0) / 1e9
     var gcMs = 0L
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
@@ -219,29 +185,54 @@ object Bench {
           p.getPeakUsage != null) peakHeap += p.getPeakUsage.getUsed
     }
     val cpuS = sunOs.map(_.getProcessCpuTime / 1e9).getOrElse(-1.0)
-    // compact form (~85 bytes): integer seconds (sub-second cpu/wall
+    // compact form (~105 bytes): integer seconds (sub-second cpu/wall
     // resolution is noise at multi-minute scale), l1 = [start, end]
     // system load at 1 decimal, cpus dropped (constant 32, documented
-    // in SCALE.md) — sized to fit the tail beside a 1.85 KB contract
+    // in SCALE.md). "wu" pins the warmup methodology: since r10 a
+    // pre-bench shingle/minhash JIT warmup runs (see top of main), so
+    // cold numbers are not comparable with pre-r10 BENCH files that
+    // charged that catalog-wide JIT to the first sorted query — the
+    // flag lets cross-round adjudication account for it.
     def f1e(d: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, d)
     val envLine = s"""{"bench_env":{"gc_ms":$gcMs,"cpu_s":${cpuS.round},""" +
       s""""wall_s":${wallS.round},"heap_mb":${peakHeap >> 20},""" +
-      s""""l1":[${f1e(load0)},${f1e(osBean.getSystemLoadAverage)}]}}"""
-    val warmFrame = s"""{"warm_total":${f2(warmTotal)},"warm_top":{}}"""
-    // Tail priority: contract (the driver parse) > bench_env (the
-    // attribution telemetry that makes driver-vs-judge deltas
-    // explainable from the file alone) > warm_top (nice-to-have — the
-    // full warm map rides the earlier bench_detail line for anyone
-    // reading the whole log). Nothing prints unless it fits BESIDE
-    // the contract + sbt-footer reserve: an unconditional print could
-    // push the contract out of the driver's 2000-char capture.
-    // footer reserve: sbt's "[success] Total time: ..." line measures
-    // ~72-75 bytes; 80 keeps margin without starving the env line
+      s""""l1":[${f1e(load0)},${f1e(osBean.getSystemLoadAverage)}],""" +
+      s""""wu":"shingle-jit"}}"""
+    // Degrade ladder: full-precision -> 1-decimal -> integer seconds ->
+    // detail-free. A step is taken when the contract either exceeds its
+    // own 1850 budget OR leaves no room for the env line beside it —
+    // losing one decimal of per-query resolution (full precision always
+    // rides the bench_detail lines) is strictly cheaper than losing the
+    // telemetry that proves whether a slow run was environment. The
+    // detail-free floor (~200 B) always seats env.
+    def contractWith(qsMap: String): String =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","warm_total":${f2(warmTotal)},"queries":$qsMap,"failed":$failed,"sf":"$sfDir"}"""
+    def f1(d: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, d)
+    def f0(d: Double): String = math.round(d).toString
+    val ladder = Seq(
+      ("full-precision", contractWith(qs)),
+      ("1-decimal", contractWith(jmap(_._2, shortKey, f1, failFloor = 0.1))),
+      ("integer-second", contractWith(jmap(_._2, shortKey, f0, failFloor = 1.0))),
+      ("detail-free", contractWith("{}")))
+    def fitsWithEnv(c: String): Boolean =
+      c.length <= 1850 && c.length + 80 + envLine.length + 1 <= 2000
+    val (level, contractFinal) = ladder.find(t => fitsWithEnv(t._2))
+      .getOrElse(ladder.last)
+    if (level != "full-precision")
+      System.err.println(s"[bench] NOTE: contract degraded to $level " +
+        s"(${contractFinal.length} bytes) so the bench_env line " +
+        s"(${envLine.length} bytes) keeps its tail seat; full precision " +
+        "on the bench_detail lines")
     val envBudget = 2000 - contractFinal.length - 80
     val envFits = envLine.length + 1 <= envBudget
     if (envFits) println(envLine)
     else System.err.println("[bench] NOTE: bench_env line dropped from the " +
       "tail (no budget beside the contract); env telemetry for this run: " + envLine)
+    // warm_top: as many of the slowest warm queries as fit in the tail
+    // next to the contract + env + footer reserve. Zero entries still
+    // emits valid JSON; if even the frame doesn't fit, the line is
+    // skipped (the full warm map lives on the bench_detail line above).
+    val warmFrame = s"""{"warm_total":${f2(warmTotal)},"warm_top":{}}"""
     val warmBudget = (if (envFits) envBudget - envLine.length - 1 else envBudget) -
       warmFrame.length
     if (warmBudget >= 0) {

@@ -794,18 +794,24 @@ object Zstd {
     var len = 0
     private def ensure(n: Int): Unit =
       if (len + n > buf.length) {
-        var cap = buf.length
-        while (cap < len + n) cap <<= 1
+        // doubling must not overflow past 2^30 (cap would wrap negative
+        // -> 0 and the old `while (cap < len+n) cap <<= 1` spun forever
+        // for maxBytes > 1<<30): grow by max(double, exact need) and
+        // clamp at the array-size ceiling — the exact need fits by the
+        // caller's maxBytes gate, so the clamp never truncates
+        val need = len + n
+        val cap = math.min(math.max(buf.length.toLong * 2, need.toLong),
+          (Integer.MAX_VALUE - 8).toLong).toInt
         buf = java.util.Arrays.copyOf(buf, cap)
       }
     def append(src: Array[Byte], off: Int, n: Int, maxBytes: Int): Unit = {
-      if (n < 0 || len + n > maxBytes) corrupt()
+      if (n < 0 || len.toLong + n > maxBytes) corrupt()
       ensure(n)
       System.arraycopy(src, off, buf, len, n)
       len += n
     }
     def appendByte(v: Byte, n: Int, maxBytes: Int): Unit = {
-      if (n < 0 || len + n > maxBytes) corrupt()
+      if (n < 0 || len.toLong + n > maxBytes) corrupt()
       ensure(n)
       java.util.Arrays.fill(buf, len, len + n, v)
       len += n
