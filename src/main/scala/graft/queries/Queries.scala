@@ -2652,7 +2652,15 @@ object Queries {
     * dup cluster is deterministic, never quality-re-elected. */
   def q157PairedCuration(spark: SparkSession, dir: String): DataFrame = {
     val docs = tbl(spark, dir, "documents")
+    // a deterministic ~4% of the images arrive CORRUPT (truncated to the
+    // 8-byte magic) — the q133 corpus is fully decodable by construction,
+    // which would leave the highest-precedence drop arm dead in the gate;
+    // a real crawl day always carries undecodable payloads, so this query
+    // injects them the way every other media fixture carries an error arm
     val media = graft.multimodal.Multimodal.mixedCodecImageCorpusFromDocuments(docs)
+      .withColumn("payload",
+        when(pmod(col("media_id"), lit(23L)) === 5L,
+          expr("substring(payload, 1, 8)")).otherwise(col("payload")))
     val hashes = graft.ops.CacheScope.persist(
       graft.multimodal.Multimodal.decodeImagePHash(media).toDF())
     val imgPairs = graft.dedup.Dedup.hammingNearDupPairs(
@@ -3595,9 +3603,14 @@ object Queries {
        |$corpusDocs,
        |$q22Ctes,
        |$gopherCtes,
+       |ph2 AS (
+       |  -- the query truncates doc_id % 23 = 5 payloads to the 8-byte
+       |  -- magic before decode: those ids have no hash and can join no
+       |  -- image cluster (the engine's ok=1 filter, restated closed-form)
+       |  SELECT * FROM ph WHERE doc_id % 23 <> 5),
        |ie AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+       |  FROM ph2 a JOIN ph2 b ON a.doc_id < b.doc_id
        |  WHERE bit_count(xor(a.h, b.h)) <= 5),
        |iund AS (SELECT id_a AS u, id_b AS v FROM ie UNION SELECT id_b, id_a FROM ie),
        |ireach AS (
@@ -3626,9 +3639,11 @@ object Queries {
        |  LEFT JOIN ccl ON ccl.u = d.doc_id
        |  JOIN gk ON gk.doc_id = d.doc_id)
        |SELECT doc_id,
-       |  (CASE WHEN keep = 1 AND img_cluster = doc_id AND cap_cluster = doc_id
+       |  (CASE WHEN doc_id % 23 <> 5 AND keep = 1
+       |        AND img_cluster = doc_id AND cap_cluster = doc_id
        |        THEN 1 ELSE 0 END)::BIGINT AS kept,
-       |  CASE WHEN keep = 0 THEN 'caption_quality'
+       |  CASE WHEN doc_id % 23 = 5 THEN 'image_undecodable'
+       |       WHEN keep = 0 THEN 'caption_quality'
        |       WHEN cap_cluster <> doc_id THEN 'caption_dup'
        |       WHEN img_cluster <> doc_id THEN 'image_dup'
        |       ELSE '' END AS drop_reason,
