@@ -208,10 +208,20 @@ object Multimodal {
     None
   }
 
-  /** Parse an image payload's header: PNG, then JPEG, else unknown. */
+  /** Parse an image payload's header: PNG, then JPEG, then WebP
+    * (RIFF/VP8/VP8L/VP8X via [[Webp.parseWebp]] — depth is always 8,
+    * channels 4 when alpha is carried, coding = the container flavor),
+    * else unknown. */
   def parseImageHeader(b: Array[Byte]): Option[(String, Int, Int, Int, Int, String)] = {
     val p = parsePngHeader(b)
-    if (p.isDefined) p else parseJpegHeader(b)
+    if (p.isDefined) return p
+    val j = parseJpegHeader(b)
+    if (j.isDefined) return j
+    val w = Webp.parseWebp(0L, b)
+    if (w.ok == 1)
+      Some(("webp", w.width, w.height, 8, if (w.has_alpha == 1) 4 else 3,
+        w.format))
+    else None
   }
 
   /** Shared decode-stage shape for every modality: repartition the wide

@@ -1,0 +1,243 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** WebP image classification (the public WebP container + VP8/VP8L
+  * bitstream specs, RFC 6386 for the lossy frame header) — the most
+  * common modern crawl image format, previously invisible to the image
+  * audit ([[Multimodal.parseImageHeader]] sniffed PNG/JPEG only).
+  *
+  * Walks the RIFF layer and the first bytes of the image bitstream,
+  * never a coefficient: "RIFF" + LE32 size + "WEBP", then chunks of
+  * [fourCC, LE32 size, payload, pad-to-even]. The first chunk decides
+  * the flavor:
+  *  - "VP8 " (lossy): 3-byte frame tag (must be a keyframe), the
+  *    9D 01 2A start code, then 14-bit LE width/height
+  *  - "VP8L" (lossless): 0x2F signature, then a LE32 carrying
+  *    width-1 (14 bits), height-1 (14), alpha-used (1), version (3,
+  *    must be 0)
+  *  - "VP8X" (extended): 10-byte payload — flag byte (0x10 alpha,
+  *    0x02 animation), 24-bit LE canvas width-1 / height-1; an image
+  *    chunk (VP8 /VP8L/ANIM/ANMF) must follow somewhere in the file
+  *
+  * Error families (the [[Mp3]]/[[Flac]] discipline — refusals
+  * quantified per mode): "not_webp" (magic), "truncated" (RIFF size
+  * or a chunk running past the payload — the whole chunk chain is
+  * walked BEFORE flavor classification, so truncation anywhere wins),
+  * "bad_bitstream" (start code / signature / version / VP8X length),
+  * "no_image" (first chunk not an image flavor, or VP8X with no image
+  * chunk after it). */
+object Webp {
+
+  final case class WebpInfo(
+      media_id: Long, ok: Int, format: String, width: Int, height: Int,
+      has_alpha: Int, animated: Int, n_chunks: Int, err: String)
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def le24(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16)
+  private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+  private def cc(b: Array[Byte], i: Int): String =
+    new String(Array(b(i), b(i + 1), b(i + 2), b(i + 3)), "ISO-8859-1")
+
+  def parseWebp(id: Long, b: Array[Byte]): WebpInfo = {
+    def fail(err: String): WebpInfo =
+      WebpInfo(id, 0, "", 0, 0, 0, 0, 0, err)
+    if (b == null || b.length < 12 || cc(b, 0) != "RIFF" ||
+        cc(b, 8) != "WEBP") return fail("not_webp")
+    val riffEnd = 8L + le32(b, 4)
+    if (riffEnd > b.length) return fail("truncated")
+    val end = riffEnd.toInt
+    // chunk walk first: truncation anywhere beats flavor classification
+    var p = 12
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+    while (p < end) {
+      if (p + 8 > end) return fail("truncated")
+      val four = cc(b, p)
+      val size = le32(b, p + 4)
+      if (p + 8 + size > end) return fail("truncated")
+      chunks += ((four, p + 8, size.toInt))
+      p += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (chunks.isEmpty) return fail("no_image")
+    val n = chunks.length
+    val (four0, o0, s0) = chunks.head
+    four0 match {
+      case "VP8 " =>
+        if (s0 < 10) return fail("bad_bitstream")
+        val frameTag = le24(b, o0)
+        val keyframe = (frameTag & 1) == 0
+        if (!keyframe || (b(o0 + 3) & 0xff) != 0x9d ||
+            (b(o0 + 4) & 0xff) != 0x01 || (b(o0 + 5) & 0xff) != 0x2a)
+          return fail("bad_bitstream")
+        val w = le16(b, o0 + 6) & 0x3fff
+        val h = le16(b, o0 + 8) & 0x3fff
+        WebpInfo(id, 1, "lossy", w, h, 0, 0, n, "")
+      case "VP8L" =>
+        if (s0 < 5 || (b(o0) & 0xff) != 0x2f) return fail("bad_bitstream")
+        val bits = le32(b, o0 + 1)
+        val w = (bits & 0x3fff).toInt + 1
+        val h = ((bits >> 14) & 0x3fff).toInt + 1
+        val alpha = ((bits >> 28) & 1L).toInt
+        if (((bits >> 29) & 7L) != 0L) return fail("bad_bitstream")
+        WebpInfo(id, 1, "lossless", w, h, alpha, 0, n, "")
+      case "VP8X" =>
+        if (s0 != 10) return fail("bad_bitstream")
+        val flags = b(o0) & 0xff
+        val alpha = if ((flags & 0x10) != 0) 1 else 0
+        val anim = if ((flags & 0x02) != 0) 1 else 0
+        val w = le24(b, o0 + 4) + 1
+        val h = le24(b, o0 + 7) + 1
+        val hasImage = chunks.tail.exists { case (f, _, _) =>
+          f == "VP8 " || f == "VP8L" || f == "ANIM" || f == "ANMF" }
+        if (!hasImage) return fail("no_image")
+        WebpInfo(id, 1, "extended", w, h, alpha, anim, n, "")
+      case _ => fail("no_image")
+    }
+  }
+
+  /** Batched classification — the decodeStage plan shape. */
+  def decodeWebpInfo(media: DataFrame, partitions: Int = 0): Dataset[WebpInfo] = {
+    val spark = media.sparkSession
+    val parts = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    media.select("media_id", "payload")
+      .repartition(parts, col("media_id"))
+      .as[(Long, Array[Byte])](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.BINARY))
+      .mapPartitions(_.map { case (id, p) => parseWebp(id, p) })(
+        org.apache.spark.sql.Encoders.product[WebpInfo])
+  }
+
+  // ---- fixture synthesis (REAL header bytes, oracle-restatable) -----
+
+  private[multimodal] def vp8Payload(w: Int, h: Int, badStart: Boolean,
+      filler: Int): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    // keyframe tag: type=0, version=0, show=1, first_part_size=filler+7
+    val tag = (1 << 4) | ((filler + 7) << 5)
+    o.write(tag & 0xff); o.write((tag >> 8) & 0xff); o.write((tag >> 16) & 0xff)
+    o.write(0x9d); o.write(if (badStart) 0x00 else 0x01); o.write(0x2a)
+    o.write(w & 0xff); o.write((w >> 8) & 0x3f)
+    o.write(h & 0xff); o.write((h >> 8) & 0x3f)
+    var i = 0
+    while (i < filler) { o.write((i * 41 + 3) & 0xff); i += 1 }
+    o.toByteArray
+  }
+
+  private[multimodal] def vp8lPayload(w: Int, h: Int, alpha: Boolean,
+      badVersion: Boolean, filler: Int): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    o.write(0x2f)
+    var bits = (w - 1).toLong & 0x3fff
+    bits |= ((h - 1).toLong & 0x3fff) << 14
+    if (alpha) bits |= 1L << 28
+    if (badVersion) bits |= 3L << 29
+    o.write((bits & 0xff).toInt); o.write(((bits >> 8) & 0xff).toInt)
+    o.write(((bits >> 16) & 0xff).toInt); o.write(((bits >> 24) & 0xff).toInt)
+    var i = 0
+    while (i < filler) { o.write((i * 17 + 9) & 0xff); i += 1 }
+    o.toByteArray
+  }
+
+  private[multimodal] def vp8xPayload(alpha: Boolean, anim: Boolean,
+      w: Int, h: Int): Array[Byte] = {
+    val o = new Array[Byte](10)
+    o(0) = (((if (alpha) 0x10 else 0) | (if (anim) 0x02 else 0))).toByte
+    val cw = w - 1; val ch = h - 1
+    o(4) = (cw & 0xff).toByte; o(5) = ((cw >> 8) & 0xff).toByte
+    o(6) = ((cw >> 16) & 0xff).toByte
+    o(7) = (ch & 0xff).toByte; o(8) = ((ch >> 8) & 0xff).toByte
+    o(9) = ((ch >> 16) & 0xff).toByte
+    o
+  }
+
+  /** Assemble a RIFF/WEBP file from chunks; `riffOversize` inflates the
+    * declared RIFF size past the real bytes (riff-level truncation),
+    * `chunkOversize` inflates the LAST chunk's declared size (chunk-
+    * level truncation) — in both arms the payload actually ENDS where
+    * the parser must refuse. */
+  private[multimodal] def webpBytes(chunks: Seq[(String, Array[Byte])],
+      breakMagic: Boolean = false, riffOversize: Int = 0,
+      chunkOversize: Int = 0): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    val body = new java.io.ByteArrayOutputStream()
+    for (((four, payload), k) <- chunks.zipWithIndex) {
+      four.foreach(c => body.write(c.toInt))
+      val declared = payload.length +
+        (if (k == chunks.length - 1) chunkOversize else 0)
+      body.write(declared & 0xff); body.write((declared >> 8) & 0xff)
+      body.write((declared >> 16) & 0xff); body.write((declared >> 24) & 0xff)
+      body.write(payload, 0, payload.length)
+      if (payload.length % 2 == 1 && k < chunks.length - 1) body.write(0)
+    }
+    val bodyBytes = body.toByteArray
+    o.write('R'); o.write('I'); o.write('F'); o.write(if (breakMagic) 'X' else 'F')
+    // chunkOversize deliberately NOT added here: the RIFF size must
+    // match the real bytes so the refusal happens at the CHUNK walk
+    val riffSize = 4 + bodyBytes.length + riffOversize
+    o.write(riffSize & 0xff); o.write((riffSize >> 8) & 0xff)
+    o.write((riffSize >> 16) & 0xff); o.write((riffSize >> 24) & 0xff)
+    o.write('W'); o.write('E'); o.write('B'); o.write('P')
+    o.write(bodyBytes, 0, bodyBytes.length)
+    o.toByteArray
+  }
+
+  /** Deterministic WebP corpus from the documents table — flavors and
+    * error families fanned over id arithmetic (oracle restates it):
+    *   width 16 + id%200, height 16 + id%150
+    *   not_webp       id%7==2 (broken RIFF magic)
+    *   truncated      else id%7==4 (id%2==0: RIFF size overruns the
+    *                  payload; id%2==1: last chunk's size does)
+    *   bad_bitstream  else id%11==5 (id%2==0: VP8 start code broken;
+    *                  id%2==1: VP8L version=3)
+    *   no_image       else id%13==3 (VP8X with nothing after it)
+    *   else flavor id%3: 0 lossy (VP8 , 1 chunk) / 1 lossless (VP8L,
+    *   alpha id%2, odd/even sizes via filler id%9, 1 chunk) / 2
+    *   extended (VP8X alpha id%2 anim id%5==0 + inner VP8 , 2 chunks) */
+  def webpCorpusFromDocuments(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].map { id =>
+      def m(k: Long): Int = java.lang.Math.floorMod(id, k).toInt
+      val w = 16 + m(200); val h = 16 + m(150)
+      val notWebp = m(7) == 2
+      val trunc = !notWebp && m(7) == 4
+      val badBs = !notWebp && !trunc && m(11) == 5
+      val noImg = !notWebp && !trunc && !badBs && m(13) == 3
+      val filler = m(9)
+      val payload: Array[Byte] =
+        if (notWebp)
+          webpBytes(Seq(("VP8 ", vp8Payload(w, h, badStart = false, filler))),
+            breakMagic = true)
+        else if (trunc && m(2) == 0)
+          webpBytes(Seq(("VP8 ", vp8Payload(w, h, badStart = false, filler))),
+            riffOversize = 40)
+        else if (trunc)
+          webpBytes(Seq(("VP8 ", vp8Payload(w, h, badStart = false, filler))),
+            chunkOversize = 60)
+        else if (badBs && m(2) == 0)
+          webpBytes(Seq(("VP8 ", vp8Payload(w, h, badStart = true, filler))))
+        else if (badBs)
+          webpBytes(Seq(("VP8L", vp8lPayload(w, h, alpha = m(2) == 1,
+            badVersion = true, filler))))
+        else if (noImg)
+          webpBytes(Seq(("VP8X", vp8xPayload(alpha = m(2) == 1,
+            anim = false, w, h))))
+        else m(3) match {
+          case 0 => webpBytes(Seq(("VP8 ", vp8Payload(w, h, badStart = false, filler))))
+          case 1 => webpBytes(Seq(("VP8L", vp8lPayload(w, h, alpha = m(2) == 1,
+            badVersion = false, filler))))
+          case _ => webpBytes(Seq(
+            ("VP8X", vp8xPayload(alpha = m(2) == 1, anim = m(5) == 0, w, h)),
+            ("VP8 ", vp8Payload(w, h, badStart = false, filler))))
+        }
+      (id, payload)
+    }.toDF("media_id", "payload")
+  }
+}

@@ -1983,6 +1983,20 @@ object Queries {
     graft.multimodal.Flac.decodeFlacInfo(media).toDF()
   }
 
+  /** WebP classification through the gate — the q77/q156/q164 pattern
+    * for the most common modern crawl image format: RIFF walk + the
+    * first bitstream bytes of VP8 (lossy keyframe dims), VP8L
+    * (lossless LE-packed dims/alpha/version), and VP8X (extended
+    * flags + canvas), four tagged refusal families (not_webp /
+    * truncated at BOTH the RIFF and chunk levels / bad_bitstream /
+    * no_image). Every field and every error walk id-planted and
+    * restated closed-form by the oracle. */
+  def q165WebpHeaders(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Webp.webpCorpusFromDocuments(
+      tbl(spark, dir, "documents"))
+    graft.multimodal.Webp.decodeWebpInfo(media).toDF()
+  }
+
   /** HTML → text extraction through the gate: each document's text is
     * wrapped in a REAL page skeleton — head with style/script elements
     * (the script body contains a bare `<` that a naive tag strip would
@@ -5684,7 +5698,8 @@ object Queries {
     "q161_paired_delta" -> (q161PairedDelta _),
     "q162_embed_delta_neardup" -> (q162EmbedDeltaNearDup _),
     "q163_lsh_recall_audit" -> (q163LshRecallAudit _),
-    "q164_flac_headers" -> (q164FlacHeaders _))
+    "q164_flac_headers" -> (q164FlacHeaders _),
+    "q165_webp_headers" -> (q165WebpHeaders _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -5905,6 +5920,35 @@ object Queries {
         |  CASE WHEN notflac THEN 'not_flac' WHEN trunc THEN 'truncated'
         |       WHEN noinfo THEN 'no_streaminfo' ELSE '' END AS err
         |FROM m""".stripMargin,
+    "q165_webp_headers" ->
+      """WITH m AS (
+        |  SELECT doc_id AS id,
+        |    (16 + doc_id % 200) AS w,
+        |    (16 + doc_id % 150) AS h,
+        |    (doc_id % 7 = 2) AS notwebp,
+        |    (doc_id % 7 <> 2 AND doc_id % 7 = 4) AS trunc,
+        |    (doc_id % 7 <> 2 AND doc_id % 7 <> 4 AND doc_id % 11 = 5) AS badbs,
+        |    (doc_id % 7 <> 2 AND doc_id % 7 <> 4 AND doc_id % 11 <> 5
+        |       AND doc_id % 13 = 3) AS noimg,
+        |    (doc_id % 3) AS v,
+        |    (doc_id % 2) AS par,
+        |    (doc_id % 5 = 0) AS anim
+        |  FROM documents),
+        |e AS (SELECT *, (notwebp OR trunc OR badbs OR noimg) AS bad FROM m)
+        |SELECT id AS media_id,
+        |  (CASE WHEN bad THEN 0 ELSE 1 END)::INTEGER AS ok,
+        |  CASE WHEN bad THEN ''
+        |       WHEN v = 0 THEN 'lossy' WHEN v = 1 THEN 'lossless'
+        |       ELSE 'extended' END AS format,
+        |  (CASE WHEN bad THEN 0 ELSE w END)::INTEGER AS width,
+        |  (CASE WHEN bad THEN 0 ELSE h END)::INTEGER AS height,
+        |  (CASE WHEN bad OR v = 0 THEN 0 ELSE par END)::INTEGER AS has_alpha,
+        |  (CASE WHEN NOT bad AND v = 2 AND anim THEN 1 ELSE 0 END)::INTEGER AS animated,
+        |  (CASE WHEN bad THEN 0 WHEN v = 2 THEN 2 ELSE 1 END)::INTEGER AS n_chunks,
+        |  CASE WHEN notwebp THEN 'not_webp' WHEN trunc THEN 'truncated'
+        |       WHEN badbs THEN 'bad_bitstream' WHEN noimg THEN 'no_image'
+        |       ELSE '' END AS err
+        |FROM e""".stripMargin,
     "q73_bigram_surprisal" -> q73Oracle,
     "q74_rolling_window" -> q74Oracle,
     "q75_cms_by_source" -> q75Oracle,

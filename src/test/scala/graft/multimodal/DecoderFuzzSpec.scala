@@ -130,6 +130,17 @@ class DecoderFuzzSpec extends SparkSpec {
     fuzz("flac", base, b => Flac.parseFlac(7L, b))
   }
 
+  test("WebP chunk walker survives 300 deterministic corruptions per flavor") {
+    import spark.implicits._
+    // 0 -> lossy, 1 -> lossless (even size), 13 -> lossless (odd size,
+    // exercises the pad byte), 8 -> extended (VP8X + inner VP8)
+    for (id <- Seq(0L, 1L, 13L, 8L)) {
+      val base = Webp.webpCorpusFromDocuments(Seq(id).toDF("doc_id"))
+        .collect()(0).getAs[Array[Byte]](1)
+      fuzz(s"webp-$id", base, b => Webp.parseWebp(id, b))
+    }
+  }
+
   test("zstd decoder survives 300 deterministic corruptions per variant") {
     val text = ("the quick brown fox jumps over the lazy dog; " * 60 +
       "abcdefg" * 40).getBytes("UTF-8")
