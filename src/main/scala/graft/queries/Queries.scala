@@ -1997,6 +1997,19 @@ object Queries {
     graft.multimodal.Webp.decodeWebpInfo(media).toDF()
   }
 
+  /** Ogg container classification through the gate — the q156/q164
+    * pattern for the container those streams usually arrive in: full
+    * page walk with VALIDATED page CRCs (the Ogg forward CRC-32),
+    * Vorbis/Opus id-header classification off the BOS page, duration
+    * from the final granule position (Opus granules run at 48 kHz
+    * minus pre-skip), six tagged refusal families. Every field and
+    * every error walk id-planted and restated closed-form. */
+  def q166OggHeaders(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Ogg.oggCorpusFromDocuments(
+      tbl(spark, dir, "documents"))
+    graft.multimodal.Ogg.decodeOggInfo(media).toDF()
+  }
+
   /** HTML → text extraction through the gate: each document's text is
     * wrapped in a REAL page skeleton — head with style/script elements
     * (the script body contains a bare `<` that a naive tag strip would
@@ -5699,7 +5712,8 @@ object Queries {
     "q162_embed_delta_neardup" -> (q162EmbedDeltaNearDup _),
     "q163_lsh_recall_audit" -> (q163LshRecallAudit _),
     "q164_flac_headers" -> (q164FlacHeaders _),
-    "q165_webp_headers" -> (q165WebpHeaders _))
+    "q165_webp_headers" -> (q165WebpHeaders _),
+    "q166_ogg_headers" -> (q166OggHeaders _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -5948,6 +5962,41 @@ object Queries {
         |  CASE WHEN notwebp THEN 'not_webp' WHEN trunc THEN 'truncated'
         |       WHEN badbs THEN 'bad_bitstream' WHEN noimg THEN 'no_image'
         |       ELSE '' END AS err
+        |FROM e""".stripMargin,
+    "q166_ogg_headers" ->
+      """WITH m AS (
+        |  SELECT doc_id AS id,
+        |    (doc_id % 2 = 1) AS opus,
+        |    CASE WHEN doc_id % 2 = 1 THEN 48000
+        |         ELSE ([8000,16000,44100,48000])[(doc_id % 4) + 1] END AS rate,
+        |    (1 + doc_id % 2) AS channels,
+        |    (48000 + doc_id % 100000)::BIGINT AS granule,
+        |    (1 + doc_id % 3) AS n_audio,
+        |    (20 + doc_id % 50)::BIGINT AS page_bytes,
+        |    (doc_id % 7 = 2) AS notogg,
+        |    (doc_id % 7 <> 2 AND doc_id % 7 = 4) AS trunc,
+        |    (doc_id % 7 <> 2 AND doc_id % 7 <> 4 AND doc_id % 17 = 7) AS badver,
+        |    (doc_id % 7 <> 2 AND doc_id % 7 <> 4 AND doc_id % 17 <> 7
+        |       AND doc_id % 11 = 5) AS badcrc,
+        |    (doc_id % 7 <> 2 AND doc_id % 7 <> 4 AND doc_id % 17 <> 7
+        |       AND doc_id % 11 <> 5 AND doc_id % 13 = 3) AS unk
+        |  FROM documents),
+        |e AS (SELECT *, (notogg OR trunc OR badver OR badcrc OR unk) AS bad FROM m)
+        |SELECT id AS media_id,
+        |  (CASE WHEN bad THEN 0 ELSE 1 END)::INTEGER AS ok,
+        |  CASE WHEN bad THEN '' WHEN opus THEN 'opus' ELSE 'vorbis' END AS codec,
+        |  (CASE WHEN bad THEN 0 ELSE rate END)::INTEGER AS sample_rate,
+        |  (CASE WHEN bad THEN 0 ELSE channels END)::INTEGER AS channels,
+        |  (CASE WHEN NOT bad AND opus THEN 312 ELSE 0 END)::INTEGER AS pre_skip,
+        |  (CASE WHEN bad THEN 0 ELSE 1 + n_audio END)::INTEGER AS n_pages,
+        |  (CASE WHEN bad THEN 0 ELSE granule END)::BIGINT AS granule_end,
+        |  (CASE WHEN bad THEN 0
+        |        WHEN opus THEN ((granule - 312) * 1000) // 48000
+        |        ELSE (granule * 1000) // rate END)::BIGINT AS duration_ms,
+        |  (CASE WHEN bad THEN 0 ELSE n_audio * page_bytes END)::BIGINT AS audio_bytes,
+        |  CASE WHEN notogg THEN 'not_ogg' WHEN trunc THEN 'truncated'
+        |       WHEN badver THEN 'bad_version' WHEN badcrc THEN 'bad_crc'
+        |       WHEN unk THEN 'unknown_codec' ELSE '' END AS err
         |FROM e""".stripMargin,
     "q73_bigram_surprisal" -> q73Oracle,
     "q74_rolling_window" -> q74Oracle,

@@ -130,6 +130,16 @@ class DecoderFuzzSpec extends SparkSpec {
     fuzz("flac", base, b => Flac.parseFlac(7L, b))
   }
 
+  test("Ogg page walker survives 300 deterministic corruptions per codec") {
+    import spark.implicits._
+    // 0 -> vorbis (1 audio page), 1 -> opus, 12 -> vorbis 1+12%3 pages
+    for (id <- Seq(0L, 1L, 12L)) {
+      val base = Ogg.oggCorpusFromDocuments(Seq(id).toDF("doc_id"))
+        .collect()(0).getAs[Array[Byte]](1)
+      fuzz(s"ogg-$id", base, b => Ogg.parseOgg(id, b))
+    }
+  }
+
   test("WebP chunk walker survives 300 deterministic corruptions per flavor") {
     import spark.implicits._
     // 0 -> lossy, 1 -> lossless (even size), 13 -> lossless (odd size,
