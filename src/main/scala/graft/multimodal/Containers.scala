@@ -395,6 +395,233 @@ object Containers {
     }.toDF("media_id", "payload")
   }
 
+  // ---- ZIP -----------------------------------------------------------
+
+  final case class ZipMember(
+      media_id: Long, ent_index: Int, ok: Int, name: String,
+      method: Int, n_bytes: Long, crc_ok: Int, text: String)
+
+  private def zle16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def zle32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  /** Inflate one raw-deflate member (ZIP method 8 — no zlib wrapper). */
+  private def inflateRaw(b: Array[Byte], off: Int, len: Int,
+      expected: Long, maxBytes: Int): Option[Array[Byte]] =
+    try {
+      if (expected > maxBytes) return None // bomb: declared size alone
+      val infl = new java.util.zip.Inflater(true)
+      infl.setInput(b, off, len)
+      val out = new Array[Byte](expected.toInt)
+      var at = 0
+      while (at < out.length && !infl.finished()) {
+        val n = infl.inflate(out, at, out.length - at)
+        if (n == 0 && infl.needsInput()) { infl.end(); return None } // short
+        at += n
+      }
+      val full = at == out.length && { infl.inflate(new Array[Byte](1)) == 0 }
+      infl.end()
+      if (full) Some(out) else None // longer OR shorter than declared
+    } catch { case _: java.util.zip.DataFormatException => None }
+
+  /** Walk one ZIP archive via its CENTRAL DIRECTORY (the authoritative
+    * index — local headers are per-member hints; a streaming walk over
+    * them misses data descriptors and trusts sizes the directory may
+    * contradict). The EOCD record (sig 06054b50) is scanned from the
+    * tail through the max 64 KiB comment; each directory entry
+    * (02014b50) points at its local header (04034b50), whose OWN
+    * name/extra lengths locate the data. Stored (0) and deflate (8)
+    * members are extracted and their CRC-32 validated against the
+    * directory's; a member that fails (bad local sig, unsupported
+    * method, inflate error, size overrun) surfaces ok=0 WITH the
+    * directory's name/method kept (the parsed-prefix discipline), and
+    * crc_ok=0 distinguishes corruption from structural refusal.
+    * Container-level failures (no EOCD, directory overrun) are one
+    * ok=0 row. The entry cap emits the `__truncated__` marker row with
+    * the uncovered entry count (the parseTar contract). */
+  def parseZip(id: Long, b: Array[Byte], maxBytes: Int = 1 << 26,
+      maxEntries: Int = 100000): Seq[ZipMember] = {
+    def containerFail = Seq(ZipMember(id, 0, 0, "", 0, 0L, 0, ""))
+    if (b == null || b.length < 22) return containerFail
+    // EOCD scan: last 22..22+65535 bytes
+    var e = b.length - 22
+    val stop = math.max(0, b.length - 22 - 65535)
+    while (e >= stop && !(b(e) == 0x50 && b(e + 1) == 0x4b &&
+        b(e + 2) == 0x05 && b(e + 3) == 0x06)) e -= 1
+    if (e < stop) return containerFail
+    val nEntries = zle16(b, e + 10)
+    val cdSize = zle32(b, e + 12)
+    val cdOff = zle32(b, e + 16)
+    if (cdOff + cdSize > e) return containerFail
+    val out = Seq.newBuilder[ZipMember]
+    var p = cdOff.toInt
+    var idx = 0
+    while (idx < nEntries && idx < maxEntries) {
+      if (p + 46 > e || zle32(b, p) != 0x02014b50L) {
+        out += ZipMember(id, idx, 0, "", 0, 0L, 0, "")
+        return out.result()
+      }
+      val method = zle16(b, p + 10)
+      val crc = zle32(b, p + 16)
+      val csize = zle32(b, p + 20)
+      val usize = zle32(b, p + 24)
+      val nlen = zle16(b, p + 28)
+      val xlen = zle16(b, p + 30)
+      val clen = zle16(b, p + 32)
+      val lho = zle32(b, p + 42)
+      if (p + 46 + nlen > e) {
+        out += ZipMember(id, idx, 0, "", 0, 0L, 0, "")
+        return out.result()
+      }
+      val name = new String(b, p + 46, nlen, "UTF-8")
+      def memberFail(crcOk: Int): ZipMember =
+        ZipMember(id, idx, 0, name, method, 0L, crcOk, "")
+      // local header: its own nlen/xlen locate the data
+      val data: Option[Array[Byte]] =
+        if (lho + 30 > b.length || zle32(b, lho.toInt) != 0x04034b50L) None
+        else {
+          val lp = lho.toInt
+          val dataAt = lp + 30 + zle16(b, lp + 26) + zle16(b, lp + 28)
+          if (dataAt + csize > b.length) None
+          else method match {
+            case 0 =>
+              if (csize != usize || usize > maxBytes) None
+              else Some(java.util.Arrays.copyOfRange(b, dataAt,
+                dataAt + usize.toInt))
+            case 8 => inflateRaw(b, dataAt, csize.toInt, usize, maxBytes)
+            case _ => None
+          }
+        }
+      out += (data match {
+        case Some(d) =>
+          val c = new java.util.zip.CRC32
+          c.update(d)
+          if (c.getValue == crc)
+            ZipMember(id, idx, 1, name, method, usize, 1, new String(d, "UTF-8"))
+          else memberFail(0)
+        case None => memberFail(1)
+      })
+      p += 46 + nlen + xlen + clen
+      idx += 1
+    }
+    if (idx >= maxEntries && idx < nEntries)
+      out += ZipMember(id, idx, 0, "__truncated__", 0,
+        (nEntries - idx).toLong, 0, "")
+    out.result()
+  }
+
+  /** Batched ZIP member walk — the decodeTar plan shape (ZIP carries
+    * its own per-member compression, so no outer codec layer). */
+  def decodeZip(media: DataFrame, partitions: Int = 0,
+      maxBytes: Int = 1 << 26, maxEntries: Int = 100000): Dataset[ZipMember] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val parts = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    media.select("media_id", "payload")
+      .repartition(parts, col("media_id"))
+      .as[(Long, Array[Byte])](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.BINARY))
+      .flatMap { case (id, p) => parseZip(id, p, maxBytes, maxEntries) }
+  }
+
+  /** Serialize a ZIP archive from (name, bytes, deflate?) members —
+    * fixture synthesis with REAL local headers, central directory, and
+    * EOCD; CRCs computed, deflate via the raw JDK Deflater. */
+  def zipBytes(members: Seq[(String, Array[Byte], Boolean)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    val dir = members.map { case (name, data, deflate) =>
+      val off = out.size()
+      val crc = { val c = new java.util.zip.CRC32; c.update(data); c.getValue }
+      val comp =
+        if (!deflate) data
+        else {
+          val defl = new java.util.zip.Deflater(
+            java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+          defl.setInput(data); defl.finish()
+          val buf = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](8192)
+          while (!defl.finished()) buf.write(tmp, 0, defl.deflate(tmp))
+          defl.end()
+          buf.toByteArray
+        }
+      val nb = name.getBytes("UTF-8")
+      w32(0x04034b50L); w16(20); w16(0); w16(if (deflate) 8 else 0)
+      w16(0); w16(0) // time, date
+      w32(crc); w32(comp.length.toLong); w32(data.length.toLong)
+      w16(nb.length); w16(0)
+      out.write(nb); out.write(comp)
+      (name, nb, crc, comp.length, data.length, deflate, off)
+    }
+    val cdOff = out.size()
+    for ((_, nb, crc, clen, ulen, deflate, off) <- dir) {
+      w32(0x02014b50L); w16(20); w16(20); w16(0); w16(if (deflate) 8 else 0)
+      w16(0); w16(0)
+      w32(crc); w32(clen.toLong); w32(ulen.toLong)
+      w16(nb.length); w16(0); w16(0)
+      w16(0); w16(0) // disk, internal attrs
+      w32(0L) // external attrs
+      w32(off.toLong)
+      out.write(nb)
+    }
+    val cdSize = out.size() - cdOff
+    w32(0x06054b50L); w16(0); w16(0)
+    w16(dir.length); w16(dir.length)
+    w32(cdSize.toLong); w32(cdOff.toLong)
+    w16(0)
+    out.toByteArray
+  }
+
+  /** Deterministic ZIP corpus from the documents table — the q132
+    * fixture shape: each doc becomes a 2-member archive (its text
+    * under docs/, DEFLATED when id%2==0 and STORED otherwise — both
+    * extraction paths exercised; an id-derived metadata member under
+    * meta/, always stored). Error plants over id arithmetic:
+    *   id%5==3  the SECOND member's directory CRC is flipped (member 0
+    *            extracts, member 1 surfaces ok=0 crc_ok=0 with name +
+    *            method kept)
+    *   id%7==2  the EOCD signature is broken (container-level ok=0) */
+  def zipCorpusFromDocuments(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)].map {
+      case (id, text) =>
+        val body = (if (text == null) "" else text).getBytes("UTF-8")
+        val z = zipBytes(Seq(
+          (s"docs/$id.txt", body, java.lang.Math.floorMod(id, 2L) == 0L),
+          (s"meta/$id.json", s"""{"id":$id}""".getBytes("UTF-8"), false)))
+        if (java.lang.Math.floorMod(id, 5L) == 3L) {
+          // central directory: entry 1's CRC field; the directory sits at
+          // the tail, entry 0 first — find the second 02014b50 from cdOff
+          var p = z.length - 22
+          while (!(z(p) == 0x50 && z(p + 1) == 0x4b && z(p + 2) == 0x05 &&
+            z(p + 3) == 0x06)) p -= 1
+          var cd = ((z(p + 16) & 0xffL) | ((z(p + 17) & 0xffL) << 8) |
+            ((z(p + 18) & 0xffL) << 16) | ((z(p + 19) & 0xffL) << 24)).toInt
+          // skip entry 0: 46 + nlen + xlen + clen
+          cd += 46 + ((z(cd + 28) & 0xff) | ((z(cd + 29) & 0xff) << 8)) +
+            ((z(cd + 30) & 0xff) | ((z(cd + 31) & 0xff) << 8)) +
+            ((z(cd + 32) & 0xff) | ((z(cd + 33) & 0xff) << 8))
+          z(cd + 16) = (z(cd + 16) ^ 0x2a).toByte
+        }
+        if (java.lang.Math.floorMod(id, 7L) == 2L) {
+          var p = z.length - 22
+          while (!(z(p) == 0x50 && z(p + 1) == 0x4b && z(p + 2) == 0x05 &&
+            z(p + 3) == 0x06)) p -= 1
+          z(p + 3) = 0x07
+        }
+        (id, z)
+    }.toDF("media_id", "payload")
+  }
+
   // ---- NDJSON (jsonl) ------------------------------------------------
 
   final case class JsonlLine(media_id: Long, line_no: Int, ok: Int, line: String)

@@ -2010,6 +2010,18 @@ object Queries {
     graft.multimodal.Ogg.decodeOggInfo(media).toDF()
   }
 
+  /** ZIP member extraction through the gate — the q132 pattern for
+    * the remaining common corpus container: central-directory walk,
+    * stored AND raw-deflate members extracted (both paths planted via
+    * id parity), per-member CRC-32 validated against the directory,
+    * a flipped directory CRC surfacing ok=0 crc_ok=0 with the name
+    * kept, and a broken EOCD as a container-level refusal. */
+  def q167ZipMembers(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Containers.zipCorpusFromDocuments(
+      tbl(spark, dir, "documents"))
+    graft.multimodal.Containers.decodeZip(media).toDF()
+  }
+
   /** HTML → text extraction through the gate: each document's text is
     * wrapped in a REAL page skeleton — head with style/script elements
     * (the script body contains a bare `<` that a naive tag strip would
@@ -5713,7 +5725,8 @@ object Queries {
     "q163_lsh_recall_audit" -> (q163LshRecallAudit _),
     "q164_flac_headers" -> (q164FlacHeaders _),
     "q165_webp_headers" -> (q165WebpHeaders _),
-    "q166_ogg_headers" -> (q166OggHeaders _))
+    "q166_ogg_headers" -> (q166OggHeaders _),
+    "q167_zip_members" -> (q167ZipMembers _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -5998,6 +6011,30 @@ object Queries {
         |       WHEN badver THEN 'bad_version' WHEN badcrc THEN 'bad_crc'
         |       WHEN unk THEN 'unknown_codec' ELSE '' END AS err
         |FROM e""".stripMargin,
+    // a broken EOCD (id%7==2) is a container row and wins over the
+    // member-level CRC plant (id%5==3); member 0 alternates deflate
+    // (id%2==0, method 8) and stored
+    "q167_zip_members" ->
+      """SELECT doc_id AS media_id, 0::INTEGER AS ent_index, 0::INTEGER AS ok,
+        |  '' AS name, 0::INTEGER AS method, 0::BIGINT AS n_bytes,
+        |  0::INTEGER AS crc_ok, '' AS text
+        |FROM documents WHERE doc_id % 7 = 2
+        |UNION ALL
+        |SELECT doc_id, 0::INTEGER, 1::INTEGER,
+        |  'docs/' || doc_id || '.txt',
+        |  (CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 0 END)::INTEGER,
+        |  coalesce(octet_length(encode(text)), 0)::BIGINT,
+        |  1::INTEGER, coalesce(text, '')
+        |FROM documents WHERE doc_id % 7 <> 2
+        |UNION ALL
+        |SELECT doc_id, 1::INTEGER,
+        |  (CASE WHEN doc_id % 5 = 3 THEN 0 ELSE 1 END)::INTEGER,
+        |  'meta/' || doc_id || '.json', 0::INTEGER,
+        |  (CASE WHEN doc_id % 5 = 3 THEN 0
+        |        ELSE octet_length(encode('{"id":' || doc_id || '}')) END)::BIGINT,
+        |  (CASE WHEN doc_id % 5 = 3 THEN 0 ELSE 1 END)::INTEGER,
+        |  CASE WHEN doc_id % 5 = 3 THEN '' ELSE '{"id":' || doc_id || '}' END
+        |FROM documents WHERE doc_id % 7 <> 2""".stripMargin,
     "q73_bigram_surprisal" -> q73Oracle,
     "q74_rolling_window" -> q74Oracle,
     "q75_cms_by_source" -> q75Oracle,

@@ -130,6 +130,13 @@ class DecoderFuzzSpec extends SparkSpec {
     fuzz("flac", base, b => Flac.parseFlac(7L, b))
   }
 
+  test("ZIP walker survives 300 deterministic corruptions per method mix") {
+    val base = Containers.zipBytes(Seq(
+      ("docs/a.txt", ("zip fuzz member body " * 8).getBytes("UTF-8"), true),
+      ("meta/b.json", """{"id":42}""".getBytes("UTF-8"), false)))
+    fuzz("zip", base, b => Containers.parseZip(42L, b))
+  }
+
   test("Ogg page walker survives 300 deterministic corruptions per codec") {
     import spark.implicits._
     // 0 -> vorbis (1 audio page), 1 -> opus, 12 -> vorbis 1+12%3 pages
