@@ -119,6 +119,36 @@ object CurationRunner {
       phash: Option[DataFrame => DataFrame] = None,
       phashBuckets: Int = 16)
 
+  /** Paired media+caption curation as a maintained daily stage — the
+    * q157/q161 decision rule running INSIDE the loop (the reference
+    * analog: the enrichment join living inside the pipeline,
+    * drug_transformer.py:189-288, not beside it). `media` maps a
+    * curated docs frame to one (doc_id, img_ok, phash) row per doc
+    * that CARRIES a media payload (img_ok=0 for an undecodable one;
+    * docs without media are caption-only and pass the stage
+    * untouched). Each run applies the image-side gates to the day's
+    * DELTA survivors of text curation, the precedence q157 pins:
+    * caption gates first (text curation's job), then
+    * image_undecodable, then image_dup — a delta doc is an image dup
+    * iff its pHash pairs (hamming <= `maxDist`) with ANY standing
+    * curated doc's media or with a SMALLER-id delta doc (the
+    * first-wins rule a daily ingest applies; q161's semantics, which
+    * two-day composition preserves when ids grow with time — the
+    * crawl-day invariant). The standing side is the maintained
+    * `index/phash` family, so a day pays only its own (band, bucket)
+    * probe footprint — when the family is absent (first run, an
+    * already-applied re-run, or maintenance off) the stage falls back
+    * to re-banding carried media, the curateIncrement fallback shape.
+    * Per-reason drop counts land in RunMetadata as
+    * `paired_drop:<reason>` stage rows.
+    *
+    * When `paired` is set and the IndexConfig has no `phash` family,
+    * the family is DERIVED from `media` (ok rows), so the standing
+    * index and the day's decisions can never drift apart. */
+  final case class PairedConfig(
+      media: DataFrame => DataFrame,
+      maxDist: Int = 5)
+
   /** Persisted-tokenizer maintenance (the BPE deployment lifecycle —
     * [[graft.text.TokenizerStore]]): each run folds the curated
     * corpus's day-over-day delta into the additive word-count state
@@ -134,7 +164,7 @@ object CurationRunner {
   final case class DailyResult(
       date: String, snapshotDocs: Long, curatedDocs: Long, incremental: Boolean,
       shardCount: Long = -1L, klMilli: Long = -1L, ivfRefreshed: Boolean = false,
-      tokenizerRefreshed: Boolean = false)
+      tokenizerRefreshed: Boolean = false, pairedDropped: Long = -1L)
 
   private def snapshotPath(root: String, date: String) = s"$root/snapshot/date=$date"
   private def curatedPath(root: String, date: String) = s"$root/curated/date=$date"
@@ -158,7 +188,8 @@ object CurationRunner {
       shards: Option[ShardConfig] = None,
       indexes: Option[IndexConfig] = Some(IndexConfig()),
       rawFormat: RawFormat = RawJson,
-      tokenizer: Option[TokenizerConfig] = None): DailyResult = {
+      tokenizer: Option[TokenizerConfig] = None,
+      paired: Option[PairedConfig] = None): DailyResult = {
     require(date.matches("""\d{4}-\d{2}-\d{2}"""),
       s"runDaily: date must be ISO yyyy-MM-dd (lexical ordering drives " +
         s"snapshot versioning), got '$date'")
@@ -229,7 +260,17 @@ object CurationRunner {
     val ivfRoot = s"$lakeRoot/index/ivf"
     val phDir = s"$lakeRoot/index/phash"
     val appliedMark = s"$lakeRoot/index/_applied/date=$date"
-    val maintain = indexes.filter(_ => !Lake.exists(spark, appliedMark))
+    // paired curation with no registered media family derives one from
+    // its own extractor — the standing index and the day's decisions
+    // come from the same function and cannot drift
+    val effIndexes = indexes.map { ix =>
+      if (paired.isDefined && ix.phash.isEmpty)
+        ix.copy(phash = Some(docs => paired.get.media(docs)
+          .where(col("img_ok") === 1)
+          .select(col("doc_id"), col("phash"))))
+      else ix
+    }
+    val maintain = effIndexes.filter(_ => !Lake.exists(spark, appliedMark))
     val (curated, deltaIdsOpt) = meta.time("curate") {
       val (out, deltaIds) = prev match {
         case Some(p) =>
@@ -300,9 +341,79 @@ object CurationRunner {
       ((persisted, deltaIds), persisted.count())
     }
 
+    // 3.5 paired media+caption curation: the image-side gates over the
+    // day's delta survivors of text curation (see PairedConfig). Runs
+    // BEFORE publish so the published corpus, every standing index's
+    // live set, shards, and the tokenizer state all see the refined
+    // membership — the stage is part of curation, not a side filter.
+    val (curatedFinal, pairedDropped) = paired match {
+      case Some(pc) => meta.time("paired") {
+        // carried docs already passed this gate on their own day
+        val deltaDocs = deltaIdsOpt match {
+          case Some(ids) => curated.join(ids, Seq("doc_id"), "left_semi")
+          case None => curated
+        }
+        val media = graft.ops.CacheScope.persist(pc.media(deltaDocs))
+        val und = media.where(col("img_ok") =!= 1).select(col("doc_id"))
+        val okH = media.where(col("img_ok") === 1)
+          .select(col("doc_id").as("id"), col("phash"))
+        val pairs =
+          if (prev.isDefined && maintain.isDefined &&
+              Lake.exists(spark, s"$phDir/meta"))
+            // standing family live set == carried media (stage 3
+            // retired this increment's dead ids): the probe reads only
+            // the delta's own (band, bucket) footprint and returns
+            // delta-vs-standing AND delta-vs-delta pairs
+            graft.dedup.PhashDiskIndex.probe(spark, phDir, okH,
+              "id", "phash", pc.maxDist)
+          else {
+            // no standing family (first run, already-applied re-run,
+            // or maintenance off): re-band carried media beside the
+            // delta — the curateIncrement fallback shape
+            val carriedDocs = deltaIdsOpt match {
+              case Some(ids) => curated.join(ids, Seq("doc_id"), "left_anti")
+              case None => curated.limit(0)
+            }
+            val standingH = pc.media(carriedDocs)
+              .where(col("img_ok") === 1)
+              .select(col("doc_id").as("id"), col("phash"))
+            graft.dedup.Dedup.hammingNearDupPairs(
+              standingH.unionByName(okH), "id", "phash",
+              totalBits = 64, maxDist = pc.maxDist, bands = 8)
+          }
+        // first-wins over (id_a < id_b)-normalized pairs: a delta id_b
+        // always has a smaller partner; a delta id_a drops only against
+        // a STANDING id_b (a larger delta partner never outranks it)
+        val isDelta = okH.select(col("id")).withColumn("__d", lit(1))
+        val pj = pairs
+          .join(broadcast(isDelta.select(col("id").as("id_a"), col("__d").as("__da"))),
+            Seq("id_a"), "left")
+          .join(broadcast(isDelta.select(col("id").as("id_b"), col("__d").as("__db"))),
+            Seq("id_b"), "left")
+        val dupIds = pj.where(col("__db") === 1).select(col("id_b").as("doc_id"))
+          .unionByName(pj.where(col("__da") === 1 && col("__db").isNull)
+            .select(col("id_a").as("doc_id")))
+          .distinct()
+        val drops = graft.ops.CacheScope.persist(
+          und.select(col("doc_id"), lit("image_undecodable").as("drop_reason"))
+            .unionByName(dupIds.join(und, Seq("doc_id"), "left_anti")
+              .select(col("doc_id"), lit("image_dup").as("drop_reason"))))
+        // per-reason counts land as their own RunMetadata stage rows —
+        // the curation owner reads per-side loss straight off the run
+        val nUnd = drops.where(col("drop_reason") === "image_undecodable").count()
+        val nDup = drops.where(col("drop_reason") === "image_dup").count()
+        meta.time("paired_drop:image_undecodable") { ((), nUnd) }
+        meta.time("paired_drop:image_dup") { ((), nDup) }
+        val refined = graft.ops.CacheScope.persist(
+          curated.join(drops, Seq("doc_id"), "left_anti"))
+        ((refined, nUnd + nDup), nUnd + nDup)
+      }
+      case None => (curated, -1L)
+    }
+
     // 4. publish + metadata
     val nCurated = meta.time("publish") {
-      Lake.writeParquet(curated, curatedPath(lakeRoot, date))
+      Lake.writeParquet(curatedFinal, curatedPath(lakeRoot, date))
       val n = Lake.readParquet(spark, curatedPath(lakeRoot, date)).count()
       (n, n)
     }
@@ -402,7 +513,7 @@ object CurationRunner {
     // centroids past the threshold. The refresh reads only the index's
     // own persisted vectors and lands date-versioned; the pointer
     // swaps after, so the old version stays probe-able throughout.
-    val (klMilli, ivfRefreshed) = (indexes, prev,
+    val (klMilli, ivfRefreshed) = (effIndexes, prev,
         graft.ann.IvfIndex.currentVersion(spark, ivfRoot)) match {
       case (Some(ix), Some(p), Some(ver)) =>
         meta.time("ivf_refresh") {
@@ -518,6 +629,6 @@ object CurationRunner {
     RunMetadata.write(spark, lakeRoot, date, meta.snapshot)
     DailyResult(date, nSnapshot, nCurated, incremental = prev.isDefined,
       shardCount = nShards, klMilli = klMilli, ivfRefreshed = ivfRefreshed,
-      tokenizerRefreshed = tokenizerRefreshed)
+      tokenizerRefreshed = tokenizerRefreshed, pairedDropped = pairedDropped)
   }
 }

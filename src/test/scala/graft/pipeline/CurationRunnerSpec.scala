@@ -685,4 +685,108 @@ class CurationRunnerSpec extends SparkSpec {
     } finally { Lake.delete(spark, root) }
   }
 
+  // the paired stage's media extractor: a doc carries media unless its
+  // text says NOMEDIA; the image is undecodable when it says BADIMG;
+  // the perceptual hash is the hash of the imgN marker, so same marker
+  // -> identical hash (distance 0 — every dup cluster is a star, which
+  // keeps first-wins == full-pass canonicalization exactly)
+  private def mediaDocs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.where(!$"text".contains("NOMEDIA"))
+      .select($"doc_id",
+        when($"text".contains("BADIMG"), lit(0)).otherwise(lit(1)).as("img_ok"),
+        xxhash64(regexp_extract($"text", "img([0-9]+)", 1)).as("phash"))
+
+  test("paired curation: two paired days == one full paired pass over the union") {
+    val cfg = Curation.CurationConfig(minQualityMilli = 200)
+    val pcfg = CurationRunner.PairedConfig(media = mediaDocs)
+    val ixCfg = CurationRunner.IndexConfig(phashBuckets = 4)
+    // day-2 ids exceed day-1 ids — the crawl-day invariant first-wins
+    // composition relies on (ids grow with time)
+    val day1 = Seq(
+      (0L, "s0", doc(0, "img7000")),
+      (1L, "s0", doc(1, "img7001")),
+      (2L, "s0", doc(2, "img7001")), // image dup of 1 (same day, larger id)
+      (3L, "s0", doc(3, "BADIMG")), // undecodable
+      (4L, "s0", doc(4, "img7004")),
+      (5L, "s0", doc(5, "NOMEDIA"))) // caption-only: passes untouched
+    val day2 = Seq(
+      (20L, "s0", doc(20, "img7001")), // image dup of STANDING 1
+      (21L, "s0", doc(21, "img7021")),
+      (22L, "s0", doc(22, "img7021")), // image dup of smaller DELTA 21
+      (23L, "s0", doc(23, "BADIMG")), // undecodable
+      (24L, "s0", doc(24, "img7024")),
+      (4L, "s0", doc(400, "img7044")), // changed: old hash retires, new appends
+      (25L, "s0", doc(25, "NOMEDIA")))
+
+    val rootA = java.nio.file.Files.createTempDirectory("lakeA").toString
+    val rootB = java.nio.file.Files.createTempDirectory("lakeB").toString
+    try {
+      // lake A: two paired days
+      land(rootA, "day1.json", day1)
+      val r1 = CurationRunner.runDaily(spark, rootA, "2024-07-01", None, cfg,
+        indexes = Some(ixCfg), paired = Some(pcfg))
+      assert(r1.pairedDropped == 2, s"day1 drops 2 and 3: $r1")
+      val c1 = Lake.readParquet(spark, s"$rootA/curated/date=2024-07-01")
+      assert(c1.select($"doc_id").as[Long].collect().sorted.toSeq ==
+        Seq(0L, 1L, 4L, 5L))
+      // the media family was DERIVED from the paired extractor
+      assert(Lake.exists(spark, s"$rootA/index/phash/meta"),
+        "paired with no phash family must derive one from media")
+
+      land(rootA, "day2.json", day2)
+      val r2 = CurationRunner.runDaily(spark, rootA, "2024-07-02", None, cfg,
+        indexes = Some(ixCfg), paired = Some(pcfg))
+      assert(r2.pairedDropped == 3, s"day2 drops 20, 22, 23: $r2")
+      val c2 = Lake.readParquet(spark, s"$rootA/curated/date=2024-07-02")
+      assert(c2.select($"doc_id").as[Long].collect().sorted.toSeq ==
+        Seq(0L, 1L, 4L, 5L, 21L, 24L, 25L))
+      assert(c2.where($"doc_id" === 4L).select($"text").head().getString(0)
+        .contains("number 400"), "changed doc carries its new text+image")
+
+      // drop reasons land in RunMetadata as their own stage rows
+      val m2 = RunMetadata.read(spark, rootA, "2024-07-02")
+      def stageRecords(stage: String): Long =
+        m2.where($"stage" === stage).select($"records").as[Long].head()
+      assert(stageRecords("paired") == 3L)
+      assert(stageRecords("paired_drop:image_undecodable") == 1L) // 23
+      assert(stageRecords("paired_drop:image_dup") == 2L) // 20, 22
+
+      // composition law: lake B lands the UNION (final text per doc_id)
+      // in ONE paired day — membership and texts must match lake A's
+      // day 2 exactly
+      land(rootB, "all.json", day1.filterNot(_._1 == 4L) ++ day2)
+      CurationRunner.runDaily(spark, rootB, "2024-07-01", None, cfg,
+        indexes = Some(ixCfg), paired = Some(pcfg))
+      val full = Lake.readParquet(spark, s"$rootB/curated/date=2024-07-01")
+      assert(c2.select($"doc_id", $"text").collect().map(_.toString).sorted.toSeq ==
+        full.select($"doc_id", $"text").collect().map(_.toString).sorted.toSeq,
+        "two paired days must equal one paired pass over the union")
+
+      // the maintained media family's live set == the published corpus's
+      // media: a planted copy of a kept image must probe-match it, a
+      // dropped image's hash must be gone
+      val probe = Seq((9000L, 1L), (9001L, 1L)).toDF("doc_id", "x")
+        .select($"doc_id",
+          xxhash64(when($"doc_id" === 9000L, lit("7021")).otherwise(lit("7001")))
+            .as("phash"))
+      val hits = graft.dedup.PhashDiskIndex.probe(spark, s"$rootA/index/phash",
+        probe, "doc_id", "phash", 0)
+      assert(hits.where($"id_a" === 21L && $"id_b" === 9000L).count() == 1)
+      assert(hits.where($"id_a" === 20L || $"id_a" === 22L).isEmpty,
+        "dropped images must not be standing")
+
+      // an already-applied re-run takes the fallback (re-band) path and
+      // must land the identical corpus (materialize the baseline rows
+      // BEFORE the re-run overwrites the files c2's lazy plan reads)
+      val c2Rows = c2.select($"doc_id", $"text").collect()
+        .map(_.toString).sorted.toSeq
+      CurationRunner.runDaily(spark, rootA, "2024-07-02", None, cfg,
+        indexes = Some(ixCfg), paired = Some(pcfg))
+      val c2b = Lake.readParquet(spark, s"$rootA/curated/date=2024-07-02")
+      assert(c2b.select($"doc_id", $"text").collect().map(_.toString).sorted.toSeq ==
+        c2Rows,
+        "re-running an applied date must be idempotent through the fallback path")
+    } finally { Lake.delete(spark, rootA); Lake.delete(spark, rootB) }
+  }
+
 }
