@@ -59,9 +59,8 @@ object IvfIndex {
       corpus.sparkSession.range(1)
         .select(lit(numBuckets.toLong).as("n_buckets")),
       s"$dir/meta")
-    // a fresh write IS compaction — earlier tombstones refer to rows
-    // that no longer exist and must not kill the new increment's rows
-    Lake.delete(corpus.sparkSession, s"$dir/tombstones")
+    // a fresh write IS compaction (IndexLifecycle's contract)
+    graft.ops.IndexLifecycle.clearTombstones(corpus.sparkSession, dir)
   }
 
   /** Append a disjoint vector delta under the STANDING centroids — the
@@ -102,26 +101,18 @@ object IvfIndex {
   def retire(spark: SparkSession, dir: String, ids: DataFrame,
       idCol: String, seq: Long): Unit = {
     requireIndex(spark, dir)
-    ids.select(col(idCol).cast("long").as("id"), lit(seq).as("seq"))
-      .write.mode(SaveMode.Append).option("compression", "snappy")
-      .parquet(s"$dir/tombstones")
+    graft.ops.IndexLifecycle.writeTombstones(ids, idCol, dir, seq)
   }
 
   /** Distinct retired ids — the compaction trigger's numerator. */
   def tombstoneCount(spark: SparkSession, dir: String): Long =
-    if (!Lake.exists(spark, s"$dir/tombstones")) 0L
-    else Lake.readParquet(spark, s"$dir/tombstones")
-      .select(col("id")).distinct().count()
+    graft.ops.IndexLifecycle.tombstoneCount(spark, dir)
 
   private def deadSeqs(spark: SparkSession, dir: String): Option[DataFrame] =
-    if (!Lake.exists(spark, s"$dir/tombstones")) None
-    else Some(Lake.readParquet(spark, s"$dir/tombstones")
-      .groupBy(col("id")).agg(max(col("seq")).as("dead_seq")))
+    graft.ops.IndexLifecycle.deadSeqs(spark, dir)
 
   private def liveOnly(rows: DataFrame, dead: Option[DataFrame]): DataFrame =
-    dead.fold(rows)(d => rows.join(d, Seq("id"), "left")
-      .where(col("dead_seq").isNull || col("seq") >= col("dead_seq"))
-      .drop("dead_seq"))
+    graft.ops.IndexLifecycle.liveOnly(rows, dead)
 
   /** Fold tombstones away by rewriting the LIVE rows as a NEW
     * versioned index dir. Unlike the text indexes' in-place [[
@@ -143,8 +134,8 @@ object IvfIndex {
     * contract would otherwise surface as an opaque unresolved-column
     * error on the empty schemaless frame. */
   private def requireIndex(spark: SparkSession, dir: String): Unit =
-    require(Lake.exists(spark, s"$dir/centroids") && Lake.exists(spark, s"$dir/cells"),
-      s"no IVF index at '$dir' (missing centroids/ or cells/)")
+    graft.ops.IndexLifecycle.requireParts(spark, dir,
+      Seq("centroids", "cells"), "IVF index")
 
   def centroids(spark: SparkSession, dir: String): DataFrame = {
     requireIndex(spark, dir)
@@ -186,12 +177,10 @@ object IvfIndex {
       .select(col("cbucket")).distinct()
       .collect().map(_.getLong(0)).toSeq
     val raw = Lake.readParquet(spark, s"$dir/cells")
-    val lits: Seq[Any] = raw.schema("cbucket").dataType match {
-      case org.apache.spark.sql.types.IntegerType => buckets.map(_.toInt)
-      case _ => buckets
-    }
     liveOnly(
-        raw.where(col("cbucket").isin(lits: _*) && col("cell").isin(cellIds: _*)),
+        raw.where(col("cbucket").isin(
+            graft.ops.IndexLifecycle.partitionLits(raw, "cbucket", buckets): _*) &&
+          col("cell").isin(cellIds: _*)),
         deadSeqs(spark, dir))
       .select(col("id"), col("v"), col("cell"))
   }

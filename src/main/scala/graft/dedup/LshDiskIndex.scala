@@ -112,9 +112,8 @@ object LshDiskIndex {
     require(numBuckets >= 1, s"numBuckets must be >= 1: $numBuckets")
     writeIncrement(docs, idCol, textCol, dir, cfg, numBuckets,
       SaveMode.Overwrite, seq)
-    // a fresh write IS compaction — earlier tombstones refer to rows
-    // that no longer exist and must not kill the new increment's rows
-    Lake.delete(docs.sparkSession, s"$dir/tombstones")
+    // a fresh write IS compaction (IndexLifecycle's contract)
+    graft.ops.IndexLifecycle.clearTombstones(docs.sparkSession, dir)
   }
 
   /** Append a disjoint delta under the standing config — new files
@@ -131,40 +130,25 @@ object LshDiskIndex {
       SaveMode.Append, seq, writeMeta = false)
   }
 
-  /** Retire documents: append (id, seq) tombstones killing every indexed
-    * row of those ids whose ingest seq is STRICTLY below `seq`. Rows
-    * (re-)appended at `seq` or later stay live — so a changed document
-    * retires and re-appends under the same seq. Standing files are never
-    * touched (the append-only contract). `ids` is one column of doc ids. */
+  /** Retire documents — [[graft.ops.IndexLifecycle]]'s seq-tombstone
+    * rule: markers kill rows with ingest seq STRICTLY below `seq`, so
+    * a changed document retires and re-appends under the same seq.
+    * Standing files are never touched. `ids` is one column of doc ids. */
   def retire(spark: SparkSession, dir: String, ids: DataFrame,
       idCol: String, seq: Long): Unit = {
     requireIndex(spark, dir)
-    ids.select(col(idCol).cast("long").as("id"), lit(seq).as("seq"))
-      .write.mode(SaveMode.Append).option("compression", "snappy")
-      .parquet(s"$dir/tombstones")
+    graft.ops.IndexLifecycle.writeTombstones(ids, idCol, dir, seq)
   }
 
-  /** Max tombstone seq per retired id, or None when nothing was ever
-    * retired. Small by construction (bounded by the retired doc count);
-    * AQE broadcasts the live-filter join when it is. */
   private def deadSeqs(spark: SparkSession, dir: String): Option[DataFrame] =
-    if (!Lake.exists(spark, s"$dir/tombstones")) None
-    else Some(Lake.readParquet(spark, s"$dir/tombstones")
-      .groupBy(col("id")).agg(max(col("seq")).as("dead_seq")))
+    graft.ops.IndexLifecycle.deadSeqs(spark, dir)
 
-  /** Drop index rows killed by tombstones: live iff no tombstone for the
-    * id, or the row's ingest seq is >= the newest tombstone seq. */
   private def liveOnly(rows: DataFrame, dead: Option[DataFrame]): DataFrame =
-    dead.fold(rows)(d => rows.join(d, Seq("id"), "left")
-      .where(col("dead_seq").isNull || col("seq") >= col("dead_seq"))
-      .drop("dead_seq"))
+    graft.ops.IndexLifecycle.liveOnly(rows, dead)
 
-  /** Distinct retired ids — the compaction trigger's numerator.
-    * Bounded by the retired doc count; 0 when nothing was retired. */
+  /** Distinct retired ids — the compaction trigger's numerator. */
   def tombstoneCount(spark: SparkSession, dir: String): Long =
-    if (!Lake.exists(spark, s"$dir/tombstones")) 0L
-    else Lake.readParquet(spark, s"$dir/tombstones")
-      .select(col("id")).distinct().count()
+    graft.ops.IndexLifecycle.tombstoneCount(spark, dir)
 
   /** Fold tombstones away: a fresh [[write]] of `docs` — the LIVE set,
     * i.e. the caller's current curated corpus — under the STANDING
@@ -181,20 +165,15 @@ object LshDiskIndex {
   }
 
   private def requireIndex(spark: SparkSession, dir: String): Unit =
-    require(Lake.exists(spark, s"$dir/bands") && Lake.exists(spark, s"$dir/sigs") &&
-        Lake.exists(spark, s"$dir/meta"),
-      s"no LSH index at '$dir' (missing bands/, sigs/ or meta/)")
+    graft.ops.IndexLifecycle.requireParts(spark, dir,
+      Seq("bands", "sigs", "meta"), "LSH index")
 
   /** The index's MinHash shape + bucket count, validated consistent
     * across increments (one bounded collect). */
   def meta(spark: SparkSession, dir: String): (MinHashConfig, Int) = {
     requireIndex(spark, dir)
-    val rows = Lake.readParquet(spark, s"$dir/meta")
-      .select(col("num_hashes"), col("shingle_size"), col("bands"), col("n_buckets"))
-      .distinct().collect()
-    require(rows.length == 1,
-      s"LSH index at '$dir' mixes ${rows.length} distinct configs — rebuild required")
-    val r = rows(0)
+    val r = graft.ops.IndexLifecycle.singleMetaRow(spark, dir,
+      Seq("num_hashes", "shingle_size", "bands", "n_buckets"), "LSH index")
     (MinHashConfig(r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2).toInt),
       r.getLong(3).toInt)
   }
@@ -215,16 +194,8 @@ object LshDiskIndex {
   def prunedBands(spark: SparkSession, dir: String, bandIds: Seq[Long],
       buckets: Seq[Long]): DataFrame = {
     requireIndex(spark, dir)
-    val raw = Lake.readParquet(spark, s"$dir/bands")
-    def lits(c: String, vs: Seq[Long]): Seq[Any] =
-      raw.schema(c).dataType match {
-        case org.apache.spark.sql.types.IntegerType => vs.map(_.toInt)
-        case _ => vs
-      }
-    raw.where(col("band").isin(lits("band", bandIds): _*) &&
-        col("bucket").isin(lits("bucket", buckets): _*))
-      .withColumn("band", col("band").cast("long"))
-      .withColumn("bucket", col("bucket").cast("long"))
+    graft.ops.IndexLifecycle.prunedBandBucket(spark, s"$dir/bands",
+      bandIds, buckets)
   }
 
   /** Near-duplicates of a delta against standing ∪ delta — the result

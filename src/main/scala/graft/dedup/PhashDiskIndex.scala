@@ -89,7 +89,7 @@ object PhashDiskIndex {
       s"totalBits must be a multiple of $bands in [$bands, 64], got $totalBits")
     writeIncrement(stagedIds(df, idCol, hashCol), dir, totalBits, bands,
       numBuckets, SaveMode.Overwrite, seq, writeMeta = true)
-    Lake.delete(df.sparkSession, s"$dir/tombstones")
+    graft.ops.IndexLifecycle.clearTombstones(df.sparkSession, dir)
   }
 
   /** Append a disjoint delta under the standing shape. */
@@ -100,30 +100,23 @@ object PhashDiskIndex {
       numBuckets, SaveMode.Append, seq, writeMeta = false)
   }
 
-  /** Retire ids: (id, seq) tombstones kill rows with ingest seq
-    * STRICTLY below `seq` (re-appends at the same seq stay live). */
+  /** Retire ids — [[graft.ops.IndexLifecycle]]'s seq-tombstone rule:
+    * markers kill rows with ingest seq STRICTLY below `seq`
+    * (re-appends at the same seq stay live). */
   def retire(spark: SparkSession, dir: String, ids: DataFrame,
       idCol: String, seq: Long): Unit = {
     requireIndex(spark, dir)
-    ids.select(col(idCol).cast("long").as("id"), lit(seq).as("seq"))
-      .write.mode(SaveMode.Append).option("compression", "snappy")
-      .parquet(s"$dir/tombstones")
+    graft.ops.IndexLifecycle.writeTombstones(ids, idCol, dir, seq)
   }
 
   private def deadSeqs(spark: SparkSession, dir: String): Option[DataFrame] =
-    if (!Lake.exists(spark, s"$dir/tombstones")) None
-    else Some(Lake.readParquet(spark, s"$dir/tombstones")
-      .groupBy(col("id")).agg(max(col("seq")).as("dead_seq")))
+    graft.ops.IndexLifecycle.deadSeqs(spark, dir)
 
   private def liveOnly(rows: DataFrame, dead: Option[DataFrame]): DataFrame =
-    dead.fold(rows)(d => rows.join(d, Seq("id"), "left")
-      .where(col("dead_seq").isNull || col("seq") >= col("dead_seq"))
-      .drop("dead_seq"))
+    graft.ops.IndexLifecycle.liveOnly(rows, dead)
 
   def tombstoneCount(spark: SparkSession, dir: String): Long =
-    if (!Lake.exists(spark, s"$dir/tombstones")) 0L
-    else Lake.readParquet(spark, s"$dir/tombstones")
-      .select(col("id")).distinct().count()
+    graft.ops.IndexLifecycle.tombstoneCount(spark, dir)
 
   /** Fresh [[write]] of the live set under the standing shape —
     * identical probes, tombstones folded away. */
@@ -134,18 +127,15 @@ object PhashDiskIndex {
   }
 
   private def requireIndex(spark: SparkSession, dir: String): Unit =
-    require(Lake.exists(spark, s"$dir/bands") && Lake.exists(spark, s"$dir/meta"),
-      s"no pHash index at '$dir' (missing bands/ or meta/)")
+    graft.ops.IndexLifecycle.requireParts(spark, dir,
+      Seq("bands", "meta"), "pHash index")
 
   /** (total_bits, bands, n_buckets), validated consistent. */
   def meta(spark: SparkSession, dir: String): (Int, Int, Int) = {
     requireIndex(spark, dir)
-    val rows = Lake.readParquet(spark, s"$dir/meta")
-      .select(col("total_bits"), col("bands"), col("n_buckets"))
-      .distinct().collect()
-    require(rows.length == 1,
-      s"pHash index at '$dir' mixes ${rows.length} distinct shapes — rebuild required")
-    (rows(0).getLong(0).toInt, rows(0).getLong(1).toInt, rows(0).getLong(2).toInt)
+    val r = graft.ops.IndexLifecycle.singleMetaRow(spark, dir,
+      Seq("total_bits", "bands", "n_buckets"), "pHash index")
+    (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2).toInt)
   }
 
   /** The full band frame (partition columns restored to long). */
@@ -163,16 +153,8 @@ object PhashDiskIndex {
   def prunedBands(spark: SparkSession, dir: String, bandIds: Seq[Long],
       buckets: Seq[Long]): DataFrame = {
     requireIndex(spark, dir)
-    val raw = Lake.readParquet(spark, s"$dir/bands")
-    def lits(c: String, vs: Seq[Long]): Seq[Any] =
-      raw.schema(c).dataType match {
-        case org.apache.spark.sql.types.IntegerType => vs.map(_.toInt)
-        case _ => vs
-      }
-    raw.where(col("band").isin(lits("band", bandIds): _*) &&
-        col("bucket").isin(lits("bucket", buckets): _*))
-      .withColumn("band", col("band").cast("long"))
-      .withColumn("bucket", col("bucket").cast("long"))
+    graft.ops.IndexLifecycle.prunedBandBucket(spark, s"$dir/bands",
+      bandIds, buckets)
   }
 
   /** Perceptual near-dups of a delta against standing ∪ delta — the

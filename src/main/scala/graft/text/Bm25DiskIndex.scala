@@ -61,9 +61,8 @@ object Bm25DiskIndex {
       .write.mode(SaveMode.Overwrite)
       .option("compression", "snappy")
       .parquet(s"$dir/stats")
-    // a fresh write IS compaction — earlier tombstones refer to rows
-    // that no longer exist and must not kill the new increment's rows
-    graft.io.Lake.delete(docs.sparkSession, s"$dir/tombstones")
+    // a fresh write IS compaction (IndexLifecycle's contract)
+    graft.ops.IndexLifecycle.clearTombstones(docs.sparkSession, dir)
   }
 
   /** Append a disjoint delta (a daily ingest) — new postings files in
@@ -127,9 +126,7 @@ object Bm25DiskIndex {
       dir: String, seq: Long): Unit = {
     val spark = docs.sparkSession
     val n = numBuckets(spark, dir)
-    docs.select(col(idCol).cast("long").as("id"), lit(seq).as("seq"))
-      .write.mode(SaveMode.Append).option("compression", "snappy")
-      .parquet(s"$dir/tombstones")
+    graft.ops.IndexLifecycle.writeTombstones(docs, idCol, dir, seq)
     docs.select(size(TextFunctions.tokens(col(textCol))).cast("long").as("dl"))
       .agg((-count(lit(1))).as("d_docs"),
         (-coalesce(sum(col("dl")), lit(0L))).as("t_toks"))
@@ -139,12 +136,9 @@ object Bm25DiskIndex {
       .parquet(s"$dir/stats")
   }
 
-  /** Distinct retired ids — the compaction trigger's numerator.
-    * Bounded by the retired doc count; 0 when nothing was retired. */
+  /** Distinct retired ids — the compaction trigger's numerator. */
   def tombstoneCount(spark: SparkSession, dir: String): Long =
-    if (!Lake.exists(spark, s"$dir/tombstones")) 0L
-    else Lake.readParquet(spark, s"$dir/tombstones")
-      .select(col("id")).distinct().count()
+    graft.ops.IndexLifecycle.tombstoneCount(spark, dir)
 
   /** Fold tombstones away: a fresh [[write]] of `docs` — the LIVE set,
     * i.e. the caller's current curated corpus — under the STANDING
@@ -158,28 +152,18 @@ object Bm25DiskIndex {
       idCol: String, textCol: String, seq: Long): Unit =
     write(docs, idCol, textCol, dir, numBuckets(spark, dir), seq)
 
-  /** Max tombstone seq per retired id, or None when nothing was ever
-    * retired. Bounded by the retired doc count; AQE broadcasts the
-    * live-filter join when it is small. Compaction ([[compact]])
-    * folds tombstones away when they grow. */
   private def deadSeqs(spark: SparkSession, dir: String): Option[DataFrame] =
-    if (!Lake.exists(spark, s"$dir/tombstones")) None
-    else Some(Lake.readParquet(spark, s"$dir/tombstones")
-      .groupBy(col("id")).agg(max(col("seq")).as("dead_seq")))
+    graft.ops.IndexLifecycle.deadSeqs(spark, dir)
 
-  /** Drop postings killed by tombstones: live iff no tombstone for the
-    * id, or the row's ingest seq is >= the newest tombstone seq. */
   private def liveOnly(rows: DataFrame, dead: Option[DataFrame]): DataFrame =
-    dead.fold(rows)(d => rows.join(d, Seq("id"), "left")
-      .where(col("dead_seq").isNull || col("seq") >= col("dead_seq"))
-      .drop("dead_seq"))
+    graft.ops.IndexLifecycle.liveOnly(rows, dead)
 
   /** Fail loudly on a wrong/unwritten dir — Lake's missing-path
     * contract would otherwise surface as an opaque unresolved-column
     * error on the empty schemaless frame. */
   private def requireIndex(spark: SparkSession, dir: String): Unit =
-    require(Lake.exists(spark, s"$dir/postings") && Lake.exists(spark, s"$dir/stats"),
-      s"no BM25 index at '$dir' (missing postings/ or stats/)")
+    graft.ops.IndexLifecycle.requireParts(spark, dir,
+      Seq("postings", "stats"), "BM25 index")
 
   /** The bucket count the index was built with (validated consistent
     * across increments — one bounded two-long collect). */
@@ -237,11 +221,8 @@ object Bm25DiskIndex {
       buckets: Seq[Long]): DataFrame = {
     requireIndex(spark, dir)
     val raw = Lake.readParquet(spark, s"$dir/postings")
-    val lits: Seq[Any] = raw.schema("bucket").dataType match {
-      case org.apache.spark.sql.types.IntegerType => buckets.map(_.toInt)
-      case _ => buckets
-    }
-    raw.where(col("bucket").isin(lits: _*))
+    raw.where(col("bucket").isin(
+      graft.ops.IndexLifecycle.partitionLits(raw, "bucket", buckets): _*))
   }
 
   /** Probe the persisted index: compute the probe batch's distinct
