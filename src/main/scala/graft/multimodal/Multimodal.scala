@@ -1581,6 +1581,11 @@ object Multimodal {
           decodePngPixels(payload)
         else if ((payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8)
           Jpeg.decodeJpegPixels(payload).map { case (w, h, _, px) => (w, h, px) }
+        else if (payload(0) == 'R' && payload(1) == 'I')
+          // lossless WebP — the third real-pixel codec ([[Vp8l]]);
+          // lossy VP8 stays header-only (no VP8 coefficient decoder)
+          Webp.vp8lChunk(payload).flatMap { case (o, l) =>
+            Vp8l.decodeRgb(payload, o, l) }
         else None
       grayPHash(id, dec)
     }

@@ -114,6 +114,68 @@ object Webp {
         org.apache.spark.sql.Encoders.product[WebpInfo])
   }
 
+  /** Locate the VP8L chunk's (offset, length) in a RIFF/WEBP payload —
+    * the first-chunk lossless layout or the image chunk after VP8X.
+    * None when the container is damaged or carries no lossless data. */
+  def vp8lChunk(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b == null || b.length < 12 || cc(b, 0) != "RIFF" ||
+        cc(b, 8) != "WEBP") return None
+    val riffEnd = 8L + le32(b, 4)
+    if (riffEnd > b.length) return None
+    val end = riffEnd.toInt
+    var p = 12
+    while (p + 8 <= end) {
+      val four = cc(b, p)
+      val size = le32(b, p + 4)
+      if (p + 8 + size > end) return None
+      if (four == "VP8L") return Some((p + 8, size.toInt))
+      p += 8 + size.toInt + (size.toInt & 1)
+    }
+    None
+  }
+
+  /** Deterministic lossless-WebP corpus carrying the EXACT pixel
+    * functions of [[Multimodal.mixedCodecImageCorpusFromDocuments]]
+    * (the q133 family: 32x32 macro-block grays for even id-decades,
+    * 64x64 block-constant grays for odd), VP8L-encoded with the
+    * encoding path fanned over id%5 ([[Vp8l.VariantPlain]] through
+    * [[Vp8l.VariantCache]]). Lossless means the decoded pixels are
+    * encoding-variant-independent — so the q168 gate replays q133's
+    * closed-form pHash oracle VERBATIM over this corpus, proving the
+    * whole VP8L layer (entropy coding, LZ77, cache, transforms)
+    * invisible to content semantics, the q155 discipline. */
+  def webpPhashCorpusFromDocuments(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].map { id =>
+      val seed =
+        if (java.lang.Math.floorMod(id, 9L) == 0L)
+          10L + java.lang.Math.floorMod(id, 7L)
+        else java.lang.Math.floorMod(id, 10L)
+      val jpegStyle = java.lang.Math.floorMod(id / 10L, 2L) == 1L
+      val (w, h) = if (jpegStyle) (64, 64) else (32, 32)
+      val px = Array.tabulate(w * h) { i =>
+        val x = i % w
+        val y = i / w
+        val g =
+          if (!jpegStyle) {
+            val base = ((seed * 73L + (x / 4) * 37L + (y / 4) * 91L) % 17L) * 15L
+            val e = (id * 31L + x * 7L + y * 13L) % 3L - 1L
+            math.max(0L, math.min(255L, base + e)).toInt
+          } else {
+            val bx = x / 8
+            val by = y / 8
+            val base = ((seed * 73L + bx * 37L + by * 91L) % 17L) * 15L
+            val e = (id * 31L + bx * 7L + by * 13L) % 3L - 1L
+            math.max(0L, math.min(255L, base + e)).toInt
+          }
+        0xff000000 | (g << 16) | (g << 8) | g
+      }
+      val variant = java.lang.Math.floorMod(id, 5L).toInt
+      (id, webpBytes(Seq(("VP8L", Vp8l.encode(w, h, px, variant)))))
+    }.toDF("media_id", "payload")
+  }
+
   // ---- fixture synthesis (REAL header bytes, oracle-restatable) -----
 
   private[multimodal] def vp8Payload(w: Int, h: Int, badStart: Boolean,

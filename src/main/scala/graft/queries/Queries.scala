@@ -2022,6 +2022,24 @@ object Queries {
     graft.multimodal.Containers.decodeZip(media).toDF()
   }
 
+  /** Lossless-WebP REAL pixel decode through the gate — q133's pair
+    * query over a VP8L-encoded corpus carrying q133's EXACT pixel
+    * functions, with the encoding path fanned over id%5 (plain /
+    * subtract-green / predictor / LZ77 / color-cache). The oracle is
+    * q133's closed-form pHash replay VERBATIM: lossless decode means
+    * the hash set cannot depend on which bitstream features encoded
+    * each image — the whole VP8L layer proven invisible to content
+    * semantics (the q155 discipline, applied to the third image
+    * codec). */
+  def q168WebpPhash(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Webp.webpPhashCorpusFromDocuments(
+      tbl(spark, dir, "documents"))
+    val hashes = graft.multimodal.Multimodal.decodeImagePHash(media).toDF()
+      .where(col("ok") === 1)
+    graft.dedup.Dedup.hammingNearDupPairs(hashes, "media_id", "phash",
+      totalBits = 64, maxDist = 5, bands = 8)
+  }
+
   /** HTML → text extraction through the gate: each document's text is
     * wrapped in a REAL page skeleton — head with style/script elements
     * (the script body contains a bare `<` that a naive tag strip would
@@ -5726,7 +5744,8 @@ object Queries {
     "q164_flac_headers" -> (q164FlacHeaders _),
     "q165_webp_headers" -> (q165WebpHeaders _),
     "q166_ogg_headers" -> (q166OggHeaders _),
-    "q167_zip_members" -> (q167ZipMembers _))
+    "q167_zip_members" -> (q167ZipMembers _),
+    "q168_webp_phash" -> (q168WebpPhash _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -6295,6 +6314,14 @@ object Queries {
     // Multimodal.PhashDct) -> median bits -> brute-force pair join
     // (banded recall is exact at hd<=3, so brute == the Spark bands)
     "q133_phash_pairs" ->
+      s"""WITH $duckPhashCtes
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  bit_count(xor(a.h, b.h))::BIGINT AS hamming_dist
+        |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 5""".stripMargin,
+    // q133's oracle VERBATIM: the corpus carries q133's exact pixels,
+    // VP8L-encoded — a lossless codec layer cannot move the hash set
+    "q168_webp_phash" ->
       s"""WITH $duckPhashCtes
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  bit_count(xor(a.h, b.h))::BIGINT AS hamming_dist

@@ -130,6 +130,19 @@ class DecoderFuzzSpec extends SparkSpec {
     fuzz("flac", base, b => Flac.parseFlac(7L, b))
   }
 
+  test("VP8L pixel decoder survives 300 deterministic corruptions per variant") {
+    val img = Array.tabulate(32 * 32) { i =>
+      val x = i % 32; val y = i / 32
+      val g = (((x / 4) * 37 + (y / 4) * 91) % 17) * 15
+      0xff000000 | (g << 16) | (g << 8) | g
+    }
+    for (v <- Seq(Vp8l.VariantPlain, Vp8l.VariantSubGreen,
+        Vp8l.VariantPredictor, Vp8l.VariantLz77, Vp8l.VariantCache)) {
+      val base = Vp8l.encode(32, 32, img, v)
+      fuzz(s"vp8l-$v", base, b => Vp8l.decodeArgb(b, 0, b.length))
+    }
+  }
+
   test("ZIP walker survives 300 deterministic corruptions per method mix") {
     val base = Containers.zipBytes(Seq(
       ("docs/a.txt", ("zip fuzz member body " * 8).getBytes("UTF-8"), true),
