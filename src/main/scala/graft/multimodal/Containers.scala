@@ -723,4 +723,24 @@ object Containers {
         graft.text.Urls.urlDomain(col("url")).as("source"),
         graft.text.Html.htmlToText(col("body")).as("text"),
         graft.text.Urls.normalizeUrl(col("url")).as("url_norm"))
+
+  /** ZIP archives -> document rows ([[warcDocs]]'s shape for the
+    * dataset-dump distribution layout: one archive of text members per
+    * landed file). Extracted, CRC-valid members with non-empty bodies
+    * become documents: doc_id = hash of the member name (a member
+    * re-landing under the same name on a later day is a CHANGED
+    * document under the snapshot's latest-row-wins rule), source = the
+    * member's top-level directory ("" when flat). Failed members and
+    * container-level refusals are dropped here — the audit that counts
+    * them is [[decodeZip]] itself (the q167 gate). */
+  def zipDocs(media: DataFrame, maxBytes: Int = 1 << 26,
+      maxEntries: Int = 100000): DataFrame =
+    decodeZip(media, maxBytes = maxBytes, maxEntries = maxEntries).toDF()
+      .where(col("ok") === 1 && col("crc_ok") === 1 && length(col("text")) > 0)
+      .select(
+        xxhash64(col("name")).as("doc_id"),
+        when(col("name").contains("/"),
+          substring_index(col("name"), "/", 1)).otherwise(lit("")).as("source"),
+        col("text"),
+        col("name").as("member_name"))
 }

@@ -58,6 +58,14 @@ object CurationRunner {
   case object RawJson extends RawFormat
   final case class RawWarc(gzipped: Boolean = false,
       codec: String = "") extends RawFormat
+  /** Landed `.zip` archives of text members — the dataset-dump
+    * distribution layout. Each file drains through
+    * [[graft.multimodal.Containers.zipDocs]] (central-directory walk
+    * -> extracted CRC-valid members), doc_id = hash of the member
+    * name, source = its top-level directory — so a member re-landing
+    * on a later day is a CHANGED document under the snapshot's
+    * latest-row-wins semantics. */
+  case object RawZip extends RawFormat
 
   /** Optional last-mile export: pack the day's curated corpus and land
     * loader-ready shards + manifest under shards/date=D. */
@@ -215,6 +223,14 @@ object CurationRunner {
                 df.select(xxhash64(col("path")).as("media_id"),
                   col("content").as("payload")),
                 gzipped = gz, codec = codec)
+              .select(col("doc_id"), col("source"), col("text"))
+              .withColumn("ingest_date", lit(date)),
+            staged, s"$lakeRoot/_checkpoints/documents")
+        case RawZip =>
+          Streaming.runDailyAvailableNowBinary(spark, s"$lakeRoot/raw/documents",
+            df => graft.multimodal.Containers.zipDocs(
+                df.select(xxhash64(col("path")).as("media_id"),
+                  col("content").as("payload")))
               .select(col("doc_id"), col("source"), col("text"))
               .withColumn("ingest_date", lit(date)),
             staged, s"$lakeRoot/_checkpoints/documents")

@@ -401,6 +401,50 @@ class CurationRunnerSpec extends SparkSpec {
     } finally { Lake.delete(spark, root) }
   }
 
+  test("RawZip daily loop: archive members drain through the central-directory walk") {
+    val root = java.nio.file.Files.createTempDirectory("lake").toString
+    try {
+      val cfg = Curation.CurationConfig(minQualityMilli = 200)
+      // day 1: one archive, three members (deflate + stored mixed),
+      // one of them CRC-corrupted (must not become a document)
+      val z1 = graft.multimodal.Containers.zipBytes(Seq(
+        ("corpusA/m1.txt", doc(1).getBytes("UTF-8"), true),
+        ("corpusA/m2.txt", doc(2).getBytes("UTF-8"), false),
+        ("corpusB/m3.txt", doc(3).getBytes("UTF-8"), true)))
+      // flip m1's directory CRC (entry 0 — its record opens the
+      // central directory; the CRC field sits at +16)
+      locally {
+        val p = z1.length - 22
+        val cd = ((z1(p + 16) & 0xff) | ((z1(p + 17) & 0xff) << 8) |
+          ((z1(p + 18) & 0xff) << 16) | ((z1(p + 19) & 0xff) << 24))
+        z1(cd + 16) = (z1(cd + 16) ^ 0x3c).toByte
+      }
+      landBin(root, "dump1.zip", z1)
+      val r1 = CurationRunner.runDaily(spark, root, "2024-08-01", None, cfg,
+        rawFormat = CurationRunner.RawZip)
+      assert(r1.snapshotDocs == 2, "the CRC-failed member must not land")
+      val c1 = Lake.readParquet(spark, s"$root/curated/date=2024-08-01")
+      val bySrc = c1.select($"source", $"text").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(bySrc == Map("corpusA" -> doc(2), "corpusB" -> doc(3)),
+        "source must be the member's top-level directory")
+
+      // day 2: m2 re-lands with NEW text (same member name -> same
+      // doc_id -> changed document), plus one new member
+      landBin(root, "dump2.zip", graft.multimodal.Containers.zipBytes(Seq(
+        ("corpusA/m2.txt", doc(200).getBytes("UTF-8"), true),
+        ("corpusB/m4.txt", doc(4).getBytes("UTF-8"), false))))
+      val r2 = CurationRunner.runDaily(spark, root, "2024-08-02", None, cfg,
+        rawFormat = CurationRunner.RawZip)
+      assert(r2.incremental && r2.snapshotDocs == 3,
+        "a re-landed member name must collapse onto its standing doc_id")
+      val texts = Lake.readParquet(spark, s"$root/curated/date=2024-08-02")
+        .select($"text").as[String].collect().toSet
+      assert(texts == Set(doc(200), doc(3), doc(4)),
+        "latest member wins; carried members intact")
+    } finally { Lake.delete(spark, root) }
+  }
+
   test("RawWarc .warc.zst segments drain through the daily loop; auto sniffs mixed dirs") {
     val root = java.nio.file.Files.createTempDirectory("lake").toString
     try {
