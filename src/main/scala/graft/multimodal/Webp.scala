@@ -176,6 +176,152 @@ object Webp {
     }.toDF("media_id", "payload")
   }
 
+  // ---- animated WebP (ANIM/ANMF) -------------------------------------
+
+  /** One decoded animation frame's fingerprint row ([[Multimodal]]'s
+    * q140 shape for the GIF-successor format): duration is parsed from
+    * the ANMF header and KEPT on frame-decode-error rows (the
+    * parsed-prefix discipline); container-level refusals are one
+    * ok=0 row with frame_idx 0. */
+  final case class AnimFramePHash(media_id: Long, frame_idx: Int, ok: Int,
+      duration_ms: Int, phash: Long, err: String)
+
+  /** Walk an animated WebP: VP8X (animation flag required) + ANMF
+    * frames, each frame's inner chunk list searched for its VP8L
+    * payload. Left = container-level refusal ("not_webp" /
+    * "truncated" / "not_animated" / "no_frames"); Right = per-frame
+    * (duration_ms, Option[(vp8l offset, length)]) — None when a frame
+    * carries no lossless payload (lossy VP8 frames are out of the
+    * pixel-decode scope, like stills). */
+  def animFrames(b: Array[Byte]): Either[String, Seq[(Int, Option[(Int, Int)])]] = {
+    if (b == null || b.length < 12 || cc(b, 0) != "RIFF" ||
+        cc(b, 8) != "WEBP") return Left("not_webp")
+    val riffEnd = 8L + le32(b, 4)
+    if (riffEnd > b.length) return Left("truncated")
+    val end = riffEnd.toInt
+    var p = 12
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+    while (p < end) {
+      if (p + 8 > end) return Left("truncated")
+      val four = cc(b, p)
+      val size = le32(b, p + 4)
+      if (p + 8 + size > end) return Left("truncated")
+      chunks += ((four, p + 8, size.toInt))
+      p += 8 + size.toInt + (size.toInt & 1)
+    }
+    val animated = chunks.headOption.exists { case (f, o, s) =>
+      f == "VP8X" && s == 10 && (b(o) & 0x02) != 0 }
+    if (!animated) return Left("not_animated")
+    val frames = chunks.collect { case ("ANMF", o, s) if s >= 16 =>
+      val duration = le24(b, o + 12)
+      // inner chunk walk: the frame's image data follows the 16-byte
+      // ANMF header as regular chunks (VP8/VP8L + optional ALPH)
+      var q = o + 16
+      var vp8l = Option.empty[(Int, Int)]
+      while (q + 8 <= o + s && vp8l.isEmpty) {
+        val ifour = cc(b, q)
+        val isize = le32(b, q + 4)
+        if (q + 8 + isize > o + s) return Left("truncated")
+        if (ifour == "VP8L") vp8l = Some((q + 8, isize.toInt))
+        q += 8 + isize.toInt + (isize.toInt & 1)
+      }
+      (duration, vp8l)
+    }.toSeq
+    if (frames.isEmpty) Left("no_frames") else Right(frames)
+  }
+
+  /** Batched animation-frame pHash — [[Multimodal.decodeMp4FramePHash]]'s
+    * shape for animated WebP: every frame's VP8L pixels REALLY decode
+    * ([[Vp8l]]) and fingerprint, so the q141 clip-dedup machinery runs
+    * unchanged on this container. */
+  def decodeAnimPHash(media: DataFrame, partitions: Int = 0): Dataset[AnimFramePHash] = {
+    val spark = media.sparkSession
+    val parts = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    media.select("media_id", "payload")
+      .repartition(parts, col("media_id"))
+      .as[(Long, Array[Byte])](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.BINARY))
+      .flatMap { case (id, payload) =>
+        animFrames(payload) match {
+          case Left(err) => Seq(AnimFramePHash(id, 0, 0, 0, 0L, err))
+          case Right(frames) => frames.zipWithIndex.map {
+            case ((dur, vp8l), idx) =>
+              vp8l.flatMap { case (o, l) => Vp8l.decodeRgb(payload, o, l) } match {
+                case Some((w, h, rgb)) if w >= 8 && h >= 8 =>
+                  val gray = new Array[Int](w * h)
+                  var i = 0
+                  while (i < gray.length) { gray(i) = rgb(3 * i) & 0xff; i += 1 }
+                  AnimFramePHash(id, idx, 1, dur,
+                    Multimodal.pHash64(gray, w, h), "")
+                case _ => AnimFramePHash(id, idx, 0, dur, 0L, "frame_decode")
+              }
+          }
+        }
+      }(org.apache.spark.sql.Encoders.product[AnimFramePHash])
+  }
+
+  /** Assemble an animated WebP from (vp8l payload, duration) frames. */
+  private[multimodal] def animWebpBytes(w: Int, h: Int,
+      frames: Seq[(Array[Byte], Int)], animFlag: Boolean = true): Array[Byte] = {
+    def anmf(vp8l: Array[Byte], duration: Int): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      // x/2, y/2 (origin), w-1, h-1, duration — all 24-bit LE
+      for (v <- Seq(0, 0, w - 1, h - 1, duration)) {
+        o.write(v & 0xff); o.write((v >> 8) & 0xff); o.write((v >> 16) & 0xff)
+      }
+      o.write(0x00) // flags: no blend, keep
+      o.write('V'); o.write('P'); o.write('8'); o.write('L')
+      val s = vp8l.length
+      o.write(s & 0xff); o.write((s >> 8) & 0xff)
+      o.write((s >> 16) & 0xff); o.write((s >> 24) & 0xff)
+      o.write(vp8l, 0, vp8l.length)
+      if (s % 2 == 1) o.write(0)
+      o.toByteArray
+    }
+    val anim = {
+      val a = new Array[Byte](6) // background ARGB + 16-bit loop count
+      a(4) = 0; a(5) = 0
+      a
+    }
+    webpBytes(
+      Seq(("VP8X", vp8xPayload(alpha = false, anim = animFlag, w, h)),
+        ("ANIM", anim)) ++
+        frames.map { case (v, d) => ("ANMF", anmf(v, d)) })
+  }
+
+  /** Deterministic animated-WebP corpus — q140's video fixture family
+    * on the GIF-successor container: 3 + id%4 frames of 64x64
+    * block-constant grays (the EXACT q140 pixel formula, so the
+    * oracle's pHash replay is q140's), durations 40 + 10*f ms, the
+    * VP8L encoding path fanned over (id + f) % 5. Error plants:
+    *   id%11==5  VP8X animation flag off -> container "not_animated"
+    *   else id%6==4  frame 1's VP8L signature broken -> that frame
+    *                 surfaces ok=0 'frame_decode', duration kept */
+  def animWebpCorpusFromDocuments(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].map { id =>
+      def fm(x: Long, m: Long): Long = java.lang.Math.floorMod(x, m)
+      val nf = (3L + fm(id, 4L)).toInt
+      val frames = (0 until nf).map { f =>
+        val px = Array.tabulate(64 * 64) { i =>
+          val bx = (i % 64) / 8
+          val by = (i / 64) / 8
+          val g = (((fm(id, 10L) * 73L + f * 29L +
+            bx * 37L + by * 91L) % 17L) * 15L).toInt
+          0xff000000 | (g << 16) | (g << 8) | g
+        }
+        val v = Vp8l.encode(64, 64, px, fm(id + f, 5L).toInt)
+        if (fm(id, 11L) != 5L && fm(id, 6L) == 4L && f == 1)
+          v(0) = 0x00 // break the VP8L signature — the walk continues
+        (v, 40 + 10 * f)
+      }
+      (id, animWebpBytes(64, 64, frames, animFlag = fm(id, 11L) != 5L))
+    }.toDF("media_id", "payload")
+  }
+
   // ---- fixture synthesis (REAL header bytes, oracle-restatable) -----
 
   private[multimodal] def vp8Payload(w: Int, h: Int, badStart: Boolean,

@@ -2040,6 +2040,21 @@ object Queries {
       totalBits = 64, maxDist = 5, bands = 8)
   }
 
+  /** Animated-WebP frame fingerprints through the gate — q140's video
+    * audit on the GIF-successor container: the ANMF walk recovers each
+    * frame's duration and its VP8L payload, every frame's pixels
+    * REALLY decode and pHash (so the q141 clip-dedup machinery runs
+    * unchanged on this container), a broken frame surfaces
+    * 'frame_decode' with its parsed duration KEPT, and a VP8X without
+    * the animation flag refuses at the container level. The corpus
+    * carries q140's exact frame pixels (oracle: q140's pHash replay)
+    * with the VP8L encoding path fanned per (id + frame) % 5. */
+  def q169AnimWebpFrames(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Webp.animWebpCorpusFromDocuments(
+      tbl(spark, dir, "documents"))
+    graft.multimodal.Webp.decodeAnimPHash(media).toDF()
+  }
+
   /** HTML → text extraction through the gate: each document's text is
     * wrapped in a REAL page skeleton — head with style/script elements
     * (the script body contains a bare `<` that a naive tag strip would
@@ -5745,7 +5760,8 @@ object Queries {
     "q165_webp_headers" -> (q165WebpHeaders _),
     "q166_ogg_headers" -> (q166OggHeaders _),
     "q167_zip_members" -> (q167ZipMembers _),
-    "q168_webp_phash" -> (q168WebpPhash _))
+    "q168_webp_phash" -> (q168WebpPhash _),
+    "q169_anim_webp_frames" -> (q169AnimWebpFrames _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -6319,6 +6335,52 @@ object Queries {
         |  bit_count(xor(a.h, b.h))::BIGINT AS hamming_dist
         |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.h, b.h)) <= 5""".stripMargin,
+    // q140's frame-hash replay with the animated-WebP arms: a
+    // not_animated container is one refusal row; a broken frame keeps
+    // its parsed duration next to the frame_decode tag
+    "q169_anim_webp_frames" ->
+      """WITH fr AS (
+        |  SELECT doc_id, f.f AS f
+        |  FROM documents, range(0, 6) AS f(f)
+        |  WHERE f.f < 3 + doc_id % 4 AND doc_id % 11 <> 5),
+        |blk AS (
+        |  SELECT doc_id, f, bi.bi AS bi, bj.bj AS bj,
+        |    64 * ((((doc_id % 10) * 73 + f * 29 + bj.bj * 37
+        |      + bi.bi * 91) % 17) * 15) AS s
+        |  FROM fr, range(0, 8) AS bi(bi), range(0, 8) AS bj(bj)),
+        |tt AS (SELECT [[1024,1024,1024,1024,1024,1024,1024,1024],
+        |  [1004,851,569,200,-200,-569,-851,-1004],
+        |  [946,392,-392,-946,-946,-392,392,946],
+        |  [851,-200,-1004,-569,569,1004,200,-851],
+        |  [724,-724,-724,724,724,-724,-724,724],
+        |  [569,-1004,200,851,-851,-200,1004,-569],
+        |  [392,-946,946,-392,-392,946,-946,392],
+        |  [200,-569,851,-1004,1004,-851,569,-200]] AS t),
+        |dct AS (
+        |  SELECT b.doc_id, b.f, u.u AS u, v.v AS v,
+        |    sum(b.s * t[u.u + 1][b.bi + 1] * t[v.v + 1][b.bj + 1]) AS fc
+        |  FROM blk b, range(0, 8) AS u(u), range(0, 8) AS v(v), tt
+        |  GROUP BY b.doc_id, b.f, u.u, v.v),
+        |med AS (
+        |  SELECT doc_id, f, list_sort(list(fc))[32] AS m
+        |  FROM dct WHERE NOT (u = 0 AND v = 0) GROUP BY doc_id, f),
+        |ph AS (
+        |  SELECT d.doc_id, d.f,
+        |    sum(CASE WHEN d.fc > med.m THEN 1::BIGINT << (d.u * 8 + d.v - 1)
+        |             ELSE 0::BIGINT END)::BIGINT AS h
+        |  FROM dct d JOIN med ON d.doc_id = med.doc_id AND d.f = med.f
+        |  WHERE NOT (d.u = 0 AND d.v = 0)
+        |  GROUP BY d.doc_id, d.f)
+        |SELECT doc_id AS media_id, f::INTEGER AS frame_idx,
+        |  (CASE WHEN doc_id % 6 = 4 AND f = 1 THEN 0 ELSE 1 END)::INTEGER AS ok,
+        |  (40 + 10 * f)::INTEGER AS duration_ms,
+        |  CASE WHEN doc_id % 6 = 4 AND f = 1 THEN 0 ELSE h END AS phash,
+        |  CASE WHEN doc_id % 6 = 4 AND f = 1 THEN 'frame_decode' ELSE '' END AS err
+        |FROM ph
+        |UNION ALL
+        |SELECT doc_id, 0::INTEGER, 0::INTEGER, 0::INTEGER, 0::BIGINT,
+        |  'not_animated'
+        |FROM documents WHERE doc_id % 11 = 5""".stripMargin,
     // q133's oracle VERBATIM: the corpus carries q133's exact pixels,
     // VP8L-encoded — a lossless codec layer cannot move the hash set
     "q168_webp_phash" ->

@@ -169,6 +169,11 @@ class DecoderFuzzSpec extends SparkSpec {
         .collect()(0).getAs[Array[Byte]](1)
       fuzz(s"webp-$id", base, b => Webp.parseWebp(id, b))
     }
+    // the animation walk + per-frame VP8L decode
+    val anim = Webp.animWebpCorpusFromDocuments(Seq(3L).toDF("doc_id"))
+      .collect()(0).getAs[Array[Byte]](1)
+    fuzz("webp-anim", anim, b => Webp.animFrames(b).map(_.map {
+      case (_, Some((o, l))) => Vp8l.decodeRgb(b, o, l); case _ => None }))
   }
 
   test("zstd decoder survives 300 deterministic corruptions per variant") {

@@ -101,6 +101,32 @@ class WebpSpec extends SparkSpec {
     }
   }
 
+  test("animated WebP: ANMF walk, per-frame decode, refusal arms") {
+    val px = Array.tabulate(64 * 64)(i => 0xff000000 | ((i % 7) * 30 << 8))
+    def vp8l = Vp8l.encode(64, 64, px, Vp8l.VariantPlain)
+    // three frames, middle one corrupted
+    val broken = vp8l; broken(0) = 0x00
+    val anim = Webp.animWebpBytes(64, 64,
+      Seq((vp8l, 40), (broken, 50), (vp8l, 60)))
+    val frames = Webp.animFrames(anim)
+    assert(frames.isRight && frames.toOption.get.length == 3)
+    assert(frames.toOption.get.map(_._1) == Seq(40, 50, 60))
+    // the animation flag is required
+    val still = Webp.animWebpBytes(64, 64, Seq((vp8l, 40)), animFlag = false)
+    assert(Webp.animFrames(still) == Left("not_animated"))
+    // a plain lossless still is not an animation either
+    val plain = Webp.webpBytes(Seq(("VP8L", vp8l)))
+    assert(Webp.animFrames(plain) == Left("not_animated"))
+    // batch path: the broken middle frame keeps its duration
+    import spark.implicits._
+    val rows = Webp.decodeAnimPHash(
+      Seq((7L, anim)).toDF("media_id", "payload")).collect().sortBy(_.frame_idx)
+    assert(rows.length == 3)
+    assert(rows(0).ok == 1 && rows(2).ok == 1 && rows(0).phash == rows(2).phash)
+    assert(rows(1).ok == 0 && rows(1).err == "frame_decode" &&
+      rows(1).duration_ms == 50)
+  }
+
   test("parseImageHeader sniffs webp after png/jpeg") {
     val g = Webp.webpBytes(Seq(("VP8L", Webp.vp8lPayload(33, 44,
       alpha = true, badVersion = false, filler = 1))))
