@@ -2040,6 +2040,50 @@ object Queries {
       totalBits = 64, maxDist = 5, bands = 8)
   }
 
+  /** Cross-CONTAINER clip near-dup through the gate — the q133
+    * cross-codec discipline applied to video: the same clips arrive
+    * once as MP4 (MJPEG samples, q140) and once as animated WebP
+    * (VP8L frames, q169), and the q141 machinery finds clip pairs
+    * ACROSS the container boundary — a re-encoded video cannot hide
+    * from dedup behind its wrapper. WebP clip ids ride at doc_id +
+    * 2^20 (the fid packing's loud require guards the width); both
+    * corpora take the doc_id%3==0 third so the identical-frame
+    * cluster blowup stays gate-sized (the pair machinery is q141's,
+    * already stressed at full width there). */
+  def q170CrossClipDups(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+      .where(pmod(col("doc_id"), lit(7)) === 0)
+    val mp4 = graft.multimodal.Multimodal.decodeMp4FramePHash(
+        graft.multimodal.Multimodal.mjpegVideoCorpusFromDocuments(docs)).toDF()
+      .where(col("ok") === 1)
+      .select(col("media_id"), col("frame_idx"), col("phash"))
+    val webp = graft.multimodal.Webp.decodeAnimPHash(
+        graft.multimodal.Webp.animWebpCorpusFromDocuments(docs)).toDF()
+      .where(col("ok") === 1)
+      .select((col("media_id") + lit(1L << 20)).as("media_id"),
+        col("frame_idx"), col("phash"))
+    val frames = graft.ops.CacheScope.persist(mp4.unionByName(webp))
+    val r = frames.agg(max(col("frame_idx")).cast("long"),
+      min(col("media_id")), max(col("media_id"))).collect()(0)
+    val maxIdx = if (r.isNullAt(0)) 0L else r.getLong(0)
+    val shift = 64 - java.lang.Long.numberOfLeadingZeros(math.max(maxIdx, 1L))
+    if (!r.isNullAt(1))
+      require(r.getLong(1) >= 0L && r.getLong(2) < (1L << (62 - shift)),
+        s"q170 fid packing: media ids [${r.getLong(1)}, ${r.getLong(2)}] " +
+          s"do not fit ${62 - shift} bits next to a $shift-bit frame index")
+    val packed = frames.select(
+      (col("media_id") * lit(1L << shift) + col("frame_idx")).as("fid"),
+      col("phash"))
+    graft.dedup.Dedup.hammingNearDupPairs(packed, "fid", "phash",
+        totalBits = 64, maxDist = 3, bands = 4)
+      .select(shiftright(col("id_a"), shift).as("clip_a"),
+        shiftright(col("id_b"), shift).as("clip_b"))
+      .where(col("clip_a") < col("clip_b"))
+      .groupBy(col("clip_a"), col("clip_b"))
+      .agg(count(lit(1)).as("n_frames"))
+      .where(col("n_frames") >= 2)
+  }
+
   /** Animated-WebP frame fingerprints through the gate — q140's video
     * audit on the GIF-successor container: the ANMF walk recovers each
     * frame's duration and its VP8L payload, every frame's pixels
@@ -5761,7 +5805,8 @@ object Queries {
     "q166_ogg_headers" -> (q166OggHeaders _),
     "q167_zip_members" -> (q167ZipMembers _),
     "q168_webp_phash" -> (q168WebpPhash _),
-    "q169_anim_webp_frames" -> (q169AnimWebpFrames _))
+    "q169_anim_webp_frames" -> (q169AnimWebpFrames _),
+    "q170_cross_clip_dups" -> (q170CrossClipDups _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -6335,6 +6380,54 @@ object Queries {
         |  bit_count(xor(a.h, b.h))::BIGINT AS hamming_dist
         |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.h, b.h)) <= 5""".stripMargin,
+    // the q141 replay over BOTH containers' live frames (mp4 clips at
+    // doc_id, animated-webp clips at doc_id + 2^20; each container's
+    // own dead-frame/not-animated arms excluded), doc_id%3==0 third
+    "q170_cross_clip_dups" ->
+      """WITH fr AS (
+        |  SELECT doc_id AS clip, doc_id % 10 AS pseed, f.f AS f
+        |  FROM documents, range(0, 6) AS f(f)
+        |  WHERE doc_id % 7 = 0 AND f.f < 3 + doc_id % 4
+        |    AND NOT (doc_id % 6 = 4 AND f.f = 1)
+        |  UNION ALL
+        |  SELECT doc_id + 1048576, doc_id % 10, f.f
+        |  FROM documents, range(0, 6) AS f(f)
+        |  WHERE doc_id % 7 = 0 AND doc_id % 11 <> 5 AND f.f < 3 + doc_id % 4
+        |    AND NOT (doc_id % 6 = 4 AND f.f = 1)),
+        |blk AS (
+        |  SELECT clip, f, bi.bi AS bi, bj.bj AS bj,
+        |    64 * (((pseed * 73 + f * 29 + bj.bj * 37
+        |      + bi.bi * 91) % 17) * 15) AS s
+        |  FROM fr, range(0, 8) AS bi(bi), range(0, 8) AS bj(bj)),
+        |tt AS (SELECT [[1024,1024,1024,1024,1024,1024,1024,1024],
+        |  [1004,851,569,200,-200,-569,-851,-1004],
+        |  [946,392,-392,-946,-946,-392,392,946],
+        |  [851,-200,-1004,-569,569,1004,200,-851],
+        |  [724,-724,-724,724,724,-724,-724,724],
+        |  [569,-1004,200,851,-851,-200,1004,-569],
+        |  [392,-946,946,-392,-392,946,-946,392],
+        |  [200,-569,851,-1004,1004,-851,569,-200]] AS t),
+        |dct AS (
+        |  SELECT b.clip, b.f, u.u AS u, v.v AS v,
+        |    sum(b.s * t[u.u + 1][b.bi + 1] * t[v.v + 1][b.bj + 1]) AS fc
+        |  FROM blk b, range(0, 8) AS u(u), range(0, 8) AS v(v), tt
+        |  GROUP BY b.clip, b.f, u.u, v.v),
+        |med AS (
+        |  SELECT clip, f, list_sort(list(fc))[32] AS m
+        |  FROM dct WHERE NOT (u = 0 AND v = 0) GROUP BY clip, f),
+        |ph AS (
+        |  SELECT d.clip, d.f,
+        |    sum(CASE WHEN d.fc > med.m THEN 1::BIGINT << (d.u * 8 + d.v - 1)
+        |             ELSE 0::BIGINT END)::BIGINT AS h
+        |  FROM dct d JOIN med ON d.clip = med.clip AND d.f = med.f
+        |  WHERE NOT (d.u = 0 AND d.v = 0)
+        |  GROUP BY d.clip, d.f)
+        |SELECT a.clip AS clip_a, b.clip AS clip_b,
+        |  count(*)::BIGINT AS n_frames
+        |FROM ph a JOIN ph b
+        |  ON a.clip < b.clip AND bit_count(xor(a.h, b.h)) <= 3
+        |GROUP BY a.clip, b.clip
+        |HAVING count(*) >= 2""".stripMargin,
     // q140's frame-hash replay with the animated-WebP arms: a
     // not_animated container is one refusal row; a broken frame keeps
     // its parsed duration next to the frame_decode tag
