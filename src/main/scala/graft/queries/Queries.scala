@@ -2084,6 +2084,35 @@ object Queries {
       .where(col("n_frames") >= 2)
   }
 
+  /** EXIF classification through the gate — the q77/q156 pattern for
+    * image METADATA: JPEG APP1 walk, TIFF header (both byte orders),
+    * IFD0 entries (Orientation inline-SHORT, DateTime via the ASCII
+    * value-offset indirection), four tagged refusal families. Every
+    * field and every error walk id-planted and restated closed-form. */
+  def q171ExifHeaders(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Exif.exifCorpusFromDocuments(
+      tbl(spark, dir, "documents"))
+    graft.multimodal.Exif.decodeExifInfo(media).toDF()
+  }
+
+  /** Orientation-normalized perceptual dedup through the gate — the
+    * capability plain pHash lacks: groups of 8 docs share ONE base
+    * image, each member storing it under a different EXIF orientation
+    * (1-8, both TIFF byte orders). The engine decodes, reads the tag,
+    * rotates/flips to display orientation, and hashes; the oracle
+    * replays the UPRIGHT base's hash once per group closed-form — so
+    * all 8 members must land the identical hash (within-group pairs
+    * at distance 0) or the pair set diverges. Storage rotation proven
+    * invisible to dedup, the q155/q168 discipline for geometry. */
+  def q172OrientedPhash(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Exif.orientedCorpusFromDocuments(
+      tbl(spark, dir, "documents"))
+    val hashes = graft.multimodal.Exif.decodeOrientedPHash(media).toDF()
+      .where(col("ok") === 1)
+    graft.dedup.Dedup.hammingNearDupPairs(hashes, "media_id", "phash",
+      totalBits = 64, maxDist = 5, bands = 8)
+  }
+
   /** Animated-WebP frame fingerprints through the gate — q140's video
     * audit on the GIF-successor container: the ANMF walk recovers each
     * frame's duration and its VP8L payload, every frame's pixels
@@ -5806,7 +5835,9 @@ object Queries {
     "q167_zip_members" -> (q167ZipMembers _),
     "q168_webp_phash" -> (q168WebpPhash _),
     "q169_anim_webp_frames" -> (q169AnimWebpFrames _),
-    "q170_cross_clip_dups" -> (q170CrossClipDups _))
+    "q170_cross_clip_dups" -> (q170CrossClipDups _),
+    "q171_exif_headers" -> (q171ExifHeaders _),
+    "q172_oriented_phash" -> (q172OrientedPhash _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -6379,6 +6410,70 @@ object Queries {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  bit_count(xor(a.h, b.h))::BIGINT AS hamming_dist
         |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 5""".stripMargin,
+    "q171_exif_headers" ->
+      """WITH m AS (
+        |  SELECT doc_id AS id,
+        |    (doc_id % 7 = 2) AS noexif,
+        |    (doc_id % 7 <> 2 AND doc_id % 11 = 5) AS badtiff,
+        |    (doc_id % 7 <> 2 AND doc_id % 11 <> 5 AND doc_id % 13 = 3) AS trunc,
+        |    (1 + doc_id % 8) AS orient,
+        |    CASE WHEN doc_id % 2 = 1 THEN 'MM' ELSE 'II' END AS bo,
+        |    '2024:' || lpad((1 + doc_id % 12)::VARCHAR, 2, '0') || ':' ||
+        |      lpad((1 + doc_id % 28)::VARCHAR, 2, '0') || ' ' ||
+        |      lpad((doc_id % 24)::VARCHAR, 2, '0') || ':00:00' AS dt
+        |  FROM documents),
+        |e AS (SELECT *, (noexif OR badtiff OR trunc) AS bad FROM m)
+        |SELECT id AS media_id,
+        |  (CASE WHEN bad THEN 0 ELSE 1 END)::INTEGER AS ok,
+        |  CASE WHEN bad THEN '' ELSE bo END AS byte_order,
+        |  (CASE WHEN bad THEN 0 ELSE orient END)::INTEGER AS orientation,
+        |  CASE WHEN bad THEN '' ELSE dt END AS datetime,
+        |  (CASE WHEN bad THEN 0 ELSE 2 END)::INTEGER AS n_entries,
+        |  CASE WHEN noexif THEN 'no_exif' WHEN badtiff THEN 'bad_tiff'
+        |       WHEN trunc THEN 'truncated' ELSE '' END AS err
+        |FROM e""".stripMargin,
+    // one closed-form hash per GROUP of 8 orientations (the upright
+    // base), expanded to members — identical hashes within a group is
+    // the normalization claim itself
+    "q172_oriented_phash" ->
+      """WITH gs AS (SELECT DISTINCT doc_id // 8 AS gid FROM documents),
+        |px AS (
+        |  SELECT gid, x.x AS x, y.y AS y,
+        |    (((gid % 10) * 73 + (x.x // 8) * 37 + (y.y // 8) * 91) % 17) * 15 AS g
+        |  FROM gs, range(0, 48) AS x(x), range(0, 32) AS y(y)),
+        |blk AS (
+        |  SELECT gid, y // 4 AS bi, x // 6 AS bj, sum(g) AS s
+        |  FROM px GROUP BY gid, y // 4, x // 6),
+        |tt AS (SELECT [[1024,1024,1024,1024,1024,1024,1024,1024],
+        |  [1004,851,569,200,-200,-569,-851,-1004],
+        |  [946,392,-392,-946,-946,-392,392,946],
+        |  [851,-200,-1004,-569,569,1004,200,-851],
+        |  [724,-724,-724,724,724,-724,-724,724],
+        |  [569,-1004,200,851,-851,-200,1004,-569],
+        |  [392,-946,946,-392,-392,946,-946,392],
+        |  [200,-569,851,-1004,1004,-851,569,-200]] AS t),
+        |dct AS (
+        |  SELECT b.gid, u.u AS u, v.v AS v,
+        |    sum(b.s * t[u.u + 1][b.bi + 1] * t[v.v + 1][b.bj + 1]) AS fc
+        |  FROM blk b, range(0, 8) AS u(u), range(0, 8) AS v(v), tt
+        |  GROUP BY b.gid, u.u, v.v),
+        |med AS (
+        |  SELECT gid, list_sort(list(fc))[32] AS m
+        |  FROM dct WHERE NOT (u = 0 AND v = 0) GROUP BY gid),
+        |ph AS (
+        |  SELECT d.gid,
+        |    sum(CASE WHEN d.fc > med.m THEN 1::BIGINT << (d.u * 8 + d.v - 1)
+        |             ELSE 0::BIGINT END)::BIGINT AS h
+        |  FROM dct d JOIN med ON d.gid = med.gid
+        |  WHERE NOT (d.u = 0 AND d.v = 0)
+        |  GROUP BY d.gid),
+        |mem AS (
+        |  SELECT d.doc_id, ph.h FROM documents d
+        |  JOIN ph ON ph.gid = d.doc_id // 8)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  bit_count(xor(a.h, b.h))::BIGINT AS hamming_dist
+        |FROM mem a JOIN mem b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.h, b.h)) <= 5""".stripMargin,
     // the q141 replay over BOTH containers' live frames (mp4 clips at
     // doc_id, animated-webp clips at doc_id + 2^20; each container's

@@ -130,6 +130,16 @@ class DecoderFuzzSpec extends SparkSpec {
     fuzz("flac", base, b => Flac.parseFlac(7L, b))
   }
 
+  test("EXIF walker survives 300 deterministic corruptions per byte order") {
+    import spark.implicits._
+    // 1 -> MM order; 0 -> II; 16 -> truncated-IFD arm as a base
+    for (id <- Seq(0L, 1L, 16L)) {
+      val base = Exif.exifCorpusFromDocuments(Seq(id).toDF("doc_id"))
+        .collect()(0).getAs[Array[Byte]](1)
+      fuzz(s"exif-$id", base, b => Exif.parseExif(id, b))
+    }
+  }
+
   test("VP8L pixel decoder survives 300 deterministic corruptions per variant") {
     val img = Array.tabulate(32 * 32) { i =>
       val x = i % 32; val y = i / 32
