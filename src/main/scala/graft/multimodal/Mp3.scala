@@ -261,4 +261,145 @@ object Mp3 {
       (id, out.toByteArray)
     }.toDF("media_id", "payload")
   }
+
+  // ---- ID3v2 text frames (the EXIF analog for audio metadata) --------
+
+  final case class Id3Tags(media_id: Long, ok: Int, version: Int,
+      title: String, artist: String, album: String, year: String,
+      n_frames: Int, err: String)
+
+  /** Parse the leading ID3v2 tag's TEXT frames (the public id3.org
+    * spec, v2.3 and v2.4): TIT2/TPE1/TALB plus the year under its
+    * version's name (TYER in v2.3, TDRC in v2.4). Frame sizes are
+    * plain big-endian in v2.3 and SYNCSAFE in v2.4 — the classic
+    * cross-version corruption source, handled per version. Text
+    * encodings 0 (latin-1) and 3 (utf-8) are decoded; 1/2 (UTF-16
+    * flavors) are counted but surface empty text (a loud scope note,
+    * not garbage). Error families: "no_id3", "bad_version" (neither
+    * 2.3 nor 2.4), "truncated" (tag or a frame past the payload).
+    * [[parseMp3]] keeps skipping the tag opaquely — audio structure
+    * and metadata stay separate audits (q156 vs q173). */
+  def parseId3(id: Long, b: Array[Byte]): Id3Tags = {
+    def fail(err: String): Id3Tags =
+      Id3Tags(id, 0, 0, "", "", "", "", 0, err)
+    if (b == null || b.length < 10 || b(0) != 'I' || b(1) != 'D' ||
+        b(2) != '3') return fail("no_id3")
+    val ver = b(3) & 0xff
+    if (ver != 3 && ver != 4) return fail("bad_version")
+    val tagEnd = 10 + syncsafe(b, 6)
+    if (tagEnd > b.length) return fail("truncated")
+    var p = 10
+    var title = ""; var artist = ""; var album = ""; var year = ""
+    var n = 0
+    while (p + 10 <= tagEnd && b(p) != 0) {
+      val fid = new String(b, p, 4, "ISO-8859-1")
+      val fsize =
+        if (ver == 4) syncsafe(b, p + 4)
+        else ((b(p + 4) & 0xff) << 24) | ((b(p + 5) & 0xff) << 16) |
+          ((b(p + 6) & 0xff) << 8) | (b(p + 7) & 0xff)
+      if (fsize < 0 || p + 10 + fsize > tagEnd) return fail("truncated")
+      if (fid.startsWith("T") && fsize >= 1) {
+        val enc = b(p + 10) & 0xff
+        val text =
+          if (enc == 0) new String(b, p + 11, fsize - 1, "ISO-8859-1")
+          else if (enc == 3) new String(b, p + 11, fsize - 1, "UTF-8")
+          else "" // UTF-16 flavors: counted, not decoded (scope note)
+        val t = text.takeWhile(_ != 0)
+        fid match {
+          case "TIT2" => title = t
+          case "TPE1" => artist = t
+          case "TALB" => album = t
+          case "TYER" if ver == 3 => year = t
+          case "TDRC" if ver == 4 => year = t
+          case _ => ()
+        }
+      }
+      n += 1
+      p += 10 + fsize
+    }
+    Id3Tags(id, 1, ver, title, artist, album, year, n, "")
+  }
+
+  /** Batched classification — the decodeStage plan shape. */
+  def decodeId3Tags(media: DataFrame, partitions: Int = 0): Dataset[Id3Tags] = {
+    val spark = media.sparkSession
+    val parts = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    media.select("media_id", "payload")
+      .repartition(parts, col("media_id"))
+      .as[(Long, Array[Byte])](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.BINARY))
+      .mapPartitions(_.map { case (id, p) => parseId3(id, p) })(
+        org.apache.spark.sql.Encoders.product[Id3Tags])
+  }
+
+  /** One ID3v2 tag (v2.3 or v2.4) carrying the four text frames. */
+  private[multimodal] def id3Bytes(ver: Int, title: String, artist: String,
+      album: String, year: String, utf8: Boolean,
+      oversizeLastFrame: Int = 0): Array[Byte] = {
+    val frames = new java.io.ByteArrayOutputStream()
+    val names = Seq("TIT2" -> title, "TPE1" -> artist, "TALB" -> album,
+      (if (ver == 4) "TDRC" else "TYER") -> year)
+    for (((fid, text), k) <- names.zipWithIndex) {
+      val enc: Byte = if (utf8) 3 else 0
+      val body = text.getBytes(if (utf8) "UTF-8" else "ISO-8859-1")
+      fid.foreach(c => frames.write(c.toInt))
+      val fsize = 1 + body.length +
+        (if (k == names.length - 1) oversizeLastFrame else 0)
+      if (ver == 4) {
+        frames.write((fsize >> 21) & 0x7f); frames.write((fsize >> 14) & 0x7f)
+        frames.write((fsize >> 7) & 0x7f); frames.write(fsize & 0x7f)
+      } else {
+        frames.write((fsize >> 24) & 0xff); frames.write((fsize >> 16) & 0xff)
+        frames.write((fsize >> 8) & 0xff); frames.write(fsize & 0xff)
+      }
+      frames.write(0); frames.write(0) // frame flags
+      frames.write(enc.toInt)
+      frames.write(body, 0, body.length)
+    }
+    val fb = frames.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('I'); out.write('D'); out.write('3')
+    out.write(ver); out.write(0); out.write(0) // revision, flags
+    val size = fb.length
+    out.write((size >> 21) & 0x7f); out.write((size >> 14) & 0x7f)
+    out.write((size >> 7) & 0x7f); out.write(size & 0x7f)
+    out.write(fb, 0, fb.length)
+    out.toByteArray
+  }
+
+  /** Deterministic ID3 corpus — an id3v2 tag ahead of one real MPEG
+    * frame header, fields and errors fanned over id arithmetic:
+    *   version   3 + id%2;  encoding utf-8 when id%2==1 else latin-1
+    *   title "Track <id>", artist "Artist <id%50>",
+    *   album "Album <id%20>", year 1990 + id%35;  4 frames
+    *   no_id3       id%7==2 (bare MPEG frame, no tag)
+    *   bad_version  else id%11==5 (version byte 5)
+    *   truncated    else id%13==3 (last frame declares 30 extra bytes
+    *                the tag does not carry) */
+  def id3CorpusFromDocuments(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].map { id =>
+      def m(k: Long): Int = java.lang.Math.floorMod(id, k).toInt
+      val noTag = m(7) == 2
+      val badVer = !noTag && m(11) == 5
+      val trunc = !noTag && !badVer && m(13) == 3
+      // one valid MPEG1 Layer3 frame header + slots after the tag
+      val audio = new Array[Byte](104)
+      audio(0) = 0xff.toByte; audio(1) = 0xfb.toByte
+      audio(2) = 0x90.toByte; audio(3) = 0x00 // 128kbps, 44100, no pad
+      val payload =
+        if (noTag) audio
+        else {
+          val tag = id3Bytes(if (badVer) 5 else 3 + m(2),
+            s"Track $id", s"Artist ${m(50)}", s"Album ${m(20)}",
+            (1990 + m(35)).toString, utf8 = m(2) == 1,
+            oversizeLastFrame = if (trunc) 30 else 0)
+          tag ++ audio
+        }
+      (id, payload)
+    }.toDF("media_id", "payload")
+  }
 }

@@ -2113,6 +2113,19 @@ object Queries {
       totalBits = 64, maxDist = 5, bands = 8)
   }
 
+  /** ID3v2 text-frame extraction through the gate — q171's EXIF
+    * treatment for audio metadata: TIT2/TPE1/TALB + the version's
+    * year frame (TYER v2.3 / TDRC v2.4), plain-BE vs SYNCSAFE frame
+    * sizes handled per version (the classic cross-version corruption
+    * source), three tagged refusal families. q156 keeps skipping the
+    * tag opaquely — audio structure and metadata stay separate
+    * audits. */
+  def q173Id3Tags(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Mp3.id3CorpusFromDocuments(
+      tbl(spark, dir, "documents"))
+    graft.multimodal.Mp3.decodeId3Tags(media).toDF()
+  }
+
   /** Animated-WebP frame fingerprints through the gate — q140's video
     * audit on the GIF-successor container: the ANMF walk recovers each
     * frame's duration and its VP8L payload, every frame's pixels
@@ -5837,7 +5850,8 @@ object Queries {
     "q169_anim_webp_frames" -> (q169AnimWebpFrames _),
     "q170_cross_clip_dups" -> (q170CrossClipDups _),
     "q171_exif_headers" -> (q171ExifHeaders _),
-    "q172_oriented_phash" -> (q172OrientedPhash _))
+    "q172_oriented_phash" -> (q172OrientedPhash _),
+    "q173_id3_tags" -> (q173Id3Tags _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -6411,6 +6425,29 @@ object Queries {
         |  bit_count(xor(a.h, b.h))::BIGINT AS hamming_dist
         |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.h, b.h)) <= 5""".stripMargin,
+    "q173_id3_tags" ->
+      """WITH m AS (
+        |  SELECT doc_id AS id,
+        |    (doc_id % 7 = 2) AS notag,
+        |    (doc_id % 7 <> 2 AND doc_id % 11 = 5) AS badver,
+        |    (doc_id % 7 <> 2 AND doc_id % 11 <> 5 AND doc_id % 13 = 3) AS trunc
+        |  FROM documents)
+        |SELECT id AS media_id,
+        |  (CASE WHEN notag OR badver OR trunc THEN 0 ELSE 1 END)::INTEGER AS ok,
+        |  (CASE WHEN notag OR badver OR trunc THEN 0
+        |        ELSE 3 + id % 2 END)::INTEGER AS version,
+        |  CASE WHEN notag OR badver OR trunc THEN ''
+        |       ELSE 'Track ' || id END AS title,
+        |  CASE WHEN notag OR badver OR trunc THEN ''
+        |       ELSE 'Artist ' || (id % 50) END AS artist,
+        |  CASE WHEN notag OR badver OR trunc THEN ''
+        |       ELSE 'Album ' || (id % 20) END AS album,
+        |  CASE WHEN notag OR badver OR trunc THEN ''
+        |       ELSE (1990 + id % 35)::VARCHAR END AS year,
+        |  (CASE WHEN notag OR badver OR trunc THEN 0 ELSE 4 END)::INTEGER AS n_frames,
+        |  CASE WHEN notag THEN 'no_id3' WHEN badver THEN 'bad_version'
+        |       WHEN trunc THEN 'truncated' ELSE '' END AS err
+        |FROM m""".stripMargin,
     "q171_exif_headers" ->
       """WITH m AS (
         |  SELECT doc_id AS id,

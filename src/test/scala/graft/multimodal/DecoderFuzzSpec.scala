@@ -130,6 +130,15 @@ class DecoderFuzzSpec extends SparkSpec {
     fuzz("flac", base, b => Flac.parseFlac(7L, b))
   }
 
+  test("ID3v2 walker survives 300 deterministic corruptions per version") {
+    import spark.implicits._
+    for (id <- Seq(0L, 1L)) { // v2.3 latin-1 / v2.4 utf-8
+      val base = Mp3.id3CorpusFromDocuments(Seq(id).toDF("doc_id"))
+        .collect()(0).getAs[Array[Byte]](1)
+      fuzz(s"id3-$id", base, b => Mp3.parseId3(id, b))
+    }
+  }
+
   test("EXIF walker survives 300 deterministic corruptions per byte order") {
     import spark.implicits._
     // 1 -> MM order; 0 -> II; 16 -> truncated-IFD arm as a base

@@ -99,4 +99,31 @@ class Mp3Spec extends SparkSpec {
       assert((r.getInt(1) == 1) == expectErr.isEmpty, s"id $id ok")
     }
   }
+
+  test("ID3v2: both versions' size conventions, year frame per version, NUL strip") {
+    // v2.3 plain-BE frame sizes, TYER year
+    val v3 = Mp3.id3Bytes(3, "Tést", "A", "B", "1999", utf8 = false)
+    val r3 = Mp3.parseId3(1L, v3)
+    assert(r3.ok == 1 && r3.version == 3 && r3.title == "Tést" &&
+      r3.year == "1999" && r3.n_frames == 4)
+    // v2.4 SYNCSAFE frame sizes, TDRC year, utf-8 text
+    val v4 = Mp3.id3Bytes(4, "Títle", "Ärtist", "Albüm", "2020", utf8 = true)
+    val r4 = Mp3.parseId3(2L, v4)
+    assert(r4.ok == 1 && r4.version == 4 && r4.title == "Títle" &&
+      r4.artist == "Ärtist" && r4.year == "2020")
+    // a v2.3-sized frame read under v2.4 rules would explode on any
+    // frame >= 128 bytes — pin the syncsafe path with one such frame
+    val big = Mp3.id3Bytes(4, "x" * 200, "a", "b", "2021", utf8 = false)
+    assert(Mp3.parseId3(3L, big).title == "x" * 200)
+    // truncation: the last frame declares more than the tag carries
+    val t = Mp3.id3Bytes(3, "t", "a", "b", "1990", utf8 = false,
+      oversizeLastFrame = 30)
+    assert(Mp3.parseId3(4L, t).err == "truncated")
+    // UTF-16 encodings are counted, not decoded (scope note)
+    val u16 = v3.clone()
+    // first frame's encoding byte: header(10) + frame header(10)
+    u16(20) = 1
+    val ru = Mp3.parseId3(5L, u16)
+    assert(ru.ok == 1 && ru.title == "" && ru.n_frames == 4)
+  }
 }
