@@ -122,15 +122,29 @@ object Vp8l {
       }
       0 // unreachable
     }
+    // (code << 8 | len) per symbol, built once — a per-symbol linear
+    // scan here multiplied into the fixture encoder's hot loop
+    // (4096 px x 4 channels x O(used) was q169's 16 s warm floor)
+    private lazy val codeTable: Array[Long] = {
+      val t = Array.fill(lengths.length)(-1L)
+      if (single < 0) {
+        var l = 1
+        while (l <= maxLen) {
+          var k = offsets(l)
+          var c = firstCode(l)
+          val end = offsets(l) + counts(l)
+          while (k < end) { t(sorted(k)) = (c.toLong << 8) | l; k += 1; c += 1 }
+          l += 1
+        }
+      }
+      t
+    }
     /** (code, len) per symbol — the encoder's view of the same rule. */
     def codeOf(sym: Int): (Int, Int) = {
       if (single >= 0) return (0, 0)
-      val l = lengths(sym)
-      require(l > 0, s"symbol $sym has no code")
-      var idx = offsets(l)
-      var c = firstCode(l)
-      while (sorted(idx) != sym) { idx += 1; c += 1 }
-      (c, l)
+      val v = codeTable(sym)
+      require(v >= 0, s"symbol $sym has no code")
+      ((v >> 8).toInt, (v & 0xff).toInt)
     }
   }
 

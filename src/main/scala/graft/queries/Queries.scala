@@ -2136,8 +2136,10 @@ object Queries {
     * carries q140's exact frame pixels (oracle: q140's pHash replay)
     * with the VP8L encoding path fanned per (id + frame) % 5. */
   def q169AnimWebpFrames(spark: SparkSession, dir: String): DataFrame = {
+    // the doc_id%3==0 third (the q170 discipline): the gate cost is the
+    // fixture's 64x64 VP8L ENCODE x frames x docs, not the walk
     val media = graft.multimodal.Webp.animWebpCorpusFromDocuments(
-      tbl(spark, dir, "documents"))
+      tbl(spark, dir, "documents").where(pmod(col("doc_id"), lit(3)) === 0))
     graft.multimodal.Webp.decodeAnimPHash(media).toDF()
   }
 
@@ -6567,7 +6569,7 @@ object Queries {
       """WITH fr AS (
         |  SELECT doc_id, f.f AS f
         |  FROM documents, range(0, 6) AS f(f)
-        |  WHERE f.f < 3 + doc_id % 4 AND doc_id % 11 <> 5),
+        |  WHERE doc_id % 3 = 0 AND f.f < 3 + doc_id % 4 AND doc_id % 11 <> 5),
         |blk AS (
         |  SELECT doc_id, f, bi.bi AS bi, bj.bj AS bj,
         |    64 * ((((doc_id % 10) * 73 + f * 29 + bj.bj * 37
@@ -6605,7 +6607,7 @@ object Queries {
         |UNION ALL
         |SELECT doc_id, 0::INTEGER, 0::INTEGER, 0::INTEGER, 0::BIGINT,
         |  'not_animated'
-        |FROM documents WHERE doc_id % 11 = 5""".stripMargin,
+        |FROM documents WHERE doc_id % 3 = 0 AND doc_id % 11 = 5""".stripMargin,
     // q133's oracle VERBATIM: the corpus carries q133's exact pixels,
     // VP8L-encoded — a lossless codec layer cannot move the hash set
     "q168_webp_phash" ->
