@@ -30,7 +30,8 @@ import org.apache.spark.sql.functions._
 object Exif {
 
   final case class ExifInfo(media_id: Long, ok: Int, byte_order: String,
-      orientation: Int, datetime: String, n_entries: Int, err: String)
+      orientation: Int, datetime: String, datetime_original: String,
+      n_entries: Int, err: String)
 
   /** Locate the APP1 Exif payload: (TIFF-header offset, length). */
   private def findExif(b: Array[Byte]): Option[(Int, Int)] = {
@@ -52,7 +53,7 @@ object Exif {
   }
 
   def parseExif(id: Long, b: Array[Byte]): ExifInfo = {
-    def fail(err: String): ExifInfo = ExifInfo(id, 0, "", 0, "", 0, err)
+    def fail(err: String): ExifInfo = ExifInfo(id, 0, "", 0, "", "", 0, err)
     if (b == null || b.length < 4 || (b(0) & 0xff) != 0xff ||
         (b(1) & 0xff) != 0xd8) return fail("not_jpeg")
     val (o, len) = findExif(b) match {
@@ -76,6 +77,18 @@ object Exif {
       else (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
         ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
     }
+    /** ASCII entry value: inline when count <= 4, else via the value
+      * offset. The address math stays in LONG so a hostile offset near
+      * 2^32 cannot wrap back inside [o, o+len) and pass the bounds
+      * check — null means "truncated". */
+    def readAscii(p: Int, cnt: Long): String = {
+      val at: Long = if (cnt <= 4) (p + 8).toLong else o.toLong + u32(p + 8)
+      if (at < o || at + cnt > o + len) return null
+      val a = at.toInt
+      var m = cnt.toInt
+      while (m > 0 && b(a + m - 1) == 0) m -= 1
+      new String(b, a, m, "ISO-8859-1")
+    }
     if (u16(o + 2) != 42) return fail("bad_tiff")
     val ifdOff = u32(o + 4)
     if (ifdOff < 0 || o + ifdOff + 2 > o + len) return fail("truncated")
@@ -84,6 +97,8 @@ object Exif {
     if (n < 0 || ifd + 2 + 12 * n + 4 > o + len) return fail("truncated")
     var orientation = 0
     var datetime = ""
+    var dtOriginal = ""
+    var exifIfdOff = -1L
     var e = 0
     while (e < n) {
       val p = ifd + 2 + 12 * e
@@ -92,15 +107,36 @@ object Exif {
       val cnt = u32(p + 4)
       if (tag == 0x0112 && typ == 3) orientation = u16(p + 8)
       else if (tag == 0x0132 && typ == 2 && cnt > 0) {
-        val at = if (cnt <= 4) p + 8 else (o + u32(p + 8)).toInt
-        if (at < o || at + cnt > o + len) return fail("truncated")
-        var m = cnt.toInt
-        while (m > 0 && b(at + m - 1) == 0) m -= 1
-        datetime = new String(b, at, m, "ISO-8859-1")
-      }
+        val s = readAscii(p, cnt)
+        if (s == null) return fail("truncated")
+        datetime = s
+      } else if (tag == 0x8769 && typ == 4) exifIfdOff = u32(p + 8)
       e += 1
     }
-    ExifInfo(id, 1, if (big) "MM" else "II", orientation, datetime, n, "")
+    // the ExifIFD pointer (0x8769) indirection — the IFD real photo
+    // pipelines key on: DateTimeOriginal (0x9003) lives there, not
+    // in IFD0
+    if (exifIfdOff >= 0) {
+      if (exifIfdOff + 2 > len) return fail("truncated")
+      val sub = (o + exifIfdOff).toInt
+      val sn = u16(sub)
+      if (sn < 0 || sub + 2 + 12 * sn + 4 > o + len) return fail("truncated")
+      var se = 0
+      while (se < sn) {
+        val p = sub + 2 + 12 * se
+        val tag = u16(p)
+        val typ = u16(p + 2)
+        val cnt = u32(p + 4)
+        if (tag == 0x9003 && typ == 2 && cnt > 0) {
+          val s = readAscii(p, cnt)
+          if (s == null) return fail("truncated")
+          dtOriginal = s
+        }
+        se += 1
+      }
+    }
+    ExifInfo(id, 1, if (big) "MM" else "II", orientation, datetime,
+      dtOriginal, n, "")
   }
 
   /** Batched classification — the decodeStage plan shape. */
@@ -189,11 +225,15 @@ object Exif {
 
   // ---- fixture synthesis ------------------------------------------------
 
-  /** One APP1 Exif segment (marker + length + payload) with IFD0
-    * carrying Orientation and DateTime. */
+  /** One APP1 Exif segment (marker + length + payload): IFD0 carries
+    * Orientation, DateTime (ASCII via the value-offset indirection)
+    * and the ExifIFD pointer (0x8769); the sub-IFD carries
+    * DateTimeOriginal (0x9003, also via offset). `badSubIfd` points
+    * 0x8769 past the segment (the indirection refusal arm). */
   private[multimodal] def app1Bytes(orientation: Int, datetime: String,
-      big: Boolean, breakTiffMagic: Boolean = false,
-      truncateIfd: Boolean = false): Array[Byte] = {
+      big: Boolean, dtOriginal: String = "2023:01:01 00:30:00",
+      breakTiffMagic: Boolean = false,
+      truncateIfd: Boolean = false, badSubIfd: Boolean = false): Array[Byte] = {
     val t = new java.io.ByteArrayOutputStream()
     def w16(v: Int): Unit =
       if (big) { t.write((v >> 8) & 0xff); t.write(v & 0xff) }
@@ -207,16 +247,28 @@ object Exif {
     w16(if (breakTiffMagic) 43 else 42)
     w32(8L) // IFD0 right after the header
     val dt = (datetime + "\u0000").getBytes("ISO-8859-1")
-    val nEntries = if (truncateIfd) 4 else 2
+    val dto = (dtOriginal + "\u0000").getBytes("ISO-8859-1")
+    val nEntries = if (truncateIfd) 4 else 3
+    // layout: IFD0 [8, 50) | dt value | ExifIFD (18 bytes) | dto value
+    val dtOff = 8 + 2 + 12 * 3 + 4
+    val subOff = dtOff + dt.length
+    val dtoOff = subOff + 2 + 12 + 4
     w16(nEntries) // a truncated fixture DECLARES more than it carries
     // entry: Orientation (SHORT, count 1, inline — padded to 4 bytes)
     w16(0x0112); w16(3); w32(1L)
     w16(orientation); w16(0)
-    // entry: DateTime (ASCII, via offset; value lands after next-IFD)
-    val valOff = 8 + 2 + 12 * 2 + 4
-    w16(0x0132); w16(2); w32(dt.length.toLong); w32(valOff.toLong)
+    // entry: DateTime (ASCII, via offset)
+    w16(0x0132); w16(2); w32(dt.length.toLong); w32(dtOff.toLong)
+    // entry: ExifIFD pointer (LONG, count 1)
+    w16(0x8769); w16(4); w32(1L)
+    w32(if (badSubIfd) dtoOff + dto.length + 4096L else subOff.toLong)
     w32(0L) // next IFD
     t.write(dt, 0, dt.length)
+    // the ExifIFD: one entry, DateTimeOriginal via offset
+    w16(1)
+    w16(0x9003); w16(2); w32(dto.length.toLong); w32(dtoOff.toLong)
+    w32(0L) // next IFD
+    t.write(dto, 0, dto.length)
     val tiff = t.toByteArray
     val cut = if (truncateIfd) 8 + 2 + 12 else tiff.length
     val out = new java.io.ByteArrayOutputStream()
@@ -237,10 +289,14 @@ object Exif {
   /** Deterministic EXIF corpus — fields and error families fanned over
     * id arithmetic (oracle restates it):
     *   orientation 1 + id%8;  byte order MM when id%2==1 else II
-    *   datetime "2024:MM:DD hh:00:00" from id arithmetic; 2 entries
+    *   datetime "2024:MM:DD hh:00:00" from id arithmetic; 3 IFD0
+    *   entries (Orientation, DateTime, the ExifIFD pointer);
+    *   datetime_original "2023:MM:DD hh:30:00" via the 0x8769
+    *   indirection (same id arithmetic, year 2023, minute 30)
     *   no_exif   id%7==2 (plain JPEG, no APP1)
     *   bad_tiff  else id%11==5 (TIFF magic 43)
-    *   truncated else id%13==3 (IFD declares 4 entries, carries 1) */
+    *   truncated else id%13==3 (IFD declares 4 entries, carries 1)
+    *   truncated else id%29==11 (ExifIFD pointer past the segment) */
   def exifCorpusFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
@@ -251,11 +307,14 @@ object Exif {
       val noExif = m(7) == 2
       val badTiff = !noExif && m(11) == 5
       val trunc = !noExif && !badTiff && m(13) == 3
+      val badSub = !noExif && !badTiff && !trunc && m(29) == 11
       val dt = f"2024:${1 + m(12)}%02d:${1 + m(28)}%02d ${m(24)}%02d:00:00"
+      val dto = f"2023:${1 + m(12)}%02d:${1 + m(28)}%02d ${m(24)}%02d:30:00"
       val payload =
         if (noExif) base
         else withApp1(base, app1Bytes(1 + m(8), dt, big = m(2) == 1,
-          breakTiffMagic = badTiff, truncateIfd = trunc))
+          dtOriginal = dto, breakTiffMagic = badTiff, truncateIfd = trunc,
+          badSubIfd = badSub))
       (id, payload)
     }.toDF("media_id", "payload")
   }

@@ -269,14 +269,24 @@ object Mp3 {
       n_frames: Int, err: String)
 
   /** Parse the leading ID3v2 tag's TEXT frames (the public id3.org
-    * spec, v2.3 and v2.4): TIT2/TPE1/TALB plus the year under its
-    * version's name (TYER in v2.3, TDRC in v2.4). Frame sizes are
-    * plain big-endian in v2.3 and SYNCSAFE in v2.4 — the classic
-    * cross-version corruption source, handled per version. Text
-    * encodings 0 (latin-1) and 3 (utf-8) are decoded; 1/2 (UTF-16
-    * flavors) are counted but surface empty text (a loud scope note,
-    * not garbage). Error families: "no_id3", "bad_version" (neither
-    * 2.3 nor 2.4), "truncated" (tag or a frame past the payload).
+    * spec, v2.2 / v2.3 / v2.4): title/artist/album plus the year
+    * under its version's name (TYE in v2.2, TYER in v2.3, TDRC in
+    * v2.4). Frame headers are 6 bytes with 3-char ids and 3-byte BE
+    * sizes in v2.2, 10 bytes with 4-char ids in v2.3/v2.4 — and the
+    * size field is plain big-endian in v2.3 but SYNCSAFE in v2.4, the
+    * classic cross-version corruption source, handled per version.
+    * Text encodings: 0 (latin-1), 1 (UTF-16 with BOM, both
+    * endiannesses), and the v2.4-only 2 (UTF-16BE, no BOM) and 3
+    * (utf-8) all DECODE; an encoding-1 frame without a BOM or an
+    * encoding byte outside its version's set refuses as
+    * "bad_encoding" (loud, never mojibake). Header flags: a v2.3/v2.4
+    * extended header (0x40) is skipped under its version's size
+    * convention (v2.3 size EXCLUDES the 4 size bytes, v2.4 syncsafe
+    * size INCLUDES itself); unsynchronisation / experimental / footer
+    * bits (and any v2.2 flag) refuse as "unsupported_flags" — this
+    * walk does not reverse byte stuffing. Error families: "no_id3",
+    * "bad_version", "unsupported_flags", "bad_encoding", "truncated"
+    * (tag, extended header, or a frame past the payload).
     * [[parseMp3]] keeps skipping the tag opaquely — audio structure
     * and metadata stay separate audits (q156 vs q173). */
   def parseId3(id: Long, b: Array[Byte]): Id3Tags = {
@@ -285,37 +295,67 @@ object Mp3 {
     if (b == null || b.length < 10 || b(0) != 'I' || b(1) != 'D' ||
         b(2) != '3') return fail("no_id3")
     val ver = b(3) & 0xff
-    if (ver != 3 && ver != 4) return fail("bad_version")
+    if (ver != 2 && ver != 3 && ver != 4) return fail("bad_version")
+    val flags = b(5) & 0xff
+    if ((flags & 0xbf) != 0 || (ver == 2 && flags != 0))
+      return fail("unsupported_flags")
     val tagEnd = 10 + syncsafe(b, 6)
     if (tagEnd > b.length) return fail("truncated")
     var p = 10
+    if ((flags & 0x40) != 0) { // extended header, per-version size rule
+      if (p + 4 > tagEnd) return fail("truncated")
+      val skip =
+        if (ver == 4) syncsafe(b, p)
+        else 4 + (((b(p) & 0xff) << 24) | ((b(p + 1) & 0xff) << 16) |
+          ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff))
+      if (skip < 4 || p + skip > tagEnd) return fail("truncated")
+      p += skip
+    }
+    val hdr = if (ver == 2) 6 else 10
     var title = ""; var artist = ""; var album = ""; var year = ""
     var n = 0
-    while (p + 10 <= tagEnd && b(p) != 0) {
-      val fid = new String(b, p, 4, "ISO-8859-1")
+    var bad = false
+    while (p + hdr <= tagEnd && b(p) != 0) {
+      val fid = new String(b, p, if (ver == 2) 3 else 4, "ISO-8859-1")
       val fsize =
-        if (ver == 4) syncsafe(b, p + 4)
+        if (ver == 2) ((b(p + 3) & 0xff) << 16) | ((b(p + 4) & 0xff) << 8) |
+          (b(p + 5) & 0xff)
+        else if (ver == 4) syncsafe(b, p + 4)
         else ((b(p + 4) & 0xff) << 24) | ((b(p + 5) & 0xff) << 16) |
           ((b(p + 6) & 0xff) << 8) | (b(p + 7) & 0xff)
-      if (fsize < 0 || p + 10 + fsize > tagEnd) return fail("truncated")
+      if (fsize < 0 || p + hdr + fsize > tagEnd) return fail("truncated")
       if (fid.startsWith("T") && fsize >= 1) {
-        val enc = b(p + 10) & 0xff
-        val text =
-          if (enc == 0) new String(b, p + 11, fsize - 1, "ISO-8859-1")
-          else if (enc == 3) new String(b, p + 11, fsize - 1, "UTF-8")
-          else "" // UTF-16 flavors: counted, not decoded (scope note)
-        val t = text.takeWhile(_ != 0)
+        val enc = b(p + hdr) & 0xff
+        val off = p + hdr + 1
+        val len = fsize - 1
+        val text: String = enc match {
+          case 0 => new String(b, off, len, "ISO-8859-1")
+          case 1 =>
+            if (len >= 2 && (b(off) & 0xff) == 0xff &&
+                (b(off + 1) & 0xff) == 0xfe)
+              new String(b, off + 2, len - 2, "UTF-16LE")
+            else if (len >= 2 && (b(off) & 0xff) == 0xfe &&
+                (b(off + 1) & 0xff) == 0xff)
+              new String(b, off + 2, len - 2, "UTF-16BE")
+            else { bad = true; "" } // encoding 1 REQUIRES a BOM
+          case 2 if ver == 4 => new String(b, off, len, "UTF-16BE")
+          case 3 if ver == 4 => new String(b, off, len, "UTF-8")
+          case _ => bad = true; ""
+        }
+        if (bad) return fail("bad_encoding")
+        val t = text.takeWhile(_ != '\u0000')
         fid match {
-          case "TIT2" => title = t
-          case "TPE1" => artist = t
-          case "TALB" => album = t
+          case "TIT2" | "TT2" => title = t
+          case "TPE1" | "TP1" => artist = t
+          case "TALB" | "TAL" => album = t
           case "TYER" if ver == 3 => year = t
           case "TDRC" if ver == 4 => year = t
+          case "TYE" if ver == 2 => year = t
           case _ => ()
         }
       }
       n += 1
-      p += 10 + fsize
+      p += hdr + fsize
     }
     Id3Tags(id, 1, ver, title, artist, album, year, n, "")
   }
@@ -334,34 +374,80 @@ object Mp3 {
         org.apache.spark.sql.Encoders.product[Id3Tags])
   }
 
-  /** One ID3v2 tag (v2.3 or v2.4) carrying the four text frames. */
+  /** Encoding selectors for [[id3Bytes]] — fixture-side names for the
+    * spec's text-encoding bytes plus the BOM flavors and the planted
+    * BOM-less refusal arm. */
+  private[multimodal] val EncLatin1 = 0 // encoding byte 0
+  private[multimodal] val EncUtf8 = 1 // encoding byte 3 (v2.4)
+  private[multimodal] val EncUtf16LeBom = 2 // encoding byte 1, FF FE
+  private[multimodal] val EncUtf16BeBom = 3 // encoding byte 1, FE FF
+  private[multimodal] val EncUtf16Be = 4 // encoding byte 2 (v2.4, no BOM)
+  private[multimodal] val EncUtf16NoBom = 5 // encoding byte 1, BOM missing
+
+  /** One ID3v2 tag (v2.2 / v2.3 / v2.4) carrying the four text
+    * frames. v2.2 uses 3-char frame ids with 3-byte BE sizes and
+    * always latin-1; `flags` lands in the header flag byte;
+    * `extHeader` prepends a version-correct extended header. */
   private[multimodal] def id3Bytes(ver: Int, title: String, artist: String,
-      album: String, year: String, utf8: Boolean,
-      oversizeLastFrame: Int = 0): Array[Byte] = {
+      album: String, year: String, enc: Int,
+      oversizeLastFrame: Int = 0, flags: Int = 0,
+      extHeader: Boolean = false): Array[Byte] = {
     val frames = new java.io.ByteArrayOutputStream()
-    val names = Seq("TIT2" -> title, "TPE1" -> artist, "TALB" -> album,
-      (if (ver == 4) "TDRC" else "TYER") -> year)
+    if (extHeader && ver == 3) {
+      // v2.3: 4-byte BE size EXCLUDING itself, 2 flag bytes, pad size
+      frames.write(0); frames.write(0); frames.write(0); frames.write(6)
+      frames.write(0); frames.write(0)
+      frames.write(0); frames.write(0); frames.write(0); frames.write(0)
+    } else if (extHeader && ver == 4) {
+      // v2.4: syncsafe size INCLUDING itself, numflagbytes=1, flags=0
+      frames.write(0); frames.write(0); frames.write(0); frames.write(6)
+      frames.write(1); frames.write(0)
+    }
+    val names =
+      if (ver == 2) Seq("TT2" -> title, "TP1" -> artist, "TAL" -> album,
+        "TYE" -> year)
+      else Seq("TIT2" -> title, "TPE1" -> artist, "TALB" -> album,
+        (if (ver == 4) "TDRC" else "TYER") -> year)
     for (((fid, text), k) <- names.zipWithIndex) {
-      val enc: Byte = if (utf8) 3 else 0
-      val body = text.getBytes(if (utf8) "UTF-8" else "ISO-8859-1")
+      val encV = if (ver == 2) EncLatin1 else enc
+      val encByte = encV match {
+        case EncLatin1 => 0
+        case EncUtf8 => 3
+        case EncUtf16Be => 2
+        case _ => 1
+      }
+      val body = encV match {
+        case EncLatin1 => text.getBytes("ISO-8859-1")
+        case EncUtf8 => text.getBytes("UTF-8")
+        case EncUtf16LeBom =>
+          Array(0xff.toByte, 0xfe.toByte) ++ text.getBytes("UTF-16LE")
+        case EncUtf16BeBom =>
+          Array(0xfe.toByte, 0xff.toByte) ++ text.getBytes("UTF-16BE")
+        case EncUtf16Be => text.getBytes("UTF-16BE")
+        case _ => text.getBytes("UTF-16LE") // EncUtf16NoBom: enc 1, no BOM
+      }
       fid.foreach(c => frames.write(c.toInt))
       val fsize = 1 + body.length +
         (if (k == names.length - 1) oversizeLastFrame else 0)
-      if (ver == 4) {
+      if (ver == 2) {
+        frames.write((fsize >> 16) & 0xff); frames.write((fsize >> 8) & 0xff)
+        frames.write(fsize & 0xff)
+      } else if (ver == 4) {
         frames.write((fsize >> 21) & 0x7f); frames.write((fsize >> 14) & 0x7f)
         frames.write((fsize >> 7) & 0x7f); frames.write(fsize & 0x7f)
       } else {
         frames.write((fsize >> 24) & 0xff); frames.write((fsize >> 16) & 0xff)
         frames.write((fsize >> 8) & 0xff); frames.write(fsize & 0xff)
       }
-      frames.write(0); frames.write(0) // frame flags
-      frames.write(enc.toInt)
+      if (ver != 2) { frames.write(0); frames.write(0) } // frame flags
+      frames.write(encByte)
       frames.write(body, 0, body.length)
     }
     val fb = frames.toByteArray
     val out = new java.io.ByteArrayOutputStream()
     out.write('I'); out.write('D'); out.write('3')
-    out.write(ver); out.write(0); out.write(0) // revision, flags
+    out.write(ver); out.write(0)
+    out.write(flags | (if (extHeader) 0x40 else 0))
     val size = fb.length
     out.write((size >> 21) & 0x7f); out.write((size >> 14) & 0x7f)
     out.write((size >> 7) & 0x7f); out.write(size & 0x7f)
@@ -371,13 +457,20 @@ object Mp3 {
 
   /** Deterministic ID3 corpus — an id3v2 tag ahead of one real MPEG
     * frame header, fields and errors fanned over id arithmetic:
-    *   version   3 + id%2;  encoding utf-8 when id%2==1 else latin-1
+    *   version   3 + id%2 (except the v2.2 arm)
+    *   encoding  (id/2)%4: latin-1 / UTF-16LE+BOM / UTF-16BE+BOM /
+    *             (utf-8 when the version is 2.4, else UTF-16LE+BOM) —
+    *             every encoding decodes to the SAME closed-form text
     *   title "Track <id>", artist "Artist <id%50>",
     *   album "Album <id%20>", year 1990 + id%35;  4 frames
     *   no_id3       id%7==2 (bare MPEG frame, no tag)
     *   bad_version  else id%11==5 (version byte 5)
     *   truncated    else id%13==3 (last frame declares 30 extra bytes
-    *                the tag does not carry) */
+    *                the tag does not carry)
+    *   v2.2         else id%17==6 (3-char frames, TYE year, latin-1)
+    *   unsupported_flags  else id%19==7 (unsynchronisation bit set)
+    *   ext header   else id%23==9 (version-correct ext header, parses ok)
+    *   bad_encoding else id%29==11 (encoding byte 1 without a BOM) */
   def id3CorpusFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
@@ -386,6 +479,11 @@ object Mp3 {
       val noTag = m(7) == 2
       val badVer = !noTag && m(11) == 5
       val trunc = !noTag && !badVer && m(13) == 3
+      val v22 = !noTag && !badVer && !trunc && m(17) == 6
+      val badFlags = !noTag && !badVer && !trunc && !v22 && m(19) == 7
+      val ext = !noTag && !badVer && !trunc && !v22 && !badFlags && m(23) == 9
+      val noBom = !noTag && !badVer && !trunc && !v22 && !badFlags && !ext &&
+        m(29) == 11
       // one valid MPEG1 Layer3 frame header + slots after the tag
       val audio = new Array[Byte](104)
       audio(0) = 0xff.toByte; audio(1) = 0xfb.toByte
@@ -393,10 +491,21 @@ object Mp3 {
       val payload =
         if (noTag) audio
         else {
-          val tag = id3Bytes(if (badVer) 5 else 3 + m(2),
+          val ver = if (badVer) 5 else if (v22) 2 else 3 + m(2)
+          val enc =
+            if (noBom) EncUtf16NoBom
+            else java.lang.Math.floorMod(id / 2, 4L).toInt match {
+              case 0 => EncLatin1
+              case 1 => EncUtf16LeBom
+              case 2 => EncUtf16BeBom
+              case _ => if (ver == 4) EncUtf8 else EncUtf16LeBom
+            }
+          val tag = id3Bytes(ver,
             s"Track $id", s"Artist ${m(50)}", s"Album ${m(20)}",
-            (1990 + m(35)).toString, utf8 = m(2) == 1,
-            oversizeLastFrame = if (trunc) 30 else 0)
+            (1990 + m(35)).toString, enc,
+            oversizeLastFrame = if (trunc) 30 else 0,
+            flags = if (badFlags) 0x80 else 0,
+            extHeader = ext)
           tag ++ audio
         }
       (id, payload)

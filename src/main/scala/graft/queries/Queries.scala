@@ -2046,13 +2046,22 @@ object Queries {
     * (VP8L frames, q169), and the q141 machinery finds clip pairs
     * ACROSS the container boundary — a re-encoded video cannot hide
     * from dedup behind its wrapper. WebP clip ids ride at doc_id +
-    * 2^20 (the fid packing's loud require guards the width); both
-    * corpora take the doc_id%3==0 third so the identical-frame
+    * 2^20 (a loud require guards doc_id < 2^20 so containers cannot
+    * alias, and the fid packing's require guards the width); both
+    * corpora take the doc_id%7==0 seventh so the identical-frame
     * cluster blowup stays gate-sized (the pair machinery is q141's,
     * already stressed at full width there). */
   def q170CrossClipDups(spark: SparkSession, dir: String): DataFrame = {
     val docs = tbl(spark, dir, "documents")
       .where(pmod(col("doc_id"), lit(7)) === 0)
+    // the +2^20 container offset requires doc_id < 2^20, or MP4 and
+    // WebP clip ids alias silently (the fid-width require below only
+    // guards packing, not this collision)
+    val maxDoc = docs.agg(max(col("doc_id"))).collect()(0)
+    if (!maxDoc.isNullAt(0))
+      require(maxDoc.getLong(0) < (1L << 20),
+        s"q170 clip-id offset: max doc_id ${maxDoc.getLong(0)} >= 2^20 " +
+          "would alias the MP4 and WebP id spaces")
     val mp4 = graft.multimodal.Multimodal.decodeMp4FramePHash(
         graft.multimodal.Multimodal.mjpegVideoCorpusFromDocuments(docs)).toDF()
       .where(col("ok") === 1)
@@ -2087,8 +2096,11 @@ object Queries {
   /** EXIF classification through the gate — the q77/q156 pattern for
     * image METADATA: JPEG APP1 walk, TIFF header (both byte orders),
     * IFD0 entries (Orientation inline-SHORT, DateTime via the ASCII
-    * value-offset indirection), four tagged refusal families. Every
-    * field and every error walk id-planted and restated closed-form. */
+    * value-offset indirection), the ExifIFD pointer (0x8769) walk to
+    * DateTimeOriginal (0x9003) — the tag real photo pipelines key
+    * on — and four tagged refusal families (including a sub-IFD
+    * pointer past the segment). Every field and every error walk
+    * id-planted and restated closed-form. */
   def q171ExifHeaders(spark: SparkSession, dir: String): DataFrame = {
     val media = graft.multimodal.Exif.exifCorpusFromDocuments(
       tbl(spark, dir, "documents"))
@@ -2114,12 +2126,16 @@ object Queries {
   }
 
   /** ID3v2 text-frame extraction through the gate — q171's EXIF
-    * treatment for audio metadata: TIT2/TPE1/TALB + the version's
-    * year frame (TYER v2.3 / TDRC v2.4), plain-BE vs SYNCSAFE frame
-    * sizes handled per version (the classic cross-version corruption
-    * source), three tagged refusal families. q156 keeps skipping the
-    * tag opaquely — audio structure and metadata stay separate
-    * audits. */
+    * treatment for audio metadata: title/artist/album + the version's
+    * year frame (TYE v2.2 / TYER v2.3 / TDRC v2.4), v2.2's 6-byte
+    * frame headers vs plain-BE (v2.3) vs SYNCSAFE (v2.4) sizes
+    * handled per version (the classic cross-version corruption
+    * source), ALL the spec's text encodings decoded (latin-1, UTF-16
+    * under both BOMs, v2.4's BOM-less UTF-16BE and utf-8), extended
+    * headers skipped per version, five tagged refusal families
+    * (incl. unsynchronisation flags and a BOM-less encoding-1
+    * frame). q156 keeps skipping the tag opaquely — audio structure
+    * and metadata stay separate audits. */
   def q173Id3Tags(spark: SparkSession, dir: String): DataFrame = {
     val media = graft.multimodal.Mp3.id3CorpusFromDocuments(
       tbl(spark, dir, "documents"))
@@ -2136,8 +2152,9 @@ object Queries {
     * carries q140's exact frame pixels (oracle: q140's pHash replay)
     * with the VP8L encoding path fanned per (id + frame) % 5. */
   def q169AnimWebpFrames(spark: SparkSession, dir: String): DataFrame = {
-    // the doc_id%3==0 third (the q170 discipline): the gate cost is the
-    // fixture's 64x64 VP8L ENCODE x frames x docs, not the walk
+    // the doc_id%3==0 third (q170 takes a doc_id%7==0 seventh under
+    // the same sampling discipline): the gate cost is the fixture's
+    // 64x64 VP8L ENCODE x frames x docs, not the walk
     val media = graft.multimodal.Webp.animWebpCorpusFromDocuments(
       tbl(spark, dir, "documents").where(pmod(col("doc_id"), lit(3)) === 0))
     graft.multimodal.Webp.decodeAnimPHash(media).toDF()
@@ -6432,35 +6449,46 @@ object Queries {
         |  SELECT doc_id AS id,
         |    (doc_id % 7 = 2) AS notag,
         |    (doc_id % 7 <> 2 AND doc_id % 11 = 5) AS badver,
-        |    (doc_id % 7 <> 2 AND doc_id % 11 <> 5 AND doc_id % 13 = 3) AS trunc
-        |  FROM documents)
+        |    (doc_id % 7 <> 2 AND doc_id % 11 <> 5 AND doc_id % 13 = 3) AS trunc,
+        |    (doc_id % 7 <> 2 AND doc_id % 11 <> 5 AND doc_id % 13 <> 3
+        |      AND doc_id % 17 = 6) AS v22,
+        |    (doc_id % 7 <> 2 AND doc_id % 11 <> 5 AND doc_id % 13 <> 3
+        |      AND doc_id % 17 <> 6 AND doc_id % 19 = 7) AS badflags,
+        |    (doc_id % 7 <> 2 AND doc_id % 11 <> 5 AND doc_id % 13 <> 3
+        |      AND doc_id % 17 <> 6 AND doc_id % 19 <> 7 AND doc_id % 23 <> 9
+        |      AND doc_id % 29 = 11) AS nobom
+        |  FROM documents),
+        |e AS (SELECT *,
+        |  (notag OR badver OR trunc OR badflags OR nobom) AS bad FROM m)
         |SELECT id AS media_id,
-        |  (CASE WHEN notag OR badver OR trunc THEN 0 ELSE 1 END)::INTEGER AS ok,
-        |  (CASE WHEN notag OR badver OR trunc THEN 0
+        |  (CASE WHEN bad THEN 0 ELSE 1 END)::INTEGER AS ok,
+        |  (CASE WHEN bad THEN 0 WHEN v22 THEN 2
         |        ELSE 3 + id % 2 END)::INTEGER AS version,
-        |  CASE WHEN notag OR badver OR trunc THEN ''
-        |       ELSE 'Track ' || id END AS title,
-        |  CASE WHEN notag OR badver OR trunc THEN ''
-        |       ELSE 'Artist ' || (id % 50) END AS artist,
-        |  CASE WHEN notag OR badver OR trunc THEN ''
-        |       ELSE 'Album ' || (id % 20) END AS album,
-        |  CASE WHEN notag OR badver OR trunc THEN ''
-        |       ELSE (1990 + id % 35)::VARCHAR END AS year,
-        |  (CASE WHEN notag OR badver OR trunc THEN 0 ELSE 4 END)::INTEGER AS n_frames,
+        |  CASE WHEN bad THEN '' ELSE 'Track ' || id END AS title,
+        |  CASE WHEN bad THEN '' ELSE 'Artist ' || (id % 50) END AS artist,
+        |  CASE WHEN bad THEN '' ELSE 'Album ' || (id % 20) END AS album,
+        |  CASE WHEN bad THEN '' ELSE (1990 + id % 35)::VARCHAR END AS year,
+        |  (CASE WHEN bad THEN 0 ELSE 4 END)::INTEGER AS n_frames,
         |  CASE WHEN notag THEN 'no_id3' WHEN badver THEN 'bad_version'
-        |       WHEN trunc THEN 'truncated' ELSE '' END AS err
-        |FROM m""".stripMargin,
+        |       WHEN trunc THEN 'truncated'
+        |       WHEN badflags THEN 'unsupported_flags'
+        |       WHEN nobom THEN 'bad_encoding' ELSE '' END AS err
+        |FROM e""".stripMargin,
     "q171_exif_headers" ->
       """WITH m AS (
         |  SELECT doc_id AS id,
         |    (doc_id % 7 = 2) AS noexif,
         |    (doc_id % 7 <> 2 AND doc_id % 11 = 5) AS badtiff,
-        |    (doc_id % 7 <> 2 AND doc_id % 11 <> 5 AND doc_id % 13 = 3) AS trunc,
+        |    (doc_id % 7 <> 2 AND doc_id % 11 <> 5 AND
+        |     (doc_id % 13 = 3 OR doc_id % 29 = 11)) AS trunc,
         |    (1 + doc_id % 8) AS orient,
         |    CASE WHEN doc_id % 2 = 1 THEN 'MM' ELSE 'II' END AS bo,
         |    '2024:' || lpad((1 + doc_id % 12)::VARCHAR, 2, '0') || ':' ||
         |      lpad((1 + doc_id % 28)::VARCHAR, 2, '0') || ' ' ||
-        |      lpad((doc_id % 24)::VARCHAR, 2, '0') || ':00:00' AS dt
+        |      lpad((doc_id % 24)::VARCHAR, 2, '0') || ':00:00' AS dt,
+        |    '2023:' || lpad((1 + doc_id % 12)::VARCHAR, 2, '0') || ':' ||
+        |      lpad((1 + doc_id % 28)::VARCHAR, 2, '0') || ' ' ||
+        |      lpad((doc_id % 24)::VARCHAR, 2, '0') || ':30:00' AS dto
         |  FROM documents),
         |e AS (SELECT *, (noexif OR badtiff OR trunc) AS bad FROM m)
         |SELECT id AS media_id,
@@ -6468,7 +6496,8 @@ object Queries {
         |  CASE WHEN bad THEN '' ELSE bo END AS byte_order,
         |  (CASE WHEN bad THEN 0 ELSE orient END)::INTEGER AS orientation,
         |  CASE WHEN bad THEN '' ELSE dt END AS datetime,
-        |  (CASE WHEN bad THEN 0 ELSE 2 END)::INTEGER AS n_entries,
+        |  CASE WHEN bad THEN '' ELSE dto END AS datetime_original,
+        |  (CASE WHEN bad THEN 0 ELSE 3 END)::INTEGER AS n_entries,
         |  CASE WHEN noexif THEN 'no_exif' WHEN badtiff THEN 'bad_tiff'
         |       WHEN trunc THEN 'truncated' ELSE '' END AS err
         |FROM e""".stripMargin,
@@ -6516,7 +6545,7 @@ object Queries {
         |WHERE bit_count(xor(a.h, b.h)) <= 5""".stripMargin,
     // the q141 replay over BOTH containers' live frames (mp4 clips at
     // doc_id, animated-webp clips at doc_id + 2^20; each container's
-    // own dead-frame/not-animated arms excluded), doc_id%3==0 third
+    // own dead-frame/not-animated arms excluded), doc_id%7==0 seventh
     "q170_cross_clip_dups" ->
       """WITH fr AS (
         |  SELECT doc_id AS clip, doc_id % 10 AS pseed, f.f AS f

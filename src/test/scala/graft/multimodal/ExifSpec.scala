@@ -8,16 +8,24 @@ class ExifSpec extends SparkSpec {
     Exif.withApp1(Jpeg.dcOnlyBytes(16, 16, 1, (bx, by, _) => (bx + by) * 10),
       Exif.app1Bytes(o, dt, big))
 
-  test("both byte orders parse orientation + datetime") {
+  test("both byte orders parse orientation + datetime + ExifIFD indirection") {
     for (big <- Seq(false, true)) {
       val r = Exif.parseExif(1L, jpegWith(6, "2024:03:05 12:30:00", big))
       assert(r.ok == 1 && r.byte_order == (if (big) "MM" else "II"))
       assert(r.orientation == 6 && r.datetime == "2024:03:05 12:30:00")
-      assert(r.n_entries == 2)
+      // DateTimeOriginal rides the 0x8769 pointer, not IFD0
+      assert(r.datetime_original == "2023:01:01 00:30:00")
+      assert(r.n_entries == 3)
     }
+    val custom = Exif.withApp1(
+      Jpeg.dcOnlyBytes(16, 16, 1, (_, _, _) => 7),
+      Exif.app1Bytes(1, "2024:01:02 03:00:00", big = true,
+        dtOriginal = "2019:12:31 23:59:58"))
+    assert(Exif.parseExif(2L, custom).datetime_original ==
+      "2019:12:31 23:59:58")
   }
 
-  test("refusal families: not_jpeg, no_exif, bad_tiff, truncated") {
+  test("refusal families: not_jpeg, no_exif, bad_tiff, truncated, bad sub-IFD") {
     assert(Exif.parseExif(1L, "nope".getBytes).err == "not_jpeg")
     assert(Exif.parseExif(1L,
       Jpeg.dcOnlyBytes(16, 16, 1, (_, _, _) => 7)).err == "no_exif")
@@ -27,6 +35,10 @@ class ExifSpec extends SparkSpec {
       .err == "bad_tiff")
     assert(Exif.parseExif(1L, Exif.withApp1(base,
       Exif.app1Bytes(1, "x", big = false, truncateIfd = true)))
+      .err == "truncated")
+    // an ExifIFD pointer past the segment refuses, never reads wild
+    assert(Exif.parseExif(1L, Exif.withApp1(base,
+      Exif.app1Bytes(1, "x", big = false, badSubIfd = true)))
       .err == "truncated")
   }
 

@@ -102,28 +102,71 @@ class Mp3Spec extends SparkSpec {
 
   test("ID3v2: both versions' size conventions, year frame per version, NUL strip") {
     // v2.3 plain-BE frame sizes, TYER year
-    val v3 = Mp3.id3Bytes(3, "Tést", "A", "B", "1999", utf8 = false)
+    val v3 = Mp3.id3Bytes(3, "Tést", "A", "B", "1999", enc = Mp3.EncLatin1)
     val r3 = Mp3.parseId3(1L, v3)
     assert(r3.ok == 1 && r3.version == 3 && r3.title == "Tést" &&
       r3.year == "1999" && r3.n_frames == 4)
     // v2.4 SYNCSAFE frame sizes, TDRC year, utf-8 text
-    val v4 = Mp3.id3Bytes(4, "Títle", "Ärtist", "Albüm", "2020", utf8 = true)
+    val v4 = Mp3.id3Bytes(4, "Títle", "Ärtist", "Albüm", "2020",
+      enc = Mp3.EncUtf8)
     val r4 = Mp3.parseId3(2L, v4)
     assert(r4.ok == 1 && r4.version == 4 && r4.title == "Títle" &&
       r4.artist == "Ärtist" && r4.year == "2020")
     // a v2.3-sized frame read under v2.4 rules would explode on any
     // frame >= 128 bytes — pin the syncsafe path with one such frame
-    val big = Mp3.id3Bytes(4, "x" * 200, "a", "b", "2021", utf8 = false)
+    val big = Mp3.id3Bytes(4, "x" * 200, "a", "b", "2021",
+      enc = Mp3.EncLatin1)
     assert(Mp3.parseId3(3L, big).title == "x" * 200)
     // truncation: the last frame declares more than the tag carries
-    val t = Mp3.id3Bytes(3, "t", "a", "b", "1990", utf8 = false,
+    val t = Mp3.id3Bytes(3, "t", "a", "b", "1990", enc = Mp3.EncLatin1,
       oversizeLastFrame = 30)
     assert(Mp3.parseId3(4L, t).err == "truncated")
-    // UTF-16 encodings are counted, not decoded (scope note)
-    val u16 = v3.clone()
-    // first frame's encoding byte: header(10) + frame header(10)
-    u16(20) = 1
-    val ru = Mp3.parseId3(5L, u16)
-    assert(ru.ok == 1 && ru.title == "" && ru.n_frames == 4)
+  }
+
+  test("ID3v2 UTF-16: both BOMs, v2.4 BE-without-BOM, BOM-less refusal") {
+    // non-latin text proves real UTF-16 decode, not byte passthrough
+    val title = "Tiтle 中"
+    val le = Mp3.parseId3(1L, Mp3.id3Bytes(3, title, "A", "B", "1999",
+      enc = Mp3.EncUtf16LeBom))
+    assert(le.ok == 1 && le.title == title && le.artist == "A")
+    val be = Mp3.parseId3(2L, Mp3.id3Bytes(3, title, "A", "B", "1999",
+      enc = Mp3.EncUtf16BeBom))
+    assert(be.ok == 1 && be.title == title && be.year == "1999")
+    // v2.4 encoding byte 2: UTF-16BE with NO BOM
+    val be24 = Mp3.parseId3(3L, Mp3.id3Bytes(4, title, "A", "B", "2001",
+      enc = Mp3.EncUtf16Be))
+    assert(be24.ok == 1 && be24.title == title && be24.year == "2001")
+    // encoding byte 1 without a BOM: loud refusal, never mojibake
+    val nb = Mp3.parseId3(4L, Mp3.id3Bytes(3, title, "A", "B", "1999",
+      enc = Mp3.EncUtf16NoBom))
+    assert(nb.ok == 0 && nb.err == "bad_encoding")
+    // encoding byte 3 under v2.3 (not in its set): refusal too
+    val v3utf8 = Mp3.id3Bytes(3, "t", "a", "b", "1990", enc = Mp3.EncUtf8)
+    assert(Mp3.parseId3(5L, v3utf8).err == "bad_encoding")
+  }
+
+  test("ID3v2.2: 3-char frames, 3-byte BE sizes, TYE year") {
+    val v2 = Mp3.id3Bytes(2, "Old Title", "Old Artist", "Old Album", "1988",
+      enc = Mp3.EncLatin1)
+    val r = Mp3.parseId3(1L, v2)
+    assert(r.ok == 1 && r.version == 2 && r.title == "Old Title" &&
+      r.artist == "Old Artist" && r.album == "Old Album" &&
+      r.year == "1988" && r.n_frames == 4)
+  }
+
+  test("ID3v2 header flags: ext header skipped per version, unsync refused") {
+    for (ver <- Seq(3, 4)) {
+      val e = Mp3.id3Bytes(ver, "T", "A", "B", "1999", enc = Mp3.EncLatin1,
+        extHeader = true)
+      val r = Mp3.parseId3(ver.toLong, e)
+      assert(r.ok == 1 && r.title == "T" && r.n_frames == 4,
+        s"v2.$ver ext header")
+    }
+    val unsync = Mp3.id3Bytes(3, "T", "A", "B", "1999", enc = Mp3.EncLatin1,
+      flags = 0x80)
+    assert(Mp3.parseId3(9L, unsync).err == "unsupported_flags")
+    val footer = Mp3.id3Bytes(4, "T", "A", "B", "1999", enc = Mp3.EncLatin1,
+      flags = 0x10)
+    assert(Mp3.parseId3(10L, footer).err == "unsupported_flags")
   }
 }
