@@ -1582,10 +1582,12 @@ object Multimodal {
         else if ((payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8)
           Jpeg.decodeJpegPixels(payload).map { case (w, h, _, px) => (w, h, px) }
         else if (payload(0) == 'R' && payload(1) == 'I')
-          // lossless WebP — the third real-pixel codec ([[Vp8l]]);
-          // lossy VP8 stays header-only (no VP8 coefficient decoder)
+          // WebP: lossless ([[Vp8l]]) or lossy keyframe ([[Vp8]]) —
+          // the third and fourth real-pixel codecs
           Webp.vp8lChunk(payload).flatMap { case (o, l) =>
-            Vp8l.decodeRgb(payload, o, l) }
+              Vp8l.decodeRgb(payload, o, l) }
+            .orElse(Webp.vp8Chunk(payload).flatMap { case (o, l) =>
+              Vp8.decodeRgb(payload, o, l) })
         else None
       grayPHash(id, dec)
     }

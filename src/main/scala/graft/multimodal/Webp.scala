@@ -176,6 +176,46 @@ object Webp {
     }.toDF("media_id", "payload")
   }
 
+  /** Locate the VP8 (lossy) chunk's (offset, length) — [[vp8lChunk]]'s
+    * sibling for the keyframe pixel decoder. */
+  def vp8Chunk(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b == null || b.length < 12 || cc(b, 0) != "RIFF" ||
+        cc(b, 8) != "WEBP") return None
+    val riffEnd = 8L + le32(b, 4)
+    if (riffEnd > b.length) return None
+    val end = riffEnd.toInt
+    var p = 12
+    while (p + 8 <= end) {
+      val four = cc(b, p)
+      val size = le32(b, p + 4)
+      if (p + 8 + size > end) return None
+      if (four == "VP8 ") return Some((p + 8, size.toInt))
+      p += 8 + size.toInt + (size.toInt & 1)
+    }
+    None
+  }
+
+  /** Deterministic lossy-WebP corpus: 64x64 grays from
+    * [[Vp8.q174Gray]] (one closed-form pixel function for EVERY
+    * document), VP8-keyframe-encoded with the coding path fanned
+    * over id%4 ([[Vp8.VariantBpred]] B_PRED/B_DC, [[Vp8.Variant16x16]]
+    * 16x16 DC with the Y2 WHT, [[Vp8.VariantMixed]] cross-mode rows,
+    * [[Vp8.VariantParts]] two token partitions + skip flags). The
+    * encode is exact-by-construction (the encoder REQUIREs recon ==
+    * target as it builds), so the q174 gate replays the pixel
+    * formula's pHash closed-form — the whole lossy coefficient/
+    * prediction/WHT layer proven invisible to content semantics, the
+    * q168 discipline on the fourth image codec. */
+  def vp8PhashCorpusFromDocuments(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].map { id =>
+      val px = Array.tabulate(64 * 64)(i => Vp8.q174Gray(id, i % 64, i / 64))
+      val variant = java.lang.Math.floorMod(id, 4L).toInt
+      (id, webpBytes(Seq(("VP8 ", Vp8.encode(64, 64, px, variant)))))
+    }.toDF("media_id", "payload")
+  }
+
   // ---- animated WebP (ANIM/ANMF) -------------------------------------
 
   /** One decoded animation frame's fingerprint row ([[Multimodal]]'s

@@ -2040,6 +2040,26 @@ object Queries {
       totalBits = 64, maxDist = 5, bands = 8)
   }
 
+  /** Lossy-WebP REAL pixel decode through the gate — the q168
+    * discipline on the FOURTH image codec: a VP8-keyframe-encoded
+    * corpus carrying ONE closed-form pixel function
+    * ([[graft.multimodal.Vp8.q174Gray]]) with the coding path fanned
+    * over id%4 (B_PRED / 16x16+WHT / mixed-mode rows / two token
+    * partitions + skip flags). The fixture encoder is
+    * exact-by-construction (qindex 0, additions-only DCT basis,
+    * recon REQUIREd equal to target at build time), so the oracle
+    * replays the pixel formula's pHash closed-form — the whole lossy
+    * bool-coder/token/prediction/WHT layer proven invisible to
+    * content semantics. */
+  def q174Vp8Phash(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Webp.vp8PhashCorpusFromDocuments(
+      tbl(spark, dir, "documents"))
+    val hashes = graft.multimodal.Multimodal.decodeImagePHash(media).toDF()
+      .where(col("ok") === 1)
+    graft.dedup.Dedup.hammingNearDupPairs(hashes, "media_id", "phash",
+      totalBits = 64, maxDist = 5, bands = 8)
+  }
+
   /** Cross-CONTAINER clip near-dup through the gate — the q133
     * cross-codec discipline applied to video: the same clips arrive
     * once as MP4 (MJPEG samples, q140) and once as animated WebP
@@ -5866,6 +5886,7 @@ object Queries {
     "q166_ogg_headers" -> (q166OggHeaders _),
     "q167_zip_members" -> (q167ZipMembers _),
     "q168_webp_phash" -> (q168WebpPhash _),
+    "q174_vp8_phash" -> (q174Vp8Phash _),
     "q169_anim_webp_frames" -> (q169AnimWebpFrames _),
     "q170_cross_clip_dups" -> (q170CrossClipDups _),
     "q171_exif_headers" -> (q171ExifHeaders _),
@@ -6637,6 +6658,49 @@ object Queries {
         |SELECT doc_id, 0::INTEGER, 0::INTEGER, 0::INTEGER, 0::BIGINT,
         |  'not_animated'
         |FROM documents WHERE doc_id % 3 = 0 AND doc_id % 11 = 5""".stripMargin,
+    // the q174 pixel formula's pHash replay closed-form: per-tile
+    // sums (the X-basis noise term sums to ZERO over every 4x4 tile)
+    // -> 8x8 block sums -> the frozen fixed-point DCT -> median bits
+    // -> brute pairs (banded recall is exact at hd<=5 with 8 bands)
+    "q174_vp8_phash" ->
+      """WITH seeds AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 9 = 0 THEN 10 + doc_id % 7
+        |                      ELSE doc_id % 10 END AS seed
+        |  FROM documents),
+        |tile AS (
+        |  SELECT doc_id, seed, bx.bx AS bx, by.by AS by,
+        |    16 * (7 + ((seed * 73 + bx.bx * 37 + by.by * 91) % 17) * 14) AS ts
+        |  FROM seeds, range(0, 16) AS bx(bx), range(0, 16) AS by(by)),
+        |blk AS (
+        |  SELECT doc_id, by // 2 AS bi, bx // 2 AS bj, sum(ts) AS s
+        |  FROM tile GROUP BY doc_id, by // 2, bx // 2),
+        |tt AS (SELECT [[1024,1024,1024,1024,1024,1024,1024,1024],
+        |  [1004,851,569,200,-200,-569,-851,-1004],
+        |  [946,392,-392,-946,-946,-392,392,946],
+        |  [851,-200,-1004,-569,569,1004,200,-851],
+        |  [724,-724,-724,724,724,-724,-724,724],
+        |  [569,-1004,200,851,-851,-200,1004,-569],
+        |  [392,-946,946,-392,-392,946,-946,392],
+        |  [200,-569,851,-1004,1004,-851,569,-200]] AS t),
+        |dct AS (
+        |  SELECT b.doc_id, u.u AS u, v.v AS v,
+        |    sum(b.s * t[u.u + 1][b.bi + 1] * t[v.v + 1][b.bj + 1]) AS fc
+        |  FROM blk b, range(0, 8) AS u(u), range(0, 8) AS v(v), tt
+        |  GROUP BY b.doc_id, u.u, v.v),
+        |med AS (
+        |  SELECT doc_id, list_sort(list(fc))[32] AS m
+        |  FROM dct WHERE NOT (u = 0 AND v = 0) GROUP BY doc_id),
+        |ph AS (
+        |  SELECT d.doc_id,
+        |    sum(CASE WHEN d.fc > med.m THEN 1::BIGINT << (d.u * 8 + d.v - 1)
+        |             ELSE 0::BIGINT END)::BIGINT AS h
+        |  FROM dct d JOIN med ON d.doc_id = med.doc_id
+        |  WHERE NOT (d.u = 0 AND d.v = 0)
+        |  GROUP BY d.doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  bit_count(xor(a.h, b.h))::BIGINT AS hamming_dist
+        |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 5""".stripMargin,
     // q133's oracle VERBATIM: the corpus carries q133's exact pixels,
     // VP8L-encoded — a lossless codec layer cannot move the hash set
     "q168_webp_phash" ->

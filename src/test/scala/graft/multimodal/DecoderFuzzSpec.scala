@@ -149,6 +149,15 @@ class DecoderFuzzSpec extends SparkSpec {
     }
   }
 
+  test("VP8 keyframe decoder survives 300 deterministic corruptions per variant") {
+    val px = Array.tabulate(64 * 64)(i => Vp8.q174Gray(7L, i % 64, i / 64))
+    for (v <- Seq(Vp8.VariantBpred, Vp8.Variant16x16, Vp8.VariantMixed,
+        Vp8.VariantParts)) {
+      val base = Vp8.encode(64, 64, px, v)
+      fuzz(s"vp8-$v", base, b => Vp8.decodeKeyframe(b, 0, b.length))
+    }
+  }
+
   test("VP8L pixel decoder survives 300 deterministic corruptions per variant") {
     val img = Array.tabulate(32 * 32) { i =>
       val x = i % 32; val y = i / 32
