@@ -10,26 +10,26 @@ package graft.multimodal
   * code-length-coded canonical prefix codes (DEFLATE-convention —
   * code bits read most-significant-first — including the 16/17/18
   * repeat symbols, the max_symbol read budget, and the 0-bit
-  * single-symbol convention); the five-code prefix group; LZ77
-  * literals, backward references (length/distance prefix + extra
-  * bits) and the color cache (hash 0x1e35a7bd, insert-on-every-pixel);
-  * the SUBTRACT_GREEN transform; the PREDICTOR transform with all 14
-  * modes and the border rules, including its entropy-coded mode
-  * sub-image.
+  * single-symbol convention); meta prefix codes (the entropy image:
+  * per-block prefix-code groups selected by the (red<<8|green) index
+  * of a sub-sampled sub-image); LZ77 literals, backward references
+  * (length/distance prefix + extra bits) with BOTH the linear
+  * (dist_value > 120) and 2D neighborhood (the 120-entry offset
+  * table) distance codes, and the color cache (hash 0x1e35a7bd,
+  * insert-on-every-pixel); and all FOUR transforms — PREDICTOR (all
+  * 14 modes + border rules), COLOR (the cross-color int8 multiplier
+  * inverse), SUBTRACT_GREEN, and COLOR_INDEXING (delta-coded palette
+  * incl. the <=16-color pixel-bundling widths), each with its
+  * entropy-coded sub-image and the xsize reduction COLOR_INDEXING
+  * imposes on everything read after it.
   *
-  * SCOPE boundary (the Zstd-dictionary-frames discipline — loud
-  * refusal, never garbage): meta prefix codes (the entropy image),
-  * the COLOR and COLOR_INDEXING transforms, and 2D distance codes
-  * (dist_value <= 120 — the 120-entry neighborhood table; graft's
-  * encoder emits linear codes only) return None. Real-world encoders
-  * use meta prefix codes on anything non-trivial, so those payloads
-  * refuse at that first gate; the fixture encoder below emits
-  * spec-shaped streams that exercise every implemented path, and the
-  * q168 gate pins the decoded pixels against the q133 closed-form
-  * oracle — the compression layer proven invisible. No external WebP
-  * implementation exists in this environment to golden-test against
-  * (unlike zstd); the bit conventions are therefore additionally
-  * pinned by hand-constructed vectors in Vp8lSpec.
+  * No external WebP implementation exists in this environment to
+  * golden-test against (unlike zstd); the bit conventions are
+  * therefore pinned by hand-constructed vectors in Vp8lSpec (canonical
+  * code packing, the distance-table invariants) on top of the q168
+  * gate, which replays the q133 closed-form pHash oracle over
+  * nine encoder variants fanning every decode path — the compression
+  * layer proven invisible to content semantics.
   *
   * Reference behavior documented from the reference repo's opaque
   * media round-trips (s3_loader.py:33-62) — the reference never
@@ -212,6 +212,41 @@ object Vp8l {
   private def greenAlphabet(cacheBits: Int): Int =
     280 + (if (cacheBits > 0) 1 << cacheBits else 0)
 
+  private def subSample(size: Int, bits: Int): Int =
+    (size + (1 << bits) - 1) >> bits
+
+  /** The 2D distance-code neighborhood (RFC 9649 §4.2.2): dist codes
+    * 1..120 name (dx, dy) offsets ordered by increasing Euclidean
+    * distance; dist = dy*xsize + dx, clamped up to 1. Flattened
+    * (dx, dy) pairs; Vp8lSpec pins the table invariants (120 distinct
+    * entries, monotone squared distance, the y==0 => dx>=1 rule) and
+    * the code-1=above / code-2=left hand vectors. */
+  private[multimodal] val Dist2dOffsets: Array[Int] = Array(
+    0, 1, 1, 0, 1, 1, -1, 1, 0, 2, 2, 0, 1, 2, -1, 2,
+    2, 1, -2, 1, 2, 2, -2, 2, 0, 3, 3, 0, 1, 3, -1, 3,
+    3, 1, -3, 1, 2, 3, -2, 3, 3, 2, -3, 2, 0, 4, 4, 0,
+    1, 4, -1, 4, 4, 1, -4, 1, 3, 3, -3, 3, 2, 4, -2, 4,
+    4, 2, -4, 2, 0, 5, 3, 4, -3, 4, 4, 3, -4, 3, 5, 0,
+    1, 5, -1, 5, 5, 1, -5, 1, 2, 5, -2, 5, 5, 2, -5, 2,
+    4, 4, -4, 4, 3, 5, -3, 5, 5, 3, -5, 3, 0, 6, 6, 0,
+    1, 6, -1, 6, 6, 1, -6, 1, 2, 6, -2, 6, 6, 2, -6, 2,
+    4, 5, -4, 5, 5, 4, -5, 4, 3, 6, -3, 6, 6, 3, -6, 3,
+    0, 7, 7, 0, 1, 7, -1, 7, 5, 5, -5, 5, 7, 1, -7, 1,
+    4, 6, -4, 6, 6, 4, -6, 4, 2, 7, -2, 7, 7, 2, -7, 2,
+    3, 7, -3, 7, 7, 3, -7, 3, 5, 6, -5, 6, 6, 5, -6, 5,
+    8, 0, 4, 7, -4, 7, 7, 4, -7, 4, 8, 1, 8, 2, 6, 6,
+    -6, 6, 8, 3, 5, 7, -5, 7, 7, 5, -7, 5, 8, 4, 6, 7,
+    -6, 7, 7, 6, -7, 6, 8, 5, 7, 7, -7, 7, 8, 6, 8, 7)
+
+  /** dist_value -> pixel distance at width w (2D table below 121,
+    * linear above). */
+  private def planeCodeToDistance(dv: Int, w: Int): Int =
+    if (dv > 120) dv - 120
+    else {
+      val dd = Dist2dOffsets(2 * (dv - 1)) + Dist2dOffsets(2 * dv - 1) * w
+      if (dd < 1) 1 else dd
+    }
+
   private def lz77Value(br: BitReader, p: Int): Int =
     if (p < 4) p + 1
     else {
@@ -222,9 +257,21 @@ object Vp8l {
   private def cacheHash(argb: Int, bits: Int): Int =
     ((0x1e35a7bd * argb) >>> (32 - bits))
 
+  /** One prefix-code group: the five codes one entropy class carries. */
+  private final class Group(br: BitReader, cacheBits: Int) {
+    val green: PCode = readPrefixCode(br, greenAlphabet(cacheBits))
+    val red: PCode = readPrefixCode(br, 256)
+    val blue: PCode = readPrefixCode(br, 256)
+    val alpha: PCode = readPrefixCode(br, 256)
+    val dist: PCode = readPrefixCode(br, 40)
+  }
+
   /** One entropy-coded image (the main ARGB plane or a transform's
     * sub-image). `allowMeta` is true only at level 0 — sub-images do
-    * not carry the meta-prefix bit at all. */
+    * not carry the meta-prefix bit at all. With meta prefix codes the
+    * (red<<8|green) index of the sub-sampled entropy image selects the
+    * prefix-code group per token; the color cache is shared across
+    * groups (it belongs to the spatially-coded image). */
   private def decodeImageData(br: BitReader, w: Int, h: Int,
       allowMeta: Boolean): Array[Int] = {
     val cacheBits = if (br.readBit() == 1) {
@@ -232,13 +279,27 @@ object Vp8l {
       if (cb < 1 || cb > 11) corrupt()
       cb
     } else 0
-    if (allowMeta && br.readBit() == 1)
-      corrupt() // SCOPE: meta prefix codes (see object note)
-    val green = readPrefixCode(br, greenAlphabet(cacheBits))
-    val red = readPrefixCode(br, 256)
-    val blue = readPrefixCode(br, 256)
-    val alpha = readPrefixCode(br, 256)
-    val dist = readPrefixCode(br, 40)
+    var metaImg: Array[Int] = null
+    var metaBits = 0
+    var metaW = 0
+    var numGroups = 1
+    if (allowMeta && br.readBit() == 1) {
+      metaBits = br.readBits(3) + 2
+      metaW = subSample(w, metaBits)
+      metaImg = decodeImageData(br, metaW, subSample(h, metaBits),
+        allowMeta = false)
+      var k = 0
+      var maxIdx = 0
+      while (k < metaImg.length) {
+        val v = (metaImg(k) >>> 8) & 0xffff
+        if (v > maxIdx) maxIdx = v
+        k += 1
+      }
+      numGroups = maxIdx + 1
+      // bomb guard: groups are alphabet-sized table allocations
+      if (numGroups.toLong * greenAlphabet(cacheBits) > (1L << 22)) corrupt()
+    }
+    val groups = Array.fill(numGroups)(new Group(br, cacheBits))
     val total = w * h
     val out = new Array[Int](total)
     val cache = if (cacheBits > 0) new Array[Int](1 << cacheBits) else null
@@ -246,20 +307,22 @@ object Vp8l {
       if (cache != null) cache(cacheHash(px, cacheBits)) = px
     var i = 0
     while (i < total) {
-      val g = green.decode(br)
+      val grp =
+        if (metaImg == null) groups(0)
+        else groups((metaImg(((i / w) >> metaBits) * metaW +
+          ((i % w) >> metaBits)) >>> 8) & 0xffff)
+      val g = grp.green.decode(br)
       if (g < 256) {
-        val r = red.decode(br)
-        val b = blue.decode(br)
-        val a = alpha.decode(br)
+        val r = grp.red.decode(br)
+        val b = grp.blue.decode(br)
+        val a = grp.alpha.decode(br)
         val px = (a << 24) | (r << 16) | (g << 8) | b
         out(i) = px; insert(px); i += 1
       } else if (g < 280) {
         val len = lz77Value(br, g - 256)
-        val dv = lz77Value(br, dist.decode(br))
-        // SCOPE: dist_value <= 120 selects the 2D neighborhood table
-        if (dv <= 120) corrupt()
-        val d = dv - 120
-        if (d < 1 || d > i || i + len > total) corrupt()
+        val dv = lz77Value(br, grp.dist.decode(br))
+        val d = planeCodeToDistance(dv, w)
+        if (d > i || i + len > total) corrupt()
         var k = 0
         while (k < len) { out(i) = out(i - d); insert(out(i)); i += 1; k += 1 }
       } else {
@@ -383,6 +446,67 @@ object Vp8l {
     }
   }
 
+  /** Cross-color multiplier: both the element byte and the channel
+    * value act as SIGNED int8; the product's arithmetic >>5 is the
+    * delta (RFC 9649 §3.3). */
+  private def cdelta(t: Int, c: Int): Int = (t.toByte * c.toByte) >> 5
+
+  /** Inverse COLOR transform: per-block elements pack green_to_red in
+    * the blue channel, green_to_blue in green, red_to_blue in red; red
+    * is recovered first and its RECOVERED value (masked, int8-cast)
+    * feeds the blue correction — the order the forward encode must
+    * mirror for exact inversion. */
+  private def applyInverseColor(px: Array[Int], w: Int, h: Int,
+      sizeBits: Int, elems: Array[Int], blockW: Int): Unit = {
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = y * w + x
+        val e = elems(((y >> sizeBits) * blockW) + (x >> sizeBits))
+        val p = px(i)
+        val green = (p >>> 8) & 0xff
+        val red = (((p >>> 16) & 0xff) + cdelta(e & 0xff, green)) & 0xff
+        val blue = ((p & 0xff) + cdelta((e >>> 8) & 0xff, green) +
+          cdelta((e >>> 16) & 0xff, red)) & 0xff
+        px(i) = (p & 0xff00ff00) | (red << 16) | blue
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Palette bits-per-index bundling width: <=2 colors pack 8 indices
+    * per green byte (widthBits 3), <=4 pack 4, <=16 pack 2, else one
+    * full byte per pixel (widthBits 0). */
+  private def paletteWidthBits(size: Int): Int =
+    if (size <= 2) 3 else if (size <= 4) 2 else if (size <= 16) 1 else 0
+
+  /** Inverse COLOR_INDEXING: unbundle the green-channel index stream
+    * (decoded at the reduced width) and look up the delta-decoded
+    * palette. An index beyond the declared table is corrupt — loud
+    * refusal, never a default pixel. */
+  private def applyInverseColorIndex(buf: Array[Int], fullW: Int, h: Int,
+      widthBits: Int, palette: Array[Int]): Array[Int] = {
+    val reducedW = subSample(fullW, widthBits)
+    val bpp = 8 >> widthBits
+    val mask = (1 << widthBits) - 1
+    val out = new Array[Int](fullW * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < fullW) {
+        val packed = (buf(y * reducedW + (x >> widthBits)) >>> 8) & 0xff
+        val idx = (packed >>> (bpp * (x & mask))) & ((1 << bpp) - 1)
+        if (idx >= palette.length) corrupt()
+        out(y * fullW + x) = palette(idx)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   private def applyInverseSubtractGreen(px: Array[Int]): Unit = {
     var i = 0
     while (i < px.length) {
@@ -409,32 +533,51 @@ object Vp8l {
       br.readBit() // alpha-used hint (informational)
       if (br.readBits(3) != 0) return None // version
       if (w.toLong * h > maxPixels) return None // bomb guard before alloc
-      // transforms, in read order; inverses apply in reverse
-      var transforms = List.empty[(Int, Int, Array[Int], Int)] // (type, sizeBits, modes, blockW)
+      // transforms, in read order; inverses apply in reverse. Each
+      // records the xsize current when it was read: COLOR_INDEXING
+      // reduces the width for everything read after it (bundling), so
+      // later transforms' sub-images AND the main image decode at the
+      // reduced width, and their inverses (which run BEFORE the
+      // palette inverse) operate there too.
+      // (type, bits, data, blockW, wAtRead)
+      var transforms = List.empty[(Int, Int, Array[Int], Int, Int)]
       var seen = 0
+      var curW = w
       while (br.readBit() == 1) {
         val t = br.readBits(2)
         if ((seen & (1 << t)) != 0) corrupt() // each transform at most once
         seen |= 1 << t
         t match {
-          case 2 => transforms ::= ((2, 0, null, 0)) // SUBTRACT_GREEN
-          case 0 => // PREDICTOR
+          case 2 => transforms ::= ((2, 0, null, 0, curW)) // SUBTRACT_GREEN
+          case 0 | 1 => // PREDICTOR / COLOR: per-block sub-image
             val sizeBits = br.readBits(3) + 2
-            val bw = (w + (1 << sizeBits) - 1) >> sizeBits
-            val bh = (h + (1 << sizeBits) - 1) >> sizeBits
-            val modes = decodeImageData(br, bw, bh, allowMeta = false)
-            transforms ::= ((0, sizeBits, modes, bw))
-          case _ => corrupt() // SCOPE: COLOR / COLOR_INDEXING transforms
+            val bw = subSample(curW, sizeBits)
+            val bh = subSample(h, sizeBits)
+            val data = decodeImageData(br, bw, bh, allowMeta = false)
+            transforms ::= ((t, sizeBits, data, bw, curW))
+          case _ => // COLOR_INDEXING: delta-coded palette
+            val size = br.readBits(8) + 1
+            val pal = decodeImageData(br, size, 1, allowMeta = false)
+            var k = 1
+            while (k < size) { pal(k) = addPixels(pal(k), pal(k - 1)); k += 1 }
+            val widthBits = paletteWidthBits(size)
+            transforms ::= ((3, widthBits, pal, 0, curW))
+            curW = subSample(curW, widthBits)
         }
       }
-      val px = decodeImageData(br, w, h, allowMeta = true)
+      var px = decodeImageData(br, curW, h, allowMeta = true)
       // transforms list is already reversed (::= prepends)
       transforms.foreach {
-        case (2, _, _, _) => applyInverseSubtractGreen(px)
-        case (0, sizeBits, modes, bw) =>
-          applyInversePredictor(px, w, h, sizeBits, modes, bw)
+        case (2, _, _, _, _) => applyInverseSubtractGreen(px)
+        case (0, sizeBits, modes, bw, wAt) =>
+          applyInversePredictor(px, wAt, h, sizeBits, modes, bw)
+        case (1, sizeBits, elems, bw, wAt) =>
+          applyInverseColor(px, wAt, h, sizeBits, elems, bw)
+        case (3, widthBits, pal, _, wAt) =>
+          px = applyInverseColorIndex(px, wAt, h, widthBits, pal)
         case _ => corrupt()
       }
+      if (px.length != w * h) corrupt()
       Some((w, h, px))
     } catch {
       case _: Corrupt | _: ArrayIndexOutOfBoundsException |
@@ -463,6 +606,10 @@ object Vp8l {
   val VariantPredictor = 2 // all-mode-2 predictor (1-symbol sub-image trees)
   val VariantLz77 = 3 // greedy vertical/horizontal matches, linear distances
   val VariantCache = 4 // 4-bit color cache, hit symbols when current
+  val VariantMeta = 5 // meta prefix codes: 2 entropy groups on an 8px grid
+  val VariantColor = 6 // cross-color transform, per-block int8 multipliers
+  val VariantPalette = 7 // COLOR_INDEXING (bundles automatically <=16 colors)
+  val VariantDist2d = 8 // LZ77 through the 2D neighborhood distance table
 
   private def balancedLengths(used: Seq[Int], alphabet: Int): Array[Int] = {
     val lens = new Array[Int](alphabet)
@@ -539,8 +686,10 @@ object Vp8l {
     bw.writeBits(h - 1, 14)
     bw.writeBits(0, 1) // alpha hint
     bw.writeBits(0, 3) // version
-    // transform headers + the plane the literals describe
-    val plane = argb.clone()
+    // transform headers + the plane the literals describe; palette
+    // bundling reduces the coded width
+    var plane = argb.clone()
+    var pw = w
     variant match {
       case VariantSubGreen =>
         bw.writeBits(1, 1); bw.writeBits(2, 2) // SUBTRACT_GREEN
@@ -584,6 +733,59 @@ object Vp8l {
           }
           y += 1
         }
+      case VariantColor =>
+        bw.writeBits(1, 1); bw.writeBits(1, 2) // COLOR
+        val sizeBits = 4
+        bw.writeBits(sizeBits - 2, 3)
+        val bwid = subSample(w, sizeBits)
+        val bhgt = subSample(h, sizeBits)
+        // deterministic per-block multipliers; lossless for ANY input
+        // because the inverse recovers red before blue uses it
+        val elems = Array.tabulate(bwid * bhgt) { k =>
+          0xff000000 | (((k * 29 + 17) & 0xff) << 16) |
+            (((k * 13 + 5) & 0xff) << 8) | ((k * 37 + 11) & 0xff)
+        }
+        encodeImageData(bw, bwid, bhgt, elems, VariantPlain, level0 = false)
+        bw.writeBits(0, 1) // end of transforms
+        var i = 0
+        while (i < plane.length) {
+          val x = i % w
+          val y = i / w
+          val e = elems(((y >> sizeBits) * bwid) + (x >> sizeBits))
+          val p = plane(i)
+          val green = (p >>> 8) & 0xff
+          val red0 = (p >>> 16) & 0xff
+          val red = (red0 - cdelta(e & 0xff, green)) & 0xff
+          val blue = ((p & 0xff) - cdelta((e >>> 8) & 0xff, green) -
+            cdelta((e >>> 16) & 0xff, red0)) & 0xff
+          plane(i) = (p & 0xff00ff00) | (red << 16) | blue
+          i += 1
+        }
+      case VariantPalette =>
+        val colors = argb.distinct.sorted
+        require(colors.length <= 256, "palette variant needs <= 256 colors")
+        val size = colors.length
+        bw.writeBits(1, 1); bw.writeBits(3, 2) // COLOR_INDEXING
+        bw.writeBits(size - 1, 8)
+        val deltas = Array.tabulate(size)(k =>
+          if (k == 0) colors(0) else subPixels(colors(k), colors(k - 1)))
+        encodeImageData(bw, size, 1, deltas, VariantPlain, level0 = false)
+        bw.writeBits(0, 1) // end of transforms
+        val widthBits = paletteWidthBits(size)
+        val bpp = 8 >> widthBits
+        val mask = (1 << widthBits) - 1
+        val idxOf = colors.zipWithIndex.toMap
+        pw = subSample(w, widthBits)
+        val packed = Array.fill(pw * h)(0xff000000)
+        var i = 0
+        while (i < argb.length) {
+          val x = i % w
+          val y = i / w
+          val j = y * pw + (x >> widthBits)
+          packed(j) |= idxOf(argb(i)) << (8 + bpp * (x & mask))
+          i += 1
+        }
+        plane = packed
       case _ =>
         bw.writeBits(0, 1) // no transforms
     }
@@ -591,32 +793,65 @@ object Vp8l {
     // a terminating 0 bit — the predictor's sub-image is part of its
     // transform DATA, so the terminator above follows it. For the
     // simple variants the single 0 bit terminates immediately.
-    encodeImageData(bw, w, h, plane, variant)
+    encodeImageData(bw, pw, h, plane, variant)
     val body = bw.toBytes
     head.write(body, 0, body.length)
     head.toByteArray
   }
 
-  /** The main spatially-coded image: cache-info, meta bit (0), the
-    * five prefix codes, then the LZ77/literal stream. */
+  /** The main spatially-coded image: cache-info, meta bit (level 0
+    * only), the prefix-code group(s), then the LZ77/literal stream.
+    * Sub-images reuse this with level0=false (no meta bit on the
+    * wire). [[VariantMeta]] splits literals into two entropy groups on
+    * an 8px block grid; [[VariantDist2d]] routes matched distances
+    * through the 2D neighborhood table when an offset entry lands on
+    * them. */
   private def encodeImageData(bw: BitWriter, w: Int, h: Int,
-      plane: Array[Int], variant: Int): Unit = {
+      plane: Array[Int], variant: Int, level0: Boolean = true): Unit = {
     val cacheBits = if (variant == VariantCache) 4 else 0
     if (cacheBits > 0) { bw.writeBits(1, 1); bw.writeBits(cacheBits, 4) }
     else bw.writeBits(0, 1)
-    bw.writeBits(0, 1) // no meta prefix codes
+    val meta = variant == VariantMeta && level0
+    val metaBits = 3 // 8x8 blocks
+    val metaW = subSample(w, metaBits)
+    if (level0) {
+      if (meta) {
+        bw.writeBits(1, 1)
+        bw.writeBits(metaBits - 2, 3)
+        val mh = subSample(h, metaBits)
+        // checkerboard of group indices in the (red<<8|green) channel
+        val entropy = Array.tabulate(metaW * mh)(k =>
+          0xff000000 | (((k % metaW + k / metaW) % 2) << 8))
+        encodeImageData(bw, metaW, mh, entropy, VariantPlain, level0 = false)
+      } else bw.writeBits(0, 1) // no meta prefix codes
+    }
+    def groupAt(i: Int): Int =
+      if (!meta) 0 else (((i % w) >> metaBits) + ((i / w) >> metaBits)) & 1
+    // a single-block image's entropy sub-image only names group 0, and
+    // the decoder sizes the group list from the entropy content
+    val numGroups = if (meta && metaW * subSample(h, metaBits) >= 2) 2 else 1
+    // distance -> smallest 2D plane code at this width (first-wins,
+    // mirroring the decoder's fixed code->distance map)
+    val planeOf: Map[Int, Int] =
+      if (variant != VariantDist2d) Map.empty
+      else (0 until 120).flatMap { k =>
+        val dd = Dist2dOffsets(2 * k) + Dist2dOffsets(2 * k + 1) * w
+        if (dd >= 1) Some(dd -> (k + 1)) else None
+      }.groupBy(_._1).map { case (dd, ks) => dd -> ks.map(_._2).min }
     val total = w * h
-    // token stream: (kind, a, b) kind 0=literal(px) 1=backref(len,dist) 2=cache(idx)
+    // token stream: (kind, a, b) kind 0=literal(px) 1=backref(len, dist_value) 2=cache(idx)
     val tokens = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    val tokenGrp = scala.collection.mutable.ArrayBuffer.empty[Int]
     val cache = if (cacheBits > 0) new Array[Int](1 << cacheBits) else null
     val cacheSeen = if (cacheBits > 0) new Array[Boolean](1 << cacheBits) else null
     var i = 0
     while (i < total) {
+      val grp = groupAt(i)
       var matched = false
-      if (variant == VariantLz77) {
+      if (variant == VariantLz77 || variant == VariantDist2d) {
         // greedy over a small candidate set (horizontal runs + 1-3 rows
         // up — the corpus family's noise pattern repeats at period 3 in
-        // y, so distance 3w catches full-row matches); linear codes only
+        // y, so distance 3w catches full-row matches)
         var bestLen = 0
         var bestD = 0
         for (d <- Seq(1, 2, 3, w, 2 * w, 3 * w) if d <= i) {
@@ -626,64 +861,77 @@ object Vp8l {
           if (len > bestLen) { bestLen = len; bestD = d }
         }
         if (bestLen >= 4) {
-          tokens += ((1, bestLen, bestD)); i += bestLen; matched = true
+          val dv = planeOf.getOrElse(bestD, bestD + 120)
+          tokens += ((1, bestLen, dv)); tokenGrp += grp
+          i += bestLen; matched = true
         }
       }
       if (!matched && cacheBits > 0) {
         val px = plane(i)
         val hsh = cacheHash(px, cacheBits)
         if (cacheSeen(hsh) && cache(hsh) == px) {
-          tokens += ((2, hsh, 0)); i += 1; matched = true
+          tokens += ((2, hsh, 0)); tokenGrp += grp; i += 1; matched = true
         } else {
           cache(hsh) = px; cacheSeen(hsh) = true
         }
       }
-      if (!matched) { tokens += ((0, plane(i), 0)); i += 1 }
+      if (!matched) { tokens += ((0, plane(i), 0)); tokenGrp += grp; i += 1 }
     }
-    // histograms -> balanced codes
-    val gUsed = scala.collection.mutable.SortedSet.empty[Int]
-    val rUsed = scala.collection.mutable.SortedSet.empty[Int]
-    val bUsed = scala.collection.mutable.SortedSet.empty[Int]
-    val aUsed = scala.collection.mutable.SortedSet.empty[Int]
-    val dUsed = scala.collection.mutable.SortedSet.empty[Int]
-    tokens.foreach {
-      case (0, px, _) =>
-        gUsed += (px >>> 8) & 0xff
-        rUsed += (px >>> 16) & 0xff
-        bUsed += px & 0xff
-        aUsed += (px >>> 24) & 0xff
-      case (1, len, d) =>
-        gUsed += 256 + lz77Split(len)._1
-        dUsed += lz77Split(d + 120)._1
-      case (_, idx, _) =>
-        gUsed += 280 + idx
+    // per-group histograms -> balanced codes, groups written in order
+    final case class Used() {
+      val g = scala.collection.mutable.SortedSet.empty[Int]
+      val r = scala.collection.mutable.SortedSet.empty[Int]
+      val b = scala.collection.mutable.SortedSet.empty[Int]
+      val a = scala.collection.mutable.SortedSet.empty[Int]
+      val d = scala.collection.mutable.SortedSet.empty[Int]
     }
-    if (gUsed.isEmpty) gUsed += 0
-    if (rUsed.isEmpty) rUsed += 0
-    if (bUsed.isEmpty) bUsed += 0
-    if (aUsed.isEmpty) aUsed += 0
-    if (dUsed.isEmpty) dUsed += 0
+    val used = Array.fill(numGroups)(Used())
+    tokens.indices.foreach { k =>
+      val u = used(tokenGrp(k))
+      tokens(k) match {
+        case (0, px, _) =>
+          u.g += (px >>> 8) & 0xff
+          u.r += (px >>> 16) & 0xff
+          u.b += px & 0xff
+          u.a += (px >>> 24) & 0xff
+        case (1, len, dv) =>
+          u.g += 256 + lz77Split(len)._1
+          u.d += lz77Split(dv)._1
+        case (_, idx, _) =>
+          u.g += 280 + idx
+      }
+    }
     val gAlpha = greenAlphabet(cacheBits)
-    val gCode = writePrefixCode(bw, balancedLengths(gUsed.toSeq, gAlpha))
-    val rCode = writePrefixCode(bw, balancedLengths(rUsed.toSeq, 256))
-    val bCode = writePrefixCode(bw, balancedLengths(bUsed.toSeq, 256))
-    val aCode = writePrefixCode(bw, balancedLengths(aUsed.toSeq, 256))
-    val dCode = writePrefixCode(bw, balancedLengths(dUsed.toSeq, 40))
-    tokens.foreach {
-      case (0, px, _) =>
-        writeCanonical(bw, gCode, (px >>> 8) & 0xff)
-        writeCanonical(bw, rCode, (px >>> 16) & 0xff)
-        writeCanonical(bw, bCode, px & 0xff)
-        writeCanonical(bw, aCode, (px >>> 24) & 0xff)
-      case (1, len, d) =>
-        val (lp, le, lv) = lz77Split(len)
-        writeCanonical(bw, gCode, 256 + lp)
-        if (le > 0) bw.writeBits(lv, le)
-        val (dp, de, dvv) = lz77Split(d + 120)
-        writeCanonical(bw, dCode, dp)
-        if (de > 0) bw.writeBits(dvv, de)
-      case (_, idx, _) =>
-        writeCanonical(bw, gCode, 280 + idx)
+    val codes = used.map { u =>
+      if (u.g.isEmpty) u.g += 0
+      if (u.r.isEmpty) u.r += 0
+      if (u.b.isEmpty) u.b += 0
+      if (u.a.isEmpty) u.a += 0
+      if (u.d.isEmpty) u.d += 0
+      (writePrefixCode(bw, balancedLengths(u.g.toSeq, gAlpha)),
+        writePrefixCode(bw, balancedLengths(u.r.toSeq, 256)),
+        writePrefixCode(bw, balancedLengths(u.b.toSeq, 256)),
+        writePrefixCode(bw, balancedLengths(u.a.toSeq, 256)),
+        writePrefixCode(bw, balancedLengths(u.d.toSeq, 40)))
+    }
+    tokens.indices.foreach { k =>
+      val (gCode, rCode, bCode, aCode, dCode) = codes(tokenGrp(k))
+      tokens(k) match {
+        case (0, px, _) =>
+          writeCanonical(bw, gCode, (px >>> 8) & 0xff)
+          writeCanonical(bw, rCode, (px >>> 16) & 0xff)
+          writeCanonical(bw, bCode, px & 0xff)
+          writeCanonical(bw, aCode, (px >>> 24) & 0xff)
+        case (1, len, dv) =>
+          val (lp, le, lv) = lz77Split(len)
+          writeCanonical(bw, gCode, 256 + lp)
+          if (le > 0) bw.writeBits(lv, le)
+          val (dp, de, dvv) = lz77Split(dv)
+          writeCanonical(bw, dCode, dp)
+          if (de > 0) bw.writeBits(dvv, de)
+        case (_, idx, _) =>
+          writeCanonical(bw, gCode, 280 + idx)
+      }
     }
   }
 }

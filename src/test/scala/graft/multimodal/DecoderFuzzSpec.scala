@@ -165,7 +165,9 @@ class DecoderFuzzSpec extends SparkSpec {
       0xff000000 | (g << 16) | (g << 8) | g
     }
     for (v <- Seq(Vp8l.VariantPlain, Vp8l.VariantSubGreen,
-        Vp8l.VariantPredictor, Vp8l.VariantLz77, Vp8l.VariantCache)) {
+        Vp8l.VariantPredictor, Vp8l.VariantLz77, Vp8l.VariantCache,
+        Vp8l.VariantMeta, Vp8l.VariantColor, Vp8l.VariantPalette,
+        Vp8l.VariantDist2d)) {
       val base = Vp8l.encode(32, 32, img, v)
       fuzz(s"vp8l-$v", base, b => Vp8l.decodeArgb(b, 0, b.length))
     }

@@ -22,7 +22,9 @@ class Vp8lSpec extends SparkSpec {
     }
 
   private val variants = Seq(Vp8l.VariantPlain, Vp8l.VariantSubGreen,
-    Vp8l.VariantPredictor, Vp8l.VariantLz77, Vp8l.VariantCache)
+    Vp8l.VariantPredictor, Vp8l.VariantLz77, Vp8l.VariantCache,
+    Vp8l.VariantMeta, Vp8l.VariantColor, Vp8l.VariantPalette,
+    Vp8l.VariantDist2d)
 
   test("bit conventions pinned by hand vectors (RFC 1951 canonical, LSB-first packing)") {
     // lengths [2,1,3,3]: canonical codes sym1=0, sym0=10, sym2=110,
@@ -50,7 +52,8 @@ class Vp8lSpec extends SparkSpec {
       (8, 8, grayImg(8, 8, 0L)),
       (16, 1, colorImg(16, 1)), // single row: border rules everywhere
       (1, 16, colorImg(1, 16))) // single column
-    for ((w, h, img) <- imgs; v <- variants) {
+    for ((w, h, img) <- imgs; v <- variants
+        if v != Vp8l.VariantPalette || img.distinct.length <= 256) {
       val payload = Vp8l.encode(w, h, img, v)
       val out = Vp8l.decodeArgb(payload, 0, payload.length)
       assert(out.isDefined, s"decode failed (variant $v, ${w}x$h)")
@@ -59,6 +62,47 @@ class Vp8lSpec extends SparkSpec {
       assert(java.util.Arrays.equals(px, img),
         s"pixel mismatch (variant $v, ${w}x$h)")
     }
+  }
+
+  test("bundled palettes roundtrip at every width (1/2/4-bit indices, partial bundles)") {
+    // distinct-color counts straddling the bundling thresholds; odd
+    // widths force a partial final bundle per row
+    val cases = Seq(
+      (2, 21, 9), // widthBits 3: 8 indices per green byte
+      (4, 19, 7), // widthBits 2
+      (16, 13, 5), // widthBits 1
+      (17, 13, 5), // widthBits 0: just over the bundling edge
+      (1, 9, 4)) // single color, maximal bundling
+    for ((colors, w, h) <- cases) {
+      val img = Array.tabulate(w * h) { i =>
+        val c = (i * 7 + i / w) % colors
+        0xff000000 | (c * 15 << 16) | (c * 9 << 8) | (c * 5)
+      }
+      assert(img.distinct.length <= colors)
+      val payload = Vp8l.encode(w, h, img, Vp8l.VariantPalette)
+      val out = Vp8l.decodeArgb(payload, 0, payload.length)
+      assert(out.isDefined, s"palette decode failed ($colors colors)")
+      assert(java.util.Arrays.equals(out.get._3, img),
+        s"palette pixels ($colors colors, ${w}x$h)")
+    }
+  }
+
+  test("2D distance table invariants + hand vectors (RFC 9649 §4.2.2)") {
+    val t = Vp8l.Dist2dOffsets
+    assert(t.length == 240) // 120 (dx, dy) pairs
+    val pairs = (0 until 120).map(k => (t(2 * k), t(2 * k + 1)))
+    assert(pairs.distinct.size == 120, "offsets must be distinct")
+    // ordered by non-decreasing Euclidean distance
+    val d2 = pairs.map { case (dx, dy) => dx * dx + dy * dy }
+    assert(d2.zip(d2.tail).forall { case (a, b) => a <= b }, "distance order")
+    // the neighborhood is above/left-of the current pixel: dy >= 0,
+    // and a same-row offset must point left (dx >= 1)
+    assert(pairs.forall { case (dx, dy) =>
+      dy >= 0 && dy <= 7 && dx >= -7 && dx <= 8 && (dy > 0 || dx >= 1) })
+    // code 1 = pixel above, code 2 = pixel to the left
+    assert(pairs(0) == (0, 1) && pairs(1) == (1, 0))
+    // the two largest: (8,6) then (8,7)
+    assert(pairs(118) == (8, 6) && pairs(119) == (8, 7))
   }
 
   test("variants are bitstream-distinct but pixel-identical") {
