@@ -2060,28 +2060,45 @@ object Queries {
       totalBits = 64, maxDist = 5, bands = 8)
   }
 
+  /** GIF frame fingerprints through the gate — q169's audit on the
+    * ORIGINAL animation wrapper (LZW, the q140 pixel formula, the
+    * doc_id%3==1 third beside q169's %3==0): every frame's LZW
+    * pixels REALLY decode through the palette and pHash, the wire
+    * shape fanned pixel-invisibly (local color tables at id%5==2,
+    * per-frame interlace at (id+f)%2), GIF87a's GCE-less frames
+    * surface duration 0 at id%13==6, a replaced LZW stream surfaces
+    * ok=0 'bad_lzw' with its parsed duration KEPT and the walk
+    * continuing, and a broken signature refuses at the container
+    * level. */
+  def q175GifFrames(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Gif.gifCorpusFromDocuments(
+      tbl(spark, dir, "documents"))
+    graft.multimodal.Gif.decodeGifPHash(media).toDF()
+  }
+
   /** Cross-CONTAINER clip near-dup through the gate — the q133
     * cross-codec discipline applied to video: the same clips arrive
-    * once as MP4 (MJPEG samples, q140) and once as animated WebP
-    * (VP8L frames, q169), and the q141 machinery finds clip pairs
-    * ACROSS the container boundary — a re-encoded video cannot hide
-    * from dedup behind its wrapper. WebP clip ids ride at doc_id +
-    * 2^20 (a loud require guards doc_id < 2^20 so containers cannot
-    * alias, and the fid packing's require guards the width); both
+    * once as MP4 (MJPEG samples, q140), once as animated WebP
+    * (VP8L frames, q169), and once as GIF (LZW frames, q175), and the
+    * q141 machinery finds clip pairs ACROSS the container boundary —
+    * a re-encoded video cannot hide from dedup behind its wrapper.
+    * WebP clip ids ride at doc_id + 2^20 and GIF at doc_id + 2^21
+    * (a loud require guards doc_id < 2^20 so containers cannot
+    * alias, and the fid packing's require guards the width); all
     * corpora take the doc_id%7==0 seventh so the identical-frame
     * cluster blowup stays gate-sized (the pair machinery is q141's,
     * already stressed at full width there). */
   def q170CrossClipDups(spark: SparkSession, dir: String): DataFrame = {
     val docs = tbl(spark, dir, "documents")
       .where(pmod(col("doc_id"), lit(7)) === 0)
-    // the +2^20 container offset requires doc_id < 2^20, or MP4 and
-    // WebP clip ids alias silently (the fid-width require below only
+    // the container offsets require doc_id < 2^20, or MP4/WebP/GIF
+    // clip ids alias silently (the fid-width require below only
     // guards packing, not this collision)
     val maxDoc = docs.agg(max(col("doc_id"))).collect()(0)
     if (!maxDoc.isNullAt(0))
       require(maxDoc.getLong(0) < (1L << 20),
         s"q170 clip-id offset: max doc_id ${maxDoc.getLong(0)} >= 2^20 " +
-          "would alias the MP4 and WebP id spaces")
+          "would alias the MP4/WebP/GIF id spaces")
     val mp4 = graft.multimodal.Multimodal.decodeMp4FramePHash(
         graft.multimodal.Multimodal.mjpegVideoCorpusFromDocuments(docs)).toDF()
       .where(col("ok") === 1)
@@ -2091,7 +2108,14 @@ object Queries {
       .where(col("ok") === 1)
       .select((col("media_id") + lit(1L << 20)).as("media_id"),
         col("frame_idx"), col("phash"))
-    val frames = graft.ops.CacheScope.persist(mp4.unionByName(webp))
+    val gif = graft.multimodal.Gif.decodeGifPHash(
+        graft.multimodal.Gif.gifCorpusFromDocuments(docs,
+          sampleMod = 1, sampleRem = 0)).toDF()
+      .where(col("ok") === 1)
+      .select((col("media_id") + lit(1L << 21)).as("media_id"),
+        col("frame_idx"), col("phash"))
+    val frames = graft.ops.CacheScope.persist(
+      mp4.unionByName(webp).unionByName(gif))
     val r = frames.agg(max(col("frame_idx")).cast("long"),
       min(col("media_id")), max(col("media_id"))).collect()(0)
     val maxIdx = if (r.isNullAt(0)) 0L else r.getLong(0)
@@ -5887,6 +5911,7 @@ object Queries {
     "q167_zip_members" -> (q167ZipMembers _),
     "q168_webp_phash" -> (q168WebpPhash _),
     "q174_vp8_phash" -> (q174Vp8Phash _),
+    "q175_gif_frames" -> (q175GifFrames _),
     "q169_anim_webp_frames" -> (q169AnimWebpFrames _),
     "q170_cross_clip_dups" -> (q170CrossClipDups _),
     "q171_exif_headers" -> (q171ExifHeaders _),
@@ -6564,9 +6589,11 @@ object Queries {
         |  bit_count(xor(a.h, b.h))::BIGINT AS hamming_dist
         |FROM mem a JOIN mem b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.h, b.h)) <= 5""".stripMargin,
-    // the q141 replay over BOTH containers' live frames (mp4 clips at
-    // doc_id, animated-webp clips at doc_id + 2^20; each container's
-    // own dead-frame/not-animated arms excluded), doc_id%7==0 seventh
+    // the q141 replay over all THREE containers' live frames (mp4
+    // clips at doc_id, animated-webp at doc_id + 2^20, gif at
+    // doc_id + 2^21; each container's own dead-frame/not-animated/
+    // not-gif arms excluded — gif's bad_lzw plant is shielded by its
+    // 87a arm), doc_id%7==0 seventh
     "q170_cross_clip_dups" ->
       """WITH fr AS (
         |  SELECT doc_id AS clip, doc_id % 10 AS pseed, f.f AS f
@@ -6577,7 +6604,12 @@ object Queries {
         |  SELECT doc_id + 1048576, doc_id % 10, f.f
         |  FROM documents, range(0, 6) AS f(f)
         |  WHERE doc_id % 7 = 0 AND doc_id % 11 <> 5 AND f.f < 3 + doc_id % 4
-        |    AND NOT (doc_id % 6 = 4 AND f.f = 1)),
+        |    AND NOT (doc_id % 6 = 4 AND f.f = 1)
+        |  UNION ALL
+        |  SELECT doc_id + 2097152, doc_id % 10, f.f
+        |  FROM documents, range(0, 6) AS f(f)
+        |  WHERE doc_id % 7 = 0 AND doc_id % 11 <> 5 AND f.f < 3 + doc_id % 4
+        |    AND NOT (doc_id % 13 <> 6 AND doc_id % 6 = 4 AND f.f = 1)),
         |blk AS (
         |  SELECT clip, f, bi.bi AS bi, bj.bj AS bj,
         |    64 * (((pseed * 73 + f * 29 + bj.bj * 37
@@ -6658,6 +6690,57 @@ object Queries {
         |SELECT doc_id, 0::INTEGER, 0::INTEGER, 0::INTEGER, 0::BIGINT,
         |  'not_animated'
         |FROM documents WHERE doc_id % 3 = 0 AND doc_id % 11 = 5""".stripMargin,
+    // q169's frame-hash replay on the GIF wrapper (the %3==1 third):
+    // 87a docs (id%13=6) decode with duration 0, the bad_lzw plant
+    // (id%6=4, frame 1, shielded by the 87a arm) keeps its duration,
+    // a broken signature is one container refusal row
+    "q175_gif_frames" ->
+      """WITH fr AS (
+        |  SELECT doc_id, f.f AS f
+        |  FROM documents, range(0, 6) AS f(f)
+        |  WHERE doc_id % 3 = 1 AND f.f < 3 + doc_id % 4 AND doc_id % 11 <> 5),
+        |blk AS (
+        |  SELECT doc_id, f, bi.bi AS bi, bj.bj AS bj,
+        |    64 * ((((doc_id % 10) * 73 + f * 29 + bj.bj * 37
+        |      + bi.bi * 91) % 17) * 15) AS s
+        |  FROM fr, range(0, 8) AS bi(bi), range(0, 8) AS bj(bj)),
+        |tt AS (SELECT [[1024,1024,1024,1024,1024,1024,1024,1024],
+        |  [1004,851,569,200,-200,-569,-851,-1004],
+        |  [946,392,-392,-946,-946,-392,392,946],
+        |  [851,-200,-1004,-569,569,1004,200,-851],
+        |  [724,-724,-724,724,724,-724,-724,724],
+        |  [569,-1004,200,851,-851,-200,1004,-569],
+        |  [392,-946,946,-392,-392,946,-946,392],
+        |  [200,-569,851,-1004,1004,-851,569,-200]] AS t),
+        |dct AS (
+        |  SELECT b.doc_id, b.f, u.u AS u, v.v AS v,
+        |    sum(b.s * t[u.u + 1][b.bi + 1] * t[v.v + 1][b.bj + 1]) AS fc
+        |  FROM blk b, range(0, 8) AS u(u), range(0, 8) AS v(v), tt
+        |  GROUP BY b.doc_id, b.f, u.u, v.v),
+        |med AS (
+        |  SELECT doc_id, f, list_sort(list(fc))[32] AS m
+        |  FROM dct WHERE NOT (u = 0 AND v = 0) GROUP BY doc_id, f),
+        |ph AS (
+        |  SELECT d.doc_id, d.f,
+        |    sum(CASE WHEN d.fc > med.m THEN 1::BIGINT << (d.u * 8 + d.v - 1)
+        |             ELSE 0::BIGINT END)::BIGINT AS h
+        |  FROM dct d JOIN med ON d.doc_id = med.doc_id AND d.f = med.f
+        |  WHERE NOT (d.u = 0 AND d.v = 0)
+        |  GROUP BY d.doc_id, d.f)
+        |SELECT doc_id AS media_id, f::INTEGER AS frame_idx,
+        |  (CASE WHEN doc_id % 13 <> 6 AND doc_id % 6 = 4 AND f = 1
+        |        THEN 0 ELSE 1 END)::INTEGER AS ok,
+        |  (CASE WHEN doc_id % 13 = 6 THEN 0 ELSE 40 + 10 * f END)::INTEGER
+        |    AS duration_ms,
+        |  CASE WHEN doc_id % 13 <> 6 AND doc_id % 6 = 4 AND f = 1
+        |       THEN 0 ELSE h END AS phash,
+        |  CASE WHEN doc_id % 13 <> 6 AND doc_id % 6 = 4 AND f = 1
+        |       THEN 'bad_lzw' ELSE '' END AS err
+        |FROM ph
+        |UNION ALL
+        |SELECT doc_id, 0::INTEGER, 0::INTEGER, 0::INTEGER, 0::BIGINT,
+        |  'not_gif'
+        |FROM documents WHERE doc_id % 3 = 1 AND doc_id % 11 = 5""".stripMargin,
     // the q174 pixel formula's pHash replay closed-form: per-tile
     // sums (the X-basis noise term sums to ZERO over every 4x4 tile)
     // -> 8x8 block sums -> the frozen fixed-point DCT -> median bits

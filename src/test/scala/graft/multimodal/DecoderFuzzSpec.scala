@@ -158,6 +158,20 @@ class DecoderFuzzSpec extends SparkSpec {
     }
   }
 
+  test("GIF decoder survives 300 deterministic corruptions per wire shape") {
+    val frames = (0 until 3).map { f =>
+      (Array.tabulate(64 * 64) { i =>
+        (((f * 29 + (i % 64) / 8 * 37 + (i / 64) / 8 * 91) % 17) * 15)
+      }, 40 + 10 * f)
+    }
+    for ((name, b) <- Seq(
+        ("gct", Gif.gifBytes(64, 64, frames)),
+        ("lct-interlace", Gif.gifBytes(64, 64, frames, useLct = true,
+          interlace = _ => true)))) {
+      fuzz(s"gif-$name", b, x => Gif.decode(x).toOption)
+    }
+  }
+
   test("VP8L pixel decoder survives 300 deterministic corruptions per variant") {
     val img = Array.tabulate(32 * 32) { i =>
       val x = i % 32; val y = i / 32
