@@ -125,7 +125,9 @@ object CurationRunner {
       embed: Option[DataFrame => DataFrame] = None,
       ivfBuckets: Int = 16, ivfTrainStride: Int = 16,
       phash: Option[DataFrame => DataFrame] = None,
-      phashBuckets: Int = 16)
+      phashBuckets: Int = 16,
+      clip: Option[DataFrame => DataFrame] = None,
+      clipBuckets: Int = 16, clipFrameShift: Int = 12)
 
   /** Paired media+caption curation as a maintained daily stage — the
     * q157/q161 decision rule running INSIDE the loop (the reference
@@ -157,6 +159,35 @@ object CurationRunner {
       media: DataFrame => DataFrame,
       maxDist: Int = 5)
 
+  /** Clip-level video dedup as a maintained daily stage — the q170
+    * cross-container pair rule running INSIDE the loop: `frames` maps
+    * a curated docs frame to one (doc_id, clip_ok, frame_idx, phash)
+    * row per decoded video frame of docs that CARRY a video payload
+    * (one clip_ok=0 row for a container-level refusal; docs without
+    * video are absent and pass the stage untouched). A delta doc
+    * drops as a video dup iff >= `minSharedFrames` of its frame
+    * hashes pair (hamming <= `maxDist`) with frames of ANY standing
+    * curated clip or of a SMALLER-id delta clip (the first-wins rule;
+    * two-day composition preserved when ids grow with time — the
+    * crawl-day invariant). Because the frame hashes are
+    * container-independent (q170: MP4 / animated WebP / GIF all
+    * decode to the same pHash), a clip RE-ENCODED under a different
+    * wrapper on a later day still drops. The standing side is a
+    * [[graft.dedup.PhashDiskIndex]] family under `index/clip` keyed
+    * by composite fid = doc_id << IndexConfig.clipFrameShift |
+    * frame_idx, maintained with the exact media-family discipline
+    * (backfill once, retire dead clips' frames, append the delta,
+    * tombstone-threshold compaction); the shift is FIXED for the
+    * index lifetime and guarded per row. Per-reason drops land as
+    * `clip_drop:<reason>` RunMetadata rows. When `clips` is set and
+    * the IndexConfig has no `clip` family, the family is DERIVED from
+    * `frames` (ok rows), so the index and the decisions cannot
+    * drift. */
+  final case class ClipConfig(
+      frames: DataFrame => DataFrame,
+      maxDist: Int = 3,
+      minSharedFrames: Int = 2)
+
   /** Persisted-tokenizer maintenance (the BPE deployment lifecycle —
     * [[graft.text.TokenizerStore]]): each run folds the curated
     * corpus's day-over-day delta into the additive word-count state
@@ -172,7 +203,26 @@ object CurationRunner {
   final case class DailyResult(
       date: String, snapshotDocs: Long, curatedDocs: Long, incremental: Boolean,
       shardCount: Long = -1L, klMilli: Long = -1L, ivfRefreshed: Boolean = false,
-      tokenizerRefreshed: Boolean = false, pairedDropped: Long = -1L)
+      tokenizerRefreshed: Boolean = false, pairedDropped: Long = -1L,
+      clipDropped: Long = -1L)
+
+  /** (doc_id, frame_idx, …) -> (fid, phash) under the clip family's
+    * fixed composite packing, each row guarded against the shift's id
+    * ranges (an out-of-range id would silently alias two clips). */
+  private def packFid(frameShift: Int)(frames: DataFrame): DataFrame = {
+    val maxDoc = 1L << (62 - frameShift)
+    val maxFrame = 1L << frameShift
+    frames.select(
+      when(col("doc_id").between(0, maxDoc - 1) &&
+          col("frame_idx").between(0, maxFrame - 1),
+        shiftleft(col("doc_id"), frameShift) + col("frame_idx"))
+        .otherwise(raise_error(concat(
+          lit(s"clip fid packing (frameShift=$frameShift): out of range "),
+          col("doc_id").cast("string"), lit("/"),
+          col("frame_idx").cast("string"))))
+        .as("fid"),
+      col("phash"))
+  }
 
   private def snapshotPath(root: String, date: String) = s"$root/snapshot/date=$date"
   private def curatedPath(root: String, date: String) = s"$root/curated/date=$date"
@@ -197,7 +247,8 @@ object CurationRunner {
       indexes: Option[IndexConfig] = Some(IndexConfig()),
       rawFormat: RawFormat = RawJson,
       tokenizer: Option[TokenizerConfig] = None,
-      paired: Option[PairedConfig] = None): DailyResult = {
+      paired: Option[PairedConfig] = None,
+      clips: Option[ClipConfig] = None): DailyResult = {
     require(date.matches("""\d{4}-\d{2}-\d{2}"""),
       s"runDaily: date must be ISO yyyy-MM-dd (lexical ordering drives " +
         s"snapshot versioning), got '$date'")
@@ -275,16 +326,25 @@ object CurationRunner {
     val bm25Dir = s"$lakeRoot/index/bm25"
     val ivfRoot = s"$lakeRoot/index/ivf"
     val phDir = s"$lakeRoot/index/phash"
+    val clipDir = s"$lakeRoot/index/clip"
     val appliedMark = s"$lakeRoot/index/_applied/date=$date"
     // paired curation with no registered media family derives one from
     // its own extractor — the standing index and the day's decisions
     // come from the same function and cannot drift
     val effIndexes = indexes.map { ix =>
-      if (paired.isDefined && ix.phash.isEmpty)
-        ix.copy(phash = Some(docs => paired.get.media(docs)
-          .where(col("img_ok") === 1)
-          .select(col("doc_id"), col("phash"))))
-      else ix
+      val withMedia =
+        if (paired.isDefined && ix.phash.isEmpty)
+          ix.copy(phash = Some(docs => paired.get.media(docs)
+            .where(col("img_ok") === 1)
+            .select(col("doc_id"), col("phash"))))
+        else ix
+      // same derivation for the clip family: the standing frame index
+      // and the day's clip decisions come from one extractor
+      if (clips.isDefined && withMedia.clip.isEmpty)
+        withMedia.copy(clip = Some(docs => clips.get.frames(docs)
+          .where(col("clip_ok") === 1)
+          .select(col("doc_id"), col("frame_idx"), col("phash"))))
+      else withMedia
     }
     val maintain = effIndexes.filter(_ => !Lake.exists(spark, appliedMark))
     val (curated, deltaIdsOpt) = meta.time("curate") {
@@ -326,6 +386,17 @@ object CurationRunner {
               graft.dedup.PhashDiskIndex.retire(spark, phDir, deadIds,
                 "doc_id", seq)
             }
+            // clip family: fid-keyed, so dead docs retire through
+            // their (deterministically re-derived) frame fids
+            ix.clip.foreach { cf =>
+              if (!Lake.exists(spark, s"$clipDir/meta"))
+                graft.dedup.PhashDiskIndex.write(
+                  packFid(ix.clipFrameShift)(cf(prevCur)), "fid", "phash",
+                  clipDir, numBuckets = ix.clipBuckets, seq = prevSeq)
+              graft.dedup.PhashDiskIndex.retire(spark, clipDir,
+                packFid(ix.clipFrameShift)(cf(retired)).select(col("fid")),
+                "fid", seq)
+            }
             ix.embed.foreach { embed =>
               if (graft.ann.IvfIndex.currentVersion(spark, ivfRoot).isEmpty) {
                 val pv = embed(prevCur)
@@ -362,7 +433,7 @@ object CurationRunner {
     // BEFORE publish so the published corpus, every standing index's
     // live set, shards, and the tokenizer state all see the refined
     // membership — the stage is part of curation, not a side filter.
-    val (curatedFinal, pairedDropped) = paired match {
+    val (curatedPaired, pairedDropped) = paired match {
       case Some(pc) => meta.time("paired") {
         // carried docs already passed this gate on their own day
         val deltaDocs = deltaIdsOpt match {
@@ -427,6 +498,85 @@ object CurationRunner {
       case None => (curated, -1L)
     }
 
+    // 3.6 clip-level video dedup: the q170 cross-container pair rule
+    // over the day's delta survivors of everything above (see
+    // ClipConfig). Same placement rationale as 3.5 — runs BEFORE
+    // publish so the corpus, indexes, shards, and tokenizer all see
+    // the refined membership.
+    val (curatedFinal, clipDropped) = clips match {
+      case Some(cc) => meta.time("clips") {
+        val shift = effIndexes.map(_.clipFrameShift)
+          .getOrElse(IndexConfig().clipFrameShift)
+        val deltaDocs = deltaIdsOpt match {
+          case Some(ids) => curatedPaired.join(ids, Seq("doc_id"), "left_semi")
+          case None => curatedPaired
+        }
+        val fr = graft.ops.CacheScope.persist(cc.frames(deltaDocs))
+        val okFr = fr.where(col("clip_ok") === 1)
+        // undecodable = carries video but zero decodable frames (a
+        // partially-broken clip participates with its live frames)
+        val okIds = okFr.select(col("doc_id")).distinct()
+        val und = fr.select(col("doc_id")).distinct()
+          .join(okIds, Seq("doc_id"), "left_anti")
+        val okF = graft.ops.CacheScope.persist(
+          packFid(shift)(okFr).select(col("fid").as("id"), col("phash")))
+        val framePairs =
+          if (prev.isDefined && maintain.isDefined &&
+              Lake.exists(spark, s"$clipDir/meta"))
+            // standing family live set == carried clips' frames (stage
+            // 3 retired the increment's dead fids): |delta| probe
+            graft.dedup.PhashDiskIndex.probe(spark, clipDir, okF,
+              "id", "phash", cc.maxDist)
+          else {
+            val carriedDocs = deltaIdsOpt match {
+              case Some(ids) => curatedPaired.join(ids, Seq("doc_id"), "left_anti")
+              case None => curatedPaired.limit(0)
+            }
+            val standingF = packFid(shift)(
+              cc.frames(carriedDocs).where(col("clip_ok") === 1))
+              .select(col("fid").as("id"), col("phash"))
+            graft.dedup.Dedup.hammingNearDupPairs(
+              standingF.unionByName(okF), "id", "phash",
+              totalBits = 64, maxDist = cc.maxDist, bands = 4)
+          }
+        // fid pairs -> clip pairs with the shared-frame threshold;
+        // fid order preserves clip order under one shift, so
+        // (id_a < id_b) normalization carries over
+        val clipPairs = framePairs
+          .select(shiftright(col("id_a"), shift).as("clip_a"),
+            shiftright(col("id_b"), shift).as("clip_b"))
+          .where(col("clip_a") =!= col("clip_b"))
+          .groupBy(col("clip_a"), col("clip_b"))
+          .agg(count(lit(1)).as("n_frames"))
+          .where(col("n_frames") >= cc.minSharedFrames)
+        // first-wins over normalized pairs (the 3.5 rule): a delta
+        // clip_b always has a smaller partner; a delta clip_a drops
+        // only against a STANDING clip_b
+        val isDelta = okIds.withColumn("__d", lit(1))
+        val pj = clipPairs
+          .join(broadcast(isDelta.select(col("doc_id").as("clip_a"),
+            col("__d").as("__da"))), Seq("clip_a"), "left")
+          .join(broadcast(isDelta.select(col("doc_id").as("clip_b"),
+            col("__d").as("__db"))), Seq("clip_b"), "left")
+        val dupIds = pj.where(col("__db") === 1).select(col("clip_b").as("doc_id"))
+          .unionByName(pj.where(col("__da") === 1 && col("__db").isNull)
+            .select(col("clip_a").as("doc_id")))
+          .distinct()
+        val drops = graft.ops.CacheScope.persist(
+          und.select(col("doc_id"), lit("video_undecodable").as("drop_reason"))
+            .unionByName(dupIds.join(und, Seq("doc_id"), "left_anti")
+              .select(col("doc_id"), lit("video_dup").as("drop_reason"))))
+        val nUnd = drops.where(col("drop_reason") === "video_undecodable").count()
+        val nDup = drops.where(col("drop_reason") === "video_dup").count()
+        meta.time("clip_drop:video_undecodable") { ((), nUnd) }
+        meta.time("clip_drop:video_dup") { ((), nDup) }
+        val refined = graft.ops.CacheScope.persist(
+          curatedPaired.join(drops, Seq("doc_id"), "left_anti"))
+        ((refined, nUnd + nDup), nUnd + nDup)
+      }
+      case None => (curatedPaired, -1L)
+    }
+
     // 4. publish + metadata
     val nCurated = meta.time("publish") {
       Lake.writeParquet(curatedFinal, curatedPath(lakeRoot, date))
@@ -454,6 +604,11 @@ object CurationRunner {
               graft.dedup.PhashDiskIndex.append(ph(newDocs), "doc_id", "phash",
                 phDir, seq = seq)
             }
+            ix.clip.foreach { cf =>
+              graft.dedup.PhashDiskIndex.append(
+                packFid(ix.clipFrameShift)(cf(newDocs)), "fid", "phash",
+                clipDir, seq = seq)
+            }
             ix.embed.foreach { embed =>
               val ver = graft.ann.IvfIndex.currentVersion(spark, ivfRoot).get
               graft.ann.IvfIndex.append(embed(newDocs), "doc_id", "embedding",
@@ -467,6 +622,11 @@ object CurationRunner {
             ix.phash.foreach { ph =>
               graft.dedup.PhashDiskIndex.write(ph(newDocs), "doc_id", "phash",
                 phDir, numBuckets = ix.phashBuckets, seq = seq)
+            }
+            ix.clip.foreach { cf =>
+              graft.dedup.PhashDiskIndex.write(
+                packFid(ix.clipFrameShift)(cf(newDocs)), "fid", "phash",
+                clipDir, numBuckets = ix.clipBuckets, seq = seq)
             }
             // first run: the vector family starts as a fresh write of
             // the full curated corpus (trained centroids), versioned +
@@ -499,6 +659,12 @@ object CurationRunner {
                 ix.compactTombstoneBp * nCurated)
               graft.dedup.PhashDiskIndex.compact(spark, phDir, ph(cur),
                 "doc_id", "phash", seq)
+          }
+          ix.clip.foreach { cf =>
+            if (graft.dedup.PhashDiskIndex.tombstoneCount(spark, clipDir) * 10000L >
+                ix.compactTombstoneBp * nCurated)
+              graft.dedup.PhashDiskIndex.compact(spark, clipDir,
+                packFid(ix.clipFrameShift)(cf(cur)), "fid", "phash", seq)
           }
           // vector compaction lands beside (it reads the index it
           // rewrites) and swaps the pointer — old version stays
@@ -645,6 +811,7 @@ object CurationRunner {
     RunMetadata.write(spark, lakeRoot, date, meta.snapshot)
     DailyResult(date, nSnapshot, nCurated, incremental = prev.isDefined,
       shardCount = nShards, klMilli = klMilli, ivfRefreshed = ivfRefreshed,
-      tokenizerRefreshed = tokenizerRefreshed, pairedDropped = pairedDropped)
+      tokenizerRefreshed = tokenizerRefreshed, pairedDropped = pairedDropped,
+      clipDropped = clipDropped)
   }
 }

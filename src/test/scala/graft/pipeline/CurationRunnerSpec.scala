@@ -833,4 +833,122 @@ class CurationRunnerSpec extends SparkSpec {
     } finally { Lake.delete(spark, rootA); Lake.delete(spark, rootB) }
   }
 
+  // the clip stage's frames extractor: a doc carries video when its
+  // text names the content (vidN) and the wrapper (AWEBP vs default
+  // MJPEG-MP4); the payload REALLY encodes under that container and
+  // REALLY decodes back — same vid -> same frame pixels -> identical
+  // hashes across wrappers (the q170 property, exercised end-to-end).
+  // vid 49 rides the animated-WebP corpus's %11==5 plant (animation
+  // flag off), so its doc carries video with ZERO decodable frames.
+  private def clipFrames(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tagged = docs.where($"text".rlike("vid[0-9]+"))
+      .select($"doc_id",
+        regexp_extract($"text", "vid([0-9]+)", 1).cast("long").as("vid"),
+        $"text".contains("AWEBP").as("awebp"))
+    val mp4 = graft.multimodal.Multimodal.decodeMp4FramePHash(
+        graft.multimodal.Multimodal.mjpegVideoCorpusFromDocuments(
+          tagged.where(!$"awebp").select($"vid".as("doc_id")).distinct())).toDF()
+      .select($"media_id".as("vid"), lit(false).as("awebp"),
+        $"ok".as("clip_ok"), $"frame_idx", $"phash")
+    val webp = graft.multimodal.Webp.decodeAnimPHash(
+        graft.multimodal.Webp.animWebpCorpusFromDocuments(
+          tagged.where($"awebp").select($"vid".as("doc_id")).distinct())).toDF()
+      .select($"media_id".as("vid"), lit(true).as("awebp"),
+        $"ok".as("clip_ok"), $"frame_idx", $"phash")
+    tagged.join(mp4.unionByName(webp), Seq("vid", "awebp"))
+      .select($"doc_id", $"clip_ok", $"frame_idx", $"phash")
+  }
+
+  test("clip dedup: a re-encoded clip drops across days AND wrappers (two days == one pass)") {
+    val cfg = Curation.CurationConfig(minQualityMilli = 200)
+    val ccfg = CurationRunner.ClipConfig(frames = clipFrames)
+    val ixCfg = CurationRunner.IndexConfig(clipBuckets = 4)
+    // the corpus pixel formula's content key is (5*pseed + 12*f) mod
+    // 17 (pseed = vid%10), so DIFFERENT pseeds can alias frame
+    // content; vids 360/444/408 (pseeds 0/4/8, all 3-frame) have
+    // provably disjoint key sets {0,12,7}/{3,15,10}/{6,1,13} — zero
+    // cross-class frame collisions. Plant mods stay clean (%6 != 4
+    // frame plant; awebp %11 != 5 except vid 49, the undecodable arm)
+    val day1 = Seq(
+      (1L, "s0", doc(1, "vid360")),
+      (2L, "s0", doc(2, "vid360")), // same-day clip dup of 1 (same wrapper)
+      (3L, "s0", doc(3, "vid49 AWEBP")), // zero decodable frames
+      (4L, "s0", doc(4, "vid444 AWEBP")),
+      (5L, "s0", doc(5, "NOVID"))) // caption-only: passes untouched
+    val day2 = Seq(
+      (20L, "s0", doc(20, "vid360 AWEBP")), // STANDING 1's clip, RE-ENCODED
+      (21L, "s0", doc(21, "vid408")),
+      (22L, "s0", doc(22, "vid408 AWEBP")), // smaller DELTA 21, re-encoded
+      (23L, "s0", doc(23, "vid49 AWEBP")), // undecodable
+      (4L, "s0", doc(400, "vid444")), // changed: same content, wrapper switch —
+        // its OLD fids must retire BEFORE the probe or it dups itself
+      (24L, "s0", doc(24, "NOVID")))
+
+    val rootA = java.nio.file.Files.createTempDirectory("lakeA").toString
+    val rootB = java.nio.file.Files.createTempDirectory("lakeB").toString
+    try {
+      land(rootA, "day1.json", day1)
+      val r1 = CurationRunner.runDaily(spark, rootA, "2024-08-01", None, cfg,
+        indexes = Some(ixCfg), clips = Some(ccfg))
+      assert(r1.clipDropped == 2, s"day1 drops 2 and 3: $r1")
+      val c1 = Lake.readParquet(spark, s"$rootA/curated/date=2024-08-01")
+      assert(c1.select($"doc_id").as[Long].collect().sorted.toSeq ==
+        Seq(1L, 4L, 5L))
+      // the clip family was DERIVED from the stage's extractor
+      assert(Lake.exists(spark, s"$rootA/index/clip/meta"),
+        "clips with no clip family must derive one from frames")
+
+      land(rootA, "day2.json", day2)
+      val r2 = CurationRunner.runDaily(spark, rootA, "2024-08-02", None, cfg,
+        indexes = Some(ixCfg), clips = Some(ccfg))
+      assert(r2.clipDropped == 3, s"day2 drops 20, 22, 23: $r2")
+      val c2 = Lake.readParquet(spark, s"$rootA/curated/date=2024-08-02")
+      assert(c2.select($"doc_id").as[Long].collect().sorted.toSeq ==
+        Seq(1L, 4L, 5L, 21L, 24L))
+
+      val m2 = RunMetadata.read(spark, rootA, "2024-08-02")
+      def stageRecords(stage: String): Long =
+        m2.where($"stage" === stage).select($"records").as[Long].head()
+      assert(stageRecords("clips") == 3L)
+      assert(stageRecords("clip_drop:video_undecodable") == 1L) // 23
+      assert(stageRecords("clip_drop:video_dup") == 2L) // 20, 22
+
+      // composition law: the union in ONE day must land the same corpus
+      land(rootB, "all.json", day1.filterNot(_._1 == 4L) ++ day2)
+      CurationRunner.runDaily(spark, rootB, "2024-08-01", None, cfg,
+        indexes = Some(ixCfg), clips = Some(ccfg))
+      val full = Lake.readParquet(spark, s"$rootB/curated/date=2024-08-01")
+      assert(c2.select($"doc_id", $"text").collect().map(_.toString).sorted.toSeq ==
+        full.select($"doc_id", $"text").collect().map(_.toString).sorted.toSeq,
+        "two clip days must equal one clip pass over the union")
+
+      // the maintained family's live set == the published corpus's
+      // frames: a planted copy of kept clip 21's frame 0 probe-matches
+      // its fid; dropped clips 20/22 must be gone
+      val f408 = graft.multimodal.Multimodal.decodeMp4FramePHash(
+          graft.multimodal.Multimodal.mjpegVideoCorpusFromDocuments(
+            Seq(408L).toDF("doc_id"))).toDF()
+        .where($"frame_idx" === 0).select($"phash").as[Long].head()
+      val probe = Seq((9000L << 12, f408)).toDF("id", "phash")
+      val hits = graft.dedup.PhashDiskIndex.probe(spark,
+        s"$rootA/index/clip", probe, "id", "phash", 0)
+      assert(hits.where($"id_a" === (21L << 12) &&
+        $"id_b" === (9000L << 12)).count() == 1,
+        "kept clip 21's frame 0 must be standing")
+      assert(hits.where(org.apache.spark.sql.functions
+          .shiftright($"id_a", 12).isin(20L, 22L)).isEmpty,
+        "dropped clips' frames must not be standing")
+
+      // an already-applied re-run takes the fallback (re-band) path
+      val c2Rows = c2.select($"doc_id", $"text").collect()
+        .map(_.toString).sorted.toSeq
+      CurationRunner.runDaily(spark, rootA, "2024-08-02", None, cfg,
+        indexes = Some(ixCfg), clips = Some(ccfg))
+      val c2b = Lake.readParquet(spark, s"$rootA/curated/date=2024-08-02")
+      assert(c2b.select($"doc_id", $"text").collect().map(_.toString).sorted.toSeq ==
+        c2Rows,
+        "re-running an applied date must be idempotent through the fallback path")
+    } finally { Lake.delete(spark, rootA); Lake.delete(spark, rootB) }
+  }
+
 }
