@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * land-opaque-payloads intent (medical_etl_dag.py:88-96) — this is
   * the byte layer in front of the [[Containers]] record walks.
   *
-  * Decoder surface (everything a dictionary-less frame can contain):
+  * Decoder surface:
   *  - frames: header descriptor, window descriptor, single-segment,
   *    frame content size, content checksum (XXH64 low 32, verified),
   *    skippable frames, multi-frame concatenation;
@@ -20,9 +20,14 @@ import org.apache.spark.sql.functions._
   *    direct OR FSE-compressed weights, and Treeless (previous table);
   *  - sequences: Predefined / RLE / FSE_Compressed / Repeat modes for
   *    each of LL/OF/ML, exact baseline+extra-bits tables, the full
-  *    repeat-offset history incl. the litLen==0 index twist.
-  *  Dictionaries are NOT supported (a nonzero Dictionary_ID rejects) —
-  *  corpus archives are self-contained frames.
+  *    repeat-offset history incl. the litLen==0 index twist;
+  *  - dictionaries (RFC 8878 §5): [[parseDictionary]] reads the
+  *    0xEC30A437 format (entropy tables in Huffman/OF/ML/LL order,
+  *    the three seeded repcodes, the content-as-history prefix);
+  *    [[decompress]] takes a caller-registered id->dictionary map and
+  *    seeds the frame state from the header's Dictionary_ID. A frame
+  *    naming an UNREGISTERED id refuses loudly (None) — decoding it
+  *    dictionary-less would yield garbage, never silently attempted.
   *
   * Error contract (the [[Multimodal]] codec discipline): any
   * structural violation — bad magic, reserved bits, offset past
@@ -583,6 +588,58 @@ object Zstd {
     val rep: Array[Long] = Array(1L, 4L, 8L)
   }
 
+  // ---- dictionaries (RFC 8878 §5) --------------------------------------
+
+  private val DictMagic = 0xEC30A437
+
+  /** A parsed zstd dictionary: seeded entropy tables (usable by the
+    * first block's Repeat/Treeless modes), seeded repcodes, and the
+    * content bytes that prefix the match-copy history. Opaque —
+    * construct via [[parseDictionary]]. */
+  final class ZstdDict private[Zstd] (
+      val id: Long,
+      private[Zstd] val huff: Option[(Int, Array[Int], Array[Int])],
+      private[Zstd] val llT: FseTable,
+      private[Zstd] val mlT: FseTable,
+      private[Zstd] val ofT: FseTable,
+      private[Zstd] val rep: Array[Long],
+      private[Zstd] val content: Array[Byte])
+
+  /** Parse a dictionary file (magic 0xEC30A437): entropy tables in
+    * Huffman / OF / ML / LL order, three seeded repcodes (each
+    * nonzero and within the content), then the content. None on any
+    * malformation — a half-read dictionary would silently garble
+    * every frame decoded under it. */
+  def parseDictionary(b: Array[Byte]): Option[ZstdDict] =
+    try {
+      if (b == null || b.length < 8 ||
+          le32(b, 0) != (DictMagic & 0xFFFFFFFFL)) return None
+      val id = le32(b, 4)
+      if (id == 0) corrupt() // 0 is "no dictionary" in frame headers
+      var p = 8
+      val (weights, consumed) = readHuffWeights(b, p, b.length)
+      val (mb, cs, cn, _, _) = buildHuffTable(weights)
+      p += consumed
+      def fse(maxSym: Int, maxAl: Int): FseTable = {
+        val fr = new FwdReader(b, p, b.length)
+        val (counts, al) = readNCount(fr, maxSym, maxAl)
+        p += fr.bytesConsumed
+        buildFseTable(counts, al)
+      }
+      val ofT = fse(OfMaxSymbol, OfMaxAl)
+      val mlT = fse(MlMaxSymbol, MlMaxAl)
+      val llT = fse(LlMaxSymbol, LlMaxAl)
+      if (p + 12 > b.length) corrupt()
+      val rep = Array(le32(b, p), le32(b, p + 4), le32(b, p + 8))
+      p += 12
+      val content = java.util.Arrays.copyOfRange(b, p, b.length)
+      if (rep.exists(r => r <= 0 || r > content.length)) corrupt()
+      Some(new ZstdDict(id, Some((mb, cs, cn)), llT, mlT, ofT, rep, content))
+    } catch {
+      case _: Corrupt | _: ArrayIndexOutOfBoundsException |
+           _: NegativeArraySizeException => None
+    }
+
   /** Shared repeat-offset resolution — the encoder simulates history
     * with the SAME function, so the two sides cannot diverge. Mutates
     * `rep`; returns the actual offset. */
@@ -829,7 +886,8 @@ object Zstd {
   /** Decompress a (possibly multi-frame) zstd payload. None on any
     * structural violation; `maxBytes` bounds TOTAL output (bomb
     * guard — rejected, not truncated). */
-  def decompress(b: Array[Byte], maxBytes: Int = 1 << 26): Option[Array[Byte]] =
+  def decompress(b: Array[Byte], maxBytes: Int = 1 << 26,
+      dicts: Map[Long, ZstdDict] = Map.empty): Option[Array[Byte]] =
     try {
       if (b == null || b.length < 4) return None
       val total = new java.io.ByteArrayOutputStream(
@@ -844,7 +902,7 @@ object Zstd {
           if (p + 8 + sz > b.length) corrupt()
           p += 8 + sz.toInt
         } else if (magic == (Magic & 0xFFFFFFFFL)) {
-          p = decodeFrame(b, p + 4, total, maxBytes)
+          p = decodeFrame(b, p + 4, total, maxBytes, dicts)
         } else corrupt()
       }
       Some(total.toByteArray)
@@ -856,7 +914,8 @@ object Zstd {
   /** One frame starting AFTER its magic; returns the position after
     * the frame. */
   private def decodeFrame(b: Array[Byte], start: Int,
-      total: java.io.ByteArrayOutputStream, maxBytes: Int): Int = {
+      total: java.io.ByteArrayOutputStream, maxBytes: Int,
+      dicts: Map[Long, ZstdDict]): Int = {
     var p = start
     if (p >= b.length) corrupt()
     val desc = b(p) & 0xff; p += 1
@@ -880,7 +939,10 @@ object Zstd {
     while (k < dictBytes) {
       dictId |= (b(p) & 0xffL) << (8 * k); p += 1; k += 1
     }
-    if (dictId != 0) corrupt() // dictionaries unsupported
+    // an unregistered dictionary id refuses here — decoding without
+    // the dictionary's tables/history would be silent garbage
+    val dict = if (dictId == 0) None
+      else Some(dicts.getOrElse(dictId, corrupt()))
     val fcsBytes = fcsFlag match {
       case 0 => if (singleSegment) 1 else 0
       case 1 => 2; case 2 => 4; case _ => 8
@@ -900,6 +962,20 @@ object Zstd {
     val blockMax = math.min(windowSize, 1L << 17).toInt.max(1)
     val st = new FrameState
     val frame = new GrowBuf
+    // dictionary seeding: entropy tables feed the first block's
+    // Repeat/Treeless modes, repcodes replace {1,4,8}, and the content
+    // prefixes the match-copy history (sliced off before output)
+    val base = dict.map { d =>
+      st.huff = d.huff
+      st.llT = d.llT; st.mlT = d.mlT; st.ofT = d.ofT
+      d.rep.copyToArray(st.rep)
+      if (d.content.length > 0)
+        frame.append(d.content, 0, d.content.length, Int.MaxValue - 8)
+      d.content.length
+    }.getOrElse(0)
+    // block appends may legally fill maxBytes of OUTPUT beyond the
+    // history prefix
+    val cap = math.min(maxBytes.toLong + base, (Int.MaxValue - 8).toLong).toInt
     var last = false
     while (!last) {
       if (p + 3 > b.length) corrupt()
@@ -912,32 +988,34 @@ object Zstd {
       typ match {
         case 0 => // raw
           if (size > blockMax || p + size > b.length) corrupt()
-          frame.append(b, p, size, maxBytes)
+          frame.append(b, p, size, cap)
           p += size
         case 1 => // RLE: size = regenerated count, content = 1 byte
           if (size > blockMax || p >= b.length) corrupt()
-          frame.appendByte(b(p), size, maxBytes)
+          frame.appendByte(b(p), size, cap)
           p += 1
         case 2 =>
           if (p + size > b.length || size == 0) corrupt()
           val before = frame.len
           val (lits, consumed) = decodeLiterals(b, p, p + size, st)
           decodeSequences(b, p + consumed, p + size, st, lits,
-            frame, maxBytes)
+            frame, cap)
           if (frame.len - before > blockMax) corrupt()
           p += size
         case _ => corrupt() // reserved
       }
     }
-    if (fcs >= 0 && frame.len.toLong != fcs) corrupt()
+    // all output accounting excludes the dictionary-history prefix
+    if (fcs >= 0 && (frame.len - base).toLong != fcs) corrupt()
     if (checksum) {
       if (p + 4 > b.length) corrupt()
       val want = le32(b, p)
       p += 4
-      if ((xxh64(frame.buf, 0, frame.len) & 0xFFFFFFFFL) != want) corrupt()
+      if ((xxh64(frame.buf, base, frame.len - base) & 0xFFFFFFFFL) != want)
+        corrupt()
     }
-    if (total.size().toLong + frame.len > maxBytes) corrupt()
-    total.write(frame.buf, 0, frame.len)
+    if (total.size().toLong + (frame.len - base) > maxBytes) corrupt()
+    total.write(frame.buf, base, frame.len - base)
     p
   }
 

@@ -114,6 +114,98 @@ class ZstdGoldenSpec extends SparkSpec {
     }
   }
 
+  // ---- dictionary frames (RFC 8878 §5) --------------------------------
+  // golden.dict was trained by the reference CLI (zstd --train,
+  // --maxdict=4096) over 120 JSON-shaped samples; v7/v8 compress two
+  // plaintexts under it at levels 3 and 19. Decoding exercises all
+  // three dictionary powers at once: seeded entropy tables (the first
+  // block uses Repeat/Treeless modes against them), seeded repcodes,
+  // and the content-as-history prefix (matches reaching before the
+  // frame's own first byte).
+
+  private val dictVectors = Seq(
+    ("v7_dict3.zst", 3989,
+      "9c4ecc3ea597dd26bd73fd4ba6d81149f83afccac42180b956f29c5fdc480617"),
+    ("v8_dict19.zst", 25542,
+      "1e5ef5e6d6d28db24e705bf00eb817b3105003e03b64c0de48d104924da2c44e"))
+
+  test("reference dictionary frames decode to the pinned digests under the registered dict") {
+    val dict = Zstd.parseDictionary(resource("golden.dict"))
+    assert(dict.isDefined, "reference-trained dictionary must parse")
+    assert(dict.get.id == 866818421L)
+    val dicts = Map(dict.get.id -> dict.get)
+    for ((name, len, sha) <- dictVectors) {
+      val out = Zstd.decompress(resource(name), maxBytes = 1 << 20, dicts)
+      assert(out.isDefined, s"$name failed to decode under its dictionary")
+      assert(out.get.length == len && sha256(out.get) == sha,
+        s"$name content mismatch")
+    }
+  }
+
+  test("a frame naming an unregistered dictionary id refuses loudly") {
+    val dict = Zstd.parseDictionary(resource("golden.dict")).get
+    for ((name, _, _) <- dictVectors) {
+      val frame = resource(name)
+      // no dictionaries registered at all
+      assert(Zstd.decompress(frame, maxBytes = 1 << 20).isEmpty,
+        s"$name must refuse without its dictionary")
+      // a dictionary registered under a DIFFERENT id does not match
+      assert(Zstd.decompress(frame, maxBytes = 1 << 20,
+        Map(9999L -> dict)).isEmpty,
+        s"$name must refuse under a wrong-id registration")
+    }
+  }
+
+  test("dictionary frames survive the corruption discipline; a tampered dict cannot garble") {
+    val dict = Zstd.parseDictionary(resource("golden.dict")).get
+    val dicts = Map(dict.id -> dict)
+    for ((name, _, sha) <- dictVectors) {
+      val frame = resource(name)
+      for (pos <- Seq(frame.length / 2, frame.length - 1)) {
+        val bad = frame.clone(); bad(pos) = (bad(pos) ^ 0x55).toByte
+        Zstd.decompress(bad, maxBytes = 1 << 20, dicts) match {
+          case None => ()
+          case Some(out) => assert(sha256(out) == sha,
+            s"$name flipped@$pos decoded to DIFFERENT bytes under the dict")
+        }
+      }
+    }
+    // flipping a CONTENT byte of the dictionary changes the history the
+    // matches copy from — the frame checksum must catch it (None), never
+    // silently different plaintext
+    val raw = resource("golden.dict")
+    val tampered = raw.clone()
+    tampered(raw.length - 100) = (tampered(raw.length - 100) ^ 0x55).toByte
+    Zstd.parseDictionary(tampered).foreach { td =>
+      for ((name, _, sha) <- dictVectors) {
+        Zstd.decompress(resource(name), maxBytes = 1 << 20,
+          Map(td.id -> td)) match {
+          case None => ()
+          case Some(out) => assert(sha256(out) == sha,
+            s"$name under a content-tampered dict yielded different bytes")
+        }
+      }
+    }
+  }
+
+  test("dictionary parse refusals: magic, reserved id, truncation sweep") {
+    val raw = resource("golden.dict")
+    val badMagic = raw.clone(); badMagic(0) = 0x00
+    assert(Zstd.parseDictionary(badMagic).isEmpty)
+    val idZero = raw.clone()
+    idZero(4) = 0; idZero(5) = 0; idZero(6) = 0; idZero(7) = 0
+    assert(Zstd.parseDictionary(idZero).isEmpty,
+      "dictionary id 0 is reserved (means 'none' in frame headers)")
+    // truncation anywhere in the entropy-table region must refuse, not
+    // half-seed (content truncation alone can still parse — the
+    // repcode-within-content rule bounds how short it may get)
+    for (cut <- Seq(8, 12, 20, 40, 60)) {
+      assert(Zstd.parseDictionary(raw.take(cut)).isEmpty,
+        s"truncated dictionary (len $cut) must refuse")
+    }
+    assert(Zstd.parseDictionary(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   test("GrowBuf doubling terminates for maxBytes past 1<<30 (overflow clamp)") {
     // pre-fix: cap <<= 1 wrapped negative -> 0 and spun forever once the
     // needed capacity crossed 2^30 under a >1 GiB maxBytes; the guard is
