@@ -371,6 +371,77 @@ object Gif {
     out.toByteArray
   }
 
+  /** Cheap header parse for [[Multimodal.parseImageHeader]]'s sniff
+    * chain: magic + logical screen descriptor only (no pixel work). */
+  def parseScreen(b: Array[Byte]): Option[(String, Int, Int)] = {
+    if (b == null || b.length < 13) return None
+    val v = new String(b, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+    if (v != "GIF87a" && v != "GIF89a") return None
+    val w = u16(b, 6)
+    val h = u16(b, 8)
+    if (w == 0 || h == 0) None else Some((v.toLowerCase, w, h))
+  }
+
+  /** Decode a GIF as a STILL image — the first frame's canvas as the
+    * 3-byte-interleaved RGB plane the shared image-pHash path
+    * consumes (the [[Vp8l.decodeRgb]] shape for the fifth real-pixel
+    * codec). None on container refusal or a dead first frame. */
+  def decodeStillRgb(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    decode(b).toOption.flatMap { img =>
+      img.frames.headOption.flatMap(_.canvas).map { px =>
+        val out = new Array[Byte](px.length * 3)
+        var i = 0
+        while (i < px.length) {
+          out(3 * i) = ((px(i) >>> 16) & 0xff).toByte
+          out(3 * i + 1) = ((px(i) >>> 8) & 0xff).toByte
+          out(3 * i + 2) = (px(i) & 0xff).toByte
+          i += 1
+        }
+        (img.w, img.h, out)
+      }
+    }
+
+  /** Deterministic still-GIF corpus carrying the EXACT pixel functions
+    * of [[Multimodal.mixedCodecImageCorpusFromDocuments]] (the q133
+    * family: 32x32 macro-block grays for even id-decades, 64x64
+    * block-constant for odd), single-frame GIF-encoded with the wire
+    * shape fanned pixel-invisibly (87a at id%3==0, LCT at id%5==2,
+    * interlace at id%2==1) — so the q176 gate replays q133's
+    * closed-form pHash oracle VERBATIM over this corpus, proving the
+    * whole LZW/palette/interlace layer invisible to content semantics
+    * (the q168 discipline on the fifth image codec). */
+  def gifPhashCorpusFromDocuments(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].map { id =>
+      def fm(x: Long, m: Long): Long = java.lang.Math.floorMod(x, m)
+      val seed =
+        if (fm(id, 9L) == 0L) 10L + fm(id, 7L)
+        else fm(id, 10L)
+      val jpegStyle = fm(id / 10L, 2L) == 1L
+      val (w, h) = if (jpegStyle) (64, 64) else (32, 32)
+      val px = Array.tabulate(w * h) { i =>
+        val x = i % w
+        val y = i / w
+        if (!jpegStyle) {
+          val base = ((seed * 73L + (x / 4) * 37L + (y / 4) * 91L) % 17L) * 15L
+          val e = (id * 31L + x * 7L + y * 13L) % 3L - 1L
+          math.max(0L, math.min(255L, base + e)).toInt
+        } else {
+          val bx = x / 8
+          val by = y / 8
+          val base = ((seed * 73L + bx * 37L + by * 91L) % 17L) * 15L
+          val e = (id * 31L + bx * 7L + by * 13L) % 3L - 1L
+          math.max(0L, math.min(255L, base + e)).toInt
+        }
+      }
+      (id, gifBytes(w, h, Seq((px, 0)),
+        version = if (fm(id, 3L) == 0L) "GIF87a" else "GIF89a",
+        useLct = fm(id, 5L) == 2L,
+        interlace = _ => fm(id, 2L) == 1L))
+    }.toDF("media_id", "payload")
+  }
+
   // ---- batched frame fingerprints (the q140/q169 shape) ----------------
 
   /** One decoded GIF frame's fingerprint row: duration is parsed from

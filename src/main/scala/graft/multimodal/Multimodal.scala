@@ -211,7 +211,8 @@ object Multimodal {
   /** Parse an image payload's header: PNG, then JPEG, then WebP
     * (RIFF/VP8/VP8L/VP8X via [[Webp.parseWebp]] — depth is always 8,
     * channels 4 when alpha is carried, coding = the container flavor),
-    * else unknown. */
+    * then GIF (logical screen only — indexed color reads as 8-bit
+    * 3-channel, coding = the version string), else unknown. */
   def parseImageHeader(b: Array[Byte]): Option[(String, Int, Int, Int, Int, String)] = {
     val p = parsePngHeader(b)
     if (p.isDefined) return p
@@ -219,9 +220,9 @@ object Multimodal {
     if (j.isDefined) return j
     val w = Webp.parseWebp(0L, b)
     if (w.ok == 1)
-      Some(("webp", w.width, w.height, 8, if (w.has_alpha == 1) 4 else 3,
-        w.format))
-    else None
+      return Some(("webp", w.width, w.height, 8,
+        if (w.has_alpha == 1) 4 else 3, w.format))
+    Gif.parseScreen(b).map { case (ver, gw, gh) => ("gif", gw, gh, 8, 3, ver) }
   }
 
   /** Shared decode-stage shape for every modality: repartition the wide
@@ -1588,6 +1589,9 @@ object Multimodal {
               Vp8l.decodeRgb(payload, o, l) }
             .orElse(Webp.vp8Chunk(payload).flatMap { case (o, l) =>
               Vp8.decodeRgb(payload, o, l) })
+        else if (payload(0) == 'G' && payload(1) == 'I')
+          // GIF still (first frame's canvas) — the fifth codec
+          Gif.decodeStillRgb(payload)
         else None
       grayPHash(id, dec)
     }

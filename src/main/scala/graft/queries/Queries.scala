@@ -2076,6 +2076,24 @@ object Queries {
     graft.multimodal.Gif.decodeGifPHash(media).toDF()
   }
 
+  /** Still-GIF REAL pixel decode through the gate — the q168/q174
+    * discipline on the FIFTH image codec: a single-frame-GIF corpus
+    * carrying q133's EXACT pixel functions, wire shape fanned
+    * pixel-invisibly (87a/89a, local color tables, interlace), routed
+    * through the codec-SNIFFING [[graft.multimodal.Multimodal
+    * .decodeImagePHash]] dispatch (proving the GIF branch of the
+    * shared still-image path, not a GIF-only entry point). The oracle
+    * is q133's closed-form pHash replay VERBATIM — the LZW/palette/
+    * interlace layer cannot move the hash set. */
+  def q176GifPhash(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Gif.gifPhashCorpusFromDocuments(
+      tbl(spark, dir, "documents"))
+    val hashes = graft.multimodal.Multimodal.decodeImagePHash(media).toDF()
+      .where(col("ok") === 1)
+    graft.dedup.Dedup.hammingNearDupPairs(hashes, "media_id", "phash",
+      totalBits = 64, maxDist = 5, bands = 8)
+  }
+
   /** Cross-CONTAINER clip near-dup through the gate — the q133
     * cross-codec discipline applied to video: the same clips arrive
     * once as MP4 (MJPEG samples, q140), once as animated WebP
@@ -5912,6 +5930,7 @@ object Queries {
     "q168_webp_phash" -> (q168WebpPhash _),
     "q174_vp8_phash" -> (q174Vp8Phash _),
     "q175_gif_frames" -> (q175GifFrames _),
+    "q176_gif_phash" -> (q176GifPhash _),
     "q169_anim_webp_frames" -> (q169AnimWebpFrames _),
     "q170_cross_clip_dups" -> (q170CrossClipDups _),
     "q171_exif_headers" -> (q171ExifHeaders _),
@@ -6787,6 +6806,14 @@ object Queries {
     // q133's oracle VERBATIM: the corpus carries q133's exact pixels,
     // VP8L-encoded — a lossless codec layer cannot move the hash set
     "q168_webp_phash" ->
+      s"""WITH $duckPhashCtes
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  bit_count(xor(a.h, b.h))::BIGINT AS hamming_dist
+        |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 5""".stripMargin,
+    // q133's oracle VERBATIM over single-frame GIFs (q168's claim on
+    // the fifth codec: LZW/palette/interlace cannot move the hash set)
+    "q176_gif_phash" ->
       s"""WITH $duckPhashCtes
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  bit_count(xor(a.h, b.h))::BIGINT AS hamming_dist

@@ -172,6 +172,33 @@ class GifSpec extends SparkSpec {
       .map(p => (p >>> 16) & 0xff).toSeq == gray(64, 64, 2).toSeq)
   }
 
+  test("still path: header sniff + shared-dispatch pHash equal the PNG twin's") {
+    // the same pixels through PNG and through GIF must land the SAME
+    // hash via the codec-sniffing dispatch (both decodes are lossless)
+    val px = gray(32, 32, 6)
+    val gif = Gif.gifBytes(32, 32, Seq((px, 0)), interlace = _ => true)
+    val png = Multimodal.pngBytes(32, 32, (x, y, _) => px(y * 32 + x))
+    assert(Gif.parseScreen(gif) == Some(("gif89a", 32, 32)))
+    assert(Multimodal.parseImageHeader(gif) == Some(("gif", 32, 32, 8, 3, "gif89a")))
+    val (w, h, rgb) = Gif.decodeStillRgb(gif).get
+    assert(w == 32 && h == 32 && rgb.length == 32 * 32 * 3)
+    assert((0 until 32 * 32).forall(i => (rgb(3 * i) & 0xff) == px(i)))
+    val s = spark
+    import s.implicits._
+    val media = Seq((1L, gif), (2L, png)).toDF("media_id", "payload")
+    val hashes = Multimodal.decodeImagePHash(media).collect()
+      .map(r => r.media_id -> ((r.ok, r.phash))).toMap
+    assert(hashes(1L)._1 == 1 && hashes(2L)._1 == 1)
+    assert(hashes(1L)._2 == hashes(2L)._2,
+      "GIF and PNG encodings of the same pixels must hash identically")
+    // an 87a single-frame still decodes too
+    val v87 = Gif.gifBytes(32, 32, Seq((px, 0)), version = "GIF87a")
+    assert(Gif.decodeStillRgb(v87).isDefined)
+    // refusals stay None through the still path
+    assert(Gif.decodeStillRgb(gif.take(20)).isEmpty)
+    assert(Gif.parseScreen(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   test("batched decode matches single-payload decode (partitioning-invariant)") {
     val s = spark
     import s.implicits._
