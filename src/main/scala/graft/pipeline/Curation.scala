@@ -53,7 +53,12 @@ object Curation {
       // (text.QualityRules), so the incremental path inherits them
       // for free.
       c4LineClean: Boolean = false,
-      gopherRules: Boolean = false)
+      gopherRules: Boolean = false,
+      // Gopher's repetition rules (duplicate lines/paragraphs, top and
+      // duplicated n-gram character fractions) — a per-doc pure gate
+      // like gopherRules, so the incremental path inherits it; its
+      // n-gram measures shuffle by (doc, n, gram), linear in tokens
+      gopherRepetition: Boolean = false)
 
   final case class CurationReport(
       input: Long, afterCore: Long, afterNearDup: Long,
@@ -77,12 +82,18 @@ object Curation {
           .where(col("keep") === 1L)
           .select(col("doc_id"), col("source"), col("clean_text").as("text"))
       else extracted
-    val docs =
+    val structGated =
       if (cfg.gopherRules)
         graft.text.QualityRules.gopherRules(lineCleaned, "text")
           .where(col("keep") === 1L)
           .select(col("doc_id"), col("source"), col("text"))
       else lineCleaned
+    val docs =
+      if (cfg.gopherRepetition)
+        graft.text.QualityRules.gopherRepetition(structGated, "doc_id", "text")
+          .where(col("keep") === 1L)
+          .select(col("doc_id"), col("source"), col("text"))
+      else structGated
     val ts = TextFunctions.tokens(col("text"))
     // a single-file scan arrives as ONE partition; without the spread the
     // whole per-row chain (shingles + three redaction regexes) runs on

@@ -2094,6 +2094,40 @@ object Queries {
       totalBits = 64, maxDist = 5, bands = 8)
   }
 
+  /** Gopher REPETITION rules through the gate (Rae et al. 2021, Table
+    * A1 — the other half of q135's document rules): each doc becomes
+    * a synthesized page planting every repetition family — a
+    * duplicated line (id%3==0), a 2-gram/n-gram stutter block
+    * (id%4==1, 'spam ham' x30), a duplicated paragraph (id%5==2) —
+    * beside the doc's own text, and the engine measures duplicate
+    * line/paragraph occurrence + character fractions, top 2/3/4-gram
+    * character fractions (modal count, ties to the longest gram), and
+    * duplicate 5..10-gram POSITION-COVERAGE character fractions, all
+    * floored bp, with the paper's conjunctive keep. The oracle
+    * replays generation AND every measure (the q136 discipline). */
+  def q177GopherRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val page = concat(
+      coalesce(col("text"), lit("")), lit("\n"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(coalesce(col("text"), lit("")), lit("\n"))).otherwise(lit("")),
+      lit("unique "), col("doc_id").cast("string"), lit(" tail words here\n"),
+      when(pmod(col("doc_id"), lit(4)) === 1, lit(("spam ham " * 30).trim))
+        .otherwise(lit("calm close")),
+      lit("\n\n"),
+      when(pmod(col("doc_id"), lit(5)) === 2,
+        lit("para block one\n\npara block one"))
+        .otherwise(concat(lit("para "), col("doc_id").cast("string"))))
+    graft.text.QualityRules.gopherRepetition(
+        docs.select(col("doc_id"), page.as("page")), "doc_id", "page")
+      .select(col("doc_id"), col("dup_line_bp"), col("dup_line_char_bp"),
+        col("dup_para_bp"), col("dup_para_char_bp"),
+        col("top2_gram_bp"), col("top3_gram_bp"), col("top4_gram_bp"),
+        col("dup5_gram_bp"), col("dup6_gram_bp"), col("dup7_gram_bp"),
+        col("dup8_gram_bp"), col("dup9_gram_bp"), col("dup10_gram_bp"),
+        col("keep"))
+  }
+
   /** Cross-CONTAINER clip near-dup through the gate — the q133
     * cross-codec discipline applied to video: the same clips arrive
     * once as MP4 (MJPEG samples, q140), once as animated WebP
@@ -5931,6 +5965,7 @@ object Queries {
     "q174_vp8_phash" -> (q174Vp8Phash _),
     "q175_gif_frames" -> (q175GifFrames _),
     "q176_gif_phash" -> (q176GifPhash _),
+    "q177_gopher_repetition" -> (q177GopherRepetition _),
     "q169_anim_webp_frames" -> (q169AnimWebpFrames _),
     "q170_cross_clip_dups" -> (q170CrossClipDups _),
     "q171_exif_headers" -> (q171ExifHeaders _),
@@ -6811,6 +6846,123 @@ object Queries {
         |  bit_count(xor(a.h, b.h))::BIGINT AS hamming_dist
         |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.h, b.h)) <= 5""".stripMargin,
+    // generation + every repetition measure replayed: line/paragraph
+    // value counts, modal n-gram (count ties to the longest), and the
+    // 5..10-gram position-coverage character fractions
+    "q177_gopher_repetition" ->
+      """WITH pages AS (
+        |  SELECT doc_id,
+        |    coalesce(text, '') || chr(10) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN coalesce(text, '') || chr(10)
+        |          ELSE '' END) ||
+        |    'unique ' || doc_id || ' tail words here' || chr(10) ||
+        |    (CASE WHEN doc_id % 4 = 1 THEN trim(repeat('spam ham ', 30))
+        |          ELSE 'calm close' END) ||
+        |    chr(10) || chr(10) ||
+        |    (CASE WHEN doc_id % 5 = 2
+        |          THEN 'para block one' || chr(10) || chr(10) || 'para block one'
+        |          ELSE 'para ' || doc_id END) AS page
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, page,
+        |    list_filter(string_split(lower(trim(page)), ' '), x -> x != '') AS ws
+        |  FROM pages),
+        |tchars AS (
+        |  SELECT doc_id,
+        |    coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS tc
+        |  FROM toks),
+        |lcnt AS (
+        |  SELECT doc_id, e, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_filter(list_transform(
+        |      string_split(page, chr(10)), l -> trim(l)), l -> l != '')) AS e
+        |    FROM pages) GROUP BY doc_id, e),
+        |lagg AS (
+        |  SELECT doc_id, sum(c) AS n,
+        |    sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dn,
+        |    sum(c * length(e)) AS ch,
+        |    sum(CASE WHEN c >= 2 THEN c * length(e) ELSE 0 END) AS dch
+        |  FROM lcnt GROUP BY doc_id),
+        |pcnt AS (
+        |  SELECT doc_id, e, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_filter(list_transform(
+        |      string_split(page, chr(10) || chr(10)), p -> trim(p)),
+        |      p -> p != '')) AS e
+        |    FROM pages) GROUP BY doc_id, e),
+        |pagg AS (
+        |  SELECT doc_id, sum(c) AS n,
+        |    sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dn,
+        |    sum(c * length(e)) AS ch,
+        |    sum(CASE WHEN c >= 2 THEN c * length(e) ELSE 0 END) AS dch
+        |  FROM pcnt GROUP BY doc_id),
+        |grows AS (
+        |  SELECT doc_id, n, j, array_to_string(ws[j+1 : j+n], ' ') AS g,
+        |    length(array_to_string(ws[j+1 : j+n], '')) AS glen
+        |  FROM (
+        |    SELECT t.doc_id, t.ws, nn.n AS n,
+        |      unnest(range(0, greatest(len(t.ws) - nn.n + 1, 0))) AS j
+        |    FROM toks t,
+        |      (VALUES (2),(3),(4),(5),(6),(7),(8),(9),(10)) nn(n))),
+        |gcnt AS (
+        |  SELECT doc_id, n, g, count(*) AS c, min(glen) AS glen,
+        |    list(j) AS js
+        |  FROM grows GROUP BY doc_id, n, g),
+        |tops AS (
+        |  SELECT doc_id, n,
+        |    (CASE WHEN c >= 2 THEN c * glen ELSE 0 END) AS topnum
+        |  FROM (SELECT doc_id, n, c, glen, row_number() OVER (
+        |      PARTITION BY doc_id, n ORDER BY c DESC, glen DESC) AS rn
+        |    FROM gcnt WHERE n <= 4) WHERE rn = 1),
+        |occ AS (
+        |  SELECT doc_id, n, unnest(js) AS j
+        |  FROM gcnt WHERE c >= 2 AND n >= 5),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, n, pos FROM (
+        |    SELECT doc_id, n, unnest(range(j, j + n)) AS pos FROM occ)),
+        |tlen AS (
+        |  SELECT doc_id, pos, length(ws[pos + 1]) AS wlen
+        |  FROM (SELECT doc_id, ws, unnest(range(0, len(ws))) AS pos FROM toks)),
+        |dupch AS (
+        |  SELECT c.doc_id, c.n, sum(t.wlen) AS dch
+        |  FROM cov c JOIN tlen t ON t.doc_id = c.doc_id AND t.pos = c.pos
+        |  GROUP BY c.doc_id, c.n),
+        |m AS (
+        |  SELECT d.doc_id,
+        |    floor(10000 * la.dn / la.n)::BIGINT AS dup_line_bp,
+        |    (CASE WHEN la.ch > 0 THEN floor(10000 * la.dch / la.ch)
+        |          ELSE 0 END)::BIGINT AS dup_line_char_bp,
+        |    floor(10000 * pa.dn / pa.n)::BIGINT AS dup_para_bp,
+        |    (CASE WHEN pa.ch > 0 THEN floor(10000 * pa.dch / pa.ch)
+        |          ELSE 0 END)::BIGINT AS dup_para_char_bp,
+        |    floor(10000 * coalesce(t2.topnum, 0) / tc.tc)::BIGINT AS top2_gram_bp,
+        |    floor(10000 * coalesce(t3.topnum, 0) / tc.tc)::BIGINT AS top3_gram_bp,
+        |    floor(10000 * coalesce(t4.topnum, 0) / tc.tc)::BIGINT AS top4_gram_bp,
+        |    floor(10000 * coalesce(d5.dch, 0) / tc.tc)::BIGINT AS dup5_gram_bp,
+        |    floor(10000 * coalesce(d6.dch, 0) / tc.tc)::BIGINT AS dup6_gram_bp,
+        |    floor(10000 * coalesce(d7.dch, 0) / tc.tc)::BIGINT AS dup7_gram_bp,
+        |    floor(10000 * coalesce(d8.dch, 0) / tc.tc)::BIGINT AS dup8_gram_bp,
+        |    floor(10000 * coalesce(d9.dch, 0) / tc.tc)::BIGINT AS dup9_gram_bp,
+        |    floor(10000 * coalesce(d10.dch, 0) / tc.tc)::BIGINT AS dup10_gram_bp
+        |  FROM documents d
+        |  JOIN tchars tc ON tc.doc_id = d.doc_id
+        |  JOIN lagg la ON la.doc_id = d.doc_id
+        |  JOIN pagg pa ON pa.doc_id = d.doc_id
+        |  LEFT JOIN tops t2 ON t2.doc_id = d.doc_id AND t2.n = 2
+        |  LEFT JOIN tops t3 ON t3.doc_id = d.doc_id AND t3.n = 3
+        |  LEFT JOIN tops t4 ON t4.doc_id = d.doc_id AND t4.n = 4
+        |  LEFT JOIN dupch d5 ON d5.doc_id = d.doc_id AND d5.n = 5
+        |  LEFT JOIN dupch d6 ON d6.doc_id = d.doc_id AND d6.n = 6
+        |  LEFT JOIN dupch d7 ON d7.doc_id = d.doc_id AND d7.n = 7
+        |  LEFT JOIN dupch d8 ON d8.doc_id = d.doc_id AND d8.n = 8
+        |  LEFT JOIN dupch d9 ON d9.doc_id = d.doc_id AND d9.n = 9
+        |  LEFT JOIN dupch d10 ON d10.doc_id = d.doc_id AND d10.n = 10)
+        |SELECT *, (CASE WHEN dup_line_bp <= 3000 AND dup_para_bp <= 3000
+        |  AND dup_line_char_bp <= 2000 AND dup_para_char_bp <= 2000
+        |  AND top2_gram_bp <= 2000 AND top3_gram_bp <= 1800
+        |  AND top4_gram_bp <= 1600 AND dup5_gram_bp <= 1500
+        |  AND dup6_gram_bp <= 1400 AND dup7_gram_bp <= 1300
+        |  AND dup8_gram_bp <= 1200 AND dup9_gram_bp <= 1100
+        |  AND dup10_gram_bp <= 1000 THEN 1 ELSE 0 END)::BIGINT AS keep
+        |FROM m""".stripMargin,
     // q133's oracle VERBATIM over single-frame GIFs (q168's claim on
     // the fifth codec: LZW/palette/interlace cannot move the hash set)
     "q176_gif_phash" ->

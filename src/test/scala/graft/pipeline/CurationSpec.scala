@@ -172,4 +172,26 @@ class CurationSpec extends SparkSpec {
     assert(out.collect().map(_.toString).sorted.toSeq == manual)
   }
 
+  test("gopherRepetition stage: curate(raw) == curate(hand-pregated)") {
+    val docs = Seq(
+      (1L, "s0", "the quick brown fox jumps over a lazy dog near town while " +
+        "every word here appears once so nothing repeats at all today"),
+      (2L, "s0", ("spam ham " * 40).trim), // n-gram stutter: drops
+      (3L, "s0", "same line again\nsame line again\nsame line again")) // dup lines
+      .toDF("doc_id", "source", "text")
+    val cfg = Curation.CurationConfig(minQualityMilli = 0,
+      maxRepetitionBp = 10000, gopherRepetition = true)
+    val out = Curation.curate(docs, None, cfg, countStages = false)._1
+    assert(out.select($"doc_id").as[Long].collect().toSet == Set(1L),
+      "the stutter and dup-line pages must drop, the calm page survives")
+    val pre = graft.text.QualityRules.gopherRepetition(docs, "doc_id", "text")
+      .where($"keep" === 1L)
+      .select($"doc_id", $"source", $"text")
+    val manual = Curation.curate(pre, None,
+        cfg.copy(gopherRepetition = false), countStages = false)._1
+      .collect().map(_.toString).sorted.toSeq
+    assert(out.collect().map(_.toString).sorted.toSeq == manual,
+      "the staged flag must equal the hand-applied gate + default curate")
+  }
+
 }

@@ -108,6 +108,57 @@ class QualityRulesSpec extends SparkSpec {
     assert(fk == 390 * 12 / 2 + 11800 * row.getLong(2) / 12 - 15590)
   }
 
+  test("gopher repetition: each measure pinned by hand goldens") {
+    def rep(text: String): Map[String, Long] = {
+      val d = QualityRules.gopherRepetition(
+        Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text")
+      val r = d.collect()(0)
+      d.columns.filter(c => c.endsWith("_bp") || c == "keep")
+        .map(c => c -> r.getAs[Long](c)).toMap
+    }
+    // duplicated lines: "aa" twice + "b" once -> 2/3 occurrences dup,
+    // chars 4/5 dup; the space-split tokenizer sees ONE token (the
+    // text has no spaces), so no 2-grams exist -> 0
+    val r1 = rep("aa\naa\nb")
+    assert(r1("dup_line_bp") == 6666L && r1("dup_line_char_bp") == 8000L)
+    assert(r1("dup_para_bp") == 0L, "one paragraph (no \\n\\n) cannot dup")
+    assert(r1("top2_gram_bp") == 0L)
+    assert(r1("keep") == 0L) // dup_line over 3000
+    // duplicated paragraphs: same value twice across a blank line
+    val r2 = rep("pq rs\n\npq rs")
+    assert(r2("dup_para_bp") == 10000L && r2("dup_para_char_bp") == 10000L)
+    // the two lines "pq rs" also dup
+    assert(r2("dup_line_bp") == 10000L)
+    // top 2-gram: "x y" occurs 3 times in "x y x y x y" (overlapping
+    // "y x" occurs 2); chars: top = 3 occ x 2 chars = 6 of 6 total
+    val r3 = rep("x y x y x y")
+    assert(r3("top2_gram_bp") == 10000L)
+    // 5-gram coverage: "a b c d e a b c d e" — the 5-gram "a b c d e"
+    // occurs twice, covering ALL 10 positions exactly once each
+    // (position coverage cannot double count); 4-gram top = "a b c d"
+    // (or peers) count 2 x 4 chars = 8/10 chars
+    val r4 = rep("a b c d e a b c d e")
+    assert(r4("dup5_gram_bp") == 10000L)
+    // the five 6-grams spanning the seam are all DISTINCT (each a
+    // different rotation) — two copies repeat only up to the 5-gram
+    assert(r4("dup6_gram_bp") == 0L)
+    assert(r4("top4_gram_bp") == 8000L)
+    assert(r4("keep") == 0L)
+    // the full 10-gram occurs once: a unique gram is not repetition
+    assert(r4("dup10_gram_bp") == 0L)
+    // char weighting: "aaa v" twice = 2 occ x 4 chars over 8 chars
+    val r5 = rep("aaa v aaa v")
+    assert(r5("top2_gram_bp") == 10000L)
+    // a calm page keeps
+    val calm = rep("the quick brown fox jumps over a lazy dog near town\n" +
+      "every word here appears once so nothing repeats at all today")
+    assert(calm.filterNot(_._1 == "keep").values.forall(_ == 0L))
+    assert(calm("keep") == 1L)
+    // empty/NULL-ish text: all zeros, keep 1 (repetition of nothing)
+    val empty = rep("")
+    assert(empty.values.filterNot(_ == 1L).forall(_ == 0L) && empty("keep") == 1L)
+  }
+
   test("rules are pure column expressions over the corpus (no driver logic)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val g = QualityRules.gopherRules(docs, "text")
