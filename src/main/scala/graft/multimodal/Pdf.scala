@@ -1,0 +1,942 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** PDF ingestion (ISO 32000-1, the public PDF 1.x specification) — the
+  * dominant DOCUMENT format of any web crawl, previously opaque bytes.
+  * Covers the real storage layer end-to-end: the object lexer/parser
+  * (dicts, arrays, names with #-escapes, literal strings with the full
+  * escape set, hex strings, indirect references, streams with indirect
+  * /Length), classic cross-reference TABLES with /Prev chains, PDF
+  * 1.5+ cross-reference STREAMS (/W field widths, /Index subsections,
+  * newest-entry-wins across the chain), compressed-object streams
+  * (/Type /ObjStm type-2 entries), FlateDecode (zlib) with the PNG
+  * row predictors (/Predictor >= 10, Sub/Up/Average/Paeth), the page
+  * tree walk (/Pages /Kids recursion), and content-stream text
+  * extraction.
+  *
+  * Text-assembly convention (frozen): Tj / ' / " / TJ append their
+  * show strings in stream order (TJ's kern numbers contribute
+  * nothing; ' and " prepend a newline — they mean next-line-show);
+  * every ET appends one newline; extracted bytes decode as UTF-8.
+  *
+  * Error families (the q140 tagged-refusal discipline): container
+  * level "not_pdf" / "truncated" / "bad_xref" / "bad_object" /
+  * "encrypted" (an /Encrypt trailer classifies fine but text refuses
+  * — decrypting is out of scope, loudly); per-page
+  * "unsupported_filter" (any filter beyond none/FlateDecode, e.g.
+  * LZW/DCT) / "bad_stream" / "inline_image" keep the walk alive for
+  * the other pages.
+  *
+  * Reference behavior documented from the reference repo's opaque
+  * media round-trips (s3_loader.py:33-62) — the reference never
+  * decodes; the decode layer is engine-added surface. */
+object Pdf {
+
+  private final class Bad(val tag: String)
+    extends RuntimeException(null, null, false, false)
+  private def bad(tag: String): Nothing = throw new Bad(tag)
+
+  // ---- object model ----------------------------------------------------
+
+  private[multimodal] sealed trait PObj
+  private[multimodal] final case class PNum(v: Double) extends PObj {
+    def toInt: Int = { val i = v.toInt; if (i.toDouble != v) bad("bad_object"); i }
+    def toLong: Long = { val l = v.toLong; if (l.toDouble != v) bad("bad_object"); l }
+  }
+  private[multimodal] final case class PName(s: String) extends PObj
+  private[multimodal] final case class PStr(bytes: Array[Byte]) extends PObj
+  private[multimodal] final case class PArr(items: Vector[PObj]) extends PObj
+  private[multimodal] final case class PDict(m: Map[String, PObj]) extends PObj
+  private[multimodal] final case class PRef(num: Int) extends PObj
+  private[multimodal] final case class PKeyword(s: String) extends PObj
+  private[multimodal] case object PNull extends PObj
+  private[multimodal] final case class PBool(v: Boolean) extends PObj
+  private[multimodal] final case class PStream(dict: PDict,
+    raw: Array[Byte]) extends PObj
+
+  // ---- lexer / object parser -------------------------------------------
+
+  private def isWs(c: Int): Boolean =
+    c == 0 || c == 9 || c == 10 || c == 12 || c == 13 || c == 32
+  private def isDelim(c: Int): Boolean =
+    c == '(' || c == ')' || c == '<' || c == '>' || c == '[' || c == ']' ||
+      c == '{' || c == '}' || c == '/' || c == '%'
+
+  private[multimodal] final class Lexer(val b: Array[Byte], var pos: Int,
+      val end: Int) {
+    def skipWs(): Unit = {
+      var going = true
+      while (going && pos < end) {
+        val c = b(pos) & 0xff
+        if (isWs(c)) pos += 1
+        else if (c == '%') { // comment to EOL
+          while (pos < end && b(pos) != '\n' && b(pos) != '\r') pos += 1
+        } else going = false
+      }
+    }
+    def peek: Int = if (pos < end) b(pos) & 0xff else -1
+    private def bareToken(): String = {
+      val s = pos
+      while (pos < end && !isWs(b(pos) & 0xff) && !isDelim(b(pos) & 0xff))
+        pos += 1
+      if (pos == s) bad("bad_object")
+      new String(b, s, pos - s, java.nio.charset.StandardCharsets.US_ASCII)
+    }
+    private def name(): PName = {
+      pos += 1 // '/'
+      val sb = new StringBuilder
+      while (pos < end && !isWs(b(pos) & 0xff) && !isDelim(b(pos) & 0xff)) {
+        val c = b(pos) & 0xff
+        if (c == '#' && pos + 2 < end) {
+          val h = Character.digit(b(pos + 1), 16) * 16 +
+            Character.digit(b(pos + 2), 16)
+          if (h < 0) bad("bad_object")
+          sb.append(h.toChar); pos += 3
+        } else { sb.append(c.toChar); pos += 1 }
+      }
+      PName(sb.toString)
+    }
+    private def literalString(): PStr = {
+      pos += 1 // '('
+      val out = new java.io.ByteArrayOutputStream()
+      var depth = 1
+      while (depth > 0) {
+        if (pos >= end) bad("truncated")
+        val c = b(pos) & 0xff
+        pos += 1
+        c match {
+          case '(' => depth += 1; out.write('(')
+          case ')' =>
+            depth -= 1; if (depth > 0) out.write(')')
+          case '\\' =>
+            if (pos >= end) bad("truncated")
+            val e = b(pos) & 0xff
+            pos += 1
+            e match {
+              case 'n' => out.write('\n')
+              case 'r' => out.write('\r')
+              case 't' => out.write('\t')
+              case 'b' => out.write('\b')
+              case 'f' => out.write('\f')
+              case '(' => out.write('(')
+              case ')' => out.write(')')
+              case '\\' => out.write('\\')
+              case '\r' => if (pos < end && b(pos) == '\n') pos += 1 // continuation
+              case '\n' => () // continuation
+              case d if d >= '0' && d <= '7' =>
+                var v = d - '0'
+                var k = 0
+                while (k < 2 && pos < end && b(pos) >= '0' && b(pos) <= '7') {
+                  v = v * 8 + (b(pos) - '0'); pos += 1; k += 1
+                }
+                out.write(v & 0xff)
+              case other => out.write(other) // spec: drop the backslash
+            }
+          case other => out.write(other)
+        }
+      }
+      PStr(out.toByteArray)
+    }
+    private def hexString(): PStr = {
+      pos += 1 // '<'
+      val out = new java.io.ByteArrayOutputStream()
+      var hi = -1
+      var done = false
+      while (!done) {
+        if (pos >= end) bad("truncated")
+        val c = b(pos) & 0xff
+        pos += 1
+        if (c == '>') {
+          if (hi >= 0) out.write(hi * 16) // odd final digit: trailing 0
+          done = true
+        } else if (!isWs(c)) {
+          val d = Character.digit(c, 16)
+          if (d < 0) bad("bad_object")
+          if (hi < 0) hi = d else { out.write(hi * 16 + d); hi = -1 }
+        }
+      }
+      PStr(out.toByteArray)
+    }
+    /** One object value. `allowRef` enables the "N G R" indirect-
+      * reference lookahead (off inside content streams, where bare
+      * numbers precede operators). */
+    def value(allowRef: Boolean): PObj = {
+      skipWs()
+      if (pos >= end) bad("truncated")
+      (b(pos) & 0xff) match {
+        case '<' =>
+          if (pos + 1 < end && b(pos + 1) == '<') {
+            pos += 2
+            var m = Map.empty[String, PObj]
+            var done = false
+            while (!done) {
+              skipWs()
+              if (pos + 1 < end && b(pos) == '>' && b(pos + 1) == '>') {
+                pos += 2; done = true
+              } else {
+                if (peek != '/') bad("bad_object")
+                val k = name().s
+                m += (k -> value(allowRef))
+              }
+            }
+            PDict(m)
+          } else hexString()
+        case '(' => literalString()
+        case '[' =>
+          pos += 1
+          var items = Vector.empty[PObj]
+          var done = false
+          while (!done) {
+            skipWs()
+            if (peek == ']') { pos += 1; done = true }
+            else items :+= value(allowRef)
+          }
+          PArr(items)
+        case '/' => name()
+        case c if c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9') =>
+          val s = pos
+          pos += 1
+          while (pos < end && { val d = b(pos) & 0xff
+            (d >= '0' && d <= '9') || d == '.' || d == '+' || d == '-' }) pos += 1
+          val numStr = new String(b, s, pos - s,
+            java.nio.charset.StandardCharsets.US_ASCII)
+          val num = try numStr.toDouble catch {
+            case _: NumberFormatException => bad("bad_object") }
+          if (allowRef && num >= 0 && num == num.floor && c != '+' &&
+              c != '-' && c != '.') {
+            // lookahead for "GEN R"
+            val save = pos
+            skipWs()
+            val s2 = pos
+            while (pos < end && b(pos) >= '0' && b(pos) <= '9') pos += 1
+            if (pos > s2) {
+              skipWs()
+              if (pos < end && b(pos) == 'R' &&
+                  (pos + 1 >= end || isWs(b(pos + 1) & 0xff) ||
+                    isDelim(b(pos + 1) & 0xff))) {
+                pos += 1
+                return PRef(num.toInt)
+              }
+            }
+            pos = save
+          }
+          PNum(num)
+        case _ =>
+          bareToken() match {
+            case "true" => PBool(true)
+            case "false" => PBool(false)
+            case "null" => PNull
+            case kw => PKeyword(kw)
+          }
+      }
+    }
+  }
+
+  // ---- filters ----------------------------------------------------------
+
+  /** zlib inflate (FlateDecode). None on malformation/overrun. */
+  private def flate(data: Array[Byte], maxBytes: Int): Option[Array[Byte]] =
+    try {
+      val infl = new java.util.zip.Inflater()
+      infl.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(math.max(data.length * 4, 64), 1 << 16))
+      val tmp = new Array[Byte](8192)
+      while (!infl.finished()) {
+        val n = infl.inflate(tmp)
+        if (n == 0 && (infl.needsInput() || infl.needsDictionary())) return None
+        out.write(tmp, 0, n)
+        if (out.size() > maxBytes) return None
+      }
+      Some(out.toByteArray)
+    } catch { case _: java.util.zip.DataFormatException => None }
+
+  /** PNG row predictors over 1-byte samples (the /Predictor >= 10
+    * convention xref streams actually use). */
+  private def pngUnpredict(data: Array[Byte], columns: Int): Option[Array[Byte]] = {
+    if (columns <= 0 || data.length % (columns + 1) != 0) return None
+    val rows = data.length / (columns + 1)
+    val out = new Array[Byte](rows * columns)
+    var r = 0
+    while (r < rows) {
+      val ft = data(r * (columns + 1)) & 0xff
+      var x = 0
+      while (x < columns) {
+        val raw = data(r * (columns + 1) + 1 + x) & 0xff
+        val left = if (x > 0) out(r * columns + x - 1) & 0xff else 0
+        val up = if (r > 0) out((r - 1) * columns + x) & 0xff else 0
+        val ul = if (x > 0 && r > 0) out((r - 1) * columns + x - 1) & 0xff else 0
+        val v = ft match {
+          case 0 => raw
+          case 1 => raw + left
+          case 2 => raw + up
+          case 3 => raw + (left + up) / 2
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left)
+            val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            raw + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+          case _ => return None
+        }
+        out(r * columns + x) = (v & 0xff).toByte
+        x += 1
+      }
+      r += 1
+    }
+    Some(out)
+  }
+
+  // ---- document --------------------------------------------------------
+
+  private sealed trait XEntry
+  private final case class Direct(offset: Long) extends XEntry
+  private final case class InStm(objStm: Int, idx: Int) extends XEntry
+  private case object Free extends XEntry
+
+  /** A parsed document: xref map + trailer + lazy object resolution. */
+  private[multimodal] final class Doc(val b: Array[Byte], val version: String,
+      val trailer: PDict, entries: Map[Int, XEntry], maxBytes: Int) {
+    private val cache = scala.collection.mutable.HashMap.empty[Int, PObj]
+    private val inProgress = scala.collection.mutable.HashSet.empty[Int]
+
+    def nObjects: Long = trailer.m.get("Size") match {
+      case Some(n: PNum) => n.toLong
+      case _ => bad("bad_xref")
+    }
+    def encrypted: Boolean = trailer.m.contains("Encrypt")
+
+    def get(num: Int): PObj = cache.getOrElseUpdate(num, {
+      if (!inProgress.add(num)) bad("bad_object") // reference cycle
+      try entries.get(num) match {
+        case Some(Direct(off)) => parseAt(off)
+        case Some(InStm(stm, idx)) => fromObjStm(stm, idx)
+        case _ => PNull
+      } finally inProgress.remove(num)
+    })
+
+    def resolve(o: PObj): PObj = o match {
+      case PRef(n) => resolve(get(n))
+      case other => other
+    }
+
+    private def parseAt(off: Long): PObj = {
+      if (off < 0 || off >= b.length) bad("bad_xref")
+      val lex = new Lexer(b, off.toInt, b.length)
+      val n1 = lex.value(allowRef = false)
+      val n2 = lex.value(allowRef = false)
+      val kw = lex.value(allowRef = false)
+      (n1, n2, kw) match {
+        case (_: PNum, _: PNum, PKeyword("obj")) => ()
+        case _ => bad("bad_xref")
+      }
+      val v = lex.value(allowRef = true)
+      lex.skipWs()
+      // stream? the keyword follows the dict
+      val save = lex.pos
+      v match {
+        case d: PDict if lex.peek == 's' =>
+          val kw2 = try lex.value(allowRef = false) catch { case _: Bad => PNull }
+          kw2 match {
+            case PKeyword("stream") =>
+              // data begins after CRLF or LF
+              if (lex.pos < b.length && b(lex.pos) == '\r') lex.pos += 1
+              if (lex.pos >= b.length || b(lex.pos) != '\n') bad("bad_object")
+              lex.pos += 1
+              val len = resolve(d.m.getOrElse("Length", bad("bad_object"))) match {
+                case n: PNum => n.toInt
+                case _ => bad("bad_object")
+              }
+              if (len < 0 || lex.pos + len > b.length) bad("truncated")
+              val raw = java.util.Arrays.copyOfRange(b, lex.pos, lex.pos + len)
+              PStream(d, raw)
+            case _ => lex.pos = save; v
+          }
+        case _ => v
+      }
+    }
+
+    /** Decode a stream's data through its filter chain. Left = the
+      * per-page error tag ("unsupported_filter" / "bad_stream"). */
+    def decodeStream(s: PStream): Either[String, Array[Byte]] = {
+      val filters = resolve(s.dict.m.getOrElse("Filter", PNull)) match {
+        case PNull => Seq.empty
+        case PName(n) => Seq(n)
+        case PArr(items) => items.map {
+          case PName(n) => n
+          case _ => return Left("bad_stream")
+        }
+        case _ => return Left("bad_stream")
+      }
+      if (filters.exists(_ != "FlateDecode")) return Left("unsupported_filter")
+      var data = s.raw
+      for (_ <- filters) {
+        data = flate(data, maxBytes).getOrElse(return Left("bad_stream"))
+      }
+      resolve(s.dict.m.getOrElse("DecodeParms", PNull)) match {
+        case PDict(pm) =>
+          (pm.get("Predictor"), pm.get("Columns")) match {
+            case (Some(p: PNum), _) if p.v < 2 => ()
+            case (Some(p: PNum), Some(c: PNum)) if p.v >= 10 =>
+              data = pngUnpredict(data, c.toInt)
+                .getOrElse(return Left("bad_stream"))
+            case (Some(_), _) => return Left("unsupported_filter")
+            case (None, _) => ()
+          }
+        case PNull => ()
+        case _ => return Left("bad_stream")
+      }
+      Right(data)
+    }
+
+    private def fromObjStm(stmNum: Int, idx: Int): PObj = {
+      get(stmNum) match {
+        case s: PStream
+          if resolve(s.dict.m.getOrElse("Type", PNull)) == PName("ObjStm") =>
+          val data = decodeStream(s) match {
+            case Right(d) => d
+            case Left(t) => bad(t)
+          }
+          val n = resolve(s.dict.m.getOrElse("N", PNull)) match {
+            case x: PNum => x.toInt; case _ => bad("bad_object") }
+          val first = resolve(s.dict.m.getOrElse("First", PNull)) match {
+            case x: PNum => x.toInt; case _ => bad("bad_object") }
+          if (idx < 0 || idx >= n) bad("bad_xref")
+          val hdr = new Lexer(data, 0, data.length)
+          var off = -1
+          var k = 0
+          while (k <= idx) {
+            hdr.value(allowRef = false) // object number (unused here)
+            val o = hdr.value(allowRef = false) match {
+              case x: PNum => x.toInt; case _ => bad("bad_object") }
+            if (k == idx) off = o
+            k += 1
+          }
+          if (first + off >= data.length) bad("truncated")
+          new Lexer(data, first + off, data.length).value(allowRef = true)
+        case _ => bad("bad_xref")
+      }
+    }
+  }
+
+  /** Parse header + the xref chain. Left = container refusal tag. */
+  private[multimodal] def open(b: Array[Byte],
+      maxBytes: Int = 1 << 26): Either[String, Doc] =
+    try {
+      if (b == null || b.length < 16) return Left("not_pdf")
+      val head = new String(b, 0, 8, java.nio.charset.StandardCharsets.US_ASCII)
+      if (!head.startsWith("%PDF-")) return Left("not_pdf")
+      val version = head.stripPrefix("%PDF-").takeWhile(c =>
+        c.isDigit || c == '.')
+      if (version.isEmpty) return Left("not_pdf")
+      // locate the LAST "startxref" in the tail
+      val tailStart = math.max(0, b.length - 2048)
+      val tail = new String(b, tailStart, b.length - tailStart,
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      val sx = tail.lastIndexOf("startxref")
+      if (sx < 0) return Left("truncated")
+      val lex0 = new Lexer(b, tailStart + sx + "startxref".length, b.length)
+      val off0 = lex0.value(allowRef = false) match {
+        case n: PNum => n.toLong
+        case _ => return Left("truncated")
+      }
+      // walk the /Prev chain, newest entries win
+      var entries = Map.empty[Int, XEntry]
+      var trailer: PDict = null
+      var off = off0
+      var hops = 0
+      // a first pass records stream-xref objects so Doc.get can reach
+      // them before the Doc exists: collect (dict, raw) per hop
+      while (off >= 0) {
+        hops += 1
+        if (hops > 64) bad("bad_xref")
+        if (off >= b.length) bad("bad_xref")
+        val lex = new Lexer(b, off.toInt, b.length)
+        lex.skipWs()
+        if (lex.peek == 'x') {
+          // classic table
+          lex.value(allowRef = false) match {
+            case PKeyword("xref") => ()
+            case _ => bad("bad_xref")
+          }
+          var t: PDict = null
+          while (t == null) {
+            lex.skipWs()
+            if (lex.peek == 't') {
+              lex.value(allowRef = false) match {
+                case PKeyword("trailer") => ()
+                case _ => bad("bad_xref")
+              }
+              lex.value(allowRef = true) match {
+                case d: PDict => t = d
+                case _ => bad("bad_xref")
+              }
+            } else {
+              val start = lex.value(allowRef = false) match {
+                case n: PNum => n.toInt; case _ => bad("bad_xref") }
+              val count = lex.value(allowRef = false) match {
+                case n: PNum => n.toInt; case _ => bad("bad_xref") }
+              if (count < 0 || count > (1 << 22)) bad("bad_xref")
+              lex.skipWs()
+              var k = 0
+              while (k < count) {
+                if (lex.pos + 18 > b.length) bad("truncated")
+                val entry = new String(b, lex.pos, 18,
+                  java.nio.charset.StandardCharsets.US_ASCII)
+                val ten = entry.substring(0, 10)
+                val tpe = entry.charAt(17)
+                if (!ten.forall(_.isDigit)) bad("bad_xref")
+                val num = start + k
+                if (!entries.contains(num)) {
+                  entries += num -> (if (tpe == 'n') Direct(ten.toLong)
+                    else if (tpe == 'f') Free else bad("bad_xref"))
+                }
+                lex.pos += 18
+                // entry terminator: exactly 2 bytes of SP/CR/LF
+                lex.pos += 2
+                k += 1
+              }
+            }
+          }
+          if (trailer == null) trailer = t
+          off = t.m.get("Prev") match {
+            case Some(n: PNum) => n.toLong
+            case _ => -1
+          }
+        } else {
+          // xref STREAM: "N G obj << /Type /XRef ... >> stream"
+          val probe = new Doc(b, version, PDict(Map.empty),
+            Map(Int.MaxValue -> Direct(off)), maxBytes)
+          val s = probe.get(Int.MaxValue) match {
+            case st: PStream
+              if st.dict.m.get("Type").contains(PName("XRef")) => st
+            case _ => bad("bad_xref")
+          }
+          val data = probe.decodeStream(s) match {
+            case Right(d) => d
+            case Left(t) => bad(t)
+          }
+          val w = s.dict.m.get("W") match {
+            case Some(PArr(items)) if items.length == 3 => items.map {
+              case n: PNum => n.toInt
+              case _ => bad("bad_xref")
+            }
+            case _ => bad("bad_xref")
+          }
+          if (w.exists(x => x < 0 || x > 8)) bad("bad_xref")
+          val rowLen = w.sum
+          if (rowLen <= 0) bad("bad_xref")
+          val size = s.dict.m.get("Size") match {
+            case Some(n: PNum) => n.toInt
+            case _ => bad("bad_xref")
+          }
+          val index: Seq[(Int, Int)] = s.dict.m.get("Index") match {
+            case Some(PArr(items)) if items.length % 2 == 0 =>
+              items.grouped(2).map {
+                case Vector(a: PNum, c: PNum) => (a.toInt, c.toInt)
+                case _ => bad("bad_xref")
+              }.toSeq
+            case None => Seq((0, size))
+            case _ => bad("bad_xref")
+          }
+          var p = 0
+          def field(width: Int): Long = {
+            var v = 0L
+            var k = 0
+            while (k < width) { v = (v << 8) | (data(p) & 0xffL); p += 1; k += 1 }
+            v
+          }
+          for ((start, count) <- index) {
+            var k = 0
+            while (k < count) {
+              if (p + rowLen > data.length) bad("bad_xref")
+              val t = if (w(0) == 0) 1L else field(w(0))
+              val f2 = field(w(1))
+              val f3 = field(w(2))
+              val num = start + k
+              if (!entries.contains(num)) {
+                entries += num -> (t match {
+                  case 0 => Free
+                  case 1 => Direct(f2)
+                  case 2 => InStm(f2.toInt, f3.toInt)
+                  case _ => bad("bad_xref")
+                })
+              }
+              k += 1
+            }
+          }
+          if (trailer == null) trailer = s.dict
+          off = s.dict.m.get("Prev") match {
+            case Some(n: PNum) => n.toLong
+            case _ => -1
+          }
+        }
+      }
+      Right(new Doc(b, version, trailer, entries, maxBytes))
+    } catch {
+      case e: Bad => Left(e.tag)
+      case _: ArrayIndexOutOfBoundsException |
+           _: NegativeArraySizeException => Left("truncated")
+    }
+
+  // ---- pages + text ------------------------------------------------------
+
+  /** Page dicts in tree order. */
+  private def pages(doc: Doc): Seq[PDict] = {
+    val root = doc.resolve(doc.trailer.m.getOrElse("Root", bad("bad_xref"))) match {
+      case d: PDict => d
+      case _ => bad("bad_object")
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[PDict]
+    def walk(node: PObj, depth: Int): Unit = {
+      if (depth > 64) bad("bad_object")
+      doc.resolve(node) match {
+        case d: PDict =>
+          doc.resolve(d.m.getOrElse("Type", PNull)) match {
+            case PName("Pages") =>
+              doc.resolve(d.m.getOrElse("Kids", PNull)) match {
+                case PArr(kids) => kids.foreach(walk(_, depth + 1))
+                case _ => bad("bad_object")
+              }
+            case PName("Page") => out += d
+            case _ => bad("bad_object")
+          }
+        case _ => bad("bad_object")
+      }
+    }
+    walk(root.m.getOrElse("Pages", bad("bad_object")), 0)
+    out.toSeq
+  }
+
+  /** The frozen text-assembly convention over one page's content. */
+  private def extractText(doc: Doc, page: PDict): Either[String, String] = {
+    val streams: Seq[PStream] =
+      doc.resolve(page.m.getOrElse("Contents", PNull)) match {
+        case PNull => Seq.empty
+        case s: PStream => Seq(s)
+        case PArr(items) => items.map(doc.resolve).map {
+          case s: PStream => s
+          case _ => return Left("bad_stream")
+        }
+        case _ => return Left("bad_stream")
+      }
+    val content = new java.io.ByteArrayOutputStream()
+    for (s <- streams) doc.decodeStream(s) match {
+      case Right(d) => content.write(d, 0, d.length); content.write('\n')
+      case Left(t) => return Left(t)
+    }
+    val data = content.toByteArray
+    val lex = new Lexer(data, 0, data.length)
+    val out = new java.io.ByteArrayOutputStream()
+    val operands = scala.collection.mutable.ArrayBuffer.empty[PObj]
+    def showStr(o: PObj): Unit = o match {
+      case PStr(bs) => out.write(bs, 0, bs.length)
+      case _ => ()
+    }
+    try {
+      var going = true
+      while (going) {
+        lex.skipWs()
+        if (lex.pos >= lex.end) going = false
+        else lex.value(allowRef = false) match {
+          case PKeyword(kw) =>
+            kw match {
+              case "Tj" => operands.lastOption.foreach(showStr)
+              case "'" =>
+                out.write('\n'); operands.lastOption.foreach(showStr)
+              case "\"" =>
+                out.write('\n'); operands.lastOption.foreach(showStr)
+              case "TJ" => operands.lastOption match {
+                case Some(PArr(items)) => items.foreach(showStr)
+                case _ => ()
+              }
+              case "ET" => out.write('\n')
+              case "BI" => return Left("inline_image")
+              case _ => ()
+            }
+            operands.clear()
+          case v => operands += v
+        }
+      }
+      Right(new String(out.toByteArray,
+        java.nio.charset.StandardCharsets.UTF_8))
+    } catch {
+      case _: Bad => Left("bad_stream") // any malformation inside content
+    }
+  }
+
+  // ---- public rows -------------------------------------------------------
+
+  final case class PdfInfo(media_id: Long, ok: Int, version: String,
+      n_objects: Long, n_pages: Long, encrypted: Int, err: String)
+
+  final case class PdfPageText(media_id: Long, page_idx: Int, ok: Int,
+      text: String, err: String)
+
+  def parseInfo(id: Long, b: Array[Byte]): PdfInfo =
+    open(b) match {
+      case Left(tag) => PdfInfo(id, 0, "", 0L, 0L, 0, tag)
+      case Right(doc) =>
+        try PdfInfo(id, 1, doc.version, doc.nObjects, pages(doc).length.toLong,
+          if (doc.encrypted) 1 else 0, "")
+        catch { case e: Bad => PdfInfo(id, 0, doc.version, 0L, 0L, 0, e.tag) }
+    }
+
+  /** Per-page extracted text; container-level refusals (including
+    * /Encrypt — decrypting is out of scope) are one ok=0 row. */
+  def pageTexts(id: Long, b: Array[Byte]): Seq[PdfPageText] =
+    open(b) match {
+      case Left(tag) => Seq(PdfPageText(id, 0, 0, "", tag))
+      case Right(doc) =>
+        if (doc.encrypted) Seq(PdfPageText(id, 0, 0, "", "encrypted"))
+        else try {
+          pages(doc).zipWithIndex.map { case (p, i) =>
+            extractText(doc, p) match {
+              case Right(t) => PdfPageText(id, i, 1, t, "")
+              case Left(tag) => PdfPageText(id, i, 0, "", tag)
+            }
+          }
+        } catch { case e: Bad => Seq(PdfPageText(id, 0, 0, "", e.tag)) }
+    }
+
+  // ---- fixture synthesis (REAL spec-shaped files) -------------------------
+
+  /** Wire-shape options, all text-invisible: zlib content streams, the
+    * PDF-1.5 xref-stream form (with optional PNG Up predictor), the
+    * compressed-object-stream form (catalog + pages ride an ObjStm),
+    * TJ-split / hex-string show operators. Error plants: a broken
+    * header, a tail truncation, an /Encrypt trailer, one page declared
+    * /LZWDecode. */
+  final case class PdfOpts(flate: Boolean = false, xrefStream: Boolean = false,
+      objStm: Boolean = false, predictor: Boolean = false,
+      tjSplit: Boolean = false, hexStrings: Boolean = false,
+      encrypted: Boolean = false, lzwPage: Int = -1,
+      breakMagic: Boolean = false, truncateTail: Boolean = false)
+
+  private def escLit(s: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    s.foreach { c =>
+      if (c == '(' || c == ')' || c == '\\') out.write('\\')
+      out.write(c & 0xff)
+    }
+    out.toByteArray
+  }
+
+  private def zlibDeflate(data: Array[Byte]): Array[Byte] = {
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(data); defl.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!defl.finished()) out.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    out.toByteArray
+  }
+
+  /** Assemble a REAL PDF: one page per line, "BT ... Tj/TJ ET" content
+    * streams, classic or stream xref, objects laid out with correct
+    * byte offsets. Page 0's /Length is INDIRECT (a separate number
+    * object), exercising the resolve-while-parsing path. */
+  private[multimodal] def pdfBytes(lines: Seq[String],
+      opts: PdfOpts = PdfOpts()): Array[Byte] = {
+    require(lines.nonEmpty, "a PDF fixture needs at least one page")
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val nPages = lines.length
+    def contentBytes(line: String): Array[Byte] = {
+      val raw = line.getBytes(utf8)
+      val shown =
+        if (opts.hexStrings)
+          "<" + raw.map(b => f"${b & 0xff}%02X").mkString + "> Tj"
+        else if (opts.tjSplit) {
+          val half = raw.length / 2
+          val a = new String(escLit(raw.take(half)), utf8)
+          val bTail = new String(escLit(raw.drop(half)), utf8)
+          s"[($a) -120 ($bTail)] TJ"
+        } else s"(${new String(escLit(raw), utf8)}) Tj"
+      s"BT /F1 12 Tf 72 720 Td $shown ET\n".getBytes(utf8)
+    }
+    // object numbering: 1 catalog, 2 pages, 3+2i page i, 4+2i content i,
+    // L = 3+2n: page-0 content's indirect length; [S = L+1: ObjStm];
+    // [X = last: xref stream]
+    val lenObj = 3 + 2 * nPages
+    val objStmNum = lenObj + 1
+    val xrefNum = if (opts.objStm) objStmNum + 1 else objStmNum
+    val size = (if (opts.xrefStream) xrefNum + 1
+      else if (opts.objStm) objStmNum + 1 else lenObj + 1)
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(utf8))
+    val offsets = scala.collection.mutable.HashMap.empty[Int, Long]
+    w(if (opts.breakMagic) "%XDF-1.4\n" else
+      s"%PDF-${if (opts.xrefStream) "1.5" else "1.4"}\n")
+    out.write(Array[Byte]('%', 0xe2.toByte, 0xe3.toByte, 0xcf.toByte,
+      0xd3.toByte, '\n'))
+    val kids = (0 until nPages).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    val catalogBody = "<< /Type /Catalog /Pages 2 0 R >>"
+    val pagesBody = s"<< /Type /Pages /Kids [ $kids ] /Count $nPages >>"
+    if (!opts.objStm) {
+      offsets(1) = out.size()
+      w(s"1 0 obj\n$catalogBody\nendobj\n")
+      offsets(2) = out.size()
+      w(s"2 0 obj\n$pagesBody\nendobj\n")
+    }
+    for (i <- 0 until nPages) {
+      offsets(3 + 2 * i) = out.size()
+      w(s"${3 + 2 * i} 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox " +
+        s"[ 0 0 612 792 ] /Contents ${4 + 2 * i} 0 R >>\nendobj\n")
+      val raw = contentBytes(lines(i))
+      val lzw = opts.lzwPage == i
+      val data = if (lzw || !opts.flate) raw else zlibDeflate(raw)
+      val filter =
+        if (lzw) " /Filter /LZWDecode"
+        else if (opts.flate) " /Filter /FlateDecode"
+        else ""
+      val lenField = if (i == 0) s"$lenObj 0 R" else data.length.toString
+      offsets(4 + 2 * i) = out.size()
+      w(s"${4 + 2 * i} 0 obj\n<< /Length $lenField$filter >>\nstream\n")
+      out.write(data, 0, data.length)
+      w("\nendstream\nendobj\n")
+      if (i == 0) {
+        offsets(lenObj) = out.size()
+        w(s"$lenObj 0 obj\n${data.length}\nendobj\n")
+      }
+    }
+    if (opts.objStm) {
+      // catalog + pages ride the object stream
+      val b1 = catalogBody.getBytes(utf8)
+      val hdr = s"1 0 2 ${b1.length + 1} "
+      val body = hdr + catalogBody + "\n" + pagesBody
+      val raw = body.getBytes(utf8)
+      val first = hdr.getBytes(utf8).length
+      val data = if (opts.flate) zlibDeflate(raw) else raw
+      val f = if (opts.flate) " /Filter /FlateDecode" else ""
+      offsets(objStmNum) = out.size()
+      w(s"$objStmNum 0 obj\n<< /Type /ObjStm /N 2 /First $first " +
+        s"/Length ${data.length}$f >>\nstream\n")
+      out.write(data, 0, data.length)
+      w("\nendstream\nendobj\n")
+    }
+    val enc = if (opts.encrypted) " /Encrypt << /Filter /Standard >>" else ""
+    val startxref: Long =
+      if (!opts.xrefStream) {
+        val xo = out.size()
+        w(s"xref\n0 $size\n")
+        w("0000000000 65535 f \n")
+        for (n <- 1 until size) {
+          w(f"${offsets(n)}%010d 00000 n \n")
+        }
+        w(s"trailer\n<< /Size $size /Root 1 0 R$enc >>\n")
+        xo
+      } else {
+        // xref stream rows: 1-byte type, 4-byte offset/stm, 2-byte gen/idx
+        val rows = new java.io.ByteArrayOutputStream()
+        def row(t: Int, f2: Long, f3: Int): Unit = {
+          rows.write(t)
+          rows.write(((f2 >> 24) & 0xff).toInt); rows.write(((f2 >> 16) & 0xff).toInt)
+          rows.write(((f2 >> 8) & 0xff).toInt); rows.write((f2 & 0xff).toInt)
+          rows.write((f3 >> 8) & 0xff); rows.write(f3 & 0xff)
+        }
+        val xo = out.size()
+        offsets(xrefNum) = xo
+        row(0, 0, 0xffff)
+        for (n <- 1 until size) {
+          if (opts.objStm && (n == 1 || n == 2)) row(2, objStmNum, n - 1)
+          else row(1, offsets(n), 0)
+        }
+        var data = rows.toByteArray
+        var parms = ""
+        if (opts.predictor) {
+          // PNG Up filter per 7-byte row
+          val cols = 7
+          val nRows = data.length / cols
+          val filtered = new java.io.ByteArrayOutputStream()
+          for (r <- 0 until nRows) {
+            filtered.write(2)
+            for (x <- 0 until cols) {
+              val cur = data(r * cols + x) & 0xff
+              val up = if (r > 0) data((r - 1) * cols + x) & 0xff else 0
+              filtered.write((cur - up) & 0xff)
+            }
+          }
+          data = filtered.toByteArray
+          parms = " /DecodeParms << /Predictor 12 /Columns 7 >>"
+        }
+        data = zlibDeflate(data)
+        w(s"$xrefNum 0 obj\n<< /Type /XRef /Size $size /Root 1 0 R$enc " +
+          s"/W [ 1 4 2 ] /Filter /FlateDecode$parms " +
+          s"/Length ${data.length} >>\nstream\n")
+        out.write(data, 0, data.length)
+        w("\nendstream\nendobj\n")
+        xo
+      }
+    w(s"startxref\n$startxref\n%%EOF\n")
+    val full = out.toByteArray
+    if (opts.truncateTail) full.dropRight(40) else full
+  }
+
+  /** Deterministic PDF corpus: two pages per doc — the doc's own text,
+    * then a closed-form second line — with the wire shape fanned
+    * text-invisibly and the error families planted:
+    *   id%11==7        broken header           -> "not_pdf"
+    *   else id%19==13  tail cut by 40 bytes    -> "truncated"
+    *   else id%13==9   /Encrypt in the trailer -> classified ok,
+    *                   encrypted=1; text refuses "encrypted"
+    *   else id%17==11  page 1 declared LZW     -> that page
+    *                   "unsupported_filter", page 0 extracts
+    * Shape fan: flate id%2==0; xref stream id%5 in {1,3} (version
+    * 1.5), ObjStm at id%5==3, Up-predictor at id%7==2; TJ-split
+    * id%3==1, hex strings id%3==2. */
+  def pdfCorpusFromDocuments(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      .as[(Long, String)].map { case (id, text) =>
+        def fm(x: Long, m: Long): Long = java.lang.Math.floorMod(x, m)
+        val badHdr = fm(id, 11L) == 7L
+        val trunc = !badHdr && fm(id, 19L) == 13L
+        val enc = !badHdr && !trunc && fm(id, 13L) == 9L
+        val lzw = !badHdr && !trunc && !enc && fm(id, 17L) == 11L
+        val xs = fm(id, 5L) == 1L || fm(id, 5L) == 3L
+        val opts = PdfOpts(
+          flate = fm(id, 2L) == 0L,
+          xrefStream = xs,
+          objStm = fm(id, 5L) == 3L,
+          predictor = xs && fm(id, 7L) == 2L,
+          tjSplit = fm(id, 3L) == 1L,
+          hexStrings = fm(id, 3L) == 2L,
+          encrypted = enc,
+          lzwPage = if (lzw) 1 else -1,
+          breakMagic = badHdr,
+          truncateTail = trunc)
+        (id, pdfBytes(Seq(text, s"second page of document $id"), opts))
+      }.toDF("media_id", "payload")
+  }
+
+  /** Batched classification (the q77/q156 shape). */
+  def decodePdfInfo(media: DataFrame, partitions: Int = 0): Dataset[PdfInfo] = {
+    val spark = media.sparkSession
+    val parts = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    media.select("media_id", "payload")
+      .repartition(parts, col("media_id"))
+      .as[(Long, Array[Byte])](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.BINARY))
+      .map { case (id, p) => parseInfo(id, p) }(
+        org.apache.spark.sql.Encoders.product[PdfInfo])
+  }
+
+  /** Batched per-page text extraction. */
+  def decodePdfText(media: DataFrame, partitions: Int = 0): Dataset[PdfPageText] = {
+    val spark = media.sparkSession
+    val parts = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    media.select("media_id", "payload")
+      .repartition(parts, col("media_id"))
+      .as[(Long, Array[Byte])](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.BINARY))
+      .flatMap { case (id, p) => pageTexts(id, p) }(
+        org.apache.spark.sql.Encoders.product[PdfPageText])
+  }
+}

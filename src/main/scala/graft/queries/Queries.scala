@@ -2094,6 +2094,37 @@ object Queries {
       totalBits = 64, maxDist = 5, bands = 8)
   }
 
+  /** PDF classification through the gate — the q77/q156 pattern on the
+    * crawl's dominant DOCUMENT format: header version, trailer /Size,
+    * page-tree count, /Encrypt flag, and the tagged container refusals
+    * (not_pdf / truncated), over a corpus whose wire shape fans
+    * text-invisibly across classic xref tables, PDF-1.5 xref STREAMS
+    * (with the PNG Up predictor), and compressed-object streams —
+    * every field and every arm restated closed-form from id
+    * arithmetic. */
+  def q178PdfHeaders(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Pdf.pdfCorpusFromDocuments(
+      tbl(spark, dir, "documents"))
+    graft.multimodal.Pdf.decodePdfInfo(media).toDF()
+  }
+
+  /** PDF text extraction through the gate: each doc's text REALLY
+    * round-trips through a PDF page — escaped into a content stream
+    * (literal, TJ-split, or hex show strings), optionally
+    * FlateDecode-compressed, located through whichever xref form the
+    * id selects, and extracted back by the content-stream walk. The
+    * oracle is the ORIGINAL text (+ the frozen ET newline), so any
+    * asymmetry between the escape and unescape paths, a wrong stream
+    * offset, or a broken filter chain surfaces as a text mismatch.
+    * An /Encrypt doc refuses whole ('encrypted' — decrypting is out
+    * of scope, loudly); an LZW-declared page refuses alone while its
+    * sibling extracts. */
+  def q179PdfText(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Pdf.pdfCorpusFromDocuments(
+      tbl(spark, dir, "documents"))
+    graft.multimodal.Pdf.decodePdfText(media).toDF()
+  }
+
   /** Gopher REPETITION rules through the gate (Rae et al. 2021, Table
     * A1 — the other half of q135's document rules): each doc becomes
     * a synthesized page planting every repetition family — a
@@ -5966,6 +5997,8 @@ object Queries {
     "q175_gif_frames" -> (q175GifFrames _),
     "q176_gif_phash" -> (q176GifPhash _),
     "q177_gopher_repetition" -> (q177GopherRepetition _),
+    "q178_pdf_headers" -> (q178PdfHeaders _),
+    "q179_pdf_text" -> (q179PdfText _),
     "q169_anim_webp_frames" -> (q169AnimWebpFrames _),
     "q170_cross_clip_dups" -> (q170CrossClipDups _),
     "q171_exif_headers" -> (q171ExifHeaders _),
@@ -6846,6 +6879,52 @@ object Queries {
         |  bit_count(xor(a.h, b.h))::BIGINT AS hamming_dist
         |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.h, b.h)) <= 5""".stripMargin,
+    // every field closed-form from id arithmetic: version by xref
+    // form, /Size by object layout (8 classic / 9 xref-stream /
+    // 10 objstm), plant precedence not_pdf > truncated > encrypted
+    "q178_pdf_headers" ->
+      """SELECT doc_id AS media_id,
+        |  (CASE WHEN doc_id % 11 = 7 OR doc_id % 19 = 13
+        |        THEN 0 ELSE 1 END)::INTEGER AS ok,
+        |  CASE WHEN doc_id % 11 = 7 OR doc_id % 19 = 13 THEN ''
+        |       WHEN doc_id % 5 IN (1, 3) THEN '1.5' ELSE '1.4' END AS version,
+        |  (CASE WHEN doc_id % 11 = 7 OR doc_id % 19 = 13 THEN 0
+        |        WHEN doc_id % 5 = 3 THEN 10
+        |        WHEN doc_id % 5 = 1 THEN 9 ELSE 8 END)::BIGINT AS n_objects,
+        |  (CASE WHEN doc_id % 11 = 7 OR doc_id % 19 = 13 THEN 0
+        |        ELSE 2 END)::BIGINT AS n_pages,
+        |  (CASE WHEN doc_id % 11 <> 7 AND doc_id % 19 <> 13
+        |          AND doc_id % 13 = 9 THEN 1 ELSE 0 END)::INTEGER AS encrypted,
+        |  CASE WHEN doc_id % 11 = 7 THEN 'not_pdf'
+        |       WHEN doc_id % 19 = 13 THEN 'truncated' ELSE '' END AS err
+        |FROM documents""".stripMargin,
+    // the planted text replayed verbatim (+ the frozen ET newline);
+    // the closed-form second page; the three whole-doc refusals and
+    // the page-level LZW arm beside its extracting sibling
+    "q179_pdf_text" ->
+      """WITH good AS (
+        |  SELECT doc_id, coalesce(text, '') AS text FROM documents
+        |  WHERE doc_id % 11 <> 7 AND doc_id % 19 <> 13 AND doc_id % 13 <> 9)
+        |SELECT doc_id AS media_id, 0::INTEGER AS page_idx, 1::INTEGER AS ok,
+        |  text || chr(10) AS text, '' AS err
+        |FROM good
+        |UNION ALL
+        |SELECT doc_id, 1::INTEGER,
+        |  (CASE WHEN doc_id % 17 = 11 THEN 0 ELSE 1 END)::INTEGER,
+        |  CASE WHEN doc_id % 17 = 11 THEN ''
+        |       ELSE 'second page of document ' || doc_id || chr(10) END,
+        |  CASE WHEN doc_id % 17 = 11 THEN 'unsupported_filter' ELSE '' END
+        |FROM good
+        |UNION ALL
+        |SELECT doc_id, 0::INTEGER, 0::INTEGER, '', 'not_pdf'
+        |FROM documents WHERE doc_id % 11 = 7
+        |UNION ALL
+        |SELECT doc_id, 0::INTEGER, 0::INTEGER, '', 'truncated'
+        |FROM documents WHERE doc_id % 11 <> 7 AND doc_id % 19 = 13
+        |UNION ALL
+        |SELECT doc_id, 0::INTEGER, 0::INTEGER, '', 'encrypted'
+        |FROM documents
+        |WHERE doc_id % 11 <> 7 AND doc_id % 19 <> 13 AND doc_id % 13 = 9""".stripMargin,
     // generation + every repetition measure replayed: line/paragraph
     // value counts, modal n-gram (count ties to the longest), and the
     // 5..10-gram position-coverage character fractions

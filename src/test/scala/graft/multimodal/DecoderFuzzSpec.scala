@@ -158,6 +158,18 @@ class DecoderFuzzSpec extends SparkSpec {
     }
   }
 
+  test("PDF walker survives 300 deterministic corruptions per wire shape") {
+    val lines = Seq("fuzz page one with some text", "fuzz page two")
+    for ((name, o) <- Seq(
+        ("classic", Pdf.PdfOpts(flate = true)),
+        ("xref-stream-objstm", Pdf.PdfOpts(flate = true, xrefStream = true,
+          objStm = true, predictor = true)))) {
+      val base = Pdf.pdfBytes(lines, o)
+      fuzz(s"pdf-$name", base,
+        b => (Pdf.parseInfo(0L, b), Pdf.pageTexts(0L, b)))
+    }
+  }
+
   test("GIF decoder survives 300 deterministic corruptions per wire shape") {
     val frames = (0 until 3).map { f =>
       (Array.tabulate(64 * 64) { i =>

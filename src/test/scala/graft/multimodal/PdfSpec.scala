@@ -1,0 +1,136 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+class PdfSpec extends SparkSpec {
+
+  private val lines = Seq("hello (paren) \\ world", "second page here")
+  private val wireVariants = Seq(
+    ("plain", Pdf.PdfOpts()),
+    ("flate", Pdf.PdfOpts(flate = true)),
+    ("xref-stream", Pdf.PdfOpts(flate = true, xrefStream = true)),
+    ("objstm", Pdf.PdfOpts(flate = true, xrefStream = true, objStm = true)),
+    ("predictor", Pdf.PdfOpts(flate = true, xrefStream = true, predictor = true)),
+    ("tj-split", Pdf.PdfOpts(tjSplit = true)),
+    ("hex", Pdf.PdfOpts(hexStrings = true)))
+
+  test("every wire shape extracts the identical text (storage proven invisible)") {
+    for ((name, o) <- wireVariants) {
+      val b = Pdf.pdfBytes(lines, o)
+      val info = Pdf.parseInfo(1L, b)
+      assert(info.ok == 1 && info.n_pages == 2 && info.encrypted == 0,
+        s"$name: $info")
+      assert(info.version == (if (o.xrefStream) "1.5" else "1.4"))
+      val texts = Pdf.pageTexts(1L, b)
+      assert(texts.map(_.text) == lines.map(_ + "\n"), s"$name text mismatch")
+      assert(texts.forall(_.ok == 1))
+    }
+    // /Size follows the object layout
+    assert(Pdf.parseInfo(1L, Pdf.pdfBytes(lines, Pdf.PdfOpts())).n_objects == 8)
+    assert(Pdf.parseInfo(1L, Pdf.pdfBytes(lines,
+      Pdf.PdfOpts(xrefStream = true))).n_objects == 9)
+    assert(Pdf.parseInfo(1L, Pdf.pdfBytes(lines,
+      Pdf.PdfOpts(xrefStream = true, objStm = true))).n_objects == 10)
+  }
+
+  test("string escapes pinned by hand vectors (octal, continuation, nesting, hex)") {
+    def pdfWith(content: String): Array[Byte] = {
+      // splice hand-written show bytes over a fixed-width placeholder
+      // inside a real one-page document (same /Length, same offsets)
+      val b = Pdf.pdfBytes(Seq("XXXXXXXX"), Pdf.PdfOpts())
+      val marker = "(XXXXXXXX) Tj"
+      val raw = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+      val at = raw.indexOf(marker)
+      val padded = content + " " * (marker.length - content.length)
+      assert(at > 0 && padded.length == marker.length,
+        s"hand content must fit ${marker.length} bytes: '$content'")
+      val out = b.clone()
+      padded.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        .zipWithIndex.foreach { case (c, i) => out(at + i) = c }
+      out
+    }
+    // octal escape \101 = 'A'
+    assert(Pdf.pageTexts(1L, pdfWith("(\\101) Tj")).head.text == "A\n")
+    // nested balanced parens survive unescaped
+    assert(Pdf.pageTexts(1L, pdfWith("((n)) Tj")).head.text == "(n)\n")
+    // hex pair + odd trailing digit implies a zero nibble: <41 5> = A P
+    assert(Pdf.pageTexts(1L, pdfWith("<415> Tj")).head.text == "AP\n")
+    // backslash-newline is a line continuation (contributes nothing)
+    assert(Pdf.pageTexts(1L, pdfWith("(a\\\nb) Tj")).head.text == "ab\n")
+  }
+
+  test("incremental update: the newest xref's entry wins across the /Prev chain") {
+    val base = Pdf.pdfBytes(lines, Pdf.PdfOpts())
+    // locate the original startxref offset
+    val raw = new String(base, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val sx = raw.lastIndexOf("startxref")
+    val oldXref = raw.substring(sx + 9).trim.takeWhile(_.isDigit)
+    // append a REPLACEMENT for object 6 (page 1's content stream) and a
+    // new xref table that covers only it, chaining /Prev to the old one
+    val newContent = "BT (revised page) Tj ET\n"
+    val upd = new java.io.ByteArrayOutputStream()
+    upd.write(base, 0, base.length)
+    val obj6At = upd.size()
+    upd.write((s"6 0 obj\n<< /Length ${newContent.length} >>\nstream\n" +
+      newContent + "\nendstream\nendobj\n").getBytes("UTF-8"))
+    val xrefAt = upd.size()
+    upd.write((f"xref%n0 1%n0000000000 65535 f %n6 1%n$obj6At%010d 00000 n %n" +
+      s"trailer\n<< /Size 8 /Root 1 0 R /Prev $oldXref >>\n" +
+      s"startxref\n$xrefAt\n%%EOF\n").getBytes("UTF-8"))
+    val texts = Pdf.pageTexts(1L, upd.toByteArray)
+    assert(texts.map(_.text) == Seq(lines.head + "\n", "revised page\n"),
+      s"got ${texts.map(_.text)}")
+  }
+
+  test("refusal families are tagged; page errors keep siblings alive") {
+    assert(Pdf.parseInfo(1L, Pdf.pdfBytes(lines,
+      Pdf.PdfOpts(breakMagic = true))).err == "not_pdf")
+    assert(Pdf.parseInfo(1L, Array[Byte](1, 2, 3)).err == "not_pdf")
+    assert(Pdf.parseInfo(1L, Pdf.pdfBytes(lines,
+      Pdf.PdfOpts(truncateTail = true))).err == "truncated")
+    // a garbage startxref offset is a bad xref, not a crash
+    val b = Pdf.pdfBytes(lines, Pdf.PdfOpts())
+    val raw = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val sx = raw.lastIndexOf("startxref")
+    val broken = b.clone()
+    broken(sx + 10) = '9'; broken(sx + 11) = '9'
+    val r = Pdf.parseInfo(1L, broken)
+    assert(r.ok == 0 && (r.err == "bad_xref" || r.err == "truncated"), s"$r")
+    // /Encrypt: classified (encrypted=1) but text refuses whole
+    val enc = Pdf.pdfBytes(lines, Pdf.PdfOpts(encrypted = true))
+    assert(Pdf.parseInfo(1L, enc).encrypted == 1)
+    assert(Pdf.pageTexts(1L, enc) ==
+      Seq(Pdf.PdfPageText(1L, 0, 0, "", "encrypted")))
+    // LZW page refuses alone; its sibling extracts
+    val lzw = Pdf.pageTexts(1L, Pdf.pdfBytes(lines, Pdf.PdfOpts(lzwPage = 1)))
+    assert(lzw(0).ok == 1 && lzw(0).text == lines.head + "\n")
+    assert(lzw(1).ok == 0 && lzw(1).err == "unsupported_filter")
+    // corrupt flate data inside a content stream: bad_stream
+    val fb = Pdf.pdfBytes(lines, Pdf.PdfOpts(flate = true))
+    val fraw = new String(fb, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val streamAt = fraw.indexOf("stream\n") + 7
+    val fbad = fb.clone()
+    fbad(streamAt) = (fbad(streamAt) ^ 0x55).toByte
+    val pt = Pdf.pageTexts(1L, fbad)
+    assert(pt.exists(p => p.err == "bad_stream"), s"got $pt")
+  }
+
+  test("batched decode matches single-payload decode") {
+    val s = spark
+    import s.implicits._
+    val docs = spark.range(0, 80)
+      .select(org.apache.spark.sql.functions.col("id").as("doc_id"),
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("text of document "),
+          org.apache.spark.sql.functions.col("id")).as("text"))
+    val media = Pdf.pdfCorpusFromDocuments(docs)
+    val infos = Pdf.decodePdfInfo(media, partitions = 5).collect()
+      .map(r => r.media_id -> r).toMap
+    val texts = Pdf.decodePdfText(media, partitions = 5).collect()
+      .groupBy(_.media_id)
+    media.as[(Long, Array[Byte])].collect().foreach { case (id, payload) =>
+      assert(infos(id) == Pdf.parseInfo(id, payload))
+      assert(texts(id).sortBy(_.page_idx).toSeq == Pdf.pageTexts(id, payload))
+    }
+  }
+}
