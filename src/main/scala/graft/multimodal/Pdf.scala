@@ -738,7 +738,7 @@ object Pdf {
     * streams, classic or stream xref, objects laid out with correct
     * byte offsets. Page 0's /Length is INDIRECT (a separate number
     * object), exercising the resolve-while-parsing path. */
-  private[multimodal] def pdfBytes(lines: Seq[String],
+  def pdfBytes(lines: Seq[String],
       opts: PdfOpts = PdfOpts()): Array[Byte] = {
     require(lines.nonEmpty, "a PDF fixture needs at least one page")
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
@@ -924,6 +924,27 @@ object Pdf {
         org.apache.spark.sql.Encoders.BINARY))
       .map { case (id, p) => parseInfo(id, p) }(
         org.apache.spark.sql.Encoders.product[PdfInfo])
+  }
+
+  /** PDFs as corpus DOCUMENTS (the [[Containers.zipDocs]] shape for
+    * the daily loop's raw zone): one document per payload, text = the
+    * ok pages' extracted texts joined in page order (each already
+    * carries its ET newline). Refused containers and zero-ok-page
+    * payloads yield no document — a curation gate counts them off the
+    * page-level rows, not here. Assembled per payload (one doc's
+    * pages never cross rows), so the drain's streaming plan stays
+    * aggregation-free. */
+  def pdfDocs(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, p) =>
+        val text = pageTexts(id, p).filter(_.ok == 1)
+          .sortBy(_.page_idx).map(_.text).mkString
+        if (text.isEmpty) None else Some((id, "pdf", text))
+      }
+      .toDF("doc_id", "source", "text")
   }
 
   /** Batched per-page text extraction. */

@@ -66,6 +66,11 @@ object CurationRunner {
     * on a later day is a CHANGED document under the snapshot's
     * latest-row-wins semantics. */
   case object RawZip extends RawFormat
+  /** Landed `.pdf` files — the crawl's dominant document format. Each
+    * payload drains through [[graft.multimodal.Pdf.pdfDocs]] (xref
+    * walk -> page tree -> content-stream text, ok pages joined in page
+    * order), doc_id = hash of the file path, source = "pdf". */
+  case object RawPdf extends RawFormat
 
   /** Optional last-mile export: pack the day's curated corpus and land
     * loader-ready shards + manifest under shards/date=D. */
@@ -280,6 +285,14 @@ object CurationRunner {
         case RawZip =>
           Streaming.runDailyAvailableNowBinary(spark, s"$lakeRoot/raw/documents",
             df => graft.multimodal.Containers.zipDocs(
+                df.select(xxhash64(col("path")).as("media_id"),
+                  col("content").as("payload")))
+              .select(col("doc_id"), col("source"), col("text"))
+              .withColumn("ingest_date", lit(date)),
+            staged, s"$lakeRoot/_checkpoints/documents")
+        case RawPdf =>
+          Streaming.runDailyAvailableNowBinary(spark, s"$lakeRoot/raw/documents",
+            df => graft.multimodal.Pdf.pdfDocs(
                 df.select(xxhash64(col("path")).as("media_id"),
                   col("content").as("payload")))
               .select(col("doc_id"), col("source"), col("text"))

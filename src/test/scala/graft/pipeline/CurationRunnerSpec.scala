@@ -445,6 +445,43 @@ class CurationRunnerSpec extends SparkSpec {
     } finally { Lake.delete(spark, root) }
   }
 
+  test("RawPdf daily loop: crawl PDFs drain through the xref/page/text walk") {
+    val root = java.nio.file.Files.createTempDirectory("lake").toString
+    try {
+      val cfg = Curation.CurationConfig(minQualityMilli = 200)
+      // day 1: two PDFs under different wire shapes + one broken one
+      // (must not become a document); a page's ET newline joins pages
+      landBin(root, "a.pdf", graft.multimodal.Pdf.pdfBytes(
+        Seq(doc(1), doc(10)), graft.multimodal.Pdf.PdfOpts(flate = true)))
+      landBin(root, "b.pdf", graft.multimodal.Pdf.pdfBytes(
+        Seq(doc(2)), graft.multimodal.Pdf.PdfOpts(flate = true,
+          xrefStream = true, objStm = true)))
+      landBin(root, "junk.pdf", graft.multimodal.Pdf.pdfBytes(
+        Seq(doc(3)), graft.multimodal.Pdf.PdfOpts(breakMagic = true)))
+      val r1 = CurationRunner.runDaily(spark, root, "2024-09-01", None, cfg,
+        rawFormat = CurationRunner.RawPdf)
+      assert(r1.snapshotDocs == 2, "the refused PDF must not land")
+      val c1 = Lake.readParquet(spark, s"$root/curated/date=2024-09-01")
+      val texts1 = c1.select($"text").as[String].collect().toSet
+      assert(texts1 == Set(doc(1) + "\n" + doc(10) + "\n", doc(2) + "\n"),
+        s"pages join in order: $texts1")
+      assert(c1.select($"source").as[String].collect().toSet == Set("pdf"))
+
+      // day 2: a new file arrives (PDF doc ids are path hashes, so the
+      // unit of change is the file; the drain checkpoint reads only
+      // unseen paths)
+      landBin(root, "c.pdf", graft.multimodal.Pdf.pdfBytes(
+        Seq(doc(4)), graft.multimodal.Pdf.PdfOpts(tjSplit = true)))
+      val r2 = CurationRunner.runDaily(spark, root, "2024-09-02", None, cfg,
+        rawFormat = CurationRunner.RawPdf)
+      assert(r2.incremental && r2.snapshotDocs == 3)
+      val texts2 = Lake.readParquet(spark, s"$root/curated/date=2024-09-02")
+        .select($"text").as[String].collect().toSet
+      assert(texts2 == Set(doc(1) + "\n" + doc(10) + "\n", doc(2) + "\n",
+        doc(4) + "\n"), "carried docs intact beside the delta")
+    } finally { Lake.delete(spark, root) }
+  }
+
   test("RawWarc .warc.zst segments drain through the daily loop; auto sniffs mixed dirs") {
     val root = java.nio.file.Files.createTempDirectory("lake").toString
     try {
