@@ -147,14 +147,165 @@ object Ogg {
         org.apache.spark.sql.Encoders.product[OggInfo])
   }
 
+  // ---- comment headers (VorbisComment / OpusTags) ----------------------
+
+  /** Reassemble the logical stream's first `need` PACKETS across pages
+    * (the lacing rule: a segment value < 255 terminates a packet; a
+    * page ending on 255 continues into the next). Validates the same
+    * page-level structure as [[parseOgg]] over the pages it WALKS —
+    * the walk stops once `need` packets close, so later pages (audio)
+    * are q166's business, not this one's. Left = container tag. */
+  private[multimodal] def headerPackets(b: Array[Byte],
+      need: Int): Either[String, Seq[Array[Byte]]] = {
+    if (b == null || b.length < 27 || b(0) != 'O' || b(1) != 'g' ||
+        b(2) != 'g' || b(3) != 'S') return Left("not_ogg")
+    var p = 0
+    var nPages = 0
+    val done = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var cur = new java.io.ByteArrayOutputStream()
+    while (p < b.length && done.length < need) {
+      if (p + 27 > b.length) return Left("truncated")
+      if (b(p) != 'O' || b(p + 1) != 'g' || b(p + 2) != 'g' ||
+          b(p + 3) != 'S') return Left("truncated")
+      if ((b(p + 4) & 0xff) != 0) return Left("bad_version")
+      val flags = b(p + 5) & 0xff
+      val nSegs = b(p + 26) & 0xff
+      if (p + 27 + nSegs > b.length) return Left("truncated")
+      var bodyLen = 0
+      var s = 0
+      while (s < nSegs) { bodyLen += b(p + 27 + s) & 0xff; s += 1 }
+      val bodyAt = p + 27 + nSegs
+      if (bodyAt + bodyLen > b.length) return Left("truncated")
+      if (pageCrc(b, p, bodyAt + bodyLen, p + 22) != le32(b, p + 22))
+        return Left("bad_crc")
+      if (nPages == 0 && (flags & 0x02) == 0) return Left("no_bos")
+      var off = bodyAt
+      s = 0
+      while (s < nSegs && done.length < need) {
+        val l = b(p + 27 + s) & 0xff
+        cur.write(b, off, l)
+        off += l
+        if (l < 255) {
+          done += cur.toByteArray
+          cur = new java.io.ByteArrayOutputStream()
+        }
+        s += 1
+      }
+      nPages += 1
+      p = bodyAt + bodyLen
+    }
+    Right(done.toSeq)
+  }
+
+  /** Extracted comment-header fields — [[Mp3.decodeId3Tags]]'s shape
+    * for the Ogg family: the VorbisComment block (Vorbis packet-2
+    * 0x03"vorbis" form, Opus "OpusTags" form), field names matched
+    * case-insensitively per the spec, first occurrence wins,
+    * `n_comments` counts ALL user comments (unknown keys included). */
+  final case class OggTags(media_id: Long, ok: Int, codec: String,
+      vendor: String, title: String, artist: String, album: String,
+      n_comments: Int, err: String)
+
+  def parseTags(id: Long, b: Array[Byte]): OggTags = {
+    def fail(err: String): OggTags =
+      OggTags(id, 0, "", "", "", "", "", 0, err)
+    headerPackets(b, 2) match {
+      case Left(e) => fail(e)
+      case Right(pkts) =>
+        if (pkts.isEmpty) return fail("unknown_codec")
+        val p0 = pkts.head
+        val codec =
+          if (p0.length >= 16 && (p0(0) & 0xff) == 0x01 && p0(1) == 'v' &&
+            p0(2) == 'o' && p0(3) == 'r' && p0(4) == 'b' && p0(5) == 'i' &&
+            p0(6) == 's') "vorbis"
+          else if (p0.length >= 19 && p0(0) == 'O' && p0(1) == 'p' &&
+            p0(2) == 'u' && p0(3) == 's' && p0(4) == 'H' && p0(5) == 'e' &&
+            p0(6) == 'a' && p0(7) == 'd') "opus"
+          else return fail("unknown_codec")
+        if (pkts.length < 2) return fail("no_tags")
+        val c = pkts(1)
+        val start =
+          if (codec == "vorbis") {
+            if (c.length < 7 || (c(0) & 0xff) != 0x03 || c(1) != 'v' ||
+              c(2) != 'o' || c(3) != 'r' || c(4) != 'b' || c(5) != 'i' ||
+              c(6) != 's') return fail("no_tags")
+            7
+          } else {
+            if (c.length < 8 || c(0) != 'O' || c(1) != 'p' || c(2) != 'u' ||
+              c(3) != 's' || c(4) != 'T' || c(5) != 'a' || c(6) != 'g' ||
+              c(7) != 's') return fail("no_tags")
+            8
+          }
+        var q = start
+        def rd32(): Int = {
+          if (q + 4 > c.length) return -1
+          val v = le32(c, q)
+          q += 4
+          v
+        }
+        val vlen = rd32()
+        if (vlen < 0 || q + vlen > c.length) return fail("bad_tags")
+        val vendor = new String(c, q, vlen,
+          java.nio.charset.StandardCharsets.UTF_8)
+        q += vlen
+        val n = rd32()
+        if (n < 0 || n > 4096) return fail("bad_tags") // bomb guard
+        var title = ""
+        var artist = ""
+        var album = ""
+        var i = 0
+        while (i < n) {
+          val len = rd32()
+          if (len < 0 || q + len > c.length) return fail("bad_tags")
+          val s = new String(c, q, len, java.nio.charset.StandardCharsets.UTF_8)
+          q += len
+          val eq = s.indexOf('=')
+          if (eq <= 0) return fail("bad_tags")
+          val key = s.substring(0, eq).toLowerCase(java.util.Locale.ROOT)
+          val value = s.substring(eq + 1)
+          key match {
+            case "title" => if (title.isEmpty) title = value
+            case "artist" => if (artist.isEmpty) artist = value
+            case "album" => if (album.isEmpty) album = value
+            case _ => ()
+          }
+          i += 1
+        }
+        // Vorbis comment headers close with a framing bit
+        if (codec == "vorbis" && (q >= c.length || (c(q) & 0x01) == 0))
+          return fail("bad_tags")
+        OggTags(id, 1, codec, vendor, title, artist, album, n, "")
+    }
+  }
+
+  /** Batched tag extraction — the decodeStage plan shape. */
+  def decodeOggTags(media: DataFrame, partitions: Int = 0): Dataset[OggTags] = {
+    val spark = media.sparkSession
+    val parts = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    media.select("media_id", "payload")
+      .repartition(parts, col("media_id"))
+      .as[(Long, Array[Byte])](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.BINARY))
+      .mapPartitions(_.map { case (id, p) => parseTags(id, p) })(
+        org.apache.spark.sql.Encoders.product[OggTags])
+  }
+
   // ---- fixture synthesis (REAL pages, valid CRCs, oracle-restatable) --
 
-  /** One Ogg page with a correct (or deliberately broken) CRC. */
+  /** One Ogg page with a correct (or deliberately broken) CRC. When
+    * `continues` the body's packet does NOT terminate on this page:
+    * the lacing table is all-255 (body length must be a multiple of
+    * 255), so the next page's segments extend it. */
   private[multimodal] def pageBytes(flags: Int, granule: Long, serial: Int,
       seq: Int, body: Array[Byte], breakCapture: Boolean = false,
-      breakVersion: Boolean = false, breakCrc: Boolean = false): Array[Byte] = {
+      breakVersion: Boolean = false, breakCrc: Boolean = false,
+      continues: Boolean = false): Array[Byte] = {
     require(body.length < 255 * 255, "fixture pages keep lacing simple")
-    val nSegs = body.length / 255 + 1
+    require(!continues || (body.length > 0 && body.length % 255 == 0),
+      "a continuing page's lacing is all-255")
+    val nSegs = if (continues) body.length / 255 else body.length / 255 + 1
     val page = new Array[Byte](27 + nSegs + body.length)
     page(0) = 'O'; page(1) = 'g'; page(2) = if (breakCapture) 'X' else 'g'
     page(3) = 'S'
@@ -172,7 +323,9 @@ object Ogg {
     var rem = body.length
     var s = 0
     while (s < nSegs) {
-      page(27 + s) = math.min(rem, if (s == nSegs - 1) 254 else 255).toByte
+      page(27 + s) =
+        (if (continues) 255
+         else math.min(rem, if (s == nSegs - 1) 254 else 255)).toByte
       rem -= 255; s += 1
     }
     System.arraycopy(body, 0, page, 27 + nSegs, body.length)
@@ -207,6 +360,88 @@ object Ogg {
     while (k < 4) { o(12 + k) = ((inputRate >> (8 * k)) & 0xff).toByte; k += 1 }
     // [16,18) output gain = 0; [18] mapping family = 0
     o
+  }
+
+  /** A VorbisComment / OpusTags packet. `inflateLast` corrupts the
+    * final comment's declared length past the packet end. */
+  private[multimodal] def commentPacket(codec: String, vendor: String,
+      comments: Seq[String], breakMagic: Boolean = false,
+      inflateLast: Boolean = false): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    def w32(v: Int): Unit = {
+      o.write(v & 0xff); o.write((v >> 8) & 0xff)
+      o.write((v >> 16) & 0xff); o.write((v >> 24) & 0xff)
+    }
+    if (codec == "vorbis") {
+      o.write(0x03); o.write("vorbis".getBytes("ISO-8859-1"))
+    } else o.write("OpusTags".getBytes("ISO-8859-1"))
+    val vb = vendor.getBytes("UTF-8")
+    w32(vb.length); o.write(vb, 0, vb.length)
+    w32(comments.length)
+    comments.zipWithIndex.foreach { case (cmt, i) =>
+      val cb = cmt.getBytes("UTF-8")
+      w32(cb.length +
+        (if (inflateLast && i == comments.length - 1) 100000 else 0))
+      o.write(cb, 0, cb.length)
+    }
+    if (codec == "vorbis") o.write(0x01) // framing bit
+    val out = o.toByteArray
+    if (breakMagic) out(0) = 'X'
+    out
+  }
+
+  /** Deterministic tagged-Ogg corpus — [[oggCorpusFromDocuments]]'s
+    * field fan with a REAL comment header as the second packet:
+    *   codec       vorbis (id%2==0) / opus (id%2==1)
+    *   vendor      "graft-" + id%10
+    *   comments    TITLE=Title id; ARTIST=Artist id%100;
+    *               ALBUM=Album id%7 at id%3==0; an unknown
+    *               COMMENT key at id%4==1 (counted, not extracted)
+    *   spanning    id%5==3 splits the comment packet across TWO pages
+    *               (a continuing all-255 lacing page, granule -1) —
+    *               field-invisible
+    *   not_ogg     id%7==2;  truncated  else id%7==4 (the comment
+    *               page itself cut 10 bytes short)
+    *   no_tags     else id%13==3 (comment magic broken)
+    *   bad_tags    else id%11==5 (last comment length inflated) */
+  def oggTagsCorpusFromDocuments(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].map { id =>
+      def m(k: Long): Int = java.lang.Math.floorMod(id, k).toInt
+      val opus = m(2) == 1
+      val codec = if (opus) "opus" else "vorbis"
+      val notOgg = m(7) == 2
+      val trunc = !notOgg && m(7) == 4
+      val noTags = !notOgg && !trunc && m(13) == 3
+      val badTags = !notOgg && !trunc && !noTags && m(11) == 5
+      val serial = (id * 2654435761L).toInt
+      val idPkt =
+        if (opus) opusIdPacket(1 + m(2), 312, 48000)
+        else vorbisIdPacket(1 + m(2), 48000)
+      val comments = Seq(s"TITLE=Title $id", s"ARTIST=Artist ${m(100)}") ++
+        (if (m(3) == 0) Seq(s"ALBUM=Album ${m(7)}") else Nil) ++
+        (if (m(4) == 1) Seq(s"COMMENT=extra ${m(9)}") else Nil)
+      val pkt = commentPacket(codec, s"graft-${m(10)}", comments,
+        breakMagic = noTags, inflateLast = badTags)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(pageBytes(0x02, 0L, serial, 0, idPkt, breakCapture = notOgg))
+      if (m(5) == 3) {
+        // span: pad past 255 (trailing bytes after the framing bit are
+        // outside every declared field — ignored by the parser)
+        val padded = java.util.Arrays.copyOf(pkt, math.max(256, pkt.length + 1))
+        out.write(pageBytes(0x00, -1L, serial, 1, padded.take(255),
+          continues = true))
+        out.write(pageBytes(0x01, 0L, serial, 2, padded.drop(255)))
+      } else {
+        out.write(pageBytes(0x00, 0L, serial, 1, pkt))
+      }
+      val commentEnd = out.size()
+      out.write(pageBytes(0x04, 48000L + m(1000), serial, 3,
+        Array.tabulate(25)(i => ((i * 37 + 11) & 0xff).toByte)))
+      val full = out.toByteArray
+      (id, if (trunc) full.take(commentEnd - 10) else full)
+    }.toDF("media_id", "payload")
   }
 
   /** Deterministic Ogg corpus from the documents table — fields and

@@ -2125,6 +2125,21 @@ object Queries {
     graft.multimodal.Pdf.decodePdfText(media).toDF()
   }
 
+  /** Ogg comment tags through the gate — q173's ID3 treatment for the
+    * Ogg audio family: the SECOND packet of the logical stream
+    * (reassembled across pages by the lacing rule, including a
+    * spanning arm whose comment header crosses a continuing all-255
+    * page) parses as VorbisComment (0x03"vorbis") or OpusTags,
+    * case-insensitive field names, first occurrence wins, unknown
+    * keys counted not extracted, the Vorbis framing bit enforced.
+    * Refusals: the container families plus no_tags (broken comment
+    * magic) and bad_tags (a comment length past the packet). */
+  def q180OggTags(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Ogg.oggTagsCorpusFromDocuments(
+      tbl(spark, dir, "documents"))
+    graft.multimodal.Ogg.decodeOggTags(media).toDF()
+  }
+
   /** Gopher REPETITION rules through the gate (Rae et al. 2021, Table
     * A1 — the other half of q135's document rules): each doc becomes
     * a synthesized page planting every repetition family — a
@@ -5999,6 +6014,7 @@ object Queries {
     "q177_gopher_repetition" -> (q177GopherRepetition _),
     "q178_pdf_headers" -> (q178PdfHeaders _),
     "q179_pdf_text" -> (q179PdfText _),
+    "q180_ogg_tags" -> (q180OggTags _),
     "q169_anim_webp_frames" -> (q169AnimWebpFrames _),
     "q170_cross_clip_dups" -> (q170CrossClipDups _),
     "q171_exif_headers" -> (q171ExifHeaders _),
@@ -6879,6 +6895,40 @@ object Queries {
         |  bit_count(xor(a.h, b.h))::BIGINT AS hamming_dist
         |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.h, b.h)) <= 5""".stripMargin,
+    // every field closed-form from id arithmetic; plant precedence
+    // not_ogg > truncated > no_tags > bad_tags; the spanning arm
+    // (id%5==3) is field-invisible so it never appears here
+    "q180_ogg_tags" ->
+      """SELECT doc_id AS media_id,
+        |  (CASE WHEN doc_id % 7 IN (2, 4) OR doc_id % 13 = 3
+        |           OR doc_id % 11 = 5 THEN 0 ELSE 1 END)::INTEGER AS ok,
+        |  CASE WHEN doc_id % 7 IN (2, 4) OR doc_id % 13 = 3
+        |         OR doc_id % 11 = 5 THEN ''
+        |       WHEN doc_id % 2 = 1 THEN 'opus' ELSE 'vorbis' END AS codec,
+        |  CASE WHEN doc_id % 7 IN (2, 4) OR doc_id % 13 = 3
+        |         OR doc_id % 11 = 5 THEN ''
+        |       ELSE 'graft-' || (doc_id % 10) END AS vendor,
+        |  CASE WHEN doc_id % 7 IN (2, 4) OR doc_id % 13 = 3
+        |         OR doc_id % 11 = 5 THEN ''
+        |       ELSE 'Title ' || doc_id END AS title,
+        |  CASE WHEN doc_id % 7 IN (2, 4) OR doc_id % 13 = 3
+        |         OR doc_id % 11 = 5 THEN ''
+        |       ELSE 'Artist ' || (doc_id % 100) END AS artist,
+        |  CASE WHEN doc_id % 7 IN (2, 4) OR doc_id % 13 = 3
+        |         OR doc_id % 11 = 5 THEN ''
+        |       WHEN doc_id % 3 = 0 THEN 'Album ' || (doc_id % 7)
+        |       ELSE '' END AS album,
+        |  (CASE WHEN doc_id % 7 IN (2, 4) OR doc_id % 13 = 3
+        |           OR doc_id % 11 = 5 THEN 0
+        |        ELSE 2 + (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END)
+        |        END)::INTEGER AS n_comments,
+        |  CASE WHEN doc_id % 7 = 2 THEN 'not_ogg'
+        |       WHEN doc_id % 7 = 4 THEN 'truncated'
+        |       WHEN doc_id % 13 = 3 THEN 'no_tags'
+        |       WHEN doc_id % 11 = 5 THEN 'bad_tags'
+        |       ELSE '' END AS err
+        |FROM documents""".stripMargin,
     // every field closed-form from id arithmetic: version by xref
     // form, /Size by object layout (8 classic / 9 xref-stream /
     // 10 objstm), plant precedence not_pdf > truncated > encrypted

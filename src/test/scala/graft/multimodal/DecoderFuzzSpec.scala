@@ -158,6 +158,19 @@ class DecoderFuzzSpec extends SparkSpec {
     }
   }
 
+  test("Ogg tag walker survives 300 deterministic corruptions per codec") {
+    for (codec <- Seq("vorbis", "opus")) {
+      val idPkt = if (codec == "opus") Ogg.opusIdPacket(2, 312, 48000)
+        else Ogg.vorbisIdPacket(2, 48000)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Ogg.pageBytes(0x02, 0L, 7, 0, idPkt))
+      out.write(Ogg.pageBytes(0x00, 0L, 7, 1, Ogg.commentPacket(codec, "v",
+        Seq("TITLE=fuzz title", "ARTIST=fuzz artist"))))
+      out.write(Ogg.pageBytes(0x04, 48000L, 7, 2, Array[Byte](1, 2, 3)))
+      fuzz(s"oggtags-$codec", out.toByteArray, b => Ogg.parseTags(0L, b))
+    }
+  }
+
   test("PDF walker survives 300 deterministic corruptions per wire shape") {
     val lines = Seq("fuzz page one with some text", "fuzz page two")
     for ((name, o) <- Seq(

@@ -83,4 +83,78 @@ class OggSpec extends SparkSpec {
     val r = Ogg.parseOgg(11L, bos ++ big)
     assert(r.ok == 1 && r.n_pages == 2 && r.audio_bytes == 300L)
   }
+
+  private def tagged(codec: String, comments: Seq[String],
+      span: Boolean = false, breakMagic: Boolean = false,
+      vendor: String = "v1"): Array[Byte] = {
+    val idPkt = if (codec == "opus") Ogg.opusIdPacket(2, 312, 48000)
+      else Ogg.vorbisIdPacket(2, 48000)
+    val pkt = Ogg.commentPacket(codec, vendor, comments, breakMagic = breakMagic)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Ogg.pageBytes(0x02, 0L, 7, 0, idPkt))
+    if (span) {
+      val padded = java.util.Arrays.copyOf(pkt, math.max(256, pkt.length + 1))
+      out.write(Ogg.pageBytes(0x00, -1L, 7, 1, padded.take(255), continues = true))
+      out.write(Ogg.pageBytes(0x01, 0L, 7, 2, padded.drop(255)))
+    } else out.write(Ogg.pageBytes(0x00, 0L, 7, 1, pkt))
+    out.write(Ogg.pageBytes(0x04, 48000L, 7, 3, Array[Byte](1, 2, 3)))
+    out.toByteArray
+  }
+
+  test("comment tags: both codec forms, case-insensitive keys, first-wins, UTF-8") {
+    for (codec <- Seq("vorbis", "opus")) {
+      val t = Ogg.parseTags(1L, tagged(codec, Seq(
+        "Title=Première", "ARTIST=a1", "artist=a2 (ignored: first wins)",
+        "UNKNOWN=counted not extracted", "Album=LP")))
+      assert(t.ok == 1 && t.codec == codec, s"$t")
+      assert(t.title == "Première" && t.artist == "a1" && t.album == "LP")
+      assert(t.n_comments == 5 && t.vendor == "v1")
+    }
+  }
+
+  test("comment tags: a packet spanning a continuing all-255 page reassembles") {
+    for (codec <- Seq("vorbis", "opus")) {
+      val t = Ogg.parseTags(2L, tagged(codec, Seq("TITLE=spanning"), span = true))
+      assert(t.ok == 1 && t.title == "spanning", s"$t")
+    }
+  }
+
+  test("comment tags: refusal families") {
+    // broken comment magic
+    assert(Ogg.parseTags(3L, tagged("opus", Seq("TITLE=x"),
+      breakMagic = true)).err == "no_tags")
+    // only the BOS page: stream ends before a second packet
+    val bosOnly = Ogg.pageBytes(0x02, 0L, 7, 0, Ogg.opusIdPacket(2, 312, 48000))
+    assert(Ogg.parseTags(4L, bosOnly).err == "no_tags")
+    // a comment length past the packet end
+    val inflated = {
+      val pkt = Ogg.commentPacket("opus", "v1", Seq("TITLE=x"), inflateLast = true)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Ogg.pageBytes(0x02, 0L, 7, 0, Ogg.opusIdPacket(2, 312, 48000)))
+      out.write(Ogg.pageBytes(0x04, 1L, 7, 1, pkt))
+      out.toByteArray
+    }
+    assert(Ogg.parseTags(5L, inflated).err == "bad_tags")
+    // a vorbis comment header without the framing bit
+    val noFraming = {
+      val pkt = Ogg.commentPacket("vorbis", "v1", Seq("TITLE=x"))
+      pkt(pkt.length - 1) = 0 // zero the framing byte
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Ogg.pageBytes(0x02, 0L, 7, 0, Ogg.vorbisIdPacket(2, 48000)))
+      out.write(Ogg.pageBytes(0x04, 1L, 7, 1, pkt))
+      out.toByteArray
+    }
+    assert(Ogg.parseTags(6L, noFraming).err == "bad_tags")
+    // a comment with no '=' separator
+    val noEq = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Ogg.pageBytes(0x02, 0L, 7, 0, Ogg.opusIdPacket(2, 312, 48000)))
+      out.write(Ogg.pageBytes(0x04, 1L, 7, 1,
+        Ogg.commentPacket("opus", "v1", Seq("noequals"))))
+      out.toByteArray
+    }
+    assert(Ogg.parseTags(7L, noEq).err == "bad_tags")
+    // container families surface unchanged
+    assert(Ogg.parseTags(8L, Array[Byte](1, 2, 3)).err == "not_ogg")
+  }
 }
