@@ -1,0 +1,160 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al. 2011, "Product Quantization for
+  * Nearest Neighbor Search") — the compression tier ABOVE [[Quantize]]'s
+  * int8: the vector splits into `m` subspaces, each subspace gets its
+  * own k-entry codebook (L2 k-means over the sub-vectors), and a vector
+  * stores only its m code bytes. A 64-dim fp32 vector at m=4 becomes
+  * 4 bytes — 64x — and search runs over CODES via ADC (asymmetric
+  * distance computation): per query, an m x k lookup table of partial
+  * dots against the codebooks; a candidate's approximate score is the
+  * sum of its codes' table entries. This is the FAISS IVF-PQ serving
+  * shape a 100 TB embedding corpus actually deploys (SemDeDup-scale
+  * dedup, retrieval mixing): the corpus scan touches m bytes/vector,
+  * never the fp32 plane.
+  *
+  * Determinism discipline (the q26/q38 lesson — every number must be
+  * replayable cell-exact by a different engine): sub-vector math casts
+  * to double up front; dot/L2 accumulate LEFT-TO-RIGHT over the array
+  * (aggregate/zip_with, matching DuckDB's list_reduce order); k-means
+  * MEANS accumulate floor(x * 2^24) longs (order-free integer sums,
+  * one double division each — the ivfTrainCentroids trick); the ADC
+  * sum over subspaces rides the same fixed-point longs. Assignments
+  * tie-break (distance asc, code asc); empty clusters drop from the
+  * codebook (the Lloyd-round convention).
+  *
+  * Scale shape: training/encoding explode (vec, subspace) rows —
+  * linear, hash-partitioned; the ADC table is |Q| x m x k rows
+  * (broadcast); scoring joins the code rows once and window-ranks.
+  * At 100 TB the table join becomes a codegen LUT, the plan shape is
+  * already the right one. */
+object Pq {
+
+  private val Fx = 16777216.0 // 2^24
+
+  /** (vec_id, s, sv) — the m double-cast sub-vectors of each vector.
+    * `dim` must split evenly (loud — a ragged split would silently
+    * misalign every codebook). */
+  def subVectors(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, dim: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must split into $m subspaces")
+    val d = dim / m
+    emb.select(col(idCol).cast("long").as("vec_id"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)), s =>
+          transform(slice(col(vecCol), s * d + 1, lit(d)), x => x.cast("double"))))
+          .as(Seq("s", "sv")))
+      .select(col("vec_id"), col("s"), col("sv"))
+  }
+
+  /** Left-to-right squared L2 over double arrays. */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Nearest codebook entry per (vec, s): L2 asc, code asc. */
+  private def assign(subs: DataFrame, cb: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"), col("s"))
+      .orderBy(col("__d").asc, col("code").asc)
+    subs.join(cb, Seq("s"))
+      .withColumn("__d", l2sq(col("sv"), col("cvec")))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("vec_id"), col("s"), col("sv"), col("code"))
+  }
+
+  /** Train per-subspace codebooks: seeds = the sub-vectors of every
+    * `stride`-th vec_id (code = vec_id, the IVF seeding convention),
+    * then `iters` Lloyd rounds (L2 assignment, fixed-point means).
+    * Returns (s, code, cvec: array<double>). */
+  def trainCodebooks(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, dim: Int, stride: Int = 32, iters: Int = 2): DataFrame = {
+    val subs = subVectors(emb, idCol, vecCol, m, dim)
+    var cb = subs.where(pmod(col("vec_id"), lit(stride)) === 0)
+      .select(col("s"), col("vec_id").as("code"), col("sv").as("cvec"))
+    var i = 0
+    while (i < iters) {
+      val asg = assign(subs, cb)
+      cb = asg
+        .select(col("s"), col("code"), posexplode(col("sv")).as(Seq("i", "x")))
+        .groupBy(col("s"), col("code"), col("i"))
+        .agg(sum(floor(col("x") * Fx).cast("long")).as("fx"),
+          count(lit(1)).as("cnt"))
+        .groupBy(col("s"), col("code"))
+        .agg(transform(array_sort(collect_list(struct(col("i"),
+            ((col("fx").cast("double") / Fx) / col("cnt")).as("v")))),
+          e => e.getField("v")).as("cvec"))
+      i += 1
+    }
+    cb
+  }
+
+  /** Encode the corpus to (vec_id, s, code) rows under a codebook. */
+  def encode(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, dim: Int, cb: DataFrame): DataFrame =
+    assign(subVectors(emb, idCol, vecCol, m, dim), cb)
+      .select(col("vec_id"), col("s"), col("code"))
+
+  /** Every candidate's ADC score for a query batch: per query, the
+    * m x k partial-dot table joins the code rows once; a candidate's
+    * score is the fixed-point sum of its m entries (an integer —
+    * exact across engines). Output (query_id, neighbor_id, fx). */
+  def adcScores(queries: DataFrame, codes: DataFrame, cb: DataFrame,
+      idCol: String, vecCol: String, m: Int, dim: Int): DataFrame = {
+    val qsubs = subVectors(queries, idCol, vecCol, m, dim)
+      .select(col("vec_id").as("query_id"), col("s"), col("sv"))
+    val table = qsubs.join(cb, Seq("s"))
+      .select(col("query_id"), col("s"), col("code"),
+        floor(dotD(col("sv"), col("cvec")) * Fx).cast("long").as("pfx"))
+    codes.join(broadcast(table), Seq("s", "code"))
+      .where(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("pfx")).as("fx"))
+  }
+
+  /** ADC top-k over the compressed tier alone — rank on the raw
+    * fixed-point sum, round only the reported score. */
+  def adcTopK(queries: DataFrame, codes: DataFrame, cb: DataFrame,
+      idCol: String, vecCol: String, m: Int, dim: Int, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("fx").desc, col("neighbor_id").asc)
+    adcScores(queries, codes, cb, idCol, vecCol, m, dim)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("fx").cast("double") / Fx, 6).as("adc"))
+  }
+
+  /** The deployment serving path: ADC proposes `rerank` candidates
+    * from the code tier, exact fp32 cosine restores the final order —
+    * only |Q| x rerank full vectors are ever fetched (the
+    * Quantize.quantizedTopK discipline at 64x compression). */
+  def adcRerankTopK(queries: DataFrame, codes: DataFrame, cb: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String, m: Int, dim: Int,
+      k: Int, rerank: Int): DataFrame = {
+    require(k > 0 && rerank >= k, s"need rerank >= k > 0: k=$k rerank=$rerank")
+    val cw = Window.partitionBy(col("query_id"))
+      .orderBy(col("fx").desc, col("neighbor_id").asc)
+    val cands = adcScores(queries, codes, cb, idCol, vecCol, m, dim)
+      .withColumn("crn", row_number().over(cw))
+      .where(col("crn") <= rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cands.join(cv, Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cos", round(Ann.dot(col("q_vec"), col("c_vec")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+}

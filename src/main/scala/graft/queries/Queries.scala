@@ -2125,6 +2125,71 @@ object Queries {
     graft.multimodal.Pdf.decodePdfText(media).toDF()
   }
 
+  /** Product-quantized ANN through the gate (Jégou et al. 2011 — the
+    * FAISS IVF-PQ serving shape): per-subspace codebooks train with
+    * stride-seeded fixed-point Lloyd (8 subspaces x 8 dims over the
+    * 64-dim embeddings, stride-16 seeds, 2 rounds), the corpus encodes
+    * to 8 code bytes per vector (16x vs fp32, 32x vs the int8 tier),
+    * and the 25-query batch ranks candidates by ADC — the per-query
+    * m x k partial-dot table summed over each candidate's codes as
+    * exact fixed-point longs. The oracle replays training, encoding,
+    * and ADC end-to-end. */
+  def q181PqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val cb = graft.ann.Pq.trainCodebooks(emb, "vec_id", "embedding",
+      m = 8, dim = 64, stride = 16, iters = 2)
+    val codes = graft.ann.Pq.encode(emb, "vec_id", "embedding", 8, 64, cb)
+    graft.ann.Pq.adcTopK(emb.where(col("vec_id") < 25), codes, cb,
+      "vec_id", "embedding", m = 8, dim = 64, k = 10)
+  }
+
+  /** PQ rerank sweep — the q151 discipline for the compressed tier:
+    * recall@10 against the brute fp32 baseline at serving candidates
+    * rerank = 10 (pure ADC) / 30 / 100, aggregated over the query
+    * batch (sf0.01: ~3480 -> ~6160 -> ~9000 bp). The table a
+    * deployment picks its rerank depth from when it trades 16x code
+    * storage + |Q| x rerank fp32 fetches for recall. */
+  def q182PqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val queries = emb.where(col("vec_id") < 25)
+    val cb = graft.ann.Pq.trainCodebooks(emb, "vec_id", "embedding",
+      m = 8, dim = 64, stride = 16, iters = 2)
+    val codes = graft.ann.Pq.encode(emb, "vec_id", "embedding", 8, 64, cb)
+    val brute = graft.ann.Ann.bruteForceTopK(queries, emb,
+        "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val scores = graft.ops.CacheScope.persist(
+      graft.ann.Pq.adcScores(queries, codes, cb, "vec_id", "embedding", 8, 64))
+    val cw = Window.partitionBy(col("query_id"))
+      .orderBy(col("fx").desc, col("neighbor_id").asc)
+    val ranked = scores.withColumn("crn", row_number().over(cw))
+    val qv = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_vec"))
+    val cv = emb.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_vec"))
+    val arms = Seq(10, 30, 100).map { r =>
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      ranked.where(col("crn") <= r)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(cv, Seq("neighbor_id"))
+        .join(broadcast(qv), Seq("query_id"))
+        .withColumn("cos", round(graft.ann.Ann.dot(col("q_vec"), col("c_vec")), 6))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 10)
+        .select(lit(r.toLong).as("rerank"), col("query_id"), col("neighbor_id"))
+    }
+    val served = arms.reduce(_ unionByName _)
+    brute.select(col("query_id"), col("neighbor_id"),
+        explode(array(lit(10L), lit(30L), lit(100L))).as("rerank"))
+      .join(served.withColumn("hit", lit(1L)),
+        Seq("rerank", "query_id", "neighbor_id"), "left")
+      .groupBy(col("rerank")).agg(
+        count(lit(1)).as("k"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall_bp", expr("(10000 * n_hit) div k"))
+  }
+
   /** Ogg comment tags through the gate — q173's ID3 treatment for the
     * Ogg audio family: the SECOND packet of the logical stream
     * (reassembled across pages by the lacing rule, including a
@@ -3503,6 +3568,65 @@ object Queries {
   /** q38 oracle: the whole IVF pipeline — centroid sampling, argmax cell
     * assignment (same deterministic tie-break), probe list, candidate
     * join, top-k — in plain SQL over the same table. */
+  /** DuckDB fragment: double-list squared L2 / dot, left-to-right. */
+  private def duckL2sq(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip($a, $b), " +
+      "p -> (p[1] - p[2]) * (p[1] - p[2]))), (x, y) -> x + y)"
+  private def duckDotD(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip($a, $b), " +
+      "p -> p[1] * p[2])), (x, y) -> x + y)"
+
+  /** One PQ Lloyd round: L2 assignment (asc, code tie-break) + the
+    * fixed-point per-position means — the Pq.trainCodebooks replay. */
+  private def duckPqRound(in: String, out: String): String =
+    s"""${out}_a AS (
+       |  SELECT vec_id, s, sv, code FROM (
+       |    SELECT u.vec_id, u.s, u.sv, c.code,
+       |      row_number() OVER (PARTITION BY u.vec_id, u.s
+       |        ORDER BY ${duckL2sq("u.sv", "c.cvec")} ASC, c.code) AS rn
+       |    FROM pqsubs u JOIN $in c ON u.s = c.s) t WHERE rn = 1),
+       |${out}_g AS (
+       |  SELECT s, code, i, sum(floor(x * 16777216.0)::BIGINT) AS fx,
+       |    count(*) AS cnt
+       |  FROM (SELECT s, code, generate_subscripts(sv, 1) AS i,
+       |      unnest(sv) AS x FROM ${out}_a) u
+       |  GROUP BY s, code, i),
+       |$out AS (
+       |  SELECT s, code,
+       |    list((fx::DOUBLE / 16777216.0) / cnt ORDER BY i) AS cvec
+       |  FROM ${out}_g GROUP BY s, code)""".stripMargin
+
+  /** DuckDB fragment: the trained PQ codebooks (8 x 8-dim subspaces,
+    * stride-16 seeds, 2 rounds), the encoded corpus, and the ADC
+    * fixed-point scores for the 25-query batch. */
+  private lazy val duckPqCtes: String =
+    s"""pqsubs AS (
+       |  SELECT e.vec_id, ss.s AS s,
+       |    list_transform(e.embedding[ss.s*8+1 : ss.s*8+8],
+       |      x -> x::DOUBLE) AS sv
+       |  FROM embeddings e,
+       |    (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) ss(s)),
+       |pqcb0 AS (
+       |  SELECT s, vec_id AS code, sv AS cvec FROM pqsubs
+       |  WHERE vec_id % 16 = 0),
+       |${duckPqRound("pqcb0", "pqcb1")},
+       |${duckPqRound("pqcb1", "pqcb")},
+       |pqenc AS (
+       |  SELECT vec_id, s, code FROM (
+       |    SELECT u.vec_id, u.s, c.code,
+       |      row_number() OVER (PARTITION BY u.vec_id, u.s
+       |        ORDER BY ${duckL2sq("u.sv", "c.cvec")} ASC, c.code) AS rn
+       |    FROM pqsubs u JOIN pqcb c ON u.s = c.s) t WHERE rn = 1),
+       |pqtab AS (
+       |  SELECT q.vec_id AS query_id, q.s, c.code,
+       |    floor(${duckDotD("q.sv", "c.cvec")} * 16777216.0)::BIGINT AS pfx
+       |  FROM pqsubs q JOIN pqcb c ON q.s = c.s WHERE q.vec_id < 25),
+       |pqsc AS (
+       |  SELECT t.query_id, e.vec_id AS neighbor_id, sum(t.pfx) AS fx
+       |  FROM pqenc e JOIN pqtab t ON t.s = e.s AND t.code = e.code
+       |  WHERE t.query_id != e.vec_id
+       |  GROUP BY t.query_id, e.vec_id)""".stripMargin
+
   private lazy val q38Oracle: String =
     s"""WITH $duckIvfCellsCtes,
        |q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
@@ -6015,6 +6139,8 @@ object Queries {
     "q178_pdf_headers" -> (q178PdfHeaders _),
     "q179_pdf_text" -> (q179PdfText _),
     "q180_ogg_tags" -> (q180OggTags _),
+    "q181_pq_topk" -> (q181PqTopk _),
+    "q182_pq_recall" -> (q182PqRecall _),
     "q169_anim_webp_frames" -> (q169AnimWebpFrames _),
     "q170_cross_clip_dups" -> (q170CrossClipDups _),
     "q171_exif_headers" -> (q171ExifHeaders _),
@@ -6895,6 +7021,56 @@ object Queries {
         |  bit_count(xor(a.h, b.h))::BIGINT AS hamming_dist
         |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.h, b.h)) <= 5""".stripMargin,
+    // training + encoding + ADC replayed end-to-end; the rank rides
+    // the raw fixed-point sum (integer-exact across engines)
+    "q181_pq_topk" ->
+      s"""WITH $duckPqCtes
+        |SELECT query_id, rank::INTEGER AS rank, neighbor_id,
+        |  round(fx::DOUBLE / 16777216.0, 6) AS adc
+        |FROM (SELECT query_id, neighbor_id, fx,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY fx DESC, neighbor_id) AS rank
+        |  FROM pqsc) t WHERE rank <= 10""".stripMargin,
+    // the q151 sweep shape: ADC-proposed candidates exact-rescored at
+    // three rerank depths vs the brute fp32 top-10, one row per depth
+    "q182_pq_recall" ->
+      s"""WITH $duckPqCtes,
+        |ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY fx DESC, neighbor_id) AS crn
+        |  FROM pqsc),
+        |bs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(${duckDot("q.embedding", "c.embedding")}, 6) AS cos
+        |  FROM embeddings q CROSS JOIN embeddings c
+        |  WHERE q.vec_id < 25 AND c.vec_id != q.vec_id),
+        |brute AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos DESC, neighbor_id) AS rank
+        |    FROM bs) t WHERE rank <= 10),
+        |served AS (
+        |  SELECT rr.r AS rerank, t.query_id, t.neighbor_id FROM (
+        |    SELECT rr0.r, c.query_id, c.neighbor_id,
+        |      row_number() OVER (PARTITION BY rr0.r, c.query_id
+        |        ORDER BY bs.cos DESC, c.neighbor_id) AS rank
+        |    FROM (VALUES (10),(30),(100)) rr0(r)
+        |    JOIN ranked c ON c.crn <= rr0.r
+        |    JOIN bs ON bs.query_id = c.query_id
+        |      AND bs.neighbor_id = c.neighbor_id) t
+        |  JOIN (VALUES (10),(30),(100)) rr(r) ON rr.r = t.r
+        |  WHERE t.rank <= 10)
+        |SELECT rr.r::BIGINT AS rerank, count(*)::BIGINT AS k,
+        |  sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+        |  ((10000 * sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END))
+        |    // count(*))::BIGINT AS recall_bp
+        |FROM (VALUES (10),(30),(100)) rr(r)
+        |CROSS JOIN brute b
+        |LEFT JOIN served s ON s.rerank = rr.r
+        |  AND s.query_id = b.query_id AND s.neighbor_id = b.neighbor_id
+        |GROUP BY rr.r""".stripMargin,
     // every field closed-form from id arithmetic; plant precedence
     // not_ogg > truncated > no_tags > bad_tags; the spanning arm
     // (id%5==3) is field-invisible so it never appears here

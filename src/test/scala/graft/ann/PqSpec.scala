@@ -1,0 +1,75 @@
+package graft.ann
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("codebooks are partitioning-invariant and cover every subspace") {
+    val cb1 = Pq.trainCodebooks(emb, "vec_id", "embedding", 8, 64,
+        stride = 16, iters = 2)
+      .collect().map(_.toString).sorted.toSeq
+    val cb2 = Pq.trainCodebooks(emb.repartition(7), "vec_id", "embedding",
+        8, 64, stride = 16, iters = 2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(cb1 == cb2, "fixed-point means must kill accumulation-order drift")
+    val perS = Pq.trainCodebooks(emb, "vec_id", "embedding", 8, 64, 16, 2)
+      .groupBy($"s").count().collect().map(r => r.getInt(0) -> r.getLong(1))
+    assert(perS.length == 8 && perS.forall(_._2 >= 1))
+  }
+
+  test("every vector encodes to exactly m codes from its own subspace") {
+    val cb = Pq.trainCodebooks(emb, "vec_id", "embedding", 8, 64, 16, 2)
+    val codes = Pq.encode(emb, "vec_id", "embedding", 8, 64, cb)
+    val n = emb.count()
+    assert(codes.count() == n * 8)
+    assert(codes.groupBy($"vec_id").count().where($"count" =!= 8).isEmpty)
+    // codes reference existing codebook entries
+    assert(codes.join(cb, Seq("s", "code"), "left_anti").isEmpty)
+  }
+
+  test("rerank = |corpus| degenerates to brute force exactly") {
+    val cb = Pq.trainCodebooks(emb, "vec_id", "embedding", 8, 64, 16, 2)
+    val codes = Pq.encode(emb, "vec_id", "embedding", 8, 64, cb)
+    val queries = emb.where($"vec_id" < 5)
+    val n = emb.count().toInt
+    val full = Pq.adcRerankTopK(queries, codes, cb, emb,
+        "vec_id", "embedding", 8, 64, k = 10, rerank = n)
+      .collect().map(_.toString).sorted.toSeq
+    val brute = Ann.bruteForceTopK(queries, emb, "vec_id", "embedding", 10)
+      .collect().map(_.toString).sorted.toSeq
+    assert(full == brute,
+      "with every candidate rescored, PQ must return the exact ranking")
+  }
+
+  test("recall grows with rerank depth (the q182 ladder, directionally)") {
+    val cb = Pq.trainCodebooks(emb, "vec_id", "embedding", 8, 64, 16, 2)
+    val codes = Pq.encode(emb, "vec_id", "embedding", 8, 64, cb)
+    val queries = emb.where($"vec_id" < 10)
+    val brute = Ann.bruteForceTopK(queries, emb, "vec_id", "embedding", 10)
+      .select($"query_id", $"neighbor_id")
+    def recall(r: Int): Double = {
+      val served = Pq.adcRerankTopK(queries, codes, cb, emb,
+          "vec_id", "embedding", 8, 64, 10, r)
+        .select($"query_id", $"neighbor_id", lit(1).as("hit"))
+      val m = brute.join(served, Seq("query_id", "neighbor_id"), "left")
+        .agg(sum(coalesce($"hit", lit(0))).cast("double") / count(lit(1)))
+        .head().getDouble(0)
+      m
+    }
+    val r10 = recall(10)
+    val r50 = recall(50)
+    assert(r50 >= r10, s"rerank 50 ($r50) must not lose to 10 ($r10)")
+    assert(r50 > 0.5, s"rerank 50 should recover most of the list: $r50")
+  }
+
+  test("the subspace split guards ragged dims loudly") {
+    intercept[IllegalArgumentException] {
+      Pq.subVectors(emb, "vec_id", "embedding", 7, 64)
+    }
+  }
+}

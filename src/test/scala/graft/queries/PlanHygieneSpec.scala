@@ -49,7 +49,8 @@ class PlanHygieneSpec extends SparkSpec {
     "q121_unigram_vocab" -> "crossJoin(broadcast(totals)): two single-row frames (seed count total, kept usage total)",
     "q116_quality_mix" -> "composes q107's and q98's single-row broadcast totals (NB vocab/prior + temperature normalizer)",
     "q149_ann_recall" -> "recall audit's exact arm IS q25's brute baseline: broadcast 25-query batch x corpus",
-    "q151_nprobe_sweep" -> "q149's sweep: same broadcast 25-query brute baseline intersected with three probe arms")
+    "q151_nprobe_sweep" -> "q149's sweep: same broadcast 25-query brute baseline intersected with three probe arms",
+    "q182_pq_recall" -> "the PQ rerank sweep's exact arm IS q25's brute baseline: broadcast 25-query batch x corpus (the ADC arms are plain joins)")
 
   test("every gate query carries an oracle (q36 rows-only by design), no orphans") {
     assert(Queries.all.keySet -- Queries.oracle.keySet == Set("q36_approx_distinct"),
