@@ -222,7 +222,14 @@ object Multimodal {
     if (w.ok == 1)
       return Some(("webp", w.width, w.height, 8,
         if (w.has_alpha == 1) 4 else 3, w.format))
-    Gif.parseScreen(b).map { case (ver, gw, gh) => ("gif", gw, gh, 8, 3, ver) }
+    val g = Gif.parseScreen(b)
+    if (g.isDefined)
+      return g.map { case (ver, gw, gh) => ("gif", gw, gh, 8, 3, ver) }
+    val t = Tiff.parseTiff(0L, b)
+    if (t.ok == 1)
+      Some(("tiff", t.width.toInt, t.height.toInt, t.bits,
+        math.max(t.samples, 1), t.byte_order))
+    else None
   }
 
   /** Shared decode-stage shape for every modality: repartition the wide

@@ -2190,6 +2190,20 @@ object Queries {
       .withColumn("recall_bp", expr("(10000 * n_hit) div k"))
   }
 
+  /** Bare-TIFF classification through the gate — the q77/q156 pattern
+    * on the scanned-document format: header byte order, the multi-page
+    * next-IFD chain, IFD0's image tags (width/length/bits/compression/
+    * photometric/samples — bits through the SHORT-array value-offset
+    * indirection on 3-sample pages), strips counted opaque, and the
+    * tagged refusals (not_tiff / truncated mid-table / a self-looping
+    * IFD chain caught by the cycle guard). `parseImageHeader` sniffs
+    * TIFF after PNG/JPEG/WebP/GIF. */
+  def q183TiffHeaders(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Tiff.tiffCorpusFromDocuments(
+      tbl(spark, dir, "documents"))
+    graft.multimodal.Tiff.decodeTiffInfo(media).toDF()
+  }
+
   /** Ogg comment tags through the gate — q173's ID3 treatment for the
     * Ogg audio family: the SECOND packet of the logical stream
     * (reassembled across pages by the lacing rule, including a
@@ -6141,6 +6155,7 @@ object Queries {
     "q180_ogg_tags" -> (q180OggTags _),
     "q181_pq_topk" -> (q181PqTopk _),
     "q182_pq_recall" -> (q182PqRecall _),
+    "q183_tiff_headers" -> (q183TiffHeaders _),
     "q169_anim_webp_frames" -> (q169AnimWebpFrames _),
     "q170_cross_clip_dups" -> (q170CrossClipDups _),
     "q171_exif_headers" -> (q171ExifHeaders _),
@@ -7021,6 +7036,37 @@ object Queries {
         |  bit_count(xor(a.h, b.h))::BIGINT AS hamming_dist
         |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.h, b.h)) <= 5""".stripMargin,
+    // every field closed-form from id arithmetic; plant precedence
+    // not_tiff > truncated > bad_ifd (a self-looping IFD chain)
+    "q183_tiff_headers" ->
+      """SELECT doc_id AS media_id,
+        |  (CASE WHEN doc_id % 7 = 2 OR doc_id % 11 = 6 OR doc_id % 13 = 8
+        |        THEN 0 ELSE 1 END)::INTEGER AS ok,
+        |  CASE WHEN doc_id % 7 = 2 OR doc_id % 11 = 6 OR doc_id % 13 = 8
+        |       THEN ''
+        |       WHEN doc_id % 2 = 1 THEN 'MM' ELSE 'II' END AS byte_order,
+        |  (CASE WHEN doc_id % 7 = 2 OR doc_id % 11 = 6 OR doc_id % 13 = 8
+        |        THEN 0 ELSE 16 + doc_id % 100 END)::BIGINT AS width,
+        |  (CASE WHEN doc_id % 7 = 2 OR doc_id % 11 = 6 OR doc_id % 13 = 8
+        |        THEN 0 ELSE 16 + doc_id % 50 END)::BIGINT AS height,
+        |  (CASE WHEN doc_id % 7 = 2 OR doc_id % 11 = 6 OR doc_id % 13 = 8
+        |        THEN 0 ELSE 8 END)::INTEGER AS bits,
+        |  (CASE WHEN doc_id % 7 = 2 OR doc_id % 11 = 6 OR doc_id % 13 = 8
+        |        THEN 0
+        |        WHEN doc_id % 3 = 0 THEN 1 WHEN doc_id % 3 = 1 THEN 5
+        |        ELSE 7 END)::INTEGER AS compression,
+        |  (CASE WHEN doc_id % 7 = 2 OR doc_id % 11 = 6 OR doc_id % 13 = 8
+        |        THEN 0
+        |        WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END)::INTEGER AS photometric,
+        |  (CASE WHEN doc_id % 7 = 2 OR doc_id % 11 = 6 OR doc_id % 13 = 8
+        |        THEN 0
+        |        WHEN doc_id % 4 = 0 THEN 3 ELSE 1 END)::INTEGER AS samples,
+        |  (CASE WHEN doc_id % 7 = 2 OR doc_id % 11 = 6 OR doc_id % 13 = 8
+        |        THEN 0 ELSE 1 + doc_id % 3 END)::INTEGER AS n_pages,
+        |  CASE WHEN doc_id % 7 = 2 THEN 'not_tiff'
+        |       WHEN doc_id % 11 = 6 THEN 'truncated'
+        |       WHEN doc_id % 13 = 8 THEN 'bad_ifd' ELSE '' END AS err
+        |FROM documents""".stripMargin,
     // training + encoding + ADC replayed end-to-end; the rank rides
     // the raw fixed-point sum (integer-exact across engines)
     "q181_pq_topk" ->

@@ -158,6 +158,13 @@ class DecoderFuzzSpec extends SparkSpec {
     }
   }
 
+  test("TIFF walker survives 300 deterministic corruptions per byte order") {
+    for (be <- Seq(false, true)) {
+      val base = Tiff.tiffBytes(640, 480, 8, 5, 2, 3, pages = 2, bigEndian = be)
+      fuzz(s"tiff-$be", base, b => Tiff.parseTiff(0L, b))
+    }
+  }
+
   test("Ogg tag walker survives 300 deterministic corruptions per codec") {
     for (codec <- Seq("vorbis", "opus")) {
       val idPkt = if (codec == "opus") Ogg.opusIdPacket(2, 312, 48000)
