@@ -2190,6 +2190,33 @@ object Queries {
       .withColumn("recall_bp", expr("(10000 * n_hit) div k"))
   }
 
+  /** robots.txt evaluation through the gate (RFC 9309) — the
+    * crawl-frontier politeness decision: two planted rule files (a
+    * wildcard-group file with prefix rules, an Allow override, and a
+    * `*`-wildcard `$`-anchored pattern; and a two-group file whose
+    * specific `graftbot` group overrides the deny-all `*` group), two
+    * crawler agents, six paths — every (file, agent, path) decision
+    * restated closed-form. The RFC semantics themselves (longest
+    * pattern wins, Allow wins ties, longest agent token, empty
+    * Disallow no-op) are pinned by RobotsSpec hand vectors. */
+  def q184Robots(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val robotsA = "# graft crawl rules\nUser-agent: *\n" +
+      "Disallow: /private/\nAllow: /private/open\nDisallow: /*.pdf$\n" +
+      "Crawl-delay: 2\n"
+    val robotsB = "User-agent: graftbot\nDisallow: /graft/\nAllow: /\n\n" +
+      "User-agent: *\nDisallow: /\n"
+    val corpus = docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(5)) === 2, lit(robotsB))
+        .otherwise(lit(robotsA)).as("robots"),
+      when(pmod(col("doc_id"), lit(2)) === 0, lit("GraftBot/1.0"))
+        .otherwise(lit("OtherBot/2.0")).as("agent"),
+      element_at(array(lit("/"), lit("/private/x"), lit("/private/open"),
+        lit("/docs/a.pdf"), lit("/graft/secret"), lit("/public/page.html")),
+        (pmod(col("doc_id"), lit(6)) + 1).cast("int")).as("path"))
+    graft.text.Robots.decisions(corpus, "doc_id", "robots", "agent", "path")
+  }
+
   /** Bare-TIFF classification through the gate — the q77/q156 pattern
     * on the scanned-document format: header byte order, the multi-page
     * next-IFD chain, IFD0's image tags (width/length/bits/compression/
@@ -6156,6 +6183,7 @@ object Queries {
     "q181_pq_topk" -> (q181PqTopk _),
     "q182_pq_recall" -> (q182PqRecall _),
     "q183_tiff_headers" -> (q183TiffHeaders _),
+    "q184_robots" -> (q184Robots _),
     "q169_anim_webp_frames" -> (q169AnimWebpFrames _),
     "q170_cross_clip_dups" -> (q170CrossClipDups _),
     "q171_exif_headers" -> (q171ExifHeaders _),
@@ -7036,6 +7064,24 @@ object Queries {
         |  bit_count(xor(a.h, b.h))::BIGINT AS hamming_dist
         |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.h, b.h)) <= 5""".stripMargin,
+    // the planted (file, agent, path) truth table: the deny-all '*'
+    // group blocks otherbot everywhere under file B; graftbot's
+    // specific group blocks only /graft/; file A blocks /private/
+    // (minus the longer Allow) and the $-anchored *.pdf
+    "q184_robots" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'GraftBot/1.0'
+        |       ELSE 'OtherBot/2.0' END AS agent,
+        |  CASE doc_id % 6 WHEN 0 THEN '/' WHEN 1 THEN '/private/x'
+        |    WHEN 2 THEN '/private/open' WHEN 3 THEN '/docs/a.pdf'
+        |    WHEN 4 THEN '/graft/secret' ELSE '/public/page.html' END AS path,
+        |  (CASE
+        |    WHEN doc_id % 5 = 2 AND doc_id % 2 = 1 THEN 0
+        |    WHEN doc_id % 5 = 2 THEN
+        |      CASE WHEN doc_id % 6 = 4 THEN 0 ELSE 1 END
+        |    ELSE CASE WHEN doc_id % 6 IN (1, 3) THEN 0 ELSE 1 END
+        |   END)::BIGINT AS allowed
+        |FROM documents""".stripMargin,
     // every field closed-form from id arithmetic; plant precedence
     // not_tiff > truncated > bad_ifd (a self-looping IFD chain)
     "q183_tiff_headers" ->
