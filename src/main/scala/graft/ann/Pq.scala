@@ -69,14 +69,19 @@ object Pq {
       .select(col("vec_id"), col("s"), col("sv"), col("code"))
   }
 
-  /** Train per-subspace codebooks: seeds = the sub-vectors of every
-    * `stride`-th vec_id (code = vec_id, the IVF seeding convention),
-    * then `iters` Lloyd rounds (L2 assignment, fixed-point means).
-    * Returns (s, code, cvec: array<double>). */
+  /** Train per-subspace codebooks: seeds = the sub-vectors of the
+    * first `k` `stride`-th vec_ids (code = vec_id, the IVF seeding
+    * convention), then `iters` Lloyd rounds (L2 assignment,
+    * fixed-point means). k is a CONSTANT independent of corpus size —
+    * the FAISS shape (k=256 at deployment): letting the codebook grow
+    * with n turns the assignment join quadratic. Returns
+    * (s, code, cvec: array<double>). */
   def trainCodebooks(emb: DataFrame, idCol: String, vecCol: String,
-      m: Int, dim: Int, stride: Int = 32, iters: Int = 2): DataFrame = {
+      m: Int, dim: Int, stride: Int = 32, iters: Int = 2,
+      k: Int = 32): DataFrame = {
     val subs = subVectors(emb, idCol, vecCol, m, dim)
-    var cb = subs.where(pmod(col("vec_id"), lit(stride)) === 0)
+    var cb = subs.where(pmod(col("vec_id"), lit(stride)) === 0 &&
+        col("vec_id") < stride.toLong * k)
       .select(col("s"), col("vec_id").as("code"), col("sv").as("cvec"))
     var i = 0
     while (i < iters) {

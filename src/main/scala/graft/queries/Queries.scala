@@ -3649,7 +3649,7 @@ object Queries {
        |    (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) ss(s)),
        |pqcb0 AS (
        |  SELECT s, vec_id AS code, sv AS cvec FROM pqsubs
-       |  WHERE vec_id % 16 = 0),
+       |  WHERE vec_id % 16 = 0 AND vec_id < 16 * 32),
        |${duckPqRound("pqcb0", "pqcb1")},
        |${duckPqRound("pqcb1", "pqcb")},
        |pqenc AS (
