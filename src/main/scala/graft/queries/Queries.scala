@@ -2190,6 +2190,19 @@ object Queries {
       .withColumn("recall_bp", expr("(10000 * n_hit) div k"))
   }
 
+  /** Bigram-LM out-of-domain scoring through the gate — the
+    * CCNet/Wikipedia-LM quality filter (Wenzek et al. 2020): the even
+    * doc_ids train an add-one-smoothed bigram model, EVERY doc scores
+    * its adjacent-pair NLL under it in floored milli-nats (the q51
+    * log convention), out-of-vocabulary pairs naturally landing at
+    * ln(V). High avg NLL = unlike the reference domain — the number
+    * CCNet buckets corpora by. The oracle replays counts, smoothing,
+    * and the per-pair floor end-to-end. */
+  def q185BigramNll(spark: SparkSession, dir: String): DataFrame =
+    graft.text.CorpusStats.bigramNll(tbl(spark, dir, "documents"),
+        "doc_id", "text", pmod(col("doc_id"), lit(2)) === 0)
+      .withColumnRenamed("id", "doc_id")
+
   /** robots.txt evaluation through the gate (RFC 9309) — the
     * crawl-frontier politeness decision: two planted rule files (a
     * wildcard-group file with prefix rules, an Allow override, and a
@@ -6184,6 +6197,7 @@ object Queries {
     "q182_pq_recall" -> (q182PqRecall _),
     "q183_tiff_headers" -> (q183TiffHeaders _),
     "q184_robots" -> (q184Robots _),
+    "q185_bigram_nll" -> (q185BigramNll _),
     "q169_anim_webp_frames" -> (q169AnimWebpFrames _),
     "q170_cross_clip_dups" -> (q170CrossClipDups _),
     "q171_exif_headers" -> (q171ExifHeaders _),
@@ -7064,6 +7078,42 @@ object Queries {
         |  bit_count(xor(a.h, b.h))::BIGINT AS hamming_dist
         |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.h, b.h)) <= 5""".stripMargin,
+    // reference counts + add-one smoothing + the per-pair floored
+    // milli-nat replayed; right join keeps 0-pair docs at zeros
+    "q185_bigram_nll" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 2 = 0 AS is_ref,
+        |    list_filter(string_split(lower(trim(text)), ' '), x -> x != '') AS ws
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT doc_id, is_ref, p[1] AS w1, p[2] AS w2
+        |  FROM (SELECT doc_id, is_ref,
+        |      unnest(list_zip(ws[1 : len(ws) - 1], ws[2 : len(ws)])) AS p
+        |    FROM t WHERE len(ws) >= 2)),
+        |uni2 AS (
+        |  SELECT w1, count(*) AS c1 FROM (
+        |    SELECT doc_id, unnest(ws) AS w1 FROM t WHERE is_ref) GROUP BY w1),
+        |bi AS (
+        |  SELECT w1, w2, count(*) AS c2 FROM pairs WHERE is_ref
+        |  GROUP BY w1, w2),
+        |voc AS (SELECT count(*)::BIGINT AS v FROM uni2),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |    floor(1000.0 * ln((coalesce(u.c1, 0) + voc.v)::DOUBLE /
+        |      (coalesce(b.c2, 0) + 1)::DOUBLE))::BIGINT AS si
+        |  FROM pairs p
+        |  LEFT JOIN uni2 u ON u.w1 = p.w1
+        |  LEFT JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+        |  CROSS JOIN voc),
+        |agg AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_pairs,
+        |    sum(si)::BIGINT AS nll_milli
+        |  FROM scored GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(a.n_pairs, 0)::BIGINT AS n_pairs,
+        |  coalesce(a.nll_milli, 0)::BIGINT AS nll_milli,
+        |  coalesce(a.nll_milli // a.n_pairs, 0)::BIGINT AS avg_nll_milli
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
     // the planted (file, agent, path) truth table: the deny-all '*'
     // group blocks otherbot everywhere under file B; graftbot's
     // specific group blocks only /graft/; file A blocks /private/

@@ -791,4 +791,60 @@ object CorpusStats {
       .limit(k)
   }
 
+
+  /** Bigram-LM out-of-domain scoring — the CCNet/Wikipedia-LM quality
+    * filter shape (Wenzek et al. 2020): a REFERENCE half of the corpus
+    * trains an add-one-smoothed bigram model, and every document
+    * scores its adjacent token pairs' negative log-likelihood under
+    * it — high NLL = unlike the reference domain, the number CCNet
+    * buckets documents by (head/middle/tail). Frozen integer
+    * conventions (the q51 discipline): per-pair
+    * s = ⌊1000·ln((c1(w1) + V) / (c2(w1,w2) + 1))⌋ milli-nats, where
+    * c1/c2 are reference unigram/bigram counts and V the reference
+    * vocabulary size; an out-of-vocabulary w1 naturally scores
+    * ⌊1000·ln(V)⌋. Output per doc: n_pairs, nll_milli (sum), and
+    * avg_nll_milli (integer div; 0 for docs under 2 tokens).
+    *
+    * Scale shape: counts shuffle by token/pair (linear); each doc’s
+    * pairs join the count tables by key; V rides a single-row
+    * broadcast (the q51 crossJoin pattern, PlanHygiene-documented). */
+  def bigramNll(df: DataFrame, idCol: String, textCol: String,
+      refPred: Column): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val toks = df.select(col(idCol).as("id"), refPred.as("is_ref"),
+      TextFunctions.tokens(col(textCol)).as("ws"))
+    val pairsOf = zip_with(
+      slice(col("ws"), lit(1), greatest(size(col("ws")) - 1, lit(0))),
+      slice(col("ws"), lit(2), greatest(size(col("ws")) - 1, lit(0))),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val pairs = toks.select(col("id"), col("is_ref"),
+        explode(pairsOf).as("p"))
+      .select(col("id"), col("is_ref"), col("p.w1").as("w1"),
+        col("p.w2").as("w2"))
+      .repartition(parts)
+    val refUni = toks.where(col("is_ref"))
+      .select(explode(col("ws")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val refBi = pairs.where(col("is_ref"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val vocab = refUni.agg(count(lit(1)).as("v"))
+    val allDocs = df.select(col(idCol).as("id"))
+    pairs
+      .join(refUni, Seq("w1"), "left")
+      .join(refBi, Seq("w1", "w2"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("id"),
+        floor(lit(1000.0) * log(
+          (coalesce(col("c1"), lit(0L)) + col("v")).cast("double") /
+            (coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double")))
+          .cast("long").as("si"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("si")).cast("long").as("ssum"))
+      // short docs (0 pairs) surface with zeros, not silently vanish
+      .join(allDocs, Seq("id"), "right")
+      .select(col("id"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("ssum"), lit(0L)).as("nll_milli"),
+        coalesce(expr("ssum div n_pairs"), lit(0L)).as("avg_nll_milli"))
+  }
 }

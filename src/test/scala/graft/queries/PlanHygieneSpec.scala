@@ -50,7 +50,8 @@ class PlanHygieneSpec extends SparkSpec {
     "q116_quality_mix" -> "composes q107's and q98's single-row broadcast totals (NB vocab/prior + temperature normalizer)",
     "q149_ann_recall" -> "recall audit's exact arm IS q25's brute baseline: broadcast 25-query batch x corpus",
     "q151_nprobe_sweep" -> "q149's sweep: same broadcast 25-query brute baseline intersected with three probe arms",
-    "q182_pq_recall" -> "the PQ rerank sweep's exact arm IS q25's brute baseline: broadcast 25-query batch x corpus (the ADC arms are plain joins)")
+    "q182_pq_recall" -> "the PQ rerank sweep's exact arm IS q25's brute baseline: broadcast 25-query batch x corpus (the ADC arms are plain joins)",
+    "q185_bigram_nll" -> "crossJoin(broadcast(vocab)): single-row reference vocabulary size (the q51 pattern)")
 
   test("every gate query carries an oracle (q36 rows-only by design), no orphans") {
     assert(Queries.all.keySet -- Queries.oracle.keySet == Set("q36_approx_distinct"),

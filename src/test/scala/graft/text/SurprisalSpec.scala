@@ -72,4 +72,36 @@ class SurprisalSpec extends SparkSpec {
       .agg(sum($"n")).head().getLong(0)
     assert(nTok == direct)
   }
+
+  test("bigram NLL: hand golden, OOV at ln(V), smoothing, short docs at zero") {
+    import org.apache.spark.sql.functions._
+    // reference (even ids): "a b a b" and "a c" -> V = 3 {a, b, c};
+    // c1: a=3, b=2, c=1; c2: (a,b)=2, (b,a)=1, (a,c)=1
+    val docs = Seq(
+      (0L, "a b a b"), (2L, "a c"),
+      (1L, "a b x"), // scored: (a,b) known, (b,x) OOV w2
+      (3L, "z q"), // OOV w1: floor(1000 ln((0+3)/(0+1))) = 1098
+      (5L, "solo")) // 1 token -> 0 pairs
+      .toDF("doc_id", "text")
+    val out = CorpusStats.bigramNll(docs, "doc_id", "text",
+        pmod(col("doc_id"), lit(2)) === 0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1: (a,b): floor(1000 ln((3+3)/(2+1))) = floor(1000 ln 2) = 693
+    //        (b,x): floor(1000 ln((2+3)/(0+1))) = floor(1000 ln 5) = 1609
+    assert(out(1L) == ((2L, 693L + 1609L, (693L + 1609L) / 2)), s"${out(1L)}")
+    assert(out(3L) == ((1L, 1098L, 1098L)), s"${out(3L)}")
+    assert(out(5L) == ((0L, 0L, 0L)))
+    // the reference's own docs score too (self-scoring is in-domain-low):
+    // doc 2 "a c": (a,c) = floor(1000 ln((3+3)/(1+1))) = floor(1000 ln 3) = 1098
+    assert(out(2L) == ((1L, 1098L, 1098L)))
+    // partitioning-invariant (the count shuffles + single-row broadcast)
+    val again = CorpusStats.bigramNll(docs.repartition(5), "doc_id", "text",
+        pmod(col("doc_id"), lit(2)) === 0)
+      .collect().map(_.toString).sorted.toSeq
+    val base = CorpusStats.bigramNll(docs, "doc_id", "text",
+        pmod(col("doc_id"), lit(2)) === 0)
+      .collect().map(_.toString).sorted.toSeq
+    assert(again == base)
+  }
 }
