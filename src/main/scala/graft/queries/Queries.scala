@@ -2190,6 +2190,18 @@ object Queries {
       .withColumn("recall_bp", expr("(10000 * n_hit) div k"))
   }
 
+  /** AVIF/HEIF classification through the gate — the q77/q156 pattern
+    * on the fast-growing crawl image format: ftyp brand dispatch, the
+    * meta→iprp→ipco property walk, dimensions from the first ispe,
+    * the auxiliary-alpha second ispe counted, the codec config box
+    * (av1C/hvcC) identified, tiles opaque. Every field and refusal
+    * closed-form from id arithmetic. */
+  def q186AvifHeaders(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Avif.avifCorpusFromDocuments(
+      tbl(spark, dir, "documents"))
+    graft.multimodal.Avif.decodeAvifInfo(media).toDF()
+  }
+
   /** Bigram-LM out-of-domain scoring through the gate — the
     * CCNet/Wikipedia-LM quality filter (Wenzek et al. 2020): the even
     * doc_ids train an add-one-smoothed bigram model, EVERY doc scores
@@ -6198,6 +6210,7 @@ object Queries {
     "q183_tiff_headers" -> (q183TiffHeaders _),
     "q184_robots" -> (q184Robots _),
     "q185_bigram_nll" -> (q185BigramNll _),
+    "q186_avif_headers" -> (q186AvifHeaders _),
     "q169_anim_webp_frames" -> (q169AnimWebpFrames _),
     "q170_cross_clip_dups" -> (q170CrossClipDups _),
     "q171_exif_headers" -> (q171ExifHeaders _),
@@ -7078,6 +7091,32 @@ object Queries {
         |  bit_count(xor(a.h, b.h))::BIGINT AS hamming_dist
         |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.h, b.h)) <= 5""".stripMargin,
+    // every field closed-form; plant precedence not_bmff > not_heif
+    // > truncated > no_ispe
+    "q186_avif_headers" ->
+      """SELECT doc_id AS media_id,
+        |  (CASE WHEN doc_id % 7 = 2 OR doc_id % 11 = 4 OR doc_id % 13 = 6
+        |           OR doc_id % 5 = 3 THEN 0 ELSE 1 END)::INTEGER AS ok,
+        |  CASE WHEN doc_id % 7 = 2 OR doc_id % 11 = 4 OR doc_id % 13 = 6
+        |         OR doc_id % 5 = 3 THEN ''
+        |       WHEN doc_id % 2 = 0 THEN 'avif' ELSE 'heic' END AS brand,
+        |  (CASE WHEN doc_id % 7 = 2 OR doc_id % 11 = 4 OR doc_id % 13 = 6
+        |         OR doc_id % 5 = 3 THEN 0
+        |        ELSE 16 + doc_id % 200 END)::BIGINT AS width,
+        |  (CASE WHEN doc_id % 7 = 2 OR doc_id % 11 = 4 OR doc_id % 13 = 6
+        |         OR doc_id % 5 = 3 THEN 0
+        |        ELSE 16 + doc_id % 120 END)::BIGINT AS height,
+        |  (CASE WHEN doc_id % 7 = 2 OR doc_id % 11 = 4 OR doc_id % 13 = 6
+        |         OR doc_id % 5 = 3 THEN 0
+        |        WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END)::INTEGER AS n_ispe,
+        |  CASE WHEN doc_id % 7 = 2 OR doc_id % 11 = 4 OR doc_id % 13 = 6
+        |         OR doc_id % 5 = 3 THEN ''
+        |       WHEN doc_id % 2 = 0 THEN 'av01' ELSE 'hevc' END AS codec,
+        |  CASE WHEN doc_id % 7 = 2 THEN 'not_bmff'
+        |       WHEN doc_id % 11 = 4 THEN 'not_heif'
+        |       WHEN doc_id % 13 = 6 THEN 'truncated'
+        |       WHEN doc_id % 5 = 3 THEN 'no_ispe' ELSE '' END AS err
+        |FROM documents""".stripMargin,
     // reference counts + add-one smoothing + the per-pair floored
     // milli-nat replayed; right join keeps 0-pair docs at zeros
     "q185_bigram_nll" ->

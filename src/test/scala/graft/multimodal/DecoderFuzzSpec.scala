@@ -158,6 +158,14 @@ class DecoderFuzzSpec extends SparkSpec {
     }
   }
 
+  test("AVIF/HEIF walker survives 300 deterministic corruptions per brand") {
+    for (brand <- Seq("avif", "heic")) {
+      val base = Avif.avifBytes(brand, 640, 480, withAlpha = true,
+        codec = if (brand == "avif") "av01" else "hevc")
+      fuzz(s"avif-$brand", base, b => Avif.parseAvif(0L, b))
+    }
+  }
+
   test("TIFF walker survives 300 deterministic corruptions per byte order") {
     for (be <- Seq(false, true)) {
       val base = Tiff.tiffBytes(640, 480, 8, 5, 2, 3, pages = 2, bigEndian = be)
