@@ -533,52 +533,76 @@ object Vp8l {
       br.readBit() // alpha-used hint (informational)
       if (br.readBits(3) != 0) return None // version
       if (w.toLong * h > maxPixels) return None // bomb guard before alloc
-      // transforms, in read order; inverses apply in reverse. Each
-      // records the xsize current when it was read: COLOR_INDEXING
-      // reduces the width for everything read after it (bundling), so
-      // later transforms' sub-images AND the main image decode at the
-      // reduced width, and their inverses (which run BEFORE the
-      // palette inverse) operate there too.
-      // (type, bits, data, blockW, wAtRead)
-      var transforms = List.empty[(Int, Int, Array[Int], Int, Int)]
-      var seen = 0
-      var curW = w
-      while (br.readBit() == 1) {
-        val t = br.readBits(2)
-        if ((seen & (1 << t)) != 0) corrupt() // each transform at most once
-        seen |= 1 << t
-        t match {
-          case 2 => transforms ::= ((2, 0, null, 0, curW)) // SUBTRACT_GREEN
-          case 0 | 1 => // PREDICTOR / COLOR: per-block sub-image
-            val sizeBits = br.readBits(3) + 2
-            val bw = subSample(curW, sizeBits)
-            val bh = subSample(h, sizeBits)
-            val data = decodeImageData(br, bw, bh, allowMeta = false)
-            transforms ::= ((t, sizeBits, data, bw, curW))
-          case _ => // COLOR_INDEXING: delta-coded palette
-            val size = br.readBits(8) + 1
-            val pal = decodeImageData(br, size, 1, allowMeta = false)
-            var k = 1
-            while (k < size) { pal(k) = addPixels(pal(k), pal(k - 1)); k += 1 }
-            val widthBits = paletteWidthBits(size)
-            transforms ::= ((3, widthBits, pal, 0, curW))
-            curW = subSample(curW, widthBits)
-        }
+      Some((w, h, decodeBody(br, w, h)))
+    } catch {
+      case _: Corrupt | _: ArrayIndexOutOfBoundsException |
+           _: NegativeArraySizeException => None
+    }
+
+  /** The image stream AFTER the header fields — also the entry point
+    * for the container's HEADERLESS alpha bitstream (the ALPH chunk's
+    * VP8L method carries no signature/dims; the caller knows w/h). */
+  private def decodeBody(br: BitReader, w: Int, h: Int): Array[Int] = {
+    // transforms, in read order; inverses apply in reverse. Each
+    // records the xsize current when it was read: COLOR_INDEXING
+    // reduces the width for everything read after it (bundling), so
+    // later transforms' sub-images AND the main image decode at the
+    // reduced width, and their inverses (which run BEFORE the
+    // palette inverse) operate there too.
+    // (type, bits, data, blockW, wAtRead)
+    var transforms = List.empty[(Int, Int, Array[Int], Int, Int)]
+    var seen = 0
+    var curW = w
+    while (br.readBit() == 1) {
+      val t = br.readBits(2)
+      if ((seen & (1 << t)) != 0) corrupt() // each transform at most once
+      seen |= 1 << t
+      t match {
+        case 2 => transforms ::= ((2, 0, null, 0, curW)) // SUBTRACT_GREEN
+        case 0 | 1 => // PREDICTOR / COLOR: per-block sub-image
+          val sizeBits = br.readBits(3) + 2
+          val bw = subSample(curW, sizeBits)
+          val bh = subSample(h, sizeBits)
+          val data = decodeImageData(br, bw, bh, allowMeta = false)
+          transforms ::= ((t, sizeBits, data, bw, curW))
+        case _ => // COLOR_INDEXING: delta-coded palette
+          val size = br.readBits(8) + 1
+          val pal = decodeImageData(br, size, 1, allowMeta = false)
+          var k = 1
+          while (k < size) { pal(k) = addPixels(pal(k), pal(k - 1)); k += 1 }
+          val widthBits = paletteWidthBits(size)
+          transforms ::= ((3, widthBits, pal, 0, curW))
+          curW = subSample(curW, widthBits)
       }
-      var px = decodeImageData(br, curW, h, allowMeta = true)
-      // transforms list is already reversed (::= prepends)
-      transforms.foreach {
-        case (2, _, _, _, _) => applyInverseSubtractGreen(px)
-        case (0, sizeBits, modes, bw, wAt) =>
-          applyInversePredictor(px, wAt, h, sizeBits, modes, bw)
-        case (1, sizeBits, elems, bw, wAt) =>
-          applyInverseColor(px, wAt, h, sizeBits, elems, bw)
-        case (3, widthBits, pal, _, wAt) =>
-          px = applyInverseColorIndex(px, wAt, h, widthBits, pal)
-        case _ => corrupt()
-      }
-      if (px.length != w * h) corrupt()
-      Some((w, h, px))
+    }
+    var px = decodeImageData(br, curW, h, allowMeta = true)
+    // transforms list is already reversed (::= prepends)
+    transforms.foreach {
+      case (2, _, _, _, _) => applyInverseSubtractGreen(px)
+      case (0, sizeBits, modes, bw, wAt) =>
+        applyInversePredictor(px, wAt, h, sizeBits, modes, bw)
+      case (1, sizeBits, elems, bw, wAt) =>
+        applyInverseColor(px, wAt, h, sizeBits, elems, bw)
+      case (3, widthBits, pal, _, wAt) =>
+        px = applyInverseColorIndex(px, wAt, h, widthBits, pal)
+      case _ => corrupt()
+    }
+    if (px.length != w * h) corrupt()
+    px
+  }
+
+  /** Decode a HEADERLESS alpha bitstream (the ALPH chunk's VP8L
+    * method): the green channel of a w x h lossless image whose
+    * header fields the container already supplied. */
+  def decodeAlphaGreen(b: Array[Byte], off: Int, len: Int,
+      w: Int, h: Int, maxPixels: Int = 1 << 24): Option[Array[Byte]] =
+    try {
+      if (b == null || len <= 0 || w.toLong * h > maxPixels) return None
+      val px = decodeBody(new BitReader(b, off, off + len), w, h)
+      val out = new Array[Byte](px.length)
+      var i = 0
+      while (i < px.length) { out(i) = ((px(i) >>> 8) & 0xff).toByte; i += 1 }
+      Some(out)
     } catch {
       case _: Corrupt | _: ArrayIndexOutOfBoundsException |
            _: NegativeArraySizeException => None

@@ -220,6 +220,186 @@ object Webp {
     }.toDF("media_id", "payload")
   }
 
+  // ---- alpha plane (ALPH) ---------------------------------------------
+
+  /** Per-image alpha stats: the transparency signal a curation gate
+    * keys on (a fully-opaque "alpha" image is wasted bytes; a mostly-
+    * transparent one is usually an icon/overlay, not a photo). */
+  final case class AlphaStats(media_id: Long, ok: Int, w: Int, h: Int,
+      alpha_sum: Long, n_opaque: Long, err: String)
+
+  /** Decode a VP8X file's ALPH chunk to the w x h alpha plane: header
+    * byte (2 bits each, MSB-first: reserved, pre-processing, filter,
+    * compression), method 0 = raw bytes, method 1 = the HEADERLESS
+    * VP8L green-channel bitstream ([[Vp8l.decodeAlphaGreen]]), then
+    * the per-pixel prediction filter undone (none / horizontal /
+    * vertical / gradient, with the shared border rules: (0,0) from 0,
+    * row 0 from the left, column 0 from above). Left = refusal tag. */
+  def decodeAlpha(b: Array[Byte]): Either[String, (Int, Int, Array[Byte])] = {
+    val vp8x = {
+      if (b == null || b.length < 12 || cc(b, 0) != "RIFF" ||
+          cc(b, 8) != "WEBP") return Left("not_webp")
+      val riffEnd = 8L + le32(b, 4)
+      if (riffEnd > b.length) return Left("truncated")
+      var p = 12
+      var alph = Option.empty[(Int, Int)]
+      var dims = Option.empty[(Int, Int)]
+      while (p + 8 <= riffEnd.toInt) {
+        val four = cc(b, p)
+        val size = le32(b, p + 4)
+        if (p + 8 + size > riffEnd) return Left("truncated")
+        if (four == "VP8X" && size >= 10)
+          dims = Some((le24(b, p + 12) + 1, le24(b, p + 15) + 1))
+        if (four == "ALPH") alph = Some((p + 8, size.toInt))
+        p += 8 + size.toInt + (size.toInt & 1)
+      }
+      (dims, alph)
+    }
+    val (w, h) = vp8x._1.getOrElse(return Left("no_vp8x"))
+    val (off, len) = vp8x._2.getOrElse(return Left("no_alpha"))
+    if (len < 1) return Left("truncated")
+    val hdr = b(off) & 0xff
+    if ((hdr >> 6) != 0) return Left("bad_alpha")
+    val filter = (hdr >> 2) & 3
+    val method = hdr & 3
+    if (method > 1) return Left("bad_alpha")
+    if (w.toLong * h > (1L << 24)) return Left("bad_alpha")
+    val plane: Array[Byte] =
+      if (method == 0) {
+        if (len - 1 < w * h) return Left("truncated")
+        java.util.Arrays.copyOfRange(b, off + 1, off + 1 + w * h)
+      } else Vp8l.decodeAlphaGreen(b, off + 1, len - 1, w, h)
+        .getOrElse(return Left("bad_alpha"))
+    // undo the prediction filter in place (scan order: predictors are
+    // already-reconstructed neighbors)
+    if (filter != 0) {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val i = y * w + x
+          val l = if (x > 0) plane(i - 1) & 0xff else 0
+          val t = if (y > 0) plane(i - w) & 0xff else 0
+          val tl = if (x > 0 && y > 0) plane(i - w - 1) & 0xff else 0
+          val pred =
+            if (x == 0 && y == 0) 0
+            else if (y == 0) l
+            else if (x == 0) t
+            else filter match {
+              case 1 => l
+              case 2 => t
+              case _ => math.max(0, math.min(255, l + t - tl)) // gradient
+            }
+          plane(i) = (((plane(i) & 0xff) + pred) & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+    }
+    Right((w, h, plane))
+  }
+
+  /** Batched alpha stats — the decodeStage plan shape. */
+  def decodeAlphaStats(media: DataFrame, partitions: Int = 0): Dataset[AlphaStats] = {
+    val spark = media.sparkSession
+    val parts = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    media.select("media_id", "payload")
+      .repartition(parts, col("media_id"))
+      .as[(Long, Array[Byte])](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.BINARY))
+      .mapPartitions(_.map { case (id, p) =>
+        decodeAlpha(p) match {
+          case Left(err) => AlphaStats(id, 0, 0, 0, 0L, 0L, err)
+          case Right((w, h, plane)) =>
+            var s = 0L
+            var opq = 0L
+            var i = 0
+            while (i < plane.length) {
+              val v = plane(i) & 0xff
+              s += v
+              if (v == 255) opq += 1
+              i += 1
+            }
+            AlphaStats(id, 1, w, h, s, opq, "")
+        }
+      })(org.apache.spark.sql.Encoders.product[AlphaStats])
+  }
+
+  /** Assemble an ALPH payload from a raw alpha plane: apply the
+    * forward filter, then store raw or as the headerless VP8L
+    * green-channel stream (graft's encoder output minus the 5 header
+    * bytes — 1 signature + 32 bits of dims/alpha/version). */
+  private[multimodal] def alphPayload(w: Int, h: Int, alpha: Array[Byte],
+      filter: Int, vp8l: Boolean): Array[Byte] = {
+    require(alpha.length == w * h, "alpha plane size")
+    val filtered = new Array[Byte](alpha.length)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = y * w + x
+        val l = if (x > 0) alpha(i - 1) & 0xff else 0
+        val t = if (y > 0) alpha(i - w) & 0xff else 0
+        val tl = if (x > 0 && y > 0) alpha(i - w - 1) & 0xff else 0
+        val pred =
+          if (filter == 0) 0
+          else if (x == 0 && y == 0) 0
+          else if (y == 0) l
+          else if (x == 0) t
+          else filter match {
+            case 1 => l
+            case 2 => t
+            case _ => math.max(0, math.min(255, l + t - tl))
+          }
+        filtered(i) = (((alpha(i) & 0xff) - pred) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val o = new java.io.ByteArrayOutputStream()
+    o.write((filter << 2) | (if (vp8l) 1 else 0))
+    if (!vp8l) o.write(filtered, 0, filtered.length)
+    else {
+      val argb = Array.tabulate(w * h)(i =>
+        0xff000000 | ((filtered(i) & 0xff) << 8))
+      val full = Vp8l.encode(w, h, argb, Vp8l.VariantPlain)
+      o.write(full, 5, full.length - 5) // strip signature + 32 header bits
+    }
+    o.toByteArray
+  }
+
+  /** Deterministic lossy-with-alpha corpus: VP8X(alpha) + ALPH + VP8,
+    * luma from [[Vp8.q174Gray]], alpha from the closed form
+    * a(id,x,y) = ((id%7)*31 + 3x + 5y) % 256, the wire shape fanned
+    * alpha-invisibly (raw vs headerless-VP8L storage by id%2, filter
+    * method id%4). Error plants:
+    *   id%11==3  ALPH chunk dropped            -> "no_alpha"
+    *   else id%13==5  a reserved header bit set -> "bad_alpha" */
+  def webpAlphaCorpusFromDocuments(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].map { id =>
+      def m(k: Long): Int = java.lang.Math.floorMod(id, k).toInt
+      val w = 64
+      val h = 64
+      val alpha = Array.tabulate[Byte](w * h) { i =>
+        ((m(7) * 31 + (i % w) * 3 + (i / w) * 5) % 256).toByte
+      }
+      val luma = Array.tabulate(w * h)(i => Vp8.q174Gray(id, i % w, i / w))
+      val noAlpha = m(11) == 3
+      val badAlpha = !noAlpha && m(13) == 5
+      val alph = alphPayload(w, h, alpha, filter = m(4), vp8l = m(2) == 1)
+      if (badAlpha) alph(0) = (alph(0) | 0x80).toByte // reserved bit
+      val chunks =
+        Seq(("VP8X", vp8xPayload(alpha = true, anim = false, w, h))) ++
+          (if (noAlpha) Seq.empty else Seq(("ALPH", alph))) ++
+          Seq(("VP8 ", Vp8.encode(w, h, luma, m(4))))
+      (id, webpBytes(chunks))
+    }.toDF("media_id", "payload")
+  }
+
   // ---- animated WebP (ANIM/ANMF) -------------------------------------
 
   /** One decoded animation frame's fingerprint row ([[Multimodal]]'s

@@ -2190,6 +2190,20 @@ object Queries {
       .withColumn("recall_bp", expr("(10000 * n_hit) div k"))
   }
 
+  /** WebP ALPH alpha-plane decode through the gate — the transparency
+    * signal beside q174's luma: VP8X(alpha) + ALPH + VP8 files, the
+    * plane stored raw OR as the container's HEADERLESS VP8L
+    * green-channel bitstream, under all four prediction filters
+    * (none/horizontal/vertical/gradient) — both storage axes
+    * alpha-invisible, so the oracle replays the planted closed-form
+    * plane's sum and opaque count directly. A dropped ALPH chunk and
+    * a set reserved header bit refuse with their own tags. */
+  def q187WebpAlpha(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Webp.webpAlphaCorpusFromDocuments(
+      tbl(spark, dir, "documents"))
+    graft.multimodal.Webp.decodeAlphaStats(media).toDF()
+  }
+
   /** AVIF/HEIF classification through the gate — the q77/q156 pattern
     * on the fast-growing crawl image format: ftyp brand dispatch, the
     * meta→iprp→ipco property walk, dimensions from the first ispe,
@@ -6211,6 +6225,7 @@ object Queries {
     "q184_robots" -> (q184Robots _),
     "q185_bigram_nll" -> (q185BigramNll _),
     "q186_avif_headers" -> (q186AvifHeaders _),
+    "q187_webp_alpha" -> (q187WebpAlpha _),
     "q169_anim_webp_frames" -> (q169AnimWebpFrames _),
     "q170_cross_clip_dups" -> (q170CrossClipDups _),
     "q171_exif_headers" -> (q171ExifHeaders _),
@@ -7091,6 +7106,29 @@ object Queries {
         |  bit_count(xor(a.h, b.h))::BIGINT AS hamming_dist
         |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.h, b.h)) <= 5""".stripMargin,
+    // the planted alpha plane's sum/opaque-count replayed over the
+    // 64x64 grid; storage method and filter are alpha-invisible
+    "q187_webp_alpha" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    ((doc_id % 7) * 31 + 3 * x.x + 5 * y.y) % 256 AS a
+        |  FROM documents, range(0, 64) x(x), range(0, 64) y(y)
+        |  WHERE doc_id % 11 <> 3 AND doc_id % 13 <> 5),
+        |s AS (
+        |  SELECT doc_id, sum(a)::BIGINT AS alpha_sum,
+        |    sum(CASE WHEN a = 255 THEN 1 ELSE 0 END)::BIGINT AS n_opaque
+        |  FROM g GROUP BY doc_id)
+        |SELECT doc_id AS media_id, 1::INTEGER AS ok, 64::INTEGER AS w,
+        |  64::INTEGER AS h, alpha_sum, n_opaque, '' AS err
+        |FROM s
+        |UNION ALL
+        |SELECT doc_id, 0::INTEGER, 0::INTEGER, 0::INTEGER, 0::BIGINT,
+        |  0::BIGINT, 'no_alpha'
+        |FROM documents WHERE doc_id % 11 = 3
+        |UNION ALL
+        |SELECT doc_id, 0::INTEGER, 0::INTEGER, 0::INTEGER, 0::BIGINT,
+        |  0::BIGINT, 'bad_alpha'
+        |FROM documents WHERE doc_id % 11 <> 3 AND doc_id % 13 = 5""".stripMargin,
     // every field closed-form; plant precedence not_bmff > not_heif
     // > truncated > no_ispe
     "q186_avif_headers" ->

@@ -166,6 +166,16 @@ class DecoderFuzzSpec extends SparkSpec {
     }
   }
 
+  test("ALPH alpha decoder survives 300 deterministic corruptions per method") {
+    val alpha = Array.tabulate[Byte](64 * 64)(i => ((i * 11 + 3) % 256).toByte)
+    for (vp8l <- Seq(false, true)) {
+      val base = Webp.webpBytes(Seq(
+        ("VP8X", Webp.vp8xPayload(alpha = true, anim = false, 64, 64)),
+        ("ALPH", Webp.alphPayload(64, 64, alpha, filter = 3, vp8l = vp8l))))
+      fuzz(s"alph-$vp8l", base, b => Webp.decodeAlpha(b))
+    }
+  }
+
   test("TIFF walker survives 300 deterministic corruptions per byte order") {
     for (be <- Seq(false, true)) {
       val base = Tiff.tiffBytes(640, 480, 8, 5, 2, 3, pages = 2, bigEndian = be)

@@ -134,4 +134,44 @@ class WebpSpec extends SparkSpec {
       Some(("webp", 33, 44, 8, 4, "lossless")))
     assert(Multimodal.parseImageHeader("RIFFxxxxNOPE".getBytes("ISO-8859-1")).isEmpty)
   }
+
+  test("ALPH: every (storage, filter) shape recovers the exact alpha plane") {
+    val w = 33; val h = 17 // odd dims: border rules on partial rows
+    val alpha = Array.tabulate[Byte](w * h)(i =>
+      ((i * 7 + i / w * 3) % 256).toByte)
+    for (vp8l <- Seq(false, true); f <- 0 to 3) {
+      val file = Webp.webpBytes(Seq(
+        ("VP8X", Webp.vp8xPayload(alpha = true, anim = false, w, h)),
+        ("ALPH", Webp.alphPayload(w, h, alpha, filter = f, vp8l = vp8l)),
+        ("VP8 ", Webp.vp8Payload(w, h, badStart = false, filler = 8))))
+      val r = Webp.decodeAlpha(file)
+      assert(r.isRight, s"vp8l=$vp8l f=$f: $r")
+      val (dw, dh, plane) = r.toOption.get
+      assert(dw == w && dh == h)
+      assert(java.util.Arrays.equals(plane, alpha),
+        s"alpha plane mismatch (vp8l=$vp8l filter=$f)")
+    }
+  }
+
+  test("ALPH refusals: missing chunk, reserved bits, bad container") {
+    val w = 16; val h = 16
+    val alpha = Array.fill[Byte](w * h)(200.toByte)
+    val alph = Webp.alphPayload(w, h, alpha, filter = 1, vp8l = true)
+    def file(chunks: Seq[(String, Array[Byte])]) = Webp.webpBytes(chunks)
+    assert(Webp.decodeAlpha(file(Seq(
+      ("VP8X", Webp.vp8xPayload(alpha = true, anim = false, w, h)),
+      ("VP8 ", Webp.vp8Payload(w, h, badStart = false, filler = 4)))))
+      == Left("no_alpha"))
+    val bad = alph.clone(); bad(0) = (bad(0) | 0x40).toByte
+    assert(Webp.decodeAlpha(file(Seq(
+      ("VP8X", Webp.vp8xPayload(alpha = true, anim = false, w, h)),
+      ("ALPH", bad)))) == Left("bad_alpha"))
+    assert(Webp.decodeAlpha(file(Seq(("ALPH", alph)))) == Left("no_vp8x"))
+    assert(Webp.decodeAlpha(Array[Byte](1, 2, 3)) == Left("not_webp"))
+    // raw storage shorter than the plane
+    val shortRaw = Array[Byte](0x00, 1, 2, 3)
+    assert(Webp.decodeAlpha(file(Seq(
+      ("VP8X", Webp.vp8xPayload(alpha = true, anim = false, w, h)),
+      ("ALPH", shortRaw)))) == Left("truncated"))
+  }
 }
