@@ -166,9 +166,13 @@ object Ann {
       lit(0.0), (acc, v) => acc + v)
     val cw = Window.partitionBy(col("query_id"))
       .orderBy(col("coarse").desc, col("neighbor_id").asc)
-    val cands = cIdx.crossJoin(broadcast(qIdx))
-      .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), pdot.as("coarse"))
+    // two-level selection (TopK): per-partition bounded heap before the
+    // window, so its input is numPartitions × |Q| × rerank, not n
+    val cands = TopK.prunePerPartition(
+        cIdx.crossJoin(broadcast(qIdx))
+          .where(col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"), pdot.as("coarse")),
+        "query_id", "coarse", "neighbor_id", rerank)
       .withColumn("crn", row_number().over(cw))
       .where(col("crn") <= rerank)
       .select(col("query_id"), col("neighbor_id"))
@@ -471,7 +475,11 @@ object Ann {
   }
 
   /** The candidate-join half of [[ivfProbeTopK]] over a precomputed
-    * probes frame. */
+    * probes frame. Two-level selection: the probed cells' row count
+    * still grows with the corpus (n·nProbe/|cells|), so the
+    * per-partition bounded heap ([[TopK.prunePerPartition]]) caps the
+    * final window's input before any single task sorts a query's full
+    * candidate set. */
   def ivfProbeTopKFromProbes(probes: DataFrame, cells: DataFrame,
       k: Int): DataFrame = {
     val cand = cells.join(broadcast(probes), Seq("cell"))
@@ -480,7 +488,8 @@ object Ann {
         round(dot(col("q_vec"), col("v")), 6).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    cand.withColumn("rank", row_number().over(w))
+    TopK.prunePerPartition(cand, "query_id", "cos", "neighbor_id", k)
+      .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }

@@ -27,7 +27,7 @@ object IvfIndex {
     * nothing). Rank is id-structure-independent and perfectly balanced
     * by construction. The window runs over the centroid frame only —
     * bounded (~√n rows), the codebase's benign-bounded-window case. */
-  private def cellBuckets(cents: DataFrame, numBuckets: Int): DataFrame =
+  private[ann] def cellBuckets(cents: DataFrame, numBuckets: Int): DataFrame =
     cents.select(col("cid"),
       pmod(
         org.apache.spark.sql.functions.row_number().over(
@@ -190,7 +190,7 @@ object IvfIndex {
     * ("file:/x" vs "/x", relative vs absolute, trailing slashes), and
     * an aliased outDir would pass a no-self-overwrite guard while the
     * Overwrite write truncates the very cells being lazily read. */
-  private def canon(spark: SparkSession, p: String): String = {
+  private[ann] def canon(spark: SparkSession, p: String): String = {
     val hp = new org.apache.hadoop.fs.Path(p)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.makeQualified(hp).toUri.normalize().toString.replaceAll("/+$", "")

@@ -1,0 +1,175 @@
+package graft.ann
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ — product-quantized RESIDUALS inside the IVF cell structure,
+  * the composition of [[Ann.ivfAssign]]'s coarse quantizer with
+  * [[Pq]]'s codebooks (Jégou et al. 2011 §IV; the FAISS
+  * `IndexIVFPQ` serving shape a 100 TB embedding corpus actually
+  * deploys): each vector stores its cell id plus the m code bytes of
+  * its residual (vec − cell centroid), and a query scores ONLY the
+  * codes inside its nProbe probed cells —
+  *
+  *   score(q, x) ≈ q·c(cell) + Σ_s q_s · cvec_s[code_s]
+  *
+  * — the per-cell term shared by every candidate in the cell, the
+  * residual term an m-entry ADC table lookup. Candidates are bounded
+  * by construction (nProbe/|cells| of the corpus), which is what makes
+  * the compressed tier servable: the coarse scan never touches the
+  * whole corpus, and the fp32 plane is read only for the rerank
+  * survivors.
+  *
+  * Determinism discipline (the q38/q181 conventions, composed):
+  * residuals are per-element double subtraction of the float centroid
+  * from the float vector (both widenings exact, one IEEE op — engine
+  * reproducible); codebook training/encoding is [[Pq]]'s fixed-point
+  * Lloyd verbatim over the residual frame; both ADC terms floor to
+  * 2^24 fixed-point longs, so a candidate's fx is an exact integer
+  * sum. Ranking ties break on neighbor_id asc; reported scores round
+  * only at the edge.
+  *
+  * Scale shape: encode is linear (two corpus passes: assignment +
+  * sub-vector training joins); the probe path joins codes against the
+  * BROADCAST probe list (tiny: |Q| × nProbe rows) and the BROADCAST
+  * ADC table (|Q| × m × k rows), aggregates partial (map-side
+  * combine), and selects top-k two-level ([[TopK.prunePerPartition]])
+  * — no per-query window ever consumes an unbounded frame. With the
+  * codes persisted cell-bucketed ([[IvfPqIndex]]), cells outside the
+  * probe set are pruned at the file listing. */
+object IvfPq {
+
+  private val Fx = 16777216.0 // 2^24
+
+  /** (vec_id, cell, rvec): each vector's cell and double residual
+    * against its cell centroid. */
+  def residuals(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame =
+    Ann.ivfAssign(corpus, idCol, vecCol, centroids)
+      .join(broadcast(centroids.select(col("cid"), col("cvec"))),
+        col("cell") === col("cid"))
+      .select(col("id").cast("long").as("vec_id"), col("cell"),
+        zip_with(col("v"), col("cvec"),
+          (x, y) => x.cast("double") - y.cast("double")).as("rvec"))
+
+  /** Train the residual codebooks: [[Pq.trainCodebooks]] verbatim over
+    * the residual frame (stride-seeded, fixed-point Lloyd, constant k).
+    * Returns (s, code, cvec: array<double>). */
+  def trainCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, m: Int, dim: Int, stride: Int = 16,
+      iters: Int = 2, k: Int = 32): DataFrame =
+    Pq.trainCodebooks(residuals(corpus, idCol, vecCol, centroids),
+      "vec_id", "rvec", m, dim, stride, iters, k)
+
+  /** Encode the corpus to (vec_id, cell, s, code) rows — the cell id
+    * plus m residual codes per vector. Build-path cost: the cell
+    * assignment runs once per branch of the plan (twice total); at
+    * scale this is the one-time index build, amortized by every probe. */
+  def encode(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, cb: DataFrame, m: Int, dim: Int): DataFrame = {
+    val res = residuals(corpus, idCol, vecCol, centroids)
+    Pq.encode(res, "vec_id", "rvec", m, dim, cb)
+      .join(res.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .select(col("vec_id"), col("cell"), col("s"), col("code"))
+  }
+
+  /** Probed-cell ADC scores from a precomputed probes frame
+    * ((query_id, q_vec, cell) — [[Ann.ivfProbes]] output): candidates
+    * are the codes of probed cells only; fx = the per-(query, cell)
+    * centroid term + the summed residual-table entries, all exact
+    * fixed-point longs. Output (query_id, neighbor_id, fx). */
+  def adcScoresFromProbes(probes: DataFrame, queries: DataFrame,
+      codes: DataFrame, centroids: DataFrame, cb: DataFrame,
+      idCol: String, vecCol: String, m: Int, dim: Int): DataFrame = {
+    // q·c term per probed (query, cell) — |Q| × nProbe rows
+    val cterm = probes
+      .join(broadcast(centroids.select(col("cid"), col("cvec"))),
+        col("cell") === col("cid"))
+      .select(col("query_id"), col("cell"),
+        floor(Ann.dot(col("q_vec"), col("cvec")) * Fx).cast("long").as("cfx"))
+    // residual ADC table: raw query sub-vectors × residual codebooks
+    val table = Pq.subVectors(queries, idCol, vecCol, m, dim)
+      .select(col("vec_id").as("query_id"), col("s"), col("sv"))
+      .join(cb, Seq("s"))
+      .select(col("query_id"), col("s"), col("code"),
+        floor(Pq.dotD(col("sv"), col("cvec")) * Fx).cast("long").as("pfx"))
+    codes.join(broadcast(cterm), Seq("cell"))
+      .where(col("query_id") =!= col("vec_id"))
+      .join(broadcast(table), Seq("query_id", "s", "code"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(min(col("cfx")).as("cfx"), sum(col("pfx")).as("rfx"))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("cfx") + col("rfx")).as("fx"))
+  }
+
+  /** The full in-memory probe path: probe cells, ADC over them. */
+  def adcProbeScores(queries: DataFrame, codes: DataFrame,
+      centroids: DataFrame, cb: DataFrame, idCol: String, vecCol: String,
+      m: Int, dim: Int, nProbe: Int): DataFrame =
+    adcScoresFromProbes(
+      Ann.ivfProbes(queries, centroids, idCol, vecCol, nProbe),
+      queries, codes, centroids, cb, idCol, vecCol, m, dim)
+
+  /** Rank an fx-score frame to (query_id, rank, neighbor_id, adc) —
+    * two-level selection, rounding only the report. Shared by the
+    * in-memory path and [[IvfPqIndex.probeTopK]]. */
+  def rankTopK(scores: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("fx").desc, col("neighbor_id").asc)
+    TopK.prunePerPartition(scores, "query_id", "fx", "neighbor_id", k)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("fx").cast("double") / Fx, 6).as("adc"))
+  }
+
+  /** Exact-rescore ladder over an fx-score frame: top `rerank` ADC
+    * proposals per query, fp32 cosine restores the final top-k.
+    * Shared by [[probeRerankTopK]] and [[IvfPqIndex.probeRerankTopK]]. */
+  def rerankTopK(scores: DataFrame, queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, rerank: Int): DataFrame = {
+    require(k > 0 && rerank >= k, s"need rerank >= k > 0: k=$k rerank=$rerank")
+    val cw = Window.partitionBy(col("query_id"))
+      .orderBy(col("fx").desc, col("neighbor_id").asc)
+    val cands = TopK.prunePerPartition(scores,
+        "query_id", "fx", "neighbor_id", rerank)
+      .withColumn("crn", row_number().over(cw))
+      .where(col("crn") <= rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cands.join(cv, Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cos", round(Ann.dot(col("q_vec"), col("c_vec")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** IVF-PQ top-k over the compressed tier alone — rank on the raw
+    * fixed-point sum, two-level selection, round only the report. */
+  def probeTopK(queries: DataFrame, codes: DataFrame, centroids: DataFrame,
+      cb: DataFrame, idCol: String, vecCol: String, m: Int, dim: Int,
+      k: Int, nProbe: Int): DataFrame =
+    rankTopK(
+      adcProbeScores(queries, codes, centroids, cb, idCol, vecCol,
+        m, dim, nProbe), k)
+
+  /** The deployment serving ladder: IVF-PQ proposes `rerank`
+    * candidates from the probed cells' code tier, exact fp32 cosine
+    * restores the final order — only |Q| × rerank full vectors are
+    * ever fetched (the [[Pq.adcRerankTopK]] discipline with the
+    * candidate set bounded by construction). */
+  def probeRerankTopK(queries: DataFrame, codes: DataFrame,
+      centroids: DataFrame, cb: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, m: Int, dim: Int, k: Int,
+      nProbe: Int, rerank: Int): DataFrame =
+    rerankTopK(
+      adcProbeScores(queries, codes, centroids, cb, idCol, vecCol,
+        m, dim, nProbe),
+      queries, corpus, idCol, vecCol, k, rerank)
+}

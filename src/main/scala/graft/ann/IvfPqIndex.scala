@@ -1,0 +1,222 @@
+package graft.ann
+
+import graft.io.Lake
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF-PQ index — the compressed tier's disk lifecycle,
+  * completing the versioned-index family (Bm25DiskIndex / LshDiskIndex
+  * / PhashDiskIndex / IvfIndex, shared discipline in
+  * [[graft.ops.IndexLifecycle]]): centroids and the residual codebooks
+  * land as tiny parquets, the corpus lands as PACKED code rows
+  * (id, cell, codes: array<long> by subspace, seq) partitioned by cell
+  * BUCKET (centroid rank mod n_buckets — IvfIndex's bounded-directory
+  * discipline), so a probe reads only the buckets its probed cells
+  * hash into. The fp32 plane is NOT stored — that is the point of the
+  * tier (m longs per vector instead of dim floats); rerank callers
+  * supply the vector source.
+  *
+  * Lifecycle: standing files are immutable; [[append]] encodes a delta
+  * under the STANDING centroids + codebooks and lands new files in the
+  * bucket layout; [[retire]] writes (id, seq) tombstones; [[compact]]
+  * rewrites the live code rows as a new versioned dir (no re-encode —
+  * codes are the stored facts); [[refresh]] retrains centroids
+  * (warm-start Lloyd) AND residual codebooks from a supplied vector
+  * corpus — the drift response, which necessarily re-encodes. */
+object IvfPqIndex {
+
+  def write(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, cb: DataFrame, m: Int, dim: Int, dir: String,
+      numBuckets: Int = 64, seq: Long = 0L): Unit = {
+    val cents = centroids.select(col("cid").cast("long").as("cid"), col("cvec"))
+    writeCodes(
+      packCodes(IvfPq.encode(corpus, idCol, vecCol, cents, cb, m, dim)),
+      cents, cb, m, dim, dir, numBuckets, seq)
+    // a fresh write IS compaction (IndexLifecycle's contract)
+    graft.ops.IndexLifecycle.clearTombstones(corpus.sparkSession, dir)
+  }
+
+  /** (vec_id, cell, s, code) → (id, cell, codes array<long> by s). */
+  private def packCodes(enc: DataFrame): DataFrame =
+    enc.groupBy(col("vec_id").as("id"), col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("s"), col("code")))),
+        e => e.getField("code")).as("codes"))
+
+  /** Land packed code rows under the bucket layout (shared by write /
+    * append / compact). */
+  private def writeCodes(packed: DataFrame, cents: DataFrame,
+      cb: DataFrame, m: Int, dim: Int, dir: String, numBuckets: Int,
+      seq: Long, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1: $numBuckets")
+    val spark = packed.sparkSession
+    if (mode == SaveMode.Overwrite) {
+      Lake.writeParquet(cents, s"$dir/centroids")
+      Lake.writeParquet(cb, s"$dir/codebooks")
+      Lake.writeParquet(
+        spark.range(1).select(lit(numBuckets.toLong).as("n_buckets"),
+          lit(m.toLong).as("m"), lit(dim.toLong).as("dim")),
+        s"$dir/meta")
+    }
+    packed
+      .join(broadcast(IvfIndex.cellBuckets(cents, numBuckets)),
+        col("cell") === col("cid"))
+      .drop("cid")
+      .withColumn("seq", lit(seq))
+      .repartition(col("cbucket"))
+      .write.mode(mode)
+      .option("compression", "snappy")
+      .partitionBy("cbucket")
+      .parquet(s"$dir/codes")
+  }
+
+  /** Append a disjoint vector delta: encode under the STANDING
+    * centroids + codebooks (cell and code identity are stable on
+    * append — retrain is [[refresh]]'s job), land as NEW files in the
+    * existing bucket layout. Disjointness of ids across increments is
+    * the caller's contract (the family convention). */
+  def append(delta: DataFrame, idCol: String, vecCol: String,
+      dir: String, seq: Long = 0L): Unit = {
+    val spark = delta.sparkSession
+    requireIndex(spark, dir)
+    val cents = centroids(spark, dir)
+    val cb = codebooks(spark, dir)
+    val (n, m, dim) = meta(spark, dir)
+    writeCodes(
+      packCodes(IvfPq.encode(delta, idCol, vecCol, cents, cb, m, dim)),
+      cents, cb, m, dim, dir, n, seq, mode = SaveMode.Append)
+  }
+
+  /** Retire vectors — (id, seq) tombstones killing code rows with
+    * ingest seq strictly below `seq` (the family discipline). */
+  def retire(spark: SparkSession, dir: String, ids: DataFrame,
+      idCol: String, seq: Long): Unit = {
+    requireIndex(spark, dir)
+    graft.ops.IndexLifecycle.writeTombstones(ids, idCol, dir, seq)
+  }
+
+  def tombstoneCount(spark: SparkSession, dir: String): Long =
+    graft.ops.IndexLifecycle.tombstoneCount(spark, dir)
+
+  /** Fold tombstones away by rewriting the LIVE code rows as a NEW
+    * versioned dir — no re-encode (codes are the stored facts);
+    * centroids and codebooks carry over unchanged. Land-beside +
+    * pointer-swap (the IvfIndex.compact discipline and its
+    * aliased-path guard). */
+  def compact(spark: SparkSession, dir: String, outDir: String,
+      seq: Long = 0L): Unit = {
+    require(IvfIndex.canon(spark, outDir) != IvfIndex.canon(spark, dir),
+      s"compact must write a NEW versioned index dir, not overwrite '$dir' in place")
+    val (n, m, dim) = meta(spark, dir)
+    val cents = centroids(spark, dir)
+    writeCodes(codes(spark, dir), cents, codebooks(spark, dir),
+      m, dim, outDir, n, seq)
+    graft.ops.IndexLifecycle.clearTombstones(spark, outDir)
+  }
+
+  /** Retrain against corpus drift: warm-start the coarse centroids
+    * from the standing ones ([[Ann.ivfRefineCentroids]]), retrain the
+    * residual codebooks against the refined cells, re-encode, and land
+    * at `outDir` (land-beside; callers swap the pointer). The vector
+    * corpus is supplied — the compressed index does not store fp32. */
+  def refresh(spark: SparkSession, dir: String, corpus: DataFrame,
+      idCol: String, vecCol: String, outDir: String, iters: Int,
+      seq: Long = 0L): Unit = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    require(IvfIndex.canon(spark, outDir) != IvfIndex.canon(spark, dir),
+      s"refresh must write a NEW versioned index dir, not overwrite '$dir' in place")
+    val (n, m, dim) = meta(spark, dir)
+    val refined = Ann.ivfRefineCentroids(corpus, idCol, vecCol,
+      centroids(spark, dir), iters)
+    val cb = IvfPq.trainCodebooks(corpus, idCol, vecCol, refined, m, dim)
+    write(corpus, idCol, vecCol, refined, cb, m, dim, outDir, n, seq)
+  }
+
+  private def requireIndex(spark: SparkSession, dir: String): Unit =
+    graft.ops.IndexLifecycle.requireParts(spark, dir,
+      Seq("centroids", "codebooks", "codes"), "IVF-PQ index")
+
+  def centroids(spark: SparkSession, dir: String): DataFrame = {
+    requireIndex(spark, dir)
+    Lake.readParquet(spark, s"$dir/centroids")
+  }
+
+  def codebooks(spark: SparkSession, dir: String): DataFrame = {
+    requireIndex(spark, dir)
+    Lake.readParquet(spark, s"$dir/codebooks")
+  }
+
+  /** (n_buckets, m, dim) the index was written with. */
+  def meta(spark: SparkSession, dir: String): (Int, Int, Int) = {
+    requireIndex(spark, dir)
+    require(Lake.exists(spark, s"$dir/meta"),
+      s"no IVF-PQ index meta at '$dir/meta' — rebuild with IvfPqIndex.write")
+    val r = graft.ops.IndexLifecycle.singleMetaRow(spark, dir,
+      Seq("n_buckets", "m", "dim"), "IVF-PQ index")
+    (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2).toInt)
+  }
+
+  /** The full LIVE packed code frame (id, cell, codes). */
+  def codes(spark: SparkSession, dir: String): DataFrame = {
+    requireIndex(spark, dir)
+    graft.ops.IndexLifecycle.liveOnly(
+        Lake.readParquet(spark, s"$dir/codes"),
+        graft.ops.IndexLifecycle.deadSeqs(spark, dir))
+      .select(col("id"), col("cell"), col("codes"), col("seq"))
+  }
+
+  /** Code read restricted to `cellIds` — bucket pruning at the file
+    * listing (the IvfIndex.prunedCells shape: raw partition-column
+    * filter first, exact cell filter second). */
+  def prunedCodes(spark: SparkSession, dir: String,
+      cellIds: Seq[Long]): DataFrame = {
+    requireIndex(spark, dir)
+    val (n, _, _) = meta(spark, dir)
+    val buckets = IvfIndex.cellBuckets(centroids(spark, dir), n)
+      .where(col("cid").isin(cellIds: _*))
+      .select(col("cbucket")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val raw = Lake.readParquet(spark, s"$dir/codes")
+    graft.ops.IndexLifecycle.liveOnly(
+        raw.where(col("cbucket").isin(
+            graft.ops.IndexLifecycle.partitionLits(raw, "cbucket", buckets): _*) &&
+          col("cell").isin(cellIds: _*)),
+        graft.ops.IndexLifecycle.deadSeqs(spark, dir))
+      .select(col("id"), col("cell"), col("codes"))
+  }
+
+  /** Probed-cell ADC scores against the persisted codes: probe cells
+    * (fused kernel), read ONLY their buckets, unpack, score. */
+  def probeScores(spark: SparkSession, dir: String, queries: DataFrame,
+      idCol: String, vecCol: String, nProbe: Int): DataFrame = {
+    val cents = centroids(spark, dir)
+    val cb = codebooks(spark, dir)
+    val (_, m, dim) = meta(spark, dir)
+    val probes = graft.ops.CacheScope.persist(
+      Ann.ivfProbes(queries, cents, idCol, vecCol, nProbe))
+    val probeCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSeq // ≤ |centroids| values
+    val unpacked = prunedCodes(spark, dir, probeCells)
+      .select(col("id").as("vec_id"), col("cell"),
+        posexplode(col("codes")).as(Seq("s", "code")))
+    IvfPq.adcScoresFromProbes(probes, queries, unpacked, cents, cb,
+      idCol, vecCol, m, dim)
+  }
+
+  /** ADC top-k over the persisted compressed tier. Identical to the
+    * in-memory [[IvfPq.probeTopK]] against the same artifacts
+    * (spec-pinned); the difference is the read — buckets outside the
+    * probe set are pruned at the file listing. */
+  def probeTopK(spark: SparkSession, dir: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame =
+    IvfPq.rankTopK(
+      probeScores(spark, dir, queries, idCol, vecCol, nProbe), k)
+
+  /** The serving ladder against the persisted index: ADC proposes,
+    * the caller-supplied fp32 `corpus` reranks. */
+  def probeRerankTopK(spark: SparkSession, dir: String, queries: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int, rerank: Int): DataFrame =
+    IvfPq.rerankTopK(
+      probeScores(spark, dir, queries, idCol, vecCol, nProbe),
+      queries, corpus, idCol, vecCol, k, rerank)
+}

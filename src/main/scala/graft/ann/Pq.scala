@@ -55,7 +55,7 @@ object Pq {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v)
 
-  private def dotD(a: Column, b: Column): Column =
+  private[ann] def dotD(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   /** Nearest codebook entry per (vec, s): L2 asc, code asc. */
@@ -124,13 +124,19 @@ object Pq {
   }
 
   /** ADC top-k over the compressed tier alone — rank on the raw
-    * fixed-point sum, round only the reported score. */
+    * fixed-point sum, round only the reported score. Two-level
+    * selection: [[TopK.prunePerPartition]] bounds the final window's
+    * input to numPartitions × |Q| × k rows (identical results — the
+    * prune replays the window's exact ordering), so no single task
+    * ever sorts the whole corpus's candidates. */
   def adcTopK(queries: DataFrame, codes: DataFrame, cb: DataFrame,
       idCol: String, vecCol: String, m: Int, dim: Int, k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("fx").desc, col("neighbor_id").asc)
-    adcScores(queries, codes, cb, idCol, vecCol, m, dim)
+    TopK.prunePerPartition(
+        adcScores(queries, codes, cb, idCol, vecCol, m, dim),
+        "query_id", "fx", "neighbor_id", k)
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
@@ -147,7 +153,9 @@ object Pq {
     require(k > 0 && rerank >= k, s"need rerank >= k > 0: k=$k rerank=$rerank")
     val cw = Window.partitionBy(col("query_id"))
       .orderBy(col("fx").desc, col("neighbor_id").asc)
-    val cands = adcScores(queries, codes, cb, idCol, vecCol, m, dim)
+    val cands = TopK.prunePerPartition(
+        adcScores(queries, codes, cb, idCol, vecCol, m, dim),
+        "query_id", "fx", "neighbor_id", rerank)
       .withColumn("crn", row_number().over(cw))
       .where(col("crn") <= rerank)
       .select(col("query_id"), col("neighbor_id"))

@@ -93,7 +93,12 @@ object Quantize {
         (idot.cast("double") * col("mx")).as("coarse"))
     val cw = Window.partitionBy(col("query_id"))
       .orderBy(col("coarse").desc, col("neighbor_id").asc)
-    val cands = coarse.withColumn("crn", row_number().over(cw))
+    // two-level selection (TopK): the per-partition bounded heap caps
+    // the window's input at numPartitions × |Q| × rerank rows — no
+    // single task ever sorts the full corpus's candidates
+    val cands = TopK.prunePerPartition(coarse,
+        "query_id", "coarse", "neighbor_id", rerank)
+      .withColumn("crn", row_number().over(cw))
       .where(col("crn") <= rerank)
       .select(col("query_id"), col("neighbor_id"))
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))

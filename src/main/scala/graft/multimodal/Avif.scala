@@ -25,6 +25,9 @@ object Avif {
     ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
       ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
 
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
+
   private val AvifBrands = Set("avif", "avis")
   private val HeifBrands = Set("heic", "heix", "mif1", "msf1")
 
@@ -40,9 +43,23 @@ object Avif {
       while (i + 8 <= hi) {
         val size = be32(b, i)
         val typ = new String(b, i + 4, 4, "ISO-8859-1")
-        if (size < 8 || i + size > hi) return Left("truncated")
-        out += Box(typ, i + 8, (i + size).toInt)
-        i = (i + size).toInt
+        // BMFF size forms: 0 = box extends to the end of the enclosing
+        // space; 1 = 64-bit largesize follows the type (real HEIF/AVIF
+        // captures use it for mdat) — both spec-valid, not truncation
+        if (size == 0L) {
+          out += Box(typ, i + 8, hi)
+          i = hi
+        } else if (size == 1L) {
+          if (i + 16 > hi) return Left("truncated")
+          val ls = be64(b, i + 8)
+          if (ls < 16L || ls > (hi - i).toLong) return Left("truncated")
+          out += Box(typ, i + 16, i + ls.toInt)
+          i += ls.toInt
+        } else {
+          if (size < 8 || i + size > hi) return Left("truncated")
+          out += Box(typ, i + 8, (i + size).toInt)
+          i = (i + size).toInt
+        }
       }
       if (i != hi) Left("truncated") else Right(out.toSeq)
     }
@@ -112,9 +129,13 @@ object Avif {
     Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
       ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
 
+  /** `mdatForm`: 0 = normal 32-bit size, 1 = size==1 + 64-bit
+    * largesize (the form real HEIF captures use for mdat), 2 =
+    * size==0 (extends to end of file; only valid as the LAST box). */
   private[multimodal] def avifBytes(brand: String, w: Int, h: Int,
       withAlpha: Boolean, codec: String, breakMagic: Boolean = false,
-      dropIspe: Boolean = false, truncate: Boolean = false): Array[Byte] = {
+      dropIspe: Boolean = false, truncate: Boolean = false,
+      mdatForm: Int = 0): Array[Byte] = {
     def ispe(iw: Int, ih: Int): Array[Byte] =
       box("ispe", u32(0) ++ u32(iw) ++ u32(ih))
     val codecBox =
@@ -130,7 +151,16 @@ object Avif {
     val ftyp = box("ftyp",
       (if (breakMagic) "xxxx" else brand).getBytes("ISO-8859-1") ++
         u32(0) ++ brand.getBytes("ISO-8859-1") ++ "mif1".getBytes("ISO-8859-1"))
-    val mdat = box("mdat", Array.tabulate[Byte](24)(i => ((i * 31 + 5) & 0xff).toByte))
+    val mdatBody = Array.tabulate[Byte](24)(i => ((i * 31 + 5) & 0xff).toByte)
+    val mdat = mdatForm match {
+      case 1 => // size==1: 64-bit largesize after the type
+        val total = 16L + mdatBody.length
+        u32(1) ++ "mdat".getBytes("ISO-8859-1") ++
+          u32(total >>> 32) ++ u32(total & 0xffffffffL) ++ mdatBody
+      case 2 => // size==0: box runs to end of file
+        u32(0) ++ "mdat".getBytes("ISO-8859-1") ++ mdatBody
+      case _ => box("mdat", mdatBody)
+    }
     val full =
       if (breakMagic)
         // not_bmff: the FIRST box is not ftyp at all
@@ -146,7 +176,11 @@ object Avif {
     *   n_ispe    2 at id%3==0 (the auxiliary alpha image), else 1
     *   not_bmff  id%7==2;  not_heif  else id%11==4 (brand mp41)
     *   truncated else id%13==6 (the tail box cut mid-body)
-    *   no_ispe   else id%5==3 */
+    *   no_ispe   else id%5==3
+    * Wire-shape fan (content-invisible — the oracle never mentions
+    * it): mdat rides the 64-bit largesize form at id%4==1 and the
+    * size==0 to-end-of-file form at id%4==2 (suppressed on the
+    * truncation plant, whose tail cut a size-0 box would absorb). */
   def avifCorpusFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
@@ -162,7 +196,8 @@ object Avif {
         w = 16 + m(200), h = 16 + m(120),
         withAlpha = m(3) == 0,
         codec = if (avif) "av01" else "hevc",
-        breakMagic = notBmff, dropIspe = noIspe, truncate = trunc))
+        breakMagic = notBmff, dropIspe = noIspe, truncate = trunc,
+        mdatForm = if (m(4) == 1) 1 else if (m(4) == 2 && !trunc) 2 else 0))
     }.toDF("media_id", "payload")
   }
 }

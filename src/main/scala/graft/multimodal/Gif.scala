@@ -23,9 +23,11 @@ import org.apache.spark.sql.functions._
   *
   * Error families (the q140 tagged-refusal discipline): container
   * level "not_gif" / "truncated" / "too_large" / "bad_block" /
-  * "no_frames"; per-frame "bad_lzw" / "bad_frame" / "no_palette" keep
-  * their parsed duration and the walk continues (the sub-block chain
-  * is length-delimited, so a broken frame's data skips structurally).
+  * "no_frames"; per-frame "bad_lzw" / "bad_frame" / "no_palette" /
+  * "bad_index" (an LZW-decoded pixel index past the palette that is
+  * not the transparent index) keep their parsed duration and the walk
+  * continues (the sub-block chain is length-delimited, so a broken
+  * frame's data skips structurally).
   *
   * Reference behavior documented from the reference repo's opaque
   * media round-trips (s3_loader.py:33-62) — the reference never

@@ -26,8 +26,10 @@ import org.apache.spark.sql.functions._
   * "encrypted" (an /Encrypt trailer classifies fine but text refuses
   * — decrypting is out of scope, loudly); per-page
   * "unsupported_filter" (any filter beyond none/FlateDecode, e.g.
-  * LZW/DCT) / "bad_stream" / "inline_image" keep the walk alive for
-  * the other pages.
+  * LZW/DCT) / "bad_stream" / "inline_image" / "unsupported_font" (a
+  * Type0/CID font without /ToUnicode, an unknown /Differences glyph
+  * name, or an unmapped CMap code — never mojibake) keep the walk
+  * alive for the other pages.
   *
   * Reference behavior documented from the reference repo's opaque
   * media round-trips (s3_loader.py:33-62) — the reference never
@@ -159,6 +161,11 @@ object Pdf {
       }
       PStr(out.toByteArray)
     }
+    // nesting depth across dict/array recursion: an adversarial file
+    // of thousands of '<<' or '[' would otherwise StackOverflow past
+    // the Bad/AIOOBE catches and crash the task instead of refusing
+    // (the pages-walk has the same depth-64 guard)
+    private var nest = 0
     /** One object value. `allowRef` enables the "N G R" indirect-
       * reference lookahead (off inside content streams, where bare
       * numbers precede operators). */
@@ -169,6 +176,8 @@ object Pdf {
         case '<' =>
           if (pos + 1 < end && b(pos + 1) == '<') {
             pos += 2
+            nest += 1
+            if (nest > 64) bad("bad_object")
             var m = Map.empty[String, PObj]
             var done = false
             while (!done) {
@@ -181,11 +190,14 @@ object Pdf {
                 m += (k -> value(allowRef))
               }
             }
+            nest -= 1
             PDict(m)
           } else hexString()
         case '(' => literalString()
         case '[' =>
           pos += 1
+          nest += 1
+          if (nest > 64) bad("bad_object")
           var items = Vector.empty[PObj]
           var done = false
           while (!done) {
@@ -193,6 +205,7 @@ object Pdf {
             if (peek == ']') { pos += 1; done = true }
             else items :+= value(allowRef)
           }
+          nest -= 1
           PArr(items)
         case '/' => name()
         case c if c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9') =>
@@ -581,6 +594,178 @@ object Pdf {
            _: NegativeArraySizeException => Left("truncated")
     }
 
+  // ---- fonts -------------------------------------------------------------
+
+  /** A font's show-string decoding (ISO 32000-1 §9.6-9.10). Real-world
+    * PDFs overwhelmingly show text through /Encoding differences or
+    * CID fonts with /ToUnicode CMaps — freezing show bytes as UTF-8
+    * (the [[FRaw]] legacy, kept for fonts that declare neither) turns
+    * those into mojibake. Covered: /WinAnsiEncoding and
+    * /MacRomanEncoding byte maps (the cp1252 / x-MacRoman supersets —
+    * JDK charsets, byte-exact for every defined code), /Encoding dicts
+    * with /Differences arrays (glyph names resolved through uniXXXX +
+    * a Latin-1-ish AGL subset), and /ToUnicode CMaps (bfchar + bfrange,
+    * 1-byte simple fonts and 2-byte Type0/CID). A Type0 font WITHOUT
+    * /ToUnicode, an unknown glyph name, or an unmapped code refuses
+    * the page loudly ("unsupported_font") instead of emitting
+    * mojibake into the corpus. */
+  private sealed trait FontDec
+  private case object FRaw extends FontDec
+  private final case class FByteMap(t: Array[String]) extends FontDec
+  private final case class FCMap(width: Int, m: Map[Int, String]) extends FontDec
+  private case object FUnsupported extends FontDec
+
+  private def charsetTable(cs: String): Array[String] =
+    Array.tabulate(256)(i =>
+      new String(Array(i.toByte), java.nio.charset.Charset.forName(cs)))
+  private lazy val winAnsiTable = charsetTable("windows-1252")
+  private lazy val macRomanTable = charsetTable("x-MacRoman")
+
+  /** Adobe-Glyph-List subset + the uniXXXX convention; None = unknown
+    * (the font refuses rather than guessing). */
+  private val glyphNames: Map[String, String] = Map(
+    "eacute" -> "é", "egrave" -> "è", "ecircumflex" -> "ê",
+    "agrave" -> "à", "aacute" -> "á", "acircumflex" -> "â",
+    "ccedilla" -> "ç", "adieresis" -> "ä", "odieresis" -> "ö",
+    "udieresis" -> "ü", "ntilde" -> "ñ", "Euro" -> "€",
+    "bullet" -> "•", "emdash" -> "—", "endash" -> "–",
+    "quotesingle" -> "'", "quotedblleft" -> "“",
+    "quotedblright" -> "”", "ellipsis" -> "…", "degree" -> "°")
+  private def glyphToText(name: String): Option[String] =
+    if (name.length == 7 && name.startsWith("uni"))
+      try Some(new String(Character.toChars(
+        Integer.parseInt(name.substring(3), 16))))
+      catch { case _: IllegalArgumentException => None }
+    else glyphNames.get(name)
+
+  /** Parse a /ToUnicode CMap stream: codespace width, bfchar pairs,
+    * bfrange triples (incrementing-destination and array forms). None
+    * on any malformation. CMap boilerplate (cid dicts, usecmap) skips
+    * structurally. */
+  private def parseCMap(data: Array[Byte]): Option[FCMap] =
+    try {
+      val lex = new Lexer(data, 0, data.length)
+      var width = 1
+      val m = scala.collection.mutable.HashMap.empty[Int, String]
+      def codeOf(b: Array[Byte]): Int =
+        b.foldLeft(0)((a, x) => (a << 8) | (x & 0xff))
+      def utf16(b: Array[Byte]): String =
+        new String(b, java.nio.charset.StandardCharsets.UTF_16BE)
+      def utf16inc(base: Array[Byte], delta: Int): String = {
+        val s = utf16(base).toCharArray
+        if (s.isEmpty) return ""
+        s(s.length - 1) = (s(s.length - 1) + delta).toChar
+        new String(s)
+      }
+      var going = true
+      while (going) {
+        lex.skipWs()
+        if (lex.pos >= lex.end) going = false
+        else lex.value(allowRef = false) match {
+          case PKeyword("begincodespacerange") =>
+            var done = false
+            while (!done) lex.value(allowRef = false) match {
+              case PKeyword("endcodespacerange") => done = true
+              case lo: PStr =>
+                width = lo.bytes.length
+                lex.value(allowRef = false) match {
+                  case _: PStr => ()
+                  case _ => return None
+                }
+              case _ => return None
+            }
+          case PKeyword("beginbfchar") =>
+            var done = false
+            while (!done) lex.value(allowRef = false) match {
+              case PKeyword("endbfchar") => done = true
+              case src: PStr => lex.value(allowRef = false) match {
+                case dst: PStr => m(codeOf(src.bytes)) = utf16(dst.bytes)
+                case _ => return None
+              }
+              case _ => return None
+            }
+          case PKeyword("beginbfrange") =>
+            var done = false
+            while (!done) lex.value(allowRef = false) match {
+              case PKeyword("endbfrange") => done = true
+              case lo0: PStr =>
+                val lo = codeOf(lo0.bytes)
+                val hi = lex.value(allowRef = false) match {
+                  case h: PStr => codeOf(h.bytes)
+                  case _ => return None
+                }
+                if (hi < lo || hi - lo > 65535) return None
+                lex.value(allowRef = false) match {
+                  case d: PStr =>
+                    var c = lo
+                    while (c <= hi) { m(c) = utf16inc(d.bytes, c - lo); c += 1 }
+                  case PArr(items) =>
+                    if (items.length != hi - lo + 1) return None
+                    items.zipWithIndex.foreach {
+                      case (d: PStr, i) => m(lo + i) = utf16(d.bytes)
+                      case _ => return None
+                    }
+                  case _ => return None
+                }
+              case _ => return None
+            }
+          case _ => () // boilerplate tokens / dicts between sections
+        }
+      }
+      if (width < 1 || width > 2) None else Some(FCMap(width, m.toMap))
+    } catch {
+      case _: Bad | _: ArrayIndexOutOfBoundsException => None
+    }
+
+  /** Resolve one page font dict to its decoder. */
+  private def parseFont(doc: Doc, d: PDict): FontDec = {
+    val subtype = doc.resolve(d.m.getOrElse("Subtype", PNull))
+    doc.resolve(d.m.getOrElse("ToUnicode", PNull)) match {
+      case s: PStream =>
+        doc.decodeStream(s) match {
+          case Right(data) => parseCMap(data).getOrElse(FUnsupported)
+          case Left(_) => FUnsupported
+        }
+      case _ if subtype == PName("Type0") =>
+        FUnsupported // CID font without ToUnicode: loud, never mojibake
+      case _ =>
+        doc.resolve(d.m.getOrElse("Encoding", PNull)) match {
+          case PNull => FRaw // no declared encoding: the frozen legacy
+          case PName("WinAnsiEncoding") => FByteMap(winAnsiTable)
+          case PName("MacRomanEncoding") => FByteMap(macRomanTable)
+          case PDict(em) =>
+            val base = doc.resolve(em.getOrElse("BaseEncoding", PNull)) match {
+              case PName("MacRomanEncoding") => macRomanTable
+              // absent BaseEncoding defaults to WinAnsi (frozen engine
+              // convention — the builtin-encoding lookup is out of scope)
+              case PName("WinAnsiEncoding") | PNull => winAnsiTable
+              case _ => return FUnsupported
+            }
+            doc.resolve(em.getOrElse("Differences", PNull)) match {
+              case PNull => FByteMap(base)
+              case PArr(items) =>
+                val t = base.clone()
+                var code = -1
+                items.foreach {
+                  case n: PNum if n.v == n.v.floor =>
+                    code = n.v.toInt
+                    if (code < 0 || code > 255) return FUnsupported
+                  case PName(g) =>
+                    if (code < 0 || code > 255) return FUnsupported
+                    glyphToText(g) match {
+                      case Some(s) => t(code) = s; code += 1
+                      case None => return FUnsupported
+                    }
+                  case _ => return FUnsupported
+                }
+                FByteMap(t)
+              case _ => FUnsupported
+            }
+          case _ => FUnsupported
+        }
+    }
+  }
+
   // ---- pages + text ------------------------------------------------------
 
   /** Page dicts in tree order. */
@@ -631,11 +816,47 @@ object Pdf {
     val lex = new Lexer(data, 0, data.length)
     val out = new java.io.ByteArrayOutputStream()
     val operands = scala.collection.mutable.ArrayBuffer.empty[PObj]
+    var cur: FontDec = FRaw
     def showStr(o: PObj): Unit = o match {
-      case PStr(bs) => out.write(bs, 0, bs.length)
+      case PStr(bs) => cur match {
+        case FRaw => out.write(bs, 0, bs.length)
+        case FByteMap(t) =>
+          val sb = new StringBuilder(bs.length)
+          bs.foreach(b => sb.append(t(b & 0xff)))
+          val ub = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          out.write(ub, 0, ub.length)
+        case FCMap(w, m) =>
+          if (bs.length % w != 0) bad("bad_stream") // misaligned code bytes
+          val sb = new StringBuilder(bs.length / w)
+          var i = 0
+          while (i < bs.length) {
+            var c = 0; var j = 0
+            while (j < w) { c = (c << 8) | (bs(i + j) & 0xff); j += 1 }
+            sb.append(m.getOrElse(c, bad("unsupported_font")): String)
+            i += w
+          }
+          val ub = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          out.write(ub, 0, ub.length)
+        case FUnsupported => bad("unsupported_font")
+      }
       case _ => ()
     }
     try {
+      // font name -> decoder from the page's /Resources /Font dict
+      // (inside the try: a broken font ref resolves through doc.get)
+      val fonts: Map[String, FontDec] =
+        doc.resolve(page.m.getOrElse("Resources", PNull)) match {
+          case PDict(rm) => doc.resolve(rm.getOrElse("Font", PNull)) match {
+            case PDict(fm) => fm.map { case (k, v) =>
+              k -> (doc.resolve(v) match {
+                case fd: PDict => parseFont(doc, fd)
+                case _ => FUnsupported
+              })
+            }
+            case _ => Map.empty
+          }
+          case _ => Map.empty
+        }
       var going = true
       while (going) {
         lex.skipWs()
@@ -643,6 +864,11 @@ object Pdf {
         else lex.value(allowRef = false) match {
           case PKeyword(kw) =>
             kw match {
+              case "Tf" =>
+                // "/F1 12 Tf": the name operand selects the decoder;
+                // an undeclared name keeps the legacy raw convention
+                operands.reverseIterator.collectFirst { case PName(f) => f }
+                  .foreach(f => cur = fonts.getOrElse(f, FRaw))
               case "Tj" => operands.lastOption.foreach(showStr)
               case "'" =>
                 out.write('\n'); operands.lastOption.foreach(showStr)
@@ -663,7 +889,10 @@ object Pdf {
       Right(new String(out.toByteArray,
         java.nio.charset.StandardCharsets.UTF_8))
     } catch {
-      case _: Bad => Left("bad_stream") // any malformation inside content
+      // unsupported_font surfaces as its own per-page tag; any other
+      // malformation inside content stays the bad_stream family
+      case e: Bad if e.tag == "unsupported_font" => Left(e.tag)
+      case _: Bad => Left("bad_stream")
     }
   }
 
@@ -709,11 +938,19 @@ object Pdf {
     * TJ-split / hex-string show operators. Error plants: a broken
     * header, a tail truncation, an /Encrypt trailer, one page declared
     * /LZWDecode. */
+  /** `fontMode` wires /F1 through a REAL font object: 0 = none (the
+    * legacy raw-UTF-8 convention), 1 = /WinAnsiEncoding (show bytes
+    * cp1252), 2 = /MacRomanEncoding, 3 = /Encoding dict with a
+    * /Differences arm (é rides remapped code 0xA9), 4 = simple font +
+    * /ToUnicode CMap (ASCII bfrange + bfchar for the rest), 5 = Type0
+    * /Identity-H + 2-byte /ToUnicode (show bytes UTF-16BE), 6 = Type0
+    * WITHOUT /ToUnicode — the planted "unsupported_font" refusal. */
   final case class PdfOpts(flate: Boolean = false, xrefStream: Boolean = false,
       objStm: Boolean = false, predictor: Boolean = false,
       tjSplit: Boolean = false, hexStrings: Boolean = false,
       encrypted: Boolean = false, lzwPage: Int = -1,
-      breakMagic: Boolean = false, truncateTail: Boolean = false)
+      breakMagic: Boolean = false, truncateTail: Boolean = false,
+      fontMode: Int = 0)
 
   private def escLit(s: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
@@ -734,6 +971,55 @@ object Pdf {
     out.toByteArray
   }
 
+  /** A line's show bytes under the fixture font mode (lines must be
+    * encodable in the target scheme — the corpus guarantees it). */
+  private def encodeLine(line: String, mode: Int): Array[Byte] = mode match {
+    case 1 | 4 => line.getBytes("windows-1252")
+    case 2 => line.getBytes("x-MacRoman")
+    case 3 =>
+      // é rides the /Differences slot 0xA9 instead of its cp1252 0xE9
+      line.getBytes("windows-1252")
+        .map(b => if ((b & 0xff) == 0xE9) 0xA9.toByte else b)
+    case 5 => line.getBytes(java.nio.charset.StandardCharsets.UTF_16BE)
+    case _ => line.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** A /ToUnicode CMap covering every code the lines use: one ASCII
+    * identity bfrange + bfchar entries for the rest (both section
+    * forms exercised on every fixture). */
+  private def cmapBytes(lines: Seq[String], mode: Int): Array[Byte] = {
+    val w = if (mode == 5) 2 else 1
+    val pairs = scala.collection.mutable.LinkedHashMap.empty[Int, String]
+    for (line <- lines) {
+      if (mode == 5) line.foreach { c =>
+        if (c < 0x20 || c > 0x7e) pairs.getOrElseUpdate(c.toInt, c.toString)
+      } else encodeLine(line, mode).foreach { b =>
+        val code = b & 0xff
+        if (code < 0x20 || code > 0x7e)
+          pairs.getOrElseUpdate(code,
+            new String(Array(b), if (mode == 2) "x-MacRoman" else "windows-1252"))
+      }
+    }
+    val sb = new StringBuilder
+    sb.append("/CIDInit /ProcSet findresource begin\nbegincmap\n")
+    val lo = "0" * (2 * w); val hi = "F" * (2 * w)
+    sb.append(s"1 begincodespacerange <$lo> <$hi> endcodespacerange\n")
+    val aLo = if (w == 2) "0020" else "20"
+    val aHi = if (w == 2) "007E" else "7E"
+    sb.append(s"1 beginbfrange <$aLo> <$aHi> <0020> endbfrange\n")
+    for (group <- pairs.toSeq.grouped(100)) {
+      sb.append(s"${group.length} beginbfchar\n")
+      for ((code, str) <- group) {
+        val src = if (w == 2) f"$code%04X" else f"$code%02X"
+        val dst = str.map(c => f"${c.toInt}%04X").mkString
+        sb.append(s"<$src> <$dst>\n")
+      }
+      sb.append("endbfchar\n")
+    }
+    sb.append("endcmap\nend\n")
+    sb.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+  }
+
   /** Assemble a REAL PDF: one page per line, "BT ... Tj/TJ ET" content
     * streams, classic or stream xref, objects laid out with correct
     * byte offsets. Page 0's /Length is INDIRECT (a separate number
@@ -741,29 +1027,56 @@ object Pdf {
   def pdfBytes(lines: Seq[String],
       opts: PdfOpts = PdfOpts()): Array[Byte] = {
     require(lines.nonEmpty, "a PDF fixture needs at least one page")
+    require(opts.fontMode >= 0 && opts.fontMode <= 6,
+      s"fontMode must be 0..6: ${opts.fontMode}")
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
     val nPages = lines.length
+    // byte-level assembly: encoded show bytes (cp1252 / MacRoman /
+    // UTF-16BE) are not valid UTF-8, so the content stream can never
+    // round-trip through a String
     def contentBytes(line: String): Array[Byte] = {
-      val raw = line.getBytes(utf8)
-      val shown =
-        if (opts.hexStrings)
-          "<" + raw.map(b => f"${b & 0xff}%02X").mkString + "> Tj"
-        else if (opts.tjSplit) {
-          val half = raw.length / 2
-          val a = new String(escLit(raw.take(half)), utf8)
-          val bTail = new String(escLit(raw.drop(half)), utf8)
-          s"[($a) -120 ($bTail)] TJ"
-        } else s"(${new String(escLit(raw), utf8)}) Tj"
-      s"BT /F1 12 Tf 72 720 Td $shown ET\n".getBytes(utf8)
+      val enc = encodeLine(line, opts.fontMode)
+      val o = new java.io.ByteArrayOutputStream()
+      def w(s: String): Unit = o.write(s.getBytes(utf8))
+      w("BT /F1 12 Tf 72 720 Td ")
+      if (opts.hexStrings)
+        w("<" + enc.map(b => f"${b & 0xff}%02X").mkString + "> Tj")
+      else if (opts.tjSplit) {
+        // split only at a code boundary: UTF-8 continuation bytes back
+        // up to the codepoint start; UTF-16BE splits at even offsets
+        var half = enc.length / 2
+        if (opts.fontMode == 5) half -= half % 2
+        else if (opts.fontMode == 0)
+          while (half > 0 && (enc(half) & 0xC0) == 0x80) half -= 1
+        w("[(")
+        o.write(escLit(enc.take(half)))
+        w(") -120 (")
+        o.write(escLit(enc.drop(half)))
+        w(")] TJ")
+      } else {
+        w("(")
+        o.write(escLit(enc))
+        w(") Tj")
+      }
+      w(" ET\n")
+      o.toByteArray
     }
     // object numbering: 1 catalog, 2 pages, 3+2i page i, 4+2i content i,
-    // L = 3+2n: page-0 content's indirect length; [S = L+1: ObjStm];
-    // [X = last: xref stream]
+    // L = 3+2n: page-0 content's indirect length; [F = L+1: font,
+    // C = L+2: ToUnicode CMap — only when fontMode demands them];
+    // [S: ObjStm]; [X = last: xref stream]
     val lenObj = 3 + 2 * nPages
-    val objStmNum = lenObj + 1
+    val nFontObjs = opts.fontMode match {
+      case 0 => 0
+      case 4 | 5 => 2
+      case _ => 1
+    }
+    val fontObj = lenObj + 1
+    val cmapObj = lenObj + 2
+    val objStmNum = lenObj + nFontObjs + 1
     val xrefNum = if (opts.objStm) objStmNum + 1 else objStmNum
     val size = (if (opts.xrefStream) xrefNum + 1
-      else if (opts.objStm) objStmNum + 1 else lenObj + 1)
+      else if (opts.objStm) objStmNum + 1 else lenObj + nFontObjs + 1)
     val out = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes(utf8))
     val offsets = scala.collection.mutable.HashMap.empty[Int, Long]
@@ -780,10 +1093,12 @@ object Pdf {
       offsets(2) = out.size()
       w(s"2 0 obj\n$pagesBody\nendobj\n")
     }
+    val res = if (opts.fontMode > 0)
+      s" /Resources << /Font << /F1 $fontObj 0 R >> >>" else ""
     for (i <- 0 until nPages) {
       offsets(3 + 2 * i) = out.size()
       w(s"${3 + 2 * i} 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox " +
-        s"[ 0 0 612 792 ] /Contents ${4 + 2 * i} 0 R >>\nendobj\n")
+        s"[ 0 0 612 792 ]$res /Contents ${4 + 2 * i} 0 R >>\nendobj\n")
       val raw = contentBytes(lines(i))
       val lzw = opts.lzwPage == i
       val data = if (lzw || !opts.flate) raw else zlibDeflate(raw)
@@ -799,6 +1114,32 @@ object Pdf {
       if (i == 0) {
         offsets(lenObj) = out.size()
         w(s"$lenObj 0 obj\n${data.length}\nendobj\n")
+      }
+    }
+    if (opts.fontMode > 0) {
+      offsets(fontObj) = out.size()
+      val body = opts.fontMode match {
+        case 1 => "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+          "/Encoding /WinAnsiEncoding >>"
+        case 2 => "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+          "/Encoding /MacRomanEncoding >>"
+        case 3 => "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+          "/Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding " +
+          "/Differences [ 169 /eacute ] >> >>"
+        case 4 => s"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+          s"/ToUnicode $cmapObj 0 R >>"
+        case 5 => s"<< /Type /Font /Subtype /Type0 /BaseFont /Graft " +
+          s"/Encoding /Identity-H /ToUnicode $cmapObj 0 R >>"
+        case _ => "<< /Type /Font /Subtype /Type0 /BaseFont /Graft " +
+          "/Encoding /Identity-H >>" // 6: CID without ToUnicode (refuses)
+      }
+      w(s"$fontObj 0 obj\n$body\nendobj\n")
+      if (nFontObjs == 2) {
+        val cmap = cmapBytes(lines, opts.fontMode)
+        offsets(cmapObj) = out.size()
+        w(s"$cmapObj 0 obj\n<< /Length ${cmap.length} >>\nstream\n")
+        out.write(cmap, 0, cmap.length)
+        w("\nendstream\nendobj\n")
       }
     }
     if (opts.objStm) {
@@ -883,9 +1224,15 @@ object Pdf {
     *                   encrypted=1; text refuses "encrypted"
     *   else id%17==11  page 1 declared LZW     -> that page
     *                   "unsupported_filter", page 0 extracts
+    *   id%7==6         /F1 is Type0 WITHOUT /ToUnicode -> every
+    *                   otherwise-extracting page "unsupported_font"
     * Shape fan: flate id%2==0; xref stream id%5 in {1,3} (version
     * 1.5), ObjStm at id%5==3, Up-predictor at id%7==2; TJ-split
-    * id%3==1, hex strings id%3==2. */
+    * id%3==1, hex strings id%3==2. Font fan (id%7): 1 WinAnsi,
+    * 2 MacRoman, 3 /Differences, 4 simple-font /ToUnicode, 5 Type0
+    * /Identity-H 2-byte /ToUnicode — those five append ' café' to
+    * BOTH pages (closed-form in the oracle), so the show bytes REALLY
+    * differ from UTF-8 and the decode path is the only way back. */
   def pdfCorpusFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
@@ -897,6 +1244,14 @@ object Pdf {
         val enc = !badHdr && !trunc && fm(id, 13L) == 9L
         val lzw = !badHdr && !trunc && !enc && fm(id, 17L) == 11L
         val xs = fm(id, 5L) == 1L || fm(id, 5L) == 3L
+        val fontMode = fm(id, 7L).toInt
+        // the driver's corpus is ASCII (every encoding scheme covers
+        // it); a non-ASCII future corpus must surface loudly, not as
+        // a silent '?' substitution the oracle would hash-fail anyway
+        require(text.forall(_ < 128),
+          s"pdfCorpusFromDocuments: non-ASCII text in doc $id — " +
+            "the font-mode fan assumes cp1252/MacRoman-encodable text")
+        val suffix = if (fontMode >= 1 && fontMode <= 5) " café" else ""
         val opts = PdfOpts(
           flate = fm(id, 2L) == 0L,
           xrefStream = xs,
@@ -907,8 +1262,10 @@ object Pdf {
           encrypted = enc,
           lzwPage = if (lzw) 1 else -1,
           breakMagic = badHdr,
-          truncateTail = trunc)
-        (id, pdfBytes(Seq(text, s"second page of document $id"), opts))
+          truncateTail = trunc,
+          fontMode = fontMode)
+        (id, pdfBytes(Seq(text + suffix,
+          s"second page of document $id$suffix"), opts))
       }.toDF("media_id", "payload")
   }
 

@@ -132,7 +132,21 @@ object CurationRunner {
       phash: Option[DataFrame => DataFrame] = None,
       phashBuckets: Int = 16,
       clip: Option[DataFrame => DataFrame] = None,
-      clipBuckets: Int = 16, clipFrameShift: Int = 12)
+      clipBuckets: Int = 16, clipFrameShift: Int = 12,
+      pq: Option[PqConfig] = None)
+
+  /** Compressed-tier vector family (`index/ivfpq`,
+    * [[graft.ann.IvfPqIndex]]): when set — REQUIRES `embed` — the run
+    * maintains the IVF-PQ residual-code index beside `index/ivf` with
+    * the identical discipline (backfill once from the previous curated
+    * corpus, retire dead vectors, append the delta under the standing
+    * centroids + codebooks, land-beside compaction past the tombstone
+    * threshold, drift-refresh retrain on the ivf KL signal — the
+    * retrain re-embeds the day's curated corpus, since the compressed
+    * index stores codes, not fp32). `m`/`dim` must match the embed
+    * output; `stride` seeds the residual codebooks. */
+  final case class PqConfig(m: Int = 8, dim: Int = 64, buckets: Int = 16,
+      stride: Int = 16)
 
   /** Paired media+caption curation as a maintained daily stage — the
     * q157/q161 decision rule running INSIDE the loop (the reference
@@ -257,6 +271,9 @@ object CurationRunner {
     require(date.matches("""\d{4}-\d{2}-\d{2}"""),
       s"runDaily: date must be ISO yyyy-MM-dd (lexical ordering drives " +
         s"snapshot versioning), got '$date'")
+    indexes.foreach(ix => require(ix.pq.isEmpty || ix.embed.isDefined,
+      "IndexConfig.pq requires embed: the compressed tier encodes the " +
+        "same vectors the ivf family tracks"))
     // runs must move forward: a run dated before an existing snapshot
     // would fold later-dated staged rows into its "snapshot of $date"
     // and diff against the wrong previous state
@@ -338,6 +355,7 @@ object CurationRunner {
     val lshDir = s"$lakeRoot/index/lsh"
     val bm25Dir = s"$lakeRoot/index/bm25"
     val ivfRoot = s"$lakeRoot/index/ivf"
+    val pqRoot = s"$lakeRoot/index/ivfpq"
     val phDir = s"$lakeRoot/index/phash"
     val clipDir = s"$lakeRoot/index/clip"
     val appliedMark = s"$lakeRoot/index/_applied/date=$date"
@@ -421,6 +439,26 @@ object CurationRunner {
               }
               val ver = graft.ann.IvfIndex.currentVersion(spark, ivfRoot).get
               graft.ann.IvfIndex.retire(spark, s"$ivfRoot/$ver",
+                deadIds, "doc_id", seq)
+            }
+            // compressed-tier family: the ivf discipline over residual
+            // codes (pq requires embed — validated at entry)
+            ix.pq.foreach { pqc =>
+              val embed = ix.embed.get
+              if (graft.ann.IvfIndex.currentVersion(spark, pqRoot).isEmpty) {
+                val pv = embed(prevCur)
+                val cents = graft.ann.Ann.ivfTrainCentroids(pv, "doc_id",
+                  "embedding", ix.ivfTrainStride, ix.ivfRefreshIters)
+                val cbk = graft.ann.IvfPq.trainCodebooks(pv, "doc_id",
+                  "embedding", cents, pqc.m, pqc.dim, pqc.stride,
+                  ix.ivfRefreshIters)
+                graft.ann.IvfPqIndex.write(pv, "doc_id", "embedding",
+                  cents, cbk, pqc.m, pqc.dim, s"$pqRoot/v$p", pqc.buckets,
+                  prevSeq)
+                graft.ann.IvfIndex.setCurrentVersion(spark, pqRoot, s"v$p")
+              }
+              val ver = graft.ann.IvfIndex.currentVersion(spark, pqRoot).get
+              graft.ann.IvfPqIndex.retire(spark, s"$pqRoot/$ver",
                 deadIds, "doc_id", seq)
             }
           }
@@ -627,6 +665,12 @@ object CurationRunner {
               graft.ann.IvfIndex.append(embed(newDocs), "doc_id", "embedding",
                 s"$ivfRoot/$ver", seq)
             }
+            ix.pq.foreach { _ =>
+              val embed = ix.embed.get
+              val ver = graft.ann.IvfIndex.currentVersion(spark, pqRoot).get
+              graft.ann.IvfPqIndex.append(embed(newDocs), "doc_id",
+                "embedding", s"$pqRoot/$ver", seq)
+            }
           case None =>
             graft.dedup.LshDiskIndex.write(newDocs, "doc_id", "text",
               lshDir, numBuckets = ix.lshBuckets, seq = seq)
@@ -651,6 +695,17 @@ object CurationRunner {
                   ix.ivfTrainStride, ix.ivfRefreshIters),
                 s"$ivfRoot/v$date", ix.ivfBuckets, seq)
               graft.ann.IvfIndex.setCurrentVersion(spark, ivfRoot, s"v$date")
+            }
+            ix.pq.foreach { pqc =>
+              val v = ix.embed.get.apply(newDocs)
+              val cents = graft.ann.Ann.ivfTrainCentroids(v, "doc_id",
+                "embedding", ix.ivfTrainStride, ix.ivfRefreshIters)
+              val cbk = graft.ann.IvfPq.trainCodebooks(v, "doc_id",
+                "embedding", cents, pqc.m, pqc.dim, pqc.stride,
+                ix.ivfRefreshIters)
+              graft.ann.IvfPqIndex.write(v, "doc_id", "embedding", cents,
+                cbk, pqc.m, pqc.dim, s"$pqRoot/v$date", pqc.buckets, seq)
+              graft.ann.IvfIndex.setCurrentVersion(spark, pqRoot, s"v$date")
             }
         }
         // tombstone-fraction compaction: past the threshold, rebuild
@@ -694,6 +749,20 @@ object CurationRunner {
               }
             }
           }
+          // compressed-tier compaction: live code rows fold into a new
+          // version beside the standing one (no re-encode), ptr swaps
+          ix.pq.foreach { _ =>
+            graft.ann.IvfIndex.currentVersion(spark, pqRoot).foreach { ver =>
+              val newVer = s"v${date}c"
+              if (ver != newVer &&
+                  graft.ann.IvfPqIndex.tombstoneCount(spark, s"$pqRoot/$ver") * 10000L >
+                    ix.compactTombstoneBp * nCurated) {
+                graft.ann.IvfPqIndex.compact(spark, s"$pqRoot/$ver",
+                  s"$pqRoot/$newVer", seq)
+                graft.ann.IvfIndex.setCurrentVersion(spark, pqRoot, newVer)
+              }
+            }
+          }
         }
         val n = newDocs.count()
         Lake.writeParquet(
@@ -725,6 +794,20 @@ object CurationRunner {
             graft.ann.IvfIndex.refresh(spark, s"$ivfRoot/$ver",
               s"$ivfRoot/$newVer", ix.ivfRefreshIters)
             graft.ann.IvfIndex.setCurrentVersion(spark, ivfRoot, newVer)
+          }
+          // the compressed tier refreshes on the same drift signal;
+          // its retrain needs the fp32 vectors (codes can't retrain
+          // themselves), so the day's curated corpus re-embeds
+          (ix.pq, ix.embed,
+              graft.ann.IvfIndex.currentVersion(spark, pqRoot)) match {
+            case (Some(_), Some(embed), Some(pver))
+                if kl > ix.ivfRefreshKlMilli && pver != newVer =>
+              val cur = Lake.readParquet(spark, curatedPath(lakeRoot, date))
+              graft.ann.IvfPqIndex.refresh(spark, s"$pqRoot/$pver",
+                embed(cur), "doc_id", "embedding", s"$pqRoot/$newVer",
+                ix.ivfRefreshIters, seq)
+              graft.ann.IvfIndex.setCurrentVersion(spark, pqRoot, newVer)
+            case _ => ()
           }
           ((kl, doRefresh), kl)
         }

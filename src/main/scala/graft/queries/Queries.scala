@@ -2162,7 +2162,11 @@ object Queries {
       graft.ann.Pq.adcScores(queries, codes, cb, "vec_id", "embedding", 8, 64))
     val cw = Window.partitionBy(col("query_id"))
       .orderBy(col("fx").desc, col("neighbor_id").asc)
-    val ranked = scores.withColumn("crn", row_number().over(cw))
+    // two-level selection at the deepest arm (100): the per-partition
+    // bounded heap caps the window's input (TopK) — ranks unchanged
+    val ranked = graft.ann.TopK.prunePerPartition(scores,
+        "query_id", "fx", "neighbor_id", 100)
+      .withColumn("crn", row_number().over(cw))
     val qv = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_vec"))
     val cv = emb.select(col("vec_id").as("neighbor_id"),
@@ -2202,6 +2206,165 @@ object Queries {
     val media = graft.multimodal.Webp.webpAlphaCorpusFromDocuments(
       tbl(spark, dir, "documents"))
     graft.multimodal.Webp.decodeAlphaStats(media).toDF()
+  }
+
+  /** IVF-PQ through the gate — the FAISS IndexIVFPQ serving shape
+    * (Jégou et al. 2011 §IV), composing q38's trained IVF cells with
+    * q181's fixed-point PQ Lloyd over the RESIDUALS (vec − cell
+    * centroid): the corpus stores cell id + 8 residual code bytes;
+    * the 25-query batch probes its 4 best cells and ranks ONLY those
+    * cells' codes by fx = floor(q·c × 2^24) + Σ floor(q_s·cvec ×
+    * 2^24) — exact integers, candidates bounded by construction. The
+    * oracle replays cell training, residual codebooks, encoding, the
+    * probe list, and the two-term ADC end-to-end. */
+  def q188IvfPqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val cents = trainedCentroids(spark, dir)
+    val cb = graft.ann.IvfPq.trainCodebooks(emb, "vec_id", "embedding",
+      cents, m = 8, dim = 64, stride = 16, iters = 2)
+    val codes = graft.ann.IvfPq.encode(emb, "vec_id", "embedding",
+      cents, cb, 8, 64)
+    graft.ann.IvfPq.probeTopK(emb.where(col("vec_id") < 25), codes, cents,
+      cb, "vec_id", "embedding", m = 8, dim = 64, k = 10, nProbe = 4)
+  }
+
+  /** IVF-PQ rerank sweep — the q182 recall discipline on the composed
+    * index: recall@10 vs the brute fp32 baseline at rerank = 10 (pure
+    * probed-cell ADC) / 30 / 100. Recall here is bounded by BOTH
+    * approximations (nProbe cell coverage × code quantization) — the
+    * table a deployment reads before picking its probe/rerank point. */
+  def q189IvfPqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val queries = emb.where(col("vec_id") < 25)
+    val cents = trainedCentroids(spark, dir)
+    val cb = graft.ann.IvfPq.trainCodebooks(emb, "vec_id", "embedding",
+      cents, m = 8, dim = 64, stride = 16, iters = 2)
+    val codes = graft.ann.IvfPq.encode(emb, "vec_id", "embedding",
+      cents, cb, 8, 64)
+    val brute = graft.ann.Ann.bruteForceTopK(queries, emb,
+        "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val scores = graft.ops.CacheScope.persist(
+      graft.ann.IvfPq.adcProbeScores(queries, codes, cents, cb,
+        "vec_id", "embedding", 8, 64, nProbe = 4))
+    val cw = Window.partitionBy(col("query_id"))
+      .orderBy(col("fx").desc, col("neighbor_id").asc)
+    val ranked = graft.ann.TopK.prunePerPartition(scores,
+        "query_id", "fx", "neighbor_id", 100)
+      .withColumn("crn", row_number().over(cw))
+    val qv = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_vec"))
+    val cv = emb.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_vec"))
+    val arms = Seq(10, 30, 100).map { r =>
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      ranked.where(col("crn") <= r)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(cv, Seq("neighbor_id"))
+        .join(broadcast(qv), Seq("query_id"))
+        .withColumn("cos", round(graft.ann.Ann.dot(col("q_vec"), col("c_vec")), 6))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 10)
+        .select(lit(r.toLong).as("rerank"), col("query_id"), col("neighbor_id"))
+    }
+    val served = arms.reduce(_ unionByName _)
+    brute.select(col("query_id"), col("neighbor_id"),
+        explode(array(lit(10L), lit(30L), lit(100L))).as("rerank"))
+      .join(served.withColumn("hit", lit(1L)),
+        Seq("rerank", "query_id", "neighbor_id"), "left")
+      .groupBy(col("rerank")).agg(
+        count(lit(1)).as("k"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall_bp", expr("(10000 * n_hit) div k"))
+  }
+
+  /** Persisted IVF-PQ index lifecycle through the gate — the q117
+    * pattern on the compressed vector tier: write the even half,
+    * append the odd half under the standing centroids + codebooks,
+    * retire + re-append a slice at one seq (the re-embed path), then
+    * probe the every-20th query batch over the BUCKETED code files
+    * (cells outside the probe set pruned at the file listing). The
+    * live set is exactly the full corpus, so the oracle is the
+    * closed-form IVF-PQ chain (q188's CTEs at nProbe=3) — any
+    * liveness, layout, packing, or pruning defect hash-fails it. */
+  def q190IvfPqIndexProbe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val cents = trainedCentroids(spark, dir)
+    val cb = graft.ann.IvfPq.trainCodebooks(emb, "vec_id", "embedding",
+      cents, m = 8, dim = 64)
+    val idx = tmpLifecycleDir("graft-q190")
+    graft.ann.IvfPqIndex.write(emb.where(pmod(col("vec_id"), lit(2)) === 0),
+      "vec_id", "embedding", cents, cb, 8, 64, idx, numBuckets = 8, seq = 1L)
+    graft.ann.IvfPqIndex.append(emb.where(pmod(col("vec_id"), lit(2)) === 1),
+      "vec_id", "embedding", idx, seq = 2L)
+    val slice = emb.where(pmod(col("vec_id"), lit(10)) === 3)
+    graft.ann.IvfPqIndex.retire(spark, idx, slice.select(col("vec_id")),
+      "vec_id", seq = 3L)
+    graft.ann.IvfPqIndex.append(slice, "vec_id", "embedding", idx, seq = 3L)
+    graft.ann.IvfPqIndex.probeTopK(spark, idx,
+      emb.where(pmod(col("vec_id"), lit(20)) === 0),
+      "vec_id", "embedding", k = 8, nProbe = 3)
+  }
+
+  /** HTML structural metadata through the gate — the crawl-pipeline
+    * keys q128's text extractor throws away: <title> (entities +
+    * whitespace), meta description (the four order × quote shapes
+    * fanned per id, og:/keywords/near-miss-name traps planted in
+    * EVERY page), the canonical link normalized through
+    * Urls.normalizeUrl (uppercase scheme/host, :80, duplicate path
+    * slashes, fragment — the q129 rules), and the html lang attribute
+    * (quoted, CAPS, and unquoted forms). The oracle states every
+    * expected value closed-form from id arithmetic — cross-derived,
+    * not a regex replay. */
+  def q191HtmlMetadata(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val id = col("doc_id")
+    val ids = id.cast("string")
+    val k7 = pmod(id, lit(7L)).cast("string")
+    val langTag = when(pmod(id, lit(11L)) === 5, lit("<html>"))
+      .when(pmod(id, lit(3L)) === 0, lit("<html lang=\"en\">"))
+      .when(pmod(id, lit(3L)) === 1, lit("<HTML LANG='de-DE'>"))
+      .otherwise(lit("<html data-x=\"1\" lang=fr>"))
+    val titleTag = when(pmod(id, lit(7L)) === 3, lit(""))
+      .otherwise(concat(lit("<title> Doc &amp; "), ids,
+        lit("\n overview </title>")))
+    val descTag = when(pmod(id, lit(5L)) === 2, lit(""))
+      .when(pmod(id, lit(4L)) === 0,
+        concat(lit("<meta name=\"description\" content=\"Summary &quot;"),
+          ids, lit("&quot; here\">")))
+      .when(pmod(id, lit(4L)) === 1,
+        concat(lit("<meta name='description' content='Summary \""),
+          ids, lit("\" here'>")))
+      .when(pmod(id, lit(4L)) === 2,
+        concat(lit("<META content=\"Summary &quot;"), ids,
+          lit("&quot; here\" name=\"description\">")))
+      .otherwise(
+        concat(lit("<meta content='Summary \""), ids,
+          lit("\" here' name=description>")))
+    val canonTag = when(pmod(id, lit(6L)) === 4, lit(""))
+      .when(pmod(id, lit(2L)) === 0,
+        concat(lit("<link rel=\"canonical\" href=\"HTTP://EXAMPLE"), k7,
+          lit(".COM:80//a//b/"), ids, lit("?x=1#frag\">")))
+      .otherwise(
+        concat(lit("<link href='HTTP://EXAMPLE"), k7,
+          lit(".COM:80//a//b/"), ids, lit("?x=1#frag' rel='canonical'>")))
+    val html = concat(lit("<!DOCTYPE html>"), langTag, lit("<head>"),
+      titleTag,
+      lit("<meta property=\"og:title\" content=\"NOT ME\">"),
+      descTag,
+      lit("<meta name=\"descriptions\" content=\"TRAP\">" +
+        "<meta property=\"og:description\" content=\"OG NOT ME\">" +
+        "<meta name=\"keywords\" content=\"k1,k2\">"),
+      canonTag,
+      lit("<link rel=\"stylesheet\" href=\"/style.css\"></head>" +
+        "<body><p>body text</p></body></html>"))
+    docs.select(id.as("doc_id"),
+      graft.text.Html.title(html).as("title"),
+      graft.text.Html.metaDescription(html).as("meta_desc"),
+      graft.text.Urls.normalizeUrl(
+        graft.text.Html.canonicalLink(html)).as("canonical"),
+      graft.text.Html.htmlLang(html).as("lang"))
   }
 
   /** AVIF/HEIF classification through the gate — the q77/q156 pattern
@@ -3657,14 +3820,17 @@ object Queries {
       "p -> p[1] * p[2])), (x, y) -> x + y)"
 
   /** One PQ Lloyd round: L2 assignment (asc, code tie-break) + the
-    * fixed-point per-position means — the Pq.trainCodebooks replay. */
-  private def duckPqRound(in: String, out: String): String =
+    * fixed-point per-position means — the Pq.trainCodebooks replay.
+    * `subs` names the sub-vector CTE (pqsubs for the raw-embedding
+    * q181 chain, rsubs for q188's residual chain). */
+  private def duckPqRound(in: String, out: String,
+      subs: String = "pqsubs"): String =
     s"""${out}_a AS (
        |  SELECT vec_id, s, sv, code FROM (
        |    SELECT u.vec_id, u.s, u.sv, c.code,
        |      row_number() OVER (PARTITION BY u.vec_id, u.s
        |        ORDER BY ${duckL2sq("u.sv", "c.cvec")} ASC, c.code) AS rn
-       |    FROM pqsubs u JOIN $in c ON u.s = c.s) t WHERE rn = 1),
+       |    FROM $subs u JOIN $in c ON u.s = c.s) t WHERE rn = 1),
        |${out}_g AS (
        |  SELECT s, code, i, sum(floor(x * 16777216.0)::BIGINT) AS fx,
        |    count(*) AS cnt
@@ -3706,6 +3872,74 @@ object Queries {
        |  FROM pqenc e JOIN pqtab t ON t.s = e.s AND t.code = e.code
        |  WHERE t.query_id != e.vec_id
        |  GROUP BY t.query_id, e.vec_id)""".stripMargin
+
+  /** DuckDB fragment: the WHOLE IVF-PQ chain — q38's trained IVF cells
+    * (duckIvfCellsCtes), double residuals against the cell centroids,
+    * q181's fixed-point PQ Lloyd over the RESIDUAL sub-vectors
+    * (stride-16 seeds, 2 rounds, 8 x 8-dim), the residual encoding, the
+    * 25-query probe list (nProbe=4) carrying the fixed-point q·centroid
+    * term, the residual ADC table, and the probed-cell candidate scores
+    * fx = cfx + Σ pfx (exact integer). Replays
+    * IvfPq.trainCodebooks/encode/adcProbeScores end-to-end.
+    * Parametrized over the query-batch predicate and nProbe so the
+    * q188/q189 (default) and q190 (lifecycle probe) chains share it. */
+  private lazy val duckIvfPqCtes: String = duckIvfPqCtesFor()
+  private def duckIvfPqCtesFor(queryWhere: String = "vec_id < 25",
+      nProbe: Int = 4): String =
+    s"""$duckIvfCellsCtes,
+       |rres AS (
+       |  SELECT cl.vec_id, cl.cell,
+       |    list_transform(list_zip(cl.embedding, c.cvec),
+       |      p -> p[1]::DOUBLE - p[2]::DOUBLE) AS rvec
+       |  FROM cells cl JOIN cent c ON cl.cell = c.cid),
+       |rsubs AS (
+       |  SELECT r.vec_id, r.cell, ss.s AS s,
+       |    r.rvec[ss.s*8+1 : ss.s*8+8] AS sv
+       |  FROM rres r,
+       |    (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) ss(s)),
+       |rcb0 AS (
+       |  SELECT s, vec_id AS code, sv AS cvec FROM rsubs
+       |  WHERE vec_id % 16 = 0 AND vec_id < 16 * 32),
+       |${duckPqRound("rcb0", "rcb1", subs = "rsubs")},
+       |${duckPqRound("rcb1", "rcb", subs = "rsubs")},
+       |renc AS (
+       |  SELECT vec_id, cell, s, code FROM (
+       |    SELECT u.vec_id, u.cell, u.s, c.code,
+       |      row_number() OVER (PARTITION BY u.vec_id, u.s
+       |        ORDER BY ${duckL2sq("u.sv", "c.cvec")} ASC, c.code) AS rn
+       |    FROM rsubs u JOIN rcb c ON u.s = c.s) t WHERE rn = 1),
+       |ipq AS (SELECT vec_id AS query_id, embedding AS q_vec
+       |        FROM embeddings WHERE $queryWhere),
+       |ipp0 AS (
+       |  SELECT q.query_id, c.cid, ${duckDot("q.q_vec", "c.cvec")} AS d
+       |  FROM ipq q CROSS JOIN cent c),
+       |ippr AS (
+       |  SELECT query_id, cell, cfx FROM (
+       |    SELECT query_id, cid AS cell,
+       |      floor(d * 16777216.0)::BIGINT AS cfx,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY d DESC, cid) AS prn
+       |    FROM ipp0) t WHERE prn <= $nProbe),
+       |rqsubs AS (
+       |  SELECT e.vec_id AS query_id, ss.s AS s,
+       |    list_transform(e.embedding[ss.s*8+1 : ss.s*8+8],
+       |      x -> x::DOUBLE) AS sv
+       |  FROM embeddings e,
+       |    (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) ss(s)
+       |  WHERE $queryWhere),
+       |rtab AS (
+       |  SELECT u.query_id, u.s, c.code,
+       |    floor(${duckDotD("u.sv", "c.cvec")} * 16777216.0)::BIGINT AS pfx
+       |  FROM rqsubs u JOIN rcb c ON u.s = c.s),
+       |ipsc AS (
+       |  SELECT pr.query_id, n.vec_id AS neighbor_id,
+       |    min(pr.cfx) + sum(t.pfx) AS fx
+       |  FROM renc n
+       |  JOIN ippr pr ON pr.cell = n.cell
+       |  JOIN rtab t ON t.query_id = pr.query_id
+       |    AND t.s = n.s AND t.code = n.code
+       |  WHERE n.vec_id != pr.query_id
+       |  GROUP BY pr.query_id, n.vec_id)""".stripMargin
 
   private lazy val q38Oracle: String =
     s"""WITH $duckIvfCellsCtes,
@@ -6226,6 +6460,10 @@ object Queries {
     "q185_bigram_nll" -> (q185BigramNll _),
     "q186_avif_headers" -> (q186AvifHeaders _),
     "q187_webp_alpha" -> (q187WebpAlpha _),
+    "q188_ivfpq_topk" -> (q188IvfPqTopk _),
+    "q189_ivfpq_recall" -> (q189IvfPqRecall _),
+    "q190_ivfpq_index_probe" -> (q190IvfPqIndexProbe _),
+    "q191_html_metadata" -> (q191HtmlMetadata _),
     "q169_anim_webp_frames" -> (q169AnimWebpFrames _),
     "q170_cross_clip_dups" -> (q170CrossClipDups _),
     "q171_exif_headers" -> (q171ExifHeaders _),
@@ -7129,6 +7367,84 @@ object Queries {
         |SELECT doc_id, 0::INTEGER, 0::INTEGER, 0::INTEGER, 0::BIGINT,
         |  0::BIGINT, 'bad_alpha'
         |FROM documents WHERE doc_id % 11 <> 3 AND doc_id % 13 = 5""".stripMargin,
+    // the whole IVF-PQ chain replayed: trained cells, residual
+    // codebooks, probed-cell two-term ADC; rank rides the exact
+    // integer fx
+    "q188_ivfpq_topk" ->
+      s"""WITH $duckIvfPqCtes
+        |SELECT query_id, rank::INTEGER AS rank, neighbor_id,
+        |  round(fx::DOUBLE / 16777216.0, 6) AS adc
+        |FROM (SELECT query_id, neighbor_id, fx,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY fx DESC, neighbor_id) AS rank
+        |  FROM ipsc) t WHERE rank <= 10""".stripMargin,
+    // the q182 sweep shape over the probed-cell candidate set: ADC
+    // proposals exact-rescored at three rerank depths vs brute top-10
+    "q189_ivfpq_recall" ->
+      s"""WITH $duckIvfPqCtes,
+        |ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY fx DESC, neighbor_id) AS crn
+        |  FROM ipsc),
+        |bs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(${duckDot("q.embedding", "c.embedding")}, 6) AS cos
+        |  FROM embeddings q CROSS JOIN embeddings c
+        |  WHERE q.vec_id < 25 AND c.vec_id != q.vec_id),
+        |brute AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos DESC, neighbor_id) AS rank
+        |    FROM bs) t WHERE rank <= 10),
+        |served AS (
+        |  SELECT rr.r AS rerank, t.query_id, t.neighbor_id FROM (
+        |    SELECT rr0.r, c.query_id, c.neighbor_id,
+        |      row_number() OVER (PARTITION BY rr0.r, c.query_id
+        |        ORDER BY bs.cos DESC, c.neighbor_id) AS rank
+        |    FROM (VALUES (10),(30),(100)) rr0(r)
+        |    JOIN ranked c ON c.crn <= rr0.r
+        |    JOIN bs ON bs.query_id = c.query_id
+        |      AND bs.neighbor_id = c.neighbor_id) t
+        |  JOIN (VALUES (10),(30),(100)) rr(r) ON rr.r = t.r
+        |  WHERE t.rank <= 10)
+        |SELECT rr.r::BIGINT AS rerank, count(*)::BIGINT AS k,
+        |  sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+        |  ((10000 * sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END))
+        |    // count(*))::BIGINT AS recall_bp
+        |FROM (VALUES (10),(30),(100)) rr(r)
+        |CROSS JOIN brute b
+        |LEFT JOIN served s ON s.rerank = rr.r
+        |  AND s.query_id = b.query_id AND s.neighbor_id = b.neighbor_id
+        |GROUP BY rr.r""".stripMargin,
+    // every expected value restated closed-form from id arithmetic
+    // (the q129 cross-derivation discipline — not a regex replay)
+    "q191_html_metadata" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 3 THEN ''
+        |       ELSE 'Doc & ' || doc_id || ' overview' END AS title,
+        |  CASE WHEN doc_id % 5 = 2 THEN ''
+        |       ELSE 'Summary "' || doc_id || '" here' END AS meta_desc,
+        |  CASE WHEN doc_id % 6 = 4 THEN ''
+        |       ELSE 'http://example' || (doc_id % 7) || '.com/a/b/' ||
+        |         doc_id || '?x=1' END AS canonical,
+        |  CASE WHEN doc_id % 11 = 5 THEN ''
+        |       WHEN doc_id % 3 = 0 THEN 'en'
+        |       WHEN doc_id % 3 = 1 THEN 'de-DE'
+        |       ELSE 'fr' END AS lang
+        |FROM documents""".stripMargin,
+    // the lifecycle (write/append/retire/re-append) leaves exactly the
+    // full corpus live, so the oracle is the closed-form IVF-PQ probe
+    // at the q190 batch/nProbe/k
+    "q190_ivfpq_index_probe" ->
+      s"""WITH ${duckIvfPqCtesFor(queryWhere = "vec_id % 20 = 0", nProbe = 3)}
+        |SELECT query_id, rank::INTEGER AS rank, neighbor_id,
+        |  round(fx::DOUBLE / 16777216.0, 6) AS adc
+        |FROM (SELECT query_id, neighbor_id, fx,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY fx DESC, neighbor_id) AS rank
+        |  FROM ipsc) t WHERE rank <= 8""".stripMargin,
     // every field closed-form; plant precedence not_bmff > not_heif
     // > truncated > no_ispe
     "q186_avif_headers" ->
@@ -7335,7 +7651,11 @@ object Queries {
         |       WHEN doc_id % 5 IN (1, 3) THEN '1.5' ELSE '1.4' END AS version,
         |  (CASE WHEN doc_id % 11 = 7 OR doc_id % 19 = 13 THEN 0
         |        WHEN doc_id % 5 = 3 THEN 10
-        |        WHEN doc_id % 5 = 1 THEN 9 ELSE 8 END)::BIGINT AS n_objects,
+        |        WHEN doc_id % 5 = 1 THEN 9 ELSE 8 END
+        |   + CASE WHEN doc_id % 11 = 7 OR doc_id % 19 = 13 THEN 0
+        |          WHEN doc_id % 7 IN (4, 5) THEN 2
+        |          WHEN doc_id % 7 IN (1, 2, 3, 6) THEN 1
+        |          ELSE 0 END)::BIGINT AS n_objects,
         |  (CASE WHEN doc_id % 11 = 7 OR doc_id % 19 = 13 THEN 0
         |        ELSE 2 END)::BIGINT AS n_pages,
         |  (CASE WHEN doc_id % 11 <> 7 AND doc_id % 19 <> 13
@@ -7348,17 +7668,27 @@ object Queries {
     // the page-level LZW arm beside its extracting sibling
     "q179_pdf_text" ->
       """WITH good AS (
-        |  SELECT doc_id, coalesce(text, '') AS text FROM documents
+        |  SELECT doc_id,
+        |    coalesce(text, '') ||
+        |      CASE WHEN doc_id % 7 BETWEEN 1 AND 5 THEN ' café' ELSE '' END
+        |      AS text,
+        |    doc_id % 7 = 6 AS badfont
+        |  FROM documents
         |  WHERE doc_id % 11 <> 7 AND doc_id % 19 <> 13 AND doc_id % 13 <> 9)
-        |SELECT doc_id AS media_id, 0::INTEGER AS page_idx, 1::INTEGER AS ok,
-        |  text || chr(10) AS text, '' AS err
+        |SELECT doc_id AS media_id, 0::INTEGER AS page_idx,
+        |  (CASE WHEN badfont THEN 0 ELSE 1 END)::INTEGER AS ok,
+        |  CASE WHEN badfont THEN '' ELSE text || chr(10) END AS text,
+        |  CASE WHEN badfont THEN 'unsupported_font' ELSE '' END AS err
         |FROM good
         |UNION ALL
         |SELECT doc_id, 1::INTEGER,
-        |  (CASE WHEN doc_id % 17 = 11 THEN 0 ELSE 1 END)::INTEGER,
-        |  CASE WHEN doc_id % 17 = 11 THEN ''
-        |       ELSE 'second page of document ' || doc_id || chr(10) END,
-        |  CASE WHEN doc_id % 17 = 11 THEN 'unsupported_filter' ELSE '' END
+        |  (CASE WHEN doc_id % 17 = 11 OR badfont THEN 0 ELSE 1 END)::INTEGER,
+        |  CASE WHEN doc_id % 17 = 11 OR badfont THEN ''
+        |       ELSE 'second page of document ' || doc_id ||
+        |         CASE WHEN doc_id % 7 BETWEEN 1 AND 5 THEN ' café' ELSE '' END
+        |         || chr(10) END,
+        |  CASE WHEN doc_id % 17 = 11 THEN 'unsupported_filter'
+        |       WHEN badfont THEN 'unsupported_font' ELSE '' END
         |FROM good
         |UNION ALL
         |SELECT doc_id, 0::INTEGER, 0::INTEGER, '', 'not_pdf'

@@ -25,20 +25,85 @@ import org.apache.spark.sql.functions._
   * lookaround), identical semantics under Java regex and RE2. */
 object Html {
 
-  def htmlToText(html: Column): Column = {
-    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
-    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
-    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
-    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+  /** The shared tail: five standard entities (`&amp;` LAST) +
+    * whitespace squeeze + trim. */
+  private def cleanText(c: Column): Column = {
     val ent = replace(
       replace(
         replace(
           replace(
-            replace(noTags, lit("&lt;"), lit("<")),
+            replace(c, lit("&lt;"), lit("<")),
             lit("&gt;"), lit(">")),
           lit("&quot;"), lit("\"")),
         lit("&#39;"), lit("'")),
       lit("&amp;"), lit("&"))
     trim(regexp_replace(ent, "[ \\t\\n\\r]+", " "))
   }
+
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    cleanText(noTags)
+  }
+
+  // ---- structural metadata ---------------------------------------------
+  // The crawl-pipeline keys htmlToText throws away: title / meta
+  // description (curation features), the canonical link (THE dedup key
+  // — feed it Urls.normalizeUrl), the html lang attribute (routing
+  // before model-based language ID). Same discipline as the text
+  // extractor: RE2-safe expression-only patterns (no lookaround, no
+  // backreferences — quote styles and attribute orders are explicit
+  // alternatives), '' when absent, identical under Java regex and RE2.
+
+  /** `<title>` body — entities decoded, whitespace squeezed; '' when
+    * the element is absent. */
+  def title(html: Column): Column =
+    cleanText(regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1))
+
+  /** First non-empty extraction of `valAttr`'s value from a `tag`
+    * element carrying `keyAttr`=`keyVal`, across the four
+    * (attribute order) × (quote style) shapes. The key value matches
+    * exactly — quoted forms verbatim, the unquoted form delimited —
+    * so "description" never swallows "descriptions". `[^>]*` cannot
+    * cross a tag boundary, so both attributes provably sit in ONE
+    * element. */
+  private def attrValue(html: Column, tag: String, keyAttr: String,
+      keyVal: String, valAttr: String): Column = {
+    // the unquoted key's delimiter may include '>' ONLY when the key is
+    // the pattern's final element — consumed mid-pattern it would let
+    // the remainder continue matching into the NEXT tag
+    def key(delim: String) =
+      s"""$keyAttr\\s*=\\s*(?:"$keyVal"|'$keyVal'|$keyVal[$delim])"""
+    def pat(q: String, cap: String, keyFirst: Boolean): String =
+      if (keyFirst)
+        s"""(?is)<$tag[^>]*${key("\\s/")}[^>]*$valAttr\\s*=\\s*$q($cap)$q"""
+      else
+        s"""(?is)<$tag[^>]*$valAttr\\s*=\\s*$q($cap)$q[^>]*${key("\\s/>")}"""
+    val cands = Seq(
+      regexp_extract(html, pat("\"", "[^\"]*", keyFirst = true), 1),
+      regexp_extract(html, pat("'", "[^']*", keyFirst = true), 1),
+      regexp_extract(html, pat("\"", "[^\"]*", keyFirst = false), 1),
+      regexp_extract(html, pat("'", "[^']*", keyFirst = false), 1))
+    cands.foldRight(lit(""): Column)((c, acc) =>
+      when(length(c) > 0, c).otherwise(acc))
+  }
+
+  /** `<meta name="description" content="…">` — entities decoded,
+    * whitespace squeezed; '' when absent. Order/quoting/tag-case
+    * robust; og:description and other property= tags never match. */
+  def metaDescription(html: Column): Column =
+    cleanText(attrValue(html, "meta", "name", "description", "content"))
+
+  /** `<link rel="canonical" href="…">` — the canonical URL (entities
+    * decoded; feed the result to [[Urls.normalizeUrl]] for the dedup
+    * key); '' when absent. */
+  def canonicalLink(html: Column): Column =
+    cleanText(attrValue(html, "link", "rel", "canonical", "href"))
+
+  /** The `<html lang=…>` attribute (BCP-47 tag chars); '' when
+    * absent. */
+  def htmlLang(html: Column): Column =
+    regexp_extract(html, "(?is)<html[^>]*?[\\s]lang\\s*=\\s*[\"']?([A-Za-z0-9-]+)", 1)
 }

@@ -27,4 +27,19 @@ class AvifSpec extends SparkSpec {
     assert(Avif.parseAvif(1L, Avif.avifBytes("avif", 8, 8, false, "av01",
       dropIspe = true)).err == "no_ispe")
   }
+
+  test("spec-valid BMFF size forms: size==1 largesize and size==0 to-EOF") {
+    val ls = Avif.parseAvif(4L, Avif.avifBytes("avif", 32, 24,
+      withAlpha = false, codec = "av01", mdatForm = 1))
+    assert(ls == Avif.AvifInfo(4L, 1, "avif", 32L, 24L, 1, "av01", ""), s"$ls")
+    val z = Avif.parseAvif(5L, Avif.avifBytes("heic", 32, 24,
+      withAlpha = true, codec = "hevc", mdatForm = 2))
+    assert(z == Avif.AvifInfo(5L, 1, "heic", 32L, 24L, 2, "hevc", ""), s"$z")
+    // a largesize box cut mid-body still surfaces as truncation
+    assert(Avif.parseAvif(6L, Avif.avifBytes("avif", 8, 8, false, "av01",
+      truncate = true, mdatForm = 1)).err == "truncated")
+    // a largesize header cut before its 8 size bytes refuses too
+    val cutHdr = Avif.avifBytes("avif", 8, 8, false, "av01", mdatForm = 1)
+    assert(Avif.parseAvif(7L, cutHdr.take(cutHdr.length - 28)).err == "truncated")
+  }
 }

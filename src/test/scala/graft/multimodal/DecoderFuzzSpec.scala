@@ -201,7 +201,13 @@ class DecoderFuzzSpec extends SparkSpec {
     for ((name, o) <- Seq(
         ("classic", Pdf.PdfOpts(flate = true)),
         ("xref-stream-objstm", Pdf.PdfOpts(flate = true, xrefStream = true,
-          objStm = true, predictor = true)))) {
+          objStm = true, predictor = true)),
+        // font wire shapes: a corrupted /Encoding dict, /Differences
+        // array, or /ToUnicode CMap must refuse, never throw
+        ("winansi", Pdf.PdfOpts(fontMode = 1)),
+        ("differences", Pdf.PdfOpts(fontMode = 3, flate = true)),
+        ("tounicode", Pdf.PdfOpts(fontMode = 4)),
+        ("type0-cmap", Pdf.PdfOpts(fontMode = 5, flate = true)))) {
       val base = Pdf.pdfBytes(lines, o)
       fuzz(s"pdf-$name", base,
         b => (Pdf.parseInfo(0L, b), Pdf.pageTexts(0L, b)))

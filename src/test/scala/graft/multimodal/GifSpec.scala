@@ -172,6 +172,27 @@ class GifSpec extends SparkSpec {
       .map(p => (p >>> 16) & 0xff).toSeq == gray(64, 64, 2).toSeq)
   }
 
+  test("a decoded index past the palette refuses 'bad_index' per-frame") {
+    // hand-built: 4x1 canvas, 4-entry GCT, min-code 3 (indices to 7) —
+    // index 7 LZW-decodes fine but has no palette entry
+    val o = new java.io.ByteArrayOutputStream()
+    o.write("GIF89a".getBytes("US-ASCII"))
+    o.write(4); o.write(0); o.write(1); o.write(0)
+    o.write(0xf1) // GCT flag, size bits 001 -> 4 entries
+    o.write(0); o.write(0)
+    for (i <- 0 until 4; _ <- 0 until 3) o.write(i * 80)
+    o.write(0x2c)
+    for (v <- Seq(0, 0, 4, 1)) { o.write(v & 0xff); o.write((v >> 8) & 0xff) }
+    o.write(0) // no LCT, no interlace
+    o.write(3) // LZW min code size
+    val lzw = Gif.lzwEncode(Array(0, 1, 2, 7), 3)
+    o.write(lzw.length); o.write(lzw, 0, lzw.length); o.write(0)
+    o.write(0x3b)
+    val img = Gif.decode(o.toByteArray).toOption.get
+    assert(img.frames.length == 1)
+    assert(!img.frames(0).ok && img.frames(0).err == "bad_index")
+  }
+
   test("still path: header sniff + shared-dispatch pHash equal the PNG twin's") {
     // the same pixels through PNG and through GIF must land the SAME
     // hash via the codec-sniffing dispatch (both decodes are lossless)

@@ -33,6 +33,84 @@ class PdfSpec extends SparkSpec {
       Pdf.PdfOpts(xrefStream = true, objStm = true))).n_objects == 10)
   }
 
+  test("TJ-split round-trips multi-byte UTF-8 (split lands on a codepoint boundary)") {
+    // an odd-length line whose midpoint falls INSIDE the 3-byte € —
+    // a raw byte split would round-trip each half as U+FFFD
+    val tricky = Seq("a€b", "naïve café — über €42")
+    val texts = Pdf.pageTexts(1L, Pdf.pdfBytes(tricky, Pdf.PdfOpts(tjSplit = true)))
+    assert(texts.map(_.text) == tricky.map(_ + "\n"))
+    assert(texts.forall(_.ok == 1))
+  }
+
+  test("adversarial nesting depth refuses 'bad_object' instead of overflowing") {
+    // a content page whose object graph is fine, but one object is a
+    // 5000-deep array: the lexer must refuse, not StackOverflow
+    val deep = ("[" * 5000) + ("]" * 5000)
+    val body = s"1 0 obj\n$deep\nendobj\n".getBytes("US-ASCII")
+    val lex = new Pdf.Lexer(body, "1 0 obj\n".length, body.length)
+    val err = intercept[RuntimeException] { lex.value(allowRef = true) }
+    assert(err.getClass.getSimpleName == "Bad")
+    val deepDict = "<< /A " * 5000
+    val b2 = deepDict.getBytes("US-ASCII")
+    val err2 = intercept[RuntimeException] {
+      new Pdf.Lexer(b2, 0, b2.length).value(allowRef = true) }
+    assert(err2.getClass.getSimpleName == "Bad")
+  }
+
+  test("font encodings decode real non-UTF8 show bytes back to the text") {
+    // é/—/ï force multi-byte divergence between UTF-8 and every
+    // single-byte scheme; mode 5 shows UTF-16BE
+    val fLines = Seq("a café — naïve line", "second é page")
+    for (mode <- 1 to 5;
+         o <- Seq(Pdf.PdfOpts(fontMode = mode),
+           Pdf.PdfOpts(fontMode = mode, hexStrings = true),
+           Pdf.PdfOpts(fontMode = mode, tjSplit = true),
+           Pdf.PdfOpts(fontMode = mode, flate = true, xrefStream = true),
+           Pdf.PdfOpts(fontMode = mode, flate = true, xrefStream = true,
+             objStm = true))) {
+      val texts = Pdf.pageTexts(1L, Pdf.pdfBytes(fLines, o))
+      assert(texts.map(_.text) == fLines.map(_ + "\n"), s"mode=$mode $o")
+      assert(texts.forall(_.ok == 1), s"mode=$mode $o")
+    }
+    // raw decode (mode 0) of cp1252 bytes WOULD be mojibake — the
+    // encoding is load-bearing, not decorative
+    assert("café".getBytes("windows-1252").toSeq !=
+      "café".getBytes("UTF-8").toSeq)
+  }
+
+  test("CID font without ToUnicode refuses 'unsupported_font', classification intact") {
+    val b = Pdf.pdfBytes(Seq("alpha page", "beta page"),
+      Pdf.PdfOpts(fontMode = 6))
+    val texts = Pdf.pageTexts(1L, b)
+    assert(texts.length == 2)
+    assert(texts.forall(t => t.ok == 0 && t.err == "unsupported_font" &&
+      t.text == ""))
+    assert(Pdf.parseInfo(1L, b).ok == 1, "headers still classify")
+  }
+
+  test("/Differences: uniXXXX names resolve; unknown glyph names refuse") {
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    val base = Pdf.pdfBytes(Seq("one café line"), Pdf.PdfOpts(fontMode = 3))
+    assert(Pdf.pageTexts(1L, base).map(_.text) == Seq("one café line\n"))
+    // same-length in-place swaps keep every xref offset valid
+    val viaUni = new String(base, iso).replace("/eacute", "/uni00E9")
+    assert(Pdf.pageTexts(1L, viaUni.getBytes(iso)).map(_.text) ==
+      Seq("one café line\n"))
+    val unknown = new String(base, iso).replace("/eacute", "/zzcute")
+    val t = Pdf.pageTexts(1L, unknown.getBytes(iso))
+    assert(t.head.ok == 0 && t.head.err == "unsupported_font")
+  }
+
+  test("an unmapped CMap code refuses the page instead of guessing") {
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    val b = Pdf.pdfBytes(Seq("AB|"), Pdf.PdfOpts(fontMode = 4))
+    // shrink the ASCII identity bfrange in place: '|' (0x7C) unmapped
+    val cut = new String(b, iso).replace("<20> <7E> <0020>", "<20> <43> <0020>")
+    assert(cut != new String(b, iso), "surgery must hit the CMap")
+    val t = Pdf.pageTexts(1L, cut.getBytes(iso))
+    assert(t.head.ok == 0 && t.head.err == "unsupported_font")
+  }
+
   test("string escapes pinned by hand vectors (octal, continuation, nesting, hex)") {
     def pdfWith(content: String): Array[Byte] = {
       // splice hand-written show bytes over a fixed-width placeholder

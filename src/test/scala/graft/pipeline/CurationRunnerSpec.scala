@@ -267,6 +267,74 @@ class CurationRunnerSpec extends SparkSpec {
     } finally { Lake.delete(spark, root) }
   }
 
+  test("pq-maintained compressed family: backfill, retire+append, compaction track the curated corpus") {
+    val root = java.nio.file.Files.createTempDirectory("lake").toString
+    try {
+      val cfg = Curation.CurationConfig(minQualityMilli = 200)
+      val ixCfg = CurationRunner.IndexConfig(embed = Some(embedDocs),
+        ivfBuckets = 4, ivfTrainStride = 4, ivfRefreshKlMilli = 1000000L,
+        pq = Some(CurationRunner.PqConfig(m = 4, dim = 8, buckets = 2,
+          stride = 4)))
+      val pqRoot = s"$root/index/ivfpq"
+      def liveIds(ver: String) = graft.ann.IvfPqIndex
+        .codes(spark, s"$pqRoot/$ver")
+        .select($"id").as[Long].collect().sorted.toSeq
+      def curatedIds(date: String) =
+        Lake.readParquet(spark, s"$root/curated/date=$date")
+          .select($"doc_id").as[Long].collect().sorted.toSeq
+
+      // pq without embed is a loud misconfiguration
+      intercept[IllegalArgumentException] {
+        CurationRunner.runDaily(spark, root, "2024-05-01", None, cfg,
+          indexes = Some(CurationRunner.IndexConfig(
+            pq = Some(CurationRunner.PqConfig()))))
+      }
+
+      // day 1 runs WITHOUT the family — the lake predates it
+      land(root, "day1.json", (0 until 8).map(i => (i.toLong, "s0", doc(i))))
+      CurationRunner.runDaily(spark, root, "2024-05-01", None, cfg)
+      assert(graft.ann.IvfIndex.currentVersion(spark, pqRoot).isEmpty)
+
+      // day 2 registers it: backfill from day-1 curated, then retire
+      // the changed doc's old codes and append the delta
+      land(root, "day2.json", Seq(
+        (20L, "s0", doc(20)), (3L, "s0", doc(300))))
+      CurationRunner.runDaily(spark, root, "2024-05-02", None, cfg,
+        indexes = Some(ixCfg))
+      val ver2 = graft.ann.IvfIndex.currentVersion(spark, pqRoot).get
+      assert(ver2 == "v2024-05-01", s"backfill must land at the previous date, got $ver2")
+      assert(liveIds(ver2) == curatedIds("2024-05-02"),
+        "live code set must equal the day-2 curated corpus (changed doc re-encoded)")
+
+      // day 3 churns > 20% -> compaction to a NEW version + ptr swap
+      land(root, "day3.json", (0 until 5).map(i => (i.toLong, "s0", doc(i + 70))))
+      CurationRunner.runDaily(spark, root, "2024-05-03", None, cfg,
+        indexes = Some(ixCfg))
+      val ver3 = graft.ann.IvfIndex.currentVersion(spark, pqRoot).get
+      assert(ver3 == "v2024-05-03c", s"churn past the threshold must compact, got $ver3")
+      assert(graft.ann.IvfPqIndex.tombstoneCount(spark, s"$pqRoot/$ver3") == 0L)
+      assert(liveIds(ver3) == curatedIds("2024-05-03"))
+      assert(Lake.exists(spark, s"$pqRoot/$ver2/codes"),
+        "compaction lands beside — the old version is never truncated")
+
+      // probe parity: the maintained index answers exactly like a fresh
+      // one written over the curated corpus + the SAME artifacts
+      val c3 = Lake.readParquet(spark, s"$root/curated/date=2024-05-03")
+      val freshDir = java.nio.file.Files.createTempDirectory("ivfpq-fresh").toString
+      graft.ann.IvfPqIndex.write(embedDocs(c3), "doc_id", "embedding",
+        graft.ann.IvfPqIndex.centroids(spark, s"$pqRoot/$ver3"),
+        graft.ann.IvfPqIndex.codebooks(spark, s"$pqRoot/$ver3"),
+        m = 4, dim = 8, dir = freshDir, numBuckets = 2)
+      val qs = embedDocs(c3.where($"doc_id" < 2))
+      def probed(dir: String) = graft.ann.IvfPqIndex.probeTopK(spark, dir,
+        qs, "doc_id", "embedding", k = 3, nProbe = 2)
+        .collect().map(_.toString).sorted.toSeq
+      assert(probed(s"$pqRoot/$ver3") == probed(freshDir))
+      assert(probed(freshDir).nonEmpty)
+      Lake.delete(spark, freshDir)
+    } finally { Lake.delete(spark, root) }
+  }
+
   // deterministic text-derived perceptual hash — the spec's stand-in
   // for a real media decode+pHash (same text -> same hash, changed
   // text -> changed hash), so maintained-index state compares exact

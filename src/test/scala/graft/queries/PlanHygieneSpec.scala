@@ -51,6 +51,7 @@ class PlanHygieneSpec extends SparkSpec {
     "q149_ann_recall" -> "recall audit's exact arm IS q25's brute baseline: broadcast 25-query batch x corpus",
     "q151_nprobe_sweep" -> "q149's sweep: same broadcast 25-query brute baseline intersected with three probe arms",
     "q182_pq_recall" -> "the PQ rerank sweep's exact arm IS q25's brute baseline: broadcast 25-query batch x corpus (the ADC arms are plain joins)",
+    "q189_ivfpq_recall" -> "the IVF-PQ rerank sweep's exact arm IS q25's brute baseline: broadcast 25-query batch x corpus (the probed-cell ADC arms are plain joins)",
     "q185_bigram_nll" -> "crossJoin(broadcast(vocab)): single-row reference vocabulary size (the q51 pattern)")
 
   test("every gate query carries an oracle (q36 rows-only by design), no orphans") {
@@ -77,6 +78,21 @@ class PlanHygieneSpec extends SparkSpec {
         "or document the bound in PlanHygieneSpec.allow")
     assert(stale.isEmpty,
       s"stale allowlist entries (plan no longer has the shape): ${stale.mkString(", ")}")
+  }
+
+  test("coarse-scan top-k is two-level: the prune kernel sits below the window") {
+    // the q58/q110/q181/q182 scale contract: no per-query window may
+    // consume the unbounded candidate frame directly — the per-partition
+    // bounded heap (TopK.prunePerPartition, a MapPartitions node) must
+    // appear in the plan, capping the window's input at
+    // partitions × |Q| × k rows
+    val dir = "/root/testdata/sf0.001"
+    for (name <- Seq("q58_quantized_topk", "q110_projected_topk",
+        "q181_pq_topk", "q182_pq_recall")) {
+      val plan = Queries.all(name)(spark, dir).queryExecution.executedPlan.toString
+      assert(plan.contains("MapPartitions"),
+        s"$name: expected the TopK prune kernel (MapPartitions) below the ranking window")
+    }
   }
 
   test("the corpus-audit rollups plan to ONE parquet scan (q139, q144)") {

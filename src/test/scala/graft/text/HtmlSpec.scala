@@ -35,4 +35,51 @@ class HtmlSpec extends SparkSpec {
       .select(Html.htmlToText(col("h")).as("c")).collect()(0)
     assert(n.isNullAt(0), "NULL html stays NULL (callers coalesce)")
   }
+
+  private def meta4(html: String): (String, String, String, String) =
+    Seq(html).toDF("h")
+      .select(Html.title(col("h")), Html.metaDescription(col("h")),
+        Html.canonicalLink(col("h")), Html.htmlLang(col("h")))
+      .collect()(0) match {
+        case r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))
+      }
+
+  test("metadata: title entities/whitespace; absent fields are ''") {
+    val (t, d, c, l) = meta4(
+      "<html lang=\"en\"><head><title> A &amp;\n B </title></head><body/></html>")
+    assert(t == "A & B" && d == "" && c == "" && l == "en")
+    assert(meta4("<html><head></head></html>") == ("", "", "", ""))
+  }
+
+  test("metadata: every order x quote shape extracts; traps never match") {
+    val traps = "<meta property=\"og:description\" content=\"OG\">" +
+      "<meta name=\"descriptions\" content=\"TRAP\">" +
+      "<meta name=\"keywords\" content=\"k\">" +
+      "<link rel=\"stylesheet\" href=\"/s.css\">"
+    val shapes = Seq(
+      "<meta name=\"description\" content=\"real one\">",
+      "<meta name='description' content='real one'>",
+      "<META content=\"real one\" name=\"description\">",
+      "<meta content='real one' name=description>")
+    for (s <- shapes) {
+      val (_, d, _, _) = meta4(s"<html><head>$traps$s$traps</head></html>")
+      assert(d == "real one", s"shape failed: $s")
+    }
+    // traps alone yield nothing
+    assert(meta4(s"<html><head>$traps</head></html>")._2 == "")
+    // canonical: both orders, quote styles, entity in href
+    val (_, _, c1, _) = meta4(
+      "<html><head><link rel=\"canonical\" href=\"http://x.com/a?b=1&amp;c=2\"></head></html>")
+    assert(c1 == "http://x.com/a?b=1&c=2")
+    val (_, _, c2, _) = meta4(
+      "<html><head><link href='http://x.com/a' rel='canonical'></head></html>")
+    assert(c2 == "http://x.com/a")
+  }
+
+  test("metadata: lang forms — quoted, CAPS tag/attr, unquoted, absent") {
+    assert(meta4("<html lang=\"en-US\"><head></head></html>")._4 == "en-US")
+    assert(meta4("<HTML LANG='de-DE'><head></head></HTML>")._4 == "de-DE")
+    assert(meta4("<html data-x=\"1\" lang=fr><head></head></html>")._4 == "fr")
+    assert(meta4("<html><head></head></html>")._4 == "")
+  }
 }
