@@ -718,11 +718,21 @@ object Containers {
       codec: String = ""): DataFrame =
     decodeWarc(media, gzipped = gzipped, codec = codec).toDF()
       .where(col("ok") === 1 && col("warc_type") === "response")
+      // crawl identity: the page's OWN <link rel=canonical> (normalized)
+      // beats the request URL — tracking-parameter and mirror variants
+      // of one page fold to one document (q192's rule applied at
+      // ingest); pages without one keep the normalized request URL
+      .select(col("url"), col("body"),
+        coalesce(
+          when(length(graft.text.Html.canonicalLink(col("body"))) > 0,
+            graft.text.Urls.normalizeUrl(
+              graft.text.Html.canonicalLink(col("body")))),
+          graft.text.Urls.normalizeUrl(col("url"))).as("url_norm"))
       .select(
-        xxhash64(graft.text.Urls.normalizeUrl(col("url"))).as("doc_id"),
+        xxhash64(col("url_norm")).as("doc_id"),
         graft.text.Urls.urlDomain(col("url")).as("source"),
         graft.text.Html.htmlToText(col("body")).as("text"),
-        graft.text.Urls.normalizeUrl(col("url")).as("url_norm"))
+        col("url_norm"))
 
   /** ZIP archives -> document rows ([[warcDocs]]'s shape for the
     * dataset-dump distribution layout: one archive of text members per

@@ -634,6 +634,9 @@ object Vp8l {
   val VariantColor = 6 // cross-color transform, per-block int8 multipliers
   val VariantPalette = 7 // COLOR_INDEXING (bundles automatically <=16 colors)
   val VariantDist2d = 8 // LZ77 through the 2D neighborhood distance table
+  val VariantCacheMeta = 9 // color cache x meta prefix codes TOGETHER: the
+  // cache state is SHARED across entropy groups (one insertion order,
+  // two green alphabets carrying cache symbols) — the interaction path
 
   private def balancedLengths(used: Seq[Int], alphabet: Int): Array[Int] = {
     val lens = new Array[Int](alphabet)
@@ -832,10 +835,12 @@ object Vp8l {
     * them. */
   private def encodeImageData(bw: BitWriter, w: Int, h: Int,
       plane: Array[Int], variant: Int, level0: Boolean = true): Unit = {
-    val cacheBits = if (variant == VariantCache) 4 else 0
+    val cacheBits =
+      if (variant == VariantCache || variant == VariantCacheMeta) 4 else 0
     if (cacheBits > 0) { bw.writeBits(1, 1); bw.writeBits(cacheBits, 4) }
     else bw.writeBits(0, 1)
-    val meta = variant == VariantMeta && level0
+    val meta =
+      (variant == VariantMeta || variant == VariantCacheMeta) && level0
     val metaBits = 3 // 8x8 blocks
     val metaW = subSample(w, metaBits)
     if (level0) {

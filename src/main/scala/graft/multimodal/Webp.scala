@@ -138,11 +138,13 @@ object Webp {
     * functions of [[Multimodal.mixedCodecImageCorpusFromDocuments]]
     * (the q133 family: 32x32 macro-block grays for even id-decades,
     * 64x64 block-constant grays for odd), VP8L-encoded with the
-    * encoding path fanned over id%9 ([[Vp8l.VariantPlain]] through
-    * [[Vp8l.VariantDist2d]] — literals, SUBTRACT_GREEN, predictor,
+    * encoding path fanned over id%10 ([[Vp8l.VariantPlain]] through
+    * [[Vp8l.VariantCacheMeta]] — literals, SUBTRACT_GREEN, predictor,
     * linear LZ77, color cache, meta prefix groups, cross-COLOR,
-    * COLOR_INDEXING palette, 2D distance codes; the corpus grays stay
-    * under 256 distinct colors so the palette arm is lossless too).
+    * COLOR_INDEXING palette, 2D distance codes, and the cache x meta
+    * INTERACTION arm (shared cache state across entropy groups); the
+    * corpus grays stay under 256 distinct colors so the palette arm
+    * is lossless too).
     * Lossless means the decoded pixels are
     * encoding-variant-independent — so the q168 gate replays q133's
     * closed-form pHash oracle VERBATIM over this corpus, proving the
@@ -175,7 +177,7 @@ object Webp {
           }
         0xff000000 | (g << 16) | (g << 8) | g
       }
-      val variant = java.lang.Math.floorMod(id, 9L).toInt
+      val variant = java.lang.Math.floorMod(id, 10L).toInt
       (id, webpBytes(Seq(("VP8L", Vp8l.encode(w, h, px, variant)))))
     }.toDF("media_id", "payload")
   }

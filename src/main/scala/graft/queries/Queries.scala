@@ -2367,6 +2367,53 @@ object Queries {
       graft.text.Html.htmlLang(html).as("lang"))
   }
 
+  /** Canonical-URL dedup through the gate — the crawl-frontier rule
+    * the q191 extraction feeds: the SAME page crawled under three RAW
+    * href variants (uppercase scheme/host + default port + fragment /
+    * duplicate path slashes / mixed-case host + a different fragment)
+    * must collapse onto ONE normalized canonical key, and within a key
+    * group the smallest doc_id wins (first-wins, the crawl-day rule).
+    * Pages without a canonical link (id%6==4) are never dups. Group
+    * membership is id mod 175 arithmetic (id%7 picks the site, id%25
+    * the page), so the oracle restates keeper and dup flags
+    * closed-form — the normalization IS the dedup key, cross-derived. */
+  def q192CanonicalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val id = col("doc_id")
+    val site = pmod(id, lit(7L)).cast("string")
+    val page = pmod(id, lit(25L)).cast("string")
+    val href = when(pmod(id, lit(3L)) === 0,
+        concat(lit("HTTP://EXAMPLE"), site, lit(".COM:80/p/"), page,
+          lit("?x=1#f")))
+      .when(pmod(id, lit(3L)) === 1,
+        concat(lit("http://example"), site, lit(".com/p//"), page,
+          lit("?x=1")))
+      .otherwise(
+        concat(lit("http://Example"), site, lit(".Com/p/"), page,
+          lit("?x=1#frag2")))
+    val html = concat(lit("<html><head>"),
+      when(pmod(id, lit(6L)) === 4, lit(""))
+        .otherwise(concat(lit("<link rel=\"canonical\" href=\""), href,
+          lit("\">"))),
+      lit("<link rel=\"stylesheet\" href=\"/s.css\"></head><body/></html>"))
+    val canon = graft.text.Urls.normalizeUrl(
+      graft.text.Html.canonicalLink(html))
+    // scale shape: hash-aggregate the per-key min (map-side combine)
+    // and equi-join it back — a window over PARTITION BY canonical
+    // would buffer a hot key's whole group in one task, and a viral
+    // page's canonical IS a hot key at crawl scale (AQE skew-splits
+    // the join; an agg can't skew)
+    val keys = docs.select(id.as("doc_id"), canon.as("canonical"))
+    val mins = keys.where(col("canonical") =!= "")
+      .groupBy(col("canonical")).agg(min(col("doc_id")).as("grp_min"))
+    keys.join(mins, Seq("canonical"), "left")
+      .select(col("doc_id"), col("canonical"),
+        when(col("canonical") === "", col("doc_id"))
+          .otherwise(col("grp_min")).as("keeper_id"),
+        when(col("canonical") =!= "" && col("doc_id") =!= col("grp_min"), 1L)
+          .otherwise(0L).as("is_dup"))
+  }
+
   /** AVIF/HEIF classification through the gate — the q77/q156 pattern
     * on the fast-growing crawl image format: ftyp brand dispatch, the
     * meta→iprp→ipco property walk, dimensions from the first ispe,
@@ -6464,6 +6511,7 @@ object Queries {
     "q189_ivfpq_recall" -> (q189IvfPqRecall _),
     "q190_ivfpq_index_probe" -> (q190IvfPqIndexProbe _),
     "q191_html_metadata" -> (q191HtmlMetadata _),
+    "q192_canonical_dedup" -> (q192CanonicalDedup _),
     "q169_anim_webp_frames" -> (q169AnimWebpFrames _),
     "q170_cross_clip_dups" -> (q170CrossClipDups _),
     "q171_exif_headers" -> (q171ExifHeaders _),
@@ -7418,6 +7466,22 @@ object Queries {
         |LEFT JOIN served s ON s.rerank = rr.r
         |  AND s.query_id = b.query_id AND s.neighbor_id = b.neighbor_id
         |GROUP BY rr.r""".stripMargin,
+    // three raw href variants collapse onto one normalized key; keeper
+    // and dup flags closed-form from the (id%7, id%25) group arithmetic
+    "q192_canonical_dedup" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 6 = 4 THEN ''
+        |         ELSE 'http://example' || (doc_id % 7) || '.com/p/' ||
+        |           (doc_id % 25) || '?x=1' END AS canonical
+        |  FROM documents)
+        |SELECT doc_id, canonical,
+        |  CASE WHEN canonical = '' THEN doc_id
+        |       ELSE min(doc_id) OVER (PARTITION BY canonical) END AS keeper_id,
+        |  (CASE WHEN canonical <> ''
+        |        AND doc_id <> min(doc_id) OVER (PARTITION BY canonical)
+        |        THEN 1 ELSE 0 END)::BIGINT AS is_dup
+        |FROM c""".stripMargin,
     // every expected value restated closed-form from id arithmetic
     // (the q129 cross-derivation discipline — not a regex replay)
     "q191_html_metadata" ->

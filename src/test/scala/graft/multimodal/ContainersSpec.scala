@@ -161,6 +161,40 @@ class ContainersSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("doc_id")).distinct.length == 2)
   }
 
+  test("warcDocs: a page's <link rel=canonical> beats the request URL as identity") {
+    // two crawls of ONE page under tracking variants, both declaring
+    // the same canonical; a third page declares none
+    def resp(reqUrl: String, body: String) = Containers.warcRecordBytes(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Target-URI" -> reqUrl,
+      "Content-Type" -> "application/http; msgtype=response"),
+      ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body)
+        .getBytes("ISO-8859-1"))
+    val canonBody =
+      "<html><head><link rel=\"canonical\" href=\"HTTP://SITE.example:80/page\">" +
+        "</head><body><p>same page</p></body></html>"
+    val media = Seq(
+      (1L, resp("http://site.example/page?utm_source=a", canonBody)),
+      (2L, resp("http://mirror.example/copy?ref=x", canonBody)),
+      (3L, resp("http://other.example/solo",
+        "<html><body>solo page</body></html>")))
+      .toDF("media_id", "payload")
+    val out = Containers.warcDocs(media).collect()
+    assert(out.length == 3)
+    val byUrl = out.groupBy(_.getAs[String]("url_norm"))
+    // both canonical-declaring crawls share the normalized canonical
+    // (and therefore the doc_id — latest-row-wins folds them upstream)
+    assert(byUrl("http://site.example/page").length == 2)
+    assert(byUrl("http://site.example/page")
+      .map(_.getAs[Long]("doc_id")).distinct.length == 1)
+    // sources keep crawl provenance (the REQUEST url's domain)
+    assert(byUrl("http://site.example/page")
+      .map(_.getAs[String]("source")).toSet ==
+      Set("site.example", "mirror.example"))
+    // the canonical-less page keeps its normalized request URL
+    assert(byUrl.contains("http://other.example/solo"))
+  }
+
   test("readBinaryMedia: a directory of container files loads as (media_id, payload)") {
     val dir = java.nio.file.Files.createTempDirectory("warcdir")
     try {

@@ -237,7 +237,7 @@ class DecoderFuzzSpec extends SparkSpec {
     for (v <- Seq(Vp8l.VariantPlain, Vp8l.VariantSubGreen,
         Vp8l.VariantPredictor, Vp8l.VariantLz77, Vp8l.VariantCache,
         Vp8l.VariantMeta, Vp8l.VariantColor, Vp8l.VariantPalette,
-        Vp8l.VariantDist2d)) {
+        Vp8l.VariantDist2d, Vp8l.VariantCacheMeta)) {
       val base = Vp8l.encode(32, 32, img, v)
       fuzz(s"vp8l-$v", base, b => Vp8l.decodeArgb(b, 0, b.length))
     }

@@ -24,7 +24,7 @@ class Vp8lSpec extends SparkSpec {
   private val variants = Seq(Vp8l.VariantPlain, Vp8l.VariantSubGreen,
     Vp8l.VariantPredictor, Vp8l.VariantLz77, Vp8l.VariantCache,
     Vp8l.VariantMeta, Vp8l.VariantColor, Vp8l.VariantPalette,
-    Vp8l.VariantDist2d)
+    Vp8l.VariantDist2d, Vp8l.VariantCacheMeta)
 
   test("bit conventions pinned by hand vectors (RFC 1951 canonical, LSB-first packing)") {
     // lengths [2,1,3,3]: canonical codes sym1=0, sym0=10, sym2=110,
@@ -144,6 +144,25 @@ class Vp8lSpec extends SparkSpec {
     // bomb guard: a 16384x16384 header refuses before allocation
     val bomb = Vp8l.encode(8, 8, img, Vp8l.VariantPlain)
     assert(Vp8l.decodeArgb(bomb, 0, bomb.length, maxPixels = 63).isEmpty)
+  }
+
+  test("cache x meta interaction: hits land in BOTH entropy groups off ONE shared cache") {
+    // repeated colors STRADDLE the 8px meta-block checkerboard, so a
+    // pixel inserted into the cache under group 0 must hit under
+    // group 1 (and vice versa) — the shared-state path a per-group
+    // cache would corrupt. 32x32 with period-3 colors guarantees
+    // cross-group repeats in both directions.
+    val img = Array.tabulate(32 * 32) { i =>
+      val c = (i % 3) * 40 + 20
+      0xff000000 | (c << 16) | (c << 8) | c
+    }
+    val payload = Vp8l.encode(32, 32, img, Vp8l.VariantCacheMeta)
+    val (w, h, px) = Vp8l.decodeArgb(payload, 0, payload.length).get
+    assert(w == 32 && h == 32 && px.toSeq == img.toSeq)
+    // and the interaction stream is genuinely smaller than plain
+    // literals (cache symbols carry the repeats)
+    val plain = Vp8l.encode(32, 32, img, Vp8l.VariantPlain)
+    assert(payload.length < plain.length)
   }
 
   test("decodeRgb feeds the pHash plane (3-byte interleave, R channel)") {

@@ -939,28 +939,37 @@ class CurationRunnerSpec extends SparkSpec {
   }
 
   // the clip stage's frames extractor: a doc carries video when its
-  // text names the content (vidN) and the wrapper (AWEBP vs default
-  // MJPEG-MP4); the payload REALLY encodes under that container and
-  // REALLY decodes back — same vid -> same frame pixels -> identical
-  // hashes across wrappers (the q170 property, exercised end-to-end).
+  // text names the content (vidN) and the wrapper (AWEBP / GIFW /
+  // default MJPEG-MP4 — the q170 container set); the payload REALLY
+  // encodes under that container and REALLY decodes back — same vid ->
+  // same frame pixels -> identical hashes across all three wrappers
+  // (the q170 property, exercised end-to-end).
   // vid 49 rides the animated-WebP corpus's %11==5 plant (animation
   // flag off), so its doc carries video with ZERO decodable frames.
   private def clipFrames(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val tagged = docs.where($"text".rlike("vid[0-9]+"))
       .select($"doc_id",
         regexp_extract($"text", "vid([0-9]+)", 1).cast("long").as("vid"),
-        $"text".contains("AWEBP").as("awebp"))
+        when($"text".contains("AWEBP"), "awebp")
+          .when($"text".contains("GIFW"), "gif")
+          .otherwise("mp4").as("wrap"))
     val mp4 = graft.multimodal.Multimodal.decodeMp4FramePHash(
         graft.multimodal.Multimodal.mjpegVideoCorpusFromDocuments(
-          tagged.where(!$"awebp").select($"vid".as("doc_id")).distinct())).toDF()
-      .select($"media_id".as("vid"), lit(false).as("awebp"),
+          tagged.where($"wrap" === "mp4").select($"vid".as("doc_id")).distinct())).toDF()
+      .select($"media_id".as("vid"), lit("mp4").as("wrap"),
         $"ok".as("clip_ok"), $"frame_idx", $"phash")
     val webp = graft.multimodal.Webp.decodeAnimPHash(
         graft.multimodal.Webp.animWebpCorpusFromDocuments(
-          tagged.where($"awebp").select($"vid".as("doc_id")).distinct())).toDF()
-      .select($"media_id".as("vid"), lit(true).as("awebp"),
+          tagged.where($"wrap" === "awebp").select($"vid".as("doc_id")).distinct())).toDF()
+      .select($"media_id".as("vid"), lit("awebp").as("wrap"),
         $"ok".as("clip_ok"), $"frame_idx", $"phash")
-    tagged.join(mp4.unionByName(webp), Seq("vid", "awebp"))
+    val gif = graft.multimodal.Gif.decodeGifPHash(
+        graft.multimodal.Gif.gifCorpusFromDocuments(
+          tagged.where($"wrap" === "gif").select($"vid".as("doc_id")).distinct(),
+          sampleMod = 1, sampleRem = 0)).toDF()
+      .select($"media_id".as("vid"), lit("gif").as("wrap"),
+        $"ok".as("clip_ok"), $"frame_idx", $"phash")
+    tagged.join(mp4.unionByName(webp).unionByName(gif), Seq("vid", "wrap"))
       .select($"doc_id", $"clip_ok", $"frame_idx", $"phash")
   }
 
@@ -1054,6 +1063,50 @@ class CurationRunnerSpec extends SparkSpec {
         c2Rows,
         "re-running an applied date must be idempotent through the fallback path")
     } finally { Lake.delete(spark, rootA); Lake.delete(spark, rootB) }
+  }
+
+  test("gif clips: GIF day 1, re-encodes day 2 dedup across all three wrappers") {
+    // the q170 third wrapper through the DAILY loop: a clip standing as
+    // a GIF drops its later MP4 re-encode, and a standing MP4 drops its
+    // later GIF re-encode — the frame hashes are container-independent.
+    // vids 360/444/408 (pseeds 0/4/8, 3-frame): disjoint content keys
+    // {0,12,7}/{3,15,10}/{6,1,13}, clean of every wrapper's plant mods
+    // (GIF: %11!=5, %13!=6, %6!=4; MP4/AWEBP verified by the test above)
+    val cfg = Curation.CurationConfig(minQualityMilli = 200)
+    val ccfg = CurationRunner.ClipConfig(frames = clipFrames)
+    val ixCfg = CurationRunner.IndexConfig(clipBuckets = 4)
+    val root = java.nio.file.Files.createTempDirectory("lakeG").toString
+    try {
+      land(root, "day1.json", Seq(
+        (1L, "s0", doc(1, "vid360 GIFW")), // standing GIF clip
+        (2L, "s0", doc(2, "vid444")), // standing MP4 clip
+        (3L, "s0", doc(3, "NOVID"))))
+      val r1 = CurationRunner.runDaily(spark, root, "2024-10-01", None, cfg,
+        indexes = Some(ixCfg), clips = Some(ccfg))
+      assert(r1.clipDropped == 0, s"day1 keeps everything: $r1")
+
+      land(root, "day2.json", Seq(
+        (20L, "s0", doc(20, "vid360")), // MP4 re-encode of the GIF -> dup
+        (21L, "s0", doc(21, "vid444 GIFW")), // GIF re-encode of the MP4 -> dup
+        (22L, "s0", doc(22, "vid408 GIFW")))) // new content -> keep
+      val r2 = CurationRunner.runDaily(spark, root, "2024-10-02", None, cfg,
+        indexes = Some(ixCfg), clips = Some(ccfg))
+      assert(r2.clipDropped == 2, s"day2 drops 20 and 21: $r2")
+      val c2 = Lake.readParquet(spark, s"$root/curated/date=2024-10-02")
+      assert(c2.select($"doc_id").as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L, 3L, 22L))
+
+      // the kept GIF clip's frames joined the standing family
+      val f408 = graft.multimodal.Gif.decodeGifPHash(
+          graft.multimodal.Gif.gifCorpusFromDocuments(
+            Seq(408L).toDF("doc_id"), sampleMod = 1, sampleRem = 0)).toDF()
+        .where($"frame_idx" === 0).select($"phash").as[Long].head()
+      val hits = graft.dedup.PhashDiskIndex.probe(spark,
+        s"$root/index/clip", Seq((9000L << 12, f408)).toDF("id", "phash"),
+        "id", "phash", 0)
+      assert(hits.where($"id_a" === (22L << 12)).count() == 1,
+        "kept GIF clip 22's frame 0 must be standing")
+    } finally { Lake.delete(spark, root) }
   }
 
 }
