@@ -95,6 +95,12 @@ object Pq {
         .agg(transform(array_sort(collect_list(struct(col("i"),
             ((col("fx").cast("double") / Fx) / col("cnt")).as("v")))),
           e => e.getField("v")).as("cvec"))
+        // the ivfRefineCentroids convention: the tiny (≤ m·k rows)
+        // codebook materializes per round, so the plan doesn't deepen
+        // with iteration count and every downstream consumer (encode's
+        // assign join, the ADC table, a persisted write) reuses the
+        // computed codebook instead of replaying the Lloyd chain
+        .localCheckpoint()
       i += 1
     }
     cb
