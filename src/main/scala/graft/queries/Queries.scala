@@ -2367,6 +2367,40 @@ object Queries {
       graft.text.Html.htmlLang(html).as("lang"))
   }
 
+  /** IVF-PQ nProbe sweep — the OTHER axis of the q189 tuning table
+    * (q151's discipline on the composed index): recall@10 vs brute at
+    * nProbe = 2 / 4 / 8 with the rerank depth fixed (30). Together
+    * with q189 this is the 2D (probe coverage × rerank) surface a
+    * deployment reads before picking its serving point; the candidate
+    * set stays bounded by construction in every arm. */
+  def q193IvfPqNprobeSweep(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val queries = emb.where(col("vec_id") < 25)
+    val cents = trainedCentroids(spark, dir)
+    val cb = graft.ann.IvfPq.trainCodebooks(emb, "vec_id", "embedding",
+      cents, m = 8, dim = 64)
+    val codes = graft.ops.CacheScope.persist(
+      graft.ann.IvfPq.encode(emb, "vec_id", "embedding", cents, cb, 8, 64))
+    val brute = graft.ann.Ann.bruteForceTopK(queries, emb,
+        "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val arms = Seq(2, 4, 8).map { np =>
+      graft.ann.IvfPq.probeRerankTopK(queries, codes, cents, cb, emb,
+          "vec_id", "embedding", 8, 64, k = 10, nProbe = np, rerank = 30)
+        .select(lit(np.toLong).as("nprobe"), col("query_id"),
+          col("neighbor_id"))
+    }
+    val served = arms.reduce(_ unionByName _)
+    brute.select(col("query_id"), col("neighbor_id"),
+        explode(array(lit(2L), lit(4L), lit(8L))).as("nprobe"))
+      .join(served.withColumn("hit", lit(1L)),
+        Seq("nprobe", "query_id", "neighbor_id"), "left")
+      .groupBy(col("nprobe")).agg(
+        count(lit(1)).as("k"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall_bp", expr("(10000 * n_hit) div k"))
+  }
+
   /** Canonical-URL dedup through the gate — the crawl-frontier rule
     * the q191 extraction feeds: the SAME page crawled under three RAW
     * href variants (uppercase scheme/host + default port + fragment /
@@ -3933,6 +3967,24 @@ object Queries {
   private lazy val duckIvfPqCtes: String = duckIvfPqCtesFor()
   private def duckIvfPqCtesFor(queryWhere: String = "vec_id < 25",
       nProbe: Int = 4): String =
+    s"""${duckIvfPqBase(queryWhere)},
+       |ippr AS (
+       |  SELECT query_id, cell, cfx FROM ipprall WHERE prn <= $nProbe),
+       |ipsc AS (
+       |  SELECT pr.query_id, n.vec_id AS neighbor_id,
+       |    min(pr.cfx) + sum(t.pfx) AS fx
+       |  FROM renc n
+       |  JOIN ippr pr ON pr.cell = n.cell
+       |  JOIN rtab t ON t.query_id = pr.query_id
+       |    AND t.s = n.s AND t.code = n.code
+       |  WHERE n.vec_id != pr.query_id
+       |  GROUP BY pr.query_id, n.vec_id)""".stripMargin
+
+  /** The nProbe-independent part of the IVF-PQ chain: trained cells,
+    * residual codebooks/encoding, the FULL per-query cell ranking
+    * (ipprall, prn kept — the q151 shared-ranking shape), and the
+    * residual ADC table. Arms cut `WHERE prn <= nProbe`. */
+  private def duckIvfPqBase(queryWhere: String): String =
     s"""$duckIvfCellsCtes,
        |rres AS (
        |  SELECT cl.vec_id, cl.cell,
@@ -3960,13 +4012,12 @@ object Queries {
        |ipp0 AS (
        |  SELECT q.query_id, c.cid, ${duckDot("q.q_vec", "c.cvec")} AS d
        |  FROM ipq q CROSS JOIN cent c),
-       |ippr AS (
-       |  SELECT query_id, cell, cfx FROM (
-       |    SELECT query_id, cid AS cell,
-       |      floor(d * 16777216.0)::BIGINT AS cfx,
-       |      row_number() OVER (PARTITION BY query_id
-       |        ORDER BY d DESC, cid) AS prn
-       |    FROM ipp0) t WHERE prn <= $nProbe),
+       |ipprall AS (
+       |  SELECT query_id, cid AS cell,
+       |    floor(d * 16777216.0)::BIGINT AS cfx,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY d DESC, cid) AS prn
+       |  FROM ipp0),
        |rqsubs AS (
        |  SELECT e.vec_id AS query_id, ss.s AS s,
        |    list_transform(e.embedding[ss.s*8+1 : ss.s*8+8],
@@ -3977,16 +4028,7 @@ object Queries {
        |rtab AS (
        |  SELECT u.query_id, u.s, c.code,
        |    floor(${duckDotD("u.sv", "c.cvec")} * 16777216.0)::BIGINT AS pfx
-       |  FROM rqsubs u JOIN rcb c ON u.s = c.s),
-       |ipsc AS (
-       |  SELECT pr.query_id, n.vec_id AS neighbor_id,
-       |    min(pr.cfx) + sum(t.pfx) AS fx
-       |  FROM renc n
-       |  JOIN ippr pr ON pr.cell = n.cell
-       |  JOIN rtab t ON t.query_id = pr.query_id
-       |    AND t.s = n.s AND t.code = n.code
-       |  WHERE n.vec_id != pr.query_id
-       |  GROUP BY pr.query_id, n.vec_id)""".stripMargin
+       |  FROM rqsubs u JOIN rcb c ON u.s = c.s)""".stripMargin
 
   private lazy val q38Oracle: String =
     s"""WITH $duckIvfCellsCtes,
@@ -6512,6 +6554,7 @@ object Queries {
     "q190_ivfpq_index_probe" -> (q190IvfPqIndexProbe _),
     "q191_html_metadata" -> (q191HtmlMetadata _),
     "q192_canonical_dedup" -> (q192CanonicalDedup _),
+    "q193_ivfpq_nprobe_sweep" -> (q193IvfPqNprobeSweep _),
     "q169_anim_webp_frames" -> (q169AnimWebpFrames _),
     "q170_cross_clip_dups" -> (q170CrossClipDups _),
     "q171_exif_headers" -> (q171ExifHeaders _),
@@ -7466,6 +7509,59 @@ object Queries {
         |LEFT JOIN served s ON s.rerank = rr.r
         |  AND s.query_id = b.query_id AND s.neighbor_id = b.neighbor_id
         |GROUP BY rr.r""".stripMargin,
+    // the shared full cell ranking cut per arm (the q151 shape on the
+    // composed index); each arm's proposals exact-rescore through bs
+    "q193_ivfpq_nprobe_sweep" -> {
+      val arms = Seq(2, 4, 8).map { np =>
+        s"""ippr$np AS (
+          |  SELECT query_id, cell, cfx FROM ipprall WHERE prn <= $np),
+          |ipsc$np AS (
+          |  SELECT pr.query_id, n.vec_id AS neighbor_id,
+          |    min(pr.cfx) + sum(t.pfx) AS fx
+          |  FROM renc n
+          |  JOIN ippr$np pr ON pr.cell = n.cell
+          |  JOIN rtab t ON t.query_id = pr.query_id
+          |    AND t.s = n.s AND t.code = n.code
+          |  WHERE n.vec_id != pr.query_id
+          |  GROUP BY pr.query_id, n.vec_id),
+          |cand$np AS (
+          |  SELECT query_id, neighbor_id FROM (
+          |    SELECT query_id, neighbor_id,
+          |      row_number() OVER (PARTITION BY query_id
+          |        ORDER BY fx DESC, neighbor_id) AS crn
+          |    FROM ipsc$np) t WHERE crn <= 30),
+          |served$np AS (
+          |  SELECT query_id, neighbor_id FROM (
+          |    SELECT c.query_id, c.neighbor_id,
+          |      row_number() OVER (PARTITION BY c.query_id
+          |        ORDER BY bs.cos DESC, c.neighbor_id) AS rank
+          |    FROM cand$np c JOIN bs ON bs.query_id = c.query_id
+          |      AND bs.neighbor_id = c.neighbor_id) t
+          |  WHERE rank <= 10)""".stripMargin
+      }.mkString(",\n")
+      val sel = Seq(2, 4, 8).map { np =>
+        s"""SELECT $np::BIGINT AS nprobe, count(*)::BIGINT AS k,
+          |  sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+          |  ((10000 * sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END))
+          |    // count(*))::BIGINT AS recall_bp
+          |FROM brute b LEFT JOIN served$np s
+          |  ON b.query_id = s.query_id AND b.neighbor_id = s.neighbor_id""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ${duckIvfPqBase("vec_id < 25")},
+        |bs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(${duckDot("q.embedding", "c.embedding")}, 6) AS cos
+        |  FROM embeddings q CROSS JOIN embeddings c
+        |  WHERE q.vec_id < 25 AND c.vec_id != q.vec_id),
+        |brute AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos DESC, neighbor_id) AS rank
+        |    FROM bs) t WHERE rank <= 10),
+        |$arms
+        |$sel""".stripMargin
+    },
     // three raw href variants collapse onto one normalized key; keeper
     // and dup flags closed-form from the (id%7, id%25) group arithmetic
     "q192_canonical_dedup" ->
