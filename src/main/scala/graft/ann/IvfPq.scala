@@ -63,12 +63,15 @@ object IvfPq {
       "vec_id", "rvec", m, dim, stride, iters, k)
 
   /** Encode the corpus to (vec_id, cell, s, code) rows — the cell id
-    * plus m residual codes per vector. Build-path cost: the cell
-    * assignment runs once per branch of the plan (twice total); at
-    * scale this is the one-time index build, amortized by every probe. */
+    * plus m residual codes per vector. The residual frame feeds BOTH
+    * plan branches (the code assignment and the cell join), so it is
+    * persisted through CacheScope (the IvfIndex.probeTopK convention —
+    * callers release after materializing): the cell-assignment pass
+    * runs once per encode, not once per branch. */
   def encode(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, cb: DataFrame, m: Int, dim: Int): DataFrame = {
-    val res = residuals(corpus, idCol, vecCol, centroids)
+    val res = graft.ops.CacheScope.persist(
+      residuals(corpus, idCol, vecCol, centroids))
     Pq.encode(res, "vec_id", "rvec", m, dim, cb)
       .join(res.select(col("vec_id"), col("cell")), Seq("vec_id"))
       .select(col("vec_id"), col("cell"), col("s"), col("code"))
