@@ -35,8 +35,15 @@ object TopK {
     val qi = schema.fieldIndex(queryCol)
     val ki = schema.fieldIndex(keyCol)
     val ii = schema.fieldIndex(idCol)
-    require(schema(ii).dataType == LongType,
-      s"prunePerPartition: id column '$idCol' must be long, got ${schema(ii).dataType}")
+    // ids dispatch on type like the key does: a caller whose corpus
+    // carries int ids ranked fine under the plain window and must keep
+    // working through the prune
+    val idKind: Int = schema(ii).dataType match {
+      case LongType => 0
+      case IntegerType => 1
+      case dt => throw new IllegalArgumentException(
+        s"prunePerPartition: id column '$idCol' must be integral, got $dt")
+    }
     val keyKind: Int = schema(ki).dataType match {
       case LongType => 0
       case IntegerType => 1
@@ -59,7 +66,8 @@ object TopK {
               java.lang.Double.compare(norm(b.getDouble(ki)), norm(a.getDouble(ki)))
           }
           if (c != 0) c
-          else java.lang.Long.compare(a.getLong(ii), b.getLong(ii))
+          else if (idKind == 0) java.lang.Long.compare(a.getLong(ii), b.getLong(ii))
+          else java.lang.Integer.compare(a.getInt(ii), b.getInt(ii))
         }
       }
       val kept = scala.collection.mutable.HashMap

@@ -721,10 +721,15 @@ object Containers {
       // crawl identity: the page's OWN <link rel=canonical> (normalized)
       // beats the request URL — tracking-parameter and mirror variants
       // of one page fold to one document (q192's rule applied at
-      // ingest); pages without one keep the normalized request URL
+      // ingest). ONLY an absolute scheme://authority canonical
+      // qualifies: the very common relative form (href="/" or
+      // "/index.html") passes normalizeUrl unchanged and would collapse
+      // unrelated pages ACROSS SITES onto one identity — those (and
+      // pages without a canonical) keep the normalized request URL
       .select(col("url"), col("body"),
         coalesce(
-          when(length(graft.text.Html.canonicalLink(col("body"))) > 0,
+          when(graft.text.Html.canonicalLink(col("body"))
+              .rlike("^[A-Za-z][A-Za-z0-9+.-]*://"),
             graft.text.Urls.normalizeUrl(
               graft.text.Html.canonicalLink(col("body")))),
           graft.text.Urls.normalizeUrl(col("url"))).as("url_norm"))

@@ -618,7 +618,14 @@ object Pdf {
   private def charsetTable(cs: String): Array[String] =
     Array.tabulate(256)(i =>
       new String(Array(i.toByte), java.nio.charset.Charset.forName(cs)))
-  private lazy val winAnsiTable = charsetTable("windows-1252")
+  private lazy val winAnsiTable: Array[String] = {
+    val t = charsetTable("windows-1252")
+    // cp1252 leaves these five positions UNDEFINED; the JDK decoder is
+    // lenient about them, but the font contract is never-mojibake — an
+    // undefined code refuses the page (null sentinel, see FByteMap)
+    for (c <- Seq(0x81, 0x8D, 0x8F, 0x90, 0x9D)) t(c) = null
+    t
+  }
   private lazy val macRomanTable = charsetTable("x-MacRoman")
 
   /** Adobe-Glyph-List subset + the uniXXXX convention; None = unknown
@@ -795,8 +802,14 @@ object Pdf {
     out.toSeq
   }
 
-  /** The frozen text-assembly convention over one page's content. */
-  private def extractText(doc: Doc, page: PDict): Either[String, String] = {
+  /** The frozen text-assembly convention over one page's content.
+    * `fontCache` memoizes parsed font decoders per raw font object
+    * (PRef number / inline dict) across a document's pages — pages
+    * overwhelmingly share one /Resources /Font dict, and re-parsing
+    * a /ToUnicode CMap per page would multiply per-doc CPU by the
+    * page count. */
+  private def extractText(doc: Doc, page: PDict,
+      fontCache: scala.collection.mutable.HashMap[PObj, FontDec]): Either[String, String] = {
     val streams: Seq[PStream] =
       doc.resolve(page.m.getOrElse("Contents", PNull)) match {
         case PNull => Seq.empty
@@ -822,7 +835,11 @@ object Pdf {
         case FRaw => out.write(bs, 0, bs.length)
         case FByteMap(t) =>
           val sb = new StringBuilder(bs.length)
-          bs.foreach(b => sb.append(t(b & 0xff)))
+          bs.foreach { b =>
+            val s = t(b & 0xff)
+            if (s == null) bad("unsupported_font") // undefined code point
+            sb.append(s)
+          }
           val ub = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           out.write(ub, 0, ub.length)
         case FCMap(w, m) =>
@@ -848,7 +865,7 @@ object Pdf {
         doc.resolve(page.m.getOrElse("Resources", PNull)) match {
           case PDict(rm) => doc.resolve(rm.getOrElse("Font", PNull)) match {
             case PDict(fm) => fm.map { case (k, v) =>
-              k -> (doc.resolve(v) match {
+              k -> fontCache.getOrElseUpdate(v, doc.resolve(v) match {
                 case fd: PDict => parseFont(doc, fd)
                 case _ => FUnsupported
               })
@@ -921,8 +938,9 @@ object Pdf {
       case Right(doc) =>
         if (doc.encrypted) Seq(PdfPageText(id, 0, 0, "", "encrypted"))
         else try {
+          val fontCache = scala.collection.mutable.HashMap.empty[PObj, FontDec]
           pages(doc).zipWithIndex.map { case (p, i) =>
-            extractText(doc, p) match {
+            extractText(doc, p, fontCache) match {
               case Right(t) => PdfPageText(id, i, 1, t, "")
               case Left(tag) => PdfPageText(id, i, 0, "", tag)
             }

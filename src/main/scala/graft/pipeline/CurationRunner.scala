@@ -428,13 +428,25 @@ object CurationRunner {
                 packFid(ix.clipFrameShift)(cf(retired)).select(col("fid")),
                 "fid", seq)
             }
-            ix.embed.foreach { embed =>
-              if (graft.ann.IvfIndex.currentVersion(spark, ivfRoot).isEmpty) {
-                val pv = embed(prevCur)
-                graft.ann.IvfIndex.write(pv, "doc_id", "embedding",
-                  graft.ann.Ann.ivfTrainCentroids(pv, "doc_id", "embedding",
-                    ix.ivfTrainStride, ix.ivfRefreshIters),
-                  s"$ivfRoot/v$p", ix.ivfBuckets, prevSeq)
+            // backfill work shared by the two vector tiers: ONE embed
+            // pass (persisted — embed is model inference on a real
+            // corpus) and ONE centroid training, whichever families
+            // need to backfill this run
+            val needIvfBf = ix.embed.isDefined &&
+              graft.ann.IvfIndex.currentVersion(spark, ivfRoot).isEmpty
+            val needPqBf = ix.pq.isDefined &&
+              graft.ann.IvfIndex.currentVersion(spark, pqRoot).isEmpty
+            val pvBf =
+              if (needIvfBf || needPqBf)
+                Some(graft.ops.CacheScope.persist(ix.embed.get.apply(prevCur)))
+              else None
+            val centsBf = pvBf.map(pv =>
+              graft.ann.Ann.ivfTrainCentroids(pv, "doc_id", "embedding",
+                ix.ivfTrainStride, ix.ivfRefreshIters))
+            ix.embed.foreach { _ =>
+              if (needIvfBf) {
+                graft.ann.IvfIndex.write(pvBf.get, "doc_id", "embedding",
+                  centsBf.get, s"$ivfRoot/v$p", ix.ivfBuckets, prevSeq)
                 graft.ann.IvfIndex.setCurrentVersion(spark, ivfRoot, s"v$p")
               }
               val ver = graft.ann.IvfIndex.currentVersion(spark, ivfRoot).get
@@ -444,17 +456,13 @@ object CurationRunner {
             // compressed-tier family: the ivf discipline over residual
             // codes (pq requires embed — validated at entry)
             ix.pq.foreach { pqc =>
-              val embed = ix.embed.get
-              if (graft.ann.IvfIndex.currentVersion(spark, pqRoot).isEmpty) {
-                val pv = embed(prevCur)
-                val cents = graft.ann.Ann.ivfTrainCentroids(pv, "doc_id",
-                  "embedding", ix.ivfTrainStride, ix.ivfRefreshIters)
-                val cbk = graft.ann.IvfPq.trainCodebooks(pv, "doc_id",
-                  "embedding", cents, pqc.m, pqc.dim, pqc.stride,
+              if (needPqBf) {
+                val cbk = graft.ann.IvfPq.trainCodebooks(pvBf.get, "doc_id",
+                  "embedding", centsBf.get, pqc.m, pqc.dim, pqc.stride,
                   ix.ivfRefreshIters)
-                graft.ann.IvfPqIndex.write(pv, "doc_id", "embedding",
-                  cents, cbk, pqc.m, pqc.dim, s"$pqRoot/v$p", pqc.buckets,
-                  prevSeq)
+                graft.ann.IvfPqIndex.write(pvBf.get, "doc_id", "embedding",
+                  centsBf.get, cbk, pqc.m, pqc.dim, s"$pqRoot/v$p",
+                  pqc.buckets, prevSeq)
                 graft.ann.IvfIndex.setCurrentVersion(spark, pqRoot, s"v$p")
               }
               val ver = graft.ann.IvfIndex.currentVersion(spark, pqRoot).get
@@ -660,15 +668,19 @@ object CurationRunner {
                 packFid(ix.clipFrameShift)(cf(newDocs)), "fid", "phash",
                 clipDir, seq = seq)
             }
-            ix.embed.foreach { embed =>
+            // one embed pass over the delta, shared by both vector tiers
+            val dvApp =
+              if (ix.embed.isDefined)
+                Some(graft.ops.CacheScope.persist(ix.embed.get.apply(newDocs)))
+              else None
+            ix.embed.foreach { _ =>
               val ver = graft.ann.IvfIndex.currentVersion(spark, ivfRoot).get
-              graft.ann.IvfIndex.append(embed(newDocs), "doc_id", "embedding",
+              graft.ann.IvfIndex.append(dvApp.get, "doc_id", "embedding",
                 s"$ivfRoot/$ver", seq)
             }
             ix.pq.foreach { _ =>
-              val embed = ix.embed.get
               val ver = graft.ann.IvfIndex.currentVersion(spark, pqRoot).get
-              graft.ann.IvfPqIndex.append(embed(newDocs), "doc_id",
+              graft.ann.IvfPqIndex.append(dvApp.get, "doc_id",
                 "embedding", s"$pqRoot/$ver", seq)
             }
           case None =>
@@ -688,23 +700,27 @@ object CurationRunner {
             // first run: the vector family starts as a fresh write of
             // the full curated corpus (trained centroids), versioned +
             // pointer-swapped like every later rewrite
-            ix.embed.foreach { embed =>
-              val v = embed(newDocs)
-              graft.ann.IvfIndex.write(v, "doc_id", "embedding",
-                graft.ann.Ann.ivfTrainCentroids(v, "doc_id", "embedding",
-                  ix.ivfTrainStride, ix.ivfRefreshIters),
-                s"$ivfRoot/v$date", ix.ivfBuckets, seq)
+            // first run: one embed pass + one centroid training shared
+            // by both vector tiers' fresh writes
+            val vFw =
+              if (ix.embed.isDefined)
+                Some(graft.ops.CacheScope.persist(ix.embed.get.apply(newDocs)))
+              else None
+            val centsFw = vFw.map(v =>
+              graft.ann.Ann.ivfTrainCentroids(v, "doc_id", "embedding",
+                ix.ivfTrainStride, ix.ivfRefreshIters))
+            ix.embed.foreach { _ =>
+              graft.ann.IvfIndex.write(vFw.get, "doc_id", "embedding",
+                centsFw.get, s"$ivfRoot/v$date", ix.ivfBuckets, seq)
               graft.ann.IvfIndex.setCurrentVersion(spark, ivfRoot, s"v$date")
             }
             ix.pq.foreach { pqc =>
-              val v = ix.embed.get.apply(newDocs)
-              val cents = graft.ann.Ann.ivfTrainCentroids(v, "doc_id",
-                "embedding", ix.ivfTrainStride, ix.ivfRefreshIters)
-              val cbk = graft.ann.IvfPq.trainCodebooks(v, "doc_id",
-                "embedding", cents, pqc.m, pqc.dim, pqc.stride,
+              val cbk = graft.ann.IvfPq.trainCodebooks(vFw.get, "doc_id",
+                "embedding", centsFw.get, pqc.m, pqc.dim, pqc.stride,
                 ix.ivfRefreshIters)
-              graft.ann.IvfPqIndex.write(v, "doc_id", "embedding", cents,
-                cbk, pqc.m, pqc.dim, s"$pqRoot/v$date", pqc.buckets, seq)
+              graft.ann.IvfPqIndex.write(vFw.get, "doc_id", "embedding",
+                centsFw.get, cbk, pqc.m, pqc.dim, s"$pqRoot/v$date",
+                pqc.buckets, seq)
               graft.ann.IvfIndex.setCurrentVersion(spark, pqRoot, s"v$date")
             }
         }

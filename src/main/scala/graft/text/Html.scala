@@ -71,16 +71,20 @@ object Html {
     * element. */
   private def attrValue(html: Column, tag: String, keyAttr: String,
       keyVal: String, valAttr: String): Column = {
-    // the unquoted key's delimiter may include '>' ONLY when the key is
-    // the pattern's final element — consumed mid-pattern it would let
-    // the remainder continue matching into the NEXT tag
+    // both attribute NAMES require a leading delimiter ([\s"'/]) so a
+    // suffix of a different attribute never matches (itemcontent= must
+    // not satisfy content=, data-rel= must not satisfy rel=); the
+    // unquoted key VALUE's trailing delimiter may include '>' ONLY when
+    // the key is the pattern's final element — consumed mid-pattern it
+    // would let the remainder continue matching into the NEXT tag
     def key(delim: String) =
-      s"""$keyAttr\\s*=\\s*(?:"$keyVal"|'$keyVal'|$keyVal[$delim])"""
+      s"""["'\\s/]$keyAttr\\s*=\\s*(?:"$keyVal"|'$keyVal'|$keyVal[$delim])"""
+    val valA = s"""["'\\s/]$valAttr\\s*=\\s*"""
     def pat(q: String, cap: String, keyFirst: Boolean): String =
       if (keyFirst)
-        s"""(?is)<$tag[^>]*${key("\\s/")}[^>]*$valAttr\\s*=\\s*$q($cap)$q"""
+        s"""(?is)<$tag[^>]*${key("\\s/")}[^>]*$valA$q($cap)$q"""
       else
-        s"""(?is)<$tag[^>]*$valAttr\\s*=\\s*$q($cap)$q[^>]*${key("\\s/>")}"""
+        s"""(?is)<$tag[^>]*$valA$q($cap)$q[^>]*${key("\\s/>")}"""
     val cands = Seq(
       regexp_extract(html, pat("\"", "[^\"]*", keyFirst = true), 1),
       regexp_extract(html, pat("'", "[^']*", keyFirst = true), 1),

@@ -195,6 +195,27 @@ class ContainersSpec extends SparkSpec {
     assert(byUrl.contains("http://other.example/solo"))
   }
 
+  test("warcDocs: a RELATIVE canonical never becomes identity (cross-site collapse guard)") {
+    // href="/" is the most common relative canonical; two different
+    // sites declaring it must NOT fold onto one doc_id
+    def resp(reqUrl: String) = Containers.warcRecordBytes(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Target-URI" -> reqUrl,
+      "Content-Type" -> "application/http; msgtype=response"),
+      ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+        "<html><head><link rel=\"canonical\" href=\"/\"></head>" +
+        "<body><p>front page</p></body></html>").getBytes("ISO-8859-1"))
+    val media = Seq(
+      (1L, resp("http://alpha.example/")),
+      (2L, resp("http://beta.example/"))).toDF("media_id", "payload")
+    val out = Containers.warcDocs(media).collect()
+    assert(out.length == 2)
+    assert(out.map(_.getAs[String]("url_norm")).toSet ==
+      Set("http://alpha.example", "http://beta.example"),
+      "relative canonicals must fall back to the request URL")
+    assert(out.map(_.getAs[Long]("doc_id")).distinct.length == 2)
+  }
+
   test("readBinaryMedia: a directory of container files loads as (media_id, payload)") {
     val dir = java.nio.file.Files.createTempDirectory("warcdir")
     try {
