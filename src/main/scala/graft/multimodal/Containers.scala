@@ -721,18 +721,23 @@ object Containers {
       // crawl identity: the page's OWN <link rel=canonical> (normalized)
       // beats the request URL — tracking-parameter and mirror variants
       // of one page fold to one document (q192's rule applied at
-      // ingest). ONLY an absolute scheme://authority canonical
-      // qualifies: the very common relative form (href="/" or
-      // "/index.html") passes normalizeUrl unchanged and would collapse
-      // unrelated pages ACROSS SITES onto one identity — those (and
-      // pages without a canonical) keep the normalized request URL
-      .select(col("url"), col("body"),
+      // ingest). An absolute scheme://authority canonical qualifies
+      // directly; the very common ROOT-RELATIVE form ("/", "/index")
+      // resolves against the request's scheme://host — passed raw to
+      // normalizeUrl it would collapse unrelated pages ACROSS SITES
+      // onto one identity. Anything else (path-relative, empty) keeps
+      // the normalized request URL.
+      .select(col("url"), col("body"), {
+        val canon = graft.text.Html.canonicalLink(col("body"))
+        val reqAuth = regexp_extract(col("url"),
+          "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
         coalesce(
-          when(graft.text.Html.canonicalLink(col("body"))
-              .rlike("^[A-Za-z][A-Za-z0-9+.-]*://"),
-            graft.text.Urls.normalizeUrl(
-              graft.text.Html.canonicalLink(col("body")))),
-          graft.text.Urls.normalizeUrl(col("url"))).as("url_norm"))
+          when(canon.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"),
+            graft.text.Urls.normalizeUrl(canon)),
+          when(canon.rlike("^/([^/]|$)") && length(reqAuth) > 0,
+            graft.text.Urls.normalizeUrl(concat(reqAuth, canon))),
+          graft.text.Urls.normalizeUrl(col("url"))).as("url_norm")
+      })
       .select(
         xxhash64(col("url_norm")).as("doc_id"),
         graft.text.Urls.urlDomain(col("url")).as("source"),

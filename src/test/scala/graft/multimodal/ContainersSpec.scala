@@ -195,25 +195,37 @@ class ContainersSpec extends SparkSpec {
     assert(byUrl.contains("http://other.example/solo"))
   }
 
-  test("warcDocs: a RELATIVE canonical never becomes identity (cross-site collapse guard)") {
-    // href="/" is the most common relative canonical; two different
-    // sites declaring it must NOT fold onto one doc_id
-    def resp(reqUrl: String) = Containers.warcRecordBytes(Seq(
+  test("warcDocs: relative canonicals resolve per-site, never collapse cross-site") {
+    // href="/" is the most common relative canonical; it resolves
+    // against EACH request's own scheme://host — two different sites
+    // declaring it must NOT fold onto one doc_id
+    def resp(reqUrl: String, canon: String) = Containers.warcRecordBytes(Seq(
       "WARC-Type" -> "response",
       "WARC-Target-URI" -> reqUrl,
       "Content-Type" -> "application/http; msgtype=response"),
       ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
-        "<html><head><link rel=\"canonical\" href=\"/\"></head>" +
+        s"""<html><head><link rel="canonical" href="$canon"></head>""" +
         "<body><p>front page</p></body></html>").getBytes("ISO-8859-1"))
     val media = Seq(
-      (1L, resp("http://alpha.example/")),
-      (2L, resp("http://beta.example/"))).toDF("media_id", "payload")
+      (1L, resp("http://alpha.example/?utm=1", "/")),
+      (2L, resp("http://beta.example/", "/")),
+      // root-relative with a path: two crawl paths of ONE site fold
+      (3L, resp("http://alpha.example/a?ref=x", "/home")),
+      (4L, resp("http://alpha.example/b", "/home")),
+      // protocol-relative is NOT root-relative: falls back to request
+      (5L, resp("http://gamma.example/page", "//cdn.example/asset")))
+      .toDF("media_id", "payload")
     val out = Containers.warcDocs(media).collect()
-    assert(out.length == 2)
-    assert(out.map(_.getAs[String]("url_norm")).toSet ==
-      Set("http://alpha.example", "http://beta.example"),
-      "relative canonicals must fall back to the request URL")
-    assert(out.map(_.getAs[Long]("doc_id")).distinct.length == 2)
+    assert(out.length == 5)
+    val norms = out.map(_.getAs[String]("url_norm"))
+    assert(norms.count(_ == "http://alpha.example/home") == 2,
+      s"same-site root-relative canonicals must fold: ${norms.toSeq}")
+    assert(norms.contains("http://alpha.example") &&
+      norms.contains("http://beta.example"),
+      s"per-site resolution, no cross-site collapse: ${norms.toSeq}")
+    assert(norms.contains("http://gamma.example/page"),
+      s"protocol-relative falls back to the request URL: ${norms.toSeq}")
+    assert(out.map(_.getAs[Long]("doc_id")).distinct.length == 4)
   }
 
   test("readBinaryMedia: a directory of container files loads as (media_id, payload)") {
