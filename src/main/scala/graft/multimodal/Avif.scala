@@ -43,10 +43,14 @@ object Avif {
       while (i + 8 <= hi) {
         val size = be32(b, i)
         val typ = new String(b, i + 4, 4, "ISO-8859-1")
-        // BMFF size forms: 0 = box extends to the end of the enclosing
-        // space; 1 = 64-bit largesize follows the type (real HEIF/AVIF
-        // captures use it for mdat) — both spec-valid, not truncation
+        // BMFF size forms: 0 = box extends to the end of the FILE —
+        // per ISO 14496-12 §4.2 valid ONLY for the final top-level box
+        // (real captures: mdat at EOF); 1 = 64-bit largesize follows
+        // the type. A size-0 box anywhere else would silently absorb
+        // every following sibling (an early size-0 box hiding a later
+        // ispe must be a loud structural refusal, not 'no_ispe')
         if (size == 0L) {
+          if (hi != b.length || typ != "mdat") return Left("truncated")
           out += Box(typ, i + 8, hi)
           i = hi
         } else if (size == 1L) {

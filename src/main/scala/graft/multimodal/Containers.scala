@@ -44,9 +44,21 @@ object Containers {
 
   // ---- WARC ---------------------------------------------------------
 
+  /** `payload_bytes` is the WIRE size (the WARC Content-Length);
+    * `body` is the decoded text. `payload_enc` is the DECLARED
+    * transfer/content coding chain ("", "chunked", "gzip",
+    * "chunked+gzip", …) — kept on refusals so the audit sees why.
+    * `payload_err` tags payload-level refusals ("" = decoded):
+    * `bad_chunked` (chunk framing violation), `bad_payload` (a
+    * declared coding failed to decode / blew the bomb bound),
+    * `unsupported_encoding` (br and anything else without a decoder —
+    * a LOUD refusal; passing compressed bytes through as UTF-8 would
+    * feed mojibake into dedup signatures and tokenizer counts).
+    * Payload errors keep ok=1: the WARC record itself parsed. */
   final case class WarcRecord(
       media_id: Long, rec_index: Int, ok: Int, warc_type: String,
-      url: String, http_status: Int, body: String, payload_bytes: Long)
+      url: String, http_status: Int, body: String, payload_bytes: Long,
+      payload_enc: String, payload_err: String)
 
   private def indexOfCrlfCrlf(b: Array[Byte], from: Int, until: Int): Int = {
     var i = from
@@ -59,15 +71,123 @@ object Containers {
     -1
   }
 
+  /** HTTP/1.1 chunked transfer-decoding (RFC 9112 §7.1): hex size
+    * line (chunk extensions after ';' ignored), chunk bytes, CRLF,
+    * repeated to the 0-size last chunk (the trailer section is
+    * ignored). Any framing violation is Left("bad_chunked") —
+    * resynchronizing inside a broken chunk stream would fabricate
+    * body bytes. Raw captures very often carry chunked framing; taken
+    * verbatim the hex size lines and CRLFs become document text. */
+  private def dechunk(b: Array[Byte], from: Int,
+      until: Int): Either[String, Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(16, until - from))
+    var i = from
+    while (i < until) {
+      var j = i
+      while (j < until && b(j) != '\r') j += 1
+      if (j + 1 >= until || b(j + 1) != '\n') return Left("bad_chunked")
+      val line = new String(b, i, j - i, "ISO-8859-1")
+      val hexStr = line.takeWhile(_ != ';').trim
+      val size =
+        try java.lang.Long.parseLong(hexStr, 16)
+        catch { case _: NumberFormatException => return Left("bad_chunked") }
+      if (size < 0L || size > (until - j - 2).toLong) return Left("bad_chunked")
+      if (size == 0L) return Right(out.toByteArray)
+      out.write(b, j + 2, size.toInt)
+      i = j + 2 + size.toInt
+      if (i + 1 >= until || b(i) != '\r' || b(i + 1) != '\n')
+        return Left("bad_chunked")
+      i += 2
+    }
+    Left("bad_chunked") // ran out of bytes before the 0-size last chunk
+  }
+
+  /** HTTP `deflate` content-coding: zlib-wrapped per RFC 9110 §8.4.1,
+    * with raw DEFLATE as the fallback (the classic nonconformant-
+    * server reality). Output bounded by `maxBytes` (bomb guard). */
+  private def inflateDeflate(p: Array[Byte],
+      maxBytes: Int): Option[Array[Byte]] = {
+    def run(nowrap: Boolean): Option[Array[Byte]] = {
+      val inf = new java.util.zip.Inflater(nowrap)
+      try {
+        inf.setInput(p)
+        val out = new java.io.ByteArrayOutputStream(
+          math.min(math.max(64, p.length * 4), 1 << 16))
+        val buf = new Array[Byte](8192)
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+            return None // truncated stream or preset-dictionary ask
+          out.write(buf, 0, n)
+          if (out.size > maxBytes) return None
+        }
+        Some(out.toByteArray)
+      } catch { case _: java.util.zip.DataFormatException => None }
+      finally inf.end()
+    }
+    run(false).orElse(run(true))
+  }
+
+  /** Decode one HTTP message payload per its Transfer-Encoding /
+    * Content-Encoding headers: dechunk first (transfer coding is the
+    * outermost layer), then undo content codings in reverse of their
+    * declared order. gzip/x-gzip, deflate, and zstd decode for real
+    * (all bomb-bounded); `br` and unknown codings refuse loudly with
+    * `unsupported_encoding` — never mojibake. Returns
+    * (bodyText, declaredChain, errTag). */
+  private def decodeHttpPayload(b: Array[Byte], bs: Int, be: Int,
+      httpHdrs: Map[String, String], maxBytes: Int): (String, String, String) = {
+    def tokens(h: String): Seq[String] = httpHdrs.getOrElse(h, "")
+      .toLowerCase.split(",").iterator.map(_.trim)
+      .filter(t => t.nonEmpty && t != "identity").toSeq
+    val te = tokens("transfer-encoding")
+    val ce = tokens("content-encoding")
+    val declared = (te ++ ce).mkString("+")
+    if (te.exists(_ != "chunked")) return ("", declared, "unsupported_encoding")
+    val afterTe: Either[String, Array[Byte]] =
+      if (te.nonEmpty) dechunk(b, bs, be)
+      else Right(java.util.Arrays.copyOfRange(b, bs, be))
+    afterTe match {
+      case Left(tag) => ("", declared, tag)
+      case Right(raw0) =>
+        var cur = raw0
+        var err = ""
+        ce.reverseIterator.foreach { tok =>
+          if (err.isEmpty) tok match {
+            case "gzip" | "x-gzip" =>
+              Multimodal.gunzipBytes(cur, maxBytes) match {
+                case Some(d) => cur = d
+                case None => err = "bad_payload"
+              }
+            case "deflate" =>
+              inflateDeflate(cur, maxBytes) match {
+                case Some(d) => cur = d
+                case None => err = "bad_payload"
+              }
+            case "zstd" =>
+              Zstd.decompress(cur, maxBytes) match {
+                case Some(d) => cur = d
+                case None => err = "bad_payload"
+              }
+            case _ => err = "unsupported_encoding"
+          }
+        }
+        if (err.nonEmpty) ("", declared, err)
+        else (new String(cur, "UTF-8"), declared, "")
+    }
+  }
+
   /** Walk one WARC container. Strict: a record whose version line,
     * Content-Length, or CRLFCRLF terminator is wrong ends the walk
     * with an ok=0 row at that index (bytes after a bad length are
-    * unaddressable — resynchronizing would fabricate records). */
+    * unaddressable — resynchronizing would fabricate records).
+    * application/http payloads are transfer/content-DECODED (see
+    * [[decodeHttpPayload]]); `maxBytes` bounds each decoded payload. */
   def parseWarc(id: Long, b: Array[Byte],
-      maxRecords: Int = 100000): Seq[WarcRecord] = {
+      maxRecords: Int = 100000, maxBytes: Int = 1 << 26): Seq[WarcRecord] = {
     val out = Seq.newBuilder[WarcRecord]
     if (b == null || b.length == 0) {
-      out += WarcRecord(id, 0, 0, "", "", 0, "", 0L)
+      out += WarcRecord(id, 0, 0, "", "", 0, "", 0L, "", "")
       return out.result()
     }
     var i = 0
@@ -97,27 +217,30 @@ object Containers {
                     b(pe + 2) == '\r' && b(pe + 3) == '\n')) failed = true
               else {
                 val ctype = hdrs.getOrElse("content-type", "")
-                val (status, bs, be) =
+                val (status, body, penc, perr) =
                   if (ctype.startsWith("application/http")) {
                     val hhe = indexOfCrlfCrlf(b, ps, pe)
-                    if (hhe < 0) (0, ps, pe)
+                    if (hhe < 0) (0, new String(b, ps, pe - ps, "UTF-8"), "", "")
                     else {
-                      val eol0 = {
-                        var j = ps
-                        while (j < hhe && b(j) != '\r') j += 1
-                        j
-                      }
-                      val l0 = new String(b, ps, eol0 - ps, "ISO-8859-1")
-                      val m = "^HTTP/\\d\\.\\d (\\d{3})".r.findFirstMatchIn(l0)
-                      (m.map(_.group(1).toInt).getOrElse(0), hhe + 4, pe)
+                      val headText = new String(b, ps, hhe - ps, "ISO-8859-1")
+                      val hlines = headText.split("\r\n")
+                      val m = "^HTTP/\\d\\.\\d (\\d{3})".r
+                        .findFirstMatchIn(hlines(0))
+                      val httpHdrs = hlines.iterator.drop(1).flatMap { l =>
+                        val c = l.indexOf(':')
+                        if (c <= 0) None
+                        else Some(l.substring(0, c).trim.toLowerCase ->
+                          l.substring(c + 1).trim)
+                      }.toMap
+                      val (bstr, e0, x0) =
+                        decodeHttpPayload(b, hhe + 4, pe, httpHdrs, maxBytes)
+                      (m.map(_.group(1).toInt).getOrElse(0), bstr, e0, x0)
                     }
-                  } else (0, ps, pe)
+                  } else (0, new String(b, ps, pe - ps, "UTF-8"), "", "")
                 out += WarcRecord(id, idx, 1,
                   hdrs.getOrElse("warc-type", ""),
                   hdrs.getOrElse("warc-target-uri", ""),
-                  status,
-                  new String(b, bs, be - bs, "UTF-8"),
-                  len)
+                  status, body, len, penc, perr)
                 i = pe + 4
                 idx += 1
               }
@@ -126,14 +249,14 @@ object Containers {
         }
       }
     }
-    if (failed) out += WarcRecord(id, idx, 0, "", "", 0, "", 0L)
+    if (failed) out += WarcRecord(id, idx, 0, "", "", 0, "", 0L, "", "")
     // audit contract: hitting the record cap with bytes left must not
     // look fully ingested — surface ONE marker row, distinguishable
     // from a parse failure by its warc_type ("__truncated__" is not a
     // legal WARC-Type value), carrying the unconsumed byte count
     else if (idx >= maxRecords && i < b.length)
       out += WarcRecord(id, idx, 0, "__truncated__", "", 0, "",
-        (b.length - i).toLong)
+        (b.length - i).toLong, "", "")
     out.result()
   }
 
@@ -178,8 +301,8 @@ object Containers {
         org.apache.spark.sql.Encoders.BINARY))
       .flatMap { case (id, p) =>
         inflate(p, eff, maxBytes) match {
-          case Some(bytes) => parseWarc(id, bytes)
-          case None => Seq(WarcRecord(id, 0, 0, "", "", 0, "", 0L))
+          case Some(bytes) => parseWarc(id, bytes, maxBytes = maxBytes)
+          case None => Seq(WarcRecord(id, 0, 0, "", "", 0, "", 0L, "", ""))
         }
       }
   }
@@ -229,6 +352,88 @@ object Containers {
           "Content-Type" -> "application/http; msgtype=response"),
           http,
           declaredLength = if (bad) Some(http.length.toLong + 9L) else None)
+        (id, info ++ resp)
+    }.toDF("media_id", "payload")
+  }
+
+  /** Deterministic HTTP-payload-encoding WARC corpus — the q194
+    * generate-parse-replay fixture. Each doc becomes a 2-record
+    * container (warcinfo + response) whose response body is the doc
+    * text under an id-derived wire encoding; every encoded arm is
+    * CONTENT-INVISIBLE (the decoded body is always the doc text), so
+    * the oracle states bodies closed-form. Arms (id%8):
+    *  0 identity; 1 chunked (id%16==9: malformed hex size line →
+    *  bad_chunked); 2 gzip; 3 deflate (zlib-wrapped); 4 chunked+gzip
+    *  (both layers); 5 deflate RAW (the nonconformant-server form,
+    *  same declared coding); 6 br (no decoder → unsupported_encoding);
+    *  7 gzip with a flipped mid-stream byte (→ bad_payload). */
+  def httpWarcCorpusFromDocuments(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)].map {
+      case (id, text) =>
+        val t = (if (text == null) "" else text).getBytes("UTF-8")
+        def gzip(p: Array[Byte]): Array[Byte] = {
+          val bo = new java.io.ByteArrayOutputStream()
+          val g = new java.util.zip.GZIPOutputStream(bo)
+          g.write(p); g.close(); bo.toByteArray
+        }
+        def zlib(p: Array[Byte], raw: Boolean): Array[Byte] = {
+          val d = new java.util.zip.Deflater(
+            java.util.zip.Deflater.DEFAULT_COMPRESSION, raw)
+          d.setInput(p); d.finish()
+          val bo = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          while (!d.finished()) bo.write(buf, 0, d.deflate(buf))
+          d.end(); bo.toByteArray
+        }
+        def chunked(p: Array[Byte], badSize: Boolean): Array[Byte] = {
+          val bo = new java.io.ByteArrayOutputStream()
+          def crlf(): Unit = { bo.write('\r'); bo.write('\n') }
+          def chunk(lo: Int, hi: Int, ext: String): Unit = {
+            bo.write((java.lang.Integer.toHexString(hi - lo) + ext)
+              .getBytes("ISO-8859-1"))
+            crlf(); bo.write(p, lo, hi - lo); crlf()
+          }
+          if (badSize) { bo.write("ZZ".getBytes("ISO-8859-1")); crlf() }
+          else if (p.length > 0) {
+            val cut = math.min(5, p.length)
+            chunk(0, cut, ";x=1") // chunk extension: parsed past, never text
+            if (cut < p.length) chunk(cut, p.length, "")
+          }
+          if (!badSize) { bo.write('0'); crlf(); crlf() }
+          bo.toByteArray
+        }
+        val m8 = java.lang.Math.floorMod(id, 8L)
+        val (hdr, payload) = m8 match {
+          case 0L => ("", t)
+          case 1L =>
+            val bad = java.lang.Math.floorMod(id, 16L) == 9L
+            ("Transfer-Encoding: chunked\r\n", chunked(t, bad))
+          case 2L => ("Content-Encoding: gzip\r\n", gzip(t))
+          case 3L => ("Content-Encoding: deflate\r\n", zlib(t, raw = false))
+          case 4L => ("Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n",
+            chunked(gzip(t), badSize = false))
+          case 5L => ("Content-Encoding: deflate\r\n", zlib(t, raw = true))
+          case 6L => ("Content-Encoding: br\r\n",
+            Array[Byte](0x1b, 0x2a, 0x03)) // opaque: never decoded
+          case _ =>
+            val g = gzip(t)
+            g(g.length / 2) = (g(g.length / 2) ^ 0x5a).toByte
+            ("Content-Encoding: gzip\r\n", g)
+        }
+        val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n$hdr\r\n")
+          .getBytes("ISO-8859-1") ++ payload
+        val info = warcRecordBytes(Seq(
+          "WARC-Type" -> "warcinfo",
+          "Content-Type" -> "application/warc-fields"),
+          "software: graft\r\n".getBytes("UTF-8"))
+        val resp = warcRecordBytes(Seq(
+          "WARC-Type" -> "response",
+          "WARC-Target-URI" ->
+            s"http://site${java.lang.Math.floorMod(id, 7L)}.example/p$id",
+          "Content-Type" -> "application/http; msgtype=response"),
+          http)
         (id, info ++ resp)
     }.toDF("media_id", "payload")
   }
@@ -715,14 +920,25 @@ object Containers {
     * [[decodeWarc]] ("zstd" for .warc.zst, "auto" for mixed segment
     * directories; takes precedence over the legacy flag). */
   def warcDocs(media: DataFrame, gzipped: Boolean = false,
-      codec: String = ""): DataFrame =
+      codec: String = "",
+      trustCrossSiteCanonicals: Boolean = false): DataFrame =
     decodeWarc(media, gzipped = gzipped, codec = codec).toDF()
-      .where(col("ok") === 1 && col("warc_type") === "response")
+      // payload_err rows (chunk-framing violations, undecodable or
+      // unsupported content codings) are refusals: ingesting them
+      // would mint empty/garbage documents under real identities
+      .where(col("ok") === 1 && col("warc_type") === "response" &&
+        col("payload_err") === "")
       // crawl identity: the page's OWN <link rel=canonical> (normalized)
-      // beats the request URL — tracking-parameter and mirror variants
-      // of one page fold to one document (q192's rule applied at
-      // ingest). An absolute scheme://authority canonical qualifies
-      // directly; the very common ROOT-RELATIVE form ("/", "/index")
+      // beats the request URL — tracking-parameter variants of one page
+      // fold to one document (q192's rule applied at ingest). An
+      // absolute canonical qualifies ONLY when its host matches the
+      // request URL's host: any crawled response can declare
+      // href="http://victim.com/x", and with doc_id = hash(canonical)
+      // plus latest-row-wins folding downstream, an unverified
+      // cross-site canonical is a dedup-hijack / content-poisoning
+      // vector at ingest. Legitimate mirror folds are the explicit
+      // `trustCrossSiteCanonicals` opt-in (curated mirror lists, not
+      // raw crawl). The very common ROOT-RELATIVE form ("/", "/index")
       // resolves against the request's scheme://host — passed raw to
       // normalizeUrl it would collapse unrelated pages ACROSS SITES
       // onto one identity. Anything else (path-relative, empty) keeps
@@ -731,8 +947,13 @@ object Containers {
         val canon = graft.text.Html.canonicalLink(col("body"))
         val reqAuth = regexp_extract(col("url"),
           "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+        val sameHost =
+          if (trustCrossSiteCanonicals) lit(true)
+          else graft.text.Urls.urlHost(canon) ===
+            graft.text.Urls.urlHost(col("url")) &&
+            length(graft.text.Urls.urlHost(col("url"))) > 0
         coalesce(
-          when(canon.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"),
+          when(canon.rlike("^[A-Za-z][A-Za-z0-9+.-]*://") && sameHost,
             graft.text.Urls.normalizeUrl(canon)),
           when(canon.rlike("^/([^/]|$)") && length(reqAuth) > 0,
             graft.text.Urls.normalizeUrl(concat(reqAuth, canon))),

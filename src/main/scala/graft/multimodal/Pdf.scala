@@ -434,6 +434,201 @@ object Pdf {
     }
   }
 
+  // ---- standard security handler (ISO 32000-1 §7.6) ---------------------
+
+  /** RC4/MD5 primitives + the standard security handler's key
+    * derivation — shared by the reader (transparent empty-user-
+    * password decryption) and the fixture writer (/O and /U
+    * generation). Supports V 1/2 (RC4 40-128 bit) and V 4 with a V2
+    * (RC4) or AESV2 (AES-128-CBC) crypt filter, R 2/3/4. Anything
+    * else — or a real user password — refuses "encrypted". */
+  private[multimodal] object PdfCrypt {
+    /** The 32-byte password pad (ISO 32000-1 §7.6.3.3, a spec
+      * constant). */
+    val Pad: Array[Byte] = Array(
+      0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+      0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+      0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+      0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+    def md5(b: Array[Byte]): Array[Byte] =
+      java.security.MessageDigest.getInstance("MD5").digest(b)
+
+    def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+      val s = Array.tabulate(256)(_.toByte)
+      var j = 0
+      var i = 0
+      while (i < 256) {
+        j = (j + s(i) + key(i % key.length)) & 0xff
+        val t = s(i); s(i) = s(j); s(j) = t
+        i += 1
+      }
+      val out = new Array[Byte](data.length)
+      i = 0; j = 0
+      var n = 0
+      while (n < data.length) {
+        i = (i + 1) & 0xff
+        j = (j + s(i)) & 0xff
+        val t = s(i); s(i) = s(j); s(j) = t
+        out(n) = (data(n) ^ s((s(i) + s(j)) & 0xff)).toByte
+        n += 1
+      }
+      out
+    }
+
+    def padPw(pw: Array[Byte]): Array[Byte] = (pw.take(32) ++ Pad).take(32)
+
+    private def le32(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >>> 24) & 0xff).toByte)
+
+    /** Algorithm 2: the file encryption key from a user password. */
+    def fileKey(userPw: Array[Byte], o: Array[Byte], p: Int,
+        id0: Array[Byte], r: Int, keyLen: Int,
+        encryptMetadata: Boolean = true): Array[Byte] = {
+      val noMeta = if (r >= 4 && !encryptMetadata)
+        Array.fill[Byte](4)(0xff.toByte) else Array.empty[Byte]
+      var h = md5(padPw(userPw) ++ o.take(32) ++ le32(p) ++ id0 ++ noMeta)
+      if (r >= 3) { var i = 0; while (i < 50) { h = md5(h.take(keyLen)); i += 1 } }
+      h.take(keyLen)
+    }
+
+    /** Algorithm 3: the /O value from the owner + user passwords. */
+    def oValue(ownerPw: Array[Byte], userPw: Array[Byte], r: Int,
+        keyLen: Int): Array[Byte] = {
+      var h = md5(padPw(ownerPw))
+      if (r >= 3) { var i = 0; while (i < 50) { h = md5(h); i += 1 } }
+      val k = h.take(keyLen)
+      var v = rc4(k, padPw(userPw))
+      if (r >= 3) for (i <- 1 to 19)
+        v = rc4(k.map(b => (b ^ i).toByte), v)
+      v
+    }
+
+    /** Algorithm 4 (R2) / 5 (R≥3): the /U value from the file key. */
+    def uValue(key: Array[Byte], id0: Array[Byte], r: Int): Array[Byte] =
+      if (r == 2) rc4(key, Pad)
+      else {
+        var v = rc4(key, md5(Pad ++ id0))
+        for (i <- 1 to 19) v = rc4(key.map(b => (b ^ i).toByte), v)
+        v ++ new Array[Byte](16) // 16 bytes of arbitrary padding
+      }
+
+    /** Algorithm 1: the per-object key. */
+    def objKey(fileKey: Array[Byte], num: Int, gen: Int,
+        aes: Boolean): Array[Byte] = {
+      val ext = Array((num & 0xff).toByte, ((num >> 8) & 0xff).toByte,
+        ((num >> 16) & 0xff).toByte,
+        (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte) ++
+        (if (aes) Array[Byte](0x73, 0x41, 0x6C, 0x54) else Array.empty[Byte])
+      md5(fileKey ++ ext).take(math.min(fileKey.length + 5, 16))
+    }
+
+    /** AES-128-CBC with the 16-byte IV prefix and PKCS#5 padding (the
+      * AESV2 stream layout). None on any structural violation. */
+    def aesDecrypt(key: Array[Byte], data: Array[Byte]): Option[Array[Byte]] = {
+      if (data.length < 32 || data.length % 16 != 0) return None
+      try {
+        val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+        c.init(javax.crypto.Cipher.DECRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(key, "AES"),
+          new javax.crypto.spec.IvParameterSpec(data.take(16)))
+        val plain = c.doFinal(data, 16, data.length - 16)
+        val padN = plain.last & 0xff
+        if (padN < 1 || padN > 16 || padN > plain.length) None
+        else Some(java.util.Arrays.copyOfRange(plain, 0, plain.length - padN))
+      } catch { case _: java.security.GeneralSecurityException => None }
+    }
+
+    /** Fixture-side AES encrypt (IV prefix + PKCS#5). */
+    def aesEncrypt(key: Array[Byte], iv: Array[Byte],
+        data: Array[Byte]): Array[Byte] = {
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(key, "AES"),
+        new javax.crypto.spec.IvParameterSpec(iv))
+      iv ++ c.doFinal(data)
+    }
+
+    /** A verified decryptor (file key + cipher family). */
+    final case class Std(key: Array[Byte], aes: Boolean) {
+      def decrypt(data: Array[Byte], num: Int, gen: Int): Option[Array[Byte]] = {
+        val k = objKey(key, num, gen, aes)
+        if (aes) aesDecrypt(k, data) else Some(rc4(k, data))
+      }
+    }
+
+    /** Build a decryptor from the /Encrypt dictionary IF the handler
+      * is the standard one, the configuration is supported, and the
+      * EMPTY user password verifies against /U. None = refuse
+      * "encrypted" (passworded or unsupported — either way the bytes
+      * must not flow). */
+    def fromDict(m: Map[String, PObj], id0: Array[Byte],
+        resolve: PObj => PObj): Option[Std] = {
+      def int(k: String): Option[Int] = resolve(m.getOrElse(k, PNull)) match {
+        // P is sometimes serialized as the unsigned form of the
+        // negative permissions int — fold both to the signed 32-bit
+        case n: PNum if n.v.isWhole => Some((n.v.toLong & 0xffffffffL).toInt)
+        case _ => None
+      }
+      def str(k: String): Option[Array[Byte]] =
+        resolve(m.getOrElse(k, PNull)) match {
+          case PStr(bs) => Some(bs)
+          case _ => None
+        }
+      if (resolve(m.getOrElse("Filter", PNull)) != PName("Standard")) return None
+      val r = int("R").getOrElse(return None)
+      if (r < 2 || r > 4) return None
+      val o = str("O").getOrElse(return None)
+      val u = str("U").getOrElse(return None)
+      val p = int("P").getOrElse(return None)
+      val encMeta = resolve(m.getOrElse("EncryptMetadata", PBool(true))) match {
+        case PBool(x) => x
+        case _ => true
+      }
+      val (aes, keyLen) = int("V").getOrElse(0) match {
+        case 1 => (false, 5)
+        case 2 =>
+          val bits = int("Length").getOrElse(40)
+          if (bits < 40 || bits > 128 || bits % 8 != 0) return None
+          (false, bits / 8)
+        case 4 =>
+          val cf = resolve(m.getOrElse("CF", PNull)) match {
+            case d: PDict => d.m
+            case _ => return None
+          }
+          val stmf = resolve(m.getOrElse("StmF", PName("Identity"))) match {
+            case PName(s) => s
+            case _ => return None
+          }
+          val cfe = cf.get(stmf).map(resolve) match {
+            case Some(d: PDict) => d.m
+            case _ => return None
+          }
+          cfe.get("CFM").map(resolve) match {
+            case Some(PName("AESV2")) => (true, 16)
+            case Some(PName("V2")) =>
+              // CF /Length is bytes per spec; tolerate the common
+              // bits-valued writer bug
+              val n = (cfe.get("Length").map(resolve) match {
+                case Some(x: PNum) => x.toInt
+                case _ => 16
+              }) match { case b if b >= 40 => b / 8; case b => b }
+              if (n < 5 || n > 16) return None
+              (false, n)
+            case _ => return None
+          }
+        case _ => return None
+      }
+      val key = fileKey(Array.empty, o, p, id0, r, keyLen, encMeta)
+      val exp = uValue(key, id0, r)
+      val cmp = if (r == 2) 32 else 16
+      if (u.length < cmp ||
+          !java.util.Arrays.equals(exp.take(cmp), u.take(cmp))) None
+      else Some(Std(key, aes))
+    }
+  }
+
   /** Parse header + the xref chain. Left = container refusal tag. */
   private[multimodal] def open(b: Array[Byte],
       maxBytes: Int = 1 << 26): Either[String, Doc] =

@@ -2401,6 +2401,43 @@ object Queries {
       .withColumn("recall_bp", expr("(10000 * n_hit) div k"))
   }
 
+  /** PQ codebook-width sweep — the THIRD axis of the IVF-PQ tuning
+    * surface beside q189 (rerank) and q193 (nProbe): recall@10 vs
+    * brute at k = 64 / 128 / 256 codes per subspace, nProbe and
+    * rerank fixed (4 / 30). Wider codebooks shrink quantization error
+    * at the cost of k×m table entries per query — the axis a
+    * deployment reads when its recall is codebook-limited rather than
+    * probe-limited (k=32 caps this corpus near the half-recall line).
+    * Seeds stay stride-spread so every width trains on a spread of
+    * the corpus, not a prefix cluster. */
+  def q195PqWidthSweep(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val queries = emb.where(col("vec_id") < 25)
+    val cents = trainedCentroids(spark, dir)
+    val brute = graft.ann.Ann.bruteForceTopK(queries, emb,
+        "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val arms = Seq((64, 7), (128, 3), (256, 1)).map { case (kk, stride) =>
+      val cb = graft.ann.IvfPq.trainCodebooks(emb, "vec_id", "embedding",
+        cents, m = 8, dim = 64, stride = stride, k = kk)
+      val codes = graft.ops.CacheScope.persist(
+        graft.ann.IvfPq.encode(emb, "vec_id", "embedding", cents, cb, 8, 64))
+      graft.ann.IvfPq.probeRerankTopK(queries, codes, cents, cb, emb,
+          "vec_id", "embedding", 8, 64, k = 10, nProbe = 4, rerank = 30)
+        .select(lit(kk.toLong).as("cb_k"), col("query_id"),
+          col("neighbor_id"))
+    }
+    val served = arms.reduce(_ unionByName _)
+    brute.select(col("query_id"), col("neighbor_id"),
+        explode(array(lit(64L), lit(128L), lit(256L))).as("cb_k"))
+      .join(served.withColumn("hit", lit(1L)),
+        Seq("cb_k", "query_id", "neighbor_id"), "left")
+      .groupBy(col("cb_k")).agg(
+        count(lit(1)).as("k"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall_bp", expr("(10000 * n_hit) div k"))
+  }
+
   /** Canonical-URL dedup through the gate — the crawl-frontier rule
     * the q191 extraction feeds: the SAME page crawled under three RAW
     * href variants (uppercase scheme/host + default port + fragment /
@@ -2411,6 +2448,26 @@ object Queries {
     * membership is id mod 175 arithmetic (id%7 picks the site, id%25
     * the page), so the oracle restates keeper and dup flags
     * closed-form — the normalization IS the dedup key, cross-derived. */
+  /** WARC HTTP payload decoding through the gate — the layer between
+    * the record walk (q131) and text extraction (q128) that RAW
+    * captures need: Transfer-Encoding dechunking and gzip / deflate
+    * (zlib AND raw) / zstd content-coding inflation, with tagged
+    * refusals for chunk-framing violations (bad_chunked), undecodable
+    * streams (bad_payload), and codings without a decoder — br —
+    * (unsupported_encoding; silently passing compressed bytes through
+    * as UTF-8 would feed mojibake into canonical extraction, dedup
+    * signatures, and tokenizer counts). Every arm is content-invisible
+    * (decoded body == doc text), so the oracle states bodies and tags
+    * closed-form from id arithmetic. */
+  def q194HttpPayloads(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Containers.httpWarcCorpusFromDocuments(
+      tbl(spark, dir, "documents"))
+    graft.multimodal.Containers.decodeWarc(media).toDF()
+      .select(col("media_id"), col("rec_index"), col("ok"),
+        col("warc_type"), col("url"), col("http_status"), col("body"),
+        col("payload_enc"), col("payload_err"))
+  }
+
   def q192CanonicalDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = tbl(spark, dir, "documents")
     val id = col("doc_id")
@@ -6555,6 +6612,8 @@ object Queries {
     "q191_html_metadata" -> (q191HtmlMetadata _),
     "q192_canonical_dedup" -> (q192CanonicalDedup _),
     "q193_ivfpq_nprobe_sweep" -> (q193IvfPqNprobeSweep _),
+    "q194_http_payloads" -> (q194HttpPayloads _),
+    "q195_pq_width_sweep" -> (q195PqWidthSweep _),
     "q169_anim_webp_frames" -> (q169AnimWebpFrames _),
     "q170_cross_clip_dups" -> (q170CrossClipDups _),
     "q171_exif_headers" -> (q171ExifHeaders _),
@@ -7109,6 +7168,28 @@ object Queries {
     // closed-form record fields per container — the oracle does not
     // replay the walk, it states what each synthesized record holds
     "q131_warc_records" -> warcRecordsOracle,
+    // every wire-encoding arm is content-invisible (decoded body ==
+    // doc text); enc/err tags closed-form from id%8 / id%16 arithmetic
+    "q194_http_payloads" ->
+      """SELECT doc_id AS media_id, 0::INTEGER AS rec_index, 1::INTEGER AS ok,
+        |  'warcinfo' AS warc_type, '' AS url, 0::INTEGER AS http_status,
+        |  'software: graft' || chr(13) || chr(10) AS body,
+        |  '' AS payload_enc, '' AS payload_err
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, 1::INTEGER, 1::INTEGER, 'response',
+        |  'http://site' || (doc_id % 7) || '.example/p' || doc_id,
+        |  200::INTEGER,
+        |  CASE WHEN doc_id % 16 = 9 OR doc_id % 8 IN (6, 7) THEN ''
+        |       ELSE coalesce(text, '') END,
+        |  CASE doc_id % 8 WHEN 0 THEN '' WHEN 1 THEN 'chunked'
+        |    WHEN 2 THEN 'gzip' WHEN 3 THEN 'deflate'
+        |    WHEN 4 THEN 'chunked+gzip' WHEN 5 THEN 'deflate'
+        |    WHEN 6 THEN 'br' ELSE 'gzip' END,
+        |  CASE WHEN doc_id % 16 = 9 THEN 'bad_chunked'
+        |       WHEN doc_id % 8 = 6 THEN 'unsupported_encoding'
+        |       WHEN doc_id % 8 = 7 THEN 'bad_payload' ELSE '' END
+        |FROM documents""".stripMargin,
     "q132_tar_entries" ->
       """SELECT doc_id AS media_id, 0::INTEGER AS ent_index, 1::INTEGER AS ok,
         |  'docs/' || doc_id || '.txt' AS name,
@@ -7545,6 +7626,76 @@ object Queries {
           |  ((10000 * sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END))
           |    // count(*))::BIGINT AS recall_bp
           |FROM brute b LEFT JOIN served$np s
+          |  ON b.query_id = s.query_id AND b.neighbor_id = s.neighbor_id""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ${duckIvfPqBase("vec_id < 25")},
+        |bs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(${duckDot("q.embedding", "c.embedding")}, 6) AS cos
+        |  FROM embeddings q CROSS JOIN embeddings c
+        |  WHERE q.vec_id < 25 AND c.vec_id != q.vec_id),
+        |brute AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos DESC, neighbor_id) AS rank
+        |    FROM bs) t WHERE rank <= 10),
+        |$arms
+        |$sel""".stripMargin
+    },
+    // the codebook-width axis: per-k residual Lloyd chains share the
+    // base CTEs (cells, rsubs, rqsubs, ipprall) — only seeds → rounds
+    // → encode → ADC table fan per k; nProbe/rerank fixed at 4/30
+    "q195_pq_width_sweep" -> {
+      val widths = Seq((64, 7), (128, 3), (256, 1))
+      val arms = widths.map { case (kk, stride) =>
+        s"""rcb0_k$kk AS (
+          |  SELECT s, vec_id AS code, sv AS cvec FROM rsubs
+          |  WHERE vec_id % $stride = 0 AND vec_id < $stride * $kk),
+          |${duckPqRound(s"rcb0_k$kk", s"rcb1_k$kk", subs = "rsubs")},
+          |${duckPqRound(s"rcb1_k$kk", s"rcb_k$kk", subs = "rsubs")},
+          |renc_k$kk AS (
+          |  SELECT vec_id, cell, s, code FROM (
+          |    SELECT u.vec_id, u.cell, u.s, c.code,
+          |      row_number() OVER (PARTITION BY u.vec_id, u.s
+          |        ORDER BY ${duckL2sq("u.sv", "c.cvec")} ASC, c.code) AS rn
+          |    FROM rsubs u JOIN rcb_k$kk c ON u.s = c.s) t WHERE rn = 1),
+          |rtab_k$kk AS (
+          |  SELECT u.query_id, u.s, c.code,
+          |    floor(${duckDotD("u.sv", "c.cvec")} * 16777216.0)::BIGINT AS pfx
+          |  FROM rqsubs u JOIN rcb_k$kk c ON u.s = c.s),
+          |ippr_k$kk AS (
+          |  SELECT query_id, cell, cfx FROM ipprall WHERE prn <= 4),
+          |ipsc_k$kk AS (
+          |  SELECT pr.query_id, n.vec_id AS neighbor_id,
+          |    min(pr.cfx) + sum(t.pfx) AS fx
+          |  FROM renc_k$kk n
+          |  JOIN ippr_k$kk pr ON pr.cell = n.cell
+          |  JOIN rtab_k$kk t ON t.query_id = pr.query_id
+          |    AND t.s = n.s AND t.code = n.code
+          |  WHERE n.vec_id != pr.query_id
+          |  GROUP BY pr.query_id, n.vec_id),
+          |cand_k$kk AS (
+          |  SELECT query_id, neighbor_id FROM (
+          |    SELECT query_id, neighbor_id,
+          |      row_number() OVER (PARTITION BY query_id
+          |        ORDER BY fx DESC, neighbor_id) AS crn
+          |    FROM ipsc_k$kk) t WHERE crn <= 30),
+          |served_k$kk AS (
+          |  SELECT query_id, neighbor_id FROM (
+          |    SELECT c.query_id, c.neighbor_id,
+          |      row_number() OVER (PARTITION BY c.query_id
+          |        ORDER BY bs.cos DESC, c.neighbor_id) AS rank
+          |    FROM cand_k$kk c JOIN bs ON bs.query_id = c.query_id
+          |      AND bs.neighbor_id = c.neighbor_id) t
+          |  WHERE rank <= 10)""".stripMargin
+      }.mkString(",\n")
+      val sel = widths.map { case (kk, _) =>
+        s"""SELECT $kk::BIGINT AS cb_k, count(*)::BIGINT AS k,
+          |  sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+          |  ((10000 * sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END))
+          |    // count(*))::BIGINT AS recall_bp
+          |FROM brute b LEFT JOIN served_k$kk s
           |  ON b.query_id = s.query_id AND b.neighbor_id = s.neighbor_id""".stripMargin
       }.mkString("\nUNION ALL\n")
       s"""WITH ${duckIvfPqBase("vec_id < 25")},

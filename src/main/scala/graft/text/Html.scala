@@ -40,11 +40,21 @@ object Html {
     trim(regexp_replace(ent, "[ \\t\\n\\r]+", " "))
   }
 
-  def htmlToText(html: Column): Column = {
+  /** Passes 1-3 shared by [[htmlToText]] and the metadata extractors:
+    * script/style elements wholesale, then comments. The metadata
+    * extractors MUST see this too — a `<link rel=canonical>` inside a
+    * comment or a JS string literal is not part of the document, and
+    * via [[graft.multimodal.Containers.warcDocs]] the canonical is the
+    * document's IDENTITY (honoring a commented-out canonical is an
+    * identity-injection vector). */
+  private def stripHidden(html: Column): Column = {
     val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
-    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
-    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+  }
+
+  def htmlToText(html: Column): Column = {
+    val noTags = regexp_replace(stripHidden(html), "<[^>]*>", " ")
     cleanText(noTags)
   }
 
@@ -60,7 +70,8 @@ object Html {
   /** `<title>` body — entities decoded, whitespace squeezed; '' when
     * the element is absent. */
   def title(html: Column): Column =
-    cleanText(regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1))
+    cleanText(regexp_extract(stripHidden(html),
+      "(?is)<title[^>]*>(.*?)</title>", 1))
 
   /** First non-empty extraction of `valAttr`'s value from a `tag`
     * element carrying `keyAttr`=`keyVal`, across the four
@@ -69,7 +80,7 @@ object Html {
     * so "description" never swallows "descriptions". `[^>]*` cannot
     * cross a tag boundary, so both attributes provably sit in ONE
     * element. */
-  private def attrValue(html: Column, tag: String, keyAttr: String,
+  private def attrValue(rawHtml: Column, tag: String, keyAttr: String,
       keyVal: String, valAttr: String): Column = {
     // both attribute NAMES require a leading delimiter ([\s"'/]) so a
     // suffix of a different attribute never matches (itemcontent= must
@@ -85,13 +96,28 @@ object Html {
         s"""(?is)<$tag[^>]*${key("\\s/")}[^>]*$valA$q($cap)$q"""
       else
         s"""(?is)<$tag[^>]*$valA$q($cap)$q[^>]*${key("\\s/>")}"""
-    val cands = Seq(
-      regexp_extract(html, pat("\"", "[^\"]*", keyFirst = true), 1),
-      regexp_extract(html, pat("'", "[^']*", keyFirst = true), 1),
-      regexp_extract(html, pat("\"", "[^\"]*", keyFirst = false), 1),
-      regexp_extract(html, pat("'", "[^']*", keyFirst = false), 1))
-    cands.foldRight(lit(""): Column)((c, acc) =>
-      when(length(c) > 0, c).otherwise(acc))
+    // metadata is extracted from the VISIBLE document only — a match
+    // inside <!-- --> / <script> / <style> is content, not markup. The
+    // strip runs ONCE per row: `transform` over a 1-element array is
+    // the expression layer's let-binding (the lambda variable), so the
+    // three strip passes and the source html appear once in the tree
+    // instead of once per candidate — without it the 4 candidates ×
+    // strip × caller-side generation nest past Janino's method limits
+    // and the whole stage falls out of codegen.
+    def extract(h: Column): Column = {
+      val cands = Seq(
+        regexp_extract(h, pat("\"", "[^\"]*", keyFirst = true), 1),
+        regexp_extract(h, pat("'", "[^']*", keyFirst = true), 1),
+        regexp_extract(h, pat("\"", "[^\"]*", keyFirst = false), 1),
+        regexp_extract(h, pat("'", "[^']*", keyFirst = false), 1))
+      // first non-empty candidate, each appearing ONCE in the tree
+      // (try_: under ANSI semantics element_at throws on the
+      // no-candidate-matched empty array; null is the wanted value)
+      try_element_at(filter(array(cands: _*), c => length(c) > 0), lit(1))
+    }
+    coalesce(
+      element_at(transform(array(stripHidden(rawHtml)), extract _), 1),
+      lit(""))
   }
 
   /** `<meta name="description" content="…">` — entities decoded,
@@ -109,5 +135,6 @@ object Html {
   /** The `<html lang=…>` attribute (BCP-47 tag chars); '' when
     * absent. */
   def htmlLang(html: Column): Column =
-    regexp_extract(html, "(?is)<html[^>]*?[\\s]lang\\s*=\\s*[\"']?([A-Za-z0-9-]+)", 1)
+    regexp_extract(stripHidden(html),
+      "(?is)<html[^>]*?[\\s]lang\\s*=\\s*[\"']?([A-Za-z0-9-]+)", 1)
 }

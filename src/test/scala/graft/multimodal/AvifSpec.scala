@@ -42,4 +42,23 @@ class AvifSpec extends SparkSpec {
     val cutHdr = Avif.avifBytes("avif", 8, 8, false, "av01", mdatForm = 1)
     assert(Avif.parseAvif(7L, cutHdr.take(cutHdr.length - 28)).err == "truncated")
   }
+
+  test("an EARLY size-0 box is a loud refusal, never a silent sibling-absorber") {
+    // per ISO 14496-12 size==0 is valid only for the final top-level
+    // box (mdat at EOF); a crafted early size-0 box would otherwise
+    // swallow every following sibling — e.g. hide the meta/ispe chain
+    // and downgrade the error to 'no_ispe'
+    val good = Avif.avifBytes("avif", 8, 8, false, "av01")
+    // splice a size-0 'free' box right after ftyp (bytes 0..ftypEnd)
+    val ftypEnd = ((good(0) & 0xff) << 24) | ((good(1) & 0xff) << 16) |
+      ((good(2) & 0xff) << 8) | (good(3) & 0xff)
+    val zeroFree = Array[Byte](0, 0, 0, 0) ++ "free".getBytes("ISO-8859-1")
+    val crafted = good.take(ftypEnd) ++ zeroFree ++ good.drop(ftypEnd)
+    val r = Avif.parseAvif(8L, crafted)
+    assert(r.err == "truncated", s"early size-0 must refuse loudly: $r")
+    // and a size-0 box of a non-mdat type at EOF refuses too (real
+    // captures use the form only for mdat)
+    val tailFree = good ++ zeroFree
+    assert(Avif.parseAvif(9L, tailFree).err == "truncated")
+  }
 }

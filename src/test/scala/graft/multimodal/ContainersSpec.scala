@@ -175,7 +175,7 @@ class ContainersSpec extends SparkSpec {
         "</head><body><p>same page</p></body></html>"
     val media = Seq(
       (1L, resp("http://site.example/page?utm_source=a", canonBody)),
-      (2L, resp("http://mirror.example/copy?ref=x", canonBody)),
+      (2L, resp("http://site.example/page?ref=x", canonBody)),
       (3L, resp("http://other.example/solo",
         "<html><body>solo page</body></html>")))
       .toDF("media_id", "payload")
@@ -187,12 +187,125 @@ class ContainersSpec extends SparkSpec {
     assert(byUrl("http://site.example/page").length == 2)
     assert(byUrl("http://site.example/page")
       .map(_.getAs[Long]("doc_id")).distinct.length == 1)
-    // sources keep crawl provenance (the REQUEST url's domain)
-    assert(byUrl("http://site.example/page")
-      .map(_.getAs[String]("source")).toSet ==
-      Set("site.example", "mirror.example"))
     // the canonical-less page keeps its normalized request URL
     assert(byUrl.contains("http://other.example/solo"))
+  }
+
+  test("HTTP payload decoding: chunked / gzip / deflate / zstd decode; br refuses") {
+    def resp(hdr: String, payload: Array[Byte]) = Containers.warcRecordBytes(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Target-URI" -> "http://s.example/p",
+      "Content-Type" -> "application/http; msgtype=response"),
+      (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n$hdr\r\n")
+        .getBytes("ISO-8859-1") ++ payload)
+    def gzip(p: Array[Byte]) = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo); g.write(p); g.close()
+      bo.toByteArray
+    }
+    def zlib(p: Array[Byte], raw: Boolean) = {
+      val d = new java.util.zip.Deflater(6, raw)
+      d.setInput(p); d.finish()
+      val bo = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) bo.write(buf, 0, d.deflate(buf))
+      d.end(); bo.toByteArray
+    }
+    val text = "the quick brown fox jumps over the lazy dog"
+    val t = text.getBytes("UTF-8")
+    def one(hdr: String, payload: Array[Byte]) =
+      Containers.parseWarc(1L, resp(hdr, payload)).head
+    // identity: untouched
+    assert(one("", t).body == text)
+    // chunked: sizes in hex, extension ignored, trailer ignored
+    val chunked = ("5;ext=1\r\n" + text.take(5) +
+      s"\r\n${java.lang.Integer.toHexString(t.length - 5)}\r\n" +
+      text.drop(5) + "\r\n0\r\nX-Trailer: v\r\n\r\n").getBytes("ISO-8859-1")
+    val ch = one("Transfer-Encoding: chunked\r\n", chunked)
+    assert(ch.body == text && ch.payload_enc == "chunked" && ch.payload_err == "")
+    // gzip, zlib deflate, RAW deflate (nonconformant servers), zstd
+    for ((hdr, p, enc) <- Seq(
+        ("Content-Encoding: gzip\r\n", gzip(t), "gzip"),
+        ("Content-Encoding: x-gzip\r\n", gzip(t), "x-gzip"),
+        ("Content-Encoding: deflate\r\n", zlib(t, raw = false), "deflate"),
+        ("Content-Encoding: deflate\r\n", zlib(t, raw = true), "deflate"),
+        ("Content-Encoding: zstd\r\n",
+          graft.multimodal.Zstd.compress(t), "zstd"))) {
+      val r = one(hdr, p)
+      assert(r.body == text && r.payload_enc == enc && r.payload_err == "",
+        s"$enc: $r")
+    }
+    // both layers: chunked transfer over gzip content
+    val gz = gzip(t)
+    val chGz = (java.lang.Integer.toHexString(gz.length) + "\r\n")
+      .getBytes("ISO-8859-1") ++ gz ++ "\r\n0\r\n\r\n".getBytes("ISO-8859-1")
+    val both = one("Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n", chGz)
+    assert(both.body == text && both.payload_enc == "chunked+gzip" &&
+      both.payload_err == "")
+    // br: LOUD refusal, never mojibake; declared coding kept for audit
+    val br = one("Content-Encoding: br\r\n", Array[Byte](0x1b, 0x2a, 0x03))
+    assert(br.ok == 1 && br.body == "" && br.payload_enc == "br" &&
+      br.payload_err == "unsupported_encoding")
+    // framing violation: malformed hex size line
+    val badCh = one("Transfer-Encoding: chunked\r\n",
+      "ZZ\r\nwhatever".getBytes("ISO-8859-1"))
+    assert(badCh.payload_err == "bad_chunked" && badCh.body == "")
+    // truncated chunk stream (no 0-size last chunk)
+    val cut = one("Transfer-Encoding: chunked\r\n",
+      ("5\r\n" + text.take(5) + "\r\n").getBytes("ISO-8859-1"))
+    assert(cut.payload_err == "bad_chunked")
+    // corrupted gzip: bad_payload, empty body
+    val broken = gzip(t); broken(broken.length / 2) =
+      (broken(broken.length / 2) ^ 0x5a).toByte
+    val bp = one("Content-Encoding: gzip\r\n", broken)
+    assert(bp.payload_err == "bad_payload" && bp.body == "")
+    // warcDocs drops payload-refused rows: no empty/garbage documents
+    val media = Seq(
+      (1L, resp("Content-Encoding: br\r\n", Array[Byte](1, 2, 3))),
+      (2L, resp("", "<html><body>ok page</body></html>".getBytes("UTF-8"))))
+      .toDF("media_id", "payload")
+    val docs = Containers.warcDocs(media).collect()
+    assert(docs.length == 1 && docs.head.getAs[String]("text") == "ok page")
+  }
+
+  test("warcDocs: an absolute CROSS-SITE canonical is never identity by default") {
+    // any crawled response can declare href="http://victim.com/x" —
+    // honoring it would collide doc_id (hash of the canonical) with
+    // the victim's real document and, under latest-row-wins folding,
+    // replace its content at ingest. Same-host canonicals (tracking
+    // variants) still fold; mirror folds are an explicit opt-in.
+    def resp(reqUrl: String, body: String) = Containers.warcRecordBytes(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Target-URI" -> reqUrl,
+      "Content-Type" -> "application/http; msgtype=response"),
+      ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body)
+        .getBytes("ISO-8859-1"))
+    val poison =
+      "<html><head><link rel=\"canonical\" href=\"http://victim.example/x\">" +
+        "</head><body><p>attacker content</p></body></html>"
+    val victim = "<html><body><p>real content</p></body></html>"
+    val media = Seq(
+      (1L, resp("http://attacker.example/p", poison)),
+      (2L, resp("http://victim.example/x", victim)),
+      // same-host canonical still folds (port+case variants normalize)
+      (3L, resp("http://victim.example/x?utm=1",
+        "<html><head><link rel=\"canonical\" " +
+          "href=\"HTTP://VICTIM.example:80/x\"></head><body>v</body></html>")))
+      .toDF("media_id", "payload")
+    val out = Containers.warcDocs(media).collect()
+    val byReq = out.map(r => r.getAs[String]("source") ->
+      r.getAs[String]("url_norm"))
+    // the attacker's row keeps ITS OWN request identity
+    assert(byReq.contains("attacker.example" -> "http://attacker.example/p"),
+      s"cross-site canonical must not become identity: ${byReq.toSeq}")
+    // victim rows fold among themselves (2 rows, one url_norm)
+    assert(out.map(_.getAs[String]("url_norm"))
+      .count(_ == "http://victim.example/x") == 2)
+    // the explicit opt-in restores mirror folding
+    val trusted = Containers.warcDocs(media, trustCrossSiteCanonicals = true)
+      .collect()
+    assert(trusted.map(_.getAs[String]("url_norm"))
+      .count(_ == "http://victim.example/x") == 3)
   }
 
   test("warcDocs: relative canonicals resolve per-site, never collapse cross-site") {

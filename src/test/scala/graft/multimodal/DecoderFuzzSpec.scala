@@ -86,6 +86,32 @@ class DecoderFuzzSpec extends SparkSpec {
     fuzz("warc", base, b => Containers.parseWarc(1L, b))
   }
 
+  test("WARC walker with encoded HTTP payloads survives 300 corruptions each") {
+    def gzip(p: Array[Byte]) = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo); g.write(p); g.close()
+      bo.toByteArray
+    }
+    val t = "hello encoded warc body".getBytes("UTF-8")
+    def resp(hdr: String, payload: Array[Byte]) = Containers.warcRecordBytes(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Target-URI" -> "http://h.example/x",
+      "Content-Type" -> "application/http; msgtype=response"),
+      (s"HTTP/1.1 200 OK\r\n$hdr\r\n").getBytes("ISO-8859-1") ++ payload)
+    val chunked = ("5\r\nhello\r\n12\r\n encoded warc body\r\n0\r\n\r\n")
+      .getBytes("ISO-8859-1")
+    fuzz("warc-chunked", resp("Transfer-Encoding: chunked\r\n", chunked),
+      b => Containers.parseWarc(1L, b))
+    fuzz("warc-gzip", resp("Content-Encoding: gzip\r\n", gzip(t)),
+      b => Containers.parseWarc(1L, b))
+    val gz = gzip(t)
+    val chGz = (java.lang.Integer.toHexString(gz.length) + "\r\n")
+      .getBytes("ISO-8859-1") ++ gz ++ "\r\n0\r\n\r\n".getBytes("ISO-8859-1")
+    fuzz("warc-chunked-gzip",
+      resp("Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n", chGz),
+      b => Containers.parseWarc(1L, b))
+  }
+
   test("tar entry walker survives 300 deterministic corruptions") {
     val base = Containers.tarEntryBytes("docs/1.txt",
         "hello tar body".getBytes("UTF-8")) ++

@@ -76,6 +76,30 @@ class HtmlSpec extends SparkSpec {
     assert(c2 == "http://x.com/a")
   }
 
+  test("metadata: commented-out / scripted metadata is content, not markup") {
+    // a canonical inside a comment or a JS string literal must never
+    // be honored — via warcDocs the canonical becomes the document's
+    // IDENTITY, so hidden-region matches are an injection vector
+    val (t, d, c, l) = meta4(
+      "<html><head>" +
+        "<!-- <title>ghost</title>" +
+        " <link rel=\"canonical\" href=\"http://victim.example/x\"> -->" +
+        "<script>var s = '<meta name=\"description\" content=\"js\">';" +
+        "var c = '<link rel=\"canonical\" href=\"http://victim.example/y\">';" +
+        "</script>" +
+        "<style>/* <html lang=\"xx\"> */</style>" +
+        "<title>real</title>" +
+        "</head></html>")
+    assert(t == "real", s"title: '$t'")
+    assert(d == "" && c == "" && l == "")
+    // the visible ones still extract with hidden regions present
+    val (_, d2, c2, _) = meta4(
+      "<html><head><!-- <link rel=\"canonical\" href=\"http://no.example\"> -->" +
+        "<meta name=\"description\" content=\"vis\">" +
+        "<link rel=\"canonical\" href=\"http://yes.example/p\"></head></html>")
+    assert(d2 == "vis" && c2 == "http://yes.example/p")
+  }
+
   test("metadata: lang forms — quoted, CAPS tag/attr, unquoted, absent") {
     assert(meta4("<html lang=\"en-US\"><head></head></html>")._4 == "en-US")
     assert(meta4("<HTML LANG='de-DE'><head></head></HTML>")._4 == "de-DE")
