@@ -55,8 +55,10 @@ object Pdf {
   private[multimodal] final case class PKeyword(s: String) extends PObj
   private[multimodal] case object PNull extends PObj
   private[multimodal] final case class PBool(v: Boolean) extends PObj
+  /** `num`/`gen` carry the stream's OWN object id — the standard
+    * security handler's per-object key needs them at decode time. */
   private[multimodal] final case class PStream(dict: PDict,
-    raw: Array[Byte]) extends PObj
+    raw: Array[Byte], num: Int = 0, gen: Int = 0) extends PObj
 
   // ---- lexer / object parser -------------------------------------------
 
@@ -321,6 +323,25 @@ object Pdf {
     }
     def encrypted: Boolean = trailer.m.contains("Encrypt")
 
+    /** The standard-security-handler decryptor: None = no /Encrypt;
+      * Bad("encrypted") when /Encrypt exists but the configuration is
+      * unsupported or the EMPTY user password fails /U — either way
+      * ciphertext must never flow as text. */
+    lazy val crypt: Option[PdfCrypt.Std] = trailer.m.get("Encrypt").map { e =>
+      val d = resolve(e) match {
+        case d: PDict => d
+        case _ => bad("encrypted")
+      }
+      val id0 = resolve(trailer.m.getOrElse("ID", PNull)) match {
+        case PArr(items) if items.nonEmpty => resolve(items.head) match {
+          case PStr(bs) => bs
+          case _ => Array.empty[Byte]
+        }
+        case _ => Array.empty[Byte]
+      }
+      PdfCrypt.fromDict(d.m, id0, resolve).getOrElse(bad("encrypted"))
+    }
+
     def get(num: Int): PObj = cache.getOrElseUpdate(num, {
       if (!inProgress.add(num)) bad("bad_object") // reference cycle
       try entries.get(num) match {
@@ -364,7 +385,11 @@ object Pdf {
               }
               if (len < 0 || lex.pos + len > b.length) bad("truncated")
               val raw = java.util.Arrays.copyOfRange(b, lex.pos, lex.pos + len)
-              PStream(d, raw)
+              val (num, gen) = (n1, n2) match {
+                case (a: PNum, g: PNum) => (a.toInt, g.toInt)
+                case _ => (0, 0)
+              }
+              PStream(d, raw, num, gen)
             case _ => lex.pos = save; v
           }
         case _ => v
@@ -385,6 +410,18 @@ object Pdf {
       }
       if (filters.exists(_ != "FlateDecode")) return Left("unsupported_filter")
       var data = s.raw
+      // decryption is the OUTERMOST layer: ciphertext off first, then
+      // filters. XRef streams are never encrypted (§7.5.8.2). When
+      // /Encrypt exists but no key is derivable (passworded /
+      // unsupported handler), the stream refuses — raw ciphertext
+      // through flate would be garbage-or-crash, never data
+      if (resolve(s.dict.m.getOrElse("Type", PNull)) != PName("XRef")) {
+        val cr = try crypt catch { case _: Bad => return Left("encrypted") }
+        cr.foreach { c =>
+          data = c.decrypt(data, s.num, s.gen)
+            .getOrElse(return Left("bad_stream"))
+        }
+      }
       for (_ <- filters) {
         data = flate(data, maxBytes).getOrElse(return Left("bad_stream"))
       }
@@ -1125,13 +1162,18 @@ object Pdf {
         catch { case e: Bad => PdfInfo(id, 0, doc.version, 0L, 0L, 0, e.tag) }
     }
 
-  /** Per-page extracted text; container-level refusals (including
-    * /Encrypt — decrypting is out of scope) are one ok=0 row. */
+  /** Per-page extracted text; container-level refusals are one ok=0
+    * row. An /Encrypt document extracts TRANSPARENTLY when the
+    * standard handler's empty user password verifies (RC4 V1/V2,
+    * AESV2 — the overwhelmingly common "encrypted but openable" crawl
+    * case); a real password or an unsupported handler refuses
+    * "encrypted". */
   def pageTexts(id: Long, b: Array[Byte]): Seq[PdfPageText] =
     open(b) match {
       case Left(tag) => Seq(PdfPageText(id, 0, 0, "", tag))
       case Right(doc) =>
-        if (doc.encrypted) Seq(PdfPageText(id, 0, 0, "", "encrypted"))
+        val cryptOk = try { doc.crypt; true } catch { case _: Bad => false }
+        if (!cryptOk) Seq(PdfPageText(id, 0, 0, "", "encrypted"))
         else try {
           val fontCache = scala.collection.mutable.HashMap.empty[PObj, FontDec]
           pages(doc).zipWithIndex.map { case (p, i) =>
@@ -1158,12 +1200,18 @@ object Pdf {
     * /ToUnicode CMap (ASCII bfrange + bfchar for the rest), 5 = Type0
     * /Identity-H + 2-byte /ToUnicode (show bytes UTF-16BE), 6 = Type0
     * WITHOUT /ToUnicode — the planted "unsupported_font" refusal. */
+  /** `encrypted` plants the legacy marker-only /Encrypt (classifies,
+    * text refuses). `realEnc` plants a REAL standard-security-handler
+    * document: 1 = RC4 V2/R3, empty user password (extracts
+    * transparently); 2 = RC4 V2/R3 with a real user password
+    * (refuses "encrypted"); 3 = AESV2 V4/R4, empty user password
+    * (extracts). */
   final case class PdfOpts(flate: Boolean = false, xrefStream: Boolean = false,
       objStm: Boolean = false, predictor: Boolean = false,
       tjSplit: Boolean = false, hexStrings: Boolean = false,
       encrypted: Boolean = false, lzwPage: Int = -1,
       breakMagic: Boolean = false, truncateTail: Boolean = false,
-      fontMode: Int = 0)
+      fontMode: Int = 0, realEnc: Int = 0)
 
   private def escLit(s: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
@@ -1293,6 +1341,40 @@ object Pdf {
     val out = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes(utf8))
     val offsets = scala.collection.mutable.HashMap.empty[Int, Long]
+    // real standard-security-handler materials: deterministic /ID,
+    // spec-computed /O and /U, the file key that encrypts every
+    // non-xref stream below
+    def hex(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02X").mkString
+    val encMaterials: Option[(Array[Byte], Boolean, String)] =
+      if (opts.realEnc == 0) None
+      else {
+        val aes = opts.realEnc == 3
+        val r = if (aes) 4 else 3
+        val pVal = -44
+        val userPw = (if (opts.realEnc == 2) "secret" else "")
+          .getBytes("ISO-8859-1")
+        val ownerPw = "owner".getBytes("ISO-8859-1")
+        val id0 = PdfCrypt.md5(lines.mkString(" ").getBytes(utf8))
+        val o = PdfCrypt.oValue(ownerPw, userPw, r, 16)
+        val key = PdfCrypt.fileKey(userPw, o, pVal, id0, r, 16)
+        val u = PdfCrypt.uValue(key, id0, r)
+        val cf = if (aes)
+          " /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>" +
+            " /StmF /StdCF /StrF /StdCF" else ""
+        val frag = s" /Encrypt << /Filter /Standard /V ${if (aes) 4 else 2}" +
+          s" /R $r /Length 128$cf /P $pVal /O <${hex(o)}> /U <${hex(u)}> >>" +
+          s" /ID [ <${hex(id0)}> <${hex(id0)}> ]"
+        Some((key, aes, frag))
+      }
+    def encStream(num: Int, data: Array[Byte]): Array[Byte] =
+      encMaterials match {
+        case Some((key, aes, _)) =>
+          val k = PdfCrypt.objKey(key, num, 0, aes)
+          if (aes) PdfCrypt.aesEncrypt(k,
+            PdfCrypt.md5(Array(num.toByte) ++ key).take(16), data)
+          else PdfCrypt.rc4(k, data)
+        case None => data
+      }
     w(if (opts.breakMagic) "%XDF-1.4\n" else
       s"%PDF-${if (opts.xrefStream) "1.5" else "1.4"}\n")
     out.write(Array[Byte]('%', 0xe2.toByte, 0xe3.toByte, 0xcf.toByte,
@@ -1314,7 +1396,8 @@ object Pdf {
         s"[ 0 0 612 792 ]$res /Contents ${4 + 2 * i} 0 R >>\nendobj\n")
       val raw = contentBytes(lines(i))
       val lzw = opts.lzwPage == i
-      val data = if (lzw || !opts.flate) raw else zlibDeflate(raw)
+      val data = encStream(4 + 2 * i,
+        if (lzw || !opts.flate) raw else zlibDeflate(raw))
       val filter =
         if (lzw) " /Filter /LZWDecode"
         else if (opts.flate) " /Filter /FlateDecode"
@@ -1348,7 +1431,7 @@ object Pdf {
       }
       w(s"$fontObj 0 obj\n$body\nendobj\n")
       if (nFontObjs == 2) {
-        val cmap = cmapBytes(lines, opts.fontMode)
+        val cmap = encStream(cmapObj, cmapBytes(lines, opts.fontMode))
         offsets(cmapObj) = out.size()
         w(s"$cmapObj 0 obj\n<< /Length ${cmap.length} >>\nstream\n")
         out.write(cmap, 0, cmap.length)
@@ -1362,7 +1445,8 @@ object Pdf {
       val body = hdr + catalogBody + "\n" + pagesBody
       val raw = body.getBytes(utf8)
       val first = hdr.getBytes(utf8).length
-      val data = if (opts.flate) zlibDeflate(raw) else raw
+      val data = encStream(objStmNum,
+        if (opts.flate) zlibDeflate(raw) else raw)
       val f = if (opts.flate) " /Filter /FlateDecode" else ""
       offsets(objStmNum) = out.size()
       w(s"$objStmNum 0 obj\n<< /Type /ObjStm /N 2 /First $first " +
@@ -1370,7 +1454,8 @@ object Pdf {
       out.write(data, 0, data.length)
       w("\nendstream\nendobj\n")
     }
-    val enc = if (opts.encrypted) " /Encrypt << /Filter /Standard >>" else ""
+    val enc = encMaterials.map(_._3).getOrElse(
+      if (opts.encrypted) " /Encrypt << /Filter /Standard >>" else "")
     val startxref: Long =
       if (!opts.xrefStream) {
         val xo = out.size()
@@ -1433,8 +1518,12 @@ object Pdf {
     * text-invisibly and the error families planted:
     *   id%11==7        broken header           -> "not_pdf"
     *   else id%19==13  tail cut by 40 bytes    -> "truncated"
-    *   else id%13==9   /Encrypt in the trailer -> classified ok,
-    *                   encrypted=1; text refuses "encrypted"
+    *   else id%13==9   REAL /Encrypt (split by id%39: 9 RC4-empty-pw
+    *                   and 22 AESV2-empty-pw both EXTRACT
+    *                   transparently, encrypted=1; 35 RC4 with a real
+    *                   user password refuses "encrypted" — and with
+    *                   the ObjStm form even classification stops at
+    *                   the encrypted catalog)
     *   else id%17==11  page 1 declared LZW     -> that page
     *                   "unsupported_filter", page 0 extracts
     *   id%7==6         /F1 is Type0 WITHOUT /ToUnicode -> every
@@ -1455,6 +1544,14 @@ object Pdf {
         val badHdr = fm(id, 11L) == 7L
         val trunc = !badHdr && fm(id, 19L) == 13L
         val enc = !badHdr && !trunc && fm(id, 13L) == 9L
+        // the encrypted class splits three ways by id%39 (13×3): 9 =
+        // RC4/R3 empty user password (extracts transparently), 22 =
+        // AESV2/R4 empty user password (extracts), 35 = RC4/R3 with a
+        // REAL user password (refuses "encrypted")
+        val realEnc = if (!enc) 0
+          else if (fm(id, 39L) == 9L) 1
+          else if (fm(id, 39L) == 22L) 3
+          else 2
         val lzw = !badHdr && !trunc && !enc && fm(id, 17L) == 11L
         val xs = fm(id, 5L) == 1L || fm(id, 5L) == 3L
         val fontMode = fm(id, 7L).toInt
@@ -1472,11 +1569,11 @@ object Pdf {
           predictor = xs && fm(id, 7L) == 2L,
           tjSplit = fm(id, 3L) == 1L,
           hexStrings = fm(id, 3L) == 2L,
-          encrypted = enc,
           lzwPage = if (lzw) 1 else -1,
           breakMagic = badHdr,
           truncateTail = trunc,
-          fontMode = fontMode)
+          fontMode = fontMode,
+          realEnc = realEnc)
         (id, pdfBytes(Seq(text + suffix,
           s"second page of document $id$suffix"), opts))
       }.toDF("media_id", "payload")

@@ -7955,25 +7955,30 @@ object Queries {
     // form, /Size by object layout (8 classic / 9 xref-stream /
     // 10 objstm), plant precedence not_pdf > truncated > encrypted
     "q178_pdf_headers" ->
-      """SELECT doc_id AS media_id,
-        |  (CASE WHEN doc_id % 11 = 7 OR doc_id % 19 = 13
-        |        THEN 0 ELSE 1 END)::INTEGER AS ok,
-        |  CASE WHEN doc_id % 11 = 7 OR doc_id % 19 = 13 THEN ''
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    (doc_id % 11 = 7 OR doc_id % 19 = 13) AS dead,
+        |    (doc_id % 11 <> 7 AND doc_id % 19 <> 13 AND doc_id % 39 = 35
+        |      AND doc_id % 5 = 3) AS pwstm
+        |  FROM documents)
+        |SELECT doc_id AS media_id,
+        |  (CASE WHEN dead OR pwstm THEN 0 ELSE 1 END)::INTEGER AS ok,
+        |  CASE WHEN dead THEN ''
         |       WHEN doc_id % 5 IN (1, 3) THEN '1.5' ELSE '1.4' END AS version,
-        |  (CASE WHEN doc_id % 11 = 7 OR doc_id % 19 = 13 THEN 0
+        |  (CASE WHEN dead OR pwstm THEN 0
         |        WHEN doc_id % 5 = 3 THEN 10
         |        WHEN doc_id % 5 = 1 THEN 9 ELSE 8 END
-        |   + CASE WHEN doc_id % 11 = 7 OR doc_id % 19 = 13 THEN 0
+        |   + CASE WHEN dead OR pwstm THEN 0
         |          WHEN doc_id % 7 IN (4, 5) THEN 2
         |          WHEN doc_id % 7 IN (1, 2, 3, 6) THEN 1
         |          ELSE 0 END)::BIGINT AS n_objects,
-        |  (CASE WHEN doc_id % 11 = 7 OR doc_id % 19 = 13 THEN 0
-        |        ELSE 2 END)::BIGINT AS n_pages,
-        |  (CASE WHEN doc_id % 11 <> 7 AND doc_id % 19 <> 13
-        |          AND doc_id % 13 = 9 THEN 1 ELSE 0 END)::INTEGER AS encrypted,
+        |  (CASE WHEN dead OR pwstm THEN 0 ELSE 2 END)::BIGINT AS n_pages,
+        |  (CASE WHEN NOT dead AND NOT pwstm AND doc_id % 13 = 9
+        |        THEN 1 ELSE 0 END)::INTEGER AS encrypted,
         |  CASE WHEN doc_id % 11 = 7 THEN 'not_pdf'
-        |       WHEN doc_id % 19 = 13 THEN 'truncated' ELSE '' END AS err
-        |FROM documents""".stripMargin,
+        |       WHEN doc_id % 19 = 13 THEN 'truncated'
+        |       WHEN pwstm THEN 'encrypted' ELSE '' END AS err
+        |FROM f""".stripMargin,
     // the planted text replayed verbatim (+ the frozen ET newline);
     // the closed-form second page; the three whole-doc refusals and
     // the page-level LZW arm beside its extracting sibling
@@ -7983,9 +7988,14 @@ object Queries {
         |    coalesce(text, '') ||
         |      CASE WHEN doc_id % 7 BETWEEN 1 AND 5 THEN ' café' ELSE '' END
         |      AS text,
-        |    doc_id % 7 = 6 AS badfont
+        |    doc_id % 7 = 6 AS badfont,
+        |    -- empty-user-password RC4 (39=9) / AESV2 (39=22) extract
+        |    -- exactly like plaintext; the LZW plant never coincides
+        |    -- (the fixture's enc class excludes it)
+        |    (doc_id % 13 <> 9 AND doc_id % 17 = 11) AS lzw
         |  FROM documents
-        |  WHERE doc_id % 11 <> 7 AND doc_id % 19 <> 13 AND doc_id % 13 <> 9)
+        |  WHERE doc_id % 11 <> 7 AND doc_id % 19 <> 13
+        |    AND (doc_id % 13 <> 9 OR doc_id % 39 IN (9, 22)))
         |SELECT doc_id AS media_id, 0::INTEGER AS page_idx,
         |  (CASE WHEN badfont THEN 0 ELSE 1 END)::INTEGER AS ok,
         |  CASE WHEN badfont THEN '' ELSE text || chr(10) END AS text,
@@ -7993,12 +8003,12 @@ object Queries {
         |FROM good
         |UNION ALL
         |SELECT doc_id, 1::INTEGER,
-        |  (CASE WHEN doc_id % 17 = 11 OR badfont THEN 0 ELSE 1 END)::INTEGER,
-        |  CASE WHEN doc_id % 17 = 11 OR badfont THEN ''
+        |  (CASE WHEN lzw OR badfont THEN 0 ELSE 1 END)::INTEGER,
+        |  CASE WHEN lzw OR badfont THEN ''
         |       ELSE 'second page of document ' || doc_id ||
         |         CASE WHEN doc_id % 7 BETWEEN 1 AND 5 THEN ' café' ELSE '' END
         |         || chr(10) END,
-        |  CASE WHEN doc_id % 17 = 11 THEN 'unsupported_filter'
+        |  CASE WHEN lzw THEN 'unsupported_filter'
         |       WHEN badfont THEN 'unsupported_font' ELSE '' END
         |FROM good
         |UNION ALL
@@ -8010,7 +8020,7 @@ object Queries {
         |UNION ALL
         |SELECT doc_id, 0::INTEGER, 0::INTEGER, '', 'encrypted'
         |FROM documents
-        |WHERE doc_id % 11 <> 7 AND doc_id % 19 <> 13 AND doc_id % 13 = 9""".stripMargin,
+        |WHERE doc_id % 11 <> 7 AND doc_id % 19 <> 13 AND doc_id % 39 = 35""".stripMargin,
     // generation + every repetition measure replayed: line/paragraph
     // value counts, modal n-gram (count ties to the longest), and the
     // 5..10-gram position-coverage character fractions

@@ -233,7 +233,12 @@ class DecoderFuzzSpec extends SparkSpec {
         ("winansi", Pdf.PdfOpts(fontMode = 1)),
         ("differences", Pdf.PdfOpts(fontMode = 3, flate = true)),
         ("tounicode", Pdf.PdfOpts(fontMode = 4)),
-        ("type0-cmap", Pdf.PdfOpts(fontMode = 5, flate = true)))) {
+        ("type0-cmap", Pdf.PdfOpts(fontMode = 5, flate = true)),
+        // a corrupted /Encrypt dict, /O//U value, or ciphertext must
+        // land in a tagged refusal, never throw or emit garbage
+        ("rc4", Pdf.PdfOpts(realEnc = 1, flate = true)),
+        ("aesv2-objstm", Pdf.PdfOpts(realEnc = 3, flate = true,
+          xrefStream = true, objStm = true)))) {
       val base = Pdf.pdfBytes(lines, o)
       fuzz(s"pdf-$name", base,
         b => (Pdf.parseInfo(0L, b), Pdf.pageTexts(0L, b)))

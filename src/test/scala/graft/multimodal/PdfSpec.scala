@@ -211,4 +211,68 @@ class PdfSpec extends SparkSpec {
       assert(texts(id).sortBy(_.page_idx).toSeq == Pdf.pageTexts(id, payload))
     }
   }
+
+  test("crypto primitives match published known-answer vectors") {
+    // RC4: key "Key" / plaintext "Plaintext" -> BBF316E8D940AF0AD3
+    // (the classic public test vector) — pins the cipher itself, so
+    // the handler tests below aren't merely fixture/reader-symmetric
+    def hx(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02X").mkString
+    assert(hx(Pdf.PdfCrypt.rc4("Key".getBytes("US-ASCII"),
+      "Plaintext".getBytes("US-ASCII"))) == "BBF316E8D940AF0AD3")
+    assert(hx(Pdf.PdfCrypt.rc4("Wiki".getBytes("US-ASCII"),
+      "pedia".getBytes("US-ASCII"))) == "1021BF0420")
+    // MD5 RFC 1321 appendix vectors
+    assert(hx(Pdf.PdfCrypt.md5(Array.empty)).toLowerCase ==
+      "d41d8cd98f00b204e9800998ecf8427e")
+    assert(hx(Pdf.PdfCrypt.md5("abc".getBytes("US-ASCII"))).toLowerCase ==
+      "900150983cd24fb0d6963f7d28e17f72")
+  }
+
+  test("standard security handler: empty-user-password docs extract transparently") {
+    val lines = Seq("secret page one", "page two tail")
+    for (opts <- Seq(
+        Pdf.PdfOpts(realEnc = 1),
+        Pdf.PdfOpts(realEnc = 1, flate = true),
+        Pdf.PdfOpts(realEnc = 1, xrefStream = true, objStm = true, flate = true),
+        Pdf.PdfOpts(realEnc = 1, fontMode = 4), // encrypted ToUnicode CMap
+        Pdf.PdfOpts(realEnc = 3),               // AESV2
+        Pdf.PdfOpts(realEnc = 3, flate = true, xrefStream = true, objStm = true))) {
+      val b = Pdf.pdfBytes(lines, opts)
+      val info = Pdf.parseInfo(1L, b)
+      assert(info.ok == 1 && info.encrypted == 1 && info.n_pages == 2, s"$opts: $info")
+      val t = Pdf.pageTexts(1L, b)
+      assert(t.map(_.ok) == Seq(1, 1), s"$opts: $t")
+      assert(t(0).text == lines(0) + "\n" && t(1).text == lines(1) + "\n",
+        s"$opts: $t")
+    }
+    // the ciphertext is REAL: the encrypted wire never contains the
+    // plaintext show string
+    val wire = new String(Pdf.pdfBytes(lines, Pdf.PdfOpts(realEnc = 1)),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(!wire.contains("secret page one"))
+  }
+
+  test("standard security handler: a real user password refuses loudly") {
+    val lines = Seq("locked page")
+    val b = Pdf.pdfBytes(lines, Pdf.PdfOpts(realEnc = 2))
+    // classification still works (catalog/pages are plain objects)
+    val info = Pdf.parseInfo(1L, b)
+    assert(info.ok == 1 && info.encrypted == 1, s"$info")
+    assert(Pdf.pageTexts(1L, b) ==
+      Seq(Pdf.PdfPageText(1L, 0, 0, "", "encrypted")))
+    // with the ObjStm form even the catalog is ciphertext: the
+    // classification itself refuses rather than walking garbage
+    val stm = Pdf.pdfBytes(lines,
+      Pdf.PdfOpts(realEnc = 2, xrefStream = true, objStm = true, flate = true))
+    val i2 = Pdf.parseInfo(1L, stm)
+    assert(i2.ok == 0 && i2.err == "encrypted", s"$i2")
+    // a tampered /U (simulates any wrong-key state) refuses too
+    val ok1 = Pdf.pdfBytes(lines, Pdf.PdfOpts(realEnc = 1))
+    val raw = new String(ok1, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val uAt = raw.indexOf("/U <") + 4
+    val bad = ok1.clone()
+    bad(uAt) = (if (bad(uAt) == 'A') 'B' else 'A').toByte
+    assert(Pdf.pageTexts(1L, bad) ==
+      Seq(Pdf.PdfPageText(1L, 0, 0, "", "encrypted")))
+  }
 }
