@@ -2762,7 +2762,7 @@ object Queries {
       lit("<html><head><title>T</title><style>body { margin: 0; }</style>" +
         "<script type=\"text/javascript\">var x = 1 < 2;</script></head>" +
         "<body><!-- generated\n page --><h1>Doc &amp; heading</h1>" +
-        "<p class=\"main\">"),
+        "<p class=\"main\" title=\"a > b\" data-x='1 > 0'>"),
       coalesce(col("text"), lit("")),
       lit("</p><div><span>&lt;tail&gt; &quot;q&quot; &#39;s&#39;</span>" +
         "</div></body></html>"))
@@ -8698,7 +8698,7 @@ object Queries {
         |    '<html><head><title>T</title><style>body { margin: 0; }</style>' ||
         |    '<script type="text/javascript">var x = 1 < 2;</script></head>' ||
         |    '<body><!-- generated' || chr(10) || ' page --><h1>Doc &amp; heading</h1>' ||
-        |    '<p class="main">' || coalesce(text, '') ||
+        |    '<p class="main" title="a > b" data-x=''1 > 0''>' || coalesce(text, '') ||
         |    '</p><div><span>&lt;tail&gt; &quot;q&quot; &#39;s&#39;</span></div></body></html>'
         |    AS html
         |  FROM documents),
@@ -8711,7 +8711,7 @@ object Queries {
         |            regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
         |            '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
         |          '(?s)<!--.*?-->', ' ', 'g'),
-        |        '<[^>]*>', ' ', 'g'),
+        |        '<(?:[^>"'']|"[^"]*"|''[^'']*'')*>', ' ', 'g'),
         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
         |    '[ \t\n\r]+', ' ', 'g')) AS clean_text
         |  FROM hh)

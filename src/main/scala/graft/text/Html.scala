@@ -15,9 +15,10 @@ import org.apache.spark.sql.functions._
   *     non-greedy) — their bodies legally contain bare `<` (e.g.
   *     `var x = 1 < 2;`) that would desynchronize a naive tag strip;
   *  2. comments (`<!-- … -->`, dotall);
-  *  3. remaining tags → a space (`<[^>]*>` — attribute values with
-  *     `>` inside quotes are out of scope, as in every
-  *     regex-extraction pipeline; a DOM parse is the escalation path);
+  *  3. remaining tags → a space, QUOTED-ATTRIBUTE-AWARE
+  *     (`<(?:[^>"']|"[^"]*"|'[^']*')*>`): a `>` inside a quoted
+  *     attribute value (`title="a > b"`) must not close the tag early
+  *     and leak the attribute tail into the text;
   *  4. the five standard entities, `&amp;` LAST (decoding it first
   *     would double-decode `&amp;lt;` into `<`);
   *  5. whitespace squeeze + trim.
@@ -54,7 +55,11 @@ object Html {
   }
 
   def htmlToText(html: Column): Column = {
-    val noTags = regexp_replace(stripHidden(html), "<[^>]*>", " ")
+    // quoted-attr-aware: each position matches exactly one branch
+    // (disjoint first chars), so backtracking stays linear under both
+    // Java regex and RE2
+    val noTags = regexp_replace(stripHidden(html),
+      "<(?:[^>\"']|\"[^\"]*\"|'[^']*')*>", " ")
     cleanText(noTags)
   }
 

@@ -76,6 +76,19 @@ class HtmlSpec extends SparkSpec {
     assert(c2 == "http://x.com/a")
   }
 
+  test("extraction: '>' inside a quoted attribute never closes the tag early") {
+    val out = Seq(
+      "<p class=\"main\" title=\"a > b\">visible text</p>" +
+        "<div data-x='1 > 0'>more</div>")
+      .toDF("h").select(Html.htmlToText(col("h")).as("t"))
+      .collect().head.getString(0)
+    assert(out == "visible text more", s"'$out'")
+    // unterminated tag at EOF stays literal (no swallow-to-end)
+    val cut = Seq("text <a href=\"x").toDF("h")
+      .select(Html.htmlToText(col("h")).as("t")).collect().head.getString(0)
+    assert(cut == "text <a href=\"x", s"'$cut'")
+  }
+
   test("metadata: commented-out / scripted metadata is content, not markup") {
     // a canonical inside a comment or a JS string literal must never
     // be honored — via warcDocs the canonical becomes the document's
