@@ -219,11 +219,31 @@ object CurationRunner {
   final case class TokenizerConfig(
       numMerges: Int = 64, refreshKlMilli: Long = 100L)
 
+  /** The crawl-compliance gate (RFC 9309) running INSIDE the daily
+    * loop: each run re-evaluates the day's robots corpus against the
+    * WHOLE folded snapshot before it lands — so a domain that tightens
+    * its rules on day N retroactively drops previously-ingested
+    * documents from day N's snapshot and (through the normal
+    * removed-doc machinery) from the curated corpus and every
+    * maintained index. `robots` is one (source, robots_txt) row per
+    * registrable domain (the day's fetched robots files — small,
+    * broadcast against the snapshot); a source with no row is ALLOWED
+    * (no robots.txt = crawl permitted, the RFC default). `urls` maps
+    * doc_id -> the document's request URL when the drain knows it;
+    * rules then apply per-path. Without it the gate evaluates the
+    * domain's "/" rule — the domain-level kill switch. Drops land in
+    * RunMetadata as the `robots_gate` stage metric and in
+    * [[DailyResult.robotsDropped]]. */
+  final case class RobotsConfig(
+      robots: DataFrame,
+      agent: String = "graftbot",
+      urls: Option[DataFrame] = None)
+
   final case class DailyResult(
       date: String, snapshotDocs: Long, curatedDocs: Long, incremental: Boolean,
       shardCount: Long = -1L, klMilli: Long = -1L, ivfRefreshed: Boolean = false,
       tokenizerRefreshed: Boolean = false, pairedDropped: Long = -1L,
-      clipDropped: Long = -1L)
+      clipDropped: Long = -1L, robotsDropped: Long = -1L)
 
   /** (doc_id, frame_idx, …) -> (fid, phash) under the clip family's
     * fixed composite packing, each row guarded against the shift's id
@@ -267,7 +287,8 @@ object CurationRunner {
       rawFormat: RawFormat = RawJson,
       tokenizer: Option[TokenizerConfig] = None,
       paired: Option[PairedConfig] = None,
-      clips: Option[ClipConfig] = None): DailyResult = {
+      clips: Option[ClipConfig] = None,
+      robots: Option[RobotsConfig] = None): DailyResult = {
     require(date.matches("""\d{4}-\d{2}-\d{2}"""),
       s"runDaily: date must be ISO yyyy-MM-dd (lexical ordering drives " +
         s"snapshot versioning), got '$date'")
@@ -324,9 +345,43 @@ object CurationRunner {
       Some(rawSchema.add("ingest_date", StringType)))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("ingest_date").desc, col("text").asc)
-    val newRaw = stagedDf
+    val folded = stagedDf
       .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
       .select(col("doc_id"), col("source"), col("text"))
+    // robots gate BEFORE the snapshot lands: the snapshot is the
+    // retained corpus, and compliance applies to retention, not just
+    // first fetch — today's robots re-gate yesterday's staged rows too
+    val (newRaw, nRobotsDropped) = robots match {
+      case Some(rc) =>
+        val path = rc.urls match {
+          case Some(_) =>
+            // path + query, fragment off; unknown url -> "/"
+            coalesce(regexp_extract(col("__url"),
+                "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^#]*)", 1), lit("/"))
+          case None => lit("/")
+        }
+        val based = rc.urls match {
+          case Some(u) => folded.join(
+            u.select(col("doc_id"), col("url").as("__url")),
+            Seq("doc_id"), "left")
+          case None => folded
+        }
+        val withR = based
+          .join(broadcast(rc.robots.select(col("source"),
+            col("robots_txt").as("__robots"))), Seq("source"), "left")
+          .withColumn("__robots", coalesce(col("__robots"), lit("")))
+          .withColumn("__agent", lit(rc.agent))
+          .withColumn("__path", when(length(path) > 0, path).otherwise(lit("/")))
+        val dec = graft.text.Robots.decisions(withR,
+          "doc_id", "__robots", "__agent", "__path")
+        val dropped = meta.time("robots_gate") {
+          val n = dec.where(col("allowed") === 0L).count()
+          (n, n)
+        }
+        (folded.join(dec.where(col("allowed") === 1L).select(col("doc_id")),
+          Seq("doc_id"), "left_semi"), dropped)
+      case None => (folded, -1L)
+    }
     val nSnapshot = meta.time("snapshot") {
       Lake.writeParquet(newRaw, snapshotPath(lakeRoot, date))
       val n = Lake.readParquet(spark, snapshotPath(lakeRoot, date)).count()
@@ -924,6 +979,6 @@ object CurationRunner {
     DailyResult(date, nSnapshot, nCurated, incremental = prev.isDefined,
       shardCount = nShards, klMilli = klMilli, ivfRefreshed = ivfRefreshed,
       tokenizerRefreshed = tokenizerRefreshed, pairedDropped = pairedDropped,
-      clipDropped = clipDropped)
+      clipDropped = clipDropped, robotsDropped = nRobotsDropped)
   }
 }

@@ -1109,4 +1109,50 @@ class CurationRunnerSpec extends SparkSpec {
     } finally { Lake.delete(spark, root) }
   }
 
+  test("robots gate: the day's rules drop disallowed docs — retroactively too") {
+    val root = java.nio.file.Files.createTempDirectory("lake").toString
+    try {
+      val cfg = Curation.CurationConfig(minQualityMilli = 200)
+      land(root, "day1.json", Seq(
+        (1L, "open.example", doc(1)),
+        (2L, "closed.example", doc(2)),
+        (3L, "mixed.example", doc(3)),
+        (4L, "mixed.example", doc(4))))
+      // day 1: no robots config — everything lands (compat default)
+      val r1 = CurationRunner.runDaily(spark, root, "2024-08-01", None, cfg)
+      assert(r1.snapshotDocs == 4 && r1.robotsDropped == -1L)
+
+      // day 2: robots arrive. closed.example disallows everything;
+      // mixed.example disallows only /private/*; open.example has no
+      // robots row (allowed, the RFC default). Doc 3 sits under
+      // /private, doc 4 under /public — path rules via the urls frame.
+      val robots = Seq(
+        ("closed.example", "User-agent: *\nDisallow: /"),
+        ("mixed.example", "User-agent: *\nDisallow: /private/"))
+        .toDF("source", "robots_txt")
+      val urls = Seq(
+        (3L, "http://mixed.example/private/a?x=1"),
+        (4L, "http://mixed.example/public/b"))
+        .toDF("doc_id", "url")
+      land(root, "day2.json", Seq((5L, "open.example", doc(5))))
+      val r2 = CurationRunner.runDaily(spark, root, "2024-08-02", None, cfg,
+        robots = Some(CurationRunner.RobotsConfig(robots, urls = Some(urls))))
+      // doc 2 (domain kill) and doc 3 (path rule) drop — RETROACTIVELY:
+      // both landed yesterday; today's rules re-gate the folded corpus
+      assert(r2.robotsDropped == 2L, s"$r2")
+      assert(r2.snapshotDocs == 3, s"$r2")
+      val snap = Lake.readParquet(spark, s"$root/snapshot/date=2024-08-02")
+      assert(snap.select($"doc_id").as[Long].collect().toSet == Set(1L, 4L, 5L))
+      val cur = Lake.readParquet(spark, s"$root/curated/date=2024-08-02")
+      assert(cur.where($"doc_id" === 2L).isEmpty &&
+        cur.where($"doc_id" === 3L).isEmpty)
+      assert(cur.where($"doc_id" === 4L).count() == 1,
+        "an allowed path on a partially-closed domain must survive")
+      // the drop count lands as a RunMetadata stage metric
+      val md = RunMetadata.read(spark, root, "2024-08-02")
+      assert(md.where($"stage" === "robots_gate")
+        .select($"records").as[Long].head() == 2L)
+    } finally { Lake.delete(spark, root) }
+  }
+
 }
