@@ -2438,6 +2438,21 @@ object Queries {
       .withColumn("recall_bp", expr("(10000 * n_hit) div k"))
   }
 
+  /** H.264 codec-configuration classification through the gate — the
+    * codec level UNDER the container metadata (q81 tkhd dims, q137
+    * sample tables): stsd sample-entry dispatch, and for AVC the avcC
+    * record's profile/level plus the SPS exp-Golomb walk to the
+    * bitstream's OWN coded dimensions (mb grid minus frame cropping —
+    * the 1920×1080 arm is 68 mb rows with 4 crop-bottom units).
+    * Baseline and High (explicit chroma branch) parse; hvc1/vp09
+    * classify by entry type; truncated avcC and scaling-matrix SPS
+    * refuse tagged. All fields closed-form from id arithmetic. */
+  def q196H264Sps(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.H264.mp4AvcCorpusFromDocuments(
+      tbl(spark, dir, "documents"))
+    graft.multimodal.H264.decodeMp4Codec(media).toDF()
+  }
+
   /** Canonical-URL dedup through the gate — the crawl-frontier rule
     * the q191 extraction feeds: the SAME page crawled under three RAW
     * href variants (uppercase scheme/host + default port + fragment /
@@ -6614,6 +6629,7 @@ object Queries {
     "q193_ivfpq_nprobe_sweep" -> (q193IvfPqNprobeSweep _),
     "q194_http_payloads" -> (q194HttpPayloads _),
     "q195_pq_width_sweep" -> (q195PqWidthSweep _),
+    "q196_h264_sps" -> (q196H264Sps _),
     "q169_anim_webp_frames" -> (q169AnimWebpFrames _),
     "q170_cross_clip_dups" -> (q170CrossClipDups _),
     "q171_exif_headers" -> (q171ExifHeaders _),
@@ -7168,6 +7184,32 @@ object Queries {
     // closed-form record fields per container — the oracle does not
     // replay the walk, it states what each synthesized record holds
     "q131_warc_records" -> warcRecordsOracle,
+    // every field closed-form: profile/level from the arm, dims from
+    // the mb-grid arithmetic (and the crop form's 1088-8), refusal
+    // tags from the id%12 split; not_mp4 takes precedence
+    "q196_h264_sps" ->
+      """SELECT doc_id AS media_id,
+        |  (CASE WHEN doc_id % 17 = 3 OR doc_id % 6 = 5
+        |        THEN 0 ELSE 1 END)::INTEGER AS ok,
+        |  CASE WHEN doc_id % 17 = 3 THEN ''
+        |       WHEN doc_id % 6 IN (0, 1, 2, 5) THEN 'avc1'
+        |       WHEN doc_id % 6 = 3 THEN 'hvc1' ELSE 'vp09' END AS codec,
+        |  (CASE WHEN doc_id % 17 = 3 OR doc_id % 6 IN (3, 4, 5) THEN 0
+        |        WHEN doc_id % 6 = 2 THEN 100 ELSE 66 END)::INTEGER
+        |    AS profile_idc,
+        |  (CASE WHEN doc_id % 17 = 3 OR doc_id % 6 IN (3, 4, 5) THEN 0
+        |        ELSE 30 + 10 * (doc_id % 2) END)::INTEGER AS level_idc,
+        |  (CASE WHEN doc_id % 17 = 3 OR doc_id % 6 IN (3, 4, 5) THEN 0
+        |        WHEN doc_id % 6 = 1 THEN 1920
+        |        ELSE 16 * (40 + 10 * (doc_id % 5)) END)::INTEGER AS width,
+        |  (CASE WHEN doc_id % 17 = 3 OR doc_id % 6 IN (3, 4, 5) THEN 0
+        |        WHEN doc_id % 6 = 1 THEN 1080
+        |        ELSE 16 * (23 + 11 * (doc_id % 4)) END)::INTEGER AS height,
+        |  CASE WHEN doc_id % 17 = 3 THEN 'not_mp4'
+        |       WHEN doc_id % 12 = 5 THEN 'bad_avcc'
+        |       WHEN doc_id % 12 = 11 THEN 'unsupported_sps'
+        |       ELSE '' END AS err
+        |FROM documents""".stripMargin,
     // every wire-encoding arm is content-invisible (decoded body ==
     // doc text); enc/err tags closed-form from id%8 / id%16 arithmetic
     "q194_http_payloads" ->

@@ -245,6 +245,12 @@ class DecoderFuzzSpec extends SparkSpec {
     }
   }
 
+  test("H.264 avcC/SPS classifier survives 300 deterministic corruptions") {
+    val base = H264.mp4WithCodec("avc1", "avcC",
+      H264.avcCBytes(H264.spsBytes(66, 30, 120, 68, cropBottom = 4)))
+    fuzz("h264-avcc", base, b => H264.parseMp4Codec(1L, b))
+  }
+
   test("GIF decoder survives 300 deterministic corruptions per wire shape") {
     val frames = (0 until 3).map { f =>
       (Array.tabulate(64 * 64) { i =>
