@@ -2453,6 +2453,34 @@ object Queries {
     graft.multimodal.H264.decodeMp4Codec(media).toDF()
   }
 
+  /** Audio fingerprinting through the gate — the AUDIO member of the
+    * perceptual-dedup family (images: q133 pHash; video: q170 clip
+    * frames): decoded PCM -> 17 frames x 4 DFT-bin powers (frozen
+    * integer trig, the PhashDct discipline) -> the chromaprint bit
+    * rule -> one 64-bit fingerprint; payloads short of 17 frames
+    * refuse ok=0. The oracle replays sample law, spectrum, bit rule,
+    * and packing end-to-end with the SAME trig literals. */
+  def q197AudioFp(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.AudioFp.wavFpCorpusFromDocuments(
+      tbl(spark, dir, "documents"))
+    graft.multimodal.AudioFp.decodeAudioFp(media).toDF()
+  }
+
+  /** Audio near-dup pairs through the gate — the q133 rule on sound:
+    * dup groups share a signal (key = id%97) under per-doc DC level
+    * shifts (the "re-mastered copy" an exact hash misses), and the
+    * banded hamming join folds them at equi-join scale (8 bands of 8
+    * bits; recall is EXACT at maxDist 3 by pigeonhole, so the brute
+    * oracle == the banded plan). */
+  def q198AudioDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.AudioFp.wavFpCorpusFromDocuments(
+      tbl(spark, dir, "documents"))
+    val fps = graft.multimodal.AudioFp.decodeAudioFp(media).toDF()
+      .where(col("ok") === 1)
+    graft.dedup.Dedup.hammingNearDupPairs(fps, "media_id", "fp",
+      totalBits = 64, maxDist = 3, bands = 8)
+  }
+
   /** Canonical-URL dedup through the gate — the crawl-frontier rule
     * the q191 extraction feeds: the SAME page crawled under three RAW
     * href variants (uppercase scheme/host + default port + fragment /
@@ -4025,6 +4053,48 @@ object Queries {
        |  FROM pqenc e JOIN pqtab t ON t.s = e.s AND t.code = e.code
        |  WHERE t.query_id != e.vec_id
        |  GROUP BY t.query_id, e.vec_id)""".stripMargin
+
+  /** DuckDB fragment: the q197 audio-fingerprint chain — the fixture's
+    * closed-form sample law, the 4-bin spectra under the SAME frozen
+    * trig literals as [[graft.multimodal.AudioFp]], the chromaprint
+    * bit rule, and the 64-bit packing (HUGEINT power table, folded to
+    * the signed long at the end — bit 63 must wrap exactly). */
+  private lazy val duckAudioFpCtes: String = {
+    val fp = graft.multimodal.AudioFp
+    val trigRows = (for {
+      b <- fp.Bins.indices
+      i <- 0 until fp.FrameLen
+    } yield s"($b,$i,${fp.CosTab(b)(i)},${fp.SinTab(b)(i)})").mkString(",")
+    val powRows = (0 until 64)
+      .map(p => s"($p,${BigInt(2).pow(p)})").mkString(",")
+    s"""smp AS (
+       |  SELECT d.doc_id, (r.i // 64) AS f, (r.i % 64) AS ii,
+       |    ((r.i + 3 + (doc_id % 97) * 131) * (r.i + 11 + (doc_id % 97) * 17)
+       |      * 2654435761) % 65000 - 32500 + (doc_id % 3) AS s
+       |  FROM documents d, range(0, ${fp.FrameLen * fp.NFrames}) r(i)
+       |  WHERE doc_id % 41 <> 6),
+       |trig(b, ii, c, sn) AS (VALUES $trigRows),
+       |pows(pos, pw) AS (VALUES $powRows),
+       |pwr AS (
+       |  SELECT doc_id, f, b,
+       |    sum(s * c) * sum(s * c) + sum(s * sn) * sum(s * sn) AS p
+       |  FROM smp JOIN trig USING (ii)
+       |  GROUP BY doc_id, f, b),
+       |afp AS (
+       |  SELECT a.doc_id,
+       |    coalesce(sum(CASE WHEN a.p > q.p THEN pows.pw ELSE 0 END), 0)
+       |      AS fpu
+       |  FROM pwr a
+       |  JOIN pwr q ON q.doc_id = a.doc_id AND q.b = a.b AND q.f = a.f - 1
+       |  JOIN pows ON pows.pos = (a.f - 1) * 4 + a.b
+       |  GROUP BY a.doc_id),
+       |sfp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN fpu >= 9223372036854775808
+       |         THEN (fpu - 18446744073709551616)::BIGINT
+       |         ELSE fpu::BIGINT END AS fp
+       |  FROM afp)""".stripMargin
+  }
 
   /** DuckDB fragment: the WHOLE IVF-PQ chain — q38's trained IVF cells
     * (duckIvfCellsCtes), double residuals against the cell centroids,
@@ -6630,6 +6700,8 @@ object Queries {
     "q194_http_payloads" -> (q194HttpPayloads _),
     "q195_pq_width_sweep" -> (q195PqWidthSweep _),
     "q196_h264_sps" -> (q196H264Sps _),
+    "q197_audio_fp" -> (q197AudioFp _),
+    "q198_audio_dup_pairs" -> (q198AudioDupPairs _),
     "q169_anim_webp_frames" -> (q169AnimWebpFrames _),
     "q170_cross_clip_dups" -> (q170CrossClipDups _),
     "q171_exif_headers" -> (q171ExifHeaders _),
@@ -7184,6 +7256,24 @@ object Queries {
     // closed-form record fields per container — the oracle does not
     // replay the walk, it states what each synthesized record holds
     "q131_warc_records" -> warcRecordsOracle,
+    // the full fingerprint chain replayed (sample law -> frozen-trig
+    // spectra -> bit rule -> 64-bit packing); the short-payload plant
+    // is the ok=0 arm
+    "q197_audio_fp" ->
+      s"""WITH $duckAudioFpCtes
+        |SELECT doc_id AS media_id, 1::INTEGER AS ok, fp FROM sfp
+        |UNION ALL
+        |SELECT doc_id, 0::INTEGER, 0::BIGINT FROM documents
+        |WHERE doc_id % 41 = 6""".stripMargin,
+    // brute pair join over the replayed fingerprints — banded recall
+    // is exact at hd<=3 (8 bands of 8 bits, pigeonhole), so brute ==
+    // the Spark bands
+    "q198_audio_dup_pairs" ->
+      s"""WITH $duckAudioFpCtes
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  bit_count(xor(a.fp, b.fp))::BIGINT AS hamming_dist
+        |FROM sfp a JOIN sfp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin,
     // every field closed-form: profile/level from the arm, dims from
     // the mb-grid arithmetic (and the crop form's 1088-8), refusal
     // tags from the id%12 split; not_mp4 takes precedence
