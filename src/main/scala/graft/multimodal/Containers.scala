@@ -438,6 +438,67 @@ object Containers {
     }.toDF("media_id", "payload")
   }
 
+  /** Deterministic CRAWL-INGEST composition corpus — the q199 fixture
+    * exercising this round's whole ingest chain in one pass: HTML
+    * responses (title + body + a canonical-link arm) under HTTP wire
+    * encodings (id%3: identity / chunked / gzip), flowing through
+    * [[warcDocs]] to curation-ready rows. Canonical arms (id%5):
+    * 0 = same-host absolute (case/port variant — folds to the
+    * normalized canonical), 1 = CROSS-SITE absolute (ignored — the
+    * poison guard), 2 = root-relative /home (resolves per-site),
+    * 3 = none, 4 = canonical inside an HTML comment (ignored — the
+    * hidden-region guard). All arms text-invisible: extracted text is
+    * always "Doc <id> <text>". */
+  def crawlWarcCorpusFromDocuments(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)].map {
+      case (id, text) =>
+        def fm(m: Long): Long = java.lang.Math.floorMod(id, m)
+        val k = fm(7L)
+        val canon = fm(5L) match {
+          case 0L => s"""<link rel="canonical" href="HTTP://SITE$k.EXAMPLE:80/c${fm(25L)}">"""
+          case 1L => """<link rel="canonical" href="http://victim.example/x">"""
+          case 2L => """<link rel="canonical" href="/home">"""
+          case 3L => ""
+          case _ => """<!-- <link rel="canonical" href="http://victim.example/y"> -->"""
+        }
+        val html = (s"<html><head><title>Doc $id</title>$canon</head>" +
+          s"<body><p>${if (text == null) "" else text}</p></body></html>")
+          .getBytes("UTF-8")
+        def gzip(p: Array[Byte]): Array[Byte] = {
+          val bo = new java.io.ByteArrayOutputStream()
+          val g = new java.util.zip.GZIPOutputStream(bo)
+          g.write(p); g.close(); bo.toByteArray
+        }
+        val (hdr, payload) = fm(3L) match {
+          case 0L => ("", html)
+          case 1L =>
+            val bo = new java.io.ByteArrayOutputStream()
+            def crlf(): Unit = { bo.write('\r'); bo.write('\n') }
+            val cut = math.min(7, html.length)
+            bo.write(java.lang.Integer.toHexString(cut).getBytes("ISO-8859-1"))
+            crlf(); bo.write(html, 0, cut); crlf()
+            if (cut < html.length) {
+              bo.write(java.lang.Integer.toHexString(html.length - cut)
+                .getBytes("ISO-8859-1"))
+              crlf(); bo.write(html, cut, html.length - cut); crlf()
+            }
+            bo.write('0'); crlf(); crlf()
+            ("Transfer-Encoding: chunked\r\n", bo.toByteArray)
+          case _ => ("Content-Encoding: gzip\r\n", gzip(html))
+        }
+        val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n$hdr\r\n")
+          .getBytes("ISO-8859-1") ++ payload
+        val resp = warcRecordBytes(Seq(
+          "WARC-Type" -> "response",
+          "WARC-Target-URI" -> s"http://site$k.example/p$id?utm=1",
+          "Content-Type" -> "application/http; msgtype=response"),
+          http)
+        (id, resp)
+    }.toDF("media_id", "payload")
+  }
+
   // ---- tar ----------------------------------------------------------
 
   final case class TarEntry(

@@ -2481,6 +2481,49 @@ object Queries {
       totalBits = 64, maxDist = 3, bands = 8)
   }
 
+  /** Audio fingerprints through the PERSISTED index family — proof the
+    * standing near-dup machinery is hash-generic: the SAME
+    * [[graft.dedup.PhashDiskIndex]] (banded layout, bucket files,
+    * tombstones) that serves images (q160) and video frames (clip
+    * family) serves the q197 audio fingerprints unchanged — write 2/5
+    * of the corpus, append 2/5, probe the remaining fifth paying only
+    * its own (band, bucket) footprint. At 100 TB the daily audio delta
+    * probes a standing index instead of re-banding the corpus. */
+  def q200AudioFpIndexProbe(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.AudioFp.wavFpCorpusFromDocuments(
+      tbl(spark, dir, "documents"))
+    val fps = graft.ops.CacheScope.persist(
+      graft.multimodal.AudioFp.decodeAudioFp(media).toDF()
+        .where(col("ok") === 1)
+        .select(col("media_id").as("id"), col("fp")))
+    val idx = tmpLifecycleDir("graft-q200")
+    val standing = fps.where(pmod(col("id"), lit(5)) =!= 0)
+    graft.dedup.PhashDiskIndex.write(
+      standing.where(pmod(col("id"), lit(2)) === 0), "id", "fp", idx,
+      totalBits = 64, bands = 8, numBuckets = 2, seq = 1L)
+    graft.dedup.PhashDiskIndex.append(
+      standing.where(pmod(col("id"), lit(2)) === 1), "id", "fp", idx,
+      seq = 2L)
+    graft.dedup.PhashDiskIndex.probe(spark, idx,
+      fps.where(pmod(col("id"), lit(5)) === 0), "id", "fp", maxDist = 3)
+  }
+
+  /** The crawl-ingest COMPOSITION through the gate — every round-14
+    * ingest piece in one end-to-end chain: WARC record walk -> HTTP
+    * payload decode (identity / chunked / gzip arms) -> canonical
+    * identity with the cross-site and hidden-region guards (same-host
+    * case/port variants fold, a poison canonical and a commented-out
+    * canonical are ignored, root-relative resolves per-site) ->
+    * htmlToText. url_norm / source / text all closed-form; the hash
+    * key is derived FROM url_norm so the string is the checked
+    * identity (q192's convention). */
+  def q199CrawlIngest(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Containers.crawlWarcCorpusFromDocuments(
+      tbl(spark, dir, "documents"))
+    graft.multimodal.Containers.warcDocs(media)
+      .select(col("url_norm"), col("source"), col("text"))
+  }
+
   /** Canonical-URL dedup through the gate — the crawl-frontier rule
     * the q191 extraction feeds: the SAME page crawled under three RAW
     * href variants (uppercase scheme/host + default port + fragment /
@@ -6702,6 +6745,8 @@ object Queries {
     "q196_h264_sps" -> (q196H264Sps _),
     "q197_audio_fp" -> (q197AudioFp _),
     "q198_audio_dup_pairs" -> (q198AudioDupPairs _),
+    "q199_crawl_ingest" -> (q199CrawlIngest _),
+    "q200_audio_fp_index_probe" -> (q200AudioFpIndexProbe _),
     "q169_anim_webp_frames" -> (q169AnimWebpFrames _),
     "q170_cross_clip_dups" -> (q170CrossClipDups _),
     "q171_exif_headers" -> (q171ExifHeaders _),
@@ -7256,6 +7301,31 @@ object Queries {
     // closed-form record fields per container — the oracle does not
     // replay the walk, it states what each synthesized record holds
     "q131_warc_records" -> warcRecordsOracle,
+    // brute pairs with a probe-side member over the replayed audio
+    // fingerprints (banded probe recall exact at hd<=3 — q160's shape)
+    "q200_audio_fp_index_probe" ->
+      s"""WITH $duckAudioFpCtes
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  bit_count(xor(a.fp, b.fp))::BIGINT AS hamming_dist
+        |FROM sfp a JOIN sfp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        |  AND (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)""".stripMargin,
+    // identity rules closed-form per canonical arm; encodings are
+    // content-invisible; text = title + body, whitespace-squeezed
+    "q199_crawl_ingest" ->
+      """WITH d AS (
+        |  SELECT doc_id, (doc_id % 7) AS k, coalesce(text, '') AS t
+        |  FROM documents)
+        |SELECT
+        |  CASE doc_id % 5
+        |    WHEN 0 THEN 'http://site' || k || '.example/c' || (doc_id % 25)
+        |    WHEN 2 THEN 'http://site' || k || '.example/home'
+        |    ELSE 'http://site' || k || '.example/p' || doc_id || '?utm=1'
+        |  END AS url_norm,
+        |  'site' || k || '.example' AS source,
+        |  trim(regexp_replace('Doc ' || doc_id || ' ' || t,
+        |    '[ \t\n\r]+', ' ', 'g')) AS text
+        |FROM d""".stripMargin,
     // the full fingerprint chain replayed (sample law -> frozen-trig
     // spectra -> bit rule -> 64-bit packing); the short-payload plant
     // is the ok=0 arm
