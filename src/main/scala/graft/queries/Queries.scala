@@ -2481,6 +2481,46 @@ object Queries {
       totalBits = 64, maxDist = 3, bands = 8)
   }
 
+  /** Hadamard-rotated PQ vs plain PQ — the OPQ-lite preprocessing
+    * measured (q151's discipline): a normalized Sylvester-Hadamard
+    * rotation (entries ±1/8 — EXACT in binary floating point, so the
+    * whole rotated chain replays in DuckDB) spreads per-dimension
+    * variance across the m subspaces before codebook training; both
+    * arms run the identical PQ pipeline (stride-16 seeds, k=32, 2
+    * rounds, ADC propose 30, exact rescore, top-10) against the raw
+    * brute baseline. The output is the decision table: does rotation
+    * buy recall on THIS corpus at the same serving cost? */
+  def q201HadamardPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    // the chain's kernels (Ann.dot, subVectors) speak array<float>;
+    // the float round-trip is IEEE-exact to replay (::FLOAT in DuckDB)
+    val rot = graft.ops.CacheScope.persist(
+      emb.select(col("vec_id"),
+        graft.ann.Rotation.hadamard(col("embedding"), 64)
+          .cast("array<float>").as("embedding")))
+    def arm(frame: DataFrame, name: String): DataFrame = {
+      val queries = frame.where(col("vec_id") < 25)
+      val cb = graft.ann.Pq.trainCodebooks(frame, "vec_id", "embedding",
+        m = 8, dim = 64, stride = 16, iters = 2)
+      val codes = graft.ann.Pq.encode(frame, "vec_id", "embedding", 8, 64, cb)
+      graft.ann.Pq.adcRerankTopK(queries, codes, cb, frame,
+          "vec_id", "embedding", 8, 64, k = 10, rerank = 30)
+        .select(lit(name).as("arm"), col("query_id"), col("neighbor_id"))
+    }
+    val served = arm(emb, "plain").unionByName(arm(rot, "hadamard"))
+    val brute = graft.ann.Ann.bruteForceTopK(emb.where(col("vec_id") < 25),
+        emb, "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    brute.select(col("query_id"), col("neighbor_id"),
+        explode(array(lit("plain"), lit("hadamard"))).as("arm"))
+      .join(served.withColumn("hit", lit(1L)),
+        Seq("arm", "query_id", "neighbor_id"), "left")
+      .groupBy(col("arm")).agg(
+        count(lit(1)).as("k"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall_bp", expr("(10000 * n_hit) div k"))
+  }
+
   /** Audio fingerprints through the PERSISTED index family — proof the
     * standing near-dup machinery is hash-generic: the SAME
     * [[graft.dedup.PhashDiskIndex]] (banded layout, bucket files,
@@ -4068,34 +4108,38 @@ object Queries {
 
   /** DuckDB fragment: the trained PQ codebooks (8 x 8-dim subspaces,
     * stride-16 seeds, 2 rounds), the encoded corpus, and the ADC
-    * fixed-point scores for the 25-query batch. */
-  private lazy val duckPqCtes: String =
-    s"""pqsubs AS (
+    * fixed-point scores for the 25-query batch — parameterized over
+    * the source frame and a CTE-name prefix so the q201 rotated chain
+    * runs the identical replay beside the raw one. */
+  private def duckPqCtesFor(src: String, p: String): String =
+    s"""${p}subs AS (
        |  SELECT e.vec_id, ss.s AS s,
        |    list_transform(e.embedding[ss.s*8+1 : ss.s*8+8],
        |      x -> x::DOUBLE) AS sv
-       |  FROM embeddings e,
+       |  FROM $src e,
        |    (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) ss(s)),
-       |pqcb0 AS (
-       |  SELECT s, vec_id AS code, sv AS cvec FROM pqsubs
+       |${p}cb0 AS (
+       |  SELECT s, vec_id AS code, sv AS cvec FROM ${p}subs
        |  WHERE vec_id % 16 = 0 AND vec_id < 16 * 32),
-       |${duckPqRound("pqcb0", "pqcb1")},
-       |${duckPqRound("pqcb1", "pqcb")},
-       |pqenc AS (
+       |${duckPqRound(s"${p}cb0", s"${p}cb1", subs = s"${p}subs")},
+       |${duckPqRound(s"${p}cb1", s"${p}cb", subs = s"${p}subs")},
+       |${p}enc AS (
        |  SELECT vec_id, s, code FROM (
        |    SELECT u.vec_id, u.s, c.code,
        |      row_number() OVER (PARTITION BY u.vec_id, u.s
        |        ORDER BY ${duckL2sq("u.sv", "c.cvec")} ASC, c.code) AS rn
-       |    FROM pqsubs u JOIN pqcb c ON u.s = c.s) t WHERE rn = 1),
-       |pqtab AS (
+       |    FROM ${p}subs u JOIN ${p}cb c ON u.s = c.s) t WHERE rn = 1),
+       |${p}tab AS (
        |  SELECT q.vec_id AS query_id, q.s, c.code,
        |    floor(${duckDotD("q.sv", "c.cvec")} * 16777216.0)::BIGINT AS pfx
-       |  FROM pqsubs q JOIN pqcb c ON q.s = c.s WHERE q.vec_id < 25),
-       |pqsc AS (
+       |  FROM ${p}subs q JOIN ${p}cb c ON q.s = c.s WHERE q.vec_id < 25),
+       |${p}sc AS (
        |  SELECT t.query_id, e.vec_id AS neighbor_id, sum(t.pfx) AS fx
-       |  FROM pqenc e JOIN pqtab t ON t.s = e.s AND t.code = e.code
+       |  FROM ${p}enc e JOIN ${p}tab t ON t.s = e.s AND t.code = e.code
        |  WHERE t.query_id != e.vec_id
        |  GROUP BY t.query_id, e.vec_id)""".stripMargin
+
+  private lazy val duckPqCtes: String = duckPqCtesFor("embeddings", "pq")
 
   /** DuckDB fragment: the q197 audio-fingerprint chain — the fixture's
     * closed-form sample law, the 4-bin spectra under the SAME frozen
@@ -6747,6 +6791,7 @@ object Queries {
     "q198_audio_dup_pairs" -> (q198AudioDupPairs _),
     "q199_crawl_ingest" -> (q199CrawlIngest _),
     "q200_audio_fp_index_probe" -> (q200AudioFpIndexProbe _),
+    "q201_hadamard_pq" -> (q201HadamardPq _),
     "q169_anim_webp_frames" -> (q169AnimWebpFrames _),
     "q170_cross_clip_dups" -> (q170CrossClipDups _),
     "q171_exif_headers" -> (q171ExifHeaders _),
@@ -7301,6 +7346,65 @@ object Queries {
     // closed-form record fields per container — the oracle does not
     // replay the walk, it states what each synthesized record holds
     "q131_warc_records" -> warcRecordsOracle,
+    // both arms' FULL PQ chains replayed (the rotated one over the
+    // exactly-replayable ±1/8 Hadamard frame); each arm's candidates
+    // rescore on its own frame, recall always against the raw brute
+    "q201_hadamard_pq" -> {
+      def armSql(p: String, rescoreSrc: String): String =
+        s"""cand_$p AS (
+          |  SELECT query_id, neighbor_id FROM (
+          |    SELECT query_id, neighbor_id,
+          |      row_number() OVER (PARTITION BY query_id
+          |        ORDER BY fx DESC, neighbor_id) AS crn
+          |    FROM ${p}sc) t WHERE crn <= 30),
+          |served_$p AS (
+          |  SELECT query_id, neighbor_id FROM (
+          |    SELECT c.query_id, c.neighbor_id,
+          |      row_number() OVER (PARTITION BY c.query_id
+          |        ORDER BY r.cos DESC, c.neighbor_id) AS rank
+          |    FROM cand_$p c JOIN $rescoreSrc r
+          |      ON r.query_id = c.query_id AND r.neighbor_id = c.neighbor_id) t
+          |  WHERE rank <= 10)""".stripMargin
+      def selSql(name: String, p: String): String =
+        s"""SELECT '$name' AS arm, count(*)::BIGINT AS k,
+          |  sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+          |  ((10000 * sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END))
+          |    // count(*))::BIGINT AS recall_bp
+          |FROM brute b LEFT JOIN served_$p s
+          |  ON b.query_id = s.query_id AND b.neighbor_id = s.neighbor_id""".stripMargin
+      s"""WITH hrot AS (
+        |  SELECT vec_id,
+        |    list_transform(range(0, 64), j ->
+        |      (list_reduce(list_prepend(0.0::DOUBLE,
+        |        list_transform(list_zip(embedding, range(0, 64)),
+        |          p -> CASE WHEN bit_count(p[2] & j) % 2 = 0
+        |               THEN p[1]::DOUBLE ELSE -(p[1]::DOUBLE) END)),
+        |        (x, y) -> x + y) / 8.0)::FLOAT) AS embedding
+        |  FROM embeddings),
+        |${duckPqCtesFor("embeddings", "pq")},
+        |${duckPqCtesFor("hrot", "h")},
+        |bs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(${duckDot("q.embedding", "c.embedding")}, 6) AS cos
+        |  FROM embeddings q CROSS JOIN embeddings c
+        |  WHERE q.vec_id < 25 AND c.vec_id != q.vec_id),
+        |bsh AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(${duckDot("q.embedding", "c.embedding")}, 6) AS cos
+        |  FROM hrot q CROSS JOIN hrot c
+        |  WHERE q.vec_id < 25 AND c.vec_id != q.vec_id),
+        |brute AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos DESC, neighbor_id) AS rank
+        |    FROM bs) t WHERE rank <= 10),
+        |${armSql("pq", "bs")},
+        |${armSql("h", "bsh")}
+        |${selSql("plain", "pq")}
+        |UNION ALL
+        |${selSql("hadamard", "h")}""".stripMargin
+    },
     // brute pairs with a probe-side member over the replayed audio
     // fingerprints (banded probe recall exact at hd<=3 — q160's shape)
     "q200_audio_fp_index_probe" ->
