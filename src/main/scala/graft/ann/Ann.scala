@@ -161,9 +161,9 @@ object Ann {
     val cIdx = projected(corpus, "neighbor_id", "cp").repartition(parts)
     val qIdx = projected(queries, "query_id", "qp")
     // double-list dot (the projected coords are doubles): same
-    // sequential left fold as FloatVectorDot / the DuckDB list_reduce
-    val pdot = aggregate(zip_with(col("cp"), col("qp"), (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
+    // sequential left fold as FloatVectorDot / the DuckDB list_reduce,
+    // fused into whole-stage codegen
+    val pdot = graft.functions.DoubleVectorOps.dot(col("cp"), col("qp"))
     val cw = Window.partitionBy(col("query_id"))
       .orderBy(col("coarse").desc, col("neighbor_id").asc)
     // two-level selection (TopK): per-partition bounded heap before the

@@ -50,13 +50,17 @@ object Pq {
       .select(col("vec_id"), col("s"), col("sv"))
   }
 
-  /** Left-to-right squared L2 over double arrays. */
+  /** Left-to-right squared L2 over double arrays — the codegen'd
+    * fused loop ([[graft.functions.DoubleVectorL2]]): bit-identical
+    * to the HOF form (same accumulation order, so duckL2sq still
+    * reproduces it) without the per-candidate lambda dispatch and
+    * zipped-array allocation that dominated the assign join at the
+    * q195 codebook widths. */
   def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.DoubleVectorOps.l2sq(a, b)
 
   private[ann] def dotD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.DoubleVectorOps.dot(a, b)
 
   /** Nearest codebook entry per (vec, s): L2 asc, code asc. */
   private def assign(subs: DataFrame, cb: DataFrame): DataFrame = {

@@ -54,6 +54,7 @@ class PlanHygieneSpec extends SparkSpec {
     "q189_ivfpq_recall" -> "the IVF-PQ rerank sweep's exact arm IS q25's brute baseline: broadcast 25-query batch x corpus (the probed-cell ADC arms are plain joins)",
     "q193_ivfpq_nprobe_sweep" -> "the IVF-PQ nProbe sweep's exact arm IS q25's brute baseline: broadcast 25-query batch x corpus (the probed-cell ADC arms are plain joins)",
     "q195_pq_width_sweep" -> "the codebook-width sweep's exact arm IS q25's brute baseline: broadcast 25-query batch x corpus (the per-k ADC arms are plain joins)",
+    "q201_hadamard_pq" -> "the rotation A/B's exact arm IS q25's brute baseline: broadcast 25-query batch x corpus (both PQ arms are plain joins)",
     "q185_bigram_nll" -> "crossJoin(broadcast(vocab)): single-row reference vocabulary size (the q51 pattern)")
 
   test("every gate query carries an oracle (q36 rows-only by design), no orphans") {
