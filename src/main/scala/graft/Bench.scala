@@ -209,10 +209,22 @@ object Bench {
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","warm_total":${f2(warmTotal)},"queries":$qsMap,"failed":$failed,"sf":"$sfDir"}"""
     def f1(d: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, d)
     def f0(d: Double): String = math.round(d).toString
+    // integer-nonzero: queries rounding to 0 s are OMITTED from the map
+    // (absence == "ran in < 0.5 s cold"), halving the entry count at
+    // 200+ queries — strictly more informative than the detail-free
+    // floor, which loses every per-query number from the driver file.
+    // Failed queries always keep their (negative) entry.
+    val nonzero = results
+      .filter { case (_, c, _, _, ok) => !ok || math.round(c) >= 1 }
+      .map { case (k, c, _, _, ok) =>
+        val v = if (ok) f0(c) else "-" + f0(math.max(c, 1.0))
+        "\"" + shortKey(k) + "\":" + v
+      }.mkString("{", ",", "}")
     val ladder = Seq(
       ("full-precision", contractWith(qs)),
       ("1-decimal", contractWith(jmap(_._2, shortKey, f1, failFloor = 0.1))),
       ("integer-second", contractWith(jmap(_._2, shortKey, f0, failFloor = 1.0))),
+      ("integer-nonzero", contractWith(nonzero)),
       ("detail-free", contractWith("{}")))
     def fitsWithEnv(c: String): Boolean =
       c.length <= 1850 && c.length + 80 + envLine.length + 1 <= 2000
