@@ -122,7 +122,17 @@ object CurationRunner {
     * retire the increment's dead media, append the delta's hashes,
     * compact past the tombstone threshold. Incremental image/audio
     * near-dup decisions (the q161 rule) then probe this standing
-    * family instead of re-banding the corpus. */
+    * family instead of re-banding the corpus.
+    *
+    * `audio`: the AUDIO member of the same discipline. When supplied —
+    * a function from a curated docs frame to one (doc_id, fp) row per
+    * doc with an audio payload ([[graft.multimodal.AudioFp]]
+    * fingerprints; docs without audio simply absent) — the run keeps
+    * a [[graft.dedup.PhashDiskIndex]] family under `index/audio`
+    * (fingerprints are 64-bit longs, so the banded index is
+    * hash-generic — the q200 proof): backfill once from the previous
+    * curated corpus, retire the increment's dead docs, append the
+    * delta's fingerprints, compact past the tombstone threshold. */
   final case class IndexConfig(
       lshBuckets: Int = 16, bm25Buckets: Int = 64,
       ivfRefreshKlMilli: Long = 100L, ivfRefreshIters: Int = 2,
@@ -131,6 +141,8 @@ object CurationRunner {
       ivfBuckets: Int = 16, ivfTrainStride: Int = 16,
       phash: Option[DataFrame => DataFrame] = None,
       phashBuckets: Int = 16,
+      audio: Option[DataFrame => DataFrame] = None,
+      audioBuckets: Int = 16,
       clip: Option[DataFrame => DataFrame] = None,
       clipBuckets: Int = 16, clipFrameShift: Int = 12,
       pq: Option[PqConfig] = None)
@@ -412,6 +424,7 @@ object CurationRunner {
     val ivfRoot = s"$lakeRoot/index/ivf"
     val pqRoot = s"$lakeRoot/index/ivfpq"
     val phDir = s"$lakeRoot/index/phash"
+    val audioDir = s"$lakeRoot/index/audio"
     val clipDir = s"$lakeRoot/index/clip"
     val appliedMark = s"$lakeRoot/index/_applied/date=$date"
     // paired curation with no registered media family derives one from
@@ -470,6 +483,14 @@ object CurationRunner {
                 graft.dedup.PhashDiskIndex.write(ph(prevCur), "doc_id", "phash",
                   phDir, numBuckets = ix.phashBuckets, seq = prevSeq)
               graft.dedup.PhashDiskIndex.retire(spark, phDir, deadIds,
+                "doc_id", seq)
+            }
+            // audio family: the identical discipline over fingerprints
+            ix.audio.foreach { au =>
+              if (!Lake.exists(spark, s"$audioDir/meta"))
+                graft.dedup.PhashDiskIndex.write(au(prevCur), "doc_id", "fp",
+                  audioDir, numBuckets = ix.audioBuckets, seq = prevSeq)
+              graft.dedup.PhashDiskIndex.retire(spark, audioDir, deadIds,
                 "doc_id", seq)
             }
             // clip family: fid-keyed, so dead docs retire through
@@ -718,6 +739,10 @@ object CurationRunner {
               graft.dedup.PhashDiskIndex.append(ph(newDocs), "doc_id", "phash",
                 phDir, seq = seq)
             }
+            ix.audio.foreach { au =>
+              graft.dedup.PhashDiskIndex.append(au(newDocs), "doc_id", "fp",
+                audioDir, seq = seq)
+            }
             ix.clip.foreach { cf =>
               graft.dedup.PhashDiskIndex.append(
                 packFid(ix.clipFrameShift)(cf(newDocs)), "fid", "phash",
@@ -746,6 +771,10 @@ object CurationRunner {
             ix.phash.foreach { ph =>
               graft.dedup.PhashDiskIndex.write(ph(newDocs), "doc_id", "phash",
                 phDir, numBuckets = ix.phashBuckets, seq = seq)
+            }
+            ix.audio.foreach { au =>
+              graft.dedup.PhashDiskIndex.write(au(newDocs), "doc_id", "fp",
+                audioDir, numBuckets = ix.audioBuckets, seq = seq)
             }
             ix.clip.foreach { cf =>
               graft.dedup.PhashDiskIndex.write(
@@ -798,6 +827,12 @@ object CurationRunner {
                 ix.compactTombstoneBp * nCurated)
               graft.dedup.PhashDiskIndex.compact(spark, phDir, ph(cur),
                 "doc_id", "phash", seq)
+          }
+          ix.audio.foreach { au =>
+            if (graft.dedup.PhashDiskIndex.tombstoneCount(spark, audioDir) * 10000L >
+                ix.compactTombstoneBp * nCurated)
+              graft.dedup.PhashDiskIndex.compact(spark, audioDir, au(cur),
+                "doc_id", "fp", seq)
           }
           ix.clip.foreach { cf =>
             if (graft.dedup.PhashDiskIndex.tombstoneCount(spark, clipDir) * 10000L >

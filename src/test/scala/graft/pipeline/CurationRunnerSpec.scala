@@ -1109,6 +1109,53 @@ class CurationRunnerSpec extends SparkSpec {
     } finally { Lake.delete(spark, root) }
   }
 
+  test("audio-maintained family: backfill, retire+append track the curated corpus, compaction") {
+    // the phash-family discipline over AudioFp fingerprints (the q200
+    // hash-generic proof running INSIDE the daily loop); fingerprints
+    // derive deterministically from each doc's text so retire/append
+    // track content changes
+    def audioDocs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      docs.select($"doc_id", xxhash64($"text", lit("afp")).as("fp"))
+    val root = java.nio.file.Files.createTempDirectory("lake").toString
+    try {
+      val cfg = Curation.CurationConfig(minQualityMilli = 200)
+      val ixCfg = CurationRunner.IndexConfig(audio = Some(audioDocs),
+        audioBuckets = 4)
+      val auDir = s"$root/index/audio"
+      def parity(date: String): Unit = {
+        val cur = Lake.readParquet(spark, s"$root/curated/date=$date")
+        val probe = audioDocs(cur).select(($"doc_id" + 1000L).as("doc_id"),
+          $"fp".bitwiseXOR(1L).as("fp"))
+        val freshDir = java.nio.file.Files.createTempDirectory("au-fresh").toString
+        graft.dedup.PhashDiskIndex.write(audioDocs(cur), "doc_id", "fp",
+          freshDir, numBuckets = 4)
+        val got = graft.dedup.PhashDiskIndex.probe(spark, auDir, probe,
+          "doc_id", "fp", 3).collect().map(_.toString).sorted.toSeq
+        val want = graft.dedup.PhashDiskIndex.probe(spark, freshDir, probe,
+          "doc_id", "fp", 3).collect().map(_.toString).sorted.toSeq
+        Lake.delete(spark, freshDir)
+        assert(got.nonEmpty, "parity probe must produce matches")
+        assert(got == want,
+          s"$date: maintained-index probes must equal fresh-index probes")
+      }
+      land(root, "day1.json", (0 until 8).map(i => (i.toLong, "s0", doc(i))))
+      CurationRunner.runDaily(spark, root, "2024-06-01", None, cfg)
+      assert(!Lake.exists(spark, s"$auDir/meta"))
+      land(root, "day2.json", Seq(
+        (20L, "s0", doc(20)), (3L, "s0", doc(300))))
+      CurationRunner.runDaily(spark, root, "2024-06-02", None, cfg,
+        indexes = Some(ixCfg))
+      assert(Lake.exists(spark, s"$auDir/meta"))
+      parity("2024-06-02")
+      land(root, "day3.json", (0 until 5).map(i => (i.toLong, "s0", doc(i + 70))))
+      CurationRunner.runDaily(spark, root, "2024-06-03", None, cfg,
+        indexes = Some(ixCfg))
+      assert(graft.dedup.PhashDiskIndex.tombstoneCount(spark, auDir) == 0L,
+        "churn past the threshold must compact the audio family")
+      parity("2024-06-03")
+    } finally { Lake.delete(spark, root) }
+  }
+
   test("robots gate: the day's rules drop disallowed docs — retroactively too") {
     val root = java.nio.file.Files.createTempDirectory("lake").toString
     try {
