@@ -226,12 +226,17 @@ object Containers {
                       val hlines = headText.split("\r\n")
                       val m = "^HTTP/\\d\\.\\d (\\d{3})".r
                         .findFirstMatchIn(hlines(0))
+                      // repeated field lines combine as a comma list
+                      // (RFC 9110 §5.3) — last-wins toMap would drop
+                      // one of two Content-Encoding: gzip lines and
+                      // ingest the still-gzipped bytes as mojibake
                       val httpHdrs = hlines.iterator.drop(1).flatMap { l =>
                         val c = l.indexOf(':')
                         if (c <= 0) None
                         else Some(l.substring(0, c).trim.toLowerCase ->
                           l.substring(c + 1).trim)
-                      }.toMap
+                      }.toSeq.groupBy(_._1)
+                        .map { case (k, vs) => k -> vs.map(_._2).mkString(",") }
                       val (bstr, e0, x0) =
                         decodeHttpPayload(b, hhe + 4, pe, httpHdrs, maxBytes)
                       (m.map(_.group(1).toInt).getOrElse(0), bstr, e0, x0)

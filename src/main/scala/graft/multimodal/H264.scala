@@ -88,7 +88,12 @@ object H264 {
       var zeros = 0
       while (u(1) == 0) {
         zeros += 1
-        if (zeros > 31) throw new IndexOutOfBoundsException("ue")
+        // every ue(v) field this parser reads (ids, mb dims, crops,
+        // ref counts) is < 2^16 in any spec-conformant SPS; a longer
+        // prefix is a malformed bitstream, and letting it through
+        // would overflow Int (zeros=31 -> 1<<31 negative) and wrap
+        // 16*pw into plausible-looking garbage dimensions
+        if (zeros > 15) throw new IndexOutOfBoundsException("ue")
       }
       (1 << zeros) - 1 + (if (zeros == 0) 0 else u(zeros))
     }
@@ -157,7 +162,9 @@ object H264 {
   /** Parse an AVCDecoderConfigurationRecord: version, profile/level,
     * then the FIRST SPS NAL's coded dimensions. */
   private[multimodal] def parseAvcC(b: Array[Byte]): Either[String, Sps] = {
-    if (b == null || b.length < 7 || (b(0) & 0xff) != 1) return Left("bad_avcc")
+    // 8 = the first SPS's 2-byte length field fully present (a 7-byte
+    // truncation would read past the buffer in be16)
+    if (b == null || b.length < 8 || (b(0) & 0xff) != 1) return Left("bad_avcc")
     val numSps = b(5) & 0x1f
     if (numSps < 1) return Left("bad_avcc")
     val len = be16(b, 6)

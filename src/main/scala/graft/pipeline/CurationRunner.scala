@@ -384,8 +384,11 @@ object CurationRunner {
           .withColumn("__robots", coalesce(col("__robots"), lit("")))
           .withColumn("__agent", lit(rc.agent))
           .withColumn("__path", when(length(path) > 0, path).otherwise(lit("/")))
-        val dec = graft.text.Robots.decisions(withR,
-          "doc_id", "__robots", "__agent", "__path")
+        // persisted: the drop-count action and the snapshot write's
+        // semi-join both consume dec — unpersisted, the second use
+        // replays the full-corpus window + robots parse
+        val dec = graft.ops.CacheScope.persist(graft.text.Robots.decisions(
+          withR, "doc_id", "__robots", "__agent", "__path"))
         val dropped = meta.time("robots_gate") {
           val n = dec.where(col("allowed") === 0L).count()
           (n, n)

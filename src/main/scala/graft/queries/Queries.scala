@@ -2888,6 +2888,7 @@ object Queries {
       lit("<html><head><title>T</title><style>body { margin: 0; }</style>" +
         "<script type=\"text/javascript\">var x = 1 < 2;</script></head>" +
         "<body><!-- generated\n page --><h1>Doc &amp; heading</h1>" +
+        "<span alt=don't>apos kept</span>" +
         "<p class=\"main\" title=\"a > b\" data-x='1 > 0'>"),
       coalesce(col("text"), lit("")),
       lit("</p><div><span>&lt;tail&gt; &quot;q&quot; &#39;s&#39;</span>" +
@@ -9004,6 +9005,7 @@ object Queries {
         |    '<html><head><title>T</title><style>body { margin: 0; }</style>' ||
         |    '<script type="text/javascript">var x = 1 < 2;</script></head>' ||
         |    '<body><!-- generated' || chr(10) || ' page --><h1>Doc &amp; heading</h1>' ||
+        |    '<span alt=don''t>apos kept</span>' ||
         |    '<p class="main" title="a > b" data-x=''1 > 0''>' || coalesce(text, '') ||
         |    '</p><div><span>&lt;tail&gt; &quot;q&quot; &#39;s&#39;</span></div></body></html>'
         |    AS html
@@ -9014,10 +9016,12 @@ object Queries {
         |      regexp_replace(
         |        regexp_replace(
         |          regexp_replace(
-        |            regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-        |            '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-        |          '(?s)<!--.*?-->', ' ', 'g'),
-        |        '<(?:[^>"'']|"[^"]*"|''[^'']*'')*>', ' ', 'g'),
+        |            regexp_replace(
+        |              regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |              '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |            '(?s)<!--.*?-->', ' ', 'g'),
+        |          '<(?:[^<>"'']|"[^"<]*"|''[^''<]*'')*>', ' ', 'g'),
+        |        '<[^>]*>', ' ', 'g'),
         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
         |    '[ \t\n\r]+', ' ', 'g')) AS clean_text
         |  FROM hh)

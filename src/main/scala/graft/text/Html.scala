@@ -15,10 +15,12 @@ import org.apache.spark.sql.functions._
   *     non-greedy) — their bodies legally contain bare `<` (e.g.
   *     `var x = 1 < 2;`) that would desynchronize a naive tag strip;
   *  2. comments (`<!-- … -->`, dotall);
-  *  3. remaining tags → a space, QUOTED-ATTRIBUTE-AWARE
-  *     (`<(?:[^>"']|"[^"]*"|'[^']*')*>`): a `>` inside a quoted
-  *     attribute value (`title="a > b"`) must not close the tag early
-  *     and leak the attribute tail into the text;
+  *  3. remaining tags → a space, in TWO passes: a quoted-attribute-
+  *     aware pass (`>` inside a quoted value never closes the tag;
+  *     quoted spans never cross `<`, so an unclosed quote cannot
+  *     swallow following text), then the conservative `<[^>]*>`
+  *     cleanup for tags the first pass refused (unbalanced quotes
+  *     degrade to the legacy strip instead of deleting content);
   *  4. the five standard entities, `&amp;` LAST (decoding it first
   *     would double-decode `&amp;lt;` into `<`);
   *  5. whitespace squeeze + trim.
@@ -55,11 +57,22 @@ object Html {
   }
 
   def htmlToText(html: Column): Column = {
-    // quoted-attr-aware: each position matches exactly one branch
-    // (disjoint first chars), so backtracking stays linear under both
-    // Java regex and RE2
-    val noTags = regexp_replace(stripHidden(html),
-      "<(?:[^>\"']|\"[^\"]*\"|'[^']*')*>", " ")
+    // Two-pass tag strip. Pass 1 is quoted-attribute-aware — a '>'
+    // inside a quoted value (title="a > b") must not close the tag —
+    // with two containment rules that keep it SAFE on sloppy markup:
+    // quoted spans may not cross '<' (an unclosed quote would
+    // otherwise swallow following tags AND the visible text between
+    // them), and every branch starts with a distinct char (no
+    // overlap), so Java-regex backtracking stays linear — the same
+    // guarantees RE2 gives structurally. A tag pass 1 cannot match
+    // (an UNBALANCED quote, e.g. an unquoted attr value with an
+    // apostrophe: <p alt=don't>) is left in place and pass 2 strips
+    // it to the first '>' — exactly the old conservative rule, so
+    // malformed tags degrade to the legacy behavior instead of
+    // deleting document text.
+    val pass1 = regexp_replace(stripHidden(html),
+      "<(?:[^<>\"']|\"[^\"<]*\"|'[^'<]*')*>", " ")
+    val noTags = regexp_replace(pass1, "<[^>]*>", " ")
     cleanText(noTags)
   }
 

@@ -259,6 +259,14 @@ class ContainersSpec extends SparkSpec {
       (broken(broken.length / 2) ^ 0x5a).toByte
     val bp = one("Content-Encoding: gzip\r\n", broken)
     assert(bp.payload_err == "bad_payload" && bp.body == "")
+    // REPEATED field lines combine as a list (RFC 9110 §5.3): a
+    // double-gzipped body under two Content-Encoding lines must
+    // decode twice — last-wins header folding would ingest the
+    // still-gzipped middle layer as mojibake
+    val dbl = one("Content-Encoding: gzip\r\nContent-Encoding: gzip\r\n",
+      gzip(gzip(t)))
+    assert(dbl.body == text && dbl.payload_enc == "gzip+gzip" &&
+      dbl.payload_err == "", s"$dbl")
     // warcDocs drops payload-refused rows: no empty/garbage documents
     val media = Seq(
       (1L, resp("Content-Encoding: br\r\n", Array[Byte](1, 2, 3))),

@@ -54,6 +54,17 @@ class H264Spec extends SparkSpec {
     // a sample entry with NO config child box
     val bare = H264.parseMp4Codec(5L, H264.mp4WithCodec("avc1", "avcC", null))
     assert(bare.ok == 0 && bare.err == "bad_avcc")
+    // an exactly-7-byte record (cut inside the SPS length field) must
+    // refuse, never read past the buffer
+    val seven = H264.parseMp4Codec(6L, H264.mp4WithCodec("avc1", "avcC",
+      H264.avcCBytes(H264.spsBytes(66, 30, 80, 45)).take(7)))
+    assert(seven.ok == 0 && seven.err == "bad_avcc", s"$seven")
+    // a malformed exp-Golomb prefix (dozens of leading zero bits where
+    // pic_width would be) must refuse — Int wraparound would otherwise
+    // mint plausible-looking garbage dimensions under ok=1
+    val zeros = Array[Byte](0x67, 66, 0, 30,
+      0xE8.toByte, 0x00, 0x00, 0x00, 0x00, 0x01, 0x00, 0x00, 0x00, 0x01)
+    assert(H264.parseSps(zeros) == Left("bad_avcc"))
   }
 
   test("batched decode matches single-payload decode") {

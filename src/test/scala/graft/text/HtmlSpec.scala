@@ -87,6 +87,18 @@ class HtmlSpec extends SparkSpec {
     val cut = Seq("text <a href=\"x").toDF("h")
       .select(Html.htmlToText(col("h")).as("t")).collect().head.getString(0)
     assert(cut == "text <a href=\"x", s"'$cut'")
+    // an UNBALANCED quote (unquoted attr value with an apostrophe)
+    // must never swallow the visible text after the tag: the quoted
+    // branch can't cross '<', so pass 1 refuses and pass 2 strips the
+    // tag to its first '>' — the legacy conservative rule
+    val apos = Seq("<p alt=don't>it's fine</p> <b>tail</b>").toDF("h")
+      .select(Html.htmlToText(col("h")).as("t")).collect().head.getString(0)
+    assert(apos == "it's fine tail", s"'$apos'")
+    // quote-flood after an unclosed '<' stays linear and non-swallowing
+    val flood = "text < " + ("\"" * 2000) + " more"
+    val fl = Seq(flood).toDF("h")
+      .select(Html.htmlToText(col("h")).as("t")).collect().head.getString(0)
+    assert(fl.endsWith("more"), s"'${fl.takeRight(20)}'")
   }
 
   test("metadata: commented-out / scripted metadata is content, not markup") {
