@@ -2521,6 +2521,23 @@ object Queries {
       .withColumn("recall_bp", expr("(10000 * n_hit) div k"))
   }
 
+  /** The crawl-ingest ENCODING AUDIT — the rollup a 100 TB operator
+    * actually reads over q194's decode output: records and decoded
+    * text volume per (declared coding chain, refusal tag), one
+    * hash-aggregated groupBy over the per-record walk (map-side
+    * combine; no second pass over payload bytes). "How much of this
+    * crawl is chunked? how much brotli are we refusing?" reads
+    * straight off the table. */
+  def q202HttpAudit(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Containers.httpWarcCorpusFromDocuments(
+      tbl(spark, dir, "documents"))
+    graft.multimodal.Containers.decodeWarc(media).toDF()
+      .where(col("warc_type") === "response")
+      .groupBy(col("payload_enc"), col("payload_err"))
+      .agg(count(lit(1)).as("n_records"),
+        sum(length(col("body")).cast("long")).as("decoded_chars"))
+  }
+
   /** Audio fingerprints through the PERSISTED index family — proof the
     * standing near-dup machinery is hash-generic: the SAME
     * [[graft.dedup.PhashDiskIndex]] (banded layout, bucket files,
@@ -6793,6 +6810,7 @@ object Queries {
     "q199_crawl_ingest" -> (q199CrawlIngest _),
     "q200_audio_fp_index_probe" -> (q200AudioFpIndexProbe _),
     "q201_hadamard_pq" -> (q201HadamardPq _),
+    "q202_http_audit" -> (q202HttpAudit _),
     "q169_anim_webp_frames" -> (q169AnimWebpFrames _),
     "q170_cross_clip_dups" -> (q170CrossClipDups _),
     "q171_exif_headers" -> (q171ExifHeaders _),
@@ -7406,6 +7424,26 @@ object Queries {
         |UNION ALL
         |${selSql("hadamard", "h")}""".stripMargin
     },
+    // per-(coding, tag) record counts and decoded volume, every class
+    // closed-form from the q194 arm arithmetic (corpus text is ASCII,
+    // so char length agrees across engines)
+    "q202_http_audit" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 8 WHEN 0 THEN '' WHEN 1 THEN 'chunked'
+        |      WHEN 2 THEN 'gzip' WHEN 3 THEN 'deflate'
+        |      WHEN 4 THEN 'chunked+gzip' WHEN 5 THEN 'deflate'
+        |      WHEN 6 THEN 'br' ELSE 'gzip' END AS payload_enc,
+        |    CASE WHEN doc_id % 16 = 9 THEN 'bad_chunked'
+        |         WHEN doc_id % 8 = 6 THEN 'unsupported_encoding'
+        |         WHEN doc_id % 8 = 7 THEN 'bad_payload' ELSE '' END
+        |      AS payload_err,
+        |    CASE WHEN doc_id % 16 = 9 OR doc_id % 8 IN (6, 7) THEN 0
+        |         ELSE length(coalesce(text, '')) END AS chars
+        |  FROM documents)
+        |SELECT payload_enc, payload_err, count(*)::BIGINT AS n_records,
+        |  sum(chars)::BIGINT AS decoded_chars
+        |FROM r GROUP BY payload_enc, payload_err""".stripMargin,
     // brute pairs with a probe-side member over the replayed audio
     // fingerprints (banded probe recall exact at hd<=3 — q160's shape)
     "q200_audio_fp_index_probe" ->
