@@ -223,7 +223,13 @@ object Containers {
                     if (hhe < 0) (0, new String(b, ps, pe - ps, "UTF-8"), "", "")
                     else {
                       val headText = new String(b, ps, hhe - ps, "ISO-8859-1")
-                      val hlines = headText.split("\r\n")
+                      // RFC 9112 §5.2 obs-fold: a field line continued on the
+                      // next line with leading SP/HTAB is one logical line —
+                      // dropping it would truncate a folded Content-Encoding
+                      // chain and decode still-compressed bytes as text.
+                      val hlines = headText
+                        .replaceAll("\r\n[ \t]+", " ")
+                        .split("\r\n")
                       val m = "^HTTP/\\d\\.\\d (\\d{3})".r
                         .findFirstMatchIn(hlines(0))
                       // repeated field lines combine as a comma list

@@ -51,7 +51,10 @@ object H264 {
             (i + 16, (be32(b, i + 8).toLong << 32) | (be32(b, i + 12) & 0xffffffffL))
           else if (size32 == 0L) (i + 8, (hi - i).toLong)
           else (i + 8, size32)
-        val end = if (size < 8 || i + size > hi) hi else (i + size).toInt
+        // A size smaller than its own header (8, or 16 for largesize) is
+        // malformed — clamp to hi rather than yielding end < body, which
+        // would hand copyOfRange an inverted (cLo > cHi) avcC range.
+        val end = if (size < (body - i).toLong || i + size > hi) hi else (i + size).toInt
         val r = (typ, body, end)
         i = end
         r

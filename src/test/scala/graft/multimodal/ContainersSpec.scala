@@ -267,6 +267,12 @@ class ContainersSpec extends SparkSpec {
       gzip(gzip(t)))
     assert(dbl.body == text && dbl.payload_enc == "gzip+gzip" &&
       dbl.payload_err == "", s"$dbl")
+    // obs-fold (RFC 9112 §5.2): a continuation line with leading
+    // SP/HTAB belongs to the previous field line — dropping it would
+    // truncate the coding chain and decode still-gzipped bytes as text
+    val fold = one("Content-Encoding: gzip,\r\n\tgzip\r\n", gzip(gzip(t)))
+    assert(fold.body == text && fold.payload_enc == "gzip+gzip" &&
+      fold.payload_err == "", s"$fold")
     // warcDocs drops payload-refused rows: no empty/garbage documents
     val media = Seq(
       (1L, resp("Content-Encoding: br\r\n", Array[Byte](1, 2, 3))),

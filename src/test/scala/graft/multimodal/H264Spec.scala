@@ -67,6 +67,30 @@ class H264Spec extends SparkSpec {
     assert(H264.parseSps(zeros) == Left("bad_avcc"))
   }
 
+  test("a 64-bit largesize smaller than its 16-byte header clamps, never inverts the avcC range") {
+    def box(typ: String, body: Array[Byte]): Array[Byte] = {
+      val size = 8 + body.length
+      Array[Byte](((size >>> 24) & 0xff).toByte, ((size >>> 16) & 0xff).toByte,
+        ((size >>> 8) & 0xff).toByte, (size & 0xff).toByte) ++
+        typ.getBytes("ISO-8859-1") ++ body
+    }
+    // avcC with size32 = 1 (largesize form) but largesize = 12, i.e.
+    // smaller than its own 16-byte header: body would start at i+16
+    // while end = i+12 — pre-guard, copyOfRange(cLo > cHi) threw and
+    // killed the task; now it clamps to hi and refuses bad_avcc
+    val badAvcc = Array[Byte](0, 0, 0, 1) ++ "avcC".getBytes("ISO-8859-1") ++
+      Array[Byte](0, 0, 0, 0, 0, 0, 0, 12) ++ new Array[Byte](4)
+    val entryFixed = new Array[Byte](78); entryFixed(7) = 1
+    val entry = box("avc1", entryFixed ++ badAvcc)
+    val stsd = box("stsd", Array[Byte](0, 0, 0, 0, 0, 0, 0, 1) ++ entry)
+    val moov = box("moov", box("trak", box("mdia", box("minf",
+      box("stbl", stsd)))))
+    val ftyp = box("ftyp", "isom".getBytes("ISO-8859-1") ++
+      new Array[Byte](4) ++ "isom".getBytes("ISO-8859-1"))
+    val r = H264.parseMp4Codec(7L, ftyp ++ moov)
+    assert(r.ok == 0 && r.err == "bad_avcc", s"$r")
+  }
+
   test("batched decode matches single-payload decode") {
     val docs = Seq(0L, 1L, 2L, 3L, 4L, 5L, 20L, 11L).toDF("doc_id")
     val media = H264.mp4AvcCorpusFromDocuments(docs)
