@@ -53,12 +53,18 @@ object Containers {
     * declared coding failed to decode / blew the bomb bound),
     * `unsupported_encoding` (br and anything else without a decoder —
     * a LOUD refusal; passing compressed bytes through as UTF-8 would
-    * feed mojibake into dedup signatures and tokenizer counts).
+    * feed mojibake into dedup signatures and tokenizer counts), and
+    * `unsupported_charset` (a declared charset label with no decoder
+    * here — same discipline one layer up). `charset` is the canonical
+    * label the body text was decoded under (BOM > Content-Type header
+    * > meta sniff > utf-8; "" for non-HTTP records and pre-charset
+    * refusals; the raw unrecognized label on unsupported_charset so
+    * the audit sees WHICH charsets the crawl is losing).
     * Payload errors keep ok=1: the WARC record itself parsed. */
   final case class WarcRecord(
       media_id: Long, rec_index: Int, ok: Int, warc_type: String,
       url: String, http_status: Int, body: String, payload_bytes: Long,
-      payload_enc: String, payload_err: String)
+      payload_enc: String, payload_err: String, charset: String)
 
   private def indexOfCrlfCrlf(b: Array[Byte], from: Int, until: Int): Int = {
     var i = from
@@ -128,27 +134,116 @@ object Containers {
     run(false).orElse(run(true))
   }
 
+  /** WHATWG-style charset label folding: the labels real crawls
+    * declare, mapped to (canonical audit label, JVM charset name).
+    * Notably `iso-8859-1` / `latin1` / `ascii` fold to windows-1252 —
+    * the WHATWG encoding standard's rule, because real pages declaring
+    * latin-1 use the 0x80–0x9F range as cp1252 punctuation (€ “ ” –),
+    * and decoding them as true latin-1 mints C1 control characters
+    * into dedup signatures. `utf-16` without a BOM is LE (WHATWG),
+    * not the JVM's BE default. Anything not listed has no decoder
+    * here and refuses loudly with `unsupported_charset`. */
+  private val charsetLabels: Map[String, (String, String)] = {
+    def grp(canon: String, jvm: String, labels: String*) =
+      labels.map(_ -> (canon, jvm))
+    (grp("utf-8", "UTF-8", "utf-8", "utf8", "unicode-1-1-utf-8") ++
+      grp("windows-1252", "windows-1252", "windows-1252", "cp1252",
+        "x-cp1252", "iso-8859-1", "iso8859-1", "latin1", "l1",
+        "ascii", "us-ascii", "iso-ir-100", "iso_8859-1") ++
+      grp("iso-8859-2", "ISO-8859-2", "iso-8859-2", "latin2") ++
+      grp("iso-8859-15", "ISO-8859-15", "iso-8859-15", "latin9") ++
+      grp("windows-1250", "windows-1250", "windows-1250", "cp1250") ++
+      grp("windows-1251", "windows-1251", "windows-1251", "cp1251") ++
+      grp("windows-1254", "windows-1254", "windows-1254", "cp1254",
+        "iso-8859-9", "latin5") ++
+      grp("koi8-r", "KOI8-R", "koi8-r", "koi8") ++
+      grp("koi8-u", "KOI8-U", "koi8-u") ++
+      grp("shift_jis", "Shift_JIS", "shift_jis", "shift-jis", "sjis",
+        "x-sjis", "ms_kanji", "windows-31j") ++
+      grp("euc-jp", "EUC-JP", "euc-jp", "x-euc-jp") ++
+      grp("euc-kr", "EUC-KR", "euc-kr", "korean", "ks_c_5601-1987",
+        "cseuckr") ++
+      grp("gbk", "GBK", "gbk", "gb2312", "gb_2312", "x-gbk", "gb_2312-80",
+        "csgb2312") ++
+      grp("big5", "Big5", "big5", "big5-hkscs", "cn-big5", "x-x-big5") ++
+      grp("utf-16le", "UTF-16LE", "utf-16", "utf-16le") ++
+      grp("utf-16be", "UTF-16BE", "utf-16be")).toMap
+  }
+
+  /** Extract a `charset=` parameter value from a Content-Type-shaped
+    * string ("" when absent). Quoted and bare forms. */
+  private def charsetParam(contentType: String): String = {
+    val m = "(?i)charset\\s*=\\s*\"?\\s*([A-Za-z0-9._:+-]+)".r
+      .findFirstMatchIn(contentType)
+    m.map(_.group(1)).getOrElse("")
+  }
+
+  /** Resolve the charset for a decoded (post-content-coding) HTTP
+    * body. Precedence (the WHATWG order): byte-order mark > the
+    * Content-Type header's charset parameter > a `<meta charset>` /
+    * http-equiv declaration within the first 1024 bytes (text/html
+    * only — a meta-shaped byte string inside a plain-text or JSON
+    * body is content, not a declaration) > UTF-8. Returns
+    * Right((canonicalLabel, jvmName, bomLen)) or Left(rawLabel) when
+    * the declared label has no decoder here. */
+  private[multimodal] def resolveCharset(body: Array[Byte],
+      contentType: String): Either[String, (String, String, Int)] = {
+    if (body.length >= 3 && (body(0) & 0xff) == 0xef &&
+        (body(1) & 0xff) == 0xbb && (body(2) & 0xff) == 0xbf)
+      return Right(("utf-8", "UTF-8", 3))
+    if (body.length >= 2 && (body(0) & 0xff) == 0xfe && (body(1) & 0xff) == 0xff)
+      return Right(("utf-16be", "UTF-16BE", 2))
+    if (body.length >= 2 && (body(0) & 0xff) == 0xff && (body(1) & 0xff) == 0xfe)
+      return Right(("utf-16le", "UTF-16LE", 2))
+    def fold(label: String): Either[String, (String, String, Int)] = {
+      val l = label.trim.toLowerCase
+      charsetLabels.get(l) match {
+        case Some((canon, jvm)) => Right((canon, jvm, 0))
+        case None => Left(l)
+      }
+    }
+    val hdr = charsetParam(contentType)
+    if (hdr.nonEmpty) return fold(hdr)
+    val mediaType = contentType.split(";")(0).trim.toLowerCase
+    val htmlish = mediaType.isEmpty || mediaType == "text/html" ||
+      mediaType == "application/xhtml+xml"
+    if (htmlish) {
+      val prefix = new String(body, 0, math.min(1024, body.length),
+        "ISO-8859-1")
+      val meta = "(?i)<meta[^>]*charset\\s*=\\s*[\"']?\\s*([A-Za-z0-9._:+-]+)".r
+        .findFirstMatchIn(prefix)
+      meta.foreach(m => return fold(m.group(1)))
+    }
+    Right(("utf-8", "UTF-8", 0))
+  }
+
   /** Decode one HTTP message payload per its Transfer-Encoding /
     * Content-Encoding headers: dechunk first (transfer coding is the
     * outermost layer), then undo content codings in reverse of their
     * declared order. gzip/x-gzip, deflate, and zstd decode for real
     * (all bomb-bounded); `br` and unknown codings refuse loudly with
-    * `unsupported_encoding` — never mojibake. Returns
-    * (bodyText, declaredChain, errTag). */
+    * `unsupported_encoding` — never mojibake. The inflated bytes then
+    * decode to text under [[resolveCharset]]'s BOM > header > meta
+    * precedence (an unknown declared label refuses with
+    * `unsupported_charset`, keeping the raw label for the audit);
+    * malformed sequences in a KNOWN charset replace (the browser
+    * rule — a handful of bad bytes must not discard a page). Returns
+    * (bodyText, declaredChain, errTag, charsetLabel). */
   private def decodeHttpPayload(b: Array[Byte], bs: Int, be: Int,
-      httpHdrs: Map[String, String], maxBytes: Int): (String, String, String) = {
+      httpHdrs: Map[String, String], maxBytes: Int): (String, String, String, String) = {
     def tokens(h: String): Seq[String] = httpHdrs.getOrElse(h, "")
       .toLowerCase.split(",").iterator.map(_.trim)
       .filter(t => t.nonEmpty && t != "identity").toSeq
     val te = tokens("transfer-encoding")
     val ce = tokens("content-encoding")
     val declared = (te ++ ce).mkString("+")
-    if (te.exists(_ != "chunked")) return ("", declared, "unsupported_encoding")
+    if (te.exists(_ != "chunked"))
+      return ("", declared, "unsupported_encoding", "")
     val afterTe: Either[String, Array[Byte]] =
       if (te.nonEmpty) dechunk(b, bs, be)
       else Right(java.util.Arrays.copyOfRange(b, bs, be))
     afterTe match {
-      case Left(tag) => ("", declared, tag)
+      case Left(tag) => ("", declared, tag, "")
       case Right(raw0) =>
         var cur = raw0
         var err = ""
@@ -172,8 +267,13 @@ object Containers {
             case _ => err = "unsupported_encoding"
           }
         }
-        if (err.nonEmpty) ("", declared, err)
-        else (new String(cur, "UTF-8"), declared, "")
+        if (err.nonEmpty) ("", declared, err, "")
+        else resolveCharset(cur, httpHdrs.getOrElse("content-type", "")) match {
+          case Left(label) => ("", declared, "unsupported_charset", label)
+          case Right((canon, jvm, bom)) =>
+            (new String(cur, bom, cur.length - bom,
+              java.nio.charset.Charset.forName(jvm)), declared, "", canon)
+        }
     }
   }
 
@@ -187,7 +287,7 @@ object Containers {
       maxRecords: Int = 100000, maxBytes: Int = 1 << 26): Seq[WarcRecord] = {
     val out = Seq.newBuilder[WarcRecord]
     if (b == null || b.length == 0) {
-      out += WarcRecord(id, 0, 0, "", "", 0, "", 0L, "", "")
+      out += WarcRecord(id, 0, 0, "", "", 0, "", 0L, "", "", "")
       return out.result()
     }
     var i = 0
@@ -217,10 +317,11 @@ object Containers {
                     b(pe + 2) == '\r' && b(pe + 3) == '\n')) failed = true
               else {
                 val ctype = hdrs.getOrElse("content-type", "")
-                val (status, body, penc, perr) =
+                val (status, body, penc, perr, pcs) =
                   if (ctype.startsWith("application/http")) {
                     val hhe = indexOfCrlfCrlf(b, ps, pe)
-                    if (hhe < 0) (0, new String(b, ps, pe - ps, "UTF-8"), "", "")
+                    if (hhe < 0)
+                      (0, new String(b, ps, pe - ps, "UTF-8"), "", "", "")
                     else {
                       val headText = new String(b, ps, hhe - ps, "ISO-8859-1")
                       // RFC 9112 §5.2 obs-fold: a field line continued on the
@@ -243,15 +344,15 @@ object Containers {
                           l.substring(c + 1).trim)
                       }.toSeq.groupBy(_._1)
                         .map { case (k, vs) => k -> vs.map(_._2).mkString(",") }
-                      val (bstr, e0, x0) =
+                      val (bstr, e0, x0, c0) =
                         decodeHttpPayload(b, hhe + 4, pe, httpHdrs, maxBytes)
-                      (m.map(_.group(1).toInt).getOrElse(0), bstr, e0, x0)
+                      (m.map(_.group(1).toInt).getOrElse(0), bstr, e0, x0, c0)
                     }
-                  } else (0, new String(b, ps, pe - ps, "UTF-8"), "", "")
+                  } else (0, new String(b, ps, pe - ps, "UTF-8"), "", "", "")
                 out += WarcRecord(id, idx, 1,
                   hdrs.getOrElse("warc-type", ""),
                   hdrs.getOrElse("warc-target-uri", ""),
-                  status, body, len, penc, perr)
+                  status, body, len, penc, perr, pcs)
                 i = pe + 4
                 idx += 1
               }
@@ -260,14 +361,14 @@ object Containers {
         }
       }
     }
-    if (failed) out += WarcRecord(id, idx, 0, "", "", 0, "", 0L, "", "")
+    if (failed) out += WarcRecord(id, idx, 0, "", "", 0, "", 0L, "", "", "")
     // audit contract: hitting the record cap with bytes left must not
     // look fully ingested — surface ONE marker row, distinguishable
     // from a parse failure by its warc_type ("__truncated__" is not a
     // legal WARC-Type value), carrying the unconsumed byte count
     else if (idx >= maxRecords && i < b.length)
       out += WarcRecord(id, idx, 0, "__truncated__", "", 0, "",
-        (b.length - i).toLong, "", "")
+        (b.length - i).toLong, "", "", "")
     out.result()
   }
 
@@ -313,7 +414,7 @@ object Containers {
       .flatMap { case (id, p) =>
         inflate(p, eff, maxBytes) match {
           case Some(bytes) => parseWarc(id, bytes, maxBytes = maxBytes)
-          case None => Seq(WarcRecord(id, 0, 0, "", "", 0, "", 0L, "", ""))
+          case None => Seq(WarcRecord(id, 0, 0, "", "", 0, "", 0L, "", "", ""))
         }
       }
   }
@@ -446,6 +547,72 @@ object Containers {
           "Content-Type" -> "application/http; msgtype=response"),
           http)
         (id, info ++ resp)
+    }.toDF("media_id", "payload")
+  }
+
+  /** Deterministic CHARSET-DECLARATION WARC corpus — the q203
+    * generate-parse-replay fixture for byte→text decoding. Each doc
+    * becomes a 1-record container (an HTML response) whose body BYTES
+    * are a closed-form marker string under an id-derived charset and
+    * declaration channel; the decoded TEXT is closed-form in every
+    * arm, so the oracle restates bodies, charset labels, and refusal
+    * tags from id arithmetic. Arms (id%8):
+    *  0 utf-8 default (no declaration anywhere), non-ASCII content;
+    *  1 header-declared windows-1252 UNDER gzip content-coding
+    *    (charset resolution must run on the inflated bytes — smart
+    *    quotes / en-dash / euro in the 0x80–0x9F range);
+    *  2 `<meta charset=shift_jis>` sniff (header has no charset);
+    *  3 UTF-16LE BOM with a header claiming utf-8 — the BOM wins;
+    *  4 header `iso-8859-1` label over cp1252 bytes (0x85 0x80) —
+    *    the WHATWG latin1→windows-1252 fold;
+    *  5 `<meta http-equiv=Content-Type content="...; charset=euc-kr">`;
+    *  6 header-declared `x-mystery-8` → unsupported_charset refusal
+    *    (the raw label kept for the audit);
+    *  7 UTF-8 BOM — decoded text must NOT start with U+FEFF. */
+  def charsetWarcCorpusFromDocuments(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].map { id =>
+      def gzip(p: Array[Byte]): Array[Byte] = {
+        val bo = new java.io.ByteArrayOutputStream()
+        val g = new java.util.zip.GZIPOutputStream(bo)
+        g.write(p); g.close(); bo.toByteArray
+      }
+      val m8 = java.lang.Math.floorMod(id, 8L)
+      val (ctype, extraHdr, payload) = m8 match {
+        case 0L => ("text/html", "",
+          s"<p>Doc $id café</p>".getBytes("UTF-8"))
+        case 1L => ("text/html; charset=windows-1252",
+          "Content-Encoding: gzip\r\n",
+          gzip(s"<p>Doc $id “q”–€</p>"
+            .getBytes("windows-1252")))
+        case 2L => ("text/html", "",
+          (s"<meta charset=shift_jis><p>Doc $id " +
+            "日本語</p>").getBytes("Shift_JIS"))
+        case 3L => ("text/html; charset=utf-8", "",
+          Array[Byte](0xff.toByte, 0xfe.toByte) ++
+            s"<p>Doc $id Ω</p>".getBytes("UTF-16LE"))
+        case 4L => ("text/html; charset=iso-8859-1", "",
+          s"<p>Doc $id …€</p>".getBytes("windows-1252"))
+        case 5L => ("text/html", "",
+          ("<meta http-equiv=\"Content-Type\" " +
+            "content=\"text/html; charset=euc-kr\">" +
+            s"<p>Doc $id 한국</p>").getBytes("EUC-KR"))
+        case 6L => ("text/html; charset=x-mystery-8", "",
+          s"<p>Doc $id opaque</p>".getBytes("UTF-8"))
+        case _ => ("text/html", "",
+          Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+            s"<p>Doc $id plain</p>".getBytes("UTF-8"))
+      }
+      val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n$extraHdr\r\n")
+        .getBytes("ISO-8859-1") ++ payload
+      val resp = warcRecordBytes(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Target-URI" ->
+          s"http://site${java.lang.Math.floorMod(id, 7L)}.example/c$id",
+        "Content-Type" -> "application/http; msgtype=response"),
+        http)
+      (id, resp)
     }.toDF("media_id", "payload")
   }
 

@@ -2538,6 +2538,40 @@ object Queries {
         sum(length(col("body")).cast("long")).as("decoded_chars"))
   }
 
+  /** Charset-aware byte→text decoding through the gate — the layer a
+    * real crawl needs BETWEEN content-coding inflation (q194) and text
+    * extraction: BOM > Content-Type charset parameter > `<meta
+    * charset>` sniff (first 1024 bytes, text/html only) > UTF-8, with
+    * WHATWG label folding (latin1 → windows-1252, BOM-less utf-16 →
+    * LE) and a LOUD `unsupported_charset` refusal for labels without
+    * a decoder (the raw label kept for the audit). Every arm's
+    * recovered TEXT is closed-form — a Shift-JIS or cp1252 page comes
+    * back as the exact codepoints, not mojibake — including the
+    * charset-under-gzip composition and both BOM-strip arms. */
+  def q203CharsetDecode(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Containers.charsetWarcCorpusFromDocuments(
+      tbl(spark, dir, "documents"))
+    graft.multimodal.Containers.decodeWarc(media).toDF()
+      .select(col("media_id"), col("ok"), col("body"),
+        col("payload_enc"), col("payload_err"), col("charset"))
+  }
+
+  /** The crawl CHARSET AUDIT — q202's rollup one layer up: records
+    * and recovered text volume per (charset the body decoded under,
+    * refusal tag), one hash-aggregated groupBy over the per-record
+    * walk. "What share of this crawl is cp1252? which undeclared
+    * charsets are we refusing?" reads straight off the table — the
+    * drift signal a 100 TB ingest operator actually watches. */
+  def q204CharsetAudit(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Containers.charsetWarcCorpusFromDocuments(
+      tbl(spark, dir, "documents"))
+    graft.multimodal.Containers.decodeWarc(media).toDF()
+      .where(col("warc_type") === "response")
+      .groupBy(col("charset"), col("payload_err"))
+      .agg(count(lit(1)).as("n_records"),
+        sum(length(col("body")).cast("long")).as("decoded_chars"))
+  }
+
   /** Audio fingerprints through the PERSISTED index family — proof the
     * standing near-dup machinery is hash-generic: the SAME
     * [[graft.dedup.PhashDiskIndex]] (banded layout, bucket files,
@@ -6811,11 +6845,35 @@ object Queries {
     "q200_audio_fp_index_probe" -> (q200AudioFpIndexProbe _),
     "q201_hadamard_pq" -> (q201HadamardPq _),
     "q202_http_audit" -> (q202HttpAudit _),
+    "q203_charset_decode" -> (q203CharsetDecode _),
+    "q204_charset_audit" -> (q204CharsetAudit _),
     "q169_anim_webp_frames" -> (q169AnimWebpFrames _),
     "q170_cross_clip_dups" -> (q170CrossClipDups _),
     "q171_exif_headers" -> (q171ExifHeaders _),
     "q172_oriented_phash" -> (q172OrientedPhash _),
     "q173_id3_tags" -> (q173Id3Tags _))
+
+  // q203/q204 closed-form arm restatements (single-line so they embed
+  // in stripMargin oracles): the decoded body text and the canonical
+  // charset label per id%8 arm of charsetWarcCorpusFromDocuments
+  private val charsetBodySql: String =
+    "CASE doc_id % 8" +
+      " WHEN 0 THEN '<p>Doc ' || doc_id || ' café</p>'" +
+      " WHEN 1 THEN '<p>Doc ' || doc_id || ' “q”–€</p>'" +
+      " WHEN 2 THEN '<meta charset=shift_jis><p>Doc ' || doc_id || ' 日本語</p>'" +
+      " WHEN 3 THEN '<p>Doc ' || doc_id || ' Ω</p>'" +
+      " WHEN 4 THEN '<p>Doc ' || doc_id || ' …€</p>'" +
+      " WHEN 5 THEN '<meta http-equiv=\"Content-Type\" " +
+      "content=\"text/html; charset=euc-kr\"><p>Doc ' || doc_id || " +
+      "' 한국</p>'" +
+      " WHEN 6 THEN ''" +
+      " ELSE '<p>Doc ' || doc_id || ' plain</p>' END"
+
+  private val charsetLabelSql: String =
+    "CASE doc_id % 8 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'windows-1252'" +
+      " WHEN 2 THEN 'shift_jis' WHEN 3 THEN 'utf-16le'" +
+      " WHEN 4 THEN 'windows-1252' WHEN 5 THEN 'euc-kr'" +
+      " WHEN 6 THEN 'x-mystery-8' ELSE 'utf-8' END"
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -7444,6 +7502,30 @@ object Queries {
         |SELECT payload_enc, payload_err, count(*)::BIGINT AS n_records,
         |  sum(chars)::BIGINT AS decoded_chars
         |FROM r GROUP BY payload_enc, payload_err""".stripMargin,
+    // every charset arm's recovered text restated closed-form — the
+    // non-ASCII literals here ARE the check: a decoder shortcut that
+    // leaves cp1252/Shift-JIS bytes as mojibake hash-mismatches
+    "q203_charset_decode" ->
+      s"""SELECT doc_id AS media_id, 1::INTEGER AS ok,
+        |  $charsetBodySql AS body,
+        |  CASE WHEN doc_id % 8 = 1 THEN 'gzip' ELSE '' END AS payload_enc,
+        |  CASE WHEN doc_id % 8 = 6 THEN 'unsupported_charset' ELSE '' END
+        |    AS payload_err,
+        |  $charsetLabelSql AS charset
+        |FROM documents""".stripMargin,
+    // per-(charset, tag) record counts and recovered text volume,
+    // closed-form from the q203 arm arithmetic (length() is characters
+    // in both engines, so non-ASCII bodies agree)
+    "q204_charset_audit" ->
+      s"""WITH r AS (
+        |  SELECT $charsetLabelSql AS charset,
+        |    CASE WHEN doc_id % 8 = 6 THEN 'unsupported_charset' ELSE '' END
+        |      AS payload_err,
+        |    $charsetBodySql AS body
+        |  FROM documents)
+        |SELECT charset, payload_err, count(*)::BIGINT AS n_records,
+        |  sum(length(body))::BIGINT AS decoded_chars
+        |FROM r GROUP BY charset, payload_err""".stripMargin,
     // brute pairs with a probe-side member over the replayed audio
     // fingerprints (banded probe recall exact at hd<=3 — q160's shape)
     "q200_audio_fp_index_probe" ->

@@ -273,6 +273,13 @@ class ContainersSpec extends SparkSpec {
     val fold = one("Content-Encoding: gzip,\r\n\tgzip\r\n", gzip(gzip(t)))
     assert(fold.body == text && fold.payload_enc == "gzip+gzip" &&
       fold.payload_err == "", s"$fold")
+    // charset flows end-to-end: a cp1252 body under a declared header
+    // charset decodes to the exact codepoints (and gzip composes)
+    val cp = one("Content-Type: text/html; charset=windows-1252\r\n" +
+      "Content-Encoding: gzip\r\n",
+      gzip("a “b” – €".getBytes("windows-1252")))
+    assert(cp.body == "a “b” – €" &&
+      cp.charset == "windows-1252" && cp.payload_err == "", s"$cp")
     // warcDocs drops payload-refused rows: no empty/garbage documents
     val media = Seq(
       (1L, resp("Content-Encoding: br\r\n", Array[Byte](1, 2, 3))),
@@ -370,5 +377,61 @@ class ContainersSpec extends SparkSpec {
     } finally {
       graft.io.Lake.delete(spark, dir.toString)
     }
+  }
+
+  test("charset resolution: BOM > header > meta > utf-8, WHATWG folds, loud refusal") {
+    def res(body: Array[Byte], ct: String) = Containers.resolveCharset(body, ct)
+    // BOM wins over a contradicting header claim, and its bytes strip
+    assert(res(Array[Byte](0xff.toByte, 0xfe.toByte, 'a', 0),
+      "text/html; charset=utf-8") == Right(("utf-16le", "UTF-16LE", 2)))
+    assert(res(Array[Byte](0xfe.toByte, 0xff.toByte, 0, 'a'),
+      "text/html") == Right(("utf-16be", "UTF-16BE", 2)))
+    assert(res(Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte, 'x'),
+      "") == Right(("utf-8", "UTF-8", 3)))
+    // header param beats meta; quoted and bare forms both parse
+    assert(res("<meta charset=shift_jis>x".getBytes("UTF-8"),
+      "text/html; charset=\"euc-kr\"") == Right(("euc-kr", "EUC-KR", 0)))
+    // meta sniff: only without a header param, only text/html-ish
+    assert(res("<meta charset=shift_jis>x".getBytes("UTF-8"),
+      "text/html") == Right(("shift_jis", "Shift_JIS", 0)))
+    assert(res("<META HTTP-EQUIV=\"Content-Type\" CONTENT=\"text/html; charset=EUC-KR\">"
+      .getBytes("UTF-8"), "text/html") == Right(("euc-kr", "EUC-KR", 0)))
+    // a meta-shaped byte string in a plain-text body is content, not
+    // a declaration
+    assert(res("<meta charset=shift_jis>x".getBytes("UTF-8"),
+      "text/plain") == Right(("utf-8", "UTF-8", 0)))
+    // ...and only within the first 1024 bytes
+    val late = (" " * 1024 + "<meta charset=shift_jis>").getBytes("UTF-8")
+    assert(res(late, "text/html") == Right(("utf-8", "UTF-8", 0)))
+    // WHATWG folds: latin1/ascii -> windows-1252; BOM-less utf-16 -> LE
+    for (l <- Seq("iso-8859-1", "latin1", "US-ASCII", "cp1252"))
+      assert(res(Array.emptyByteArray, s"text/html; charset=$l") ==
+        Right(("windows-1252", "windows-1252", 0)), l)
+    assert(res(Array.emptyByteArray, "text/html; charset=UTF-16") ==
+      Right(("utf-16le", "UTF-16LE", 0)))
+    // unknown label: loud refusal carrying the raw folded label
+    assert(res(Array.emptyByteArray, "text/html; charset=x-mystery-8") ==
+      Left("x-mystery-8"))
+  }
+
+  test("charset corpus replays closed-form: every arm's text exact, BOMs stripped") {
+    val docs = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 9L, 11L).toDF("doc_id")
+    val media = Containers.charsetWarcCorpusFromDocuments(docs)
+    val rows = Containers.decodeWarc(media).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(rows(0L).body == "<p>Doc 0 café</p>" && rows(0L).charset == "utf-8")
+    assert(rows(1L).body == "<p>Doc 1 “q”–€</p>" &&
+      rows(1L).charset == "windows-1252" && rows(1L).payload_enc == "gzip")
+    assert(rows(2L).body == "<meta charset=shift_jis><p>Doc 2 日本語</p>" &&
+      rows(2L).charset == "shift_jis")
+    assert(rows(3L).body == "<p>Doc 3 Ω</p>" && rows(3L).charset == "utf-16le")
+    assert(rows(4L).body == "<p>Doc 4 …€</p>" &&
+      rows(4L).charset == "windows-1252")
+    assert(rows(5L).charset == "euc-kr" && rows(5L).body.endsWith("<p>Doc 5 한국</p>"))
+    assert(rows(6L).body == "" && rows(6L).payload_err == "unsupported_charset" &&
+      rows(6L).charset == "x-mystery-8" && rows(6L).ok == 1)
+    assert(rows(7L).body == "<p>Doc 7 plain</p>" && !rows(7L).body.startsWith("﻿"))
+    // arm stability across ids in the same class
+    assert(rows(9L).body == "<p>Doc 9 “q”–€</p>" && rows(11L).charset == "utf-16le")
   }
 }

@@ -110,6 +110,17 @@ class DecoderFuzzSpec extends SparkSpec {
     fuzz("warc-chunked-gzip",
       resp("Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n", chGz),
       b => Containers.parseWarc(1L, b))
+    // charset-declared bodies: corrupted Shift-JIS / UTF-16 bytes must
+    // REPLACE (browser rule), never throw; corrupted labels refuse
+    fuzz("warc-sjis",
+      resp("Content-Type: text/html; charset=shift_jis\r\n",
+        "<p>日本語テスト</p>".getBytes("Shift_JIS")),
+      b => Containers.parseWarc(1L, b))
+    fuzz("warc-utf16-bom",
+      resp("Content-Type: text/html\r\n",
+        Array[Byte](0xff.toByte, 0xfe.toByte) ++
+          "<p>utf16 page</p>".getBytes("UTF-16LE")),
+      b => Containers.parseWarc(1L, b))
   }
 
   test("tar entry walker survives 300 deterministic corruptions") {
