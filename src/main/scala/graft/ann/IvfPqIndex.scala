@@ -25,13 +25,34 @@ import org.apache.spark.sql.functions._
   * corpus — the drift response, which necessarily re-encodes. */
 object IvfPqIndex {
 
+  /** The rotated view of a vector frame — the exact ±1/√d Hadamard
+    * rotation ([[Rotation.hadamard]], OPQ-lite) applied per row,
+    * landing back in array<float> (the fused kernels' type; the float
+    * round-trip is IEEE-exact so the oracle replays it). This is the
+    * frame centroids and codebooks must be TRAINED on when an index
+    * is written with `rotated = true`. */
+  def rotatedView(df: DataFrame, vecCol: String, dim: Int): DataFrame =
+    df.withColumn(vecCol,
+      Rotation.hadamard(col(vecCol), dim).cast("array<float>"))
+
+  /** Write a fresh index. With `rotated = true` the index serves in
+    * the ROTATED space end-to-end: `corpus` arrives in the original
+    * embedding space and is rotated here at encode, the flag lands in
+    * meta, and every later lifecycle step (append / probe / refresh)
+    * rotates its own inputs — callers never pre-rotate. The supplied
+    * `centroids` + `cb` are trained artifacts and MUST come from the
+    * [[rotatedView]] of the training corpus when the flag is set
+    * (rotation before training is what spreads per-dimension variance
+    * across the m subspaces — the point of OPQ-lite). */
   def write(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, cb: DataFrame, m: Int, dim: Int, dir: String,
-      numBuckets: Int = 64, seq: Long = 0L): Unit = {
+      numBuckets: Int = 64, seq: Long = 0L,
+      rotated: Boolean = false): Unit = {
     val cents = centroids.select(col("cid").cast("long").as("cid"), col("cvec"))
+    val src = if (rotated) rotatedView(corpus, vecCol, dim) else corpus
     writeCodes(
-      packCodes(IvfPq.encode(corpus, idCol, vecCol, cents, cb, m, dim)),
-      cents, cb, m, dim, dir, numBuckets, seq)
+      packCodes(IvfPq.encode(src, idCol, vecCol, cents, cb, m, dim)),
+      cents, cb, m, dim, dir, numBuckets, seq, rotated = rotated)
     // a fresh write IS compaction (IndexLifecycle's contract)
     graft.ops.IndexLifecycle.clearTombstones(corpus.sparkSession, dir)
   }
@@ -46,7 +67,8 @@ object IvfPqIndex {
     * append / compact). */
   private def writeCodes(packed: DataFrame, cents: DataFrame,
       cb: DataFrame, m: Int, dim: Int, dir: String, numBuckets: Int,
-      seq: Long, mode: SaveMode = SaveMode.Overwrite): Unit = {
+      seq: Long, mode: SaveMode = SaveMode.Overwrite,
+      rotated: Boolean = false): Unit = {
     require(numBuckets >= 1, s"numBuckets must be >= 1: $numBuckets")
     val spark = packed.sparkSession
     if (mode == SaveMode.Overwrite) {
@@ -54,7 +76,8 @@ object IvfPqIndex {
       Lake.writeParquet(cb, s"$dir/codebooks")
       Lake.writeParquet(
         spark.range(1).select(lit(numBuckets.toLong).as("n_buckets"),
-          lit(m.toLong).as("m"), lit(dim.toLong).as("dim")),
+          lit(m.toLong).as("m"), lit(dim.toLong).as("dim"),
+          lit(if (rotated) 1L else 0L).as("rotated")),
         s"$dir/meta")
     }
     packed
@@ -81,8 +104,10 @@ object IvfPqIndex {
     val cents = centroids(spark, dir)
     val cb = codebooks(spark, dir)
     val (n, m, dim) = meta(spark, dir)
+    val src = if (rotated(spark, dir)) rotatedView(delta, vecCol, dim)
+      else delta
     writeCodes(
-      packCodes(IvfPq.encode(delta, idCol, vecCol, cents, cb, m, dim)),
+      packCodes(IvfPq.encode(src, idCol, vecCol, cents, cb, m, dim)),
       cents, cb, m, dim, dir, n, seq, mode = SaveMode.Append)
   }
 
@@ -109,7 +134,7 @@ object IvfPqIndex {
     val (n, m, dim) = meta(spark, dir)
     val cents = centroids(spark, dir)
     writeCodes(codes(spark, dir), cents, codebooks(spark, dir),
-      m, dim, outDir, n, seq)
+      m, dim, outDir, n, seq, rotated = rotated(spark, dir))
     graft.ops.IndexLifecycle.clearTombstones(spark, outDir)
   }
 
@@ -125,10 +150,17 @@ object IvfPqIndex {
     require(IvfIndex.canon(spark, outDir) != IvfIndex.canon(spark, dir),
       s"refresh must write a NEW versioned index dir, not overwrite '$dir' in place")
     val (n, m, dim) = meta(spark, dir)
-    val refined = Ann.ivfRefineCentroids(corpus, idCol, vecCol,
+    val rot = rotated(spark, dir)
+    // the standing centroids live in the index's serving space — with
+    // rotation on, warm-start and retrain against the ROTATED corpus
+    // view (write() re-applies the rotation at encode; the flag rides
+    // to the new version)
+    val src = if (rot) rotatedView(corpus, vecCol, dim) else corpus
+    val refined = Ann.ivfRefineCentroids(src, idCol, vecCol,
       centroids(spark, dir), iters)
-    val cb = IvfPq.trainCodebooks(corpus, idCol, vecCol, refined, m, dim)
-    write(corpus, idCol, vecCol, refined, cb, m, dim, outDir, n, seq)
+    val cb = IvfPq.trainCodebooks(src, idCol, vecCol, refined, m, dim)
+    write(corpus, idCol, vecCol, refined, cb, m, dim, outDir, n, seq,
+      rotated = rot)
   }
 
   private def requireIndex(spark: SparkSession, dir: String): Unit =
@@ -153,6 +185,16 @@ object IvfPqIndex {
     val r = graft.ops.IndexLifecycle.singleMetaRow(spark, dir,
       Seq("n_buckets", "m", "dim"), "IVF-PQ index")
     (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2).toInt)
+  }
+
+  /** Whether the index serves in the rotated (OPQ-lite) space —
+    * stored in meta at write time so every lifecycle step agrees.
+    * Indexes written before the flag existed read as not rotated. */
+  def rotated(spark: SparkSession, dir: String): Boolean = {
+    requireIndex(spark, dir)
+    val df = Lake.readParquet(spark, s"$dir/meta")
+    df.columns.contains("rotated") &&
+      df.select(col("rotated")).head.getLong(0) == 1L
   }
 
   /** The full LIVE packed code frame (id, cell, codes). */
@@ -185,20 +227,25 @@ object IvfPqIndex {
   }
 
   /** Probed-cell ADC scores against the persisted codes: probe cells
-    * (fused kernel), read ONLY their buckets, unpack, score. */
+    * (fused kernel), read ONLY their buckets, unpack, score. Queries
+    * arrive in the ORIGINAL embedding space; a rotated index rotates
+    * them here — the rotation is a per-query expression, zero cost on
+    * the corpus side of the plan. */
   def probeScores(spark: SparkSession, dir: String, queries: DataFrame,
       idCol: String, vecCol: String, nProbe: Int): DataFrame = {
     val cents = centroids(spark, dir)
     val cb = codebooks(spark, dir)
     val (_, m, dim) = meta(spark, dir)
+    val q = if (rotated(spark, dir)) rotatedView(queries, vecCol, dim)
+      else queries
     val probes = graft.ops.CacheScope.persist(
-      Ann.ivfProbes(queries, cents, idCol, vecCol, nProbe))
+      Ann.ivfProbes(q, cents, idCol, vecCol, nProbe))
     val probeCells = probes.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).toSeq // ≤ |centroids| values
     val unpacked = prunedCodes(spark, dir, probeCells)
       .select(col("id").as("vec_id"), col("cell"),
         posexplode(col("codes")).as(Seq("s", "code")))
-    IvfPq.adcScoresFromProbes(probes, queries, unpacked, cents, cb,
+    IvfPq.adcScoresFromProbes(probes, q, unpacked, cents, cb,
       idCol, vecCol, m, dim)
   }
 
@@ -212,7 +259,11 @@ object IvfPqIndex {
       probeScores(spark, dir, queries, idCol, vecCol, nProbe), k)
 
   /** The serving ladder against the persisted index: ADC proposes,
-    * the caller-supplied fp32 `corpus` reranks. */
+    * the caller-supplied fp32 `corpus` reranks. On a rotated index
+    * the PROPOSALS come from the rotated space (probeScores rotates
+    * the queries) while the rerank scores exact dots in the ORIGINAL
+    * space — rotation is orthogonal, so the original-space dot is the
+    * true objective and callers never pre-rotate anything. */
   def probeRerankTopK(spark: SparkSession, dir: String, queries: DataFrame,
       corpus: DataFrame, idCol: String, vecCol: String, k: Int,
       nProbe: Int, rerank: Int): DataFrame =

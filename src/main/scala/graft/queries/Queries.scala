@@ -2307,6 +2307,35 @@ object Queries {
       "vec_id", "embedding", k = 8, nProbe = 3)
   }
 
+  /** The Hadamard rotation ON the persisted serving path — q201
+    * proved the recall uplift in-memory; this is the production form:
+    * an IVF-PQ index written with `rotated = true` (centroids +
+    * residual codebooks trained on the rotated view, flag in meta),
+    * fed and probed with ORIGINAL-space vectors through the full
+    * lifecycle (write evens / append odds / probe every-20th) — the
+    * index rotates internally at every step. The oracle replays the
+    * q190 chain wholesale over the exactly-replayable ±1/8 rotated
+    * frame: parity here proves the persisted rotated tier equals the
+    * from-scratch rotated-space computation. */
+  def q205RotatedIndexProbe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val rot = graft.ops.CacheScope.persist(
+      graft.ann.IvfPqIndex.rotatedView(emb, "embedding", 64))
+    val cents = graft.ann.Ann.ivfTrainCentroids(rot, "vec_id", "embedding",
+      stride = 16, iters = 2)
+    val cb = graft.ann.IvfPq.trainCodebooks(rot, "vec_id", "embedding",
+      cents, m = 8, dim = 64)
+    val idx = tmpLifecycleDir("graft-q205")
+    graft.ann.IvfPqIndex.write(emb.where(pmod(col("vec_id"), lit(2)) === 0),
+      "vec_id", "embedding", cents, cb, 8, 64, idx, numBuckets = 8,
+      seq = 1L, rotated = true)
+    graft.ann.IvfPqIndex.append(emb.where(pmod(col("vec_id"), lit(2)) === 1),
+      "vec_id", "embedding", idx, seq = 2L)
+    graft.ann.IvfPqIndex.probeTopK(spark, idx,
+      emb.where(pmod(col("vec_id"), lit(20)) === 0),
+      "vec_id", "embedding", k = 8, nProbe = 3)
+  }
+
   /** HTML structural metadata through the gate — the crawl-pipeline
     * keys q128's text extractor throws away: <title> (entities +
     * whitespace), meta description (the four order × quote shapes
@@ -3974,13 +4003,14 @@ object Queries {
     * sums with a sequential-fold L2 normalization — the exact
     * arithmetic of Ann.ivfRefineCentroids, so the replay is
     * bit-identical. */
-  private def duckLloydRound(in: String, out: String): String =
+  private def duckLloydRound(in: String, out: String,
+      src: String = "embeddings"): String =
     s"""${out}_a AS (
        |  SELECT vec_id, embedding, cid FROM (
        |    SELECT e.vec_id, e.embedding, c.cid,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${duckDot("e.embedding", "c.cvec")} DESC, c.cid) AS rn
-       |    FROM embeddings e CROSS JOIN $in c) t WHERE rn = 1),
+       |    FROM $src e CROSS JOIN $in c) t WHERE rn = 1),
        |${out}_g AS (
        |  SELECT cell, i,
        |    sum(floor(x::DOUBLE * 16777216.0)::BIGINT)::DOUBLE / 16777216.0 AS s
@@ -4004,14 +4034,15 @@ object Queries {
     * cent/asg0/asg/cells assignment (argmax with the d DESC, cid
     * tie-break) — ONE definition shared by the q38/q60/q72/q111
     * oracles. */
-  private lazy val duckIvfCellsCtes: String =
+  private lazy val duckIvfCellsCtes: String = duckIvfCellsCtesFor("embeddings")
+  private def duckIvfCellsCtesFor(src: String): String =
     s"""cent_seed AS (
-       |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 16 = 0),
-       |${duckLloydRound("cent_seed", "cent_r1")},
-       |${duckLloydRound("cent_r1", "cent")},
+       |  SELECT vec_id AS cid, embedding AS cvec FROM $src WHERE vec_id % 16 = 0),
+       |${duckLloydRound("cent_seed", "cent_r1", src)},
+       |${duckLloydRound("cent_r1", "cent", src)},
        |asg0 AS (
        |  SELECT e.vec_id, e.embedding, c.cid, ${duckDot("e.embedding", "c.cvec")} AS d
-       |  FROM embeddings e CROSS JOIN cent c),
+       |  FROM $src e CROSS JOIN cent c),
        |asg AS (
        |  SELECT vec_id, embedding, cid,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
@@ -4245,10 +4276,27 @@ object Queries {
     * IvfPq.trainCodebooks/encode/adcProbeScores end-to-end.
     * Parametrized over the query-batch predicate and nProbe so the
     * q188/q189 (default) and q190 (lifecycle probe) chains share it. */
+  /** DuckDB fragment: the exact ±1/8 Hadamard rotation of the
+    * embeddings table (H(i,j) = (−1)^popcount(i AND j) / 8 — every
+    * entry a power of two, so the rotated frame replays
+    * bit-identically), landed back in FLOAT (the kernels' IEEE
+    * round-trip). Shared by the q201 A/B and the q205 rotated-index
+    * lifecycle chain. */
+  private lazy val duckHadamardCte: String =
+    """hrot AS (
+      |  SELECT vec_id,
+      |    list_transform(range(0, 64), j ->
+      |      (list_reduce(list_prepend(0.0::DOUBLE,
+      |        list_transform(list_zip(embedding, range(0, 64)),
+      |          p -> CASE WHEN bit_count(p[2] & j) % 2 = 0
+      |               THEN p[1]::DOUBLE ELSE -(p[1]::DOUBLE) END)),
+      |        (x, y) -> x + y) / 8.0)::FLOAT) AS embedding
+      |  FROM embeddings)""".stripMargin
+
   private lazy val duckIvfPqCtes: String = duckIvfPqCtesFor()
   private def duckIvfPqCtesFor(queryWhere: String = "vec_id < 25",
-      nProbe: Int = 4): String =
-    s"""${duckIvfPqBase(queryWhere)},
+      nProbe: Int = 4, src: String = "embeddings"): String =
+    s"""${duckIvfPqBase(queryWhere, src)},
        |ippr AS (
        |  SELECT query_id, cell, cfx FROM ipprall WHERE prn <= $nProbe),
        |ipsc AS (
@@ -4265,8 +4313,9 @@ object Queries {
     * residual codebooks/encoding, the FULL per-query cell ranking
     * (ipprall, prn kept — the q151 shared-ranking shape), and the
     * residual ADC table. Arms cut `WHERE prn <= nProbe`. */
-  private def duckIvfPqBase(queryWhere: String): String =
-    s"""$duckIvfCellsCtes,
+  private def duckIvfPqBase(queryWhere: String,
+      src: String = "embeddings"): String =
+    s"""${duckIvfCellsCtesFor(src)},
        |rres AS (
        |  SELECT cl.vec_id, cl.cell,
        |    list_transform(list_zip(cl.embedding, c.cvec),
@@ -4289,7 +4338,7 @@ object Queries {
        |        ORDER BY ${duckL2sq("u.sv", "c.cvec")} ASC, c.code) AS rn
        |    FROM rsubs u JOIN rcb c ON u.s = c.s) t WHERE rn = 1),
        |ipq AS (SELECT vec_id AS query_id, embedding AS q_vec
-       |        FROM embeddings WHERE $queryWhere),
+       |        FROM $src WHERE $queryWhere),
        |ipp0 AS (
        |  SELECT q.query_id, c.cid, ${duckDot("q.q_vec", "c.cvec")} AS d
        |  FROM ipq q CROSS JOIN cent c),
@@ -4303,7 +4352,7 @@ object Queries {
        |  SELECT e.vec_id AS query_id, ss.s AS s,
        |    list_transform(e.embedding[ss.s*8+1 : ss.s*8+8],
        |      x -> x::DOUBLE) AS sv
-       |  FROM embeddings e,
+       |  FROM $src e,
        |    (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) ss(s)
        |  WHERE $queryWhere),
        |rtab AS (
@@ -6847,6 +6896,7 @@ object Queries {
     "q202_http_audit" -> (q202HttpAudit _),
     "q203_charset_decode" -> (q203CharsetDecode _),
     "q204_charset_audit" -> (q204CharsetAudit _),
+    "q205_rotated_index_probe" -> (q205RotatedIndexProbe _),
     "q169_anim_webp_frames" -> (q169AnimWebpFrames _),
     "q170_cross_clip_dups" -> (q170CrossClipDups _),
     "q171_exif_headers" -> (q171ExifHeaders _),
@@ -7449,15 +7499,7 @@ object Queries {
           |    // count(*))::BIGINT AS recall_bp
           |FROM brute b LEFT JOIN served_$p s
           |  ON b.query_id = s.query_id AND b.neighbor_id = s.neighbor_id""".stripMargin
-      s"""WITH hrot AS (
-        |  SELECT vec_id,
-        |    list_transform(range(0, 64), j ->
-        |      (list_reduce(list_prepend(0.0::DOUBLE,
-        |        list_transform(list_zip(embedding, range(0, 64)),
-        |          p -> CASE WHEN bit_count(p[2] & j) % 2 = 0
-        |               THEN p[1]::DOUBLE ELSE -(p[1]::DOUBLE) END)),
-        |        (x, y) -> x + y) / 8.0)::FLOAT) AS embedding
-        |  FROM embeddings),
+      s"""WITH $duckHadamardCte,
         |${duckPqCtesFor("embeddings", "pq")},
         |${duckPqCtesFor("hrot", "h")},
         |bs AS (
@@ -8177,6 +8219,20 @@ object Queries {
     // at the q190 batch/nProbe/k
     "q190_ivfpq_index_probe" ->
       s"""WITH ${duckIvfPqCtesFor(queryWhere = "vec_id % 20 = 0", nProbe = 3)}
+        |SELECT query_id, rank::INTEGER AS rank, neighbor_id,
+        |  round(fx::DOUBLE / 16777216.0, 6) AS adc
+        |FROM (SELECT query_id, neighbor_id, fx,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY fx DESC, neighbor_id) AS rank
+        |  FROM ipsc) t WHERE rank <= 8""".stripMargin,
+    // the q190 lifecycle chain replayed wholesale over the rotated
+    // frame — centroids, residual codebooks, encoding, probes, and
+    // ADC all in the rotated space, exactly what the persisted index
+    // with rotated=true serves
+    "q205_rotated_index_probe" ->
+      s"""WITH $duckHadamardCte,
+        |${duckIvfPqCtesFor(queryWhere = "vec_id % 20 = 0", nProbe = 3,
+            src = "hrot")}
         |SELECT query_id, rank::INTEGER AS rank, neighbor_id,
         |  round(fx::DOUBLE / 16777216.0, 6) AS adc
         |FROM (SELECT query_id, neighbor_id, fx,

@@ -165,4 +165,59 @@ class IvfPqSpec extends SparkSpec {
       Lake.delete(spark, dir); Lake.delete(spark, dir2); Lake.delete(spark, dir3)
     }
   }
+
+  test("rotated index: persisted == fresh over the rotated view; flag rides the lifecycle") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqrot").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("ivfpqrot").toString
+    try {
+      // artifacts trained in the ROTATED space (the write contract);
+      // corpus/queries below stay in the ORIGINAL space throughout —
+      // the index rotates internally at encode, append, and probe
+      val rotCorpus = IvfPqIndex.rotatedView(corpus, "embedding", 64)
+      val rotCents = rotCorpus.where(pmod($"vec_id", lit(16)) === 0)
+        .select($"vec_id".cast("long").as("cid"), $"embedding".as("cvec"))
+      val cb = IvfPq.trainCodebooks(rotCorpus, "vec_id", "embedding",
+        rotCents, m = 8, dim = 64)
+      val queries = corpus.where($"vec_id" < 3)
+
+      IvfPqIndex.write(corpus.where(pmod($"vec_id", lit(2)) === 0),
+        "vec_id", "embedding", rotCents, cb, 8, 64, dir,
+        numBuckets = 8, seq = 1L, rotated = true)
+      assert(IvfPqIndex.rotated(spark, dir))
+      IvfPqIndex.append(corpus.where(pmod($"vec_id", lit(2)) === 1),
+        "vec_id", "embedding", dir, seq = 2L)
+
+      val persisted = asSet(IvfPqIndex.probeTopK(spark, dir, queries,
+        "vec_id", "embedding", k = 10, nProbe = 2))
+      val rotQueries = IvfPqIndex.rotatedView(queries, "embedding", 64)
+      val fresh = asSet(IvfPq.probeTopK(rotQueries,
+        IvfPq.encode(rotCorpus, "vec_id", "embedding", rotCents, cb, 8, 64),
+        rotCents, cb, "vec_id", "embedding", 8, 64, k = 10, nProbe = 2))
+      assert(persisted == fresh && fresh.nonEmpty,
+        "rotated persisted probe must equal the fresh rotated-space probe")
+
+      // compact carries the flag and the probe set
+      IvfPqIndex.compact(spark, dir, dir2, seq = 3L)
+      assert(IvfPqIndex.rotated(spark, dir2))
+      assert(asSet(IvfPqIndex.probeTopK(spark, dir2, queries,
+        "vec_id", "embedding", k = 10, nProbe = 2)) == persisted)
+
+      // the rerank ladder: rotated proposals, ORIGINAL-space exact
+      // rescore — the neighbor ids it serves must all come from the
+      // original corpus and the ranks from original-space dots
+      val ladder = IvfPqIndex.probeRerankTopK(spark, dir, queries,
+        corpus, "vec_id", "embedding", k = 5, nProbe = 2, rerank = 20)
+      assert(ladder.count() > 0)
+
+      // refresh retrains in the rotated space and carries the flag
+      Lake.delete(spark, dir2)
+      IvfPqIndex.refresh(spark, dir, corpus, "vec_id", "embedding",
+        dir2, iters = 1)
+      assert(IvfPqIndex.rotated(spark, dir2))
+      assert(asSet(IvfPqIndex.probeTopK(spark, dir2, queries,
+        "vec_id", "embedding", k = 10, nProbe = 2)).nonEmpty)
+    } finally {
+      Lake.delete(spark, dir); Lake.delete(spark, dir2)
+    }
+  }
 }
