@@ -2307,6 +2307,51 @@ object Queries {
       "vec_id", "embedding", k = 8, nProbe = 3)
   }
 
+  /** The nProbe × rerank DEPLOYMENT TABLE — the two serving-cost
+    * knobs swept together at the widest codebook (k=256). q195 showed
+    * width barely moves recall; the first cut of this table showed
+    * rerank alone doesn't either (flat at nProbe 4 — the probed-cell
+    * pool is already exhausted at rerank 30). The 2D grid shows WHERE
+    * recall actually comes from: cell coverage (nProbe — scan cost)
+    * vs exact-rescore budget (rerank — fetch cost). One codebook
+    * family and one encode; per-nProbe ADC score passes are shared
+    * across their rerank cuts via CacheScope. */
+  def q206PqRerankSweep(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val queries = emb.where(col("vec_id") < 25)
+    val cents = trainedCentroids(spark, dir)
+    val brute = graft.ann.Ann.bruteForceTopK(queries, emb,
+        "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val cb = graft.ann.IvfPq.trainCodebooks(emb, "vec_id", "embedding",
+      cents, m = 8, dim = 64, stride = 1, k = 256)
+    val codes = graft.ops.CacheScope.persist(
+      graft.ann.IvfPq.encode(emb, "vec_id", "embedding", cents, cb, 8, 64))
+    val arms = for {
+      np <- Seq(2, 4, 8)
+      scores = graft.ops.CacheScope.persist(
+        graft.ann.IvfPq.adcProbeScores(queries, codes, cents, cb,
+          "vec_id", "embedding", 8, 64, nProbe = np))
+      rr <- Seq(30, 300)
+    } yield graft.ann.IvfPq.rerankTopK(scores, queries, emb,
+        "vec_id", "embedding", k = 10, rerank = rr)
+      .select(lit(np.toLong).as("n_probe"), lit(rr.toLong).as("rerank"),
+        col("query_id"), col("neighbor_id"))
+    val served = arms.reduce(_ unionByName _)
+    val grid = Seq(2, 4, 8).flatMap(np => Seq(30, 300).map(rr =>
+      struct(lit(np.toLong), lit(rr.toLong))))
+    brute.select(col("query_id"), col("neighbor_id"),
+        explode(array(grid: _*)).as("g"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("g.col1").as("n_probe"), col("g.col2").as("rerank"))
+      .join(served.withColumn("hit", lit(1L)),
+        Seq("n_probe", "rerank", "query_id", "neighbor_id"), "left")
+      .groupBy(col("n_probe"), col("rerank")).agg(
+        count(lit(1)).as("k"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall_bp", expr("(10000 * n_hit) div k"))
+  }
+
   /** The Hadamard rotation ON the persisted serving path — q201
     * proved the recall uplift in-memory; this is the production form:
     * an IVF-PQ index written with `rotated = true` (centroids +
@@ -6897,6 +6942,7 @@ object Queries {
     "q203_charset_decode" -> (q203CharsetDecode _),
     "q204_charset_audit" -> (q204CharsetAudit _),
     "q205_rotated_index_probe" -> (q205RotatedIndexProbe _),
+    "q206_pq_rerank_sweep" -> (q206PqRerankSweep _),
     "q169_anim_webp_frames" -> (q169AnimWebpFrames _),
     "q170_cross_clip_dups" -> (q170CrossClipDups _),
     "q171_exif_headers" -> (q171ExifHeaders _),
@@ -8179,6 +8225,79 @@ object Queries {
         |      row_number() OVER (PARTITION BY query_id
         |        ORDER BY cos DESC, neighbor_id) AS rank
         |    FROM bs) t WHERE rank <= 10),
+        |$arms
+        |$sel""".stripMargin
+    },
+    // ONE k=256 codebook family; per-nProbe score passes; per-arm
+    // candidate cuts — the 2D (nProbe, rerank) grid replayed
+    "q206_pq_rerank_sweep" -> {
+      val grid = for (np <- Seq(2, 4, 8); rr <- Seq(30, 300)) yield (np, rr)
+      val perNp = Seq(2, 4, 8).map { np =>
+        s"""ippr_n$np AS (
+          |  SELECT query_id, cell, cfx FROM ipprall WHERE prn <= $np),
+          |ipsc_n$np AS (
+          |  SELECT pr.query_id, n.vec_id AS neighbor_id,
+          |    min(pr.cfx) + sum(t.pfx) AS fx
+          |  FROM renc_w n
+          |  JOIN ippr_n$np pr ON pr.cell = n.cell
+          |  JOIN rtab_w t ON t.query_id = pr.query_id
+          |    AND t.s = n.s AND t.code = n.code
+          |  WHERE n.vec_id != pr.query_id
+          |  GROUP BY pr.query_id, n.vec_id)""".stripMargin
+      }.mkString(",\n")
+      val arms = grid.map { case (np, rr) =>
+        s"""cand_n${np}_r$rr AS (
+          |  SELECT query_id, neighbor_id FROM (
+          |    SELECT query_id, neighbor_id,
+          |      row_number() OVER (PARTITION BY query_id
+          |        ORDER BY fx DESC, neighbor_id) AS crn
+          |    FROM ipsc_n$np) t WHERE crn <= $rr),
+          |served_n${np}_r$rr AS (
+          |  SELECT query_id, neighbor_id FROM (
+          |    SELECT c.query_id, c.neighbor_id,
+          |      row_number() OVER (PARTITION BY c.query_id
+          |        ORDER BY bs.cos DESC, c.neighbor_id) AS rank
+          |    FROM cand_n${np}_r$rr c JOIN bs ON bs.query_id = c.query_id
+          |      AND bs.neighbor_id = c.neighbor_id) t
+          |  WHERE rank <= 10)""".stripMargin
+      }.mkString(",\n")
+      val sel = grid.map { case (np, rr) =>
+        s"""SELECT $np::BIGINT AS n_probe, $rr::BIGINT AS rerank,
+          |  count(*)::BIGINT AS k,
+          |  sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+          |  ((10000 * sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END))
+          |    // count(*))::BIGINT AS recall_bp
+          |FROM brute b LEFT JOIN served_n${np}_r$rr s
+          |  ON b.query_id = s.query_id AND b.neighbor_id = s.neighbor_id""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ${duckIvfPqBase("vec_id < 25")},
+        |bs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(${duckDot("q.embedding", "c.embedding")}, 6) AS cos
+        |  FROM embeddings q CROSS JOIN embeddings c
+        |  WHERE q.vec_id < 25 AND c.vec_id != q.vec_id),
+        |brute AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos DESC, neighbor_id) AS rank
+        |    FROM bs) t WHERE rank <= 10),
+        |rcb0_w AS (
+        |  SELECT s, vec_id AS code, sv AS cvec FROM rsubs
+        |  WHERE vec_id < 256),
+        |${duckPqRound("rcb0_w", "rcb1_w", subs = "rsubs")},
+        |${duckPqRound("rcb1_w", "rcb_w", subs = "rsubs")},
+        |renc_w AS (
+        |  SELECT vec_id, cell, s, code FROM (
+        |    SELECT u.vec_id, u.cell, u.s, c.code,
+        |      row_number() OVER (PARTITION BY u.vec_id, u.s
+        |        ORDER BY ${duckL2sq("u.sv", "c.cvec")} ASC, c.code) AS rn
+        |    FROM rsubs u JOIN rcb_w c ON u.s = c.s) t WHERE rn = 1),
+        |rtab_w AS (
+        |  SELECT u.query_id, u.s, c.code,
+        |    floor(${duckDotD("u.sv", "c.cvec")} * 16777216.0)::BIGINT AS pfx
+        |  FROM rqsubs u JOIN rcb_w c ON u.s = c.s),
+        |$perNp,
         |$arms
         |$sel""".stripMargin
     },

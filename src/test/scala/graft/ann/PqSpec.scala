@@ -67,6 +67,40 @@ class PqSpec extends SparkSpec {
     assert(r50 > 0.5, s"rerank 50 should recover most of the list: $r50")
   }
 
+  test("probed candidate pools NEST in nProbe — the q206 monotonicity, structurally") {
+    // recall monotonicity in nProbe follows from the candidate sets
+    // nesting (more probed cells only ever ADD candidates) and the
+    // rerank cut keeping a prefix of an identically-ordered list —
+    // pin the set containment itself, which is exact
+    val cents = emb.where(pmod($"vec_id", lit(16)) === 0)
+      .select($"vec_id".cast("long").as("cid"), $"embedding".as("cvec"))
+    val cb = IvfPq.trainCodebooks(emb, "vec_id", "embedding", cents, 8, 64)
+    val codes = graft.ops.CacheScope.persist(
+      IvfPq.encode(emb, "vec_id", "embedding", cents, cb, 8, 64))
+    val queries = emb.where($"vec_id" < 5)
+    def cands(np: Int): Set[(Long, Long)] =
+      IvfPq.adcProbeScores(queries, codes, cents, cb,
+          "vec_id", "embedding", 8, 64, nProbe = np)
+        .select($"query_id", $"neighbor_id").as[(Long, Long)]
+        .collect().toSet
+    val c1 = cands(1); val c2 = cands(2); val c4 = cands(4)
+    assert(c1.subsetOf(c2) && c2.subsetOf(c4),
+      s"probed pools must nest: ${c1.size} ⊆ ${c2.size} ⊆ ${c4.size}")
+    assert(c4.size > c1.size, "more cells must actually widen the pool here")
+    // and within one pool, scores are cut-stable: the top-30 ADC list
+    // is a prefix of the top-300 list (same ordering, longer cut)
+    val scores = IvfPq.adcProbeScores(queries, codes, cents, cb,
+      "vec_id", "embedding", 8, 64, nProbe = 4)
+    def topIds(rr: Int): Map[Long, Seq[Long]] =
+      IvfPq.rankTopK(scores, rr).select($"query_id", $"rank", $"neighbor_id")
+        .as[(Long, Int, Long)].collect().toSeq
+        .groupBy(_._1).map { case (q, xs) =>
+          q -> xs.sortBy(_._2).map(_._3) }
+    val t5 = topIds(5); val t20 = topIds(20)
+    assert(t5.forall { case (q, ids) => t20(q).take(ids.length) == ids },
+      "the shorter cut must be a prefix of the longer one")
+  }
+
   test("the subspace split guards ragged dims loudly") {
     intercept[IllegalArgumentException] {
       Pq.subVectors(emb, "vec_id", "embedding", 7, 64)
