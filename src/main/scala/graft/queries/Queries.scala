@@ -2307,6 +2307,50 @@ object Queries {
       "vec_id", "embedding", k = 8, nProbe = 3)
   }
 
+  /** MAIN-content extraction through the gate — boilerplate block
+    * removal over pages with every chrome trap planted: a nav bar
+    * (link density 100% — dropped by density, its text clears the
+    * length floor), a sidebar link farm, a footer that is mostly
+    * links, the whole `<head>` (its title text must never leak into
+    * body content), and a quoted `>` inside a block-tag attribute
+    * (`title="a > b"` — the q128 trap at the SPLIT layer). Content:
+    * one paragraph whose keep/drop rides the length floor (the doc's
+    * own text — the oracle restates the threshold), and one long
+    * paragraph with an inline citation link (low density — kept, link
+    * text and all). Expected text closed-form per id. */
+  def q207MainContent(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val id = col("doc_id")
+    val ids = id.cast("string")
+    val k50 = pmod(id, lit(50L)).cast("string")
+    val k10 = pmod(id, lit(10L)).cast("string")
+    val nav = lit("<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a>" +
+      " <a href=\"/contact\">Contact</a> <a href=\"/login\">Sign in</a></nav>")
+    val aside = lit("<aside class=sidebar><ul>" +
+      "<li><a href=\"/r1\">Related article one</a></li>" +
+      "<li><a href=\"/r2\">Related article two</a></li>" +
+      "<li><a href=\"/r3\">Related article three</a></li></ul></aside>")
+    val p1 = concat(lit("<p>Doc "), ids, lit(" "),
+      coalesce(col("text"), lit("")), lit("</p>"))
+    val openDiv = when(pmod(id, lit(2L)) === 0,
+        lit("<div class=\"post\" title=\"a > b\">"))
+      .otherwise(lit("<DIV CLASS=\"post\" TITLE=\"a > b\">"))
+    val p2 = concat(openDiv, lit("<p>Primary finding "), ids,
+      lit(" about topic "), k50,
+      lit(" with <a href=\"/ref?x=1\">source "), k10,
+      lit("</a> and more context here</p></div>"))
+    val footer = lit("<footer><a href=\"/tos\">Terms</a>" +
+      " <a href=\"/privacy\">Privacy</a>" +
+      " <a href=\"/imprint\">Imprint</a> © 26</footer>")
+    val html = concat(
+      lit("<!DOCTYPE html><html><head>" +
+        "<title>A headline that is quite long indeed</title>" +
+        "<style>.x{color:red}</style></head><body>"),
+      nav, aside, p1, p2, footer, lit("</body></html>"))
+    docs.select(id,
+      graft.text.Html.mainContent(html).as("main_text"))
+  }
+
   /** The nProbe × rerank DEPLOYMENT TABLE — the two serving-cost
     * knobs swept together at the widest codebook (k=256). q195 showed
     * width barely moves recall; the first cut of this table showed
@@ -6943,6 +6987,7 @@ object Queries {
     "q204_charset_audit" -> (q204CharsetAudit _),
     "q205_rotated_index_probe" -> (q205RotatedIndexProbe _),
     "q206_pq_rerank_sweep" -> (q206PqRerankSweep _),
+    "q207_main_content" -> (q207MainContent _),
     "q169_anim_webp_frames" -> (q169AnimWebpFrames _),
     "q170_cross_clip_dups" -> (q170CrossClipDups _),
     "q171_exif_headers" -> (q171ExifHeaders _),
@@ -7590,6 +7635,22 @@ object Queries {
         |SELECT payload_enc, payload_err, count(*)::BIGINT AS n_records,
         |  sum(chars)::BIGINT AS decoded_chars
         |FROM r GROUP BY payload_enc, payload_err""".stripMargin,
+    // chrome blocks (nav / sidebar / footer / head) drop closed-form;
+    // the short-paragraph arm restates the length floor; the kept
+    // citation paragraph keeps its link TEXT (density, not deletion)
+    "q207_main_content" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace('Doc ' || doc_id || ' ' || coalesce(text, ''),
+        |      '[ \t\n\r]+', ' ', 'g')) AS p1,
+        |    'Primary finding ' || doc_id || ' about topic ' ||
+        |      (doc_id % 50) || ' with source ' || (doc_id % 10) ||
+        |      ' and more context here' AS p2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN length(p1) >= 25 THEN p1 || ' ' || p2 ELSE p2 END
+        |    AS main_text
+        |FROM d""".stripMargin,
     // every charset arm's recovered text restated closed-form — the
     // non-ASCII literals here ARE the check: a decoder shortcut that
     // leaves cp1252/Shift-JIS bytes as mojibake hash-mismatches

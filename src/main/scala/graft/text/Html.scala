@@ -155,4 +155,73 @@ object Html {
   def htmlLang(html: Column): Column =
     regexp_extract(stripHidden(html),
       "(?is)<html[^>]*?[\\s]lang\\s*=\\s*[\"']?([A-Za-z0-9-]+)", 1)
+
+  // ---- main-content extraction -----------------------------------------
+
+  /** Block-level element boundaries, quote-attribute-aware (the q128
+    * two-pass discipline's pass-1 body after the tag name: a '>'
+    * inside a quoted attribute value never ends the tag, quoted spans
+    * never cross '<'). A block tag with an UNBALANCED quote is left
+    * unmatched — the adjacent blocks merge, which only makes the
+    * keep/drop decision more conservative (boilerplate text may
+    * survive; content is never deleted). */
+  private val blockTagPattern: String =
+    "(?i)</?(?:div|p|section|article|main|header|footer|nav|aside|" +
+      "ul|ol|li|dl|dt|dd|table|thead|tbody|tfoot|tr|td|th|h[1-6]|" +
+      "blockquote|pre|form|fieldset|figure|figcaption|address|hr|br)" +
+      "\\b(?:[^<>\"']|\"[^\"<]*\"|'[^'<]*')*>"
+
+  /** Inline-tag strip within one block (the htmlToText two-pass rule,
+    * minus the hidden-region strip the caller already ran). */
+  private def stripInline(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, "<(?:[^<>\"']|\"[^\"<]*\"|'[^'<]*')*>", " "),
+      "<[^>]*>", " ")
+
+  /** MAIN-content extraction — boilerplate block removal, the step
+    * between [[htmlToText]] and curation that real pretraining
+    * pipelines need: nav bars, sidebar link farms, and footers are
+    * short and link-dense, and taken verbatim they poison dedup
+    * signatures (every page on a site shares its chrome) and quality
+    * stats (stopword/repetition rules see the nav soup, not the
+    * article). The jusText-family per-block rule, expression-only:
+    *  1. strip hidden regions, then the whole `<head>` (its text —
+    *     title, metadata — is not body content);
+    *  2. split into blocks at block-level tag boundaries
+    *     ([[blockTagPattern]], quote-aware);
+    *  3. per block: visible text (inline strip + entities + squeeze)
+    *     and LINK text (the bodies of `<a>` elements, same cleaning);
+    *  4. keep blocks with at least `minChars` visible chars AND link
+    *     density at most `maxLinkPct`% (chars of link text per 100
+    *     chars of block text);
+    *  5. join survivors in document order.
+    * Zero shuffles, one narrow projection; batch == streaming. The
+    * thresholds are the classic boilerplate operating point — tune
+    * per corpus, the defaults are deliberately conservative. */
+  def mainContent(html: Column, minChars: Int = 25,
+      maxLinkPct: Int = 33): Column = {
+    require(minChars >= 1 && maxLinkPct >= 0 && maxLinkPct <= 100,
+      s"mainContent: need minChars >= 1, 0 <= maxLinkPct <= 100, " +
+        s"got $minChars/$maxLinkPct")
+    val noHead = regexp_replace(stripHidden(html),
+      "(?is)<head\\b[^>]*>.*?</head>", " ")
+    val blocks = split(regexp_replace(noHead, blockTagPattern, "\u0001"),
+      "\u0001")
+    // per-block (text, link-text) — computed once per block via the
+    // transform let-binding (the expression layer's only way to bind)
+    val scored = transform(blocks, b => {
+      val links = array_join(regexp_extract_all(b,
+        lit("(?is)<a\\b(?:[^<>\"']|\"[^\"<]*\"|'[^'<]*')*>(.*?)</a>"),
+        lit(1)), " ")
+      val txt = cleanText(stripInline(b))
+      val ltxt = cleanText(stripInline(links))
+      struct(txt.as("txt"), length(txt).as("n"), length(ltxt).as("ln"))
+    })
+    val kept = filter(scored, s =>
+      s.getField("n") >= minChars &&
+        s.getField("ln") * 100 <= s.getField("n") * maxLinkPct)
+    trim(regexp_replace(
+      array_join(transform(kept, _.getField("txt")), " "),
+      "[ \\t\\n\\r]+", " "))
+  }
 }

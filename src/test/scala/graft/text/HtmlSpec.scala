@@ -131,4 +131,54 @@ class HtmlSpec extends SparkSpec {
     assert(meta4("<html data-x=\"1\" lang=fr><head></head></html>")._4 == "fr")
     assert(meta4("<html><head></head></html>")._4 == "")
   }
+
+  private def mainOf(h: String, minChars: Int = 25,
+      maxLinkPct: Int = 33): String =
+    Seq(h).toDF("h")
+      .select(Html.mainContent(col("h"), minChars, maxLinkPct).as("t"))
+      .collect().head.getString(0)
+
+  test("mainContent: chrome drops, content survives, head never leaks") {
+    val page = "<html><head><title>A long headline for the head block</title>" +
+      "</head><body>" +
+      "<nav><a href='/'>Home</a> <a href='/a'>About</a> " +
+      "<a href='/c'>Contact us</a> <a href='/s'>Sign in now</a></nav>" +
+      "<p>The article body has plenty of visible prose to keep.</p>" +
+      "<footer><a href='/t'>Terms</a> <a href='/p'>Privacy</a> " +
+      "<a href='/i'>Imprint</a> (c)</footer></body></html>"
+    assert(mainOf(page) ==
+      "The article body has plenty of visible prose to keep.")
+    // the nav text ("Home About Contact us Sign in now", 33 chars)
+    // clears the length floor — it drops by DENSITY, the footer too
+  }
+
+  test("mainContent: length floor, inline-link density, quoted '>' in a block tag") {
+    // a short paragraph drops on the floor; lowering the floor keeps it
+    val shorty = "<body><p>Tiny note.</p>" +
+      "<p>A properly long paragraph of real content here.</p></body>"
+    assert(mainOf(shorty) ==
+      "A properly long paragraph of real content here.")
+    assert(mainOf(shorty, minChars = 5) ==
+      "Tiny note. A properly long paragraph of real content here.")
+    // an inline citation link is kept, text and all (density ~13%)
+    val cited = "<div class=\"post\" title=\"a > b\"><p>Primary finding one " +
+      "about the topic with <a href=\"/r?x=1\">source nine</a> " +
+      "and more context here</p></div>"
+    assert(mainOf(cited) == "Primary finding one about the topic with " +
+      "source nine and more context here")
+    // density knob: at 0% the same block drops (it contains ANY link)
+    assert(mainOf(cited, maxLinkPct = 0) == "")
+  }
+
+  test("mainContent: unbalanced quote in a block tag degrades to a merge, never deletes") {
+    // <nav title='It's here'> cannot match the quote-aware boundary:
+    // the nav OPEN tag fails to split (blocks merge) but </nav> does,
+    // so the merged block is still all-links and still drops — and the
+    // article text after it is untouched
+    val page = "<body><nav title='It's here'><a href='/'>Home</a> " +
+      "<a href='/a'>About</a> <a href='/c'>Contact us here</a></nav>" +
+      "<p>The real article content is long enough to keep.</p></body>"
+    assert(mainOf(page) ==
+      "The real article content is long enough to keep.")
+  }
 }
