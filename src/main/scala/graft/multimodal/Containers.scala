@@ -1161,10 +1161,21 @@ object Containers {
   def warcDocs(media: DataFrame, gzipped: Boolean = false,
       codec: String = "",
       trustCrossSiteCanonicals: Boolean = false): DataFrame =
-    decodeWarc(media, gzipped = gzipped, codec = codec).toDF()
+    warcDocsFromRecords(
+      decodeWarc(media, gzipped = gzipped, codec = codec).toDF(),
+      trustCrossSiteCanonicals)
+
+  /** [[warcDocs]] from an already-decoded [[WarcRecord]] frame — the
+    * one-pass hook for callers that need BOTH the documents and a
+    * record-level rollup (the daily loop's encoding audit): decode
+    * once, persist the records, derive both. */
+  def warcDocsFromRecords(records: DataFrame,
+      trustCrossSiteCanonicals: Boolean = false): DataFrame =
+    records
       // payload_err rows (chunk-framing violations, undecodable or
-      // unsupported content codings) are refusals: ingesting them
-      // would mint empty/garbage documents under real identities
+      // unsupported content codings / charsets) are refusals:
+      // ingesting them would mint empty/garbage documents under real
+      // identities
       .where(col("ok") === 1 && col("warc_type") === "response" &&
         col("payload_err") === "")
       // crawl identity: the page's OWN <link rel=canonical> (normalized)
@@ -1203,6 +1214,19 @@ object Containers {
         graft.text.Urls.urlDomain(col("url")).as("source"),
         graft.text.Html.htmlToText(col("body")).as("text"),
         col("url_norm"))
+
+  /** The standing ENCODING AUDIT over a decoded record frame — the
+    * q202 (coding) and q204 (charset) rollups as one reusable
+    * aggregation: records and decoded text volume per (declared
+    * coding chain, charset, refusal tag). One hash-aggregated groupBy
+    * with map-side combine; at 100 TB this rides the same pass that
+    * extracts the documents (see [[warcDocsFromRecords]]), so the
+    * drift signal costs no second read of the payload bytes. */
+  def encodingAudit(records: DataFrame): DataFrame =
+    records.where(col("warc_type") === "response")
+      .groupBy(col("payload_enc"), col("charset"), col("payload_err"))
+      .agg(count(lit(1)).as("n_records"),
+        sum(length(col("body")).cast("long")).as("decoded_chars"))
 
   /** ZIP archives -> document rows ([[warcDocs]]'s shape for the
     * dataset-dump distribution layout: one archive of text members per

@@ -156,9 +156,15 @@ object CurationRunner {
     * threshold, drift-refresh retrain on the ivf KL signal — the
     * retrain re-embeds the day's curated corpus, since the compressed
     * index stores codes, not fp32). `m`/`dim` must match the embed
-    * output; `stride` seeds the residual codebooks. */
+    * output; `stride` seeds the residual codebooks. `rotated` turns on
+    * the Hadamard OPQ-lite serving space ([[graft.ann.IvfPqIndex]]'s
+    * flag): centroids and codebooks train on the rotated view at write
+    * time (the pq tier then trains its OWN centroids instead of
+    * sharing the ivf tier's — the two tiers live in different spaces),
+    * and every later append / probe / refresh picks the flag up from
+    * the index meta. */
   final case class PqConfig(m: Int = 8, dim: Int = 64, buckets: Int = 16,
-      stride: Int = 16)
+      stride: Int = 16, rotated: Boolean = false)
 
   /** Paired media+caption curation as a maintained daily stage — the
     * q157/q161 decision rule running INSIDE the loop (the reference
@@ -324,14 +330,24 @@ object CurationRunner {
             rawSchema, _.withColumn("ingest_date", lit(date)),
             staged, s"$lakeRoot/_checkpoints/documents")
         case RawWarc(gz, codec) =>
-          Streaming.runDailyAvailableNowBinary(spark, s"$lakeRoot/raw/documents",
-            df => graft.multimodal.Containers.warcDocs(
-                df.select(xxhash64(col("path")).as("media_id"),
-                  col("content").as("payload")),
-                gzipped = gz, codec = codec)
+          // one decode per raw file serves BOTH outputs: the staged
+          // documents and the standing encoding audit (per-(coding,
+          // charset, refusal) record counts — the q202/q204 rollup as
+          // a daily metric; rows accumulate under metadata_encoding/
+          // stamped with the ingest date, no second payload read)
+          Streaming.runDailyAvailableNowBinaryAudited(spark,
+            s"$lakeRoot/raw/documents",
+            df => graft.multimodal.Containers.decodeWarc(
+              df.select(xxhash64(col("path")).as("media_id"),
+                col("content").as("payload")),
+              gzipped = gz, codec = codec).toDF(),
+            recs => graft.multimodal.Containers.warcDocsFromRecords(recs)
               .select(col("doc_id"), col("source"), col("text"))
               .withColumn("ingest_date", lit(date)),
-            staged, s"$lakeRoot/_checkpoints/documents")
+            recs => graft.multimodal.Containers.encodingAudit(recs)
+              .withColumn("ingest_date", lit(date)),
+            staged, s"$lakeRoot/metadata_encoding",
+            s"$lakeRoot/_checkpoints/documents")
         case RawZip =>
           Streaming.runDailyAvailableNowBinary(spark, s"$lakeRoot/raw/documents",
             df => graft.multimodal.Containers.zipDocs(
@@ -350,6 +366,27 @@ object CurationRunner {
             staged, s"$lakeRoot/_checkpoints/documents")
       }
       ((), -1L)
+    }
+
+    // 1b. the day's encoding mix as stage metrics — per-(charset,
+    // refusal) record counts from the drain's one-pass audit, so
+    // drift in the crawl's encoding mix (a rising unsupported_charset
+    // share, a brotli-heavy source) is visible where the operator
+    // already looks. Bounded cardinality: charsets × refusal tags.
+    rawFormat match {
+      case RawWarc(_, _) if Lake.exists(spark, s"$lakeRoot/metadata_encoding") =>
+        Lake.readParquet(spark, s"$lakeRoot/metadata_encoding")
+          .where(col("ingest_date") === date)
+          .groupBy(col("charset"), col("payload_err"))
+          .agg(sum(col("n_records")).as("n"))
+          .collect()
+          .sortBy(r => (r.getString(0), r.getString(1)))
+          .foreach { r =>
+            val cs = if (r.getString(0).isEmpty) "-" else r.getString(0)
+            val err = if (r.getString(1).isEmpty) "ok" else r.getString(1)
+            meta.time(s"encoding:$cs:$err") { ((), r.getLong(2)) }
+          }
+      case _ => ()
     }
 
     // 2. snapshot: latest landed row per doc_id
@@ -536,12 +573,23 @@ object CurationRunner {
             // codes (pq requires embed — validated at entry)
             ix.pq.foreach { pqc =>
               if (needPqBf) {
-                val cbk = graft.ann.IvfPq.trainCodebooks(pvBf.get, "doc_id",
-                  "embedding", centsBf.get, pqc.m, pqc.dim, pqc.stride,
+                // rotated tier: its artifacts train on the rotated
+                // view — own centroids (the ivf tier's live in the
+                // original space); write() re-rotates at encode
+                val src = if (pqc.rotated)
+                  graft.ann.IvfPqIndex.rotatedView(pvBf.get, "embedding",
+                    pqc.dim)
+                else pvBf.get
+                val centsPq = if (pqc.rotated)
+                  graft.ann.Ann.ivfTrainCentroids(src, "doc_id",
+                    "embedding", ix.ivfTrainStride, ix.ivfRefreshIters)
+                else centsBf.get
+                val cbk = graft.ann.IvfPq.trainCodebooks(src, "doc_id",
+                  "embedding", centsPq, pqc.m, pqc.dim, pqc.stride,
                   ix.ivfRefreshIters)
                 graft.ann.IvfPqIndex.write(pvBf.get, "doc_id", "embedding",
-                  centsBf.get, cbk, pqc.m, pqc.dim, s"$pqRoot/v$p",
-                  pqc.buckets, prevSeq)
+                  centsPq, cbk, pqc.m, pqc.dim, s"$pqRoot/v$p",
+                  pqc.buckets, prevSeq, rotated = pqc.rotated)
                 graft.ann.IvfIndex.setCurrentVersion(spark, pqRoot, s"v$p")
               }
               val ver = graft.ann.IvfIndex.currentVersion(spark, pqRoot).get
@@ -802,12 +850,20 @@ object CurationRunner {
               graft.ann.IvfIndex.setCurrentVersion(spark, ivfRoot, s"v$date")
             }
             ix.pq.foreach { pqc =>
-              val cbk = graft.ann.IvfPq.trainCodebooks(vFw.get, "doc_id",
-                "embedding", centsFw.get, pqc.m, pqc.dim, pqc.stride,
+              val src = if (pqc.rotated)
+                graft.ann.IvfPqIndex.rotatedView(vFw.get, "embedding",
+                  pqc.dim)
+              else vFw.get
+              val centsPq = if (pqc.rotated)
+                graft.ann.Ann.ivfTrainCentroids(src, "doc_id", "embedding",
+                  ix.ivfTrainStride, ix.ivfRefreshIters)
+              else centsFw.get
+              val cbk = graft.ann.IvfPq.trainCodebooks(src, "doc_id",
+                "embedding", centsPq, pqc.m, pqc.dim, pqc.stride,
                 ix.ivfRefreshIters)
               graft.ann.IvfPqIndex.write(vFw.get, "doc_id", "embedding",
-                centsFw.get, cbk, pqc.m, pqc.dim, s"$pqRoot/v$date",
-                pqc.buckets, seq)
+                centsPq, cbk, pqc.m, pqc.dim, s"$pqRoot/v$date",
+                pqc.buckets, seq, rotated = pqc.rotated)
               graft.ann.IvfIndex.setCurrentVersion(spark, pqRoot, s"v$date")
             }
         }

@@ -161,4 +161,42 @@ object Streaming {
       .start()
     q.awaitTermination()
   }
+
+  /** [[runDailyAvailableNowBinary]] with a SECOND derived output per
+    * micro-batch — the one-pass audit hook: `decode` maps the raw
+    * binary batch to an intermediate record frame (persisted here for
+    * the batch's duration), `docs` and `audit` both derive from it,
+    * and both land under the SAME checkpoint via foreachBatch — each
+    * raw file is decoded once and counted once, exactly-once across
+    * runs. */
+  def runDailyAvailableNowBinaryAudited(spark: SparkSession, rawGlob: String,
+      decode: DataFrame => DataFrame,
+      docs: DataFrame => DataFrame, audit: DataFrame => DataFrame,
+      outPath: String, auditPath: String, checkpoint: String): Unit = {
+    val binarySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val stream = spark.readStream.format("binaryFile")
+      .schema(binarySchema).load(rawGlob)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val records = decode(batch)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          docs(records).write.mode("append").parquet(outPath)
+          audit(records).write.mode("append").parquet(auditPath)
+        } finally records.unpersist()
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -335,6 +335,55 @@ class CurationRunnerSpec extends SparkSpec {
     } finally { Lake.delete(spark, root) }
   }
 
+  // 16-dim variant (Rotation.hadamard needs a power of two with an
+  // integer square root — 8 is not one)
+  private def embedDocs16(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select($"doc_id", transform(sequence(lit(0), lit(15)),
+      i => (pmod(xxhash64($"text", i), lit(1000L)).cast("double") / 500.0 - 1.0)
+        .cast("float")).as("embedding"))
+
+  test("rotated pq family: the daily loop serves the OPQ-lite space end-to-end") {
+    val root = java.nio.file.Files.createTempDirectory("lake").toString
+    try {
+      val cfg = Curation.CurationConfig(minQualityMilli = 200)
+      val ixCfg = CurationRunner.IndexConfig(embed = Some(embedDocs16),
+        ivfBuckets = 4, ivfTrainStride = 4, ivfRefreshKlMilli = 1000000L,
+        pq = Some(CurationRunner.PqConfig(m = 4, dim = 16, buckets = 2,
+          stride = 4, rotated = true)))
+      val pqRoot = s"$root/index/ivfpq"
+      land(root, "day1.json", (0 until 8).map(i => (i.toLong, "s0", doc(i))))
+      CurationRunner.runDaily(spark, root, "2024-05-01", None, cfg,
+        indexes = Some(ixCfg))
+      val ver1 = graft.ann.IvfIndex.currentVersion(spark, pqRoot).get
+      assert(graft.ann.IvfPqIndex.rotated(spark, s"$pqRoot/$ver1"),
+        "the flag must land in the index meta on the first write")
+
+      // day 2 appends a delta — the flag makes append rotate it too
+      land(root, "day2.json", Seq((20L, "s0", doc(20))))
+      CurationRunner.runDaily(spark, root, "2024-05-02", None, cfg,
+        indexes = Some(ixCfg))
+      val ver2 = graft.ann.IvfIndex.currentVersion(spark, pqRoot).get
+      assert(graft.ann.IvfPqIndex.rotated(spark, s"$pqRoot/$ver2"))
+
+      // probe parity with a fresh rotated write over the curated
+      // corpus + the standing artifacts (original-space inputs both
+      // sides — the index rotates internally)
+      val c2 = Lake.readParquet(spark, s"$root/curated/date=2024-05-02")
+      val freshDir = java.nio.file.Files.createTempDirectory("ivfpq-rot").toString
+      graft.ann.IvfPqIndex.write(embedDocs16(c2), "doc_id", "embedding",
+        graft.ann.IvfPqIndex.centroids(spark, s"$pqRoot/$ver2"),
+        graft.ann.IvfPqIndex.codebooks(spark, s"$pqRoot/$ver2"),
+        m = 4, dim = 16, dir = freshDir, numBuckets = 2, rotated = true)
+      val qs = embedDocs16(c2.where($"doc_id" < 2))
+      def probed(dir: String) = graft.ann.IvfPqIndex.probeTopK(spark, dir,
+        qs, "doc_id", "embedding", k = 3, nProbe = 2)
+        .collect().map(_.toString).sorted.toSeq
+      assert(probed(s"$pqRoot/$ver2") == probed(freshDir))
+      assert(probed(freshDir).nonEmpty)
+      Lake.delete(spark, freshDir)
+    } finally { Lake.delete(spark, root) }
+  }
+
   // deterministic text-derived perceptual hash — the spec's stand-in
   // for a real media decode+pHash (same text -> same hash, changed
   // text -> changed hash), so maintained-index state compares exact
@@ -466,6 +515,65 @@ class CurationRunnerSpec extends SparkSpec {
       val texts = c2.select($"text").as[String].collect().toSet
       assert(texts == Set(doc(1), doc(200), doc(3), doc(4), doc(5)).map(sq),
         "latest crawl wins for the re-crawled URL; carried pages intact")
+    } finally { Lake.delete(spark, root) }
+  }
+
+  test("RawWarc encoding audit: mixed-charset day lands transcoded docs + stage metrics") {
+    val root = java.nio.file.Files.createTempDirectory("lake").toString
+    try {
+      def page(url: String, ctype: String, payload: Array[Byte]) =
+        graft.multimodal.Containers.warcRecordBytes(Seq(
+          "WARC-Type" -> "response",
+          "WARC-Target-URI" -> url,
+          "Content-Type" -> "application/http; msgtype=response"),
+          (s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n\r\n")
+            .getBytes("ISO-8859-1") ++ payload)
+      val seg =
+        page("http://a.example/p1", "text/html",
+          s"<html><body><p>${doc(1)}</p></body></html>".getBytes("UTF-8")) ++
+        page("http://b.example/p2", "text/html; charset=windows-1252",
+          ("<html><body><p>" + doc(2) + " “quoted” –</p></body></html>")
+            .getBytes("windows-1252")) ++
+        page("http://c.example/p3", "text/html",
+          ("<html><head><meta charset=shift_jis></head><body><p>" +
+            doc(3) + " 日本語</p></body></html>").getBytes("Shift_JIS")) ++
+        page("http://d.example/p4", "text/html; charset=x-alien",
+          "<p>opaque bytes</p>".getBytes("UTF-8"))
+      landBin(root, "mixed.warc", seg)
+      val cfg = Curation.CurationConfig(minQualityMilli = 200)
+      val r = CurationRunner.runDaily(spark, root, "2024-07-01", None, cfg,
+        rawFormat = CurationRunner.RawWarc())
+      // the refused page never becomes a document
+      assert(r.snapshotDocs == 3, s"unsupported_charset must not land: $r")
+      val snap = Lake.readParquet(spark, s"$root/snapshot/date=2024-07-01")
+        .select($"text").as[String].collect().toSet
+      assert(snap.exists(_.contains("“quoted” –")),
+        s"cp1252 punctuation must transcode, not mojibake: $snap")
+      assert(snap.exists(_.contains("日本語")),
+        "meta-declared Shift-JIS must transcode")
+      // the encoding mix is a stage metric the operator reads
+      val stages = RunMetadata.read(spark, root, "2024-07-01")
+        .select($"stage", $"records").as[(String, Long)].collect().toMap
+      assert(stages.get("encoding:utf-8:ok").contains(1L), s"$stages")
+      assert(stages.get("encoding:windows-1252:ok").contains(1L))
+      assert(stages.get("encoding:shift_jis:ok").contains(1L))
+      assert(stages.get("encoding:x-alien:unsupported_charset").contains(1L))
+      // audit rows accumulate under metadata_encoding with the date
+      val audit = Lake.readParquet(spark, s"$root/metadata_encoding")
+      assert(audit.where($"ingest_date" === "2024-07-01").count() == 4)
+      // a second day adds its own rows without rewriting day 1's
+      landBin(root, "seg2.warc", warcSeg(Seq(
+        ("http://e.example/p5", doc(5)))))
+      CurationRunner.runDaily(spark, root, "2024-07-02", None, cfg,
+        rawFormat = CurationRunner.RawWarc())
+      val audit2 = Lake.readParquet(spark, s"$root/metadata_encoding")
+      assert(audit2.where($"ingest_date" === "2024-07-01").count() == 4 &&
+        audit2.where($"ingest_date" === "2024-07-02").count() == 1)
+      val s2 = RunMetadata.read(spark, root, "2024-07-02")
+        .select($"stage", $"records").as[(String, Long)].collect().toMap
+      assert(s2.get("encoding:utf-8:ok").contains(1L) &&
+        !s2.contains("encoding:x-alien:unsupported_charset"),
+        s"day 2's metrics must cover only day 2's drain: $s2")
     } finally { Lake.delete(spark, root) }
   }
 
