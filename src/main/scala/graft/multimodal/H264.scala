@@ -39,7 +39,7 @@ object H264 {
 
   /** Bounded ISO-BMFF child iterator (the Multimodal.mp4Children
     * shape: 64-bit and to-end sizes, malformed sizes clamp). */
-  private def children(b: Array[Byte], lo: Int, hi: Int): Iterator[(String, Int, Int)] =
+  private[multimodal] def children(b: Array[Byte], lo: Int, hi: Int): Iterator[(String, Int, Int)] =
     new Iterator[(String, Int, Int)] {
       private var i = lo
       def hasNext: Boolean = i + 8 <= hi
@@ -309,7 +309,7 @@ object H264 {
   }
 
   private[multimodal] def avcCBytes(sps: Array[Byte],
-      truncate: Boolean = false): Array[Byte] = {
+      truncate: Boolean = false, pps: Array[Byte] = null): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write(1) // configurationVersion
     out.write(sps(1) & 0xff) // AVCProfileIndication (SPS byte 1)
@@ -319,7 +319,12 @@ object H264 {
     out.write(0xe0 | 1) // numOfSequenceParameterSets = 1
     out.write((sps.length >> 8) & 0xff); out.write(sps.length & 0xff)
     out.write(sps, 0, sps.length)
-    out.write(0) // numOfPictureParameterSets = 0
+    if (pps == null) out.write(0) // numOfPictureParameterSets = 0
+    else {
+      out.write(1)
+      out.write((pps.length >> 8) & 0xff); out.write(pps.length & 0xff)
+      out.write(pps, 0, pps.length)
+    }
     val b = out.toByteArray
     if (truncate) b.take(10) else b
   }

@@ -1151,7 +1151,7 @@ object Multimodal {
       }
     }
 
-  private def mp4Box(typ: String, bodies: Array[Byte]*): Array[Byte] = {
+  private[multimodal] def mp4Box(typ: String, bodies: Array[Byte]*): Array[Byte] = {
     val body = bodies.foldLeft(Array.emptyByteArray)(_ ++ _)
     val out = new java.io.ByteArrayOutputStream(8 + body.length)
     val size = 8 + body.length
@@ -1162,7 +1162,7 @@ object Multimodal {
     out.toByteArray
   }
 
-  private def u32s(vs: Long*): Array[Byte] =
+  private[multimodal] def u32s(vs: Long*): Array[Byte] =
     vs.flatMap(v => Seq(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
       ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)).toArray
 

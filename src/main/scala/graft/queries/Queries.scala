@@ -2351,6 +2351,71 @@ object Queries {
       graft.text.Html.mainContent(html).as("main_text"))
   }
 
+  /** H.264 IDR frames decoded to PIXELS through the gate — the real
+    * codec under q196's classification: avcC config (SPS + PPS),
+    * sample-table extraction, CAVLC entropy decode, intra prediction,
+    * dequant + the exact integer inverse transform, gray-plane pHash.
+    * The corpus carries the q140 pixel law in REAL conformant
+    * intra-only AVC (the fixture encoder REQUIREs recon == target per
+    * block), so the oracle is q140's closed-form DCT replay VERBATIM —
+    * the whole codec chain must land on exactly the hashes the law
+    * predicts. id%6==4 clips carry a corrupted frame-1 NAL
+    * (frame_decode — the per-frame error path). */
+  def q208AvcFrames(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.H264Decode.avcClipCorpusFromDocuments(
+      tbl(spark, dir, "documents"))
+    graft.multimodal.H264Decode.decodeAvcFramePHash(media).toDF()
+      .select(col("media_id"), col("frame_idx"), col("ok"), col("phash"),
+        col("err"))
+  }
+
+  /** CROSS-CODEC clip dedup through the gate — the claim that closes
+    * r14's "H.264 cannot be fingerprinted" gap: the SAME clip muxed as
+    * MJPEG-in-MP4 and re-encoded as intra-only H.264 must pair in the
+    * banded frame dedup (both decode to the same pixel planes, so the
+    * hashes are identical by construction — the strongest form of the
+    * q170 cross-wrapper claim: not adjacent hashes, EQUAL hashes
+    * through two entirely different codec paths). Same packing and
+    * thresholds as q170. */
+  def q209CrossCodecClipDups(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+      .where(pmod(col("doc_id"), lit(5)) === 0)
+    val maxDoc = docs.agg(max(col("doc_id"))).collect()(0)
+    if (!maxDoc.isNullAt(0))
+      require(maxDoc.getLong(0) < (1L << 20),
+        s"q209 clip-id offset: max doc_id ${maxDoc.getLong(0)} >= 2^20 " +
+          "would alias the MJPEG/AVC id spaces")
+    val mjpeg = graft.multimodal.Multimodal.decodeMp4FramePHash(
+        graft.multimodal.Multimodal.mjpegVideoCorpusFromDocuments(docs)).toDF()
+      .where(col("ok") === 1)
+      .select(col("media_id"), col("frame_idx"), col("phash"))
+    val avc = graft.multimodal.H264Decode.decodeAvcFramePHash(
+        graft.multimodal.H264Decode.avcClipCorpusFromDocuments(docs)).toDF()
+      .where(col("ok") === 1)
+      .select((col("media_id") + lit(1L << 20)).as("media_id"),
+        col("frame_idx"), col("phash"))
+    val frames = graft.ops.CacheScope.persist(mjpeg.unionByName(avc))
+    val r = frames.agg(max(col("frame_idx")).cast("long"),
+      min(col("media_id")), max(col("media_id"))).collect()(0)
+    val maxIdx = if (r.isNullAt(0)) 0L else r.getLong(0)
+    val shift = 64 - java.lang.Long.numberOfLeadingZeros(math.max(maxIdx, 1L))
+    if (!r.isNullAt(1))
+      require(r.getLong(1) >= 0L && r.getLong(2) < (1L << (62 - shift)),
+        s"q209 fid packing: media ids [${r.getLong(1)}, ${r.getLong(2)}] " +
+          s"do not fit ${62 - shift} bits next to a $shift-bit frame index")
+    val packed = frames.select(
+      (col("media_id") * lit(1L << shift) + col("frame_idx")).as("fid"),
+      col("phash"))
+    graft.dedup.Dedup.hammingNearDupPairs(packed, "fid", "phash",
+        totalBits = 64, maxDist = 3, bands = 4)
+      .select(shiftright(col("id_a"), shift).as("clip_a"),
+        shiftright(col("id_b"), shift).as("clip_b"))
+      .where(col("clip_a") < col("clip_b"))
+      .groupBy(col("clip_a"), col("clip_b"))
+      .agg(count(lit(1)).as("n_frames"))
+      .where(col("n_frames") >= 2)
+  }
+
   /** The nProbe × rerank DEPLOYMENT TABLE — the two serving-cost
     * knobs swept together at the widest codebook (k=256). q195 showed
     * width barely moves recall; the first cut of this table showed
@@ -6988,11 +7053,60 @@ object Queries {
     "q205_rotated_index_probe" -> (q205RotatedIndexProbe _),
     "q206_pq_rerank_sweep" -> (q206PqRerankSweep _),
     "q207_main_content" -> (q207MainContent _),
+    "q208_avc_frames" -> (q208AvcFrames _),
+    "q209_cross_codec_clip_dups" -> (q209CrossCodecClipDups _),
     "q169_anim_webp_frames" -> (q169AnimWebpFrames _),
     "q170_cross_clip_dups" -> (q170CrossClipDups _),
     "q171_exif_headers" -> (q171ExifHeaders _),
     "q172_oriented_phash" -> (q172OrientedPhash _),
     "q173_id3_tags" -> (q173Id3Tags _))
+
+  /** The q140-family frame-hash replay: per-8x8-block pixel law,
+    * 8x8 DCT (frozen integer table), median threshold, 63-bit pack —
+    * keyed (doc_id, f), restricted by `where`. Shared by q140 (MJPEG),
+    * q208 (H.264 — the SAME law carried by a real codec), and the
+    * q209 cross-codec pair join. */
+  private def videoPhashCtes(where: String): String =
+    s"""fr AS (
+      |  SELECT doc_id, f.f AS f
+      |  FROM documents, range(0, 6) AS f(f)
+      |  WHERE ($where) AND f.f < 3 + doc_id % 4),
+      |blk AS (
+      |  SELECT doc_id, f, bi.bi AS bi, bj.bj AS bj,
+      |    64 * ((((doc_id % 10) * 73 + f * 29 + bj.bj * 37
+      |      + bi.bi * 91) % 17) * 15) AS s
+      |  FROM fr, range(0, 8) AS bi(bi), range(0, 8) AS bj(bj)),
+      |tt AS (SELECT [[1024,1024,1024,1024,1024,1024,1024,1024],
+      |  [1004,851,569,200,-200,-569,-851,-1004],
+      |  [946,392,-392,-946,-946,-392,392,946],
+      |  [851,-200,-1004,-569,569,1004,200,-851],
+      |  [724,-724,-724,724,724,-724,-724,724],
+      |  [569,-1004,200,851,-851,-200,1004,-569],
+      |  [392,-946,946,-392,-392,946,-946,392],
+      |  [200,-569,851,-1004,1004,-851,569,-200]] AS t),
+      |dct AS (
+      |  SELECT b.doc_id, b.f, u.u AS u, v.v AS v,
+      |    sum(b.s * t[u.u + 1][b.bi + 1] * t[v.v + 1][b.bj + 1]) AS fc
+      |  FROM blk b, range(0, 8) AS u(u), range(0, 8) AS v(v), tt
+      |  GROUP BY b.doc_id, b.f, u.u, v.v),
+      |med AS (
+      |  SELECT doc_id, f, list_sort(list(fc))[32] AS m
+      |  FROM dct WHERE NOT (u = 0 AND v = 0) GROUP BY doc_id, f),
+      |ph AS (
+      |  SELECT d.doc_id, d.f,
+      |    sum(CASE WHEN d.fc > med.m THEN 1::BIGINT << (d.u * 8 + d.v - 1)
+      |             ELSE 0::BIGINT END)::BIGINT AS h
+      |  FROM dct d JOIN med ON d.doc_id = med.doc_id AND d.f = med.f
+      |  WHERE NOT (d.u = 0 AND d.v = 0)
+      |  GROUP BY d.doc_id, d.f)""".stripMargin
+
+  private lazy val videoFramesOracle: String =
+    s"""WITH ${videoPhashCtes("TRUE")}
+      |SELECT doc_id AS media_id, f::INTEGER AS frame_idx,
+      |  (CASE WHEN doc_id % 6 = 4 AND f = 1 THEN 0 ELSE 1 END)::INTEGER AS ok,
+      |  CASE WHEN doc_id % 6 = 4 AND f = 1 THEN 0 ELSE h END AS phash,
+      |  CASE WHEN doc_id % 6 = 4 AND f = 1 THEN 'frame_decode' ELSE '' END AS err
+      |FROM ph""".stripMargin
 
   // q203/q204 closed-form arm restatements (single-line so they embed
   // in stripMargin oracles): the decoded body text and the canonical
@@ -8978,43 +9092,28 @@ object Queries {
     // constant blocks aligned with the hash cells, so each 8x8-pixel
     // cell sums to 64x one block value — no pixel explosion needed;
     // frame count is 3 + id%4 (the multi-chunk clips land extra frames)
-    "q140_video_frames" ->
-      """WITH fr AS (
-        |  SELECT doc_id, f.f AS f
-        |  FROM documents, range(0, 6) AS f(f) WHERE f.f < 3 + doc_id % 4),
-        |blk AS (
-        |  SELECT doc_id, f, bi.bi AS bi, bj.bj AS bj,
-        |    64 * ((((doc_id % 10) * 73 + f * 29 + bj.bj * 37
-        |      + bi.bi * 91) % 17) * 15) AS s
-        |  FROM fr, range(0, 8) AS bi(bi), range(0, 8) AS bj(bj)),
-        |tt AS (SELECT [[1024,1024,1024,1024,1024,1024,1024,1024],
-        |  [1004,851,569,200,-200,-569,-851,-1004],
-        |  [946,392,-392,-946,-946,-392,392,946],
-        |  [851,-200,-1004,-569,569,1004,200,-851],
-        |  [724,-724,-724,724,724,-724,-724,724],
-        |  [569,-1004,200,851,-851,-200,1004,-569],
-        |  [392,-946,946,-392,-392,946,-946,392],
-        |  [200,-569,851,-1004,1004,-851,569,-200]] AS t),
-        |dct AS (
-        |  SELECT b.doc_id, b.f, u.u AS u, v.v AS v,
-        |    sum(b.s * t[u.u + 1][b.bi + 1] * t[v.v + 1][b.bj + 1]) AS fc
-        |  FROM blk b, range(0, 8) AS u(u), range(0, 8) AS v(v), tt
-        |  GROUP BY b.doc_id, b.f, u.u, v.v),
-        |med AS (
-        |  SELECT doc_id, f, list_sort(list(fc))[32] AS m
-        |  FROM dct WHERE NOT (u = 0 AND v = 0) GROUP BY doc_id, f),
-        |ph AS (
-        |  SELECT d.doc_id, d.f,
-        |    sum(CASE WHEN d.fc > med.m THEN 1::BIGINT << (d.u * 8 + d.v - 1)
-        |             ELSE 0::BIGINT END)::BIGINT AS h
-        |  FROM dct d JOIN med ON d.doc_id = med.doc_id AND d.f = med.f
-        |  WHERE NOT (d.u = 0 AND d.v = 0)
-        |  GROUP BY d.doc_id, d.f)
-        |SELECT doc_id AS media_id, f::INTEGER AS frame_idx,
-        |  (CASE WHEN doc_id % 6 = 4 AND f = 1 THEN 0 ELSE 1 END)::INTEGER AS ok,
-        |  CASE WHEN doc_id % 6 = 4 AND f = 1 THEN 0 ELSE h END AS phash,
-        |  CASE WHEN doc_id % 6 = 4 AND f = 1 THEN 'frame_decode' ELSE '' END AS err
-        |FROM ph""".stripMargin,
+    // the SAME replay serves q208: the H.264 corpus carries the
+    // identical pixel law and plant, and the codec chain must land on
+    // exactly these hashes
+    "q208_avc_frames" -> videoFramesOracle,
+    "q140_video_frames" -> videoFramesOracle,
+    // the q140/q208 hash chain keyed once per doc, fanned to the two
+    // clip-id spaces, then the q141 pair join — cross-codec pairs are
+    // the (doc, doc + 2^20) rows
+    "q209_cross_codec_clip_dups" ->
+      s"""WITH ${videoPhashCtes("doc_id % 5 = 0")},
+        |live AS (
+        |  SELECT doc_id AS clip, f, h FROM ph
+        |  WHERE NOT (doc_id % 6 = 4 AND f = 1)
+        |  UNION ALL
+        |  SELECT doc_id + 1048576, f, h FROM ph
+        |  WHERE NOT (doc_id % 6 = 4 AND f = 1))
+        |SELECT a.clip AS clip_a, b.clip AS clip_b,
+        |  count(*)::BIGINT AS n_frames
+        |FROM live a JOIN live b
+        |  ON a.clip < b.clip AND bit_count(xor(a.h, b.h)) <= 3
+        |GROUP BY a.clip, b.clip
+        |HAVING count(*) >= 2""".stripMargin,
     // q140's hash replay + a cross-clip frame-pair join at hd<=3 +
     // the >=2-shared-frames clip criterion
     "q141_clip_dups" ->

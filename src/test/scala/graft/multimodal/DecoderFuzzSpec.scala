@@ -338,4 +338,30 @@ class DecoderFuzzSpec extends SparkSpec {
     fuzz("zstd-multiblock", Zstd.compress(big, Zstd.VariantAuto, 1 << 14),
       b => Zstd.decompress(b))
   }
+
+  test("H.264 intra decoder survives 300 corruptions of a real AVC MP4") {
+    def law(x: Int, y: Int): Int =
+      ((((x / 8) * 37 + (y / 8) * 91) % 17) * 15)
+    val nal = H264Decode.encodeIdrGray(4, 4, law)
+    val base = H264Decode.avcMp4(4, 4, Seq(nal, nal))
+    fuzz("avc-mp4", base, { b =>
+      H264Decode.avcConfig(b) match {
+        case Left(_) => ()
+        case Right((sps, pps, ls)) =>
+          Multimodal.extractMp4FramesTagged(b) match {
+            case Left(_) => ()
+            case Right(frames) =>
+              frames.foreach { case (_, bytes) =>
+                H264Decode.decodeSample(sps, pps, bytes, ls)
+              }
+          }
+      }
+    })
+    // and the raw slice NAL surface itself (post-container corruption)
+    fuzz("avc-idr-nal", nal, { b =>
+      val sps = H264Decode.parseSpsDec(H264.spsBytes(66, 30, 4, 4)).toOption.get
+      val pps = H264Decode.parsePps(H264Decode.ppsBytes()).toOption.get
+      H264Decode.decodeIdr(sps, pps, b)
+    })
+  }
 }
