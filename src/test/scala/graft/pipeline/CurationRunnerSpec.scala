@@ -1060,6 +1060,7 @@ class CurationRunnerSpec extends SparkSpec {
         regexp_extract($"text", "vid([0-9]+)", 1).cast("long").as("vid"),
         when($"text".contains("AWEBP"), "awebp")
           .when($"text".contains("GIFW"), "gif")
+          .when($"text".contains("AVCW"), "avc")
           .otherwise("mp4").as("wrap"))
     val mp4 = graft.multimodal.Multimodal.decodeMp4FramePHash(
         graft.multimodal.Multimodal.mjpegVideoCorpusFromDocuments(
@@ -1077,7 +1078,13 @@ class CurationRunnerSpec extends SparkSpec {
           sampleMod = 1, sampleRem = 0)).toDF()
       .select($"media_id".as("vid"), lit("gif").as("wrap"),
         $"ok".as("clip_ok"), $"frame_idx", $"phash")
-    tagged.join(mp4.unionByName(webp).unionByName(gif), Seq("vid", "wrap"))
+    val avc = graft.multimodal.H264Decode.decodeAvcFramePHash(
+        graft.multimodal.H264Decode.avcClipCorpusFromDocuments(
+          tagged.where($"wrap" === "avc").select($"vid".as("doc_id")).distinct())).toDF()
+      .select($"media_id".as("vid"), lit("avc").as("wrap"),
+        $"ok".as("clip_ok"), $"frame_idx", $"phash")
+    tagged.join(mp4.unionByName(webp).unionByName(gif).unionByName(avc),
+        Seq("vid", "wrap"))
       .select($"doc_id", $"clip_ok", $"frame_idx", $"phash")
   }
 
@@ -1214,6 +1221,50 @@ class CurationRunnerSpec extends SparkSpec {
         "id", "phash", 0)
       assert(hits.where($"id_a" === (22L << 12)).count() == 1,
         "kept GIF clip 22's frame 0 must be standing")
+    } finally { Lake.delete(spark, root) }
+  }
+
+  test("avc clips: H.264 is the FOURTH wrapper — re-encodes dedup against standing MJPEG and back") {
+    // the q209 cross-CODEC claim through the DAILY loop: a clip
+    // standing as MJPEG drops its later H.264 re-encode (a REAL
+    // intra decode, not a container walk), and a standing H.264 clip
+    // drops its MJPEG re-encode. vids 360/444/408 as in the wrapper
+    // tests (disjoint content keys; %6 != 4, so no corrupted-frame
+    // plants fire)
+    val cfg = Curation.CurationConfig(minQualityMilli = 200)
+    val ccfg = CurationRunner.ClipConfig(frames = clipFrames)
+    val ixCfg = CurationRunner.IndexConfig(clipBuckets = 4)
+    val root = java.nio.file.Files.createTempDirectory("lakeH").toString
+    try {
+      land(root, "day1.json", Seq(
+        (1L, "s0", doc(1, "vid360")), // standing MJPEG clip
+        (2L, "s0", doc(2, "vid444 AVCW")), // standing H.264 clip
+        (3L, "s0", doc(3, "NOVID"))))
+      val r1 = CurationRunner.runDaily(spark, root, "2024-11-01", None, cfg,
+        indexes = Some(ixCfg), clips = Some(ccfg))
+      assert(r1.clipDropped == 0, s"day1 keeps everything: $r1")
+
+      land(root, "day2.json", Seq(
+        (20L, "s0", doc(20, "vid360 AVCW")), // H.264 re-encode -> dup
+        (21L, "s0", doc(21, "vid444")), // MJPEG re-encode of the AVC -> dup
+        (22L, "s0", doc(22, "vid408 AVCW")))) // new content -> keep
+      val r2 = CurationRunner.runDaily(spark, root, "2024-11-02", None, cfg,
+        indexes = Some(ixCfg), clips = Some(ccfg))
+      assert(r2.clipDropped == 2, s"day2 drops 20 and 21: $r2")
+      val c2 = Lake.readParquet(spark, s"$root/curated/date=2024-11-02")
+      assert(c2.select($"doc_id").as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L, 3L, 22L))
+
+      // the kept H.264 clip's frames joined the standing family
+      val f408 = graft.multimodal.H264Decode.decodeAvcFramePHash(
+          graft.multimodal.H264Decode.avcClipCorpusFromDocuments(
+            Seq(408L).toDF("doc_id"))).toDF()
+        .where($"frame_idx" === 0).select($"phash").as[Long].head()
+      val hits = graft.dedup.PhashDiskIndex.probe(spark,
+        s"$root/index/clip", Seq((9000L << 12, f408)).toDF("id", "phash"),
+        "id", "phash", 0)
+      assert(hits.where($"id_a" === (22L << 12)).count() == 1,
+        "kept H.264 clip 22's frame 0 must be standing")
     } finally { Lake.delete(spark, root) }
   }
 
