@@ -55,7 +55,8 @@ class PlanHygieneSpec extends SparkSpec {
     "q193_ivfpq_nprobe_sweep" -> "the IVF-PQ nProbe sweep's exact arm IS q25's brute baseline: broadcast 25-query batch x corpus (the probed-cell ADC arms are plain joins)",
     "q195_pq_width_sweep" -> "the codebook-width sweep's exact arm IS q25's brute baseline: broadcast 25-query batch x corpus (the per-k ADC arms are plain joins)",
     "q201_hadamard_pq" -> "the rotation A/B's exact arm IS q25's brute baseline: broadcast 25-query batch x corpus (both PQ arms are plain joins)",
-    "q185_bigram_nll" -> "crossJoin(broadcast(vocab)): single-row reference vocabulary size (the q51 pattern)")
+    "q185_bigram_nll" -> "crossJoin(broadcast(vocab)): single-row reference vocabulary size (the q51 pattern)",
+    "q206_pq_rerank_sweep" -> "the nProbe x rerank grid's exact arm IS q25's brute baseline: broadcast 25-query batch x corpus (the per-nProbe ADC arms are plain joins)")
 
   test("every gate query carries an oracle (q36 rows-only by design), no orphans") {
     assert(Queries.all.keySet -- Queries.oracle.keySet == Set("q36_approx_distinct"),
