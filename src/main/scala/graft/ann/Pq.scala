@@ -62,8 +62,102 @@ object Pq {
   private[ann] def dotD(a: Column, b: Column): Column =
     graft.functions.DoubleVectorOps.dot(a, b)
 
-  /** Nearest codebook entry per (vec, s): L2 asc, code asc. */
+  /** Nearest codebook entry per sub-vector row: L2 asc (nulls FIRST —
+    * the window's asc default), ties code asc.
+    *
+    * The codebook is m·k rows BY CONSTRUCTION (k constant — the FAISS
+    * shape), so it collects and broadcasts as plain arrays and the
+    * argmin fuses into ONE pass over the sub-vector rows inside
+    * mapPartitions — the [[Ann.ivfAssign]] discipline. The relational
+    * form ([[assignReference]], parity-pinned in PqSpec) amplifies the
+    * sub-vector frame k-fold through the join and then exchanges+sorts
+    * the product for the per-(vec, s) window — measured as the dominant
+    * stage of every Lloyd round and every encode at the q195/q206
+    * codebook widths (n·m·k rows through an Exchange at k=256). The
+    * kernel does the same flops with zero row amplification and no
+    * shuffle at all.
+    *
+    * Semantics are bit-identical to the window form: distances follow
+    * the [[graft.functions.DoubleVectorL2]] contract (length mismatch
+    * or any null element → null distance; null sub-vector → every
+    * distance null), left-to-right double accumulation, SQL double
+    * ordering (-0.0 == 0.0, NaN greatest), asc NULLS FIRST, ties on
+    * code asc (entries iterate code-ascending; strict improvement
+    * keeps the earlier code). Sub-vector rows whose `s` has no
+    * codebook entries drop (the inner join's semantics). Contract
+    * shared with [[Ann.ivfAssign]]: one output row per input row —
+    * callers pass PK-unique vector ids everywhere in the ANN family. */
   private def assign(subs: DataFrame, cb: DataFrame): DataFrame = {
+    val spark = subs.sparkSession
+    // bounded collect: m·k rows by construction (k is a constant)
+    val entries = cb.select(col("s").cast("int"), col("code").cast("long"),
+      col("cvec")).collect()
+    val bySpace: Map[Int, Array[(Long, Array[Double], Boolean)]] = entries
+      .map { r =>
+        val raw = if (r.isNullAt(2)) null
+          else r.getAs[scala.collection.Seq[java.lang.Double]](2)
+        val bad = raw == null || raw.exists(_ == null)
+        val arr: Array[Double] =
+          if (raw == null) null
+          else raw.map(x => if (x == null) 0.0 else x.toDouble).toArray
+        (r.getInt(0), (r.getLong(1), arr, bad))
+      }
+      .groupBy(_._1)
+      .map { case (s, es) => s -> es.map(_._2).sortBy(_._1) }
+    val bc = spark.sparkContext.broadcast(bySpace)
+    val schema = subs.schema // (vec_id, s, sv)
+    val si = schema.fieldIndex("s")
+    val svi = schema.fieldIndex("sv")
+    val outSchema = schema.add("code", org.apache.spark.sql.types.LongType,
+      nullable = false)
+    subs.mapPartitions { it =>
+      val spaces = bc.value
+      def norm(d: Double): Double = if (d == 0.0) 0.0 else d
+      it.flatMap { r =>
+        val es = if (r.isNullAt(si)) null else spaces.getOrElse(r.getInt(si), null)
+        if (es == null) Iterator.empty // no codebook rows for this s
+        else {
+          val raw = if (r.isNullAt(svi)) null
+            else r.getAs[scala.collection.Seq[java.lang.Double]](svi)
+          val v: Array[Double] =
+            if (raw == null) null
+            else raw.map(x => if (x == null) 0.0 else x.toDouble).toArray
+          val vBad = raw == null || raw.exists(_ == null)
+          var bestSet = false; var bestNull = false
+          var bestD = 0.0; var bestC = 0L
+          var j = 0
+          while (j < es.length) {
+            val (code, cv, cBad) = es(j)
+            val isNull = vBad || cBad || v.length != cv.length
+            var d = 0.0
+            if (!isNull) {
+              var i = 0; val n = v.length
+              while (i < n) {
+                val t = v(i) - cv(i); d += t * t; i += 1
+              }
+            }
+            // asc NULLS FIRST: a null distance BEATS any non-null one
+            // (the window's default); strict improvement keeps the
+            // earlier (smaller) code on every tie
+            val better =
+              if (!bestSet) true
+              else if (isNull != bestNull) isNull
+              else if (isNull) false
+              else java.lang.Double.compare(norm(d), norm(bestD)) < 0
+            if (better) { bestSet = true; bestNull = isNull; bestD = d; bestC = code }
+            j += 1
+          }
+          Iterator.single(org.apache.spark.sql.Row.fromSeq(r.toSeq :+ bestC))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+      .toDF()
+  }
+
+  /** The relational formulation of [[assign]] — kept as the executable
+    * specification the fused kernel is parity-pinned against (PqSpec):
+    * join against the codebook, per-(vec, s) window argmin. */
+  private[ann] def assignReference(subs: DataFrame, cb: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id"), col("s"))
       .orderBy(col("__d").asc, col("code").asc)
     subs.join(cb, Seq("s"))
@@ -72,6 +166,11 @@ object Pq {
       .where(col("__rn") === 1)
       .select(col("vec_id"), col("s"), col("sv"), col("code"))
   }
+
+  /** [[assign]] over a precomputed sub-vector frame — exposed for the
+    * PqSpec parity pin (kernel == reference on identical inputs). */
+  private[ann] def assignKernel(subs: DataFrame, cb: DataFrame): DataFrame =
+    assign(subs, cb)
 
   /** Train per-subspace codebooks: seeds = the sub-vectors of the
     * first `k` `stride`-th vec_ids (code = vec_id, the IVF seeding

@@ -101,6 +101,44 @@ class PqSpec extends SparkSpec {
       "the shorter cut must be a prefix of the longer one")
   }
 
+  test("fused assign kernel == relational window reference (r15 opt)") {
+    val subs = Pq.subVectors(emb, "vec_id", "embedding", 8, 64)
+    val cb = Pq.trainCodebooks(emb, "vec_id", "embedding", 8, 64, 16, 2)
+    val kern = Pq.assignKernel(subs, cb).collect().map(_.toString).sorted.toSeq
+    val ref = Pq.assignReference(subs, cb).collect().map(_.toString).sorted.toSeq
+    assert(kern.nonEmpty && kern == ref,
+      "the broadcast-argmin kernel must replay the join+window form exactly")
+  }
+
+  test("assign kernel null semantics match the reference (null element / null vec)") {
+    // a null ELEMENT nulls every distance (the DoubleVectorL2 contract),
+    // and asc NULLS FIRST + code asc then keeps the smallest code — the
+    // window form's exact behavior; a NULL vector behaves the same way
+    val rows = Seq(
+      org.apache.spark.sql.Row(900L,
+        (0 until 64).map(i => if (i == 3) null
+          else java.lang.Float.valueOf(0.5f + i * 0.01f))),
+      org.apache.spark.sql.Row(901L,
+        (0 until 64).map(i => java.lang.Float.valueOf(0.25f - i * 0.002f))),
+      org.apache.spark.sql.Row(902L, null))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    val weird = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val subs = Pq.subVectors(weird.unionByName(
+        emb.select($"vec_id".cast("long").as("vec_id"), $"embedding")),
+      "vec_id", "embedding", 8, 64)
+    val cb = Pq.trainCodebooks(emb, "vec_id", "embedding", 8, 64, 16, 1)
+    val kern = Pq.assignKernel(subs, cb).collect().map(_.toString).sorted.toSeq
+    val ref = Pq.assignReference(subs, cb).collect().map(_.toString).sorted.toSeq
+    assert(kern == ref,
+      "null-element and null-vector rows must fall back identically")
+  }
+
   test("the subspace split guards ragged dims loudly") {
     intercept[IllegalArgumentException] {
       Pq.subVectors(emb, "vec_id", "embedding", 7, 64)
