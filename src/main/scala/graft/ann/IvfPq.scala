@@ -77,6 +77,192 @@ object IvfPq {
       .select(col("vec_id"), col("cell"), col("s"), col("code"))
   }
 
+  /** One-pass PACKED encode — the index-write shape: each corpus row
+    * computes its cell (the [[Ann.ivfAssign]] argmax), its residual,
+    * and all m residual codes inside ONE mapPartitions pass over
+    * broadcast centroids + codebooks, emitting (id, cell,
+    * codes: array<long> by subspace) directly. The relational chain —
+    * ivfAssign → centroid join → zip_with residual → subVectors →
+    * assign → join cell back → groupBy/collect_list/array_sort pack
+    * ([[IvfPqIndex]]'s old write path, parity-pinned in IvfPqSpec) —
+    * pays two extra shuffles (the cell re-join and the pack groupBy)
+    * plus per-subspace row materialization for the same arithmetic.
+    *
+    * Semantics replicate the chain exactly: cell = max dot (ties cid
+    * asc, FloatVectorDot null contract — all-null dots keep the
+    * smallest cid); residual = per-element double subtraction with
+    * zip_with's null/length padding; per-subspace argmin under the
+    * [[Pq.assign]] ordering (L2 asc NULLS FIRST, ties code asc, a
+    * subspace with no codebook entries drops the row — inner-join
+    * semantics); null ids drop (the cell re-join's null-key behavior).
+    * Contract shared with the kernels it fuses: ids are PK-unique. */
+  def encodePacked(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, cb: DataFrame, m: Int, dim: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must split into $m subspaces")
+    val d = dim / m
+    val spark = corpus.sparkSession
+    // bounded collects: ~√n centroids, m·k codebook rows — both
+    // memory-resident by design (the faiss discipline)
+    val cents: Array[(Long, Array[Float], Boolean)] = centroids
+      .select(col("cid").cast("long"), col("cvec")).collect()
+      .map { r =>
+        val raw = r.getAs[scala.collection.Seq[java.lang.Float]](1)
+        if (raw == null) (r.getLong(0), null: Array[Float], true)
+        else (r.getLong(0), raw.map(x => if (x == null) 0f else x.toFloat).toArray,
+          raw.exists(_ == null))
+      }.sortBy(_._1)
+    require(cents.nonEmpty, "encodePacked: empty centroid frame")
+    // per-centroid element null masks for the residual (zip_with
+    // semantics: a null element on EITHER side nulls that position)
+    val centNullMask: Array[Array[Boolean]] = centroids
+      .select(col("cid").cast("long"), col("cvec")).collect()
+      .sortBy(_.getLong(0))
+      .map { r =>
+        val raw = r.getAs[scala.collection.Seq[java.lang.Float]](1)
+        if (raw == null) null else raw.map(_ == null).toArray
+      }
+    val cbRows = cb.select(col("s").cast("int"), col("code").cast("long"),
+      col("cvec")).collect()
+    val bySpace: Map[Int, Array[(Long, Array[Double], Boolean)]] = cbRows
+      .map { r =>
+        val raw = if (r.isNullAt(2)) null
+          else r.getAs[scala.collection.Seq[java.lang.Double]](2)
+        val bad = raw == null || raw.exists(_ == null)
+        val arr: Array[Double] =
+          if (raw == null) null
+          else raw.map(x => if (x == null) 0.0 else x.toDouble).toArray
+        (r.getInt(0), (r.getLong(1), arr, bad))
+      }
+      .groupBy(_._1)
+      .map { case (s, es) => s -> es.map(_._2).sortBy(_._1) }
+    // a trained codebook covers every subspace by construction (seeds
+    // span all s; Lloyd only merges); a ragged one would silently pack
+    // short code arrays in the relational chain — refuse loudly instead
+    require((0 until m).forall(bySpace.contains),
+      s"encodePacked: codebook must cover every subspace 0..${m - 1}")
+    val bcC = spark.sparkContext.broadcast((cents, centNullMask))
+    val bcB = spark.sparkContext.broadcast(bySpace)
+    val src = corpus.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("v"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("codes",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = false),
+        nullable = false)))
+    src.mapPartitions { it =>
+      val (cs, masks) = bcC.value
+      val spaces = bcB.value
+      def norm(x: Double): Double = if (x == 0.0) 0.0 else x
+      it.flatMap { r =>
+        if (r.isNullAt(0)) Iterator.empty // the cell re-join drops null ids
+        else {
+          val raw = r.getAs[scala.collection.Seq[java.lang.Float]](1)
+          val vNull = raw == null
+          val v: Array[Float] =
+            if (vNull) null
+            else raw.map(x => if (x == null) 0f else x.toFloat).toArray
+          val vMask: Array[Boolean] =
+            if (vNull) null else raw.map(_ == null).toArray
+          val vHasNull = !vNull && vMask.exists(identity)
+          // ---- coarse cell: ivfAssign verbatim ----
+          var bestSet = false; var bestNull = true
+          var bestD = 0.0; var bestC = 0L; var bestJ = 0
+          var j = 0
+          while (j < cs.length) {
+            val (cid, cv, cHasNull) = cs(j)
+            val isNull = vNull || cv == null || v.length != cv.length ||
+              vHasNull || cHasNull
+            var dd = 0.0
+            if (!isNull) {
+              var i = 0; val n = v.length
+              while (i < n) { dd += v(i).toDouble * cv(i).toDouble; i += 1 }
+            }
+            val better =
+              if (!bestSet) true
+              else if (isNull) false
+              else if (bestNull) true
+              else java.lang.Double.compare(norm(dd), norm(bestD)) > 0
+            if (better) {
+              bestSet = true; bestNull = isNull; bestD = dd; bestC = cid
+              bestJ = j
+            }
+            j += 1
+          }
+          // ---- residual: zip_with(v, cvec, x.double - y.double) ----
+          // (null vec → null residual; per-position null if either
+          // element null; length = max of the two, padded with nulls)
+          val cv = cs(bestJ)._2
+          val cMask = masks(bestJ)
+          val rLen =
+            if (vNull || cv == null) -1 // null residual array
+            else math.max(v.length, cv.length)
+          val res: Array[Double] = if (rLen < 0) null else new Array[Double](rLen)
+          val rMask: Array[Boolean] = if (rLen < 0) null else new Array[Boolean](rLen)
+          if (rLen >= 0) {
+            var i = 0
+            while (i < rLen) {
+              val xNull = i >= v.length || vMask(i)
+              val yNull = i >= cv.length || cMask(i)
+              if (xNull || yNull) rMask(i) = true
+              else res(i) = v(i).toDouble - cv(i).toDouble
+              i += 1
+            }
+          }
+          // ---- per-subspace argmin: Pq.assign verbatim over the
+          // sliced residual (slice truncates past the array end) ----
+          val codes = new Array[Long](m)
+          var s = 0
+          while (s < m) {
+            val es = spaces(s)
+            val base = s * d
+            // sv = slice(res, base+1, d): svLen elements, null-element
+            // flag from the mask; null res → null sv
+            val svLen = if (rLen < 0) -1
+              else math.max(0, math.min(rLen - base, d))
+            var svBad = rLen < 0
+            if (!svBad) {
+              var i = 0
+              while (i < svLen && !svBad) {
+                if (rMask(base + i)) svBad = true
+                i += 1
+              }
+            }
+            var bSet = false; var bNull = false
+            var bD = 0.0; var bCode = 0L
+            var jj = 0
+            while (jj < es.length) {
+              val (code, cvec, cBad) = es(jj)
+              val isNull = svBad || cBad || svLen != cvec.length
+              var dd = 0.0
+              if (!isNull) {
+                var i = 0
+                while (i < svLen) {
+                  val t = res(base + i) - cvec(i); dd += t * t; i += 1
+                }
+              }
+              val better =
+                if (!bSet) true
+                else if (isNull != bNull) isNull // asc NULLS FIRST
+                else if (isNull) false
+                else java.lang.Double.compare(norm(dd), norm(bD)) < 0
+              if (better) { bSet = true; bNull = isNull; bD = dd; bCode = code }
+              jj += 1
+            }
+            codes(s) = bCode
+            s += 1
+          }
+          Iterator.single(org.apache.spark.sql.Row(
+            r.getLong(0), bestC, codes.toSeq))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+      .toDF()
+  }
+
   /** Probed-cell ADC scores from a precomputed probes frame
     * ((query_id, q_vec, cell) — [[Ann.ivfProbes]] output): candidates
     * are the codes of probed cells only; fx = the per-(query, cell)

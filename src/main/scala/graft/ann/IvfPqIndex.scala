@@ -51,14 +51,17 @@ object IvfPqIndex {
     val cents = centroids.select(col("cid").cast("long").as("cid"), col("cvec"))
     val src = if (rotated) rotatedView(corpus, vecCol, dim) else corpus
     writeCodes(
-      packCodes(IvfPq.encode(src, idCol, vecCol, cents, cb, m, dim)),
+      IvfPq.encodePacked(src, idCol, vecCol, cents, cb, m, dim),
       cents, cb, m, dim, dir, numBuckets, seq, rotated = rotated)
     // a fresh write IS compaction (IndexLifecycle's contract)
     graft.ops.IndexLifecycle.clearTombstones(corpus.sparkSession, dir)
   }
 
-  /** (vec_id, cell, s, code) → (id, cell, codes array<long> by s). */
-  private def packCodes(enc: DataFrame): DataFrame =
+  /** (vec_id, cell, s, code) → (id, cell, codes array<long> by s) —
+    * the relational pack the one-pass [[IvfPq.encodePacked]] kernel
+    * replaced on the write path; kept as the executable specification
+    * it is parity-pinned against (IvfPqSpec). */
+  private[ann] def packCodes(enc: DataFrame): DataFrame =
     enc.groupBy(col("vec_id").as("id"), col("cell"))
       .agg(transform(array_sort(collect_list(struct(col("s"), col("code")))),
         e => e.getField("code")).as("codes"))
@@ -103,11 +106,13 @@ object IvfPqIndex {
     requireIndex(spark, dir)
     val cents = centroids(spark, dir)
     val cb = codebooks(spark, dir)
-    val (n, m, dim) = meta(spark, dir)
-    val src = if (rotated(spark, dir)) rotatedView(delta, vecCol, dim)
-      else delta
+    // one meta read serves all four fields (n_buckets/m/dim/rotated
+    // were four separate tiny parquet jobs — pure fixed cost per
+    // lifecycle step, and a real listing cost on an object store)
+    val (n, m, dim, rot) = metaAll(spark, dir)
+    val src = if (rot) rotatedView(delta, vecCol, dim) else delta
     writeCodes(
-      packCodes(IvfPq.encode(src, idCol, vecCol, cents, cb, m, dim)),
+      IvfPq.encodePacked(src, idCol, vecCol, cents, cb, m, dim),
       cents, cb, m, dim, dir, n, seq, mode = SaveMode.Append)
   }
 
@@ -131,10 +136,10 @@ object IvfPqIndex {
       seq: Long = 0L): Unit = {
     require(IvfIndex.canon(spark, outDir) != IvfIndex.canon(spark, dir),
       s"compact must write a NEW versioned index dir, not overwrite '$dir' in place")
-    val (n, m, dim) = meta(spark, dir)
+    val (n, m, dim, rot) = metaAll(spark, dir)
     val cents = centroids(spark, dir)
     writeCodes(codes(spark, dir), cents, codebooks(spark, dir),
-      m, dim, outDir, n, seq, rotated = rotated(spark, dir))
+      m, dim, outDir, n, seq, rotated = rot)
     graft.ops.IndexLifecycle.clearTombstones(spark, outDir)
   }
 
@@ -149,8 +154,7 @@ object IvfPqIndex {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(IvfIndex.canon(spark, outDir) != IvfIndex.canon(spark, dir),
       s"refresh must write a NEW versioned index dir, not overwrite '$dir' in place")
-    val (n, m, dim) = meta(spark, dir)
-    val rot = rotated(spark, dir)
+    val (n, m, dim, rot) = metaAll(spark, dir)
     // the standing centroids live in the index's serving space — with
     // rotation on, warm-start and retrain against the ROTATED corpus
     // view (write() re-applies the rotation at encode; the flag rides
@@ -179,22 +183,35 @@ object IvfPqIndex {
 
   /** (n_buckets, m, dim) the index was written with. */
   def meta(spark: SparkSession, dir: String): (Int, Int, Int) = {
-    requireIndex(spark, dir)
-    require(Lake.exists(spark, s"$dir/meta"),
-      s"no IVF-PQ index meta at '$dir/meta' — rebuild with IvfPqIndex.write")
-    val r = graft.ops.IndexLifecycle.singleMetaRow(spark, dir,
-      Seq("n_buckets", "m", "dim"), "IVF-PQ index")
-    (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2).toInt)
+    val (n, m, dim, _) = metaAll(spark, dir)
+    (n, m, dim)
   }
 
   /** Whether the index serves in the rotated (OPQ-lite) space —
     * stored in meta at write time so every lifecycle step agrees.
     * Indexes written before the flag existed read as not rotated. */
-  def rotated(spark: SparkSession, dir: String): Boolean = {
+  def rotated(spark: SparkSession, dir: String): Boolean =
+    metaAll(spark, dir)._4
+
+  /** All meta fields in ONE read — (n_buckets, m, dim, rotated).
+    * Every lifecycle step needs several of them; reading the tiny meta
+    * parquet once per step instead of once per field removes pure
+    * fixed cost locally and a per-field listing round-trip on an
+    * object store. */
+  def metaAll(spark: SparkSession, dir: String): (Int, Int, Int, Boolean) = {
     requireIndex(spark, dir)
+    require(Lake.exists(spark, s"$dir/meta"),
+      s"no IVF-PQ index meta at '$dir/meta' — rebuild with IvfPqIndex.write")
     val df = Lake.readParquet(spark, s"$dir/meta")
-    df.columns.contains("rotated") &&
-      df.select(col("rotated")).head.getLong(0) == 1L
+    val rotCol = if (df.columns.contains("rotated")) col("rotated")
+      else lit(0L).as("rotated")
+    val rows = df.select(col("n_buckets"), col("m"), col("dim"), rotCol)
+      .distinct().collect()
+    require(rows.length == 1,
+      s"IVF-PQ index at '$dir' mixes ${rows.length} distinct configs — rebuild required")
+    val r = rows(0)
+    (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2).toInt,
+      r.getLong(3) == 1L)
   }
 
   /** The full LIVE packed code frame (id, cell, codes). */
@@ -235,9 +252,8 @@ object IvfPqIndex {
       idCol: String, vecCol: String, nProbe: Int): DataFrame = {
     val cents = centroids(spark, dir)
     val cb = codebooks(spark, dir)
-    val (_, m, dim) = meta(spark, dir)
-    val q = if (rotated(spark, dir)) rotatedView(queries, vecCol, dim)
-      else queries
+    val (_, m, dim, rot) = metaAll(spark, dir)
+    val q = if (rot) rotatedView(queries, vecCol, dim) else queries
     val probes = graft.ops.CacheScope.persist(
       Ann.ivfProbes(q, cents, idCol, vecCol, nProbe))
     val probeCells = probes.select(col("cell")).distinct()

@@ -182,7 +182,14 @@ object Pq {
   def trainCodebooks(emb: DataFrame, idCol: String, vecCol: String,
       m: Int, dim: Int, stride: Int = 32, iters: Int = 2,
       k: Int = 32): DataFrame = {
-    val subs = subVectors(emb, idCol, vecCol, m, dim)
+    // every Lloyd round's assign (and the seed collect) re-executes the
+    // sub-vector frame's lineage — for the IVF-PQ residual case that is
+    // a full coarse-assignment pass over the corpus PER ROUND. Persist
+    // it once (CacheScope — released by the caller's scope like every
+    // library persist), so training touches the corpus once, not
+    // iters + 1 times.
+    val subs = graft.ops.CacheScope.persist(
+      subVectors(emb, idCol, vecCol, m, dim))
     var cb = subs.where(pmod(col("vec_id"), lit(stride)) === 0 &&
         col("vec_id") < stride.toLong * k)
       .select(col("s"), col("vec_id").as("code"), col("sv").as("cvec"))

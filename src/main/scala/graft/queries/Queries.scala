@@ -27,6 +27,34 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object Queries {
 
+  /** Construct independent sweep arms CONCURRENTLY (guide §2.6 —
+    * overlap independent jobs): each arm of a codebook/recall sweep
+    * runs its own eager Lloyd training (a chain of small
+    * driver-sequential jobs — codebook collects, localCheckpoints)
+    * that leaves most of local[32] idle; submitting the arms from a
+    * bounded pool lets the scheduler back-fill the idle cores. Purely
+    * a scheduling change: every arm is a pure deterministic function
+    * of its inputs, the result list keeps the caller's arm order, and
+    * failures rethrow the original cause. */
+  private def buildArms[A](thunks: Seq[() => A]): Seq[A] =
+    if (thunks.size <= 1) thunks.map(_())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(thunks.size)
+      try {
+        val futs = thunks.map { t =>
+          pool.submit(new java.util.concurrent.Callable[A] {
+            override def call(): A = t()
+          })
+        }
+        futs.map { f =>
+          try f.get()
+          catch { case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
+          }
+        }
+      } finally pool.shutdown()
+    }
+
   def tbl(spark: SparkSession, dir: String, name: String): DataFrame = {
     // The driver's events.parquet lands `ts` as a parquet timestamp
     // (µs precision, read as TIMESTAMP_NTZ). The engine standardizes on
@@ -2600,16 +2628,18 @@ object Queries {
     val brute = graft.ann.Ann.bruteForceTopK(queries, emb,
         "vec_id", "embedding", k = 10)
       .select(col("query_id"), col("neighbor_id"))
-    val arms = Seq((64, 7), (128, 3), (256, 1)).map { case (kk, stride) =>
-      val cb = graft.ann.IvfPq.trainCodebooks(emb, "vec_id", "embedding",
-        cents, m = 8, dim = 64, stride = stride, k = kk)
-      val codes = graft.ops.CacheScope.persist(
-        graft.ann.IvfPq.encode(emb, "vec_id", "embedding", cents, cb, 8, 64))
-      graft.ann.IvfPq.probeRerankTopK(queries, codes, cents, cb, emb,
-          "vec_id", "embedding", 8, 64, k = 10, nProbe = 4, rerank = 30)
-        .select(lit(kk.toLong).as("cb_k"), col("query_id"),
-          col("neighbor_id"))
-    }
+    val arms = buildArms(Seq((64, 7), (128, 3), (256, 1)).map {
+      case (kk, stride) => () => {
+        val cb = graft.ann.IvfPq.trainCodebooks(emb, "vec_id", "embedding",
+          cents, m = 8, dim = 64, stride = stride, k = kk)
+        val codes = graft.ops.CacheScope.persist(
+          graft.ann.IvfPq.encode(emb, "vec_id", "embedding", cents, cb, 8, 64))
+        graft.ann.IvfPq.probeRerankTopK(queries, codes, cents, cb, emb,
+            "vec_id", "embedding", 8, 64, k = 10, nProbe = 4, rerank = 30)
+          .select(lit(kk.toLong).as("cb_k"), col("query_id"),
+            col("neighbor_id"))
+      }
+    })
     val served = arms.reduce(_ unionByName _)
     brute.select(col("query_id"), col("neighbor_id"),
         explode(array(lit(64L), lit(128L), lit(256L))).as("cb_k"))
@@ -2690,7 +2720,9 @@ object Queries {
           "vec_id", "embedding", 8, 64, k = 10, rerank = 30)
         .select(lit(name).as("arm"), col("query_id"), col("neighbor_id"))
     }
-    val served = arm(emb, "plain").unionByName(arm(rot, "hadamard"))
+    val built = buildArms(Seq(
+      () => arm(emb, "plain"), () => arm(rot, "hadamard")))
+    val served = built(0).unionByName(built(1))
     val brute = graft.ann.Ann.bruteForceTopK(emb.where(col("vec_id") < 25),
         emb, "vec_id", "embedding", k = 10)
       .select(col("query_id"), col("neighbor_id"))

@@ -33,6 +33,41 @@ class IvfPqSpec extends SparkSpec {
     assert(err == 0.0, s"residual + centroid must equal the vector exactly: $err")
   }
 
+  test("one-pass packed encode == relational encode+pack (r15 opt)") {
+    val cb = IvfPq.trainCodebooks(corpus, "vec_id", "embedding", cents,
+      m = 8, dim = 64)
+    // weird rows ride along: a null element, a whole-null vector, a
+    // short vector, and a null id (which the relational cell re-join
+    // drops) — the kernel must fall back identically on every one
+    val rows = Seq(
+      org.apache.spark.sql.Row(9000L,
+        (0 until 64).map(i => if (i == 17) null
+          else java.lang.Float.valueOf(0.3f + i * 0.01f))),
+      org.apache.spark.sql.Row(9001L, null),
+      org.apache.spark.sql.Row(9002L,
+        (0 until 20).map(i => java.lang.Float.valueOf(0.1f * i))),
+      org.apache.spark.sql.Row(null,
+        (0 until 64).map(i => java.lang.Float.valueOf(0.2f))))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    val weird = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val src = corpus.select($"vec_id".cast("long").as("vec_id"), $"embedding")
+      .unionByName(weird)
+    val packed = IvfPq.encodePacked(src, "vec_id", "embedding", cents, cb,
+        8, 64)
+      .collect().map(_.toString).sorted.toSeq
+    val ref = IvfPqIndex.packCodes(
+        IvfPq.encode(src, "vec_id", "embedding", cents, cb, 8, 64))
+      .collect().map(_.toString).sorted.toSeq
+    assert(packed.nonEmpty && packed == ref,
+      "the fused packed-encode kernel must replay the relational chain exactly")
+  }
+
   test("candidates are bounded by the probed cells (never the corpus)") {
     val cb = IvfPq.trainCodebooks(corpus, "vec_id", "embedding", cents,
       m = 8, dim = 64)
