@@ -82,11 +82,7 @@ object AudioFp {
     val spark = media.sparkSession
     val parts = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    media.select("media_id", "payload")
-      .repartition(parts, col("media_id"))
-      .as[(Long, Array[Byte])](org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaLong,
-        org.apache.spark.sql.Encoders.BINARY))
+    Multimodal.mediaRows(media, parts)
       .map { case (id, p) =>
         Multimodal.decodeWavSamples(p) match {
           case Some((_, ch, s)) =>
@@ -114,7 +110,7 @@ object AudioFp {
   def wavFpCorpusFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].map { id =>
+    Multimodal.spreadIds(documents).map { id =>
       def fm(m: Long): Long = java.lang.Math.floorMod(id, m)
       val key = fm(97L)
       val n = if (fm(41L) == 6L) 100 else FrameLen * NFrames

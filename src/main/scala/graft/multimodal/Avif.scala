@@ -108,11 +108,7 @@ object Avif {
     val spark = media.sparkSession
     val parts = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    media.select("media_id", "payload")
-      .repartition(parts, col("media_id"))
-      .as[(Long, Array[Byte])](org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaLong,
-        org.apache.spark.sql.Encoders.BINARY))
+    Multimodal.mediaRows(media, parts)
       .mapPartitions(_.map { case (id, p) => parseAvif(id, p) })(
         org.apache.spark.sql.Encoders.product[AvifInfo])
   }
@@ -188,7 +184,7 @@ object Avif {
   def avifCorpusFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].map { id =>
+    Multimodal.spreadIds(documents).map { id =>
       def m(k: Long): Int = java.lang.Math.floorMod(id, k).toInt
       val notBmff = m(7) == 2
       val notHeif = !notBmff && m(11) == 4

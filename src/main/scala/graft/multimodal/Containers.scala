@@ -406,11 +406,7 @@ object Containers {
     val parts = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
     val eff = if (codec.nonEmpty) codec else if (gzipped) "gzip" else "none"
-    media.select("media_id", "payload")
-      .repartition(parts, col("media_id"))
-      .as[(Long, Array[Byte])](org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaLong,
-        org.apache.spark.sql.Encoders.BINARY))
+    Multimodal.mediaRows(media, parts)
       .flatMap { case (id, p) =>
         inflate(p, eff, maxBytes) match {
           case Some(bytes) => parseWarc(id, bytes, maxBytes = maxBytes)
@@ -447,7 +443,7 @@ object Containers {
   def warcCorpusFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)].map {
+    Multimodal.spreadIdText(documents, col("text")).map {
       case (id, text) =>
         val info = warcRecordBytes(Seq(
           "WARC-Type" -> "warcinfo",
@@ -482,7 +478,7 @@ object Containers {
   def httpWarcCorpusFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)].map {
+    Multimodal.spreadIdText(documents, col("text")).map {
       case (id, text) =>
         val t = (if (text == null) "" else text).getBytes("UTF-8")
         def gzip(p: Array[Byte]): Array[Byte] = {
@@ -572,7 +568,7 @@ object Containers {
   def charsetWarcCorpusFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].map { id =>
+    Multimodal.spreadIds(documents).map { id =>
       def gzip(p: Array[Byte]): Array[Byte] = {
         val bo = new java.io.ByteArrayOutputStream()
         val g = new java.util.zip.GZIPOutputStream(bo)
@@ -630,7 +626,7 @@ object Containers {
   def crawlWarcCorpusFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)].map {
+    Multimodal.spreadIdText(documents, col("text")).map {
       case (id, text) =>
         def fm(m: Long): Long = java.lang.Math.floorMod(id, m)
         val k = fm(7L)
@@ -772,11 +768,7 @@ object Containers {
     val parts = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
     val eff = if (codec.nonEmpty) codec else if (gzipped) "gzip" else "none"
-    media.select("media_id", "payload")
-      .repartition(parts, col("media_id"))
-      .as[(Long, Array[Byte])](org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaLong,
-        org.apache.spark.sql.Encoders.BINARY))
+    Multimodal.mediaRows(media, parts)
       .flatMap { case (id, p) =>
         inflate(p, eff, maxBytes) match {
           case Some(bytes) => parseTar(id, bytes)
@@ -828,7 +820,7 @@ object Containers {
   def tarCorpusFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)].map {
+    Multimodal.spreadIdText(documents, col("text")).map {
       case (id, text) =>
         val e0 = tarEntryBytes(s"docs/$id.txt",
           (if (text == null) "" else text).getBytes("UTF-8"))
@@ -964,11 +956,7 @@ object Containers {
     import spark.implicits._
     val parts = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    media.select("media_id", "payload")
-      .repartition(parts, col("media_id"))
-      .as[(Long, Array[Byte])](org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaLong,
-        org.apache.spark.sql.Encoders.BINARY))
+    Multimodal.mediaRows(media, parts)
       .flatMap { case (id, p) => parseZip(id, p, maxBytes, maxEntries) }
   }
 
@@ -1036,7 +1024,7 @@ object Containers {
   def zipCorpusFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)].map {
+    Multimodal.spreadIdText(documents, col("text")).map {
       case (id, text) =>
         val body = (if (text == null) "" else text).getBytes("UTF-8")
         val z = zipBytes(Seq(
@@ -1083,11 +1071,7 @@ object Containers {
     import spark.implicits._
     val parts = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    media.select("media_id", "payload")
-      .repartition(parts, col("media_id"))
-      .as[(Long, Array[Byte])](org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaLong,
-        org.apache.spark.sql.Encoders.BINARY))
+    Multimodal.mediaRows(media, parts)
       .flatMap { case (id, p) =>
         inflate(p, codec, maxBytes) match {
           case Some(bytes) =>
@@ -1111,7 +1095,7 @@ object Containers {
   def jsonlZstCorpusFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)].map {
+    Multimodal.spreadIdText(documents, col("text")).map {
       case (id, text) =>
         def esc(s: String): String = {
           val sb = new StringBuilder("\"")

@@ -144,11 +144,7 @@ object Exif {
     val spark = media.sparkSession
     val parts = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    media.select("media_id", "payload")
-      .repartition(parts, col("media_id"))
-      .as[(Long, Array[Byte])](org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaLong,
-        org.apache.spark.sql.Encoders.BINARY))
+    Multimodal.mediaRows(media, parts)
       .mapPartitions(_.map { case (id, p) => parseExif(id, p) })(
         org.apache.spark.sql.Encoders.product[ExifInfo])
   }
@@ -202,11 +198,7 @@ object Exif {
     val spark = media.sparkSession
     val parts = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    media.select("media_id", "payload")
-      .repartition(parts, col("media_id"))
-      .as[(Long, Array[Byte])](org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaLong,
-        org.apache.spark.sql.Encoders.BINARY))
+    Multimodal.mediaRows(media, parts)
       .mapPartitions(_.map { case (id, payload) =>
         val info = parseExif(id, payload)
         val o = if (info.ok == 1 && info.orientation >= 1 &&
@@ -300,7 +292,7 @@ object Exif {
   def exifCorpusFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].map { id =>
+    Multimodal.spreadIds(documents).map { id =>
       def m(k: Long): Int = java.lang.Math.floorMod(id, k).toInt
       val base = Jpeg.dcOnlyBytes(16, 16, 1, (bx, by, _) =>
         ((m(10) * 73 + bx * 37 + by * 91) % 17) * 15)
@@ -328,7 +320,7 @@ object Exif {
   def orientedCorpusFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].map { id =>
+    Multimodal.spreadIds(documents).map { id =>
       val g = id / 8
       val o = 1 + java.lang.Math.floorMod(id, 8L).toInt
       def baseBlock(bx: Int, by: Int): Int =

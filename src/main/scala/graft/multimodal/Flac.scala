@@ -72,11 +72,7 @@ object Flac {
     val spark = media.sparkSession
     val parts = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    media.select("media_id", "payload")
-      .repartition(parts, col("media_id"))
-      .as[(Long, Array[Byte])](org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaLong,
-        org.apache.spark.sql.Encoders.BINARY))
+    Multimodal.mediaRows(media, parts)
       .mapPartitions(_.map { case (id, p) => parseFlac(id, p) })(
         org.apache.spark.sql.Encoders.product[FlacInfo])
   }
@@ -114,7 +110,7 @@ object Flac {
   def flacCorpusFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].map { id =>
+    Multimodal.spreadIds(documents).map { id =>
       def m(k: Long): Int = java.lang.Math.floorMod(id, k).toInt
       val rate = Array(8000, 16000, 22050, 32000, 44100, 48000)(m(6))
       val channels = 1 + m(2)

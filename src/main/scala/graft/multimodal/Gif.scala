@@ -415,7 +415,7 @@ object Gif {
   def gifPhashCorpusFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].map { id =>
+    Multimodal.spreadIds(documents).map { id =>
       def fm(x: Long, m: Long): Long = java.lang.Math.floorMod(x, m)
       val seed =
         if (fm(id, 9L) == 0L) 10L + fm(id, 7L)
@@ -460,11 +460,7 @@ object Gif {
     val spark = media.sparkSession
     val parts = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    media.select("media_id", "payload")
-      .repartition(parts, col("media_id"))
-      .as[(Long, Array[Byte])](org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaLong,
-        org.apache.spark.sql.Encoders.BINARY))
+    Multimodal.mediaRows(media, parts)
       .flatMap { case (id, payload) =>
         decode(payload) match {
           case Left(err) => Seq(GifFramePHash(id, 0, 0, 0, 0L, err))

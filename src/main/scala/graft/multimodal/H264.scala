@@ -227,11 +227,7 @@ object H264 {
     val spark = media.sparkSession
     val parts = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    media.select("media_id", "payload")
-      .repartition(parts, col("media_id"))
-      .as[(Long, Array[Byte])](org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaLong,
-        org.apache.spark.sql.Encoders.BINARY))
+    Multimodal.mediaRows(media, parts)
       .map { case (id, p) => parseMp4Codec(id, p) }(
         org.apache.spark.sql.Encoders.product[Mp4CodecInfo])
   }
@@ -369,7 +365,7 @@ object H264 {
   def mp4AvcCorpusFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].map { id =>
+    Multimodal.spreadIds(documents).map { id =>
       def fm(m: Long): Long = java.lang.Math.floorMod(id, m)
       val level = (30 + 10 * fm(2)).toInt
       val wMbs = (40 + 10 * fm(5)).toInt

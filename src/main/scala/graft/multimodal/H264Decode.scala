@@ -1069,11 +1069,7 @@ object H264Decode {
     import spark.implicits._
     val parts = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    media.select("media_id", "payload")
-      .repartition(parts, col("media_id"))
-      .as[(Long, Array[Byte])](org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaLong,
-        org.apache.spark.sql.Encoders.BINARY))
+    Multimodal.mediaRows(media, parts)
       .flatMap { case (id, p) =>
         avcConfig(p) match {
           case Left(tag) => Seq(Multimodal.VideoFramePHash(id, 0, 0, 0L, tag))
@@ -1297,7 +1293,7 @@ object H264Decode {
       sampleMod: Int = 1, sampleRem: Int = 0): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    Multimodal.spreadIds(documents)
       .filter(id => java.lang.Math.floorMod(id, sampleMod.toLong) == sampleRem.toLong)
       .map { id =>
         val fm = (x: Long, m: Long) => java.lang.Math.floorMod(x, m)

@@ -163,11 +163,7 @@ object Mp3 {
     val spark = media.sparkSession
     val parts = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    media.select("media_id", "payload")
-      .repartition(parts, col("media_id"))
-      .as[(Long, Array[Byte])](org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaLong,
-        org.apache.spark.sql.Encoders.BINARY))
+    Multimodal.mediaRows(media, parts)
       .mapPartitions(_.map { case (id, p) => parseMp3(id, p) })(
         org.apache.spark.sql.Encoders.product[Mp3Info])
   }
@@ -210,7 +206,7 @@ object Mp3 {
   def mp3CorpusFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].map { id =>
+    Multimodal.spreadIds(documents).map { id =>
       def m(k: Long): Int = java.lang.Math.floorMod(id, k).toInt
       val version = m(3)
       val layer = m(4) match { case 2 => 2; case 3 => 1; case _ => 3 }
@@ -365,11 +361,7 @@ object Mp3 {
     val spark = media.sparkSession
     val parts = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    media.select("media_id", "payload")
-      .repartition(parts, col("media_id"))
-      .as[(Long, Array[Byte])](org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaLong,
-        org.apache.spark.sql.Encoders.BINARY))
+    Multimodal.mediaRows(media, parts)
       .mapPartitions(_.map { case (id, p) => parseId3(id, p) })(
         org.apache.spark.sql.Encoders.product[Id3Tags])
   }
@@ -474,7 +466,7 @@ object Mp3 {
   def id3CorpusFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].map { id =>
+    Multimodal.spreadIds(documents).map { id =>
       def m(k: Long): Int = java.lang.Math.floorMod(id, k).toInt
       val noTag = m(7) == 2
       val badVer = !noTag && m(11) == 5

@@ -232,18 +232,99 @@ object Multimodal {
     else None
   }
 
+  /** The documents frame's ids, hash-spread over the session's
+    * shuffle-partition count BEFORE a per-id fixture encoder maps over
+    * them. The testdata documents table is ONE parquet file → one scan
+    * split, so a `.map` directly on the scan ran every corpus
+    * generator's payload ENCODING inside a single task while the other
+    * 31 cores idled (measured: the generation half of every media
+    * query was serial; the decode half already spreads via
+    * [[decodeStage]]). The exchange moves 8-byte ids, not payloads;
+    * hash partitioning by doc_id is deterministic under retries (guide
+    * §2.5 — no round-robin, no rand). At 100 TB the input arrives as
+    * many splits and the repartition coalesces/spreads to the
+    * configured parallelism either way. */
+  private[graft] def spreadIds(documents: DataFrame): Dataset[Long] = {
+    val spark = documents.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    documents.select(col("doc_id")).repartition(parts, col("doc_id"))
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+  }
+
+  /** [[spreadIds]] carrying a text column — for the generators whose
+    * payloads embed the document's own text. */
+  private[graft] def spreadIdText(documents: DataFrame,
+      text: org.apache.spark.sql.Column): Dataset[(Long, String)] = {
+    val spark = documents.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    documents.select(col("doc_id"), text.as("text"))
+      .repartition(parts, col("doc_id"))
+      .as[(Long, String)](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING))
+  }
+
   /** Shared decode-stage shape for every modality: repartition the wide
     * binary rows by id, then a per-partition narrow map over
     * (id, payload) — one place to fix partitioning/null behavior for
-    * image, audio, and video alike. */
+    * image, audio, and video alike. Corpora generated over
+    * [[spreadIds]] arrive already spread at the target partition
+    * count; re-exchanging them would shuffle the PAYLOAD bytes a
+    * second time for no balance gain, so the repartition applies only
+    * when the input's partitioning is actually narrower than the
+    * target (the raw single-file-scan case). */
+  /** The (id, payload) rows of a media frame at decode parallelism —
+    * shared by EVERY modality's decode stage. Skips the exchange when
+    * the input is already at least `parts` wide (the [[spreadIds]]
+    * corpora), so payload bytes never ride a second shuffle; a narrow
+    * input (single-file scan) still spreads by id. */
+  private[graft] def mediaRows(media: DataFrame,
+      parts: Int): Dataset[(Long, Array[Byte])] = {
+    val src = media.select("media_id", "payload")
+    // IMPORTANT: the spread check walks the ANALYZED plan — asking the
+    // RDD for its partition count (`src.rdd.getNumPartitions`) looks
+    // equivalent but materializes every upstream shuffle stage under
+    // AQE, silently running the whole generation subtree TWICE
+    // (measured: q141 warm 6→18 s before this walk replaced it).
+    val spread = if (alreadySpread(media.queryExecution.analyzed, parts)) src
+      else src.repartition(parts, col("media_id"))
+    spread.as[(Long, Array[Byte])](org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.BINARY))
+  }
+
+  /** Whether a frame is already hash-spread at >= `parts` partitions:
+    * true iff, descending only through narrow per-row operators
+    * (project/filter/typed map — nothing that changes partitioning),
+    * the plan reaches an explicit >= `parts` repartition (the
+    * [[spreadIds]]/[[spreadIdText]] exchange). Conservative: any
+    * unrecognized node means "not spread" and the decode stage
+    * repartitions as it always did. */
+  private def alreadySpread(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      parts: Int): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    plan match {
+      case r: RepartitionByExpression =>
+        r.optNumPartitions.exists(_ >= parts)
+      case r: Repartition => r.shuffle && r.numPartitions >= parts
+      case p: Project => alreadySpread(p.child, parts)
+      case f: Filter => alreadySpread(f.child, parts)
+      case a: SubqueryAlias => alreadySpread(a.child, parts)
+      case s: SerializeFromObject => alreadySpread(s.child, parts)
+      case d: DeserializeToObject => alreadySpread(d.child, parts)
+      case m: MapElements => alreadySpread(m.child, parts)
+      case m: MapPartitions => alreadySpread(m.child, parts)
+      case t: TypedFilter => alreadySpread(t.child, parts)
+      case _ => false
+    }
+  }
+
   private def decodeStage[T](media: DataFrame, partitions: Int,
       enc: org.apache.spark.sql.Encoder[T])(f: (Long, Array[Byte]) => T): Dataset[T] = {
     val parts = if (partitions > 0) partitions
       else media.sparkSession.sessionState.conf.numShufflePartitions
-    media.select("media_id", "payload")
-      .repartition(parts, col("media_id"))
-      .as[(Long, Array[Byte])](org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.BINARY))
+    mediaRows(media, parts)
       .mapPartitions(it => it.map { case (id, p) => f(id, p) })(enc)
   }
 
@@ -365,7 +446,7 @@ object Multimodal {
   def audioCorpusFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+    Multimodal.spreadIdText(documents, col("text")).map { case (id, text) =>
       val rates = Array(8000, 16000, 22050, 44100)
       val body = if (text == null) Array.emptyByteArray else text.getBytes("UTF-8")
       // floorMod: Scala % is negative for negative ids, which would index
@@ -426,7 +507,7 @@ object Multimodal {
   def jpegDcCorpusFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].map { id =>
+    Multimodal.spreadIds(documents).map { id =>
       val nbx = (java.lang.Math.floorMod(id, 3L) + 1).toInt
       val nby = (java.lang.Math.floorMod(id, 2L) + 1).toInt
       val comps = if (java.lang.Math.floorMod(id, 2L) == 0L) 3 else 1
@@ -452,7 +533,7 @@ object Multimodal {
   def jpegProgressiveCorpusFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].map { id =>
+    Multimodal.spreadIds(documents).map { id =>
       val nbx = (java.lang.Math.floorMod(id, 3L) + 1).toInt
       val nby = (java.lang.Math.floorMod(id, 2L) + 1).toInt
       val comps = if (java.lang.Math.floorMod(id, 2L) == 0L) 3 else 1
@@ -475,7 +556,7 @@ object Multimodal {
   def jpeg420CorpusFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].map { id =>
+    Multimodal.spreadIds(documents).map { id =>
       val nmx = (java.lang.Math.floorMod(id, 2L) + 1).toInt
       (id, Jpeg.dcOnly420Bytes(nmx * 16, 16,
         (bx, by) => java.lang.Math.floorMod(31L * id + 13L * bx + 19L * by, 256L).toInt,
@@ -493,7 +574,7 @@ object Multimodal {
   def jpeg422CorpusFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].map { id =>
+    Multimodal.spreadIds(documents).map { id =>
       val nmx = (java.lang.Math.floorMod(id, 2L) + 1).toInt
       val nmy = (java.lang.Math.floorMod(id / 2, 2L) + 1).toInt
       (id, Jpeg.dcOnly422Bytes(nmx * 16, nmy * 8,
@@ -572,7 +653,7 @@ object Multimodal {
   def gzipCorpusFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)].map {
+    Multimodal.spreadIdText(documents, col("text")).map {
       case (id, text) =>
         val b = gzipBytes(if (text == null) "" else text)
         if (java.lang.Math.floorMod(id, 3L) == 0L && b.length > 12)
@@ -677,7 +758,7 @@ object Multimodal {
   def wavPcmCorpusFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].map { id =>
+    Multimodal.spreadIds(documents).map { id =>
       val rates = Array(8000, 16000, 22050, 44100)
       val ch = java.lang.Math.floorMod(id, 2L).toInt + 1
       val n = (java.lang.Math.floorMod(id, 5L) * 16 + 32).toInt
@@ -1035,11 +1116,7 @@ object Multimodal {
     import spark.implicits._
     val parts = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    media.select("media_id", "payload")
-      .repartition(parts, col("media_id"))
-      .as[(Long, Array[Byte])](org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaLong,
-        org.apache.spark.sql.Encoders.BINARY))
+    Multimodal.mediaRows(media, parts)
       .flatMap { case (id, p) =>
         extractMp4FramesTagged(p) match {
           case Right(frames) => frames.map { case (fi, bytes) =>
@@ -1074,7 +1151,7 @@ object Multimodal {
   def mjpegVideoCorpusFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].map { id =>
+    Multimodal.spreadIds(documents).map { id =>
       val fm = (x: Long, m: Long) => java.lang.Math.floorMod(x, m)
       val nf = (3L + fm(id, 4L)).toInt
       val frames = (0 until nf).map { f =>
@@ -1126,10 +1203,7 @@ object Multimodal {
   def decodeMp4SampleStats(media: DataFrame, partitions: Int = 0): Dataset[Mp4TrackStats] = {
     val parts = if (partitions > 0) partitions
       else media.sparkSession.sessionState.conf.numShufflePartitions
-    media.select("media_id", "payload")
-      .repartition(parts, col("media_id"))
-      .as[(Long, Array[Byte])](org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.BINARY))
+    Multimodal.mediaRows(media, parts)
       .flatMap { case (id, p) =>
         parseMp4SampleTables(p) match {
           case Some(ts) => ts.map(t => Mp4TrackStats(id, "mp4", t.track_idx,
@@ -1176,7 +1250,7 @@ object Multimodal {
   def mp4SampleCorpusFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].map { id =>
+    Multimodal.spreadIds(documents).map { id =>
       val fm = (x: Long, m: Long) => java.lang.Math.floorMod(x, m)
       val ntr = (fm(id, 2L) + 1).toInt
       val traks = (0 until ntr).map { t =>
@@ -1232,7 +1306,7 @@ object Multimodal {
   def videoCorpusFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+    Multimodal.spreadIdText(documents, col("text")).map { case (id, text) =>
       val w = (java.lang.Math.floorMod(id, 3L) * 320 + 640).toInt
       val h = (java.lang.Math.floorMod(id, 3L) * 180 + 360).toInt
       val dur = java.lang.Math.floorMod(id, 100L) * 600 + 600 // in timescale-600 units
@@ -1467,7 +1541,7 @@ object Multimodal {
   def pngPixelCorpusFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].map { id =>
+    Multimodal.spreadIds(documents).map { id =>
       val w = (java.lang.Math.floorMod(id, 4L) * 4 + 4).toInt // 4..16
       val h = (java.lang.Math.floorMod(id, 3L) * 4 + 8).toInt // 8..16: all filters hit
       (id, pngBytes(w, h,
@@ -1636,7 +1710,7 @@ object Multimodal {
   def phashImageCorpusFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].map { id =>
+    Multimodal.spreadIds(documents).map { id =>
       val seed =
         if (java.lang.Math.floorMod(id, 9L) == 0L)
           10L + java.lang.Math.floorMod(id, 7L)
@@ -1668,7 +1742,7 @@ object Multimodal {
   def mixedCodecImageCorpusFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].map { id =>
+    Multimodal.spreadIds(documents).map { id =>
       val seed =
         if (java.lang.Math.floorMod(id, 9L) == 0L)
           10L + java.lang.Math.floorMod(id, 7L)
@@ -1745,7 +1819,7 @@ object Multimodal {
   def audioFpCorpusFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].map { id =>
+    Multimodal.spreadIds(documents).map { id =>
       val seed =
         if (java.lang.Math.floorMod(id, 9L) == 0L)
           10L + java.lang.Math.floorMod(id, 7L)
@@ -1807,7 +1881,7 @@ object Multimodal {
   def imageCorpusFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+    Multimodal.spreadIdText(documents, col("text")).map { case (id, text) =>
       val w = (java.lang.Math.floorMod(id, 4L) * 160 + 320).toInt
       val h = (java.lang.Math.floorMod(id, 4L) * 90 + 180).toInt
       val body = if (text == null) Array.emptyByteArray else text.getBytes("UTF-8")

@@ -138,11 +138,7 @@ object Ogg {
     val spark = media.sparkSession
     val parts = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    media.select("media_id", "payload")
-      .repartition(parts, col("media_id"))
-      .as[(Long, Array[Byte])](org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaLong,
-        org.apache.spark.sql.Encoders.BINARY))
+    Multimodal.mediaRows(media, parts)
       .mapPartitions(_.map { case (id, p) => parseOgg(id, p) })(
         org.apache.spark.sql.Encoders.product[OggInfo])
   }
@@ -283,11 +279,7 @@ object Ogg {
     val spark = media.sparkSession
     val parts = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    media.select("media_id", "payload")
-      .repartition(parts, col("media_id"))
-      .as[(Long, Array[Byte])](org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaLong,
-        org.apache.spark.sql.Encoders.BINARY))
+    Multimodal.mediaRows(media, parts)
       .mapPartitions(_.map { case (id, p) => parseTags(id, p) })(
         org.apache.spark.sql.Encoders.product[OggTags])
   }
@@ -407,7 +399,7 @@ object Ogg {
   def oggTagsCorpusFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].map { id =>
+    Multimodal.spreadIds(documents).map { id =>
       def m(k: Long): Int = java.lang.Math.floorMod(id, k).toInt
       val opus = m(2) == 1
       val codec = if (opus) "opus" else "vorbis"
@@ -460,7 +452,7 @@ object Ogg {
   def oggCorpusFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].map { id =>
+    Multimodal.spreadIds(documents).map { id =>
       def m(k: Long): Int = java.lang.Math.floorMod(id, k).toInt
       val opus = m(2) == 1
       val rate = if (opus) 48000 else Array(8000, 16000, 44100, 48000)(m(4))

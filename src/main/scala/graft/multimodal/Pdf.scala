@@ -1538,8 +1538,7 @@ object Pdf {
   def pdfCorpusFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
-      .as[(Long, String)].map { case (id, text) =>
+    Multimodal.spreadIdText(documents, coalesce(col("text"), lit(""))).map { case (id, text) =>
         def fm(x: Long, m: Long): Long = java.lang.Math.floorMod(x, m)
         val badHdr = fm(id, 11L) == 7L
         val trunc = !badHdr && fm(id, 19L) == 13L
@@ -1584,11 +1583,7 @@ object Pdf {
     val spark = media.sparkSession
     val parts = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    media.select("media_id", "payload")
-      .repartition(parts, col("media_id"))
-      .as[(Long, Array[Byte])](org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaLong,
-        org.apache.spark.sql.Encoders.BINARY))
+    Multimodal.mediaRows(media, parts)
       .map { case (id, p) => parseInfo(id, p) }(
         org.apache.spark.sql.Encoders.product[PdfInfo])
   }
@@ -1619,11 +1614,7 @@ object Pdf {
     val spark = media.sparkSession
     val parts = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    media.select("media_id", "payload")
-      .repartition(parts, col("media_id"))
-      .as[(Long, Array[Byte])](org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaLong,
-        org.apache.spark.sql.Encoders.BINARY))
+    Multimodal.mediaRows(media, parts)
       .flatMap { case (id, p) => pageTexts(id, p) }(
         org.apache.spark.sql.Encoders.product[PdfPageText])
   }

@@ -105,11 +105,7 @@ object Webp {
     val spark = media.sparkSession
     val parts = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    media.select("media_id", "payload")
-      .repartition(parts, col("media_id"))
-      .as[(Long, Array[Byte])](org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaLong,
-        org.apache.spark.sql.Encoders.BINARY))
+    Multimodal.mediaRows(media, parts)
       .mapPartitions(_.map { case (id, p) => parseWebp(id, p) })(
         org.apache.spark.sql.Encoders.product[WebpInfo])
   }
@@ -153,7 +149,7 @@ object Webp {
   def webpPhashCorpusFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].map { id =>
+    Multimodal.spreadIds(documents).map { id =>
       val seed =
         if (java.lang.Math.floorMod(id, 9L) == 0L)
           10L + java.lang.Math.floorMod(id, 7L)
@@ -215,7 +211,7 @@ object Webp {
   def vp8PhashCorpusFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].map { id =>
+    Multimodal.spreadIds(documents).map { id =>
       val px = Array.tabulate(64 * 64)(i => Vp8.q174Gray(id, i % 64, i / 64))
       val variant = java.lang.Math.floorMod(id, 4L).toInt
       (id, webpBytes(Seq(("VP8 ", Vp8.encode(64, 64, px, variant)))))
@@ -306,11 +302,7 @@ object Webp {
     val spark = media.sparkSession
     val parts = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    media.select("media_id", "payload")
-      .repartition(parts, col("media_id"))
-      .as[(Long, Array[Byte])](org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaLong,
-        org.apache.spark.sql.Encoders.BINARY))
+    Multimodal.mediaRows(media, parts)
       .mapPartitions(_.map { case (id, p) =>
         decodeAlpha(p) match {
           case Left(err) => AlphaStats(id, 0, 0, 0, 0L, 0L, err)
@@ -382,7 +374,7 @@ object Webp {
   def webpAlphaCorpusFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].map { id =>
+    Multimodal.spreadIds(documents).map { id =>
       def m(k: Long): Int = java.lang.Math.floorMod(id, k).toInt
       val w = 64
       val h = 64
@@ -464,11 +456,7 @@ object Webp {
     val spark = media.sparkSession
     val parts = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    media.select("media_id", "payload")
-      .repartition(parts, col("media_id"))
-      .as[(Long, Array[Byte])](org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaLong,
-        org.apache.spark.sql.Encoders.BINARY))
+    Multimodal.mediaRows(media, parts)
       .flatMap { case (id, payload) =>
         animFrames(payload) match {
           case Left(err) => Seq(AnimFramePHash(id, 0, 0, 0, 0L, err))
@@ -528,7 +516,7 @@ object Webp {
   def animWebpCorpusFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].map { id =>
+    Multimodal.spreadIds(documents).map { id =>
       def fm(x: Long, m: Long): Long = java.lang.Math.floorMod(x, m)
       val nf = (3L + fm(id, 4L)).toInt
       val frames = (0 until nf).map { f =>
@@ -637,7 +625,7 @@ object Webp {
   def webpCorpusFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].map { id =>
+    Multimodal.spreadIds(documents).map { id =>
       def m(k: Long): Int = java.lang.Math.floorMod(id, k).toInt
       val w = 16 + m(200); val h = 16 + m(150)
       val notWebp = m(7) == 2

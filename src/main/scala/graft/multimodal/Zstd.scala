@@ -1514,11 +1514,7 @@ object Zstd {
     val spark = media.sparkSession
     val parts = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    media.select("media_id", "payload")
-      .repartition(parts, col("media_id"))
-      .as[(Long, Array[Byte])](org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaLong,
-        org.apache.spark.sql.Encoders.BINARY))
+    Multimodal.mediaRows(media, parts)
       .mapPartitions(_.map { case (id, p) =>
         val nIn = if (p == null) 0L else p.length.toLong
         decompress(p, maxBytes) match {
@@ -1540,7 +1536,7 @@ object Zstd {
   def zstdCorpusFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)].map {
+    Multimodal.spreadIdText(documents, col("text")).map {
       case (id, text) =>
         val data = (if (text == null) "" else text).getBytes("UTF-8")
         val variant = java.lang.Math.floorMod(id, 4L) match {
