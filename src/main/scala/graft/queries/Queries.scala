@@ -1662,12 +1662,16 @@ object Queries {
 
   def q111HybridIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = tbl(spark, dir, "embeddings")
-    val lex = graft.text.Bm25DiskIndex.probeTopK(spark,
-        standingBm25Idx(spark, dir),
+    // the two standing indexes are independent builds — construct them
+    // concurrently (buildArms, guide §2.6) so the first run's build
+    // cost overlaps instead of serializing; warm runs hit the memo and
+    // pay nothing either way
+    val built = buildArms(Seq(
+      () => standingBm25Idx(spark, dir), () => standingIvfIdx(spark, dir)))
+    val lex = graft.text.Bm25DiskIndex.probeTopK(spark, built(0),
         retrievalProbes(spark, dir), "query_id", "qtext", k = 20)
       .select(col("query_id"), col("doc_id"), col("rank"))
-    val sem = graft.ann.IvfIndex.probeTopK(spark,
-        standingIvfIdx(spark, dir),
+    val sem = graft.ann.IvfIndex.probeTopK(spark, built(1),
         emb.where(pmod(col("vec_id"), lit(25)) === 0),
         "vec_id", "embedding", k = 20, nProbe = 4)
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))

@@ -128,12 +128,17 @@ object Retrieval {
   }
 
   /** Per-query dense rank + cut over a (query_id, id, bm25_scaled)
-    * frame — already bounded by queries×matching-docs, so the window
-    * state is small; ties break on ascending doc id. */
+    * frame; ties break on ascending doc id. Two-level selection (the
+    * [[graft.ann.TopK]] discipline, r15): a query matching much of the
+    * corpus would otherwise sort ALL its candidates inside one window
+    * task — the per-partition bounded prune caps the window's input at
+    * numPartitions × |Q| × k rows under the identical ordering, so the
+    * final ranking (and every oracle) is bit-identical. */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("bm25_scaled").desc, col("id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    graft.ann.TopK.prunePerPartition(scored, "query_id", "bm25_scaled", "id", k)
+      .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("id").as("doc_id"),
         col("bm25_scaled"))
