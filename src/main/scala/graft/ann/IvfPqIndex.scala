@@ -230,7 +230,16 @@ object IvfPqIndex {
       cellIds: Seq[Long]): DataFrame = {
     requireIndex(spark, dir)
     val (n, _, _) = meta(spark, dir)
-    val buckets = IvfIndex.cellBuckets(centroids(spark, dir), n)
+    prunedCodesWith(spark, dir, centroids(spark, dir), n, cellIds)
+  }
+
+  /** [[prunedCodes]] over already-read centroids + meta — the probe
+    * path reads both anyway; re-reading them here was one more meta
+    * read and one more centroid read per probe (pure fixed cost, a
+    * listing round-trip each on an object store). */
+  private def prunedCodesWith(spark: SparkSession, dir: String,
+      cents: DataFrame, nBuckets: Int, cellIds: Seq[Long]): DataFrame = {
+    val buckets = IvfIndex.cellBuckets(cents, nBuckets)
       .where(col("cid").isin(cellIds: _*))
       .select(col("cbucket")).distinct()
       .collect().map(_.getLong(0)).toSeq
@@ -252,13 +261,13 @@ object IvfPqIndex {
       idCol: String, vecCol: String, nProbe: Int): DataFrame = {
     val cents = centroids(spark, dir)
     val cb = codebooks(spark, dir)
-    val (_, m, dim, rot) = metaAll(spark, dir)
+    val (n, m, dim, rot) = metaAll(spark, dir)
     val q = if (rot) rotatedView(queries, vecCol, dim) else queries
     val probes = graft.ops.CacheScope.persist(
       Ann.ivfProbes(q, cents, idCol, vecCol, nProbe))
     val probeCells = probes.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).toSeq // ≤ |centroids| values
-    val unpacked = prunedCodes(spark, dir, probeCells)
+    val unpacked = prunedCodesWith(spark, dir, cents, n, probeCells)
       .select(col("id").as("vec_id"), col("cell"),
         posexplode(col("codes")).as(Seq("s", "code")))
     IvfPq.adcScoresFromProbes(probes, q, unpacked, cents, cb,

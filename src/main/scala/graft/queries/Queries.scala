@@ -1962,15 +1962,18 @@ object Queries {
         .where(col("ok") === 1)
         .select(col("media_id").as("id"), col("phash")))
     val idxP = tmpLifecycleDir("graft-q161-ph")
-    graft.dedup.PhashDiskIndex.write(
-      hashes.where(pmod(col("id"), lit(5)) =!= 0), "id", "phash", idxP,
-      totalBits = 64, bands = 8, numBuckets = 2, seq = 1L)
+    val idxL = tmpLifecycleDir("graft-q161-lsh")
+    // the two standing-index builds are independent writes — overlap
+    // them (§2.6); each probe then reads its own finished index
+    buildArms(Seq(
+      () => graft.dedup.PhashDiskIndex.write(
+        hashes.where(pmod(col("id"), lit(5)) =!= 0), "id", "phash", idxP,
+        totalBits = 64, bands = 8, numBuckets = 2, seq = 1L),
+      () => graft.dedup.LshDiskIndex.write(
+        docs.where(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text", idxL,
+        numBuckets = 2, seq = 1L)))
     val imgPairs = graft.dedup.PhashDiskIndex.probe(spark, idxP,
       hashes.where(pmod(col("id"), lit(5)) === 0), "id", "phash", maxDist = 5)
-    val idxL = tmpLifecycleDir("graft-q161-lsh")
-    graft.dedup.LshDiskIndex.write(
-      docs.where(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text", idxL,
-      numBuckets = 2, seq = 1L)
     val capPairs = graft.dedup.LshDiskIndex.probe(spark, idxL,
       docs.where(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text", 0.7)
     // a delta id d is a dup iff some partner is standing, or a delta
@@ -3828,11 +3831,16 @@ object Queries {
     val imgPairs = graft.dedup.Dedup.hammingNearDupPairs(
       hashes.where(col("ok") === 1), "media_id", "phash",
       totalBits = 64, maxDist = 5, bands = 8)
-    val imgCc = graft.dedup.Dedup.connectedComponents(imgPairs, "id_a", "id_b")
     val capPairs = graft.dedup.Dedup.minhashNearDupPairs(docs, "doc_id", "text",
       threshold = 0.7,
       graft.dedup.Dedup.MinHashConfig(numHashes = 64, shingleSize = 3, bands = 16))
-    val capCc = graft.dedup.Dedup.connectedComponents(capPairs, "id_a", "id_b")
+    // the two dedup closures are independent eager loops (pointer-
+    // jumping rounds with per-round actions) — overlap them (§2.6)
+    val ccs = buildArms(Seq(
+      () => graft.dedup.Dedup.connectedComponents(imgPairs, "id_a", "id_b"),
+      () => graft.dedup.Dedup.connectedComponents(capPairs, "id_a", "id_b")))
+    val imgCc = ccs(0)
+    val capCc = ccs(1)
     // caption gate: the STRUCTURAL Gopher rules (word count, word
     // length, symbol/bullet/ellipsis/alpha fractions) — the stop-word
     // evidence rule is deliberately omitted: captions are not prose

@@ -187,11 +187,15 @@ object Bm25DiskIndex {
     * identical values, so it is the identity there). */
   def stats(spark: SparkSession, dir: String): DataFrame = {
     requireIndex(spark, dir)
-    // mergeSchema: a mixed-vintage stats dir (pre-sseq write/append
-    // files + post-sseq retire files) must not let footer-inference
-    // pick an OLD footer and drop sseq — that would nondeterministically
-    // lose the retire-dedup fold below
-    val raw = spark.read.option("mergeSchema", "true").parquet(s"$dir/stats")
+    // mergeSchema: a mixed-vintage stats dir (pre-sseq files + stamped
+    // files) must not let footer-inference pick an OLD footer and drop
+    // sseq — that would nondeterministically lose the retire-dedup fold
+    foldStats(spark.read.option("mergeSchema", "true").parquet(s"$dir/stats"))
+  }
+
+  /** The retire-idempotent stats fold over an already-read raw stats
+    * frame — shared by [[stats]] and the read-once probe path. */
+  private def foldStats(raw: DataFrame): DataFrame = {
     val rows = if (raw.columns.contains("sseq")) raw
       else raw.withColumn("sseq", lit(null).cast("long"))
     rows.select(col("d_docs"), col("t_toks"), col("sseq"))
@@ -235,17 +239,33 @@ object Bm25DiskIndex {
     * touched at all. */
   def probeTopK(spark: SparkSession, dir: String, queries: DataFrame,
       qidCol: String, qtextCol: String, k: Int): DataFrame = {
-    val n = numBuckets(spark, dir)
+    // one requireIndex + one stats read serve the bucket-count collect,
+    // the folded-stats frame, and the postings read below (numBuckets /
+    // stats / prunedPostings each re-validated and re-listed the same
+    // dirs — pure fixed cost per probe, a listing round-trip each on an
+    // object store)
+    requireIndex(spark, dir)
+    val statsRaw = spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/stats")
+    val nRow = statsRaw
+      .agg(min(col("n_buckets")).as("lo"), max(col("n_buckets")).as("hi"))
+      .collect()(0)
+    require(!nRow.isNullAt(0), s"BM25 index at '$dir' has no stats increments")
+    require(nRow.getLong(0) == nRow.getLong(1),
+      s"BM25 index at '$dir' mixes bucket counts ${nRow.getLong(0)} and ${nRow.getLong(1)}")
+    val n = nRow.getLong(0).toInt
     val probeBuckets = queries
       .select(explode(array_distinct(TextFunctions.tokens(col(qtextCol)))).as("tok"))
       .select(bucketOf(col("tok"), n).as("bucket")).distinct()
       .collect().map(_.getLong(0)).toSeq
+    val raw = Lake.readParquet(spark, s"$dir/postings")
+    val pruned = raw.where(col("bucket").isin(
+      graft.ops.IndexLifecycle.partitionLits(raw, "bucket", probeBuckets): _*))
     // tombstone filter AFTER pruning: df and scores then come from live
     // postings only, and the negative stats increments have already
     // corrected d_docs/t_toks — probe == fresh index over the live set
     Retrieval.bm25TopKFromIndex(
-      liveOnly(prunedPostings(spark, dir, probeBuckets).drop("bucket"),
-        deadSeqs(spark, dir)).drop("seq"),
-      stats(spark, dir), queries, qidCol, qtextCol, k)
+      liveOnly(pruned.drop("bucket"), deadSeqs(spark, dir)).drop("seq"),
+      foldStats(statsRaw), queries, qidCol, qtextCol, k)
   }
 }
